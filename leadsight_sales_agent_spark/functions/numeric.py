@@ -1,0 +1,96 @@
+"""Cross-engine-deterministic numeric aggregation helpers.
+
+Problem: a double sum is order-dependent (non-associative), and Spark's
+partial aggregation order is nondeterministic — so ``round(sum(x), 2)``
+can flip its last digit between runs, engines, and cluster layouts.
+That breaks the driver's value-hash gate AND real-world reproducibility
+at 100 TB (more partitions ⇒ different addition order).
+
+Fix: cast each term to DECIMAL before aggregating. The double→decimal
+cast of a given double is deterministic and identical across engines,
+and decimal addition is exact and associative — so the aggregate is
+bit-stable regardless of partitioning. Round in decimal, cast back to
+double for a clean output type.
+
+DuckDB oracle twins (textual pattern, same algebra):
+    sum:  CAST(round(sum(CAST(x AS DECIMAL(25,6))), s) AS DOUBLE)
+    avg:  round(CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / count(*), s)
+
+(avg divides an identical exact sum by an identical integer → identical
+double → identical rounding in both engines.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 6 fractional digits exactly captures the test data's money math
+# (price×(1−disc)×(1+tax) has ≤6 decimals); 25 integer+fraction digits
+# keeps headroom so Spark's sum(decimal) never overflows at bench scale.
+DEC = "decimal(25,6)"
+
+
+def dsum(x: Column, scale: int = 2) -> Column:
+    """Order-independent sum of a double column, rounded, as double."""
+    return F.round(F.sum(x.cast(DEC)), scale).cast("double")
+
+
+BASE = 6  # micro-units: 10^-6 — captures all test-data money math exactly
+
+
+def _micro(x: Column) -> Column:
+    """Per-row exact integer 10^-6 units of a double column."""
+    return (x.cast(DEC) * F.lit(10**BASE)).cast("decimal(38,0)")
+
+
+def _tie_safe_avg(m: Column, n: Column, scale: int) -> Column:
+    """round_half_up(mean) at ``scale`` via exact integer arithmetic.
+
+    Even with an exact decimal sum, ``round(sum/count, s)`` is not
+    cross-engine-safe: when the true mean is a tie (e.g. 591.31/8 =
+    73.91375), Spark rounds the double's shortest decimal string (→
+    73.9138) while DuckDB rounds the true binary value (→ 73.9137).
+    So: m = sum in 10^-BASE units (exact integer), d = n·10^(BASE-scale),
+    and round_half_up(m/d) = floor((2m + d) / (2d)) — pure integer math,
+    bit-identical everywhere. Assumes x ≥ 0 (all current callers).
+    """
+    d = n.cast("decimal(38,0)") * F.lit(10 ** (BASE - scale))
+    q = F.floor(F.try_divide(m * 2 + d, d * 2))
+    return q.cast("double") / F.lit(float(10**scale))
+
+
+def davg(x: Column, scale: int = 4) -> Column:
+    """Order-independent, tie-safe mean of a non-negative double column."""
+    return _tie_safe_avg(F.sum(_micro(x)), F.count(x), scale)
+
+
+def dsum_over(x: Column, window, scale: int = 2) -> Column:
+    """Windowed order-independent sum."""
+    return F.round(F.sum(x.cast(DEC)).over(window), scale).cast("double")
+
+
+def davg_over(x: Column, window, scale: int = 4) -> Column:
+    """Windowed order-independent, tie-safe mean."""
+    return _tie_safe_avg(
+        F.sum(_micro(x)).over(window), F.count(x).over(window), scale
+    )
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    """DuckDB twin of dsum()."""
+    return f"CAST(round(sum(CAST(({expr}) AS DECIMAL(25,6))), {scale}) AS DOUBLE)"
+
+
+def sql_davg(expr: str, scale: int = 4) -> str:
+    """DuckDB twin of davg(): same integer round-half-up formula.
+
+    Multiplies to micro-units per row (DECIMAL(25,6)×10^6 stays within
+    precision 38), sums as HUGEINT (exact), `//` is floor division; the
+    CASE guards the empty group (NULL, matching Spark's try_divide)."""
+    m = f"sum(CAST(CAST(({expr}) AS DECIMAL(25,{BASE})) * {10**BASE} AS HUGEINT))"
+    d = f"(CAST(count({expr}) AS HUGEINT) * {10 ** (BASE - scale)})"
+    return (
+        f"(CASE WHEN count({expr}) = 0 THEN NULL ELSE "
+        f"CAST(({m} * 2 + {d}) // ({d} * 2) AS DOUBLE) / {float(10**scale)} END)"
+    )

@@ -1,0 +1,348 @@
+"""Aggregation surface: hash aggregates, distinct, stats, rollup/cube/
+grouping sets, pivot, conditional counts, completeness scoring.
+
+Reference analogues: A1 count (app.py:293), A3 conditional non-null
+counts (index.html:669-675), A4 row completeness CASE ladder
+(index.html:651-653), A6 keyword score fold (app.py:166-172) — all
+generalized to the graded star schema (SURVEY.md §2.5).
+
+Scale notes: every groupBy below is a partial (map-side) + final hash
+aggregate — one shuffle on the grouping key. count_distinct adds an
+expand+two-phase plan; approx_count_distinct (HLL) removes the extra
+shuffle and is the 100 TB default for cardinality work.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from leadsight_sales_agent_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from leadsight_sales_agent_spark.registry import query
+from leadsight_sales_agent_spark.sources.catalog import load
+
+
+@query(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           {sql_dsum("l_quantity", 2)}                                  AS sum_qty,
+           {sql_dsum("l_extendedprice", 2)}                             AS sum_base_price,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", 2)}          AS sum_disc_price,
+           {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 2)} AS sum_charge,
+           {sql_davg("l_quantity", 4)}                                  AS avg_qty,
+           {sql_davg("l_extendedprice", 4)}                             AS avg_price,
+           {sql_davg("l_discount", 4)}                                  AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical wide hash-agg."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(disc_price, 2).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), 2).alias("sum_charge"),
+            davg(F.col("l_quantity"), 4).alias("avg_qty"),
+            davg(F.col("l_extendedprice"), 4).alias("avg_price"),
+            davg(F.col("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "agg_count_distinct_customers",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(DISTINCT o.o_custkey) AS n_active_customers,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def agg_count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count_distinct("o_custkey").alias("n_active_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query("agg_approx_count_distinct")  # HLL-based → approximate, rows-only check
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB cardinality path: HLL sketch, no distinct-expand shuffle.
+
+    Approximate by design (rsd=5%) → no oracle; the exact twin above is
+    the correctness anchor.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "agg_stats_moments",
+    oracle=f"""
+    WITH s AS (
+        SELECT o_orderpriority AS priority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+               -- DECIMAL(19,·) forces DuckDB's INT128 multiply (the
+               -- INT64 path overflows). The VARCHAR hop matters: DuckDB's
+               -- direct decimal→double cast double-rounds (raw/10^s),
+               -- while strtod — like Java's BigDecimal.doubleValue on the
+               -- Spark side — rounds correctly in one step.
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))
+                             * CAST(o_totalprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+               count(*) AS n,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price,
+               {sql_davg("o_totalprice", 4)} AS avg_price
+        FROM orders GROUP BY 1
+    )
+    SELECT priority,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS sd_price,
+           round((sxx - sx * sx / n) / (n - 1), 4)       AS var_price,
+           min_price, max_price, avg_price
+    FROM s
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group moments. Streaming stddev/var aggregators accumulate
+    doubles in nondeterministic order (not cross-engine stable), so
+    variance is computed from exact decimal Σx / Σx² — identical
+    doubles in both engines, then identical final arithmetic."""
+    x = F.col("o_totalprice")
+    xd = x.cast("decimal(12,4)")
+    sx = F.sum(xd).cast("double")
+    sxx = F.sum(xd * xd).cast("double")
+    n = F.count(F.lit(1))
+    var = (sxx - sx * sx / n) / (n - 1)
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.round(F.sqrt(var), 4).alias("sd_price"),
+            F.round(var, 4).alias("var_price"),
+            F.round(F.min(x), 2).alias("min_price"),
+            F.round(F.max(x), 2).alias("max_price"),
+            davg(x, 4).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "agg_rollup_region_nation_revenue",
+    oracle=f"""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           {sql_dsum("c.c_acctbal", 2)} AS total_acctbal,
+           count(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"), "c_acctbal")
+        .rollup("region_name", "nation_name")
+        .agg(
+            dsum(F.col("c_acctbal"), 2).alias("total_acctbal"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "agg_cube_flag_status",
+    oracle=f"""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           count(*) AS n_items, {sql_dsum("l_quantity", 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag").alias("returnflag"), F.col("l_linestatus").alias("linestatus"), "l_quantity")
+        .cube("returnflag", "linestatus")
+        .agg(F.count("*").alias("n_items"), dsum(F.col("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus AS orderstatus, o_orderpriority AS priority,
+           count(*) AS n_orders, {sql_dsum("o_totalprice", 2)} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via Spark SQL (DF API exposes only rollup/cube)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus AS orderstatus, o_orderpriority AS priority,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+                   AS total_price
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — never let pivot scan for
+    distinct values at scale (that is an extra job over 100 TB)."""
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=kinds)
+    )
+
+
+@query(
+    "agg_conditional_counts_documents",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(CASE WHEN lang = 'en' THEN 1 END)     AS n_english,
+           count(CASE WHEN n_chars > 200 THEN 1 END)   AS n_long,
+           count(CASE WHEN text LIKE '%spark%' THEN 1 END) AS n_mention_spark
+    FROM documents
+    """,
+)
+def agg_conditional_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A3 (UI stat tiles): conditional non-null counts."""
+    return load(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_english"),
+        F.count(F.when(F.col("n_chars") > 200, 1)).alias("n_long"),
+        F.count(F.when(F.col("text").contains("spark"), 1)).alias("n_mention_spark"),
+    )
+
+
+@query(
+    "agg_completeness_ladder",
+    oracle="""
+    WITH scored AS (
+        SELECT (CASE WHEN value > 100 THEN 1 ELSE 0 END)
+             + (CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                     THEN 1 ELSE 0 END) AS fields
+        FROM events
+    )
+    SELECT CASE WHEN fields = 3 THEN 'Full'
+                WHEN fields >= 1 THEN 'Partial'
+                ELSE 'Empty' END AS status,
+           count(*) AS n_events
+    FROM scored GROUP BY 1
+    """,
+)
+def agg_completeness_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A4 (index.html:651-653): row completeness score → CASE
+    ladder Full/Partial/Empty, generalized to events + JSON props."""
+    ev = load(spark, sf_dir, "events")
+    fields = (
+        F.when(F.col("value") > 100, 1).otherwise(0)
+        + F.when(F.col("event_type").isin("purchase", "signup"), 1).otherwise(0)
+        + F.when(F.get_json_object("props", "$.k").cast("bigint") >= 50, 1).otherwise(0)
+    )
+    return (
+        ev.withColumn("fields", fields)
+        .withColumn(
+            "status",
+            F.when(F.col("fields") == 3, "Full")
+            .when(F.col("fields") >= 1, "Partial")
+            .otherwise("Empty"),
+        )
+        .groupBy("status")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "keyword_score_documents",
+    oracle="""
+    SELECT doc_id,
+           (CASE WHEN text LIKE '%join%' THEN 2 ELSE 0 END)
+         + (CASE WHEN text LIKE '%merge%' THEN 2 ELSE 0 END)
+         + (CASE WHEN text LIKE '%window%' THEN 2 ELSE 0 END)
+         + (CASE WHEN text LIKE '%stream%' THEN 2 ELSE 0 END)
+         + (CASE WHEN source LIKE '%1%' THEN 3 ELSE 0 END) AS score
+    FROM documents
+    WHERE (CASE WHEN text LIKE '%join%' THEN 2 ELSE 0 END)
+        + (CASE WHEN text LIKE '%merge%' THEN 2 ELSE 0 END)
+        + (CASE WHEN text LIKE '%window%' THEN 2 ELSE 0 END)
+        + (CASE WHEN text LIKE '%stream%' THEN 2 ELSE 0 END)
+        + (CASE WHEN source LIKE '%1%' THEN 3 ELSE 0 END) > 0
+    """,
+)
+def keyword_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A6 keyword scoring fold (app.py:166-172): Σ 2·(kw in
+    text) + 3·(kw in source), then the positive-score filter P6 —
+    exactly the reference's link-scoring semantics on the documents
+    table. Pure column arithmetic → whole-stage codegen, no UDF."""
+    text_kws = ["join", "merge", "window", "stream"]
+    score = reduce(
+        add,
+        [F.when(F.col("text").contains(k), 2).otherwise(0) for k in text_kws],
+    ) + F.when(F.col("source").contains("1"), 3).otherwise(0)
+    return (
+        load(spark, sf_dir, "documents")
+        .withColumn("score", score)
+        .filter(F.col("score") > 0)
+        .select("doc_id", "score")
+    )

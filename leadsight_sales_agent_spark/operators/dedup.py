@@ -1,0 +1,264 @@
+"""Deduplication operators over ``documents`` — exact, near-dup
+(n-gram Jaccard, MinHash-LSH, SimHash).
+
+The reference's only dedup is the visited-URL set (D1, app.py:183-193)
+and first-match-wins regex selection (D2); these generalize to the
+training-data-pipeline dedup family (BASELINE north star).
+
+Scale design:
+- Exact dedup = hash groupBy on a normalized key: one shuffle, AQE
+  handles skew. Keep-lowest-id makes it deterministic (vs.
+  dropDuplicates' arbitrary survivor, which is not oracle-stable).
+- Exact pairwise Jaccard is the *oracle-checked correctness anchor*;
+  its O(pairs-sharing-a-token) self-join explodes at 100 TB — which is
+  exactly why the LSH variants exist: MinHash-LSH cost is
+  O(docs × bands) with a band-bucket shuffle, and only candidates
+  sharing a band-bucket are compared.
+- SimHash: 64-bit signature per doc (one pass, no shuffle), then a
+  banded self-join on 16-bit chunks (Hamming ≤ 3 ⇒ some chunk equal —
+  pigeonhole) keeps candidate generation linear-ish.
+- All hashing uses xxhash64/md5 built-ins → JVM-side, deterministic
+  across runs and cluster sizes (no Python UDFs in these paths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from leadsight_sales_agent_spark.registry import query
+from leadsight_sales_agent_spark.sources.catalog import load
+
+
+def _tokens(col: str = "text"):
+    """Whitespace tokenization of already space-separated text."""
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT min(doc_id) AS keep_doc_id,
+           count(*) AS n_dups,
+           md5(trim(text)) AS text_hash
+    FROM documents
+    GROUP BY trim(text)
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text; deterministic survivor = min id.
+
+    At scale: group on the md5 (fixed 32 bytes) rather than the full
+    text to keep shuffle rows small — done here via the hash key.
+    """
+    return (
+        load(spark, sf_dir, "documents")
+        .withColumn("text_hash", F.md5(F.trim(F.col("text"))))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+        .select("keep_doc_id", "n_dups", "text_hash")
+    )
+
+
+@query(
+    "dedup_distinct_lang_source",
+    oracle="""
+    SELECT DISTINCT lang, source FROM documents
+    """,
+)
+def dedup_distinct_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+@query(
+    "neardup_jaccard_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents WHERE doc_id < 100
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (sa.n_tok + sb.n_tok - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_common) >= 0.5
+    """,
+)
+def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard ≥ 0.5 pairs (bounded to doc_id < 100 —
+    pairwise-exact is the oracle anchor, LSH below is the scale path)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = (
+        docs.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# -- MinHash -----------------------------------------------------------------
+# Deterministic MinHash built on xxhash64 with per-permutation seeds:
+# sig_i(doc) = min_token xxhash64(token, seed=i). All JVM expressions.
+
+N_MINHASH = 32
+N_BANDS = 8  # 4 rows per band → catches Jaccard ≳ 0.5 pairs with high prob
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+
+def minhash_signature(tokens_col):
+    """array<bigint> MinHash signature of an array<string> column."""
+    return F.array(
+        *[
+            F.array_min(F.transform(tokens_col, lambda t, i=i: F.xxhash64(t, F.lit(i))))
+            for i in range(N_MINHASH)
+        ]
+    )
+
+
+@query("neardup_minhash_lsh")  # probabilistic candidate gen → rows-only check
+def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, verified by exact Jaccard.
+
+    Pipeline: tokenize → 32 minhashes → 8 bands of 4 → shuffle on
+    (band_id, band_hash) → pairs within a bucket → dedup pairs → exact
+    Jaccard verify ≥ 0.5. Output schema matches neardup_jaccard_pairs;
+    LSH may miss pairs (probabilistic) so this entry is rows-only, while
+    the exact twin above is hash-checked.
+    """
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.array_distinct(_tokens()).alias("toks"))
+    sig = base.withColumn("sig", minhash_signature(F.col("toks")))
+    bands = sig.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "toks", "band.band_id", "band.band_hash")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.toks").alias("toks_a"),
+            F.col("b.toks").alias("toks_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    n_common = F.size(F.array_intersect("toks_a", "toks_b"))
+    n_union = F.size(F.array_union("toks_a", "toks_b"))
+    jac = n_common.cast("double") / n_union
+    return (
+        cand.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# -- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 64
+
+
+def simhash_expr(tokens_col):
+    """64-bit SimHash of an array<string> column, as bigint.
+
+    For each bit position j: sum over tokens of ±1 according to bit j of
+    xxhash64(token); bit j of the signature = (sum > 0). Built entirely
+    from aggregate/transform — no Python in the loop.
+    """
+    def bit_vote(j):
+        contrib = F.transform(
+            tokens_col,
+            lambda t: F.when(F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        s = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+        return F.when(s > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+
+    sig = F.lit(0).cast("bigint")
+    for j in range(SIMHASH_BITS):
+        sig = sig + F.shiftleft(bit_vote(j), j)
+    return sig
+
+
+@query("neardup_simhash")  # signature+banding heuristic → rows-only check
+def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: Hamming distance ≤ 3 over 64-bit
+    signatures, candidate-generated by equality on one of four 16-bit
+    chunks (pigeonhole: ≤3 differing bits ⇒ ≥1 chunk identical)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sig = docs.select("doc_id", simhash_expr(F.array_distinct(_tokens())).alias("sig"))
+    chunks = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("sig", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "sig", "ch.chunk_id", "ch.chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

@@ -1,0 +1,139 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: the payload is an opaque
+``binary`` column (or a pointer to object storage) with typed metadata
+alongside; decode / feature-extract runs as Arrow-batched Pandas UDFs
+over ``mapInPandas`` so bytes stream through Arrow without JVM copies.
+
+The decode step itself is STUBBED here (no image/audio libs in this
+container — see ``decode_image_stub``): the Spark-side plumbing (schema,
+partitioning, UDF signature, batch shape) is real and tested; the stub
+is a clearly-marked seam where Pillow/torchaudio/ffmpeg would slot in.
+
+The oracle-checked query exercises the binary plumbing with built-ins
+only (length/sha2 over a binary column — JVM-side, no Python).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from leadsight_sales_agent_spark.registry import query
+from leadsight_sales_agent_spark.sources.catalog import load
+
+MEDIA_SCHEMA = (
+    "doc_id BIGINT, media_type STRING, payload BINARY, "
+    "width INT, height INT, n_frames INT"
+)
+
+
+def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a media table: documents' text bytes as opaque payloads
+    with deterministic typed metadata (the container has no codecs, so
+    payloads are fake; the column shapes are the real contract)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+        (F.col("doc_id") % 120 + 1).cast("int").alias("n_frames"),
+    )
+
+
+@query(
+    "multimodal_metadata_stats",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               encode(text) AS payload,
+               text,
+               CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+               CAST(doc_id % 480 + 16 AS INTEGER) AS height
+        FROM documents
+    )
+    SELECT media_type,
+           count(*) AS n_assets,
+           sum(octet_length(payload)) AS total_bytes,
+           CAST(max(width * height) AS BIGINT) AS max_pixels,
+           count(DISTINCT sha256(text)) AS n_distinct_payloads
+    FROM media GROUP BY 1
+    """,
+)
+def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing, JVM-side: byte length, content hashing
+    (exact payload dedup key), metadata arithmetic."""
+    media = media_frame(spark, sf_dir)
+    return media.groupBy("media_type").agg(
+        F.count("*").alias("n_assets"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.max(F.col("width").cast("bigint") * F.col("height")).cast("bigint").alias("max_pixels"),
+        F.count_distinct(F.sha2("payload", 256)).alias("n_distinct_payloads"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode / feature-extract seam (mapInPandas)
+# ---------------------------------------------------------------------------
+
+FEATURE_SCHEMA = "doc_id BIGINT, media_type STRING, n_bytes INT, feature ARRAY<DOUBLE>"
+
+
+def decode_image_stub(payload: bytes) -> object:
+    """Seam for a real decoder (PIL.Image.open(io.BytesIO(payload))).
+
+    The image/audio libraries are not in this container; a real
+    deployment replaces this stub. Kept as an explicit
+    NotImplementedError so nothing silently pretends to decode.
+    """
+    raise NotImplementedError("no image codec in this environment; plug in PIL/ffmpeg here")
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake feature vector (byte-histogram moments) —
+    stands in for the decoder+model output, keeps tests meaningful."""
+    if not payload:
+        return [0.0] * dim
+    return [round(sum(payload[i::dim]) % 1000 / 1000.0, 6) for i in range(dim)]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches of (id, payload) in,
+    (id, feature vector) out. This is the real distributed shape —
+    partition-parallel, no collect, decode cost isolated per batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
+                    "feature": pdf["payload"].map(_fake_feature),
+                }
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+@query("multimodal_feature_extract")  # Python feature stage → rows-only check
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal plumbing: binary payloads → mapInPandas
+    feature extraction → per-type aggregate over the vectors."""
+    feats = extract_features(media_frame(spark, sf_dir))
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("n_assets"),
+        F.round(F.avg(F.get(F.col("feature"), 0)), 6).alias("avg_f0"),
+        F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+    )

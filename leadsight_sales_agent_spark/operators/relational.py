@@ -1,0 +1,443 @@
+"""Relational core: scans, filters, projections, joins, sort/limit/top-k.
+
+The reference has no relational joins (SURVEY.md §2.4 — its only "join"
+is a fused 1:1 enrichment merge, reference app.py:236-256); this module
+supplies the full analytic join/sort surface the engine is graded on,
+expressed so Catalyst picks broadcast-hash vs sort-merge itself.
+
+Scale notes (100 TB):
+- Dimension joins use explicit ``broadcast()`` — region/nation/customer/
+  supplier/part stay small relative to facts, so the fact side never
+  shuffles for them.
+- Fact-fact joins (lineitem ⋈ orders) are equi-joins on the natural key;
+  at scale these want co-partitioned bucketing on l_orderkey/o_orderkey,
+  which the plan here is compatible with (plain equi-join — Catalyst
+  uses bucket metadata when present, SMJ otherwise; AQE handles skew).
+- Top-k goes through orderBy+limit → Catalyst's TakeOrderedAndProject
+  (per-partition heap + driver merge of k rows, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from leadsight_sales_agent_spark.functions.numeric import dsum, sql_dsum
+from leadsight_sales_agent_spark.registry import query
+from leadsight_sales_agent_spark.sources.catalog import load
+
+
+# ---------------------------------------------------------------------------
+# Flagship: lead prioritization — revenue by market segment and month.
+# Exercises scan, 2 equi-joins (1 broadcast), filter pushdown, date funcs,
+# hash aggregation, sort, alias discipline. (SURVEY.md §7.1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "flagship_revenue_by_segment_month",
+    oracle=f"""
+    SELECT
+        c.c_mktsegment                                   AS mktsegment,
+        strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS ship_month,
+        {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue,
+        count(*)                                         AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def flagship_revenue_by_segment_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        lineitem
+        # filter written before joins → pushed into the parquet scan
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.date_format(F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM").alias("ship_month"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("mktsegment", "ship_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join surface: inner / left / right / full / semi / anti / cross /
+# non-equi range. (SURVEY.md §2.4 engine requirement)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_inner_orders_customer",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey, c.c_name AS cust_name,
+           c.c_mktsegment AS mktsegment, round(o.o_totalprice, 2) AS totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_inner_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+@query(
+    "join_left_customer_order_counts",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS mktsegment,
+           count(o.o_orderkey) AS n_orders,
+           coalesce({sql_dsum("o.o_totalprice", 2)}, 0.0) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def join_left_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join keeping order-less customers (count(col) skips nulls)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum(F.col("o_totalprice"), 2), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_right_orders_customer",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS cust_name, o.o_orderkey AS orderkey
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal < 0
+    """,
+)
+def join_right_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "right")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("o_orderkey").alias("orderkey"),
+        )
+    )
+
+
+@query(
+    "join_full_outer_nation_presence",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+                FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+                FROM supplier GROUP BY 1)
+    SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+           coalesce(cn.n_customers, 0) AS n_customers,
+           coalesce(sn.n_suppliers, 0) AS n_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+    """,
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer vs supplier counts."""
+    cn = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        cn.join(sn, "nationkey", "full_outer")
+        .select(
+            F.col("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "join_semi_customers_with_urgent_orders",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS cust_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("cust_name"))
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("mktsegment"))
+    )
+
+
+@query(
+    "join_cross_region_pairs",
+    oracle="""
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey < b.r_regionkey
+    """,
+)
+def join_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join on a tiny dimension (the only safe cardinality for one)."""
+    a = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("ka"), F.col("r_name").alias("region_a")
+    )
+    b = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("kb"), F.col("r_name").alias("region_b")
+    )
+    return a.crossJoin(b).filter(F.col("ka") < F.col("kb")).select("region_a", "region_b")
+
+
+@query(
+    "join_range_price_brackets",
+    oracle=f"""
+    WITH brackets(bracket, lo, hi) AS (
+        VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+               ('high', 150000.0, 1000000000.0)
+    )
+    SELECT b.bracket AS bracket, count(*) AS n_orders,
+           {sql_dsum("o.o_totalprice", 2)} AS total_price
+    FROM orders o JOIN brackets b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY 1
+    """,
+)
+def join_range_price_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: orders banded into price brackets.
+
+    The bracket side is tiny → Spark picks BroadcastNestedLoopJoin,
+    which is the right physical plan for band joins at any scale when
+    one side broadcasts.
+    """
+    orders = load(spark, sf_dir, "orders")
+    brackets = spark.createDataFrame(
+        [("low", 0.0, 50_000.0), ("mid", 50_000.0, 150_000.0), ("high", 150_000.0, 1_000_000_000.0)],
+        "bracket STRING, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        orders.join(
+            F.broadcast(brackets),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("bracket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "join_asof_purchase_last_click",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(max(c.ts), '%Y-%m-%d %H:%M:%S') AS last_click_ts
+    FROM purchases p LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def join_asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior click.
+
+    Implemented as union + windowed last(ignorenulls) — one shuffle on
+    (user_id), no row explosion, which is the scalable as-of pattern
+    (vs. the oracle's quadratic-per-user join+max, fine for DuckDB at
+    test scale). SURVEY.md §2.4.
+    """
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    tagged = events.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_type").asc())  # click sorts before purchase at equal ts
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        tagged.withColumn("last_click", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("last_click", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k (SURVEY.md §2.6 T1-T4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_orders_by_price",
+    oracle="""
+    SELECT o_orderkey AS orderkey, round(o_totalprice, 2) AS totalprice,
+           o_orderpriority AS priority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (no full sort at scale).
+
+    Tie-break on the key keeps the result set deterministic across
+    engines (reference T1/T2, app.py:181,188 sorts then slices [:3]).
+    """
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+
+
+@query(
+    "sort_multi_column_suppliers",
+    oracle="""
+    SELECT s_suppkey AS suppkey, s_name AS supp_name, s_nationkey AS nationkey,
+           round(s_acctbal, 2) AS acctbal
+    FROM supplier
+    ORDER BY s_nationkey ASC, s_acctbal DESC, s_suppkey ASC
+    """,
+)
+def sort_multi_column_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "supplier")
+        .orderBy(F.asc("s_nationkey"), F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("s_nationkey").alias("nationkey"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter fidelity (SURVEY.md §2.3 P1-P8 analogues)
+# ---------------------------------------------------------------------------
+
+@query(
+    "filter_compound_predicates",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           round(l_extendedprice, 2) AS extendedprice, l_returnflag AS returnflag
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+      AND l_returnflag <> 'A'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+    """,
+)
+def filter_compound_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicate stack — all four push into the parquet scan."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+            & (F.col("l_returnflag") != "A")
+            & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.round("l_extendedprice", 2).alias("extendedprice"),
+            F.col("l_returnflag").alias("returnflag"),
+        )
+    )
+
+
+@query(
+    "project_reorder_with_missing_as_null",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS cust_name,
+           CAST(NULL AS VARCHAR) AS enrichment_status,
+           c_mktsegment AS mktsegment
+    FROM customer
+    """,
+)
+def project_reorder_with_missing_as_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference P1 semantics: reindex to a fixed column contract, missing
+    columns materialized as typed nulls (reference app.py:309)."""
+    df = load(spark, sf_dir, "customer")
+    contract = [
+        ("custkey", "c_custkey"),
+        ("cust_name", "c_name"),
+        ("enrichment_status", None),  # not present in source → null column
+        ("mktsegment", "c_mktsegment"),
+    ]
+    cols = [
+        F.col(src).alias(out) if src in df.columns else F.lit(None).cast("string").alias(out)
+        for out, src in contract
+    ]
+    return df.select(*cols)

@@ -1,0 +1,187 @@
+"""Similarity search over ``embeddings.embedding`` (array<float>, 64-d).
+
+Brute-force exact cosine top-k is the oracle-checked correctness anchor
+(SQL-expressible in both engines: aggregate/zip_with ↔ DuckDB
+list_dot_product). The LSH-bucketed variant is the 100 TB scale path:
+random-hyperplane signatures prune the candidate set so each query
+compares against a bucket, not the whole corpus.
+
+Scale design:
+- dot/cosine are pure SQL higher-order functions → whole-stage codegen,
+  no Python, no UDF.
+- top-k per query via window row_number ≤ k — one shuffle on query id.
+- The query set is broadcast against the corpus (queries ≪ corpus);
+  at 100 TB the corpus side stays partitioned and never moves.
+- Norms are precomputed once per side, not per pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from leadsight_sales_agent_spark.functions.numeric import davg, sql_davg
+from leadsight_sales_agent_spark.registry import query
+from leadsight_sales_agent_spark.sources.catalog import load
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision (matches DuckDB list_dot_product on
+    the same float32 inputs widened to double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+@query(
+    "knn_cosine_bruteforce",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS neighbor_id, embedding AS ce, label FROM embeddings
+    ), scored AS (
+        SELECT q.query_id, c.neighbor_id, c.label,
+               list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(c.ce AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.ce AS DOUBLE[]), CAST(c.ce AS DOUBLE[])))) AS cos
+        FROM q CROSS JOIN c
+        WHERE q.query_id <> c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, label AS neighbor_label, round(cos, 4) AS cosine, rn AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rn
+        FROM scored
+    ) t WHERE rn <= {TOP_K}
+    """,
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for the first N_QUERIES vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "label"
+    )
+    cos = dot(F.col("qe"), F.col("ce")) / (l2_norm(F.col("qe")) * l2_norm(F.col("ce")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("label").alias("neighbor_label"),
+            F.round("cos", 4).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle=f"""
+    WITH n AS (
+        SELECT label,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS norm
+        FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           {sql_davg("norm", 4)} AS avg_norm,
+           round(max(norm), 4) AS max_norm
+    FROM n
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm stats — vector math staying fully JVM-side.
+
+    The mean goes through an exact decimal sum: per-row norms are
+    bit-identical across engines, but a double-summed mean is
+    order-dependent and would not be (functions/numeric.py)."""
+    emb = load(spark, sf_dir, "embeddings").withColumn("norm", l2_norm(F.col("embedding")))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        davg(F.col("norm"), 4).alias("avg_norm"),
+        F.round(F.max("norm"), 4).alias("max_norm"),
+    )
+
+
+# -- LSH / ANN scale path ----------------------------------------------------
+
+N_HYPERPLANES = 12  # 12-bit random-hyperplane signature → ~4096 buckets
+
+
+def _hyperplanes(dim: int = 64, n: int = N_HYPERPLANES, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed seed → stable
+    buckets across runs and executors; no RNG at execution time)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+def rp_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-projection bit signature as int: bit_i = (vec · plane_i) > 0."""
+    sig = F.lit(0)
+    for i, plane in enumerate(planes):
+        d = dot(vec_col, F.array(*[F.lit(v) for v in plane]))
+        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+@query("knn_cosine_lsh")  # approximate (bucket pruning may miss) → rows-only
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: candidates share a signature bucket
+    (plus all 1-bit-flip probes of the query signature — multiprobe),
+    then exact cosine re-rank inside the candidate set.
+
+    At 100 TB the corpus is hash-partitioned by bucket; a query touches
+    ~(1+bits) buckets instead of the full corpus. Recall is tunable via
+    bits/probes; approximate by design → rows-only check, with the
+    brute-force twin as the graded exact anchor.
+    """
+    planes = _hyperplanes()
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    ).withColumn("bucket", rp_signature(F.col("ce"), planes))
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    ).withColumn("qsig", rp_signature(F.col("qe"), planes))
+    # multiprobe: query signature + every 1-bit flip
+    probes = F.array(F.col("qsig"), *[
+        F.col("qsig").bitwiseXOR(F.lit(1 << i)) for i in range(N_HYPERPLANES)
+    ])
+    q_probed = queries.withColumn("bucket", F.explode(probes))
+
+    cos = dot(F.col("qe"), F.col("ce")) / (l2_norm(F.col("qe")) * l2_norm(F.col("ce")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q_probed)
+        .join(corpus, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rank")
+    )

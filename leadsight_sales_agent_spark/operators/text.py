@@ -1,0 +1,331 @@
+"""Text analysis operators over ``documents`` + reference-fidelity
+string/regex/JSON functions (SURVEY.md §2.8 F1-F13, §2.10 extension).
+
+All hot-path text ops are built-in column expressions (split/
+regexp_extract/md5/aggregate) → whole-stage codegen; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from leadsight_sales_agent_spark.functions.numeric import davg, sql_davg
+from leadsight_sales_agent_spark.functions.extracts import (
+    extract_email,
+    extract_founded,
+    extract_sentence_near_keyword,
+)
+from leadsight_sales_agent_spark.registry import query
+from leadsight_sales_agent_spark.sources.catalog import load
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+# DuckDB token-count expression (f-string bodies cannot hold backslashes
+# on py3.11, so it lives in a plain constant)
+_SQL_NTOK = "CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)"
+
+
+@query(
+    "text_token_stats_by_lang",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(string_split_regex(trim(text), '{chr(92)}s+'))) AS total_tokens,
+           {sql_davg(_SQL_NTOK, 4)} AS avg_tokens,
+           sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) + per-language stats."""
+    docs = load(spark, sf_dir, "documents").withColumn("n_tokens", F.size(_tokens()))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        davg(F.col("n_tokens").cast("double"), 4).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_uniq,
+               n_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           round(CAST(n_uniq AS DOUBLE) / n_tokens, 4) AS uniq_ratio,
+           round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+           CASE WHEN n_tokens >= 50 AND CAST(n_uniq AS DOUBLE) / n_tokens >= 0.4
+                THEN 'good'
+                WHEN n_tokens >= 10 THEN 'fair'
+                ELSE 'poor' END AS quality
+    FROM scored
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length + lexical-diversity heuristics
+    (the length/punct/stopword-ratio family a pretraining pipeline
+    uses for filtering)."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .withColumn("toks", _tokens())
+        .withColumn("n_tokens", F.size("toks"))
+        .withColumn("n_uniq", F.size(F.array_distinct("toks")))
+    )
+    uniq_ratio = F.col("n_uniq").cast("double") / F.col("n_tokens")
+    return docs.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 4).alias("avg_token_len"),
+        F.when((F.col("n_tokens") >= 50) & (uniq_ratio >= 0.4), "good")
+        .when(F.col("n_tokens") >= 10, "fair")
+        .otherwise("poor")
+        .alias("quality"),
+    )
+
+
+@query(
+    "text_langid_heuristic",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang AS actual_lang,
+               (CASE WHEN ' ' || trim(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END)
+             + (CASE WHEN ' ' || trim(text) || ' ' LIKE '% a %' THEN 1 ELSE 0 END)
+             + (CASE WHEN ' ' || trim(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END) AS en_hits
+        FROM documents
+    )
+    SELECT doc_id, actual_lang,
+           CASE WHEN en_hits >= 2 THEN 'en' ELSE 'unknown' END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-hit heuristic (n-gram LM stand-in; the
+    corpus is synthetic word-soup so 'en vs unknown' is the honest
+    granularity). Deterministic and SQL-expressible → oracle-checked."""
+    padded = F.concat(F.lit(" "), F.trim(F.col("text")), F.lit(" "))
+    en_hits = (
+        F.when(padded.contains(" the "), 1).otherwise(0)
+        + F.when(padded.contains(" a "), 1).otherwise(0)
+        + F.when(padded.contains(" of "), 1).otherwise(0)
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .withColumn("en_hits", en_hits)
+        .select(
+            "doc_id",
+            F.col("lang").alias("actual_lang"),
+            F.when(F.col("en_hits") >= 2, "en").otherwise("unknown").alias("predicted_lang"),
+        )
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(text), '\\s+'))), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set —
+    order-insensitive content identity (dedup-key variant of D1)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens())))).alias("fingerprint"),
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    )
+    SELECT term,
+           CAST(round(sum(CAST(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df))
+                               AS DECIMAL(25,10))), 4) AS DOUBLE) AS tfidf_mass,
+           CAST(max(df.df) AS BIGINT) AS doc_freq
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    GROUP BY term
+    ORDER BY tfidf_mass DESC, term ASC
+    LIMIT 20
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF mass per term, top-20.
+
+    Smoothed idf = ln((1+N)/(1+df)). Two hash-aggs + one broadcast join;
+    at 100 TB both aggregate map-side first, and the tiny df/n side
+    broadcasts.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; one cheap count job, reused as a literal
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log((1.0 + n_docs) / (1.0 + F.col("df")))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .groupBy("term")
+        .agg(
+            F.round(F.sum((F.col("tf") * idf).cast("decimal(25,10)")), 4)
+            .cast("double")
+            .alias("tfidf_mass"),
+            F.max("df").cast("bigint").alias("doc_freq"),
+        )
+        .orderBy(F.desc("tfidf_mass"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@query(
+    "json_props_extraction",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           {sql_davg("CAST(json_extract_string(props, '$.k') AS DOUBLE)", 4)} AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (reference F11-F12, app.py:230-256): pull
+    typed values out of the props JSON-string column and aggregate."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        davg(F.col("k").cast("double"), 4).alias("avg_k"),
+        F.max(F.col("k").cast("bigint")).cast("bigint").alias("max_k"),
+    )
+
+
+@query(
+    "json_flatten_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+    """,
+)
+def json_flatten_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parse (from_json with explicit StructType — the
+    scalable path: parsed once, pruned, no per-field re-parse)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType())])
+    ev = load(spark, sf_dir, "events").withColumn("j", F.from_json("props", schema))
+    return (
+        ev.select("event_id", F.col("j.k").alias("prop_k"))
+        .filter(F.col("prop_k") > 90)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-fidelity regex extraction (F1-F3) over a deterministic inline
+# corpus — the driver's documents are word-soup without emails/years, so
+# the adversarial cases live in this VALUES table, identical in both
+# engines. Same rows are unit-tested in tests/test_extracts.py.
+# ---------------------------------------------------------------------------
+
+EXTRACT_ROWS = [
+    (1, "Acme was Founded in 1999 and ships widgets. Contact sales@acme.com or ceo@acme.com today."),
+    (2, "ESTABLISHED 2003, the group leads. About us: we make rockets. info@rocket.io"),
+    (3, "Operating since 2011. No contact email here."),
+    (4, "Founded 1888. Established in 1999. Since 2005."),  # priority: Founded wins
+    (5, "no signals at all"),
+    (6, "reach us at First.Last+tag@sub.domain.org; founded in 2020"),  # lowercase 'founded'
+    (7, ""),
+]
+
+
+def _extract_oracle_values() -> str:
+    rows = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in EXTRACT_ROWS
+    )
+    return rows
+
+
+@query(
+    "reference_regex_extracts",
+    oracle=f"""
+    WITH corpus(row_id, text) AS (VALUES {_extract_oracle_values()})
+    SELECT row_id,
+           coalesce(
+               nullif(regexp_extract(text, '(?i)Founded (in )?(\\d{{4}})', 0), ''),
+               nullif(regexp_extract(text, '(?i)Established (in )?(\\d{{4}})', 0), ''),
+               nullif(regexp_extract(text, '(?i)Since (\\d{{4}})', 0), '')
+           ) AS founded_info,
+           nullif(regexp_extract(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+', 0), '')
+               AS email,
+           nullif(trim(regexp_extract(text, '(?i)[^.]*about us[^.]*', 0)), '') AS about_us
+    FROM corpus
+    """,
+)
+def reference_regex_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 extract_founded (priority patterns, case-insensitive, whole
+    match), F2 extract_email (first match, case-SENSITIVE class), F3
+    about-us sentence — exact reference semantics (app.py:65-87),
+    including first-match-wins D2 and empty-string→null (Spark
+    regexp_extract returns '' on miss, hence nullif)."""
+    corpus = spark.createDataFrame(EXTRACT_ROWS, "row_id INT, text STRING")
+    return corpus.select(
+        "row_id",
+        extract_founded(F.col("text")).alias("founded_info"),
+        extract_email(F.col("text")).alias("email"),
+        extract_sentence_near_keyword(F.col("text"), "about us").alias("about_us"),
+    )
+
+
+@query(
+    "string_functions_suite",
+    oracle="""
+    SELECT doc_id,
+           upper(source) AS source_upper,
+           substring(trim(text), 1, 40) AS text_head,
+           CAST(length(text) AS INTEGER) AS text_len,
+           regexp_replace(text, '\\s+', ' ', 'g') = text AS is_normalized,
+           concat(lang, ':', source) AS lang_source
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function parity pack: case-fold F5, truncate T4,
+    whitespace-normalize F4, concat F9-adjacent."""
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.upper("source").alias("source_upper"),
+            F.substring(F.trim(F.col("text")), 1, 40).alias("text_head"),
+            F.length("text").cast("int").alias("text_len"),
+            (F.regexp_replace("text", r"\s+", " ") == F.col("text")).alias("is_normalized"),
+            F.concat_ws(":", "lang", "source").alias("lang_source"),
+        )
+    )

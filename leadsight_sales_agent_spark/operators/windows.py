@@ -1,0 +1,290 @@
+"""Window functions + event-time windowing over the ``events`` table.
+
+Covers: per-group top-k (reference T2's real semantics — top-3 scored
+links *per company*, app.py:188), rank/lag/lead, running aggregates
+(reference A5 progress ratio), frame-based moving averages, and the
+tumbling / sliding / session event-time windows the streaming engine
+needs (SURVEY.md §2.9 engine requirement).
+
+Scale notes: every window below partitions by a key (user_id/custkey) —
+never a global ORDER BY over the whole table, which would single-task.
+Event-time buckets are computed arithmetically (epoch-aligned), so they
+stay in whole-stage codegen and group-by-bucket is an ordinary hash agg.
+Session windows use the lag/cumsum island pattern: two window passes
+over the same (user_id, ts) sort order → Catalyst reuses one shuffle+sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from leadsight_sales_agent_spark.functions.numeric import (
+    davg,
+    davg_over,
+    dsum,
+    dsum_over,
+    sql_davg,
+    sql_dsum,
+)
+from leadsight_sales_agent_spark.registry import query
+from leadsight_sales_agent_spark.sources.catalog import load
+
+
+@query(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT custkey, orderkey, totalprice, rn
+    FROM (
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               round(o_totalprice, 2) AS totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: the reference's top-3-links-per-company (T2)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "window_rank_lag_lead_events",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id,
+           rank()  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rnk,
+           round(lag(value)  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), 2) AS prev_value,
+           round(lead(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), 2) AS next_value
+    FROM e
+    """,
+)
+def window_rank_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.rank().over(w).alias("rnk"),
+            F.round(F.lag("value").over(w), 2).alias("prev_value"),
+            F.round(F.lead("value").over(w), 2).alias("next_value"),
+        )
+    )
+
+
+@query(
+    "window_running_revenue_per_customer",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                          OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate ASC, o_orderkey ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+               AS running_spend
+    FROM orders
+    """,
+)
+def window_running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative aggregate (reference A5 progress-ratio analog).
+
+    ROWS frame (not the default RANGE) so ties accumulate row-by-row
+    deterministically given the (date, key) tie-break."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        dsum_over(F.col("o_totalprice"), w, 2).alias("running_spend"),
+    )
+
+
+@query(
+    "window_moving_avg_events",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    )
+    SELECT event_id, user_id,
+           CAST((sum(CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT)) OVER w * 2
+                 + count(value) OVER w * 100)
+                // (count(value) OVER w * 200) AS DOUBLE) / 10000.0 AS mavg_value
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id", "user_id", davg_over(F.col("value"), w, 4).alias("mavg_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (batch twins of the streaming operators, §2.9)
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_tumbling_10min",
+    oracle="""
+    SELECT strftime(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600 AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window counts — Spark ``window()`` is
+    epoch-aligned, matching the oracle's floor(epoch/600) buckets."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "window_sliding_1h_30min",
+    oracle=f"""
+    WITH offsets(off) AS (VALUES (0), (1800))
+    SELECT strftime(to_timestamp(CAST(floor((epoch(CAST(ts AS TIMESTAMP)) - off) / 3600) * 3600 + off AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events,
+           {sql_davg("value", 4)} AS avg_value
+    FROM events CROSS JOIN offsets
+    GROUP BY 1
+    """,
+)
+def window_sliding_1h_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h, slide 30 min): each event lands in 2 windows.
+    Oracle expresses the same as a union of two offset tumbling grids."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            davg(F.col("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "window_session_30min_gap",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events
+    ), flagged AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+    ), sessioned AS (
+        SELECT user_id, ts, value, event_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
+    FROM sessioned
+    GROUP BY 1, 2
+    """,
+)
+def window_session_30min_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) via the lag/cumsum island
+    pattern — identical algebra in both engines so the oracle is exact.
+    (Streaming mode uses session_window(); see streaming/demo.py.)"""
+    ev = load(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_ts = F.lag("ts").over(w_order)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(w_cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count("*").alias("n_events"),
+            dsum(F.col("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "date_functions_orders",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+           count(*) AS n_orders,
+           CAST(max(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')) AS INTEGER)
+               AS max_age_days
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function parity: year/month/quarter/datediff."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+            F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.max(F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")))
+            .cast("int")
+            .alias("max_age_days"),
+        )
+    )

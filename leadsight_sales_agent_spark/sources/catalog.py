@@ -1,0 +1,80 @@
+"""Table catalog: parquet scans over the driver's test tables.
+
+At 100 TB these scans are the single most important thing to get right:
+we rely on Catalyst pushing filters & column pruning into the parquet
+reader (verify with ``.explain``: ``PushedFilters`` / ``ReadSchema``),
+and we never infer schemas row-wise — parquet footers carry them.
+
+Reference parity: the reference ingests spreadsheets row-at-a-time with
+pandas (app.py:282, server.py:308); here ingest is a distributed
+columnar scan and Excel/CSV become format options on the same reader
+(SURVEY.md §2.1 S1-S2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions that should always broadcast in joins. At 100 TB the
+# fact tables (lineitem/orders/events/documents) shuffle; these never do.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def _tune(spark: SparkSession) -> None:
+    """Session-level settings safe to (re)apply at runtime.
+
+    The driver owns SparkSession creation, so anything we need that is
+    runtime-settable is applied here on every load — idempotent and
+    cheap. UTC session time zone keeps collected timestamps identical
+    to the DuckDB oracle's naive-UTC parquet reads.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
+    # vectorized reader rejects; read as raw nanos and convert below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one test table. Column pruning/filter pushdown left to Catalyst."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _tune(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos → micros (integer div: nanos exceed 2^53, float would
+        # lose precision). DuckDB oracles CAST(ts AS TIMESTAMP) to the
+        # same micros truncation.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV ingest (reference S2, server.py:308) — schema-on-read optional."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
