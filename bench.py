@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query is materialized through the noop sink — full execution on
+the cluster side, no driver-side row transfer inflating the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from leadsight_sales_agent_spark import registry
+from leadsight_sales_agent_spark.session import get_spark
+
+registry.load_all()
+
+# Headline set: one per operator family, weighted toward shuffle-heavy
+# plans (joins/aggs/windows) where Spark's plan quality actually shows.
+HEADLINE = [
+    "flagship_revenue_by_segment_month",
+    "agg_pricing_summary",
+    "agg_count_distinct_customers",
+    "agg_rollup_region_nation_revenue",
+    "join_left_customer_order_counts",
+    "join_asof_purchase_last_click",
+    "window_topk_orders_per_customer",
+    "window_session_30min_gap",
+    "window_tumbling_10min",
+    "dedup_exact_documents",
+    "neardup_minhash_lsh",
+    "knn_cosine_bruteforce",
+    "text_tfidf_top_terms",
+    "leadsight_enrich_pipeline",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("leadsight-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up on the smallest table so q1 isn't charged for it
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
