@@ -60,6 +60,8 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries that persist() intermediates must not tax later queries
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

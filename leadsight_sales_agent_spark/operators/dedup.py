@@ -150,10 +150,11 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     base = docs.select("doc_id", F.array_distinct(_tokens()).alias("toks"))
-    sig = base.withColumn("sig", minhash_signature(F.col("toks")))
+    sig = base.select("doc_id", minhash_signature(F.col("toks")).alias("sig"))
+    # bands carry ONLY (doc_id, band_id, band_hash) — at 100 TB the 8×
+    # band explode and its shuffle must not drag token arrays along.
     bands = sig.select(
         "doc_id",
-        "toks",
         F.explode(
             F.array(
                 *[
@@ -167,30 +168,36 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "toks", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.band_id", "band.band_hash")
 
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.toks").alias("toks_a"),
-            F.col("b.toks").alias("toks_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    # group into buckets (one shuffle, signature pipeline computed once —
+    # a band self-join would compute it twice) and emit in-bucket pairs.
+    # slice() caps degenerate buckets (e.g. thousands of empty docs):
+    # a skew guard, same spirit as AQE skew-join splitting. Probabilistic
+    # candidate gen loses nothing structurally — this entry is rows-only.
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.slice(F.array_sort(F.collect_list("doc_id")), 1, 100).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = (
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+
+    # fetch token arrays only for surviving candidates (few), via two
+    # column-pruned re-scans — cheaper than persisting the corpus.
+    ta = base.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = base.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     n_common = F.size(F.array_intersect("toks_a", "toks_b"))
     n_union = F.size(F.array_union("toks_a", "toks_b"))
     jac = n_common.cast("double") / n_union
     return (
-        cand.withColumn("jaccard", F.round(jac, 4))
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -240,16 +240,24 @@ def enrich_pipeline(spark: SparkSession, companies: DataFrame) -> DataFrame:
         .dropDuplicates(["company_name", "full_url"])
     )
 
-    # -- subpage crawl + corpus assembly (F9)
-    sub = top_links.withColumn("sub_text", fetch_page_udf(F.col("full_url"))).persist()
-    sub_txt = sub.select(
+    # -- subpage crawl + corpus assembly (F9). The subpage branch is
+    # referenced exactly once in the plan, so no persist: the fetch UDF
+    # runs once per action regardless. ``website`` rides along from
+    # top_links so no join-back is needed to reassemble the corpus key.
+    sub_txt = top_links.select(
         "company_name",
-        F.get(F.split(F.coalesce("sub_text", F.lit("")), r"\|\|LINKS\|\|"), 0).alias("text"),
+        "website",
+        F.get(
+            F.split(
+                F.coalesce(fetch_page_udf(F.col("full_url")), F.lit("")),
+                r"\|\|LINKS\|\|",
+            ),
+            0,
+        ).alias("text"),
     )
     corpus = (
         home_txt.select("company_name", "website", "text")
-        .unionByName(sub_txt.join(home_txt.select("company_name", "website"), "company_name")
-                     .select("company_name", "website", "text"))
+        .unionByName(sub_txt)
         .groupBy("company_name", "website")
         .agg(normalize_whitespace(F.concat_ws(" ", F.collect_list("text"))).alias("all_text"))
     )
@@ -266,10 +274,11 @@ def enrich_pipeline(spark: SparkSession, companies: DataFrame) -> DataFrame:
     )
 
     # -- LLM enrichment (U1) + 9-key flatten (F12)
+    # single downstream reference → no persist needed (one compute/action)
     with_llm = extracted.withColumn(
         "llm_raw",
         llm_enrich_udf(F.col("company_name"), F.col("website"), F.coalesce("about", F.lit(""))),
-    ).persist()
+    )
 
     # from_json in PERMISSIVE mode: corrupt JSON → null struct (F11)
     llm_schema = ", ".join(f"`{k}` STRING" for k in LLM_KEYS)
