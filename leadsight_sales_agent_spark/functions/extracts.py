@@ -60,5 +60,10 @@ def normalize_whitespace(text: Column) -> Column:
 
 
 def url_host(url: Column) -> Column:
-    """F7: hostname of a URL (reference urlparse().netloc)."""
-    return F.parse_url(url, F.lit("HOST"))
+    """F7: hostname of a URL (reference urlparse().netloc).
+
+    try_ variant: ANSI mode makes plain parse_url THROW on malformed
+    input; the reference's urlparse never raises — null is the faithful
+    (and pipeline-safe) behavior.
+    """
+    return F.try_parse_url(url, F.lit("HOST"))

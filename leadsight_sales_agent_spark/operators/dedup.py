@@ -129,13 +129,18 @@ ROWS_PER_BAND = N_MINHASH // N_BANDS
 
 
 def minhash_signature(tokens_col):
-    """array<bigint> MinHash signature of an array<string> column."""
-    return F.array(
-        *[
-            F.array_min(F.transform(tokens_col, lambda t, i=i: F.xxhash64(t, F.lit(i))))
-            for i in range(N_MINHASH)
-        ]
-    )
+    """array<bigint> MinHash signature of an array<string> column.
+
+    NB: the per-permutation seed must be bound via a closure — a
+    two-parameter lambda (``lambda t, i=i``) makes F.transform pass the
+    ELEMENT INDEX as the second argument, silently turning the seed into
+    the token's position and degenerating all permutations.
+    """
+
+    def perm_min(seed: int):
+        return F.array_min(F.transform(tokens_col, lambda t: F.xxhash64(t, F.lit(seed))))
+
+    return F.array(*[perm_min(i) for i in range(N_MINHASH)])
 
 
 @query("neardup_minhash_lsh")  # probabilistic candidate gen → rows-only check

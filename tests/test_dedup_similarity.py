@@ -1,0 +1,93 @@
+"""Property tests for dedup signatures and vector similarity
+(operators/dedup.py, operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from leadsight_sales_agent_spark.operators.dedup import (
+    N_MINHASH,
+    minhash_signature,
+    simhash_expr,
+)
+from leadsight_sales_agent_spark.operators.similarity import dot, l2_norm
+
+
+def toks_df(spark, *docs: str):
+    return spark.createDataFrame(
+        [(i, d.split()) for i, d in enumerate(docs)], "doc_id: int, toks: array<string>"
+    )
+
+
+class TestMinHash:
+    def sigs(self, spark, *docs):
+        df = toks_df(spark, *docs).select(
+            "doc_id", minhash_signature(F.col("toks")).alias("sig")
+        )
+        return {r["doc_id"]: r["sig"] for r in df.collect()}
+
+    def test_identical_docs_identical_signature(self, spark):
+        s = self.sigs(spark, "the quick brown fox", "the quick brown fox")
+        assert s[0] == s[1]
+        assert len(s[0]) == N_MINHASH
+
+    def test_token_order_irrelevant(self, spark):
+        s = self.sigs(spark, "alpha beta gamma delta", "delta gamma beta alpha")
+        assert s[0] == s[1]  # MinHash is a set signature
+
+    def test_similar_docs_share_most_hashes(self, spark):
+        base = " ".join(f"tok{i}" for i in range(50))
+        near = base + " extra"  # Jaccard 50/51 ≈ 0.98
+        far = " ".join(f"other{i}" for i in range(50))
+        s = self.sigs(spark, base, near, far)
+        agree_near = sum(a == b for a, b in zip(s[0], s[1])) / N_MINHASH
+        agree_far = sum(a == b for a, b in zip(s[0], s[2])) / N_MINHASH
+        assert agree_near > 0.8
+        assert agree_far < 0.3
+
+    def test_deterministic_across_runs(self, spark):
+        assert self.sigs(spark, "a b c") == self.sigs(spark, "a b c")
+
+
+class TestSimHash:
+    def sig(self, spark, doc):
+        df = toks_df(spark, doc).select(simhash_expr(F.col("toks")).alias("s"))
+        return df.first()["s"]
+
+    def test_identical_docs_hamming_zero(self, spark):
+        assert self.sig(spark, "x y z w") == self.sig(spark, "x y z w")
+
+    def test_near_docs_low_hamming_far_docs_high(self, spark):
+        base = " ".join(f"tok{i}" for i in range(60))
+        near = " ".join(f"tok{i}" for i in range(59)) + " changed"
+        far = " ".join(f"zzz{i}" for i in range(60))
+        h = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+        sb, sn, sf_ = self.sig(spark, base), self.sig(spark, near), self.sig(spark, far)
+        assert h(sb, sn) < h(sb, sf_)
+        assert h(sb, sn) <= 8
+
+
+class TestVectorMath:
+    def pair(self, spark, a, b):
+        df = spark.createDataFrame([(a, b)], "a: array<double>, b: array<double>")
+        return df.select(
+            dot(F.col("a"), F.col("b")).alias("d"),
+            l2_norm(F.col("a")).alias("na"),
+            l2_norm(F.col("b")).alias("nb"),
+        ).first()
+
+    def test_orthogonal(self, spark):
+        r = self.pair(spark, [1.0, 0.0], [0.0, 1.0])
+        assert r["d"] == 0.0 and r["na"] == 1.0 and r["nb"] == 1.0
+
+    def test_cosine_of_identical_is_one(self, spark):
+        r = self.pair(spark, [3.0, 4.0], [3.0, 4.0])
+        assert math.isclose(r["d"] / (r["na"] * r["nb"]), 1.0)
+        assert math.isclose(r["na"], 5.0)
+
+    def test_known_dot(self, spark):
+        r = self.pair(spark, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0])
+        assert r["d"] == 32.0

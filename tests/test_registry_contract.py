@@ -1,0 +1,70 @@
+"""Driver-contract invariants: registry shape, oracle pairing, smoke
+queries on sf0.001 (the full oracle diff runs via tools/check_oracle.py).
+"""
+
+from __future__ import annotations
+
+import re
+
+from leadsight_sales_agent_spark import registry
+
+registry.load_all()
+
+# rows-only is reserved for genuinely non-SQL-expressible operators
+ROWS_ONLY_ALLOWED = {
+    "agg_approx_count_distinct",  # HLL internals differ from DuckDB's
+    "knn_cosine_lsh",  # approximate by design
+    "neardup_minhash_lsh",  # probabilistic candidate generation
+    "neardup_simhash",  # signature heuristic
+    "leadsight_enrich_pipeline",  # Python mock transports
+    "multimodal_feature_extract",  # pandas-UDF feature extraction
+    "streaming_progress_events",  # streaming semantics
+    "streaming_windowed_counts",  # streaming semantics
+}
+
+
+class TestRegistry:
+    def test_load_all_idempotent(self):
+        before = dict(registry.QUERIES)
+        registry.load_all()
+        assert registry.QUERIES == before
+
+    def test_every_oracle_has_a_query(self):
+        assert set(registry.ORACLES) <= set(registry.QUERIES)
+
+    def test_rows_only_set_is_exactly_the_allowed_one(self):
+        rows_only = set(registry.QUERIES) - set(registry.ORACLES)
+        assert rows_only == ROWS_ONLY_ALLOWED
+
+    def test_names_are_snake_case(self):
+        for name in registry.QUERIES:
+            assert re.fullmatch(r"[a-z0-9_]+", name), name
+
+    def test_coverage_floor(self):
+        assert len(registry.QUERIES) >= 61
+
+
+class TestSmoke:
+    def test_flagship_runs_on_sf0001(self, spark, sf_dir):
+        df = registry.QUERIES["flagship_revenue_by_segment_month"](spark, sf_dir)
+        rows = df.collect()
+        assert len(rows) > 0
+        assert df.columns == ["mktsegment", "ship_month", "revenue", "n_items"]
+
+    def test_knn_returns_full_topk_per_query(self, spark, sf_dir):
+        rows = registry.QUERIES["knn_cosine_bruteforce"](spark, sf_dir).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        for q, ranks in by_q.items():
+            assert sorted(ranks) == [1, 2, 3, 4, 5], f"query {q}"
+        for r in rows:
+            assert -1.0 <= r["cosine"] <= 1.0
+
+    def test_exact_dedup_invariants(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        total = load(spark, sf_dir, "documents").count()
+        rows = registry.QUERIES["dedup_exact_documents"](spark, sf_dir).collect()
+        assert sum(r["n_dups"] for r in rows) == total
+        assert len({r["text_hash"] for r in rows}) == len(rows)
