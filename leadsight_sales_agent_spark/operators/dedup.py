@@ -274,3 +274,63 @@ def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+# -- Embedding-cosine near-dup ------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.35  # synthetic embeddings are near-orthogonal; 0.35
+# is the ~99.9th pairwise percentile, so the exact anchor returns real rows.
+COSINE_DUP_BOUND = 300  # pairwise-exact bounded like neardup_jaccard_pairs
+
+
+@query(
+    "neardup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings WHERE vec_id < {COSINE_DUP_BOUND}
+    ), n AS (
+        SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4)
+          >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs — the semantic-dedup anchor.
+
+    Norms are computed once per vector BEFORE the pair join (never per
+    pair). Bounded pairwise like the Jaccard anchor: the all-pairs
+    O(n²/2) join is the correctness oracle; at 100 TB candidate
+    generation goes through the random-hyperplane buckets of
+    similarity.knn_cosine_lsh instead, with this exact cosine as the
+    re-rank/verify stage. Both engines filter on round(cos, 4) so a
+    borderline pair can't flip on last-bit double noise.
+    """
+    from leadsight_sales_agent_spark.operators.similarity import dot, l2_norm
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < COSINE_DUP_BOUND)
+        .select("vec_id", "embedding")
+        .withColumn("nrm", l2_norm(F.col("embedding")))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cosine = F.round(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+    )
+    return (
+        F.broadcast(a)
+        .join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )

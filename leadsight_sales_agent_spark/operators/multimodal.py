@@ -137,3 +137,46 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.get(F.col("feature"), 0)), 6).alias("avg_f0"),
         F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
     )
+
+
+FRAME_SAMPLE_STRIDE = 10  # keep every 10th frame
+FPS = 24.0
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH media AS (
+        SELECT doc_id, CAST(doc_id % 120 + 1 AS INTEGER) AS n_frames
+        FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2
+    )
+    SELECT doc_id, n_frames,
+           CAST(unnest(generate_series(0, n_frames - 1, {FRAME_SAMPLE_STRIDE}))
+                AS INTEGER) AS frame_idx,
+           round(CAST(unnest(generate_series(0, n_frames - 1, {FRAME_SAMPLE_STRIDE}))
+                 AS DOUBLE) / {FPS}, 4) AS ts_sec
+    FROM media
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: every k-th frame index per asset, with its
+    timestamp — the 1→N expansion a video pipeline runs before decode.
+
+    The sampling plan (sequence + explode) is pure JVM and exact over
+    the typed metadata; the per-frame DECODE step would hang off this
+    via mapInPandas exactly like extract_features (decode stub:
+    decode_image_stub — no codecs in this container)."""
+    media = media_frame(spark, sf_dir).filter(F.col("media_type") == "video/mp4")
+    frames = media.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(FRAME_SAMPLE_STRIDE))
+        ).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id",
+        "n_frames",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.round(F.col("frame_idx").cast("double") / FPS, 4).alias("ts_sec"),
+    )

@@ -185,3 +185,74 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rank")
     )
+
+
+# -- IVF (inverted-file) ANN --------------------------------------------------
+
+N_CELLS = 16  # coarse quantizer size
+N_PROBE = 3  # cells searched per query
+
+
+@query("knn_cosine_ivf")  # cell pruning may miss true neighbors → rows-only
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via an IVF-style coarse quantizer: N_CELLS fixed centroids
+    (deterministic corpus samples — at scale, k-means centroids), every
+    corpus vector assigned to its max-cosine cell, each query probing
+    its N_PROBE best cells, exact cosine re-rank inside the probed set.
+
+    Scale shape: the corpus is written hash-partitioned (or bucketed) by
+    ``cell`` so one probe touches ~corpus/N_CELLS rows on a few
+    partitions; centroids are a driver-side constant (k vectors, bytes)
+    baked into the plan as literals — never a join. Assignment is one
+    narrow map over the corpus; only the probed cells shuffle.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+
+    # deterministic "training": the first N_CELLS corpus vectors ≥ id 100
+    # act as centroids (disjoint from the query ids < N_QUERIES).
+    cents = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CELLS))
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent_arrs = [F.array(*[F.lit(float(x)) for x in r["embedding"]]) for r in cents]
+
+    def cell_scores(vec: Column) -> Column:
+        """array<struct<cos,cell>> sorted best-first (struct compare is
+        field-order lexicographic, so negate cos for descending)."""
+        return F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        (-dot(vec, c) / (l2_norm(vec) * l2_norm(c))).alias("neg_cos"),
+                        F.lit(i).alias("cell"),
+                    )
+                    for i, c in enumerate(cent_arrs)
+                ]
+            )
+        )
+
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    ).withColumn("cell", F.get(cell_scores(F.col("ce")), 0)["cell"])
+
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .withColumn(
+            "cell", F.explode(F.slice(cell_scores(F.col("qe")).getField("cell"), 1, N_PROBE))
+        )
+    )
+
+    cos = dot(F.col("qe"), F.col("ce")) / (l2_norm(F.col("qe")) * l2_norm(F.col("ce")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(queries)
+        .join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rank")
+    )

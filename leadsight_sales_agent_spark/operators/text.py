@@ -329,3 +329,61 @@ def string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(":", "lang", "source").alias("lang_source"),
         )
     )
+
+
+# BPE-ish pre-tokenizer: letter runs / digit runs / punctuation runs —
+# the GPT-2-style regex pre-split (without the merges table), RE2-safe
+# so Spark (Java regex) and DuckDB (RE2) agree byte-for-byte.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe,
+               len(list_filter(regexp_extract_all(text, '{BPE_PATTERN}'),
+                               t -> regexp_matches(t, '^[A-Za-z]+$'))) AS n_word,
+               len(list_filter(regexp_extract_all(text, '{BPE_PATTERN}'),
+                               t -> regexp_matches(t, '^[0-9]+$'))) AS n_num,
+               len(string_split_regex(trim(text), '\\s+')) AS n_ws
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_bpe AS INTEGER) AS n_bpe,
+           CAST(n_word AS INTEGER) AS n_word,
+           CAST(n_num AS INTEGER) AS n_num,
+           CAST(n_bpe - n_word - n_num AS INTEGER) AS n_punct,
+           CAST(n_ws AS INTEGER) AS n_ws_tokens,
+           round(CAST(n_bpe AS DOUBLE) / n_ws, 4) AS bpe_per_word
+    FROM tok
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: a GPT-2-style regex pre-split into
+    letter/digit/punct runs next to the plain whitespace count — the
+    tokens-per-word ratio a pretraining pipeline uses for cost and
+    quality estimates. Pure regexp_extract_all → codegen, no UDF."""
+    docs = load(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+    is_word = lambda t: t.rlike("^[A-Za-z]+$")  # noqa: E731
+    is_num = lambda t: t.rlike("^[0-9]+$")  # noqa: E731
+    out = docs.select(
+        "doc_id",
+        "lang",
+        F.size(bpe).alias("n_bpe"),
+        F.size(F.filter(bpe, is_word)).alias("n_word"),
+        F.size(F.filter(bpe, is_num)).alias("n_num"),
+        F.size(_tokens()).alias("n_ws_tokens"),
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_bpe",
+        "n_word",
+        "n_num",
+        (F.col("n_bpe") - F.col("n_word") - F.col("n_num")).alias("n_punct"),
+        "n_ws_tokens",
+        F.round(F.col("n_bpe").cast("double") / F.col("n_ws_tokens"), 4).alias("bpe_per_word"),
+    )

@@ -14,7 +14,9 @@ registry.load_all()
 ROWS_ONLY_ALLOWED = {
     "agg_approx_count_distinct",  # HLL internals differ from DuckDB's
     "knn_cosine_lsh",  # approximate by design
+    "knn_cosine_ivf",  # approximate by design (cell pruning)
     "neardup_minhash_lsh",  # probabilistic candidate generation
+    "streaming_sessionize_stateful",  # custom stateful streaming op
     "neardup_simhash",  # signature heuristic
     "leadsight_enrich_pipeline",  # Python mock transports
     "multimodal_feature_extract",  # pandas-UDF feature extraction
