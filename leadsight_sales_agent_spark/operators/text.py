@@ -387,3 +387,50 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ws_tokens",
         F.round(F.col("n_bpe").cast("double") / F.col("n_ws_tokens"), 4).alias("bpe_per_word"),
     )
+
+
+@query(
+    "text_top_bigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM grams
+    GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram ASC
+    LIMIT 25
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram generation (the shingle stage MinHash builds on) + corpus
+    top-25: adjacent-token pairs via transform over an index sequence —
+    a 1→N UDTF-shaped expansion with no Python. One explode, one
+    hash-agg, TakeOrderedAndProject for the top-k."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("t")).filter(F.size("t") >= 2)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.concat_ws(" ", F.get(F.col("t"), i), F.get(F.col("t"), i + 1)),
+            )
+        ).alias("bigram"),
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(25)
+    )

@@ -288,3 +288,39 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_age_days"),
         )
     )
+
+
+@query(
+    "window_ntile_percent_rank",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           o_orderpriority AS priority,
+           ntile(4) OVER w AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(rank() OVER w AS BIGINT) AS rnk
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile buckets, percent_rank,
+    cume_dist — per-priority price distribution. Same shuffle shape as
+    any partitioned window: one exchange on the partition key."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+        )
+    )

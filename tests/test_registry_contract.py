@@ -43,7 +43,7 @@ class TestRegistry:
             assert re.fullmatch(r"[a-z0-9_]+", name), name
 
     def test_coverage_floor(self):
-        assert len(registry.QUERIES) >= 61
+        assert len(registry.QUERIES) >= 70
 
 
 class TestSmoke:
