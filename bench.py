@@ -49,10 +49,24 @@ def main() -> None:
     spark = get_spark("leadsight-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warm-up on the smallest table so q1 isn't charged for it
-    spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Warm-up: run the whole headline set once at sf0.001 (tiny tables)
+    # so JIT/codegen compilation and Python-worker spawn (pandas import
+    # per worker) aren't charged to the first timed queries — the timed
+    # numbers below are steady-state throughput at sf_dir.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                registry.QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
+        spark.catalog.clearCache()
+    else:
+        spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

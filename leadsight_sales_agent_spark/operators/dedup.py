@@ -137,8 +137,13 @@ def minhash_signature(tokens_col):
     the token's position and degenerating all permutations.
     """
 
+    # hash each (variable-length) token string ONCE, then derive the 32
+    # permutations by re-hashing the fixed 8-byte long — ~2× cheaper than
+    # 32 string hashes and identical in distribution
+    token_hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
+
     def perm_min(seed: int):
-        return F.array_min(F.transform(tokens_col, lambda t: F.xxhash64(t, F.lit(seed))))
+        return F.array_min(F.transform(token_hashes, lambda h: F.xxhash64(h, F.lit(seed))))
 
     return F.array(*[perm_min(i) for i in range(N_MINHASH)])
 
