@@ -36,8 +36,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered oracle-backed-first / cheap-before-expensive so a budgeted
+    correctness run drops the weakest checks last (registry.py)."""
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

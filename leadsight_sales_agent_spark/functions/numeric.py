@@ -45,7 +45,7 @@ def _micro(x: Column) -> Column:
 
 
 def _tie_safe_avg(m: Column, n: Column, scale: int) -> Column:
-    """round_half_up(mean) at ``scale`` via exact integer arithmetic.
+    """round-half-away-from-zero(mean) at ``scale`` via exact integers.
 
     Even with an exact decimal sum, ``round(sum/count, s)`` is not
     cross-engine-safe: when the true mean is a tie (e.g. 591.31/8 =
@@ -53,10 +53,15 @@ def _tie_safe_avg(m: Column, n: Column, scale: int) -> Column:
     73.9138) while DuckDB rounds the true binary value (→ 73.9137).
     So: m = sum in 10^-BASE units (exact integer), d = n·10^(BASE-scale),
     and round_half_up(m/d) = floor((2m + d) / (2d)) — pure integer math,
-    bit-identical everywhere. Assumes x ≥ 0 (all current callers).
+    bit-identical everywhere. Negative sums mirror through negation so
+    halves round away from zero, matching DuckDB's round() semantics
+    (a bare floor formula on a negative m would round toward +inf and
+    be off by one ulp of the target scale).
     """
     d = n.cast("decimal(38,0)") * F.lit(10 ** (BASE - scale))
-    q = F.floor(F.try_divide(m * 2 + d, d * 2))
+    pos = F.floor(F.try_divide(m * 2 + d, d * 2))
+    neg = -F.floor(F.try_divide(-(m * 2) + d, d * 2))
+    q = F.when(m < 0, neg).otherwise(pos)
     return q.cast("double") / F.lit(float(10**scale))
 
 
@@ -91,6 +96,7 @@ def sql_davg(expr: str, scale: int = 4) -> str:
     m = f"sum(CAST(CAST(({expr}) AS DECIMAL(25,{BASE})) * {10**BASE} AS HUGEINT))"
     d = f"(CAST(count({expr}) AS HUGEINT) * {10 ** (BASE - scale)})"
     return (
-        f"(CASE WHEN count({expr}) = 0 THEN NULL ELSE "
-        f"CAST(({m} * 2 + {d}) // ({d} * 2) AS DOUBLE) / {float(10**scale)} END)"
+        f"(CASE WHEN count({expr}) = 0 THEN NULL "
+        f"WHEN {m} < 0 THEN -CAST((-({m}) * 2 + {d}) // ({d} * 2) AS DOUBLE) / {float(10**scale)} "
+        f"ELSE CAST(({m} * 2 + {d}) // ({d} * 2) AS DOUBLE) / {float(10**scale)} END)"
     )

@@ -95,7 +95,7 @@ def agg_count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB cardinality path: HLL sketch, no distinct-expand shuffle.
 
-    Approximate by design (rsd=5%) → no oracle; the exact twin above is
+    Approximate by design (rsd=2%) → no oracle; the exact twin above is
     the correctness anchor.
     """
     return (

@@ -48,13 +48,18 @@ def _tokens(col: str = "text"):
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized text; deterministic survivor = min id.
 
-    At scale: group on the md5 (fixed 32 bytes) rather than the full
-    text to keep shuffle rows small — done here via the hash key.
+    At scale: group on fixed-width hash keys rather than the full text
+    to keep shuffle rows small. The key is the (md5, xxhash64) PAIR —
+    the oracle groups on trim(text) itself, and a single-hash key would
+    silently merge distinct documents on a collision; two independent
+    128+64-bit digests colliding together is practically impossible
+    while the shuffle row stays ~40 bytes.
     """
     return (
         load(spark, sf_dir, "documents")
         .withColumn("text_hash", F.md5(F.trim(F.col("text"))))
-        .groupBy("text_hash")
+        .withColumn("text_hash2", F.xxhash64(F.trim(F.col("text"))))
+        .groupBy("text_hash", "text_hash2")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
         .select("keep_doc_id", "n_dups", "text_hash")
     )

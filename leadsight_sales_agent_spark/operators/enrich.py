@@ -50,8 +50,31 @@ from leadsight_sales_agent_spark.functions.extracts import (
     normalize_whitespace,
     url_host,
 )
+from leadsight_sales_agent_spark.functions.urls import (
+    URLJOIN_CASES,
+    expected_resolutions,
+    urljoin_udf,
+)
 from leadsight_sales_agent_spark.registry import query
 from leadsight_sales_agent_spark.sources.catalog import load
+
+# Crawl frames persisted by enrich_pipeline, released on the next run.
+# The nondeterministic fetch UDF must be persisted (SURVEY §4.3.2), but
+# r1 never unpersisted it, leaking cached partitions into long-lived
+# sessions (one cached crawl per registry invocation). The pipeline
+# returns lazily, so the cache must outlive this call — instead each
+# run frees its predecessor's, bounding live caches at one.
+_CACHED_FRAMES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist crawl frames from prior enrich_pipeline runs."""
+    while _CACHED_FRAMES:
+        df = _CACHED_FRAMES.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
 
 # Reference output contract: exactly these 14 columns in this order
 # (SURVEY.md §2 says 15 — that is a miscount; the reference list below
@@ -168,10 +191,16 @@ llm_enrich_udf = llm_enrich_udf.asNondeterministic()
 
 def companies_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the companies input sheet from the customer dimension
-    (company_name, website — the reference's 2-column contract)."""
+    (company_name, website — the reference's 2-column contract).
+
+    ``_row_idx`` is the input-order key (T3): the reference's output
+    preserves input row order (app.py:290, 307-310). Any monotone key
+    works for the sink's ORDER BY, so the natural input key serves —
+    no global window, no extra shuffle."""
     return (
         load(spark, sf_dir, "customer")
         .select(
+            F.col("c_custkey").alias("_row_idx"),
             F.col("c_name").alias("company_name"),
             F.concat(
                 F.lit("https://"),
@@ -183,12 +212,23 @@ def companies_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def enrich_pipeline(spark: SparkSession, companies: DataFrame) -> DataFrame:
-    """Full 14-column enrichment dataflow over a companies frame."""
+    """Full 14-column enrichment dataflow over a companies frame.
+
+    Output rows come back in input row order (T3, reference
+    app.py:307-310): ordered by the ``_row_idx`` column when the input
+    carries one (companies_frame / Excel ingest attach it), else by a
+    best-effort ``monotonically_increasing_id`` snapshot of read order.
+    """
+    release_caches()  # free the previous run's crawl cache
+    if "_row_idx" not in companies.columns:
+        companies = companies.withColumn("_row_idx", F.monotonically_increasing_id())
     # -- homepage crawl (persist: nondeterministic UDF must not recompute)
     home = companies.withColumn("page", fetch_page_udf(F.col("website"))).persist()
+    _CACHED_FRAMES.append(home)
 
     body = F.split(F.col("page"), r"\|\|LINKS\|\|")
     home_txt = home.select(
+        "_row_idx",
         "company_name",
         "website",
         F.get(body, 0).alias("text"),
@@ -198,11 +238,13 @@ def enrich_pipeline(spark: SparkSession, companies: DataFrame) -> DataFrame:
     # -- link enumeration (S5): anchor|href pairs → explode
     links = (
         home_txt.select(
+            "_row_idx",
             "company_name",
             "website",
             F.explode(F.split(F.coalesce("links_raw", F.lit("")), ";;")).alias("link"),
         )
         .select(
+            "_row_idx",
             "company_name",
             "website",
             F.trim(F.get(F.split("link", r"\|"), 0)).alias("anchor"),
@@ -211,10 +253,10 @@ def enrich_pipeline(spark: SparkSession, companies: DataFrame) -> DataFrame:
         .filter(F.col("href").isNotNull() & (F.col("href") != ""))  # P4
     )
 
-    # urljoin (F6): resolve relative hrefs against the site root
-    full_url = F.when(
-        F.col("href").startswith("http"), F.col("href")
-    ).otherwise(F.concat(F.lit("https://"), url_host("website"), F.col("href")))
+    # urljoin (F6): full urllib.parse.urljoin semantics (reference
+    # app.py:160) — relative paths, ../ traversal, protocol-relative —
+    # via an Arrow-batched UDF on the (small) link-candidate frame.
+    full_url = urljoin_udf(F.col("website"), F.col("href"))
     # same-domain SUBSTRING containment (P5 — deliberately not host equality)
     domain = url_host(F.col("website"))
     scored = (
@@ -245,6 +287,7 @@ def enrich_pipeline(spark: SparkSession, companies: DataFrame) -> DataFrame:
     # runs once per action regardless. ``website`` rides along from
     # top_links so no join-back is needed to reassemble the corpus key.
     sub_txt = top_links.select(
+        "_row_idx",
         "company_name",
         "website",
         F.get(
@@ -256,9 +299,9 @@ def enrich_pipeline(spark: SparkSession, companies: DataFrame) -> DataFrame:
         ).alias("text"),
     )
     corpus = (
-        home_txt.select("company_name", "website", "text")
+        home_txt.select("_row_idx", "company_name", "website", "text")
         .unionByName(sub_txt)
-        .groupBy("company_name", "website")
+        .groupBy("_row_idx", "company_name", "website")
         .agg(normalize_whitespace(F.concat_ws(" ", F.collect_list("text"))).alias("all_text"))
     )
 
@@ -266,6 +309,7 @@ def enrich_pipeline(spark: SparkSession, companies: DataFrame) -> DataFrame:
     # before the LLM stage, and the LLM sees only the short About-Us
     # sentence (reference app.py:213-227)
     extracted = corpus.select(
+        "_row_idx",
         "company_name",
         "website",
         extract_founded(F.col("all_text")).alias("founded"),
@@ -291,14 +335,21 @@ def enrich_pipeline(spark: SparkSession, companies: DataFrame) -> DataFrame:
     ]
     assert llm_schema  # documented alternative: from_json(llm_raw, llm_schema)
 
-    return with_llm.select(
-        F.col("company_name").alias("Company Name"),
-        F.col("website").alias("Website"),
-        F.col("founded").alias("Founded Info"),
-        F.col("about").alias("About Us"),
-        *flat_cols,
-        F.col("email").alias("Email"),
-    ).select(*[F.col(f"`{c}`") for c in OUTPUT_COLUMNS])
+    # T3: sink preserves input row order — sort on the input-order key,
+    # then project it away (reference output.xlsx keeps sheet order).
+    return (
+        with_llm.select(
+            F.col("_row_idx"),
+            F.col("company_name").alias("Company Name"),
+            F.col("website").alias("Website"),
+            F.col("founded").alias("Founded Info"),
+            F.col("about").alias("About Us"),
+            *flat_cols,
+            F.col("email").alias("Email"),
+        )
+        .orderBy("_row_idx")
+        .select(*[F.col(f"`{c}`") for c in OUTPUT_COLUMNS])
+    )
 
 
 @query("leadsight_enrich_pipeline")  # Python mock transports → rows-only check
@@ -307,3 +358,31 @@ def leadsight_enrich_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the customer dimension, mock crawl + mock LLM, 14-column
     contract out. Golden-row unit tests in tests/test_enrich.py."""
     return enrich_pipeline(spark, companies_frame(spark, sf_dir))
+
+
+def _urljoin_oracle_values() -> str:
+    return ", ".join(
+        "({}, '{}')".format(i, r.replace("'", "''")) for i, r in expected_resolutions()
+    )
+
+
+@query(
+    "url_resolution_suite",
+    oracle=f"""
+    WITH expected(case_id, resolved) AS (VALUES {_urljoin_oracle_values()})
+    SELECT case_id, resolved FROM expected
+    """,
+)
+def url_resolution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 fidelity gate: the distributed urljoin UDF, executor-side over
+    the adversarial case table, must reproduce ``urllib.parse.urljoin``
+    (reference app.py:160) byte-for-byte. The oracle side is the ground
+    truth precomputed from the same stdlib resolver."""
+    # coalesce(1): 12 literal rows — don't fan a Python stage across 32
+    # empty partitions (32 Arrow worker spin-ups for nothing)
+    cases = spark.createDataFrame(
+        URLJOIN_CASES, "case_id INT, base STRING, href STRING"
+    ).coalesce(1)
+    return cases.select(
+        "case_id", urljoin_udf(F.col("base"), F.col("href")).alias("resolved")
+    )

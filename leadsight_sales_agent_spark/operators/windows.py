@@ -213,8 +213,8 @@ def window_sliding_1h_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events
     ), flagged AS (
         SELECT user_id, ts, value, event_id,
-               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-                         > INTERVAL 30 MINUTE
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+                         > 1800000000
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM e
@@ -235,7 +235,13 @@ def window_sliding_1h_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_session_30min_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) via the lag/cumsum island
     pattern — identical algebra in both engines so the oracle is exact.
-    (Streaming mode uses session_window(); see streaming/demo.py.)"""
+    (Streaming mode uses session_window(); see streaming/demo.py.)
+
+    The gap compares exact epoch MICROSECONDS on both sides. The prior
+    second-truncated ``cast("long")`` diff disagreed with the oracle's
+    exact-interval compare for gaps inside (1800 s, 1801 s): the
+    truncated difference can land on either side of 1800, flipping a
+    session boundary (r1's one driver hash mismatch)."""
     ev = load(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     w_cum = (
@@ -245,7 +251,9 @@ def window_session_30min_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev_ts = F.lag("ts").over(w_order)
     is_new = F.when(
-        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800), 1
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1800 * 1_000_000),
+        1,
     ).otherwise(0)
     return (
         ev.withColumn("is_new", is_new)

@@ -41,6 +41,38 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# Rows-only (no-oracle) queries, cheapest first — the expensive demo
+# pipelines (mock-transport enrich, streaming micro-batch runs) go last.
+# Rationale: the driver's r1 correctness run recorded exactly the first
+# 50 registry entries and stopped (budgeted run). Listing every
+# oracle-backed query before any rows-only demo means any budget cut
+# lands on the weakest signal (rows-only) instead of dropping
+# hash-checked queries, and cheap-before-expensive maximizes how many
+# fit a time budget.
+_ROWS_ONLY_COST_ORDER = [
+    "agg_approx_count_distinct",
+    "neardup_simhash",
+    "multimodal_feature_extract",
+    "knn_cosine_lsh",
+    "knn_cosine_ivf",
+    "neardup_minhash_lsh",
+    "streaming_progress_events",
+    "leadsight_enrich_pipeline",
+    "streaming_windowed_counts",
+    "streaming_sessionize_stateful",
+]
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    """Registry in driver-check order: oracle-backed first (registration
+    order), then rows-only queries cheapest-first."""
+    oracle_backed = [n for n in QUERIES if n in ORACLES]
+    rows_only = [n for n in QUERIES if n not in ORACLES]
+    rank = {n: i for i, n in enumerate(_ROWS_ONLY_COST_ORDER)}
+    rows_only.sort(key=lambda n: rank.get(n, len(rank)))
+    return {n: QUERIES[n] for n in [*oracle_backed, *rows_only]}
+
+
 def load_all() -> None:
     """Import every operator module so decorators run (idempotent)."""
     import leadsight_sales_agent_spark.operators.relational  # noqa: F401

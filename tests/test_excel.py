@@ -1,0 +1,113 @@
+"""Excel ingest/egress round trip (sources/excel.py) — the reference's
+I/O contract: companies.xlsx in (app.py:282), output.xlsx out
+(app.py:307-310), 2-column input contract (server.py:309-313)."""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+
+from leadsight_sales_agent_spark.operators.enrich import OUTPUT_COLUMNS, enrich_pipeline
+from leadsight_sales_agent_spark.sources.excel import (
+    read_excel,
+    read_excel_rows,
+    validate_companies_contract,
+    write_excel,
+    write_excel_rows,
+)
+
+
+class TestRowRoundTrip:
+    def test_values_survive(self, tmp_path):
+        path = str(tmp_path / "t.xlsx")
+        header = ["name", "n", "ratio", "flag", "empty"]
+        rows = [
+            ["Acme & Söhne <GmbH>", 42, 2.5, True, None],
+            ["新世界", -1, 0.125, False, None],
+        ]
+        write_excel_rows(path, header, rows)
+        h2, r2 = read_excel_rows(path)
+        assert h2 == header
+        assert r2 == rows
+
+    def test_reads_shared_strings_workbooks(self, tmp_path):
+        # pandas/openpyxl write string cells via xl/sharedStrings.xml
+        # (t="s"); build one by hand to pin that read path.
+        path = str(tmp_path / "shared.xlsx")
+        ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+        with zipfile.ZipFile(path, "w") as zf:
+            zf.writestr(
+                "[Content_Types].xml",
+                '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+                '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+                '<Default Extension="xml" ContentType="application/xml"/></Types>',
+            )
+            zf.writestr(
+                "xl/sharedStrings.xml",
+                f'<?xml version="1.0"?><sst {ns}><si><t>company_name</t></si>'
+                f"<si><t>website</t></si><si><t>Acme</t></si>"
+                f"<si><r><t>https://</t></r><r><t>acme.com</t></r></si></sst>",
+            )
+            zf.writestr(
+                "xl/worksheets/sheet1.xml",
+                f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+                '<row><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+                '<row><c r="A2" t="s"><v>2</v></c><c r="B2" t="s"><v>3</v></c></row>'
+                "</sheetData></worksheet>",
+            )
+        header, rows = read_excel_rows(path)
+        assert header == ["company_name", "website"]
+        assert rows == [["Acme", "https://acme.com"]]  # rich-text runs joined
+
+    def test_sparse_cells_become_nulls(self, tmp_path):
+        path = str(tmp_path / "sparse.xlsx")
+        ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+        with zipfile.ZipFile(path, "w") as zf:
+            zf.writestr(
+                "xl/worksheets/sheet1.xml",
+                f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+                '<row><c r="A1" t="inlineStr"><is><t>a</t></is></c>'
+                '<c r="C1" t="inlineStr"><is><t>c</t></is></c></row>'
+                '<row><c r="C2"><v>7</v></c></row>'
+                "</sheetData></worksheet>",
+            )
+        header, rows = read_excel_rows(path)
+        assert header == ["a", "col1", "c"]  # gap column auto-named
+        assert rows == [[None, None, 7]]
+
+
+class TestContract:
+    def test_contract_validation(self, spark, tmp_path):
+        good = str(tmp_path / "good.xlsx")
+        write_excel_rows(good, ["company_name", "website"], [["A", "https://a.com"]])
+        df = read_excel(spark, good)
+        validate_companies_contract(df)  # no raise
+        bad = str(tmp_path / "bad.xlsx")
+        write_excel_rows(bad, ["company", "url"], [["A", "https://a.com"]])
+        with pytest.raises(ValueError, match="company_name"):
+            validate_companies_contract(read_excel(spark, bad))
+
+
+class TestEndToEndContract:
+    def test_2in_14out_round_trip(self, spark, tmp_path):
+        """The reference's whole lifecycle: companies.xlsx → enrich →
+        output.xlsx, input order preserved (S1→pipeline→K1/T3)."""
+        inp = str(tmp_path / "companies.xlsx")
+        names = [f"Zeta {i} Corp" for i in range(12)]
+        write_excel_rows(
+            inp,
+            ["company_name", "website"],
+            [[n, f"https://zeta-{i}.example.com"] for i, n in enumerate(names)],
+        )
+        companies = read_excel(spark, inp)
+        validate_companies_contract(companies)
+        out_df = enrich_pipeline(spark, companies)
+
+        outp = str(tmp_path / "output.xlsx")
+        n = write_excel(out_df, outp, columns=OUTPUT_COLUMNS)
+        assert n == 12
+        header, rows = read_excel_rows(outp)
+        assert header == OUTPUT_COLUMNS  # exact 14-column contract (K1/P1)
+        assert [r[0] for r in rows] == names  # sheet order preserved (T3)
+        assert all(r[1] for r in rows)  # Website column populated

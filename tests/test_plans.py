@@ -61,6 +61,16 @@ class TestJoinStrategy:
             plan = plan_of(spark, sf_dir, name)
             assert "CartesianProduct" not in plan, f"{name} degenerated to cartesian"
 
+    def test_tfidf_vocabulary_join_not_hinted_broadcast(self, spark, sf_dir):
+        # The df (document-frequency) side is one row per distinct term —
+        # an unbounded vocabulary at 100 TB. A broadcast HINT forces the
+        # OOM plan at any scale; Catalyst choosing broadcast from size
+        # STATS at tiny sf is fine (it flips to SMJ when stats grow), so
+        # gate on the logical-plan hint, not the physical join pick.
+        df = registry.QUERIES["text_tfidf_top_terms"](spark, sf_dir)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+        assert "strategy=broadcast" not in logical, "vocabulary join carries a broadcast hint"
+
 
 class TestAggregation:
     def test_partial_final_hash_agg(self, spark, sf_dir):

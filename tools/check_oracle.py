@@ -29,11 +29,16 @@ def norm_cell(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
+        # Full repr, no rounding: the local gate must be at least as
+        # strict as the driver's value-hash (a laxer norm here is how
+        # r1's session-window mismatch passed locally but failed the
+        # driver). Integral collapse stays: engines legitimately differ
+        # on BIGINT-vs-DOUBLE for count-derived columns.
         if math.isnan(v):
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, datetime):
