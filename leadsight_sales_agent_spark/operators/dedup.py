@@ -124,6 +124,81 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "neardup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE doc_id < 100
+    ), shingled AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(generate_series(1, len(t) - 1),
+                                                   i -> t[i] || ' ' || t[i + 1]))) AS shingle
+        FROM toks WHERE len(t) >= 2
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shingled a JOIN shingled b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= 0.08
+    """,
+)
+def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (2-shingle) Jaccard near-dup pairs ≥ 0.08 — the
+    order-sensitive sibling of the token-set anchor above: shingles see
+    word ORDER, so shuffled texts that tie on token Jaccard separate
+    here (the synthetic near-dups are token-shuffled, so 0.08 is the
+    ~99.9th pairwise percentile and the anchor returns real rows). Same
+    bounded-pairwise anchor pattern (doc_id < 100); MinHash
+    over shingles is the unchanged scale path. Shingle generation is the
+    pure-expression transform from text_top_bigrams — no Python."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = docs.select("doc_id", _tokens().alias("t")).filter(F.size("t") >= 2)
+    shingled = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.get(F.col("t"), i), F.get(F.col("t"), i + 1)
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.08)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 # -- MinHash -----------------------------------------------------------------
 # Deterministic MinHash built on xxhash64 with per-permutation seeds:
 # sig_i(doc) = min_token xxhash64(token, seed=i). All JVM expressions.

@@ -217,6 +217,12 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     cent_arrs = [F.array(*[F.lit(float(x)) for x in r["embedding"]]) for r in cents]
+    # centroid norms are plan-time Python constants — inlining them
+    # keeps the per-row expression to one dot product per cell instead
+    # of re-deriving a constant aggregate over a 64-literal array
+    cent_norms = [
+        sum(float(x) * float(x) for x in r["embedding"]) ** 0.5 for r in cents
+    ]
 
     def cell_scores(vec: Column) -> Column:
         """array<struct<cos,cell>> sorted best-first (struct compare is
@@ -225,10 +231,10 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        (-dot(vec, c) / (l2_norm(vec) * l2_norm(c))).alias("neg_cos"),
+                        (-dot(vec, c) / (l2_norm(vec) * F.lit(nrm))).alias("neg_cos"),
                         F.lit(i).alias("cell"),
                     )
-                    for i, c in enumerate(cent_arrs)
+                    for i, (c, nrm) in enumerate(zip(cent_arrs, cent_norms))
                 ]
             )
         )

@@ -78,3 +78,13 @@ def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
     else:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def supported_upload_predicate(filename_col):
+    """P7 (server.py:298): the ``.endswith((".xlsx", ".xls", ".csv"))``
+    upload gate as a column predicate over a file-listing frame."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    col = filename_col if isinstance(filename_col, Column) else F.col(filename_col)
+    return col.rlike(r"\.(xlsx|xls|csv)$")

@@ -13,7 +13,29 @@ from leadsight_sales_agent_spark.operators.enrich import (
     _mock_page,
     companies_frame,
     enrich_pipeline,
+    first_consent_button,
 )
+
+
+class TestCookieConsent:
+    """U4 (reference app.py:127-136): keyword-priority first-match."""
+
+    def test_keyword_priority_beats_dom_order(self):
+        # 'accept' outranks 'agree' even when the agree-button comes first
+        assert first_consent_button(["I Agree", "Accept all"]) == "Accept all"
+        # 'agree' outranks 'allow all' the same way
+        assert first_consent_button(["Allow All", "I agree"]) == "I agree"
+
+    def test_dom_order_breaks_ties_within_a_keyword(self):
+        # reference clicks button.first among same-keyword matches
+        assert first_consent_button(["ACCEPT", "Accept all"]) == "ACCEPT"
+
+    def test_case_insensitive_substring_match(self):
+        assert first_consent_button(["Do you AGREE?"]) == "Do you AGREE?"
+
+    def test_no_match_returns_none(self):
+        assert first_consent_button(["Cookie Settings", "Learn more"]) is None
+        assert first_consent_button([]) is None
 
 
 def toy_companies(spark, n=25):

@@ -14,21 +14,24 @@ import re
 import pytest
 
 from leadsight_sales_agent_spark import registry
+from leadsight_sales_agent_spark.plans import (
+    formatted_plan,
+    optimized_logical_plan,
+    pushed_filters,
+    simple_plan,
+)
 
 registry.load_all()
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    df = registry.QUERIES[name](spark, sf_dir)
-    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        df._jdf.queryExecution(), "formatted"
-    )
+    return formatted_plan(registry.QUERIES[name](spark, sf_dir))
 
 
 class TestScanHygiene:
     def test_flagship_pushes_filters_and_prunes_columns(self, spark, sf_dir):
         plan = plan_of(spark, sf_dir, "flagship_revenue_by_segment_month")
-        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        pushed = pushed_filters(plan)
         assert any("l_shipdate" in p for p in pushed), "shipdate range not pushed to scan"
         # lineitem has 16 columns; the query needs 4
         m = re.search(r"ReadSchema: struct<([^>]*l_extendedprice[^>]*)>", plan)
@@ -68,7 +71,7 @@ class TestJoinStrategy:
         # STATS at tiny sf is fine (it flips to SMJ when stats grow), so
         # gate on the logical-plan hint, not the physical join pick.
         df = registry.QUERIES["text_tfidf_top_terms"](spark, sf_dir)
-        logical = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+        logical = optimized_logical_plan(df)
         assert "strategy=broadcast" not in logical, "vocabulary join carries a broadcast hint"
 
 
@@ -94,10 +97,7 @@ class TestWindowHygiene:
         ],
     )
     def test_windows_are_partitioned(self, spark, sf_dir, name):
-        df = registry.QUERIES[name](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-            df._jdf.queryExecution(), "simple"
-        )
+        plan = simple_plan(registry.QUERIES[name](spark, sf_dir))
         # An unpartitioned window shows 'Window [...], [x ASC...]' with no
         # partition spec and Spark logs a perf WARN; cheap proxy: every
         # Window node must carry a partition expression list

@@ -1,0 +1,59 @@
+"""S2 CSV ingest and P7 upload-extension predicate (sources/catalog.py;
+reference server.py:298, 308)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from leadsight_sales_agent_spark.sources.catalog import (
+    read_csv,
+    supported_upload_predicate,
+)
+from leadsight_sales_agent_spark.sources.excel import validate_companies_contract
+
+
+class TestCsvIngest:
+    def test_read_csv_with_header_and_contract(self, spark, tmp_path):
+        p = tmp_path / "companies.csv"
+        p.write_text(
+            "company_name,website\n"
+            "Acme Inc,https://acme.example.com\n"
+            '"Quote, Co",https://quote.example.com\n'
+        )
+        df = read_csv(spark, str(p))
+        validate_companies_contract(df)
+        rows = df.orderBy("company_name").collect()
+        assert [r["company_name"] for r in rows] == ["Acme Inc", "Quote, Co"]
+        assert all(r["website"].startswith("https://") for r in rows)
+
+    def test_read_csv_with_explicit_schema(self, spark, tmp_path):
+        p = tmp_path / "typed.csv"
+        p.write_text("k,v\n1,2.5\n2,3.5\n")
+        df = read_csv(spark, str(p), schema="k INT, v DOUBLE")
+        assert dict(df.dtypes) == {"k": "int", "v": "double"}
+        assert df.count() == 2
+
+
+class TestUploadExtensionPredicate:
+    def test_p7_extension_gate(self, spark):
+        files = spark.createDataFrame(
+            [
+                ("companies.xlsx", True),
+                ("legacy.xls", True),
+                ("export.csv", True),
+                ("notes.txt", False),
+                ("archive.csv.gz", False),
+                ("xlsx", False),  # extension only counts after a dot
+                ("data.CSV", False),  # reference endswith is case-sensitive
+            ],
+            "name STRING, expect BOOLEAN",
+        )
+        got = files.withColumn("ok", supported_upload_predicate("name")).collect()
+        for r in got:
+            assert r["ok"] == r["expect"], r["name"]
+
+    def test_gate_composes_with_listing_filter(self, spark):
+        names = [(f"f{i}.{ext}",) for i, ext in enumerate(["xlsx", "txt", "csv", "pdf"])]
+        files = spark.createDataFrame(names, "name STRING")
+        kept = files.filter(supported_upload_predicate(F.col("name"))).collect()
+        assert sorted(r["name"] for r in kept) == ["f0.xlsx", "f2.csv"]
