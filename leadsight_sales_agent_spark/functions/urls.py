@@ -63,3 +63,40 @@ URLJOIN_CASES: list[tuple[int, str, str]] = [
 def expected_resolutions() -> list[tuple[int, str]]:
     """Ground truth computed by the same stdlib the reference uses."""
     return [(i, urljoin(b, h)) for i, b, h in URLJOIN_CASES]
+
+
+def resolve_links(links, base_col: str = "website", href_col: str = "href"):
+    """Split-path urljoin over a links DataFrame → adds ``full_url_raw``.
+
+    Spark extracts Python UDFs into an ArrowEvalPython node that runs
+    for EVERY input row regardless of ``when()`` short-circuits, so a
+    conditional column can't keep easy rows out of the Python stage.
+    Splitting the frame can: the two resolution cases that dominate real
+    link corpora — absolute ``http(s)://`` hrefs (urljoin passes them
+    through) and root-relative ``/path`` against a scheme-ful base
+    (scheme://netloc + path) — stay pure JVM expressions, and only the
+    remaining rows (relative paths, ``../``, ``//host``, query/fragment
+    refs, scheme-less bases) pay the Arrow round trip. Fidelity is
+    pinned by tests comparing the composite against urllib row-by-row.
+
+    Crossover note (measured at sf0.1, 3-run A/B): in the enrich
+    pipeline the branch + union adds ~3 s of stage overhead and LOSES
+    to the single UDF stage at ~90k links. This path pays off only when
+    per-row Python time exceeds that fixed overhead — link-heavy
+    corpora (≳10⁷ links per job); the enrich pipeline uses the direct
+    UDF and documents the trade.
+    """
+    from pyspark.sql import functions as F
+
+    href = F.col(href_col)
+    base_prefix = F.regexp_extract(base_col, r"^(https?://[^/]+)", 1)
+    is_abs = href.rlike("^https?://")
+    # '//host/x' is protocol-relative, NOT root-relative → hard path
+    is_root = href.startswith("/") & ~href.startswith("//") & (base_prefix != "")
+    easy = links.filter(is_abs | is_root).withColumn(
+        "full_url_raw", F.when(is_abs, href).otherwise(F.concat(base_prefix, href))
+    )
+    hard = links.filter(~(is_abs | is_root)).withColumn(
+        "full_url_raw", urljoin_udf(F.col(base_col), href)
+    )
+    return easy.unionByName(hard)

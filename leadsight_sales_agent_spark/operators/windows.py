@@ -268,6 +268,54 @@ def window_session_30min_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_session_builtin",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events
+    ), flagged AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+                         >= 1800000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+    ), sessioned AS (
+        SELECT user_id, ts, value, event_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
+    FROM sessioned
+    GROUP BY user_id, sid
+    """,
+)
+def window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via the BUILT-IN ``session_window()`` — the
+    operator Spark ships for gap-based sessions (and the one the
+    streaming engine merges state with), next to the manual island twin
+    above. Semantics note the oracle mirrors: the built-in merges an
+    event while ``next_ts < last_ts + gap``, so a gap of EXACTLY 30:00
+    starts a new session (>=), whereas the island pattern's ``> gap``
+    keeps it — the two queries are deliberately distinct on that
+    boundary and each oracle encodes its own rule."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
     "date_functions_orders",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,

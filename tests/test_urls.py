@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.functions.urls import (
     URLJOIN_CASES,
+    resolve_links,
     urljoin_udf,
 )
 from leadsight_sales_agent_spark.operators import enrich
@@ -29,6 +30,24 @@ class TestUrljoinFidelity:
             ).collect()
         }
         for case_id, base, href in URLJOIN_CASES:
+            assert got[case_id] == urljoin(base, href), (case_id, base, href)
+
+    def test_split_path_resolver_matches_stdlib(self, spark):
+        """resolve_links routes easy rows JVM-side and hard rows through
+        the UDF; every row must still equal urllib.parse.urljoin."""
+        rows = [(i, b, h) for i, b, h in URLJOIN_CASES]
+        rows += [
+            (101, "http://acme.com:8080/a/", "/root"),   # port kept (JVM path)
+            (102, "acme.com", "/x"),                     # scheme-less base → hard path
+            (103, "https://acme.com", "http://plain.org/y"),  # absolute http
+            (104, "https://acme.com/q?x=1", "/z"),       # root-relative drops query
+        ]
+        df = spark.createDataFrame(rows, "case_id INT, website STRING, href STRING")
+        got = {
+            r["case_id"]: r["full_url_raw"]
+            for r in resolve_links(df).collect()
+        }
+        for case_id, base, href in rows:
             assert got[case_id] == urljoin(base, href), (case_id, base, href)
 
     def test_null_and_empty_inputs_absorbed(self, spark):
