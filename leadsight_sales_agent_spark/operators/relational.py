@@ -487,3 +487,83 @@ def join_salted_skew_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey,
+               'P' AS o_orderstatus,
+               CAST(round(CAST(o_totalprice AS DECIMAL(25,6)) * CAST(1.1 AS DECIMAL(3,1)), 2)
+                    AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+    ), inserts AS (
+        SELECT o_orderkey + 10000000 AS o_orderkey,
+               'N' AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 997 = 0
+    ), delta AS (
+        SELECT * FROM updates UNION ALL SELECT * FROM inserts
+    )
+    SELECT coalesce(d.o_orderkey, b.o_orderkey) AS orderkey,
+           coalesce(d.o_orderstatus, b.o_orderstatus) AS orderstatus,
+           coalesce(d.o_totalprice, b.o_totalprice) AS totalprice
+    FROM orders b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE / upsert (the engine form of K2's incremental
+    materialization, app.py:303-310, generalized): a delta of updates
+    (matched rows replace base values) and inserts (unmatched rows
+    append) merged into a snapshot via one FULL OUTER JOIN + coalesce —
+    the classic upsert plan on plain parquet, and exactly what a MERGE
+    INTO statement lowers to without a transactional table format.
+
+    The delta here is synthesized deterministically from the base table
+    (every 7th order re-priced, every 997th cloned as a new key) so the
+    oracle is exact. Scale shape: one shuffle on the merge key for each
+    side; AQE handles delta≪base by broadcasting the delta.
+    """
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        base.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("P").alias("o_orderstatus"),
+            # decimal multiply + decimal round: a double round(x*1.1, 2)
+            # flips last digits between engines (shortest-repr vs binary)
+            F.round(
+                F.col("o_totalprice").cast("decimal(25,6)")
+                * F.lit("1.1").cast("decimal(3,1)"),
+                2,
+            )
+            .cast("double")
+            .alias("o_totalprice"),
+        )
+    )
+    inserts = (
+        base.filter(F.col("o_orderkey") % 997 == 0)
+        .select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.col("o_totalprice"),
+        )
+    )
+    delta = updates.unionAll(inserts)
+    b = base.alias("b")
+    d = delta.alias("d")
+    return (
+        b.join(d, F.col("b.o_orderkey") == F.col("d.o_orderkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("d.o_orderkey"), F.col("b.o_orderkey")).alias("orderkey"),
+            F.coalesce(F.col("d.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+                "orderstatus"
+            ),
+            F.coalesce(F.col("d.o_totalprice"), F.col("b.o_totalprice")).alias(
+                "totalprice"
+            ),
+        )
+    )

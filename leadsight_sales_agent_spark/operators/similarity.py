@@ -139,12 +139,25 @@ def _hyperplanes(dim: int = 64, n: int = N_HYPERPLANES, seed: int = 42) -> list[
 
 
 def rp_signature(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Random-projection bit signature as int: bit_i = (vec · plane_i) > 0."""
-    sig = F.lit(0)
-    for i, plane in enumerate(planes):
-        d = dot(vec_col, F.array(*[F.lit(v) for v in plane]))
-        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return sig
+    """Random-projection bit signature as int: bit_i = (vec · plane_i) > 0.
+
+    The plane set rides in as ONE nested-array literal (plus a
+    powers-of-two lookup) rather than n×dim literal nodes — same
+    plan-compile win as the IVF centroid matrix."""
+    matrix = F.lit([[float(v) for v in plane] for plane in planes])
+    powers = F.lit([1 << i for i in range(len(planes))])
+    idx = F.sequence(F.lit(0), F.lit(len(planes) - 1))
+    return F.aggregate(
+        F.zip_with(
+            matrix,
+            idx,
+            lambda p, i: F.when(dot(vec_col, p) > 0, F.get(powers, i)).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).cast("int")
 
 
 @query("knn_cosine_lsh")  # approximate (bucket pruning may miss) → rows-only
@@ -216,26 +229,27 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
-    cent_arrs = [F.array(*[F.lit(float(x)) for x in r["embedding"]]) for r in cents]
-    # centroid norms are plan-time Python constants — inlining them
-    # keeps the per-row expression to one dot product per cell instead
-    # of re-deriving a constant aggregate over a 64-literal array
-    cent_norms = [
-        sum(float(x) * float(x) for x in r["embedding"]) ** 0.5 for r in cents
-    ]
+    # ONE nested array<array<double>> literal + a norms literal instead
+    # of N_CELLS×dim separate literal nodes: the per-cell expansion cost
+    # ~2000 plan nodes and compiled for seconds per run (measured 4.9 s
+    # → 2.3 s for the whole query). Norms are plan-time constants.
+    matrix = F.lit([[float(x) for x in r["embedding"]] for r in cents])
+    norms = F.lit(
+        [sum(float(x) * float(x) for x in r["embedding"]) ** 0.5 for r in cents]
+    )
+    cell_idx = F.sequence(F.lit(0), F.lit(N_CELLS - 1))
 
     def cell_scores(vec: Column) -> Column:
         """array<struct<cos,cell>> sorted best-first (struct compare is
         field-order lexicographic, so negate cos for descending)."""
         return F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        (-dot(vec, c) / (l2_norm(vec) * F.lit(nrm))).alias("neg_cos"),
-                        F.lit(i).alias("cell"),
-                    )
-                    for i, (c, nrm) in enumerate(zip(cent_arrs, cent_norms))
-                ]
+            F.zip_with(
+                matrix,
+                cell_idx,
+                lambda c, i: F.struct(
+                    (-dot(vec, c) / (l2_norm(vec) * F.get(norms, i))).alias("neg_cos"),
+                    i.cast("int").alias("cell"),
+                ),
             )
         )
 

@@ -60,14 +60,33 @@ class TestSimHash:
     def test_identical_docs_hamming_zero(self, spark):
         assert self.sig(spark, "x y z w") == self.sig(spark, "x y z w")
 
+    def test_signature_is_64_bit_string(self, spark):
+        s = self.sig(spark, "a b c")
+        assert len(s) == 64
+        assert set(s) <= {"0", "1"}
+
     def test_near_docs_low_hamming_far_docs_high(self, spark):
         base = " ".join(f"tok{i}" for i in range(60))
         near = " ".join(f"tok{i}" for i in range(59)) + " changed"
         far = " ".join(f"zzz{i}" for i in range(60))
-        h = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+        h = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
         sb, sn, sf_ = self.sig(spark, base), self.sig(spark, near), self.sig(spark, far)
         assert h(sb, sn) < h(sb, sf_)
         assert h(sb, sn) <= 8
+
+    def test_spark_side_hamming_matches_python(self, spark):
+        from leadsight_sales_agent_spark.operators.dedup import simhash_hamming
+
+        df = toks_df(spark, "a b c d", "a b c changed").select(
+            simhash_expr(F.col("toks")).alias("s")
+        )
+        a, b = [r["s"] for r in df.collect()]
+        got = (
+            spark.createDataFrame([(a, b)], "a STRING, b STRING")
+            .select(simhash_hamming(F.col("a"), F.col("b")).alias("h"))
+            .first()["h"]
+        )
+        assert got == sum(x != y for x, y in zip(a, b))
 
 
 class TestVectorMath:

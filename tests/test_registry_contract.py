@@ -43,7 +43,15 @@ class TestRegistry:
             assert re.fullmatch(r"[a-z0-9_]+", name), name
 
     def test_coverage_floor(self):
-        assert len(registry.QUERIES) >= 70
+        assert len(registry.QUERIES) >= 74
+
+    def test_ordered_queries_oracle_first_and_complete(self):
+        ordered = list(registry.ordered_queries())
+        assert set(ordered) == set(registry.QUERIES)  # nothing dropped
+        kinds = ["oracle" if n in registry.ORACLES else "rows" for n in ordered]
+        # every oracle-backed query precedes every rows-only one, so a
+        # budget-truncated driver run drops the weakest checks last
+        assert kinds == sorted(kinds, key=lambda k: k != "oracle")
 
 
 class TestSmoke:
