@@ -180,3 +180,58 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.round(F.col("frame_idx").cast("double") / FPS, 4).alias("ts_sec"),
     )
+
+
+RESIZE_TARGET = 224  # fit into 224×224, aspect-preserving, never upscale
+
+
+@query(
+    "multimodal_resize_plan",
+    oracle=f"""
+    WITH media AS (
+        SELECT doc_id,
+               CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+               CAST(doc_id % 480 + 16 AS INTEGER) AS height
+        FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0
+    ), planned AS (
+        SELECT doc_id, width, height,
+               least(least(CAST({RESIZE_TARGET} AS DOUBLE) / width,
+                           CAST({RESIZE_TARGET} AS DOUBLE) / height), 1.0) AS scale
+        FROM media
+    )
+    SELECT doc_id, width, height,
+           CAST(greatest(floor(width * scale), 1) AS INTEGER) AS target_w,
+           CAST(greatest(floor(height * scale), 1) AS INTEGER) AS target_h,
+           scale < 1.0 AS needs_resize
+    FROM planned
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize planning: aspect-preserving fit into a 224×224 box,
+    no upscaling — the geometry arithmetic a vision-pretraining pipeline
+    runs over typed metadata BEFORE touching pixels, so the expensive
+    decode+resample (the decode_image_stub seam, via mapInPandas like
+    extract_features) only runs on assets where ``needs_resize``.
+    Pure JVM arithmetic; floor/least keep both engines bit-identical
+    (no round-tie exposure)."""
+    media = media_frame(spark, sf_dir).filter(F.col("media_type") == "image/png")
+    scale = F.least(
+        F.least(
+            F.lit(float(RESIZE_TARGET)) / F.col("width"),
+            F.lit(float(RESIZE_TARGET)) / F.col("height"),
+        ),
+        F.lit(1.0),
+    )
+    planned = media.select("doc_id", "width", "height", scale.alias("scale"))
+    return planned.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(F.floor(F.col("width") * F.col("scale")), F.lit(1))
+        .cast("int")
+        .alias("target_w"),
+        F.greatest(F.floor(F.col("height") * F.col("scale")), F.lit(1))
+        .cast("int")
+        .alias("target_h"),
+        (F.col("scale") < 1.0).alias("needs_resize"),
+    )

@@ -66,15 +66,26 @@ def l2_norm(a: Column) -> Column:
     """,
 )
 def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k cosine neighbors for the first N_QUERIES vectors."""
+    """Exact top-k cosine neighbors for the first N_QUERIES vectors.
+
+    Norms are computed ONCE PER SIDE before the cross join — inside the
+    pair expression they would be re-derived per (query, neighbor) pair
+    (k× per corpus row, N× per query). Same trick as the cosine
+    near-dup anchor; the oracle may recompute per pair since the double
+    math is bitwise identical either way."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qn"),
     )
     corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "label"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        "label",
+        l2_norm(F.col("embedding")).alias("cn"),
     )
-    cos = dot(F.col("qe"), F.col("ce")) / (l2_norm(F.col("qe")) * l2_norm(F.col("ce")))
+    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         F.broadcast(queries)
@@ -173,20 +184,25 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     planes = _hyperplanes()
     emb = load(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
-    ).withColumn("bucket", rp_signature(F.col("ce"), planes))
+    corpus = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+        .withColumn("bucket", rp_signature(F.col("ce"), planes))
+        .withColumn("cn", l2_norm(F.col("ce")))  # norm once per vector, not per pair
+    )
 
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    ).withColumn("qsig", rp_signature(F.col("qe"), planes))
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .withColumn("qsig", rp_signature(F.col("qe"), planes))
+        .withColumn("qn", l2_norm(F.col("qe")))
+    )
     # multiprobe: query signature + every 1-bit flip
     probes = F.array(F.col("qsig"), *[
         F.col("qsig").bitwiseXOR(F.lit(1 << i)) for i in range(N_HYPERPLANES)
     ])
     q_probed = queries.withColumn("bucket", F.explode(probes))
 
-    cos = dot(F.col("qe"), F.col("ce")) / (l2_norm(F.col("qe")) * l2_norm(F.col("ce")))
+    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         F.broadcast(q_probed)
@@ -253,9 +269,11 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
-    ).withColumn("cell", F.get(cell_scores(F.col("ce")), 0)["cell"])
+    corpus = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+        .withColumn("cell", F.get(cell_scores(F.col("ce")), 0)["cell"])
+        .withColumn("cn", l2_norm(F.col("ce")))  # norm once per vector, not per pair
+    )
 
     queries = (
         emb.filter(F.col("vec_id") < N_QUERIES)
@@ -263,9 +281,10 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cell", F.explode(F.slice(cell_scores(F.col("qe")).getField("cell"), 1, N_PROBE))
         )
+        .withColumn("qn", l2_norm(F.col("qe")))
     )
 
-    cos = dot(F.col("qe"), F.col("ce")) / (l2_norm(F.col("qe")) * l2_norm(F.col("ce")))
+    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         F.broadcast(queries)
