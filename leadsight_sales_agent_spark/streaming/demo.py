@@ -36,6 +36,34 @@ def _scratch_dir() -> str:
     return tempfile.mkdtemp(dir=base)
 
 
+def _staged_source_dir(kind: str, sf_dir: str, n_rows: int) -> tuple[str, bool]:
+    """Deterministic staging dir for a streaming demo's file source.
+
+    The staged copy of the events table is pure function of (kind,
+    sf_dir), so it is REUSED across runs — a marker file records the
+    row count staged; on match the multi-second re-stage is skipped.
+    Checkpoint dirs are NOT reused (each run gets a fresh scratch) so
+    the stream always reprocesses from offset zero. Returns
+    (dir, already_staged)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), "leadsight_stream_src", f"{kind}_{key}")
+    marker = os.path.join(d, "_STAGED")
+    if os.path.isfile(marker):
+        try:
+            if int(open(marker).read().strip()) == n_rows:
+                return d, True
+        except ValueError:
+            pass
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d, False
+
+
+def _mark_staged(d: str, n_rows: int) -> None:
+    with open(os.path.join(d, "_STAGED"), "w") as f:
+        f.write(str(n_rows))
+
+
 def windowed_event_counts(stream: DataFrame) -> DataFrame:
     """Watermarked tumbling-window aggregation — the canonical stateful
     streaming operator. 10-minute watermark bounds state size; at scale
@@ -66,9 +94,13 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage the source as a directory of parquet files (the file stream
     # source tails a directory; repartition(4) gives it several files so
     # maxFilesPerTrigger produces real multi-batch incremental progress).
-    src_dir = os.path.join(scratch, "source")
+    # The staged copy is deterministic per sf_dir → reused across runs.
     events = load(spark, sf_dir, "events")
-    events.repartition(4).write.mode("overwrite").parquet(src_dir)
+    n_events = events.count()
+    src_dir, staged = _staged_source_dir("windowed", sf_dir, n_events)
+    if not staged:
+        events.repartition(4).write.mode("overwrite").parquet(src_dir)
+        _mark_staged(src_dir, n_events)
 
     stream = (
         spark.readStream.schema(events.schema)
@@ -161,7 +193,6 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
 
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     scratch = _scratch_dir()
-    src_dir = os.path.join(scratch, "source")
     events = load(spark, sf_dir, "events").select("user_id", "ts")
     # Stage 2 ts-range files SEQUENTIALLY: FileStreamSource processes
     # files in modification-time order, so sequential appends (not one
@@ -170,18 +201,22 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
     # seen late-first leaves stale provisional keys behind (observed:
     # 9700 vs the true 9549 sessions at sf0.01). Two files (a median
     # split) are the minimum that still proves cross-batch state
-    # carry-over; more would only add micro-batch overhead to the
-    # bounded demo.
-    with_sec = events.withColumn("ts_sec", F.col("ts").cast("long"))
-    qs = with_sec.approxQuantile("ts_sec", [0.5], 0.0)
-    bounds = [None, *qs, None]
-    for lo, hi in zip(bounds[:-1], bounds[1:]):
-        part = with_sec
-        if lo is not None:
-            part = part.filter(F.col("ts_sec") > F.lit(lo))
-        if hi is not None:
-            part = part.filter(F.col("ts_sec") <= F.lit(hi))
-        part.select("user_id", "ts").coalesce(1).write.mode("append").parquet(src_dir)
+    # carry-over. The staged copy is deterministic per sf_dir → reused
+    # across runs (mtime order survives reuse).
+    n_events = events.count()
+    src_dir, staged = _staged_source_dir("sessionize", sf_dir, n_events)
+    if not staged:
+        with_sec = events.withColumn("ts_sec", F.col("ts").cast("long"))
+        qs = with_sec.approxQuantile("ts_sec", [0.5], 0.0)
+        bounds = [None, *qs, None]
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            part = with_sec
+            if lo is not None:
+                part = part.filter(F.col("ts_sec") > F.lit(lo))
+            if hi is not None:
+                part = part.filter(F.col("ts_sec") <= F.lit(hi))
+            part.select("user_id", "ts").coalesce(1).write.mode("append").parquet(src_dir)
+        _mark_staged(src_dir, n_events)
 
     def sessionize(key, pdfs, state: GroupState):
         import pandas as pd  # noqa: PLC0415 — runs on executors
