@@ -437,3 +437,56 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
         .limit(25)
     )
+
+
+@query(
+    "array_functions_suite",
+    oracle="""
+    WITH w AS (
+        SELECT p_partkey, string_split(p_type, ' ') AS words
+        FROM part WHERE p_partkey < 500
+    )
+    SELECT p_partkey AS partkey,
+           CAST(len(words) AS INTEGER) AS n_words,
+           words[1] AS first_word,
+           words[len(words)] AS last_word,
+           list_sort(words) AS sorted_words,
+           list_contains(words, 'BRUSHED') AS has_brushed,
+           list_transform(words, t -> CAST(length(t) AS INTEGER)) AS word_lens,
+           CAST(list_sum(list_transform(words, t -> length(t))) AS INTEGER)
+               AS total_chars,
+           CAST(len(list_filter(words, t -> length(t) > 6)) AS INTEGER)
+               AS n_long_words,
+           CAST(len(flatten([words, list_reverse(words)])) AS INTEGER)
+               AS n_doubled
+    FROM w
+    """,
+)
+def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order / array function parity pack: split, size,
+    element_at-style head/tail, array_sort, array_contains, transform,
+    aggregate (fold), filter, flatten+reverse — the collection surface
+    a user of any modern engine expects, all Catalyst built-ins in
+    whole-stage codegen (no UDF), each with its DuckDB list-function
+    twin. Arrays derive from ``split`` of a scalar column, so contents
+    are deterministic (never ``collect_list`` order)."""
+    w = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 500)
+        .select("p_partkey", F.split("p_type", " ").alias("words"))
+    )
+    word_lens = F.transform(F.col("words"), lambda t: F.length(t).cast("int"))
+    return w.select(
+        F.col("p_partkey").alias("partkey"),
+        F.size("words").alias("n_words"),
+        F.get(F.col("words"), 0).alias("first_word"),
+        F.get(F.col("words"), F.size("words") - 1).alias("last_word"),
+        F.array_sort("words").alias("sorted_words"),
+        F.array_contains("words", "BRUSHED").alias("has_brushed"),
+        word_lens.alias("word_lens"),
+        F.aggregate(word_lens, F.lit(0), lambda acc, x: acc + x)
+        .cast("int")
+        .alias("total_chars"),
+        F.size(F.filter(F.col("words"), lambda t: F.length(t) > 6)).alias("n_long_words"),
+        F.size(F.flatten(F.array(F.col("words"), F.reverse("words")))).alias("n_doubled"),
+    )
