@@ -1,0 +1,144 @@
+"""Property layer (SURVEY.md §5.2): hypothesis-driven differential
+tests. Random inputs, three-way agreement:
+
+- the reference-fidelity extractors (functions/extracts.py) must match
+  a literal Python re implementation of app.py:65-87 on arbitrary
+  ASCII text (ASCII because Java and Python regexes intentionally
+  differ on unicode case folding and non-ASCII digits — the engine
+  mirrors the JVM semantics the plan runs on);
+- the tie-safe mean (functions/numeric.py) must match exact
+  Fraction arithmetic AND its DuckDB SQL twin, including negatives.
+
+Each hypothesis example batches many rows into ONE Spark job so the
+property layer stays fast.
+"""
+
+from __future__ import annotations
+
+import re
+from fractions import Fraction
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from leadsight_sales_agent_spark.functions.extracts import (
+    extract_email,
+    extract_founded,
+    extract_sentence_near_keyword,
+)
+from leadsight_sales_agent_spark.functions.numeric import davg, sql_davg
+
+# -- Python re implementations of the reference's exact semantics ------------
+# (app.py:65-87: first-match-wins priority patterns, group(0), None on miss)
+
+_FOUNDED_PATS = [
+    re.compile(r"Founded (in )?(\d{4})", re.IGNORECASE | re.ASCII),
+    re.compile(r"Established (in )?(\d{4})", re.IGNORECASE | re.ASCII),
+    re.compile(r"Since (\d{4})", re.IGNORECASE | re.ASCII),
+]
+_EMAIL_PAT = re.compile(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]+", re.ASCII)
+
+
+def py_founded(text: str) -> str | None:
+    for p in _FOUNDED_PATS:
+        m = p.search(text)
+        if m:
+            return m.group(0)
+    return None
+
+
+def py_email(text: str) -> str | None:
+    m = _EMAIL_PAT.search(text)
+    return m.group(0) if m else None
+
+
+def py_about(text: str) -> str | None:
+    m = re.search(r"[^.]*about us[^.]*", text, re.IGNORECASE | re.ASCII)
+    if not m:
+        return None
+    return m.group(0).strip() or None
+
+
+_ASCII = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+)
+_SIGNAL = st.sampled_from(
+    [
+        "Founded in 1999",
+        "founded 1888 and ESTABLISHED 2003",
+        "Since 2011.",
+        "About us: we build rockets. ",
+        "mail First.Last+tag@sub.domain.org now",
+        "x@y.z",
+        "Established in 20",  # too-short year: no match
+        "since999",  # no word boundary requirements in reference
+        "",
+    ]
+)
+_DOC = st.one_of(
+    _ASCII,
+    st.tuples(_SIGNAL, _ASCII).map(lambda t: t[0] + " " + t[1]),
+    st.tuples(_ASCII, _SIGNAL, _ASCII).map(lambda t: " ".join(t)),
+)
+
+
+class TestExtractorsDifferential:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(st.lists(_DOC, min_size=1, max_size=40))
+    def test_extractors_match_python_reference(self, spark, texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i INT, text STRING"
+        )
+        rows = df.select(
+            "i",
+            extract_founded(F.col("text")).alias("founded"),
+            extract_email(F.col("text")).alias("email"),
+            extract_sentence_near_keyword(F.col("text"), "about us").alias("about"),
+        ).collect()
+        got = {r["i"]: (r["founded"], r["email"], r["about"]) for r in rows}
+        for i, t in enumerate(texts):
+            assert got[i] == (py_founded(t), py_email(t), py_about(t)), repr(t)
+
+
+def _half_away_from_zero(mean: Fraction, scale: int) -> float:
+    q = mean * 10**scale
+    sign = -1 if q < 0 else 1
+    return float(sign * ((abs(q) + Fraction(1, 2)).__floor__())) / 10**scale
+
+
+class TestTieSafeMeanDifferential:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.lists(
+            st.decimals(
+                min_value=-10_000, max_value=10_000, places=2, allow_nan=False
+            ).map(float),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_davg_matches_fraction_and_duckdb(self, spark, vals):
+        # exact expectation: values are 2-place decimals, so their
+        # shortest double repr is the decimal itself
+        mean = Fraction(sum(Fraction(str(v)) for v in vals), len(vals))
+        expected = _half_away_from_zero(mean, 4)
+
+        sdf = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
+        got_spark = sdf.agg(davg(F.col("x"), 4).alias("m")).first()["m"]
+        assert got_spark == expected, (vals, got_spark, expected)
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(x DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+        got_duck = con.execute(f"SELECT {sql_davg('x', 4)} FROM t").fetchone()[0]
+        assert got_duck == expected, (vals, got_duck, expected)
