@@ -15,16 +15,15 @@ registry.load_all()
 
 
 def batch_sessions(spark, sf_dir):
-    """Ground truth: gap>30min island count per user via lag()."""
+    """Ground truth: gap>30min island count per user via lag().
+
+    Exact MICROSECOND gap compare, matching the stateful operator —
+    a second-truncated compare can flip boundary gaps in (1800s, 1801s)
+    and make this ground truth silently data-dependent."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    flagged = ev.withColumn(
-        "new_session",
-        (
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-            > 30 * 60
-        ).cast("int"),
-    )
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = ev.withColumn("new_session", (gap_us > 30 * 60 * 1_000_000).cast("int"))
     return flagged.agg(
         (F.coalesce(F.sum("new_session"), F.lit(0)) + F.count_distinct("user_id")).alias("n")
     ).first()["n"]
@@ -40,6 +39,40 @@ class TestStatefulSessionize:
         for r in rows:
             assert r["session_start"] <= r["session_end"]
             assert r["n_events"] >= 1
+
+
+class TestJobManagerIntegration:
+    def test_streaming_query_under_job_gate(self, spark, sf_dir):
+        """ST1-ST5 together: the windowed-counts streaming demo running
+        as the supervised job — single-flight gate, state transitions,
+        progress events drained by offset."""
+        from leadsight_sales_agent_spark.streaming.jobs import (
+            DONE,
+            RUNNING,
+            ConcurrentJobError,
+            JobManager,
+        )
+        import pytest as _pytest
+
+        jm = JobManager()
+
+        def job(m: JobManager):
+            m.push_event("step", "stream-start")
+            df = registry.QUERIES["streaming_windowed_counts"](spark, sf_dir)
+            n = df.count()
+            m.push_event("step", {"rows": n})
+            return n
+
+        jm.start(job)
+        if jm.state == RUNNING:  # gate rejects a concurrent submission
+            with _pytest.raises(ConcurrentJobError):
+                jm.start(lambda m: None)
+        jm.join(120)
+        assert jm.state == DONE
+        assert jm.result > 0
+        events, off = jm.events_since(0)
+        assert [e["type"] for e in events] == ["start", "step", "step", "done"]
+        assert jm.events_since(off)[0] == []  # drained
 
 
 class TestWindowedCounts:
