@@ -377,3 +377,45 @@ def agg_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_quantity").cast("double").alias("min_qty"),
         F.max("l_quantity").cast("double").alias("max_qty"),
     )
+
+
+N_AGG_SALT = 16
+
+
+@query(
+    "agg_salted_two_phase",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation for skewed group keys, made
+    explicit: phase 1 aggregates on (key, salt) — a hot key's rows
+    spread over N_AGG_SALT reducers — phase 2 merges the partials per
+    key. Result is identical to the plain groupBy (the oracle IS the
+    plain aggregate); counts merge by sum and the decimal partial sums
+    re-sum exactly, so the two-phase shape costs no precision.
+
+    When to reach for it at 100 TB: Spark's own partial (map-side)
+    aggregation already handles most skew for algebraic aggregates —
+    this pattern matters when the per-key state is too big for the
+    map-side hash (e.g. collect_list / count_distinct per hot key) or
+    a single final-phase task still drowns. Salt is xxhash64 of a
+    row-unique column, deterministic — no rand() in the plan.
+    """
+    ev = load(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_AGG_SALT))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("psum"), 2).cast("double").alias("total_value"),
+    )

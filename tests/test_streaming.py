@@ -103,3 +103,82 @@ class TestWindowedCounts:
             )
         )
         assert got == want
+
+
+class TestWatermarkLateData:
+    def test_late_rows_beyond_watermark_are_dropped(self, spark, tmp_path):
+        """Event-time correctness under late data (§2.9 engine
+        requirement): with a 10-minute watermark and hourly tumbling
+        windows in APPEND mode, a row arriving after its window is
+        finalized must be dropped, while on-time rows keep flowing."""
+        import os
+        from datetime import datetime, timedelta
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        base = datetime(2025, 1, 1, 10, 0, 0)
+
+        def write_file(name, rows, mtime):
+            pdf = pd.DataFrame(
+                {
+                    "ts": pd.Series([r[0] for r in rows], dtype="datetime64[us]"),
+                    "value": [float(r[1]) for r in rows],
+                }
+            )
+            path = os.path.join(src, name)
+            pq.write_table(pa.Table.from_pandas(pdf), path)
+            os.utime(path, (mtime, mtime))
+
+        # batch 1: on-time events across 10:00-12:00 → watermark becomes
+        # 11:49 after the batch commits
+        b1 = [(base + timedelta(minutes=m), 1.0) for m in (5, 20, 70, 110, 119)]
+        # batch 2: on-time row at 12:30 → the 10:00 window (end 11:00 <
+        # wm 11:49) is EMITTED and its state evicted during this batch;
+        # wm advances to 12:20
+        b2 = [(base + timedelta(minutes=150), 1.0)]
+        # batch 3: a LATE row at 10:06 — its window was finalized two
+        # batches ago, so it must be dropped (a non-drop would surface
+        # as a duplicate 10:00 window row carrying 100.0); plus one
+        # on-time row at 12:40
+        b3 = [(base + timedelta(minutes=6), 100.0), (base + timedelta(minutes=160), 1.0)]
+        now = 1_700_000_000
+        write_file("f1.parquet", b1, now)
+        write_file("f2.parquet", b2, now + 60)
+        write_file("f3.parquet", b3, now + 120)
+
+        stream = (
+            spark.readStream.schema("ts TIMESTAMP, value DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        )
+        emitted = []
+
+        def sink(df, _id):
+            emitted.extend(df.collect())
+
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        starts = [r["w"]["start"] for r in emitted]
+        assert starts.count(base) == 1  # finalized window emitted exactly once
+        by_start = {r["w"]["start"]: (r["n"], r["total"]) for r in emitted}
+        # the 10:00 window carries batch-1 contents ONLY — the late
+        # 100.0-valued row at 10:06 was dropped, not re-emitted
+        assert by_start[base] == (2, 2.0)
+        assert by_start[base + timedelta(hours=1)] == (3, 3.0)
+        assert all(total < 100 for _, total in by_start.values())
