@@ -295,3 +295,94 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rank")
     )
+
+
+def _staged_cell_corpus(spark, sf_dir: str, corpus) -> str:
+    """Write the cell-assigned corpus ONCE as parquet partitioned by
+    ``cell`` (reused across runs via a row-count marker) — the on-disk
+    layout the IVF docstrings promise: one directory per cell, so a
+    probe touches only its cells' files."""
+    import os
+    import shutil
+    import tempfile
+
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), "leadsight_ivf", key)
+    marker = os.path.join(d, "_STAGED")
+    n = corpus.count()
+    if os.path.isfile(marker):
+        try:
+            if int(open(marker).read().strip()) == n:
+                return d
+        except ValueError:
+            pass
+    shutil.rmtree(d, ignore_errors=True)
+    corpus.write.partitionBy("cell").mode("overwrite").parquet(d)
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return d
+
+
+@query("knn_cosine_ivf_pruned")  # approximate + scratch-staged → rows-only
+def knn_cosine_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the REAL storage layout: the cell-assigned corpus is
+    written partitioned by ``cell`` and probed through a broadcast join
+    on the partition column, so Catalyst's dynamic partition pruning
+    reads only the probed cells' files (~N_PROBE/N_CELLS of the data;
+    the in-memory twin knn_cosine_ivf recomputes assignment per run).
+    Results are identical to knn_cosine_ivf — pinned by a test — and
+    the pruning itself is asserted in the plan-gate suite. At 100 TB
+    this is exactly the layout an IVF index service maintains: assign
+    once at ingest, prune at query time.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CELLS))
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    matrix = F.lit([[float(x) for x in r["embedding"]] for r in cents])
+    norms = F.lit(
+        [sum(float(x) * float(x) for x in r["embedding"]) ** 0.5 for r in cents]
+    )
+    cell_idx = F.sequence(F.lit(0), F.lit(N_CELLS - 1))
+
+    def cell_scores(vec: Column) -> Column:
+        return F.array_sort(
+            F.zip_with(
+                matrix,
+                cell_idx,
+                lambda c, i: F.struct(
+                    (-dot(vec, c) / (l2_norm(vec) * F.get(norms, i))).alias("neg_cos"),
+                    i.cast("int").alias("cell"),
+                ),
+            )
+        )
+
+    corpus = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+        .withColumn("cell", F.get(cell_scores(F.col("ce")), 0)["cell"])
+        .withColumn("cn", l2_norm(F.col("ce")))
+    )
+    staged = spark.read.parquet(_staged_cell_corpus(spark, sf_dir, corpus))
+
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .withColumn(
+            "cell", F.explode(F.slice(cell_scores(F.col("qe")).getField("cell"), 1, N_PROBE))
+        )
+        .withColumn("qn", l2_norm(F.col("qe")))
+    )
+    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(queries)
+        .join(staged, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rank")
+    )

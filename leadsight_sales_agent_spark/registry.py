@@ -55,6 +55,7 @@ _ROWS_ONLY_COST_ORDER = [
     "multimodal_feature_extract",
     "knn_cosine_lsh",
     "knn_cosine_ivf",
+    "knn_cosine_ivf_pruned",
     "neardup_minhash_lsh",
     "streaming_progress_events",
     "leadsight_enrich_pipeline",

@@ -110,3 +110,17 @@ class TestVectorMath:
     def test_known_dot(self, spark):
         r = self.pair(spark, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0])
         assert r["d"] == 32.0
+
+
+class TestIVFPruned:
+    def test_pruned_variant_matches_in_memory_ivf(self, spark, sf_dir):
+        from leadsight_sales_agent_spark import registry
+
+        registry.load_all()
+        a = sorted(
+            map(tuple, registry.QUERIES["knn_cosine_ivf"](spark, sf_dir).collect())
+        )
+        b = sorted(
+            map(tuple, registry.QUERIES["knn_cosine_ivf_pruned"](spark, sf_dir).collect())
+        )
+        assert a == b  # same cells, same probes, same re-rank

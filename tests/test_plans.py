@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark import registry
 from leadsight_sales_agent_spark.plans import (
@@ -109,3 +110,45 @@ class TestWindowHygiene:
         plan = plan_of(spark, sf_dir, "window_topk_orders_per_customer")
         # Spark ≥3.5 pushes rank<=k into WindowGroupLimit before the shuffle
         assert "WindowGroupLimit" in plan
+
+
+class TestStorageLayout:
+    def test_ivf_pruned_scan_uses_partition_pruning(self, spark, sf_dir):
+        # The staged corpus is partitioned by cell and probed via a
+        # broadcast join on the partition column → Catalyst injects a
+        # dynamic-partition-pruning subquery into the scan, so only the
+        # probed cells' files are read.
+        plan = plan_of(spark, sf_dir, "knn_cosine_ivf_pruned")
+        assert "PartitionFilters" in plan
+        assert "dynamicpruning" in plan, "probe join did not trigger partition pruning"
+
+    def test_bucketed_join_runs_without_exchange(self, spark, sf_dir):
+        # Co-located join via bucketing: both sides bucketed by the join
+        # key → sort-merge join with NO shuffle exchange on either side.
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice") \
+            .write.bucketBy(8, "o_custkey").sortBy("o_custkey") \
+            .mode("overwrite").saveAsTable("b_orders")
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment") \
+            .write.bucketBy(8, "c_custkey").sortBy("c_custkey") \
+            .mode("overwrite").saveAsTable("b_customer")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = spark.table("b_orders").join(
+                spark.table("b_customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            plan = j._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                j._jdf.queryExecution(), "formatted"
+            )
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, "bucketed join still shuffles"
+            assert "SelectedBucketsCount" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_customer")

@@ -15,6 +15,7 @@ ROWS_ONLY_ALLOWED = {
     "agg_approx_count_distinct",  # HLL internals differ from DuckDB's
     "knn_cosine_lsh",  # approximate by design
     "knn_cosine_ivf",  # approximate by design (cell pruning)
+    "knn_cosine_ivf_pruned",  # approximate + scratch-staged layout
     "neardup_minhash_lsh",  # probabilistic candidate generation
     "streaming_sessionize_stateful",  # custom stateful streaming op
     "neardup_simhash",  # signature heuristic
