@@ -419,3 +419,142 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.round(F.sum("psum"), 2).cast("double").alias("total_value"),
     )
+
+
+# (col, kind) spec for the profiling operator; kinds pick the exact
+# min/max representation both engines can render identically.
+_PROFILE_SPEC = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, kind in _PROFILE_SPEC:
+        if kind == "ts":
+            mn = f"strftime(min({col}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(max({col}), '%Y-%m-%d %H:%M:%S')"
+        elif kind == "money":
+            mn = f"CAST(round(min({col}), 2) AS VARCHAR)"
+            mx = f"CAST(round(max({col}), 2) AS VARCHAR)"
+        else:
+            mn = f"CAST(min({col}) AS VARCHAR)"
+            mx = f"CAST(max({col}) AS VARCHAR)"
+        parts.append(
+            f"SELECT '{col}' AS col_name, count(*) AS n_rows, "
+            f"count(*) - count({col}) AS n_nulls, "
+            f"count(DISTINCT {col}) AS n_distinct, "
+            f"{mn} AS min_repr, {mx} AS max_repr FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("profile_table_columns", oracle=_profile_oracle())
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling (one row per column: null count,
+    distinct count, min/max) — the data-quality pass a pipeline runs
+    before trusting a new drop. ONE scan computes every column's stats
+    as a single wide aggregate row, then unpivots driver-side into the
+    per-column contract (6 rows — the unpivot is metadata-sized).
+
+    Scale notes: exact count_distinct per column is the oracle-checked
+    demo semantic; at 100 TB swap in approx_count_distinct (HLL) per
+    column — same one-pass shape. Min/max/null counts are free partial
+    aggregates."""
+    df = load(spark, sf_dir, "orders")
+    aggs = []
+    for col, kind in _PROFILE_SPEC:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{col}__rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
+            F.count_distinct(col).alias(f"{col}__distinct"),
+        ]
+        if kind == "ts":
+            aggs += [
+                F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss").alias(f"{col}__min"),
+                F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss").alias(f"{col}__max"),
+            ]
+        elif kind == "money":
+            aggs += [
+                F.round(F.min(col), 2).cast("string").alias(f"{col}__min"),
+                F.round(F.max(col), 2).cast("string").alias(f"{col}__max"),
+            ]
+        else:
+            aggs += [
+                F.min(col).cast("string").alias(f"{col}__min"),
+                F.max(col).cast("string").alias(f"{col}__max"),
+            ]
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(col).alias("col_name"),
+            F.col(f"{col}__rows").alias("n_rows"),
+            F.col(f"{col}__nulls").alias("n_nulls"),
+            F.col(f"{col}__distinct").alias("n_distinct"),
+            F.col(f"{col}__min").alias("min_repr"),
+            F.col(f"{col}__max").alias("max_repr"),
+        )
+        for col, _ in _PROFILE_SPEC
+    ]
+    return (
+        wide.select(F.explode(F.array(*per_col)).alias("p"))
+        .select("p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct", "p.min_repr", "p.max_repr")
+    )
+
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 600_000.0, 12
+
+
+@query(
+    "agg_histogram_totalprice",
+    oracle=f"""
+    SELECT CAST(least(floor((o_totalprice - {HIST_LO}) / (({HIST_HI} - {HIST_LO}) / {HIST_BINS})),
+                      {HIST_BINS} - 1) AS INTEGER) AS bin,
+           round({HIST_LO} + CAST(least(floor((o_totalprice - {HIST_LO}) / (({HIST_HI} - {HIST_LO}) / {HIST_BINS})),
+                      {HIST_BINS} - 1) AS INTEGER) * (({HIST_HI} - {HIST_LO}) / {HIST_BINS}), 2) AS bin_lo,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (12 bins over a fixed domain) — the value-
+    distribution profile behind skew diagnosis and partition sizing.
+    Single hash-agg on the bin index; the fixed domain keeps it one
+    pass (a data-driven min/max would add a scalar pre-pass, still two
+    map-side-combining scans at scale)."""
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    bin_idx = F.least(
+        F.floor((F.col("o_totalprice") - HIST_LO) / width), F.lit(HIST_BINS - 1)
+    ).cast("int")
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(bin_idx.alias("bin"), F.round(HIST_LO + bin_idx * width, 2).alias("bin_lo"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query("sketch_hll_mergeable")  # DataSketches binary → rows-only check
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch cardinality workflow (Apache DataSketches HLL):
+    build one HLL sketch of active users PER DAY, then union the daily
+    sketches into a weekly estimate — the pattern that makes distinct
+    counts composable at 100 TB (per-partition/per-day sketches persist
+    and re-aggregate without touching raw data, unlike count_distinct
+    which must re-expand). Emitted next to the exact distinct so the
+    test can pin the estimate's error envelope."""
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_daily"),
+    )
+    return daily.agg(
+        F.count("*").alias("n_days"),
+        F.sum("exact_daily").alias("sum_daily_exact"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est_total_users"),
+    )

@@ -124,3 +124,24 @@ class TestIVFPruned:
             map(tuple, registry.QUERIES["knn_cosine_ivf_pruned"](spark, sf_dir).collect())
         )
         assert a == b  # same cells, same probes, same re-rank
+
+
+class TestHLLSketch:
+    def test_merged_estimate_within_error_envelope(self, spark, sf_dir):
+        from leadsight_sales_agent_spark import registry
+        from leadsight_sales_agent_spark.sources.catalog import load
+        from pyspark.sql import functions as F
+
+        registry.load_all()
+        row = registry.QUERIES["sketch_hll_mergeable"](spark, sf_dir).first()
+        exact = (
+            load(spark, sf_dir, "events")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .first()["n"]
+        )
+        est = row["est_total_users"]
+        # default lgConfigK=12 HLL: well under 5% at these cardinalities
+        assert abs(est - exact) / exact < 0.05, (est, exact)
+        # merged estimate must deduplicate across days: no larger than
+        # the summed dailies, no smaller than any single day could allow
+        assert est <= row["sum_daily_exact"]

@@ -21,6 +21,7 @@ ROWS_ONLY_ALLOWED = {
     "neardup_simhash",  # signature heuristic
     "leadsight_enrich_pipeline",  # Python mock transports
     "multimodal_feature_extract",  # pandas-UDF feature extraction
+    "sketch_hll_mergeable",  # DataSketches binary, approximate
     "streaming_progress_events",  # streaming semantics
     "streaming_windowed_counts",  # streaming semantics
 }
