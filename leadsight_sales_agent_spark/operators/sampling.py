@@ -1,0 +1,210 @@
+"""Deterministic sampling / dataset-mixture operators over ``documents``.
+
+A 100 TB training-data pipeline samples constantly — to subset corpora,
+to hold out eval splits, to rebalance source mixtures — and it must do
+so REPRODUCIBLY: the same row must land in the same split on every run,
+on any cluster size, with no RNG state. The reference has no sampling
+(its whole input fits one spreadsheet), so this family generalizes its
+deterministic row-processing contract (app.py:290 processes every row
+exactly once, in order) to probabilistic-scale subsetting.
+
+Technique: hash-threshold sampling. ``md5(salt || key)`` is uniform on
+[0, 16^32); comparing the first 8 hex chars against a literal hex
+threshold keeps a row with probability threshold/2^32. Lowercase hex
+compares lexicographically == numerically (fixed width, '0'-'9' < 'a'-'f'
+in ASCII), so both engines filter on a plain string comparison — no
+float conversion, no RNG, bit-identical across Spark and DuckDB.
+
+Scale design:
+- Bernoulli/stratified/split sampling is a narrow map + filter: no
+  shuffle at all, embarrassingly parallel, pushdown-friendly.
+- Quota (mixture) sampling needs the smallest-hash rows per source —
+  a per-group top-k (one shuffle on ``source``), exactly the
+  TakeOrdered/WindowGroupLimit pattern of window_topk. Hash-ordering
+  makes the "random" reservoir deterministic.
+- The md5 salt prefix decorrelates the operators: a doc sampled into
+  the 20 % Bernoulli subset is independent of its train/test split
+  (different salts → independent uniforms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from leadsight_sales_agent_spark.registry import query
+from leadsight_sales_agent_spark.sources.catalog import load
+
+
+def hash_key(salt: str, col):
+    """First 8 hex chars of md5(salt || key) — a deterministic uniform
+    32-bit draw, identical in Spark and DuckDB (both emit lowercase
+    hex over UTF-8 bytes)."""
+    return F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8)
+
+
+# 32-bit hex thresholds: P(keep) = int(threshold, 16) / 2^32.
+THRESH_20PCT = "33333333"
+THRESH_80PCT = "cccccccc"
+THRESH_90PCT = "e6666666"
+
+_SQL_HASH = "substring(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8)"
+
+
+@query(
+    "sample_bernoulli_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_SQL_HASH.format(salt='bern:', key='doc_id')} < '{THRESH_20PCT}'
+    """,
+)
+def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~20 % deterministic Bernoulli sample of documents.
+
+    Pure map-side filter: at 100 TB this costs one scan, no shuffle,
+    and the sample is stable under re-partitioning and re-runs (the
+    hash depends only on the row key, never on partition or order).
+    """
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(
+        hash_key("bern:", F.col("doc_id")) < F.lit(THRESH_20PCT)
+    ).select("doc_id", "lang", "source")
+
+
+# Per-language keep rates for the stratified sample: downsample the
+# over-represented language (en ≈ 44 % of the corpus) hard, keep the
+# tail languages at higher rates — the classic corpus-rebalancing move.
+STRATA_THRESHOLDS = {
+    "en": THRESH_20PCT,  # 20 %
+    "de": THRESH_80PCT,  # 80 %
+    "fr": THRESH_80PCT,  # 80 %
+    "es": THRESH_80PCT,  # 80 %
+    # any other language (zh here): 90 %
+}
+_DEFAULT_STRATUM_THRESH = THRESH_90PCT
+
+
+@query(
+    "sample_stratified_lang",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_SQL_HASH.format(salt='strat:', key='doc_id')} <
+          CASE lang
+               WHEN 'en' THEN '{THRESH_20PCT}'
+               WHEN 'de' THEN '{THRESH_80PCT}'
+               WHEN 'fr' THEN '{THRESH_80PCT}'
+               WHEN 'es' THEN '{THRESH_80PCT}'
+               ELSE '{THRESH_90PCT}'
+          END
+    """,
+)
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: per-language keep rates via one hash compare.
+
+    Same zero-shuffle shape as the Bernoulli sample — the stratum only
+    changes the threshold literal, so rebalancing a 100 TB corpus is
+    still a single scan. (Spark's ``sampleBy`` is the built-in
+    equivalent but is seeded-RNG, not key-deterministic, so it cannot
+    be oracle-checked nor reproduced across engines.)
+    """
+    docs = load(spark, sf_dir, "documents")
+    thresh = F.when(F.lit(False), F.lit(""))
+    for lang, t in STRATA_THRESHOLDS.items():
+        thresh = thresh.when(F.col("lang") == lang, F.lit(t))
+    thresh = thresh.otherwise(F.lit(_DEFAULT_STRATUM_THRESH))
+    return docs.filter(hash_key("strat:", F.col("doc_id")) < thresh).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "sample_train_valid_test_split",
+    oracle=f"""
+    WITH h AS (
+        SELECT n_chars,
+               {_SQL_HASH.format(salt='split:', key='doc_id')} AS hk
+        FROM documents
+    )
+    SELECT CASE WHEN hk < '{THRESH_80PCT}' THEN 'train'
+                WHEN hk < '{THRESH_90PCT}' THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM h
+    GROUP BY 1
+    """,
+)
+def sample_train_valid_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/valid/test split assignment + per-split stats.
+
+    The split column is a pure function of the row key, so a row can
+    never migrate between splits across runs or cluster layouts — the
+    property that actually matters for eval-set hygiene. One scan +
+    one 3-group hash-agg (map-side partials, trivially skew-free).
+    """
+    docs = load(spark, sf_dir, "documents")
+    hk = hash_key("split:", F.col("doc_id"))
+    split = (
+        F.when(hk < F.lit(THRESH_80PCT), "train")
+        .when(hk < F.lit(THRESH_90PCT), "valid")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+# Per-source output quotas for the weighted mixture: sources src0/src1
+# are upweighted (20 docs each), every other source contributes 5.
+MIXTURE_UPWEIGHTED = ("src0", "src1")
+MIXTURE_QUOTA_HIGH = 20
+MIXTURE_QUOTA_LOW = 5
+
+
+@query(
+    "sample_mixture_weighted_sources",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_SQL_HASH.format(salt='mix:', key='doc_id')}, doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source
+    FROM ranked
+    WHERE rk <= CASE WHEN source IN ('src0', 'src1')
+                     THEN {MIXTURE_QUOTA_HIGH} ELSE {MIXTURE_QUOTA_LOW} END
+    """,
+)
+def sample_mixture_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixture: per-source quotas, smallest-hash wins.
+
+    Builds a training mixture by drawing a fixed quota from each source
+    (src0/src1 upweighted 4×). Taking the quota smallest hash values
+    per source is an exact deterministic reservoir sample — uniform
+    over each source's rows, reproducible everywhere. Physically a
+    per-group top-k: one shuffle on ``source``, and Spark's
+    WindowGroupLimit pushes the quota below the sort so only ~quota
+    rows per source survive the exchange (same gated plan shape as
+    window_topk_orders_per_customer). The doc_id tiebreak makes the
+    ordering total, so the result is hash-stable even if two hash
+    prefixes collide.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash_key("mix:", F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    quota = F.when(
+        F.col("source").isin(*MIXTURE_UPWEIGHTED), MIXTURE_QUOTA_HIGH
+    ).otherwise(MIXTURE_QUOTA_LOW)
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= quota)
+        .select("doc_id", "source")
+    )

@@ -1,0 +1,78 @@
+"""Sampling-operator invariants: determinism, stratum rates, split
+totality, quota enforcement. Cross-engine value parity is covered by
+the oracle gate (tools/check_oracle.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from leadsight_sales_agent_spark import registry
+from leadsight_sales_agent_spark.operators import sampling
+from leadsight_sales_agent_spark.sources.catalog import load
+
+registry.load_all()
+
+
+class TestHashSampling:
+    def test_bernoulli_deterministic_across_runs(self, spark, sf_dir):
+        q = registry.QUERIES["sample_bernoulli_hash"]
+        a = {r["doc_id"] for r in q(spark, sf_dir).collect()}
+        b = {r["doc_id"] for r in q(spark, sf_dir).collect()}
+        assert a == b
+        assert len(a) > 0
+
+    def test_bernoulli_rate_near_20pct(self, spark, sf_dir):
+        total = load(spark, sf_dir, "documents").count()
+        kept = registry.QUERIES["sample_bernoulli_hash"](spark, sf_dir).count()
+        assert 0.05 <= kept / total <= 0.40  # 20% ± sampling noise at sf0.001
+
+    def test_bernoulli_independent_of_partitioning(self, spark, sf_dir):
+        # the sample is a pure function of the key: repartitioning the
+        # input must not change membership (the property RNG-based
+        # sample() does NOT have).
+        docs = load(spark, sf_dir, "documents")
+        base = docs.filter(
+            sampling.hash_key("bern:", F.col("doc_id"))
+            < F.lit(sampling.THRESH_20PCT)
+        )
+        shuffled = docs.repartition(13).filter(
+            sampling.hash_key("bern:", F.col("doc_id"))
+            < F.lit(sampling.THRESH_20PCT)
+        )
+        assert {r["doc_id"] for r in base.collect()} == {
+            r["doc_id"] for r in shuffled.collect()
+        }
+
+    def test_split_is_total_and_disjoint(self, spark, sf_dir):
+        total = load(spark, sf_dir, "documents").count()
+        rows = registry.QUERIES["sample_train_valid_test_split"](
+            spark, sf_dir
+        ).collect()
+        assert sum(r["n_docs"] for r in rows) == total
+        assert {r["split"] for r in rows} <= {"train", "valid", "test"}
+
+    def test_mixture_quota_enforced(self, spark, sf_dir):
+        rows = registry.QUERIES["sample_mixture_weighted_sources"](
+            spark, sf_dir
+        ).collect()
+        per_source: dict[str, int] = {}
+        for r in rows:
+            per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+        for src, n in per_source.items():
+            cap = (
+                sampling.MIXTURE_QUOTA_HIGH
+                if src in sampling.MIXTURE_UPWEIGHTED
+                else sampling.MIXTURE_QUOTA_LOW
+            )
+            assert n <= cap, (src, n)
+
+    def test_salts_decorrelate_operators(self, spark, sf_dir):
+        # same key, different salt → different uniform draw: the
+        # Bernoulli subset must not coincide with the train split
+        # head (would indicate salt being ignored).
+        docs = load(spark, sf_dir, "documents").limit(200)
+        pairs = docs.select(
+            sampling.hash_key("bern:", F.col("doc_id")).alias("a"),
+            sampling.hash_key("split:", F.col("doc_id")).alias("b"),
+        ).collect()
+        assert any(p["a"] != p["b"] for p in pairs)
