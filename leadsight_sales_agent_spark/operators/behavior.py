@@ -1,0 +1,200 @@
+"""Behavioral / event analytics over ``events`` and ``orders`` —
+ordered funnel, weekly cohort retention, per-segment outliers.
+
+The reference's event stream (server.py:69-75: start → company_start →
+step → company_done → done) IS a funnel over a progress log; these
+operators generalize that shape to the product-analytics queries every
+event warehouse runs. All are pure DataFrame plans: conditional
+aggregation, week truncation, and two-pass moment statistics — no UDFs,
+no windows over unbounded partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from leadsight_sales_agent_spark.registry import query
+from leadsight_sales_agent_spark.sources.catalog import load
+
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+@query(
+    "funnel_ordered_stages",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ), v AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'view' AND e.ts > s.t1 GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t2 GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t3 GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM v) AS n_then_view,
+           (SELECT count(*) FROM c) AS n_then_click,
+           (SELECT count(*) FROM p) AS n_then_purchase
+    """,
+)
+def funnel_ordered_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel signup → view → click →
+    purchase: a user advances to a stage only with an event AFTER their
+    previous-stage timestamp (earliest qualifying event wins).
+
+    The oracle expresses this as four chained min-joins — four passes
+    over the event table. The Spark plan instead groups each user's
+    events once (`collect_list` + `array_sort`) and computes all four
+    stage timestamps in a single `aggregate` fold over the sorted
+    array: ONE shuffle on user_id total, independent of funnel depth.
+    At 100 TB the chained-join form re-shuffles the full event log per
+    stage; the fold ships each event exactly once, and per-user state
+    is 4 timestamps. (Same fold-over-sorted-events shape as the
+    stateful sessionizer in streaming/demo.py, minus the Python.)
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    grouped = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+    )
+    no_ts = F.lit(None).cast("timestamp")
+    state0 = F.struct(
+        no_ts.alias("t1"), no_ts.alias("t2"), no_ts.alias("t3"), no_ts.alias("t4")
+    )
+
+    def step(acc, e):
+        def advance(slot_ts, prev_ts, stage):
+            cond = (
+                slot_ts.isNull()
+                & (e["event_type"] == stage)
+                & (prev_ts.isNotNull() if stage != "signup" else F.lit(True))
+            )
+            return F.when(cond, e["ts"]).otherwise(slot_ts)
+
+        return F.struct(
+            advance(acc["t1"], None, "signup").alias("t1"),
+            advance(acc["t2"], acc["t1"], "view").alias("t2"),
+            advance(acc["t3"], acc["t2"], "click").alias("t3"),
+            advance(acc["t4"], acc["t3"], "purchase").alias("t4"),
+        )
+
+    folded = grouped.select(F.aggregate("evs", state0, step).alias("f"))
+    return folded.agg(
+        F.count(F.col("f.t1")).alias("n_signup"),
+        F.count(F.col("f.t2")).alias("n_then_view"),
+        F.count(F.col("f.t3")).alias("n_then_click"),
+        F.count(F.col("f.t4")).alias("n_then_purchase"),
+    )
+
+
+@query(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY 1
+    ), act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) // 7 AS INTEGER)
+               AS week_offset,
+           count(*) AS n_users
+    FROM act a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, then
+    counted in every subsequent week they were active — the classic
+    retention triangle.
+
+    Plan: one agg for first-seen (shuffle on user_id), one distinct on
+    (user, week) — same key, so AQE/exchange reuse keeps it cheap —
+    then a join back. The firsts side is one row per user (small next
+    to the event log); Catalyst broadcasts it at this scale, and at
+    100 TB both sides already hash-partition on user_id so the join is
+    co-located. Week truncation (`date_trunc('week')`, Monday-start in
+    both engines) happens before the distinct, collapsing the event
+    log early.
+    """
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    ).distinct()
+    return (
+        act.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+ZSCORE_THRESHOLD = 1.7  # o_totalprice is near-uniform (max |z| ~ sqrt(3)): 1.7 is
+# the ~99.9th percentile, so the screen returns real rows; 2.5 would be
+# trivially empty on this distribution.
+
+
+@query(
+    "outlier_zscore_orders",
+    oracle=f"""
+    WITH seg AS (
+        SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment AS mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), stats AS (
+        SELECT mktsegment, avg(o_totalprice) AS m,
+               stddev_samp(o_totalprice) AS s
+        FROM seg GROUP BY 1
+    )
+    SELECT g.o_orderkey, g.mktsegment, g.o_totalprice,
+           round((g.o_totalprice - st.m) / st.s, 3) AS zscore
+    FROM seg g JOIN stats st ON g.mktsegment = st.mktsegment
+    WHERE abs(round((g.o_totalprice - st.m) / st.s, 3)) > {ZSCORE_THRESHOLD}
+    """,
+)
+def outlier_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment z-score outliers on order totals (|z| > 1.7) — the
+    anomaly screen a data-quality pipeline runs before training joins.
+
+    Deliberately a TWO-PASS plan: aggregate per-segment mean/stddev
+    (5 rows), broadcast them back, filter. The tempting one-pass
+    alternative — `avg(...).over(Window.partitionBy(segment))` — makes
+    each segment ONE window partition, i.e. a single task holding the
+    whole segment at 100 TB; the agg+broadcast-join form keeps every
+    stage partition-parallel with map-side partials. Both engines
+    round z to 3 decimals before the threshold compare so a borderline
+    order can't flip on last-bit double noise (same guard as the
+    cosine anchors).
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    seg = orders.join(F.broadcast(cust), "o_custkey")
+    stats = seg.groupBy("mktsegment").agg(
+        F.avg("o_totalprice").alias("m"), F.stddev_samp("o_totalprice").alias("s")
+    )
+    z = F.round((F.col("o_totalprice") - F.col("m")) / F.col("s"), 3)
+    return (
+        seg.join(F.broadcast(stats), "mktsegment")
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > ZSCORE_THRESHOLD)
+        .select("o_orderkey", "mktsegment", "o_totalprice", "zscore")
+    )

@@ -490,3 +490,133 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.col("words"), lambda t: F.length(t) > 6)).alias("n_long_words"),
         F.size(F.flatten(F.array(F.col("words"), F.reverse("words")))).alias("n_doubled"),
     )
+
+
+# -- PII redaction -----------------------------------------------------------
+# A training-data pipeline must scrub emails/phone numbers before the
+# corpus reaches a model. The synthetic documents contain no real PII,
+# so the query first plants deterministic PII derived from doc_id (same
+# expression in both engines), then redacts it — exercising the scrub
+# exactly as it would run over a real crawl. Patterns are ASCII-only so
+# Java regex (Spark) and RE2 (DuckDB) agree (SURVEY §8.2).
+
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+"
+PII_PHONE_PATTERN = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL_PATTERN}'))
+                AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE_PATTERN}'))
+                AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{PII_EMAIL_PATTERN}',
+                                             '[EMAIL]', 'g'),
+                              '{PII_PHONE_PATTERN}', '[PHONE]', 'g'))
+               AS redacted_hash
+    FROM planted
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub emails and phone numbers from document text.
+
+    Reuses the reference's email regex family (app.py:78-81) in reverse:
+    instead of extracting the first match, replace every match. Pure
+    ``regexp_replace``/``regexp_count`` expressions — JVM codegen, no
+    UDF, zero shuffle, so redacting 100 TB is one map-only scan.
+    Output carries match counts plus an md5 of the redacted text so the
+    oracle hash-checks the full scrubbed string without shipping it.
+    (Spark replaces all matches by default; DuckDB needs the 'g' flag —
+    an easy silent-divergence trap.)
+    """
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL_PATTERN, "[EMAIL]"),
+        PII_PHONE_PATTERN,
+        "[PHONE]",
+    )
+    return planted.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_PATTERN))
+        .cast("int")
+        .alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE_PATTERN))
+        .cast("int")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+# -- Document chunking -------------------------------------------------------
+
+CHUNK_SIZE = 200  # characters per chunk
+CHUNK_STRIDE = 150  # start-to-start distance → 50-char overlap
+
+
+@query(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               CAST((length(text) - 1) // {CHUNK_STRIDE} AS INTEGER)
+                   AS max_chunk
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_id,
+           CAST(length(substring(text, 1 + i * {CHUNK_STRIDE},
+                                 {CHUNK_SIZE})) AS INTEGER) AS chunk_len,
+           md5(substring(text, 1 + i * {CHUNK_STRIDE}, {CHUNK_SIZE}))
+               AS chunk_hash
+    FROM base, unnest(generate_series(0, max_chunk)) AS t(i)
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks
+    (size 200, stride 150) — the standard pre-tokenization windowing
+    for long-document training and embedding pipelines.
+
+    ``sequence`` + ``explode`` + ``substring``: a generate-style UDTF
+    shape with no Python and no shuffle; output grows ~n_chars/stride
+    per doc and chunking composes with the hash-split/sampling
+    operators (both are key-deterministic). Chunks are emitted as
+    (length, md5) so the oracle verifies exact chunk boundaries and
+    content without duplicating the corpus in the result set.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    max_chunk = F.floor((F.length("text") - 1) / CHUNK_STRIDE).cast("int")
+    chunk = F.substring(
+        F.col("text"), F.lit(1) + F.col("chunk_id") * CHUNK_STRIDE, CHUNK_SIZE
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), max_chunk)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.length(chunk).cast("int").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_hash"),
+        )
+    )
