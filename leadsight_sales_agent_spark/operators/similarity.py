@@ -386,3 +386,38 @@ def knn_cosine_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rank")
     )
+
+
+@query(
+    "embedding_centroids_by_label",
+    oracle="""
+    SELECT label,
+           CAST(gs.dim AS INTEGER) AS dim,
+           round(avg(CAST(embedding[CAST(gs.dim AS INTEGER)] AS DOUBLE)), 6)
+               AS centroid
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS gs(dim)
+    GROUP BY label, gs.dim
+    """,
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors, emitted as (label, dim, centroid)
+    rows — the coarse-quantizer training step for the IVF index above
+    (knn_cosine_ivf bakes centroids as literals; this is where they
+    come from) and the class-prototype primitive for embedding-space
+    analytics.
+
+    `posexplode` flattens each vector to (dim, value) rows, then ONE
+    hash-agg on (label, dim) with map-side partials — no window, no
+    collect. The explode multiplies rows by the dimension (64×) but
+    each row is 20 bytes, and at 100 TB the alternative — aggregating
+    whole arrays with `zip_with` in a reduce — cannot do map-side
+    partial aggregation in DataFrame form; the exploded hash-agg can.
+    Values are rounded to 6 decimals in both engines: a 1-ulp
+    summation-order difference must not fail the hash gate.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )
