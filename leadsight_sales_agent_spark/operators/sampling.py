@@ -205,6 +205,11 @@ def sample_mixture_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFra
     ).otherwise(MIXTURE_QUOTA_LOW)
     return (
         docs.withColumn("rk", F.row_number().over(w))
+        # the constant bound first: a literal rank predicate is what the
+        # WindowGroupLimit rule needs to push a per-group top-20 below
+        # the shuffle; the per-source CASE quota (non-literal, invisible
+        # to the rule) then trims the survivors.
+        .filter(F.col("rk") <= MIXTURE_QUOTA_HIGH)
         .filter(F.col("rk") <= quota)
         .select("doc_id", "source")
     )

@@ -152,3 +152,42 @@ class TestStorageLayout:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+class TestTrainingPipelineOps:
+    def test_bernoulli_sample_is_scan_plus_filter_no_shuffle(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "sample_bernoulli_hash")
+        assert "Exchange" not in plan, "hash sampling must not shuffle"
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and m.group(1).count(":") <= 3, "sample scan not column-pruned"
+
+    def test_mixture_quota_uses_window_group_limit(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "sample_mixture_weighted_sources")
+        assert "WindowGroupLimit" in plan, "quota not pushed below the sort"
+
+    def test_chunking_and_redaction_are_map_only(self, spark, sf_dir):
+        for name in ("text_chunk_documents", "text_pii_redaction"):
+            plan = plan_of(spark, sf_dir, name)
+            assert "Exchange" not in plan, f"{name} must not shuffle"
+            assert "BatchEvalPython" not in plan, f"{name} must not use Python UDFs"
+
+    def test_funnel_single_user_shuffle(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "funnel_ordered_stages")
+        # one hash-partitioning exchange on user_id + the 1-partition
+        # exchange for the global 4-counter agg; chained-join forms
+        # would show one exchange per funnel stage
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert "BatchEvalPython" not in plan
+
+    def test_outlier_stats_join_broadcasts(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "outlier_zscore_orders")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        # the 5-row stats side must never sort-merge the fact table
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                raise AssertionError("outliers must not use a whole-segment window")
+
+    def test_centroids_partial_final_agg(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "embedding_centroids_by_label")
+        assert plan.count("HashAggregate") >= 2, "centroid agg missing map-side partials"
