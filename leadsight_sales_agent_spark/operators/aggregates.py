@@ -558,3 +558,64 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("exact_daily").alias("sum_daily_exact"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est_total_users"),
     )
+
+
+SKEW_TOP_N = 10
+
+
+@query(
+    "skew_diagnostics_orders",
+    oracle=f"""
+    WITH per_key AS (
+        SELECT o_custkey, count(*) AS n_orders
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT sum(n_orders) AS total, count(*) AS n_keys,
+               avg(n_orders) AS mean_per_key
+        FROM per_key
+    )
+    SELECT p.o_custkey, p.n_orders,
+           round(CAST(p.n_orders AS DOUBLE) / t.total, 6) AS share,
+           round(CAST(p.n_orders AS DOUBLE) / t.mean_per_key, 3)
+               AS x_over_mean
+    FROM per_key p CROSS JOIN tot t
+    ORDER BY p.n_orders DESC, p.o_custkey ASC
+    LIMIT {SKEW_TOP_N}
+    """,
+)
+def skew_diagnostics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew report: the {SKEW_TOP_N} heaviest join/agg keys in
+    ``orders`` with their share of all rows and multiple-of-mean — the
+    diagnostic that decides WHEN the salted-join/two-phase-agg plans
+    (join_salted_skew_demo, agg_salted_two_phase) are worth their
+    extra shuffle. Run this before debugging a straggler, not after.
+
+    Per-key counts are one hash-agg; the totals side is a 1-row agg
+    cross-joined back (broadcast-nested-loop over 1 row — constant
+    cost); top-N is TakeOrderedAndProject, never a global sort. The
+    deterministic (count DESC, key ASC) tiebreak keeps the result
+    hash-stable.
+    """
+    per_key = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    tot = per_key.agg(
+        F.sum("n_orders").alias("total"),
+        F.count("*").alias("n_keys"),
+        F.avg("n_orders").alias("mean_per_key"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round(F.col("n_orders").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("n_orders").cast("double") / F.col("mean_per_key"), 3
+            ).alias("x_over_mean"),
+        )
+        .orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+        .limit(SKEW_TOP_N)
+    )

@@ -421,3 +421,68 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
     )
+
+
+@query(
+    "label_centroid_similarity",
+    oracle="""
+    WITH flat AS (
+        SELECT label, CAST(gs.dim AS INTEGER) AS dim,
+               avg(CAST(embedding[CAST(gs.dim AS INTEGER)] AS DOUBLE)) AS c
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS gs(dim)
+        GROUP BY label, gs.dim
+    ), pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               sum(a.c * b.c) AS dp,
+               sqrt(sum(a.c * a.c)) AS na,
+               sqrt(sum(b.c * b.c)) AS nb
+        FROM flat a JOIN flat b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT label_a, label_b, round(dp / (na * nb), 4) AS cosine
+    FROM pairs
+    """,
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroid vectors —
+    the class-confusability matrix of the embedding space (which labels
+    a coarse quantizer or classifier will mix up).
+
+    Composes the centroid aggregation with a dimension-aligned
+    self-join: similarity is computed IN exploded (label, dim) form —
+    `sum(a.c*b.c)` grouped by the label pair — so no array assembly,
+    no UDF, and every stage keeps map-side partials. The label count
+    is small by construction (classes, not rows), so the pair join is
+    a broadcast; norms fold into the same aggregation that computes
+    the dot products rather than a separate pass. Rounded to 4
+    decimals in both engines (summation-order guard).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    flat = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+    )
+    a = flat.select(
+        F.col("label").alias("label_a"), F.col("dim").alias("dim"), F.col("c").alias("ca")
+    )
+    b = flat.select(
+        F.col("label").alias("label_b"), F.col("dim").alias("dim_b"), F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("dim") == F.col("dim_b")) & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dp"),
+            F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
+            F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(F.col("dp") / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+    )

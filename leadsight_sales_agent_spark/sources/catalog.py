@@ -88,3 +88,30 @@ def supported_upload_predicate(filename_col):
 
     col = filename_col if isinstance(filename_col, Column) else F.col(filename_col)
     return col.rlike(r"\.(xlsx|xls|csv)$")
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSONL (newline-delimited JSON) ingest — the de-facto interchange
+    format of training-data pipelines (one document per line).
+
+    With an explicit schema the scan is single-pass; without one Spark
+    runs a full inference pass first — at 100 TB ALWAYS pass the
+    schema (or sample-infer once and pin it). Corrupt lines surface in
+    the PERMISSIVE-mode `_corrupt_record` column instead of failing
+    the job, mirroring the engine's null-tolerant contract (U3).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, partitions: int | None = None) -> None:
+    """JSONL egress: one JSON object per line, split across part-files.
+
+    ``partitions`` controls the output file count (None keeps the
+    upstream partitioning — the right default at scale; forcing 1 file
+    serializes the write through one task)."""
+    if partitions is not None:
+        df = df.repartition(partitions)
+    df.write.mode("overwrite").json(path)

@@ -145,3 +145,87 @@ class TestHLLSketch:
         # merged estimate must deduplicate across days: no larger than
         # the summed dailies, no smaller than any single day could allow
         assert est <= row["sum_daily_exact"]
+
+
+class TestConnectedComponents:
+    """Synthetic-graph checks of the min-label propagation loop
+    (the graded query runs it over the Jaccard anchor graph)."""
+
+    @staticmethod
+    def _cc(spark, pair_list):
+        # run the same loop as dedup_connected_components on an
+        # explicit edge list
+        from pyspark.sql import functions as F
+
+        pairs = spark.createDataFrame(pair_list, ["doc_a", "doc_b"])
+        edges = (
+            pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+            .toDF("src", "dst")
+            .localCheckpoint()
+        )
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("comp", F.col("id"))
+        )
+        for _ in range(50):
+            nmin = (
+                edges.join(labels, edges.src == labels.id)
+                .groupBy(F.col("dst").alias("nid"))
+                .agg(F.min("comp").alias("nmin"))
+            )
+            proposed = (
+                labels.join(nmin, labels.id == nmin.nid, "left")
+                .select(
+                    "id",
+                    F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias(
+                        "comp"
+                    ),
+                    F.col("comp").alias("old_comp"),
+                )
+                .localCheckpoint()
+            )
+            changed = proposed.filter(F.col("comp") != F.col("old_comp")).count()
+            labels = proposed.select("id", "comp")
+            if changed == 0:
+                break
+        return {r["id"]: r["comp"] for r in labels.collect()}
+
+    def test_path_graph_converges_to_min(self, spark):
+        # worst case for min propagation: a 10-node path; every node
+        # must still end labeled by the global min
+        comp = self._cc(spark, [(i, i + 1) for i in range(10)])
+        assert set(comp.values()) == {0}
+
+    def test_two_components_stay_separate(self, spark):
+        comp = self._cc(spark, [(1, 2), (2, 3), (10, 11), (12, 11)])
+        assert comp[1] == comp[2] == comp[3] == 1
+        assert comp[10] == comp[11] == comp[12] == 10
+
+    def test_graded_query_labels_match_pair_closure(self, spark, sf_dir):
+        from leadsight_sales_agent_spark import registry
+
+        registry.load_all()
+        pairs = registry.QUERIES["neardup_jaccard_pairs"](spark, sf_dir).collect()
+        got = {
+            r["doc_id"]: r["component"]
+            for r in registry.QUERIES["dedup_connected_components"](
+                spark, sf_dir
+            ).collect()
+        }
+        # union-find ground truth in plain Python
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs:
+            ra, rb = find(r["doc_a"]), find(r["doc_b"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for n in parent}
+        assert got == want

@@ -57,3 +57,33 @@ class TestUploadExtensionPredicate:
         files = spark.createDataFrame(names, "name STRING")
         kept = files.filter(supported_upload_predicate(F.col("name"))).collect()
         assert sorted(r["name"] for r in kept) == ["f0.xlsx", "f2.csv"]
+
+
+class TestJsonl:
+    def test_round_trip_preserves_rows_and_schema(self, spark, sf_dir, tmp_path):
+        from leadsight_sales_agent_spark.sources.catalog import (
+            load,
+            read_jsonl,
+            write_jsonl,
+        )
+
+        docs = load(spark, sf_dir, "documents")
+        out = str(tmp_path / "docs_jsonl")
+        write_jsonl(docs, out, partitions=3)
+        back = read_jsonl(spark, out, schema=docs.schema)
+        assert back.count() == docs.count()
+        assert back.schema == docs.schema
+        a = {r["doc_id"]: r["text"] for r in docs.collect()}
+        b = {r["doc_id"]: r["text"] for r in back.collect()}
+        assert a == b
+
+    def test_corrupt_lines_do_not_fail_the_scan(self, spark, tmp_path):
+        from leadsight_sales_agent_spark.sources.catalog import read_jsonl
+
+        p = tmp_path / "mixed.jsonl"
+        p.write_text('{"a": 1}\nnot json at all\n{"a": 3}\n')
+        df = read_jsonl(spark, str(p))  # PERMISSIVE inference
+        rows = df.collect()
+        assert len(rows) == 3  # corrupt line kept as a record, not a crash
+        ok = [r["a"] for r in rows if r["a"] is not None]
+        assert sorted(ok) == [1, 3]
