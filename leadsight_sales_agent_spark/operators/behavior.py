@@ -198,3 +198,77 @@ def outlier_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) > ZSCORE_THRESHOLD)
         .select("o_orderkey", "mktsegment", "o_totalprice", "zscore")
     )
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@query(
+    "winsorize_orders_by_segment",
+    oracle=f"""
+    WITH seg AS (
+        SELECT o.o_totalprice, c.c_mktsegment AS mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), pct AS (
+        SELECT mktsegment,
+               quantile_cont(o_totalprice, {WINSOR_LO}) AS lo,
+               quantile_cont(o_totalprice, {WINSOR_HI}) AS hi
+        FROM seg GROUP BY 1
+    )
+    SELECT s.mktsegment,
+           CAST(CAST(min(p.lo) AS DECIMAL(25,4)) AS DOUBLE) AS p05,
+           CAST(CAST(min(p.hi) AS DECIMAL(25,4)) AS DOUBLE) AS p95,
+           sum(CASE WHEN s.o_totalprice < p.lo THEN 1 ELSE 0 END)
+               AS n_clipped_low,
+           sum(CASE WHEN s.o_totalprice > p.hi THEN 1 ELSE 0 END)
+               AS n_clipped_high,
+           CAST(round(sum(CAST(least(greatest(s.o_totalprice, p.lo), p.hi)
+                               AS DECIMAL(25,6))), 2) AS DOUBLE)
+               AS winsorized_total
+    FROM seg s JOIN pct p ON s.mktsegment = p.mktsegment
+    GROUP BY 1
+    """,
+)
+def winsorize_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment winsorization: clip order totals into the segment's
+    [p05, p95] band and report clip counts + the clipped sum — the
+    outlier-taming transform applied before a sensitive aggregate
+    (means, regressions) the way outlier_zscore_orders is applied
+    before a join.
+
+    Same two-pass scale shape as the z-score screen: exact interpolated
+    percentiles per segment (5 rows), broadcast back, clip, re-agg —
+    no whole-segment window. The clipped sum goes through the
+    DECIMAL(25,6) path (functions/numeric.py::dsum) because a clipped
+    double sum is exactly the order-dependent aggregate the value-hash
+    gate punishes; p05/p95 are emitted via a DECIMAL(25,4) cast, not
+    ``round()`` (double rounding differs between engines on
+    shortest-repr ties; the decimal cast is bit-stable).
+    """
+    from leadsight_sales_agent_spark.functions.numeric import dsum
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    seg = orders.join(F.broadcast(cust), "o_custkey")
+    pct = seg.groupBy("mktsegment").agg(
+        F.percentile("o_totalprice", F.lit(WINSOR_LO)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(WINSOR_HI)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        seg.join(F.broadcast(pct), "mktsegment")
+        .groupBy("mktsegment")
+        .agg(
+            F.min("lo").cast("decimal(25,4)").cast("double").alias("p05"),
+            F.min("hi").cast("decimal(25,4)").cast("double").alias("p95"),
+            F.sum(F.when(F.col("o_totalprice") < F.col("lo"), 1).otherwise(0)).alias(
+                "n_clipped_low"
+            ),
+            F.sum(F.when(F.col("o_totalprice") > F.col("hi"), 1).otherwise(0)).alias(
+                "n_clipped_high"
+            ),
+            dsum(clipped).alias("winsorized_total"),
+        )
+    )

@@ -272,3 +272,50 @@ def batch_by_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+# -- Importance (quality-weighted) sampling ----------------------------------
+
+PERMILLE_UNIT = 4294967  # floor(2^32 / 1000): permille → 32-bit threshold
+
+
+@query(
+    "sample_importance_by_length",
+    oracle=f"""
+    WITH rated AS (
+        SELECT doc_id, n_chars,
+               CAST(least(999, n_chars * 2) AS INTEGER) AS rate_permille
+        FROM documents
+    )
+    SELECT doc_id, n_chars, rate_permille
+    FROM rated
+    WHERE {_SQL_HASH.format(salt='imp:', key='doc_id')} <
+          lower(lpad(to_hex(CAST(rate_permille AS BIGINT)
+                            * {PERMILLE_UNIT}), 8, '0'))
+    """,
+)
+def sample_importance_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling with a DATA-DEPENDENT keep rate: longer
+    documents kept with higher probability (rate = min(99.9 %,
+    n_chars·0.2 %)) — the upweight-by-quality move of curriculum /
+    quality-filtered training mixes, here with length as the
+    quality proxy.
+
+    The per-row rate stays in INTEGER permille and becomes a hex
+    threshold via `hex()`/`to_hex()` (lowercased — Spark and DuckDB
+    both emit uppercase, md5 emits lowercase), so the keep decision is
+    still a pure string comparison: no float crosses an engine
+    boundary even though the rate varies per row. Same zero-shuffle
+    map-filter shape as the fixed-rate samples.
+    """
+    docs = load(spark, sf_dir, "documents")
+    rate = F.least(F.lit(999), F.col("n_chars") * 2).cast("int")
+    thresh = F.lower(
+        F.lpad(F.hex(rate.cast("bigint") * PERMILLE_UNIT), 8, "0")
+    )
+    return (
+        docs.select("doc_id", "n_chars", rate.alias("rate_permille"))
+        .withColumn("_t", thresh)
+        .filter(hash_key("imp:", F.col("doc_id")) < F.col("_t"))
+        .drop("_t")
+    )
