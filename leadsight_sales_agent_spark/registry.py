@@ -59,6 +59,7 @@ _ROWS_ONLY_COST_ORDER = [
     "knn_cosine_ivf_pruned",
     "neardup_minhash_lsh",
     "streaming_progress_events",
+    "streaming_stream_stream_join",
     "leadsight_enrich_pipeline",
     "streaming_windowed_counts",
     "streaming_sessionize_stateful",

@@ -293,3 +293,121 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
     if rows:
         return spark.createDataFrame(rows, SESSION_OUT_SCHEMA)
     return spark.createDataFrame([], SESSION_OUT_SCHEMA)
+
+
+# -- Stream-stream interval join ---------------------------------------------
+
+ATTRIBUTION_WINDOW = "1 hour"  # purchase attributed to a click ≤ 1 h before it
+
+
+@query("streaming_stream_stream_join")  # streaming demo → rows-only check
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: click-to-purchase attribution.
+    Each purchase joins every click by the same user in the preceding
+    hour — the canonical ad-attribution / request-response correlation
+    pattern, and the one Structured Streaming operator family the
+    other demos don't cover.
+
+    Both sides carry a watermark and the join predicate bounds
+    purchase_ts to [click_ts, click_ts + 1 h]; that event-time
+    constraint is what lets the state store EVICT clicks older than
+    the watermark — without it, stream-stream join state grows
+    without bound (the #1 production footgun of this operator). State
+    is sharded by user_id; availableNow makes the demo bounded and its
+    result equal to the batch interval join over the same files
+    (pinned by tests/test_streaming.py).
+    """
+    scratch = _scratch_dir()
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    purch_b = ev.filter(F.col("event_type") == "purchase")
+
+    n_clicks, n_purch = clicks_b.count(), purch_b.count()
+    click_dir, staged = _staged_source_dir("ssj_clicks", sf_dir, n_clicks)
+    if not staged:
+        clicks_b.repartition(2).write.mode("overwrite").parquet(click_dir)
+        _mark_staged(click_dir, n_clicks)
+    purch_dir, staged = _staged_source_dir("ssj_purchases", sf_dir, n_purch)
+    if not staged:
+        purch_b.repartition(2).write.mode("overwrite").parquet(purch_dir)
+        _mark_staged(purch_dir, n_purch)
+
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    clicks = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(click_dir)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "user_id",
+        )
+        .withWatermark("click_ts", ATTRIBUTION_WINDOW)
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(purch_dir)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("p_user_id"),
+        )
+        .withWatermark("purchase_ts", ATTRIBUTION_WINDOW)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")
+        ),
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+
+    out: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out.extend(batch_df.collect())
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    if out:
+        return spark.createDataFrame(out, joined.schema)
+    return spark.createDataFrame([], joined.schema)
+
+
+def batch_attribution_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch interval join the stream must equal (test anchor)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "user_id",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("user_id").alias("p_user_id"),
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")
+        ),
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")

@@ -182,3 +182,22 @@ class TestWatermarkLateData:
         assert by_start[base] == (2, 2.0)
         assert by_start[base + timedelta(hours=1)] == (3, 3.0)
         assert all(total < 100 for _, total in by_start.values())
+
+
+class TestStreamStreamJoin:
+    def test_stream_equals_batch_interval_join(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.streaming.demo import (
+            batch_attribution_twin,
+            streaming_stream_stream_join,
+        )
+
+        streamed = {
+            (r["purchase_id"], r["click_id"])
+            for r in streaming_stream_stream_join(spark, sf_dir).collect()
+        }
+        batch = {
+            (r["purchase_id"], r["click_id"])
+            for r in batch_attribution_twin(spark, sf_dir).collect()
+        }
+        assert streamed == batch
+        assert len(batch) > 0
