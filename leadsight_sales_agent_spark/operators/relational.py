@@ -567,3 +567,128 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    WITH src AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               l_discount, l_tax
+        FROM lineitem WHERE l_orderkey < 200
+    )
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               CAST(l_quantity AS DOUBLE) AS value FROM src
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+               CAST(l_extendedprice AS DOUBLE) FROM src
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount',
+               CAST(l_discount AS DOUBLE) FROM src
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax',
+               CAST(l_tax AS DOUBLE) FROM src
+    )
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide measure columns → long (measure, value)
+    rows — the inverse of agg_pivot_event_types and the reshape every
+    metrics store / feature pipeline needs. Spark's native ``unpivot``
+    plans as a single Expand node (one scan, rows×measures output, no
+    join, no shuffle); the oracle spells the same reshape as a UNION
+    ALL, which is what engines without the operator run. Bounded to
+    l_orderkey < 200 to keep graded output proportionate.
+    """
+    src = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 200)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            *[
+                F.col(c).cast("double").alias(c)
+                for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+            ],
+        )
+    )
+    return src.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+# -- SCD Type 2 ---------------------------------------------------------------
+
+SCD2_AS_OF = "2024-06-01"  # effective date of the simulated change batch
+
+
+@query(
+    "scd2_customer_segment_history",
+    oracle=f"""
+    WITH changes AS (
+        -- simulated upstream segment changes: every 7th customer moves
+        -- to MACHINERY (skipping those already there)
+        SELECT c_custkey, 'MACHINERY' AS new_segment
+        FROM customer
+        WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'MACHINERY'
+    )
+    SELECT c.c_custkey,
+           c.c_mktsegment AS segment,
+           DATE '1992-01-01' AS valid_from,
+           CASE WHEN ch.c_custkey IS NULL THEN NULL
+                ELSE DATE '{SCD2_AS_OF}' END AS valid_to,
+           ch.c_custkey IS NULL AS is_current
+    FROM customer c LEFT JOIN changes ch ON c.c_custkey = ch.c_custkey
+    UNION ALL
+    SELECT c_custkey, new_segment, DATE '{SCD2_AS_OF}', NULL, true
+    FROM changes
+    """,
+)
+def scd2_customer_segment_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: apply a change batch to the
+    customer dimension, closing the old version (valid_to = effective
+    date) and opening a new current one — the versioned-dimension ETL
+    that MERGE-based warehouses run on every load (the unversioned
+    upsert twin is merge_upsert_orders).
+
+    One left join against the (small, broadcast) change batch marks
+    closed rows; the new versions are a projection of the batch
+    unioned on — no shuffle of the dimension beyond the broadcast
+    probe, and the pattern composes with foreachBatch for streaming
+    CDC ingestion. The change batch is simulated deterministically
+    (every 7th customer re-segmented) so both engines derive it
+    identically from the same table.
+    """
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    changes = cust.filter(
+        (F.col("c_custkey") % 7 == 0) & (F.col("c_mktsegment") != "MACHINERY")
+    ).select("c_custkey", F.lit("MACHINERY").alias("new_segment"))
+    as_of = F.to_date(F.lit(SCD2_AS_OF))
+    marked = (
+        cust.join(
+            F.broadcast(changes.select("c_custkey", F.lit(True).alias("chg"))),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+            F.when(F.col("chg"), as_of).otherwise(F.lit(None).cast("date")).alias(
+                "valid_to"
+            ),
+            F.col("chg").isNull().alias("is_current"),
+        )
+    )
+    opened = changes.select(
+        "c_custkey",
+        F.col("new_segment").alias("segment"),
+        as_of.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return marked.unionByName(opened)
