@@ -191,3 +191,51 @@ class TestTrainingPipelineOps:
     def test_centroids_partial_final_agg(self, spark, sf_dir):
         plan = plan_of(spark, sf_dir, "embedding_centroids_by_label")
         assert plan.count("HashAggregate") >= 2, "centroid agg missing map-side partials"
+
+
+class TestRuntimeFilters:
+    def test_selective_dim_join_injects_bloom_or_dpp_filter(self, spark, sf_dir):
+        """Runtime-filter awareness: joining a hard-filtered dimension
+        to a big fact should inject a bloom filter (or semi-join
+        runtime filter) into the fact scan so non-matching rows die at
+        the scan, not at the join. This is a 100 TB lever: without it
+        the fact side ships its full volume into the shuffle."""
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        prev_bloom = spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+            # the demo fact table is tiny; drop the application-side
+            # size FLOOR so the optimizer applies the same rewrite it
+            # would at scale. (creationSideThreshold is a CEILING on
+            # the build side — lowering it disables the rule.)
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "1B",
+            )
+            # force a shuffle join: broadcast joins don't need the filter
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            import pyspark.sql.functions as F
+
+            cust = (
+                load(spark, sf_dir, "customer")
+                .filter(F.col("c_acctbal") > 9990)  # highly selective
+                .select("c_custkey")
+            )
+            fact = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+            j = fact.join(cust, fact.o_custkey == cust.c_custkey)
+            from leadsight_sales_agent_spark.plans import optimized_logical_plan
+
+            logical = optimized_logical_plan(j)
+            assert ("bloom_filter_agg" in logical) or ("might_contain" in logical), (
+                "no runtime bloom filter injected:\n" + logical
+            )
+        finally:
+            spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prev_bloom)
+            spark.conf.unset(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+            )
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)

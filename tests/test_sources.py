@@ -87,3 +87,32 @@ class TestJsonl:
         assert len(rows) == 3  # corrupt line kept as a record, not a crash
         ok = [r["a"] for r in rows if r["a"] is not None]
         assert sorted(ok) == [1, 3]
+
+
+class TestOrc:
+    def test_orc_round_trip(self, spark, sf_dir, tmp_path):
+        # ORC is the other columnar format Spark ships natively; the
+        # catalog is parquet-first but nothing in the engine assumes it
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        docs = load(spark, sf_dir, "documents")
+        out = str(tmp_path / "docs_orc")
+        docs.write.mode("overwrite").orc(out)
+        back = spark.read.orc(out)
+        assert back.schema == docs.schema
+        assert sorted(r["doc_id"] for r in back.collect()) == sorted(
+            r["doc_id"] for r in docs.collect()
+        )
+
+    def test_orc_predicate_pushdown(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        out = str(tmp_path / "orders_orc")
+        load(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
+        df = spark.read.orc(out).filter(F.col("o_orderkey") < 100).select("o_orderkey")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:120]
