@@ -619,3 +619,83 @@ def skew_diagnostics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("o_custkey"))
         .limit(SKEW_TOP_N)
     )
+
+
+@query(
+    "dq_constraint_checks",
+    oracle="""
+    SELECT 'orders_pk_unique' AS constraint_name,
+           count(*) - count(DISTINCT o_orderkey) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_fk', count(*)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'orders_status_accepted_values',
+           count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           count(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                      THEN 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'documents_nchars_matches_text',
+           count(CASE WHEN n_chars <> length(text) THEN 1 END)
+    FROM documents
+    """,
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite — the dbt-test / Deequ-style
+    validation pass a pipeline runs before publishing a table: primary-
+    key uniqueness, foreign-key integrity, accepted values, range
+    checks, derived-column consistency. One row per constraint with its
+    violation count (all 0 on healthy data — the query's value is that
+    it RUNS the checks distributed, as aggregations, not as row-wise
+    assertions).
+
+    Each check is a single agg over one scan (the FK check is an anti
+    join — broadcast here, shuffle-join at scale with AQE handling
+    skew); checks over the same table could share a scan via one wide
+    aggregate, kept separate here for per-constraint clarity and
+    independent failure attribution.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    docs = load(spark, sf_dir, "documents")
+
+    pk = orders.agg(
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("n_violations")
+    ).select(F.lit("orders_pk_unique").alias("constraint_name"), "n_violations")
+    fk = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti"
+        )
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("orders_custkey_fk").alias("constraint_name"), "n_violations")
+    )
+    accepted = orders.agg(
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("n_violations")
+    ).select(
+        F.lit("orders_status_accepted_values").alias("constraint_name"), "n_violations"
+    )
+    positive = orders.agg(
+        F.count(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
+            )
+        ).alias("n_violations")
+    ).select(
+        F.lit("orders_totalprice_positive").alias("constraint_name"), "n_violations"
+    )
+    consistent = docs.agg(
+        F.count(F.when(F.col("n_chars") != F.length("text"), 1)).alias("n_violations")
+    ).select(
+        F.lit("documents_nchars_matches_text").alias("constraint_name"), "n_violations"
+    )
+    return pk.unionByName(fk).unionByName(accepted).unionByName(positive).unionByName(
+        consistent
+    )

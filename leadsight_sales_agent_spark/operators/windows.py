@@ -380,3 +380,82 @@ def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w).cast("bigint").alias("rnk"),
         )
     )
+
+
+# -- Gap-filled resampling ----------------------------------------------------
+
+RESAMPLE_BUCKET_MIN = 30  # resample the event stream to 30-minute buckets
+
+
+@query(
+    "resample_gap_filled_30min",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS t0,
+               date_trunc('hour', max(ts)) AS t1
+        FROM events
+    ), grid AS (
+        SELECT gs.b AS bucket, et.event_type
+        FROM bounds,
+             unnest(generate_series(t0, t1, INTERVAL {RESAMPLE_BUCKET_MIN} MINUTE))
+                 AS gs(b),
+             (SELECT DISTINCT event_type FROM events) et
+    ), actual AS (
+        SELECT time_bucket(INTERVAL {RESAMPLE_BUCKET_MIN} MINUTE, ts) AS bucket,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.bucket, g.event_type,
+           COALESCE(a.n, 0) AS n_events
+    FROM grid g LEFT JOIN actual a
+      ON g.bucket = a.bucket AND g.event_type = a.event_type
+    """,
+)
+def resample_gap_filled_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled resampling: count events per 30-minute bucket per
+    type, EMITTING ZERO ROWS for empty buckets — the dense time grid
+    charting, anomaly detection, and forecasting inputs require (a
+    plain groupBy silently drops empty buckets; the gaps ARE the
+    signal in monitoring data).
+
+    The dense grid is generated, not stored: `sequence()` between the
+    hour-truncated min/max timestamps exploded against the distinct
+    event types, then a left join against the actual bucket counts.
+    Grid size is (time-range / bucket) × #types — independent of event
+    volume, so at 100 TB the grid stays tiny — and so is the
+    aggregated counts side (same keyspace), which is the side the left
+    join can legally broadcast (Spark cannot broadcast the PRESERVED
+    side of an outer join — a hint there is silently dropped with a
+    warning). Bucket truncation uses
+    integer epoch arithmetic (`time_bucket` twin) to stay engine-exact.
+    """
+    ev = load(spark, sf_dir, "events")
+    bucket_s = RESAMPLE_BUCKET_MIN * 60
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / bucket_s).cast("long") * bucket_s
+    )
+    actual = (
+        ev.select(bucket.alias("bucket"), "event_type")
+        .groupBy("bucket", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = (
+        bounds.select(
+            F.explode(
+                F.sequence(
+                    "t0", "t1", F.expr(f"INTERVAL {RESAMPLE_BUCKET_MIN} MINUTES")
+                )
+            ).alias("bucket")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    return (
+        grid.join(F.broadcast(actual), ["bucket", "event_type"], "left")
+        .select(
+            "bucket", "event_type", F.coalesce("n", F.lit(0)).alias("n_events")
+        )
+    )
