@@ -699,3 +699,85 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pk.unionByName(fk).unionByName(accepted).unionByName(positive).unionByName(
         consistent
     )
+
+
+@query(
+    "agg_argmax_events",
+    oracle="""
+    WITH keyed AS (
+        SELECT user_id, event_type, value,
+               CAST(round(value * 100) AS BIGINT) * 10000000000 + event_id
+                   AS ord_key
+        FROM events
+    )
+    SELECT user_id,
+           max_by(event_type, ord_key) AS top_value_type,
+           min_by(event_type, ord_key) AS bottom_value_type,
+           round(max(value), 2) AS max_value,
+           count(*) AS n_events
+    FROM keyed
+    GROUP BY user_id
+    """,
+)
+def agg_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user arg-max/arg-min: WHICH event type carried the largest
+    (and smallest) value — `max_by`/`min_by`, the lookup-free
+    alternative to the groupBy-then-self-join idiom (one hash-agg, no
+    second pass, no join).
+
+    Determinism trap: on tied values max_by picks an arbitrary row
+    (both engines), which is exactly the kind of silent nondeterminism
+    the value-hash gate exists to catch. The ordering key is made
+    total by packing (value-cents, event_id) into one BIGINT —
+    value·100 is integer-exact for 2-decimal money, and event_id
+    uniquifies ties — so both engines' arg-extremes agree bit-for-bit.
+    """
+    ev = load(spark, sf_dir, "events")
+    ord_key = (
+        F.round(F.col("value") * 100, 0).cast("long") * F.lit(10_000_000_000)
+        + F.col("event_id")
+    )
+    return (
+        ev.select("user_id", "event_type", "value", ord_key.alias("ord_key"))
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_type", "ord_key").alias("top_value_type"),
+            F.min_by("event_type", "ord_key").alias("bottom_value_type"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "agg_corr_price_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_covar,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per return flag: Pearson correlation and
+    sample covariance between quantity and extended price — the
+    feature-screening aggregate (is this column predictive of that
+    one?) that completes the univariate moment suite
+    (agg_stats_moments).
+
+    `corr`/`covar_samp` are single-pass co-moment aggregates with
+    map-side partials in both engines. Correlation is scale-free and
+    numerically tame, so round(4) absorbs summation-order noise
+    (~1e-12 here) without the decimal machinery the raw SUMs need;
+    covariance is rounded at 2 like the money sums it derives from.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
+            "price_qty_covar"
+        ),
+        F.count("*").alias("n_items"),
+    )

@@ -459,3 +459,45 @@ def resample_gap_filled_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket", "event_type", F.coalesce("n", F.lit(0)).alias("n_events")
         )
     )
+
+
+@query(
+    "window_rolling_median_events",
+    oracle="""
+    SELECT event_id, user_id,
+           quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+           ) AS rolling_median
+    FROM events
+    """,
+)
+def window_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of event value over the last 10 events per user —
+    the robust-location sibling of window_moving_avg_events (a median
+    shrugs off the spikes that drag a mean).
+
+    `percentile` runs as a windowed aggregate over an explicit ROWS
+    frame; partitioned by user, ordered with a unique (ts, event_id)
+    tiebreak so frames are deterministic. Exactness note: for ≤10-row
+    frames the interpolated median is a mean of two order statistics —
+    (a+b)/2 is exact in binary, so no rounding guard is needed (unlike
+    order-dependent SUMs). At 100 TB a windowed exact median re-sorts
+    each frame; the streaming-scale variant keeps a fixed-size heap in
+    applyInPandasWithState or falls back to approx_percentile per
+    bucket.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-9, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.percentile("value", F.lit(0.5)).over(w).alias("rolling_median"),
+    )
