@@ -692,3 +692,85 @@ def scd2_customer_segment_history(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(True).alias("is_current"),
     )
     return marked.unionByName(opened)
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))
+                          * CAST(1 - l.l_discount AS DECIMAL(25,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue from line items where
+    the supplier and the ordering customer sit in the SAME nation,
+    restricted to one region and a two-year window — the canonical
+    six-table star join and the densest single test of join planning
+    in the classic benchmark (reference has no joins at all; this is
+    the engine's north-star analytics surface, SURVEY §2.4).
+
+    Plan shape that survives 100 TB: the date filter is written
+    against the orders scan (pushed to parquet), the region filter
+    prunes nation/supplier/customer via broadcast chains BEFORE the
+    fact join, and the same-nation condition rides the supplier join
+    (an equi-condition, not a post-filter — as a post-filter it would
+    materialize the full cross-nation join first). lineitem joins
+    orders on l_orderkey (the one big shuffle); everything else
+    broadcasts. Revenue = decimal-multiplied price×(1−discount), the
+    engine-exact money path.
+    """
+    region = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = (
+        load(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", F.col("n_name").alias("nation"))
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    dec = "decimal(25,6)"
+    revenue_term = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(dec)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == supplier.s_suppkey)
+            & (supplier.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("nation")
+        .agg(F.round(F.sum(revenue_term), 2).cast("double").alias("revenue"))
+    )

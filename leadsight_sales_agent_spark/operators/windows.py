@@ -501,3 +501,121 @@ def window_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.percentile("value", F.lit(0.5)).over(w).alias("rolling_median"),
     )
+
+
+@query(
+    "pattern_error_after_purchase",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER w AS prev_type,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
+    FROM seq
+    WHERE event_type = 'error' AND prev_type = 'purchase'
+      AND epoch_us(ts) - epoch_us(prev_ts) <= 600 * 1000000
+    """,
+)
+def pattern_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern detection: errors that IMMEDIATELY follow a
+    purchase by the same user within 10 minutes — the adjacency query
+    behind "did checkout break?" funnels and MATCH_RECOGNIZE-style
+    alerting, expressed with one partitioned lag() pass (no self-join:
+    the naive events×events time-band join shuffles the log twice and
+    explodes on hot users).
+
+    Gap compared in exact microseconds (`unix_micros` twin of DuckDB's
+    `epoch_us`) — the r1 session-window lesson: never compare
+    event-time gaps on second-truncated casts.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    gap = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    return (
+        seq.filter(
+            (F.col("event_type") == "error")
+            & (F.col("prev_type") == "purchase")
+            & (gap <= 600 * 1_000_000)
+        )
+        .select("user_id", "event_id", gap.alias("gap_us"))
+    )
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(25,6))), 2)
+                    AS DOUBLE) AS nation_revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation, nation_revenue,
+           round(nation_revenue * 100
+                 / sum(nation_revenue) OVER (PARTITION BY region), 4)
+               AS pct_of_region
+    FROM rev
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue —
+    the percent-of-total reporting pattern (windowed sum as the
+    denominator, no second aggregation pass, no join back).
+
+    The heavy lifting (orders → nation rollup) happens BEFORE the
+    window, so the window partition is ~nations-per-region rows, not
+    order rows — windowing the fact table by region would serialize
+    each region through one task at 100 TB. Revenue goes through the
+    decimal-sum path; the percentage divides two identical exact-sum
+    doubles, so round(4) is engine-stable.
+    """
+    from pyspark.sql import Window
+
+    from leadsight_sales_agent_spark.functions.numeric import dsum
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+        "n_regionkey",
+    )
+    region = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), F.col("r_name").alias("region")
+    )
+    rev = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .join(F.broadcast(nation), "c_nationkey")
+        .join(F.broadcast(region), "n_regionkey")
+        .groupBy("region", "nation")
+        .agg(dsum(F.col("o_totalprice")).alias("nation_revenue"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "nation_revenue",
+        F.round(
+            F.col("nation_revenue") * 100 / F.sum("nation_revenue").over(w), 4
+        ).alias("pct_of_region"),
+    )
