@@ -774,3 +774,128 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("nation")
         .agg(F.round(F.sum(revenue_term), 2).cast("double").alias("revenue"))
     )
+
+
+@query(
+    "null_semantics_suite",
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL
+                    ELSE c_mktsegment END AS seg,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE c_acctbal END AS bal
+        FROM customer
+    )
+    SELECT COALESCE(seg, '<NULL>') AS segment,
+           count(*) AS n_rows,
+           count(bal) AS n_bal_nonnull,
+           CAST(round(sum(CAST(bal AS DECIMAL(25,6))), 2) AS DOUBLE)
+               AS total_bal,
+           count(CASE WHEN bal IS DISTINCT FROM bal THEN 1 END)
+               AS n_selfneq,
+           count(CASE WHEN NOT (seg IS DISTINCT FROM NULL) THEN 1 END)
+               AS n_nullsafe_eq_null
+    FROM src
+    GROUP BY seg
+    """,
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics parity pack: NULL group keys form their own
+    group, aggregate functions skip NULLs (count(col) vs count(*)),
+    sum-over-nulls stays engine-exact, and null-safe equality
+    (`<=>` / IS NOT DISTINCT FROM) behaves — the silent-divergence
+    corners every engine pair disagrees on somewhere. Nulls are
+    injected deterministically (every 5th/7th key) so both engines
+    derive identical inputs from the shared table.
+
+    All single-scan aggregation; the NULL group is just another hash
+    bucket (beware at scale: if most keys are NULL, that one bucket is
+    the skew — filter or salt NULLs before grouping, same playbook as
+    skew_diagnostics_orders).
+    """
+    cust = load(spark, sf_dir, "customer")
+    src = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    from leadsight_sales_agent_spark.functions.numeric import dsum
+
+    return (
+        src.groupBy("seg")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("bal").alias("n_bal_nonnull"),
+            dsum(F.col("bal")).alias("total_bal"),
+            F.count(F.when(~F.col("bal").eqNullSafe(F.col("bal")), 1)).alias(
+                "n_selfneq"
+            ),
+            F.count(F.when(F.col("seg").eqNullSafe(F.lit(None)), 1)).alias(
+                "n_nullsafe_eq_null"
+            ),
+        )
+        .select(
+            F.coalesce("seg", F.lit("<NULL>")).alias("segment"),
+            "n_rows",
+            "n_bal_nonnull",
+            "total_bal",
+            "n_selfneq",
+            "n_nullsafe_eq_null",
+        )
+    )
+
+
+@query(
+    "correlated_subquery_low_quantity_parts",
+    oracle="""
+    SELECT l.l_partkey,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))), 2)
+                AS DOUBLE) AS low_qty_revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    WHERE l.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY 1
+    """,
+)
+def correlated_subquery_low_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar subquery: line items whose
+    quantity is below half their part's average quantity — written AS
+    the subquery (via spark.sql) so Catalyst's decorrelation is what
+    executes: the optimizer rewrites the per-row subquery into one
+    aggregate on l_partkey plus a join, turning O(rows × subquery)
+    naive semantics into two scans and one shuffle. A hand-decorrelated
+    DataFrame twin would be the same plan; the point is that the
+    engine accepts the declarative form and plans it right (check
+    `.explain`: no more scalar-subquery node, an Aggregate feeding a
+    Join instead).
+
+    Per-part averages: l_quantity is integer-valued, so avg is exact
+    in both engines (no decimal machinery needed for the predicate);
+    the revenue output still takes the decimal-sum path.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_q17")
+    return spark.sql(
+        """
+        SELECT l.l_partkey,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))), 2)
+                    AS DOUBLE) AS low_qty_revenue,
+               count(*) AS n_items
+        FROM li_q17 l
+        WHERE l.l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity)
+            FROM li_q17 l2
+            WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY l.l_partkey
+        """
+    )
