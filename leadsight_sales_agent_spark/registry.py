@@ -60,6 +60,7 @@ _ROWS_ONLY_COST_ORDER = [
     "neardup_minhash_lsh",
     "streaming_progress_events",
     "streaming_stream_stream_join",
+    "streaming_dedup_watermarked",
     "leadsight_enrich_pipeline",
     "streaming_windowed_counts",
     "streaming_sessionize_stateful",

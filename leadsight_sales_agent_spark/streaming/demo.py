@@ -411,3 +411,63 @@ def batch_attribution_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")
         ),
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+
+
+# -- Streaming deduplication --------------------------------------------------
+
+
+@query("streaming_dedup_watermarked")  # streaming demo → rows-only check
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup of an at-least-once source:
+    events are staged WITH injected duplicates (every 3rd event appears
+    twice — the redelivery pattern of any at-least-once bus), then
+    `dropDuplicatesWithinWatermark` on event_id removes them in-flight.
+
+    The watermark bounds the dedup state: an id is remembered only
+    until the watermark passes its event time, so state size tracks
+    the out-of-orderness window, not the stream length — the property
+    that makes streaming dedup viable at 100 TB/day (a plain
+    `dropDuplicates` on a stream keeps EVERY id forever and OOMs the
+    state store). Result pinned equal to batch distinct-by-id over the
+    same staged files (tests/test_streaming.py).
+    """
+    scratch = _scratch_dir()
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    dups = ev.filter(F.col("event_id") % 3 == 0)
+    staged = ev.unionAll(dups)  # at-least-once: every 3rd event delivered twice
+    n_staged = staged.count()
+    src_dir, is_staged = _staged_source_dir("dedup", sf_dir, n_staged)
+    if not is_staged:
+        staged.repartition(4).write.mode("overwrite").parquet(src_dir)
+        _mark_staged(src_dir, n_staged)
+
+    stream = (
+        spark.readStream.schema("event_id BIGINT, ts TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out.extend(batch_df.collect())
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    schema = "event_id BIGINT, ts TIMESTAMP, event_type STRING"
+    if out:
+        return spark.createDataFrame(out, schema)
+    return spark.createDataFrame([], schema)

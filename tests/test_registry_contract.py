@@ -24,6 +24,7 @@ ROWS_ONLY_ALLOWED = {
     "sketch_hll_mergeable",  # DataSketches binary, approximate
     "streaming_progress_events",  # streaming semantics
     "streaming_stream_stream_join",  # streaming semantics (batch-equivalence pinned in tests)
+    "streaming_dedup_watermarked",  # streaming semantics (batch-equivalence pinned in tests)
     "streaming_windowed_counts",  # streaming semantics
 }
 

@@ -201,3 +201,19 @@ class TestStreamStreamJoin:
         }
         assert streamed == batch
         assert len(batch) > 0
+
+
+class TestStreamingDedup:
+    def test_streamed_dedup_equals_batch_distinct(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.sources.catalog import load
+        from leadsight_sales_agent_spark.streaming.demo import (
+            streaming_dedup_watermarked,
+        )
+
+        got = streaming_dedup_watermarked(spark, sf_dir).collect()
+        ids = [r["event_id"] for r in got]
+        assert len(ids) == len(set(ids)), "duplicates survived the stream"
+        want = {
+            r["event_id"] for r in load(spark, sf_dir, "events").collect()
+        }
+        assert set(ids) == want, "dedup dropped or invented events"
