@@ -113,3 +113,57 @@ def setop_except_all_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.filter(F.col("source") == "src0").select("lang")
     b = docs.filter(F.col("source") == "src1").select("lang")
     return a.exceptAll(b)
+
+
+@query(
+    "union_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment AS segment, c_acctbal AS acctbal,
+           NULL AS nation_key, 'v1' AS schema_version
+    FROM customer WHERE c_custkey < 500
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, NULL, c_nationkey, 'v2'
+    FROM customer WHERE c_custkey >= 500 AND c_custkey < 1000
+    """,
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: combine two table versions whose columns
+    drifted (v1 carries acctbal, v2 replaced it with nation_key) via
+    `unionByName(allowMissingColumns=True)` — missing columns become
+    typed nulls, position is irrelevant. This is the reference's P1
+    missing→null projection (app.py:309 `reindex`) applied across
+    FILES instead of columns, and the everyday reality of reading
+    months of parquet written by evolving pipelines (Spark's parquet
+    reader does the same alignment with mergeSchema; this is the
+    explicit DataFrame form).
+
+    By-NAME alignment matters: positional `unionAll` would silently
+    pair acctbal with nation_key — wrong data, no error. Plain
+    narrow-map plan, no shuffle.
+    """
+    cust = load(spark, sf_dir, "customer")
+    v1 = (
+        cust.filter(F.col("c_custkey") < 500)
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.lit("v1").alias("schema_version"),
+        )
+    )
+    v2 = (
+        cust.filter((F.col("c_custkey") >= 500) & (F.col("c_custkey") < 1000))
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").cast("int").alias("nation_key"),
+            F.lit("v2").alias("schema_version"),
+        )
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "c_custkey",
+        "segment",
+        "acctbal",
+        F.col("nation_key").cast("int").alias("nation_key"),
+        "schema_version",
+    )

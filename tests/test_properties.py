@@ -142,3 +142,37 @@ class TestTieSafeMeanDifferential:
         con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
         got_duck = con.execute(f"SELECT {sql_davg('x', 4)} FROM t").fetchone()[0]
         assert got_duck == expected, (vals, got_duck, expected)
+
+
+class TestHashSamplingProperties:
+    """Pure-Python checks of the sampling module's core claims (no
+    Spark session needed — these pin the math the operators rely on)."""
+
+    @given(st.integers(min_value=0, max_value=2**32 - 1),
+           st.integers(min_value=0, max_value=2**32 - 1))
+    def test_hex_string_compare_equals_numeric_compare(self, a, b):
+        # fixed-width lowercase hex: lexicographic == numeric — the
+        # invariant every hash-threshold sample depends on
+        ha, hb = f"{a:08x}", f"{b:08x}"
+        assert (ha < hb) == (a < b)
+
+    @given(st.integers(min_value=0, max_value=10**12))
+    def test_md5_hex_matches_duckdb_and_spark_convention(self, key):
+        # hashlib == DuckDB md5() == Spark md5() for the same UTF-8
+        # input (spot-verified cross-engine by the sampling oracles);
+        # the sample key derivation must stay plain-string, no casts
+        # that could render differently across engines
+        import hashlib
+
+        s = f"bern:{key}"
+        h = hashlib.md5(s.encode()).hexdigest()
+        assert len(h) == 32 and h == h.lower()
+
+    @given(st.integers(min_value=0, max_value=999))
+    def test_permille_threshold_monotone_and_bounded(self, rate):
+        from leadsight_sales_agent_spark.operators.sampling import PERMILLE_UNIT
+
+        t = rate * PERMILLE_UNIT
+        assert 0 <= t < 2**32  # always a valid 8-hex-digit threshold
+        # monotone: a higher rate never lowers the threshold
+        assert (rate + 1) * PERMILLE_UNIT > t
