@@ -239,3 +239,29 @@ class TestRuntimeFilters:
                 "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
             )
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+
+
+class TestNewOperatorPlans:
+    def test_q5_no_cartesian_and_date_pushed(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "tpch_q5_local_supplier_volume")
+        assert "CartesianProduct" not in plan
+        assert any("o_orderdate" in p for p in pushed_filters(plan)), (
+            "date range not pushed to the orders scan"
+        )
+
+    def test_inverted_index_partial_object_agg(self, spark, sf_dir):
+        # collect_list aggregates via ObjectHashAggregate; the
+        # partial+final pair proves map-side partial aggregation of
+        # posting lists (vs a single final agg shuffling raw tokens)
+        plan = plan_of(spark, sf_dir, "text_inverted_index")
+        assert plan.count("ObjectHashAggregate") >= 2
+
+    def test_correlated_subquery_is_decorrelated(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "correlated_subquery_low_quantity_parts")
+        assert "scalar-subquery" not in plan, "subquery survived undecorrelated"
+        assert plan.count("HashAggregate") >= 2  # the per-part avg became an agg
+
+    def test_pattern_detection_no_self_join(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "pattern_error_after_purchase")
+        for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+            assert node not in plan, "pattern query must be join-free (lag pass)"
