@@ -781,3 +781,77 @@ def agg_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_items"),
     )
+
+
+@query(
+    "agg_bitwise_boolean_suite",
+    oracle="""
+    SELECT o_orderpriority,
+           bit_and(o_orderkey) AS key_bit_and,
+           bit_or(o_orderkey) AS key_bit_or,
+           bit_xor(o_orderkey) AS key_bit_xor,
+           bool_and(o_totalprice > 1000) AS all_over_1000,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           count(*) FILTER (WHERE o_totalprice > 50000) AS n_large
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_bitwise_boolean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and boolean aggregate surface: bit_and / bit_or /
+    bit_xor over an integer key plus bool_and / bool_or over
+    predicates, and a FILTER-ed conditional count. All are exact
+    integer/boolean algebra — associative and commutative, so they
+    partial-aggregate map-side and are bit-stable under any
+    partitioning (bit_xor in particular is the standard trick for
+    cheap order-independent set fingerprints at scale: XOR of row
+    hashes detects content drift between two 100 TB snapshots with one
+    scan each and an 8-byte comparison).
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and("o_orderkey").alias("key_bit_and"),
+        F.bit_or("o_orderkey").alias("key_bit_or"),
+        F.bit_xor("o_orderkey").alias("key_bit_xor"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1000"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(F.col("o_totalprice") > 50000).alias("n_large"),
+    )
+
+
+@query(
+    "agg_collect_ordered_topk",
+    oracle="""
+    SELECT event_type,
+           (array_agg(event_id ORDER BY value DESC, event_id DESC))[1:5]
+               AS top_event_ids
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def agg_collect_ordered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: per event type, the ids of the five
+    highest-value events as an ARRAY, ordered (value DESC, id DESC so
+    ties are total — collect order alone is nondeterministic in ANY
+    distributed engine and can never be graded on).
+
+    Spark has no `array_agg(... ORDER BY)`; the equivalent is
+    collect_list of (value, id) structs + array_sort on the struct's
+    natural (asc, asc) ordering + reverse + slice + field projection —
+    all JVM array expressions, one shuffle. Negating both sort keys
+    would also work; reverse() reads better. slice BEFORE transform
+    keeps the per-group state bounded... at true scale you'd cap the
+    collect itself with a windowed top-k first (window_topk query) —
+    here group cardinality is small and the single-agg form is the
+    point.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    sorted_pairs = F.reverse(
+        F.array_sort(F.collect_list(F.struct(F.col("value"), F.col("event_id"))))
+    )
+    return ev.groupBy("event_type").agg(
+        F.transform(F.slice(sorted_pairs, 1, 5), lambda s: s["event_id"]).alias(
+            "top_event_ids"
+        )
+    )

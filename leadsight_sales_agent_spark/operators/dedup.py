@@ -562,3 +562,68 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "component_size",
         )
     )
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS edit_dist
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang
+     AND a.n_chars // 25 = b.n_chars // 25
+     AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 15
+    WHERE levenshtein(a.text, b.text) <= greatest(a.n_chars, b.n_chars) // 5
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-duplicate pairs by edit distance: documents in the
+    same (lang, length-bucket) block whose Levenshtein distance is at
+    most 20% of the longer text. Levenshtein is the classic
+    record-linkage metric the token-set measures (Jaccard/MinHash)
+    can't replace — it catches character-level edits that preserve
+    token counts.
+
+    Scale design: edit distance is O(n·m) per pair, so the join MUST
+    be blocked — here by equality on (lang, n_chars // 25), which is a
+    plain hash-partitioned equi join (each block is one shuffle
+    bucket; no all-pairs explosion). The abs-length prefilter inside
+    the block is a free lower bound (levenshtein >= |len_a - len_b|),
+    discarding pairs before the quadratic compare runs. Bucket-boundary
+    pairs are deliberately out of contract (same trade as LSH banding);
+    at scale you'd OR an adjacent-bucket pass for full recall — same
+    plan shape, 2× cost. Both engines evaluate levenshtein natively
+    (JVM codegen / DuckDB C), no Python.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("len_a"),
+        F.floor(F.col("n_chars") / 25).alias("bucket_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("len_b"),
+        F.floor(F.col("n_chars") / 25).alias("bucket_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("bucket_a") == F.col("bucket_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= 15),
+    )
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    return (
+        pairs.withColumn("edit_dist", dist)
+        .filter(
+            F.col("edit_dist") <= F.floor(F.greatest("len_a", "len_b") / 5)
+        )
+        .select("doc_a", "doc_b", "edit_dist")
+    )

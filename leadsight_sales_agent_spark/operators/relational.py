@@ -899,3 +899,176 @@ def correlated_subquery_low_quantity_parts(spark: SparkSession, sf_dir: str) -> 
         GROUP BY l.l_partkey
         """
     )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — distribution of non-urgent order counts per
+    customer, i.e. an aggregate OF an aggregate over an outer join
+    (customers with zero qualifying orders must appear in the c_count=0
+    bucket, which an inner join would silently drop).
+
+    Scale plan: the join condition's non-key predicate
+    (o_orderpriority <> '1-URGENT') is evaluated as part of the join,
+    so Catalyst pushes it to the orders scan side BEFORE the shuffle —
+    urgent orders never cross the wire. First groupBy shuffles on
+    c_custkey (same key as the join, so AQE coalesces into one
+    exchange reuse); the second groupBy keys on c_count, whose
+    cardinality is tiny (~dozens of distinct counts) — partial
+    aggregation collapses it map-side, so the second shuffle moves a
+    few hundred rows regardless of table size. All counts are exact
+    integers: no float machinery needed.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "tpch_q4_priority_exists",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY 1
+    """,
+)
+def tpch_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — orders in a six-month window having at least
+    one line item shipped more than 30 days after the order date,
+    counted per priority. The EXISTS decorrelates to a LEFT SEMI join:
+    each order contributes once no matter how many late lines it has
+    (a plain inner join + distinct would shuffle every matching line;
+    the semi join short-circuits at the first match per key).
+
+    Scale plan: the date-window filter is applied to orders before the
+    join (pushed to the parquet scan — at 100 TB with date-partitioned
+    orders this is partition pruning, reading 6 months not 7 years).
+    The non-equi part of the predicate (l_shipdate > o_orderdate + 30d)
+    rides on the equi semi join on l_orderkey, so the shuffle is plain
+    hash partitioning on the join key. Counts are exact integers.
+    """
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late_exists = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late_exists.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+      )
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who were the SOLE late shipper on
+    multi-supplier orders (shipped >45 days after the order date while
+    every other supplier on the order shipped on time). The classic
+    EXISTS + NOT EXISTS double correlation, hand-decorrelated into a
+    semi join (some other supplier participated) plus an anti join
+    (no other supplier was late) — the same rewrite Catalyst applies
+    to the subquery form, written explicitly so the plan is visible.
+
+    Scale plan: all three self-join legs key on l_orderkey, so AQE
+    reuses one hash partitioning of lineitem across the semi and anti
+    probes instead of three independent shuffles. The late filter
+    (non-equi, needs o_orderdate) is computed once on the l1 leg by
+    joining orders first — orders:lineitem is 1:n, and the join is on
+    the natural key. The l2/l3 probe sides carry only
+    (l_orderkey, l_suppkey, l_shipdate): column pruning keeps the
+    shuffled probe rows ~20 bytes. Output is a per-supplier exact
+    count.
+    """
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > late_cut)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("p_orderkey"), F.col("l_suppkey").alias("p_suppkey")
+    )
+    some_other = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("p_orderkey"))
+        & (F.col("l_suppkey") != F.col("p_suppkey")),
+        "left_semi",
+    )
+    l3 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > late_cut)
+        .select(
+            F.col("l_orderkey").alias("q_orderkey"), F.col("l_suppkey").alias("q_suppkey")
+        )
+    )
+    sole_late = some_other.join(
+        l3,
+        (F.col("l_orderkey") == F.col("q_orderkey"))
+        & (F.col("l_suppkey") != F.col("q_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(s, sole_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
