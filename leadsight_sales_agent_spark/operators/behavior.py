@@ -11,7 +11,7 @@ no windows over unbounded partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.registry import query
@@ -272,3 +272,183 @@ def winsorize_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(clipped).alias("winsorized_total"),
         )
     )
+
+
+@query(
+    "interval_max_concurrency",
+    oracle="""
+    WITH deltas AS (
+        SELECT event_type, ts AS t, 1 AS d FROM events
+        UNION ALL
+        SELECT event_type, ts + INTERVAL 30 MINUTE AS t, -1 AS d FROM events
+    ), timeline AS (
+        SELECT event_type, t, sum(d) AS net
+        FROM deltas GROUP BY 1, 2
+    ), running AS (
+        SELECT event_type, t,
+               sum(net) OVER (PARTITION BY event_type ORDER BY t) AS conc
+        FROM timeline
+    ), peaked AS (
+        SELECT event_type, t, conc,
+               max(conc) OVER (PARTITION BY event_type) AS peak
+        FROM running
+    )
+    SELECT event_type,
+           peak AS peak_concurrency,
+           min(t) FILTER (WHERE conc = peak) AS peak_start
+    FROM peaked
+    GROUP BY event_type, peak
+    """,
+)
+def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line maximum interval overlap: treating each event as a
+    half-open 30-minute activity interval [ts, ts+30m), find per event
+    type the peak number of simultaneously active intervals and the
+    earliest instant that peak is reached. The classic O(n log n)
+    alternative to the O(n²) self-join "count overlapping intervals"
+    formulation.
+
+    Scale plan: each interval becomes two delta rows (+1 at start, -1
+    at end) — a UNION ALL, no join. Deltas are pre-aggregated per
+    (type, instant) BEFORE the window (collapses simultaneous
+    starts/ends and makes the running sum's ordering key unique, so
+    the result is deterministic without tie-break columns). The
+    running sum partitions by event_type — parallel across types, and
+    at 100 TB you'd sweep per (type, day) with carried-in open counts
+    (two-phase prefix sum) rather than one partition per type. Net-at-
+    instant semantics: an interval ending exactly when another starts
+    never counts as overlap (half-open intervals), identically encoded
+    in both engines by summing deltas per instant first.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    deltas = ev.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("d")).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    timeline = deltas.groupBy("event_type", "t").agg(F.sum("d").alias("net"))
+    w_run = Window.partitionBy("event_type").orderBy("t")
+    running = timeline.withColumn("conc", F.sum("net").over(w_run))
+    w_all = Window.partitionBy("event_type")
+    peaked = running.withColumn("peak", F.max("conc").over(w_all))
+    return peaked.groupBy("event_type", F.col("peak").alias("peak_concurrency")).agg(
+        F.min(F.when(F.col("conc") == F.col("peak"), F.col("t"))).alias("peak_start")
+    )
+
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-09-01')
+                   AS recency_days,
+               count(*) AS frequency,
+               sum(CAST(o_totalprice AS DECIMAL(25,6))) AS monetary
+        FROM orders GROUP BY 1
+    ), scored AS (
+        SELECT o_custkey, monetary,
+               ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r,
+               ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+               ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+        FROM cust
+    )
+    SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+               AS rfm_segment,
+           count(*) AS n_customers,
+           CAST(round(sum(monetary), 2) AS DOUBLE) AS segment_monetary
+    FROM scored GROUP BY 1
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the standard CRM scoring the reference's lead-prioritization
+    pipeline feeds into: quartile each customer on days-since-last-
+    order, order count, and exact lifetime spend, concatenate the three
+    quartile digits into a segment code ("111" = best), and profile
+    each segment.
+
+    Determinism: ntile needs a TOTAL order — every ORDER BY carries
+    o_custkey as tiebreak, monetary compares exact decimals, and
+    recency compares integer day diffs against a fixed anchor date.
+    Scale note: ntile is a global window (single range-sorted
+    partition for the numbering pass); per-CUSTOMER cardinality is
+    orders-of-magnitude below fact-table cardinality so this is
+    usually fine, and the 100 TB fallback is quartile CUTPOINTS from
+    exact percentiles + a broadcast join — same segments, no global
+    numbering. The one-shuffle groupBy(o_custkey) does the heavy
+    lifting; everything after operates on the small per-customer frame.
+    """
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"), F.max("o_orderdate").cast("date")
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("monetary"),
+    )
+    r_w = Window.orderBy("recency_days", "o_custkey")
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r"),
+        F.ntile(4).over(f_w).alias("f"),
+        F.ntile(4).over(m_w).alias("m"),
+    )
+    return scored.groupBy(
+        F.concat(
+            F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")
+        ).alias("rfm_segment")
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).cast("double").alias("segment_monetary"),
+    )
+
+
+@query(
+    "gaps_islands_event_days",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), isl AS (
+        SELECT user_id,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS anchor
+        FROM days
+    ), islands AS (
+        SELECT user_id, anchor, count(*) AS island_len
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT island_len, count(*) AS n_islands
+    FROM islands GROUP BY 1
+    """,
+)
+def gaps_islands_event_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: group each user's active calendar days into
+    maximal runs of consecutive days (islands), and report the
+    distribution of island lengths — the canonical "streak" analysis
+    (how long do users stay active without a day off?).
+
+    The trick: for consecutive days, date - row_number() is constant —
+    so the island key falls out of one window function, no self-join,
+    no iterative stitching. Plan: distinct (user, day) first (one
+    shuffle, collapses the fact table to at most users×days rows),
+    row_number partitioned BY USER (parallel, no global sort), then
+    two cheap hash aggregations. Everything is integer/date algebra —
+    bit-stable by construction. At 100 TB the distinct is the only
+    heavy stage and it partial-aggregates map-side; the window
+    partition key (user_id) is the same as the distinct's leading key,
+    so AQE reuses the exchange.
+    """
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id", F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor")
+    )
+    islands = isl.groupBy("user_id", "anchor").agg(F.count("*").alias("island_len"))
+    return islands.groupBy("island_len").agg(F.count("*").alias("n_islands"))

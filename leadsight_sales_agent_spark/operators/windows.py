@@ -619,3 +619,126 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nation_revenue") * 100 / F.sum("nation_revenue").over(w), 4
         ).alias("pct_of_region"),
     )
+
+
+@query(
+    "pareto_abc_parts",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+                   AS part_rev
+        FROM lineitem GROUP BY 1
+    ), cum AS (
+        SELECT l_partkey, part_rev,
+               sum(part_rev) OVER (ORDER BY part_rev DESC, l_partkey) AS cum_rev,
+               sum(part_rev) OVER () AS total_rev
+        FROM rev
+    )
+    SELECT CASE WHEN cum_rev * 10 <= total_rev * 8 THEN 'A'
+                WHEN cum_rev * 20 <= total_rev * 19 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*) AS n_parts,
+           CAST(round(sum(part_rev), 2) AS DOUBLE) AS class_revenue
+    FROM cum GROUP BY 1
+    """,
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: rank parts by revenue,
+    take the running revenue share, and label the parts covering the
+    first 80% of revenue 'A', the next 15% 'B', the tail 'C' — the
+    80/20 analysis every supply-chain warehouse runs.
+
+    Cross-engine exactness: the share thresholds are evaluated WITHOUT
+    division — `cum*10 <= total*8` instead of `cum/total <= 0.8` —
+    because decimal÷decimal rounds differently per engine while
+    decimal×integer is exact. Running sum orders by (part_rev DESC,
+    l_partkey): a total order, so the cumulative value at each row is
+    unique and deterministic. Scale: the per-part aggregation is the
+    only fact-table shuffle; the ranked running sum runs over the
+    much smaller per-part frame but IS a single-partition window here
+    — the 100 TB form is the two-phase prefix sum (per-partition
+    presums + broadcast cumulative offsets), same algebra, and the
+    final classify/count is a 3-group aggregate either way.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")
+        ).alias("part_rev")
+    )
+    w_cum = Window.orderBy(F.desc("part_rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy()
+    cum = rev.select(
+        "part_rev",
+        F.sum("part_rev").over(w_cum).alias("cum_rev"),
+        F.sum("part_rev").over(w_tot).alias("total_rev"),
+    )
+    cls = (
+        F.when(F.col("cum_rev") * 10 <= F.col("total_rev") * 8, "A")
+        .when(F.col("cum_rev") * 20 <= F.col("total_rev") * 19, "B")
+        .otherwise("C")
+    )
+    return cum.groupBy(cls.alias("abc_class")).agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum("part_rev"), 2).cast("double").alias("class_revenue"),
+    )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER w AS rn,
+               first_value(event_type) OVER w AS first_event,
+               last_value(event_type) OVER w AS last_event,
+               nth_value(event_type, 3) OVER w AS third_event,
+               first_value(CASE WHEN event_type = 'purchase' THEN value END
+                           IGNORE NULLS) OVER w AS first_purchase_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, first_event, last_event, third_event,
+           first_purchase_value
+    FROM ordered WHERE rn = 1
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-boundary window functions: per user's full event history
+    (ordered by ts with event_id tiebreak — a total order, mandatory
+    for grading), the first event type, the last, the third
+    (nth_value, NULL for users with <3 events), and the value of the
+    first 'purchase' — first_value with IGNORE NULLS over a CASE, the
+    standard "first matching event" idiom that avoids a second
+    self-join pass.
+
+    The frame must be explicitly ROWS UNBOUNDED PRECEDING..UNBOUNDED
+    FOLLOWING: with the default frame (unbounded preceding..current
+    row), last_value degenerates to the current row and nth_value
+    returns NULL until row 3 — the classic window-frame footgun, same
+    in every engine. One shuffle on user_id; the rn=1 filter collapses
+    to one row per user without a second aggregation (Spark plans
+    first/last/nth in the same WindowExec pass as row_number).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    out = ev.select(
+        "user_id",
+        F.row_number().over(w_rn).alias("rn"),
+        F.first("event_type").over(w).alias("first_event"),
+        F.last("event_type").over(w).alias("last_event"),
+        F.nth_value("event_type", 3).over(w).alias("third_event"),
+        F.first(purchase_val, ignorenulls=True).over(w).alias("first_purchase_value"),
+    )
+    return out.filter(F.col("rn") == 1).drop("rn")

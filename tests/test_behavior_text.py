@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from leadsight_sales_agent_spark import registry
 from leadsight_sales_agent_spark.operators.text import CHUNK_SIZE, CHUNK_STRIDE
 from leadsight_sales_agent_spark.sources.catalog import load
@@ -186,3 +188,49 @@ class TestChunkingDifferential:
                 want[(i, k)] = hashlib.md5(piece.encode()).hexdigest()
                 k += 1
         assert got == want
+
+
+class TestZorderKey:
+    """zorder_key16 vs an independent pure-Python Morton reference —
+    the oracle SQL shares the spread algebra, so a mirrored bug would
+    pass the hash gate; this catches it."""
+
+    @staticmethod
+    def _py_morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    def test_matches_bitwise_reference(self, spark):
+        from leadsight_sales_agent_spark.operators.layout import zorder_key16
+
+        cases = [(0, 0), (1, 0), (0, 1), (65535, 0), (0, 65535),
+                 (65535, 65535), (1500, 2404), (43690, 21845), (70000, 3)]
+        df = spark.createDataFrame(cases, "a long, b long")
+        got = {
+            (r["a"], r["b"]): r["z"]
+            for r in df.select(
+                "a", "b", zorder_key16(F.col("a"), F.col("b")).alias("z")
+            ).collect()
+        }
+        for a, b in cases:
+            assert got[(a, b)] == self._py_morton(a & 65535, b & 65535), (a, b)
+
+    def test_interleave_is_monotone_in_each_dim(self, spark):
+        # Fixing one dimension, the key is strictly increasing in the
+        # other — the property that makes min/max pruning work.
+        from leadsight_sales_agent_spark.operators.layout import zorder_key16
+
+        rows = spark.createDataFrame(
+            [(x,) for x in range(64)], "x long"
+        ).select(
+            zorder_key16(F.col("x"), F.lit(7)).alias("zx"),
+            zorder_key16(F.lit(7), F.col("x")).alias("zy"),
+            "x",
+        ).orderBy("x").collect()
+        zx = [r["zx"] for r in rows]
+        zy = [r["zy"] for r in rows]
+        assert zx == sorted(zx) and len(set(zx)) == 64
+        assert zy == sorted(zy) and len(set(zy)) == 64
