@@ -17,7 +17,7 @@ from __future__ import annotations
 from functools import reduce
 from operator import add
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
@@ -854,4 +854,111 @@ def agg_collect_ordered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.slice(sorted_pairs, 1, 5), lambda s: s["event_id"]).alias(
             "top_event_ids"
         )
+    )
+
+
+@query(
+    "agg_string_concat_ordered",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
+           count(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg ... ORDER BY):
+    the comma-joined, alphabetized nation list per region. Collect
+    order is nondeterministic in any distributed engine, so the sort
+    must be explicit: collect_list → array_sort → concat_ws gives the
+    deterministic equivalent, entirely in JVM array expressions (the
+    same shape SQL:2016 LISTAGG ... WITHIN GROUP compiles to).
+    Scale note: the aggregated string is unbounded in group size —
+    at 100 TB you cap it (slice before concat) or keep the ARRAY form;
+    the string form exists because downstream BI contracts want CSV.
+    """
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations_csv"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+@query(
+    "agg_rollup_time_hierarchy",
+    oracle=f"""
+    SELECT year(o_orderdate) AS o_year,
+           quarter(o_orderdate) AS o_quarter,
+           month(o_orderdate) AS o_month,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate), month(o_orderdate))
+    """,
+)
+def agg_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy rollup: order counts and exact revenue at
+    month, quarter, year, and grand-total grains in ONE pass — the
+    time-dimension twin of the geo rollup (region→nation). ROLLUP
+    compiles to an Expand node: each input row fans out once per
+    grain level and a single hash aggregation handles all levels, so
+    the fact table is scanned once, not once per grain (the 100 TB
+    alternative — four separate GROUP BYs — is 4 scans and 4
+    shuffles). Subtotal rows carry NULL grain keys, exercised by the
+    NULL-normalizing compare. Decimal-path sums keep every grain's
+    revenue bit-identical.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.rollup(
+        F.year("o_orderdate").alias("o_year"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.month("o_orderdate").alias("o_month"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH b AS (
+        SELECT o_totalprice,
+               ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT bucket, count(*) AS n_rows,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM b GROUP BY 1
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram: 8 buckets with (near-)equal row counts and
+    data-driven boundaries — the complement of agg_histogram_totalprice
+    (equi-WIDTH: fixed boundaries, varying counts). Equi-depth is what
+    optimizers keep as column statistics, because selectivity per
+    bucket is constant by construction.
+
+    ntile needs a total order (o_orderkey tiebreak) to be gradable.
+    The lo/hi columns are raw doubles — pure min/max, no arithmetic,
+    so bit-safe. Scale note: global ntile = a RangePartitioner sort
+    (parallel) + per-partition numbering with broadcast offsets; at
+    100 TB you'd read the 7 cutpoints off approx_percentile instead
+    and bucket by comparison — one pass, no sort — trading exact equal
+    depth for ±ε. Both forms ship; this one is the exact anchor.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    b = o.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
     )

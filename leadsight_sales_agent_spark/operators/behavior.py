@@ -452,3 +452,114 @@ def gaps_islands_event_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     islands = isl.groupBy("user_id", "anchor").agg(F.count("*").alias("island_len"))
     return islands.groupBy("island_len").agg(F.count("*").alias("n_islands"))
+
+
+@query(
+    "market_basket_part_pairs",
+    oracle="""
+    WITH lines AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM lines a
+    JOIN lines b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: pairs of parts appearing together
+    in at least two orders — the support-counting core of association
+    mining (the reference scores leads one at a time; a warehouse asks
+    what they buy together).
+
+    Scale design: the pair expansion is a self-join on l_orderkey, so
+    its output is bounded by Σ basket_size² per order — NOT all-pairs
+    over parts. Shuffle keys on orderkey; the distinct first collapses
+    duplicate (order, part) lines so a part counted twice in one order
+    can't inflate support. The pair-key groupBy partial-aggregates
+    map-side; the HAVING floor prunes the long singleton tail before
+    any downstream join. A pathological mega-basket (one order with
+    10⁵ parts) would square — production guard is a basket-size cap
+    (count per order ≤ K) exactly like the LSH bucket cap in dedup.py.
+    """
+    lines = (
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = lines.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = lines.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (a.ok == b.ok) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@query(
+    "outlier_mad_orders",
+    oracle="""
+    WITH seg AS (
+        SELECT c.c_mktsegment AS segment, o.o_totalprice AS price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), med AS (
+        SELECT segment, quantile_cont(price, 0.5) AS seg_median
+        FROM seg GROUP BY 1
+    ), dev AS (
+        SELECT s.segment, s.price, m.seg_median,
+               abs(s.price - m.seg_median) AS adev
+        FROM seg s JOIN med m ON s.segment = m.segment
+    ), mad AS (
+        SELECT segment, quantile_cont(adev, 0.5) AS seg_mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.segment,
+           any_value(d.seg_median) AS seg_median,
+           any_value(t.seg_mad) AS seg_mad,
+           count(*) FILTER (WHERE d.adev > 3 * t.seg_mad) AS n_outliers,
+           count(*) AS n_orders
+    FROM dev d JOIN mad t ON d.segment = t.segment
+    GROUP BY 1
+    """,
+)
+def outlier_mad_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation: per
+    market segment, the median price, the MAD, and how many orders sit
+    more than 3 MADs from the median. MAD is the robust twin of the
+    z-score query (outlier_zscore_orders): one extreme value shifts a
+    mean/stddev but not a median/MAD, so the flag threshold itself
+    can't be dragged by the outliers it hunts.
+
+    Cross-engine exactness: exact interpolated medians are binary-safe
+    (the interpolation is (a+b)/2 — an exact double op, pinned by
+    agg_percentiles_quantity), |x − med| is a single IEEE subtraction,
+    and 3·MAD a single product — deterministic everywhere, no decimal
+    machinery needed because nothing is ever summed. Plan: two
+    grouped-percentile passes with a broadcast of the per-segment
+    medians between them (5 rows); the fact table shuffles once for
+    the first percentile, and AQE broadcast-joins the rest.
+    """
+    seg = (
+        load(spark, sf_dir, "orders")
+        .join(load(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price"))
+    )
+    med = seg.groupBy("segment").agg(
+        F.percentile("price", F.lit(0.5)).alias("seg_median")
+    )
+    dev = seg.join(F.broadcast(med), "segment").withColumn(
+        "adev", F.abs(F.col("price") - F.col("seg_median"))
+    )
+    mad = dev.groupBy("segment").agg(F.percentile("adev", F.lit(0.5)).alias("seg_mad"))
+    return (
+        dev.join(F.broadcast(mad), "segment")
+        .groupBy("segment")
+        .agg(
+            F.any_value("seg_median").alias("seg_median"),
+            F.any_value("seg_mad").alias("seg_mad"),
+            F.count_if(F.col("adev") > 3 * F.col("seg_mad")).alias("n_outliers"),
+            F.count("*").alias("n_orders"),
+        )
+    )

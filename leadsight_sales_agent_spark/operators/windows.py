@@ -742,3 +742,47 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first(purchase_val, ignorenulls=True).over(w).alias("first_purchase_value"),
     )
     return out.filter(F.col("rn") == 1).drop("rn")
+
+
+@query(
+    "window_range_interval_counts",
+    oracle="""
+    SELECT event_id,
+           count(*) OVER w AS n_prev_hour,
+           CAST(round(sum(CAST(value AS DECIMAL(25,6))) OVER w, 2) AS DOUBLE)
+               AS value_prev_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed (value-based) window: for every event, how many
+    events the same user produced in the trailing hour and their exact
+    value sum — the per-event velocity feature behind rate limiting and
+    fraud scoring. Unlike the tumbling/sliding bucket windows, the
+    frame here is anchored at EACH row and bounded by an interval of
+    the ORDER BY value, not by row counts.
+
+    Determinism: RANGE frames include all peers of the boundary value,
+    so ties in ts need no tiebreak — every row with equal timestamp
+    gets the identical frame in both engines (a ROWS frame here would
+    be nondeterministic under ties and ungradable). The ordering key is
+    exact integer microseconds (`unix_micros` / `epoch_us` — the r1
+    session-gap lesson), and the frame sum takes the decimal path.
+    One shuffle on user_id; Spark evaluates the running frame with a
+    sliding two-pointer pass per partition, O(n) not O(n·frame).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.count("*").over(w).alias("n_prev_hour"),
+        F.round(F.sum(F.col("value").cast("decimal(25,6)")).over(w), 2)
+        .cast("double")
+        .alias("value_prev_hour"),
+    )

@@ -265,3 +265,58 @@ class TestNewOperatorPlans:
         plan = plan_of(spark, sf_dir, "pattern_error_after_purchase")
         for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
             assert node not in plan, "pattern query must be join-free (lag pass)"
+
+
+class TestRound2WaveTwoPlans:
+    def test_fuzzy_levenshtein_is_equi_join(self, spark, sf_dir):
+        # The (lang, bucket) blocking keys must drive a hash-based equi
+        # join; a BNLJ/cartesian would mean the blocking collapsed and
+        # the O(n·m) levenshtein runs over all pairs.
+        plan = plan_of(spark, sf_dir, "dedup_fuzzy_levenshtein")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q4_semi_join_with_date_pushdown(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "tpch_q4_priority_exists")
+        assert "LeftSemi" in plan, "EXISTS did not plan as a semi join"
+        assert any("o_orderdate" in p for p in pushed_filters(plan)), (
+            "order-date window not pushed to the orders scan"
+        )
+
+    def test_q21_semi_then_anti(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "tpch_q21_waiting_supplier")
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_market_basket_no_cartesian(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "market_basket_part_pairs")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_mad_outliers_broadcasts_stats(self, spark, sf_dir):
+        # The per-segment median/MAD frames are a handful of rows; the
+        # join back to the fact side must broadcast them, not shuffle
+        # the fact table twice more.
+        plan = plan_of(spark, sf_dir, "outlier_mad_orders")
+        assert "BroadcastHashJoin" in plan
+
+    def test_zorder_single_aggregation_no_join(self, spark, sf_dir):
+        # Pure scan → project (bit algebra) → one hash aggregate.
+        plan = plan_of(spark, sf_dir, "zorder_locality_buckets")
+        for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+            assert node not in plan
+        assert "HashAggregate" in plan
+
+    def test_sweep_line_no_join(self, spark, sf_dir):
+        # Union of ±1 deltas + aggregates + windows — a join would mean
+        # the O(n²) overlap formulation snuck back in.
+        plan = plan_of(spark, sf_dir, "interval_max_concurrency")
+        for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+            assert node not in plan
+        assert "Union" in plan
+
+    def test_range_interval_window_single_shuffle(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "window_range_interval_counts")
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges <= 1, "range window should shuffle once"
+        assert "Window" in plan
