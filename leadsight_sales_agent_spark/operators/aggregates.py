@@ -962,3 +962,104 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+CM_DEPTHS = 4  # independent hash rows; P(all 4 collide on a heavy key) ~ (1/256)^4
+CM_TOP = 10
+
+
+@query(
+    "sketch_countmin_heavy_hitters",
+    oracle=f"""
+    WITH rows_d AS (
+        SELECT o_custkey, g.d,
+               substr(md5('cm' || CAST(g.d AS VARCHAR) || '|'
+                          || CAST(o_custkey AS VARCHAR)), 1, 2) AS bucket
+        FROM orders, unnest(generate_series(0, {CM_DEPTHS - 1})) AS g(d)
+    ), sketch AS (
+        SELECT d, bucket, count(*) AS c FROM rows_d GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT o_custkey, d, bucket FROM rows_d
+    ), est AS (
+        SELECT cand.o_custkey, min(s.c) AS est_n
+        FROM cand JOIN sketch s ON cand.d = s.d AND cand.bucket = s.bucket
+        GROUP BY 1
+    ), truth AS (
+        SELECT o_custkey, count(*) AS true_n FROM orders GROUP BY 1
+    )
+    SELECT e.o_custkey, e.est_n, t.true_n
+    FROM est e JOIN truth t ON e.o_custkey = t.o_custkey
+    ORDER BY e.est_n DESC, e.o_custkey ASC
+    LIMIT {CM_TOP}
+    """,
+)
+def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters — fully deterministic and
+    oracle-checked, unlike most sketch demos: the hash rows are hex
+    prefixes of md5 (identical in every engine), so the sketch, the
+    min-estimate, and the top-10 ranking are all bit-reproducible.
+
+    The sketch is a FIXED 4×256 counter grid regardless of input size
+    — each row increments one bucket per depth, the grid is mergeable
+    by cell-wise addition (per-day grids sum into a month), and
+    estimate(key) = min over depths of its bucket counts, an upper
+    bound on the true count that the output exposes side-by-side with
+    the exact count (est_n >= true_n always; equality when no
+    collision). At 100 TB: build is one hash-agg over (depth, bucket)
+    — 1024 cells of state, partial-aggregated map-side; estimates
+    broadcast the 1024-cell grid to join candidates. The md5-prefix
+    bucket trick costs more than xxhash64 (the production choice) but
+    buys engine portability — same trade as the sampling family.
+    """
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    rows_d = o.select(
+        "o_custkey", F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTHS - 1))).alias("d")
+    ).withColumn(
+        "bucket",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("cm"),
+                    F.col("d").cast("string"),
+                    F.lit("|"),
+                    F.col("o_custkey").cast("string"),
+                )
+            ),
+            1,
+            2,
+        ),
+    )
+    sketch = rows_d.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    cand = rows_d.distinct()
+    est = (
+        cand.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("o_custkey")
+        .agg(F.min("c").alias("est_n"))
+    )
+    truth = o.groupBy("o_custkey").agg(F.count("*").alias("true_n"))
+    return (
+        est.join(truth, "o_custkey")
+        .orderBy(F.desc("est_n"), F.asc("o_custkey"))
+        .limit(CM_TOP)
+    )
+
+
+@query("agg_approx_percentiles")  # t-digest-style sketch ≠ DuckDB's → rows-only
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: approx_percentile builds a mergeable
+    quantile sketch in one pass — no global sort, bounded memory —
+    where the exact interpolated form (agg_percentiles_quantity, the
+    correctness anchor) needs the full sorted column. Accuracy
+    parameter 10000 bounds rank error to ~0.01%; the unit layer pins
+    the estimates against the exact percentiles.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)"
+    )
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.get(pct, 0).alias("p25_approx"),
+        F.get(pct, 1).alias("p50_approx"),
+        F.get(pct, 2).alias("p75_approx"),
+        F.count("*").alias("n_rows"),
+    )

@@ -51,6 +51,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # fit a time budget.
 _ROWS_ONLY_COST_ORDER = [
     "agg_approx_count_distinct",
+    "agg_approx_percentiles",
     "sketch_hll_mergeable",
     "neardup_simhash",
     "multimodal_feature_extract",

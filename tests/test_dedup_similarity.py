@@ -229,3 +229,46 @@ class TestConnectedComponents:
                 parent[max(ra, rb)] = min(ra, rb)
         want = {n: find(n) for n in parent}
         assert got == want
+
+
+class TestCountMinSketch:
+    def test_estimate_upper_bounds_truth(self, spark, sf_dir):
+        # One-sided error is THE count-min invariant: est >= true for
+        # every key (collisions only inflate).
+        from leadsight_sales_agent_spark import registry
+
+        registry.load_all()
+        rows = registry.QUERIES["sketch_countmin_heavy_hitters"](
+            spark, sf_dir
+        ).collect()
+        assert rows, "heavy-hitter output empty"
+        for r in rows:
+            assert r["est_n"] >= r["true_n"], (r["o_custkey"], r["est_n"], r["true_n"])
+
+    def test_approx_percentiles_envelope(self, spark, sf_dir):
+        from leadsight_sales_agent_spark import registry
+        from leadsight_sales_agent_spark.sources.catalog import load
+        from pyspark.sql import functions as F
+
+        registry.load_all()
+        approx = {
+            r["returnflag"]: r
+            for r in registry.QUERIES["agg_approx_percentiles"](spark, sf_dir).collect()
+        }
+        exact = {
+            r["returnflag"]: r
+            for r in load(spark, sf_dir, "lineitem")
+            .groupBy(F.col("l_returnflag").alias("returnflag"))
+            .agg(
+                F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+                F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+                F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
+            )
+            .collect()
+        }
+        for flag, a in approx.items():
+            e = exact[flag]
+            for ap, ep in (("p25_approx", "p25"), ("p50_approx", "p50"), ("p75_approx", "p75")):
+                # accuracy=10000 → rank error ~1e-4; translate to a loose
+                # 2% value tolerance on this smooth distribution
+                assert abs(a[ap] - e[ep]) / e[ep] < 0.02, (flag, ap, a[ap], e[ep])

@@ -13,6 +13,7 @@ registry.load_all()
 # rows-only is reserved for genuinely non-SQL-expressible operators
 ROWS_ONLY_ALLOWED = {
     "agg_approx_count_distinct",  # HLL internals differ from DuckDB's
+    "agg_approx_percentiles",  # quantile-sketch internals differ from DuckDB's
     "knn_cosine_lsh",  # approximate by design
     "knn_cosine_ivf",  # approximate by design (cell pruning)
     "knn_cosine_ivf_pruned",  # approximate + scratch-staged layout
