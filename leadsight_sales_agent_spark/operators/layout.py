@@ -15,7 +15,7 @@ ahead of a parquet write.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.registry import query
@@ -104,4 +104,58 @@ def zorder_locality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ck").alias("max_custkey"),
         F.min("dy").alias("min_day"),
         F.max("dy").alias("max_day"),
+    )
+
+
+COMPACT_TARGET = 16384  # bytes per output file (scaled-down stand-in)
+
+
+@query(
+    "compaction_bin_packing",
+    oracle=f"""
+    WITH sized AS (
+        SELECT source, doc_id, n_chars,
+               sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        FROM documents
+    ), binned AS (
+        SELECT source, doc_id, n_chars,
+               (cum - n_chars) // {COMPACT_TARGET} AS bin
+        FROM sized
+    )
+    SELECT source, bin,
+           count(*) AS n_files,
+           sum(n_chars) AS total_bytes,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planner for the small-files problem: assign each
+    document ("file") to a target-sized output bin by start-offset
+    packing — a file goes to the bin where its cumulative start offset
+    lands, so every bin holds ≥ TARGET bytes except the last per
+    partition. This is the planning pass behind OPTIMIZE/compact jobs:
+    the output (bin → file ranges) IS the task list a rewrite stage
+    executes, and contiguous doc_id ranges per bin mean each task reads
+    a sequential slice.
+
+    Deterministic by construction: pure integer running sum ordered by
+    (source, doc_id) — a total order. Scale: the window partitions by
+    source, so each table partition packs independently and in
+    parallel (the global-prefix-sum variant is only needed if bins may
+    span sources — they shouldn't: compaction preserves partition
+    boundaries). One shuffle on source; the aggregate reuses the same
+    partitioning.
+    """
+    d = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    binned = d.withColumn(
+        "bin",
+        F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / COMPACT_TARGET),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_chars").alias("total_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )

@@ -786,3 +786,46 @@ def window_range_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_prev_hour"),
     )
+
+
+@query(
+    "window_running_distinct_users",
+    oracle="""
+    WITH fu AS (
+        SELECT event_type, user_id, min(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY 1, 2
+    ), daily AS (
+        SELECT event_type, first_day AS day, count(*) AS new_users
+        FROM fu GROUP BY 1, 2
+    )
+    SELECT event_type, day, new_users,
+           sum(new_users) OVER (PARTITION BY event_type ORDER BY day)
+               AS cum_distinct_users
+    FROM daily
+    """,
+)
+def window_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over time — cumulative unique users per
+    event type by day. Neither Spark nor most engines support
+    count(DISTINCT) as a window function, and the naive emulation
+    (size(collect_set()) over an unbounded frame) carries the whole
+    set in per-row window state. The scalable identity: a user is NEW
+    exactly once — on their first-seen day — so cumulative distinct =
+    running sum of first-appearance counts. That turns unbounded
+    set-state into two hash aggregations plus a running sum over the
+    tiny (type, day) grid.
+
+    Shuffles: groupBy(type, user) → groupBy(type, day) — second is a
+    subset-key repartition of the first; the window runs over ~types ×
+    days rows, negligible at any scale. All integer counts; date
+    ordering is total per partition (one row per day).
+    """
+    ev = load(spark, sf_dir, "events")
+    fu = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = fu.groupBy("event_type", F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.withColumn("cum_distinct_users", F.sum("new_users").over(w))
