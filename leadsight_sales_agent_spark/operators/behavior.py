@@ -563,3 +563,88 @@ def outlier_mad_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+@query(
+    "drift_psi_event_mix",
+    oracle="""
+    WITH halves AS (
+        SELECT event_type,
+               count(*) FILTER (WHERE ts <  TIMESTAMP '2024-01-16') AS c1,
+               count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16') AS c2
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT sum(c1) AS t1, sum(c2) AS t2 FROM halves
+    )
+    SELECT h.event_type, h.c1, h.c2,
+           round((CAST(h.c1 AS DOUBLE) / t.t1 - CAST(h.c2 AS DOUBLE) / t.t2)
+                 * ln((CAST(h.c1 AS DOUBLE) / t.t1)
+                      / (CAST(h.c2 AS DOUBLE) / t.t2)), 4) AS psi_term
+    FROM halves h CROSS JOIN tot t
+    """,
+)
+def drift_psi_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two time periods: per event
+    type, the PSI contribution (p1−p2)·ln(p1/p2) comparing the event
+    mix of the first vs second half of the window — the standard
+    drift alarm run before retraining on fresh data (PSI > 0.2 total
+    = investigate).
+
+    Both periods aggregate in ONE scan via conditional counts (no
+    second pass, no union); the totals are a 1-row cross join. The raw
+    counts ship alongside so the consumer can re-derive PSI at any
+    grouping. Floats: count ratios are exact-integer divisions
+    (deterministic doubles); ln() is libm vs Java Math.log — possibly
+    1 ulp apart — so the term is rounded to 4 decimals, far above ulp
+    noise (the corr-rounding precedent). Zero-count cells would need
+    the usual ε-floor; this dataset has none, and the oracle would
+    NaN identically anyway.
+    """
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    halves = ev.groupBy("event_type").agg(
+        F.count_if(F.col("ts") < cut).alias("c1"),
+        F.count_if(F.col("ts") >= cut).alias("c2"),
+    )
+    tot = halves.agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+    p1 = F.col("c1").cast("double") / F.col("t1")
+    p2 = F.col("c2").cast("double") / F.col("t2")
+    return halves.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "c1",
+        "c2",
+        F.round((p1 - p2) * F.log(p1 / p2), 4).alias("psi_term"),
+    )
+
+
+@query(
+    "seasonality_heatmap_events",
+    oracle="""
+    SELECT isodow(ts) - 1 AS dow,
+           hour(ts) AS hod,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE)
+               AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def seasonality_heatmap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality heatmap: event volume and exact value by
+    (day-of-week × hour-of-day) — the 7×24 grid behind every traffic
+    dashboard and the capacity model behind autoscaling. Day-of-week
+    numbering is the classic cross-engine trap: Spark's dayofweek() is
+    Sunday=1 while DuckDB's dayofweek() is Sunday=0 — both sides here
+    use the ISO convention (Monday=0: Spark weekday(), DuckDB
+    isodow−1), pinned by the oracle. Single scan, one 168-group
+    hash-agg, fully map-side partial — the cheapest query in the
+    registry at any scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.weekday("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )

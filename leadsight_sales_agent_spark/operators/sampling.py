@@ -319,3 +319,122 @@ def sample_importance_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hash_key("imp:", F.col("doc_id")) < F.col("_t"))
         .drop("_t")
     )
+
+
+@query(
+    "leakage_check_splits",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id,
+               md5(lower(substr(trim(text), 1, 40))) AS h,
+               CASE WHEN {_SQL_HASH.format(salt='split:', key='doc_id')}
+                         < '{THRESH_80PCT}' THEN 'train'
+                    WHEN {_SQL_HASH.format(salt='split:', key='doc_id')}
+                         < '{THRESH_90PCT}' THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), train_prints AS (
+        SELECT DISTINCT h FROM a WHERE split = 'train'
+    )
+    SELECT a.split AS eval_split,
+           count(*) AS n_leaked_docs,
+           count(DISTINCT a.h) AS n_leaked_contents
+    FROM a JOIN train_prints t ON a.h = t.h
+    WHERE a.split <> 'train'
+    GROUP BY 1
+    """,
+)
+def leakage_check_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: eval-split documents whose
+    content fingerprint (md5 of the first 40 normalized chars — a
+    cheap prefix near-dup key) also appears in the train split. The
+    hygiene gate every training pipeline must run AFTER splitting:
+    hash-based splits guarantee a ROW never crosses splits, but say
+    nothing about near-identical CONTENT landing on both sides, which
+    silently inflates eval scores.
+
+    Plan: one scan assigns split + fingerprint; the train-side
+    fingerprint set deduplicates, then a semi join flags eval docs
+    whose print it contains. At 100 TB the train-print side is large —
+    the semi join hash-partitions both sides on the fingerprint
+    (no broadcast; this is the same scale shape as exact dedup). The
+    fingerprint is deliberately the weakest/cheapest member of the
+    near-dup family here — MinHash-LSH (neardup_minhash_lsh) is the
+    thorough cross-split contamination pass, same join shape.
+    """
+    docs = load(spark, sf_dir, "documents")
+    hk = hash_key("split:", F.col("doc_id"))
+    split = (
+        F.when(hk < F.lit(THRESH_80PCT), "train")
+        .when(hk < F.lit(THRESH_90PCT), "valid")
+        .otherwise("test")
+    )
+    a = docs.select(
+        F.md5(F.lower(F.substring(F.trim(F.col("text")), 1, 40))).alias("h"),
+        split.alias("split"),
+    )
+    train_prints = a.filter(F.col("split") == "train").select("h").distinct()
+    ev = a.filter(F.col("split") != "train")
+    return (
+        ev.join(train_prints, "h", "left_semi")
+        .groupBy(F.col("split").alias("eval_split"))
+        .agg(
+            F.count("*").alias("n_leaked_docs"),
+            F.count_distinct("h").alias("n_leaked_contents"),
+        )
+    )
+
+
+AB_ARM_THRESHOLD = "80000000"  # md5-hex midpoint: 50/50 assignment
+
+
+@query(
+    "ab_deterministic_assignment",
+    oracle=f"""
+    WITH arms AS (
+        SELECT user_id,
+               CASE WHEN {_SQL_HASH.format(salt='ab:', key='user_id')}
+                         < '{AB_ARM_THRESHOLD}' THEN 'A' ELSE 'B' END AS arm
+        FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT a.arm,
+           count(DISTINCT e.user_id) AS n_users,
+           count(*) FILTER (WHERE e.event_type = 'purchase') AS n_purchases,
+           CAST(round(sum(CASE WHEN e.event_type = 'purchase'
+                               THEN CAST(e.value AS DECIMAL(25,6)) END), 2)
+                AS DOUBLE) AS purchase_value
+    FROM events e JOIN arms a ON e.user_id = a.user_id
+    GROUP BY 1
+    """,
+)
+def ab_deterministic_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment assignment + per-arm outcome
+    rollup: each user hashes into arm A or B (salted md5 threshold —
+    same family as the sampling splits), so assignment is stable
+    across runs, engines, and cluster layouts with NO assignment table
+    to store or join-version. The rollup reports exposure (distinct
+    users), conversions, and exact purchase value per arm; lift and
+    significance are downstream arithmetic on these exact integers —
+    deliberately NOT computed here, because ratios of decimals are the
+    one thing the cross-engine contract can't hash-check.
+
+    Plan: arm is a pure row-local expression on the event stream (the
+    distinct-users CTE exists only to make the oracle's
+    user-granularity explicit; Spark computes the arm inline per
+    event, identical result). One shuffle for the per-arm aggregate;
+    count(DISTINCT user) rides the same shuffle via partial sets.
+    """
+    ev = load(spark, sf_dir, "events")
+    arm = F.when(
+        hash_key("ab:", F.col("user_id")) < F.lit(AB_ARM_THRESHOLD), "A"
+    ).otherwise("B")
+    is_purchase = F.col("event_type") == "purchase"
+    return ev.groupBy(arm.alias("arm")).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_if(is_purchase).alias("n_purchases"),
+        F.round(
+            F.sum(F.when(is_purchase, F.col("value").cast("decimal(25,6)"))), 2
+        )
+        .cast("double")
+        .alias("purchase_value"),
+    )
