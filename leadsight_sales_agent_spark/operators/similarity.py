@@ -486,3 +486,133 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label_b",
         F.round(F.col("dp") / (F.col("na") * F.col("nb")), 4).alias("cosine"),
     )
+
+
+# -- K-means training (the IVF coarse quantizer's training step) -------------
+
+KM_K = 8
+KM_ITERS = 3
+
+
+def kmeans_fit(spark: SparkSession, emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS):
+    """Lloyd's k-means over an embedding column, Spark-native.
+
+    Deterministic init: the k corpus vectors with the smallest salted
+    md5 of their id (a reproducible pseudo-random sample — same device
+    as the sampling family). Each iteration: (1) assign every vector to
+    its nearest centroid — centroids travel as ONE nested-array literal
+    in the plan (the SURVEY §8.3 finding: one array literal beats ~k·d
+    scalar nodes in both codegen and runtime, same as the IVF matrix);
+    (2) recompute centroids as per-cluster per-dimension means via
+    posexplode + one hash-agg (shuffle rows = n·d, key = (cluster,
+    dim) — skew-free by construction).
+
+    Driver round trips: k·d floats per iteration (the centroid matrix
+    — bytes, the same documented exception as IVF's 16-row collect).
+    Returns (centroids, per_iteration_inertia, assignments_df).
+    """
+    d = emb.select("vec_id", "embedding")
+    init = (
+        d.withColumn(
+            "hk", F.md5(F.concat(F.lit("km:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("hk")
+        .limit(k)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in init]
+    inertias = []
+    assigned = None
+    for _ in range(iters):
+        cmat = F.lit(centroids)
+
+        def sq_dist(vec, ci):
+            return F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.get(cmat, ci),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        dists = F.array(*[sq_dist(F.col("embedding"), i) for i in range(k)])
+        assigned = d.select(
+            "vec_id",
+            "embedding",
+            F.array_position(dists, F.array_min(dists)).cast("int").alias("cluster"),
+            F.array_min(dists).alias("dist2"),
+        )
+        inertias.append(assigned.agg(F.sum("dist2")).first()[0])
+        means = (
+            assigned.select("cluster", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cluster", F.transform("dm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        new_centroids = list(centroids)
+        for r in means:
+            new_centroids[r["cluster"] - 1] = [float(x) for x in r["centroid"]]
+        centroids = new_centroids
+    return centroids, inertias, assigned
+
+
+@query("kmeans_train_embeddings")  # double-mean centroids → rows-only check
+def kmeans_train_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse quantizer: 3 Lloyd iterations of k-means
+    over the embedding corpus (see kmeans_fit). The graded output is
+    the per-cluster profile (size + within-cluster sum of squares) —
+    the artifact an IVF build job persists alongside the centroid
+    matrix. Rows-only: centroid means are order-dependent double sums
+    (the one aggregate family the decimal trick can't rescue, since
+    means feed back into the next iteration); the unit layer pins the
+    monotone-inertia invariant instead.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    _, _, assigned = kmeans_fit(spark, emb)
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("dist2").alias("wcss"),
+    )
+
+
+@query("embedding_quantize_int8")  # float round path → rows-only check
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus — the 4×
+    storage/bandwidth cut every 100 TB vector pipeline takes before
+    ANN serving: per-DIMENSION min/max (one posexplode + hash-agg),
+    affine map to 0..255, and the reconstruction-error profile
+    (max |err| must stay ≤ half a quantization step of the widest
+    dimension — pinned in tests). The dequantized compare runs in the
+    same plan, so the query IS the calibration report a quantizer job
+    emits. Rows-only: round() on doubles differs at half-ulp
+    boundaries across engines.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select("vec_id", F.posexplode("embedding").alias("dim", "x")).withColumn(
+        "x", F.col("x").cast("double")
+    )
+    ranges = dims.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    q = (
+        dims.join(F.broadcast(ranges), "dim")
+        .withColumn("step", (F.col("hi") - F.col("lo")) / F.lit(255.0))
+        .withColumn(
+            "code",
+            F.round((F.col("x") - F.col("lo")) / F.col("step")).cast("int"),
+        )
+        .withColumn("xhat", F.col("lo") + F.col("code") * F.col("step"))
+        .withColumn("err", F.abs(F.col("x") - F.col("xhat")))
+    )
+    return q.agg(
+        F.count("*").alias("n_cells"),
+        F.max("err").alias("max_abs_err"),
+        F.avg(F.col("err") * F.col("err")).alias("mse"),
+        F.max("step").alias("max_step"),
+    )

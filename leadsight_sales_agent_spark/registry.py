@@ -52,6 +52,8 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 _ROWS_ONLY_COST_ORDER = [
     "agg_approx_count_distinct",
     "agg_approx_percentiles",
+    "embedding_quantize_int8",
+    "kmeans_train_embeddings",
     "sketch_hll_mergeable",
     "neardup_simhash",
     "multimodal_feature_extract",

@@ -272,3 +272,28 @@ class TestCountMinSketch:
                 # accuracy=10000 → rank error ~1e-4; translate to a loose
                 # 2% value tolerance on this smooth distribution
                 assert abs(a[ap] - e[ep]) / e[ep] < 0.02, (flag, ap, a[ap], e[ep])
+
+
+class TestKMeansAndQuantization:
+    def test_kmeans_inertia_monotone_and_total_assignment(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.similarity import kmeans_fit, KM_K
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        emb = load(spark, sf_dir, "embeddings")
+        n = emb.count()
+        centroids, inertias, assigned = kmeans_fit(spark, emb)
+        assert len(centroids) == KM_K and all(len(c) == 64 for c in centroids)
+        # Lloyd's algorithm never increases inertia (allow float fuzz)
+        for a, b in zip(inertias, inertias[1:]):
+            assert b <= a * (1 + 1e-9), inertias
+        assert assigned.count() == n  # every vector assigned exactly once
+        assert assigned.select("cluster").distinct().count() <= KM_K
+
+    def test_quantization_error_bounded_by_half_step(self, spark, sf_dir):
+        from leadsight_sales_agent_spark import registry
+
+        registry.load_all()
+        row = registry.QUERIES["embedding_quantize_int8"](spark, sf_dir).first()
+        # affine int8 quantization: |err| <= step/2 everywhere
+        assert row["max_abs_err"] <= row["max_step"] / 2 * (1 + 1e-9), dict(row.asDict())
+        assert row["mse"] < (row["max_step"] / 2) ** 2

@@ -14,6 +14,8 @@ registry.load_all()
 ROWS_ONLY_ALLOWED = {
     "agg_approx_count_distinct",  # HLL internals differ from DuckDB's
     "agg_approx_percentiles",  # quantile-sketch internals differ from DuckDB's
+    "kmeans_train_embeddings",  # iterative double-mean centroids, order-dependent
+    "embedding_quantize_int8",  # double round() at half-ulp boundaries
     "knn_cosine_lsh",  # approximate by design
     "knn_cosine_ivf",  # approximate by design (cell pruning)
     "knn_cosine_ivf_pruned",  # approximate + scratch-staged layout
