@@ -1063,3 +1063,64 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get(pct, 2).alias("p75_approx"),
         F.count("*").alias("n_rows"),
     )
+
+
+@query(
+    "chi_square_priority_status",
+    oracle="""
+    WITH obs AS (
+        SELECT o_orderpriority AS p, o_orderstatus AS s, count(*) AS o
+        FROM orders GROUP BY 1, 2
+    ), rt AS (SELECT p, sum(o) AS rn FROM obs GROUP BY 1),
+       ct AS (SELECT s, sum(o) AS cn FROM obs GROUP BY 1),
+       t  AS (SELECT sum(o) AS n FROM obs)
+    SELECT CAST(round(sum(CAST(
+               pow(o - rn * cn / CAST(n AS DOUBLE), 2)
+               / (rn * cn / CAST(n AS DOUBLE)) AS DECIMAL(25,10))), 4)
+               AS DOUBLE) AS chi2,
+           (count(DISTINCT obs.p) - 1) * (count(DISTINCT obs.s) - 1) AS dof,
+           any_value(t.n) AS n_rows
+    FROM obs
+    JOIN rt ON obs.p = rt.p
+    JOIN ct ON obs.s = ct.s
+    CROSS JOIN t
+    """,
+)
+def chi_square_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and
+    order status — the categorical-association screen run before
+    treating a column pair as independent in a sampling or modeling
+    plan. Expected counts e = row_total · col_total / N come from
+    exact integers, each cell's (o−e)²/e is deterministic double
+    arithmetic (multiply/divide only — no libm), and the CELL
+    contributions are summed as DECIMAL(25,10): a raw double sum of
+    even 15 cells is addition-order-dependent, which is exactly the
+    nondeterminism the decimal-sum rule exists to kill.
+
+    Plan: one hash-agg builds the contingency table (≤ |P|×|S| cells);
+    the margins are aggregates OF that tiny table, broadcast back.
+    The fact table is scanned once regardless of category counts.
+    """
+    o = load(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count("*").alias("o"))
+    rt = obs.groupBy("p").agg(F.sum("o").alias("rn"))
+    ct = obs.groupBy("s").agg(F.sum("o").alias("cn"))
+    t = obs.agg(F.sum("o").alias("n"))
+    e = F.col("rn") * F.col("cn") / F.col("n").cast("double")
+    contrib = F.pow(F.col("o") - e, F.lit(2)) / e
+    return (
+        obs.join(F.broadcast(rt), "p")
+        .join(F.broadcast(ct), "s")
+        .crossJoin(F.broadcast(t))
+        .agg(
+            F.round(F.sum(contrib.cast("decimal(25,10)")), 4)
+            .cast("double")
+            .alias("chi2"),
+            (
+                (F.count_distinct("p") - 1) * (F.count_distinct("s") - 1)
+            ).alias("dof"),
+            F.any_value("n").alias("n_rows"),
+        )
+    )

@@ -1072,3 +1072,76 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@query(
+    "snapshot_diff_reconciliation",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey,
+               'P' AS o_orderstatus,
+               CAST(round(CAST(o_totalprice AS DECIMAL(25,6)) * CAST(1.1 AS DECIMAL(3,1)), 2)
+                    AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+    ), inserts AS (
+        SELECT o_orderkey + 10000000 AS o_orderkey,
+               'N' AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 997 = 0
+    ), delta AS (
+        SELECT * FROM updates UNION ALL SELECT * FROM inserts
+    ), merged AS (
+        SELECT coalesce(d.o_orderkey, b.o_orderkey) AS orderkey,
+               coalesce(d.o_orderstatus, b.o_orderstatus) AS orderstatus,
+               coalesce(d.o_totalprice, b.o_totalprice) AS totalprice
+        FROM orders b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+    ), j AS (
+        SELECT m.orderkey AS mk, m.orderstatus AS ms, m.totalprice AS mp,
+               b.o_orderkey AS bk, b.o_orderstatus AS bs, b.o_totalprice AS bp
+        FROM merged m FULL OUTER JOIN orders b ON m.orderkey = b.o_orderkey
+    )
+    SELECT CASE WHEN bk IS NULL THEN 'added'
+                WHEN mk IS NULL THEN 'removed'
+                WHEN ms <> bs OR mp <> bp THEN 'changed'
+                ELSE 'unchanged' END AS diff_class,
+           count(*) AS n_rows
+    FROM j GROUP BY 1
+    """,
+)
+def snapshot_diff_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (data diff): classify every key across
+    two table versions — the post-MERGE validation every CDC pipeline
+    runs (did the upsert change exactly what the delta said it
+    would?). Here the new version is merge_upsert_orders' output, so
+    the expected answer is fully determined: adds = the insert keys,
+    changed = the update keys, removed = none, everything else
+    untouched.
+
+    Implementation is a FULL OUTER JOIN on the key with field-level
+    compares — column equality, not row-hash strings, because double →
+    string rendering is engine-specific while double equality on
+    identically-derived values is exact. Scale: both sides partition
+    on the same key (the MERGE output is already partitioned on it —
+    exchange reuse), and the diff-class aggregate is 4 groups,
+    map-side collapsed. At 100 TB you'd add the xor-of-row-hash
+    fingerprint (agg_bitwise_boolean_suite pattern) as the cheap
+    pre-check and only run the full diff when fingerprints differ.
+    """
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    merged = merge_upsert_orders(spark, sf_dir)
+    j = merged.join(
+        base, merged.orderkey == base.o_orderkey, "full_outer"
+    )
+    cls = (
+        F.when(F.col("o_orderkey").isNull(), "added")
+        .when(F.col("orderkey").isNull(), "removed")
+        .when(
+            (F.col("orderstatus") != F.col("o_orderstatus"))
+            | (F.col("totalprice") != F.col("o_totalprice")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return j.groupBy(cls.alias("diff_class")).agg(F.count("*").alias("n_rows"))

@@ -829,3 +829,48 @@ def window_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     w = Window.partitionBy("event_type").orderBy("day")
     return daily.withColumn("cum_distinct_users", F.sum("new_users").over(w))
+
+
+@query(
+    "revenue_mom_growth",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           round(CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(lag(rev) OVER (ORDER BY month) AS VARCHAR) AS DOUBLE)
+                 - 1, 4) AS mom_growth
+    FROM m
+    """,
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the KPI-dashboard staple —
+    exact monthly revenue, then the lagged ratio. The division is
+    unavoidable here (growth IS a ratio), so both engines divide
+    IDENTICAL doubles: the decimal month sums are exact, and the
+    decimal→double hop goes through VARCHAR on the DuckDB side because
+    its direct decimal→double cast double-rounds (raw/10^scale) while
+    Spark's BigDecimal.doubleValue rounds correctly — the
+    agg_stats_moments finding. round(4) then has ~1e-12 of headroom.
+    First month's growth is NULL (lag over nothing) in both engines.
+
+    Plan: one hash-agg to the ~monthly grain, then a window over that
+    tiny frame (single partition over dozens of rows — fine; the
+    fact-table stage is the only one that scales).
+    """
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("rev"))
+    w = Window.orderBy("month")
+    rev_d = F.col("rev").cast("double")
+    prev_d = F.lag("rev").over(w).cast("double")
+    return m.select(
+        "month",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(rev_d / prev_d - 1, 4).alias("mom_growth"),
+    )
