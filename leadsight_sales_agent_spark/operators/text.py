@@ -671,3 +671,87 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= POSTINGS_MIN_DF)
     )
+
+
+PMI_VOCAB = 100
+PMI_MIN_COOC = 5
+
+
+@query(
+    "text_pmi_cooccurrence",
+    oracle=f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, lower(tok) AS tok
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents)
+    ), vocab AS (
+        SELECT tok, count(*) AS df FROM dt GROUP BY 1
+        ORDER BY df DESC, tok ASC LIMIT {PMI_VOCAB}
+    ), dv AS (
+        SELECT dt.doc_id, dt.tok, v.df FROM dt JOIN vocab v ON dt.tok = v.tok
+    ), pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+               a.df AS df_a, b.df AS df_b, count(*) AS c_ab
+        FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2, 3, 4
+    ), n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+    SELECT tok_a, tok_b, c_ab,
+           round(ln(CAST(nd AS DOUBLE) * c_ab / (df_a * df_b)), 4) AS pmi
+    FROM pairs CROSS JOIN n
+    WHERE c_ab >= {PMI_MIN_COOC}
+    """,
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over term co-occurrence — the
+    word-association miner behind collocation extraction and
+    distributional similarity: PMI = ln(N·c(a,b) / (c(a)·c(b))) on
+    document-level co-occurrence counts, restricted to the top-100
+    vocabulary and a minimum co-occurrence floor.
+
+    Scale design: the vocabulary cap is what keeps the pair space
+    bounded — pairs are generated per document among vocab terms only
+    (≤ |V|²/2 distinct pairs globally, vs the unbounded full-vocab
+    blowup), and the vocab frame broadcasts. Counts are exact
+    integers; the single ln() is rounded to 4 decimals (above libm
+    ulp noise — the PSI precedent), and the output has no float
+    ORDER BY/LIMIT: the co-occurrence floor bounds the result set
+    instead, so ordering can never flip on a last-digit difference.
+    One shuffle builds (doc, term), one self-join on doc_id, one
+    pair-key aggregate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    dt = (
+        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .select("doc_id", F.lower("tok").alias("tok"))
+        .distinct()
+    )
+    vocab = (
+        dt.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(PMI_VOCAB)
+    )
+    dv = dt.join(F.broadcast(vocab), "tok")
+    a = dv.select(
+        F.col("doc_id").alias("da"), F.col("tok").alias("tok_a"), F.col("df").alias("df_a")
+    )
+    b = dv.select(
+        F.col("doc_id").alias("db"), F.col("tok").alias("tok_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, (a.da == b.db) & (F.col("tok_a") < F.col("tok_b")))
+        .groupBy("tok_a", "tok_b", "df_a", "df_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COOC)
+    )
+    n = docs.agg(F.count_distinct("doc_id").alias("nd"))
+    return pairs.crossJoin(F.broadcast(n)).select(
+        "tok_a",
+        "tok_b",
+        "c_ab",
+        F.round(
+            F.log(F.col("nd").cast("double") * F.col("c_ab") / (F.col("df_a") * F.col("df_b"))),
+            4,
+        ).alias("pmi"),
+    )
