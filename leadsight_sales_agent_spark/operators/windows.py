@@ -874,3 +874,99 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 2).cast("double").alias("revenue"),
         F.round(rev_d / prev_d - 1, 4).alias("mom_growth"),
     )
+
+
+@query(
+    "topk_orders_with_ties",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               rank() OVER (PARTITION BY o_orderpriority
+                            ORDER BY round(o_totalprice, 2) DESC) AS rk
+        FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey,
+           round(o_totalprice, 2) AS totalprice, rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def topk_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-3 WITH ties — rank() instead of row_number(), so
+    equal-priced orders at the cut all survive (the SQL:2003 "WITH
+    TIES" semantics). This is the gradable form of top-k when the sort
+    key is not unique: row_number would pick an arbitrary survivor
+    among ties and hash-mismatch between engines; rank keeps every
+    tied row, making the result set a pure function of the data.
+
+    The rank bound is a LITERAL (the WindowGroupLimit lesson): Spark
+    pushes a per-partition group limit below the shuffle, so each map
+    task ships only its local top candidates, not the whole partition.
+    Price is rounded before ranking in BOTH engines so a last-bit
+    double difference can't reorder the leaderboard.
+    """
+    o = load(spark, sf_dir, "orders")
+    price = F.round("o_totalprice", 2)
+    w = Window.partitionBy("o_orderpriority").orderBy(price.desc())
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            price.alias("totalprice"),
+            F.rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "revenue_max_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+        FROM orders GROUP BY 1
+    ), tracked AS (
+        SELECT month, rev,
+               max(rev) OVER (ORDER BY month) AS peak
+        FROM daily
+    )
+    SELECT CAST(round(max(peak - rev), 2) AS DOUBLE) AS max_drawdown,
+           CAST(round(max(peak), 2) AS DOUBLE) AS peak_revenue,
+           min(month) FILTER (WHERE peak - rev = (SELECT max(peak - rev) FROM tracked))
+               AS worst_month
+    FROM tracked
+    """,
+)
+def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of monthly revenue — the largest peak-to-
+    trough fall, plus the (earliest) month it bottomed: the risk
+    metric every finance/capacity dashboard tracks, and a compound
+    window shape the simpler running aggregates don't cover (a running
+    MAX feeding a global MAX of a difference). Everything stays in
+    exact decimals — peak, trough, and their difference — so the
+    argmin month is bit-determined; only the final reporting columns
+    round to doubles.
+
+    Plan: fact-table scan → monthly hash-agg (the only scaling
+    stage) → running max over the tiny month grid → one final
+    aggregate. The oracle's scalar subquery re-reads a 80-row CTE;
+    Spark computes the same with a window max over the whole frame —
+    both trivial at the month grain.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("rev"))
+    w = Window.orderBy("month")
+    tracked = daily.withColumn("peak", F.max("rev").over(w)).withColumn(
+        "dd", F.col("peak") - F.col("rev")
+    )
+    w_all = Window.partitionBy()
+    flagged = tracked.withColumn("max_dd", F.max("dd").over(w_all))
+    return flagged.agg(
+        F.round(F.max("dd"), 2).cast("double").alias("max_drawdown"),
+        F.round(F.max("peak"), 2).cast("double").alias("peak_revenue"),
+        F.min(F.when(F.col("dd") == F.col("max_dd"), F.col("month"))).alias(
+            "worst_month"
+        ),
+    )
