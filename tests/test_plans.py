@@ -320,3 +320,31 @@ class TestRound2WaveTwoPlans:
         n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
         assert n_exchanges <= 1, "range window should shuffle once"
         assert "Window" in plan
+
+
+class TestFinalWavePlans:
+    def test_topk_with_ties_group_limit_pushdown(self, spark, sf_dir):
+        # rank() with a literal bound must still get WindowGroupLimit
+        plan = plan_of(spark, sf_dir, "topk_orders_with_ties")
+        assert "WindowGroupLimit" in plan
+
+    def test_q13_two_hash_aggregations(self, spark, sf_dir):
+        # agg-of-agg: per-customer counts then count distribution,
+        # each with partial+final pairs
+        plan = plan_of(spark, sf_dir, "tpch_q13_customer_distribution")
+        assert plan.count("HashAggregate") >= 4
+
+    def test_compaction_single_exchange(self, spark, sf_dir):
+        # window + aggregate share the source partitioning; only the
+        # repartition on `source` should shuffle
+        plan = plan_of(spark, sf_dir, "compaction_bin_packing")
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges <= 2, plan
+
+    def test_fuzzy_dedup_repartitions_verify_stage(self, spark, sf_dir):
+        # The explicit repartition before the levenshtein verify must
+        # survive planning (AQE would otherwise single-task it)
+        plan = plan_of(spark, sf_dir, "dedup_fuzzy_levenshtein")
+        assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan or (
+            "hashpartitioning" in plan and "32" in plan
+        )
