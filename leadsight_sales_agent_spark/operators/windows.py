@@ -970,3 +970,69 @@ def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "worst_month"
         ),
     )
+
+
+@query(
+    "cusum_change_detection",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+        FROM orders GROUP BY 1
+    ), t AS (
+        SELECT CAST(quantile_cont(CAST(CAST(rev AS VARCHAR) AS DOUBLE), 0.5)
+                    AS DECIMAL(25,6)) AS target
+        FROM m
+    ), s AS (
+        SELECT m.month,
+               sum(m.rev - t.target) OVER (ORDER BY m.month) AS cusum
+        FROM m CROSS JOIN t
+    ), peak AS (
+        SELECT month, cusum, max(abs(cusum)) OVER () AS max_abs
+        FROM s
+    )
+    SELECT min(month) FILTER (WHERE abs(cusum) = max_abs) AS change_month,
+           CAST(round(any_value(max_abs), 2) AS DOUBLE) AS max_abs_cusum,
+           count(*) AS n_months
+    FROM peak
+    """,
+)
+def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the monthly revenue series: the
+    cumulative sum of deviations from the series median drifts near
+    zero while the level is stable and ramps when it shifts — the
+    month where |CUSUM| peaks is the classic change-point estimate
+    (the monitoring primitive behind "when did this metric actually
+    move", one level deeper than the PSI drift alarm's yes/no).
+
+    Cross-engine exactness end to end: monthly sums are decimals; the
+    median target is an interpolated double (binary-safe) — with the
+    DuckDB decimal→double VARCHAR hop — cast back to DECIMAL so every
+    deviation and the running sum stay exact; the argmax month falls
+    out of exact-decimal equality, no float compare anywhere near the
+    answer. Plan: fact-scan → month hash-agg (the only scaling
+    stage) → 1-row target broadcast → running sum over the ~80-row
+    grid → final aggregate.
+    """
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("rev"))
+    t = m.agg(
+        F.percentile(F.col("rev").cast("double"), F.lit(0.5))
+        .cast("decimal(25,6)")
+        .alias("target")
+    )
+    w = Window.orderBy("month")
+    s = m.crossJoin(F.broadcast(t)).withColumn(
+        "cusum", F.sum(F.col("rev") - F.col("target")).over(w)
+    )
+    w_all = Window.partitionBy()
+    peak = s.withColumn("max_abs", F.max(F.abs("cusum")).over(w_all))
+    return peak.agg(
+        F.min(
+            F.when(F.abs(F.col("cusum")) == F.col("max_abs"), F.col("month"))
+        ).alias("change_month"),
+        F.round(F.any_value("max_abs"), 2).cast("double").alias("max_abs_cusum"),
+        F.count("*").alias("n_months"),
+    )
