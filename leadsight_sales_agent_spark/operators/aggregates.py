@@ -1124,3 +1124,54 @@ def chi_square_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("n").alias("n_rows"),
         )
     )
+
+
+@query(
+    "agg_grouping_id_labels",
+    oracle=f"""
+    SELECT CASE GROUPING(o_orderstatus, o_orderpriority)
+                WHEN 0 THEN 'cell'
+                WHEN 1 THEN 'by_status'
+                WHEN 2 THEN 'by_priority'
+                ELSE 'total' END AS grain,
+           o_orderstatus AS orderstatus,
+           o_orderpriority AS priority,
+           count(*) AS n_orders,
+           {sql_dsum("o_totalprice", 2)} AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with explicit grain labels via grouping_id(): subtotal rows
+    in a cube carry NULL grain keys, which are ambiguous when the DATA
+    also contains NULLs — grouping_id() is the disambiguator (a
+    bitmask: bit i set = column i rolled up), here decoded into
+    human-readable grain names. Spark's grouping_id() and standard
+    GROUPING(a, b) produce the same bitmask, so the CASE ladder is
+    literally identical in both engines. Same single-scan Expand plan
+    as the other cube/rollup queries; the label is a zero-cost
+    projection on the aggregated frame.
+    """
+    o = load(spark, sf_dir, "orders")
+    grain = (
+        F.when(F.col("gid") == 0, "cell")
+        .when(F.col("gid") == 1, "by_status")
+        .when(F.col("gid") == 2, "by_priority")
+        .otherwise("total")
+    )
+    return (
+        o.cube(
+            F.col("o_orderstatus").alias("orderstatus"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            # grouping_id() is only resolvable inside the cube's agg
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            grain.alias("grain"), "orderstatus", "priority", "n_orders", "total_price"
+        )
+    )

@@ -1145,3 +1145,39 @@ def snapshot_diff_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
     )
     return j.groupBy(cls.alias("diff_class")).agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "quantified_all_subquery",
+    oracle="""
+    SELECT p_partkey, p_brand, round(p_retailprice, 2) AS retailprice
+    FROM part
+    WHERE p_retailprice > ALL (
+        SELECT p_retailprice FROM part WHERE p_brand = 'Brand#1'
+    )
+    """,
+)
+def quantified_all_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison (> ALL): parts priced above every
+    Brand#1 part. Spark SQL has no ALL/ANY quantifier, so the engine
+    side applies the standard equivalence `x > ALL (S)` ⇔
+    `x > (SELECT max(S))` explicitly — which is precisely the plan a
+    quantifier-supporting engine (the DuckDB oracle keeps the > ALL
+    spelling) produces after rewriting: one 1-row aggregate feeding a
+    scalar-subquery filter, never a per-row nested loop. Caveat
+    encoded by the data, not the code: the equivalence needs S
+    non-empty (ALL over ∅ is vacuously true, > max(∅)=NULL is not);
+    Brand#1 always exists in this catalog. Raw-double comparison is
+    safe — both engines compare identical parquet values; only the
+    REPORTED price is rounded.
+    """
+    load(spark, sf_dir, "part").createOrReplaceTempView("v_part_all")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, round(p_retailprice, 2) AS retailprice
+        FROM v_part_all
+        WHERE p_retailprice > (
+            SELECT max(p_retailprice) FROM v_part_all WHERE p_brand = 'Brand#1'
+        )
+        """
+    )

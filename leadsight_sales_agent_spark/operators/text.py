@@ -755,3 +755,49 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pmi"),
     )
+
+
+LONG_TOKEN_MIN = 9
+
+
+@query(
+    "explode_outer_null_preservation",
+    oracle=f"""
+    WITH longs AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> length(t) >= {LONG_TOKEN_MIN}) AS lt
+        FROM documents
+    ), exploded AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(lt) = 0 THEN [NULL] ELSE lt END) AS token
+        FROM longs
+    )
+    SELECT count(*) AS n_rows,
+           count(*) FILTER (WHERE token IS NULL) AS n_docs_without_long_tokens,
+           count(DISTINCT doc_id) AS n_docs
+    FROM exploded
+    """,
+)
+def explode_outer_null_preservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: flattening a possibly-EMPTY array must
+    keep the parent row (as a NULL element) — plain explode silently
+    drops it, the classic lateral-view data-loss bug (a document with
+    no long tokens vanishes from a per-token pipeline and every
+    downstream doc count is wrong). Spark expresses this natively
+    (`explode_outer`); the oracle emulates it by substituting [NULL]
+    for empty lists before unnest — identical row multiset, which is
+    exactly what the n_docs column proves (= total documents, none
+    lost). Map-side only: filter + explode, one final aggregate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    longs = docs.select(
+        "doc_id",
+        F.filter(_tokens(), lambda t: F.length(t) >= LONG_TOKEN_MIN).alias("lt"),
+    )
+    exploded = longs.select("doc_id", F.explode_outer("lt").alias("token"))
+    return exploded.agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("token").isNull()).alias("n_docs_without_long_tokens"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
