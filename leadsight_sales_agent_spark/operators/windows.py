@@ -1036,3 +1036,34 @@ def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.any_value("max_abs"), 2).cast("double").alias("max_abs_cusum"),
         F.count("*").alias("n_months"),
     )
+
+
+@query(
+    "window_cume_dist_purchases",
+    oracle="""
+    SELECT event_id,
+           round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6)
+               AS value_cume_dist
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+    """,
+)
+def window_cume_dist_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist — the empirical CDF position of every purchase value
+    within its event type: the normalized "what fraction of purchases
+    are at or below this one" feature that feeds percentile-based
+    alerting and monotone model calibration. Like RANGE frames (and
+    unlike row_number/ntile), cume_dist is PEER-INCLUSIVE: all rows
+    tied on the ORDER BY value receive the identical result, so no
+    tiebreak column is needed for cross-engine determinism — the
+    output is a pure function of the value multiset. The ratio is
+    exact-integer count / count, rounded well above ulp noise. One
+    shuffle on the partition key.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id", F.round(F.cume_dist().over(w), 6).alias("value_cume_dist")
+    )
