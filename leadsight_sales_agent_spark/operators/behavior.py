@@ -648,3 +648,101 @@ def seasonality_heatmap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@query(
+    "basket_bought_a_never_b",
+    oracle="""
+    WITH bought AS (
+        SELECT DISTINCT o.o_custkey, p.p_brand
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+    )
+    SELECT c.c_mktsegment AS segment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM bought b
+                  WHERE b.o_custkey = c.c_custkey AND b.p_brand = 'Brand#1')
+      AND NOT EXISTS (SELECT 1 FROM bought b
+                      WHERE b.o_custkey = c.c_custkey AND b.p_brand = 'Brand#2')
+    GROUP BY 1
+    """,
+)
+def basket_bought_a_never_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-logic audience selection: customers who ever bought
+    Brand#1 but never Brand#2, profiled by segment — the
+    include/exclude cohort definition every campaign-targeting and
+    substitution-analysis query reduces to, and the composition the
+    semi/anti join pair exists for (EXISTS → left-semi on the A set,
+    NOT EXISTS → left-anti on the B set, chained).
+
+    Plan: the purchase fact is filtered to the two brands BEFORE any
+    join (brand predicate pushes into the part-side scan; the
+    three-table join then runs on a sliver of lineitem), collapsed to
+    distinct (customer, brand) once, and both probes reuse that one
+    small frame — broadcast twice rather than re-shuffling lineitem.
+    Counts are exact integers.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2"))
+        .select("p_partkey", "p_brand")
+    )
+    bought = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+    a = bought.filter(F.col("p_brand") == "Brand#1").select("o_custkey")
+    b = bought.filter(F.col("p_brand") == "Brand#2").select("o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cohort = c.join(
+        F.broadcast(a), c.c_custkey == a.o_custkey, "left_semi"
+    ).join(F.broadcast(b), F.col("c_custkey") == b.o_custkey, "left_anti")
+    return cohort.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+@query(
+    "repurchase_interval_histogram",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS DATE),
+                         CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    )
+    SELECT gap_days // 30 AS gap_bucket_months,
+           count(*) AS n_gaps
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def repurchase_interval_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repurchase-interval distribution: the days between a customer's
+    consecutive orders, bucketed by month — the input to every
+    churn-window and replenishment-cycle model ("after how long is a
+    customer probably gone?"). lag() per customer (ordered by date
+    with the key tiebreak for total order) computes the gaps without a
+    self-join; integer day diffs and floor-division buckets are exact
+    everywhere. One shuffle on o_custkey; the histogram aggregate is
+    map-side collapsed to ~dozens of buckets.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy(
+        F.floor(F.col("gap_days") / 30).alias("gap_bucket_months")
+    ).agg(F.count("*").alias("n_gaps"))

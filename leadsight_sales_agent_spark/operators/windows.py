@@ -1067,3 +1067,40 @@ def window_cume_dist_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.round(F.cume_dist().over(w), 6).alias("value_cume_dist")
     )
+
+
+@query(
+    "topk_distinct_prices_dense_rank",
+    oracle="""
+    WITH px AS (
+        SELECT o_orderpriority, round(o_totalprice, 2) AS price,
+               count(*) AS n_at_price
+        FROM orders GROUP BY 1, 2
+    ), r AS (
+        SELECT o_orderpriority, price, n_at_price,
+               dense_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY price DESC) AS dr
+        FROM px
+    )
+    SELECT o_orderpriority, price, n_at_price, dr
+    FROM r WHERE dr <= 3
+    """,
+)
+def topk_distinct_prices_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 DISTINCT price points per priority — dense_rank over a
+    pre-aggregated (group, value) frame, completing the ranking-
+    function triple: row_number picks arbitrary tie survivors
+    (ungradable on non-unique keys), rank keeps ties but skips
+    positions after them, dense_rank numbers distinct VALUES — the
+    right tool for "the 3 highest price points" as opposed to "the 3
+    highest-priced orders". Aggregating to distinct values BEFORE
+    ranking means the window runs over the collapsed frame, not the
+    fact table — the same pre-shrink discipline as the running-
+    distinct query. All compares are on pre-rounded values.
+    """
+    o = load(spark, sf_dir, "orders")
+    px = o.groupBy(
+        "o_orderpriority", F.round("o_totalprice", 2).alias("price")
+    ).agg(F.count("*").alias("n_at_price"))
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("price"))
+    return px.withColumn("dr", F.dense_rank().over(w)).filter(F.col("dr") <= 3)
