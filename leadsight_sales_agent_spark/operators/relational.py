@@ -19,7 +19,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.functions.numeric import dsum, sql_dsum
@@ -1180,4 +1180,163 @@ def quantified_all_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT max(p_retailprice) FROM v_part_all WHERE p_brand = 'Brand#1'
         )
         """
+    )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle=f"""
+    WITH changes AS (
+        SELECT c_custkey, 'MACHINERY' AS new_segment
+        FROM customer
+        WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'MACHINERY'
+    ), hist AS (
+        SELECT c.c_custkey,
+               c.c_mktsegment AS segment,
+               DATE '1992-01-01' AS valid_from,
+               CASE WHEN ch.c_custkey IS NULL THEN NULL
+                    ELSE DATE '{SCD2_AS_OF}' END AS valid_to
+        FROM customer c LEFT JOIN changes ch ON c.c_custkey = ch.c_custkey
+        UNION ALL
+        SELECT c_custkey, new_segment, DATE '{SCD2_AS_OF}', NULL
+        FROM changes
+    )
+    SELECT h.segment AS segment_at_order_time,
+           count(*) AS n_orders,
+           {sql_dsum("o.o_totalprice", 2)} AS total_price
+    FROM orders o
+    JOIN hist h
+      ON o.o_custkey = h.c_custkey
+     AND CAST(o.o_orderdate AS DATE) >= h.valid_from
+     AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < h.valid_to)
+    GROUP BY 1
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against the SCD2 dimension: each
+    order resolves to the customer-segment version VALID AT ITS ORDER
+    DATE — the as-was reporting semantics versioned dimensions exist
+    for. The probe: every order here predates the segment-change
+    effective date, so changed customers correctly resolve to their
+    OLD segment; a naive join on the current dimension row would
+    misattribute all of their history to the new one (the exact bug
+    SCD2 prevents, visible as a different revenue split).
+
+    Plan: equi join on the customer key carries the temporal predicate
+    as a post-join filter — the history table has ≤2 versions per key,
+    so the range condition prunes at most one row per match (never a
+    range-join explosion; exactly one version covers any date by the
+    SCD2 invariant). History is dimension-sized → broadcast; one
+    fact-side aggregate. Reuses scd2_customer_segment_history's
+    derivation so the two queries stay in lockstep.
+    """
+    hist = scd2_customer_segment_history(spark, sf_dir).select(
+        "c_custkey", "segment", "valid_from", "valid_to"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("odate"), "o_totalprice"
+    )
+    j = o.join(
+        F.broadcast(hist),
+        (o.o_custkey == hist.c_custkey)
+        & (F.col("odate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("odate") < F.col("valid_to"))),
+    )
+    return j.groupBy(F.col("segment").alias("segment_at_order_time")).agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "share_of_parent_revenue",
+    oracle="""
+    WITH nr AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               sum(CAST(c.c_acctbal AS DECIMAL(25,6))) AS bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(round(bal, 2) AS DOUBLE) AS nation_balance,
+           round(CAST(CAST(bal AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(sum(bal) OVER (PARTITION BY region) AS VARCHAR)
+                        AS DOUBLE), 4) AS share_of_region
+    FROM nr
+    """,
+)
+def share_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent in a geography hierarchy: each nation's account
+    balance as a fraction of its REGION's total — the two-level
+    percent-of-parent every drill-down report shows next to the raw
+    number (ratio_to_report's single-level sibling). The division runs
+    on identical doubles in both engines: exact decimal sums, DuckDB
+    hopping decimal→VARCHAR→double (its direct cast double-rounds),
+    then one deterministic divide rounded at 4. The window partitions
+    by region over the 25-row nation frame — the parent total comes
+    from the CHILD aggregates (no second fact-table pass), which is
+    the only shape that scales when the hierarchy is deep.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    nr = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("c_acctbal").cast("decimal(25,6)")).alias("bal"))
+    )
+    w = Window.partitionBy("region")
+    return nr.select(
+        "region",
+        "nation",
+        F.round("bal", 2).cast("double").alias("nation_balance"),
+        F.round(
+            F.col("bal").cast("double") / F.sum("bal").over(w).cast("double"), 4
+        ).alias("share_of_region"),
+    )
+
+
+PRIORITY_TIERS = [
+    ("1-URGENT", "expedite"),
+    ("2-HIGH", "expedite"),
+    ("3-MEDIUM", "standard"),
+    ("4-NOT SPECIFIED", "standard"),
+    ("5-LOW", "deferred"),
+]
+
+
+@query(
+    "values_inline_dim_join",
+    oracle=f"""
+    WITH tiers(priority, tier) AS (
+        VALUES {", ".join(f"('{p}', '{t}')" for p, t in PRIORITY_TIERS)}
+    )
+    SELECT t.tier, count(*) AS n_orders,
+           {sql_dsum("o.o_totalprice", 2)} AS total_price
+    FROM orders o JOIN tiers t ON o.o_orderpriority = t.priority
+    GROUP BY 1
+    """,
+)
+def values_inline_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table as a join dimension: a literal
+    priority→tier mapping (the config-style seed data dbt calls a
+    seed) joined against the fact table — no file, no registry, the
+    mapping IS the query. Spark side: `createDataFrame` on the same
+    constant list, broadcast (5 rows). This is the idiomatic
+    replacement for a CASE ladder when the mapping is used by several
+    queries or must be join-auditable. Aggregates take the usual
+    decimal path.
+    """
+    o = load(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(PRIORITY_TIERS, "priority string, tier string")
+    return (
+        o.join(F.broadcast(tiers), o.o_orderpriority == tiers.priority)
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
     )
