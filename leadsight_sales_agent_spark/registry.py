@@ -53,9 +53,9 @@ _ROWS_ONLY_COST_ORDER = [
     "agg_approx_count_distinct",
     "agg_approx_percentiles",
     "embedding_quantize_int8",
-    "kmeans_train_embeddings",
     "sketch_hll_mergeable",
     "neardup_simhash",
+    "kmeans_train_embeddings",  # 3 Lloyd iterations ≈ 5 s — after the one-pass sketches
     "multimodal_feature_extract",
     "knn_cosine_lsh",
     "knn_cosine_ivf",
