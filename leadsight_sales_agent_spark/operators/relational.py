@@ -1340,3 +1340,52 @@ def values_inline_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "ansi_try_safety_suite",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_totalprice / (o_orderkey % 5) END AS q,
+               TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+               TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE q IS NULL) AS n_div_by_zero,
+           round(max(q), 4) AS max_quotient,
+           sum(prio_digit) AS prio_digit_sum,
+           count(bad_cast) AS n_bad_casts_succeeded
+    FROM t GROUP BY 1
+    """,
+)
+def ansi_try_safety_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic: Spark 4 runs ANSI SQL, where
+    x/0 and bad casts THROW mid-job — a single poisoned row kills a
+    100 TB pipeline hours in. The try_* family (try_divide, try_cast)
+    converts those rows to NULL instead, and this suite pins the
+    NULL-propagation semantics against the oracle: division by zero →
+    NULL (counted), parseable prefix digit → value (summed exactly),
+    unparseable full string → NULL (count of successes = 0). DuckDB's
+    plain `/` already yields NULL on zero denominators, so the oracle
+    spells the same semantics with CASE + TRY_CAST. max(quotient)
+    compares one double (no sum-ordering hazard); the digit sum is
+    exact integers.
+    """
+    o = load(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderstatus",
+        F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5).alias("q"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+    )
+    return t.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("q").isNull()).alias("n_div_by_zero"),
+        F.round(F.max("q"), 4).alias("max_quotient"),
+        F.sum("prio_digit").alias("prio_digit_sum"),
+        F.count("bad_cast").alias("n_bad_casts_succeeded"),
+    )

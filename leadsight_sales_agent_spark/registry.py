@@ -62,6 +62,7 @@ _ROWS_ONLY_COST_ORDER = [
     "knn_cosine_ivf_pruned",
     "neardup_minhash_lsh",
     "streaming_progress_events",
+    "streaming_static_enrich_join",
     "streaming_stream_stream_join",
     "streaming_dedup_watermarked",
     "leadsight_enrich_pipeline",

@@ -471,3 +471,75 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out:
         return spark.createDataFrame(out, schema)
     return spark.createDataFrame([], schema)
+
+
+# -- Stream-static enrichment join -------------------------------------------
+
+
+def _segment_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static user→segment dimension (event user ids ↦ customer rows)."""
+    return load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+
+
+def _segment_counts(ev: DataFrame, dim: DataFrame) -> DataFrame:
+    """Shared plan for the stream and its batch twin: enrich events
+    with the static dimension (broadcast) and count per segment."""
+    return (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query("streaming_static_enrich_join")  # streaming demo → rows-only check
+def streaming_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: a live event stream enriched against a
+    STATIC dimension table — the most common streaming join in
+    practice (click stream × user table), and planned differently from
+    the stream-stream case: the static side needs no watermark and no
+    state store; Spark re-broadcasts the dimension into each
+    micro-batch, so the join is stateless and the only streaming state
+    is the aggregation's. Complete-mode per-segment counts; availableNow
+    ⇒ bounded and deterministic, pinned equal to the batch twin
+    (`_segment_counts` over the same files) by tests/test_streaming.py.
+    """
+    scratch = _scratch_dir()
+    events = load(spark, sf_dir, "events").select("user_id", "event_id")
+    n_events = events.count()
+    src_dir, staged = _staged_source_dir("static_join", sf_dir, n_events)
+    if not staged:
+        events.repartition(4).write.mode("overwrite").parquet(src_dir)
+        _mark_staged(src_dir, n_events)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    agg = _segment_counts(stream, _segment_dim(spark, sf_dir))
+
+    batches: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batches.append(batch_df.collect())
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    rows = batches[-1] if batches else []
+    if rows:
+        return spark.createDataFrame(rows, agg.schema)
+    return spark.createDataFrame([], agg.schema)

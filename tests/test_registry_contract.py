@@ -29,6 +29,7 @@ ROWS_ONLY_ALLOWED = {
     "streaming_stream_stream_join",  # streaming semantics (batch-equivalence pinned in tests)
     "streaming_dedup_watermarked",  # streaming semantics (batch-equivalence pinned in tests)
     "streaming_windowed_counts",  # streaming semantics
+    "streaming_static_enrich_join",  # streaming semantics (batch-equivalence pinned in tests)
 }
 
 

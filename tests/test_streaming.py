@@ -217,3 +217,24 @@ class TestStreamingDedup:
             r["event_id"] for r in load(spark, sf_dir, "events").collect()
         }
         assert set(ids) == want, "dedup dropped or invented events"
+
+
+class TestStreamStaticJoin:
+    def test_equals_batch_twin(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.sources.catalog import load
+        from leadsight_sales_agent_spark.streaming.demo import (
+            _segment_counts,
+            _segment_dim,
+            streaming_static_enrich_join,
+        )
+
+        got = {
+            (r["segment"], r["n_events"])
+            for r in streaming_static_enrich_join(spark, sf_dir).collect()
+        }
+        ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+        want = {
+            (r["segment"], r["n_events"])
+            for r in _segment_counts(ev, _segment_dim(spark, sf_dir)).collect()
+        }
+        assert got == want and got, (got, want)
