@@ -1175,3 +1175,45 @@ def agg_grouping_id_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             grain.alias("grain"), "orderstatus", "priority", "n_orders", "total_price"
         )
     )
+
+
+@query(
+    "agg_weighted_average_price",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                   * CAST(l_quantity AS DECIMAL(25,6))) AS wsum,
+               sum(CAST(l_quantity AS DECIMAL(25,6))) AS wtot
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag,
+           round(CAST(CAST(wsum AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(wtot AS VARCHAR) AS DOUBLE), 4)
+               AS weighted_avg_price,
+           CAST(round(wtot, 2) AS DOUBLE) AS total_quantity
+    FROM s
+    """,
+)
+def agg_weighted_average_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price — the aggregate a plain avg()
+    silently gets wrong whenever weights vary (a 1-unit line and a
+    50-unit line are not the same evidence). Both the weighted sum and
+    the weight total are exact decimal sums (decimal×decimal multiply
+    is exact; partial aggregation is order-free), so the one
+    unavoidable division runs on identical doubles in both engines —
+    via the DuckDB VARCHAR hop — and rounds at 4 with ulp-free
+    headroom. One fact-table shuffle, map-side partials.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    wsum = F.sum(
+        F.col("l_extendedprice").cast("decimal(25,6)")
+        * F.col("l_quantity").cast("decimal(25,6)")
+    )
+    wtot = F.sum(F.col("l_quantity").cast("decimal(25,6)"))
+    return li.groupBy("l_returnflag").agg(
+        F.round(wsum.cast("double") / wtot.cast("double"), 4).alias(
+            "weighted_avg_price"
+        ),
+        F.round(wtot, 2).cast("double").alias("total_quantity"),
+    )

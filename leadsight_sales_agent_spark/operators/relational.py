@@ -1389,3 +1389,43 @@ def ansi_try_safety_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("prio_digit").alias("prio_digit_sum"),
         F.count("bad_cast").alias("n_bad_casts_succeeded"),
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+        SELECT nullif(o_orderstatus, 'O') AS k, count(*) AS n_a
+        FROM orders GROUP BY 1
+    ), b AS (
+        SELECT nullif(o_orderstatus, 'O') AS k,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+                   AS price_b
+        FROM orders GROUP BY 1
+    )
+    SELECT a.k AS status_key, a.n_a, b.price_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality JOIN (`IS NOT DISTINCT FROM` / Spark
+    `eqNullSafe`): standard equi-join semantics drop every row whose
+    key is NULL on either side (NULL = NULL is NULL, not TRUE) — the
+    silent row-loss bug whenever a join key is legitimately nullable
+    (here: the 'O' status collapsed to NULL). The null-safe operator
+    treats NULL as a joinable value, and — critically for scale — it
+    is still planned as a HASH join (NULL hashes like any value under
+    <=>), not a nested loop, so the plan is identical to a plain
+    equi-join's. The NULL-keyed groups prove the match end to end.
+    """
+    o = load(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    a = o.groupBy(k.alias("ka")).agg(F.count("*").alias("n_a"))
+    b = o.groupBy(k.alias("kb")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")), 2)
+        .cast("double")
+        .alias("price_b")
+    )
+    return a.join(b, a.ka.eqNullSafe(b.kb)).select(
+        F.col("ka").alias("status_key"), "n_a", "price_b"
+    )
