@@ -348,3 +348,17 @@ class TestFinalWavePlans:
         assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan or (
             "hashpartitioning" in plan and "32" in plan
         )
+
+
+class TestNullSafeJoinPlan:
+    def test_null_safe_eq_plans_as_hash_join(self, spark, sf_dir):
+        # <=> must hash-partition like a plain equi key, never BNLJ
+        plan = plan_of(spark, sf_dir, "join_null_safe_eq")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+    def test_pit_join_broadcasts_history(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "scd2_point_in_time_join")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
