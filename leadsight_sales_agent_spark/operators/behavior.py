@@ -746,3 +746,65 @@ def repurchase_interval_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
     return gaps.groupBy(
         F.floor(F.col("gap_days") / 30).alias("gap_bucket_months")
     ).agg(F.count("*").alias("n_gaps"))
+
+
+@query(
+    "conversion_latency_percentiles",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ), p AS (
+        SELECT e.user_id,
+               min(epoch_us(e.ts) - epoch_us(s.signup_ts)) AS latency_us
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+        GROUP BY 1
+    )
+    SELECT count(*) AS n_converted,
+           quantile_cont(CAST(latency_us AS DOUBLE), 0.5) / 1000000
+               AS median_latency_sec,
+           quantile_cont(CAST(latency_us AS DOUBLE), 0.9) / 1000000
+               AS p90_latency_sec
+    FROM p
+    """,
+)
+def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event: latency from a user's first signup to their
+    first subsequent purchase, summarized as exact median and p90 —
+    the conversion-speed KPI, and the input distribution every SLA and
+    funnel-decay model starts from. Latencies are exact integer
+    microseconds (the unix_micros discipline — never second-truncated
+    timestamps), the percentile interpolation is the binary-exact
+    (a+b)·fraction form pinned by agg_percentiles_quantity, and the
+    /1e6 rescale is one deterministic double op.
+
+    Plan: two hash-aggs (first signup; first qualifying purchase via a
+    min over the join — the earliest-after-anchor pattern from the
+    funnel), then a single global percentile over the per-user frame
+    (users ≪ events; the 100 TB form swaps in approx_percentile).
+    """
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts") - F.unix_micros("signup_ts")).alias("latency_us")
+        )
+    )
+    return p.agg(
+        F.count("*").alias("n_converted"),
+        (F.percentile(F.col("latency_us").cast("double"), F.lit(0.5)) / 1_000_000).alias(
+            "median_latency_sec"
+        ),
+        (F.percentile(F.col("latency_us").cast("double"), F.lit(0.9)) / 1_000_000).alias(
+            "p90_latency_sec"
+        ),
+    )
