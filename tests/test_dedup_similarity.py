@@ -297,3 +297,48 @@ class TestKMeansAndQuantization:
         # affine int8 quantization: |err| <= step/2 everywhere
         assert row["max_abs_err"] <= row["max_step"] / 2 * (1 + 1e-9), dict(row.asDict())
         assert row["mse"] < (row["max_step"] / 2) ** 2
+
+
+class TestFuzzyDedupTwoStage:
+    def test_prefix_gate_is_lossless_at_test_scale(self, spark, sf_dir):
+        # The banded two-stage verify (prefix gate + capped distance)
+        # must equal the unbanded single-stage reference on the same
+        # blocking — i.e. the prefix gate is an optimization, not a
+        # semantic change, for this corpus.
+        from pyspark.sql import functions as F
+
+        from leadsight_sales_agent_spark import registry
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        registry.load_all()
+        got = {
+            (r["doc_a"], r["doc_b"], r["edit_dist"])
+            for r in registry.QUERIES["dedup_fuzzy_levenshtein"](spark, sf_dir).collect()
+        }
+        d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+        a = d.select(
+            F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"),
+            F.col("lang").alias("la"), F.col("n_chars").alias("na"),
+            F.floor(F.col("n_chars") / 25).alias("ba"),
+        )
+        b = d.select(
+            F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"),
+            F.col("lang").alias("lb"), F.col("n_chars").alias("nb"),
+            F.floor(F.col("n_chars") / 25).alias("bb"),
+        )
+        ref = {
+            (r["doc_a"], r["doc_b"], r["ed"])
+            for r in a.join(
+                b,
+                (F.col("la") == F.col("lb")) & (F.col("ba") == F.col("bb"))
+                & (F.col("doc_a") < F.col("doc_b"))
+                & (F.abs(F.col("na") - F.col("nb")) <= 15),
+            )
+            .withColumn("ed", F.levenshtein("ta", "tb"))  # unbanded
+            .filter(
+                F.col("ed") <= F.least(F.lit(20), F.floor(F.greatest("na", "nb") / 5))
+            )
+            .select("doc_a", "doc_b", "ed")
+            .collect()
+        }
+        assert got == ref and got, (len(got), len(ref))
