@@ -1429,3 +1429,106 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a.ka.eqNullSafe(b.kb)).select(
         F.col("ka").alias("status_key"), "n_a", "price_b"
     )
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+                   AS part_value
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT sum(part_value) AS total_value FROM pv
+    )
+    SELECT pv.l_partkey,
+           CAST(round(pv.part_value, 2) AS DOUBLE) AS part_value
+    FROM pv CROSS JOIN tot
+    WHERE pv.part_value * 1500 > tot.total_value
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts whose revenue exceeds a FRACTION OF THE
+    GLOBAL TOTAL (here 1/1500): the HAVING-against-a-scalar-subquery
+    pattern, which separates "big in absolute terms" from "big
+    relative to everything", and whose naive form re-reads the fact
+    table for the threshold.
+
+    Plan: ONE per-part aggregation; the global total is an aggregate
+    OF that result (not a second fact-table scan) cross-joined back as
+    a single broadcast row. The threshold compare is division-free
+    (part_value × 1500 > total — exact decimal×int, the pareto
+    lesson), so the qualifying set is bit-determined. At 100 TB the
+    only heavy stage is the first hash-agg; everything after operates
+    on per-part cardinality.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")
+        ).alias("part_value")
+    )
+    tot = pv.agg(F.sum("part_value").alias("total_value"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") * 1500 > F.col("total_value"))
+        .select("l_partkey", F.round("part_value", 2).cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "tpch_q22_dormant_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT substr(c.c_name, 17, 2) AS name_bucket,
+           count(*) AS n_customers,
+           CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(25,6))), 2) AS DOUBLE)
+               AS total_bal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY 1
+    """,
+)
+def tpch_q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — "global sales opportunity": customers with
+    above-average positive account balance with no order since
+    2000-01-01 (dormant), grouped by a name bucket (the stand-in for Q22's phone
+    country code). Composes three decorrelation patterns in one query:
+    a scalar aggregate subquery (the average), an uncorrelated
+    threshold filter against it, and NOT EXISTS → left-anti against
+    the fact table.
+
+    Exactness: the average is an exact-integer-count division of
+    identically-derived doubles — but rather than hash the average
+    itself, it only GATES the row set (a > compare), and every output
+    column is an exact count or decimal sum, so a last-ulp difference
+    in the mean could only flip a row sitting exactly ON the mean —
+    impossible for this data (the mean has more precision than any
+    2-decimal balance). Plan: 1-row broadcast for the average, anti
+    join shuffles on the customer key, final 100-group agg.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return dormant.groupBy(
+        F.substring("c_name", 17, 2).alias("name_bucket")
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(25,6)")), 2)
+        .cast("double")
+        .alias("total_bal"),
+    )
