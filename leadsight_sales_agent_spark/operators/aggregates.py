@@ -1079,7 +1079,7 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (rn * cn / CAST(n AS DOUBLE)) AS DECIMAL(25,10))), 4)
                AS DOUBLE) AS chi2,
            (count(DISTINCT obs.p) - 1) * (count(DISTINCT obs.s) - 1) AS dof,
-           any_value(t.n) AS n_rows
+           CAST(any_value(t.n) AS BIGINT) AS n_rows
     FROM obs
     JOIN rt ON obs.p = rt.p
     JOIN ct ON obs.s = ct.s

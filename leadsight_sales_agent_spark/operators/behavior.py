@@ -218,10 +218,10 @@ WINSOR_LO, WINSOR_HI = 0.05, 0.95
     SELECT s.mktsegment,
            CAST(CAST(min(p.lo) AS DECIMAL(25,4)) AS DOUBLE) AS p05,
            CAST(CAST(min(p.hi) AS DECIMAL(25,4)) AS DOUBLE) AS p95,
-           sum(CASE WHEN s.o_totalprice < p.lo THEN 1 ELSE 0 END)
-               AS n_clipped_low,
-           sum(CASE WHEN s.o_totalprice > p.hi THEN 1 ELSE 0 END)
-               AS n_clipped_high,
+           CAST(sum(CASE WHEN s.o_totalprice < p.lo THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN s.o_totalprice > p.hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clipped_high,
            CAST(round(sum(CAST(least(greatest(s.o_totalprice, p.lo), p.hi)
                                AS DECIMAL(25,6))), 2) AS DOUBLE)
                AS winsorized_total
@@ -294,7 +294,7 @@ def winsorize_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM running
     )
     SELECT event_type,
-           peak AS peak_concurrency,
+           CAST(peak AS BIGINT) AS peak_concurrency,
            min(t) FILTER (WHERE conc = peak) AS peak_start
     FROM peaked
     GROUP BY event_type, peak

@@ -122,9 +122,9 @@ COMPACT_TARGET = 16384  # bytes per output file (scaled-down stand-in)
                (cum - n_chars) // {COMPACT_TARGET} AS bin
         FROM sized
     )
-    SELECT source, bin,
+    SELECT source, CAST(bin AS BIGINT) AS bin,
            count(*) AS n_files,
-           sum(n_chars) AS total_bytes,
+           CAST(sum(n_chars) AS BIGINT) AS total_bytes,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM binned GROUP BY 1, 2
     """,

@@ -65,7 +65,7 @@ def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT media_type,
            count(*) AS n_assets,
-           sum(octet_length(payload)) AS total_bytes,
+           CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
            CAST(max(width * height) AS BIGINT) AS max_pixels,
            count(DISTINCT sha256(text)) AS n_distinct_payloads
     FROM media GROUP BY 1

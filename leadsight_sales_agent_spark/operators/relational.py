@@ -1356,8 +1356,8 @@ def values_inline_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            count(*) AS n_rows,
            count(*) FILTER (WHERE q IS NULL) AS n_div_by_zero,
-           round(max(q), 4) AS max_quotient,
-           sum(prio_digit) AS prio_digit_sum,
+           CAST(floor(max(q) * 10000) AS BIGINT) AS max_quotient_e4,
+           CAST(sum(prio_digit) AS BIGINT) AS prio_digit_sum,
            count(bad_cast) AS n_bad_casts_succeeded
     FROM t GROUP BY 1
     """,
@@ -1371,9 +1371,11 @@ def ansi_try_safety_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL (counted), parseable prefix digit → value (summed exactly),
     unparseable full string → NULL (count of successes = 0). DuckDB's
     plain `/` already yields NULL on zero denominators, so the oracle
-    spells the same semantics with CASE + TRY_CAST. max(quotient)
-    compares one double (no sum-ordering hazard); the digit sum is
-    exact integers.
+    spells the same semantics with CASE + TRY_CAST. The quotient max is
+    emitted as floor(max(q)*10000) BIGINT — max of identical IEEE
+    doubles is bit-identical in both engines, and the integer floor
+    never crosses the boundary as a rounded double (the SURVEY §8.2
+    hazard class that cost this query its r2 driver hash).
     """
     o = load(spark, sf_dir, "orders")
     t = o.select(
@@ -1385,7 +1387,7 @@ def ansi_try_safety_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_rows"),
         F.count_if(F.col("q").isNull()).alias("n_div_by_zero"),
-        F.round(F.max("q"), 4).alias("max_quotient"),
+        F.floor(F.max("q") * 10000).cast("bigint").alias("max_quotient_e4"),
         F.sum("prio_digit").alias("prio_digit_sum"),
         F.count("bad_cast").alias("n_bad_casts_succeeded"),
     )

@@ -131,7 +131,7 @@ def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN hk < '{THRESH_90PCT}' THEN 'valid'
                 ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM h
     GROUP BY 1
     """,

@@ -34,9 +34,10 @@ _SQL_NTOK = "CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)"
     oracle=f"""
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(string_split_regex(trim(text), '{chr(92)}s+'))) AS total_tokens,
+           CAST(sum(len(string_split_regex(trim(text), '{chr(92)}s+'))) AS BIGINT)
+               AS total_tokens,
            {sql_davg(_SQL_NTOK, 4)} AS avg_tokens,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     """,

@@ -224,7 +224,7 @@ def window_sliding_1h_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM flagged
     )
-    SELECT user_id, session_id,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            count(*) AS n_events,
            CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
@@ -799,8 +799,8 @@ def window_range_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM fu GROUP BY 1, 2
     )
     SELECT event_type, day, new_users,
-           sum(new_users) OVER (PARTITION BY event_type ORDER BY day)
-               AS cum_distinct_users
+           CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day)
+               AS BIGINT) AS cum_distinct_users
     FROM daily
     """,
 )

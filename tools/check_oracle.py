@@ -29,15 +29,14 @@ def norm_cell(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        # Full repr, no rounding: the local gate must be at least as
-        # strict as the driver's value-hash (a laxer norm here is how
-        # r1's session-window mismatch passed locally but failed the
-        # driver). Integral collapse stays: engines legitimately differ
-        # on BIGINT-vs-DOUBLE for count-derived columns.
+        # Full repr, no rounding, NO integral collapse: the r2 driver
+        # failed ansi_try_safety_suite while this gate (then collapsing
+        # 499596.0 -> "499596") passed it, proving the collapse laxer
+        # than the driver's hash. Type mismatches (BIGINT count in one
+        # engine, DOUBLE in the other) are now fixed in the oracles by
+        # casting identically on both sides, not forgiven here.
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(v)
     if isinstance(v, bool):
         return str(v).lower()
@@ -55,6 +54,51 @@ def norm_cell(v):
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+
+
+# Coarse cross-engine type classes. The driver's value-hash may be
+# type-sensitive (an Arrow-backed hash sees DuckDB HUGEINT as
+# decimal128 but Spark BIGINT as int64 even when every value is equal),
+# so the gate demands the same class on both sides and the oracles cast
+# explicitly where the engines' inference rules differ (e.g. DuckDB
+# sum(INTEGER) -> HUGEINT must be CAST AS BIGINT).
+_SPARK_CLASS = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "boolean": "bool", "date": "date",
+    "timestamp": "ts", "timestamp_ntz": "ts", "binary": "bytes",
+}
+_DUCK_CLASS = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "HUGEINT": "hugeint", "UTINYINT": "int", "USMALLINT": "int",
+    "UINTEGER": "int", "UBIGINT": "int",
+    "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+    "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "BLOB": "bytes",
+}
+
+
+def type_class(spark_dtype: str, duck_type: str):
+    """Return (spark_class, duck_class); mismatch => oracle needs a cast."""
+    s = spark_dtype.lower()
+    d = str(duck_type).upper()
+    if s.startswith("decimal"):
+        sc = "decimal"
+    elif s.startswith("array"):
+        sc = "array"
+    elif s.startswith(("struct", "map")):
+        sc = "struct"
+    else:
+        sc = _SPARK_CLASS.get(s, s)
+    if d.startswith("DECIMAL"):
+        dc = "decimal"
+    elif d.endswith("[]") or d.startswith("LIST"):
+        dc = "array"
+    elif d.startswith("STRUCT") or d.startswith("MAP"):
+        dc = "struct"
+    else:
+        dc = _DUCK_CLASS.get(d, d.lower())
+    return sc, dc
 
 
 def main() -> int:
@@ -88,9 +132,10 @@ def main() -> int:
             print(f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as ex:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {ex}"))
             print(f"FAIL  {name}: duckdb error: {ex}")
@@ -101,6 +146,14 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} duckdb={sorted(ocols)}")
+        else:
+            sdtypes = dict(sdf.dtypes)
+            for c, dt in zip(ocols, otypes):
+                sc, dc = type_class(sdtypes[c], dt)
+                if sc != dc:
+                    problems.append(
+                        f"type-class {c}: spark {sdtypes[c]}({sc}) vs duckdb {dt}({dc})"
+                    )
         if not problems:
             sn, on = normalize(srows, scols), normalize(orows, ocols)
             if sn != on:
