@@ -41,14 +41,85 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# The driver's correctness run records exactly the first 50 registry
+# entries (observed r1 AND r2: 50 rows each). Registration order alone
+# filled r2's window with relational+agg queries, leaving windows,
+# set-ops, dedup, similarity, text, sampling, multimodal, and funnel
+# with no driver row at all. The fix (r2 verdict, task 2): curate the
+# first 50 as a cross-family panel — at least one oracle-backed anchor
+# per SURVEY §2 family — so every family gets a driver-grade hash check
+# every round. Queries whose failures were fixed but never
+# driver-confirmed (ansi_try_safety_suite r2-red fix,
+# window_session_30min_gap r1-red fix) are pinned in-window.
+_PANEL_50 = [
+    # flagship + §2.4 joins (9 shapes) + skew/null-safe variants + MERGE
+    "flagship_revenue_by_segment_month",
+    "join_inner_orders_customer",
+    "join_left_customer_order_counts",
+    "join_full_outer_nation_presence",
+    "join_semi_customers_with_urgent_orders",
+    "join_anti_customers_without_orders",
+    "join_cross_region_pairs",
+    "join_range_price_brackets",
+    "join_asof_purchase_last_click",
+    "join_salted_skew_demo",
+    "join_null_safe_eq",
+    "merge_upsert_orders",
+    # §2.3/§2.6 core relational shapes
+    "topk_orders_by_price",
+    "sort_multi_column_suppliers",
+    "filter_compound_predicates",
+    "project_reorder_with_missing_as_null",
+    "null_semantics_suite",
+    "ansi_try_safety_suite",  # r2 driver-red; r3 fix needs a driver row
+    # TPC-H anchors (Q5 + one sibling; the rest rotate past 50)
+    "tpch_q5_local_supplier_volume",
+    "tpch_q13_customer_distribution",
+    # §2.5 aggregates
+    "agg_pricing_summary",
+    "agg_count_distinct_customers",
+    "agg_rollup_region_nation_revenue",
+    "agg_pivot_event_types",
+    "agg_completeness_ladder",
+    "keyword_score_documents",
+    "agg_percentiles_quantity",
+    "sketch_countmin_heavy_hitters",
+    # §2.9 windows + date/time
+    "window_topk_orders_per_customer",
+    "window_running_revenue_per_customer",
+    "window_tumbling_10min",
+    "window_sliding_1h_30min",
+    "window_session_30min_gap",  # r1 driver-red; fix needs a driver row
+    "date_functions_orders",
+    # §2.7 set operations
+    "setop_intersect_nations",
+    "setop_except_all_langs",
+    # dedup family (exact / n-gram / fuzzy)
+    "dedup_exact_documents",
+    "neardup_jaccard_pairs",
+    "dedup_fuzzy_levenshtein",
+    # sampling / split
+    "sample_bernoulli_hash",
+    "sample_train_valid_test_split",
+    # behavioral analytics
+    "funnel_ordered_stages",
+    # similarity / embeddings
+    "knn_cosine_bruteforce",
+    "embedding_norm_stats",
+    # text / F1-F13 fidelity pack
+    "text_tfidf_top_terms",
+    "reference_regex_extracts",
+    "json_props_extraction",
+    "url_resolution_suite",
+    "text_pii_redaction",
+    # multimodal
+    "multimodal_metadata_stats",
+]
+
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
-# pipelines (mock-transport enrich, streaming micro-batch runs) go last.
-# Rationale: the driver's r1 correctness run recorded exactly the first
-# 50 registry entries and stopped (budgeted run). Listing every
-# oracle-backed query before any rows-only demo means any budget cut
-# lands on the weakest signal (rows-only) instead of dropping
-# hash-checked queries, and cheap-before-expensive maximizes how many
-# fit a time budget.
+# pipelines (mock-transport enrich, streaming micro-batch runs) go last:
+# any budget cut lands on the weakest signal (rows-only) instead of
+# dropping hash-checked queries.
 _ROWS_ONLY_COST_ORDER = [
     "agg_approx_count_distinct",
     "agg_approx_percentiles",
@@ -72,13 +143,16 @@ _ROWS_ONLY_COST_ORDER = [
 
 
 def ordered_queries() -> dict[str, QueryFn]:
-    """Registry in driver-check order: oracle-backed first (registration
-    order), then rows-only queries cheapest-first."""
-    oracle_backed = [n for n in QUERIES if n in ORACLES]
-    rows_only = [n for n in QUERIES if n not in ORACLES]
+    """Registry in driver-check order: the curated 50-slot cross-family
+    panel first, then the remaining oracle-backed queries in
+    registration order, then rows-only queries cheapest-first."""
+    panel = [n for n in _PANEL_50 if n in QUERIES]
+    in_panel = set(panel)
+    oracle_backed = [n for n in QUERIES if n in ORACLES and n not in in_panel]
+    rows_only = [n for n in QUERIES if n not in ORACLES and n not in in_panel]
     rank = {n: i for i, n in enumerate(_ROWS_ONLY_COST_ORDER)}
     rows_only.sort(key=lambda n: rank.get(n, len(rank)))
-    return {n: QUERIES[n] for n in [*oracle_backed, *rows_only]}
+    return {n: QUERIES[n] for n in [*panel, *oracle_backed, *rows_only]}
 
 
 def load_all() -> None:
