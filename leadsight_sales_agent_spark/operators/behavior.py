@@ -71,10 +71,17 @@ def funnel_ordered_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def step(acc, e):
         def advance(slot_ts, prev_ts, stage):
+            # Strictly AFTER the prior stage (ts >, not sort order): an
+            # event tied to the previous stage's timestamp must not
+            # advance the funnel, matching the oracle's `e.ts > s.t1`.
             cond = (
                 slot_ts.isNull()
                 & (e["event_type"] == stage)
-                & (prev_ts.isNotNull() if stage != "signup" else F.lit(True))
+                & (
+                    (prev_ts.isNotNull() & (e["ts"] > prev_ts))
+                    if stage != "signup"
+                    else F.lit(True)
+                )
             )
             return F.when(cond, e["ts"]).otherwise(slot_ts)
 

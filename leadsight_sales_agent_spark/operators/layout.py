@@ -27,8 +27,14 @@ _SPREAD = ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555))
 
 
 def spread_bits16(c: Column) -> Column:
-    """Space the low 16 bits of ``c`` into the even bit positions."""
-    x = c.bitwiseAND(F.lit(65535))
+    """Space the low 16 bits of ``c`` into the even bit positions.
+
+    Works in BIGINT: with all 16 input bits set, spread = 0x55555555 and
+    the caller's ``<< 1`` reaches 0xAAAAAAAA > INT32_MAX — INT arithmetic
+    would wrap negative (diverging from the oracle's BIGINT ladder), so
+    widen before the first shift.
+    """
+    x = c.cast("long").bitwiseAND(F.lit(65535))
     for shift, mask in _SPREAD:
         x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
     return x

@@ -604,8 +604,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims.join(F.broadcast(ranges), "dim")
         .withColumn("step", (F.col("hi") - F.col("lo")) / F.lit(255.0))
         .withColumn(
+            # A constant-valued dimension has hi == lo → step 0, and
+            # (x-lo)/step would be NaN; NaN sorts greatest in Spark's
+            # max() and would poison the whole calibration report.
+            # Degenerate dims quantize to code 0 with zero error.
             "code",
-            F.round((F.col("x") - F.col("lo")) / F.col("step")).cast("int"),
+            F.when(F.col("step") == 0.0, F.lit(0)).otherwise(
+                F.round((F.col("x") - F.col("lo")) / F.col("step")).cast("int")
+            ),
         )
         .withColumn("xhat", F.col("lo") + F.col("code") * F.col("step"))
         .withColumn("err", F.abs(F.col("x") - F.col("xhat")))

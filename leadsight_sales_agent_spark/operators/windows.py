@@ -392,7 +392,7 @@ RESAMPLE_BUCKET_MIN = 30  # resample the event stream to 30-minute buckets
     oracle=f"""
     WITH bounds AS (
         SELECT date_trunc('hour', min(ts)) AS t0,
-               date_trunc('hour', max(ts)) AS t1
+               time_bucket(INTERVAL {RESAMPLE_BUCKET_MIN} MINUTE, max(ts)) AS t1
         FROM events
     ), grid AS (
         SELECT gs.b AS bucket, et.event_type
@@ -439,9 +439,16 @@ def resample_gap_filled_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket", "event_type")
         .agg(F.count("*").alias("n"))
     )
+    # Upper bound uses the SAME 30-minute floor as `actual`: an
+    # hour-truncated t1 would omit the final half-hour bucket whenever
+    # max(ts) lands in :30–:59, silently dropping its events from the
+    # left join. The lower bound may stay hour-truncated (hour floor
+    # <= bucket floor, and the grid steps stay :00/:30-aligned).
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("t0"),
-        F.date_trunc("hour", F.max("ts")).alias("t1"),
+        F.timestamp_seconds(
+            (F.unix_timestamp(F.max("ts")) / bucket_s).cast("long") * bucket_s
+        ).alias("t1"),
     )
     grid = (
         bounds.select(

@@ -45,9 +45,15 @@ def _tune(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
-    # vectorized reader rejects; read as raw nanos and convert below.
+    # events.parquet has stored ts as TIMESTAMP(NANOS) (which the Spark
+    # vectorized reader rejects; read as raw nanos and convert below)
+    # and as TIMESTAMP(MICROS) with isAdjustedToUTC=false (which Spark
+    # would infer as TIMESTAMP_NTZ — rejected by unix_micros, numeric
+    # casts, and streaming event time). Disable NTZ inference so naive
+    # micros read as plain TIMESTAMP; with the UTC session zone the
+    # values match DuckDB's naive reads exactly.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -56,13 +62,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos → micros (integer div: nanos exceed 2^53, float would
-        # lose precision). DuckDB oracles CAST(ts AS TIMESTAMP) to the
-        # same micros truncation.
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "bigint":
+            # nanos → micros (integer div: nanos exceed 2^53, float
+            # would lose precision). DuckDB oracles CAST(ts AS
+            # TIMESTAMP) to the same micros truncation.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Fallback if NTZ inference was pinned on at session build:
+            # reinterpret the naive micros as UTC instants (the session
+            # zone is UTC, so this is a pure type change, no value shift).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
