@@ -638,6 +638,13 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   2. full distance ≤ min(20, 20% of length) on survivors only.
     # A/B at sf0.1: unbanded single-stage 499 s → banded 90 s →
     # banded+capped 8.6 s → two-stage ~2 s, identical 69 pairs.
+    return _fuzzy_verify(pairs)
+
+
+def _fuzzy_verify(pairs: DataFrame) -> DataFrame:
+    """Shared two-stage banded Levenshtein verify over candidate pairs
+    (columns doc_a/doc_b/text_a/text_b/len_a/len_b). See
+    dedup_fuzzy_levenshtein for the A/B numbers behind each stage."""
     prefix_dist = F.levenshtein(
         F.substring("text_a", 1, 40), F.substring("text_b", 1, 40), 8
     )
@@ -654,3 +661,88 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "edit_dist")
     )
+
+
+@query(
+    "dedup_fuzzy_levenshtein_full",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS edit_dist
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang
+     AND a.n_chars // 25 = b.n_chars // 25
+     AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 15
+    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 8
+      AND levenshtein(a.text, b.text)
+          <= least(20, greatest(a.n_chars, b.n_chars) // 5)
+    UNION ALL
+    SELECT least(a.doc_id, b.doc_id) AS doc_a,
+           greatest(a.doc_id, b.doc_id) AS doc_b,
+           levenshtein(a.text, b.text) AS edit_dist
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang
+     AND a.n_chars // 25 + 1 = b.n_chars // 25
+     AND abs(a.n_chars - b.n_chars) <= 15
+    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 8
+      AND levenshtein(a.text, b.text)
+          <= least(20, greatest(a.n_chars, b.n_chars) // 5)
+    """,
+)
+def dedup_fuzzy_levenshtein_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-recall fuzzy dedup: dedup_fuzzy_levenshtein plus the
+    adjacent-bucket pass it documents as out of contract. The bucket
+    width (25) exceeds the length-difference cap (15), so a qualifying
+    pair can straddle at most ONE bucket boundary — same-bucket UNION
+    ALL shifted-bucket (bucket_a + 1 = bucket_b) is therefore EXACT
+    recall, not an approximation. The shifted pass is the same
+    hash-partitioned equi-join shape (join key (lang, bucket+1) vs
+    (lang, bucket)); no ID-order predicate is needed because the two
+    sides sit in different buckets (no self-pair, no double-count —
+    each straddling pair matches exactly once), and ids are normalized
+    with least/greatest afterwards. Total cost ~2× the single-pass
+    query, as documented there; the verify stage is shared.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("len_a"),
+        F.floor(F.col("n_chars") / 25).alias("bucket_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("len_b"),
+        F.floor(F.col("n_chars") / 25).alias("bucket_b"),
+    )
+    len_ok = F.abs(F.col("len_a") - F.col("len_b")) <= 15
+    same = a.join(
+        b,
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("bucket_a") == F.col("bucket_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        & len_ok,
+    )
+    adjacent = a.join(
+        b,
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("bucket_a") + 1 == F.col("bucket_b"))
+        & len_ok,
+    ).select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+        "text_a",
+        "text_b",
+        "len_a",
+        "len_b",
+    )
+    cols = ["doc_a", "doc_b", "text_a", "text_b", "len_a", "len_b"]
+    pairs = same.select(*cols).unionAll(adjacent.select(*cols))
+    # Same explicit spread as the single-pass query (see comment there).
+    pairs = pairs.repartition(32, "doc_a", "doc_b")
+    return _fuzzy_verify(pairs)
