@@ -238,3 +238,52 @@ class TestStreamStaticJoin:
             for r in _segment_counts(ev, _segment_dim(spark, sf_dir)).collect()
         }
         assert got == want and got, (got, want)
+
+
+class TestProgressEventChannels:
+    """K3/K4 (reference server.py:337-381): the SSE event sink and the
+    JSON status snapshot as data. The reference's /progress generator
+    drains job["events"][last_idx:] per poll; its /status reports a
+    counter snapshot. The equivalence properties: offset-drained chunks
+    reassemble the one-shot log even when each poll RECOMPUTES the log
+    (the reference recomputes per poll too — it re-reads the live
+    list), and the pct column is exactly the drain counter's ratio
+    ladder, so any /status built from the log agrees with the
+    consumer's own position."""
+
+    @staticmethod
+    def _ordered_log(spark, sf_dir):
+        df = registry.QUERIES["streaming_progress_events"](spark, sf_dir)
+        # (pct, event_id) is a deterministic total order (event_id is
+        # unique), so repeated recomputation yields an identical list.
+        return df.orderBy("pct", "event_id").collect()
+
+    def test_offset_drain_equals_full_log(self, spark, sf_dir):
+        full = self._ordered_log(spark, sf_dir)
+        assert full
+        drained, offset = [], 0
+        step = max(1, len(full) // 3)
+        while offset < len(full):
+            poll = self._ordered_log(spark, sf_dir)  # fresh recompute per poll
+            new = poll[offset : offset + step]
+            assert new, "consumer stalled before the log was drained"
+            drained.extend(new)
+            offset += len(new)
+        assert drained == full
+
+    def test_sse_payloads_parse_with_reference_shape(self, spark, sf_dir):
+        import json as _json
+
+        full = self._ordered_log(spark, sf_dir)
+        for r in full:
+            p = _json.loads(r["sse_payload"])
+            assert set(p) == {"type", "data", "ts"}
+            assert p["type"] == "company_done"
+            assert isinstance(p["ts"], float)
+        assert full[-1]["pct"] == 100.0
+
+    def test_status_snapshot_pct_is_the_drain_counter_ratio(self, spark, sf_dir):
+        full = self._ordered_log(spark, sf_dir)
+        total = len(full)
+        want = [round((k + 1) / total * 100, 2) for k in range(total)]
+        assert [r["pct"] for r in full] == want
