@@ -36,9 +36,11 @@ HEADLINE = [
     "window_session_30min_gap",
     "window_tumbling_10min",
     "dedup_exact_documents",
+    "dedup_fuzzy_levenshtein_full",
     "neardup_minhash_lsh",
     "knn_cosine_bruteforce",
     "text_tfidf_top_terms",
+    "sample_stratified_lang",
     "leadsight_enrich_pipeline",
 ]
 
