@@ -70,9 +70,18 @@ def _first_sheet_path(zf: zipfile.ZipFile) -> str:
     return sheets[0]
 
 
-def read_excel_rows(path: str) -> tuple[list[str], list[list[object]]]:
-    """Parse the first worksheet → (header, data rows). Driver-side."""
-    with zipfile.ZipFile(path) as zf:
+# Driver-side parse cap: one sheet of the reference's shape is a few
+# hundred KB; anything bigger than this belongs on the executors
+# (read_excel_many) or in parquet (excel_to_parquet). 64 MB of OOXML is
+# roughly a million rows — far past "one uploaded sheet".
+MAX_DRIVER_XLSX_BYTES = 64 * 1024 * 1024
+
+
+def read_excel_rows(src) -> tuple[list[str], list[list[object]]]:
+    """Parse the first worksheet → (header, data rows). ``src`` is a
+    filesystem path or a binary file-like (the executor path hands in
+    BytesIO over a binaryFile scan's content column)."""
+    with zipfile.ZipFile(src) as zf:
         shared = _shared_strings(zf)
         root = ET.fromstring(zf.read(_first_sheet_path(zf)))
         rows: list[list[object]] = []
@@ -116,7 +125,21 @@ def read_excel(
     spark: SparkSession, path: str, with_row_idx: bool = True
 ) -> DataFrame:
     """S1: workbook → DataFrame (all columns string-typed, like the
-    reference's str-coerced sheet; ``_row_idx`` preserves sheet order)."""
+    reference's str-coerced sheet; ``_row_idx`` preserves sheet order).
+
+    Driver-side by contract, so guarded: a workbook past
+    MAX_DRIVER_XLSX_BYTES refuses to parse on the driver and points at
+    the distributed paths instead of silently OOM-ing the JVM's Python
+    sibling at scale."""
+    import os
+
+    size = os.path.getsize(path)
+    if size > MAX_DRIVER_XLSX_BYTES:
+        raise ValueError(
+            f"{path} is {size} bytes (> {MAX_DRIVER_XLSX_BYTES}); driver-side "
+            "parse is for single uploaded sheets — use read_excel_many (executor "
+            "parse over a binaryFile scan) or convert once via excel_to_parquet"
+        )
     header, data = read_excel_rows(path)
     if not header:
         raise ValueError(f"empty workbook: {path}")
@@ -211,6 +234,66 @@ def write_excel(df: DataFrame, path: str, columns: list[str] | None = None) -> i
     rows = [[r[c] for c in cols] for r in proj.collect()]
     write_excel_rows(path, cols, rows)
     return len(rows)
+
+
+def read_excel_many(
+    spark: SparkSession,
+    path_glob: str,
+    columns: list[str],
+    recursive: bool = False,
+) -> DataFrame:
+    """S1 at scale: a DIRECTORY of workbooks as one DataFrame.
+
+    The driver-side ``read_excel`` parses one uploaded sheet; a backfill
+    of thousands of sheets must parse on the executors. Plan shape:
+    ``binaryFile`` scan (one row per file: path + content bytes, split
+    across tasks by Spark's file partitioner) → ``mapInPandas`` running
+    the same stdlib OOXML parser per file — Arrow-batched, no
+    driver-side bytes, linear scale-out in file count.
+
+    ``columns`` pins the output contract (the caller knows its sheet
+    schema — e.g. REQUIRED_COMPANY_COLUMNS): each workbook's header is
+    matched by name, missing columns are null, extras dropped — so
+    heterogeneous sheets union cleanly into one schema-stable frame.
+    ``src_file``/``_row_idx`` preserve provenance and sheet order (T3)
+    per input file.
+    """
+    cols = list(columns)
+    out_schema = "src_file STRING, _row_idx BIGINT, " + ", ".join(
+        f"`{c}` STRING" for c in cols
+    )
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xlsx")
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path_glob)
+        .select("path", "content")
+    )
+
+    def parse(batches):
+        import io  # noqa: PLC0415 — runs on executors
+
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                header, data = read_excel_rows(io.BytesIO(bytes(content)))
+                pos = {c: header.index(c) for c in cols if c in header}
+                out: dict[str, list] = {
+                    "src_file": [path] * len(data),
+                    "_row_idx": list(range(len(data))),
+                }
+                for c in cols:
+                    i = pos.get(c)
+                    out[c] = [
+                        None
+                        if i is None or i >= len(r) or r[i] is None
+                        else str(r[i])
+                        for r in data
+                    ]
+                yield pd.DataFrame(out)
+
+    return binary.mapInPandas(parse, out_schema)
 
 
 def excel_to_parquet(spark: SparkSession, xlsx_path: str, out_path: str) -> DataFrame:

@@ -111,3 +111,67 @@ class TestEndToEndContract:
         assert header == OUTPUT_COLUMNS  # exact 14-column contract (K1/P1)
         assert [r[0] for r in rows] == names  # sheet order preserved (T3)
         assert all(r[1] for r in rows)  # Website column populated
+
+
+class TestManyWorkbooks:
+    """S1 at scale: executor-side parse of a workbook directory
+    (binaryFile scan + mapInPandas) with a pinned column contract."""
+
+    def test_heterogeneous_sheets_union_into_contract(self, spark, tmp_path):
+        from leadsight_sales_agent_spark.sources.excel import read_excel_many
+
+        # Three sheets with different shapes: canonical, reordered with
+        # an extra column, and one missing `website` entirely.
+        write_excel_rows(
+            str(tmp_path / "a.xlsx"),
+            ["company_name", "website"],
+            [["Acme", "https://acme.test"], ["Bolt", "https://bolt.test"]],
+        )
+        write_excel_rows(
+            str(tmp_path / "b.xlsx"),
+            ["notes", "website", "company_name"],
+            [["fast-growing", "https://carbon.test", "Carbon"]],
+        )
+        write_excel_rows(
+            str(tmp_path / "c.xlsx"),
+            ["company_name"],
+            [["Dyno"], ["Ember"]],
+        )
+
+        df = read_excel_many(
+            spark, str(tmp_path), ["company_name", "website"]
+        )
+        assert df.columns == ["src_file", "_row_idx", "company_name", "website"]
+        rows = {
+            (r["src_file"].rsplit("/", 1)[-1], r["_row_idx"]): (
+                r["company_name"],
+                r["website"],
+            )
+            for r in df.collect()
+        }
+        assert rows == {
+            ("a.xlsx", 0): ("Acme", "https://acme.test"),
+            ("a.xlsx", 1): ("Bolt", "https://bolt.test"),
+            ("b.xlsx", 0): ("Carbon", "https://carbon.test"),
+            ("c.xlsx", 0): ("Dyno", None),
+            ("c.xlsx", 1): ("Ember", None),
+        }
+
+    def test_non_xlsx_files_are_ignored(self, spark, tmp_path):
+        from leadsight_sales_agent_spark.sources.excel import read_excel_many
+
+        write_excel_rows(
+            str(tmp_path / "only.xlsx"), ["company_name", "website"], [["A", "w"]]
+        )
+        (tmp_path / "noise.csv").write_text("company_name,website\nX,Y\n")
+        df = read_excel_many(spark, str(tmp_path), ["company_name", "website"])
+        assert df.count() == 1
+
+    def test_driver_parse_refuses_oversized_sheet(self, spark, tmp_path, monkeypatch):
+        from leadsight_sales_agent_spark.sources import excel as excel_mod
+
+        path = str(tmp_path / "big.xlsx")
+        write_excel_rows(path, ["company_name", "website"], [["A", "w"]])
+        monkeypatch.setattr(excel_mod, "MAX_DRIVER_XLSX_BYTES", 16)
+        with pytest.raises(ValueError, match="read_excel_many"):
+            excel_mod.read_excel(spark, path)
