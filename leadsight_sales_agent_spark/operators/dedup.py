@@ -600,20 +600,8 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     (JVM codegen / DuckDB C), no Python.
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
-    a = d.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("text").alias("text_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("n_chars").alias("len_a"),
-        F.floor(F.col("n_chars") / 25).alias("bucket_a"),
-    )
-    b = d.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("text").alias("text_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("n_chars").alias("len_b"),
-        F.floor(F.col("n_chars") / 25).alias("bucket_b"),
-    )
+    a = _fuzzy_side(d, "a")
+    b = _fuzzy_side(d, "b")
     pairs = a.join(
         b,
         (F.col("lang_a") == F.col("lang_b"))
@@ -621,37 +609,61 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("doc_a") < F.col("doc_b"))
         & (F.abs(F.col("len_a") - F.col("len_b")) <= 15),
     )
-    # The candidate-verify split (same pattern as MinHash): the join
-    # output is small in ROWS but each row costs O(len·band) to verify,
-    # so AQE's size-based coalescing would funnel every levenshtein
-    # call into one task (measured 242 s single-task at sf0.1). Spread
-    # the verify stage explicitly — result row-local, so the
-    # repartition affects parallelism only.
-    pairs = pairs.repartition(32, "doc_a", "doc_b")
-    # Two-stage verify, both stages BANDED (the threshold arg restricts
-    # Spark to a ±threshold diagonal, O(threshold·len) per pair,
-    # returning -1 past the bound — every -1 is a discard anyway):
-    #   1. prefix gate: edit distance of the first 40 chars ≤ 8 — a
-    #      ~680-cell compare that kills ~all of the 135k sf0.1
-    #      candidates (true dup pairs in this corpus have prefix
-    #      distance 0; the bound leaves 2× headroom over the full cap);
-    #   2. full distance ≤ min(20, 20% of length) on survivors only.
-    # A/B at sf0.1: unbanded single-stage 499 s → banded 90 s →
-    # banded+capped 8.6 s → two-stage ~2 s, identical 69 pairs.
-    return _fuzzy_verify(pairs)
+    return _fuzzy_verify(pairs, d)
 
 
-def _fuzzy_verify(pairs: DataFrame) -> DataFrame:
-    """Shared two-stage banded Levenshtein verify over candidate pairs
-    (columns doc_a/doc_b/text_a/text_b/len_a/len_b). See
-    dedup_fuzzy_levenshtein for the A/B numbers behind each stage."""
-    prefix_dist = F.levenshtein(
-        F.substring("text_a", 1, 40), F.substring("text_b", 1, 40), 8
+def _fuzzy_side(d: DataFrame, suffix: str) -> DataFrame:
+    """One join side of the candidate generator. Deliberately carries
+    the 40-char PREFIX, not the full text: the candidate join and the
+    verify-spread repartition are the plan's only wide shuffles, and
+    stage 1 of the verify reads nothing past the prefix — shipping
+    full ~300-char texts through both shuffles costs ~7× the bytes for
+    no benefit (full texts rejoin later, survivors only)."""
+    return d.select(
+        F.col("doc_id").alias(f"doc_{suffix}"),
+        F.substring("text", 1, 40).alias(f"prefix_{suffix}"),
+        F.col("lang").alias(f"lang_{suffix}"),
+        F.col("n_chars").alias(f"len_{suffix}"),
+        F.floor(F.col("n_chars") / 25).alias(f"bucket_{suffix}"),
     )
-    gated = pairs.filter(prefix_dist >= 0)
+
+
+def _fuzzy_verify(pairs: DataFrame, d: DataFrame) -> DataFrame:
+    """Shared two-stage banded Levenshtein verify over candidate pairs
+    (columns doc_a/doc_b/prefix_a/prefix_b/len_a/len_b).
+
+    Both stages are BANDED (the threshold arg restricts Spark to a
+    ±threshold diagonal, O(threshold·len) per pair, returning -1 past
+    the bound — every -1 is a discard anyway):
+      1. prefix gate: edit distance of the first 40 chars ≤ 8 — a
+         ~680-cell compare that kills ~all of the ~195k sf0.1
+         candidates (true dup pairs in this corpus have prefix
+         distance 0; the bound leaves 2× headroom over the full cap);
+      2. full distance ≤ min(20, 20% of length) on survivors only,
+         after re-joining the full texts BY ID — survivors are a tiny
+         set, so AQE broadcasts them against the documents scan (the
+         scale-safe direction; broadcasting documents itself would not
+         survive a 100 TB corpus).
+    A/B at sf0.1: unbanded single-stage 499 s → banded 90 s →
+    banded+capped 8.6 s → two-stage, texts-rejoined ~2 s, identical
+    pairs.
+
+    The explicit repartition before stage 1 is the candidate-verify
+    split (same pattern as MinHash): the join output is small in BYTES
+    but each row costs O(len·band) to verify, so AQE's size-based
+    coalescing would funnel every levenshtein call into one task
+    (measured 242 s single-task at sf0.1). Result is row-local, so the
+    repartition affects parallelism only."""
+    pairs = pairs.repartition(32, "doc_a", "doc_b")
+    gated = pairs.filter(
+        F.levenshtein(F.col("prefix_a"), F.col("prefix_b"), 8) >= 0
+    ).select("doc_a", "doc_b", "len_a", "len_b")
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    full = gated.join(ta, "doc_a").join(tb, "doc_b")
     dist = F.levenshtein(F.col("text_a"), F.col("text_b"), 20)
     return (
-        gated.withColumn("edit_dist", dist)
+        full.withColumn("edit_dist", dist)
         .filter(
             (F.col("edit_dist") >= 0)
             & (
@@ -706,20 +718,8 @@ def dedup_fuzzy_levenshtein_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, as documented there; the verify stage is shared.
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
-    a = d.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("text").alias("text_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("n_chars").alias("len_a"),
-        F.floor(F.col("n_chars") / 25).alias("bucket_a"),
-    )
-    b = d.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("text").alias("text_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("n_chars").alias("len_b"),
-        F.floor(F.col("n_chars") / 25).alias("bucket_b"),
-    )
+    a = _fuzzy_side(d, "a")
+    b = _fuzzy_side(d, "b")
     len_ok = F.abs(F.col("len_a") - F.col("len_b")) <= 15
     same = a.join(
         b,
@@ -728,6 +728,9 @@ def dedup_fuzzy_levenshtein_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("doc_a") < F.col("doc_b"))
         & len_ok,
     )
+    # Prefixes/lens may end up crossed relative to the normalized id
+    # order; both verify stages use them symmetrically (levenshtein,
+    # greatest), and stage 2 rejoins full texts by the normalized ids.
     adjacent = a.join(
         b,
         (F.col("lang_a") == F.col("lang_b"))
@@ -736,13 +739,11 @@ def dedup_fuzzy_levenshtein_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.least("doc_a", "doc_b").alias("doc_a"),
         F.greatest("doc_a", "doc_b").alias("doc_b"),
-        "text_a",
-        "text_b",
+        "prefix_a",
+        "prefix_b",
         "len_a",
         "len_b",
     )
-    cols = ["doc_a", "doc_b", "text_a", "text_b", "len_a", "len_b"]
+    cols = ["doc_a", "doc_b", "prefix_a", "prefix_b", "len_a", "len_b"]
     pairs = same.select(*cols).unionAll(adjacent.select(*cols))
-    # Same explicit spread as the single-pass query (see comment there).
-    pairs = pairs.repartition(32, "doc_a", "doc_b")
-    return _fuzzy_verify(pairs)
+    return _fuzzy_verify(pairs, d)
