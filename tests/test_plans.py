@@ -362,3 +362,20 @@ class TestNullSafeJoinPlan:
         plan = plan_of(spark, sf_dir, "scd2_point_in_time_join")
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestFuzzyDedupPrefixCarry:
+    def test_wide_stages_carry_prefixes_not_texts(self, spark, sf_dir):
+        """The candidate join must gate on the 40-char prefixes (pushed
+        into the join condition) and the full-text compare must appear
+        only after the survivors rejoin texts by id — shipping full
+        texts through the candidate shuffle measured 4x slower at
+        sf0.1."""
+        for q in ("dedup_fuzzy_levenshtein", "dedup_fuzzy_levenshtein_full"):
+            plan = plan_of(spark, sf_dir, q)
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+            assert re.search(r"levenshtein\(prefix_a#\d+, prefix_b#\d+, Some\(8\)\)", plan), q
+            # full-text distance exists, and only at the 20-band verify
+            texts = re.findall(r"levenshtein\(text_a#\d+, text_b#\d+, Some\((\d+)\)\)", plan)
+            assert texts and set(texts) == {"20"}, (q, texts)
