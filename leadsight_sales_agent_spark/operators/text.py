@@ -802,3 +802,163 @@ def explode_outer_null_preservation(spark: SparkSession, sf_dir: str) -> DataFra
         F.count_if(F.col("token").isNull()).alias("n_docs_without_long_tokens"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
+
+
+# -- Corpus cleaning: repeated n-grams + benchmark decontamination -----------
+
+SHINGLE_W = 5  # word 5-grams — the C4/Gopher repeated-ngram unit
+BOILERPLATE_MIN_DOCS = 2  # a shingle shared by >= 2 docs is boilerplate
+BOILERPLATE_TOP_K = 20
+_SQL_SHINGLES = (
+    "SELECT doc_id, source, array_to_string(t[i:i+4], ' ') AS shingle "
+    "FROM (SELECT doc_id, source, "
+    "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+    "unnest(generate_series(1, len(t)-4)) AS g(i) WHERE len(t) >= 5"
+)
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, shingle) — word 5-gram shingles per document.
+
+    Built-in expressions only (split → sequence → transform → slice →
+    explode): whole-stage codegen, map-only. The size guard matters:
+    Spark's `sequence(1, n)` with n <= 0 produces a DESCENDING range
+    (step auto-inferred -1) and `slice` then errors — filter short
+    docs out before the transform.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        docs.select("doc_id", "source", toks.alias("t"))
+        .filter(F.size("t") >= SHINGLE_W)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t)-{SHINGLE_W - 1}), "
+                    f"i -> concat_ws(' ', slice(t, i, {SHINGLE_W})))"
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES})
+    SELECT shingle,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences
+    FROM sh
+    GROUP BY 1
+    HAVING count(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+    ORDER BY n_docs DESC, shingle
+    LIMIT {BOILERPLATE_TOP_K}
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram (boilerplate) detection — the C4/Gopher corpus
+    cleaning pass: word 5-gram shingles appearing in multiple distinct
+    documents mark templated/duplicated content a training pipeline
+    strips (headers, footers, licence blurbs, near-dup bodies). Top-K
+    offenders by document reach.
+
+    Plan: map-only shingle explode (no Python), one hash aggregation
+    on the shingle (count_distinct docs runs as the standard two-phase
+    partial agg), then TakeOrderedAndProject for the top-K — the
+    shingle space shrinks to the aggregate before anything sorts, and
+    (n_docs DESC, shingle) is a deterministic total order (shingle is
+    the group key), so the K-set is engine-exact. At 100 TB the
+    aggregate shuffles hashed shingle keys only; the usual production
+    trim (hash the shingle, keep doc-frequency > threshold) drops
+    straight into this shape.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        _shingles(docs)
+        .groupBy("shingle")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.asc("shingle"))
+        .limit(BOILERPLATE_TOP_K)
+    )
+
+
+BENCHMARK_SOURCE = "src0"  # stand-in benchmark/eval corpus
+CONTAMINATION_NUM = 4  # flag when n_matched * 4 >= n_shingles (>= 25 %)
+
+
+@query(
+    "text_decontamination_gate",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE source = '{BENCHMARK_SOURCE}'
+    ),
+    cand AS (
+        SELECT DISTINCT doc_id, shingle FROM sh
+        WHERE source <> '{BENCHMARK_SOURCE}'
+    ),
+    stats AS (
+        SELECT c.doc_id,
+               count(*) AS n_shingles,
+               count(b.shingle) AS n_matched
+        FROM cand c LEFT JOIN bench b ON c.shingle = b.shingle
+        GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           CAST((n_matched * 10000) // n_shingles AS BIGINT) AS containment_bp
+    FROM stats
+    WHERE n_matched * {CONTAMINATION_NUM} >= n_shingles
+    """,
+)
+def text_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the n-gram containment check every
+    serious training pipeline runs before a data release (GPT-3 /
+    LLaMA style): a candidate document whose distinct 5-gram shingles
+    overlap the benchmark corpus (here: source '{BENCHMARK_SOURCE}')
+    above 25 % is flagged as contaminated. Output is the flagged docs
+    with exact integer evidence (shingle counts + containment in
+    basis points via integer division — no float ratio crosses the
+    engine boundary).
+
+    Scale shape: the benchmark side is DISTINCT shingles of a bounded
+    eval corpus — small by nature, so it broadcasts; the candidate
+    corpus never moves (map-side shingle explode + one groupBy on
+    doc_id). The flag threshold compares integers (n_matched*4 >=
+    n_shingles), so no division happens until the final reporting
+    column.
+    """
+    sh = _shingles(load(spark, sf_dir, "documents"))
+    bench = (
+        sh.filter(F.col("source") == BENCHMARK_SOURCE).select("shingle").distinct()
+    )
+    cand = (
+        sh.filter(F.col("source") != BENCHMARK_SOURCE)
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    stats = (
+        cand.join(F.broadcast(bench.withColumn("hit", F.lit(1))), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_matched"),
+        )
+    )
+    return stats.filter(
+        F.col("n_matched") * CONTAMINATION_NUM >= F.col("n_shingles")
+    ).select(
+        "doc_id",
+        "n_shingles",
+        "n_matched",
+        F.expr("CAST((n_matched * 10000) DIV n_shingles AS BIGINT)").alias(
+            "containment_bp"
+        ),
+    )
