@@ -630,22 +630,96 @@ PQ_ITERS = 2
 
 
 def pq_train(spark: SparkSession, emb: DataFrame, dim: int):
-    """Train product-quantization codebooks: split each vector into
-    PQ_M contiguous subvectors and run the existing Lloyd trainer per
-    subspace. Returns [(subspace, centroids, inertias, assigned)].
+    """Train product-quantization codebooks for ALL subspaces jointly.
 
-    Each subspace's training is fully distributed (the kmeans_fit
-    machinery: one-literal centroid transport, posexplode mean agg);
-    the driver loop is over PQ_M=4 subspaces, not data."""
+    A per-subspace loop of kmeans_fit calls would launch
+    PQ_M × PQ_ITERS × 2 driver jobs (measured 54 s at sf0.01); instead
+    every vector explodes once into (vec_id, subspace, subvec) rows and
+    each Lloyd iteration is ONE assignment expression + ONE means
+    aggregation over all subspaces together — the codebooks travel as a
+    single 3-level nested literal ([subspace][code][dim], the §8.3
+    one-literal rule) indexed by the row's subspace. Job count is
+    independent of PQ_M, which is what lets a 64-subspace config train
+    in the same number of passes as this 4-subspace one.
+
+    Deterministic init: per subspace, the PQ_K subvectors with the
+    smallest salted md5 of (subspace, vec_id). Returns
+    (centroids[m][k][sd], assigned) where assigned has one row per
+    (vec_id, subspace) with its code and squared reconstruction error.
+    """
     sd = dim // PQ_M
-    out = []
-    for m in range(PQ_M):
-        sub = emb.select(
-            "vec_id", F.slice("embedding", m * sd + 1, sd).alias("embedding")
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("subspace"),
+                        F.slice("embedding", m * sd + 1, sd).alias("subvec"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.subspace", "s.subvec")
+
+    w = Window.partitionBy("subspace").orderBy("hk")
+    init = (
+        sub.withColumn(
+            "hk",
+            F.md5(
+                F.concat_ws(":", F.lit("pq"), F.col("subspace"), F.col("vec_id"))
+            ),
         )
-        cents, inertias, assigned = kmeans_fit(spark, sub, k=PQ_K, iters=PQ_ITERS)
-        out.append((m, cents, inertias, assigned))
-    return out
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_K)
+        .select("subspace", "rn", "subvec")
+        .collect()
+    )
+    centroids: list[list[list[float]]] = [
+        [None] * PQ_K for _ in range(PQ_M)  # type: ignore[list-item]
+    ]
+    for r in init:
+        centroids[r["subspace"]][r["rn"] - 1] = [float(x) for x in r["subvec"]]
+
+    assigned = None
+    for _ in range(PQ_ITERS):
+        cmat = F.lit(centroids)  # [M][K][sd] — one literal, M·K·sd floats
+        my_cents = F.get(cmat, F.col("subspace"))
+        dists = F.transform(
+            my_cents,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col("subvec"),
+                    c,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        assigned = sub.select(
+            "vec_id",
+            "subspace",
+            "subvec",
+            F.array_position(dists, F.array_min(dists)).cast("int").alias("code"),
+            F.array_min(dists).alias("dist2"),
+        )
+        means = (
+            assigned.select("subspace", "code", F.posexplode("subvec").alias("dim", "x"))
+            .groupBy("subspace", "code", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("subspace", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "subspace", "code", F.transform("dm", lambda s: s["m"]).alias("centroid")
+            )
+            .collect()  # ≤ M·K rows of sd floats — bytes
+        )
+        centroids = [list(cs) for cs in centroids]
+        for r in means:
+            centroids[r["subspace"]][r["code"] - 1] = [float(x) for x in r["centroid"]]
+    return centroids, assigned
 
 
 @query("embedding_pq_quantize")  # float centroid means → rows-only check
@@ -669,19 +743,17 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_dedup_similarity.py)."""
     emb = load(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    rows = []
-    for m, cents, inertias, assigned in pq_train(spark, emb, dim):
-        prof = assigned.agg(
-            F.count("*").alias("n"),
-            F.sum("dist2").alias("wcss"),
-            F.count_distinct("cluster").alias("codes_used"),
-        ).first()
-        rows.append(
-            (m, dim // PQ_M, PQ_K, int(prof["n"]), int(prof["codes_used"]),
-             float(prof["wcss"]))
-        )
-    return spark.createDataFrame(
-        rows,
-        "subspace INT, sub_dim INT, k INT, n_vectors BIGINT, "
-        "codes_used BIGINT, wcss DOUBLE",
+    _, assigned = pq_train(spark, emb, dim)
+    prof = assigned.groupBy("subspace").agg(
+        F.count("*").alias("n_vectors"),
+        F.count_distinct("code").alias("codes_used"),
+        F.sum("dist2").alias("wcss"),
+    )
+    return prof.select(
+        "subspace",
+        F.lit(dim // PQ_M).alias("sub_dim"),
+        F.lit(PQ_K).alias("k"),
+        "n_vectors",
+        "codes_used",
+        "wcss",
     )
