@@ -16,6 +16,7 @@ ROWS_ONLY_ALLOWED = {
     "agg_approx_percentiles",  # quantile-sketch internals differ from DuckDB's
     "kmeans_train_embeddings",  # iterative double-mean centroids, order-dependent
     "embedding_quantize_int8",  # double round() at half-ulp boundaries
+    "embedding_pq_quantize",  # iterative double-mean codebooks, order-dependent
     "knn_cosine_lsh",  # approximate by design
     "knn_cosine_ivf",  # approximate by design (cell pruning)
     "knn_cosine_ivf_pruned",  # approximate + scratch-staged layout
