@@ -1217,3 +1217,119 @@ def agg_weighted_average_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(wtot, 2).cast("double").alias("total_quantity"),
     )
+
+
+# -- Statistics completion: regression aggregates, deterministic mode --------
+
+
+@query(
+    "agg_regression_quantity_price",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag AS flag,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY 1
+    )
+    SELECT flag, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+               AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM s
+    """,
+)
+def agg_regression_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope/intercept/r2 surface)
+    of extendedprice on quantity per return flag — WITHOUT the builtin
+    regr_* functions, which accumulate order-dependent double sums and
+    can never hash-match across engines. Instead the five sufficient
+    statistics (Sx, Sy, Sxy, Sxx, Syy) are summed as EXACT decimals
+    (DECIMAL(12,2) inputs; products stay inside precision 38 untouched
+    by Spark's scale-adjustment), cast once to double — both engines
+    round the same exact decimal to the same IEEE double — and the
+    closed-form slope/intercept/r² are then pure deterministic double
+    arithmetic on identical operands. The SURVEY §8.2 "one division on
+    identical doubles" rule, extended to a full formula tree.
+
+    One fact-table scan, one partial+final hash aggregation on a
+    3-value key; the formula runs on 3 aggregated rows.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x_n
+    return s.select(
+        "flag",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
+        ((cov_n * cov_n) / (var_x_n * var_y_n)).alias("r2"),
+    )
+
+
+@query(
+    "agg_mode_priority",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ), r AS (
+        SELECT o_orderstatus, o_orderpriority, cnt,
+               row_number() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY cnt DESC, o_orderpriority
+               ) AS rn
+        FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           cnt AS n_orders
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode() with a DETERMINISTIC tie-break: the most frequent order
+    priority per status, ties resolved to the lexicographically
+    smallest value. Neither engine's builtin mode() specifies its
+    tie-break (Spark's mode() and DuckDB's mode() may legally
+    disagree), so the gradable form is the explicit count → rank →
+    take-first ladder — which is also exactly how a mode over a
+    100 TB fact table should run: pre-aggregate to the (group, value)
+    grain FIRST (two-phase hash agg shrinks the window input to the
+    distinct-value space), then a WindowGroupLimit-eligible
+    row_number over the tiny aggregate.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("n_orders"),
+        )
+    )
