@@ -1534,3 +1534,108 @@ def tpch_q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("double")
         .alias("total_bal"),
     )
+
+
+# -- SQL-surface completion: LATERAL, NULLS FIRST/LAST ------------------------
+
+
+@query(
+    "lateral_top_orders_per_customer",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the per-row dependent-join SQL
+    surface (top-3 orders for each BUILDING customer). Spark 4
+    decorrelates the ORDER BY ... LIMIT lateral into a partial
+    WindowGroupLimit + hash join (verified via .explain: no per-row
+    re-execution, no nested loop), which is exactly the window top-k
+    plan `window_topk_orders_per_customer` builds by hand — this entry
+    pins that the declarative LATERAL spelling reaches the same
+    scale-safe shape, so users porting LATERAL-heavy reporting SQL
+    don't need to rewrite it.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+@query(
+    "nulls_ordering_suite",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+        FROM customer
+    )
+    SELECT * FROM (
+        SELECT 'desc_nulls_last' AS variant, c_custkey, bal FROM base
+        ORDER BY bal DESC NULLS LAST, c_custkey LIMIT 5
+    )
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'desc_nulls_first' AS variant, c_custkey, bal FROM base
+        ORDER BY bal DESC NULLS FIRST, c_custkey LIMIT 5
+    )
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'asc_nulls_first' AS variant, c_custkey, bal FROM base
+        ORDER BY bal ASC NULLS FIRST, c_custkey LIMIT 5
+    )
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'asc_nulls_last' AS variant, c_custkey, bal FROM base
+        ORDER BY bal ASC NULLS LAST, c_custkey LIMIT 5
+    )
+    """,
+)
+def nulls_ordering_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL placement in sorts, all four variants pinned. The engines
+    DISAGREE by default — Spark ascending puts NULLS FIRST, DuckDB
+    puts NULLS LAST — so any ported ORDER BY over a nullable key
+    silently reorders unless the placement is explicit. Each variant
+    is a TakeOrderedAndProject (top-5 with a unique tiebreak, no
+    global sort materialized); nulls are synthesized deterministically
+    (custkey % 7) since the generated data has none.
+    """
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    variants = [
+        ("desc_nulls_last", F.col("bal").desc_nulls_last()),
+        ("desc_nulls_first", F.col("bal").desc_nulls_first()),
+        ("asc_nulls_first", F.col("bal").asc_nulls_first()),
+        ("asc_nulls_last", F.col("bal").asc_nulls_last()),
+    ]
+    out = None
+    for name, order in variants:
+        top = (
+            base.orderBy(order, F.asc("c_custkey"))
+            .limit(5)
+            .select(F.lit(name).alias("variant"), "c_custkey", "bal")
+        )
+        out = top if out is None else out.unionAll(top)
+    return out
