@@ -20,6 +20,45 @@ from leadsight_sales_agent_spark.sources.catalog import load
 FUNNEL_STAGES = ("signup", "view", "click", "purchase")
 
 
+def funnel_fold(evs_col: str = "evs"):
+    """The funnel's single-pass fold over a sorted (ts, event_type)
+    array: returns a struct column (t1..t4) of first-qualifying stage
+    timestamps. Module-level so the differential tests exercise the
+    EXACT production expression rather than a copy that can drift.
+
+    A stage advances only on an event strictly AFTER the prior stage's
+    timestamp (`ts >`, not sort order): an event tied to the previous
+    stage must not advance the funnel, matching the oracle's
+    `e.ts > s.t1`.
+    """
+    no_ts = F.lit(None).cast("timestamp")
+    state0 = F.struct(
+        no_ts.alias("t1"), no_ts.alias("t2"), no_ts.alias("t3"), no_ts.alias("t4")
+    )
+
+    def step(acc, e):
+        def advance(slot_ts, prev_ts, stage):
+            cond = (
+                slot_ts.isNull()
+                & (e["event_type"] == stage)
+                & (
+                    (prev_ts.isNotNull() & (e["ts"] > prev_ts))
+                    if stage != "signup"
+                    else F.lit(True)
+                )
+            )
+            return F.when(cond, e["ts"]).otherwise(slot_ts)
+
+        return F.struct(
+            advance(acc["t1"], None, "signup").alias("t1"),
+            advance(acc["t2"], acc["t1"], "view").alias("t2"),
+            advance(acc["t3"], acc["t2"], "click").alias("t3"),
+            advance(acc["t4"], acc["t3"], "purchase").alias("t4"),
+        )
+
+    return F.aggregate(evs_col, state0, step)
+
+
 @query(
     "funnel_ordered_stages",
     oracle="""
@@ -64,35 +103,7 @@ def funnel_ordered_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
     )
-    no_ts = F.lit(None).cast("timestamp")
-    state0 = F.struct(
-        no_ts.alias("t1"), no_ts.alias("t2"), no_ts.alias("t3"), no_ts.alias("t4")
-    )
-
-    def step(acc, e):
-        def advance(slot_ts, prev_ts, stage):
-            # Strictly AFTER the prior stage (ts >, not sort order): an
-            # event tied to the previous stage's timestamp must not
-            # advance the funnel, matching the oracle's `e.ts > s.t1`.
-            cond = (
-                slot_ts.isNull()
-                & (e["event_type"] == stage)
-                & (
-                    (prev_ts.isNotNull() & (e["ts"] > prev_ts))
-                    if stage != "signup"
-                    else F.lit(True)
-                )
-            )
-            return F.when(cond, e["ts"]).otherwise(slot_ts)
-
-        return F.struct(
-            advance(acc["t1"], None, "signup").alias("t1"),
-            advance(acc["t2"], acc["t1"], "view").alias("t2"),
-            advance(acc["t3"], acc["t2"], "click").alias("t3"),
-            advance(acc["t4"], acc["t3"], "purchase").alias("t4"),
-        )
-
-    folded = grouped.select(F.aggregate("evs", state0, step).alias("f"))
+    folded = grouped.select(funnel_fold("evs").alias("f"))
     return folded.agg(
         F.count(F.col("f.t1")).alias("n_signup"),
         F.count(F.col("f.t2")).alias("n_then_view"),

@@ -107,31 +107,10 @@ class TestFunnelDifferential:
         grouped = df.groupBy("user_id").agg(
             F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
         )
-        no_ts = F.lit(None).cast("timestamp")
-        state0 = F.struct(
-            no_ts.alias("t1"), no_ts.alias("t2"), no_ts.alias("t3"), no_ts.alias("t4")
-        )
-
-        # reuse the registered query's fold by calling the module-level
-        # step builder through a tiny shim frame
-        def step(acc, e):
-            def advance(slot_ts, prev_ts, stage):
-                cond = (
-                    slot_ts.isNull()
-                    & (e["event_type"] == stage)
-                    & (prev_ts.isNotNull() if stage != "signup" else F.lit(True))
-                )
-                return F.when(cond, e["ts"]).otherwise(slot_ts)
-
-            return F.struct(
-                advance(acc["t1"], None, "signup").alias("t1"),
-                advance(acc["t2"], acc["t1"], "view").alias("t2"),
-                advance(acc["t3"], acc["t2"], "click").alias("t3"),
-                advance(acc["t4"], acc["t3"], "purchase").alias("t4"),
-            )
+        from leadsight_sales_agent_spark.operators.behavior import funnel_fold
 
         got = (
-            grouped.select(F.aggregate("evs", state0, step).alias("f"))
+            grouped.select(funnel_fold("evs").alias("f"))
             .agg(
                 F.count("f.t1").alias("signup"),
                 F.count("f.t2").alias("view"),
@@ -234,3 +213,46 @@ class TestZorderKey:
         zy = [r["zy"] for r in rows]
         assert zx == sorted(zx) and len(set(zx)) == 64
         assert zy == sorted(zy) and len(set(zy)) == 64
+
+
+class TestFunnelTies:
+    def test_exact_timestamp_tie_does_not_advance(self, spark):
+        """An event with ts EQUAL to the previous stage's timestamp must
+        not advance the funnel (the oracle requires strictly greater) —
+        the divergence was latent because generated data has no ties."""
+        from datetime import datetime
+
+        from pyspark.sql import functions as F
+
+        from leadsight_sales_agent_spark.operators.behavior import funnel_fold
+
+        t0 = datetime(2024, 1, 1, 12, 0, 0)
+        t1 = datetime(2024, 1, 1, 12, 0, 1)
+        rows = [
+            # user 1: view tied to signup -> view must NOT count
+            (1, t0, "signup"), (1, t0, "view"),
+            # user 2: strictly later view -> counts
+            (2, t0, "signup"), (2, t1, "view"),
+            # user 3: tie at view->click boundary -> click must NOT count
+            (3, t0, "signup"), (3, t1, "view"), (3, t1, "click"),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+        grouped = df.groupBy("user_id").agg(
+            F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+        )
+        got = (
+            grouped.select(funnel_fold("evs").alias("f"))
+            .agg(
+                F.count("f.t1").alias("signup"),
+                F.count("f.t2").alias("view"),
+                F.count("f.t3").alias("click"),
+                F.count("f.t4").alias("purchase"),
+            )
+            .collect()[0]
+        )
+        assert dict(got.asDict()) == {
+            "signup": 3,
+            "view": 2,  # users 2 and 3 only
+            "click": 0,  # user 3's click is tied to their view
+            "purchase": 0,
+        }
