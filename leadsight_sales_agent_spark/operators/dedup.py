@@ -747,3 +747,53 @@ def dedup_fuzzy_levenshtein_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["doc_a", "doc_b", "prefix_a", "prefix_b", "len_a", "len_b"]
     pairs = same.select(*cols).unionAll(adjacent.select(*cols))
     return _fuzzy_verify(pairs, d)
+
+
+NEW_BATCH_SOURCE = "src19"  # stand-in for the incoming ingest batch
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH hist AS (
+        SELECT DISTINCT md5(text) AS fp FROM documents
+        WHERE source <> '{NEW_BATCH_SOURCE}'
+    ), batch AS (
+        SELECT doc_id, md5(text) AS fp, n_chars FROM documents
+        WHERE source = '{NEW_BATCH_SOURCE}'
+    )
+    SELECT b.doc_id, b.n_chars,
+           (h.fp IS NOT NULL) AS dup_of_history
+    FROM batch b LEFT JOIN hist h ON b.fp = h.fp
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the shape production ingest actually runs:
+    a NEW batch checked against the historical corpus's content
+    fingerprints, not all-pairs over everything. Each batch doc is
+    flagged (kept rows feed the pipeline; flagged rows feed the dedup
+    report), via a left join on md5(text).
+
+    Scale shape: the history side reduces to DISTINCT 16-byte
+    fingerprints BEFORE the join — at 100 TB that is the bloom-filter/
+    fingerprint-store pattern (the full corpus never re-scans per
+    batch; a real deployment persists `hist` once and appends). The
+    join key is the hash, so the shuffle carries ~50 bytes/row; the
+    batch side is small by definition and AQE broadcasts it. The
+    near-dup twin of this path is the same left join against the
+    MinHash band table (neardup_minhash_lsh's `bands`) instead of
+    exact fingerprints.
+    """
+    d = load(spark, sf_dir, "documents")
+    hist = (
+        d.filter(F.col("source") != NEW_BATCH_SOURCE)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    batch = d.filter(F.col("source") == NEW_BATCH_SOURCE).select(
+        "doc_id", F.md5("text").alias("fp"), "n_chars"
+    )
+    return batch.join(hist, "fp", "left").select(
+        "doc_id", "n_chars", F.col("hit").isNotNull().alias("dup_of_history")
+    )
