@@ -287,3 +287,85 @@ class TestProgressEventChannels:
         total = len(full)
         want = [round((k + 1) / total * 100, 2) for k in range(total)]
         assert [r["pct"] for r in full] == want
+
+
+class TestCheckpointRecovery:
+    def test_restart_from_checkpoint_resumes_exactly_once(self, spark, tmp_path):
+        """K2/ST3 failure recovery: a stream that dies mid-run must, on
+        restart with the SAME checkpoint, resume from the last committed
+        offset — already-committed micro-batches are never redelivered
+        and every source row is materialized exactly once across the two
+        runs. This is the property that makes foreachBatch-with-
+        checkpoint a real incremental sink rather than a hopeful one."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        now = 1_700_000_000
+        for i in range(3):  # one file per micro-batch (maxFilesPerTrigger=1)
+            path = os.path.join(src, f"f{i}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(
+                    pd.DataFrame({"batch_tag": [i] * 4, "row_id": list(range(i * 4, i * 4 + 4))})
+                ),
+                path,
+            )
+            os.utime(path, (now + 60 * i, now + 60 * i))
+
+        def reader():
+            return (
+                spark.readStream.schema("batch_tag BIGINT, row_id BIGINT")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        run1: list[tuple[int, list]] = []
+
+        def crashing_sink(batch_df, batch_id):
+            if batch_id == 1:
+                raise RuntimeError("injected crash before batch 1 commits")
+            run1.append((batch_id, [r["row_id"] for r in batch_df.collect()]))
+
+        q = (
+            reader()
+            .writeStream.outputMode("append")
+            .foreachBatch(crashing_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        import pytest as _pytest
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        with _pytest.raises(StreamingQueryException):
+            q.awaitTermination(120)
+
+        committed_run1 = {bid for bid, _ in run1}
+        assert committed_run1 == {0}, run1  # batch 0 landed before the crash
+
+        run2: list[tuple[int, list]] = []
+
+        def sink(batch_df, batch_id):
+            run2.append((batch_id, [r["row_id"] for r in batch_df.collect()]))
+
+        q2 = (
+            reader()
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+
+        # resumed past the committed offset: batch 0 is never redelivered
+        assert {bid for bid, _ in run2} == {1, 2}, run2
+        # exactly-once across the crash: union of both runs' writes is
+        # every source row, no duplicates
+        all_rows = sorted(r for _, rows in run1 + run2 for r in rows)
+        assert all_rows == list(range(12))
