@@ -1239,11 +1239,11 @@ def agg_weighted_average_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY 1
     )
     SELECT flag, n,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
                AS intercept,
-           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS r2
     FROM s
     """,
 )
@@ -1254,11 +1254,14 @@ def agg_regression_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame
     can never hash-match across engines. Instead the five sufficient
     statistics (Sx, Sy, Sxy, Sxx, Syy) are summed as EXACT decimals
     (DECIMAL(12,2) inputs; products stay inside precision 38 untouched
-    by Spark's scale-adjustment), cast once to double — both engines
-    round the same exact decimal to the same IEEE double — and the
-    closed-form slope/intercept/r² are then pure deterministic double
-    arithmetic on identical operands. The SURVEY §8.2 "one division on
-    identical doubles" rule, extended to a full formula tree.
+    by Spark's scale-adjustment), cast once to double, and the
+    closed-form slope/intercept/r² computed in doubles. One residual
+    engine gap remains: a decimal whose UNSCALED value exceeds 2^53
+    (Syy here) double-rounds in DuckDB's decimal→double (int128 →
+    double → /10^scale) where Spark's BigDecimal path rounds once —
+    a 1-ulp sum difference observed at sf0.001. The outputs therefore
+    round at 6/4/8 decimals, a ≥1e8 margin over the ulp noise (the
+    §8.2 ln() precedent).
 
     One fact-table scan, one partial+final hash aggregation on a
     3-value key; the formula runs on 3 aggregated rows.
@@ -1282,9 +1285,9 @@ def agg_regression_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame
     return s.select(
         "flag",
         "n",
-        slope.alias("slope"),
-        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
-        ((cov_n * cov_n) / (var_x_n * var_y_n)).alias("r2"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 4).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_x_n * var_y_n), 8).alias("r2"),
     )
 
 
