@@ -681,6 +681,11 @@ def pq_train(spark: SparkSession, emb: DataFrame, dim: int):
     ]
     for r in init:
         centroids[r["subspace"]][r["rn"] - 1] = [float(x) for x in r["subvec"]]
+    if any(c is None for cs in centroids for c in cs):
+        raise ValueError(
+            f"PQ needs at least PQ_K={PQ_K} vectors per subspace to seed "
+            "codebooks; corpus is smaller than the codebook"
+        )
 
     assigned = None
     for _ in range(PQ_ITERS):
