@@ -292,6 +292,11 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # fetch token arrays only for surviving candidates (few), via two
     # column-pruned re-scans — cheaper than persisting the corpus.
+    # Spread the verify first: candidate rows are ~20 bytes so AQE
+    # coalesces them to 1-2 tasks, single-threading the per-pair
+    # array_intersect/union compute (the fuzzy-dedup finding, same
+    # fix; 2.2 s → 1.8 s at sf0.1 on 219k candidates).
+    pairs = pairs.repartition(32, "doc_a", "doc_b")
     ta = base.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = base.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     n_common = F.size(F.array_intersect("toks_a", "toks_b"))
