@@ -962,3 +962,66 @@ def text_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment_bp"
         ),
     )
+
+
+MIN_TOKENS = 10
+MIN_UNIQ_RATIO = 0.4
+
+
+@query(
+    "corpus_curation_verdict",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(trim(text), '{chr(92)}s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(trim(text), '{chr(92)}s+')))
+                   AS n_uniq,
+               min(doc_id) OVER (PARTITION BY md5(trim(text))) AS keeper
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CASE WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+                WHEN CAST(n_uniq AS DOUBLE) / n_tokens < {MIN_UNIQ_RATIO}
+                    THEN 'low_diversity'
+                WHEN doc_id <> keeper THEN 'exact_duplicate'
+                ELSE 'keep' END AS verdict
+    FROM feat
+    """,
+)
+def corpus_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation capstone: every document gets its keep/drop verdict
+    with ONE primary reject reason in pipeline priority order
+    (too_short → low_diversity → exact_duplicate → keep) — the
+    materialization a C4-style cleaning job actually emits, composing
+    the length, lexical-diversity, and exact-dedup signals the
+    individual operators grade separately.
+
+    One scan, one window over the md5 content-hash partition (the
+    dedup survivor rule as min(doc_id) OVER the hash group — hash-
+    partitioned, no global sort, skew bounded by the duplicate-group
+    size). Everything is integer/hash arithmetic; the single ratio
+    compares against a constant so no float crosses the engine
+    boundary un-rounded.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    w = Window.partitionBy(F.md5(F.trim(F.col("text"))))
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.min("doc_id").over(w).alias("keeper"),
+    )
+    verdict = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, F.lit("too_short"))
+        .when(
+            F.col("n_uniq").cast("double") / F.col("n_tokens") < MIN_UNIQ_RATIO,
+            F.lit("low_diversity"),
+        )
+        .when(F.col("doc_id") != F.col("keeper"), F.lit("exact_duplicate"))
+        .otherwise(F.lit("keep"))
+    )
+    return feat.select("doc_id", "lang", "n_tokens", verdict.alias("verdict"))
