@@ -67,14 +67,12 @@ _PANEL_50 = [
     "merge_upsert_orders",
     # §2.3/§2.6 core relational shapes
     "topk_orders_by_price",
-    "sort_multi_column_suppliers",
     "filter_compound_predicates",
     "project_reorder_with_missing_as_null",
     "null_semantics_suite",
     "ansi_try_safety_suite",  # r2 driver-red; r3 fix needs a driver row
-    # TPC-H anchors (Q5 + one sibling; the rest rotate past 50)
+    # TPC-H anchor (Q5; siblings rotate past 50)
     "tpch_q5_local_supplier_volume",
-    "tpch_q13_customer_distribution",
     # §2.5 aggregates
     "agg_pricing_summary",
     "agg_count_distinct_customers",
@@ -97,7 +95,7 @@ _PANEL_50 = [
     # dedup family (exact / n-gram / fuzzy)
     "dedup_exact_documents",
     "neardup_jaccard_pairs",
-    "dedup_fuzzy_levenshtein",
+    "dedup_fuzzy_levenshtein_full",
     # sampling / split
     "sample_bernoulli_hash",
     "sample_train_valid_test_split",
@@ -114,6 +112,9 @@ _PANEL_50 = [
     "text_pii_redaction",
     # multimodal
     "multimodal_metadata_stats",
+    # corpus cleaning (r3 family: boilerplate + curation capstone)
+    "text_boilerplate_ngrams",
+    "corpus_curation_verdict",
 ]
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo

@@ -86,7 +86,7 @@ class TestRegistry:
             "datetime": "date_functions_orders",
             "setops": "setop_intersect_nations",
             "dedup": "dedup_exact_documents",
-            "fuzzy_dedup": "dedup_fuzzy_levenshtein",
+            "fuzzy_dedup": "dedup_fuzzy_levenshtein_full",
             "sampling": "sample_bernoulli_hash",
             "behavior": "funnel_ordered_stages",
             "similarity": "knn_cosine_bruteforce",
@@ -96,6 +96,8 @@ class TestRegistry:
             "urls": "url_resolution_suite",
             "pii": "text_pii_redaction",
             "multimodal": "multimodal_metadata_stats",
+            "corpus_cleaning": "text_boilerplate_ngrams",
+            "curation": "corpus_curation_verdict",
         }
         missing = {fam: q for fam, q in anchors.items() if q not in panel}
         assert not missing, missing
