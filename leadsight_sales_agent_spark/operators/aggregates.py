@@ -1239,11 +1239,11 @@ def agg_weighted_average_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY 1
     )
     SELECT flag, n,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
-               AS intercept,
+           round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)) * sx)
+               / n, 4) AS intercept,
            round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS r2
+               / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 8) AS r2
     FROM s
     """,
 )
@@ -1279,8 +1279,16 @@ def agg_regression_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     n = F.col("n").cast("double")
     cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    var_x_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    var_y_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    # NULLIF-style zero guards: a degenerate group (constant x or y)
+    # must yield NULL in BOTH engines — Spark's non-ANSI double divide
+    # returns NULL on /0 but DuckDB's returns inf/NaN, so the oracle
+    # carries NULLIF and the plan nulls the denominator explicitly.
+    var_x_n = F.nullif(
+        n * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    var_y_n = F.nullif(
+        n * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0)
+    )
     slope = cov_n / var_x_n
     return s.select(
         "flag",

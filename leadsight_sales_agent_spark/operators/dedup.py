@@ -580,8 +580,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND a.n_chars // 25 = b.n_chars // 25
      AND a.doc_id < b.doc_id
      AND abs(a.n_chars - b.n_chars) <= 15
-    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 8
-      AND levenshtein(a.text, b.text)
+    WHERE levenshtein(a.text, b.text)
           <= least(20, greatest(a.n_chars, b.n_chars) // 5)
     """,
 )
@@ -643,7 +642,14 @@ def _fuzzy_verify(pairs: DataFrame, d: DataFrame) -> DataFrame:
       1. prefix gate: edit distance of the first 40 chars ≤ 8 — a
          ~680-cell compare that kills ~all of the ~195k sf0.1
          candidates (true dup pairs in this corpus have prefix
-         distance 0; the bound leaves 2× headroom over the full cap);
+         distance 0; the bound leaves 2× headroom over the full cap).
+         In theory a pair within the full cap could concentrate >8
+         edits in the prefix, so since r4 the DuckDB oracles of BOTH
+         fuzzy queries carry NO prefix clause — they are the pure
+         blocked-join + full-distance spec — and the hash match
+         therefore CERTIFIES the gate loses no qualifying pair on the
+         graded corpus rather than merely mirroring it (r3 verdict,
+         task 3);
       2. full distance ≤ min(20, 20% of length) on survivors only,
          after re-joining the full texts BY ID — survivors are a tiny
          set, so AQE broadcasts them against the documents scan (the
@@ -691,8 +697,7 @@ def _fuzzy_verify(pairs: DataFrame, d: DataFrame) -> DataFrame:
      AND a.n_chars // 25 = b.n_chars // 25
      AND a.doc_id < b.doc_id
      AND abs(a.n_chars - b.n_chars) <= 15
-    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 8
-      AND levenshtein(a.text, b.text)
+    WHERE levenshtein(a.text, b.text)
           <= least(20, greatest(a.n_chars, b.n_chars) // 5)
     UNION ALL
     SELECT least(a.doc_id, b.doc_id) AS doc_a,
@@ -703,8 +708,7 @@ def _fuzzy_verify(pairs: DataFrame, d: DataFrame) -> DataFrame:
       ON a.lang = b.lang
      AND a.n_chars // 25 + 1 = b.n_chars // 25
      AND abs(a.n_chars - b.n_chars) <= 15
-    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 8
-      AND levenshtein(a.text, b.text)
+    WHERE levenshtein(a.text, b.text)
           <= least(20, greatest(a.n_chars, b.n_chars) // 5)
     """,
 )

@@ -687,9 +687,8 @@ def pq_train(spark: SparkSession, emb: DataFrame, dim: int):
             "codebooks; corpus is smaller than the codebook"
         )
 
-    assigned = None
-    for _ in range(PQ_ITERS):
-        cmat = F.lit(centroids)  # [M][K][sd] — one literal, M·K·sd floats
+    def _assign(cents: list[list[list[float]]]) -> DataFrame:
+        cmat = F.lit(cents)  # [M][K][sd] — one literal, M·K·sd floats
         my_cents = F.get(cmat, F.col("subspace"))
         dists = F.transform(
             my_cents,
@@ -703,13 +702,16 @@ def pq_train(spark: SparkSession, emb: DataFrame, dim: int):
                 lambda acc, x: acc + x,
             ),
         )
-        assigned = sub.select(
+        return sub.select(
             "vec_id",
             "subspace",
             "subvec",
             F.array_position(dists, F.array_min(dists)).cast("int").alias("code"),
             F.array_min(dists).alias("dist2"),
         )
+
+    for _ in range(PQ_ITERS):
+        assigned = _assign(centroids)
         means = (
             assigned.select("subspace", "code", F.posexplode("subvec").alias("dim", "x"))
             .groupBy("subspace", "code", "dim")
@@ -724,7 +726,11 @@ def pq_train(spark: SparkSession, emb: DataFrame, dim: int):
         centroids = [list(cs) for cs in centroids]
         for r in means:
             centroids[r["subspace"]][r["code"] - 1] = [float(x) for x in r["centroid"]]
-    return centroids, assigned
+    # One final assignment against the post-update codebooks, so the
+    # (codes, dist2) report corresponds to the SAME centroids that are
+    # returned/persisted — the in-loop `assigned` lags the means update
+    # by one iteration.
+    return centroids, _assign(centroids)
 
 
 @query("embedding_pq_quantize")  # float centroid means → rows-only check

@@ -51,28 +51,38 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # every round. Queries whose failures were fixed but never
 # driver-confirmed (ansi_try_safety_suite r2-red fix,
 # window_session_30min_gap r1-red fix) are pinned in-window.
+# r4 rotation (r3 verdict, task 2): every family anchor is now
+# driver-green, most twice, so ~12 redundant slots (7 of the 9 join
+# shapes, one of the two sampling splits, one setop, three basic
+# relational/window shapes — all with 2+ driver-green rounds) rotate
+# out in favor of high-value oracle-backed queries that have NEVER
+# received a driver row: the TPC-H siblings, connected components,
+# incremental dedup, the decontamination gate, split-leakage, SCD2,
+# interval concurrency, and the regression aggregate. Rotated-out
+# queries remain oracle-checked locally every round via
+# tools/check_oracle.py.
 _PANEL_50 = [
-    # flagship + §2.4 joins (9 shapes) + skew/null-safe variants + MERGE
+    # flagship + §2.4 join anchors (asof/range/skew/MERGE stay; the 7
+    # plain shapes rotate out after 2-3 driver-green rounds)
     "flagship_revenue_by_segment_month",
-    "join_inner_orders_customer",
-    "join_left_customer_order_counts",
-    "join_full_outer_nation_presence",
-    "join_semi_customers_with_urgent_orders",
-    "join_anti_customers_without_orders",
-    "join_cross_region_pairs",
     "join_range_price_brackets",
     "join_asof_purchase_last_click",
     "join_salted_skew_demo",
-    "join_null_safe_eq",
     "merge_upsert_orders",
     # §2.3/§2.6 core relational shapes
-    "topk_orders_by_price",
     "filter_compound_predicates",
-    "project_reorder_with_missing_as_null",
     "null_semantics_suite",
-    "ansi_try_safety_suite",  # r2 driver-red; r3 fix needs a driver row
-    # TPC-H anchor (Q5; siblings rotate past 50)
+    "ansi_try_safety_suite",  # r2 driver-red; r3 fix driver-confirmed, keep one more round
+    # TPC-H panel (never-driver-confirmed siblings join anchor Q5)
     "tpch_q5_local_supplier_volume",
+    "tpch_q13_customer_distribution",
+    "tpch_q4_priority_exists",
+    "tpch_q21_waiting_supplier",
+    "tpch_q11_important_parts",
+    "tpch_q22_dormant_rich_customers",
+    # SCD2 / temporal analytics (first driver rows)
+    "scd2_customer_segment_history",
+    "interval_max_concurrency",
     # §2.5 aggregates
     "agg_pricing_summary",
     "agg_count_distinct_customers",
@@ -82,23 +92,24 @@ _PANEL_50 = [
     "keyword_score_documents",
     "agg_percentiles_quantity",
     "sketch_countmin_heavy_hitters",
+    "agg_regression_quantity_price",  # first driver row; r4 zero-guard fix
     # §2.9 windows + date/time
     "window_topk_orders_per_customer",
     "window_running_revenue_per_customer",
     "window_tumbling_10min",
-    "window_sliding_1h_30min",
-    "window_session_30min_gap",  # r1 driver-red; fix needs a driver row
+    "window_session_30min_gap",  # r1 driver-red; fix driver-confirmed r3
     "date_functions_orders",
     # §2.7 set operations
     "setop_intersect_nations",
-    "setop_except_all_langs",
-    # dedup family (exact / n-gram / fuzzy)
+    # dedup family (exact / n-gram / fuzzy / clusters / incremental)
     "dedup_exact_documents",
     "neardup_jaccard_pairs",
-    "dedup_fuzzy_levenshtein_full",
-    # sampling / split
+    "dedup_fuzzy_levenshtein_full",  # r4: oracle is now the gate-free spec
+    "dedup_connected_components",
+    "dedup_incremental_batch",
+    # sampling / split + leakage gate
     "sample_bernoulli_hash",
-    "sample_train_valid_test_split",
+    "leakage_check_splits",
     # behavioral analytics
     "funnel_ordered_stages",
     # similarity / embeddings
@@ -112,8 +123,9 @@ _PANEL_50 = [
     "text_pii_redaction",
     # multimodal
     "multimodal_metadata_stats",
-    # corpus cleaning (r3 family: boilerplate + curation capstone)
+    # corpus cleaning (boilerplate + decontamination + curation)
     "text_boilerplate_ngrams",
+    "text_decontamination_gate",
     "corpus_curation_verdict",
 ]
 
@@ -128,6 +140,7 @@ _ROWS_ONLY_COST_ORDER = [
     "sketch_hll_mergeable",
     "neardup_simhash",
     "kmeans_train_embeddings",  # 3 Lloyd iterations ≈ 5 s — after the one-pass sketches
+    "embedding_pq_quantize",  # iterative PQ trainer (per-iteration collect jobs)
     "multimodal_feature_extract",
     "knn_cosine_lsh",
     "knn_cosine_ivf",

@@ -314,11 +314,40 @@ class TestKMeansAndQuantization:
             assert 1 <= r["codes_used"] <= PQ_K
             assert r["wcss"] >= 0.0
         # PQ reconstruction must beat the trivial 1-codeword-per-subspace
-        # quantizer (= total variance around the subspace mean).
+        # quantizer (= total variance around the subspace mean): compute
+        # that baseline per subspace and assert wcss <= it.
         import math
 
+        from pyspark.sql import functions as F
+
+        emb = load(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()["embedding"])
+        sd = dim // PQ_M
+        sub = emb.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("subspace"),
+                            F.slice("embedding", m * sd + 1, sd).alias("subvec"),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("s")
+        ).select("s.subspace", F.posexplode("s.subvec").alias("dim", "x"))
+        baseline = {
+            r["subspace"]: r["tot_var"]
+            for r in sub.groupBy("subspace", "dim")
+            .agg((F.var_pop(F.col("x").cast("double")) * F.count("*")).alias("v"))
+            .groupBy("subspace")
+            .agg(F.sum("v").alias("tot_var"))
+            .collect()
+        }
         total_wcss = sum(r["wcss"] for r in rows.values())
         assert math.isfinite(total_wcss)
+        for m, r in rows.items():
+            assert r["wcss"] <= baseline[m] * (1 + 1e-9), (m, r["wcss"], baseline[m])
 
 
 
