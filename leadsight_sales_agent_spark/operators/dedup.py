@@ -231,6 +231,26 @@ def minhash_signature(tokens_col):
     return minhash_signature_hashed(F.transform(tokens_col, lambda t: F.xxhash64(t)))
 
 
+def minhash_band_structs(sig_col, n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND):
+    """array<struct<band_id,band_hash>> LSH banding of a MinHash
+    signature column: n_bands bands of rows_per_band rows, each band
+    collapsed to one xxhash64. Shared by the self-join near-dup path
+    (8×4 — precision-leaning) and the cross-split leakage pass in
+    sampling.py (16×2 — recall-leaning: a contamination gate prefers
+    extra candidates, which the exact verify rejects, over misses)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[sig_col[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 @query("neardup_minhash_lsh")  # probabilistic candidate gen → rows-only check
 def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified by exact Jaccard.
@@ -258,19 +278,7 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band explode and its shuffle must not drag token arrays along.
     bands = sig.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
+        F.explode(minhash_band_structs(F.col("sig"))).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
 
     # group into buckets (one shuffle, signature pipeline computed once —

@@ -146,6 +146,7 @@ _ROWS_ONLY_COST_ORDER = [
     "knn_cosine_ivf",
     "knn_cosine_ivf_pruned",
     "neardup_minhash_lsh",
+    "leakage_minhash_cross_split",  # 16x2 banding + full-corpus verify
     "streaming_progress_events",
     "streaming_static_enrich_join",
     "streaming_stream_stream_join",

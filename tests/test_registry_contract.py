@@ -21,6 +21,7 @@ ROWS_ONLY_ALLOWED = {
     "knn_cosine_ivf",  # approximate by design (cell pruning)
     "knn_cosine_ivf_pruned",  # approximate + scratch-staged layout
     "neardup_minhash_lsh",  # probabilistic candidate generation
+    "leakage_minhash_cross_split",  # probabilistic candidates (recall pinned in tests)
     "streaming_sessionize_stateful",  # custom stateful streaming op
     "neardup_simhash",  # signature heuristic
     "leadsight_enrich_pipeline",  # Python mock transports

@@ -76,3 +76,34 @@ class TestHashSampling:
             sampling.hash_key("split:", F.col("doc_id")).alias("b"),
         ).collect()
         assert any(p["a"] != p["b"] for p in pairs)
+
+    def test_minhash_leakage_sound_and_high_recall_vs_exact_anchor(
+        self, spark, sf_dir
+    ):
+        # Soundness is exact: the banded path's verify stage re-checks
+        # exact Jaccard, so restricted to the anchor's doc_id bound it
+        # can only be a SUBSET of the oracle-checked anchor. Recall is
+        # probabilistic by design (16 bands x 2 rows: ~1% miss at the
+        # J=0.5 boundary, ~2e-5 at J>=0.7) — pin >=98% overall and
+        # zero misses at J>=0.7. Deterministic xxhash64 signatures
+        # make both pins stable, not flaky.
+        exact = {
+            (r["eval_split"], r["doc_eval"], r["doc_train"], r["jaccard"])
+            for r in registry.QUERIES["leakage_jaccard_cross_split"](
+                spark, sf_dir
+            ).collect()
+        }
+        bound = sampling.LEAKAGE_ANCHOR_BOUND
+        banded = {
+            (r["eval_split"], r["doc_eval"], r["doc_train"], r["jaccard"])
+            for r in registry.QUERIES["leakage_minhash_cross_split"](
+                spark, sf_dir
+            ).collect()
+            if r["doc_eval"] < bound and r["doc_train"] < bound
+        }
+        assert banded <= exact  # no false pairs, ever
+        assert exact, "anchor found no cross-split leakage — corpus changed?"
+        recall = len(banded & exact) / len(exact)
+        assert recall >= 0.98, f"recall {recall:.4f}, missed {len(exact - banded)}"
+        high = {p for p in exact if p[3] >= 0.7}
+        assert high <= banded, f"missed high-J pairs: {sorted(high - banded)[:5]}"
