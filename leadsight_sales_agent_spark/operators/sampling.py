@@ -274,6 +274,91 @@ def batch_by_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Sequence packing --------------------------------------------------------
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "pack_sequences_token_budget",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+               {_SQL_HASH.format(salt='pack:', key='doc_id')} AS h
+        FROM documents
+    ), s AS (
+        SELECT substr(h, 1, 1) AS shard, doc_id, n_tok,
+               sum(n_tok) OVER (PARTITION BY substr(h, 1, 1)
+                                ORDER BY h, doc_id) AS cum
+        FROM t
+    )
+    SELECT shard,
+           CAST((cum - n_tok) // {{B}} AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           count(*) FILTER (WHERE (cum - 1) // {{B}} > (cum - n_tok) // {{B}})
+               AS n_split_docs,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM s GROUP BY 1, 2
+    """.format(B=PACK_BUDGET),
+)
+def pack_sequences_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the missing step between
+    ``batch_by_length_buckets`` and a dataloader: concatenate documents
+    in a deterministic pseudo-random order and chop the token stream
+    into fixed PACK_BUDGET-token training sequences (the GPT-style
+    pack-and-chop that wastes zero tokens to padding; a document whose
+    span crosses a boundary continues in the next sequence). A doc's
+    sequence is pure arithmetic on the running token offset — the same
+    start-offset prefix-sum device as compaction_bin_packing — so the
+    packing is reproducible on any cluster layout with no RNG and no
+    sequential driver loop.
+
+    Order is hash-order (salted md5 of doc_id), which IS the shuffle
+    step of a training pipeline: consecutive corpus documents land in
+    different sequences deterministically. Scale: packing runs
+    independently in 16 shards keyed by the hash's first hex char —
+    each shard is one window partition, so the prefix sum never needs
+    a global total order (the single-partition window that would
+    bottleneck a 100 TB corpus); sequence identity is (shard, seq_id).
+    Output is the per-sequence manifest a writer stage would execute:
+    doc count, token sum over docs STARTING in the sequence, how many
+    of them straddle into the next sequence, and the id range.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    h = hash_key("pack:", F.col("doc_id"))
+    t = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        h.alias("h"),
+        F.substring(h, 1, 1).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    s = t.withColumn("cum", F.sum("n_tok").over(w))
+    start_seq = F.floor((F.col("cum") - F.col("n_tok")) / PACK_BUDGET)
+    end_seq = F.floor((F.col("cum") - 1) / PACK_BUDGET)
+    return (
+        s.select(
+            "shard",
+            "doc_id",
+            "n_tok",
+            start_seq.cast("bigint").alias("seq_id"),
+            (end_seq > start_seq).alias("splits"),
+        )
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.count_if("splits").alias("n_split_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
 # -- Importance (quality-weighted) sampling ----------------------------------
 
 PERMILLE_UNIT = 4294967  # floor(2^32 / 1000): permille → 32-bit threshold

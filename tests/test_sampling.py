@@ -107,3 +107,34 @@ class TestHashSampling:
         assert recall >= 0.98, f"recall {recall:.4f}, missed {len(exact - banded)}"
         high = {p for p in exact if p[3] >= 0.7}
         assert high <= banded, f"missed high-J pairs: {sorted(high - banded)[:5]}"
+
+    def test_pack_sequences_invariants(self, spark, sf_dir):
+        # Chop arithmetic: within a shard, sequence ids are contiguous
+        # from 0, and the per-shard token sum equals the corpus token
+        # count of that shard (no token lost or double-counted).
+        from pyspark.sql import functions as F
+
+        rows = registry.QUERIES["pack_sequences_token_budget"](
+            spark, sf_dir
+        ).collect()
+        by_shard: dict[str, list] = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r)
+        docs = load(spark, sf_dir, "documents")
+        h = sampling.hash_key("pack:", F.col("doc_id"))
+        shard_tokens = {
+            r["shard"]: r["tot"]
+            for r in docs.groupBy(F.substring(h, 1, 1).alias("shard"))
+            .agg(
+                F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("tot")
+            )
+            .collect()
+        }
+        assert set(by_shard) == set(shard_tokens)
+        for shard, rs in by_shard.items():
+            seqs = sorted(r["seq_id"] for r in rs)
+            assert seqs == list(range(len(seqs))), shard  # contiguous from 0
+            assert sum(r["n_tokens"] for r in rs) == shard_tokens[shard]
+            # every full sequence boundary is crossed by at most one doc
+            for r in rs:
+                assert r["n_split_docs"] <= 1, r
