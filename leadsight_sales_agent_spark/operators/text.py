@@ -1025,3 +1025,147 @@ def corpus_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("keep"))
     )
     return feat.select("doc_id", "lang", "n_tokens", verdict.alias("verdict"))
+
+
+BOILER_HITS_MIN = 3  # distinct top-K boilerplate shingles that flag a doc
+
+
+@query(
+    "corpus_curation_full",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(trim(text), '{chr(92)}s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(trim(text), '{chr(92)}s+')))
+                   AS n_uniq,
+               min(doc_id) OVER (PARTITION BY md5(trim(text))) AS keeper
+        FROM documents
+    ), sh AS ({_SQL_SHINGLES}),
+    bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE source = '{BENCHMARK_SOURCE}'
+    ),
+    cand AS (
+        SELECT DISTINCT doc_id, shingle FROM sh
+        WHERE source <> '{BENCHMARK_SOURCE}'
+    ),
+    contam AS (
+        SELECT c.doc_id
+        FROM cand c LEFT JOIN bench b ON c.shingle = b.shingle
+        GROUP BY 1
+        HAVING count(b.shingle) * {CONTAMINATION_NUM} >= count(*)
+    ),
+    boiler_set AS (
+        SELECT shingle FROM sh
+        GROUP BY 1
+        HAVING count(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+        ORDER BY count(DISTINCT doc_id) DESC, shingle
+        LIMIT {BOILERPLATE_TOP_K}
+    ),
+    boiler_docs AS (
+        SELECT s.doc_id
+        FROM (SELECT DISTINCT doc_id, shingle FROM sh) s
+        JOIN boiler_set bs ON s.shingle = bs.shingle
+        GROUP BY 1
+        HAVING count(*) >= {BOILER_HITS_MIN}
+    )
+    SELECT f.doc_id, f.lang, CAST(f.n_tokens AS INTEGER) AS n_tokens,
+           CASE WHEN f.n_tokens < {MIN_TOKENS} THEN 'too_short'
+                WHEN CAST(f.n_uniq AS DOUBLE) / f.n_tokens < {MIN_UNIQ_RATIO}
+                    THEN 'low_diversity'
+                WHEN f.doc_id <> f.keeper THEN 'exact_duplicate'
+                WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN bd.doc_id IS NOT NULL THEN 'boilerplate'
+                ELSE 'keep' END AS verdict
+    FROM feat f
+    LEFT JOIN contam c ON f.doc_id = c.doc_id
+    LEFT JOIN boiler_docs bd ON f.doc_id = bd.doc_id
+    """,
+)
+def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation verdict (r3 verdict, task 8): every document,
+    ONE primary reject reason in pipeline priority order — too_short →
+    low_diversity → exact_duplicate → contaminated → boilerplate →
+    keep — composing all five corpus-cleaning signals this engine
+    grades separately (length, lexical diversity, exact dedup, the
+    benchmark decontamination gate, repeated-n-gram boilerplate) into
+    the single keep/drop materialization a release job emits.
+
+    Plan shape = corpus_curation_verdict plus the two already-graded
+    signal pipelines, joined back at their SMALL ends so nothing new
+    shuffles at corpus grain:
+    - contaminated: text_decontamination_gate's shape (DISTINCT
+      benchmark shingles broadcast; candidates never move) reduced to
+      its flagged doc-id set — tiny by nature, AQE broadcasts it
+      against the verdict frame;
+    - boilerplate: text_boilerplate_ngrams' top-K shingle set (K=20,
+      a literal-sized broadcast) intersects the shingle stream BEFORE
+      any per-doc grouping, so the hit-count groupBy shuffles only
+      matching rows; a doc with ≥ {BOILER_HITS_MIN} distinct top-K
+      shingles is flagged, and that flagged set broadcasts back too.
+    The base frame still runs one scan + one window over the md5
+    content-hash partition; every signal joins as a broadcast of a
+    bounded/filtered side.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    w = Window.partitionBy(F.md5(F.trim(F.col("text"))))
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.min("doc_id").over(w).alias("keeper"),
+    )
+    sh = _shingles(docs)
+    bench = (
+        sh.filter(F.col("source") == BENCHMARK_SOURCE).select("shingle").distinct()
+    )
+    cand = (
+        sh.filter(F.col("source") != BENCHMARK_SOURCE)
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    contam = (
+        cand.join(F.broadcast(bench.withColumn("hit", F.lit(1))), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"), F.count("hit").alias("n_m"))
+        .filter(F.col("n_m") * CONTAMINATION_NUM >= F.col("n_sh"))
+        .select("doc_id")
+        .withColumn("contaminated", F.lit(True))
+    )
+    boiler_set = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.asc("shingle"))
+        .limit(BOILERPLATE_TOP_K)
+        .select("shingle")
+    )
+    boiler_docs = (
+        sh.select("doc_id", "shingle")
+        .join(F.broadcast(boiler_set), "shingle")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") >= BOILER_HITS_MIN)
+        .select("doc_id")
+        .withColumn("boiler", F.lit(True))
+    )
+    verdict = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, F.lit("too_short"))
+        .when(
+            F.col("n_uniq").cast("double") / F.col("n_tokens") < MIN_UNIQ_RATIO,
+            F.lit("low_diversity"),
+        )
+        .when(F.col("doc_id") != F.col("keeper"), F.lit("exact_duplicate"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
+        .when(F.col("boiler"), F.lit("boilerplate"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        feat.join(contam, "doc_id", "left")
+        .join(boiler_docs, "doc_id", "left")
+        .select("doc_id", "lang", "n_tokens", verdict.alias("verdict"))
+    )
