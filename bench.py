@@ -56,6 +56,11 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "sample_stratified_lang",
     "leadsight_enrich_pipeline",
+    # r4 additions: cross-split MinHash leakage, sequence packing, and
+    # the five-signal curation verdict — the three heaviest new shapes.
+    "leakage_minhash_cross_split",
+    "pack_sequences_token_budget",
+    "corpus_curation_full",
 ]
 
 

@@ -90,12 +90,10 @@ _PANEL_50 = [
     "agg_pivot_event_types",
     "agg_completeness_ladder",
     "keyword_score_documents",
-    "agg_percentiles_quantity",
     "sketch_countmin_heavy_hitters",
     "agg_regression_quantity_price",  # first driver row; r4 zero-guard fix
     # §2.9 windows + date/time
     "window_topk_orders_per_customer",
-    "window_running_revenue_per_customer",
     "window_tumbling_10min",
     "window_session_30min_gap",  # r1 driver-red; fix driver-confirmed r3
     "date_functions_orders",
@@ -107,14 +105,16 @@ _PANEL_50 = [
     "dedup_fuzzy_levenshtein_full",  # r4: oracle is now the gate-free spec
     "dedup_connected_components",
     "dedup_incremental_batch",
-    # sampling / split + leakage gate
+    # sampling / split + leakage gate + sequence packing (r4 additions
+    # get their first driver rows immediately)
     "sample_bernoulli_hash",
     "leakage_check_splits",
+    "leakage_jaccard_cross_split",
+    "pack_sequences_token_budget",
     # behavioral analytics
     "funnel_ordered_stages",
     # similarity / embeddings
     "knn_cosine_bruteforce",
-    "embedding_norm_stats",
     # text / F1-F13 fidelity pack
     "text_tfidf_top_terms",
     "reference_regex_extracts",
@@ -127,6 +127,7 @@ _PANEL_50 = [
     "text_boilerplate_ngrams",
     "text_decontamination_gate",
     "corpus_curation_verdict",
+    "corpus_curation_full",
 ]
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
