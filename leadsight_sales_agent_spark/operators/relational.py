@@ -1536,6 +1536,298 @@ def tpch_q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-07-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-07-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority, adapted: o_orderpriority stands in
+    for the missing o_shippriority): the 10 highest-revenue unshipped
+    BUILDING-segment orders as of the cutoff — ordered before it,
+    shipped after it.
+
+    Plan: segment filter prunes the customer dim (broadcast), the date
+    filters push into both fact scans, lineitem⋈orders is the one big
+    shuffle on the order key and the groupBy reuses that key (no
+    second shuffle — the aggregation key contains the join key), then
+    TakeOrderedAndProject for the top 10. Revenue ties are broken by
+    order key so the K-set is a deterministic total order, and the
+    decimal-sum helper keeps the sort key bit-identical cross-engine.
+    """
+    cutoff = F.lit("1998-07-01").cast("timestamp")
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * l_discount", 2)} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the revenue that would have
+    been gained by eliminating small discounts on low-quantity items in
+    one year — the benchmark's pure scan-filter-aggregate query and the
+    cleanest predicate-pushdown test: at 100 TB this plan is ONE
+    parquet scan with all three predicates pushed (shipdate range prunes
+    row groups via min/max stats), a 3-column ReadSchema, and a single
+    partial+final agg to one row. No join, no wide shuffle.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, n.n_name AS nation,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue,
+           count(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): the 20 customers who
+    returned the most revenue in one quarter — the churn-risk report.
+
+    Plan: quarter filter pushes into the orders scan, the return-flag
+    filter into lineitem (dictionary-encoded column → row-group
+    pruning), the fact join shuffles on the order key, customer and
+    nation broadcast, and the final top-20 is TakeOrderedAndProject on
+    a deterministic (revenue DESC, custkey) total order.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("c_custkey", "nation")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .select("c_custkey", "nation", "revenue", "n_items")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14_promotion_effect",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(l.l_extendedprice AS DECIMAL(25,6))
+                             * CAST(1 - l.l_discount AS DECIMAL(25,6)) END)
+                    * 1000000 AS DECIMAL(38,0)) AS promo_micro,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))
+                        * CAST(1 - l.l_discount AS DECIMAL(25,6)))
+                    * 1000000 AS DECIMAL(38,0)) AS total_micro
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    )
+    SELECT CAST(round(promo_micro / 1000000.0, 2) AS DOUBLE) AS promo_revenue,
+           CAST(round(total_micro / 1000000.0, 2) AS DOUBLE) AS total_revenue,
+           CAST(CAST(promo_micro AS HUGEINT) * 10000
+                // CAST(total_micro AS HUGEINT) AS BIGINT) AS promo_bp
+    FROM t
+    """,
+)
+def tpch_q14_promotion_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the share of one month's revenue
+    that came from promotional parts. The classic percentage output is
+    a decimal RATIO — the one thing the cross-engine hash contract
+    cannot check through double division — so the share is emitted as
+    exact integer BASIS POINTS (micro-unit sums, integer multiply,
+    integer floor-divide; the repo's integer-evidence pattern from
+    text_decontamination_gate) next to the two exactly-rounded sums.
+
+    Plan: one month of lineitem (pushed range filter) joins the part
+    dim — broadcast, so the fact table never shuffles; the conditional
+    promo sum and total ride ONE partial+final aggregation to a single
+    row. At 100 TB: scan, broadcast-hash-join, map-side partial agg —
+    no wide shuffle anywhere.
+    """
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    dec = "decimal(25,6)"
+    term = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(dec)
+    t = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.sum(F.when(F.col("p_type") == "PROMO", term)) * 1000000)
+            .cast("decimal(38,0)")
+            .alias("promo_micro"),
+            (F.sum(term) * 1000000).cast("decimal(38,0)").alias("total_micro"),
+        )
+    )
+    return t.select(
+        F.round(F.col("promo_micro") / 1000000.0, 2)
+        .cast("double")
+        .alias("promo_revenue"),
+        F.round(F.col("total_micro") / 1000000.0, 2)
+        .cast("double")
+        .alias("total_revenue"),
+        F.expr("CAST((promo_micro * 10000) DIV total_micro AS BIGINT)").alias(
+            "promo_bp"
+        ),
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               sum(CAST(l_quantity AS DECIMAL(25,6))) AS sum_qty
+        FROM lineitem
+        GROUP BY 1
+        HAVING sum(CAST(l_quantity AS DECIMAL(25,6))) > 250
+    )
+    SELECT o.o_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(round(CAST(o.o_totalprice AS DECIMAL(25,6)), 2) AS DOUBLE)
+               AS o_totalprice,
+           CAST(b.sum_qty AS DOUBLE) AS sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    ORDER BY o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the 100 biggest orders whose
+    total line quantity exceeds the threshold — the agg-then-semi-join
+    shape (HAVING over a fact-table rollup feeding back into a join).
+
+    Plan: lineitem aggregates on the order key (one shuffle), the
+    HAVING filter shrinks that rollup to the rare big orders, and the
+    join back to orders keys on the SAME order key — at 100 TB the
+    filtered rollup is small, so AQE broadcasts it and orders never
+    shuffles. Quantity sums ride decimal so the threshold compare and
+    the output are engine-exact; top-100 is a deterministic
+    (totalprice DESC, orderkey) TakeOrderedAndProject.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice").cast("decimal(25,6)"), 2)
+            .cast("double")
+            .alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
 # -- SQL-surface completion: LATERAL, NULLS FIRST/LAST ------------------------
 
 
