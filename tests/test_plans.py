@@ -379,3 +379,53 @@ class TestFuzzyDedupPrefixCarry:
             # full-text distance exists, and only at the 20-band verify
             texts = re.findall(r"levenshtein\(text_a#\d+, text_b#\d+, Some\((\d+)\)\)", plan)
             assert texts and set(texts) == {"20"}, (q, texts)
+
+
+class TestR4Queries:
+    def test_q6_all_predicates_pushed_no_join(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "tpch_q6_forecast_revenue")
+        pushed = " ".join(pushed_filters(plan))
+        for col in ("l_shipdate", "l_discount", "l_quantity"):
+            assert col in pushed, f"{col} not pushed to the lineitem scan"
+        assert "Join" not in plan  # pure scan-filter-aggregate
+
+    def test_q14_part_dim_broadcasts_fact_never_shuffles(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "tpch_q14_promotion_effect")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    @pytest.mark.parametrize(
+        "name",
+        ["tpch_q3_shipping_priority", "tpch_q10_returned_items",
+         "tpch_q18_large_volume_customer"],
+    )
+    def test_topk_tpch_use_ordered_limit(self, spark, sf_dir, name):
+        plan = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    def test_pack_sequences_window_is_sharded(self, spark, sf_dir):
+        # The prefix sum must run per shard, never as one global
+        # single-partition window (the 100 TB bottleneck the shard key
+        # exists to avoid).
+        plan = simple_plan(
+            registry.QUERIES["pack_sequences_token_budget"](spark, sf_dir)
+        )
+        for line in plan.splitlines():
+            if "Window [" in line and "windowspecdefinition" in line:
+                assert re.search(r"\], \[[^\]]+\], \[", line), (
+                    f"unpartitioned window: {line}"
+                )
+
+    def test_curation_full_signals_broadcast_back(self, spark, sf_dir):
+        # The two signal joins (contaminated / boilerplate doc-id sets)
+        # must reach the verdict frame as broadcasts of the small
+        # flagged side, not shuffle the corpus again.
+        plan = plan_of(spark, sf_dir, "corpus_curation_full")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_leakage_minhash_band_join_is_equi(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "leakage_minhash_cross_split")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
