@@ -83,6 +83,51 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_dedup_binary",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               text,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT media_type,
+           sha256(text) AS payload_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_dups,
+           CAST(min(n_bytes) AS BIGINT) AS n_bytes
+    FROM media
+    GROUP BY 1, 2
+    """,
+)
+def multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over OPAQUE binary payloads — the asset-level twin of
+    dedup_exact_documents for the image/audio/video modality: group on
+    (media_type, content digest), keep the smallest id, report the
+    duplicate multiplicity and byte size. No decode needed — byte-exact
+    duplicates dominate crawled media corpora and this pass runs before
+    any codec touches a payload.
+
+    Scale: digest computed map-side over the binary column (JVM sha2,
+    no Python, bytes never leave the executor), one hash aggregation on
+    a ~70-byte (type, digest) key — the same ~fixed-width-shuffle
+    property as text exact dedup. The oracle hashes the text the
+    payload was encoded from (identical bytes, DuckDB-friendly).
+    """
+    media = media_frame(spark, sf_dir)
+    return media.groupBy(
+        "media_type", F.sha2("payload", 256).alias("payload_hash")
+    ).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_dups"),
+        F.min(F.length("payload")).cast("bigint").alias("n_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Decode / feature-extract seam (mapInPandas)
 # ---------------------------------------------------------------------------

@@ -274,6 +274,144 @@ def batch_by_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Token-budget mixture allocation -----------------------------------------
+
+TOKEN_BUDGET_TOTAL = 10_000  # global training-mix token budget
+MIXTURE_WEIGHT_HIGH = 3  # upweighted sources (same set as the doc-quota mix)
+MIXTURE_WEIGHT_LOW = 1
+
+
+@query(
+    "mixture_token_budget_allocation",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               len(string_split_regex(trim(text), '{chr(92)}s+')) AS n_tok,
+               {_SQL_HASH.format(salt='mixtok:', key='doc_id')} AS h
+        FROM documents
+    ), w AS (
+        SELECT source,
+               CASE WHEN source IN ('{MIXTURE_UPWEIGHTED[0]}',
+                                    '{MIXTURE_UPWEIGHTED[1]}')
+                    THEN {MIXTURE_WEIGHT_HIGH}
+                    ELSE {MIXTURE_WEIGHT_LOW} END AS weight
+        FROM (SELECT DISTINCT source FROM tok)
+    ), tot AS (
+        SELECT sum(weight) AS tw FROM w
+    ), base AS (
+        SELECT w.source, w.weight,
+               ({TOKEN_BUDGET_TOTAL} * w.weight) // t.tw AS floor_budget,
+               ({TOKEN_BUDGET_TOTAL} * w.weight) % t.tw AS rem
+        FROM w, tot t
+    ), ranked AS (
+        SELECT source, weight, floor_budget,
+               row_number() OVER (ORDER BY rem DESC, source) AS rr,
+               {TOKEN_BUDGET_TOTAL} - sum(floor_budget) OVER () AS extra
+        FROM base
+    ), budgets AS (
+        SELECT source, weight,
+               floor_budget + CASE WHEN rr <= extra THEN 1 ELSE 0 END
+                   AS token_budget
+        FROM ranked
+    ), sel AS (
+        SELECT t.source, t.n_tok, b.token_budget,
+               sum(t.n_tok) OVER (PARTITION BY t.source
+                                  ORDER BY t.h, t.doc_id) AS cum
+        FROM tok t JOIN budgets b ON t.source = b.source
+    ), used AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tokens_used
+        FROM sel WHERE cum <= token_budget
+        GROUP BY 1
+    )
+    SELECT b.source, CAST(b.weight AS INTEGER) AS weight,
+           CAST(b.token_budget AS BIGINT) AS token_budget,
+           COALESCE(u.n_docs, 0) AS n_docs,
+           COALESCE(u.tokens_used, 0) AS tokens_used
+    FROM budgets b LEFT JOIN used u ON b.source = u.source
+    """,
+)
+def mixture_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget dataset mixing — the allocation a real training mix
+    runs on (docs are not the unit that matters; TOKENS are): a global
+    token budget apportions across sources by weight with
+    largest-remainder rounding (exact integer arithmetic, sums to the
+    budget by construction), then each source fills its allocation
+    greedily in salted-hash order — a doc is selected iff its running
+    token prefix-sum stays within the source budget (pure prefix rule:
+    an overflowing doc is skipped and selection stops, so membership
+    is a deterministic function of the budget table and the hash
+    order, reproducible on any cluster).
+
+    Scale: the weight/budget tables are source-grain (tiny — the one
+    unpartitioned row_number runs over #sources rows on bounded data,
+    not corpus rows) and broadcast into the corpus-grain prefix-sum
+    window, which partitions by source exactly like the doc-quota
+    mixture. Output is the per-source allocation report: weight,
+    apportioned budget, docs and tokens actually packed.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+        hash_key("mixtok:", F.col("doc_id")).alias("h"),
+    )
+    w = (
+        tok.select("source")
+        .distinct()
+        .withColumn(
+            "weight",
+            F.when(
+                F.col("source").isin(*MIXTURE_UPWEIGHTED),
+                F.lit(MIXTURE_WEIGHT_HIGH),
+            ).otherwise(F.lit(MIXTURE_WEIGHT_LOW)),
+        )
+    )
+    tot = w.agg(F.sum("weight").alias("tw"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "weight",
+        F.expr(f"({TOKEN_BUDGET_TOTAL} * weight) DIV tw").alias("floor_budget"),
+        F.expr(f"({TOKEN_BUDGET_TOTAL} * weight) % tw").alias("rem"),
+    )
+    wr = Window.orderBy(F.desc("rem"), F.asc("source"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    budgets = (
+        base.withColumn("rr", F.row_number().over(wr))
+        .withColumn(
+            "extra", F.lit(TOKEN_BUDGET_TOTAL) - F.sum("floor_budget").over(wall)
+        )
+        .select(
+            "source",
+            "weight",
+            (
+                F.col("floor_budget")
+                + F.when(F.col("rr") <= F.col("extra"), 1).otherwise(0)
+            ).alias("token_budget"),
+        )
+    )
+    ws = Window.partitionBy("source").orderBy("h", "doc_id")
+    sel = tok.join(F.broadcast(budgets), "source").withColumn(
+        "cum", F.sum("n_tok").over(ws)
+    )
+    used = (
+        sel.filter(F.col("cum") <= F.col("token_budget"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens_used"),
+        )
+    )
+    return budgets.join(used, "source", "left").select(
+        "source",
+        F.col("weight").cast("int").alias("weight"),
+        F.col("token_budget").cast("bigint").alias("token_budget"),
+        F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.col("tokens_used"), F.lit(0)).cast("bigint").alias("tokens_used"),
+    )
+
+
 # -- Sequence packing --------------------------------------------------------
 
 PACK_BUDGET = 512  # tokens per packed training sequence

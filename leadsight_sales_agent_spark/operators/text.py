@@ -440,6 +440,73 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_K = 20
+
+
+@query(
+    "text_bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split_regex(trim(text), '{chr(92)}s+')) AS w
+        FROM documents
+    ), wf AS (
+        SELECT w, count(*) AS freq FROM words WHERE len(w) >= 2 GROUP BY 1
+    ), pairs AS (
+        SELECT substr(w, i, 2) AS pair, freq, w
+        FROM wf, unnest(generate_series(1, len(w) - 1)) AS g(i)
+    )
+    SELECT pair,
+           CAST(sum(freq) AS BIGINT) AS n_occurrences,
+           count(DISTINCT w) AS n_distinct_words
+    FROM pairs
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {BPE_TOP_K}
+    """,
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first round of BPE vocabulary induction: corpus-frequency-
+    weighted counts of adjacent character pairs inside words — the
+    merge-candidate table whose argmax IS the tokenizer's first merge
+    rule. Top-{BPE_TOP_K} candidates with occurrence and distinct-word
+    evidence, deterministically tie-broken.
+
+    Scale shape (why real BPE trainers survive web-scale corpora): the
+    corpus collapses to the DISTINCT-WORD frequency table FIRST (one
+    hash agg — the word-grain table is orders of magnitude smaller
+    than the token stream), and pair extraction explodes only distinct
+    words, weighted by their frequency. Character pairs come from
+    substring over an index sequence (the text_top_bigrams device one
+    level down) — pure JVM expressions, both engines char-indexed so
+    multibyte text agrees. Subsequent merge rounds are the same query
+    over a re-segmented word table.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count("*").alias("freq"))
+    pairs = wf.select(
+        "w",
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, 2),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").cast("bigint").alias("n_occurrences"),
+            F.count_distinct("w").alias("n_distinct_words"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
 @query(
     "array_functions_suite",
     oracle="""
