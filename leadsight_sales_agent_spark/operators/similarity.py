@@ -624,6 +624,41 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_recall_report")  # compares two approximate paths → rows-only
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality calibration — the report a pipeline runs before
+    committing to an index configuration: recall@k of each approximate
+    path (hyperplane LSH multiprobe, IVF probe) against the exact
+    brute-force top-k, as integer basis points (hits·10000 // (queries·k),
+    no float ratio). Deterministic: every path hashes deterministically,
+    so this report is a pure function of the corpus — pinned bounds in
+    tests, rows-only (it compares two Spark pipelines; there is nothing
+    for a SQL oracle to re-derive that the exact anchor doesn't already
+    grade).
+
+    Scale: the exact side is the bounded N_QUERIES anchor (broadcast),
+    each approximate side is its existing plan; the comparison joins
+    k·N_QUERIES-row frames — driver-negligible.
+    """
+    exact = knn_cosine_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    n_expected = exact.count()  # N_QUERIES * TOP_K (k rows per query)
+    reports = []
+    for method, fn in (("lsh", knn_cosine_lsh), ("ivf", knn_cosine_ivf)):
+        approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+        reports.append((method, n_expected, hits))
+    return spark.createDataFrame(
+        reports, "method STRING, n_expected BIGINT, n_hits BIGINT"
+    ).select(
+        "method",
+        "n_expected",
+        "n_hits",
+        F.expr("CAST((n_hits * 10000) DIV n_expected AS BIGINT)").alias(
+            "recall_bp"
+        ),
+    )
+
+
 PQ_M = 4  # subspaces
 PQ_K = 16  # codewords per subspace → 4 bits/subspace, 2 bytes/vector
 PQ_ITERS = 2

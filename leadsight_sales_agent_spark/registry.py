@@ -146,6 +146,7 @@ _ROWS_ONLY_COST_ORDER = [
     "knn_cosine_lsh",
     "knn_cosine_ivf",
     "knn_cosine_ivf_pruned",
+    "ann_recall_report",  # runs bruteforce + both ANN paths
     "neardup_minhash_lsh",
     "leakage_minhash_cross_split",  # 16x2 banding + full-corpus verify
     "streaming_progress_events",

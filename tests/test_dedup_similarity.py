@@ -394,3 +394,25 @@ class TestFuzzyDedupTwoStage:
             .collect()
         }
         assert got == ref and got, (len(got), len(ref))
+
+
+class TestANNRecallReport:
+    def test_recall_bounds_and_determinism(self, spark, sf_dir):
+        from leadsight_sales_agent_spark import registry
+
+        registry.load_all()
+        rows = {
+            r["method"]: r
+            for r in registry.QUERIES["ann_recall_report"](spark, sf_dir).collect()
+        }
+        assert set(rows) == {"lsh", "ivf"}
+        for m, r in rows.items():
+            assert r["n_expected"] > 0
+            assert 0 <= r["n_hits"] <= r["n_expected"], (m, dict(r.asDict()))
+            assert 0 <= r["recall_bp"] <= 10000
+        # deterministic hashing => a second run reports identical recall
+        again = {
+            r["method"]: r["recall_bp"]
+            for r in registry.QUERIES["ann_recall_report"](spark, sf_dir).collect()
+        }
+        assert again == {m: r["recall_bp"] for m, r in rows.items()}

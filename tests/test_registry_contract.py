@@ -20,6 +20,7 @@ ROWS_ONLY_ALLOWED = {
     "knn_cosine_lsh",  # approximate by design
     "knn_cosine_ivf",  # approximate by design (cell pruning)
     "knn_cosine_ivf_pruned",  # approximate + scratch-staged layout
+    "ann_recall_report",  # compares two approximate Spark paths (bounds pinned)
     "neardup_minhash_lsh",  # probabilistic candidate generation
     "leakage_minhash_cross_split",  # probabilistic candidates (recall pinned in tests)
     "streaming_sessionize_stateful",  # custom stateful streaming op
