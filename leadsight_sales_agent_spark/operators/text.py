@@ -335,6 +335,95 @@ def string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "reference_render_functions",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               substring(trim(text), 1, 60) AS snippet,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           replace(replace(replace(replace(replace(
+               snippet, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+               '"', '&quot;'), '''', '&#39;') AS html_escaped,
+           trim(regexp_replace(lower(snippet), '[^a-z0-9]+', '-', 'g'), '-')
+               AS slug,
+           CASE WHEN n_bytes < 1024 THEN n_bytes || ' B'
+                WHEN n_bytes < 1048576 THEN
+                    ((n_bytes * 10) // 1024) // 10 || '.'
+                    || ((n_bytes * 10) // 1024) % 10 || ' KB'
+                ELSE
+                    ((n_bytes * 10) // 1048576) // 10 || '.'
+                    || ((n_bytes * 10) // 1048576) % 10 || ' MB'
+           END AS size_pretty
+    FROM b
+    """,
+)
+def reference_render_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14/F15 — the reference UI's render helpers (index.html:678-682
+    HTML-escape/slugify, index.html:492-496 byte pretty-print),
+    re-expressed as engine string functions so the LAST §2 line items
+    have executable, oracle-checked twins instead of sanctioned skips.
+
+    Cross-engine care: the escape is a fixed replace CHAIN ('&' first,
+    or later entities double-escape); the slug collapses non-alnum runs
+    with regexp_replace (Spark replaces all matches by default, DuckDB
+    needs the 'g' flag); the byte size renders through integer TENTHS
+    ((bytes*10) DIV unit, then DIV/% 10 around the decimal point) so no
+    float formatting crosses the engine boundary — the same
+    integer-evidence device as the basis-point ratios.
+    """
+    b = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.substring(F.trim(F.col("text")), 1, 60).alias("snippet"),
+            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        )
+    )
+    esc = F.col("snippet")
+    for old, new in (
+        ("&", "&amp;"),
+        ("<", "&lt;"),
+        (">", "&gt;"),
+        ('"', "&quot;"),
+        ("'", "&#39;"),
+    ):
+        esc = F.replace(esc, F.lit(old), F.lit(new))
+    slug = F.expr("trim(BOTH '-' FROM regexp_replace(lower(snippet), '[^a-z0-9]+', '-'))")
+    tenths_kb = F.expr("(n_bytes * 10) DIV 1024")
+    tenths_mb = F.expr("(n_bytes * 10) DIV 1048576")
+    size_pretty = (
+        F.when(F.col("n_bytes") < 1024, F.concat(F.col("n_bytes").cast("string"), F.lit(" B")))
+        .when(
+            F.col("n_bytes") < 1048576,
+            F.concat(
+                (tenths_kb / 10).cast("bigint").cast("string"),
+                F.lit("."),
+                (tenths_kb % 10).cast("string"),
+                F.lit(" KB"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                (tenths_mb / 10).cast("bigint").cast("string"),
+                F.lit("."),
+                (tenths_mb % 10).cast("string"),
+                F.lit(" MB"),
+            )
+        )
+    )
+    return b.select(
+        "doc_id",
+        esc.alias("html_escaped"),
+        slug.alias("slug"),
+        size_pretty.alias("size_pretty"),
+    )
+
+
 # BPE-ish pre-tokenizer: letter runs / digit runs / punctuation runs —
 # the GPT-2-style regex pre-split (without the merges table), RE2-safe
 # so Spark (Java regex) and DuckDB (RE2) agree byte-for-byte.
