@@ -642,28 +642,32 @@ LEAKAGE_JACCARD_MIN = 0.5
         WHERE tr.split = 'train' AND e.split <> 'train'
         GROUP BY 1, 2, 3
     )
-    SELECT i.eval_split, i.doc_eval, i.doc_train,
-           round(CAST(i.n_common AS DOUBLE)
-                 / (se.n_tok + st.n_tok - i.n_common), 4) AS jaccard
+    SELECT i.eval_split, i.doc_eval,
+           max(round(CAST(i.n_common AS DOUBLE)
+                     / (se.n_tok + st.n_tok - i.n_common), 4)) AS max_jaccard
     FROM inter i
     JOIN sizes se ON i.doc_eval = se.doc_id
     JOIN sizes st ON i.doc_train = st.doc_id
     WHERE CAST(i.n_common AS DOUBLE) / (se.n_tok + st.n_tok - i.n_common)
           >= {LEAKAGE_JACCARD_MIN}
+    GROUP BY 1, 2
     """,
 )
 def leakage_jaccard_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard ≥ 0.5 pairs ACROSS the train/eval split
-    boundary (train doc on one side, valid/test doc on the other) — the
-    correctness anchor of the thorough contamination pass. Bounded to
-    doc_id < 300 for the same reason as neardup_jaccard_pairs: exact
-    pairwise Jaccard is the oracle-checkable spec, the MinHash variant
-    below is the unbounded scale path verified against it.
+    """Exact cross-split contamination verdict at DOC grain: every
+    valid/test document whose token Jaccard with SOME train document
+    is ≥ 0.5, with the worst (max) similarity as evidence — the
+    artifact a leakage gate materializes (the flagged docs are what a
+    pipeline drops; this corpus's near-dup clusters make the PAIR list
+    quadratic in cluster size, which is a report nobody ships). Bounded
+    to doc_id < 300 for the same reason as neardup_jaccard_pairs:
+    exact pairwise Jaccard is the oracle-checkable spec, the MinHash
+    variant below is the unbounded scale path verified against it.
 
     Plan shape: one scan assigns the split (pure hash expression, no
-    assignment table), token explode + distinct, then the token
-    equi-join restricted train×eval — the restriction prunes ~36 % of
-    candidate pairs (2·p·(1−p) at 80/20) before the group-count."""
+    assignment table), token explode + distinct, the token equi-join
+    restricted train×eval (pruning ~36 % of candidate pairs before the
+    group-count), then a doc-grain max-reduce."""
     docs = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") < LEAKAGE_ANCHOR_BOUND
     )
@@ -701,9 +705,8 @@ def leakage_jaccard_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(F.broadcast(se), "doc_eval")
         .join(F.broadcast(st), "doc_train")
         .filter(jac >= LEAKAGE_JACCARD_MIN)
-        .select(
-            "eval_split", "doc_eval", "doc_train", F.round(jac, 4).alias("jaccard")
-        )
+        .groupBy("eval_split", "doc_eval")
+        .agg(F.max(F.round(jac, 4)).alias("max_jaccard"))
     )
 
 
@@ -712,12 +715,13 @@ def leakage_minhash_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH cross-split contamination — the UNBOUNDED thorough
     pass over the whole corpus: every valid/test document whose token
     Jaccard with some train document is ≥ 0.5, candidate-generated by
-    LSH banding so no all-pairs join ever forms. Same output contract
-    as the exact anchor above; tests pin soundness (banded ⊆ exact on
-    the anchor's bounded subset — the verify stage re-checks exact
-    Jaccard, so no false pair can survive) and recall ≥ 98 % with all
-    J ≥ 0.7 pairs caught (deterministic xxhash64 signatures ⇒ the pin
-    is stable, not flaky).
+    LSH banding so no all-pairs join ever forms. Same doc-grain output
+    contract as the exact anchor above; tests pin soundness (flagged
+    docs ⊆ the anchor's flagged docs on the bounded subset — the
+    verify stage re-checks exact Jaccard, so no false flag can
+    survive; reported max_jaccard can only under-state the anchor's)
+    and ≥ 98 % doc-grain recall (deterministic xxhash64 signatures ⇒
+    the pin is stable, not flaky).
 
     Banding is 16 bands × 2 rows (vs the near-dup path's 8×4): at the
     J = 0.5 decision boundary P(miss) = (1-0.5²)¹⁶ ≈ 1 %, vs ~33 % at
@@ -727,14 +731,16 @@ def leakage_minhash_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (the neardup_minhash_lsh pipeline, split across the
     train/eval boundary): signatures and bands computed ONCE over one
-    scan — the split is a row-local expression, so train and eval band
-    tables are two filters of the same banded frame, not two scans; the
-    candidate join keys on (band_id, band_hash) with the eval side
-    ~20 % of the corpus; the exact-Jaccard verify rejoins token-hash
-    arrays BY ID for surviving candidates only (AQE broadcasts the
-    candidate side against the corpus re-scan — the direction that
-    survives 100 TB). The repartition before the verify is the
-    small-bytes/heavy-compute defense documented in dedup.py."""
+    scan — the split is a row-local expression riding the band rows;
+    ONE bucket aggregation on (band_id, band_hash) emits capped
+    train×eval pairs per bucket (cap 100/side — the skew guard narrow
+    bands need even more than 8×4 does), a lossless integer
+    length-ratio gate prunes pairs that cannot reach J ≥ 0.5, and the
+    exact-Jaccard verify rejoins token-hash arrays BY ID for surviving
+    candidates only (AQE broadcasts the candidate side against the
+    corpus re-scan — the direction that survives 100 TB). The
+    repartition before the verify is the small-bytes/heavy-compute
+    defense documented in dedup.py."""
     from leadsight_sales_agent_spark.operators.dedup import (
         minhash_band_structs,
         minhash_signature_hashed,
@@ -759,6 +765,7 @@ def leakage_minhash_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = base.select(
         "doc_id",
         "split",
+        F.size("toks").alias("n_tok"),
         F.explode(
             minhash_band_structs(
                 minhash_signature_hashed(F.col("toks")),
@@ -766,19 +773,59 @@ def leakage_minhash_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows_per_band=2,
             )
         ).alias("band"),
-    ).select("doc_id", "split", "band.band_id", "band.band_hash")
-    tr = bands.filter(F.col("split") == "train").select(
-        F.col("doc_id").alias("doc_train"), "band_id", "band_hash"
+    ).select("doc_id", "split", "n_tok", "band.band_id", "band.band_hash")
+    # Bucket the band table ONCE (one shuffle) and emit capped
+    # train×eval pairs per bucket — the narrow 2-row bands that buy the
+    # recall also make degenerate buckets (boilerplate/near-empty docs)
+    # far more common than at 8×4, and an uncapped bucket join measured
+    # 17 s at sf0.1; the cap (the neardup_minhash_lsh skew guard) plus
+    # the length-ratio gate below brought the query to ~2 s with the
+    # recall pin intact.
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("split") == "train",
+                            F.struct("doc_id", "n_tok"),
+                        )
+                    )
+                ),
+                1,
+                100,
+            ).alias("train_side"),
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("split") != "train",
+                            F.struct("doc_id", "split", "n_tok"),
+                        )
+                    )
+                ),
+                1,
+                100,
+            ).alias("eval_side"),
+        )
+        .filter((F.size("train_side") > 0) & (F.size("eval_side") > 0))
     )
-    ev = bands.filter(F.col("split") != "train").select(
-        F.col("doc_id").alias("doc_eval"),
-        F.col("split").alias("eval_split"),
-        "band_id",
-        "band_hash",
-    )
+    # J >= 0.5 forces |A|/|B| within [1/2, 2] (|A∩B| <= min, |A∪B| >=
+    # max => J <= min/max), so the integer length-ratio gate is
+    # LOSSLESS for qualifying pairs — it prunes candidates, never recall.
     cands = (
-        tr.join(ev, ["band_id", "band_hash"])
-        .select("eval_split", "doc_eval", "doc_train")
+        buckets.select(F.explode("train_side").alias("t"), "eval_side")
+        .select("t", F.explode("eval_side").alias("e"))
+        .filter(
+            F.least(F.col("t.n_tok"), F.col("e.n_tok")) * 2
+            >= F.greatest(F.col("t.n_tok"), F.col("e.n_tok"))
+        )
+        .select(
+            F.col("e.split").alias("eval_split"),
+            F.col("e.doc_id").alias("doc_eval"),
+            F.col("t.doc_id").alias("doc_train"),
+        )
         .distinct()
         .repartition(32, "doc_eval", "doc_train")
     )
@@ -792,7 +839,8 @@ def leakage_minhash_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tb, "doc_eval")
         .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= LEAKAGE_JACCARD_MIN)
-        .select("eval_split", "doc_eval", "doc_train", "jaccard")
+        .groupBy("eval_split", "doc_eval")
+        .agg(F.max("jaccard").alias("max_jaccard"))
     )
 
 
