@@ -429,3 +429,18 @@ class TestR4Queries:
         plan = plan_of(spark, sf_dir, "leakage_minhash_cross_split")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_token_budget_prefix_sum_partitions_by_source(self, spark, sf_dir):
+        # The corpus-grain prefix-sum window must partition by source;
+        # only the #sources-row budget ranking may run unpartitioned.
+        plan = simple_plan(
+            registry.QUERIES["mixture_token_budget_allocation"](spark, sf_dir)
+        )
+        windows = [
+            line
+            for line in plan.splitlines()
+            if "Window [" in line and "windowspecdefinition" in line
+        ]
+        partitioned = [w for w in windows if re.search(r"\], \[[^\]]+\], \[", w)]
+        # at least the corpus window is partitioned (sum over source)
+        assert any("sum" in w for w in partitioned), windows

@@ -145,3 +145,14 @@ class TestHashSampling:
             # every full sequence boundary is crossed by at most one doc
             for r in rs:
                 assert r["n_split_docs"] <= 1, r
+
+    def test_token_budget_allocation_conserves_budget(self, spark, sf_dir):
+        # Largest-remainder apportionment: per-source budgets sum to
+        # EXACTLY the global budget; every source fills within budget.
+        rows = registry.QUERIES["mixture_token_budget_allocation"](
+            spark, sf_dir
+        ).collect()
+        assert sum(r["token_budget"] for r in rows) == sampling.TOKEN_BUDGET_TOTAL
+        for r in rows:
+            assert r["tokens_used"] <= r["token_budget"], dict(r.asDict())
+            assert (r["n_docs"] == 0) == (r["tokens_used"] == 0)
