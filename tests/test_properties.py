@@ -176,3 +176,106 @@ class TestHashSamplingProperties:
         assert 0 <= t < 2**32  # always a valid 8-hex-digit threshold
         # monotone: a higher rate never lowers the threshold
         assert (rate + 1) * PERMILLE_UNIT > t
+
+
+class TestRenderFunctionParity:
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    codec="ascii", exclude_categories=("Cc",)
+                ),
+                min_size=0,
+                max_size=60,
+            ),
+            min_size=1,
+            max_size=80,
+        )
+    )
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_html_escape_chain_matches_python_reference(self, spark, texts):
+        # The F14 escape chain must equal the literal Python chain
+        # (same fixed order: & first so later entities never
+        # double-escape) — including on inputs that already contain
+        # entities like '&amp;' or lone '&'.
+        def py_escape(s: str) -> str:
+            for old, new in (
+                ("&", "&amp;"),
+                ("<", "&lt;"),
+                (">", "&gt;"),
+                ('"', "&quot;"),
+                ("'", "&#39;"),
+            ):
+                s = s.replace(old, new)
+            return s
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i INT, snippet STRING"
+        )
+        esc = F.col("snippet")
+        for old, new in (
+            ("&", "&amp;"),
+            ("<", "&lt;"),
+            (">", "&gt;"),
+            ('"', "&quot;"),
+            ("'", "&#39;"),
+        ):
+            esc = F.replace(esc, F.lit(old), F.lit(new))
+        got = {r["i"]: r["e"] for r in df.select("i", esc.alias("e")).collect()}
+        for i, t in enumerate(texts):
+            assert got[i] == py_escape(t), repr(t)
+
+    @given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200))
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_byte_pretty_print_integer_tenths(self, spark, sizes):
+        # F15: the integer-tenths rendering must equal the Python
+        # floor-arithmetic reference at every unit boundary (1023 B,
+        # 1.0 KB, 1023.9 KB, 1.0 MB, ...).
+        def py_pretty(n: int) -> str:
+            if n < 1024:
+                return f"{n} B"
+            if n < 1048576:
+                t = (n * 10) // 1024
+                return f"{t // 10}.{t % 10} KB"
+            t = (n * 10) // 1048576
+            return f"{t // 10}.{t % 10} MB"
+
+        df = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(sizes)], "i INT, n_bytes BIGINT"
+        )
+        tenths_kb = F.expr("(n_bytes * 10) DIV 1024")
+        tenths_mb = F.expr("(n_bytes * 10) DIV 1048576")
+        rendered = (
+            F.when(
+                F.col("n_bytes") < 1024,
+                F.concat(F.col("n_bytes").cast("string"), F.lit(" B")),
+            )
+            .when(
+                F.col("n_bytes") < 1048576,
+                F.concat(
+                    (tenths_kb / 10).cast("bigint").cast("string"),
+                    F.lit("."),
+                    (tenths_kb % 10).cast("string"),
+                    F.lit(" KB"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    (tenths_mb / 10).cast("bigint").cast("string"),
+                    F.lit("."),
+                    (tenths_mb % 10).cast("string"),
+                    F.lit(" MB"),
+                ),
+            )
+        )
+        got = {r["i"]: r["s"] for r in df.select("i", rendered.alias("s")).collect()}
+        for i, n in enumerate(sizes):
+            assert got[i] == py_pretty(n), n
