@@ -578,6 +578,95 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_representatives",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents WHERE doc_id < 100
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE CAST(i.n_common AS DOUBLE)
+              / (sa.n_tok + sb.n_tok - i.n_common) >= 0.5
+    ), edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach (id, comp) AS (
+        SELECT DISTINCT s, s FROM edges
+        UNION
+        SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+    ), labeled AS (
+        SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id
+    ), quality AS (
+        SELECT doc_id,
+               len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                   AS n_uniq
+        FROM documents WHERE doc_id < 100
+    ), ranked AS (
+        SELECT l.component, l.doc_id, q.n_uniq,
+               row_number() OVER (PARTITION BY l.component
+                                  ORDER BY q.n_uniq DESC, l.doc_id) AS rn,
+               count(*) OVER (PARTITION BY l.component) AS component_size
+        FROM labeled l JOIN quality q ON l.doc_id = q.doc_id
+    )
+    SELECT component, doc_id AS keep_doc_id,
+           CAST(n_uniq AS INTEGER) AS keep_n_uniq, component_size
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection by QUALITY, not by id: per near-dup component
+    (dedup_connected_components' transitive clusters), keep the member
+    with the highest lexical diversity (distinct-token count, the
+    integer quality proxy from text_quality_score / curation), ties to
+    the smallest id. This is the step real cleaning pipelines run where
+    min-id survivors would systematically keep whichever copy crawled
+    first rather than the best copy.
+
+    Plan: the component labels come from the same min-label propagation
+    loop; quality is one integer per doc (the window ranks on an
+    all-integer key, so the argmax is engine-exact with no float
+    compare); one WindowGroupLimit-eligible row_number per component.
+    """
+    comps = dedup_connected_components(spark, sf_dir).select("doc_id", "component")
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    quality = docs.select(
+        "doc_id", F.size(F.array_distinct(_tokens())).alias("n_uniq")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_uniq"), F.asc("doc_id")
+    )
+    ranked = (
+        comps.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "component_size",
+            F.count("*").over(Window.partitionBy("component")),
+        )
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_uniq").cast("int").alias("keep_n_uniq"),
+            "component_size",
+        )
+    )
+
+
+@query(
     "dedup_fuzzy_levenshtein",
     oracle="""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
