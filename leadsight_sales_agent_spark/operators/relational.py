@@ -1828,6 +1828,51 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "tpch_q12_late_shipments",
+    oracle="""
+    SELECT date_part('year', l.l_shipdate) AS ship_year,
+           count(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_line_count,
+           count(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+)
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority), adapted: no
+    l_shipmode/commitdate columns exist, so the grouping is the ship
+    year and "late" means shipped more than 60 days after ordering —
+    the shape is intact: fact-fact join with a cross-table date
+    predicate, then the CASE/FILTER conditional split of line counts by
+    priority class.
+
+    Plan: the late predicate references BOTH sides so it cannot push to
+    either scan — it runs on the joined rows; the join shuffles on the
+    order key (both sides pruned to 2-3 columns), and the priority
+    split rides one partial+final aggregation keyed by year (5 groups).
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        # timestamp + interval (NOT date_add, which truncates to DATE)
+        # so both engines compare full timestamps identically
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.count_if(is_high).alias("high_line_count"),
+            F.count_if(~is_high).alias("low_line_count"),
+        )
+    )
+
+
 # -- SQL-surface completion: LATERAL, NULLS FIRST/LAST ------------------------
 
 
