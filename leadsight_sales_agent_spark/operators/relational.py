@@ -1873,6 +1873,227 @@ def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           date_part('year', l.l_shipdate) AS ship_year,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue
+    FROM supplier s
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): cross-border revenue between two
+    named nations (synthetic names NATION_1/NATION_2) by direction and year — the two-dimension-chains
+    star join (supplier→nation AND customer→orders→nation) with a
+    disjunctive cross-chain predicate.
+
+    Plan: both nation dims pre-filter to the two named rows and
+    broadcast down their chains BEFORE the fact join, so the
+    disjunction evaluates on already-pruned supplier/customer sets;
+    lineitem⋈orders is the one big shuffle. The classic Q7 trap — a
+    cartesian of the two nation filters — cannot form because each
+    nation copy joins through its own foreign-key chain.
+    """
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("nk2"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("nk2"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH volume AS (
+        SELECT date_part('year', o.o_orderdate) AS order_year,
+               CAST(sum(CASE WHEN n.n_name = 'NATION_0'
+                        THEN CAST(l.l_extendedprice AS DECIMAL(25,6))
+                             * CAST(1 - l.l_discount AS DECIMAL(25,6)) END)
+                    * 1000000 AS DECIMAL(38,0)) AS nation_micro,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))
+                        * CAST(1 - l.l_discount AS DECIMAL(25,6)))
+                    * 1000000 AS DECIMAL(38,0)) AS total_micro
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_type = 'ECONOMY'
+        GROUP BY 1
+    )
+    SELECT order_year,
+           CAST(round(COALESCE(nation_micro, 0) / 1000000.0, 2) AS DOUBLE)
+               AS nation_revenue,
+           CAST(round(total_micro / 1000000.0, 2) AS DOUBLE) AS total_revenue,
+           CAST(CAST(COALESCE(nation_micro, 0) AS HUGEINT) * 10000
+                // CAST(total_micro AS HUGEINT) AS BIGINT) AS share_bp
+    FROM volume
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share), adapted: one nation's share of
+    ECONOMY-part revenue per order year (no region table hop — the
+    share-of-conditional-sum core is the point). Like Q14, the share
+    ships as integer basis points computed from exact micro-unit
+    decimal sums — the classic Q8 `sum(case)/sum(all)` double division
+    can never hash-match across engines.
+
+    Plan: part filters and broadcasts (the most selective dim first),
+    supplier+nation broadcast down the chain, lineitem⋈orders is the
+    one shuffle, one conditional+total aggregation per year.
+    """
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "n_name")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    dec = "decimal(25,6)"
+    term = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(dec)
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (F.sum(F.when(F.col("n_name") == "NATION_0", term)) * 1000000)
+            .cast("decimal(38,0)")
+            .alias("nation_micro"),
+            (F.sum(term) * 1000000).cast("decimal(38,0)").alias("total_micro"),
+        )
+    )
+    return vol.select(
+        "order_year",
+        F.round(F.coalesce(F.col("nation_micro"), F.lit(0)) / 1000000.0, 2)
+        .cast("double")
+        .alias("nation_revenue"),
+        F.round(F.col("total_micro") / 1000000.0, 2)
+        .cast("double")
+        .alias("total_revenue"),
+        F.expr(
+            "CAST((COALESCE(nation_micro, 0) * 10000) DIV total_micro AS BIGINT)"
+        ).alias("share_bp"),
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {sql_dsum("l_extendedprice * (1 - l_discount)", 2)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM revenue r
+    JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with the maximum
+    quarterly revenue — the view-plus-scalar-subquery shape. ALL ties
+    are kept (the spec's semantics), which is why this is a
+    max-equality filter and not a top-1 limit; the decimal-exact
+    revenue makes the tie compare engine-safe.
+
+    Plan: one pushed-filter lineitem scan aggregates per supplier, the
+    scalar max reduces that small rollup, and the filtered winners
+    broadcast-join the supplier dim. The rollup computes ONCE —
+    Spark reuses the exchange for both the max branch and the filter
+    branch (same subplan), visible as ReusedExchange in the plan.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
 # -- SQL-surface completion: LATERAL, NULLS FIRST/LAST ------------------------
 
 
