@@ -2066,10 +2066,12 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue makes the tie compare engine-safe.
 
     Plan: one pushed-filter lineitem scan aggregates per supplier, the
-    scalar max reduces that small rollup, and the filtered winners
-    broadcast-join the supplier dim. The rollup computes ONCE —
-    Spark reuses the exchange for both the max branch and the filter
-    branch (same subplan), visible as ReusedExchange in the plan.
+    scalar max reduces that small rollup (broadcast as a one-row
+    frame), and the filtered winners broadcast-join the supplier dim.
+    The rollup subplan appears in both branches; at 100 TB you'd
+    persist the quarterly revenue view once (the spec's CREATE VIEW)
+    rather than lean on exchange reuse, and the dominant cost — the
+    filtered fact scan + supplier-grain agg — is single-pass either way.
     """
     li = (
         load(spark, sf_dir, "lineitem")

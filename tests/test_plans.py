@@ -444,3 +444,14 @@ class TestR4Queries:
         partitioned = [w for w in windows if re.search(r"\], \[[^\]]+\], \[", w)]
         # at least the corpus window is partitioned (sum over source)
         assert any("sum" in w for w in partitioned), windows
+
+    @pytest.mark.parametrize(
+        "name",
+        ["tpch_q7_volume_shipping", "tpch_q8_market_share",
+         "tpch_q15_top_supplier", "tpch_q12_late_shipments"],
+    )
+    def test_new_tpch_all_broadcast_no_cartesian(self, spark, sf_dir, name):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
