@@ -36,7 +36,6 @@ Scale notes:
 from __future__ import annotations
 
 import json
-from collections.abc import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
