@@ -98,6 +98,64 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_token_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ), tc AS (
+        SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2
+    ), agg AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(max(c) AS BIGINT) AS max_count,
+               sum(c * ln(c)) AS clnc
+        FROM tc GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           round(ln(n_tokens) - clnc / n_tokens, 4) AS entropy_nats,
+           CAST((max_count * 10000) // n_tokens AS BIGINT) AS top_token_bp
+    FROM agg
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy + top-token share per document — the
+    Gopher-style repetition signals: low entropy or a dominant token
+    marks boilerplate/templated text that the length and uniq-ratio
+    filters miss (a 500-token doc repeating 10 tokens passes a length
+    floor and may pass a 0.4-uniq bar scaled up, but its entropy
+    collapses). Entropy in nats via ln(n) − Σc·ln(c)/n — all inputs are
+    identical integers in both engines, ln of an identical double
+    differs by ≤1 ulp between libm and the JVM, and round(…, 4) gives
+    a ≥1e10 margin (the §8.2 ln precedent from the PSI drift alarm).
+    The top-token share ships as exact integer basis points.
+
+    Scale: one explode + one (doc, token) hash agg + one doc-grain agg
+    — the same two-phase shape as TF-IDF's term counting; nothing is
+    collected and no window is needed.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    )
+    tc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.max("c").cast("bigint").alias("max_count"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("clnc"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.log(F.col("n_tokens")) - F.col("clnc") / F.col("n_tokens"), 4
+        ).alias("entropy_nats"),
+        F.expr("CAST((max_count * 10000) DIV n_tokens AS BIGINT)").alias(
+            "top_token_bp"
+        ),
+    )
+
+
+@query(
     "text_langid_heuristic",
     oracle="""
     WITH scored AS (
