@@ -543,3 +543,189 @@ def streaming_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if rows:
         return spark.createDataFrame(rows, agg.schema)
     return spark.createDataFrame([], agg.schema)
+
+
+# -- Custom stateful operator #2: transformWithStateInPandas ------------------
+
+USER_TOTALS_OUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value_micro BIGINT"
+
+
+def _has_transform_with_state() -> bool:
+    """transformWithStateInPandas speaks a protobuf state protocol to
+    the JVM; this container ships pyspark without google.protobuf (and
+    installs are off), so the new-API path is gated on the import and
+    the same contract falls back to applyInPandasWithState."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+@query("streaming_user_totals_stateful")  # custom stateful streaming → rows-only
+def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals as a custom stateful operator: one state
+    record of (n_events, total_value_micro) per user, re-emitted with
+    running values each micro-batch (update semantics; the sink keeps
+    the last version per user).
+
+    Two implementations of the SAME contract, selected at runtime:
+    Spark 4's new arbitrary-state API (``transformWithStateInPandas``,
+    a StatefulProcessor with a typed ValueState + the RocksDB store it
+    requires) when its protobuf dependency exists, else
+    ``applyInPandasWithState`` (the API sessionize above exercises).
+    This container lacks google.protobuf, so the fallback is the
+    executed path here — the new-API code is real and runs wherever
+    pyspark's [connect]/protobuf extra is present.
+
+    Value sums ride EXACT integer micro-units (the double is scaled
+    per row before summing), so the final snapshot equals the batch
+    groupBy twin integer-for-integer — pinned in
+    tests/test_streaming.py. At scale: state is two longs per user in
+    the state store, sharded by the grouping key; micro-batches touch
+    only keys present in the batch.
+    """
+
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    n_events = events.count()
+    scratch = _scratch_dir()
+    src_dir, staged = _staged_source_dir("usertotals", sf_dir, n_events)
+    if not staged:
+        # two files so at least one cross-batch state carry-over
+        # happens; the split keys on a row hash that includes the event
+        # id so duplicate (user, value) rows keep their multiplicity
+        # (a limit/subtract split would DISTINCT them away) and most
+        # users land in both files.
+        with_idx = events.withColumn(
+            "micro", (F.col("value").cast("decimal(25,6)") * 1000000).cast("bigint")
+        ).select(
+            "user_id",
+            "micro",
+            F.pmod(F.xxhash64("user_id", "micro", "ts"), F.lit(2)).alias("h"),
+        )
+        for part in (0, 1):
+            with_idx.filter(F.col("h") == part).drop("h").coalesce(1).write.mode(
+                "append"
+            ).parquet(src_dir)
+        _mark_staged(src_dir, n_events)
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, micro BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    use_tws = _has_transform_with_state()
+    if use_tws:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class UserTotals(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._totals = handle.getValueState("totals", "n BIGINT, v BIGINT")
+
+            def handleInputRows(self, key, rows, timer_values):
+                import pandas as pd  # noqa: PLC0415 — runs on executors
+
+                (user_id,) = key
+                n = v = 0
+                if self._totals.exists():
+                    n, v = self._totals.get()
+                for pdf in rows:
+                    n += len(pdf)
+                    v += int(pdf["micro"].astype("int64").sum())
+                self._totals.update((n, v))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "n_events": [n],
+                        "total_value_micro": [v],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        totals = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserTotals(),
+            outputStructType=USER_TOTALS_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        from pyspark.sql.streaming.state import (  # noqa: PLC0415
+            GroupState,
+            GroupStateTimeout,
+        )
+
+        def fold_totals(key, pdfs, state: GroupState):
+            import pandas as pd  # noqa: PLC0415 — runs on executors
+
+            (user_id,) = key
+            n, v = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                n += len(pdf)
+                v += int(pdf["micro"].astype("int64").sum())
+            state.update((n, v))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value_micro": [v],
+                }
+            )
+
+        totals = stream.groupBy("user_id").applyInPandasWithState(
+            fold_totals,
+            outputStructType=USER_TOTALS_OUT_SCHEMA,
+            stateStructType="n BIGINT, v BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    final: dict = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.collect():
+            final[r["user_id"]] = r
+
+    # transformWithState requires the RocksDB state store; the other
+    # demos run on the default HDFS-backed provider, so set it for
+    # this query only and restore afterwards (the provider is read at
+    # query START, so per-query scoping works).
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    if use_tws:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        q = (
+            totals.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+            shutil.rmtree(scratch, ignore_errors=True)
+    finally:
+        if use_tws:
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
+
+    rows = list(final.values())
+    if rows:
+        return spark.createDataFrame(rows, USER_TOTALS_OUT_SCHEMA)
+    return spark.createDataFrame([], USER_TOTALS_OUT_SCHEMA)

@@ -24,6 +24,7 @@ ROWS_ONLY_ALLOWED = {
     "neardup_minhash_lsh",  # probabilistic candidate generation
     "leakage_minhash_cross_split",  # probabilistic candidates (recall pinned in tests)
     "streaming_sessionize_stateful",  # custom stateful streaming op
+    "streaming_user_totals_stateful",  # custom stateful op (batch-equivalence pinned)
     "neardup_simhash",  # signature heuristic
     "leadsight_enrich_pipeline",  # Python mock transports
     "multimodal_feature_extract",  # pandas-UDF feature extraction

@@ -369,3 +369,32 @@ class TestCheckpointRecovery:
         # every source row, no duplicates
         all_rows = sorted(r for _, rows in run1 + run2 for r in rows)
         assert all_rows == list(range(12))
+
+
+class TestStatefulUserTotals:
+    def test_stateful_totals_equal_batch_twin_exactly(self, spark, sf_dir):
+        # The custom stateful operator folds integer micro-units, so
+        # the final snapshot must equal the batch groupBy aggregation
+        # integer-for-integer — across at least one cross-batch state
+        # carry-over (the source is staged as two files).
+        from pyspark.sql import functions as F
+
+        from leadsight_sales_agent_spark import registry
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        registry.load_all()
+        got = {
+            (r["user_id"], r["n_events"], r["total_value_micro"])
+            for r in registry.QUERIES["streaming_user_totals_stateful"](
+                spark, sf_dir
+            ).collect()
+        }
+        ev = load(spark, sf_dir, "events")
+        twin = ev.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("value").cast("decimal(25,6)") * 1000000).cast("bigint")
+            ).alias("v"),
+        )
+        exp = {(r["user_id"], r["n"], r["v"]) for r in twin.collect()}
+        assert got == exp
