@@ -207,6 +207,71 @@ def window_sliding_1h_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_sliding_panes",
+    oracle=f"""
+    WITH offsets(off) AS (VALUES (0), (1800))
+    SELECT strftime(to_timestamp(CAST(floor((epoch(CAST(ts AS TIMESTAMP)) - off) / 3600) * 3600 + off AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events,
+           {sql_davg("value", 4)} AS avg_value
+    FROM events CROSS JOIN offsets
+    GROUP BY 1
+    """,
+)
+def window_sliding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 1 h / 30 min sliding aggregation as
+    window_sliding_1h_30min, computed the INCREMENTAL pane way
+    (CPiX / panes-slices family, PAPERS.md): events first aggregate
+    into non-overlapping 30-min panes (each event touched ONCE), then
+    each pane's partials merge into the two sliding windows that
+    contain it. The built-in F.window duplicates every event into
+    window/slide = 2 rows before aggregating — at a 1 h window with a
+    1-min slide that is a 60× row blow-up, while the pane plan stays
+    one-pass with a 60-row-per-pane merge; the pattern is also how an
+    out-of-order stream re-aggregates cheaply (only the touched pane
+    recomputes, not the whole window).
+
+    Exactness: pane partials are (count, exact decimal micro-sum) —
+    both mergeable integers — so the merged mean goes through the SAME
+    tie-safe integer rounding as the direct aggregation and the output
+    is bit-identical (same oracle text as the direct twin; row-level
+    equality with window_sliding_1h_30min is pinned in
+    tests/test_numeric.py).
+    """
+    from leadsight_sales_agent_spark.functions.numeric import _micro, _tie_safe_avg
+
+    ev = load(spark, sf_dir, "events")
+    pane = (
+        ev.withColumn(
+            "pane_start",
+            (F.floor(F.unix_timestamp("ts") / 1800) * 1800).cast("bigint"),
+        )
+        .groupBy("pane_start")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_micro(F.col("value"))).alias("m"),
+        )
+    )
+    windows = pane.select(
+        F.explode(
+            F.array(F.col("pane_start"), F.col("pane_start") - 1800)
+        ).alias("window_start_s"),
+        "n",
+        "m",
+    )
+    merged = windows.groupBy("window_start_s").agg(
+        F.sum("n").alias("n_events"), F.sum("m").alias("m_total")
+    )
+    return merged.select(
+        F.date_format(
+            F.timestamp_seconds(F.col("window_start_s")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("window_start"),
+        "n_events",
+        _tie_safe_avg(F.col("m_total"), F.col("n_events"), 4).alias("avg_value"),
+    )
+
+
+@query(
     "window_session_30min_gap",
     oracle="""
     WITH e AS (

@@ -63,3 +63,27 @@ class TestDavg:
         one = df.repartition(1).agg(davg(F.col("x")).alias("a")).first()["a"]
         many = df.repartition(13).agg(davg(F.col("x")).alias("a")).first()["a"]
         assert one == many
+
+
+class TestPaneSlidingEquivalence:
+    def test_pane_plan_equals_direct_sliding_rowwise(self, spark, sf_dir):
+        # The incremental pane aggregation must be BIT-identical to the
+        # built-in F.window direct aggregation — same windows, same
+        # counts, same tie-safe rounded means (the partials are exact
+        # mergeable integers, so merging cannot drift).
+        from leadsight_sales_agent_spark import registry
+
+        registry.load_all()
+        direct = {
+            r["window_start"]: (r["n_events"], r["avg_value"])
+            for r in registry.QUERIES["window_sliding_1h_30min"](
+                spark, sf_dir
+            ).collect()
+        }
+        panes = {
+            r["window_start"]: (r["n_events"], r["avg_value"])
+            for r in registry.QUERIES["window_sliding_panes"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert panes == direct
