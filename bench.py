@@ -57,10 +57,15 @@ HEADLINE = [
     "sample_stratified_lang",
     "leadsight_enrich_pipeline",
     # r4 additions: cross-split MinHash leakage, sequence packing, and
-    # the five-signal curation verdict — the three heaviest new shapes.
+    # the five-signal curation verdict — the three heaviest new shapes —
+    # plus the purest scan-bound query (Q6: full pushdown, no join) and
+    # the incremental pane-based sliding window (the optimized twin of
+    # window_sliding_1h_30min above — their gap is the pane win).
     "leakage_minhash_cross_split",
     "pack_sequences_token_budget",
     "corpus_curation_full",
+    "tpch_q6_forecast_revenue",
+    "window_sliding_panes",
 ]
 
 

@@ -61,6 +61,13 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # interval concurrency, and the regression aggregate. Rotated-out
 # queries remain oracle-checked locally every round via
 # tools/check_oracle.py.
+# r5 rotation candidates (oracle-backed, still no driver row after r4;
+# swap in once this round's 15 first-timers confirm green):
+# tpch_q3/q6/q7/q8/q10/q12/q14/q15/q18, dedup_cluster_representatives,
+# text_token_entropy, text_bpe_merge_candidates, reference_render_functions,
+# mixture_token_budget_allocation, multimodal_dedup_binary,
+# window_sliding_panes, plus the remaining never-graded long tail
+# (see CORRECTNESS_r0* row history).
 _PANEL_50 = [
     # flagship + §2.4 join anchors (asof/range/skew/MERGE stay; the 7
     # plain shapes rotate out after 2-3 driver-green rounds)
