@@ -128,3 +128,20 @@ def write_jsonl(df: DataFrame, path: str, partitions: int | None = None) -> None
     if partitions is not None:
         df = df.repartition(partitions)
     df.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC ingest — Spark-native columnar alternative to parquet (no
+    extra package; vectorized reader, predicate pushdown and column
+    pruning work exactly as for parquet scans). ORC is self-describing,
+    so no schema argument: the footer carries it."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partitions: int | None = None) -> None:
+    """ORC egress (overwrite). Same partition-count contract as
+    write_jsonl; compression follows spark.sql.orc.compression.codec
+    (snappy by default)."""
+    if partitions is not None:
+        df = df.repartition(partitions)
+    df.write.mode("overwrite").orc(path)

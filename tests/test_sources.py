@@ -116,3 +116,39 @@ class TestOrc:
             df._jdf.queryExecution(), "formatted"
         )
         assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:120]
+
+
+class TestOrc:
+    def test_orc_round_trip_preserves_rows_and_schema(self, spark, sf_dir, tmp_path):
+        from leadsight_sales_agent_spark.sources.catalog import (
+            load,
+            read_orc,
+            write_orc,
+        )
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        out = str(tmp_path / "docs_orc")
+        write_orc(docs, out, partitions=2)
+        back = read_orc(spark, out)
+        assert back.schema == docs.schema
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+    def test_orc_scan_pushes_filters(self, spark, sf_dir, tmp_path):
+        # the 100 TB contract holds for ORC exactly as for parquet:
+        # predicates reach the scan node
+        from leadsight_sales_agent_spark.plans import formatted_plan
+        from leadsight_sales_agent_spark.sources.catalog import (
+            load,
+            read_orc,
+            write_orc,
+        )
+        from pyspark.sql import functions as F
+
+        out = str(tmp_path / "orders_orc")
+        write_orc(load(spark, sf_dir, "orders"), out, partitions=2)
+        q = read_orc(spark, out).filter(F.col("o_totalprice") > 1000.0).select(
+            "o_orderkey"
+        )
+        plan = formatted_plan(q)
+        assert "PushedFilters: [" in plan
+        assert "o_totalprice" in plan.split("PushedFilters:")[1].split("]")[0]
