@@ -118,7 +118,7 @@ class TestOrc:
         assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:120]
 
 
-class TestOrc:
+class TestOrcCatalogHelpers:
     def test_orc_round_trip_preserves_rows_and_schema(self, spark, sf_dir, tmp_path):
         from leadsight_sales_agent_spark.sources.catalog import (
             load,
