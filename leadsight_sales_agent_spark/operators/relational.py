@@ -2199,3 +2199,346 @@ def nulls_ordering_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = top if out is None else out.unionAll(top)
     return out
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (round 5): the five shapes whose spec columns the
+# testdata lacks (partsupp, p_container, l_shipmode), adapted to the
+# available schema while keeping each query's CHARACTERISTIC plan shape:
+# Q2 correlated-min over a derived part-supplier cost relation, Q9
+# multi-dim profit rollup, Q16 distinct-supplier counts with a NOT-IN
+# exclusion, Q19 disjunctive cross-table predicates, Q20 semi-join on a
+# grouped HAVING subquery. With these, all 22 TPC-H shapes are graded.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH psc AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem
+        GROUP BY 1, 2
+    ), regional AS (
+        SELECT psc.partkey, psc.suppkey, psc.unit_cost,
+               s.s_name, s.s_acctbal, n.n_name AS nation
+        FROM psc
+        JOIN supplier s ON s.s_suppkey = psc.suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_regionkey = 2
+    )
+    SELECT r.s_acctbal, r.s_name, r.nation, p.p_partkey, p.p_name,
+           r.unit_cost
+    FROM regional r
+    JOIN part p ON p.p_partkey = r.partkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+      AND r.unit_cost = (SELECT min(r2.unit_cost)
+                         FROM regional r2
+                         WHERE r2.partkey = r.partkey)
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: the testdata has no
+    partsupp table, so the part-supplier cost relation is DERIVED from
+    observed trade — unit_cost(part, supp) = min(l_extendedprice /
+    l_quantity) over lineitem — and the Q2 skeleton runs unchanged on
+    top: for STANDARD parts of size <= 10, keep the ASIA-region
+    supplier(s) whose cost equals the per-part regional minimum
+    (correlated scalar min; ALL ties kept, as in the spec).
+
+    Unit cost is a per-row IEEE double division — identical bits in
+    both engines, so the min-equality tie compare is engine-safe.
+
+    Plan (100 TB): lineitem aggregates once to part x supplier grain
+    (the one big shuffle); supplier ⋈ nation broadcast-prunes that to
+    the region BEFORE the per-part min, so the window sees only
+    regional rows; the correlated min is a partkey-window (one narrow
+    shuffle of the derived relation, not of lineitem); the part dim
+    broadcasts with its filters applied. No cartesian anywhere.
+    """
+    psc = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+        )
+    )
+    n = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    regional = psc.join(F.broadcast(s), psc.suppkey == s.s_suppkey)
+    w = Window.partitionBy("partkey")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_name")
+    )
+    return (
+        regional.withColumn("mn", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("mn"))
+        .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "nation", "p_partkey", "p_name", "unit_cost")
+    )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           date_part('year', o.o_orderdate) AS o_year,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount) - 0.6 * p.p_retailprice * l.l_quantity", 2)} AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gizmo%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: no ps_supplycost in the
+    testdata, so cost is modeled as 60% of the part's retail price —
+    profit = l_extendedprice*(1-l_discount) - 0.6*p_retailprice*
+    l_quantity — and the spec's '%green%' name filter becomes
+    '%gizmo%' (the synthetic part names are '<adj> <noun>'). The
+    grouped profit rollup by supplier nation and order year is the
+    point of Q9 and survives intact.
+
+    The per-row profit term is pure IEEE double arithmetic written
+    identically in both engines, then summed in decimal micro-units
+    (dsum) so the rollup is order-independent.
+
+    Plan (100 TB): the name-filtered part dim broadcasts first (most
+    selective), supplier⋈nation broadcasts down the chain, and
+    lineitem⋈orders is the single fact-fact shuffle; one hash
+    aggregation at (nation, year) grain — 25 x 7 groups.
+    """
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gizmo%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    profit_term = F.col("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount")
+    ) - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit_term, 2).alias("profit"))
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: the
+    part-supplier relation is the DISTINCT (l_partkey, l_suppkey)
+    pairs observed in lineitem (no partsupp table), and the spec's
+    'customer complaints' supplier exclusion becomes the negative-
+    account-balance suppliers. Brand/type/size negation filters and
+    the size IN-list keep the spec's predicate structure; the output
+    is distinct-supplier counts per (brand, type, size).
+
+    Plan (100 TB): lineitem projects to the two key columns and
+    DISTINCTs map-side before the shuffle (~16-byte rows); the
+    excluded-supplier set (tiny) broadcasts as a left-anti join — the
+    NOT IN is safe to translate because s_suppkey is non-null by
+    construction; the filtered part dim broadcasts; count(DISTINCT)
+    runs as Spark's two-phase expand aggregation.
+    """
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        pairs.join(
+            F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * (1 - l_discount)", 2)} AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), adapted: the spec's three
+    disjunctive branches over brand/container/quantity/shipmode become
+    brand/size/quantity branches (container and shipmode don't exist
+    in the testdata). The point of Q19 — a join whose residual
+    predicate is an OR of cross-table conjunctions — is preserved.
+
+    Plan (100 TB): the disjunction cannot push into either scan as-is,
+    so DERIVED local prefilters are applied explicitly — part prunes
+    to the three brands (and the covering size range), lineitem prunes
+    to quantity 1-30 — before the broadcast join; the exact OR then
+    evaluates on the surviving rows. This is the implication-based
+    pushdown Catalyst doesn't derive on its own, and at 100 TB it is
+    the difference between scanning 3/25 of part x full lineitem and
+    the pruned fractions of both.
+    """
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 35)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q20_promotion_suppliers",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%bolt%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 50)
+    """,
+)
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: no ps_availqty,
+    so the 'excess stock' test becomes an observed-volume test — a
+    supplier qualifies if, for ANY '%bolt%' part, their 1997 shipped
+    quantity exceeds 50 units. The spec's skeleton is intact: an IN
+    subquery over a grouped HAVING aggregate, decorrelated to a
+    left-semi join against the supplier dim.
+
+    l_quantity values are integral doubles, so the grouped sum is
+    exact in both engines and the > 50 gate is engine-safe.
+
+    Plan (100 TB): the date filter pushes to the lineitem scan, the
+    name-filtered part dim broadcasts, the (suppkey, partkey) agg is
+    the one shuffle (map-side partials first), and the resulting
+    supplier id set drives a LEFT-SEMI join into supplier — at scale
+    Catalyst/AQE broadcasts the small qualifying-id side.
+    """
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    qual = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )

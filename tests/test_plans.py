@@ -455,3 +455,46 @@ class TestR4Queries:
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+class TestR5TpchCompletion:
+    """Plan gates for the round-5 TPC-H completions (Q2/Q9/Q16/Q19/Q20)."""
+
+    @pytest.mark.parametrize(
+        "name",
+        ["tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
+         "tpch_q16_supplier_part_counts", "tpch_q19_disjunctive_revenue",
+         "tpch_q20_promotion_suppliers"],
+    )
+    def test_no_cartesian_and_dims_broadcast(self, spark, sf_dir, name):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+    def test_q2_correlated_min_window_is_partitioned(self, spark, sf_dir):
+        # The per-part regional min must be a partkey-partitioned window
+        # over the derived cost relation, never a global window.
+        plan = simple_plan(
+            registry.QUERIES["tpch_q2_min_cost_supplier"](spark, sf_dir)
+        )
+        for line in plan.splitlines():
+            if "Window [" in line and "windowspecdefinition" in line:
+                assert re.search(r"\], \[[^\]]+\], \[|partkey", line), (
+                    f"unpartitioned window: {line}"
+                )
+
+    def test_q19_derived_prefilters_reach_both_scans(self, spark, sf_dir):
+        # The OR-of-conjunctions can't push as-is; the implied local
+        # bounds must still reach each scan (part: brand IN + size range,
+        # lineitem: quantity range).
+        plan = plan_of(spark, sf_dir, "tpch_q19_disjunctive_revenue")
+        pushed = " ".join(pushed_filters(plan))
+        assert "l_quantity" in pushed
+        assert "p_brand" in pushed and "p_size" in pushed
+
+    def test_q20_semi_join_and_date_pushdown(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "tpch_q20_promotion_suppliers")
+        assert "LeftSemi" in plan
+        pushed = " ".join(pushed_filters(plan))
+        assert "l_shipdate" in pushed
