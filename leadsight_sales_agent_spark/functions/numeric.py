@@ -100,3 +100,25 @@ def sql_davg(expr: str, scale: int = 4) -> str:
         f"WHEN {m} < 0 THEN -CAST((-({m}) * 2 + {d}) // ({d} * 2) AS DOUBLE) / {float(10**scale)} "
         f"ELSE CAST(({m} * 2 + {d}) // ({d} * 2) AS DOUBLE) / {float(10**scale)} END)"
     )
+
+
+def sql_hex_to_long(h: str, n: int) -> str:
+    """SQL fragment: value of the first ``n`` hex chars of expression
+    ``h`` as a BIGINT. Written only with instr/substr/integer
+    arithmetic so the SAME text evaluates identically in Spark SQL and
+    DuckDB (neither engine shares a hex-parse function with the other:
+    Spark has conv(), DuckDB has hex literals — both engine-local).
+    Used by the deterministic sketch family (KMV, Bloom) to turn
+    md5-hex prefixes into orderable/bucketable integers. n <= 15 keeps
+    the value (< 16^15) inside BIGINT with headroom for small factors.
+    """
+    if not 1 <= n <= 15:
+        raise ValueError("n must be in 1..15")
+    # CAST each digit to BIGINT: Spark types small literals INT and
+    # ANSI mode makes INT*INT overflow at 16^7-scale factors.
+    terms = [
+        f"CAST(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"

@@ -20,7 +20,13 @@ from operator import add
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from leadsight_sales_agent_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from leadsight_sales_agent_spark.functions.numeric import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+    sql_hex_to_long,
+)
 from leadsight_sales_agent_spark.registry import query
 from leadsight_sales_agent_spark.sources.catalog import load
 
@@ -1343,4 +1349,268 @@ def agg_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("mode_priority"),
             F.col("cnt").alias("n_orders"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable sketches II (round 5): KMV distinct-count and
+# Bloom membership — like the Count-Min grid above, built from md5-hex
+# so the sketch bits, the estimates, and the error rows are
+# bit-reproducible in any engine and therefore ORACLE-CHECKED, not just
+# invariant-tested. (Production would swap md5 for xxhash64; the
+# structure — fixed-size state, cell-wise/set-wise merge — is the point.)
+# ---------------------------------------------------------------------------
+
+KMV_K = 64  # sketch size: relative error ~ 1/sqrt(K) ~ 12.5%
+_HEX12 = 16**12
+
+
+@query(
+    "sketch_kmv_distinct_userdays",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT DISTINCT event_type,
+               CAST(user_id AS VARCHAR) || '|' || strftime(ts, '%Y-%m-%d') AS k
+        FROM events
+    ), hashed AS (
+        SELECT event_type, md5('kmv|' || k) AS h FROM keyed
+    ), ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+    ), truth AS (
+        SELECT event_type, count(*) AS n_true FROM hashed GROUP BY 1
+    ), kth AS (
+        SELECT event_type, max(h) AS kth_h, count(*) AS in_sk
+        FROM ranked WHERE rn <= {KMV_K} GROUP BY 1
+    ), per_type AS (
+        SELECT t.event_type, t.n_true,
+               CASE WHEN k.in_sk < {KMV_K} THEN t.n_true
+                    ELSE ({KMV_K - 1} * {_HEX12})
+                         // {sql_hex_to_long('k.kth_h', 12)} END AS est_distinct
+        FROM truth t JOIN kth k USING (event_type)
+    ), g_hash AS (
+        SELECT DISTINCT h FROM hashed
+    ), g_rank AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM g_hash
+    ), g AS (
+        SELECT '__all__' AS event_type,
+               (SELECT count(*) FROM g_hash) AS n_true,
+               CASE WHEN count(*) < {KMV_K} THEN (SELECT count(*) FROM g_hash)
+                    ELSE ({KMV_K - 1} * {_HEX12})
+                         // {sql_hex_to_long('max(h)', 12)} END AS est_distinct
+        FROM g_rank WHERE rn <= {KMV_K}
+    ), unioned AS (
+        SELECT * FROM per_type UNION ALL SELECT * FROM g
+    )
+    SELECT event_type, n_true, CAST(est_distinct AS BIGINT) AS est_distinct,
+           CAST(abs(est_distinct - n_true) * 10000 // n_true AS BIGINT) AS err_bp
+    FROM unioned
+    """,
+)
+def sketch_kmv_distinct_userdays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over daily active
+    user-days per event type, plus a '__all__' row whose estimate is
+    produced by MERGING the per-type sketches (union of k-min sets,
+    re-rank, keep k smallest) — the union-merge identity of KMV: if a
+    hash is among the global k smallest, fewer than k hashes in its own
+    type are smaller, so it is in that type's sketch. The oracle
+    computes the global sketch directly from scratch, so the hash match
+    PROVES the merge lossless, not just plausible.
+
+    Estimate = (k-1) * 16^12 DIV kth_min_hash_value — all-integer
+    arithmetic (no float division to drift cross-engine); groups
+    smaller than k report exactly. True distinct and error basis
+    points ship alongside, so the ~1/sqrt(k) error claim is graded.
+
+    At 100 TB: state is k 12-byte hashes per group regardless of input
+    (vs count_distinct's full key shuffle); sketches merge by set-union
+    + re-rank, so per-partition/per-day sketches roll up without
+    touching raw data again. The per-type rank is a window over
+    event_type (one narrow shuffle of distinct hashes); the merged rank
+    orders <= 5k surviving hashes — driver-scale by construction.
+    """
+    K = KMV_K
+    keyed = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("|"),
+                F.date_format("ts", "yyyy-MM-dd"),
+            ).alias("k"),
+        )
+        .distinct()
+    )
+    hashed = keyed.select(
+        "event_type", F.md5(F.concat(F.lit("kmv|"), F.col("k"))).alias("h")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    truth = hashed.groupBy("event_type").agg(F.count("*").alias("n_true"))
+    kth = (
+        ranked.filter(F.col("rn") <= K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("kth_h"), F.count("*").alias("in_sk"))
+    )
+    est_expr = F.when(F.col("in_sk") < K, F.col("n_true")).otherwise(
+        F.expr(f"({K - 1} * {_HEX12}) DIV {sql_hex_to_long('kth_h', 12)}")
+    )
+    per_type = truth.join(kth, "event_type").select(
+        "event_type", "n_true", est_expr.alias("est_distinct")
+    )
+    # merged '__all__': union of the per-type k-min sets, re-ranked
+    g_hash = hashed.select("h").distinct()
+    merged = (
+        ranked.filter(F.col("rn") <= K)
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(K)
+        .agg(F.max("h").alias("kth_h"), F.count("*").alias("in_sk"))
+    )
+    g = (
+        merged.crossJoin(
+            F.broadcast(g_hash.agg(F.count("*").alias("n_true")))
+        )
+        .select(
+            F.lit("__all__").alias("event_type"),
+            "n_true",
+            est_expr.alias("est_distinct"),
+        )
+    )
+    out = per_type.unionByName(g)
+    return out.select(
+        "event_type",
+        "n_true",
+        F.col("est_distinct").cast("bigint").alias("est_distinct"),
+        F.expr("CAST(abs(est_distinct - n_true) * 10000 DIV n_true AS BIGINT)").alias(
+            "err_bp"
+        ),
+    )
+
+
+BF_HASHES = 4
+BF_BITS = 4096  # 3 hex chars == 16^3 buckets exactly
+
+
+@query(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH members AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 490000
+    ), bloom AS (
+        SELECT DISTINCT g.j,
+               {sql_hex_to_long("substr(md5('bf' || CAST(g.j AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)), 1, 3)", 3)} AS pos
+        FROM members, unnest(generate_series(0, {BF_HASHES - 1})) AS g(j)
+    ), probes AS (
+        SELECT c.c_custkey, g.j,
+               {sql_hex_to_long("substr(md5('bf' || CAST(g.j AS VARCHAR) || '|' || CAST(c.c_custkey AS VARCHAR)), 1, 3)", 3)} AS pos
+        FROM customer c, unnest(generate_series(0, {BF_HASHES - 1})) AS g(j)
+    ), hits AS (
+        SELECT p.c_custkey,
+               count(b.pos) AS nhit
+        FROM probes p LEFT JOIN bloom b ON b.j = p.j AND b.pos = p.pos
+        GROUP BY 1
+    ), labeled AS (
+        SELECT h.c_custkey,
+               CASE WHEN h.nhit = {BF_HASHES} THEN 1 ELSE 0 END AS maybe,
+               CASE WHEN m.o_custkey IS NULL THEN 0 ELSE 1 END AS is_member
+        FROM hits h LEFT JOIN members m ON m.o_custkey = h.c_custkey
+    )
+    SELECT count(*) AS probed,
+           CAST(sum(is_member) AS BIGINT) AS members,
+           CAST(sum(maybe) AS BIGINT) AS maybe_cnt,
+           CAST(sum(CASE WHEN maybe = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_pos,
+           CAST(sum(CASE WHEN maybe = 0 AND is_member = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_neg,
+           CAST(sum(CASE WHEN maybe = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                * 10000 // (count(*) - sum(is_member)) AS BIGINT) AS fp_bp
+    FROM labeled
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership: build a {BF_BITS}-bit / {BF_HASHES}-hash
+    filter over the 'premium customer' id set (any order > 490k), probe
+    EVERY customer through it, and grade the filter against exact
+    membership: false_neg must be 0 (the Bloom guarantee), false_pos
+    is the measured cost of the space saving, reported in basis points
+    of the true-negative population.
+
+    Bit positions are 3-hex-char md5 prefixes (exactly 16^3 = 4096
+    buckets — no modulo bias), so filter bits and counts are
+    bit-identical cross-engine and the whole contraption oracle-checks.
+
+    At 100 TB this is the semi-join pruning primitive: the filter is
+    <= 4096 set bits per hash row regardless of member-set size,
+    broadcasts to every probe task for free (vs shuffling the full id
+    set for an exact semi-join), and merges across partitions by bit-OR
+    (set union of (j, pos) rows). Spark's own runtime row-level
+    filtering speaks the same trick (spark.sql.optimizer.runtime.
+    bloomFilter.enabled); this one is engine-independent and graded.
+    """
+    js = F.explode(F.sequence(F.lit(0), F.lit(BF_HASHES - 1))).alias("j")
+    members = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 490000)
+        .select("o_custkey")
+        .distinct()
+    )
+    bloom = (
+        members.select("o_custkey", js)
+        .withColumn(
+            "pos",
+            F.expr(
+                sql_hex_to_long(
+                    "substr(md5('bf' || CAST(j AS STRING) || '|' "
+                    "|| CAST(o_custkey AS STRING)), 1, 3)",
+                    3,
+                )
+            ),
+        )
+        .select("j", "pos")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probes = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", js)
+        .withColumn(
+            "pos",
+            F.expr(
+                sql_hex_to_long(
+                    "substr(md5('bf' || CAST(j AS STRING) || '|' "
+                    "|| CAST(c_custkey AS STRING)), 1, 3)",
+                    3,
+                )
+            ),
+        )
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), ["j", "pos"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("hit").alias("nhit"))
+    )
+    labeled = hits.join(
+        F.broadcast(members), hits.c_custkey == members.o_custkey, "left"
+    ).select(
+        (F.col("nhit") == BF_HASHES).cast("int").alias("maybe"),
+        F.col("o_custkey").isNotNull().cast("int").alias("is_member"),
+    )
+    return labeled.agg(
+        F.count("*").alias("probed"),
+        F.sum("is_member").cast("bigint").alias("members"),
+        F.sum("maybe").cast("bigint").alias("maybe_cnt"),
+        F.sum(((F.col("maybe") == 1) & (F.col("is_member") == 0)).cast("int"))
+        .cast("bigint")
+        .alias("false_pos"),
+        F.sum(((F.col("maybe") == 0) & (F.col("is_member") == 1)).cast("int"))
+        .cast("bigint")
+        .alias("false_neg"),
+        F.expr(
+            "CAST(sum(CASE WHEN maybe = 1 AND is_member = 0 THEN 1 ELSE 0 END)"
+            " * 10000 DIV (count(*) - sum(is_member)) AS BIGINT)"
+        ).alias("fp_bp"),
     )

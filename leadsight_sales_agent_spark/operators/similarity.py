@@ -803,3 +803,93 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "codes_used",
         "wcss",
     )
+
+
+@query(
+    "embedding_feature_scale",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), stats AS (
+        SELECT dim,
+               CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9)))
+                    AS DOUBLE) AS sxx,
+               count(*) AS n,
+               min(x) AS mn, max(x) AS mx
+        FROM flat GROUP BY 1
+    ), scaled AS (
+        SELECT f.vec_id, f.dim,
+               round((f.x - s.sx / s.n)
+                     / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6) AS z,
+               round((f.x - s.mn) / (s.mx - s.mn), 6) AS mm
+        FROM flat f JOIN stats s USING (dim)
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           list(z ORDER BY dim) AS z_vec,
+           list(mm ORDER BY dim) AS mm_vec
+    FROM scaled
+    GROUP BY 1
+    """,
+)
+def embedding_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature scaling of the embedding corpus — the
+    standard prep pass before quantization / PQ / distance work when
+    dimensions carry different spreads: z-score ((x-mean)/sd) and
+    min-max ((x-min)/(max-min)) variants, re-assembled in dimension
+    order as array columns.
+
+    Cross-engine exactness: per-dim Σx and Σx² accumulate in
+    DECIMAL(18,9) (order-independent; |x| < 1 so the cast is lossless
+    at any accumulation order), mean/variance then evaluate as the
+    IDENTICAL double expression in both engines (same device as
+    agg_stats_moments), and the scaled values round at 6dp.
+
+    At 100 TB: posexplode → one hash-agg at dimension grain (64 groups
+    — partials collapse map-side, ~nothing moves), stats broadcast back
+    onto the exploded frame, and the only real shuffle is the re-group
+    by vec_id to rebuild arrays. For a pure pipeline (no materialized
+    stats table) the same math can run explode-free via F.transform
+    against a broadcast stats literal; the explode form keeps the stats
+    frame first-class (it IS the calibration artifact worth persisting
+    next to the corpus).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),  # ordinality-aligned with the oracle
+        F.col("vf").cast("double").alias("x"),
+    )
+    xd = F.col("x").cast("decimal(18,9)")
+    stats = flat.groupBy("dim").agg(
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    sd = F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1))
+    scaled = flat.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        F.round((F.col("x") - mean) / sd, 6).alias("z"),
+        F.round((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6).alias(
+            "mm"
+        ),
+    )
+    assembled = scaled.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "z"))), lambda s: s.z
+        ).alias("z_vec"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mm"))), lambda s: s.mm
+        ).alias("mm_vec"),
+    )
+    return assembled

@@ -498,3 +498,28 @@ class TestR5TpchCompletion:
         assert "LeftSemi" in plan
         pushed = " ".join(pushed_filters(plan))
         assert "l_shipdate" in pushed
+
+
+class TestR5Sketches:
+    def test_bloom_filter_broadcasts_to_probes(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "sketch_bloom_membership")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        pushed = " ".join(pushed_filters(plan))
+        assert "o_totalprice" in pushed  # member-set filter reaches the scan
+
+    def test_kmv_rank_window_partitions_by_event_type(self, spark, sf_dir):
+        plan = simple_plan(
+            registry.QUERIES["sketch_kmv_distinct_userdays"](spark, sf_dir)
+        )
+        ranks = [
+            line
+            for line in plan.splitlines()
+            if "row_number()" in line and "windowspecdefinition" in line
+        ]
+        assert ranks and any("event_type" in line for line in ranks)
+
+    def test_feature_scale_stats_broadcast_back(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "embedding_feature_scale")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
