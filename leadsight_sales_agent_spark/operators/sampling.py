@@ -897,3 +897,50 @@ def ab_deterministic_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("purchase_value"),
     )
+
+
+CAP_PER_SOURCE = 15
+
+
+@query(
+    "sample_cap_per_source",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_SQL_HASH.format(salt='cap:', key='doc_id')},
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {CAP_PER_SOURCE}
+    """,
+)
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency capping — at most {CAP_PER_SOURCE} documents
+    survive per source, selected by deterministic salted-hash order
+    (NOT arrival order): the 'domain capping' pass that stops a few
+    giant domains from dominating a pretraining mixture. Hash-order
+    selection keeps the surviving subset stable across runs, engines,
+    partitionings, and incremental re-crawls — a re-run after new
+    documents arrive keeps the same winners unless a new document's
+    hash out-ranks one (bounded churn), where arrival-order capping
+    would reshuffle everything.
+
+    At 100 TB: one window shuffle keyed by source. For pathological
+    domains (billions of docs — the window's skew case) the same salt
+    supports a two-phase variant: per-source counts (tiny agg)
+    broadcast a keep-probability cap/count and the hash THRESHOLD
+    applies map-side (approximately cap survivors, zero window); the
+    exact-rank form here is the correctness anchor for it.
+    """
+    w = Window.partitionBy("source").orderBy(
+        hash_key("cap:", F.col("doc_id")), "doc_id"
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= CAP_PER_SOURCE)
+    )

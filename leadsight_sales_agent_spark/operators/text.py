@@ -7,7 +7,7 @@ regexp_extract/md5/aggregate) → whole-stage codegen; no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.functions.numeric import davg, sql_davg
@@ -1382,4 +1382,144 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         feat.join(contam, "doc_id", "left")
         .join(boiler_docs, "doc_id", "left")
         .select("doc_id", "lang", "n_tokens", verdict.alias("verdict"))
+    )
+
+
+@query(
+    "text_repetition_signals",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos,
+               unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ), led AS (
+        SELECT doc_id, t,
+               lead(t, 1) OVER w AS t1,
+               lead(t, 2) OVER w AS t2,
+               lead(t, 3) OVER w AS t3,
+               lead(t, 4) OVER w AS t4
+        FROM tok
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), grams AS (
+        SELECT doc_id,
+               CASE WHEN t1 IS NOT NULL THEN t || ' ' || t1 END AS g2,
+               CASE WHEN t2 IS NOT NULL THEN t || ' ' || t1 || ' ' || t2 END AS g3,
+               CASE WHEN t4 IS NOT NULL THEN t || ' ' || t1 || ' ' || t2
+                    || ' ' || t3 || ' ' || t4 END AS g5
+        FROM led
+    ), c2 AS (
+        SELECT doc_id, g2, count(*) AS c FROM grams WHERE g2 IS NOT NULL GROUP BY 1, 2
+    ), s2 AS (
+        SELECT doc_id, sum(c) AS total2, count(*) AS uniq2, max(c) AS top2
+        FROM c2 GROUP BY 1
+    ), c3 AS (
+        SELECT doc_id, g3, count(*) AS c FROM grams WHERE g3 IS NOT NULL GROUP BY 1, 2
+    ), s3 AS (
+        SELECT doc_id, sum(c) AS total3, count(*) AS uniq3 FROM c3 GROUP BY 1
+    ), c5 AS (
+        SELECT doc_id, g5, count(*) AS c FROM grams WHERE g5 IS NOT NULL GROUP BY 1, 2
+    ), s5 AS (
+        SELECT doc_id, sum(c) AS total5, count(*) AS uniq5 FROM c5 GROUP BY 1
+    ), n AS (
+        SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1
+    )
+    SELECT n.doc_id,
+           CAST(n.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE((s2.total2 - s2.uniq2) * 10000 // s2.total2, 0)
+                AS BIGINT) AS dup2_bp,
+           CAST(COALESCE((s3.total3 - s3.uniq3) * 10000 // s3.total3, 0)
+                AS BIGINT) AS dup3_bp,
+           CAST(COALESCE((s5.total5 - s5.uniq5) * 10000 // s5.total5, 0)
+                AS BIGINT) AS dup5_bp,
+           CAST(COALESCE(s2.top2 * 10000 // s2.total2, 0) AS BIGINT)
+               AS top_bigram_bp
+    FROM n
+    LEFT JOIN s2 ON s2.doc_id = n.doc_id
+    LEFT JOIN s3 ON s3.doc_id = n.doc_id
+    LEFT JOIN s5 ON s5.doc_id = n.doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher repetition-filter
+    family): per document, the duplicate fraction of token 2/3/5-grams
+    and the share of the single most frequent bigram — the signals
+    that catch boilerplate loops, keyword stuffing, and template spam
+    that inter-document dedup can't see (the repetition is INSIDE one
+    document). All shares are integer basis points (no float division
+    to drift cross-engine); documents shorter than the gram width
+    report 0.
+
+    Complements the corpus-cleaning set: text_boilerplate_ngrams finds
+    n-grams repeated ACROSS documents; this finds repetition WITHIN
+    each document. A curation pass thresholds dup5_bp/top_bigram_bp
+    exactly like Gopher's duplicate-n-gram-fraction cuts.
+
+    At 100 TB: one posexplode + ONE doc-partitioned window computes all
+    three gram widths in a single pass (4 leads, no self-joins), then
+    three doc-grain hash aggregations — every shuffle is keyed by
+    doc_id, partials collapse map-side, and nothing global ever forms.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    led = tok.select(
+        "doc_id",
+        "t",
+        F.lead("t", 1).over(w).alias("t1"),
+        F.lead("t", 2).over(w).alias("t2"),
+        F.lead("t", 3).over(w).alias("t3"),
+        F.lead("t", 4).over(w).alias("t4"),
+    )
+    grams = led.select(
+        "doc_id",
+        F.when(
+            F.col("t1").isNotNull(), F.concat_ws(" ", "t", "t1")
+        ).alias("g2"),
+        F.when(
+            F.col("t2").isNotNull(), F.concat_ws(" ", "t", "t1", "t2")
+        ).alias("g3"),
+        F.when(
+            F.col("t4").isNotNull(),
+            F.concat_ws(" ", "t", "t1", "t2", "t3", "t4"),
+        ).alias("g5"),
+    )
+
+    def gram_stats(col: str, with_top: bool):
+        counts = (
+            grams.filter(F.col(col).isNotNull())
+            .groupBy("doc_id", col)
+            .agg(F.count("*").alias("c"))
+        )
+        aggs = [
+            F.sum("c").alias(f"total{col[1:]}"),
+            F.count("*").alias(f"uniq{col[1:]}"),
+        ]
+        if with_top:
+            aggs.append(F.max("c").alias("top2"))
+        return counts.groupBy("doc_id").agg(*aggs)
+
+    s2 = gram_stats("g2", with_top=True)
+    s3 = gram_stats("g3", with_top=False)
+    s5 = gram_stats("g5", with_top=False)
+    n = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+
+    def bp(num, den):
+        return F.coalesce(
+            F.expr(f"CAST(({num}) * 10000 DIV {den} AS BIGINT)"), F.lit(0)
+        ).cast("bigint")
+
+    return (
+        n.join(s2, "doc_id", "left")
+        .join(s3, "doc_id", "left")
+        .join(s5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            bp("total2 - uniq2", "total2").alias("dup2_bp"),
+            bp("total3 - uniq3", "total3").alias("dup3_bp"),
+            bp("total5 - uniq5", "total5").alias("dup5_bp"),
+            bp("top2", "total2").alias("top_bigram_bp"),
+        )
     )
