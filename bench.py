@@ -66,6 +66,12 @@ HEADLINE = [
     "corpus_curation_full",
     "tpch_q6_forecast_revenue",
     "window_sliding_panes",
+    # r5 additions: the 5-table profit star (Q9), the Bloom build+probe
+    # (two-sided md5 position explode + broadcast membership join), and
+    # the intra-doc repetition pass (4-lead window + 3 doc-grain aggs).
+    "tpch_q9_product_type_profit",
+    "sketch_bloom_membership",
+    "text_repetition_signals",
 ]
 
 
