@@ -192,6 +192,7 @@ def load_all() -> None:
     import leadsight_sales_agent_spark.operators.sampling  # noqa: F401
     import leadsight_sales_agent_spark.operators.behavior  # noqa: F401
     import leadsight_sales_agent_spark.operators.layout  # noqa: F401
+    import leadsight_sales_agent_spark.operators.graph  # noqa: F401
     import leadsight_sales_agent_spark.operators.similarity  # noqa: F401
     import leadsight_sales_agent_spark.operators.text  # noqa: F401
     import leadsight_sales_agent_spark.operators.multimodal  # noqa: F401
