@@ -142,3 +142,100 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), F.asc("node"))
         .limit(25)
     )
+
+
+@query(
+    "graph_triangle_coparts",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+        GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT max(d) FROM deg) AS max_degree,
+           (SELECT count(*)
+            FROM e e1
+            JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+            JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y) AS n_triangles
+    """,
+)
+def graph_triangle_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-purchase graph (parts linked when
+    some order contains both): the standard cohesion/clustering
+    primitive, plus node/edge/max-degree profile — one summary row,
+    all integers.
+
+    The ORACLE counts triangles the spec way (triple self-join with
+    x < y < z). The ENGINE counts them the way that survives 100 TB:
+    degree-ordered ORIENTATION (Suri & Vassilvitskii's MapReduce
+    trick) — orient every edge from its (degree, id)-smaller endpoint
+    to the larger, so each triangle has EXACTLY ONE node with two
+    out-edges; wedges then form only at out-edges of that lowest
+    node, and a wedge (a->b, a->c with b before c) closes iff the
+    oriented edge b->c exists. Orientation caps per-node wedge
+    generation at outdeg^2 where outdeg <= O(sqrt(edges)) for any
+    graph — the skewed hub that makes the naive wedge join quadratic
+    (a 10^6-degree hub => 10^12 wedges) generates almost nothing,
+    because a hub is the (degree,id)-LARGEST endpoint of nearly all
+    its edges. Same answer, hash-proven by the oracle.
+
+    Plan: edge build is one self-join of the order->part projection
+    keyed by order (bounded per-order fan-out), degrees broadcast onto
+    edges, wedge join + closing-edge join are equi-joins on (x) and
+    (b, c) — no cartesian anywhere. At 100 TB the edge list would be
+    bucketed by src so the wedge join co-locates.
+    """
+    op = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .union(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient each edge (degree, id)-ascending: src = smaller endpoint
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    ed = e.join(F.broadcast(dx), "x").join(F.broadcast(dy), "y")
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    oriented = ed.select(
+        F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(x_first, F.col("dy")).otherwise(F.col("dx")).alias("ddst"),
+        F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
+    )
+    o1 = oriented.toDF("src", "db", "b")
+    o2 = oriented.toDF("src", "dc", "c")
+    wedges = o1.join(o2, "src").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    profile = deg.agg(
+        F.count("*").alias("n_nodes"), F.max("d").alias("max_degree")
+    ).crossJoin(e.agg(F.count("*").alias("n_edges")))
+    return profile.crossJoin(F.broadcast(tri)).select(
+        "n_nodes", "n_edges", "max_degree", "n_triangles"
+    )
