@@ -2542,3 +2542,73 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "s_acctbal", F.col("n_name").alias("nation"))
     )
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(round(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6))
+                                    * 1000000 AS DECIMAL(38,0))) AS DOUBLE)
+                      / 1000000.0, 2) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: revenue/count by
+    (priority, month), produced by MERGING a stored partial-aggregate
+    table for history (orders before 2001-01-01) with partials computed
+    over only the new-arrivals delta — history is NEVER rescanned. The
+    oracle recomputes the rollup from the full table in one pass, so
+    the hash match PROVES partial-merge == full recompute.
+
+    The partial state is what makes the rollup mergeable AND exact:
+    revenue partials are integer micro-units (decimal(38,0) — exact at
+    any accumulation order, so merging partials is addition, not float
+    summation), counts are bigints; the final projection converts to
+    display dollars once (identical double arithmetic both engines —
+    the tpch_q8 device).
+
+    At 100 TB this is the nightly-ETL pattern: yesterday's partial
+    table is O(groups), today's delta scan is O(new data), the merge
+    is a group-keyed union+sum — vs the naive full rescan that grows
+    with history. The streaming twin (foreachBatch + checkpoint,
+    streaming/demo.py) does the same thing per micro-batch; this is
+    its oracle-backed batch anchor.
+    """
+    cutover = F.lit("2001-01-01").cast("timestamp")
+    micro = (F.col("o_totalprice").cast("decimal(25,6)") * 1000000).cast(
+        "decimal(38,0)"
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+        ).agg(
+            F.sum(micro).alias("rev_micro"),
+            F.count("*").alias("n_orders"),
+        )
+
+    orders = load(spark, sf_dir, "orders")
+    history = partials(orders.filter(F.col("o_orderdate") < cutover))
+    delta = partials(orders.filter(F.col("o_orderdate") >= cutover))
+    merged = (
+        history.unionByName(delta)
+        .groupBy("priority", "order_month")
+        .agg(
+            F.sum("rev_micro").alias("rev_micro"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+    )
+    return merged.select(
+        "priority",
+        "order_month",
+        F.round(F.col("rev_micro").cast("double") / 1000000.0, 2)
+        .cast("double")
+        .alias("revenue"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+    )
