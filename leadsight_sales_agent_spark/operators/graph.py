@@ -239,3 +239,50 @@ def graph_triangle_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.crossJoin(F.broadcast(tri)).select(
         "n_nodes", "n_edges", "max_degree", "n_triangles"
     )
+
+
+# ONE SQL text, two engines: Spark 4's native WITH RECURSIVE support
+# means the bounded BFS below is graded by running the IDENTICAL query
+# string on both sides — the strongest possible form of cross-engine
+# parity (no reimplementation to diverge).
+REACH_SQL = """
+WITH RECURSIVE pairs AS (
+    SELECT DISTINCT 'c:' || CAST(o.o_custkey AS STRING) AS c,
+                    's:' || CAST(l.l_suppkey AS STRING) AS s
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+), edges AS (
+    SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs
+), walk(node, hop) AS (
+    SELECT CAST('s:1' AS STRING), 0
+    UNION ALL
+    SELECT e.dst, w.hop + 1
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.hop < 3
+)
+SELECT node, CAST(min(hop) AS BIGINT) AS min_hop,
+       CAST(count(*) AS BIGINT) AS n_walks
+FROM walk GROUP BY node
+"""
+
+
+@query("graph_reachability_recursive_sql", oracle=REACH_SQL)
+def graph_reachability_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS via a NATIVE recursive CTE (Spark 4's WITH
+    RECURSIVE): minimum hop count and walk multiplicity from seed
+    supplier 's:1' within 3 hops over the high-value (order total >
+    400k) trade graph. The oracle is the SAME SQL string — DuckDB's
+    STRING alias and shared recursion semantics make the query text
+    portable verbatim, so the check grades Spark's recursive-CTE
+    implementation itself against an independent one.
+
+    The hop bound is what makes UNION ALL recursion safe on a cyclic
+    graph (an unbounded walk would never terminate); min(hop) is BFS
+    distance, n_walks the path-counting by-product. At 100 TB the same
+    shape runs as the driver-loop frontier join (graph_pagerank_trade's
+    device) — the recursive CTE is the declarative twin the optimizer
+    unrolls into exactly those iterated joins.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(REACH_SQL)
