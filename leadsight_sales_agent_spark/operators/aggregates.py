@@ -1614,3 +1614,122 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10000 DIV (count(*) - sum(is_member)) AS BIGINT)"
         ).alias("fp_bp"),
     )
+
+
+@query(
+    "sketch_kmv_intersection",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT DISTINCT event_type,
+               CAST(user_id AS VARCHAR) || '|' || strftime(ts, '%Y-%m-%d') AS k
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), hashed AS (
+        SELECT event_type, k, md5('kmv|' || k) AS h FROM keyed
+    ), ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+    ), per_side AS (
+        SELECT event_type,
+               ({KMV_K - 1} * {_HEX12})
+               // {sql_hex_to_long('max(h)', 12)} AS est
+        FROM ranked WHERE rn <= {KMV_K} GROUP BY 1
+    ), merged AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM ranked WHERE rn <= {KMV_K})
+    ), est_u AS (
+        SELECT ({KMV_K - 1} * {_HEX12})
+               // {sql_hex_to_long('max(h)', 12)} AS est_union
+        FROM merged WHERE rn <= {KMV_K}
+    ), truth AS (
+        SELECT count(*) AS true_inter FROM (
+            SELECT k FROM keyed GROUP BY k HAVING count(*) = 2)
+    )
+    SELECT CAST(a.est AS BIGINT) AS est_click,
+           CAST(b.est AS BIGINT) AS est_purchase,
+           CAST(u.est_union AS BIGINT) AS est_union,
+           CAST(CASE WHEN a.est + b.est - u.est_union < 0 THEN 0
+                     ELSE a.est + b.est - u.est_union END AS BIGINT)
+               AS est_inter,
+           CAST(t.true_inter AS BIGINT) AS true_inter
+    FROM (SELECT est FROM per_side WHERE event_type = 'click') a,
+         (SELECT est FROM per_side WHERE event_type = 'purchase') b,
+         est_u u, truth t
+    """,
+)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA: estimate |A ∩ B| for the click vs
+    purchase user-day sets by inclusion-exclusion over three sketch
+    estimates — est(A) + est(B) − est(A ∪ B), where the union estimate
+    comes from MERGING the two k-min sets (never from rehashing the
+    union; floored at 0 since the difference of estimates can go
+    negative at small overlaps). The exact intersection ships
+    alongside, grading the error like the other sketch rows.
+
+    This is the sketch workflow at 100 TB: per-segment KMV sketches
+    are tiny persisted state (k hashes each), and ANY pairwise
+    overlap/union question across segments is answered from sketches
+    alone — no re-scan, no exact distinct-join. All-integer estimates
+    (the (k−1)·16¹² DIV kth device), so the whole derivation is
+    oracle-checked, including the merge.
+    """
+    K = KMV_K
+    keyed = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("|"),
+                F.date_format("ts", "yyyy-MM-dd"),
+            ).alias("k"),
+        )
+        .distinct()
+    )
+    hashed = keyed.select(
+        "event_type", "k", F.md5(F.concat(F.lit("kmv|"), F.col("k"))).alias("h")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    topk = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= K
+    )
+    est_kth = F.expr(f"({K - 1} * {_HEX12}) DIV {sql_hex_to_long('kth', 12)}")
+    per_side = topk.groupBy("event_type").agg(F.max("h").alias("kth")).select(
+        "event_type", est_kth.alias("est")
+    )
+    merged = (
+        topk.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(K)
+        .agg(F.max("h").alias("kth"))
+        .select(est_kth.alias("est_union"))
+    )
+    truth = (
+        keyed.groupBy("k")
+        .agg(F.count("*").alias("sides"))
+        .filter(F.col("sides") == 2)
+        .agg(F.count("*").alias("true_inter"))
+    )
+    a = per_side.filter(F.col("event_type") == "click").select(
+        F.col("est").alias("est_click")
+    )
+    b = per_side.filter(F.col("event_type") == "purchase").select(
+        F.col("est").alias("est_purchase")
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            F.col("est_click").cast("bigint").alias("est_click"),
+            F.col("est_purchase").cast("bigint").alias("est_purchase"),
+            F.col("est_union").cast("bigint").alias("est_union"),
+            F.expr(
+                "CAST(CASE WHEN est_click + est_purchase - est_union < 0 THEN 0 "
+                "ELSE est_click + est_purchase - est_union END AS BIGINT)"
+            ).alias("est_inter"),
+            F.col("true_inter").cast("bigint").alias("true_inter"),
+        )
+    )
