@@ -1523,3 +1523,46 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             bp("top2", "total2").alias("top_bigram_bp"),
         )
     )
+
+
+@query(
+    "json_variant_extraction",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    `parse_json` ingests the props payload ONCE into the binary
+    variant encoding, `variant_get` then extracts typed paths without
+    re-parsing text per access — the engine-native semi-structured
+    path that replaces per-column get_json_object re-parses (each of
+    which re-tokenizes the whole JSON string). Integer rollup per
+    event type; the oracle extracts the same paths with DuckDB's JSON
+    functions — same values, proving the variant round-trip lossless.
+
+    At 100 TB the difference is real: N path extractions over variant
+    cost one parse + N binary probes vs N full text parses; and
+    variant columns store shredded, so unaccessed branches never
+    decode. json_props_extraction (get_json_object form) stays as the
+    pre-variant anchor.
+    """
+    ev = load(spark, sf_dir, "events").withColumn(
+        "pv", F.parse_json(F.col("props"))
+    )
+    k = F.expr("variant_get(pv, '$.k', 'bigint')")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+    )

@@ -145,3 +145,27 @@ def write_orc(df: DataFrame, path: str, partitions: int | None = None) -> None:
     if partitions is not None:
         df = df.repartition(partitions)
     df.write.mode("overwrite").orc(path)
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row", schema=None) -> DataFrame:
+    """XML ingest via Spark 4's built-in XML source (the spark-xml
+    package merged into core — no external jar). ``row_tag`` names the
+    repeated element that becomes one row; nested elements become
+    struct/array columns. Schema inference reads the files twice —
+    pass ``schema`` in production (same contract as read_jsonl). XML
+    scans parallelize per-file; for the 100 TB case XML is an EDGE
+    format: land it once, convert to parquet/ORC, and run the engine
+    on the columnar copy."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row", partitions: int | None = None) -> None:
+    """XML egress (overwrite) — for feed interchange with systems that
+    require it; not a storage format (no pushdown, no pruning, text
+    parse on every read)."""
+    if partitions is not None:
+        df = df.repartition(partitions)
+    df.write.mode("overwrite").format("xml").option("rowTag", row_tag).save(path)

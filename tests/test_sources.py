@@ -152,3 +152,33 @@ class TestOrcCatalogHelpers:
         plan = formatted_plan(q)
         assert "PushedFilters: [" in plan
         assert "o_totalprice" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+class TestXml:
+    def test_xml_round_trip(self, spark, sf_dir, tmp_path):
+        from leadsight_sales_agent_spark.sources.catalog import (
+            load,
+            read_xml,
+            write_xml,
+        )
+
+        nat = load(spark, sf_dir, "nation")
+        out = str(tmp_path / "nation_xml")
+        write_xml(nat, out, row_tag="nation", partitions=1)
+        back = read_xml(spark, out, row_tag="nation")
+        assert sorted(back.columns) == sorted(nat.columns)
+        assert sorted(map(tuple, back.select(*nat.columns).collect())) == sorted(
+            map(tuple, nat.collect())
+        )
+
+    def test_xml_nested_elements_become_structs(self, spark, tmp_path):
+        from leadsight_sales_agent_spark.sources.catalog import read_xml
+
+        p = tmp_path / "nested.xml"
+        p.write_text(
+            "<rows><row><id>1</id><meta><lang>en</lang><n>3</n></meta></row>"
+            "<row><id>2</id><meta><lang>de</lang><n>4</n></meta></row></rows>"
+        )
+        df = read_xml(spark, str(p), row_tag="row")
+        rows = {r["id"]: r["meta"] for r in df.collect()}
+        assert rows[1]["lang"] == "en" and rows[2]["n"] == 4
