@@ -286,3 +286,99 @@ def graph_reachability_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFr
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(REACH_SQL)
+
+
+CN_HUB_CAP = 50  # suppliers with more trading partners than this are skipped
+
+
+@query(
+    "graph_link_prediction_common_suppliers",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 450000
+    ), deg_s AS (
+        SELECT s, count(*) AS ds FROM pairs GROUP BY 1
+    ), kept AS (
+        SELECT p.c, p.s FROM pairs p
+        JOIN deg_s d ON d.s = p.s
+        WHERE d.ds <= {CN_HUB_CAP}
+    ), deg_c AS (
+        SELECT c, count(*) AS dc FROM kept GROUP BY 1
+    ), inter AS (
+        SELECT a.c AS c1, b.c AS c2, count(*) AS n_common
+        FROM kept a JOIN kept b ON a.s = b.s AND a.c < b.c
+        GROUP BY 1, 2
+    )
+    SELECT i.c1, i.c2, CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(i.n_common * 10000
+                // (da.dc + db.dc - i.n_common) AS BIGINT) AS jaccard_bp
+    FROM inter i
+    JOIN deg_c da ON da.c = i.c1
+    JOIN deg_c db ON db.c = i.c2
+    ORDER BY n_common DESC, jaccard_bp DESC, c1, c2
+    LIMIT 20
+    """,
+)
+def graph_link_prediction_common_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Common-neighbors link prediction on the bipartite high-value
+    trade graph: score customer pairs by shared suppliers (count +
+    Jaccard in basis points), top-20 with a total-ordered tie-break —
+    the 'you trade with who I trade with' similarity that drives
+    account-matching and lead-clustering recommendations.
+
+    The quadratic hazard of every common-neighbor computation is the
+    hub: a supplier serving d customers emits C(d,2) pairs, so one
+    10^6-degree hub would emit 5*10^11 rows. The standard mitigation is
+    applied IN the spec, not as an afterthought: suppliers above
+    {CN_HUB_CAP} trading partners are excluded from pair generation
+    (they carry near-zero similarity signal precisely because they
+    connect everyone), and the exclusion lives in both engine and
+    oracle so it's graded. Remaining shape: wedge join on supplier,
+    pair-grain hash agg, degree broadcast, TakeOrdered top-20.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select("o_orderkey", "o_custkey")
+    )
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg_s = pairs.groupBy("s").agg(F.count("*").alias("ds"))
+    kept = pairs.join(
+        F.broadcast(deg_s.filter(F.col("ds") <= CN_HUB_CAP)), "s"
+    ).select("c", "s")
+    deg_c = kept.groupBy("c").agg(F.count("*").alias("dc"))
+    a = kept.toDF("c1", "s")
+    b = kept.toDF("c2", "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    da = deg_c.toDF("c1", "d1")
+    db = deg_c.toDF("c2", "d2")
+    return (
+        inter.join(F.broadcast(da), "c1")
+        .join(F.broadcast(db), "c2")
+        .select(
+            "c1",
+            "c2",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.expr(
+                "CAST(n_common * 10000 DIV (d1 + d2 - n_common) AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
+        .orderBy(
+            F.desc("n_common"), F.desc("jaccard_bp"), F.asc("c1"), F.asc("c2")
+        )
+        .limit(20)
+    )
