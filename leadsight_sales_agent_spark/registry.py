@@ -138,6 +138,13 @@ _PANEL_50 = [
     "multimodal_dedup_binary",
     "embedding_feature_scale",
 ]
+# r6 rotation candidates (oracle-backed, no driver row yet): the ~40
+# remaining long-tail queries from r1-r4 (see CORRECTNESS_r0* history)
+# plus everything landed after this round's panel froze:
+# graph_pagerank_trade, graph_triangle_coparts,
+# graph_reachability_recursive_sql, graph_link_prediction_common_suppliers,
+# incremental_agg_maintenance, sketch_kmv_intersection,
+# json_variant_extraction, text_repetition_signals, sample_cap_per_source.
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
 # pipelines (mock-transport enrich, streaming micro-batch runs) go last:
