@@ -523,3 +523,43 @@ class TestR5Sketches:
         plan = plan_of(spark, sf_dir, "embedding_feature_scale")
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestR5Wave2:
+    def test_repetition_window_partitions_by_doc(self, spark, sf_dir):
+        plan = simple_plan(
+            registry.QUERIES["text_repetition_signals"](spark, sf_dir)
+        )
+        leads = [
+            line
+            for line in plan.splitlines()
+            if "lead(" in line and "windowspecdefinition" in line
+        ]
+        assert leads and all("doc_id" in line for line in leads)
+
+    def test_cap_per_source_window_partitions_by_source(self, spark, sf_dir):
+        plan = simple_plan(registry.QUERIES["sample_cap_per_source"](spark, sf_dir))
+        ranks = [
+            line
+            for line in plan.splitlines()
+            if "row_number()" in line and "windowspecdefinition" in line
+        ]
+        assert ranks and all("source" in line for line in ranks)
+
+    def test_incremental_merge_no_cartesian(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "incremental_agg_maintenance")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        pushed = " ".join(pushed_filters(plan))
+        assert "o_orderdate" in pushed  # history/delta split reaches the scans
+
+    def test_variant_is_single_scan_no_join(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "json_variant_extraction")
+        assert "Join" not in plan
+
+    def test_link_prediction_hub_cap_before_wedge(self, spark, sf_dir):
+        plan = plan_of(
+            spark, sf_dir, "graph_link_prediction_common_suppliers"
+        )
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
