@@ -2612,3 +2612,66 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.col("n_orders").cast("bigint").alias("n_orders"),
     )
+
+
+@query(
+    "impute_group_median_balance",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+        FROM customer
+    ), ranked AS (
+        SELECT segment, bal,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY bal, segment) AS rn,
+               count(*) OVER (PARTITION BY segment) AS n
+        FROM base WHERE bal IS NOT NULL
+    ), med AS (
+        SELECT segment, bal AS seg_median
+        FROM ranked WHERE rn = (n + 1) // 2
+    )
+    SELECT b.c_custkey, b.segment,
+           COALESCE(b.bal, m.seg_median) AS bal_imputed,
+           CASE WHEN b.bal IS NULL THEN 1 ELSE 0 END AS was_imputed
+    FROM base b JOIN med m ON m.segment = b.segment
+    """,
+)
+def impute_group_median_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation with the per-group LOWER MEDIAN — the
+    data-repair pass before training/scoring when a feature column has
+    holes (nulls synthesized deterministically here: every 7th
+    customer). The lower median is an ELEMENT OF THE DATA picked by
+    rank (position ceil(n/2) in sorted order), not an interpolated
+    float — so the imputed value involves zero arithmetic and is
+    cross-engine exact even on arbitrary doubles, where interpolated
+    medians can differ in the last ulp between engines' midpoint
+    formulas. The was_imputed flag ships alongside (a training
+    pipeline keeps imputation indicators as features).
+
+    At 100 TB: one window pass per group computes the rank-picked
+    median (at scale you'd swap in approx_percentile for the pick and
+    keep the same join-back shape), the tiny per-group median table
+    broadcasts back onto the full frame — the scan is never shuffled.
+    """
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    nn = base.filter(F.col("bal").isNotNull())
+    w = Window.partitionBy("segment").orderBy("bal", "segment")
+    med = (
+        nn.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("segment")))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("segment", F.col("bal").alias("seg_median"))
+    )
+    return base.join(F.broadcast(med), "segment").select(
+        "c_custkey",
+        "segment",
+        F.coalesce(F.col("bal"), F.col("seg_median")).alias("bal_imputed"),
+        F.when(F.col("bal").isNull(), 1).otherwise(0).alias("was_imputed"),
+    )
