@@ -1566,3 +1566,93 @@ def json_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).cast("bigint").alias("max_k"),
         F.sum(k).cast("bigint").alias("sum_k"),
     )
+
+
+@query(
+    "text_trigram_lm_score",
+    oracle="""
+    WITH tri AS (
+        SELECT d.doc_id, d.lang, u.t
+        FROM (SELECT doc_id, lang, trim(text) AS tx FROM documents) d,
+             unnest(list_transform(generate_series(1, length(d.tx) - 2),
+                                   i -> substr(d.tx, i, 3))) AS u(t)
+    ), c3 AS (
+        SELECT lang, t, count(*) AS n3 FROM tri GROUP BY 1, 2
+    ), c2 AS (
+        SELECT lang, substr(t, 1, 2) AS p, sum(n3) AS n2
+        FROM c3 GROUP BY 1, 2
+    ), model AS (
+        SELECT c3.lang, c3.t,
+               CAST(round(ln(CAST(c3.n3 AS DOUBLE) / c2.n2) * 1000000)
+                    AS BIGINT) AS logp_micro
+        FROM c3 JOIN c2 ON c2.lang = c3.lang AND c2.p = substr(c3.t, 1, 2)
+    )
+    SELECT tri.doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(m.logp_micro) // count(*) AS BIGINT) AS avg_logp_micro
+    FROM tri
+    JOIN model m ON m.lang = tri.lang AND m.t = tri.t
+    GROUP BY tri.doc_id
+    """,
+)
+def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-model scoring — the perplexity-proxy
+    quality signal: train per-language trigram probabilities P(t) =
+    c3(t) / c2(prefix) on the corpus itself (one pass), then score
+    every document by its average trigram log-probability. Gibberish,
+    wrong-language, and encoding-damaged documents score far below
+    their language's typical range — the cheap statistical stand-in
+    for a neural perplexity filter in a pretraining pipeline.
+
+    Cross-engine exactness for a log-domain score: each trigram's
+    log-probability is rounded ONCE to integer micro-nats (ln of an
+    identical double ratio, scaled and rounded identically), and the
+    per-document average is integer-division of the exact micro-nat
+    sum — no float accumulates across rows. Self-scoring on the
+    training corpus means every trigram has count >= 1: no smoothing
+    branch to diverge.
+
+    At 100 TB: trigram explode is map-side; the model is two hash
+    aggregations at (lang, trigram) grain (vocabulary-bounded: <= 26^3
+    per language in the limit) and broadcasts back onto the exploded
+    stream; one doc-grain agg finishes. The model table is exactly the
+    artifact a production pass persists and reuses for scoring new
+    batches without retraining.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.trim(F.col("text")).alias("tx")
+    )
+    tri = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(tx) - 2), i -> substring(tx, i, 3))")
+        ).alias("t"),
+    )
+    c3 = tri.groupBy("lang", "t").agg(F.count("*").alias("n3"))
+    c2 = (
+        c3.select("lang", F.substring("t", 1, 2).alias("p"), "n3")
+        .groupBy("lang", "p")
+        .agg(F.sum("n3").alias("n2"))
+    )
+    model = (
+        c3.withColumn("p", F.substring("t", 1, 2))
+        .join(c2, ["lang", "p"])
+        .select(
+            "lang",
+            "t",
+            F.expr(
+                "CAST(round(ln(CAST(n3 AS DOUBLE) / n2) * 1000000) AS BIGINT)"
+            ).alias("logp_micro"),
+        )
+    )
+    return (
+        tri.join(F.broadcast(model), ["lang", "t"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            F.expr("CAST(sum(logp_micro) DIV count(*) AS BIGINT)").alias(
+                "avg_logp_micro"
+            ),
+        )
+    )
