@@ -1656,3 +1656,72 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "map_functions_suite",
+    oracle="""
+    WITH pc AS (
+        SELECT o_orderstatus AS status, o_orderpriority AS prio,
+               count(*) AS c
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(CASE WHEN prio = '1-URGENT' THEN c END) AS BIGINT)
+               AS urgent_cnt,
+           CAST(max(CASE WHEN prio = 'NO-SUCH' THEN c END) AS BIGINT)
+               AS missing_cnt,
+           list(prio ORDER BY prio) AS keys_sorted,
+           list(CAST(c AS BIGINT) ORDER BY prio) AS counts_by_key,
+           CAST(sum(CASE WHEN c > 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_heavy_keys
+    FROM pc GROUP BY status
+    """,
+)
+def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type function surface, graded against a map-free relational
+    oracle (the oracle states WHAT — per-key counts and lookups — the
+    engine answers through the map API, so the check proves the map
+    round trip loses nothing): map_from_entries to build
+    priority→count maps per order status, map_keys/map_values with
+    sorted-entry discipline, element_at lookup, try_element_at's
+    missing-key NULL (ANSI-safe — plain element_at THROWS under ANSI
+    mode), map_filter + cardinality for the filtered-key count.
+
+    Maps never appear in the OUTPUT (engines disagree on map ordering
+    and hash representation — the same reason map columns don't
+    belong in cross-system interchange schemas); entries exit as
+    key-sorted parallel arrays, the deterministic exchange form.
+
+    Scale shape: one hash-agg to (status, priority) grain, then one
+    map-assembly agg at status grain over <= 5-entry groups — maps
+    here are a ROW-LOCAL convenience type, not a data-distribution
+    device; nothing about the shuffle changes.
+    """
+    pc = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    mapped = pc.groupBy("status").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("prio", "c")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "status",
+        F.cardinality("m").cast("bigint").alias("n_keys"),
+        F.element_at("m", "1-URGENT").cast("bigint").alias("urgent_cnt"),
+        F.try_element_at("m", F.lit("NO-SUCH")).cast("bigint").alias("missing_cnt"),
+        F.map_keys("m").alias("keys_sorted"),
+        F.expr("transform(map_values(m), v -> CAST(v AS BIGINT))").alias(
+            "counts_by_key"
+        ),
+        F.cardinality(F.expr("map_filter(m, (k, v) -> v > 100)"))
+        .cast("bigint")
+        .alias("n_heavy_keys"),
+    )
