@@ -1176,3 +1176,53 @@ def topk_distinct_prices_dense_rank(spark: SparkSession, sf_dir: str) -> DataFra
     ).agg(F.count("*").alias("n_at_price"))
     w = Window.partitionBy("o_orderpriority").orderBy(F.desc("price"))
     return px.withColumn("dr", F.dense_rank().over(w)).filter(F.col("dr") <= 3)
+
+
+@query(
+    "datetime_timezone_suite",
+    oracle="""
+    WITH zoned AS (
+        SELECT z.tz,
+               date_part('hour',
+                   CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE z.tz AS TIMESTAMP))
+                   AS local_hour
+        FROM events,
+             (VALUES ('America/New_York'), ('Asia/Tokyo'), ('Europe/Berlin'))
+                 AS z(tz)
+    )
+    SELECT tz, CAST(local_hour AS BIGINT) AS local_hour,
+           count(*) AS n_events
+    FROM zoned GROUP BY 1, 2
+    """,
+)
+def datetime_timezone_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-correct local-hour bucketing: every event's UTC instant
+    converted to three civil timezones (one DST-observing western, one
+    fixed-offset eastern, one DST-observing CET) and counted per local
+    hour — the 'what hour was it for the user' histogram that naive
+    fixed-offset arithmetic gets wrong twice a year. The event range
+    spans multiple years, so both DST regimes of each zone are
+    exercised and graded; Spark resolves rules from the JVM tzdb,
+    DuckDB from ICU — agreement is a real check of civil-time
+    correctness, not an arithmetic identity.
+
+    Scale shape: from_utc_timestamp is a map-side scalar (zone rules
+    resolve executor-side, no lookup join); the 3x fan-out is an
+    inline VALUES dimension; one hash-agg at (tz, hour) grain — 72
+    output groups regardless of input size.
+    """
+    ev = load(spark, sf_dir, "events").select("ts")
+    zones = spark.createDataFrame(
+        [("America/New_York",), ("Asia/Tokyo",), ("Europe/Berlin",)], "tz STRING"
+    )
+    return (
+        ev.crossJoin(F.broadcast(zones))
+        .select(
+            "tz",
+            F.hour(F.from_utc_timestamp(F.col("ts"), F.col("tz")))
+            .cast("bigint")
+            .alias("local_hour"),
+        )
+        .groupBy("tz", "local_hour")
+        .agg(F.count("*").alias("n_events"))
+    )
