@@ -826,3 +826,91 @@ def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
             "p90_latency_sec"
         ),
     )
+
+
+@query(
+    "market_basket_rules",
+    oracle="""
+    WITH lines AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM lines
+    ), item AS (
+        SELECT l_partkey, count(*) AS s FROM lines GROUP BY 1
+    ), pair AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS s_ab
+        FROM lines a JOIN lines b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, CAST(p.s_ab AS BIGINT) AS s_ab,
+           CAST(ia.s AS BIGINT) AS s_a, CAST(ib.s AS BIGINT) AS s_b,
+           CAST(p.s_ab * 10000 // ia.s AS BIGINT) AS conf_ab_bp,
+           CAST(p.s_ab * 10000 // ib.s AS BIGINT) AS conf_ba_bp,
+           CAST(p.s_ab * n.n_orders * 10000 // (ia.s * ib.s) AS BIGINT)
+               AS lift_bp
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN n
+    ORDER BY lift_bp DESC, s_ab DESC, part_a, part_b
+    LIMIT 25
+    """,
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules on top of the pair supports: confidence in
+    both directions (P(b|a), P(a|b)) and LIFT against independence
+    (support_ab · N / (support_a · support_b)) — the ranking that
+    separates 'bought together because both are popular' from 'bought
+    together because they belong together'. Top-25 by lift with a
+    total-ordered tie-break; all ratios integer basis points
+    (numerator-scaled integer division — nothing floats).
+
+    Scale shape: pair supports come from the basket-bounded self-join
+    (market_basket_part_pairs' plan — output bounded by Σ basket² per
+    order, never all-pairs over the catalog), item supports are one
+    hash-agg and broadcast back onto the pair frame twice, the order
+    count is a 1-row broadcast. The support floor (>= 3) prunes the
+    singleton tail before the rule join.
+    """
+    lines = (
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n = lines.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    item = lines.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    a = lines.toDF("ok", "part_a")
+    b = lines.toDF("ok", "part_b")
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("s_ab"))
+        .filter(F.col("s_ab") >= 3)
+    )
+    ia = item.toDF("part_a", "s_a")
+    ib = item.toDF("part_b", "s_b")
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("s_ab").cast("bigint").alias("s_ab"),
+            F.col("s_a").cast("bigint").alias("s_a"),
+            F.col("s_b").cast("bigint").alias("s_b"),
+            F.expr("CAST(s_ab * 10000 DIV s_a AS BIGINT)").alias("conf_ab_bp"),
+            F.expr("CAST(s_ab * 10000 DIV s_b AS BIGINT)").alias("conf_ba_bp"),
+            F.expr(
+                "CAST(s_ab * n_orders * 10000 DIV (s_a * s_b) AS BIGINT)"
+            ).alias("lift_bp"),
+        )
+        .orderBy(
+            F.desc("lift_bp"), F.desc("s_ab"), F.asc("part_a"), F.asc("part_b")
+        )
+        .limit(25)
+    )

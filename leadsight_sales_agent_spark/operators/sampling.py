@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from leadsight_sales_agent_spark.functions.numeric import sql_hex_to_long
 from leadsight_sales_agent_spark.registry import query
 from leadsight_sales_agent_spark.sources.catalog import load
 
@@ -943,4 +944,57 @@ def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= CAP_PER_SOURCE)
+    )
+
+
+KFOLD_K = 5
+
+
+@query(
+    "sample_kfold_assignment",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               CAST({sql_hex_to_long(_SQL_HASH.format(salt='fold:', key='doc_id'), 8)}
+                    % {KFOLD_K} AS BIGINT) AS fold
+        FROM documents
+    )
+    SELECT fold, count(*) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM assigned GROUP BY fold
+    """,
+)
+def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    salted-hash(doc_id) mod {KFOLD_K} — a pure function of the row
+    key, so folds are disjoint and exhaustive BY CONSTRUCTION (no
+    assignment table to store, no RNG state to version), stable across
+    runs, engines, partitionings, and incremental data arrivals (a new
+    document lands in its fold without reshuffling anyone else's).
+    Per-fold profile ships as the graded output; fold-vs-rest
+    train/eval splits then reuse the same column k times.
+
+    The hash is the repo-wide md5-hex device lifted to an integer via
+    the shared sql_hex_to_long fragment — both engines compute the
+    same 32-bit draw, so the modulo buckets match exactly. Map-only:
+    no shuffle for assignment; one hash-agg for the profile.
+    """
+    # Spark spells the string cast STRING where DuckDB spells it
+    # VARCHAR; the md5/substring/hex-expansion text is otherwise shared.
+    spark_hash = "substring(md5('fold:' || CAST(doc_id AS STRING)), 1, 8)"
+    fold = F.expr(
+        f"CAST({sql_hex_to_long(spark_hash, 8)} % {KFOLD_K} AS BIGINT)"
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
     )
