@@ -1573,7 +1573,8 @@ def json_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tri AS (
         SELECT d.doc_id, d.lang, u.t
-        FROM (SELECT doc_id, lang, trim(text) AS tx FROM documents) d,
+        FROM (SELECT doc_id, lang, trim(text) AS tx FROM documents
+              WHERE length(trim(text)) >= 3) d,
              unnest(list_transform(generate_series(1, length(d.tx) - 2),
                                    i -> substr(d.tx, i, 3))) AS u(t)
     ), c3 AS (
@@ -1619,8 +1620,14 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact a production pass persists and reuses for scoring new
     batches without retraining.
     """
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.trim(F.col("text")).alias("tx")
+    # length >= 3 guard on BOTH engines: Spark's sequence(1, len-2) runs
+    # DESCENDING for len < 3 ([1, 0] -> phantom short "trigrams") while
+    # DuckDB's generate_series(1, 0) is empty — without the shared
+    # filter a 0-2-char document diverges the model counts cross-engine.
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.trim(F.col("text")).alias("tx"))
+        .filter(F.length("tx") >= 3)
     )
     tri = d.select(
         "doc_id",
@@ -1686,8 +1693,12 @@ def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     round trip loses nothing): map_from_entries to build
     priority→count maps per order status, map_keys/map_values with
     sorted-entry discipline, element_at lookup, try_element_at's
-    missing-key NULL (ANSI-safe — plain element_at THROWS under ANSI
-    mode), map_filter + cardinality for the filtered-key count.
+    explicit missing-key-NULL contract (on maps, Spark 4's element_at
+    also returns NULL for a missing key even under ANSI mode —
+    try_element_at is kept for the explicit-intent spelling and for
+    parity with the array case, where plain element_at DOES throw on
+    out-of-bounds under ANSI), map_filter + cardinality for the
+    filtered-key count.
 
     Maps never appear in the OUTPUT (engines disagree on map ordering
     and hash representation — the same reason map columns don't

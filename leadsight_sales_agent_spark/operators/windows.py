@@ -1196,14 +1196,16 @@ def topk_distinct_prices_dense_rank(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def datetime_timezone_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timezone-correct local-hour bucketing: every event's UTC instant
-    converted to three civil timezones (one DST-observing western, one
-    fixed-offset eastern, one DST-observing CET) and counted per local
-    hour — the 'what hour was it for the user' histogram that naive
-    fixed-offset arithmetic gets wrong twice a year. The event range
-    spans multiple years, so both DST regimes of each zone are
-    exercised and graded; Spark resolves rules from the JVM tzdb,
-    DuckDB from ICU — agreement is a real check of civil-time
-    correctness, not an arithmetic identity.
+    converted to three civil timezones and counted per local hour —
+    the 'what hour was it for the user' histogram that naive
+    fixed-offset arithmetic gets wrong. Spark resolves zone rules from
+    the JVM tzdb, DuckDB from ICU — agreement across independent tz
+    databases is the check, not an arithmetic identity. Honest scope
+    note: the events table spans only January (one month), so each
+    zone is exercised in a single fixed-offset regime (EST / JST /
+    CET) — tzdb OFFSET agreement is graded; a DST-transition
+    disambiguation row is NOT in the data and is therefore not
+    claimed.
 
     Scale shape: from_utc_timestamp is a map-side scalar (zone rules
     resolve executor-side, no lookup join); the 3x fan-out is an

@@ -144,7 +144,9 @@ _PANEL_50 = [
 # graph_pagerank_trade, graph_triangle_coparts,
 # graph_reachability_recursive_sql, graph_link_prediction_common_suppliers,
 # incremental_agg_maintenance, sketch_kmv_intersection,
-# json_variant_extraction, text_repetition_signals, sample_cap_per_source.
+# json_variant_extraction, text_repetition_signals, sample_cap_per_source,
+# market_basket_rules, sample_kfold_assignment, datetime_timezone_suite,
+# text_trigram_lm_score, impute_group_median_balance, map_functions_suite.
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
 # pipelines (mock-transport enrich, streaming micro-batch runs) go last:

@@ -41,6 +41,22 @@ class TestTriangles:
 
     def test_wedge_joins_are_equi(self, spark, sf_dir):
         plan = plan_of(spark, sf_dir, "graph_triangle_coparts")
-        # the only nested-loop joins allowed are the 1-row profile
-        # cross-joins; the wedge + closing joins must be hash equi-joins
-        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+        # only the three 1-row profile cross-joins may be nested-loop;
+        # a fourth would mean the wedge or closing join degenerated to
+        # the quadratic form the orientation exists to avoid
+        import re
+
+        def op_ids(kind):
+            # formatted plans print each operator in the tree AND in the
+            # details section — count distinct operator ids, not lines
+            return set(re.findall(rf"{kind}[^\n(]*\((\d+)\)", plan))
+
+        nested = op_ids("BroadcastNestedLoopJoin") | op_ids("CartesianProduct")
+        assert len(nested) <= 2, (
+            f"{len(nested)} nested-loop joins (only the two 1-row profile "
+            f"cross-joins are allowed): {sorted(nested)}"
+        )
+        equi = op_ids("BroadcastHashJoin") | op_ids("SortMergeJoin")
+        assert len(equi) >= 4, (
+            f"only {len(equi)} equi-joins (edge-build/deg/wedge/closing)"
+        )

@@ -68,7 +68,7 @@ class TestTrigramLm:
 class TestTimezone:
     def test_72_groups_and_hour_domain(self, spark, sf_dir):
         rows = registry.QUERIES["datetime_timezone_suite"](spark, sf_dir).collect()
-        assert len(rows) == 72  # 3 zones x 24 hours over 6 years of events
+        assert len(rows) == 72  # 3 zones x 24 local hours (one month of events)
         assert {r["tz"] for r in rows} == {
             "America/New_York", "Asia/Tokyo", "Europe/Berlin",
         }
