@@ -466,7 +466,13 @@ def pack_sequences_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc count, token sum over docs STARTING in the sequence, how many
     of them straddle into the next sequence, and the id range.
     """
-    docs = load(spark, sf_dir, "documents")
+    return pack_manifest(load(spark, sf_dir, "documents"))
+
+
+def pack_manifest(docs: DataFrame) -> DataFrame:
+    """Shard-parallel pack-and-chop manifest over any documents frame
+    (doc_id + text) — the reusable core of pack_sequences_token_budget,
+    also composed downstream of curation by pipeline_curate_and_pack."""
     n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     h = hash_key("pack:", F.col("doc_id"))
     t = docs.select(

@@ -1736,3 +1736,58 @@ def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_heavy_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline composition: curation verdict -> survivors -> the
+# packed-sequence manifest. The ORACLE is composed mechanically from the
+# two stages' already-graded oracle texts (curation wrapped as a CTE,
+# the pack source filtered to its keep-set), so the composed spec can't
+# drift from the stage specs.
+# ---------------------------------------------------------------------------
+
+def _composed_curate_pack_oracle() -> str:
+    from leadsight_sales_agent_spark.registry import ORACLES
+
+    cur = ORACLES["corpus_curation_full"]
+    pack = ORACLES["pack_sequences_token_budget"]
+    assert pack.lstrip().startswith("WITH t AS (")
+    assert pack.count("FROM documents") == 1
+    filtered = pack.replace("WITH t AS (", "t AS (", 1).replace(
+        "FROM documents",
+        "FROM documents WHERE doc_id IN "
+        "(SELECT doc_id FROM verdicts WHERE verdict = 'keep')",
+        1,
+    )
+    return f"WITH verdicts AS ({cur}), {filtered.lstrip()}"
+
+
+@query("pipeline_curate_and_pack", oracle=_composed_curate_pack_oracle())
+def pipeline_curate_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus release pipeline in one call: run the five-signal
+    curation verdict (length → diversity → exact-dup → decontamination
+    → boilerplate), keep only the survivors, and emit the packed
+    fixed-token-budget sequence manifest a dataloader consumes — the
+    composition a user of this engine actually ships, graded
+    end-to-end rather than stage-by-stage.
+
+    The oracle is COMPOSED from the two stages' registered oracle
+    strings (curation becomes a `verdicts` CTE; the pack source gains
+    a keep-set filter), so the composed spec is the stage specs by
+    construction — a change to either stage re-grades the pipeline
+    automatically.
+
+    Scale shape adds exactly one operator to the parts: a left-semi
+    join of documents against the keep set (AQE broadcasts the id
+    side). Everything else is the stages' own graded plans; the pack
+    prefix sum still runs per shard, never globally.
+    """
+    keep = (
+        corpus_curation_full(spark, sf_dir)
+        .filter(F.col("verdict") == "keep")
+        .select("doc_id")
+    )
+    from leadsight_sales_agent_spark.operators.sampling import pack_manifest
+
+    docs = load(spark, sf_dir, "documents").join(keep, "doc_id", "left_semi")
+    return pack_manifest(docs)
