@@ -398,3 +398,59 @@ class TestStatefulUserTotals:
         )
         exp = {(r["user_id"], r["n"], r["v"]) for r in twin.collect()}
         assert got == exp
+
+
+class TestIncrementalRollupStreaming:
+    def test_foreachbatch_partials_equal_batch_rollup(self, spark, sf_dir, tmp_path):
+        # The streaming twin of incremental_agg_maintenance: the SAME
+        # integer micro-unit partials merged per micro-batch (arbitrary
+        # file slicing) must finalize to the batch rollup exactly —
+        # the mergeable-partials contract under any arrival order.
+        orders = load(spark, sf_dir, "orders")
+        src = str(tmp_path / "orders_stream")
+        orders.repartition(3).write.parquet(src)
+
+        state: dict[tuple, list] = {}
+
+        def sink(df, _epoch):
+            part = (
+                df.groupBy(
+                    F.col("o_orderpriority").alias("priority"),
+                    F.date_trunc("month", "o_orderdate").alias("order_month"),
+                )
+                .agg(
+                    F.sum(
+                        (F.col("o_totalprice").cast("decimal(25,6)") * 1000000)
+                        .cast("decimal(38,0)")
+                    ).alias("rev_micro"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            )
+            for r in part:
+                key = (r["priority"], r["order_month"])
+                cur = state.setdefault(key, [0, 0])
+                cur[0] += int(r["rev_micro"])  # partial merge = integer addition
+                cur[1] += r["n"]
+
+        q = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = {
+            k: (round(v[0] / 1000000.0, 2), v[1]) for k, v in state.items()
+        }
+        want = {
+            (r["priority"], r["order_month"]): (r["revenue"], r["n_orders"])
+            for r in registry.QUERIES["incremental_agg_maintenance"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == want
