@@ -1747,6 +1747,12 @@ def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _composed_curate_pack_oracle() -> str:
+    # ensure the pack stage is registered even when this module is
+    # imported directly (outside load_all's ordering) — without this a
+    # bare `import ...operators.text` KeyErrors here, and the retried
+    # partial import then masquerades as "duplicate query name"
+    import leadsight_sales_agent_spark.operators.sampling  # noqa: F401
+
     from leadsight_sales_agent_spark.registry import ORACLES
 
     cur = ORACLES["corpus_curation_full"]
