@@ -1733,3 +1733,61 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("true_inter").cast("bigint").alias("true_inter"),
         )
     )
+
+
+K_ANON_THRESHOLD = 5
+
+
+@query(
+    "dq_k_anonymity_audit",
+    oracle=f"""
+    WITH cells AS (
+        SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+               count(*) AS group_size
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT segment, nation, CAST(group_size AS BIGINT) AS group_size,
+           CASE WHEN group_size < {K_ANON_THRESHOLD} THEN 1 ELSE 0 END
+               AS below_k
+    FROM cells
+    WHERE group_size < {K_ANON_THRESHOLD * 4}
+    """,
+)
+def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers: group the population
+    by the attribute combination an adversary could link on
+    (market segment x nation here), and surface every cell whose size
+    approaches or breaks the k={K_ANON_THRESHOLD} floor — rows in a
+    below-k cell are re-identifiable by their quasi-identifiers alone,
+    the privacy check that complements regex PII redaction
+    (text_pii_redaction scrubs direct identifiers; this catches the
+    INDIRECT ones). The release action on a below-k cell is suppress
+    or generalize (coarsen nation to region), both expressible as a
+    follow-up join against this audit table.
+
+    Scale shape: one hash-aggregation at quasi-identifier grain — the
+    audit table is as small as the identifier domain, never the
+    population; the near-threshold filter (< 4k) keeps only the cells
+    a release reviewer must look at.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cells = (
+        c.join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.count("*").alias("group_size"))
+    )
+    return cells.filter(
+        F.col("group_size") < K_ANON_THRESHOLD * 4
+    ).select(
+        "segment",
+        "nation",
+        F.col("group_size").cast("bigint").alias("group_size"),
+        F.when(F.col("group_size") < K_ANON_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("below_k"),
+    )
