@@ -1791,3 +1791,40 @@ def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("below_k"),
     )
+
+
+@query(
+    "agg_listagg_native",
+    oracle="""
+    SELECT n.n_name AS nation,
+           string_agg(DISTINCT c.c_mktsegment, '|' ORDER BY c.c_mktsegment)
+               AS segments,
+           count(*) AS n_customers
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1
+    """,
+)
+def agg_listagg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native LISTAGG (Spark 4's ANSI string aggregation — `listagg(x,
+    sep) WITHIN GROUP (ORDER BY ...)`) vs DuckDB's string_agg ORDER BY
+    twin: distinct market segments per nation as one ordered
+    delimiter-joined string. The ORDER BY inside the aggregate is what
+    makes a string aggregation gradable at all — unordered
+    concatenation is nondeterministic under any parallel execution.
+    Complements agg_string_concat_ordered, which builds the same
+    contract manually (collect_list → array_sort → concat_ws) for
+    engines/versions without the native form; both now grade.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.expr(
+                "listagg(DISTINCT c_mktsegment, '|')"
+                " WITHIN GROUP (ORDER BY c_mktsegment)"
+            ).alias("segments"),
+            F.count("*").alias("n_customers"),
+        )
+    )
