@@ -1797,3 +1797,77 @@ def pipeline_curate_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").join(keep, "doc_id", "left_semi")
     return pack_manifest(docs)
+
+
+STOPWORDS = (
+    "the", "a", "an", "of", "and", "to", "in", "is", "for", "on", "with",
+)
+
+
+@query(
+    "text_stopword_punct_ratio",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ), tstats AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               sum(CASE WHEN t IN {STOPWORDS} THEN 1 ELSE 0 END) AS n_stop
+        FROM tok GROUP BY 1
+    ), cstats AS (
+        SELECT doc_id,
+               length(text) AS n_chars_raw,
+               length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                   AS n_punct,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS n_digit
+        FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_stop * 10000 // t.n_tokens AS BIGINT) AS stopword_bp,
+           CAST(c.n_punct * 10000 // c.n_chars_raw AS BIGINT) AS punct_bp,
+           CAST(c.n_digit * 10000 // c.n_chars_raw AS BIGINT) AS digit_bp
+    FROM tstats t JOIN cstats c ON c.doc_id = t.doc_id
+    """,
+)
+def text_stopword_punct_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining named quality ratios from the scoring family:
+    stopword share of tokens (too LOW means keyword-stuffed or
+    non-linguistic text; too high means empty filler), punctuation
+    share of characters (encoding damage, markup residue, ASCII art),
+    and digit share (tables, serial dumps) — each in integer basis
+    points. Together with length/diversity (text_quality_score),
+    entropy (text_token_entropy), repetition (text_repetition_signals),
+    and the trigram LM score, this completes the classic
+    C4/Gopher-style heuristic filter battery.
+
+    Map-side only: tokenization and the two character counts are
+    per-row scalar work (the regex counts are length deltas after
+    global regexp_replace — identical semantics both engines); one
+    doc-grain hash-agg for the token stats.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_tokens()).alias("t")
+    )
+    tstats = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("t").isin(*STOPWORDS).cast("int")).alias("n_stop"),
+    )
+    d = load(spark, sf_dir, "documents")
+    n_raw = F.length("text")
+    cstats = d.select(
+        "doc_id",
+        n_raw.alias("n_chars_raw"),
+        (n_raw - F.length(F.regexp_replace("text", r"[^a-zA-Z0-9\s]", ""))).alias(
+            "n_punct"
+        ),
+        (n_raw - F.length(F.regexp_replace("text", r"[0-9]", ""))).alias("n_digit"),
+    )
+    return tstats.join(cstats, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr("CAST(n_stop * 10000 DIV n_tokens AS BIGINT)").alias("stopword_bp"),
+        F.expr("CAST(n_punct * 10000 DIV n_chars_raw AS BIGINT)").alias("punct_bp"),
+        F.expr("CAST(n_digit * 10000 DIV n_chars_raw AS BIGINT)").alias("digit_bp"),
+    )
