@@ -147,7 +147,8 @@ _PANEL_50 = [
 # json_variant_extraction, text_repetition_signals, sample_cap_per_source,
 # market_basket_rules, sample_kfold_assignment, datetime_timezone_suite,
 # text_trigram_lm_score, impute_group_median_balance, map_functions_suite,
-# pipeline_curate_and_pack, dq_k_anonymity_audit.
+# pipeline_curate_and_pack, dq_k_anonymity_audit, agg_listagg_native,
+# text_stopword_punct_ratio.
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
 # pipelines (mock-transport enrich, streaming micro-batch runs) go last:
