@@ -2675,3 +2675,150 @@ def impute_group_median_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("bal"), F.col("seg_median")).alias("bal_imputed"),
         F.when(F.col("bal").isNull(), 1).otherwise(0).alias("was_imputed"),
     )
+
+
+@query(
+    "tpcds_q51_cumulative_compare",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
+               CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE)
+                   AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), od AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2)
+                    AS DOUBLE) AS v
+        FROM orders GROUP BY 1
+    ), months AS (
+        SELECT m FROM ev UNION SELECT m FROM od
+    ), grid AS (
+        SELECT months.m,
+               COALESCE(ev.v, 0.0) AS ev_v,
+               COALESCE(od.v, 0.0) AS od_v
+        FROM months
+        LEFT JOIN ev ON ev.m = months.m
+        LEFT JOIN od ON od.m = months.m
+    ), cum AS (
+        SELECT m,
+               CAST(round(sum(CAST(ev_v AS DECIMAL(25,6)))
+                          OVER (ORDER BY m), 2) AS DOUBLE) AS cum_events,
+               CAST(round(sum(CAST(od_v AS DECIMAL(25,6)))
+                          OVER (ORDER BY m), 2) AS DOUBLE) AS cum_orders
+        FROM grid
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           cum_events, cum_orders,
+           CASE WHEN cum_events > cum_orders THEN 1 ELSE 0 END
+               AS events_ahead
+    FROM cum
+    """,
+)
+def tpcds_q51_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51's characteristic shape on this schema: two
+    independently-aggregated monthly series (purchase-event value vs
+    order revenue), FULL month grid via the union of both key sets,
+    then running cumulative totals compared month-by-month — 'when did
+    channel A's lifetime total overtake channel B's'. Decimal-exact
+    cumulative sums over the tiny month grid; the crossover flag is an
+    integer.
+
+    Scale shape: each series is one hash-agg at month grain (tiny);
+    the grid union and left joins run on month-grain frames (dozens of
+    rows — broadcast); ONLY the month-grain cum-sum window is global,
+    and it's over the grid, never the facts. The facts are scanned
+    once each, pre-aggregated before any join — the Q51 trap
+    (windowing over the raw union of both fact tables) never forms.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("month", "ts").alias("m"))
+        .agg(dsum(F.col("value"), 2).alias("ev_v"))
+    )
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(dsum(F.col("o_totalprice"), 2).alias("od_v"))
+    )
+    months = ev.select("m").union(od.select("m")).distinct()
+    grid = (
+        months.join(ev, "m", "left")
+        .join(od, "m", "left")
+        .select(
+            "m",
+            F.coalesce("ev_v", F.lit(0.0)).alias("ev_v"),
+            F.coalesce("od_v", F.lit(0.0)).alias("od_v"),
+        )
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grid.select(
+        "m",
+        F.round(F.sum(F.col("ev_v").cast("decimal(25,6)")).over(w), 2)
+        .cast("double")
+        .alias("cum_events"),
+        F.round(F.sum(F.col("od_v").cast("decimal(25,6)")).over(w), 2)
+        .cast("double")
+        .alias("cum_orders"),
+    )
+    return cum.select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        "cum_events",
+        "cum_orders",
+        F.when(F.col("cum_events") > F.col("cum_orders"), 1)
+        .otherwise(0)
+        .alias("events_ahead"),
+    )
+
+
+@query(
+    "tpcds_q88_time_band_counts",
+    oracle="""
+    SELECT count(*) FILTER (WHERE h >= 0  AND h < 3)  AS h00_03,
+           count(*) FILTER (WHERE h >= 3  AND h < 6)  AS h03_06,
+           count(*) FILTER (WHERE h >= 6  AND h < 9)  AS h06_09,
+           count(*) FILTER (WHERE h >= 9  AND h < 12) AS h09_12,
+           count(*) FILTER (WHERE h >= 12 AND h < 15) AS h12_15,
+           count(*) FILTER (WHERE h >= 15 AND h < 18) AS h15_18,
+           count(*) FILTER (WHERE h >= 18 AND h < 21) AS h18_21,
+           count(*) FILTER (WHERE h >= 21)            AS h21_24
+    FROM (SELECT date_part('hour', CAST(ts AS TIMESTAMP)) AS h
+          FROM events WHERE event_type IN ('view', 'click'))
+    """,
+)
+def tpcds_q88_time_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88's characteristic shape: eight time-band counts that a
+    naive translation runs as EIGHT separate scans cross-joined into
+    one row — expressed instead as ONE scan with eight conditional
+    aggregates (count FILTER), the transposition every columnar
+    optimizer wants. The one-row output is the dashboard tile strip.
+
+    Plan: single pushed-filter scan of events, one partial+final
+    aggregation, zero joins — compare with the textbook Q88 plan of 8
+    subquery scans + 7 cross joins. At 100 TB that's an 8x scan saving
+    from a rewrite the engine's user gets by just asking for
+    conditional aggregates.
+    """
+    h = F.hour("ts")
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select(h.alias("h"))
+    )
+
+    def band(lo, hi, name):
+        cond = (F.col("h") >= lo) & (F.col("h") < hi) if hi is not None else (
+            F.col("h") >= lo
+        )
+        return F.count_if(cond).alias(name)
+
+    return ev.agg(
+        band(0, 3, "h00_03"),
+        band(3, 6, "h03_06"),
+        band(6, 9, "h06_09"),
+        band(9, 12, "h09_12"),
+        band(12, 15, "h12_15"),
+        band(15, 18, "h15_18"),
+        band(18, 21, "h18_21"),
+        band(21, None, "h21_24"),
+    )
