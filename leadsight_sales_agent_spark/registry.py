@@ -148,7 +148,8 @@ _PANEL_50 = [
 # market_basket_rules, sample_kfold_assignment, datetime_timezone_suite,
 # text_trigram_lm_score, impute_group_median_balance, map_functions_suite,
 # pipeline_curate_and_pack, dq_k_anonymity_audit, agg_listagg_native,
-# text_stopword_punct_ratio.
+# text_stopword_punct_ratio, tpcds_q51_cumulative_compare,
+# tpcds_q88_time_band_counts.
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
 # pipelines (mock-transport enrich, streaming micro-batch runs) go last:
