@@ -2822,3 +2822,75 @@ def tpcds_q88_time_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         band(18, 21, "h18_21"),
         band(21, None, "h21_24"),
     )
+
+
+ASOF_TOLERANCE_MIN = 30
+
+
+@query(
+    "join_asof_forward_tolerance",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'
+    ), e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(min(e.ts), '%Y-%m-%d %H:%M:%S') AS next_error_ts
+    FROM p
+    LEFT JOIN e ON e.user_id = p.user_id
+               AND e.ts >= p.ts
+               AND e.ts <= p.ts + INTERVAL {ASOF_TOLERANCE_MIN} MINUTE
+    GROUP BY 1, 2, 3
+    """,
+)
+def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance band (pandas merge_asof
+    direction='forward', tolerance=30min parity): each purchase
+    matched to the user's NEXT error within 30 minutes, or NULL — the
+    'did the checkout break right after paying' diagnostic. Completes
+    the as-of family: backward (join_asof_purchase_last_click) and now
+    forward+tolerance, both §2.4 members.
+
+    Same scalable device as the backward form, mirrored: union both
+    event kinds, sort per user DESCENDING, carry the last-seen error
+    timestamp (which in descending order is the NEXT error in real
+    time), then apply the tolerance as a row-local filter — one
+    shuffle on user_id, no row explosion, while the oracle spells the
+    quadratic-per-user join+min spec. Error-before-purchase at the
+    same timestamp counts as 'next' (>=), pinned by the sort placing
+    errors after purchases at equal ts in the descending pass.
+    """
+    events = load(spark, sf_dir, "events")
+    tagged = events.filter(F.col("event_type").isin("purchase", "error")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_type").asc())  # at equal ts: error after purchase in DESC scan order
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    error_ts = F.when(F.col("event_type") == "error", F.col("ts"))
+    return (
+        tagged.withColumn("next_error", F.last(error_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "next_error",
+            F.when(
+                F.col("next_error")
+                <= F.col("ts") + F.expr(f"INTERVAL {ASOF_TOLERANCE_MIN} MINUTE"),
+                F.col("next_error"),
+            ),
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("next_error", "yyyy-MM-dd HH:mm:ss").alias(
+                "next_error_ts"
+            ),
+        )
+    )
