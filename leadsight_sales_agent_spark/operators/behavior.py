@@ -914,3 +914,86 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(25)
     )
+
+
+@query(
+    "attribution_first_touch_session",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               lag(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), marked AS (
+        SELECT user_id, event_id, event_type, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ), sess AS (
+        SELECT user_id, event_id, event_type, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    ), firsts AS (
+        SELECT user_id, session_id, event_type AS first_touch
+        FROM (SELECT user_id, session_id, event_type,
+                     row_number() OVER (PARTITION BY user_id, session_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM sess) t
+        WHERE rn = 1
+    )
+    SELECT f.first_touch,
+           count(*) AS n_purchases,
+           CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_users
+    FROM sess s
+    JOIN firsts f ON f.user_id = s.user_id AND f.session_id = s.session_id
+    WHERE s.event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_first_touch_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution at session grain: every purchase is
+    credited to the event type that OPENED its session (30-min-gap
+    sessionization, the engine's standard island pass) — the marketing
+    question 'which entry channel leads to purchases'. Output: per
+    first-touch type, attributed purchases and distinct purchasing
+    users.
+
+    Composes two graded devices — the lag/cumsum session islands
+    (window_session_30min_gap, exact epoch-microsecond gap compare)
+    and a per-session first-row pick — then joins purchases back to
+    their session's opener at (user, session) grain. Everything is
+    keyed by user_id: the sessionize windows, the firsts pick, and
+    the attribution join all reuse ONE partitioning, so the whole
+    pipeline is a single shuffle lineage at 100 TB.
+    """
+    ev = load(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w_order)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(w_cum)
+    )
+    w_sess = Window.partitionBy("user_id", "session_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    firsts = (
+        sess.withColumn("rn", F.row_number().over(w_sess))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "session_id", F.col("event_type").alias("first_touch"))
+    )
+    return (
+        sess.filter(F.col("event_type") == "purchase")
+        .join(firsts, ["user_id", "session_id"])
+        .groupBy("first_touch")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
