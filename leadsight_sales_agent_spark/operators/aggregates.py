@@ -1758,7 +1758,7 @@ def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over quasi-identifiers: group the population
     by the attribute combination an adversary could link on
     (market segment x nation here), and surface every cell whose size
-    approaches or breaks the k={K_ANON_THRESHOLD} floor — rows in a
+    approaches or breaks the k=5 (K_ANON_THRESHOLD) floor — rows in a
     below-k cell are re-identifiable by their quasi-identifiers alone,
     the privacy check that complements regex PII redaction
     (text_pii_redaction scrubs direct identifiers; this catches the

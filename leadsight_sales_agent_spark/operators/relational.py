@@ -2860,9 +2860,12 @@ def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp (which in descending order is the NEXT error in real
     time), then apply the tolerance as a row-local filter — one
     shuffle on user_id, no row explosion, while the oracle spells the
-    quadratic-per-user join+min spec. Error-before-purchase at the
-    same timestamp counts as 'next' (>=), pinned by the sort placing
-    errors after purchases at equal ts in the descending pass.
+    quadratic-per-user join+min spec. An error AT the purchase's exact
+    timestamp counts as 'next' (the oracle's >=): event_type ASC sorts
+    'error' BEFORE 'purchase' at equal ts, so the same-ts error sits
+    inside the purchase row's preceding frame — flipping that
+    tie-break to DESC would silently drop same-ts matches (a case the
+    testdata doesn't contain; verified on a synthetic fixture).
     """
     events = load(spark, sf_dir, "events")
     tagged = events.filter(F.col("event_type").isin("purchase", "error")).select(
@@ -2870,7 +2873,7 @@ def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").desc(), F.col("event_type").asc())  # at equal ts: error after purchase in DESC scan order
+        .orderBy(F.col("ts").desc(), F.col("event_type").asc())  # equal ts: error sorts first, so it is inside the purchase's frame
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     error_ts = F.when(F.col("event_type") == "error", F.col("ts"))

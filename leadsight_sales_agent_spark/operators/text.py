@@ -1847,24 +1847,23 @@ def text_stopword_punct_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     global regexp_replace — identical semantics both engines); one
     doc-grain hash-agg for the token stats.
     """
-    tok = load(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(_tokens()).alias("t")
-    )
-    tstats = tok.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.sum(F.col("t").isin(*STOPWORDS).cast("int")).alias("n_stop"),
-    )
-    d = load(spark, sf_dir, "documents")
+    # truly map-side: token counts come from higher-order array ops on
+    # the row's own split array — one scan, zero shuffles, no join
+    # (review finding: the first cut exploded tokens through a
+    # token-grain agg + doc-grain join for a per-row quantity)
+    toks = _tokens()
     n_raw = F.length("text")
-    cstats = d.select(
+    base = load(spark, sf_dir, "documents").select(
         "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
         n_raw.alias("n_chars_raw"),
         (n_raw - F.length(F.regexp_replace("text", r"[^a-zA-Z0-9\s]", ""))).alias(
             "n_punct"
         ),
         (n_raw - F.length(F.regexp_replace("text", r"[0-9]", ""))).alias("n_digit"),
     )
-    return tstats.join(cstats, "doc_id").select(
+    return base.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.expr("CAST(n_stop * 10000 DIV n_tokens AS BIGINT)").alias("stopword_bp"),
