@@ -563,3 +563,42 @@ class TestR5Wave2:
         )
         assert "CartesianProduct" not in plan
         assert "TakeOrderedAndProject" in plan
+
+
+class TestR5Wave3:
+    def test_stopword_ratios_truly_map_only(self, spark, sf_dir):
+        # the docstring claims one scan, zero shuffles — hold it to that
+        plan = plan_of(spark, sf_dir, "text_stopword_punct_ratio")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert plan.count("Scan parquet") == 2  # tree + details of ONE scan
+
+    def test_q88_single_scan_no_join(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "tpcds_q88_time_band_counts")
+        assert "Join" not in plan
+        pushed = " ".join(pushed_filters(plan))
+        assert "event_type" in pushed
+
+    def test_q51_windows_over_month_grid_not_facts(self, spark, sf_dir):
+        # the cumulative window must consume pre-aggregated month rows;
+        # both fact scans feed HashAggregates BEFORE any Window node
+        plan = plan_of(spark, sf_dir, "tpcds_q51_cumulative_compare")
+        assert "CartesianProduct" not in plan
+        first_window = plan.find("Window")
+        assert first_window > 0
+        assert plan.count("HashAggregate") >= 4  # partial+final per series
+
+    def test_asof_forward_single_user_shuffle(self, spark, sf_dir):
+        plan = simple_plan(
+            registry.QUERIES["join_asof_forward_tolerance"](spark, sf_dir)
+        )
+        wins = [
+            line
+            for line in plan.splitlines()
+            if "windowspecdefinition" in line
+        ]
+        assert wins and all("user_id" in line for line in wins)
+
+    def test_attribution_reuses_user_partitioning(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "attribution_first_touch_session")
+        assert "CartesianProduct" not in plan
