@@ -1828,3 +1828,63 @@ def agg_listagg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
         )
     )
+
+
+@query(
+    "agg_percentile_disc_prices",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey,
+                                           l_linenumber) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           max(CASE WHEN rn = (n + 3) // 4 THEN l_extendedprice END)
+               AS p25_disc,
+           max(CASE WHEN rn = (n + 1) // 2 THEN l_extendedprice END)
+               AS p50_disc,
+           max(CASE WHEN rn = (3 * n + 3) // 4 THEN l_extendedprice END)
+               AS p75_disc
+    FROM ranked GROUP BY 1
+    """,
+)
+def agg_percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (rank-picked order statistics at positions
+    ceil(q*n)) on an arbitrary-double column — the contract that stays
+    cross-engine exact where INTERPOLATED percentiles are fragile: a
+    picked value is an element of the data (zero arithmetic), while
+    cont-percentile midpoint formulas can differ between engines in
+    the last ulp on non-integer data. The exact-interpolated anchor
+    (agg_percentiles_quantity) runs on an integer-valued column for
+    precisely that reason; this completes the pair on the
+    arbitrary-double side. Spec'd as an explicit rank pick in BOTH
+    engines (DuckDB's own quantile_disc uses a different position
+    convention, so the spec is the common ground, not a built-in).
+
+    Scale: one window pass per group + a group agg — at 100 TB you'd
+    swap the global sort per group for approx_percentile and keep the
+    same call shape; this is the exact anchor for that path.
+    """
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("l_returnflag")))
+    )
+
+    def pick(pos_expr: str, name: str):
+        return F.max(
+            F.when(F.expr(f"rn = {pos_expr}"), F.col("l_extendedprice"))
+        ).alias(name)
+
+    return ranked.groupBy("l_returnflag").agg(
+        pick("(n + 3) DIV 4", "p25_disc"),
+        pick("(n + 1) DIV 2", "p50_disc"),
+        pick("(3 * n + 3) DIV 4", "p75_disc"),
+    )

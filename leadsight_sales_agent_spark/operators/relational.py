@@ -2897,3 +2897,71 @@ def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "merge_full_with_deletes",
+    oracle="""
+    WITH delta AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'D'
+                    WHEN o_orderkey % 7 = 0 THEN 'U' END AS op,
+               CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+                    THEN CAST(round(CAST(o_totalprice AS DECIMAL(25,6))
+                                    * CAST(1.05 AS DECIMAL(3,2)), 2) AS DOUBLE)
+               END AS new_price
+        FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
+    )
+    SELECT b.o_orderkey AS orderkey,
+           CASE WHEN d.op = 'U' THEN d.new_price
+                ELSE b.o_totalprice END AS totalprice,
+           CASE WHEN d.op = 'U' THEN 1 ELSE 0 END AS was_updated
+    FROM orders b
+    LEFT JOIN delta d ON d.o_orderkey = b.o_orderkey
+    WHERE d.op IS DISTINCT FROM 'D'
+    """,
+)
+def merge_full_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with the full three-clause semantics — WHEN MATCHED AND
+    <cond> THEN DELETE / WHEN MATCHED THEN UPDATE / (NOT MATCHED rows
+    pass through) — as one declarative join + filter + projection: the
+    tombstone-processing pass of every CDC sink. Delete wins over
+    update when a key qualifies for both (the %13 tombstone takes
+    precedence over the %7 price bump), matching MERGE's first-clause-
+    wins rule; survivors carry a was_updated audit flag.
+
+    Plan shape is merge_upsert_orders' (one equi-join of base against
+    the small delta, AQE broadcasts the delta side) plus a null-safe
+    anti-filter for tombstones — no second pass, no per-row
+    mutation: at 100 TB this rewrites only the partitions the delta
+    touches when paired with the compaction planner (layout.py).
+    """
+    o = load(spark, sf_dir, "orders")
+    delta = (
+        o.filter((F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 13 == 0))
+        .select(
+            F.col("o_orderkey").alias("d_key"),
+            F.when(F.col("o_orderkey") % 13 == 0, "D")
+            .when(F.col("o_orderkey") % 7 == 0, "U")
+            .alias("op"),
+            F.when(
+                (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 13 != 0),
+                F.round(
+                    F.col("o_totalprice").cast("decimal(25,6)")
+                    * F.lit(1.05).cast("decimal(3,2)"),
+                    2,
+                ).cast("double"),
+            ).alias("new_price"),
+        )
+    )
+    return (
+        o.join(delta, o.o_orderkey == delta.d_key, "left")
+        .filter(~F.col("op").eqNullSafe("D"))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.when(F.col("op") == "U", F.col("new_price"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("totalprice"),
+            F.when(F.col("op") == "U", 1).otherwise(0).alias("was_updated"),
+        )
+    )
