@@ -150,7 +150,8 @@ _PANEL_50 = [
 # pipeline_curate_and_pack, dq_k_anonymity_audit, agg_listagg_native,
 # text_stopword_punct_ratio, tpcds_q51_cumulative_compare,
 # tpcds_q88_time_band_counts, join_asof_forward_tolerance,
-# attribution_first_touch_session.
+# attribution_first_touch_session, agg_percentile_disc_prices,
+# merge_full_with_deletes.
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
 # pipelines (mock-transport enrich, streaming micro-batch runs) go last:
