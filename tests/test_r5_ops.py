@@ -73,3 +73,43 @@ class TestTimezone:
             "America/New_York", "Asia/Tokyo", "Europe/Berlin",
         }
         assert all(0 <= r["local_hour"] <= 23 for r in rows)
+
+
+class TestMergeWithDeletes:
+    def test_tombstones_gone_updates_flagged(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = registry.QUERIES["merge_full_with_deletes"](spark, sf_dir).collect()
+        keys = {r["orderkey"] for r in rows}
+        assert not any(k % 13 == 0 for k in keys)  # every tombstone applied
+        updated = {r["orderkey"] for r in rows if r["was_updated"] == 1}
+        assert updated and all(k % 7 == 0 and k % 13 != 0 for k in updated)
+        base_n = load(spark, sf_dir, "orders").count()
+        tomb_n = sum(
+            1
+            for (k,) in load(spark, sf_dir, "orders")
+            .select("o_orderkey")
+            .collect()
+            if k % 13 == 0
+        )
+        assert len(rows) == base_n - tomb_n  # pass-through keeps the rest
+
+
+class TestPercentileDisc:
+    def test_picked_values_are_order_statistics(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = registry.QUERIES["agg_percentile_disc_prices"](spark, sf_dir).collect()
+        li = load(spark, sf_dir, "lineitem")
+        for r in rows:
+            vals = sorted(
+                x["l_extendedprice"]
+                for x in li.filter(
+                    li.l_returnflag == r["l_returnflag"]
+                ).select("l_extendedprice").collect()
+            )
+            n = len(vals)
+            assert r["p25_disc"] == vals[(n + 3) // 4 - 1]
+            assert r["p50_disc"] == vals[(n + 1) // 2 - 1]
+            assert r["p75_disc"] == vals[(3 * n + 3) // 4 - 1]
+            assert r["p25_disc"] <= r["p50_disc"] <= r["p75_disc"]
