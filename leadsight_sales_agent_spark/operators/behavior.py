@@ -997,3 +997,91 @@ def attribution_first_touch_session(spark: SparkSession, sf_dir: str) -> DataFra
             F.count_distinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+@query(
+    "cogroup_reconcile_orders_events",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS k, count(*) AS n_orders,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 1000000
+                             AS BIGINT)) AS BIGINT) AS order_micro
+        FROM orders GROUP BY 1
+    ), e AS (
+        SELECT user_id AS k, count(*) AS n_purchases,
+               CAST(sum(CAST(CAST(value AS DECIMAL(25,6)) * 1000000
+                             AS BIGINT)) AS BIGINT) AS event_micro
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT COALESCE(o.k, e.k) AS customer_id,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(order_micro, 0) AS order_micro,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           COALESCE(event_micro, 0) AS event_micro,
+           COALESCE(order_micro, 0) - COALESCE(event_micro, 0) AS gap_micro
+    FROM o FULL OUTER JOIN e ON o.k = e.k
+    """,
+)
+def cogroup_reconcile_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer reconciliation of the order book against the
+    purchase-event log via COGROUPED ``applyInPandas`` — the two-sided
+    escape hatch for per-entity custom logic (the one-sided hatches,
+    ``mapInPandas`` and ``applyInPandasWithState``, are exercised by
+    multimodal.py and streaming/demo.py). Each side is shuffled ONCE
+    on the entity key and the matched group pair arrives as two Arrow
+    pandas frames; keys missing on a side arrive as an empty frame, so
+    the operator sees full-outer semantics without a join.
+
+    The group kernel is pure int64 arithmetic on pre-converted exact
+    micro-units (the double→decimal→micro conversion happens
+    JVM-side BEFORE the shuffle, numeric.py's device) — so the Python
+    stage is deterministic and the whole operator hash-checks against
+    the relational spec (full-outer join of two grouped sums). That is
+    deliberate: the graded query proves the cogroup plumbing exact;
+    real users put the genuinely non-SQL logic (sequence alignment,
+    per-entity matching heuristics) in the same kernel seat.
+
+    100 TB: two key-partitioned shuffles (same as the join the oracle
+    runs), Arrow-batched groups, no driver collect; group size is
+    per-customer (bounded), so no skew beyond what the join itself
+    would see.
+    """
+    import pandas as pd
+
+    micro = lambda c: (F.col(c).cast("decimal(25,6)") * F.lit(10**6)).cast("long")  # noqa: E731
+
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"), micro("o_totalprice").alias("m"))
+    )
+    purchases = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("k"), micro("value").alias("m"))
+    )
+
+    def reconcile(key: tuple, odf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+        om = int(odf["m"].sum()) if len(odf) else 0
+        em = int(edf["m"].sum()) if len(edf) else 0
+        return pd.DataFrame(
+            {
+                "customer_id": [int(key[0])],
+                "n_orders": [len(odf)],
+                "order_micro": [om],
+                "n_purchases": [len(edf)],
+                "event_micro": [em],
+                "gap_micro": [om - em],
+            }
+        )
+
+    return (
+        orders.groupBy("k")
+        .cogroup(purchases.groupBy("k"))
+        .applyInPandas(
+            reconcile,
+            schema=(
+                "customer_id long, n_orders long, order_micro long, "
+                "n_purchases long, event_micro long, gap_micro long"
+            ),
+        )
+    )

@@ -2965,3 +2965,153 @@ def merge_full_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("op") == "U", 1).otherwise(0).alias("was_updated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-2 additions: skyline (Pareto-dominance frontier) and
+# the Spark 4 SQL-scalar-UDF surface.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skyline_parts_pareto",
+    oracle="""
+    WITH econ AS (
+        SELECT p_partkey, p_name, p_retailprice, p_size
+        FROM part WHERE p_type = 'ECONOMY'
+    )
+    SELECT p_partkey, p_name, p_retailprice, p_size
+    FROM econ a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM econ b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size <= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size)
+    )
+    """,
+)
+def skyline_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-dominance frontier: the ECONOMY parts for which
+    no other ECONOMY part is both cheaper-or-equal AND smaller-or-equal
+    with at least one strict improvement (Borzsonyi et al., ICDE 2001 —
+    the multi-criteria shortlist query: 'show me the options nothing
+    else beats on every axis').
+
+    The oracle is the quadratic NOT-EXISTS spec. The engine never runs
+    it: a 2-D skyline is computable with sorting alone —
+
+      dominated(a) <=>  min(size | price <= a.price) < a.size
+                     OR min(price | size  = a.size)  < a.price
+
+    (the first witness is strictly smaller at no worse price; the
+    second is strictly cheaper at the same size; duplicates of an
+    undominated (price, size) point survive together, matching the
+    strict-dominance spec). Two-phase for scale: phase 1 runs those
+    two window tests INSIDE each of 32 hash buckets — any locally
+    dominated row is globally dominated, so survivors (O(log n) per
+    bucket for random data) are a tiny superset of the frontier;
+    phase 2 re-runs the same device globally over the survivors, where
+    the unpartitioned ORDER BY window is a few-hundred-row single task
+    instead of a full-table sort. At 100 TB phase 1 is map-side-ish
+    (one narrow shuffle into buckets) and phase 2 is negligible.
+    Double comparisons are exact (same parquet bits in both engines);
+    no arithmetic is performed on the measures.
+    """
+
+    def _prune(df: DataFrame, *part_cols: str) -> DataFrame:
+        w_price = (
+            Window.partitionBy(*part_cols)
+            .orderBy("p_retailprice")
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        w_size = Window.partitionBy(*part_cols, "p_size")
+        return (
+            df.withColumn("_min_sz", F.min("p_size").over(w_price))
+            .withColumn("_min_pr", F.min("p_retailprice").over(w_size))
+            .filter(
+                (F.col("_min_sz") >= F.col("p_size"))
+                & (F.col("_min_pr") >= F.col("p_retailprice"))
+            )
+            .drop("_min_sz", "_min_pr")
+        )
+
+    econ = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )
+    local = _prune(
+        econ.withColumn("_b", F.pmod(F.xxhash64("p_partkey"), F.lit(32))), "_b"
+    )
+    return _prune(local.drop("_b"))
+
+
+@query(
+    "sql_scalar_udf_suite",
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN o_totalprice >= 250000 THEN 'high'
+                    WHEN o_totalprice >= 100000 THEN 'mid'
+                    ELSE 'low' END AS tier,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT concat('tier_', tier) AS tier_label, n_orders,
+           CAST((200 * n_orders + sum(n_orders) OVER ())
+                // (2 * sum(n_orders) OVER ()) AS BIGINT) AS pct_share
+    FROM g
+    """,
+)
+def sql_scalar_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDFs (Spark 4 `CREATE FUNCTION ... RETURN expr`) —
+    the reference's per-row helper functions (llm_utils.py score/clean
+    helpers; app.py:65-87 field normalizers) as DECLARATIVE functions
+    Catalyst inlines into the caller's plan, not Python.
+
+    Three functions exercise the surface: a CASE classifier, an
+    integer half-up percent (DIV — no float division crosses the
+    engines), and a nested call (tier_label calls order_tier),
+    proving UDF-in-UDF inlining. The graded plan is the same
+    scan→agg→window it would be with the expressions written inline:
+    zero `BatchEvalPython`, full whole-stage codegen
+    (tests/test_plans.py gates this). That is the 100 TB contract:
+    a shared function library with NO per-row interpreter cost —
+    unlike Python UDFs, these survive predicate pushdown and codegen.
+    """
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION order_tier(price DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN price >= 250000 THEN 'high'
+                    WHEN price >= 100000 THEN 'mid'
+                    ELSE 'low' END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION pct_of(part BIGINT, total BIGINT)
+        RETURNS BIGINT
+        RETURN CAST((200 * part + total) DIV (2 * total) AS BIGINT)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION tier_label(price DOUBLE)
+        RETURNS STRING
+        RETURN concat('tier_', order_tier(price))
+        """
+    )
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_udf_orders")
+    return spark.sql(
+        """
+        WITH g AS (
+            SELECT tier_label(o_totalprice) AS tier_label,
+                   count(*) AS n_orders
+            FROM _udf_orders GROUP BY 1
+        )
+        SELECT tier_label, n_orders,
+               pct_of(n_orders, sum(n_orders) OVER ()) AS pct_share
+        FROM g
+        """
+    )

@@ -1870,3 +1870,60 @@ def text_stopword_punct_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n_punct * 10000 DIV n_chars_raw AS BIGINT)").alias("punct_bp"),
         F.expr("CAST(n_digit * 10000 DIV n_chars_raw AS BIGINT)").alias("digit_bp"),
     )
+
+
+@query(
+    "collation_utf8_lcase_suite",
+    oracle="""
+    WITH mixed AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN upper(lang)
+                    WHEN doc_id % 3 = 1 THEN
+                         concat(upper(substr(lang, 1, 1)), substr(lang, 2))
+                    ELSE lang END AS mc
+        FROM documents
+    )
+    SELECT lower(mc) AS lang_ci,
+           count(*) AS n_docs,
+           count(DISTINCT mc) AS n_case_variants
+    FROM mixed
+    GROUP BY lower(mc)
+    """,
+)
+def collation_utf8_lcase_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 string collations
+    (`collate(col, 'UTF8_LCASE')`) — the engine-level answer to the
+    reference's ad-hoc `.lower()` normalizations (app.py field
+    cleanup): comparison semantics move into the TYPE, so grouping,
+    equality, and joins are case-insensitive without rewriting every
+    expression, and the plan is still one
+    exchange on the collated key (Spark picks a SortAggregate because
+    the collation redefines equality; the shuffle count is unchanged).
+
+    Mixed-case inputs are synthesized deterministically (doc_id % 3
+    picks UPPER / Initcap / lower of ``lang``), the group key is the
+    collated column, and `n_case_variants` counts BINARY-distinct
+    spellings inside each case-insensitive group — >1 proves the
+    collation actually merged raw-distinct values. The displayed key
+    is `lower(min(mc))`: identical for every member of a group on
+    this ASCII corpus, so the output is deterministic even though the
+    collated group's representative is not. Oracle: the lower()-
+    normalized rewrite — same groups, same counts, by construction.
+    """
+    docs = load(spark, sf_dir, "documents")
+    mixed = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.upper("lang"))
+        .when(F.col("doc_id") % 3 == 1, F.initcap("lang"))
+        .otherwise(F.col("lang"))
+        .alias("mc"),
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("mc"), "UTF8_LCASE").alias("_k"))
+        .agg(
+            F.lower(F.min("mc")).alias("lang_ci"),
+            F.count("*").alias("n_docs"),
+            F.countDistinct("mc").alias("n_case_variants"),
+        )
+        .select("lang_ci", "n_docs", "n_case_variants")
+    )

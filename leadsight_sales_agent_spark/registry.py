@@ -151,7 +151,9 @@ _PANEL_50 = [
 # text_stopword_punct_ratio, tpcds_q51_cumulative_compare,
 # tpcds_q88_time_band_counts, join_asof_forward_tolerance,
 # attribution_first_touch_session, agg_percentile_disc_prices,
-# merge_full_with_deletes.
+# merge_full_with_deletes, plus the session-2 wave:
+# skyline_parts_pareto, sql_scalar_udf_suite, collation_utf8_lcase_suite,
+# cogroup_reconcile_orders_events.
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
 # pipelines (mock-transport enrich, streaming micro-batch runs) go last:

@@ -602,3 +602,39 @@ class TestR5Wave3:
     def test_attribution_reuses_user_partitioning(self, spark, sf_dir):
         plan = plan_of(spark, sf_dir, "attribution_first_touch_session")
         assert "CartesianProduct" not in plan
+
+
+class TestR5Session2Plans:
+    def test_sql_udf_fully_inlined_no_python(self, spark, sf_dir):
+        # the SQL scalar UDFs must vanish into Catalyst expressions:
+        # no Python eval node, no UDF call survives optimization
+        df = registry.QUERIES["sql_scalar_udf_suite"](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        opt = optimized_logical_plan(df)
+        assert "order_tier" not in opt and "pct_of" not in opt  # inlined away
+        assert "CASE WHEN" in opt
+
+    def test_skyline_phase1_windows_are_bucket_partitioned(self, spark, sf_dir):
+        # phase 1 must not be a global sort: its windows carry the
+        # bucket key; only phase 2 (over the pruned survivors) may run
+        # a single-partition window
+        df = registry.QUERIES["skyline_parts_pareto"](spark, sf_dir)
+        plan = simple_plan(df)
+        wins = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+        assert wins
+        bucketed = [l for l in wins if "_b" in l]
+        assert len(bucketed) >= 2  # both phase-1 window tests stay bucketed
+
+    def test_cogroup_is_arrow_cogrouped_map(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "cogroup_reconcile_orders_events")
+        assert "FlatMapCoGroupsInPandas" in plan
+
+    def test_collation_groups_with_one_exchange_no_python(self, spark, sf_dir):
+        # collation changes the equality function, so Spark picks
+        # SortAggregate over the collated key — but it is still ONE
+        # exchange on the key and zero Python nodes
+        plan = plan_of(spark, sf_dir, "collation_utf8_lcase_suite")
+        assert "SortAggregate" in plan or "HashAggregate" in plan
+        assert plan.count("Exchange") >= 1 and "EvalPython" not in plan

@@ -113,3 +113,81 @@ class TestPercentileDisc:
             assert r["p50_disc"] == vals[(n + 1) // 2 - 1]
             assert r["p75_disc"] == vals[(3 * n + 3) // 4 - 1]
             assert r["p25_disc"] <= r["p50_disc"] <= r["p75_disc"]
+
+
+class TestSkyline:
+    def test_matches_bruteforce_dominance(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        econ = [
+            (r["p_partkey"], r["p_retailprice"], r["p_size"])
+            for r in load(spark, sf_dir, "part")
+            .filter("p_type = 'ECONOMY'")
+            .collect()
+        ]
+        # independent quadratic reference, strict Pareto dominance
+        expected = {
+            k
+            for k, pr, sz in econ
+            if not any(
+                (pr2 <= pr and sz2 <= sz and (pr2 < pr or sz2 < sz))
+                for _, pr2, sz2 in econ
+            )
+        }
+        got = {
+            r["p_partkey"]
+            for r in registry.QUERIES["skyline_parts_pareto"](spark, sf_dir).collect()
+        }
+        assert got == expected and got
+
+    def test_frontier_is_antichain(self, spark, sf_dir):
+        rows = registry.QUERIES["skyline_parts_pareto"](spark, sf_dir).collect()
+        pts = [(r["p_retailprice"], r["p_size"]) for r in rows]
+        for i, (pr, sz) in enumerate(pts):
+            for j, (pr2, sz2) in enumerate(pts):
+                if i != j:
+                    assert not (pr2 <= pr and sz2 <= sz and (pr2 < pr or sz2 < sz))
+
+
+class TestSqlScalarUdf:
+    def test_shares_sum_to_about_100(self, spark, sf_dir):
+        rows = registry.QUERIES["sql_scalar_udf_suite"](spark, sf_dir).collect()
+        assert {r["tier_label"] for r in rows} <= {"tier_low", "tier_mid", "tier_high"}
+        total_pct = sum(r["pct_share"] for r in rows)
+        # half-up integer percents: off-by-rounding only
+        assert abs(total_pct - 100) <= len(rows)
+
+
+class TestCollation:
+    def test_collation_merges_binary_distinct_spellings(self, spark, sf_dir):
+        rows = registry.QUERIES["collation_utf8_lcase_suite"](spark, sf_dir).collect()
+        assert rows
+        # every displayed key is lowercase; at least one group actually
+        # merged multiple raw spellings (the synthesized mixed case)
+        assert all(r["lang_ci"] == r["lang_ci"].lower() for r in rows)
+        assert max(r["n_case_variants"] for r in rows) > 1
+
+
+class TestCogroupReconcile:
+    def test_spot_check_against_direct_aggregates(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        out = {
+            r["customer_id"]: r
+            for r in registry.QUERIES["cogroup_reconcile_orders_events"](
+                spark, sf_dir
+            ).collect()
+        }
+        orders = (
+            load(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        assert orders
+        for r in orders[:20]:
+            assert out[r["o_custkey"]]["n_orders"] == r["n"]
+        for r in out.values():
+            assert r["gap_micro"] == r["order_micro"] - r["event_micro"]
