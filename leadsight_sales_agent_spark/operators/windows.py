@@ -1227,3 +1227,135 @@ def datetime_timezone_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tz", "local_hour")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-2: classic financial time-series rollups (the kdb/
+# TimescaleDB staples a pricing warehouse runs hourly).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ohlc_monthly_orders",
+    oracle="""
+    WITH r AS (
+        SELECT date_trunc('month', o_orderdate) AS month, o_totalprice AS price,
+               row_number() OVER (PARTITION BY date_trunc('month', o_orderdate)
+                                  ORDER BY o_orderdate, o_orderkey) AS rn_a,
+               row_number() OVER (PARTITION BY date_trunc('month', o_orderdate)
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+        FROM orders
+    )
+    SELECT strftime(month, '%Y-%m') AS month,
+           max(CASE WHEN rn_a = 1 THEN price END) AS open,
+           max(price) AS high,
+           min(price) AS low,
+           max(CASE WHEN rn_d = 1 THEN price END) AS close,
+           count(*) AS volume,
+           CAST(round(sum(CAST(price AS DECIMAL(25,6))), 2) AS DOUBLE) AS turnover
+    FROM r GROUP BY month
+    """,
+)
+def ohlc_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick rollup: per month, the opening price (first
+    order by (date, orderkey) — the unique tiebreak that makes the
+    pick gradable), high, low, closing price (last by the same total
+    order), volume, and exact-decimal turnover. The candlestick is THE
+    downsampling operator of every market/pricing time series.
+
+    Spark side uses `min_by`/`max_by` over a struct sort key — single
+    hash aggregate, one shuffle on the month, no window pass at all
+    (the oracle's two row_number windows are the spec, not the plan).
+    At 100 TB this is partial-aggregatable: min_by/max_by partials
+    merge associatively, so the candle builds map-side like any
+    sum/count. high/low/open/close are raw untouched doubles —
+    identical parquet bits in both engines; only turnover aggregates,
+    through the decimal-exact dsum device.
+    """
+    o = load(spark, sf_dir, "orders")
+    key = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    return (
+        o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(
+            F.min_by("o_totalprice", key).alias("open"),
+            F.max("o_totalprice").alias("high"),
+            F.min("o_totalprice").alias("low"),
+            F.max_by("o_totalprice", key).alias("close"),
+            F.count("*").alias("volume"),
+            dsum(F.col("o_totalprice")).alias("turnover"),
+        )
+    )
+
+
+@query(
+    "twap_purchase_value_per_user",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), seg AS (
+        SELECT user_id, cents,
+               (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                - us) // 1000 AS dur_ms
+        FROM p
+    ), agg AS (
+        SELECT user_id,
+               count(*) AS n_segments,
+               CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+               CAST(sum(cents * dur_ms) AS BIGINT) AS w
+        FROM seg WHERE dur_ms IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_segments, total_ms,
+           CAST((2 * w + total_ms) // (2 * total_ms) AS BIGINT) AS twap_cents
+    FROM agg WHERE total_ms > 0
+    """,
+)
+def twap_purchase_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average purchase value per user (TimescaleDB
+    `time_weight`, kdb `twap`): each purchase's value holds until the
+    user's next purchase, and the average weighs by that holding
+    duration — the unbiased summary of an irregularly-sampled
+    piecewise-constant signal, where a plain AVG over-counts burst
+    periods.
+
+    Exactness contract: value → exact cents (decimal(25,2) cast, the
+    repo's money device), durations → whole milliseconds by integer
+    division of the microsecond gap (the SPEC truncates sub-ms gaps to
+    weight zero), weighted sum ≤ 49k cents × ~2.6e9 ms ≈ 1.3e14 —
+    everything BIGINT, and the final mean is the half-up integer
+    division formula ((2W+D) DIV 2D), so NO float or decimal division
+    crosses the engine boundary anywhere. One window (lead over the
+    user partition) + one hash aggregate = one shuffle on user_id at
+    any scale; users with a single purchase (no held interval) drop
+    out by spec.
+    """
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            (F.col("value").cast("decimal(25,2)") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seg = (
+        p.withColumn("next_us", F.lead("us").over(w))
+        .filter(F.col("next_us").isNotNull())
+        .withColumn("dur_ms", F.expr("(next_us - us) DIV 1000"))
+    )
+    agg = seg.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum("dur_ms").alias("total_ms"),
+        F.sum(F.col("cents") * F.col("dur_ms")).alias("w"),
+    )
+    return agg.filter(F.col("total_ms") > 0).select(
+        "user_id",
+        "n_segments",
+        "total_ms",
+        F.expr("CAST((2 * w + total_ms) DIV (2 * total_ms) AS BIGINT)").alias(
+            "twap_cents"
+        ),
+    )

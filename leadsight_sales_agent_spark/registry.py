@@ -153,7 +153,8 @@ _PANEL_50 = [
 # attribution_first_touch_session, agg_percentile_disc_prices,
 # merge_full_with_deletes, plus the session-2 wave:
 # skyline_parts_pareto, sql_scalar_udf_suite, collation_utf8_lcase_suite,
-# cogroup_reconcile_orders_events.
+# cogroup_reconcile_orders_events, ohlc_monthly_orders,
+# twap_purchase_value_per_user.
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
 # pipelines (mock-transport enrich, streaming micro-batch runs) go last:

@@ -638,3 +638,16 @@ class TestR5Session2Plans:
         plan = plan_of(spark, sf_dir, "collation_utf8_lcase_suite")
         assert "SortAggregate" in plan or "HashAggregate" in plan
         assert plan.count("Exchange") >= 1 and "EvalPython" not in plan
+
+    def test_ohlc_is_single_aggregate_no_window(self, spark, sf_dir):
+        # the candle must build via partial-mergeable min_by/max_by,
+        # NOT the oracle's row_number windows
+        plan = plan_of(spark, sf_dir, "ohlc_monthly_orders")
+        assert "Window" not in plan
+        assert "HashAggregate" in plan or "SortAggregate" in plan
+
+    def test_twap_one_user_shuffle(self, spark, sf_dir):
+        df = registry.QUERIES["twap_purchase_value_per_user"](spark, sf_dir)
+        plan = simple_plan(df)
+        wins = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+        assert wins and all("user_id" in l for l in wins)

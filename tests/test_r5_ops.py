@@ -191,3 +191,42 @@ class TestCogroupReconcile:
             assert out[r["o_custkey"]]["n_orders"] == r["n"]
         for r in out.values():
             assert r["gap_micro"] == r["order_micro"] - r["event_micro"]
+
+
+class TestOhlc:
+    def test_candles_are_internally_consistent(self, spark, sf_dir):
+        rows = registry.QUERIES["ohlc_monthly_orders"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["low"] <= r["open"] <= r["high"]
+            assert r["low"] <= r["close"] <= r["high"]
+            assert r["volume"] >= 1
+            if r["volume"] == 1:
+                assert r["open"] == r["close"] == r["high"] == r["low"]
+
+
+class TestTwap:
+    def test_twap_between_min_and_max_value(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        out = registry.QUERIES["twap_purchase_value_per_user"](spark, sf_dir).collect()
+        assert out
+        bounds = {
+            r["user_id"]: r
+            for r in load(spark, sf_dir, "events")
+            .filter("event_type = 'purchase'")
+            .groupBy("user_id")
+            .agg(
+                F.min((F.col("value").cast("decimal(25,2)") * 100).cast("long")).alias("lo"),
+                F.max((F.col("value").cast("decimal(25,2)") * 100).cast("long")).alias("hi"),
+            )
+            .collect()
+        }
+        for r in out:
+            b = bounds[r["user_id"]]
+            # the held (non-last) values bound the weighted mean; the
+            # excluded last value can only widen the global min/max
+            assert b["lo"] - 1 <= r["twap_cents"] <= b["hi"] + 1
+            assert r["total_ms"] > 0 and r["n_segments"] >= 1
