@@ -1085,3 +1085,130 @@ def cogroup_reconcile_orders_events(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_event,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_event
+        FROM events
+    ), t AS (
+        SELECT from_event, to_event, count(*) AS n_transitions
+        FROM seq WHERE to_event IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_event, to_event, n_transitions,
+           CAST((2 * 10000 * n_transitions
+                 + sum(n_transitions) OVER (PARTITION BY from_event))
+                // (2 * sum(n_transitions) OVER (PARTITION BY from_event))
+                AS BIGINT) AS p_bp
+    FROM t
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the user journey: for
+    every consecutive event pair within a user's timeline (total order
+    (ts, event_id) — gradable under timestamp ties), the transition
+    count and the row-conditional probability P(to | from) in half-up
+    integer basis points. This is the user-flow / funnel-discovery
+    matrix product analytics builds before any sequence model — and
+    the bigram-transition analogue of text_top_bigrams on the event
+    alphabet.
+
+    One lead() window per user partition (single shuffle on user_id),
+    then a 25-cell aggregate; the basis-point division is the integer
+    half-up device, so no float crosses the engine boundary. 100 TB:
+    the window partitions by user (bounded groups), the matrix is
+    |alphabet|^2 rows — driver-safe by construction.
+    """
+    seq = (
+        load(spark, sf_dir, "events")
+        .withColumn(
+            "to_event",
+            F.lead("event_type").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("to_event").isNotNull())
+        .select(F.col("event_type").alias("from_event"), "to_event")
+    )
+    t = seq.groupBy("from_event", "to_event").agg(F.count("*").alias("n_transitions"))
+    row_total = F.sum("n_transitions").over(Window.partitionBy("from_event"))
+    return t.select(
+        "from_event",
+        "to_event",
+        "n_transitions",
+        F.expr(
+            "CAST((2 * 10000 * n_transitions + sum(n_transitions)"
+            " OVER (PARTITION BY from_event))"
+            " DIV (2 * sum(n_transitions) OVER (PARTITION BY from_event))"
+            " AS BIGINT)"
+        ).alias("p_bp"),
+    )
+
+
+@query(
+    "forecast_seasonal_naive_backtest",
+    oracle="""
+    WITH m AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS actual_cents
+        FROM orders GROUP BY 1
+    ), f AS (
+        SELECT month, actual_cents,
+               lag(actual_cents, 12) OVER (ORDER BY month) AS forecast_cents
+        FROM m
+    )
+    SELECT month, actual_cents, forecast_cents,
+           abs(actual_cents - forecast_cents) AS abs_err_cents,
+           CAST((2 * 10000 * abs(actual_cents - forecast_cents) + actual_cents)
+                // (2 * actual_cents) AS BIGINT) AS ape_bp
+    FROM f WHERE forecast_cents IS NOT NULL
+    """,
+)
+def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each month's revenue
+    as the SAME month one year earlier (lag 12 over the monthly
+    series) and score the absolute percentage error in half-up basis
+    points — the baseline every revenue-forecasting model must beat,
+    and the standard yardstick (a MAPE denominator) in forecast
+    evaluation. Exactness: monthly revenue in integer cents (decimal
+    cast before summing), errors and APE all integer arithmetic.
+
+    Plan: the fact table aggregates to ~80 month rows FIRST (one
+    shuffle, partial-aggregated map-side); the lag-12 window runs over
+    that pre-aggregated series — the same months-grid-not-facts rule
+    as tpcds_q51. The unpartitioned window is a deliberate single
+    task over double-digit rows, not a scale hazard.
+    """
+    m = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long")
+            ).alias("actual_cents")
+        )
+    )
+    f = m.withColumn(
+        "forecast_cents",
+        F.lag("actual_cents", 12).over(Window.orderBy("month")),
+    ).filter(F.col("forecast_cents").isNotNull())
+    return f.select(
+        "month",
+        "actual_cents",
+        "forecast_cents",
+        F.abs(F.col("actual_cents") - F.col("forecast_cents")).alias("abs_err_cents"),
+        F.expr(
+            "CAST((2 * 10000 * abs(actual_cents - forecast_cents) + actual_cents)"
+            " DIV (2 * actual_cents) AS BIGINT)"
+        ).alias("ape_bp"),
+    )

@@ -3115,3 +3115,72 @@ def sql_scalar_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g
         """
     )
+
+
+@query(
+    "incremental_join_maintenance",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           count(*) AS n_orders,
+           CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(25,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN: the delta-join identity
+
+        Δ(O ⋈ C) = ΔO ⋈ C_old  ∪  O_old ⋈ ΔC  ∪  ΔO ⋈ ΔC
+
+    applied to the per-nation revenue rollup of orders ⋈ customer.
+    The base split is deterministic (orders with orderkey % 10 == 0
+    and customers with custkey % 7 == 0 are 'tonight's changes'); the
+    stored view state is the OLD ⋈ OLD partial aggregate, and the
+    three delta terms — each with at least one SMALL side, so each
+    joins broadcast — produce the delta partials that merge into the
+    new state by integer addition (counts + exact cents). The oracle
+    is the full recompute over the full tables, so the hash match
+    PROVES the delta algebra loses and double-counts nothing — the
+    companion to incremental_agg_maintenance, which proves the same
+    for aggregation-only views.
+
+    100 TB: the nightly cost is |ΔO|·|C| and |O|·|ΔC| join work with
+    the delta sides broadcast, versus the full |O|·|C| shuffle join —
+    the classic reason warehouses maintain, not recompute. The big
+    O_old ⋈ ΔC term never shuffles O_old: ΔC broadcasts.
+    """
+    cents = (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o_old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    o_new = orders.filter(F.col("o_orderkey") % 10 == 0)
+    c_old = cust.filter(F.col("c_custkey") % 7 != 0)
+    c_new = cust.filter(F.col("c_custkey") % 7 == 0)
+
+    def partials(o: DataFrame, c: DataFrame, broadcast_c: bool) -> DataFrame:
+        side = F.broadcast(c) if broadcast_c else c
+        return (
+            o.join(side, o.o_custkey == side.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n"), F.sum("cents").alias("r"))
+        )
+
+    state = partials(o_old, c_old, broadcast_c=False)  # the stored view
+    delta = (
+        partials(F.broadcast(o_new), c_old, broadcast_c=False)
+        .unionAll(partials(o_old, c_new, broadcast_c=True))
+        .unionAll(partials(o_new, c_new, broadcast_c=True))
+    )
+    return (
+        state.unionAll(delta)
+        .groupBy("c_nationkey")
+        .agg(F.sum("n").alias("n_orders"), F.sum("r").alias("revenue_cents"))
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            "n_orders",
+            F.col("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+    )

@@ -893,3 +893,119 @@ def embedding_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mm_vec"),
     )
     return assembled
+
+
+RRF_K = 60  # the standard fusion constant (Cormack et al., SIGIR'09)
+RRF_SHORTLIST = 50  # per-ranking shortlist depth contributing to fusion
+RRF_TOP = 10  # fused results returned per query
+N_RRF_QUERIES = 5
+
+
+@query(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < {N_RRF_QUERIES}
+    ), c AS (
+        SELECT vec_id AS doc_id, embedding AS ce FROM embeddings
+    ), scored AS (
+        SELECT q.query_id, c.doc_id,
+               list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(c.ce AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.ce AS DOUBLE[]), CAST(c.ce AS DOUBLE[])))) AS cos,
+               list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
+               + list_dot_product(CAST(c.ce AS DOUBLE[]), CAST(c.ce AS DOUBLE[]))
+               - 2 * list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(c.ce AS DOUBLE[])) AS dist2
+        FROM q CROSS JOIN c
+        WHERE q.query_id <> c.doc_id
+    ), ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, doc_id ASC) AS rank_cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist2 ASC, doc_id ASC) AS rank_l2
+        FROM scored
+    ), fused AS (
+        SELECT query_id, doc_id, rank_cos, rank_l2,
+               CAST(CASE WHEN rank_cos <= {RRF_SHORTLIST}
+                         THEN 1000000 // ({RRF_K} + rank_cos) ELSE 0 END
+                  + CASE WHEN rank_l2 <= {RRF_SHORTLIST}
+                         THEN 1000000 // ({RRF_K} + rank_l2) ELSE 0 END
+                  AS BIGINT) AS rrf_micro
+        FROM ranked
+        WHERE rank_cos <= {RRF_SHORTLIST} OR rank_l2 <= {RRF_SHORTLIST}
+    )
+    SELECT query_id, doc_id, rank_cos, rank_l2, rrf_micro, rn AS fused_rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_micro DESC, doc_id ASC) AS rn
+        FROM fused
+    ) t WHERE rn <= {RRF_TOP}
+    """,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings (Cormack et
+    al.: score = Σ 1/(k + rank)) — the standard hybrid-search combiner
+    for lexical + vector shortlists, here fusing a cosine ranking with
+    a Euclidean ranking of the same corpus. Fusion uses only RANKS, so
+    the notoriously un-mixable raw scores never meet; contributions in
+    integer micro-units (10^6 DIV (60 + rank)), so the fused order and
+    the graded output are float-free.
+
+    Exactness: cosine reuses the proven dot/norm device; the L2 term
+    is composed from the SAME dot products (|a|² + |b|² − 2a·b —
+    identical doubles in both engines, no new fold primitive), and
+    every downstream step is integer. Ties break on doc_id at every
+    ranking stage, so all three row_numbers are total orders.
+
+    Scale: the exact full-corpus ranking is the ANCHOR form; in
+    production the two shortlists come from the ANN paths
+    (knn_cosine_lsh / knn_cosine_ivf) and this same fuse-over-union
+    plan runs on their output — rankings contribute only inside the
+    top-{RRF_SHORTLIST}, exactly as fused here. Queries broadcast; the
+    corpus never moves; top-k per query is a WindowGroupLimit.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_RRF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        dot(F.col("embedding"), F.col("embedding")).alias("qq"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("ce"),
+        dot(F.col("embedding"), F.col("embedding")).alias("cc"),
+    )
+    qc = dot(F.col("qe"), F.col("ce"))
+    pairs = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .withColumn("cos", qc / (F.sqrt(F.col("qq")) * F.sqrt(F.col("cc"))))
+        .withColumn("dist2", F.col("qq") + F.col("cc") - 2 * qc)
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    w_l2 = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("doc_id"))
+    contrib = (
+        f"CAST(CASE WHEN rank_cos <= {RRF_SHORTLIST}"
+        f" THEN 1000000 DIV ({RRF_K} + rank_cos) ELSE 0 END"
+        f" + CASE WHEN rank_l2 <= {RRF_SHORTLIST}"
+        f" THEN 1000000 DIV ({RRF_K} + rank_l2) ELSE 0 END AS BIGINT)"
+    )
+    fused = (
+        pairs.withColumn("rank_cos", F.row_number().over(w_cos))
+        .withColumn("rank_l2", F.row_number().over(w_l2))
+        .filter(
+            (F.col("rank_cos") <= RRF_SHORTLIST) | (F.col("rank_l2") <= RRF_SHORTLIST)
+        )
+        .withColumn("rrf_micro", F.expr(contrib))
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= RRF_TOP)
+        .select(
+            "query_id", "doc_id", "rank_cos", "rank_l2", "rrf_micro", "fused_rank"
+        )
+    )

@@ -154,7 +154,9 @@ _PANEL_50 = [
 # merge_full_with_deletes, plus the session-2 wave:
 # skyline_parts_pareto, sql_scalar_udf_suite, collation_utf8_lcase_suite,
 # cogroup_reconcile_orders_events, ohlc_monthly_orders,
-# twap_purchase_value_per_user.
+# twap_purchase_value_per_user, markov_event_transitions,
+# forecast_seasonal_naive_backtest, incremental_join_maintenance,
+# retrieval_rrf_fusion.
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
 # pipelines (mock-transport enrich, streaming micro-batch runs) go last:

@@ -230,3 +230,64 @@ class TestTwap:
             # excluded last value can only widen the global min/max
             assert b["lo"] - 1 <= r["twap_cents"] <= b["hi"] + 1
             assert r["total_ms"] > 0 and r["n_segments"] >= 1
+
+
+class TestMarkov:
+    def test_rows_sum_to_about_10000_bp(self, spark, sf_dir):
+        rows = registry.QUERIES["markov_event_transitions"](spark, sf_dir).collect()
+        assert rows
+        by_from = {}
+        for r in rows:
+            by_from.setdefault(r["from_event"], []).append(r)
+        for fr, rs in by_from.items():
+            total_bp = sum(r["p_bp"] for r in rs)
+            assert abs(total_bp - 10000) <= len(rs)  # half-up rounding slack
+            assert all(r["n_transitions"] > 0 for r in rs)
+
+
+class TestSeasonalNaive:
+    def test_forecast_is_lag12_actual(self, spark, sf_dir):
+        rows = registry.QUERIES["forecast_seasonal_naive_backtest"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        actual = {r["month"]: r["actual_cents"] for r in rows}
+        for r in rows:
+            y, m = map(int, r["month"].split("-"))
+            prior = f"{y - 1:04d}-{m:02d}"
+            if prior in actual:
+                assert r["forecast_cents"] == actual[prior]
+            assert r["abs_err_cents"] == abs(r["actual_cents"] - r["forecast_cents"])
+
+
+class TestJoinIvm:
+    def test_delta_terms_partition_the_full_join(self, spark, sf_dir):
+        # every (order, customer) matched pair lands in exactly one of
+        # the four old/new terms — spot-check via total count conservation
+        from pyspark.sql import functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        out = registry.QUERIES["incremental_join_maintenance"](spark, sf_dir).collect()
+        n_total = sum(r["n_orders"] for r in out)
+        o = load(spark, sf_dir, "orders")
+        c = load(spark, sf_dir, "customer")
+        direct = o.join(c, o.o_custkey == c.c_custkey).count()
+        assert n_total == direct
+
+
+class TestRrfFusion:
+    def test_fused_rank_consistent_and_bounded(self, spark, sf_dir):
+        rows = registry.QUERIES["retrieval_rrf_fusion"](spark, sf_dir).collect()
+        assert rows
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r["fused_rank"])
+            scores = [r["rrf_micro"] for r in rs]
+            assert scores == sorted(scores, reverse=True)
+            for r in rs:
+                # contribution bound: two lists, best rank 1 each
+                assert 0 < r["rrf_micro"] <= 2 * (10**6 // 61)
+                assert r["rank_cos"] >= 1 and r["rank_l2"] >= 1
