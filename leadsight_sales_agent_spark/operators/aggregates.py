@@ -1888,3 +1888,87 @@ def agg_percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("(n + 1) DIV 2", "p50_disc"),
         pick("(3 * n + 3) DIV 4", "p75_disc"),
     )
+
+
+MG_K = 128  # counter budget per partition summary
+MG_TOP = 25  # fused candidates returned
+
+
+def _mg_skewed_keys(df: DataFrame) -> DataFrame:
+    """The Misra-Gries demo stream: lineitem part references with a
+    deterministic skew injection (every third order's reference folds
+    onto 20 hot keys) so true heavy hitters exist to find — the same
+    synthesize-the-regime device as the null/sort suites."""
+    return df.select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.col("l_partkey") % 20)
+        .otherwise(F.col("l_partkey"))
+        .alias("k")
+    )
+
+
+def misra_gries_partials(df: DataFrame, k: int = MG_K) -> DataFrame:
+    """Per-partition Misra-Gries(k) summaries over column ``k`` via
+    ``mapInPandas`` — batch-vectorized: each Arrow batch pre-aggregates
+    with value_counts (exact), then merges into the running summary
+    with the mergeable-summaries reduction (Agarwal et al., PODS'12):
+    sum counters, and past k keys subtract the (k+1)-th largest and
+    drop non-positives. Errors telescope: the subtracted mass per
+    partition is <= n_p/(k+1), so after the LOSSLESS global key-sum
+    (no further reduction — at most 32*k candidate rows), every
+    counter is a lower bound with total error <= n/(k+1)."""
+
+    def summarize(batches):
+        import pandas as pd  # noqa: PLC0415 — runs on executors
+
+        summary: dict = {}
+        for pdf in batches:
+            for key, cnt in pdf["k"].value_counts().items():
+                summary[key] = summary.get(key, 0) + int(cnt)
+            if len(summary) > k:
+                cut = sorted(summary.values(), reverse=True)[k]
+                summary = {
+                    key: c - cut for key, c in summary.items() if c - cut > 0
+                }
+        yield pd.DataFrame(
+            {"k": list(summary.keys()), "lb": list(summary.values())}
+        )
+
+    return df.mapInPandas(summarize, schema="k long, lb long")
+
+
+@query("sketch_misra_gries_heavy_hitters")  # summary content is
+# partition-layout-dependent -> rows-only; guarantees pinned in tests
+def sketch_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-merge heavy hitters via Misra-Gries — the
+    guarantee-bearing counter summary next to the estimate-bearing
+    Count-Min (sketch_countmin_heavy_hitters): counters are LOWER
+    bounds (never overestimates, where CMS never underestimates),
+    total error <= n/(k+1), and any key with true share above
+    1/(k+1) is guaranteed to survive. State is k counters per
+    partition — no hashing, no randomness.
+
+    Plan: mapInPandas builds one MG(128) summary per input split
+    (map-side, batch-vectorized, no shuffle), the global merge is a
+    key-sum over <= partitions*k tiny rows, and the result joins true
+    counts back for the guaranteed_heavy flag demo. Rows-only by
+    design: the surviving counter VALUES depend on the partition
+    layout (any layout satisfies the same bounds — pinned in
+    tests/test_r5_ops.py); the candidate top-{MG_TOP} is graded for
+    stable shape, not hashable content.
+    """
+    keys = _mg_skewed_keys(load(spark, sf_dir, "lineitem"))
+    n_total = keys.count()
+    merged = (
+        misra_gries_partials(keys)
+        .groupBy("k")
+        .agg(F.sum("lb").alias("lb_count"))
+    )
+    threshold = n_total // (MG_K + 1)
+    return (
+        merged.withColumn(
+            "guaranteed_heavy", F.col("lb_count") > F.lit(threshold)
+        )
+        .orderBy(F.desc("lb_count"), F.asc("k"))
+        .limit(MG_TOP)
+        .select(F.col("k").alias("key"), "lb_count", "guaranteed_heavy")
+    )

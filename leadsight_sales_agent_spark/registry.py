@@ -156,7 +156,7 @@ _PANEL_50 = [
 # cogroup_reconcile_orders_events, ohlc_monthly_orders,
 # twap_purchase_value_per_user, markov_event_transitions,
 # forecast_seasonal_naive_backtest, incremental_join_maintenance,
-# retrieval_rrf_fusion.
+# retrieval_rrf_fusion (sketch_misra_gries_heavy_hitters is rows-only).
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
 # pipelines (mock-transport enrich, streaming micro-batch runs) go last:
@@ -167,6 +167,7 @@ _ROWS_ONLY_COST_ORDER = [
     "agg_approx_percentiles",
     "embedding_quantize_int8",
     "sketch_hll_mergeable",
+    "sketch_misra_gries_heavy_hitters",
     "neardup_simhash",
     "kmeans_train_embeddings",  # 3 Lloyd iterations ≈ 5 s — after the one-pass sketches
     "embedding_pq_quantize",  # iterative PQ trainer (per-iteration collect jobs)

@@ -291,3 +291,54 @@ class TestRrfFusion:
                 # contribution bound: two lists, best rank 1 each
                 assert 0 < r["rrf_micro"] <= 2 * (10**6 // 61)
                 assert r["rank_cos"] >= 1 and r["rank_l2"] >= 1
+
+
+class TestMisraGries:
+    def test_mg_guarantees_vs_exact_counts(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from leadsight_sales_agent_spark.operators.aggregates import (
+            MG_K,
+            _mg_skewed_keys,
+            misra_gries_partials,
+        )
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        keys = _mg_skewed_keys(load(spark, sf_dir, "lineitem"))
+        n = keys.count()
+        true = {r["k"]: r["c"] for r in keys.groupBy("k").agg(F.count("*").alias("c")).collect()}
+        merged = {
+            r["k"]: r["lb"]
+            for r in misra_gries_partials(keys)
+            .groupBy("k")
+            .agg(F.sum("lb").alias("lb"))
+            .collect()
+        }
+        err_bound = n // (MG_K + 1) + 1
+        for k, lb in merged.items():
+            assert lb <= true[k], "MG counter overestimates"
+            assert true[k] - lb <= err_bound, "MG error bound violated"
+        # coverage: every true heavy hitter above n/(k+1) must survive
+        heavy = {k for k, c in true.items() if c > n // (MG_K + 1)}
+        assert heavy, "test corpus has no heavy hitters — vacuous"
+        assert heavy <= set(merged), "a guaranteed-heavy key was evicted"
+
+    def test_query_shape_and_flag_soundness(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from leadsight_sales_agent_spark.operators.aggregates import (
+            MG_K,
+            _mg_skewed_keys,
+        )
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = registry.QUERIES["sketch_misra_gries_heavy_hitters"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        keys = _mg_skewed_keys(load(spark, sf_dir, "lineitem"))
+        n = keys.count()
+        true = {r["k"]: r["c"] for r in keys.groupBy("k").agg(F.count("*").alias("c")).collect()}
+        for r in rows:
+            if r["guaranteed_heavy"]:
+                assert true[r["key"]] > n // (MG_K + 1)
