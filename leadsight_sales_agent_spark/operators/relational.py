@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from leadsight_sales_agent_spark.functions.numeric import dsum, sql_dsum
+from leadsight_sales_agent_spark.functions.numeric import dsum, sql_dsum, sql_hex_to_long
 from leadsight_sales_agent_spark.registry import query
 from leadsight_sales_agent_spark.sources.catalog import load
 
@@ -3183,4 +3183,108 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             F.col("revenue_cents").cast("long").alias("revenue_cents"),
         )
+    )
+
+
+GRID_R = 15  # neighbor radius; also the grid cell width
+GRID_SPAN = 1000  # coordinate domain 0..999 per axis
+
+
+def _sql_xy(key_expr: str) -> tuple[str, str]:
+    """DuckDB fragments for the deterministic synthetic coordinates:
+    two independent md5 draws per key, reduced mod GRID_SPAN."""
+    x = sql_hex_to_long(f"substr(md5('sx' || CAST({key_expr} AS VARCHAR)), 1, 4)", 4)
+    y = sql_hex_to_long(f"substr(md5('sy' || CAST({key_expr} AS VARCHAR)), 1, 4)", 4)
+    return f"({x} % {GRID_SPAN})", f"({y} % {GRID_SPAN})"
+
+
+_SQL_X, _SQL_Y = _sql_xy("c_custkey")
+
+
+@query(
+    "spatial_grid_neighbor_join",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS id, {_SQL_X} AS x, {_SQL_Y} AS y FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {GRID_R * GRID_R}
+    """,
+)
+def spatial_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-threshold self-join on a 2-D point set via GRID
+    BUCKETING — the distributed spatial-join pattern (GeoSpark/Sedona
+    partition-and-prune): with cell width == the radius r, any
+    qualifying pair sits in the same or an adjacent cell, so each
+    point EXPLODES to its 3x3 neighbor-cell keys on one side, joins
+    the other side's home cell equi-key (ONE hash shuffle on the cell
+    id — never a cross join), and the exact integer distance filter
+    runs only inside the ~9-cell candidate set. The oracle is the
+    quadratic pair join; the engine plan is linear in points x local
+    density. Same bucket-join device as MinHash bands and the IVF
+    cells, on geometric keys.
+
+    Coordinates are synthesized deterministically from md5 draws per
+    custkey (the engines' shared hex-to-long device, mod 1000), so the
+    geometry is identical in both engines and all arithmetic —
+    coordinates, cells, squared distances — is pure BIGINT.
+
+    100 TB: explode factor is a constant 9; the shuffle key (cell id)
+    is dense and uniform under hashed coordinates; skewed REAL
+    geometries (urban hot cells) reuse the salted-join device on the
+    hot cells. Cell width must be >= r or neighbor coverage breaks —
+    guarded by construction here.
+    """
+    c = load(spark, sf_dir, "customer")
+    pts = (
+        c.select(F.col("c_custkey").alias("id"))
+        .withColumn(
+            "hx", F.substring(F.md5(F.concat(F.lit("sx"), F.col("id").cast("string"))), 1, 4)
+        )
+        .withColumn(
+            "hy", F.substring(F.md5(F.concat(F.lit("sy"), F.col("id").cast("string"))), 1, 4)
+        )
+        .withColumn("x", F.expr(sql_hex_to_long("hx", 4)) % GRID_SPAN)
+        .withColumn("y", F.expr(sql_hex_to_long("hy", 4)) % GRID_SPAN)
+        .select("id", "x", "y")
+    )
+    cell = lambda ax: (F.col(ax) / GRID_R).cast("long")  # noqa: E731
+    right = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        cell("x").alias("cxb"),
+        cell("y").alias("cyb"),
+    )
+    offsets = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    )
+    left = (
+        pts.select(
+            F.col("id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            cell("x").alias("cxa"),
+            cell("y").alias("cya"),
+        )
+        .withColumn("o", offsets)
+        .select(
+            "id_a", "xa", "ya",
+            (F.col("cxa") + F.col("o.dx")).alias("cx"),
+            (F.col("cya") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    dist2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        left.join(right, (F.col("cx") == F.col("cxb")) & (F.col("cy") == F.col("cyb")))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist2", dist2)
+        .filter(F.col("dist2") <= GRID_R * GRID_R)
+        .select("id_a", "id_b", "dist2")
     )

@@ -651,3 +651,9 @@ class TestR5Session2Plans:
         plan = simple_plan(df)
         wins = [l for l in plan.splitlines() if "windowspecdefinition" in l]
         assert wins and all("user_id" in l for l in wins)
+
+    def test_spatial_join_is_equi_hash_never_cartesian(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "spatial_grid_neighbor_join")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Join" in plan  # the cell-key equi join survives

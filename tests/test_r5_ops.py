@@ -342,3 +342,36 @@ class TestMisraGries:
         for r in rows:
             if r["guaranteed_heavy"]:
                 assert true[r["key"]] > n // (MG_K + 1)
+
+
+class TestSpatialGridJoin:
+    def test_matches_bruteforce_pairs(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.relational import (
+            GRID_R,
+            GRID_SPAN,
+        )
+
+        rows = registry.QUERIES["spatial_grid_neighbor_join"](spark, sf_dir).collect()
+        got = {(r["id_a"], r["id_b"]): r["dist2"] for r in rows}
+        # independent Python reference: same md5-derived geometry
+        import hashlib
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        ids = [r["c_custkey"] for r in load(spark, sf_dir, "customer").collect()]
+
+        def coord(prefix, k):
+            h = hashlib.md5(f"{prefix}{k}".encode()).hexdigest()[:4]
+            return int(h, 16) % GRID_SPAN
+
+        pts = {k: (coord("sx", k), coord("sy", k)) for k in ids}
+        expected = {}
+        ks = sorted(pts)
+        for i, a in enumerate(ks):
+            xa, ya = pts[a]
+            for b in ks[i + 1:]:
+                xb, yb = pts[b]
+                d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+                if d2 <= GRID_R * GRID_R:
+                    expected[(a, b)] = d2
+        assert got == expected and got
