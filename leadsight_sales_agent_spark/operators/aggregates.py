@@ -1972,3 +1972,68 @@ def sketch_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFr
         .limit(MG_TOP)
         .select(F.col("k").alias("key"), "lb_count", "guaranteed_heavy")
     )
+
+
+@query(
+    "tpcds_q67_rollup_topk",
+    oracle="""
+    WITH g AS (
+        SELECT c.c_mktsegment AS segment,
+               strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+               GROUPING(c.c_mktsegment, strftime(date_trunc('month', o.o_orderdate), '%Y-%m')) AS gid,
+               CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY ROLLUP (c.c_mktsegment,
+                         strftime(date_trunc('month', o.o_orderdate), '%Y-%m'))
+    )
+    SELECT segment, month, gid, revenue_cents, rk
+    FROM (
+        SELECT *, rank() OVER (PARTITION BY segment
+                               ORDER BY revenue_cents DESC,
+                                        COALESCE(month, '') ASC) AS rk
+        FROM g
+    ) t WHERE rk <= 4
+    """,
+)
+def tpcds_q67_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67's characteristic shape: rank WITHIN a rollup result —
+    all grains of ROLLUP(segment, month) are ranked together inside
+    each segment partition, so the segment-subtotal row (the grain
+    where month is NULL) competes with — and tops — its own detail
+    months, exactly the spec's quirk (Q67 ranks i_category partitions
+    across every rollup grain of the 8-column hierarchy). gid
+    disambiguates subtotal rows from genuine NULL keys, and the rank
+    ties break on the month key, keeping the window a total order.
+
+    Plan: one scan feeds the Expand (2 grains per row), one hash
+    aggregate on the expanded grain, then a WindowGroupLimit-eligible
+    rank over the tiny aggregated frame — the fact table never meets
+    the window. Revenue is exact integer cents.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    month = F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            month.alias("month"),
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .rollup("segment", "month")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.desc("revenue_cents"), F.asc(F.coalesce("month", F.lit("")))
+    )
+    return (
+        g.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 4)
+        .select("segment", "month", "gid", "revenue_cents", "rk")
+    )

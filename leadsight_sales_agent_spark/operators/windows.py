@@ -1359,3 +1359,95 @@ def twap_purchase_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twap_cents"
         ),
     )
+
+
+@query(
+    "inventory_clamped_running_balance",
+    oracle="""
+    WITH moves AS (
+        SELECT l_partkey, l_orderkey, l_linenumber,
+               epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS sd,
+               CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+                    ELSE -CAST(l_quantity AS BIGINT) END AS delta
+        FROM lineitem
+    ), pre AS (
+        SELECT l_partkey, l_orderkey, l_linenumber, sd, delta,
+               CAST(sum(delta) OVER (PARTITION BY l_partkey
+                                     ORDER BY sd, l_orderkey, l_linenumber
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+        FROM moves
+    ), ref AS (
+        SELECT l_partkey, delta, prefix,
+               CAST(min(prefix) OVER (PARTITION BY l_partkey
+                                      ORDER BY sd, l_orderkey, l_linenumber
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runmin,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY sd DESC, l_orderkey DESC,
+                                           l_linenumber DESC) AS rn_d
+        FROM pre
+    ), bal AS (
+        SELECT l_partkey, delta, rn_d,
+               prefix - CASE WHEN runmin < 0 THEN runmin ELSE 0 END AS balance
+        FROM ref
+    )
+    SELECT l_partkey AS partkey,
+           count(*) AS n_moves,
+           CAST(max(balance) AS BIGINT) AS peak_balance,
+           CAST(max(CASE WHEN rn_d = 1 THEN balance END) AS BIGINT) AS end_balance,
+           CAST(sum(CASE WHEN balance = 0 AND delta < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stockouts
+    FROM bal GROUP BY 1
+    """,
+)
+def inventory_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped (floor-at-zero) running balance — inventory semantics:
+    returns ('R') restock a part, shipments deplete it, and the level
+    can never go negative. The recurrence b_t = max(0, b_{t-1} + x_t)
+    looks inherently sequential, but the Skorokhod reflection identity
+
+        b_t = prefix_t - min(0, min_{s<=t} prefix_s)
+
+    turns it into TWO ordinary cumulative windows over the same
+    (shipdate, orderkey, linenumber) sort — so the whole fold runs as
+    one shuffle+sort per part key with no per-row state machine, and
+    the identical formula is the oracle's spec. (The sequential-fold
+    equivalence is independently pinned against a Python simulation in
+    tests/test_r5_ops.py.) Output per part: movement count, peak and
+    final level, and stockout count (a depletion that hit the floor).
+
+    100 TB: both windows and the final aggregate share one partitioning
+    on l_partkey; quantities are exact BIGINTs; no window is global.
+    """
+    moves = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.unix_micros(F.col("l_shipdate")).alias("sd"),
+        F.when(F.col("l_returnflag") == "R", F.col("l_quantity").cast("long"))
+        .otherwise(-F.col("l_quantity").cast("long"))
+        .alias("delta"),
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("sd", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_desc = Window.partitionBy("l_partkey").orderBy(
+        F.desc("sd"), F.desc("l_orderkey"), F.desc("l_linenumber")
+    )
+    pre = moves.withColumn("prefix", F.sum("delta").over(w))
+    ref = pre.withColumn("runmin", F.min("prefix").over(w)).withColumn(
+        "rn_d", F.row_number().over(w_desc)
+    )
+    bal = ref.withColumn(
+        "balance",
+        F.col("prefix") - F.least(F.lit(0).cast("long"), F.col("runmin")),
+    )
+    return bal.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.count("*").alias("n_moves"),
+        F.max("balance").alias("peak_balance"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("balance"))).alias("end_balance"),
+        F.sum(
+            F.when((F.col("balance") == 0) & (F.col("delta") < 0), 1).otherwise(0)
+        ).alias("n_stockouts"),
+    )

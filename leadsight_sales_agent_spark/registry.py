@@ -156,7 +156,8 @@ _PANEL_50 = [
 # cogroup_reconcile_orders_events, ohlc_monthly_orders,
 # twap_purchase_value_per_user, markov_event_transitions,
 # forecast_seasonal_naive_backtest, incremental_join_maintenance,
-# retrieval_rrf_fusion, spatial_grid_neighbor_join
+# retrieval_rrf_fusion, spatial_grid_neighbor_join,
+# inventory_clamped_running_balance, tpcds_q67_rollup_topk
 # (sketch_misra_gries_heavy_hitters is rows-only).
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo

@@ -375,3 +375,44 @@ class TestSpatialGridJoin:
                 if d2 <= GRID_R * GRID_R:
                     expected[(a, b)] = d2
         assert got == expected and got
+
+
+class TestClampedBalance:
+    def test_reflection_identity_equals_sequential_fold(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        moves = (
+            load(spark, sf_dir, "lineitem")
+            .selectExpr(
+                "l_partkey",
+                "unix_micros(l_shipdate) AS sd",
+                "l_orderkey",
+                "l_linenumber",
+                "CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS LONG) "
+                "ELSE -CAST(l_quantity AS LONG) END AS delta",
+            )
+            .collect()
+        )
+        per_part = {}
+        for r in moves:
+            per_part.setdefault(r["l_partkey"], []).append(r)
+        expected = {}
+        for pk, rs in per_part.items():
+            rs.sort(key=lambda r: (r["sd"], r["l_orderkey"], r["l_linenumber"]))
+            b = peak = stockouts = 0
+            for r in rs:
+                nxt = b + r["delta"]
+                if nxt < 0:
+                    nxt = 0
+                if nxt == 0 and r["delta"] < 0:
+                    stockouts += 1
+                b = nxt
+                peak = max(peak, b)
+            expected[pk] = (len(rs), peak, b, stockouts)
+        got = {
+            r["partkey"]: (r["n_moves"], r["peak_balance"], r["end_balance"], r["n_stockouts"])
+            for r in registry.QUERIES["inventory_clamped_running_balance"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == expected
