@@ -29,6 +29,7 @@ ROWS_ONLY_ALLOWED = {
     "leadsight_enrich_pipeline",  # Python mock transports
     "multimodal_feature_extract",  # pandas-UDF feature extraction
     "sketch_hll_mergeable",  # DataSketches binary, approximate
+    "sketch_misra_gries_heavy_hitters",  # counters are partition-layout-dependent (bounds pinned in tests)
     "streaming_progress_events",  # streaming semantics
     "streaming_stream_stream_join",  # streaming semantics (batch-equivalence pinned in tests)
     "streaming_dedup_watermarked",  # streaming semantics (batch-equivalence pinned in tests)
