@@ -1212,3 +1212,141 @@ def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFr
             " DIV (2 * actual_cents) AS BIGINT)"
         ).alias("ape_bp"),
     )
+
+
+@query(
+    "eval_roc_auc_scores",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ), g AS (
+        SELECT score,
+               CAST(sum(y) AS BIGINT) AS np_s,
+               CAST(sum(1 - y) AS BIGINT) AS nn_s
+        FROM s GROUP BY score
+    ), cum AS (
+        SELECT score, np_s, nn_s,
+               CAST(COALESCE(sum(nn_s) OVER (ORDER BY score
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS nn_lt
+        FROM g
+    ), agg AS (
+        SELECT CAST(sum(np_s) AS BIGINT) AS n_pos,
+               CAST(sum(nn_s) AS BIGINT) AS n_neg,
+               CAST(sum(2 * np_s * nn_lt + np_s * nn_s) AS BIGINT) AS u2
+        FROM cum
+    )
+    SELECT n_pos, n_neg, u2,
+           CAST((2 * 10000 * u2 + 2 * n_pos * n_neg)
+                // (2 * 2 * n_pos * n_neg) AS BIGINT) AS auc_bp
+    FROM agg
+    """,
+)
+def eval_roc_auc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed ROC-AUC via the Mann-Whitney U statistic —
+    the ranking-quality metric of every binary scorer (here: does the
+    event value separate purchases from non-purchases?). The textbook
+    form sorts ALL scores globally; this plan first collapses to the
+    DISTINCT-SCORE grain (scores are exact integer cents, so the
+    collapse is lossless): per score s, U gains np(s)·nn_below(s) full
+    wins plus np(s)·nn(s)/2 tie-halves. Doubling everything keeps the
+    arithmetic in BIGINT (u2 = 2U), and the final AUC is half-up
+    integer basis points — no float anywhere, bit-stable at any
+    parallelism.
+
+    100 TB: the only ordered pass runs on the collapsed score grain
+    (bounded by the score domain, here <= 49k rows regardless of event
+    count) — the same months-grid-not-facts rule; at a continuous
+    score domain the same plan runs after quantizing to the metric's
+    reporting precision. The fact table contributes one hash
+    aggregate.
+    """
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("value").cast("decimal(25,2)") * 100).cast("long").alias("score"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+    )
+    g = s.groupBy("score").agg(
+        F.sum("y").cast("long").alias("np_s"),
+        F.sum(1 - F.col("y")).cast("long").alias("nn_s"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = g.withColumn(
+        "nn_lt", F.coalesce(F.sum("nn_s").over(w), F.lit(0)).cast("long")
+    )
+    agg = cum.agg(
+        F.sum("np_s").cast("long").alias("n_pos"),
+        F.sum("nn_s").cast("long").alias("n_neg"),
+        F.sum(2 * F.col("np_s") * F.col("nn_lt") + F.col("np_s") * F.col("nn_s"))
+        .cast("long")
+        .alias("u2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.expr(
+            "CAST((2 * 10000 * u2 + 2 * n_pos * n_neg)"
+            " DIV (2 * 2 * n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_bp"),
+    )
+
+
+CALIB_BIN_CENTS = 5000  # 50-currency-unit score bins
+
+
+@query(
+    "eval_calibration_bins",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT score // {CALIB_BIN_CENTS} AS bin,
+           count(*) AS n_events,
+           CAST(sum(y) AS BIGINT) AS n_purchases,
+           CAST((2 * 10000 * sum(y) + count(*)) // (2 * count(*)) AS BIGINT)
+               AS purchase_rate_bp,
+           CAST((2 * sum(score) + count(*)) // (2 * count(*)) AS BIGINT)
+               AS mean_score_cents
+    FROM s GROUP BY 1
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table: observed outcome rate per
+    fixed-width score bin, against the bin's mean score — the
+    reliability-diagram input that decides whether a scorer's raw
+    outputs can be read as probabilities (and the monitoring artifact
+    a deployed model recomputes daily). One hash aggregate, integer
+    bins on exact cents, rates and means in half-up integer units —
+    the whole table is map-side partial-aggregatable.
+    """
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("value").cast("decimal(25,2)") * 100).cast("long").alias("score"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+    )
+    return (
+        s.groupBy(F.expr(f"score DIV {CALIB_BIN_CENTS}").alias("bin"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("y").cast("long").alias("n_purchases"),
+            F.expr(
+                "CAST((2 * 10000 * sum(y) + count(*))"
+                " DIV (2 * count(*)) AS BIGINT)"
+            ).alias("purchase_rate_bp"),
+            F.expr(
+                "CAST((2 * sum(score) + count(*))"
+                " DIV (2 * count(*)) AS BIGINT)"
+            ).alias("mean_score_cents"),
+        )
+    )

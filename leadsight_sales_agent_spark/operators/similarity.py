@@ -1009,3 +1009,85 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "doc_id", "rank_cos", "rank_l2", "rrf_micro", "fused_rank"
         )
     )
+
+
+EMB_LEAK_THRESHOLD = 0.35  # same near-orthogonal-corpus percentile as
+# neardup_embedding_cosine: ~99.9th pairwise, so the gate flags real rows
+_EMB_SPLIT_THRESH = "e6666666"  # hash < this (90 %) -> train, else eval
+
+
+@query(
+    "leakage_embedding_cosine_cross_split",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               CASE WHEN substring(md5('embsplit:' || CAST(vec_id AS VARCHAR)), 1, 8)
+                         < '{_EMB_SPLIT_THRESH}'
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, emb, split,
+               sqrt(list_dot_product(emb, emb)) AS nrm FROM e
+    )
+    SELECT ev.vec_id AS eval_vec_id,
+           count(*) AS n_train_matches,
+           max(round(list_dot_product(ev.emb, tr.emb) / (ev.nrm * tr.nrm), 4))
+               AS max_cosine
+    FROM n ev JOIN n tr
+      ON ev.split = 'eval' AND tr.split = 'train'
+    WHERE round(list_dot_product(ev.emb, tr.emb) / (ev.nrm * tr.nrm), 4)
+          >= {EMB_LEAK_THRESHOLD}
+    GROUP BY 1
+    """,
+)
+def leakage_embedding_cosine_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC cross-split contamination: eval vectors whose cosine to
+    some train vector clears the near-dup threshold — the fourth leg
+    of the leakage battery (prefix fingerprint, exact Jaccard, MinHash
+    bands, now embedding space), and the one that catches paraphrases
+    the lexical gates miss. Output per contaminated eval vector: how
+    many train neighbors and the worst similarity — the drop list an
+    eval-hygiene pass materializes.
+
+    The split is the engine's standard salted-hash draw (no assignment
+    table; membership recomputable from the key alone). The 10 % eval
+    side BROADCASTS against the partitioned train corpus — same
+    asymmetry as knn: the big side never moves, and at 100 TB the
+    exact scan is replaced by the ANN shortlist (knn_cosine_lsh/ivf)
+    feeding this same threshold+group plan. Cosine reuses the proven
+    dot/norm device; the threshold compares the ROUNDED value so the
+    boundary is engine-safe.
+    """
+    from leadsight_sales_agent_spark.operators.sampling import hash_key
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+        F.when(
+            hash_key("embsplit:", F.col("vec_id")) < F.lit(_EMB_SPLIT_THRESH),
+            "train",
+        )
+        .otherwise("eval")
+        .alias("split"),
+    )
+    ev = emb.filter(F.col("split") == "eval").select(
+        F.col("vec_id").alias("eval_vec_id"),
+        F.col("embedding").alias("ee"),
+        F.col("nrm").alias("en"),
+    )
+    tr = emb.filter(F.col("split") == "train").select(
+        F.col("embedding").alias("te"), F.col("nrm").alias("tn")
+    )
+    cos = F.round(dot(F.col("ee"), F.col("te")) / (F.col("en") * F.col("tn")), 4)
+    return (
+        F.broadcast(ev)
+        .crossJoin(tr)
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= EMB_LEAK_THRESHOLD)
+        .groupBy("eval_vec_id")
+        .agg(
+            F.count("*").alias("n_train_matches"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )

@@ -157,7 +157,9 @@ _PANEL_50 = [
 # twap_purchase_value_per_user, markov_event_transitions,
 # forecast_seasonal_naive_backtest, incremental_join_maintenance,
 # retrieval_rrf_fusion, spatial_grid_neighbor_join,
-# inventory_clamped_running_balance, tpcds_q67_rollup_topk
+# inventory_clamped_running_balance, tpcds_q67_rollup_topk,
+# eval_roc_auc_scores, eval_calibration_bins,
+# leakage_embedding_cosine_cross_split
 # (sketch_misra_gries_heavy_hitters is rows-only).
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo

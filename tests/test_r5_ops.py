@@ -416,3 +416,66 @@ class TestClampedBalance:
             ).collect()
         }
         assert got == expected
+
+
+class TestEvalMetrics:
+    def test_auc_matches_sklearn_free_reference(self, spark, sf_dir):
+        # independent O(n log n) python reference with midrank ties
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = (
+            load(spark, sf_dir, "events")
+            .filter("value IS NOT NULL")
+            .selectExpr(
+                "CAST(CAST(value AS DECIMAL(25,2)) * 100 AS LONG) AS s",
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y",
+            )
+            .collect()
+        )
+        pairs = sorted((r["s"], r["y"]) for r in rows)
+        # midranks over the sorted scores
+        u2 = 0
+        i = 0
+        nn_lt = 0
+        n_pos = sum(y for _, y in pairs)
+        n_neg = len(pairs) - n_pos
+        while i < len(pairs):
+            j = i
+            while j < len(pairs) and pairs[j][0] == pairs[i][0]:
+                j += 1
+            np_s = sum(y for _, y in pairs[i:j])
+            nn_s = (j - i) - np_s
+            u2 += 2 * np_s * nn_lt + np_s * nn_s
+            nn_lt += nn_s
+            i = j
+        out = registry.QUERIES["eval_roc_auc_scores"](spark, sf_dir).collect()[0]
+        assert out["n_pos"] == n_pos and out["n_neg"] == n_neg
+        assert out["u2"] == u2
+        expected_bp = (2 * 10000 * u2 + 2 * n_pos * n_neg) // (4 * n_pos * n_neg)
+        assert out["auc_bp"] == expected_bp
+        assert 0 <= out["auc_bp"] <= 10000
+
+    def test_calibration_bins_partition_the_events(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = registry.QUERIES["eval_calibration_bins"](spark, sf_dir).collect()
+        n = load(spark, sf_dir, "events").filter("value IS NOT NULL").count()
+        assert sum(r["n_events"] for r in rows) == n
+        for r in rows:
+            assert 0 <= r["purchase_rate_bp"] <= 10000
+            assert r["n_purchases"] <= r["n_events"]
+
+
+class TestEmbeddingLeakage:
+    def test_flagged_evals_have_genuine_train_neighbors(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.similarity import (
+            EMB_LEAK_THRESHOLD,
+        )
+
+        rows = registry.QUERIES["leakage_embedding_cosine_cross_split"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r["max_cosine"] >= EMB_LEAK_THRESHOLD
+            assert r["n_train_matches"] >= 1
