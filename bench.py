@@ -72,6 +72,13 @@ HEADLINE = [
     "tpch_q9_product_type_profit",
     "sketch_bloom_membership",
     "text_repetition_signals",
+    # r5 session-2 additions: the grid-bucketed spatial join (9-cell
+    # explode + one equi-shuffle), the distinct-score-grain exact AUC,
+    # and the reflection-identity clamped balance (two cumulative
+    # windows + aggregate sharing one part-key sort).
+    "spatial_grid_neighbor_join",
+    "eval_roc_auc_scores",
+    "inventory_clamped_running_balance",
 ]
 
 

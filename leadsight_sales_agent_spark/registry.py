@@ -159,7 +159,8 @@ _PANEL_50 = [
 # retrieval_rrf_fusion, spatial_grid_neighbor_join,
 # inventory_clamped_running_balance, tpcds_q67_rollup_topk,
 # eval_roc_auc_scores, eval_calibration_bins,
-# leakage_embedding_cosine_cross_split
+# leakage_embedding_cosine_cross_split, sample_ht_estimator_check,
+# provenance_file_row_index
 # (sketch_misra_gries_heavy_hitters is rows-only).
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo

@@ -169,3 +169,17 @@ def write_xml(df: DataFrame, path: str, row_tag: str = "row", partitions: int | 
     if partitions is not None:
         df = df.repartition(partitions)
     df.write.mode("overwrite").format("xml").option("rowTag", row_tag).save(path)
+
+
+def with_provenance(df):
+    """Attach Spark's hidden file-provenance metadata (`_metadata`):
+    source file path and the row's index within it. Must be selected
+    off a freshly-scanned DataFrame (the hidden column exists only on
+    file-source relations)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("_file_path"),
+        F.col("_metadata.row_index").alias("_row_index"),
+    )

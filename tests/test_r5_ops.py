@@ -479,3 +479,29 @@ class TestEmbeddingLeakage:
         for r in rows:
             assert r["max_cosine"] >= EMB_LEAK_THRESHOLD
             assert r["n_train_matches"] >= 1
+
+
+class TestHtEstimator:
+    def test_estimator_identities(self, spark, sf_dir):
+        rows = registry.QUERIES["sample_ht_estimator_check"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["n_sampled"] <= r["n_rows"]
+            assert r["est_cents"] % 5 == 0  # integer inverse-probability weight
+            # hash draw should land near 20% (binomial, generous bound)
+            assert 0.05 < r["n_sampled"] / r["n_rows"] < 0.45
+            assert r["err_bp"] >= 0
+
+
+class TestProvenance:
+    def test_row_index_dense_and_file_stable(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.sources.catalog import (
+            load,
+            with_provenance,
+        )
+
+        docs = with_provenance(load(spark, sf_dir, "documents"))
+        rows = docs.select("_file_path", "_row_index").collect()
+        assert all(r["_file_path"].endswith("documents.parquet") for r in rows)
+        idx = sorted(r["_row_index"] for r in rows)
+        assert idx == list(range(len(rows)))  # dense per single-file table

@@ -225,3 +225,28 @@ class TestPythonDataSource:
         per_lang = df.groupBy("lang").agg(F.count("*").alias("n")).collect()
         assert sum(r["n"] for r in per_lang) == 500
         assert {r["lang"] for r in per_lang} <= {"en", "de", "fr", "es", "zh"}
+
+
+class TestBinaryFileSource:
+    def test_binaryfile_reads_bytes_with_metadata(self, spark, tmp_path):
+        # the built-in binaryFile source is the ingestion seam for the
+        # multimodal family: opaque bytes + path/length metadata
+        payloads = {f"blob_{i}.bin": bytes([i]) * (10 + i) for i in range(3)}
+        for name, data in payloads.items():
+            (tmp_path / name).write_bytes(data)
+        df = spark.read.format("binaryFile").load(str(tmp_path))
+        rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+        assert set(rows) == set(payloads)
+        for name, data in payloads.items():
+            assert bytes(rows[name]["content"]) == data
+            assert rows[name]["length"] == len(data)
+
+    def test_binaryfile_path_glob_filter(self, spark, tmp_path):
+        (tmp_path / "keep.png").write_bytes(b"x" * 4)
+        (tmp_path / "skip.txt").write_bytes(b"y" * 4)
+        df = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.png")
+            .load(str(tmp_path))
+        )
+        assert [r["path"].rsplit("/", 1)[-1] for r in df.collect()] == ["keep.png"]
