@@ -160,7 +160,8 @@ _PANEL_50 = [
 # inventory_clamped_running_balance, tpcds_q67_rollup_topk,
 # eval_roc_auc_scores, eval_calibration_bins,
 # leakage_embedding_cosine_cross_split, sample_ht_estimator_check,
-# provenance_file_row_index
+# provenance_file_row_index, feature_target_encoding_loo,
+# feature_hashing_trick
 # (sketch_misra_gries_heavy_hitters is rows-only).
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
@@ -217,6 +218,7 @@ def load_all() -> None:
     import leadsight_sales_agent_spark.operators.sampling  # noqa: F401
     import leadsight_sales_agent_spark.operators.behavior  # noqa: F401
     import leadsight_sales_agent_spark.operators.layout  # noqa: F401
+    import leadsight_sales_agent_spark.operators.features  # noqa: F401
     import leadsight_sales_agent_spark.operators.graph  # noqa: F401
     import leadsight_sales_agent_spark.operators.similarity  # noqa: F401
     import leadsight_sales_agent_spark.operators.text  # noqa: F401

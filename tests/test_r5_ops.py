@@ -505,3 +505,36 @@ class TestProvenance:
         assert all(r["_file_path"].endswith("documents.parquet") for r in rows)
         idx = sorted(r["_row_index"] for r in rows)
         assert idx == list(range(len(rows)))  # dense per single-file table
+
+
+class TestFeatureEngineering:
+    def test_loo_excludes_own_target(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        rows = registry.QUERIES["feature_target_encoding_loo"](spark, sf_dir).collect()
+        assert rows
+        # reconstruct segment sums and check the LOO identity per row
+        seg_sum, seg_n = {}, {}
+        for r in rows:
+            seg_sum[r["segment"]] = seg_sum.get(r["segment"], 0) + r["cents"]
+            seg_n[r["segment"]] = seg_n.get(r["segment"], 0) + 1
+        for r in rows[:200]:
+            s, n = seg_sum[r["segment"]], seg_n[r["segment"]]
+            num, den = s - r["cents"], n - 1
+            assert r["loo_cents"] == (2 * num + den) // (2 * den)
+        # smoothing shrinks toward the global mean: smoothed lies
+        # between loo and the global mean for every row
+        gmean = sum(seg_sum.values()) / sum(seg_n.values())
+        for r in rows[:200]:
+            lo, hi = sorted((r["loo_cents"], gmean))
+            assert lo - 1 <= r["smoothed_cents"] <= hi + 1
+
+    def test_hashing_trick_covers_all_rows_and_flags_collisions(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.features import FH_DIMS
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = registry.QUERIES["feature_hashing_trick"](spark, sf_dir).collect()
+        n_orders = load(spark, sf_dir, "orders").count()
+        assert sum(r["n_rows"] for r in rows) == 2 * n_orders
+        assert all(0 <= r["dim"] < FH_DIMS for r in rows)
+        assert all(r["n_features"] >= 1 for r in rows)
