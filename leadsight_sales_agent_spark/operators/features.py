@@ -143,3 +143,56 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("feat").alias("n_features"),
         )
     )
+
+
+@query(
+    "feature_woe_iv",
+    oracle="""
+    WITH cat AS (
+        SELECT o_orderpriority AS category,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS pos,
+               count(*) FILTER (WHERE o_orderstatus <> 'F') AS neg
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT sum(pos) AS pt, sum(neg) AS nt FROM cat
+    )
+    SELECT c.category, c.pos, c.neg,
+           round(ln((CAST(c.pos AS DOUBLE) / t.pt)
+                    / (CAST(c.neg AS DOUBLE) / t.nt)), 4) AS woe,
+           round((CAST(c.pos AS DOUBLE) / t.pt - CAST(c.neg AS DOUBLE) / t.nt)
+                 * ln((CAST(c.pos AS DOUBLE) / t.pt)
+                      / (CAST(c.neg AS DOUBLE) / t.nt)), 4) AS iv_term
+    FROM cat c CROSS JOIN tot t
+    """,
+)
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence + Information Value per category — the
+    credit-scoring/feature-selection measure of a categorical's
+    predictive power against a binary outcome (here: does order
+    priority separate fulfilled from open/pending orders?). WoE =
+    ln(pos_share/neg_share); IV = Σ (pos_share − neg_share)·WoE,
+    shipped as per-category terms so any regrouping can re-sum it
+    (IV < 0.02 = useless, > 0.3 = strong — the screening thresholds).
+
+    Same exactness regime as drift_psi_event_mix: shares are
+    exact-integer divisions (deterministic doubles), ln() may differ
+    by 1 ulp between libm and Java Math.log, so ln-derived outputs
+    round at 4 decimals, far above ulp noise; raw counts ride along
+    unrounded. One conditional-count scan + a 1-row broadcast —
+    map-side partial, no second pass.
+    """
+    o = load(spark, sf_dir, "orders")
+    cat = o.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("pos"),
+        F.count_if(F.col("o_orderstatus") != "F").alias("neg"),
+    )
+    tot = cat.agg(F.sum("pos").alias("pt"), F.sum("neg").alias("nt"))
+    ps = F.col("pos").cast("double") / F.col("pt")
+    ns = F.col("neg").cast("double") / F.col("nt")
+    return cat.crossJoin(F.broadcast(tot)).select(
+        "category",
+        "pos",
+        "neg",
+        F.round(F.log(ps / ns), 4).alias("woe"),
+        F.round((ps - ns) * F.log(ps / ns), 4).alias("iv_term"),
+    )

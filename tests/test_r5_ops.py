@@ -538,3 +538,37 @@ class TestFeatureEngineering:
         assert sum(r["n_rows"] for r in rows) == 2 * n_orders
         assert all(0 <= r["dim"] < FH_DIMS for r in rows)
         assert all(r["n_features"] >= 1 for r in rows)
+
+
+class TestCompactionRewrite:
+    def test_planner_bins_drive_a_real_rewrite(self, spark, sf_dir, tmp_path):
+        # Execute the OPTIMIZE the planner plans: repartition by
+        # (source, bin) and write one file per bin; the rewrite must
+        # preserve every row and produce exactly one parquet file per
+        # planned bin.
+        import glob as globmod
+
+        from pyspark.sql import functions as F
+
+        from leadsight_sales_agent_spark.operators.layout import COMPACT_TARGET
+        from leadsight_sales_agent_spark.sources.catalog import load
+        from pyspark.sql import Window
+
+        plan = registry.QUERIES["compaction_bin_packing"](spark, sf_dir).collect()
+        n_bins = len(plan)
+        d = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+        w = Window.partitionBy("source").orderBy("doc_id")
+        binned = d.withColumn(
+            "bin",
+            F.floor(
+                (F.sum("n_chars").over(w) - F.col("n_chars")) / COMPACT_TARGET
+            ),
+        )
+        out = str(tmp_path / "compacted")
+        binned.repartition("source", "bin").write.partitionBy(
+            "source", "bin"
+        ).parquet(out)
+        back = spark.read.parquet(out)
+        assert back.count() == d.count()
+        files = globmod.glob(f"{out}/source=*/bin=*/part-*.parquet")
+        assert len(files) == n_bins  # one rewrite task output per planned bin

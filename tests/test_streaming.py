@@ -454,3 +454,68 @@ class TestIncrementalRollupStreaming:
             ).collect()
         }
         assert got == want
+
+
+class TestExactlyOnceSinkGuard:
+    def test_batch_id_guard_makes_redelivery_idempotent(self, spark, sf_dir, tmp_path):
+        # foreachBatch promises at-least-once delivery: after a crash
+        # between sink commit and checkpoint commit, the SAME batch_id
+        # is redelivered. An additive-partials sink double-counts
+        # unless it records applied batch ids — the standard
+        # exactly-once guard. This test replays every batch and pins
+        # that the guarded state still equals the single-delivery run.
+        orders = load(spark, sf_dir, "orders").limit(3000)
+        src = str(tmp_path / "orders_eo")
+        orders.repartition(3).write.parquet(src)
+
+        state: dict = {}
+        applied: set = set()
+        deliveries: list = []
+
+        def guarded_sink(df, epoch_id):
+            rows = (
+                df.groupBy("o_orderpriority")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            deliveries.append((epoch_id, rows))
+            if epoch_id in applied:  # the guard
+                return
+            applied.add(epoch_id)
+            for r in rows:
+                state[r["o_orderpriority"]] = (
+                    state.get(r["o_orderpriority"], 0) + r["n"]
+                )
+
+        q = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(guarded_sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt_eo"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert len(deliveries) >= 2  # several micro-batches ran
+
+        # crash-replay simulation: redeliver every recorded batch
+        # through the same guard — all must be absorbed
+        before = dict(state)
+        for epoch_id, rows in deliveries:
+            if epoch_id not in applied:
+                applied.add(epoch_id)
+                for r in rows:
+                    state[r["o_orderpriority"]] = (
+                        state.get(r["o_orderpriority"], 0) + r["n"]
+                    )
+        assert state == before  # replays were all absorbed
+
+        # and the guarded totals are the true totals
+        want = {
+            r["o_orderpriority"]: r["n"]
+            for r in orders.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert state == want
