@@ -1451,3 +1451,72 @@ def inventory_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataF
             F.when((F.col("balance") == 0) & (F.col("delta") < 0), 1).otherwise(0)
         ).alias("n_stockouts"),
     )
+
+
+@query(
+    "rolling_active_users_7d",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM ud
+    ), contrib AS (
+        SELECT u.user_id, u.day + CAST(g.i AS INTEGER) AS day
+        FROM ud u, unnest(generate_series(0, 6)) AS g(i)
+    ), wau AS (
+        SELECT c.day, count(DISTINCT c.user_id) AS wau
+        FROM contrib c JOIN days d ON c.day = d.day
+        GROUP BY c.day
+    ), dau AS (
+        SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day
+    )
+    SELECT w.day AS day, w.wau, d.dau,
+           CAST((2 * 10000 * d.dau + w.wau) // (2 * w.wau) AS BIGINT)
+               AS stickiness_bp
+    FROM wau w JOIN dau d ON w.day = d.day
+    """,
+)
+def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window distinct actives — the DAU/WAU/stickiness
+    board metric: for each observed day, distinct users active in the
+    trailing 7 days, that day's distinct actives, and DAU/WAU in
+    half-up basis points. Distinct is NOT additive, so no partial-sum
+    window works; the exact distributed form CONTRIBUTES each
+    (user, day) activity to the 7 trailing report days (a bounded
+    explode — the mirror image of 'look back 7 days' is 'project
+    forward 7 days') and distinct-counts per report day: one explode
+    x7 on the deduplicated user-day grain, one count-distinct
+    shuffle. The oracle says the same thing with generate_series.
+
+    100 TB: the explode multiplies the (user, day) grain — already
+    collapsed from raw events — by the constant window length; the
+    count-distinct is the standard two-phase expansion. Days outside
+    the observed grid are clipped by the inner join (the report grid =
+    observed days, as dashboards do).
+    """
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "day"
+    ).select("user_id", F.date_add("day", F.col("i")).alias("day"))
+    days = ud.select("day").distinct()
+    wau = (
+        contrib.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        wau.join(dau, "day")
+        .select(
+            "day",
+            "wau",
+            "dau",
+            F.expr(
+                "CAST((2 * 10000 * dau + wau) DIV (2 * wau) AS BIGINT)"
+            ).alias("stickiness_bp"),
+        )
+    )

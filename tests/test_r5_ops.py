@@ -572,3 +572,29 @@ class TestCompactionRewrite:
         assert back.count() == d.count()
         files = globmod.glob(f"{out}/source=*/bin=*/part-*.parquet")
         assert len(files) == n_bins  # one rewrite task output per planned bin
+
+
+class TestRollingActives:
+    def test_wau_matches_direct_trailing_window(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        ud = {
+            (r["user_id"], r["day"])
+            for r in load(spark, sf_dir, "events")
+            .selectExpr("user_id", "to_date(date_trunc('day', ts)) AS day")
+            .distinct()
+            .collect()
+        }
+        rows = registry.QUERIES["rolling_active_users_7d"](spark, sf_dir).collect()
+        assert rows
+        from datetime import timedelta
+
+        for r in rows:
+            window = {
+                u for (u, d) in ud
+                if r["day"] - timedelta(days=6) <= d <= r["day"]
+            }
+            today = {u for (u, d) in ud if d == r["day"]}
+            assert r["wau"] == len(window)
+            assert r["dau"] == len(today)
+            assert r["dau"] <= r["wau"]
