@@ -598,3 +598,72 @@ class TestRollingActives:
             assert r["wau"] == len(window)
             assert r["dau"] == len(today)
             assert r["dau"] <= r["wau"]
+
+
+class TestObserveMetrics:
+    def test_observation_metrics_without_second_pass(self, spark, sf_dir):
+        # df.observe(): in-flight DQ metrics collected DURING the job —
+        # no extra scan. The engine's DQ checks can ride any write.
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        o = load(spark, sf_dir, "orders")
+        obs = Observation("dq")
+        observed = o.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("o_totalprice") <= 0).alias("n_nonpositive"),
+            F.count_if(F.col("o_custkey").isNull()).alias("n_null_cust"),
+        )
+        n = observed.count()  # one pass drives both the job and the metrics
+        got = obs.get
+        assert got["n_rows"] == n
+        assert got["n_nonpositive"] == 0
+        assert got["n_null_cust"] == 0
+
+
+class TestPythonUdtf:
+    def test_udtf_chunker_equals_sql_chunker(self, spark, sf_dir):
+        # Python UDTF (Spark 4 table function): the imperative seat for
+        # generate-style expansion. Pinned against the declarative
+        # sequence+substring chunker (text_chunk_documents) so the two
+        # seats provably share one spec; the SQL form is the fast path.
+        import hashlib
+
+        from pyspark.sql.functions import udtf
+
+        from leadsight_sales_agent_spark.operators.text import (
+            CHUNK_SIZE,
+            CHUNK_STRIDE,
+        )
+
+        @udtf(returnType="chunk_id int, chunk_len int, chunk_hash string")
+        class Chunker:
+            def eval(self, text: str):
+                if not text:
+                    return
+                i = 0
+                while i * CHUNK_STRIDE <= len(text) - 1:
+                    c = text[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_SIZE]
+                    yield i, len(c), hashlib.md5(c.encode()).hexdigest()
+                    i += 1
+
+        spark.udtf.register("py_chunker", Chunker)
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        docs = load(spark, sf_dir, "documents").filter("length(text) > 0")
+        docs.createOrReplaceTempView("_udtf_docs")
+        got = {
+            (r["doc_id"], r["chunk_id"], r["chunk_len"], r["chunk_hash"])
+            for r in spark.sql(
+                "SELECT d.doc_id, c.* FROM _udtf_docs d, "
+                "LATERAL py_chunker(d.text) c"
+            ).collect()
+        }
+        want = {
+            (r["doc_id"], r["chunk_id"], r["chunk_len"], r["chunk_hash"])
+            for r in registry.QUERIES["text_chunk_documents"](spark, sf_dir).collect()
+        }
+        assert got == want and got
