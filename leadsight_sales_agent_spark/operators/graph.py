@@ -382,3 +382,66 @@ def graph_link_prediction_common_suppliers(
         )
         .limit(20)
     )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+        GROUP BY 1
+    )
+    SELECT CAST(length(bin(d)) - 1 AS INTEGER) AS log2_bucket,
+           count(*) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_degree,
+           CAST(max(d) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree histogram of the part co-purchase graph —
+    the first diagnostic of any graph workload, because the tail
+    decides the plan: a power-law tail forces the degree-ordered
+    orientation (graph_triangle_coparts) and hub-exclusion
+    (link-prediction) devices; a flat tail doesn't. The log2 bucket
+    is computed WITHOUT floating log: length(bin(d)) − 1 is the
+    integer position of the highest set bit in BOTH engines — the
+    floor(log2) that needs no libm and can't disagree at
+    power-of-two boundaries.
+
+    Same edge relation as the triangle count (exchange-reusable when
+    profiled together); degrees from one union-all aggregate; the
+    histogram grain is <= 64 rows at any scale.
+    """
+    op = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    return deg.groupBy(
+        (F.length(F.bin(F.col("d"))) - 1).cast("int").alias("log2_bucket")
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("d").alias("min_degree"),
+        F.max("d").alias("max_degree"),
+    )

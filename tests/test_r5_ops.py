@@ -667,3 +667,36 @@ class TestPythonUdtf:
             for r in registry.QUERIES["text_chunk_documents"](spark, sf_dir).collect()
         }
         assert got == want and got
+
+
+class TestRangePartitionedSort:
+    def test_repartition_by_range_yields_global_order_across_files(
+        self, spark, sf_dir, tmp_path
+    ):
+        # the scalable global sort: range-partition + sort WITHIN each
+        # partition; no single-task orderBy. Files then hold disjoint,
+        # ordered key ranges — a reader concatenating them in partition
+        # order sees a total order.
+        from pyspark.sql import functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        out = str(tmp_path / "range_sorted")
+        (
+            o.repartitionByRange(4, "o_totalprice", "o_orderkey")
+            .sortWithinPartitions("o_totalprice", "o_orderkey")
+            .write.parquet(out)
+        )
+        import glob as globmod
+
+        spans = []
+        for f in globmod.glob(f"{out}/part-*.parquet"):
+            pdf = spark.read.parquet(f).select("o_totalprice").collect()
+            vals = [r["o_totalprice"] for r in pdf]
+            assert vals == sorted(vals)  # sorted within the file
+            if vals:
+                spans.append((min(vals), max(vals)))
+        spans.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2  # disjoint ranges -> global total order
