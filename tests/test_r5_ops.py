@@ -700,3 +700,55 @@ class TestRangePartitionedSort:
         spans.sort()
         for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
             assert hi1 <= lo2  # disjoint ranges -> global total order
+
+
+class TestPrefixFilterJoin:
+    def test_prefix_candidates_strictly_prune_token_candidates(self, spark, sf_dir):
+        # the point of the filter: candidate pairs from prefix tokens
+        # must be a strict subset of candidate pairs from ALL tokens
+        # (stopword-dominated), while the final result is unchanged
+        # (the oracle hash proves that part).
+        from pyspark.sql import functions as F
+
+        from leadsight_sales_agent_spark.operators.dedup import (
+            PPJOIN_BOUND,
+            _tokens,
+        )
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        docs = load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < PPJOIN_BOUND
+        )
+        tok = docs.select(
+            "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+        ).distinct()
+        sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+        dfc = tok.groupBy("token").agg(F.count("*").alias("df"))
+        from pyspark.sql import Window
+
+        ranked = (
+            tok.join(dfc, "token")
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("df", "token")
+                ),
+            )
+            .join(sizes, "doc_id")
+        )
+        prefix = ranked.filter(F.col("rn") <= F.floor(F.col("n_tok") / 2) + 1)
+
+        def pairs(t):
+            a = t.select(F.col("doc_id").alias("x"), "token")
+            b = t.select(F.col("doc_id").alias("y"), "token")
+            return (
+                a.join(b, "token")
+                .filter(F.col("x") < F.col("y"))
+                .select("x", "y")
+                .distinct()
+                .count()
+            )
+
+        n_prefix = pairs(prefix.select("doc_id", "token"))
+        n_all = pairs(tok)
+        assert n_prefix < n_all  # genuine pruning
