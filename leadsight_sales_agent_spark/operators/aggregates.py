@@ -2037,3 +2037,59 @@ def tpcds_q67_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 4)
         .select("segment", "month", "gid", "revenue_cents", "rk")
     )
+
+
+@query(
+    "agg_weighted_median_price",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS price,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ), ranked AS (
+        SELECT flag, price, qty,
+               sum(qty) OVER (PARTITION BY flag ORDER BY price, qty
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(qty) OVER (PARTITION BY flag) AS tot
+        FROM w
+    )
+    SELECT flag,
+           min(price) FILTER (WHERE 2 * cum >= tot) AS weighted_median_price,
+           CAST(min(tot) AS BIGINT) AS total_weight
+    FROM ranked GROUP BY flag
+    """,
+)
+def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median — the 50th percentile of price where each
+    row counts qty times (the robust 'typical unit price', immune to
+    a few huge line items): the first price whose cumulative weight
+    reaches half the total, picked as an ELEMENT OF THE DATA (the
+    lower-median convention of impute_group_median_balance) — zero
+    arithmetic on the measure, so it is exact on arbitrary doubles.
+    The integer compare 2*cum >= tot avoids the half-total division.
+
+    Plan: one cumulative window + one group total over the same
+    (flag, price) sort — Catalyst reuses a single shuffle+sort per
+    group key — then a min-FILTER aggregate. Weights are exact
+    BIGINTs. The unweighted percentile family (percentile_disc,
+    equi-depth histogram) rounds this family out.
+    """
+    w = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    win = (
+        Window.partitionBy("flag")
+        .orderBy("price", "qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = w.withColumn("cum", F.sum("qty").over(win)).withColumn(
+        "tot", F.sum("qty").over(Window.partitionBy("flag"))
+    )
+    return ranked.groupBy("flag").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("price"))).alias(
+            "weighted_median_price"
+        ),
+        F.min("tot").cast("long").alias("total_weight"),
+    )

@@ -1520,3 +1520,136 @@ def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness_bp"),
         )
     )
+
+
+@query(
+    "fifo_cogs_matching",
+    oracle="""
+    WITH recv AS (
+        SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+               CAST((2 * CAST(CAST(l_extendedprice AS DECIMAL(25,2))
+                              * 1000000 AS BIGINT)
+                     + CAST(l_quantity AS BIGINT))
+                    // (2 * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS unit_micro,
+               sum(CAST(l_quantity AS BIGINT))
+                   OVER (PARTITION BY l_partkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber
+                         ROWS UNBOUNDED PRECEDING) AS rcum
+        FROM lineitem WHERE l_returnflag = 'R'
+    ), ship AS (
+        SELECT l_partkey, l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS qty,
+               sum(CAST(l_quantity AS BIGINT))
+                   OVER (PARTITION BY l_partkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber
+                         ROWS UNBOUNDED PRECEDING) AS scum
+        FROM lineitem WHERE l_returnflag <> 'R'
+    ), m AS (
+        SELECT s.l_partkey, s.l_orderkey, s.l_linenumber, s.qty,
+               CASE WHEN r.rcum < s.scum THEN r.rcum ELSE s.scum END
+               - CASE WHEN r.rcum - r.qty > s.scum - s.qty
+                      THEN r.rcum - r.qty ELSE s.scum - s.qty END AS matched,
+               r.unit_micro
+        FROM ship s JOIN recv r
+          ON r.l_partkey = s.l_partkey
+         AND r.rcum - r.qty < s.scum
+         AND s.scum - s.qty < r.rcum
+    )
+    SELECT l_partkey AS partkey, l_orderkey AS orderkey,
+           l_linenumber AS linenumber,
+           CAST(min(qty) AS BIGINT) AS ship_qty,
+           CAST(sum(matched) AS BIGINT) AS matched_qty,
+           count(*) AS n_layers,
+           CAST(sum(matched * unit_micro) AS BIGINT) AS cogs_micro
+    FROM m GROUP BY 1, 2, 3
+    """,
+)
+def fifo_cogs_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO cost-of-goods matching — every warehouse's inventory
+    valuation rule, and SQL's classic 'needs a cursor' problem: each
+    shipment consumes the OLDEST unconsumed receipt layers of its
+    part, and its cost is the consumed quantity priced per layer.
+    This is the PERIOD-END (positional) FIFO convention — the layer
+    book is the period's receipts in date order and shipments consume
+    it in date order; a temporal-availability variant (no consuming
+    stock that hasn't arrived) is a backorder SIMULATION, inherently
+    sequential, and out of this operator's spec. The
+    set-based identity that kills the cursor: on each part's FIFO
+    axis, receipt i owns cumulative units [rcum−qty, rcum) and
+    shipment j consumes [scum−qty, scum); FIFO matches are EXACTLY the
+    interval overlaps — so the whole matching is two cumulative
+    windows and ONE interval-overlap join per part, all in integer
+    units (the sequential consume-loop equivalence is independently
+    pinned in tests). Shipments beyond total receipts simply match
+    short (matched_qty < ship_qty = the shortage report).
+
+    Exactness: quantities are integral doubles → BIGINT; the layer's
+    unit price is exact money (decimal cents) scaled to micro units
+    and divided by quantity with the half-up INTEGER formula — a
+    double division cast to decimal is NOT engine-safe (Spark rounds
+    the shortest string repr, DuckDB the true binary; observed 5-micro
+    drift) — so COGS is pure integer. 100 TB: both windows and the join share the l_partkey
+    partitioning (one shuffle each side); per-part layer counts bound
+    the join fan-out, and a cum-bucket band key bounds it further on
+    deep histories.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    order_cols = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+
+    def cum(df):
+        w = (
+            Window.partitionBy("l_partkey")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn("cumq", F.sum("qty").over(w))
+
+    recv = cum(
+        li.filter(F.col("l_returnflag") == "R").select(
+            "l_partkey",
+            *[c for c in ("l_shipdate", "l_orderkey", "l_linenumber")],
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.expr(
+                "CAST((2 * CAST(CAST(l_extendedprice AS DECIMAL(25,2))"
+                " * 1000000 AS BIGINT) + CAST(l_quantity AS BIGINT))"
+                " DIV (2 * CAST(l_quantity AS BIGINT)) AS BIGINT)"
+            ).alias("unit_micro"),
+        )
+    ).select(
+        F.col("l_partkey").alias("r_part"),
+        F.col("qty").alias("r_qty"),
+        "unit_micro",
+        F.col("cumq").alias("rcum"),
+    )
+    ship = cum(
+        li.filter(F.col("l_returnflag") != "R").select(
+            "l_partkey",
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    ).select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("qty").alias("s_qty"),
+        F.col("cumq").alias("scum"),
+    )
+    m = ship.join(
+        recv,
+        (F.col("r_part") == F.col("partkey"))
+        & (F.col("rcum") - F.col("r_qty") < F.col("scum"))
+        & (F.col("scum") - F.col("s_qty") < F.col("rcum")),
+    ).withColumn(
+        "matched",
+        F.least(F.col("rcum"), F.col("scum"))
+        - F.greatest(F.col("rcum") - F.col("r_qty"), F.col("scum") - F.col("s_qty")),
+    )
+    return m.groupBy("partkey", "orderkey", "linenumber").agg(
+        F.min("s_qty").cast("long").alias("ship_qty"),
+        F.sum("matched").cast("long").alias("matched_qty"),
+        F.count("*").alias("n_layers"),
+        F.sum(F.col("matched") * F.col("unit_micro")).cast("long").alias("cogs_micro"),
+    )

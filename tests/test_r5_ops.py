@@ -752,3 +752,61 @@ class TestPrefixFilterJoin:
         n_prefix = pairs(prefix.select("doc_id", "token"))
         n_all = pairs(tok)
         assert n_prefix < n_all  # genuine pruning
+
+
+class TestFifoMatching:
+    def test_interval_identity_equals_sequential_fifo(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = (
+            load(spark, sf_dir, "lineitem")
+            .selectExpr(
+                "l_partkey",
+                "l_shipdate",
+                "l_orderkey",
+                "l_linenumber",
+                "l_returnflag",
+                "CAST(l_quantity AS LONG) AS qty",
+                "CAST((2 * CAST(CAST(l_extendedprice AS DECIMAL(25,2))"
+                " * 1000000 AS BIGINT) + CAST(l_quantity AS BIGINT))"
+                " DIV (2 * CAST(l_quantity AS BIGINT)) AS BIGINT) AS unit_micro",
+            )
+            .collect()
+        )
+        by_part: dict = {}
+        for r in rows:
+            by_part.setdefault(r["l_partkey"], []).append(r)
+        expected = {}
+        for pk, rs in by_part.items():
+            rs.sort(key=lambda r: (r["l_shipdate"], r["l_orderkey"], r["l_linenumber"]))
+            # period-end FIFO valuation: the full layer book (date
+            # order) is consumed by shipments in date order — the
+            # positional convention the interval identity implements
+            layers = [
+                [r["qty"], r["unit_micro"]] for r in rs if r["l_returnflag"] == "R"
+            ]
+            li = 0
+            for r in rs:
+                if r["l_returnflag"] != "R":
+                    need, cogs, matched, n_layers = r["qty"], 0, 0, 0
+                    while need > 0 and li < len(layers):
+                        take = min(need, layers[li][0])
+                        if take > 0:
+                            cogs += take * layers[li][1]
+                            matched += take
+                            n_layers += 1
+                        layers[li][0] -= take
+                        need -= take
+                        if layers[li][0] == 0:
+                            li += 1
+                    if matched:
+                        expected[(pk, r["l_orderkey"], r["l_linenumber"])] = (
+                            r["qty"], matched, n_layers, cogs
+                        )
+        got = {
+            (r["partkey"], r["orderkey"], r["linenumber"]): (
+                r["ship_qty"], r["matched_qty"], r["n_layers"], r["cogs_micro"]
+            )
+            for r in registry.QUERIES["fifo_cogs_matching"](spark, sf_dir).collect()
+        }
+        assert got == expected and got
