@@ -1091,3 +1091,101 @@ def leakage_embedding_cosine_cross_split(spark: SparkSession, sf_dir: str) -> Da
             F.max("cosine").alias("max_cosine"),
         )
     )
+
+
+COARSE_DIMS = 16  # prefix dimensions for the cheap first pass
+COARSE_SHORTLIST = 50  # survivors handed to the exact reranker
+RERANK_TOP = 10
+
+
+@query(
+    "retrieval_coarse_to_fine_rerank",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < {N_RRF_QUERIES}
+    ), c AS (
+        SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+    ), coarse AS (
+        SELECT q.query_id, c.doc_id, q.qe, c.ce,
+               list_dot_product(q.qe[1:{COARSE_DIMS}], c.ce[1:{COARSE_DIMS}])
+                   AS coarse_dot,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qe[1:{COARSE_DIMS}],
+                                             c.ce[1:{COARSE_DIMS}]) DESC,
+                            c.doc_id ASC) AS coarse_rank
+        FROM q CROSS JOIN c WHERE q.query_id <> c.doc_id
+    ), fine AS (
+        SELECT query_id, doc_id, coarse_rank,
+               round(list_dot_product(qe, ce)
+                     / (sqrt(list_dot_product(qe, qe))
+                        * sqrt(list_dot_product(ce, ce))), 4) AS cosine,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_dot_product(qe, ce)
+                            / (sqrt(list_dot_product(qe, qe))
+                               * sqrt(list_dot_product(ce, ce))) DESC,
+                            doc_id ASC) AS fine_rank
+        FROM coarse WHERE coarse_rank <= {COARSE_SHORTLIST}
+    )
+    SELECT query_id, doc_id, coarse_rank, cosine, fine_rank
+    FROM fine WHERE fine_rank <= {RERANK_TOP}
+    """,
+)
+def retrieval_coarse_to_fine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-to-fine retrieval (the Matryoshka / PQ-rerank pattern):
+    a CHEAP first pass scores only the first {COARSE_DIMS} of 64
+    dimensions (4x less arithmetic and — with dimension-sliced
+    storage — 4x less I/O), keeps a {COARSE_SHORTLIST}-candidate
+    shortlist per query, and only the shortlist pays the full-width
+    exact cosine. The two-stage contract is the production shape of
+    every modern vector stack (coarse ANN / binary / truncated dims,
+    then exact rerank); here both stages are deterministic, so the
+    WHOLE cascade is oracle-checked — including the shortlist
+    boundary, since the coarse rank's (dot, doc_id) order is total.
+
+    Same engine devices as the rest of the family: slice() for the
+    prefix dims, the proven dot fold, broadcast queries, corpus never
+    moves, WindowGroupLimit on both row_number filters. The recall
+    gap of the truncation (fine winners outside the shortlist) is the
+    accepted trade — measured for the ANN paths by ann_recall_report.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_RRF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.slice(F.col("embedding"), 1, COARSE_DIMS).alias("qs"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("ce"),
+        F.slice(F.col("embedding"), 1, COARSE_DIMS).alias("cs"),
+    )
+    w_coarse = Window.partitionBy("query_id").orderBy(
+        F.desc("coarse_dot"), F.asc("doc_id")
+    )
+    shortlist = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .withColumn("coarse_dot", dot(F.col("qs"), F.col("cs")))
+        .withColumn("coarse_rank", F.row_number().over(w_coarse))
+        .filter(F.col("coarse_rank") <= COARSE_SHORTLIST)
+    )
+    cosine = dot(F.col("qe"), F.col("ce")) / (
+        F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("ce"), F.col("ce")))
+    )
+    w_fine = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("doc_id"))
+    return (
+        shortlist.withColumn("cos_raw", cosine)
+        .withColumn("fine_rank", F.row_number().over(w_fine))
+        .filter(F.col("fine_rank") <= RERANK_TOP)
+        .select(
+            "query_id",
+            "doc_id",
+            "coarse_rank",
+            F.round("cos_raw", 4).alias("cosine"),
+            "fine_rank",
+        )
+    )
