@@ -3288,3 +3288,80 @@ def spatial_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist2") <= GRID_R * GRID_R)
         .select("id_a", "id_b", "dist2")
     )
+
+
+@query(
+    "dq_quarantine_split",
+    oracle="""
+    WITH checked AS (
+        SELECT o_orderkey,
+               concat_ws(',',
+                   CASE WHEN o_custkey IS NULL THEN 'null_custkey' END,
+                   CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+                        THEN 'nonpositive_price' END,
+                   CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                          OR o_orderstatus IS NULL THEN 'bad_status' END,
+                   CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                          OR o_orderdate >= TIMESTAMP '2030-01-01'
+                          OR o_orderdate IS NULL THEN 'date_out_of_range' END,
+                   CASE WHEN o_orderkey % 97 = 0 THEN 'synthetic_poison' END
+               ) AS failed_rules
+        FROM orders
+    )
+    SELECT CASE WHEN failed_rules = '' THEN 'clean' ELSE 'quarantine' END
+               AS route,
+           failed_rules,
+           count(*) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS example_orderkey
+    FROM checked GROUP BY 1, 2
+    """,
+)
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level data-contract routing: every row is annotated with
+    the comma-joined list of violated expectations (null key,
+    non-positive money, invalid enum, out-of-range date, plus a
+    synthetic %97 poison rule so the quarantine path is non-empty on
+    clean test data) and routed clean/quarantine — the write-side
+    twin of dq_constraint_checks' read-side report, and the pattern
+    behind every dead-letter/badRecordsPath sink: bad rows are
+    PRESERVED with their diagnosis, never dropped silently. Graded at
+    the (route, rule-combination) grain with counts and a
+    deterministic example key; the row-level frame (one map-side
+    projection, no shuffle) is what a real pipeline writes to two
+    sinks.
+
+    The rule expressions are row-local CASEs; concat_ws skips NULLs
+    identically in both engines, making the combination string a
+    stable contract.
+    """
+    o = load(spark, sf_dir, "orders")
+    failed = F.concat_ws(
+        ",",
+        F.when(F.col("o_custkey").isNull(), "null_custkey"),
+        F.when(
+            (F.col("o_totalprice") <= 0) | F.col("o_totalprice").isNull(),
+            "nonpositive_price",
+        ),
+        F.when(
+            ~F.col("o_orderstatus").isin("O", "F", "P")
+            | F.col("o_orderstatus").isNull(),
+            "bad_status",
+        ),
+        F.when(
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2030-01-01").cast("timestamp"))
+            | F.col("o_orderdate").isNull(),
+            "date_out_of_range",
+        ),
+        F.when(F.col("o_orderkey") % 97 == 0, "synthetic_poison"),
+    )
+    checked = o.select("o_orderkey", failed.alias("failed_rules"))
+    return checked.groupBy(
+        F.when(F.col("failed_rules") == "", "clean")
+        .otherwise("quarantine")
+        .alias("route"),
+        "failed_rules",
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderkey").cast("long").alias("example_orderkey"),
+    )

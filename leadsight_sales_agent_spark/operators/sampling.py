@@ -1066,3 +1066,94 @@ def sample_ht_estimator_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - sum(cents)) + sum(cents)) DIV (2 * sum(cents)) AS BIGINT)"
         ).alias("err_bp"),
     )
+
+
+WILSON_Z = 1.96  # 95% — a decimal literal, parsed to the same double everywhere
+
+
+@query(
+    "ab_wilson_significance",
+    oracle=f"""
+    WITH arms AS (
+        SELECT user_id,
+               CASE WHEN {_SQL_HASH.format(salt='ab:', key='user_id')}
+                         < '{AB_ARM_THRESHOLD}' THEN 'A' ELSE 'B' END AS arm,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY 1
+    ), agg AS (
+        SELECT arm, count(*) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted
+        FROM arms GROUP BY 1
+    )
+    SELECT arm, n_users, n_converted,
+           CAST((2 * 10000 * n_converted + n_users) // (2 * n_users) AS BIGINT)
+               AS conv_bp,
+           round(((CAST(n_converted AS DOUBLE) / n_users)
+                  + ({WILSON_Z} * {WILSON_Z}) / (2 * n_users)
+                  - {WILSON_Z} * sqrt(((CAST(n_converted AS DOUBLE) / n_users)
+                        * (1 - (CAST(n_converted AS DOUBLE) / n_users))) / n_users
+                      + ({WILSON_Z} * {WILSON_Z}) / (4.0 * n_users * n_users)))
+                 / (1 + ({WILSON_Z} * {WILSON_Z}) / n_users), 6) AS wilson_low,
+           round(((CAST(n_converted AS DOUBLE) / n_users)
+                  + ({WILSON_Z} * {WILSON_Z}) / (2 * n_users)
+                  + {WILSON_Z} * sqrt(((CAST(n_converted AS DOUBLE) / n_users)
+                        * (1 - (CAST(n_converted AS DOUBLE) / n_users))) / n_users
+                      + ({WILSON_Z} * {WILSON_Z}) / (4.0 * n_users * n_users)))
+                 / (1 + ({WILSON_Z} * {WILSON_Z}) / n_users), 6) AS wilson_high
+    FROM agg
+    """,
+)
+def ab_wilson_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval per experiment arm — the
+    significance layer ab_deterministic_assignment deliberately left
+    downstream, landed HERE because this composition is provably
+    hash-safe: every term is +,-,*,/ or sqrt on doubles derived from
+    exact integers, all IEEE-754 correctly-rounded operations — no
+    libm transcendental, no decimal cast, no accumulation-order
+    dependence — and the expression tree is written with IDENTICAL
+    association in both engines (the refinement of the older 'ratios
+    can't hash-check' rule: they can, when the whole tree is
+    correctly-rounded ops; ln/exp/pow and double->decimal casts are
+    the actual hazards). Conversion is per-USER (max-flag per user,
+    then one aggregate per arm); the rate ships as half-up integer
+    basis points alongside the rounded-6dp bounds.
+
+    The non-overlap of the two arms' intervals is the standard launch
+    gate read straight off this 2-row result.
+    """
+    z2 = WILSON_Z * WILSON_Z
+    ev = load(spark, sf_dir, "events")
+    arms = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    ).select(
+        F.when(
+            hash_key("ab:", F.col("user_id")) < F.lit(AB_ARM_THRESHOLD), "A"
+        )
+        .otherwise("B")
+        .alias("arm"),
+        "converted",
+    )
+    agg = arms.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    p = F.col("n_converted").cast("double") / F.col("n_users")
+    n = F.col("n_users")
+    center = p + F.lit(z2) / (2 * n)
+    rad = F.lit(WILSON_Z) * F.sqrt(
+        (p * (1 - p)) / n + F.lit(z2) / (4.0 * n * n)
+    )
+    denom = 1 + F.lit(z2) / n
+    return agg.select(
+        "arm",
+        "n_users",
+        "n_converted",
+        F.expr(
+            "CAST((2 * 10000 * n_converted + n_users) DIV (2 * n_users) AS BIGINT)"
+        ).alias("conv_bp"),
+        F.round((center - rad) / denom, 6).alias("wilson_low"),
+        F.round((center + rad) / denom, 6).alias("wilson_high"),
+    )

@@ -164,7 +164,8 @@ _PANEL_50 = [
 # feature_hashing_trick, feature_woe_iv, rolling_active_users_7d,
 # graph_degree_distribution, neardup_prefix_filter_join,
 # fifo_cogs_matching, agg_weighted_median_price,
-# retrieval_coarse_to_fine_rerank
+# retrieval_coarse_to_fine_rerank, ab_wilson_significance,
+# dq_quarantine_split
 # (sketch_misra_gries_heavy_hitters is rows-only).
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo

@@ -810,3 +810,29 @@ class TestFifoMatching:
             for r in registry.QUERIES["fifo_cogs_matching"](spark, sf_dir).collect()
         }
         assert got == expected and got
+
+
+class TestWilson:
+    def test_interval_contains_point_estimate(self, spark, sf_dir):
+        rows = registry.QUERIES["ab_wilson_significance"](spark, sf_dir).collect()
+        assert {r["arm"] for r in rows} == {"A", "B"}
+        for r in rows:
+            p = r["n_converted"] / r["n_users"]
+            assert 0.0 <= r["wilson_low"] <= p <= r["wilson_high"] <= 1.0
+            # interval narrows with n: sanity width bound for n >= 30
+            if r["n_users"] >= 30:
+                assert r["wilson_high"] - r["wilson_low"] < 0.5
+
+
+class TestQuarantine:
+    def test_routes_partition_the_table_and_poison_rule_fires(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = registry.QUERIES["dq_quarantine_split"](spark, sf_dir).collect()
+        total = sum(r["n_rows"] for r in rows)
+        assert total == load(spark, sf_dir, "orders").count()
+        q = [r for r in rows if r["route"] == "quarantine"]
+        assert q and all(r["failed_rules"] for r in q)
+        assert any("synthetic_poison" in r["failed_rules"] for r in q)
+        clean = [r for r in rows if r["route"] == "clean"]
+        assert clean and all(r["failed_rules"] == "" for r in clean)
