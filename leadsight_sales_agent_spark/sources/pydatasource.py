@@ -19,7 +19,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _LANGS = ("en", "de", "fr", "es", "zh")
 _WORDS = (
@@ -76,3 +81,31 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _SyntheticDocsStreamReader(self.options)
+
+
+class _SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-based streaming replayer over the same deterministic
+    generator: each micro-batch advances the offset by `batch_rows`
+    until `n_rows` is exhausted, then reports no new data. This is the
+    message-queue-consumer contract (offset in, rows + next offset
+    out) with replay support (`readBetweenOffsets` re-materializes any
+    committed range bit-identically — the recovery path after a
+    checkpoint restore)."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 120))
+        self.batch_rows = int(options.get("batch_rows", 50))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = int(start["pos"])
+        end = min(pos + self.batch_rows, self.n_rows)
+        return iter([_doc_for(i) for i in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_doc_for(i) for i in range(int(start["pos"]), int(end["pos"]))])

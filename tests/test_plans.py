@@ -657,3 +657,30 @@ class TestR5Session2Plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Join" in plan  # the cell-key equi join survives
+
+    def test_nested_struct_schema_pruning_reaches_scan(self, spark, sf_dir, tmp_path):
+        # nested parquet: selecting one struct leaf must prune the scan
+        # to that leaf (ReadSchema shows the nested subfield only)
+        from pyspark.sql import functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.struct(
+                F.col("lang").alias("lang"),
+                F.col("source").alias("source"),
+                F.col("n_chars").alias("n_chars"),
+            ).alias("meta"),
+            "text",
+        )
+        out = str(tmp_path / "nested_docs")
+        docs.write.parquet(out)
+        df = spark.read.parquet(out).select("doc_id", "meta.lang")
+        plan = formatted_plan(df)
+        m = re.search(r"ReadSchema: struct<([^\n]*)>", plan)
+        assert m, plan
+        schema = m.group(1)
+        assert "lang" in schema
+        assert "text" not in schema  # whole wide column dropped
+        assert "n_chars" not in schema  # sibling struct leaf pruned too

@@ -250,3 +250,46 @@ class TestBinaryFileSource:
             .load(str(tmp_path))
         )
         assert [r["path"].rsplit("/", 1)[-1] for r in df.collect()] == ["keep.png"]
+
+
+class TestPythonStreamingDataSource:
+    def test_offset_stream_replays_the_deterministic_corpus(
+        self, spark, tmp_path
+    ):
+        # the message-queue contract: offsets in, rows + next offset
+        # out; the capped source drains under availableNow and the
+        # collected union equals the batch generator exactly
+        from leadsight_sales_agent_spark.sources.pydatasource import (
+            SyntheticDocsDataSource,
+            _doc_for,
+        )
+
+        spark.dataSource.register(SyntheticDocsDataSource)
+        got: list = []
+
+        def sink(df, _epoch):
+            got.extend(
+                (r["doc_id"], r["text"], r["lang"]) for r in df.collect()
+            )
+
+        # NOTE: availableNow snapshots only the FIRST prefetched
+        # micro-batch of a SimpleDataSourceStreamReader, so the drain
+        # loop runs a continuous trigger and stops once the capped
+        # source is exhausted.
+        import time
+
+        q = (
+            spark.readStream.format("synthetic_docs")
+            .option("n_rows", 120)
+            .option("batch_rows", 50)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt_pyds"))
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        deadline = time.time() + 90
+        while time.time() < deadline and len(got) < 120:
+            time.sleep(1)
+        q.stop()
+        assert sorted(got) == [_doc_for(i) for i in range(120)]
