@@ -2093,3 +2093,165 @@ def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("tot").cast("long").alias("total_weight"),
     )
+
+
+@query(
+    "concentration_gini_hhi_by_segment",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT segment, cents,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY cents, o_custkey) AS i,
+               count(*) OVER (PARTITION BY segment) AS n,
+               CAST(sum(cents) OVER (PARTITION BY segment) AS BIGINT) AS t
+        FROM cust
+    ), shares AS (
+        SELECT segment, cents, i, n, t,
+               CAST((2 * 10000 * cents + t) // (2 * t) AS BIGINT) AS share_bp
+        FROM ranked
+    )
+    SELECT segment,
+           CAST(min(n) AS BIGINT) AS n_customers,
+           min(t) AS total_cents,
+           CAST((2 * 10000 * CAST(sum((2 * i - n - 1) * cents) AS BIGINT)
+                 + min(n) * min(t))
+                // (2 * min(n) * min(t)) AS BIGINT) AS gini_bp,
+           CAST((2 * CAST(sum(share_bp * share_bp) AS BIGINT) + 10000)
+                // (2 * 10000) AS BIGINT) AS hhi_bp
+    FROM shares GROUP BY segment
+    """,
+)
+def concentration_gini_hhi_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration metrics per market segment: the GINI
+    coefficient (inequality of customer spend) and the
+    HERFINDAHL-HIRSCHMAN index (share concentration) — the two
+    standard answers to 'is this segment whale-dominated?', feeding
+    pricing and churn-risk analysis. Both land exact-integer: Gini
+    through the sorted-prefix identity G = Σ(2i−n−1)·x_(i) / (n·Σx)
+    (one row_number window over the per-customer rollup — never the
+    O(n²) pairwise-difference definition), HHI over half-up
+    basis-point shares (Σ share_bp², rescaled — a DEFINED integer
+    spec, so no rational-share float ever materializes).
+
+    Plan: facts collapse to (segment, customer) grain first; the
+    windows and the final aggregate share one segment partitioning.
+    Magnitudes: (2i−n−1)·cents ≤ 4·10^10 per row, Σ ≤ 10^13 —
+    comfortable BIGINT.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("segment")
+    ranked = (
+        cust.withColumn(
+            "i",
+            F.row_number().over(
+                Window.partitionBy("segment").orderBy("cents", "o_custkey")
+            ),
+        )
+        .withColumn("n", F.count("*").over(w))
+        .withColumn("t", F.sum("cents").over(w).cast("long"))
+        .withColumn(
+            "share_bp",
+            F.expr("CAST((2 * 10000 * cents + t) DIV (2 * t) AS BIGINT)"),
+        )
+    )
+    return ranked.groupBy("segment").agg(
+        F.min("n").cast("long").alias("n_customers"),
+        F.min("t").alias("total_cents"),
+        F.expr(
+            "CAST((2 * 10000 * CAST(sum((2 * i - n - 1) * cents) AS BIGINT)"
+            " + min(n) * min(t)) DIV (2 * min(n) * min(t)) AS BIGINT)"
+        ).alias("gini_bp"),
+        F.expr(
+            "CAST((2 * CAST(sum(share_bp * share_bp) AS BIGINT) + 10000)"
+            " DIV (2 * 10000) AS BIGINT)"
+        ).alias("hhi_bp"),
+    )
+
+
+BENFORD_BP = {1: 3010, 2: 1761, 3: 1249, 4: 969, 5: 792, 6: 669, 7: 580, 8: 512, 9: 458}
+# round(log10(1 + 1/d) * 1e4) — fixed integer constants, no runtime log
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                                  AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+                   AS digit
+        FROM orders
+    ), expected(digit, expected_bp) AS (
+        VALUES {", ".join(f"({d}, {bp})" for d, bp in BENFORD_BP.items())}
+    ), obs AS (
+        SELECT digit, count(*) AS n,
+               CAST(sum(count(*)) OVER () AS BIGINT) AS total
+        FROM d GROUP BY 1
+    )
+    SELECT e.digit, COALESCE(o.n, 0) AS n,
+           CAST(COALESCE((2 * 10000 * o.n + o.total) // (2 * o.total), 0)
+                AS BIGINT) AS observed_bp,
+           e.expected_bp,
+           abs(CAST(COALESCE((2 * 10000 * o.n + o.total) // (2 * o.total), 0)
+                    AS BIGINT) - e.expected_bp) AS deviation_bp
+    FROM expected e LEFT JOIN obs o ON e.digit = o.digit
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the forensic-accounting
+    screen for fabricated or constrained numeric columns: observed
+    leading-digit frequencies of the money column against Benford's
+    expected distribution, per-digit deviation in basis points. The
+    expected probabilities are FIXED integer constants (no runtime
+    log), the first digit comes from the exact-cent integer's decimal
+    string, and rates are half-up bp — all integer, one scan. On this
+    near-uniform synthetic ledger the audit correctly REJECTS
+    Benford (large deviations) — that asymmetry is the detector
+    doing its job; a real organic ledger scores near zero.
+
+    The digit grid is a 9-row inline VALUES dimension left-joined so
+    never-occurring digits still report (the dashboard contract).
+    """
+    o = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+        .cast("long")
+        .cast("string"),
+        1,
+        1,
+    ).cast("int")
+    obs = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()).cast("long"))
+    )
+    expected = spark.createDataFrame(
+        [(d, bp) for d, bp in BENFORD_BP.items()], "digit INT, expected_bp BIGINT"
+    )
+    joined = expected.join(obs, "digit", "left")
+    obs_bp = F.expr(
+        "CAST(COALESCE((2 * 10000 * n + total) DIV (2 * total), 0) AS BIGINT)"
+    )
+    return joined.select(
+        "digit",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        obs_bp.alias("observed_bp"),
+        "expected_bp",
+        F.abs(obs_bp - F.col("expected_bp")).alias("deviation_bp"),
+    )

@@ -165,7 +165,8 @@ _PANEL_50 = [
 # graph_degree_distribution, neardup_prefix_filter_join,
 # fifo_cogs_matching, agg_weighted_median_price,
 # retrieval_coarse_to_fine_rerank, ab_wilson_significance,
-# dq_quarantine_split
+# dq_quarantine_split, concentration_gini_hhi_by_segment,
+# benford_first_digit_audit
 # (sketch_misra_gries_heavy_hitters is rows-only).
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
