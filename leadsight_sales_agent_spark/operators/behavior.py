@@ -1350,3 +1350,65 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_score_cents"),
         )
     )
+
+
+PATH_LEN = 3  # leading events per user journey
+PATH_TOP = 15
+
+
+@query(
+    "path_top_sequences",
+    oracle=f"""
+    WITH paths AS (
+        SELECT user_id,
+               array_to_string((array_agg(event_type
+                                          ORDER BY ts, event_id))[1:{PATH_LEN}],
+                               '>') AS path
+        FROM events GROUP BY user_id
+    )
+    SELECT path, n_users, rn AS rank
+    FROM (
+        SELECT path, n_users,
+               row_number() OVER (ORDER BY n_users DESC, path ASC) AS rn
+        FROM (SELECT path, count(*) AS n_users FROM paths GROUP BY path) c
+    ) t
+    WHERE rn <= 15
+    """,
+)
+def path_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey openings: each user's FIRST {PATH_LEN} events
+    (total order (ts, event_id)) joined into a path string, ranked by
+    user count — the sequence-level complement of the pairwise Markov
+    matrix (markov_event_transitions): where the matrix says what
+    follows what, the path table says which whole openings dominate,
+    the direct input to onboarding-flow design and the sequence-mining
+    seed set.
+
+    One grouped sort-collect per user (collect_list + array_sort on a
+    (ts, event_id, type) struct keeps the order total and engine-
+    stable), slice, join — then a tiny path-grain rollup with a
+    literal-bound rank (WindowGroupLimit). The path alphabet bounds
+    the result at |alphabet|^{PATH_LEN} regardless of user count.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    paths = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.slice(F.transform("evs", lambda e: e["event_type"]), 1, PATH_LEN),
+                ">",
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count("*").alias("n_users"))
+    w = Window.orderBy(F.desc("n_users"), F.asc("path"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PATH_TOP)
+        .select("path", "n_users", "rank")
+    )

@@ -1013,3 +1013,53 @@ def neardup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * (size_a + size_b - n_common)) AS BIGINT)"
         ).alias("jaccard_bp"),
     )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT source, md5(substr(text, 1, 40)) AS content_hash
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared_contents
+    FROM h a JOIN h b
+      ON a.content_hash = b.content_hash AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplicate matrix: for every pair of corpus
+    sources, how many distinct document FINGERPRINTS they share (the
+    40-char-prefix fingerprint, the repo's standard near-dup key —
+    exact md5-of-content finds nothing across these synthetic
+    sources, while prefix collisions are exactly the cross-source
+    near-dups the curation pass must reconcile) — the
+    overlap report that decides crawl-source dedup priority and
+    mixture double-counting corrections (a source pair sharing half
+    its content must not both contribute full weight in
+    sample_mixture_weighted_sources). Distinct (source, content-hash)
+    first — so a source repeating its own duplicate counts once —
+    then a hash-equi self-join restricted to ordered pairs: the
+    matrix is |sources|^2-bounded regardless of corpus size, and the
+    40-byte hash join is the same shuffle the exact-dedup pass
+    already runs (one scan feeds both at 100 TB).
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    h = docs.select(
+        "source", F.md5(F.substring("text", 1, 40)).alias("content_hash")
+    ).distinct()
+    a = h.alias("a")
+    b = h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.content_hash") == F.col("b.content_hash"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared_contents"))
+    )

@@ -166,7 +166,8 @@ _PANEL_50 = [
 # fifo_cogs_matching, agg_weighted_median_price,
 # retrieval_coarse_to_fine_rerank, ab_wilson_significance,
 # dq_quarantine_split, concentration_gini_hhi_by_segment,
-# benford_first_digit_audit
+# benford_first_digit_audit, path_top_sequences,
+# dedup_cross_source_matrix
 # (sketch_misra_gries_heavy_hitters is rows-only).
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
