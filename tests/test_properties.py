@@ -19,6 +19,7 @@ import re
 from fractions import Fraction
 
 import duckdb
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -279,3 +280,44 @@ class TestRenderFunctionParity:
         got = {r["i"]: r["s"] for r in df.select("i", rendered.alias("s")).collect()}
         for i, n in enumerate(sizes):
             assert got[i] == py_pretty(n), n
+
+
+class TestHalfUpDivisionDevice:
+    """The (2a + b) DIV (2b) half-up quotient is the backbone of every
+    basis-point / cents / micro-unit output in the registry (~20
+    queries). Pin it against exact Fraction arithmetic, across Spark,
+    DuckDB `//`, and Python — one batched Spark job per example."""
+
+    @pytest.fixture(autouse=True)
+    def _bind_spark(self, spark):
+        self.spark = spark
+
+    @settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10**15),
+                st.integers(min_value=1, max_value=10**12),
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def test_three_way_agreement_with_fraction(self, pairs):
+        import duckdb as ddb
+
+        spark = self.spark
+        df = spark.createDataFrame(pairs, "a LONG, b LONG").selectExpr(
+            "a", "b", "CAST((2 * a + b) DIV (2 * b) AS BIGINT) AS q"
+        )
+        got = {(r["a"], r["b"]): r["q"] for r in df.collect()}
+        con = ddb.connect()
+        for a, b in pairs:
+            f = Fraction(a, b)
+            # round half UP (away from zero for the non-negative domain)
+            expect = int(f) + (1 if (f - int(f)) >= Fraction(1, 2) else 0)
+            assert got[(a, b)] == expect
+            (dq,) = con.execute(
+                f"SELECT CAST((2*{a}::HUGEINT + {b}) // (2*{b}::HUGEINT) AS BIGINT)"
+            ).fetchone()
+            assert dq == expect
