@@ -1189,3 +1189,121 @@ def retrieval_coarse_to_fine_rerank(spark: SparkSession, sf_dir: str) -> DataFra
             "fine_rank",
         )
     )
+
+
+BQ_SHORTLIST = 40  # Hamming-ranked candidates that pay the exact rerank
+BQ_TOP = 10
+
+
+@query(
+    "retrieval_binary_quantization",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS emb,
+               (SELECT CAST(sum(CASE WHEN (CAST(embedding AS DOUBLE[]))[g.i] > 0
+                                     THEN CAST(1 AS BIGINT) << (g.i - 1)
+                                     ELSE 0 END) AS BIGINT)
+                FROM unnest(generate_series(1, 63)) AS g(i)) AS sig
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, emb AS qe, sig AS qsig FROM sig
+        WHERE vec_id < {N_RRF_QUERIES}
+    ), ham AS (
+        SELECT q.query_id, c.vec_id AS doc_id, q.qe, c.emb AS ce,
+               bit_count(xor(q.qsig, c.sig)) AS hamming,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY bit_count(xor(q.qsig, c.sig)) ASC,
+                            c.vec_id ASC) AS ham_rank
+        FROM q CROSS JOIN sig c
+        WHERE q.query_id <> c.vec_id
+    ), rer AS (
+        SELECT query_id, doc_id, hamming, ham_rank,
+               round(list_dot_product(qe, ce)
+                     / (sqrt(list_dot_product(qe, qe))
+                        * sqrt(list_dot_product(ce, ce))), 4) AS cosine,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_dot_product(qe, ce)
+                            / (sqrt(list_dot_product(qe, qe))
+                               * sqrt(list_dot_product(ce, ce))) DESC,
+                            doc_id ASC) AS fine_rank
+        FROM ham WHERE ham_rank <= {BQ_SHORTLIST}
+    )
+    SELECT query_id, doc_id, hamming, ham_rank, cosine, fine_rank
+    FROM rer WHERE fine_rank <= {BQ_TOP}
+    """,
+)
+def retrieval_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized retrieval — the 1-bit-per-dimension compression
+    of the moment (64 dims → one BIGINT, a 256x storage cut at
+    float32): sign-bit signatures built in one array fold, candidates
+    ranked by HAMMING distance (xor + bit_count — pure integer, SIMD
+    on any hardware), and only the top-{BQ_SHORTLIST} pay the exact
+    cosine rerank. Completes the engine's quantization ladder (int8
+    affine, product quantization, binary) and mirrors the
+    coarse-to-fine cascade with an even cheaper first stage; unlike
+    SimHash's random hyperplanes this quantizes the RAW sign pattern,
+    so the signature is also the storable index column. Dimension 64
+    is dropped to keep the signature in the 63 positive bits of a
+    BIGINT (no unsigned 64-bit in either engine — the documented
+    1-dim information loss of this representation).
+
+    Fully deterministic both stages → the whole cascade
+    oracle-checks, shortlist boundary included (Hamming ties break on
+    doc_id). Queries broadcast; signatures cost 8 bytes/row of
+    shuffle; the corpus never moves.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    sig_col = F.expr(
+        "aggregate(zip_with(slice(embedding, 1, 63), sequence(0, 62),"
+        " (v, i) -> IF(v > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i),"
+        " CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    sig = emb.select(
+        "vec_id", F.col("embedding").alias("emb"), sig_col.alias("sig")
+    )
+    q = sig.filter(F.col("vec_id") < N_RRF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("sig").alias("qsig"),
+    )
+    ham = (
+        F.broadcast(q)
+        .crossJoin(sig.select(F.col("vec_id").alias("doc_id"), F.col("emb").alias("ce"), "sig"))
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .withColumn("hamming", F.bit_count(F.col("qsig").bitwiseXOR(F.col("sig"))))
+        .withColumn(
+            "ham_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("hamming"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("ham_rank") <= BQ_SHORTLIST)
+    )
+    cosine = dot(F.col("qe"), F.col("ce")) / (
+        F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("ce"), F.col("ce")))
+    )
+    return (
+        ham.withColumn("cos_raw", cosine)
+        .withColumn(
+            "fine_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cos_raw"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("fine_rank") <= BQ_TOP)
+        .select(
+            "query_id",
+            "doc_id",
+            "hamming",
+            "ham_rank",
+            F.round("cos_raw", 4).alias("cosine"),
+            "fine_rank",
+        )
+    )
