@@ -1927,3 +1927,53 @@ def collation_utf8_lcase_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang_ci", "n_docs", "n_case_variants")
     )
+
+
+def _langid_confusion_oracle() -> str:
+    """Composed mechanically from the registered langid oracle (the
+    pipeline_curate_and_pack device): the classifier's spec appears
+    exactly once in the registry, so the eval can never drift from
+    the classifier it grades."""
+    from leadsight_sales_agent_spark.registry import ORACLES
+
+    inner = ORACLES["text_langid_heuristic"]
+    return f"""
+    WITH pred AS ({inner})
+    SELECT actual_lang, predicted_lang,
+           count(*) AS n_docs,
+           CAST((2 * 10000 * count(*)
+                 + sum(count(*)) OVER (PARTITION BY actual_lang))
+                // (2 * sum(count(*)) OVER (PARTITION BY actual_lang))
+                AS BIGINT) AS share_of_actual_bp
+    FROM pred
+    GROUP BY actual_lang, predicted_lang
+    """
+
+
+@query("eval_langid_confusion", oracle=_langid_confusion_oracle())
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against gold
+    labels — the eval every classifier in the curation stack needs,
+    at the (actual, predicted) grain with the row-conditional share
+    in half-up basis points (the recall diagonal reads straight off
+    the matrix). BOTH sides compose mechanically from the registered
+    classifier: Spark calls the registered query, the oracle inlines
+    the registered oracle string as a CTE — one spec, zero drift
+    (the pipeline_curate_and_pack composition device).
+    """
+    from leadsight_sales_agent_spark.registry import QUERIES
+
+    pred = QUERIES["text_langid_heuristic"](spark, sf_dir)
+    t = pred.groupBy("actual_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    return t.select(
+        "actual_lang",
+        "predicted_lang",
+        "n_docs",
+        F.expr(
+            "CAST((2 * 10000 * n_docs"
+            " + sum(n_docs) OVER (PARTITION BY actual_lang))"
+            " DIV (2 * sum(n_docs) OVER (PARTITION BY actual_lang)) AS BIGINT)"
+        ).alias("share_of_actual_bp"),
+    )

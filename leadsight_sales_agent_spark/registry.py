@@ -167,7 +167,8 @@ _PANEL_50 = [
 # retrieval_coarse_to_fine_rerank, ab_wilson_significance,
 # dq_quarantine_split, concentration_gini_hhi_by_segment,
 # benford_first_digit_audit, path_top_sequences,
-# dedup_cross_source_matrix, retrieval_binary_quantization
+# dedup_cross_source_matrix, retrieval_binary_quantization,
+# eval_langid_confusion
 # (sketch_misra_gries_heavy_hitters is rows-only).
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
