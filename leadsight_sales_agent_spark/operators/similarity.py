@@ -1307,3 +1307,193 @@ def retrieval_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame
             "fine_rank",
         )
     )
+
+
+HYBRID_QUERY_VEC = 0  # the query embedding; doc 0 is excluded from both legs
+HYBRID_SHORTLIST = 50
+HYBRID_TOP = 10
+
+
+def _hybrid_oracle() -> str:
+    from leadsight_sales_agent_spark.operators.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+    )
+
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents WHERE length(trim(text)) > 0 AND doc_id <> {HYBRID_QUERY_VEC}
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+    ), stats AS (
+        SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl
+    ), tf AS (
+        SELECT doc_id, t, count(*) AS tf FROM tok
+        WHERE t IN {BM25_TERMS} GROUP BY 1, 2
+    ), idf AS (
+        SELECT t, CAST(round(ln(1 + (CAST(s.n AS DOUBLE) - df + 0.5)
+                                   / (df + 0.5)) * 1000000) AS BIGINT) AS idf_micro
+        FROM (SELECT t, count(*) AS df FROM tf GROUP BY 1) d CROSS JOIN stats s
+    ), lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS lex_rank
+        FROM (
+            SELECT f.doc_id,
+                   sum(i.idf_micro * ((f.tf * ({BM25_K1} + 1))
+                       / (f.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B}
+                          * (d.dl / (CAST(s.total_dl AS DOUBLE) / s.n))))))
+                       AS score_micro
+            FROM tf f
+            JOIN dl d ON d.doc_id = f.doc_id
+            JOIN idf i ON i.t = f.t
+            CROSS JOIN stats s GROUP BY f.doc_id
+        )
+    ), qv AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+        WHERE vec_id = {HYBRID_QUERY_VEC}
+    ), vec AS (
+        SELECT c.vec_id AS doc_id,
+               row_number() OVER (
+                   ORDER BY list_dot_product(q.qe, CAST(c.embedding AS DOUBLE[]))
+                            / (sqrt(list_dot_product(q.qe, q.qe))
+                               * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                       CAST(c.embedding AS DOUBLE[]))))
+                            DESC, c.vec_id ASC) AS vec_rank
+        FROM embeddings c CROSS JOIN qv q
+        WHERE c.vec_id <> {HYBRID_QUERY_VEC}
+    ), fused AS (
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               l.lex_rank, v.vec_rank,
+               CAST(COALESCE(CASE WHEN l.lex_rank <= {HYBRID_SHORTLIST}
+                                  THEN 1000000 // (60 + l.lex_rank) END, 0)
+                  + COALESCE(CASE WHEN v.vec_rank <= {HYBRID_SHORTLIST}
+                                  THEN 1000000 // (60 + v.vec_rank) END, 0)
+                  AS BIGINT) AS rrf_micro
+        FROM (SELECT * FROM lex WHERE lex_rank <= {HYBRID_SHORTLIST}) l
+        FULL OUTER JOIN (SELECT * FROM vec
+                         WHERE vec_rank <= {HYBRID_SHORTLIST}) v
+          ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, rrf_micro, rn AS fused_rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS rn
+        FROM fused
+    ) t WHERE rn <= {HYBRID_TOP}
+    """
+
+
+@query("retrieval_hybrid_bm25_vector", oracle=_hybrid_oracle())
+def retrieval_hybrid_bm25_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE hybrid search — the production retrieval stack in one
+    graded plan: a BM25 lexical shortlist over ``documents`` and an
+    exact-cosine vector shortlist over ``embeddings`` (the corpora
+    share the id space), fused by reciprocal rank on the shared id.
+    A document surfaces by keywords, by meaning, or both; ranks —
+    not raw scores — meet, so the two legs' incomparable scales never
+    mix (the RRF rationale). Composes three already-graded devices:
+    the BM25 scorer (integer micro-nat idf + correctly-rounded tf
+    part), the knn cosine (proven dot/norm fold), and RRF's integer
+    contributions; a leg absent from a shortlist simply contributes
+    zero via the FULL OUTER fuse.
+
+    100 TB: each leg is its own bounded shortlist (WindowGroupLimit);
+    the fuse joins two {HYBRID_SHORTLIST}-row relations — broadcast
+    trivially; the legs scan DIFFERENT tables and can run as
+    independent stages.
+    """
+    from leadsight_sales_agent_spark.operators.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(
+            (F.length(F.trim("text")) > 0) & (F.col("doc_id") != HYBRID_QUERY_VEC)
+        )
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.sum("dl").cast("long").alias("total_dl"))
+    tf = (
+        tok.filter(F.col("t").isin(*BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("t")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "t",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n").cast("double") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n")
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * (F.col("dl") / avgdl))
+    )
+    lex = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf_micro") * tf_part).alias("score_micro"))
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))),
+        )
+        .filter(F.col("lex_rank") <= HYBRID_SHORTLIST)
+        .select("doc_id", "lex_rank")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("embedding").alias("qe")
+    )
+    cos = dot(F.col("qe"), F.col("embedding")) / (
+        F.sqrt(dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    )
+    vec = (
+        emb.filter(F.col("vec_id") != HYBRID_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos", cos)
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("vec_id"))),
+        )
+        .filter(F.col("vec_rank") <= HYBRID_SHORTLIST)
+        .select(F.col("vec_id").alias("doc_id"), "vec_rank")
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_micro",
+            F.expr(
+                f"CAST(COALESCE(CASE WHEN lex_rank <= {HYBRID_SHORTLIST}"
+                f" THEN 1000000 DIV (60 + lex_rank) END, 0)"
+                f" + COALESCE(CASE WHEN vec_rank <= {HYBRID_SHORTLIST}"
+                f" THEN 1000000 DIV (60 + vec_rank) END, 0) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "fused_rank",
+            F.row_number().over(Window.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))),
+        )
+        .filter(F.col("fused_rank") <= HYBRID_TOP)
+    )
+    return fused.select("doc_id", "lex_rank", "vec_rank", "rrf_micro", "fused_rank")

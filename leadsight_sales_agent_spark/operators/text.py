@@ -1977,3 +1977,122 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * sum(n_docs) OVER (PARTITION BY actual_lang)) AS BIGINT)"
         ).alias("share_of_actual_bp"),
     )
+
+
+BM25_TERMS = ("table", "hash", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+
+@query(
+    "text_bm25_scores",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+    ), stats AS (
+        SELECT count(*) AS n,
+               CAST(sum(dl) AS BIGINT) AS total_dl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, t, count(*) AS tf FROM tok
+        WHERE t IN {BM25_TERMS} GROUP BY 1, 2
+    ), idf AS (
+        SELECT t, CAST(round(ln(1 + (CAST(s.n AS DOUBLE) - df + 0.5)
+                                   / (df + 0.5)) * 1000000) AS BIGINT)
+                      AS idf_micro
+        FROM (SELECT t, count(*) AS df FROM tf GROUP BY 1) d CROSS JOIN stats s
+    ), scored AS (
+        SELECT f.doc_id,
+               sum(i.idf_micro * ((f.tf * ({BM25_K1} + 1))
+                   / (f.tf + {BM25_K1} * (1 - {BM25_B}
+                      + {BM25_B} * (d.dl / (CAST(s.total_dl AS DOUBLE) / s.n))))))
+                   AS score_micro
+        FROM tf f
+        JOIN dl d ON d.doc_id = f.doc_id
+        JOIN idf i ON i.t = f.t
+        CROSS JOIN stats s
+        GROUP BY f.doc_id
+    )
+    SELECT doc_id, round(score_micro / 1000000, 4) AS bm25, rn AS rank
+    FROM (
+        SELECT doc_id, score_micro,
+               row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rn
+        FROM scored
+    ) t WHERE rn <= {BM25_TOP}
+    """,
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical ranking (Robertson/Lucene form, k1={BM25_K1},
+    b={BM25_B}) of the corpus against a fixed query term set — the
+    lexical half of hybrid search, completing TF-IDF with the
+    saturation (k1) and length-normalization (b) terms every real
+    search engine runs. Exactness regime: the per-term idf passes
+    through the integer micro-nat rounding device (ln is the one
+    libm call — trigram-LM precedent); everything downstream is
+    IEEE correctly-rounded basic ops on deterministic inputs with
+    identical association in both engines (the Wilson precedent), so
+    the float score AND its (score, doc_id) ranking are bit-stable
+    cross-engine. Lucene's 1+ inside the log keeps idf positive on
+    this stopword-dense synthetic corpus (df > N/2).
+
+    Plan: token explode → (doc, term) tf for the 3 query terms only
+    (the IN-list prunes before the aggregate), doc lengths and corpus
+    stats are one aggregate each (broadcast), final candidate set is
+    df-bounded with a literal-rank top-{BM25_TOP}.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").cast("long").alias("total_dl")
+    )
+    tf = (
+        tok.filter(F.col("t").isin(*BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("t")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "t",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n").cast("double") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n")
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * (F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf_micro") * tf_part).alias("score_micro"))
+    )
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP)
+        .select(
+            "doc_id",
+            F.round(F.col("score_micro") / 1000000, 4).alias("bm25"),
+            "rank",
+        )
+    )

@@ -168,7 +168,8 @@ _PANEL_50 = [
 # dq_quarantine_split, concentration_gini_hhi_by_segment,
 # benford_first_digit_audit, path_top_sequences,
 # dedup_cross_source_matrix, retrieval_binary_quantization,
-# eval_langid_confusion
+# eval_langid_confusion, text_bm25_scores,
+# retrieval_hybrid_bm25_vector
 # (sketch_misra_gries_heavy_hitters is rows-only).
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
