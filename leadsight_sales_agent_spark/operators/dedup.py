@@ -1063,3 +1063,101 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_shared_contents"))
     )
+
+
+SPAN_K = 10  # tokens per repeated-span window (Lee et al. use 50 BPE tokens)
+
+
+@query(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), eligible AS (
+        SELECT doc_id, toks, len(toks) - {SPAN_K} + 1 AS n_spans
+        FROM tok WHERE len(toks) >= {SPAN_K}
+    ), spans AS (
+        SELECT e.doc_id,
+               array_to_string(list_slice(e.toks, u.p, u.p + {SPAN_K} - 1), ' ') AS span
+        FROM eligible e, unnest(generate_series(1, e.n_spans)) AS u(p)
+    ), occ AS (
+        SELECT span FROM spans GROUP BY span HAVING count(*) >= 2
+    ), dup AS (
+        SELECT s.doc_id, count(*) AS n_dup_spans
+        FROM spans s JOIN occ o ON s.span = o.span
+        GROUP BY 1
+    )
+    SELECT e.doc_id, e.n_spans,
+           COALESCE(d.n_dup_spans, 0) AS n_dup_spans,
+           (10000 * COALESCE(d.n_dup_spans, 0)) // e.n_spans AS dup_coverage_bp
+    FROM eligible e LEFT JOIN dup d ON e.doc_id = d.doc_id
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-SPAN detection — the substring-granular dedup pass
+    ("Deduplicating Training Data Makes Language Models Better", Lee
+    et al. 2022) that doc-level exact/fuzzy dedup cannot express: a
+    document is flagged span-by-span, so boilerplate shared across
+    otherwise-distinct pages is found even when no whole document
+    repeats. Per doc: total {SPAN_K}-token positions, how many sit in
+    a span occurring >= 2 times corpus-wide, and coverage in integer
+    basis points — the mask a span-removal rewrite consumes.
+
+    Scale design (the suffix-array of the paper is a single-node
+    device; this is its shuffle-native equivalent):
+    - Span enumeration is MAP-SIDE: split + transform(sequence) +
+      slice/concat_ws, all Catalyst array expressions — one span row
+      per token position, no Python.
+    - Spans never travel as text: each position ships only the
+      (md5, xxhash64) PAIR (~40 bytes) — same collision-immune key
+      device as dedup_exact_documents.
+    - The duplicated-span DICTIONARY is built by hash groupBy (partial
+      map-side combine) and filtered to count >= 2 BEFORE any join —
+      at a realistic dup rate it is orders of magnitude smaller than
+      the position set, so AQE broadcasts it and the position stream
+      is marked map-side without ever shuffling; per-doc totals come
+      straight from size(toks) with no explode at all. The one
+      unavoidable shuffle is the hash-pair groupBy — the same cost
+      exact dedup already pays, just at span grain.
+    - Stride-S sampling of positions is the documented knob when even
+      the span-hash shuffle is too hot at 100 TB (trades recall of
+      spans shorter than K + S - 1 for a 1/S volume cut).
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    eligible = docs.select(
+        "doc_id",
+        _tokens().alias("toks"),
+    ).filter(F.size("toks") >= SPAN_K).select(
+        "doc_id",
+        "toks",
+        (F.size("toks") - SPAN_K + 1).cast("long").alias("n_spans"),
+    )
+    span_expr = F.expr(
+        f"transform(sequence(1, size(toks) - {SPAN_K} + 1),"
+        f" p -> concat_ws(' ', slice(toks, p, {SPAN_K})))"
+    )
+    pos = eligible.select(
+        "doc_id", F.explode(span_expr).alias("span")
+    ).select("doc_id", F.md5("span").alias("h1"), F.xxhash64("span").alias("h2"))
+    dup_dict = (
+        pos.groupBy("h1", "h2")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("h1", "h2")
+    )
+    dup_per_doc = (
+        pos.join(dup_dict, ["h1", "h2"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    return (
+        eligible.select("doc_id", "n_spans")
+        .join(dup_per_doc, "doc_id", "left")
+        .withColumn(
+            "n_dup_spans", F.coalesce(F.col("n_dup_spans"), F.lit(0).cast("long"))
+        )
+        .withColumn(
+            "dup_coverage_bp", F.expr("(10000 * n_dup_spans) div n_spans")
+        )
+    )

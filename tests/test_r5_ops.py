@@ -3,6 +3,8 @@ tools/check_oracle.py; these pin properties the hash can't express)."""
 
 from __future__ import annotations
 
+import re
+
 from leadsight_sales_agent_spark import registry
 
 registry.load_all()
@@ -836,3 +838,36 @@ class TestQuarantine:
         assert any("synthetic_poison" in r["failed_rules"] for r in q)
         clean = [r for r in rows if r["route"] == "clean"]
         assert clean and all(r["failed_rules"] == "" for r in clean)
+
+
+class TestRepeatedSpans:
+    def test_matches_python_bruteforce_twin(self, spark, sf_dir):
+        from collections import Counter
+
+        K = 10
+        got = {
+            r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_coverage_bp"])
+            for r in registry.QUERIES["dedup_repeated_spans"](spark, sf_dir).collect()
+        }
+        assert got
+        docs = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+            if r["text"] is not None
+        }
+        spans_per_doc = {}
+        counts = Counter()
+        for did, text in docs.items():
+            toks = re.split(r"\s+", text.strip())
+            if len(toks) < K:
+                continue
+            spans = [" ".join(toks[p : p + K]) for p in range(len(toks) - K + 1)]
+            spans_per_doc[did] = spans
+            counts.update(spans)
+        assert set(got) == set(spans_per_doc)
+        for did, spans in spans_per_doc.items():
+            n_dup = sum(1 for s in spans if counts[s] >= 2)
+            want = (len(spans), n_dup, 10000 * n_dup // len(spans))
+            assert got[did] == want, (did, got[did], want)
+        # the corpus contains near-dup docs sharing long spans
+        assert any(v[1] > 0 for v in got.values())
