@@ -1161,3 +1161,121 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_coverage_bp", F.expr("(10000 * n_dup_spans) div n_spans")
         )
     )
+
+
+LINK_THRESHOLD_BP = 6000  # accept region of the linkage score
+
+
+@query(
+    "entity_link_customers_billing",
+    oracle=f"""
+    WITH crm AS (
+        SELECT c_custkey, lower(trim(c_name)) AS name_n, c_nationkey, c_mktsegment,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents
+        FROM customer
+    ), billing AS (
+        SELECT c_custkey + 10000000 AS billing_id,
+               CASE WHEN c_custkey % 18 = 0
+                    THEN lower(replace(trim(c_name), '#', ''))
+                    ELSE lower(trim(c_name)) END AS name_n,
+               c_nationkey, c_mktsegment,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   + CASE WHEN c_custkey % 27 = 0 THEN 1 ELSE 0 END AS bal_cents
+        FROM customer WHERE c_custkey % 9 = 0
+    ), cand AS (
+        SELECT c.c_custkey, b.billing_id,
+               levenshtein(c.name_n, b.name_n) AS name_dist,
+               CASE WHEN c.bal_cents = b.bal_cents THEN 1 ELSE 0 END AS bal_agree
+        FROM crm c JOIN billing b
+          ON c.c_nationkey = b.c_nationkey AND c.c_mktsegment = b.c_mktsegment
+        WHERE levenshtein(c.name_n, b.name_n) <= 1
+    ), scored AS (
+        SELECT c_custkey, billing_id, name_dist, bal_agree,
+               6000 - 3000 * name_dist + 4000 * bal_agree AS match_score_bp,
+               row_number() OVER (
+                   PARTITION BY billing_id
+                   ORDER BY 6000 - 3000 * name_dist + 4000 * bal_agree DESC,
+                            c_custkey ASC) AS rnk
+        FROM cand
+    )
+    SELECT c_custkey, billing_id, name_dist, bal_agree, match_score_bp
+    FROM scored WHERE rnk = 1 AND match_score_bp >= {LINK_THRESHOLD_BP}
+    """,
+)
+def entity_link_customers_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source RECORD LINKAGE (entity resolution): match a "billing"
+    extract back to the CRM master when no shared key exists — the
+    data-integration sibling of document dedup. The billing side is
+    derived in-query by a deterministic dirtying pass (id space
+    offset, '#' dropped from every 2nd-of-9 name, a 1-cent balance
+    drift on every 3rd-of-9), so the linkage quality is *knowable*:
+    the op must re-find the true twins from field evidence alone.
+
+    Fellegi-Sunter-style deterministic scoring: block on
+    (nationkey, mktsegment), compare within blocks only —
+    levenshtein on normalized names (<= 1 edit) and exact
+    balance-in-cents agreement — then a weighted integer score in
+    basis points, BEST-match-per-right-record (score desc, stable id
+    tiebreak), and an accept threshold that leaves a visible reject
+    region (name-drifted + balance-drifted records score 3000 and
+    stay unlinked, the manual-review queue of a real MDM pass).
+
+    Scale: the only join is the blocked equi-join — linkage cost is
+    sum of block-size products, never |A|x|B|; at 100 TB the block key
+    widens (add a name-prefix component) exactly like the fuzzy-dedup
+    length buckets. Levenshtein runs JVM-side (F.levenshtein) on
+    already-blocked candidates; balances compare as exact DECIMAL
+    cents (no double equality); the best-match window partitions by
+    the right-side key so skew is bounded by block width.
+    """
+    cust = load(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+    crm = cust.select(
+        "c_custkey",
+        F.lower(F.trim(F.col("c_name"))).alias("name_n"),
+        "c_nationkey",
+        "c_mktsegment",
+        cents.alias("bal_cents"),
+    )
+    billing = (
+        cust.filter(F.col("c_custkey") % 9 == 0)
+        .select(
+            (F.col("c_custkey") + 10000000).alias("billing_id"),
+            F.when(
+                F.col("c_custkey") % 18 == 0,
+                F.lower(F.replace(F.trim(F.col("c_name")), F.lit("#"), F.lit(""))),
+            )
+            .otherwise(F.lower(F.trim(F.col("c_name"))))
+            .alias("name_nb"),
+            F.col("c_nationkey").alias("b_nationkey"),
+            F.col("c_mktsegment").alias("b_mktsegment"),
+            (
+                cents + F.when(F.col("c_custkey") % 27 == 0, 1).otherwise(0)
+            ).alias("bal_cents_b"),
+        )
+    )
+    cand = (
+        crm.join(
+            billing,
+            (F.col("c_nationkey") == F.col("b_nationkey"))
+            & (F.col("c_mktsegment") == F.col("b_mktsegment")),
+        )
+        .withColumn("name_dist", F.levenshtein("name_n", "name_nb"))
+        .filter(F.col("name_dist") <= 1)
+        .withColumn(
+            "bal_agree",
+            F.when(F.col("bal_cents") == F.col("bal_cents_b"), 1).otherwise(0),
+        )
+        .withColumn(
+            "match_score_bp",
+            F.lit(6000) - 3000 * F.col("name_dist") + 4000 * F.col("bal_agree"),
+        )
+    )
+    best = Window.partitionBy("billing_id").orderBy(
+        F.desc("match_score_bp"), F.asc("c_custkey")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(best))
+        .filter((F.col("rnk") == 1) & (F.col("match_score_bp") >= LINK_THRESHOLD_BP))
+        .select("c_custkey", "billing_id", "name_dist", "bal_agree", "match_score_bp")
+    )

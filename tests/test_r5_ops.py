@@ -871,3 +871,23 @@ class TestRepeatedSpans:
             assert got[did] == want, (did, got[did], want)
         # the corpus contains near-dup docs sharing long spans
         assert any(v[1] > 0 for v in got.values())
+
+
+class TestEntityLinkage:
+    def test_links_are_exactly_the_recoverable_twins(self, spark, sf_dir):
+        rows = registry.QUERIES["entity_link_customers_billing"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        # every accepted link points at the true twin
+        for r in rows:
+            assert r["billing_id"] - 10_000_000 == r["c_custkey"]
+            assert r["match_score_bp"] >= 6000
+        # the accept set is precisely: all billing twins except the
+        # double-drifted ones (name AND balance perturbed -> score 3000)
+        keys = [
+            r["c_custkey"]
+            for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+        ]
+        expected = {k for k in keys if k % 9 == 0 and not (k % 18 == 0 and k % 27 == 0)}
+        assert {r["c_custkey"] for r in rows} == expected
