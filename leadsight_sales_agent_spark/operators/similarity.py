@@ -1497,3 +1497,189 @@ def retrieval_hybrid_bm25_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= HYBRID_TOP)
     )
     return fused.select("doc_id", "lex_rank", "vec_rank", "rrf_micro", "fused_rank")
+
+
+MMR_QUERIES = 4  # vec_id < 4 are the MMR query vectors
+MMR_SHORTLIST = 20
+MMR_TOP = 5  # greedy picks per query; lambda fixed at 0.5
+
+
+def _mmr_oracle() -> str:
+    """Mechanically unroll the 0.5-lambda greedy MMR loop into MMR_TOP
+    plain CTE steps (argmax per step via row_number; max-sim-to-selected
+    via a grouped join against the accumulated pick set) — the same
+    composed-oracle device as the lang-ID confusion matrix: the spec is
+    generated from the loop, so it cannot drift from the semantics."""
+    head = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM e
+        WHERE vec_id < {MMR_QUERIES}
+    ), ranked AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               round(list_dot_product(q.qe, c.emb) / (q.qn * c.nrm), 4) AS rel,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_dot_product(q.qe, c.emb) / (q.qn * c.nrm), 4)
+                            DESC, c.vec_id ASC) AS rnk
+        FROM q CROSS JOIN e c WHERE c.vec_id <> q.query_id
+    ), sl AS (
+        SELECT query_id, doc_id, rel FROM ranked WHERE rnk <= {MMR_SHORTLIST}
+    ), ps AS (
+        SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+               round(list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm), 4) AS sim
+        FROM sl a JOIN sl b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+        JOIN e ea ON ea.vec_id = a.doc_id
+        JOIN e eb ON eb.vec_id = b.doc_id
+    ), p1 AS (
+        SELECT query_id, doc_id, rel, 1 AS mmr_rank,
+               0.5 * rel - 0.5 * CAST(0 AS DOUBLE) AS mmr_score
+        FROM (SELECT query_id, doc_id, rel,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rel DESC, doc_id ASC) AS r
+              FROM sl) WHERE r = 1
+    ), sel1 AS (SELECT query_id, doc_id FROM p1)"""
+    steps = []
+    for i in range(2, MMR_TOP + 1):
+        prev = i - 1
+        steps.append(f""", p{i} AS (
+        SELECT query_id, doc_id, rel, {i} AS mmr_rank, mmr_score
+        FROM (
+            SELECT s.query_id, s.doc_id, s.rel,
+                   0.5 * s.rel - 0.5 * m.maxsim AS mmr_score,
+                   row_number() OVER (
+                       PARTITION BY s.query_id
+                       ORDER BY 0.5 * s.rel - 0.5 * m.maxsim DESC,
+                                s.doc_id ASC) AS r
+            FROM sl s
+            JOIN (SELECT p.query_id, p.da, max(p.sim) AS maxsim
+                  FROM ps p JOIN sel{prev} x
+                    ON p.query_id = x.query_id AND p.db = x.doc_id
+                  GROUP BY 1, 2) m
+              ON m.query_id = s.query_id AND m.da = s.doc_id
+            WHERE NOT EXISTS (SELECT 1 FROM sel{prev} x
+                              WHERE x.query_id = s.query_id
+                                AND x.doc_id = s.doc_id)
+        ) WHERE r = 1
+    ), sel{i} AS (SELECT query_id, doc_id FROM sel{prev}
+                  UNION ALL SELECT query_id, doc_id FROM p{i})""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM p{i}" for i in range(1, MMR_TOP + 1)
+    )
+    return head + "".join(steps) + f" {union}"
+
+
+@query("retrieval_mmr_diversified", oracle=_mmr_oracle())
+def retrieval_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): rerank a
+    relevance shortlist so each pick balances query relevance against
+    redundancy with what is already picked — the diversity-aware
+    retrieval step RAG stacks run after ANN, and the one retrieval op
+    whose semantics are inherently SEQUENTIAL (pick k depends on picks
+    1..k-1), i.e. not expressible as a window or join alone.
+
+    Spark-first split of the work:
+    - Everything UNBOUNDED stays in Catalyst: the corpus-wide
+      relevance scan (broadcast queries, corpus never moves — the knn
+      device), the top-{MMR_SHORTLIST} shortlist, and the within-
+      shortlist pairwise similarity matrix, all on the proven rounded
+      dot/norm arithmetic.
+    - Only the BOUNDED greedy loop ({MMR_TOP} picks from
+      {MMR_SHORTLIST} candidates — a few hundred pair rows per query)
+      crosses into Python: one applyInPandas over the query_id group,
+      pure float64 IEEE arithmetic (0.5·rel − 0.5·max-sim of 4dp-
+      rounded inputs — exact halving, so Spark, numpy, and the
+      oracle's unrolled SQL produce bit-identical doubles; ties break
+      on doc_id). Groups are independent → queries parallelize across
+      executors; per-group state is O(shortlist²) regardless of
+      corpus size, so the operator survives any corpus scale — the
+      scale knob is shortlist width, not data volume.
+    """
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    q = base.filter(F.col("vec_id") < MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    rel_col = F.round(
+        dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 4
+    )
+    ranked = (
+        F.broadcast(q)
+        .crossJoin(
+            base.select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("emb").alias("ce"),
+                F.col("nrm").alias("cn"),
+            )
+        )
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("rel", rel_col)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("rel"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= MMR_SHORTLIST)
+        .select("query_id", "doc_id", "rel", "ce", "cn")
+    )
+    a = ranked.select("query_id", F.col("doc_id").alias("da"), "rel", "ce", "cn")
+    b = ranked.select(
+        F.col("query_id").alias("qb"),
+        F.col("doc_id").alias("db"),
+        F.col("ce").alias("ce_b"),
+        F.col("cn").alias("cn_b"),
+    )
+    pairs = (
+        a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("da") != F.col("db")))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("ce"), F.col("ce_b")) / (F.col("cn") * F.col("cn_b")), 4
+            ),
+        )
+        .select("query_id", "da", "db", "sim", "rel")
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rel = {}
+        sim = {}
+        for r in pdf.itertuples(index=False):
+            rel[int(r.da)] = float(r.rel)
+            sim[(int(r.da), int(r.db))] = float(r.sim)
+        selected: list[int] = []
+        out = []
+        for rank in range(1, MMR_TOP + 1):
+            best_d, best_score = None, None
+            for d in sorted(rel):
+                if d in selected:
+                    continue
+                maxsim = max((sim[(d, s)] for s in selected), default=0.0)
+                score = 0.5 * rel[d] - 0.5 * maxsim
+                if best_score is None or score > best_score:
+                    best_d, best_score = d, score
+            selected.append(best_d)
+            out.append((qid, best_d, rel[best_d], rank, best_score))
+        return pd.DataFrame(
+            out, columns=["query_id", "doc_id", "rel", "mmr_rank", "mmr_score"]
+        )
+
+    return pairs.groupBy("query_id").applyInPandas(
+        greedy,
+        schema="query_id long, doc_id long, rel double, mmr_rank int, mmr_score double",
+    )

@@ -891,3 +891,29 @@ class TestEntityLinkage:
         ]
         expected = {k for k in keys if k % 9 == 0 and not (k % 18 == 0 and k % 27 == 0)}
         assert {r["c_custkey"] for r in rows} == expected
+
+
+class TestMMRRetrieval:
+    def test_greedy_contract(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.similarity import (
+            MMR_QUERIES,
+            MMR_TOP,
+        )
+
+        rows = registry.QUERIES["retrieval_mmr_diversified"](spark, sf_dir).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert len(by_q) == MMR_QUERIES
+        for qid, picks in by_q.items():
+            assert len(picks) == MMR_TOP
+            picks.sort(key=lambda r: r["mmr_rank"])
+            # no doc picked twice
+            assert len({r["doc_id"] for r in picks}) == MMR_TOP
+            # rank-1 is the pure-relevance argmax: score == rel / 2
+            assert picks[0]["mmr_score"] == 0.5 * picks[0]["rel"]
+            # later picks: score = rel/2 - maxsim/2 with maxsim in
+            # [-1, 1] (near-orthogonal corpus -> the "penalty" may be
+            # a bonus when the closest selected doc points away)
+            for r in picks[1:]:
+                assert abs(r["mmr_score"] - 0.5 * r["rel"]) <= 0.5 + 1e-12
