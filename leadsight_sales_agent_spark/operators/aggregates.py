@@ -2259,3 +2259,91 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "expected_bp",
         F.abs(obs_bp - F.col("expected_bp")).alias("deviation_bp"),
     )
+
+
+@query(
+    "agg_grouped_pandas_udf_mad",
+    oracle="""
+    WITH c AS (
+        SELECT c_mktsegment,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM customer
+    ), r AS (
+        SELECT c_mktsegment, cents,
+               row_number() OVER (PARTITION BY c_mktsegment ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM c
+    ), m AS (
+        SELECT c_mktsegment, cents AS med FROM r WHERE rn = (n + 1) // 2
+    ), dev AS (
+        SELECT c.c_mktsegment, abs(c.cents - m.med) AS d, m.med
+        FROM c JOIN m USING (c_mktsegment)
+    ), rd AS (
+        SELECT c_mktsegment, med, d,
+               row_number() OVER (PARTITION BY c_mktsegment ORDER BY d) AS rn,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM dev
+    )
+    SELECT rd.c_mktsegment AS mktsegment,
+           rd.med AS median_cents,
+           rd.d AS mad_cents,
+           rd.n AS n_customers
+    FROM rd WHERE rn = (n + 1) // 2
+    """,
+)
+def agg_grouped_pandas_udf_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the one Arrow-UDF flavor the surface
+    was missing (SCALAR: enrich/urljoin; GROUPED_MAP: MMR/Misra-Gries;
+    COGROUPED_MAP: reconcile; UDTF: chunker): a custom aggregate that
+    Catalyst can't express as partial-mergeable built-ins — the
+    median absolute deviation, the robust dispersion measure (two
+    nested order statistics). Each group's values stream to Python as
+    ONE Arrow batch; the kernel is pure int64 order-statistic math
+    (lower-median at index (n-1)//2 of exact cents), so the result is
+    engine-deterministic and the quadratic-free SQL twin (two
+    row_number passes) hash-checks it.
+
+    Scale honesty: a GROUPED_AGG UDF materializes the whole group in
+    memory — right for bounded groups (segments, tenants, devices),
+    wrong for unbounded ones; the distributed exact-median device for
+    corpus-scale groups is agg_weighted_median_price's two-phase
+    count-partition pass. Both live in the inventory deliberately.
+    """
+    import pandas as pd
+
+    # NB: this module runs under `from __future__ import annotations`,
+    # which stringifies inline hints — pandas_udf introspects REAL
+    # types, so the GROUPED_AGG signatures are attached explicitly.
+    def _lower_median(v):
+        s = v.sort_values().reset_index(drop=True)
+        return int(s.iloc[(len(s) - 1) // 2])
+
+    def _mad(v):
+        s = v.sort_values().reset_index(drop=True)
+        med = int(s.iloc[(len(s) - 1) // 2])
+        d = (v - med).abs().sort_values().reset_index(drop=True)
+        return int(d.iloc[(len(d) - 1) // 2])
+
+    def _n(v):
+        return len(v)
+
+    _lower_median.__annotations__ = {"v": pd.Series, "return": int}
+    _mad.__annotations__ = {"v": pd.Series, "return": int}
+    _n.__annotations__ = {"v": pd.Series, "return": int}
+    lower_median = F.pandas_udf(_lower_median, "long")
+    mad = F.pandas_udf(_mad, "long")
+    n_rows = F.pandas_udf(_n, "long")
+
+    cents = (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+    return (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("mktsegment"), cents.alias("cents"))
+        .groupBy("mktsegment")
+        .agg(
+            lower_median(F.col("cents")).alias("median_cents"),
+            mad(F.col("cents")).alias("mad_cents"),
+            # GROUPED_AGG UDFs can't mix with JVM aggregates in one
+            # agg() — the row count rides the same Arrow batch instead
+            n_rows(F.col("cents")).alias("n_customers"),
+        )
+    )

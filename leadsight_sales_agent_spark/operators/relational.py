@@ -3365,3 +3365,106 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.min("o_orderkey").cast("long").alias("example_orderkey"),
     )
+
+
+@query(
+    "sql_pipe_syntax_suite",
+    oracle="""
+    SELECT l_returnflag AS returnflag, o_orderpriority AS orderpriority,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND o_orderstatus <> 'F'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, returnflag, orderpriority
+    LIMIT 5
+    """,
+)
+def sql_pipe_syntax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (`|>` — SIGMOD'24 "SQL Has Problems..."
+    pipe-data-flow dialect): the same logical plan as nested ANSI SQL,
+    written as a linear stage chain — WHERE, EXTEND (derived column),
+    JOIN, AGGREGATE ... GROUP BY, SELECT rename, ORDER BY, LIMIT. The
+    oracle is the classic-SQL twin, so the hash grades that Spark's
+    pipe parser lowers to the identical relation — syntax sugar, same
+    Catalyst plan (filter pushdown, decimal-exact revenue, TopK sort),
+    zero runtime cost. API-surface completion: users migrating
+    pipeline-style SQL can keep it verbatim.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_pipe")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("o_pipe")
+    return spark.sql(
+        """
+        FROM li_pipe
+        |> WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+               AND l_shipdate < TIMESTAMP '1996-01-01'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> JOIN o_pipe ON l_orderkey = o_orderkey
+        |> WHERE o_orderstatus <> 'F'
+        |> AGGREGATE CAST(round(sum(CAST(disc_price AS DECIMAL(25,6))), 2)
+                          AS DOUBLE) AS revenue,
+                     count(*) AS n_lines
+           GROUP BY l_returnflag, o_orderpriority
+        |> SELECT l_returnflag AS returnflag, o_orderpriority AS orderpriority,
+                  revenue, n_lines
+        |> ORDER BY revenue DESC, returnflag, orderpriority
+        |> LIMIT 5
+        """
+    )
+
+
+@query(
+    "sql_session_variables_suite",
+    oracle="""
+    WITH thresh AS (
+        SELECT CAST(CAST(avg(o_totalprice) AS DECIMAL(25,6)) AS DOUBLE) AS t
+        FROM orders
+    )
+    SELECT o_orderpriority AS orderpriority,
+           count(*) AS n_above,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+               AS sum_above
+    FROM orders, thresh
+    WHERE o_totalprice > thresh.t
+    GROUP BY 1
+    """,
+)
+def sql_session_variables_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 `DECLARE` / `SET VAR`) plus
+    `EXECUTE IMMEDIATE` with a `USING` bind — the scripting surface a
+    SQL-first user drives parameterized jobs with. The variable is SET
+    from a scalar subquery over the data (mean order price — computed
+    through the exact-decimal cast so the threshold double is engine-
+    identical), then a dynamically-built statement aggregates above
+    it. The oracle inlines the same threshold as a CTE: the hash
+    proves variable binding and the bound-parameter path change
+    nothing about the result.
+
+    Scale note: the variable holds ONE scalar on the driver — the
+    pattern replaces the collect()-then-f-string anti-loop with
+    engine-managed state; the data-side plan is an ordinary broadcast
+    of the scalar into the filter.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("o_sessvar")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0"
+    )
+    spark.sql(
+        """SET VAR price_floor =
+           (SELECT CAST(CAST(avg(o_totalprice) AS DECIMAL(25,6)) AS DOUBLE)
+            FROM o_sessvar)"""
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT o_orderpriority AS orderpriority,
+                count(*) AS n_above,
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+                    AS sum_above
+         FROM o_sessvar WHERE o_totalprice > ? GROUP BY 1'
+        USING price_floor
+        """
+    )

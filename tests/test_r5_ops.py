@@ -917,3 +917,55 @@ class TestMMRRetrieval:
             # a bonus when the closest selected doc points away)
             for r in picks[1:]:
                 assert abs(r["mmr_score"] - 0.5 * r["rel"]) <= 0.5 + 1e-12
+
+
+class TestSpark4ApiSurface:
+    def test_arrow_optimized_udf_matches_jvm_expression(self, spark, sf_dir):
+        import pandas  # noqa: F401  (Arrow path requires pandas)
+        from pyspark.sql import functions as F
+
+        def _cents(x):
+            return None if x is None else int(round(x * 100))
+
+        _cents.__annotations__ = {"x": float, "return": int}
+        cents_arrow = F.udf(_cents, "long", useArrow=True)
+        df = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey",
+            cents_arrow("c_acctbal").alias("via_udf"),
+            (F.round(F.col("c_acctbal") * 100)).cast("long").alias("via_jvm"),
+        )
+        bad = df.filter(F.col("via_udf") != F.col("via_jvm")).count()
+        assert bad == 0
+
+    def test_pipe_sql_plan_equals_classic_sql_plan(self, spark, sf_dir):
+        from leadsight_sales_agent_spark import registry as reg
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_pipe")
+        load(spark, sf_dir, "orders").createOrReplaceTempView("o_pipe")
+        piped = reg.QUERIES["sql_pipe_syntax_suite"](spark, sf_dir)
+        classic = spark.sql(
+            """
+            SELECT l_returnflag AS returnflag, o_orderpriority AS orderpriority,
+                   CAST(round(sum(CAST(disc_price AS DECIMAL(25,6))), 2)
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_lines
+            FROM (SELECT l.*, l_extendedprice * (1 - l_discount) AS disc_price
+                  FROM li_pipe l
+                  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                    AND l_shipdate < TIMESTAMP '1996-01-01')
+            JOIN o_pipe ON l_orderkey = o_orderkey
+            WHERE o_orderstatus <> 'F'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, returnflag, orderpriority
+            LIMIT 5
+            """
+        )
+        p1 = piped._jdf.queryExecution().optimizedPlan().toString()
+        p2 = classic._jdf.queryExecution().optimizedPlan().toString()
+        # pipe syntax is sugar: identical optimized plan, not just
+        # identical results (modulo auto-generated attribute ids)
+        import re as _re
+
+        strip = lambda s: _re.sub(r"#\d+L?", "#x", s)
+        assert strip(p1) == strip(p2)
