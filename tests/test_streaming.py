@@ -519,3 +519,48 @@ class TestExactlyOnceSinkGuard:
             .collect()
         }
         assert state == want
+
+
+class TestStateStoreReader:
+    def test_state_source_exposes_live_aggregation_state(self, spark, tmp_path):
+        """Spark 4 state data source: the checkpointed state of a
+        running aggregation is itself a queryable DataFrame — the
+        observability surface for debugging skewed/stuck stateful jobs
+        at scale (which keys hold state, in which partitions, how
+        much) without stopping the stream. The state contents must
+        equal the same aggregation run as a batch query."""
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        sample = events.select(
+            "user_id", "event_type"
+        ).limit(500)
+        sample.write.json(src)
+        stream = (
+            spark.readStream.schema("user_id long, event_type string").json(src)
+        )
+        q = (
+            stream.groupBy("event_type")
+            .count()
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        meta = spark.read.format("state-metadata").load(ckpt).collect()
+        assert len(meta) == 1 and meta[0]["operatorName"] == "stateStoreSave"
+
+        state = spark.read.format("statestore").load(ckpt).collect()
+        got = {r["key"]["event_type"]: r["value"]["count"] for r in state}
+        want = {
+            r["event_type"]: r["n"]
+            for r in spark.read.json(src)
+            .groupBy("event_type")
+            .agg({"*": "count"})
+            .withColumnRenamed("count(1)", "n")
+            .collect()
+        }
+        assert got == want
