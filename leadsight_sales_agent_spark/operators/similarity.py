@@ -1683,3 +1683,107 @@ def retrieval_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         greedy,
         schema="query_id long, doc_id long, rel double, mmr_rank int, mmr_score double",
     )
+
+
+MINE_ANCHORS = 8  # vec_id < 8 are the mined anchors
+MINE_HARD_NEGS = 3
+
+
+@query(
+    "mining_contrastive_triplets",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ), a AS (
+        SELECT vec_id AS anchor_id, label AS alabel, emb AS ae, nrm AS an
+        FROM e WHERE vec_id < {MINE_ANCHORS}
+    ), scored AS (
+        SELECT a.anchor_id, c.vec_id AS pair_id,
+               CASE WHEN c.label = a.alabel THEN 'pos' ELSE 'neg' END AS pair_role,
+               round(list_dot_product(a.ae, c.emb) / (a.an * c.nrm), 4) AS cosine
+        FROM a CROSS JOIN e c WHERE c.vec_id <> a.anchor_id
+    ), ranked AS (
+        SELECT anchor_id, pair_id, pair_role, cosine,
+               row_number() OVER (
+                   PARTITION BY anchor_id, pair_role
+                   ORDER BY CASE WHEN pair_role = 'pos' THEN cosine
+                                 ELSE -cosine END ASC,
+                            pair_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT anchor_id, pair_id, pair_role, cosine, rnk
+    FROM ranked
+    WHERE (pair_role = 'pos' AND rnk = 1)
+       OR (pair_role = 'neg' AND rnk <= {MINE_HARD_NEGS})
+    """,
+)
+def mining_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-example mining for contrastive/metric training — the
+    training-PAIR factory beside the dedup/leakage gates: per anchor,
+    the HARDEST positive (same label, lowest cosine — the in-class
+    example the model most confuses) and the {MINE_HARD_NEGS} hardest
+    negatives (different label, highest cosine — the impostors), i.e.
+    exactly the triplets batch-hard TripletLoss / InfoNCE pipelines
+    feed. One scored scan serves both roles: the role is a CASE on
+    label agreement and the per-role hardness ordering is a single
+    row_number window with a sign flip (pos ranks ascending cosine,
+    neg descending), ties on pair_id.
+
+    Scale: anchors broadcast, the corpus never moves (knn device);
+    the window partitions by (anchor, role) — bounded state. At real
+    scale the CROSS scan becomes the ANN shortlist (knn_cosine_lsh /
+    ivf) feeding the same role-split + rank; rounded-4dp cosine keeps
+    the rank boundary engine-stable.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("emb"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a = emb.filter(F.col("vec_id") < MINE_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("alabel"),
+        F.col("emb").alias("ae"),
+        F.col("nrm").alias("an"),
+    )
+    scored = (
+        F.broadcast(a)
+        .crossJoin(
+            emb.select(
+                F.col("vec_id").alias("pair_id"),
+                F.col("label").alias("clabel"),
+                F.col("emb").alias("ce"),
+                F.col("nrm").alias("cn"),
+            )
+        )
+        .filter(F.col("pair_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "pair_id",
+            F.when(F.col("clabel") == F.col("alabel"), "pos")
+            .otherwise("neg")
+            .alias("pair_role"),
+            F.round(
+                dot(F.col("ae"), F.col("ce")) / (F.col("an") * F.col("cn")), 4
+            ).alias("cosine"),
+        )
+    )
+    hardness = F.when(F.col("pair_role") == "pos", F.col("cosine")).otherwise(
+        -F.col("cosine")
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("anchor_id", "pair_role").orderBy(
+                hardness.asc(), F.asc("pair_id")
+            )
+        ),
+    )
+    return ranked.filter(
+        ((F.col("pair_role") == "pos") & (F.col("rnk") == 1))
+        | ((F.col("pair_role") == "neg") & (F.col("rnk") <= MINE_HARD_NEGS))
+    )

@@ -969,3 +969,34 @@ class TestSpark4ApiSurface:
 
         strip = lambda s: _re.sub(r"#\d+L?", "#x", s)
         assert strip(p1) == strip(p2)
+
+
+class TestContrastiveMining:
+    def test_roles_counts_and_hardness_ordering(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.similarity import (
+            MINE_ANCHORS,
+            MINE_HARD_NEGS,
+        )
+
+        rows = registry.QUERIES["mining_contrastive_triplets"](spark, sf_dir).collect()
+        labels = {
+            r["vec_id"]: r["label"]
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        }
+        by_anchor = {}
+        for r in rows:
+            by_anchor.setdefault(r["anchor_id"], []).append(r)
+        assert len(by_anchor) == MINE_ANCHORS
+        for aid, picks in by_anchor.items():
+            poss = [r for r in picks if r["pair_role"] == "pos"]
+            negs = sorted(
+                (r for r in picks if r["pair_role"] == "neg"),
+                key=lambda r: r["rnk"],
+            )
+            assert len(poss) == 1 and len(negs) == MINE_HARD_NEGS
+            assert labels[poss[0]["pair_id"]] == labels[aid]
+            for n in negs:
+                assert labels[n["pair_id"]] != labels[aid]
+            # negatives ranked hardest-first (descending cosine)
+            cosines = [n["cosine"] for n in negs]
+            assert cosines == sorted(cosines, reverse=True)
