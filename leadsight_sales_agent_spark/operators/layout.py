@@ -165,3 +165,82 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+SKEW_TOP_KEYS = 10
+SKEW_TARGET_ROWS_PER_TASK = 1000  # tuning constant at test scale
+
+
+@query(
+    "diag_join_skew_advisor",
+    oracle=f"""
+    WITH freq AS (
+        SELECT o_custkey AS join_key, count(*) AS n_rows
+        FROM orders GROUP BY 1
+    ), stats AS (
+        SELECT r.join_key, r.n_rows,
+               row_number() OVER (ORDER BY r.n_rows DESC, r.join_key ASC) AS heavy_rank,
+               (SELECT n_rows FROM (
+                    SELECT n_rows, row_number() OVER (ORDER BY n_rows, join_key) AS rn,
+                           count(*) OVER () AS n
+                    FROM freq) WHERE rn = (n + 1) // 2) AS median_rows
+        FROM freq r
+    )
+    SELECT join_key, n_rows, heavy_rank,
+           (10000 * n_rows) // median_rows AS skew_ratio_bp,
+           CAST(ceil(CAST(n_rows AS DOUBLE) / {SKEW_TARGET_ROWS_PER_TASK})
+                AS BIGINT) AS recommended_salt
+    FROM stats
+    WHERE heavy_rank <= {SKEW_TOP_KEYS}
+    """,
+)
+def diag_join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew ADVISOR — the diagnosis pass that decides when the
+    salted-join device (relational.join_salted_skew_demo) is worth its
+    extra shuffle: per join key, row count, heavy rank, skew ratio vs
+    the MEDIAN key (integer basis points — a key at 40x median is the
+    straggler that stalls the stage), and the recommended salt fan-out
+    ceil(rows / target-rows-per-task). The output is directly the
+    config a salting rewrite consumes; at 100 TB this query IS what
+    you run before repartitioning a trillion-row join (AQE's skew
+    handling fixes sort-merge stragglers at runtime, but pre-salting
+    a broadcast-incompatible shuffle join still needs this table).
+
+    One aggregation builds the frequency table; the median key load is
+    the lower-median order statistic over the (bounded, one row per
+    key) frequency table — window math on the SMALL side, never the
+    facts. Integer end to end: ratio in bp by integer division, the
+    salt via ceil on an exact small-int quotient (identical IEEE
+    division both engines).
+    """
+    freq = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("join_key"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+    n_keys = Window.orderBy(F.asc("n_rows"), F.asc("join_key"))
+    med = (
+        freq.withColumn("rn", F.row_number().over(n_keys))
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select(F.col("n_rows").alias("median_rows"))
+    )
+    ranked = (
+        freq.crossJoin(F.broadcast(med))
+        .withColumn(
+            "heavy_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_rows"), F.asc("join_key"))
+            ),
+        )
+        .filter(F.col("heavy_rank") <= SKEW_TOP_KEYS)
+    )
+    return ranked.select(
+        "join_key",
+        "n_rows",
+        "heavy_rank",
+        F.expr("(10000 * n_rows) div median_rows").alias("skew_ratio_bp"),
+        F.ceil(
+            F.col("n_rows").cast("double") / SKEW_TARGET_ROWS_PER_TASK
+        ).cast("long").alias("recommended_salt"),
+    )
