@@ -79,6 +79,13 @@ HEADLINE = [
     "spatial_grid_neighbor_join",
     "eval_roc_auc_scores",
     "inventory_clamped_running_balance",
+    # r5 session-3 additions: the span-grain dedup (per-token-position
+    # hash shuffle — the heaviest new map-side explode), the blocked
+    # record-linkage join, and the MMR greedy (bounded applyInPandas
+    # over a Catalyst shortlist+pair-matrix front).
+    "dedup_repeated_spans",
+    "entity_link_customers_billing",
+    "retrieval_mmr_diversified",
 ]
 
 
