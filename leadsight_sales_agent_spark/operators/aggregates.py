@@ -1794,6 +1794,73 @@ def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_l_diversity_audit",
+    oracle="""
+    WITH tagged AS (
+        SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+               least(CAST(floor(greatest(c.c_acctbal, 0) / 2000) AS BIGINT), 4)
+                   AS bal_bracket
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), cells AS (
+        SELECT segment, nation,
+               count(*) AS group_size,
+               count(DISTINCT bal_bracket) AS n_sensitive_values
+        FROM tagged GROUP BY 1, 2
+    )
+    SELECT segment, nation, CAST(group_size AS BIGINT) AS group_size,
+           CAST(n_sensitive_values AS BIGINT) AS n_sensitive_values,
+           CASE WHEN n_sensitive_values < 3 THEN 1 ELSE 0 END AS below_l
+    FROM cells
+    WHERE n_sensitive_values < 5
+    """,
+)
+def dq_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attack k-anonymity misses: a cell can
+    be large (k-safe) yet have every member share the SAME sensitive
+    value, so linking someone to the cell still discloses the value
+    (homogeneity attack, Machanavajjhala et al. 2007). Same
+    quasi-identifier grain as dq_k_anonymity_audit (segment x
+    nation); sensitive attribute = the coarse balance bracket
+    (5 buckets via exact integer floor-division — engine-stable).
+    A cell with fewer than l=3 distinct brackets is flagged; the
+    release fix is generalizing the QI or suppressing the cell, and
+    the two audits are designed to be run as a pair.
+
+    Scale: count(DISTINCT sensitive) at QI grain is the one
+    expand-style aggregate here — Spark plans it as a two-phase
+    (QI, sensitive)-grain partial then QI-grain distinct-count, both
+    hash aggregations on the small audit domain, never a window over
+    the population.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    bracket = F.least(
+        F.floor(F.greatest(F.col("c_acctbal"), F.lit(0)) / 2000).cast("long"),
+        F.lit(4).cast("long"),
+    )
+    cells = (
+        c.join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+            bracket.alias("bal_bracket"),
+        )
+        .groupBy("segment", "nation")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.countDistinct("bal_bracket").alias("n_sensitive_values"),
+        )
+    )
+    return cells.filter(F.col("n_sensitive_values") < 5).select(
+        "segment",
+        "nation",
+        F.col("group_size").cast("bigint").alias("group_size"),
+        F.col("n_sensitive_values").cast("bigint").alias("n_sensitive_values"),
+        F.when(F.col("n_sensitive_values") < 3, 1).otherwise(0).alias("below_l"),
+    )
+
+
+@query(
     "agg_listagg_native",
     oracle="""
     SELECT n.n_name AS nation,

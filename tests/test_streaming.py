@@ -564,3 +564,54 @@ class TestStateStoreReader:
             .collect()
         }
         assert got == want
+
+
+class TestRocksDBStateStore:
+    def test_stateful_agg_on_rocksdb_provider(self, spark, tmp_path):
+        """The default HDFS-backed state store keeps all state on the
+        JVM heap — at 100 TB of keyed state that's the OOM everyone
+        hits; RocksDB is the production provider (state spills to
+        local SSD, incremental checkpointing). This proves the bundled
+        provider actually runs here: same aggregation, same results,
+        state file layout on disk, and the state reader still works."""
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        key = "spark.sql.streaming.stateStore.providerClass"
+        saved = spark.conf.get(key, None)
+        rocks = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+        try:
+            spark.conf.set(key, rocks)
+            events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            events.select("user_id", "event_type").limit(400).write.json(src)
+            stream = spark.readStream.schema(
+                "user_id long, event_type string"
+            ).json(src)
+            q = (
+                stream.groupBy("event_type")
+                .count()
+                .writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            state = spark.read.format("statestore").load(ckpt).collect()
+            got = {r["key"]["event_type"]: r["value"]["count"] for r in state}
+            want = {
+                r["event_type"]: r["n"]
+                for r in spark.read.json(src)
+                .groupBy("event_type")
+                .agg({"*": "count"})
+                .withColumnRenamed("count(1)", "n")
+                .collect()
+            }
+            assert got == want
+        finally:
+            if saved is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, saved)
