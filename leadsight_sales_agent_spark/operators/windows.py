@@ -1653,3 +1653,58 @@ def fifo_cogs_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_layers"),
         F.sum(F.col("matched") * F.col("unit_micro")).cast("long").alias("cogs_micro"),
     )
+
+
+@query(
+    "window_distribution_ranks",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER w AS rn,
+               ntile(4) OVER w AS price_quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey % 16
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+    )
+    SELECT o_custkey % 16 AS bucket, o_orderkey, o_totalprice,
+           price_quartile, round(pct_rank, 6) AS pct_rank,
+           round(cume, 6) AS cume
+    FROM r WHERE rn <= 20
+    """,
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-rank window family the suite was missing:
+    ntile(4) (equal-count quartile assignment), percent_rank
+    ((rank-1)/(n-1)) and cume_dist (rows ≤ current / total) over a
+    per-bucket price ordering — the trio behind 'which quartile is
+    this order in' dashboards and equal-frequency binning. All three
+    are rank-arithmetic on small exact integers, so the doubles are
+    IEEE-identical cross-engine (rounded at 6dp only to normalize
+    repr); the ORDER BY carries o_orderkey as a total tiebreak, which
+    is what makes ntile/percent_rank DETERMINISTIC — without it,
+    equal-price rows could legally swap quartiles between runs.
+
+    Top-20 per bucket keeps the graded output bounded; the window
+    itself computes over the full partition (rank denominators see
+    every row). One shuffle on the 16-way bucket key, all four
+    functions share the single sort.
+    """
+    w = Window.partitionBy(F.expr("o_custkey % 16")).orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_custkey") % 16).alias("bucket"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
