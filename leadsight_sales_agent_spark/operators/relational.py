@@ -3468,3 +3468,89 @@ def sql_session_variables_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING price_floor
         """
     )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH flt AS (
+        SELECT l.l_partkey,
+               CAST(l.l_quantity AS BIGINT) AS qty,
+               l.l_extendedprice
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4' AND p.p_size <= 15
+    ),
+    st AS (
+        SELECT l_extendedprice, qty,
+               sum(qty)  OVER (PARTITION BY l_partkey) AS sum_qty,
+               count(*)  OVER (PARTITION BY l_partkey) AS cnt
+        FROM flt
+    ),
+    small AS (
+        SELECT sum(CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 1000000
+                        AS HUGEINT)) AS m,
+               count(*) AS n_small_lines
+        FROM st WHERE 5 * qty * cnt < sum_qty
+    )
+    SELECT n_small_lines,
+           CAST((m * 2 + 70000) // 140000 AS DOUBLE) / 100 AS avg_yearly
+    FROM small
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): average yearly revenue
+    lost if orders below 20% of a part's average quantity were not
+    filled, for one brand's small parts — the classic correlated
+    per-group-average subquery. Completes the TPC-H set (q1 analogue =
+    agg_pricing_summary; q2-q22 all registered).
+
+    Plan: the textbook form computes avg(l_quantity) per part and joins
+    it back — two shuffles on the same key. Here the per-part average
+    is a WINDOW over l_partkey: ONE shuffle, no join-back, and the
+    partition count (lines per part) is naturally bounded so no skew.
+    The filtered part dim (one brand, small sizes) broadcasts before
+    the window so only matching lines shuffle at all — at 100 TB that
+    predicate keeps ~1% of lineitem in flight.
+
+    Exactness: quantities are whole numbers, so ``qty < 0.2 * avg``
+    becomes the integer cross-multiplication ``5*qty*cnt < sum_qty`` —
+    no float threshold crosses the engines. The final /7 rides the
+    half-up integer-division device (micro-unit sum, d = 7*10^4) so
+    avg_yearly is bit-identical cross-engine at 2 decimals.
+    """
+    p = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 15))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    flt = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_extendedprice",
+    )
+    w = Window.partitionBy("l_partkey")
+    st = flt.select(
+        "l_extendedprice",
+        "qty",
+        F.sum("qty").over(w).alias("sum_qty"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    small = st.filter(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+    micro = (F.col("l_extendedprice").cast("decimal(25,6)") * F.lit(10**6)).cast(
+        "decimal(38,0)"
+    )
+    agg = small.agg(
+        F.sum(micro).alias("m"), F.count(F.lit(1)).alias("n_small_lines")
+    )
+    return agg.select(
+        "n_small_lines",
+        (
+            F.floor(F.try_divide(F.col("m") * 2 + F.lit(70000), F.lit(140000)))
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("avg_yearly"),
+    )
