@@ -1416,3 +1416,104 @@ def path_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PATH_TOP)
         .select("path", "n_users", "rank")
     )
+
+
+@query(
+    "eval_ks_two_sample",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT score,
+               CAST(sum(a) AS BIGINT) AS ca,
+               CAST(sum(1 - a) AS BIGINT) AS cb
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT score,
+               sum(ca) OVER (ORDER BY score) AS cum_a,
+               sum(cb) OVER (ORDER BY score) AS cum_b,
+               sum(ca) OVER () AS n_a,
+               sum(cb) OVER () AS n_b
+        FROM g
+    ),
+    d AS (
+        SELECT score, n_a, n_b,
+               abs(cum_a * n_b - cum_b * n_a) AS d_num,
+               row_number() OVER (
+                   ORDER BY abs(cum_a * n_b - cum_b * n_a) DESC, score ASC
+               ) AS rn
+        FROM cum
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(d_num AS BIGINT) AS d_num,
+           CAST((2 * 10000 * d_num + n_a * n_b) // (2 * n_a * n_b) AS BIGINT)
+               AS ks_bp,
+           score AS ks_at_cents
+    FROM d WHERE rn = 1
+    """,
+)
+def eval_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the purchase and
+    non-purchase event-value distributions — the standard
+    distribution-drift test beside PSI (drift_psi_event_mix): PSI
+    needs pre-chosen bins, KS is bin-free and locates WHERE the CDFs
+    diverge most (the actionable cut point).
+
+    Exactness device (same family as eval_roc_auc_scores): collapse
+    to the distinct-score grain in exact cents, then D = max over
+    scores of |cdfA - cdfB| cross-multiplied to the integer
+    |cumA*nB - cumB*nA| — no float CDF ever exists; the statistic is
+    reported as the exact integer numerator plus half-up basis points,
+    and the argmax location resolves ties toward the smallest score
+    via an explicit rank. Bit-stable at any parallelism.
+
+    100 TB plan: one hash aggregate over the fact stream, then every
+    window runs on the COLLAPSED score grain (bounded by the score
+    domain, not the event count). The cumulative and ranking windows
+    share one global sort of that small grain.
+    """
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("value").cast("decimal(25,2)") * 100).cast("long").alias("score"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("a"),
+        )
+    )
+    g = s.groupBy("score").agg(
+        F.sum("a").cast("long").alias("ca"),
+        F.sum(1 - F.col("a")).cast("long").alias("cb"),
+    )
+    wcum = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = g.select(
+        "score",
+        F.sum("ca").over(wcum).alias("cum_a"),
+        F.sum("cb").over(wcum).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    d = cum.select(
+        "score",
+        "n_a",
+        "n_b",
+        F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")).alias(
+            "d_num"
+        ),
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.desc("d_num"), F.asc("score"))),
+    )
+    return d.filter(F.col("rn") == 1).select(
+        "n_a",
+        "n_b",
+        "d_num",
+        F.expr(
+            "CAST((2 * 10000 * d_num + n_a * n_b) DIV (2 * n_a * n_b) AS BIGINT)"
+        ).alias("ks_bp"),
+        F.col("score").alias("ks_at_cents"),
+    )

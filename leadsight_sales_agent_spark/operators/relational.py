@@ -3554,3 +3554,77 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
             / F.lit(100.0)
         ).alias("avg_yearly"),
     )
+
+
+@query(
+    "cdc_log_compaction",
+    oracle="""
+    WITH log AS (
+        SELECT user_id,
+               ts, event_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               round(value, 2) AS val,
+               event_type
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_versions
+        FROM log
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           val AS last_value,
+           n_versions
+    FROM ranked
+    WHERE rn = 1 AND op = 'U'
+    ORDER BY user_id
+    """,
+)
+def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: collapse a change-data-capture log to final
+    table state under last-writer-wins with delete semantics — the
+    Debezium/Kafka-compacted-topic materialization. The events log is
+    read as a CDC stream keyed by user_id: 'error' events are DELETE
+    tombstones, everything else an UPSERT; version order is (ts,
+    event_id) so ties at the same timestamp resolve deterministically
+    by log offset. A key whose LAST op is a tombstone vanishes from
+    the compacted state; live keys carry their final value and a
+    version count (the compaction-ratio diagnostic).
+
+    Plan: one shuffle on the key; row_number and the per-key version
+    count share the same (user_id) partitioning (Catalyst reuses one
+    sort+exchange). At 100 TB this is the canonical
+    compact-before-merge preprocessing: the output is Domain#rows =
+    #live keys, so the downstream MERGE touches each key once instead
+    of once per change — and because the plan is partial-agg-free
+    (pure window), it streams through sort-based aggregation without
+    holding per-key state.
+    """
+    log = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.round("value", 2).alias("val"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    ranked = log.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_versions"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("val").alias("last_value"),
+            "n_versions",
+        )
+        .orderBy("user_id")
+    )

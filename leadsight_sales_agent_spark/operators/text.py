@@ -2096,3 +2096,94 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH grain AS (
+        SELECT lang, source, tok, count(*) AS cnt
+        FROM (
+            SELECT lang, source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents
+        ) t
+        GROUP BY 1, 2, 3
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, row_number() OVER (ORDER BY sum(cnt) DESC, tok ASC) AS rn
+            FROM grain GROUP BY tok
+        ) v WHERE rn <= 100
+    ),
+    cov AS (
+        SELECT g.lang, g.source,
+               CAST(sum(g.cnt) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN v.tok IS NULL THEN g.cnt ELSE 0 END) AS BIGINT)
+                   AS oov_tokens
+        FROM grain g LEFT JOIN vocab v ON g.tok = v.tok
+        GROUP BY 1, 2
+    )
+    SELECT lang, source, total_tokens, oov_tokens,
+           CAST((20000 * oov_tokens + total_tokens) // (2 * total_tokens)
+                AS BIGINT) AS oov_bp
+    FROM cov
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: fix a top-100 corpus vocabulary (by
+    global frequency, ties broken lexically so the cut is
+    deterministic) and report each (lang, source) stratum's
+    out-of-vocabulary token rate in half-up basis points — the
+    tokenizer-fit diagnostic a training pipeline runs before
+    committing a vocab: a stratum with a high OOV rate will fragment
+    into byte-fallback tokens and blow up its effective sequence
+    lengths.
+
+    Plan: ONE explode pass builds the (lang, source, token) grain
+    (shuffle on the composite key); the global vocabulary re-aggregates
+    that grain (shuffle on token — but input is already
+    distinct-token-per-stratum, orders of magnitude smaller than the
+    token stream), and the top-100 cut is a rank over ~vocab-size
+    rows. The vocab (100 rows) broadcasts back onto the grain, so
+    coverage needs no further shuffle beyond the final per-stratum
+    agg. At 100 TB the token stream never materializes twice and the
+    only big exchange is the grain build.
+    """
+    docs = load(spark, sf_dir, "documents").select("lang", "source", "text")
+    grain = (
+        docs.select(
+            "lang", "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        )
+        .groupBy("lang", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = (
+        grain.groupBy("tok")
+        .agg(F.sum("cnt").alias("tot"))
+        .select(
+            "tok",
+            F.row_number().over(Window.orderBy(F.desc("tot"), F.asc("tok"))).alias("rn"),
+        )
+        .filter(F.col("rn") <= 100)
+        .select("tok")
+    )
+    cov = (
+        grain.join(F.broadcast(vocab.withColumn("in_v", F.lit(1))), "tok", "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("cnt").alias("total_tokens"),
+            F.sum(F.when(F.col("in_v").isNull(), F.col("cnt")).otherwise(F.lit(0))).alias(
+                "oov_tokens"
+            ),
+        )
+    )
+    return cov.select(
+        "lang",
+        "source",
+        "total_tokens",
+        "oov_tokens",
+        F.floor(
+            (F.lit(20000) * F.col("oov_tokens") + F.col("total_tokens"))
+            / (F.lit(2) * F.col("total_tokens"))
+        ).alias("oov_bp"),
+    )

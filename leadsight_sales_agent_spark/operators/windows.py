@@ -1708,3 +1708,118 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .drop("rn")
     )
+
+
+_EWMA_H = 16  # re-anchoring horizon: weights below 2^-15 collapse into the tail
+
+
+def _sql_ewma_terms(v: str, part: str, order: str) -> str:
+    """SQL fragment: the scaled dyadic EWMA dot product as 16 lag terms.
+
+    Emitted as literal SQL so the SAME algebra runs on DuckDB; the
+    Spark side builds the identical expression through the DataFrame
+    API. ``m`` must be in scope as least(row_number, 16)."""
+    terms = []
+    for k in range(_EWMA_H):
+        w = (
+            f"(CASE WHEN {k} > m - 1 THEN 0 "
+            f"WHEN {k} = m - 1 THEN 1 "
+            f"ELSE (CAST(1 AS BIGINT) << (m - 2 - {k})) END)"
+        )
+        terms.append(
+            f"COALESCE(lag({v}, {k}) OVER "
+            f"(PARTITION BY {part} ORDER BY {order}), 0) * {w}"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "window_ewma_dyadic_smoothing",
+    oracle=f"""
+    WITH series AS (
+        SELECT o_orderpriority AS priority,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT priority, month, cents,
+               least(CAST(row_number() OVER (PARTITION BY priority
+                                             ORDER BY month) AS BIGINT),
+                     {_EWMA_H}) AS m
+        FROM series
+    ),
+    dot AS (
+        SELECT priority, month, m,
+               CAST(round(CAST(cents AS DOUBLE) / 100, 2) AS DOUBLE)
+                   AS revenue,
+               {_sql_ewma_terms("cents", "priority", "month")} AS s
+        FROM idx
+    )
+    SELECT priority, month, revenue,
+           CAST(s AS DOUBLE)
+               / (CAST(1 AS BIGINT) << (m - 1)) / 100 AS ewma_revenue
+    FROM dot
+    """,
+)
+def window_ewma_dyadic_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over the monthly revenue
+    series per order priority — the canonical "inherently sequential"
+    smoothing recurrence s_i = alpha*v_i + (1-alpha)*s_{i-1}, made
+    distributed AND cross-engine bit-exact.
+
+    Device: with alpha = 1/2 every weight is a power of two, so the
+    recurrence unrolls into a dyadic dot product over the trailing
+    window — v_i gets 2^-1, v_{i-1} 2^-2, ..., and beyond horizon
+    H=16 the residual tail weight (2^-15) re-anchors on the oldest
+    in-window value (the standard truncated-EWMA approximation, error
+    bounded by 2^-15 of the series range, here below output precision).
+    Scaled by 2^(m-1) the whole sum is BIGINT on exact cents —
+    associative, partition-order-free — and the final unscaling is two
+    IEEE-exact operations (exponent shift, then one /100 on identical
+    doubles), so the smoothed series hash-matches DuckDB bit-for-bit.
+
+    Scale: the recurrence never runs sequentially — each row is a
+    16-term lag combination inside ONE window pass (Catalyst fuses all
+    16 lags over the same (priority, month) sort into a single
+    WindowExec), and partitioning is per-series so a 100 TB fact table
+    with millions of series parallelizes freely after its month-grain
+    rollup.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_orderdate", "o_totalprice")
+    series = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("priority").orderBy("month")
+    idx = series.withColumn(
+        "m", F.least(F.row_number().over(w).cast("bigint"), F.lit(_EWMA_H))
+    )
+    s = None
+    for k in range(_EWMA_H):
+        wk = (
+            F.when(F.lit(k) > F.col("m") - 1, F.lit(0).cast("bigint"))
+            .when(F.lit(k) == F.col("m") - 1, F.lit(1).cast("bigint"))
+            .otherwise(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(m - 2 - {k} AS INT))"))
+        )
+        term = F.coalesce(F.lag("cents", k).over(w), F.lit(0)) * wk
+        s = term if s is None else s + term
+    dot = idx.withColumn("s", s)
+    return dot.select(
+        "priority",
+        "month",
+        F.round(F.col("cents").cast("double") / 100, 2).cast("double").alias("revenue"),
+        (
+            F.col("s").cast("double")
+            / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(m - 1 AS INT))").cast("double")
+            / F.lit(100.0)
+        ).alias("ewma_revenue"),
+    )
