@@ -1517,3 +1517,163 @@ def eval_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ks_bp"),
         F.col("score").alias("ks_at_cents"),
     )
+
+
+@query(
+    "eval_mutual_information",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y,
+               count(*) AS nxy
+        FROM orders GROUP BY 1, 2
+    ),
+    marg AS (
+        SELECT x, y, nxy,
+               sum(nxy) OVER (PARTITION BY x) AS nx,
+               sum(nxy) OVER (PARTITION BY y) AS ny,
+               sum(nxy) OVER () AS n
+        FROM cells
+    )
+    SELECT x, y, CAST(nxy AS BIGINT) AS nxy,
+           round((CAST(nxy AS DOUBLE) / n)
+                 * ln((CAST(nxy AS DOUBLE) * n)
+                      / (CAST(nx AS DOUBLE) * ny)), 6) AS mi_term
+    FROM marg
+    """,
+)
+def eval_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (order
+    priority × status) — the model-agnostic dependence screen beside
+    chi-square (chi_square_priority_status): chi-square answers "is
+    there dependence", MI quantifies HOW MANY nats of the label a
+    feature carries, the ranking used for feature selection. Reported
+    per cell (p_xy * ln(p_xy*n^2 / (n_x*n_y)) with the shared-n
+    cancellation applied) so any subtotal re-derives from the output.
+
+    One scan builds the |X|x|Y| contingency grid (25 cells); the
+    marginals are windows OVER THE GRID, not the fact table — the
+    months-grid-not-facts rule again. Floats: every ratio divides
+    exact integers (deterministic doubles); ln is libm-vs-Math.log,
+    1 ulp apart at worst, so terms round at 6 decimals — far above
+    ulp noise, same regime as PSI/WoE.
+    """
+    cells = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("nxy"))
+    )
+    marg = cells.select(
+        "x",
+        "y",
+        "nxy",
+        F.sum("nxy").over(Window.partitionBy("x")).alias("nx"),
+        F.sum("nxy").over(Window.partitionBy("y")).alias("ny"),
+        F.sum("nxy").over(Window.partitionBy()).alias("n"),
+    )
+    return marg.select(
+        "x",
+        "y",
+        F.col("nxy").cast("bigint").alias("nxy"),
+        F.round(
+            (F.col("nxy").cast("double") / F.col("n"))
+            * F.log(
+                (F.col("nxy").cast("double") * F.col("n"))
+                / (F.col("nx").cast("double") * F.col("ny"))
+            ),
+            6,
+        ).alias("mi_term"),
+    )
+
+
+def funnel_fold_deadline(evs_col: str = "evs", hours: int = 48):
+    """Deadline-constrained funnel fold: a stage advances only on an
+    event strictly after the prior stage AND within ``hours`` of it —
+    once a stage's window closes unconverted, the funnel stalls for
+    good (no later event reopens it), matching product-analytics
+    "convert within N hours" semantics. Module-level for differential
+    tests, like funnel_fold."""
+    no_ts = F.lit(None).cast("timestamp")
+    state0 = F.struct(
+        no_ts.alias("t1"), no_ts.alias("t2"), no_ts.alias("t3"), no_ts.alias("t4")
+    )
+    deadline = F.expr(f"INTERVAL {hours} HOURS")
+
+    def step(acc, e):
+        def advance(slot_ts, prev_ts, stage):
+            if stage == "signup":
+                gate = F.lit(True)
+            else:
+                gate = (
+                    prev_ts.isNotNull()
+                    & (e["ts"] > prev_ts)
+                    & (e["ts"] <= prev_ts + deadline)
+                )
+            cond = slot_ts.isNull() & (e["event_type"] == stage) & gate
+            return F.when(cond, e["ts"]).otherwise(slot_ts)
+
+        return F.struct(
+            advance(acc["t1"], None, "signup").alias("t1"),
+            advance(acc["t2"], acc["t1"], "view").alias("t2"),
+            advance(acc["t3"], acc["t2"], "click").alias("t3"),
+            advance(acc["t4"], acc["t3"], "purchase").alias("t4"),
+        )
+
+    return F.aggregate(evs_col, state0, step)
+
+
+@query(
+    "funnel_windowed_deadline",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ), v AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'view' AND e.ts > s.t1
+          AND e.ts <= s.t1 + INTERVAL 48 HOUR GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t2
+          AND e.ts <= v.t2 + INTERVAL 48 HOUR GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t3
+          AND e.ts <= c.t3 + INTERVAL 48 HOUR GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM v) AS n_view_48h,
+           (SELECT count(*) FROM c) AS n_click_48h,
+           (SELECT count(*) FROM p) AS n_purchase_48h
+    """,
+)
+def funnel_windowed_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline funnel signup → view → click → purchase where every
+    stage must land within 48 hours of the previous one — the
+    "convert within N hours" funnel of product analytics (unbounded
+    funnels overstate conversion by counting returns weeks later as
+    funnel progress).
+
+    Subtlety the deadline adds: the FIRST qualifying event decides —
+    but "qualifying" now includes the window, so the min-join oracle
+    needs the deadline INSIDE each stage's predicate (min over the
+    constrained set), which is exactly what the fold computes by
+    construction. Same single-shuffle plan as funnel_ordered_stages:
+    one groupBy(user_id), sorted-array fold, all four stages in one
+    pass — the chained-join oracle re-shuffles the log per stage.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    grouped = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+    )
+    folded = grouped.select(funnel_fold_deadline("evs", 48).alias("f"))
+    return folded.agg(
+        F.count(F.col("f.t1")).alias("n_signup"),
+        F.count(F.col("f.t2")).alias("n_view_48h"),
+        F.count(F.col("f.t3")).alias("n_click_48h"),
+        F.count(F.col("f.t4")).alias("n_purchase_48h"),
+    )

@@ -777,3 +777,58 @@ class TestToArrow:
         assert [v.as_py() for v in tbl.column("n_nationkey")] == [
             r["n_nationkey"] for r in df.collect()
         ]
+
+
+class TestCostBasedOptimizer:
+    def test_analyze_statistics_feed_the_optimizer(self, spark, sf_dir):
+        """ANALYZE TABLE wires table/column statistics into Catalyst:
+        rowCount appears in the catalog and the optimized plan's
+        cardinality estimate, and with CBO on, a filtered join side is
+        estimated from column stats instead of raw file size — the
+        mechanism that flips join strategy/order at 100 TB, where file
+        size wildly over-estimates a post-filter build side."""
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        spark.sql("DROP TABLE IF EXISTS stats_orders")
+        load(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable("stats_orders")
+        prev_cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+        try:
+            spark.sql("ANALYZE TABLE stats_orders COMPUTE STATISTICS")
+            spark.sql(
+                "ANALYZE TABLE stats_orders COMPUTE STATISTICS "
+                "FOR COLUMNS o_orderkey, o_orderpriority"
+            )
+            detail = spark.sql("DESCRIBE TABLE EXTENDED stats_orders").collect()
+            stats_row = [r for r in detail if r["col_name"] == "Statistics"]
+            assert stats_row and "rows" in stats_row[0]["data_type"], (
+                "ANALYZE did not record a row count in the catalog"
+            )
+            n = spark.table("stats_orders").count()
+            assert f"{n} rows" in stats_row[0]["data_type"]
+
+            spark.conf.set("spark.sql.cbo.enabled", "true")
+            df = spark.table("stats_orders")
+            est = (
+                df._jdf.queryExecution()  # noqa: SLF001
+                .optimizedPlan()
+                .stats()
+                .rowCount()
+            )
+            assert est.isDefined() and int(str(est.get())) == n, (
+                "optimizer cardinality estimate does not use analyzed rowCount"
+            )
+            # Column histogram/NDV drives filter selectivity: a 1-of-5
+            # priority filter must estimate well below the full count.
+            flt = df.filter(F.col("o_orderpriority") == "1-URGENT")
+            fest = (
+                flt._jdf.queryExecution()  # noqa: SLF001
+                .optimizedPlan()
+                .stats()
+                .rowCount()
+            )
+            assert fest.isDefined() and int(str(fest.get())) < n * 0.6, (
+                "column stats not used for filter selectivity"
+            )
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+            spark.sql("DROP TABLE IF EXISTS stats_orders")
