@@ -2414,3 +2414,131 @@ def agg_grouped_pandas_udf_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_rows(F.col("cents")).alias("n_customers"),
         )
     )
+
+
+@query(
+    "agg_skew_kurtosis_moments",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    shifted AS (
+        SELECT event_type, cents,
+               cents - (sum(cents) OVER (PARTITION BY event_type)
+                        // count(*) OVER (PARTITION BY event_type)) AS d
+        FROM c
+    ),
+    sums AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(d) AS BIGINT) AS s1,
+               CAST(sum(d * d) AS BIGINT) AS s2,
+               CAST(sum(CAST(d AS DECIMAL(38,0)) * d * d) AS DECIMAL(38,0)) AS s3,
+               CAST(sum(CAST(d AS DECIMAL(38,0)) * d * d * d) AS DECIMAL(38,0)) AS s4
+        FROM shifted GROUP BY 1
+    ),
+    mom AS (
+        SELECT event_type, n,
+               CAST(s1 AS DOUBLE) / n AS m1,
+               CAST(s2 AS DOUBLE) / n AS r2,
+               CAST(s3 AS DOUBLE) / n AS r3,
+               CAST(s4 AS DOUBLE) / n AS r4
+        FROM sums
+    ),
+    cm AS (
+        SELECT event_type, n, m1,
+               r2 - m1 * m1 AS m2,
+               r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS m3,
+               r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2
+                  - 3 * m1 * m1 * m1 * m1 AS m4
+        FROM mom
+    )
+    SELECT event_type, n,
+           round(m2 / 10000, 6) AS variance_pop,
+           round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3, 6) AS kurtosis_excess
+    FROM cm
+    """,
+)
+def agg_skew_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of event values per
+    event type — the higher-moment distribution fingerprints behind
+    anomaly thresholds and normality screens, computed distributed
+    and cross-engine bit-stable.
+
+    Device: central moments are shift-invariant, so values first
+    center on the per-group INTEGER floor-mean (one window over the
+    group grain — an exact BIGINT division, no float). The centered
+    integer power sums Σd..Σd⁴ then aggregate exactly (d³/d⁴ ride
+    DECIMAL(38,0) — bounded by n·range⁴, fine at any SF once shifted,
+    where raw-moment cross-multiplication n³Σx⁴ overflows even 38
+    digits at sf0.1). From those exact sums the statistic is ONE
+    fixed expression tree of IEEE correctly-rounded ops (+,-,*,/ and
+    sqrt — never libm pow, which is not correctly rounded): identical
+    inputs → bit-identical doubles in both engines; the 6dp round is
+    belt-and-braces. Skew/kurtosis use the population (biased) form
+    m3/m2^1.5 and m4/m2²−3.
+
+    Plan: window + groupBy share the (event_type) partitioning — one
+    exchange; everything else is map-side arithmetic.
+    """
+    c = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.col("value").cast("decimal(25,2)") * 100).cast("long").alias("cents"),
+        )
+    )
+    shifted = c.select(
+        "event_type",
+        (
+            F.col("cents")
+            - F.expr(
+                "sum(cents) OVER (PARTITION BY event_type)"
+                " DIV count(*) OVER (PARTITION BY event_type)"
+            )
+        ).alias("d"),
+    )
+    sums = shifted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").cast("long").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("s2"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d") * F.col("d"))
+        .cast("decimal(38,0)")
+        .alias("s3"),
+        F.sum(
+            F.col("d").cast("decimal(38,0)") * F.col("d") * F.col("d") * F.col("d")
+        )
+        .cast("decimal(38,0)")
+        .alias("s4"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    r2 = F.col("s2").cast("double") / F.col("n")
+    r3 = F.col("s3").cast("double") / F.col("n")
+    r4 = F.col("s4").cast("double") / F.col("n")
+    mom = sums.select("event_type", "n", m1.alias("m1"), r2.alias("r2"), r3.alias("r3"), r4.alias("r4"))
+    m2c = F.col("r2") - F.col("m1") * F.col("m1")
+    m3c = (
+        F.col("r3")
+        - F.lit(3) * F.col("m1") * F.col("r2")
+        + F.lit(2) * F.col("m1") * F.col("m1") * F.col("m1")
+    )
+    m4c = (
+        F.col("r4")
+        - F.lit(4) * F.col("m1") * F.col("r3")
+        + F.lit(6) * F.col("m1") * F.col("m1") * F.col("r2")
+        - F.lit(3) * F.col("m1") * F.col("m1") * F.col("m1") * F.col("m1")
+    )
+    cm = mom.select("event_type", "n", m2c.alias("m2"), m3c.alias("m3"), m4c.alias("m4"))
+    return cm.select(
+        "event_type",
+        "n",
+        F.round(F.col("m2") / 10000, 6).alias("variance_pop"),
+        F.round(F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2"))), 6).alias("skewness"),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 6).alias(
+            "kurtosis_excess"
+        ),
+    )

@@ -1677,3 +1677,94 @@ def funnel_windowed_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("f.t3")).alias("n_click_48h"),
         F.count(F.col("f.t4")).alias("n_purchase_48h"),
     )
+
+
+@query(
+    "interval_union_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts) AS s_us,
+               epoch_us(ts) + 1800000000 AS e_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s_us, e_us,
+               CASE WHEN s_us > coalesce(max(e_us) OVER (
+                        PARTITION BY user_id ORDER BY s_us, e_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -9223372036854775808)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s_us, e_us,
+               sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s_us, e_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    ),
+    merged AS (
+        SELECT user_id, island,
+               min(s_us) AS ms, max(e_us) AS me, count(*) AS n_iv
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+           count(*) AS n_islands,
+           CAST(sum(me - ms) AS BIGINT) AS covered_us
+    FROM merged GROUP BY 1
+    """,
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage (interval UNION length): each event
+    opens a 30-minute activity interval; per user, the total WALL
+    TIME covered by the union of their intervals plus the merged-
+    island count — the "actual active time" metric that naive
+    sum-of-durations double-counts whenever intervals overlap. The
+    union-length complement of interval_max_concurrency's peak-overlap
+    statistic.
+
+    Sweep-line islands without a self-join: a new island starts where
+    an interval's start exceeds the running max end of every EARLIER
+    interval (window max over rows-to-preceding); cumulative-summing
+    the flags labels islands; per-island [min start, max end] spans
+    subtract exactly in integer microseconds. All three windows and
+    the two aggregates share ONE (user_id) partitioning — Catalyst
+    plans a single exchange, and per-user interval counts are bounded,
+    so it scales linearly in events.
+    """
+    iv = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + F.lit(1800000000)).alias("e_us"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s_us")
+            > F.coalesce(F.max("e_us").over(wprev), F.lit(-(2**63))),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(wrun))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("ms"),
+        F.max("e_us").alias("me"),
+        F.count(F.lit(1)).alias("n_iv"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.sum("n_iv").cast("bigint").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("covered_us"),
+    )

@@ -3628,3 +3628,41 @@ def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "sql_group_order_by_all_suite",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           o_orderstatus AS status,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+               AS revenue
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    ORDER BY o_orderpriority, o_orderstatus, n_orders, revenue
+    """,
+)
+def sql_group_order_by_all_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` / `ORDER BY ALL` (Spark 4 SQL sugar, same
+    dialect as DuckDB/Databricks): the engine infers the grouping set
+    as every non-aggregate select item and the sort as the full select
+    list — the ad-hoc-analytics ergonomics users expect from a modern
+    engine. The oracle spells both lists out explicitly, so the hash
+    proves the inference resolves to exactly the explicit form (and
+    the exact-decimal revenue guarantees the proof covers values, not
+    just shape).
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("o_gba")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               o_orderstatus AS status,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+                   AS revenue
+        FROM o_gba
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
