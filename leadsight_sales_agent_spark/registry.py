@@ -198,6 +198,7 @@ _ROWS_ONLY_COST_ORDER = [
     "streaming_dedup_watermarked",
     "leadsight_enrich_pipeline",
     "streaming_windowed_counts",
+    "streaming_session_window_native",
     "streaming_user_totals_stateful",
     "streaming_sessionize_stateful",
 ]

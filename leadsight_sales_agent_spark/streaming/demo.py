@@ -729,3 +729,76 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
     if rows:
         return spark.createDataFrame(rows, USER_TOTALS_OUT_SCHEMA)
     return spark.createDataFrame([], USER_TOTALS_OUT_SCHEMA)
+
+
+def session_window_counts(stream: DataFrame) -> DataFrame:
+    """Native ``session_window`` aggregation (the engine-managed twin of
+    the applyInPandasWithState sessionizer above): dynamic-gap windows
+    that merge as events arrive, state evicted by the watermark. At
+    scale this is the preferred path — session merge logic runs in the
+    JVM state store (RocksDB), no Python worker in the loop."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query("streaming_session_window_native")  # streaming demo → rows-only check
+def streaming_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end native session-window streaming run: file source →
+    watermarked ``session_window`` groupBy → complete-mode foreachBatch.
+    Complete mode (not append) because a bounded availableNow run ends
+    with the newest sessions still inside the watermark — append would
+    hold them in state and under-report; complete emits the final
+    merged state, which is exactly the batch result
+    (tests/test_streaming.py pins equality against the batch twin).
+    """
+    scratch = _scratch_dir()
+    events = load(spark, sf_dir, "events")
+    n_events = events.count()
+    src_dir, staged = _staged_source_dir("sessnative", sf_dir, n_events)
+    if not staged:
+        events.repartition(4).write.mode("overwrite").parquet(src_dir)
+        _mark_staged(src_dir, n_events)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    agg = session_window_counts(stream)
+
+    batches: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batches.append(batch_df.collect())
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    rows = batches[-1] if batches else []
+    if rows:
+        return spark.createDataFrame(rows, agg.schema)
+    return spark.createDataFrame([], agg.schema)

@@ -35,6 +35,7 @@ ROWS_ONLY_ALLOWED = {
     "streaming_dedup_watermarked",  # streaming semantics (batch-equivalence pinned in tests)
     "streaming_windowed_counts",  # streaming semantics
     "streaming_static_enrich_join",  # streaming semantics (batch-equivalence pinned in tests)
+    "streaming_session_window_native",  # streaming semantics (batch-equivalence pinned in tests)
 }
 
 

@@ -615,3 +615,38 @@ class TestRocksDBStateStore:
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, saved)
+
+
+class TestNativeSessionWindow:
+    def test_session_window_stream_equals_batch_twin(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.sources.catalog import load
+        from leadsight_sales_agent_spark.streaming.demo import (
+            session_window_counts,
+            streaming_session_window_native,
+        )
+
+        got = {
+            tuple(r) for r in streaming_session_window_native(spark, sf_dir).collect()
+        }
+        # batch twin: the same session_window aggregation run as a batch
+        # query over the same events (watermark is a no-op in batch)
+        ev = load(spark, sf_dir, "events")
+        want = {tuple(r) for r in session_window_counts(ev).collect()}
+        assert got == want and got, (len(got), len(want))
+
+    def test_sessions_respect_gap(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.sources.catalog import load
+        from leadsight_sales_agent_spark.streaming.demo import session_window_counts
+
+        rows = session_window_counts(load(spark, sf_dir, "events")).collect()
+        # every session spans >= its event count's minimum possible time
+        # and no two sessions of one user overlap or sit closer than the
+        # 30-minute gap
+        from collections import defaultdict
+        by_user = defaultdict(list)
+        for r in rows:
+            by_user[r["user_id"]].append((r["session_start"], r["session_end"]))
+        for user, spans in by_user.items():
+            spans.sort()
+            for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+                assert e1 <= s2, f"user {user}: overlapping sessions"
