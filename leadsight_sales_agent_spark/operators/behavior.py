@@ -1931,3 +1931,94 @@ def eval_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * n * tot_pos) AS BIGINT)"
         ).alias("lift_bp"),
     )
+
+
+@query(
+    "forecast_seasonal_decomposition",
+    oracle="""
+    WITH series AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(month(o_orderdate) AS BIGINT) AS moy,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    ma AS (
+        SELECT month, moy, cents,
+               2 * sum(cents) OVER (ORDER BY month
+                                    ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+                 + lag(cents, 6)  OVER (ORDER BY month)
+                 + lead(cents, 6) OVER (ORDER BY month) AS s24
+        FROM series
+    ),
+    ratios AS (
+        SELECT moy,
+               (2 * 240000 * cents + s24) // (2 * s24) AS ratio_bp
+        FROM ma WHERE s24 IS NOT NULL
+    )
+    SELECT moy, count(*) AS n_obs,
+           CAST((2 * sum(ratio_bp) + count(*)) // (2 * count(*)) AS BIGINT)
+               AS seasonal_index_bp
+    FROM ratios GROUP BY 1
+    """,
+)
+def forecast_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition by the ratio-to-moving-average
+    method: detrend the monthly revenue series with a centered 2x12
+    moving average (half-weight on the two edge months — the textbook
+    even-period centering), express each month as a ratio to its
+    trend, and average the ratios per calendar month into a seasonal
+    index (10000 bp = on-trend). The preprocessing step behind every
+    seasonally-adjusted KPI, and the model-free complement of
+    forecast_seasonal_naive_backtest.
+
+    Exactness: the 2x12 MA is the rational S/24 with S an exact cent
+    sum (edge months once, interior months twice — one windowed sum
+    plus two lags, no 13-term unroll), so the ratio v/MA cross-
+    multiplies to the integer 24*v/S and lands as half-up basis
+    points; the per-calendar-month average is integer half-up again.
+    No float touches the pipeline.
+
+    Scale: all windows run on the MONTH grain (bounded by the
+    calendar, not the fact count) after one fact-table rollup — the
+    months-grid-not-facts rule; incomplete edge windows (first/last 6
+    months) are excluded by construction, as the method requires.
+    """
+    series = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+            F.month("o_orderdate").cast("bigint").alias("moy"),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("month")
+    wma = w.rowsBetween(-5, 5)
+    ma = series.select(
+        "month",
+        "moy",
+        "cents",
+        (
+            F.lit(2) * F.sum("cents").over(wma)
+            + F.lag("cents", 6).over(w)
+            + F.lead("cents", 6).over(w)
+        ).alias("s24"),
+    )
+    ratios = ma.filter(F.col("s24").isNotNull()).select(
+        "moy",
+        F.expr(
+            "(2 * 240000 * cents + s24) DIV (2 * s24)"
+        ).alias("ratio_bp"),
+    )
+    return ratios.groupBy("moy").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.expr(
+            "CAST((2 * sum(ratio_bp) + count(*)) DIV (2 * count(*)) AS BIGINT)"
+        ).alias("seasonal_index_bp"),
+    )

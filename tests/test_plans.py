@@ -832,3 +832,45 @@ class TestCostBasedOptimizer:
         finally:
             spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
             spark.sql("DROP TABLE IF EXISTS stats_orders")
+
+
+class TestJoinHints:
+    """The four join-strategy hints are the manual override surface for
+    the rare plan Catalyst/AQE gets wrong at scale (e.g. a "small" side
+    whose post-filter size estimate is stale). Each hint must actually
+    flip the physical strategy."""
+
+    def _join(self, spark, sf_dir, hint):
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        if hint:
+            c = c.hint(hint)
+        j = o.join(c, o.o_custkey == c.c_custkey)
+        return j._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            j._jdf.queryExecution(), "formatted"
+        )
+
+    def test_broadcast_hint(self, spark, sf_dir):
+        assert "BroadcastHashJoin" in self._join(spark, sf_dir, "broadcast")
+
+    def test_shuffle_hash_hint(self, spark, sf_dir):
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            assert "ShuffledHashJoin" in self._join(spark, sf_dir, "shuffle_hash")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    def test_merge_hint(self, spark, sf_dir):
+        assert "SortMergeJoin" in self._join(spark, sf_dir, "merge")
+
+    def test_shuffle_replicate_nl_degrades_equi_join_to_cartesian(self, spark, sf_dir):
+        # pin the FOOTGUN: Spark honors shuffle_replicate_nl even on an
+        # equi-join, degrading it to CartesianProduct + post-filter —
+        # O(n*m) row pairs. This is why no operator in this repo ever
+        # emits the hint; the test documents the behavior so nobody
+        # "optimizes" a join with it.
+        plan = self._join(spark, sf_dir, "shuffle_replicate_nl")
+        assert "CartesianProduct" in plan
