@@ -3666,3 +3666,179 @@ def sql_group_order_by_all_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "late_arriving_dim_handling",
+    oracle="""
+    WITH dim_now AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey % 10 <> 3
+    ),
+    resolved AS (
+        SELECT o.o_orderkey, o.o_custkey,
+               coalesce(d.c_mktsegment, 'UNKNOWN') AS segment,
+               CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END AS inferred
+        FROM orders o LEFT JOIN dim_now d ON o.o_custkey = d.c_custkey
+    ),
+    backfilled AS (
+        SELECT r.o_orderkey, r.o_custkey,
+               CASE WHEN r.inferred = 1 THEN coalesce(c.c_mktsegment, 'UNKNOWN')
+                    ELSE r.segment END AS segment,
+               r.inferred AS was_inferred
+        FROM resolved r
+        LEFT JOIN customer c
+          ON r.inferred = 1 AND r.o_custkey = c.c_custkey
+    )
+    SELECT segment, was_inferred,
+           count(*) AS n_orders
+    FROM backfilled GROUP BY 1, 2
+    """,
+)
+def late_arriving_dim_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension (early-arriving fact) handling — the
+    Kimball pattern: facts land before their dimension row exists, get
+    an inferred 'UNKNOWN' member instead of being dropped or stalling
+    the load, and a later backfill pass repairs them once the
+    dimension catches up. Simulated in-query: the "current" dimension
+    snapshot is customers minus a deterministic 10% (custkey%10==3);
+    stage 1 left-joins facts and flags the inferred members, stage 2
+    re-joins ONLY the flagged rows against the complete dimension and
+    repairs them. Output = segment x was_inferred counts, so the
+    graded result proves both that no fact was ever dropped AND that
+    every repairable fact was repaired (was_inferred=1 rows landing in
+    real segments), with UNKNOWN surviving only where the dim remains
+    absent (here: none).
+
+    Scale: both joins broadcast the dimension side; the backfill join's
+    left side is pre-filtered to the inferred flag — at 100 TB that
+    filter is the difference between re-shuffling the whole fact table
+    nightly and touching only the repair queue.
+    """
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim_now = cust.filter(F.col("c_custkey") % 10 != 3)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    resolved = (
+        o.join(F.broadcast(dim_now), o.o_custkey == dim_now.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+            F.when(F.col("c_custkey").isNull(), 1).otherwise(0).alias("inferred"),
+        )
+    )
+    backfilled = (
+        resolved.join(
+            F.broadcast(cust),
+            (resolved.inferred == 1) & (resolved.o_custkey == cust.c_custkey),
+            "left",
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(
+                F.col("inferred") == 1,
+                F.coalesce("c_mktsegment", F.lit("UNKNOWN")),
+            )
+            .otherwise(F.col("segment"))
+            .alias("segment"),
+            F.col("inferred").alias("was_inferred"),
+        )
+    )
+    return backfilled.groupBy("segment", "was_inferred").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "tpcds_q47_sales_deviation",
+    oracle="""
+    WITH monthly AS (
+        SELECT o_orderpriority AS priority,
+               CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2, 3
+    ),
+    with_year AS (
+        SELECT priority, yr, month, cents,
+               sum(cents) OVER (PARTITION BY priority, yr) AS year_cents,
+               count(*) OVER (PARTITION BY priority, yr) AS n_months,
+               lag(cents)  OVER (PARTITION BY priority ORDER BY month)
+                   AS prev_cents,
+               lead(cents) OVER (PARTITION BY priority ORDER BY month)
+                   AS next_cents
+        FROM monthly
+    )
+    SELECT priority, month,
+           CAST(round(CAST(cents AS DOUBLE) / 100, 2) AS DOUBLE) AS revenue,
+           CAST((2 * 10000 * n_months * cents + year_cents)
+                // (2 * year_cents) AS BIGINT) AS vs_year_avg_bp,
+           prev_cents, next_cents
+    FROM with_year
+    WHERE n_months = 12
+      AND 10 * n_months * cents > 11 * year_cents
+    """,
+)
+def tpcds_q47_sales_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q47 shape (adapted to the orders schema): months whose
+    revenue deviates more than +10% from their series' yearly average,
+    with the neighboring months' values for context — the
+    anomalous-period report combining a partitioned aggregate window,
+    a deviation predicate, and lag/lead context in one pass.
+
+    Exactness: "v > 1.1 * yearly_avg" cross-multiplies to the integer
+    ``10*n*v > 11*sum_year`` (never a float threshold), and the
+    reported deviation is half-up basis points of the exact rational
+    n*v/sum_year. Partial years (the first/last calendar year of the
+    data) are excluded by the n_months=12 completeness gate, so the
+    average is always a true yearly average.
+
+    Plan: one fact rollup to the month grain, then ALL FOUR windows
+    (year sum, month count, lag, lead) share the (priority[, yr])
+    partitioning — Catalyst plans one exchange + two sorts over the
+    tiny grain. TPC-DS's original runs the same shape over
+    (category, brand, store); the grain arithmetic is identical.
+    """
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wy = Window.partitionBy("priority", "yr")
+    wm = Window.partitionBy("priority").orderBy("month")
+    with_year = monthly.select(
+        "priority",
+        "yr",
+        "month",
+        "cents",
+        F.sum("cents").over(wy).alias("year_cents"),
+        F.count(F.lit(1)).over(wy).alias("n_months"),
+        F.lag("cents").over(wm).alias("prev_cents"),
+        F.lead("cents").over(wm).alias("next_cents"),
+    )
+    return with_year.filter(
+        (F.col("n_months") == 12)
+        & (F.lit(10) * F.col("n_months") * F.col("cents") > F.lit(11) * F.col("year_cents"))
+    ).select(
+        "priority",
+        "month",
+        F.round(F.col("cents").cast("double") / 100, 2).cast("double").alias("revenue"),
+        F.expr(
+            "CAST((2 * 10000 * n_months * cents + year_cents)"
+            " DIV (2 * year_cents) AS BIGINT)"
+        ).alias("vs_year_avg_bp"),
+        "prev_cents",
+        "next_cents",
+    )

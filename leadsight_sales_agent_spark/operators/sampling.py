@@ -1157,3 +1157,76 @@ def ab_wilson_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - rad) / denom, 6).alias("wilson_low"),
         F.round((center + rad) / denom, 6).alias("wilson_high"),
     )
+
+
+@query(
+    "mixture_temperature_weights",
+    oracle="""
+    WITH src AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY 1
+    ),
+    w AS (
+        SELECT source, n_docs, n_chars,
+               CAST(floor(sqrt(CAST(n_chars AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS w_micro
+        FROM src
+    ),
+    tot AS (
+        SELECT sum(w_micro) AS sw, sum(n_chars) AS sc FROM w
+    )
+    SELECT w.source, w.n_docs, w.n_chars, w.w_micro,
+           CAST((2 * 10000 * w.w_micro + t.sw) // (2 * t.sw) AS BIGINT)
+               AS share_t2_bp,
+           CAST((2 * 10000 * w.n_chars + t.sc) // (2 * t.sc) AS BIGINT)
+               AS share_t1_bp
+    FROM w CROSS JOIN tot t
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (T=2): each corpus source's
+    sampling share goes as size^(1/T) — the standard up-weighting of
+    small high-quality sources in multilingual/multi-source training
+    mixes (T=1 = proportional, T→∞ = uniform); both the T=2 and the
+    proportional shares are reported so the flattening is visible per
+    source.
+
+    Determinism device for the irrational size^(1/2): IEEE sqrt is
+    CORRECTLY ROUNDED (unlike libm pow/exp), so sqrt(n) is
+    bit-identical cross-engine; quantizing it to integer micro-units
+    (floor(sqrt(n)*1e6) — multiply and floor of identical doubles,
+    deterministic) moves all downstream arithmetic — the share
+    normalization and half-up basis points — into exact integers,
+    sidestepping the order-dependent float SUM over sources entirely.
+
+    Plan: one scan to the source grain (map-side partial), a 1-row
+    total broadcast back — the PSI/mixture shape.
+    """
+    src = load(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    w = src.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.floor(F.sqrt(F.col("n_chars").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    tot = w.agg(
+        F.sum("w_micro").alias("sw"), F.sum("n_chars").alias("sc")
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "w_micro",
+        F.expr(
+            "CAST((2 * 10000 * w_micro + sw) DIV (2 * sw) AS BIGINT)"
+        ).alias("share_t2_bp"),
+        F.expr(
+            "CAST((2 * 10000 * n_chars + sc) DIV (2 * sc) AS BIGINT)"
+        ).alias("share_t1_bp"),
+    )
