@@ -2542,3 +2542,80 @@ def agg_skew_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kurtosis_excess"
         ),
     )
+
+
+@query(
+    "dq_out_of_order_audit",
+    oracle="""
+    WITH skewed AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_id % 13 = 5
+                    THEN ts - INTERVAL 90 MINUTE ELSE ts END AS ts
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+        FROM skewed
+    )
+    SELECT user_id,
+           count(*) - 1 AS n_steps,
+           CAST(count(*) FILTER (WHERE ts < prev_ts) AS BIGINT)
+               AS n_inversions,
+           CAST(coalesce(max(CASE WHEN ts < prev_ts
+                             THEN epoch_us(prev_ts) - epoch_us(ts) END), 0)
+                AS BIGINT) AS max_backstep_us
+    FROM seq GROUP BY 1
+    HAVING count(*) FILTER (WHERE ts < prev_ts) > 0
+    """,
+)
+def dq_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order ingestion audit: per user, how often does event
+    time run BACKWARD along the ingestion sequence (event_id = arrival
+    order), and by how much at worst — the stream-health metric that
+    sizes streaming watermarks (max_backstep is the empirical
+    lateness bound a watermark must cover) and flags clock-skewed
+    producers. Only offending users are reported. The source data
+    arrives perfectly ordered, so a deterministic 1-in-13 "lagging
+    producer" (90-minute clock skew, in-query — the entity_link
+    dirtying pattern) supplies the out-of-order arrivals the audit
+    is graded on.
+
+    One lag window and the audit aggregate share the (user_id)
+    partitioning — single exchange; the lateness maximum rides exact
+    integer microseconds.
+    """
+    skewed = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("event_id") % 13 == 5, F.col("ts") - F.expr("INTERVAL 90 MINUTES")
+        )
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+    )
+    seq = skewed.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("ts").over(Window.partitionBy("user_id").orderBy("event_id")).alias(
+            "prev_ts"
+        ),
+    )
+    inv = F.col("ts") < F.col("prev_ts")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) - 1).alias("n_steps"),
+            F.count_if(inv).cast("bigint").alias("n_inversions"),
+            F.coalesce(
+                F.max(
+                    F.when(inv, F.unix_micros("prev_ts") - F.unix_micros("ts"))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("max_backstep_us"),
+        )
+        .filter(F.col("n_inversions") > 0)
+    )

@@ -1823,3 +1823,110 @@ def window_ewma_dyadic_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("ewma_revenue"),
     )
+
+
+@query(
+    "impute_linear_interpolation",
+    oracle="""
+    WITH masked AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS t,
+               CASE WHEN event_id % 7 = 3 THEN NULL
+                    ELSE CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT)
+               END AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (
+        SELECT user_id, event_id, t, v,
+               last_value(CASE WHEN v IS NOT NULL
+                               THEN struct_pack(pt := t, pv := v) END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev,
+               first_value(CASE WHEN v IS NOT NULL
+                                THEN struct_pack(pt := t, pv := v) END
+                           IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS nxt
+        FROM masked
+    )
+    SELECT user_id, event_id,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev IS NULL AND nxt IS NULL THEN NULL
+             WHEN prev IS NULL THEN nxt.pv
+             WHEN nxt IS NULL THEN prev.pv
+             ELSE (2 * (prev.pv * (nxt.pt - t) + nxt.pv * (t - prev.pt))
+                   + (nxt.pt - prev.pt)) // (2 * (nxt.pt - prev.pt))
+           END AS v_cents,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_imputed
+    FROM bounds
+    """,
+)
+def impute_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation of missing values per user
+    series — the numeric-gap repair beyond LOCF (resample_gap_filled
+    carries; this INTERPOLATES, which is what sensor/price series
+    want). A deterministic 1-in-7 mask (event_id%7==3) plays the
+    missing values so the repair is fully graded: interior gaps get
+    the time-weighted blend of their bracketing observations, leading
+    gaps backfill, trailing gaps carry forward.
+
+    Exactness: timestamps are integer microseconds and values integer
+    cents, so the interpolant (vp*(tn-t) + vn*(t-tp))/(tn-tp) is one
+    exact rational — half-up integer division, no float. The
+    bracketing observations come from last_value/first_value IGNORE
+    NULLS over (user, time) — both directions share ONE sort (Spark
+    computes the backward frame on the same partitioning), so the
+    repair costs a single exchange.
+    """
+    masked = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            F.when(F.col("event_id") % 7 == 3, F.lit(None).cast("long")).otherwise(
+                (F.col("value").cast("decimal(25,2)") * 100).cast("long")
+            ).alias("v"),
+        )
+    )
+    obs = F.when(
+        F.col("v").isNotNull(), F.struct(F.col("t").alias("pt"), F.col("v").alias("pv"))
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wnext = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    bounds = masked.select(
+        "user_id",
+        "event_id",
+        "t",
+        "v",
+        F.last(obs, ignorenulls=True).over(wprev).alias("prev"),
+        F.first(obs, ignorenulls=True).over(wnext).alias("nxt"),
+    )
+    interp = F.expr(
+        "(2 * (prev.pv * (nxt.pt - t) + nxt.pv * (t - prev.pt))"
+        " + (nxt.pt - prev.pt)) DIV (2 * (nxt.pt - prev.pt))"
+    )
+    return bounds.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev").isNull() & F.col("nxt").isNull(), F.lit(None).cast("long"))
+        .when(F.col("prev").isNull(), F.col("nxt.pv"))
+        .when(F.col("nxt").isNull(), F.col("prev.pv"))
+        .otherwise(interp)
+        .alias("v_cents"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_imputed"),
+    )
