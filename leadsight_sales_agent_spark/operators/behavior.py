@@ -2022,3 +2022,171 @@ def forecast_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFra
             "CAST((2 * sum(ratio_bp) + count(*)) DIV (2 * count(*)) AS BIGINT)"
         ).alias("seasonal_index_bp"),
     )
+
+
+@query(
+    "forecast_mann_kendall_trend",
+    oracle="""
+    WITH series AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN b.cents > a.cents THEN 1
+                    WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+        FROM series a JOIN series b ON a.month < b.month
+    ),
+    agg AS (
+        SELECT CAST(sum(sgn) AS BIGINT) AS s,
+               count(*) AS n_pairs,
+               (SELECT count(*) FROM series) AS n_months
+        FROM pairs
+    )
+    SELECT n_months, n_pairs, s,
+           CAST(CASE WHEN s >= 0
+                THEN (2 * 10000 * s + n_pairs) // (2 * n_pairs)
+                ELSE -((2 * 10000 * (-s) + n_pairs) // (2 * n_pairs))
+           END AS BIGINT) AS tau_bp
+    FROM agg
+    """,
+)
+def forecast_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the monthly revenue series: S = the
+    signed count of increasing-minus-decreasing month pairs, and
+    Kendall's tau = S over all pairs — the NON-parametric "is there a
+    monotone trend" screen (no normality assumption, immune to
+    outliers that wreck a least-squares slope). Everything is
+    integer: pair signs on exact cent values, tau in half-up basis
+    points mirrored through negation so halves round away from zero.
+
+    Scale: the O(m²) pair join runs on the MONTH grain (bounded by
+    the calendar — ~7k pairs for 10 years), never the fact table;
+    the fact scan contributes one rollup. The same statistic over
+    millions of series partitions by series key with the identical
+    per-series grain bound.
+    """
+    series = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    a = series.select(F.col("month").alias("ma"), F.col("cents").alias("ca"))
+    b = series.select(F.col("month").alias("mb"), F.col("cents").alias("cb"))
+    pairs = a.join(b, F.col("ma") < F.col("mb")).select(
+        F.when(F.col("cb") > F.col("ca"), 1)
+        .when(F.col("cb") < F.col("ca"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    months_n = series.agg(F.count(F.lit(1)).alias("n_months"))
+    agg = pairs.agg(
+        F.sum("sgn").cast("bigint").alias("s"), F.count(F.lit(1)).alias("n_pairs")
+    ).crossJoin(F.broadcast(months_n))
+    return agg.select(
+        F.col("n_months").cast("bigint").alias("n_months"),
+        "n_pairs",
+        "s",
+        F.expr(
+            "CAST(CASE WHEN s >= 0"
+            " THEN (2 * 10000 * s + n_pairs) DIV (2 * n_pairs)"
+            " ELSE -((2 * 10000 * (-s) + n_pairs) DIV (2 * n_pairs))"
+            " END AS BIGINT)"
+        ).alias("tau_bp"),
+    )
+
+
+@query(
+    "forecast_theil_sen_trend",
+    oracle="""
+    WITH series AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT cents,
+               CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS t
+        FROM series
+    ),
+    slopes AS (
+        SELECT b.cents - a.cents AS num, b.t - a.t AS den,
+               CAST(b.cents - a.cents AS DOUBLE) / (b.t - a.t) AS slope_d
+        FROM idx a JOIN idx b ON a.t < b.t
+    ),
+    ranked AS (
+        SELECT num, den, slope_d,
+               row_number() OVER (ORDER BY slope_d, num, den) AS rn,
+               count(*) OVER () AS n_pairs
+        FROM slopes
+    )
+    SELECT n_pairs, num AS med_num_cents, den AS med_den_months,
+           round(slope_d, 6) AS slope_cents_per_month
+    FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """,
+)
+def forecast_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the MEDIAN of all pairwise slopes of
+    the monthly revenue series — up to ~29% contamination tolerance
+    vs the zero-breakdown least-squares line, the partner statistic
+    to Mann-Kendall's trend direction.
+
+    Determinism: each slope is the exact rational (Δcents, Δmonths);
+    the median is an ELEMENT (lower median), selected by ranking on
+    the slope's double value (a division of exact integers — identical
+    in both engines) with the rational pair as tie-break, so the
+    selection is total-ordered and the result is reported as both the
+    exact rational and its rounded double. Same month-grain O(m²)
+    bound as Mann-Kendall — calendar-bounded, never fact-bounded.
+    """
+    series = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    idx = series.select(
+        "cents",
+        F.row_number().over(Window.orderBy("month")).cast("bigint").alias("t"),
+    )
+    a = idx.select(F.col("cents").alias("ca"), F.col("t").alias("ta"))
+    b = idx.select(F.col("cents").alias("cb"), F.col("t").alias("tb"))
+    slopes = a.join(b, F.col("ta") < F.col("tb")).select(
+        (F.col("cb") - F.col("ca")).alias("num"),
+        (F.col("tb") - F.col("ta")).alias("den"),
+        ((F.col("cb") - F.col("ca")).cast("double") / (F.col("tb") - F.col("ta"))).alias(
+            "slope_d"
+        ),
+    )
+    ranked = slopes.select(
+        "num",
+        "den",
+        "slope_d",
+        F.row_number().over(Window.orderBy("slope_d", "num", "den")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) DIV 2")
+    ).select(
+        "n_pairs",
+        F.col("num").alias("med_num_cents"),
+        F.col("den").alias("med_den_months"),
+        F.round("slope_d", 6).alias("slope_cents_per_month"),
+    )
