@@ -2190,3 +2190,154 @@ def forecast_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("den").alias("med_den_months"),
         F.round("slope_d", 6).alias("slope_cents_per_month"),
     )
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle="""
+    WITH anchor AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ),
+    outcome AS (
+        SELECT a.user_id,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts > a.t0
+                        THEN e.ts END) AS tp,
+               max(e.ts) AS tlast,
+               any_value(a.t0) AS t0
+        FROM anchor a JOIN events e ON e.user_id = a.user_id
+        GROUP BY 1
+    ),
+    spells AS (
+        SELECT user_id,
+               CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS died,
+               CASE WHEN tp IS NOT NULL
+                    THEN date_diff('day', t0, tp)
+                    ELSE date_diff('day', t0, tlast) END AS dur
+        FROM outcome
+    ),
+    grain AS (
+        SELECT dur, CAST(sum(died) AS BIGINT) AS d,
+               CAST(sum(1 - died) AS BIGINT) AS c
+        FROM spells GROUP BY 1
+    ),
+    risk AS (
+        SELECT dur, d, c,
+               sum(d + c) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gone,
+               sum(d + c) OVER () AS total
+        FROM grain
+    ),
+    km AS (
+        SELECT dur, d, c,
+               total - coalesce(gone, 0) AS n_at_risk,
+               sum(CASE WHEN d > 0 AND (total - coalesce(gone, 0)) > d
+                        THEN ln(
+                       CAST((total - coalesce(gone, 0)) - d AS DOUBLE)
+                       / (total - coalesce(gone, 0))) ELSE 0.0 END)
+                   OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS lnS,
+               max(CASE WHEN d = total - coalesce(gone, 0)
+                        THEN 1 ELSE 0 END)
+                   OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS extinct
+        FROM risk
+    )
+    SELECT dur AS duration_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           d AS d_events, c AS c_censored,
+           CASE WHEN extinct = 1 THEN 0.0
+                ELSE round(exp(lnS), 6) END AS survival
+    FROM km
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-from-signup-to-purchase
+    with right censoring: users who never purchase after signup are
+    CENSORED at their last observed event instead of silently dropped
+    (dropping them is the classic conversion-time bias — it
+    overstates how fast users convert). Output is the full risk
+    table: at each distinct duration day, who was still at risk, how
+    many converted (d), how many left observation (c), and the
+    product-limit survival estimate.
+
+    Float regime: S(t) = Π(1 − d/n) is a cumulative PRODUCT — the one
+    shape exact integers can't ride (numerators/denominators compound
+    over every step). It runs in log space with ONE expression tree:
+    ln((n−d)/n) summed cumulatively, exp at the end, rounded at 6dp —
+    ln/exp are the PSI/WoE libm regime (≤1 ulp per term, ~50 terms,
+    noise ~1e-14 against a 5e-7 rounding bucket). The extinction
+    step (n_at_risk == d, survival exactly 0 from there on) is
+    handled by a cumulative flag instead of ln(0). Every count
+    feeding the logs is exact-integer from windows over the DURATION
+    grain (calendar-bounded), after one user-grain fold over the
+    fact table: two shuffles total, both on small grains.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    anchor = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    joined = ev.join(anchor.withColumnRenamed("user_id", "uid"), F.col("user_id") == F.col("uid"))
+    outcome = joined.groupBy("user_id").agg(
+        F.min(
+            F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t0")), F.col("ts"))
+        ).alias("tp"),
+        F.max("ts").alias("tlast"),
+        F.any_value(F.col("t0")).alias("t0"),
+    )
+    spells = outcome.select(
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("died"),
+        F.when(
+            F.col("tp").isNotNull(), F.datediff("tp", "t0")
+        ).otherwise(F.datediff("tlast", "t0")).alias("dur"),
+    )
+    grain = spells.groupBy("dur").agg(
+        F.sum("died").cast("bigint").alias("d"),
+        F.sum(1 - F.col("died")).cast("bigint").alias("c"),
+    )
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    wrun = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    risk = grain.select(
+        "dur",
+        "d",
+        "c",
+        (F.sum(F.col("d") + F.col("c")).over(wall)
+         - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+         ).alias("n_at_risk"),
+    )
+    km = risk.select(
+        "dur",
+        "d",
+        "c",
+        "n_at_risk",
+        F.sum(
+            F.when(
+                (F.col("d") > 0) & (F.col("n_at_risk") > F.col("d")),
+                F.log(
+                    (F.col("n_at_risk") - F.col("d")).cast("double")
+                    / F.col("n_at_risk")
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(wrun)
+        .alias("lnS"),
+        F.max(
+            F.when(F.col("d") == F.col("n_at_risk"), 1).otherwise(0)
+        )
+        .over(wrun)
+        .alias("extinct"),
+    )
+    return km.select(
+        F.col("dur").alias("duration_days"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        F.when(F.col("extinct") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lnS"), 6))
+        .alias("survival"),
+    )
