@@ -2619,3 +2619,256 @@ def dq_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_inversions") > 0)
     )
+
+
+@query(
+    "variance_price_volume_mix",
+    oracle="""
+    WITH grain AS (
+        SELECT l.l_partkey AS part,
+               CAST(date_part('year', o.o_orderdate) AS BIGINT) AS yr,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE date_part('year', o.o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2
+    ),
+    two AS (
+        SELECT part,
+               coalesce(max(CASE WHEN yr = 1996 THEN qty END), 0) AS q0,
+               coalesce(max(CASE WHEN yr = 1996 THEN rev_cents END), 0) AS r0,
+               coalesce(max(CASE WHEN yr = 1997 THEN qty END), 0) AS q1,
+               coalesce(max(CASE WHEN yr = 1997 THEN rev_cents END), 0) AS r1
+        FROM grain GROUP BY 1
+    ),
+    fx AS (
+        SELECT part, q0, q1, r0, r1,
+               CASE WHEN q0 > 0 AND q1 > 0
+                    THEN (r1 * q0 - r0 * q1) * 1 ELSE 0 END AS price_num,
+               CASE WHEN q0 > 0 THEN r0 * (q1 - q0) ELSE 0 END AS vol_num,
+               CASE WHEN q0 = 0 THEN r1 WHEN q1 = 0 THEN -r0 ELSE 0 END
+                   AS mix_cents_q0
+        FROM two
+    )
+    SELECT
+        CAST(sum(r1 - r0) AS BIGINT) AS delta_cents,
+        CAST(sum(CASE WHEN q0 > 0 AND q1 > 0
+                 THEN (2 * price_num + q0) // (2 * q0) ELSE 0 END) AS BIGINT)
+            AS price_effect_cents,
+        CAST(sum(CASE WHEN q0 > 0 AND q1 > 0
+                 THEN (2 * vol_num + q0) // (2 * q0) ELSE 0 END) AS BIGINT)
+            AS volume_effect_cents,
+        CAST(sum(mix_cents_q0) AS BIGINT) AS new_lost_effect_cents,
+        count(*) AS n_parts
+    FROM fx
+    """,
+)
+def variance_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume/mix variance bridge between two years (1996→1997)
+    at the part grain — the FP&A waterfall that explains WHY revenue
+    moved: for parts sold in both years, the change splits into a
+    price effect ((p1−p0)·q1, with p = revenue/qty the realized unit
+    price) and a volume effect (p0·(q1−q0)); parts sold in only one
+    year land in the new/lost bucket whole. The three effects plus
+    new/lost sum to the total delta up to per-part half-up rounding
+    (the report's standard reconciliation footnote).
+
+    Exactness: realized prices are rationals r/q — every effect
+    cross-multiplies to integers over cents x quantity ((r1·q0 −
+    r0·q1)/q0 for price, r0·(q1−q0)/q0 for volume), each rounded
+    half-up at the part grain before summing, so both engines sum
+    IDENTICAL integers. (Negative numerators are safe WITHOUT the
+    davg mirroring device: Spark's DIV and DuckDB's // both truncate
+    toward zero — verified — so halves round half-away only for
+    positives, identically in both engines.) One fact rollup (year-filtered at the scan),
+    one part-grain pivot via conditional max, map-side arithmetic.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", F.year("o_orderdate").cast("bigint").alias("yr"))
+        .filter(F.col("yr").isin(1996, 1997))
+    )
+    grain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_partkey").alias("part"), "yr")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(25,2)") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev_cents"),
+        )
+    )
+    two = grain.groupBy("part").agg(
+        F.coalesce(F.max(F.when(F.col("yr") == 1996, F.col("qty"))), F.lit(0)).alias("q0"),
+        F.coalesce(F.max(F.when(F.col("yr") == 1996, F.col("rev_cents"))), F.lit(0)).alias("r0"),
+        F.coalesce(F.max(F.when(F.col("yr") == 1997, F.col("qty"))), F.lit(0)).alias("q1"),
+        F.coalesce(F.max(F.when(F.col("yr") == 1997, F.col("rev_cents"))), F.lit(0)).alias("r1"),
+    )
+    fx = two.select(
+        "part",
+        "q0",
+        "q1",
+        "r0",
+        "r1",
+        F.when(
+            (F.col("q0") > 0) & (F.col("q1") > 0),
+            F.col("r1") * F.col("q0") - F.col("r0") * F.col("q1"),
+        )
+        .otherwise(F.lit(0))
+        .alias("price_num"),
+        F.when(F.col("q0") > 0, F.col("r0") * (F.col("q1") - F.col("q0")))
+        .otherwise(F.lit(0))
+        .alias("vol_num"),
+        F.when(F.col("q0") == 0, F.col("r1"))
+        .when(F.col("q1") == 0, -F.col("r0"))
+        .otherwise(F.lit(0))
+        .alias("mix_cents_q0"),
+    )
+    return fx.agg(
+        F.sum(F.col("r1") - F.col("r0")).cast("bigint").alias("delta_cents"),
+        F.sum(
+            F.when(
+                (F.col("q0") > 0) & (F.col("q1") > 0),
+                F.expr("(2 * price_num + q0) DIV (2 * q0)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("price_effect_cents"),
+        F.sum(
+            F.when(
+                (F.col("q0") > 0) & (F.col("q1") > 0),
+                F.expr("(2 * vol_num + q0) DIV (2 * q0)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("volume_effect_cents"),
+        F.sum("mix_cents_q0").cast("bigint").alias("new_lost_effect_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+@query(
+    "inventory_abc_xyz_matrix",
+    oracle="""
+    WITH win AS (
+        SELECT l.l_partkey AS part,
+               strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q,
+               CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+    ),
+    per_part AS (
+        SELECT part,
+               sum(q) AS s, sum(q * q) AS s2, sum(cents) AS rev
+        FROM win GROUP BY 1
+    ),
+    abc AS (
+        SELECT part, s, s2, rev,
+               sum(rev) OVER (ORDER BY rev DESC, part ASC) AS cum_rev,
+               sum(rev) OVER () AS tot_rev
+        FROM per_part
+    ),
+    classed AS (
+        SELECT part,
+               CASE WHEN 100 * cum_rev <= 80 * tot_rev THEN 'A'
+                    WHEN 100 * cum_rev <= 95 * tot_rev THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               CASE WHEN s = 0 THEN 'Z'
+                    WHEN 4 * (24 * s2 - s * s) <= s * s THEN 'X'
+                    WHEN (24 * s2 - s * s) <= s * s THEN 'Y'
+                    ELSE 'Z' END AS xyz_class,
+               rev
+        FROM abc
+    )
+    SELECT abc_class, xyz_class, count(*) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS rev_cents
+    FROM classed GROUP BY 1, 2
+    """,
+)
+def inventory_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix over a fixed 24-month window: parts
+    classed by revenue concentration (A = first 80% of cumulative
+    revenue, B = to 95%, C = tail — the pareto_abc device) crossed
+    with demand VARIABILITY (X: CV <= 0.5 steady, Y: CV <= 1.0, Z:
+    erratic) — the planning matrix that decides which SKUs get safety
+    stock vs make-to-order.
+
+    The CV thresholds never compute a CV: with a FIXED n = 24-month
+    window (zero-demand months contribute nothing to the sums, so
+    only the constant n matters), CV² = (nΣq²−S²)/S² and the class
+    tests cross-multiply to pure integer comparisons — 4(nΣq²−S²) ≤ S²
+    for X, (nΣq²−S²) ≤ S² for Y. No float, no sqrt, bit-stable.
+
+    Plan: one fact rollup to (part, month), one part-grain reduce;
+    the ABC ranking runs on the PART grain (two windows, one sort);
+    output is the 3x3 matrix.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate")
+    win = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(25,2)") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    per_part = win.groupBy("part").agg(
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+        F.sum("cents").alias("rev"),
+    )
+    wrank = Window.orderBy(F.desc("rev"), F.asc("part")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    abc = per_part.select(
+        "part",
+        "s",
+        "s2",
+        "rev",
+        F.sum("rev").over(wrank).alias("cum_rev"),
+        F.sum("rev").over(wall).alias("tot_rev"),
+    )
+    disp = F.lit(24) * F.col("s2") - F.col("s") * F.col("s")
+    classed = abc.select(
+        "part",
+        F.when(F.lit(100) * F.col("cum_rev") <= F.lit(80) * F.col("tot_rev"), "A")
+        .when(F.lit(100) * F.col("cum_rev") <= F.lit(95) * F.col("tot_rev"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        F.when(F.col("s") == 0, "Z")
+        .when(F.lit(4) * disp <= F.col("s") * F.col("s"), "X")
+        .when(disp <= F.col("s") * F.col("s"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+        "rev",
+    )
+    return classed.groupBy("abc_class", "xyz_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").cast("bigint").alias("rev_cents"),
+    )

@@ -2341,3 +2341,108 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("lnS"), 6))
         .alias("survival"),
     )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH first_order AS (
+        SELECT o_custkey,
+               min(strftime(date_trunc('month', o_orderdate), '%Y-%m'))
+                   AS cohort
+        FROM orders GROUP BY 1
+    ),
+    spend AS (
+        SELECT f.cohort,
+               (date_part('year', o.o_orderdate) * 12
+                + date_part('month', o.o_orderdate))
+               - (CAST(substr(f.cohort, 1, 4) AS BIGINT) * 12
+                  + CAST(substr(f.cohort, 6, 2) AS BIGINT)) AS age_months,
+               CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT cohort, count(*) AS cohort_users FROM first_order GROUP BY 1
+    ),
+    curve AS (
+        SELECT s.cohort, s.age_months, z.cohort_users,
+               sum(s.cents) OVER (PARTITION BY s.cohort ORDER BY s.age_months)
+                   AS cum_cents
+        FROM spend s JOIN sized z ON s.cohort = z.cohort
+    )
+    SELECT cohort, CAST(age_months AS BIGINT) AS age_months,
+           CAST(cohort_users AS BIGINT) AS cohort_users,
+           CAST(cum_cents AS BIGINT) AS cum_cents,
+           CAST((2 * cum_cents + cohort_users) // (2 * cohort_users)
+                AS BIGINT) AS ltv_cents_per_user
+    FROM curve
+    WHERE age_months <= 12
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, cumulative revenue per cohort at each month of age,
+    normalized per cohort member — the payback-period view (how many
+    months until a cohort earns back its acquisition cost) that
+    extends cohort_retention_weekly's WHO-returns with HOW-MUCH-they-
+    spend. Truncated at age 12 so every reported point is a complete
+    observation window.
+
+    All integer: cents sums are exact, the per-user LTV is half-up
+    integer division, and age-in-months is pure calendar arithmetic
+    (year*12+month differences — no date subtraction ambiguity).
+    Plan: first-order anchor (one customer-grain agg) joins back
+    broadcast; the cumulative window runs per cohort over the
+    (cohort, age) GRAIN — months-grid-not-facts — after one rollup.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    first_order = o.groupBy("o_custkey").agg(
+        F.min(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")).alias(
+            "cohort"
+        )
+    )
+    fo = F.broadcast(first_order.withColumnRenamed("o_custkey", "ck"))
+    spend = (
+        o.join(fo, F.col("o_custkey") == F.col("ck"))
+        .select(
+            "cohort",
+            (
+                (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+                - (
+                    F.substring("cohort", 1, 4).cast("bigint") * 12
+                    + F.substring("cohort", 6, 2).cast("bigint")
+                )
+            ).alias("age_months"),
+            "cents",
+        )
+        .groupBy("cohort", "age_months")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    sized = first_order.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    curve = spend.join(F.broadcast(sized), "cohort").select(
+        "cohort",
+        "age_months",
+        "cohort_users",
+        F.sum("cents")
+        .over(Window.partitionBy("cohort").orderBy("age_months"))
+        .alias("cum_cents"),
+    )
+    return curve.filter(F.col("age_months") <= 12).select(
+        "cohort",
+        F.col("age_months").cast("bigint").alias("age_months"),
+        F.col("cohort_users").cast("bigint").alias("cohort_users"),
+        F.col("cum_cents").cast("bigint").alias("cum_cents"),
+        F.expr(
+            "CAST((2 * cum_cents + cohort_users) DIV (2 * cohort_users) AS BIGINT)"
+        ).alias("ltv_cents_per_user"),
+    )
