@@ -2446,3 +2446,77 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((2 * cum_cents + cohort_users) DIV (2 * cohort_users) AS BIGINT)"
         ).alias("ltv_cents_per_user"),
     )
+
+
+@query(
+    "eval_pr_curve",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT score,
+               CAST(sum(y) AS BIGINT) AS p,
+               CAST(sum(1 - y) AS BIGINT) AS n
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT score,
+               sum(p) OVER (ORDER BY score DESC) AS tp,
+               sum(n) OVER (ORDER BY score DESC) AS fp,
+               sum(p) OVER () AS pos
+        FROM g
+    )
+    SELECT score AS threshold_cents,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST((2 * 10000 * tp + (tp + fp)) // (2 * (tp + fp)) AS BIGINT)
+               AS precision_bp,
+           CAST((2 * 10000 * tp + pos) // (2 * pos) AS BIGINT) AS recall_bp
+    FROM cum
+    """,
+)
+def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve at every distinct score threshold —
+    the companion of eval_roc_auc_scores for IMBALANCED outcomes
+    (ROC flatters a scorer when negatives dominate; precision does
+    not). "Predict positive when score >= t" for each distinct t:
+    TP/FP are cumulative counts DOWN the score axis (one descending
+    cumulative window over the collapsed score grain — the same
+    grain-not-facts device as ROC/KS), precision and recall land as
+    half-up basis points of exact integer ratios.
+    """
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("value").cast("decimal(25,2)") * 100).cast("long").alias("score"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+    )
+    g = s.groupBy("score").agg(
+        F.sum("y").cast("long").alias("p"),
+        F.sum(1 - F.col("y")).cast("long").alias("n"),
+    )
+    wdesc = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = g.select(
+        "score",
+        F.sum("p").over(wdesc).alias("tp"),
+        F.sum("n").over(wdesc).alias("fp"),
+        F.sum("p").over(wall).alias("pos"),
+    )
+    return cum.select(
+        F.col("score").alias("threshold_cents"),
+        "tp",
+        "fp",
+        F.expr(
+            "CAST((2 * 10000 * tp + (tp + fp)) DIV (2 * (tp + fp)) AS BIGINT)"
+        ).alias("precision_bp"),
+        F.expr("CAST((2 * 10000 * tp + pos) DIV (2 * pos) AS BIGINT)").alias(
+            "recall_bp"
+        ),
+    )

@@ -2187,3 +2187,143 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2) * F.col("total_tokens"))
         ).alias("oov_bp"),
     )
+
+
+def _langid_prf_oracle() -> str:
+    """Per-class precision/recall/F1 composed mechanically from the
+    registered langid oracle (same zero-drift device as the confusion
+    matrix). F1's harmonic mean is the exact rational 2pr/(p+r) over
+    integer counts: 20000*tp*tp / ((tp+fp_)*(tp+fn_) + tp*tp) after
+    cross-multiplying p = tp/(tp+fp_), r = tp/(tp+fn_) — half-up
+    integer division end to end."""
+    from leadsight_sales_agent_spark.registry import ORACLES
+
+    inner = ORACLES["text_langid_heuristic"]
+    return f"""
+    WITH pred AS ({inner}),
+    cells AS (
+        SELECT actual_lang, predicted_lang, count(*) AS n
+        FROM pred GROUP BY 1, 2
+    ),
+    classes AS (
+        SELECT actual_lang AS lang FROM cells
+        UNION SELECT predicted_lang FROM cells
+    ),
+    prf AS (
+        SELECT c.lang,
+               CAST(coalesce(sum(CASE WHEN x.actual_lang = c.lang
+                        AND x.predicted_lang = c.lang THEN x.n END), 0)
+                    AS BIGINT) AS tp,
+               CAST(coalesce(sum(CASE WHEN x.predicted_lang = c.lang
+                        AND x.actual_lang <> c.lang THEN x.n END), 0)
+                    AS BIGINT) AS fp,
+               CAST(coalesce(sum(CASE WHEN x.actual_lang = c.lang
+                        AND x.predicted_lang <> c.lang THEN x.n END), 0)
+                    AS BIGINT) AS fn
+        FROM classes c LEFT JOIN cells x
+          ON x.actual_lang = c.lang OR x.predicted_lang = c.lang
+        GROUP BY 1
+    )
+    SELECT lang, tp, fp, fn,
+           CAST(CASE WHEN tp + fp = 0 THEN NULL ELSE
+                (2 * 10000 * tp + (tp + fp)) // (2 * (tp + fp)) END AS BIGINT)
+               AS precision_bp,
+           CAST(CASE WHEN tp + fn = 0 THEN NULL ELSE
+                (2 * 10000 * tp + (tp + fn)) // (2 * (tp + fn)) END AS BIGINT)
+               AS recall_bp,
+           CAST(CASE WHEN (tp + fp) * (tp + fn) + tp * tp = 0 THEN NULL ELSE
+                (2 * 20000 * tp * tp + ((tp + fp) * (tp + fn) + tp * tp))
+                // (2 * ((tp + fp) * (tp + fn) + tp * tp)) END AS BIGINT)
+               AS f1_bp
+    FROM prf
+    """
+
+
+@query("eval_langid_precision_recall_f1", oracle=_langid_prf_oracle())
+def eval_langid_precision_recall_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the language-ID heuristic —
+    the summary scores downstream of eval_langid_confusion, composed
+    from the SAME registered classifier spec (zero drift). The
+    harmonic F1 never leaves integers: cross-multiplying
+    2pr/(p+r) with p = tp/(tp+fp), r = tp/(tp+fn) gives
+    2·tp² / ((tp+fp)(tp+fn) + tp²), rounded half-up in basis points.
+    Classes with no predictions (or no gold rows) yield NULL rather
+    than a fake 0 — the metric convention that keeps macro-averages
+    honest.
+    """
+    from leadsight_sales_agent_spark.registry import QUERIES
+
+    pred = QUERIES["text_langid_heuristic"](spark, sf_dir)
+    cells = pred.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    classes = (
+        cells.select(F.col("actual_lang").alias("lang"))
+        .union(cells.select("predicted_lang"))
+        .distinct()
+    )
+    x = cells.alias("x")
+    c = classes.alias("c")
+    joined = c.join(
+        x,
+        (F.col("x.actual_lang") == F.col("c.lang"))
+        | (F.col("x.predicted_lang") == F.col("c.lang")),
+        "left",
+    )
+    prf = joined.groupBy("lang").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("x.actual_lang") == F.col("lang"))
+                    & (F.col("x.predicted_lang") == F.col("lang")),
+                    F.col("x.n"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("tp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("x.predicted_lang") == F.col("lang"))
+                    & (F.col("x.actual_lang") != F.col("lang")),
+                    F.col("x.n"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("fp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("x.actual_lang") == F.col("lang"))
+                    & (F.col("x.predicted_lang") != F.col("lang")),
+                    F.col("x.n"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("fn"),
+    )
+    return prf.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CAST(CASE WHEN tp + fp = 0 THEN NULL ELSE"
+            " (2 * 10000 * tp + (tp + fp)) DIV (2 * (tp + fp)) END AS BIGINT)"
+        ).alias("precision_bp"),
+        F.expr(
+            "CAST(CASE WHEN tp + fn = 0 THEN NULL ELSE"
+            " (2 * 10000 * tp + (tp + fn)) DIV (2 * (tp + fn)) END AS BIGINT)"
+        ).alias("recall_bp"),
+        F.expr(
+            "CAST(CASE WHEN (tp + fp) * (tp + fn) + tp * tp = 0 THEN NULL ELSE"
+            " (2 * 20000 * tp * tp + ((tp + fp) * (tp + fn) + tp * tp))"
+            " DIV (2 * ((tp + fp) * (tp + fn) + tp * tp)) END AS BIGINT)"
+        ).alias("f1_bp"),
+    )
