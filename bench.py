@@ -86,6 +86,13 @@ HEADLINE = [
     "dedup_repeated_spans",
     "entity_link_customers_billing",
     "retrieval_mmr_diversified",
+    # r5 session-4 additions: the corpus-wide explode + broadcast-vocab
+    # coverage audit, the basket-bounded triple expansion behind the
+    # Apriori prune, and the two-directional IGNORE NULLS interpolation
+    # window (the heaviest new window shape).
+    "text_vocab_coverage",
+    "market_basket_apriori_triples",
+    "impute_linear_interpolation",
 ]
 
 
