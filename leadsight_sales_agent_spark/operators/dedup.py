@@ -1348,3 +1348,81 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     return pairs.filter(F.col("key_dist") <= 5)
+
+
+@query(
+    "dedup_phonetic_soundex_blocking",
+    oracle="""
+    WITH words AS (
+        SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    alpha AS (
+        SELECT w FROM words WHERE regexp_matches(w, '^[a-z]+$')
+    ),
+    coded AS (
+        SELECT w,
+               upper(substr(w, 1, 1)) ||
+               substr(
+                   replace(
+                       substr(
+                           regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(
+                               translate(upper(w),
+                                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                   '01230120022455012623010202'),
+                               '0+', '0', 'g'), '1+', '1', 'g'),
+                               '2+', '2', 'g'), '3+', '3', 'g'),
+                               '4+', '4', 'g'), '5+', '5', 'g'),
+                               '6+', '6', 'g'),
+                           2),
+                       '0', '')
+                   || '000', 1, 3) AS code
+        FROM alpha
+    )
+    SELECT code, count(*) AS n_words,
+           string_agg(w, ',' ORDER BY w) AS words_csv,
+           CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS is_collision
+    FROM coded
+    GROUP BY 1
+    """,
+)
+def dedup_phonetic_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking via Soundex: the corpus vocabulary grouped by
+    phonetic code — EVERY code is emitted (the hash grades the full
+    vocabulary's codes, not just collisions) with a collision flag — the
+    blocking key for names/terms that LOOK different but SOUND alike
+    (the record-linkage strategy edit distance misses: 'smith' /
+    'smyth' are levenshtein-2 but soundex-identical). Completes the
+    blocking family: LSH, prefix-filter, sorted-neighborhood,
+    attribute blocks, and now phonetic.
+
+    Fidelity: Spark's side is the ENGINE BUILTIN ``F.soundex``; the
+    oracle implements the algorithm FROM SPEC in portable SQL
+    (translate to digit codes, collapse adjacent runs, drop the
+    first letter's code, strip vowel zeros, pad to 4; run collapse
+    is per-digit chained replaces because RE2 patterns have no
+    backreferences) — the hash
+    match certifies the builtin against the simplified-Soundex spec
+    (vowels AND h/w reset the run, Spark/commons behavior) over the
+    whole vocabulary. Plan: one explode to distinct words (shuffle),
+    map-side coding, one group — vocabulary-bounded throughout.
+    """
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+        .distinct()
+        .filter(F.col("w").rlike("^[a-z]+$"))
+    )
+    coded = words.select("w", F.soundex(F.col("w")).alias("code"))
+    return (
+        coded.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.concat_ws(",", F.array_sort(F.collect_list("w"))).alias("words_csv"),
+        )
+        .withColumn(
+            "is_collision", F.when(F.col("n_words") >= 2, 1).otherwise(0)
+        )
+    )
