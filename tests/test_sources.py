@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.sources.catalog import (
+    load,
     read_csv,
     supported_upload_predicate,
 )
@@ -293,3 +294,63 @@ class TestPythonStreamingDataSource:
             time.sleep(1)
         q.stop()
         assert sorted(got) == [_doc_for(i) for i in range(120)]
+
+
+class TestPartitionedWrites:
+    def test_dynamic_partition_overwrite_touches_only_written_partitions(
+        self, spark, sf_dir, tmp_path
+    ):
+        """partitionOverwriteMode=dynamic is the idempotent-backfill
+        primitive: re-running a day's job overwrites THAT day's
+        partition and leaves the rest of the table intact (static mode
+        would truncate everything). The replay-safety contract every
+        incremental pipeline rests on."""
+        out = str(tmp_path / "orders_parts")
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        o.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
+        before = {
+            r["o_orderpriority"]: r["n"]
+            for r in spark.read.parquet(out)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            # backfill ONE priority with half its rows
+            repl = o.filter(
+                (o.o_orderpriority == "1-URGENT") & (o.o_orderkey % 2 == 0)
+            )
+            n_repl = repl.count()
+            repl.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        after = {
+            r["o_orderpriority"]: r["n"]
+            for r in spark.read.parquet(out)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert after["1-URGENT"] == n_repl, "target partition not replaced"
+        for k, v in before.items():
+            if k != "1-URGENT":
+                assert after[k] == v, f"untouched partition {k} changed"
+
+    def test_zstd_codec_round_trip(self, spark, sf_dir, tmp_path):
+        """Columnar compression is a first-order cost lever at 100 TB;
+        pin that the engine writes and reads zstd parquet (the modern
+        default: snappy-class speed, gzip-class ratio)."""
+        import glob
+        import os
+
+        out = str(tmp_path / "li_zstd")
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        li.write.option("compression", "zstd").mode("overwrite").parquet(out)
+        files = glob.glob(os.path.join(out, "*.zstd.parquet"))
+        assert files, "zstd codec suffix missing from written files"
+        back = spark.read.parquet(out)
+        assert back.count() == li.count()
