@@ -1426,3 +1426,142 @@ def dedup_phonetic_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFra
             "is_collision", F.when(F.col("n_words") >= 2, 1).otherwise(0)
         )
     )
+
+
+def _strategy_overlap_oracle() -> str:
+    """Composed mechanically from the REGISTERED oracles of the three
+    pair-producing strategies (zero drift — the langid-eval device);
+    the exact-duplicate strategy contributes pairs via its md5 spec
+    directly (its registered form reports hash groups, not pairs).
+    Each strategy's pair set normalizes to (least, greatest)."""
+    from leadsight_sales_agent_spark.registry import ORACLES
+
+    prefix = ORACLES["neardup_prefix_filter_join"]
+    sneigh = ORACLES["dedup_sorted_neighborhood"]
+    leven = ORACLES["dedup_fuzzy_levenshtein"]
+    return f"""
+    WITH s_exact AS (
+        SELECT least(a.doc_id, b.doc_id) AS pa,
+               greatest(a.doc_id, b.doc_id) AS pb
+        FROM documents a JOIN documents b
+          ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    ),
+    s_prefix AS (
+        SELECT least(doc_a, doc_b) AS pa, greatest(doc_a, doc_b) AS pb
+        FROM ({prefix}) t
+    ),
+    s_sneigh AS (
+        SELECT least(doc_a, doc_b) AS pa, greatest(doc_a, doc_b) AS pb
+        FROM ({sneigh}) t
+    ),
+    s_leven AS (
+        SELECT least(doc_a, doc_b) AS pa, greatest(doc_a, doc_b) AS pb
+        FROM ({leven}) t
+    ),
+    tagged AS (
+        SELECT 'exact' AS s, pa, pb FROM s_exact
+        UNION ALL SELECT 'prefix', pa, pb FROM s_prefix
+        UNION ALL SELECT 'sorted_neighborhood', pa, pb FROM s_sneigh
+        UNION ALL SELECT 'levenshtein', pa, pb FROM s_leven
+    ),
+    names AS (
+        SELECT * FROM (VALUES ('exact'), ('prefix'),
+                              ('sorted_neighborhood'), ('levenshtein')) v(s)
+    )
+    SELECT a.s AS strategy_a, b.s AS strategy_b,
+           (SELECT count(*) FROM tagged WHERE s = a.s) AS n_pairs_a,
+           (SELECT count(*) FROM tagged WHERE s = b.s) AS n_pairs_b,
+           CAST(coalesce((
+               SELECT count(*) FROM tagged x JOIN tagged y
+               ON x.pa = y.pa AND x.pb = y.pb
+               WHERE x.s = a.s AND y.s = b.s), 0) AS BIGINT) AS n_overlap
+    FROM names a JOIN names b ON a.s <= b.s
+    """
+
+
+@query("dedup_strategy_overlap_matrix", oracle=_strategy_overlap_oracle())
+def dedup_strategy_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-report: the pairwise agreement matrix of four REGISTERED
+    dedup blocking strategies — exact-hash, AllPairs prefix-filter,
+    sorted-neighborhood, and blocked levenshtein — each normalized to
+    an unordered candidate-pair set and intersected. This is the
+    report a curation owner reads to pick a strategy mix: exact ⊂
+    prefix tells you the cheap pass is subsumed; a near-empty overlap
+    between sorted-neighborhood and levenshtein says they catch
+    DIFFERENT duplicate families and both earn their cost.
+
+    Zero drift: the Spark side CALLS the registered queries, the
+    oracle inlines the registered oracle strings — the four
+    strategies' specs exist exactly once in the registry. Pair sets
+    are corpus-bounded (the strategies' own blocking keeps them
+    small), so the intersections are cheap broadcast-scale joins.
+    Strategies with zero pairs still report (fixed name grid), so a
+    broken strategy reads as a 0-row, not a missing row.
+    """
+    from leadsight_sales_agent_spark.registry import QUERIES
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.alias("a")
+    b = docs.alias("b")
+    exact = (
+        a.join(
+            b,
+            (F.md5(F.col("a.text")) == F.md5(F.col("b.text")))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("pa"),
+            F.greatest("a.doc_id", "b.doc_id").alias("pb"),
+        )
+    )
+
+    def norm(name: str) -> DataFrame:
+        d = QUERIES[name](spark, sf_dir)
+        return d.select(
+            F.least("doc_a", "doc_b").alias("pa"),
+            F.greatest("doc_a", "doc_b").alias("pb"),
+        )
+
+    sets = {
+        "exact": exact,
+        "prefix": norm("neardup_prefix_filter_join"),
+        "sorted_neighborhood": norm("dedup_sorted_neighborhood"),
+        "levenshtein": norm("dedup_fuzzy_levenshtein"),
+    }
+    tagged = None
+    for sname, df in sets.items():
+        t = df.select(F.lit(sname).alias("s"), "pa", "pb")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    tagged = tagged.persist()
+    name_rows = spark.createDataFrame(
+        [(n,) for n in ("exact", "prefix", "sorted_neighborhood", "levenshtein")],
+        "s string",
+    )
+    counts = name_rows.join(
+        tagged.groupBy("s").agg(F.count(F.lit(1)).alias("n_pairs")), "s", "left"
+    ).select("s", F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"))
+    x = tagged.alias("x")
+    y = tagged.alias("y")
+    ov = (
+        x.join(
+            y,
+            (F.col("x.pa") == F.col("y.pa")) & (F.col("x.pb") == F.col("y.pb")),
+        )
+        .groupBy(F.col("x.s").alias("sa"), F.col("y.s").alias("sb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    names = counts.select(F.col("s").alias("sa"), F.col("n_pairs").alias("n_pairs_a"))
+    names_b = counts.select(F.col("s").alias("sb"), F.col("n_pairs").alias("n_pairs_b"))
+    grid = (
+        names.crossJoin(names_b)
+        .filter(F.col("sa") <= F.col("sb"))
+        .join(ov, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("strategy_a"),
+            F.col("sb").alias("strategy_b"),
+            "n_pairs_a",
+            "n_pairs_b",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+        )
+    )
+    return grid
