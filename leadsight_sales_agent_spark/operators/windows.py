@@ -1930,3 +1930,223 @@ def impute_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v_cents"),
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_imputed"),
     )
+
+
+@query(
+    "window_rolling_correlation",
+    oracle="""
+    WITH m AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
+                    AS BIGINT) AS rev,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    roll AS (
+        SELECT month,
+               count(*)        OVER w AS n,
+               sum(rev)        OVER w AS sx,
+               sum(n_orders)   OVER w AS sy,
+               sum(CAST(rev AS HUGEINT) * rev)  OVER w AS sxx,
+               sum(CAST(n_orders AS HUGEINT) * n_orders) OVER w AS syy,
+               sum(CAST(rev AS HUGEINT) * n_orders) OVER w AS sxy
+        FROM m
+        WINDOW w AS (ORDER BY month ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+    )
+    SELECT month, CAST(n AS BIGINT) AS n_months,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS corr_12m
+    FROM roll WHERE n = 12
+    """,
+)
+def window_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 12-month Pearson correlation between monthly revenue
+    and monthly order count — the co-movement monitor behind "is
+    growth price-driven or volume-driven this year" (correlation near
+    1: volume-driven; drifting down: ticket size is doing the work).
+    Extends agg_corr_price_quantity (static, per-group) with the
+    windowed form every metrics page needs.
+
+    Exactness: all five sufficient statistics (Σx, Σy, Σx², Σy², Σxy)
+    are EXACT integer window sums over cents x counts (the squared
+    sums ride DECIMAL(38,0) — cents² overflows BIGINT — mirroring
+    DuckDB's automatic HUGEINT widening); the Pearson
+    formula is then one fixed IEEE tree on identical doubles (+,-,*,
+    /, sqrt — correctly rounded), rounded at 6dp (the corr-rounding
+    precedent). Incomplete leading windows are gated out (n = 12).
+
+    Plan: six window aggregates share ONE frame spec over the month
+    grain — Catalyst evaluates them in a single WindowExec pass;
+    the fact table contributes one rollup.
+    """
+    m = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100, 0)
+            .cast("bigint")
+            .alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(-11, 0)
+    roll = m.select(
+        "month",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("rev").over(w).alias("sx"),
+        F.sum("n_orders").over(w).alias("sy"),
+        F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev")).over(w).alias(
+            "sxx"
+        ),
+        F.sum(F.col("n_orders").cast("decimal(38,0)") * F.col("n_orders"))
+        .over(w)
+        .alias("syy"),
+        F.sum(F.col("rev").cast("decimal(38,0)") * F.col("n_orders"))
+        .over(w)
+        .alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    return roll.filter(F.col("n") == 12).select(
+        "month",
+        F.col("n").cast("bigint").alias("n_months"),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (
+                F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            6,
+        ).alias("corr_12m"),
+    )
+
+
+@query(
+    "forecast_croston_intermittent",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT l_partkey AS part,
+               CAST(date_part('year', l_shipdate) * 12
+                    + date_part('month', l_shipdate) AS BIGINT) AS midx,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS z
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    occ AS (
+        SELECT part, midx, z,
+               CAST(row_number() OVER (PARTITION BY part ORDER BY midx)
+                    AS BIGINT) AS j,
+               coalesce(midx - lag(midx) OVER (PARTITION BY part ORDER BY midx),
+                        1) AS x
+        FROM monthly WHERE z > 0
+    ),
+    idx AS (
+        SELECT part, midx, z, x, j, least(j, {_EWMA_H}) AS m
+        FROM occ
+    ),
+    dot AS (
+        SELECT part, j, m,
+               {_sql_ewma_terms("z", "part", "j")} AS sz,
+               {_sql_ewma_terms("x", "part", "j")} AS sx
+        FROM idx
+    ),
+    last_state AS (
+        SELECT part, j AS n_occasions, sz, sx,
+               row_number() OVER (PARTITION BY part ORDER BY j DESC) AS rn
+        FROM dot
+    )
+    SELECT part, n_occasions, sz, sx,
+           CAST((2 * 10000 * sz + sx) // (2 * sx) AS BIGINT)
+               AS demand_rate_bp
+    FROM last_state WHERE rn = 1
+    """,
+)
+def forecast_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand: per part, separate
+    EWMAs of nonzero demand SIZES and of the INTERVALS between demand
+    occasions; the per-period forecast is their ratio — the standard
+    spare-parts/slow-mover forecaster where ordinary smoothing
+    systematically overshoots right after each demand spike. First
+    interval convention: x_1 = 1 (no prior occasion).
+
+    Exactness by composition: both smoothers REUSE the dyadic-EWMA
+    device (alpha = 1/2, 16-term re-anchoring unroll —
+    window_ewma_dyadic_smoothing), so each state is an exact
+    BIGINT-scaled dyadic Sz/2^(m-1); at a shared occasion index the
+    two scales CANCEL, making the Croston ratio the exact rational
+    Sz/Sx — reported in half-up basis points (quantity units per
+    month x 10000). No float anywhere.
+
+    Plan: fact rollup to (part, month), occasion indexing and all 32
+    lag terms in ONE window pass per sequence over the same
+    (part, j) sort — two WindowExec on one exchange; last-state
+    selection is a per-part rank on the occasion grain. Millions of
+    parts parallelize freely: state is per-part-bounded.
+    """
+    monthly = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("midx"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("z"))
+        .filter(F.col("z") > 0)
+    )
+    wp = Window.partitionBy("part").orderBy("midx")
+    occ = monthly.select(
+        "part",
+        "midx",
+        "z",
+        F.row_number().over(wp).cast("bigint").alias("j"),
+        F.coalesce(
+            F.col("midx") - F.lag("midx").over(wp), F.lit(1)
+        ).alias("x"),
+    )
+    idx = occ.withColumn("m", F.least(F.col("j"), F.lit(_EWMA_H)))
+    wj = Window.partitionBy("part").orderBy("j")
+    sums = {}
+    for col in ("z", "x"):
+        s = None
+        for k in range(_EWMA_H):
+            wk = (
+                F.when(F.lit(k) > F.col("m") - 1, F.lit(0).cast("bigint"))
+                .when(F.lit(k) == F.col("m") - 1, F.lit(1).cast("bigint"))
+                .otherwise(
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(m - 2 - {k} AS INT))")
+                )
+            )
+            term = F.coalesce(F.lag(col, k).over(wj), F.lit(0)) * wk
+            s = term if s is None else s + term
+        sums[col] = s
+    dot = idx.select(
+        "part",
+        "j",
+        "m",
+        sums["z"].alias("sz"),
+        sums["x"].alias("sx"),
+    )
+    last_state = dot.select(
+        "part",
+        F.col("j").alias("n_occasions"),
+        "sz",
+        "sx",
+        F.row_number()
+        .over(Window.partitionBy("part").orderBy(F.desc("j")))
+        .alias("rn"),
+    )
+    return last_state.filter(F.col("rn") == 1).select(
+        "part",
+        "n_occasions",
+        "sz",
+        "sx",
+        F.expr("CAST((2 * 10000 * sz + sx) DIV (2 * sx) AS BIGINT)").alias(
+            "demand_rate_bp"
+        ),
+    )
