@@ -170,7 +170,23 @@ _PANEL_50 = [
 # dedup_cross_source_matrix, retrieval_binary_quantization,
 # eval_langid_confusion, text_bm25_scores,
 # retrieval_hybrid_bm25_vector
-# (sketch_misra_gries_heavy_hitters is rows-only).
+# (sketch_misra_gries_heavy_hitters is rows-only), and the session-4
+# wave: tpch_q17_small_quantity_revenue, window_ewma_dyadic_smoothing,
+# cdc_log_compaction, text_vocab_coverage, eval_ks_two_sample,
+# eval_mutual_information, funnel_windowed_deadline,
+# interval_union_coverage, agg_skew_kurtosis_moments,
+# sql_group_order_by_all_suite, market_basket_apriori_triples,
+# eval_decile_lift_table, dedup_sorted_neighborhood,
+# forecast_seasonal_decomposition, late_arriving_dim_handling,
+# tpcds_q47_sales_deviation, mixture_temperature_weights,
+# impute_linear_interpolation, dq_out_of_order_audit,
+# survival_kaplan_meier, forecast_mann_kendall_trend,
+# forecast_theil_sen_trend, variance_price_volume_mix,
+# cohort_ltv_curve, inventory_abc_xyz_matrix, eval_pr_curve,
+# eval_langid_precision_recall_f1, dedup_phonetic_soundex_blocking,
+# dedup_strategy_overlap_matrix, window_rolling_correlation,
+# forecast_croston_intermittent
+# (streaming_session_window_native is rows-only).
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
 # pipelines (mock-transport enrich, streaming micro-batch runs) go last:
