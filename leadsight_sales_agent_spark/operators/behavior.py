@@ -2520,3 +2520,73 @@ def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_bp"
         ),
     )
+
+
+@query(
+    "pattern_sequence_regex_match",
+    oracle="""
+    WITH coded AS (
+        SELECT user_id,
+               string_agg(CASE event_type
+                              WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+                              WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                              ELSE 'e' END, ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 's[vc]{0,5}p'))
+                AS BIGINT) AS n_conversions,
+           CAST(len(regexp_extract_all(seq, 'ee+'))
+                AS BIGINT) AS n_error_bursts
+    FROM coded
+    """,
+)
+def pattern_sequence_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching a la MATCH_RECOGNIZE (which Spark SQL
+    lacks): each user's event history collapses to a one-char-per-
+    event string in (ts, event_id) order, and row-pattern queries
+    become ordinary REGEXES over it — here "signup then purchase
+    within at most 5 view/click steps" (s[vc]{0,5}p) and "error
+    bursts" (ee+), counted per user as leftmost non-overlapping
+    matches (the semantics Java regex and RE2 share for patterns
+    without backtracking ambiguity).
+
+    The device trades the O(pattern-states x events) NFA machinery
+    for a per-key string fold: one shuffle to sort each user's
+    events, then pattern evaluation is map-side JVM regex over a
+    string whose length = the user's event count (bounded state, no
+    cross-row joins). At 100 TB this is the cheapest expressible
+    form of sequential-pattern analytics the engine offers — and the
+    string is reusable across many patterns in one pass.
+    """
+    code = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("e")
+    )
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", code.alias("ch"))
+    coded = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "ch"))
+                ),
+                lambda s: s["ch"],
+            ),
+        ).alias("seq")
+    )
+    return coded.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.size(F.regexp_extract_all("seq", F.lit("s[vc]{0,5}p"), 0))
+        .cast("bigint")
+        .alias("n_conversions"),
+        F.size(F.regexp_extract_all("seq", F.lit("ee+"), 0))
+        .cast("bigint")
+        .alias("n_error_bursts"),
+    )

@@ -1230,3 +1230,59 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((2 * 10000 * n_chars + sc) DIV (2 * sc) AS BIGINT)"
         ).alias("share_t1_bp"),
     )
+
+
+@query(
+    "sample_fair_interleave",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS r
+        FROM documents
+    ),
+    interleaved AS (
+        SELECT doc_id, source, r,
+               row_number() OVER (ORDER BY r, source, doc_id) AS pos
+        FROM ranked
+    )
+    SELECT pos, doc_id, source, r AS rank_in_source
+    FROM interleaved WHERE pos <= 100
+    """,
+)
+def sample_fair_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fair interleaving of corpus sources: documents
+    are hash-shuffled WITHIN each source (salted-md5 order — the
+    repo's standard RNG-free shuffle), then merged round-robin by
+    per-source rank, so any prefix of the output contains a near-
+    equal number of documents from every source — the ordering a
+    curriculum/training loader wants when small sources must not be
+    starved by large ones (consuming N rows ≈ N/k per source).
+    Graded on the first 100 positions.
+
+    Plan: the per-source rank partitions by source (one exchange);
+    the merge is a rank-major global sort — at scale a range
+    partition on (r, source) with bounded per-rank width; prefix
+    grading keeps the checked output tiny.
+    """
+    ranked = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .alias("r"),
+    )
+    interleaved = ranked.select(
+        "doc_id",
+        "source",
+        "r",
+        F.row_number().over(Window.orderBy("r", "source", "doc_id")).alias("pos"),
+    )
+    return interleaved.filter(F.col("pos") <= 100).select(
+        "pos", "doc_id", "source", F.col("r").alias("rank_in_source")
+    )

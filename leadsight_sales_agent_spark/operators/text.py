@@ -2327,3 +2327,84 @@ def eval_langid_precision_recall_f1(spark: SparkSession, sf_dir: str) -> DataFra
             " DIV (2 * ((tp + fp) * (tp + fn) + tp * tp)) END AS BIGINT)"
         ).alias("f1_bp"),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    tri AS (
+        SELECT doc_id,
+               ts[u.i] || ' ' || ts[u.i+1] || ' ' || ts[u.i+2] AS g
+        FROM toks, unnest(generate_series(1, len(ts) - 2)) AS u(i)
+        WHERE len(ts) >= 3
+    ),
+    grain AS (
+        SELECT doc_id, g, count(*) AS n FROM tri GROUP BY 1, 2
+    ),
+    firsts AS (
+        SELECT g, min(doc_id) AS first_doc FROM grain GROUP BY 1
+    )
+    SELECT gr.doc_id,
+           CAST(sum(gr.n) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN gr.n ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((2 * 10000 * sum(CASE WHEN f.first_doc = gr.doc_id
+                                 THEN gr.n ELSE 0 END) + sum(gr.n))
+                // (2 * sum(gr.n)) AS BIGINT) AS novelty_bp
+    FROM grain gr JOIN firsts f ON gr.g = f.g
+    GROUP BY 1
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty against everything EARLIER in the
+    corpus (doc_id = ingestion order): what fraction of a document's
+    trigrams appear here first — the curation curve that finds the
+    point where a crawl stops contributing new text (novelty decays
+    toward boilerplate), and the doc-grain complement of
+    dedup_repeated_spans. A trigram is "novel" in the doc with the
+    MINIMUM doc_id containing it (first-appearance identity — the
+    window_running_distinct device at corpus scale).
+
+    Plan: one explode to the (doc, trigram) grain via the
+    transform/sequence slice (no UDF), the first-appearance table is
+    a min-aggregate on the trigram key, and the join back is
+    trigram-key-partitioned — both sides of that join arrive from the
+    SAME grain aggregation, so at 100 TB it co-partitions and AQE
+    handles the skewed boilerplate trigrams.
+    """
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ts"))
+    )
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.get(F.col("ts"), i),
+                    F.get(F.col("ts"), i + 1),
+                    F.get(F.col("ts"), i + 2),
+                ),
+            )
+        ).alias("g"),
+    ).filter(F.size("ts") >= 3)
+    grain = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n"))
+    firsts = grain.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = grain.join(firsts, "g")
+    return joined.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_trigrams"),
+        F.sum(F.when(F.col("first_doc") == F.col("doc_id"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+        F.expr(
+            "CAST((2 * 10000 * sum(CASE WHEN first_doc = doc_id THEN n ELSE 0 END)"
+            " + sum(n)) DIV (2 * sum(n)) AS BIGINT)"
+        ).alias("novelty_bp"),
+    )
