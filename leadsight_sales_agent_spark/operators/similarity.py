@@ -1787,3 +1787,119 @@ def mining_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("pair_role") == "pos") & (F.col("rnk") == 1))
         | ((F.col("pair_role") == "neg") & (F.col("rnk") <= MINE_HARD_NEGS))
     )
+
+
+@query(
+    "recsys_item_item_cosine",
+    oracle="""
+    WITH lines AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ),
+    item_n AS (
+        SELECT p, count(*) AS n FROM lines GROUP BY 1
+    ),
+    pair_n AS (
+        SELECT a.p AS pa, b.p AS pb, count(*) AS nab
+        FROM lines a JOIN lines b ON a.ok = b.ok AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    scored AS (
+        SELECT pa, pb, nab,
+               round(CAST(nab AS DOUBLE)
+                     / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))),
+                     6) AS cosine
+        FROM pair_n
+        JOIN item_n na ON na.p = pair_n.pa
+        JOIN item_n nb ON nb.p = pair_n.pb
+    ),
+    sym AS (
+        SELECT pa AS item, pb AS neighbor, nab, cosine FROM scored
+        UNION ALL
+        SELECT pb, pa, nab, cosine FROM scored
+    ),
+    ranked AS (
+        SELECT item, neighbor, nab, cosine,
+               row_number() OVER (PARTITION BY item
+                                  ORDER BY cosine DESC, neighbor ASC) AS rn
+        FROM sym
+    )
+    SELECT item, neighbor, CAST(nab AS BIGINT) AS n_cobaskets,
+           cosine, rn AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def recsys_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al. / the Amazon
+    recommender): items as binary basket vectors, neighbor score =
+    cosine n_ab / sqrt(n_a·n_b) over co-occurrence counts, top-5
+    neighbors per item — the "customers who bought X also bought"
+    table, materialized batch-side exactly as production recsys do.
+
+    Determinism: counts are integers; sqrt is correctly rounded and
+    the score tree is fixed, so cosine is bit-identical cross-engine
+    (rounded 6dp per the corr precedent) and the per-item ranking
+    adds the neighbor id as total-order tie-break. Support floor
+    (n_ab >= 2) prunes noise pairs BEFORE scoring.
+
+    Plan: basket-bounded pair self-join on the order key (the
+    market-basket shape), item counts broadcast onto the pair table,
+    and the top-5 ranking gets WindowGroupLimit pushdown. A
+    mega-basket guard (cap lines per order) is the documented scale
+    valve, as in the pair miner.
+    """
+    lines = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    item_n = lines.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    a = lines.select(F.col("ok").alias("ok_a"), F.col("p").alias("pa"))
+    b = lines.select(F.col("ok").alias("ok_b"), F.col("p").alias("pb"))
+    pair_n = (
+        a.join(b, (F.col("ok_a") == F.col("ok_b")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= 2)
+    )
+    na = item_n.select(F.col("p").alias("pa"), F.col("n").alias("na"))
+    nb = item_n.select(F.col("p").alias("pb"), F.col("n").alias("nb"))
+    scored = (
+        pair_n.join(F.broadcast(na), "pa")
+        .join(F.broadcast(nb), "pb")
+        .select(
+            "pa",
+            "pb",
+            "nab",
+            F.round(
+                F.col("nab").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    sym = scored.select(
+        F.col("pa").alias("item"), F.col("pb").alias("neighbor"), "nab", "cosine"
+    ).unionByName(
+        scored.select(
+            F.col("pb").alias("item"), F.col("pa").alias("neighbor"), "nab", "cosine"
+        )
+    )
+    ranked = sym.select(
+        "item",
+        "neighbor",
+        "nab",
+        "cosine",
+        F.row_number()
+        .over(Window.partitionBy("item").orderBy(F.desc("cosine"), F.asc("neighbor")))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") <= 5).select(
+        "item",
+        "neighbor",
+        F.col("nab").cast("bigint").alias("n_cobaskets"),
+        "cosine",
+        F.col("rn").alias("rank"),
+    )

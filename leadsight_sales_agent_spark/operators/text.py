@@ -2408,3 +2408,105 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + sum(n)) DIV (2 * sum(n)) AS BIGINT)"
         ).alias("novelty_bp"),
     )
+
+
+def _langid_kappa_oracle() -> str:
+    """Cohen's kappa composed from the registered langid oracle.
+    kappa = (n·trace − Σ row_i·col_i) / (n² − Σ row_i·col_i): an
+    exact integer rational, half-up bp mirrored through negation."""
+    from leadsight_sales_agent_spark.registry import ORACLES
+
+    inner = ORACLES["text_langid_heuristic"]
+    return f"""
+    WITH pred AS ({inner}),
+    cells AS (
+        SELECT actual_lang a, predicted_lang p, count(*) AS n
+        FROM pred GROUP BY 1, 2
+    ),
+    marg AS (
+        SELECT a.a AS lang,
+               coalesce(ra.rn, 0) AS row_n,
+               coalesce(ca.cn, 0) AS col_n
+        FROM (SELECT DISTINCT a FROM cells
+              UNION SELECT DISTINCT p FROM cells) a(a)
+        LEFT JOIN (SELECT a, sum(n) rn FROM cells GROUP BY 1) ra ON ra.a = a.a
+        LEFT JOIN (SELECT p, sum(n) cn FROM cells GROUP BY 1) ca ON ca.p = a.a
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n,
+               CAST(coalesce(sum(CASE WHEN a = p THEN n END), 0) AS BIGINT)
+                   AS trace
+        FROM cells
+    ),
+    chance AS (
+        SELECT CAST(sum(row_n * col_n) AS BIGINT) AS src FROM marg
+    )
+    SELECT t.n, t.trace, c.src AS sum_row_col,
+           CAST(CASE WHEN t.n * t.trace - c.src >= 0 THEN
+                (2 * 10000 * (t.n * t.trace - c.src) + (t.n * t.n - c.src))
+                // (2 * (t.n * t.n - c.src))
+           ELSE
+                -((2 * 10000 * (c.src - t.n * t.trace) + (t.n * t.n - c.src))
+                  // (2 * (t.n * t.n - c.src)))
+           END AS BIGINT) AS kappa_bp
+    FROM tot t CROSS JOIN chance c
+    """
+
+
+@query("eval_cohens_kappa", oracle=_langid_kappa_oracle())
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the language-ID heuristic vs gold labels —
+    chance-corrected agreement, the honest headline number when
+    classes are imbalanced (raw accuracy flatters a majority-class
+    guesser; kappa subtracts exactly what guessing the marginals
+    would score). Composed from the registered classifier spec like
+    the confusion/P-R-F1 evals.
+
+    Fully exact: kappa = (po−pe)/(1−pe) cross-multiplies to
+    (n·trace − Σ rᵢcᵢ)/(n² − Σ rᵢcᵢ) over integer marginals — no
+    float, half-up bp with negative mirroring (kappa can go below 0
+    for worse-than-chance raters).
+    """
+    from leadsight_sales_agent_spark.registry import QUERIES
+
+    pred = QUERIES["text_langid_heuristic"](spark, sf_dir)
+    cells = pred.groupBy(
+        F.col("actual_lang").alias("a"), F.col("predicted_lang").alias("p")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rows = cells.groupBy("a").agg(F.sum("n").alias("row_n"))
+    cols = cells.groupBy("p").agg(F.sum("n").alias("col_n"))
+    langs = rows.select(F.col("a").alias("lang")).union(
+        cols.select(F.col("p"))
+    ).distinct()
+    marg = (
+        langs.join(rows.withColumnRenamed("a", "lang"), "lang", "left")
+        .join(cols.withColumnRenamed("p", "lang"), "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("row_n", F.lit(0)).alias("row_n"),
+            F.coalesce("col_n", F.lit(0)).alias("col_n"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.coalesce(F.sum(F.when(F.col("a") == F.col("p"), F.col("n"))), F.lit(0))
+        .cast("bigint")
+        .alias("trace"),
+    )
+    chance = marg.agg(
+        F.sum(F.col("row_n") * F.col("col_n")).cast("bigint").alias("src")
+    )
+    return tot.crossJoin(F.broadcast(chance)).select(
+        "n",
+        "trace",
+        F.col("src").alias("sum_row_col"),
+        F.expr(
+            "CAST(CASE WHEN n * trace - src >= 0 THEN"
+            " (2 * 10000 * (n * trace - src) + (n * n - src))"
+            " DIV (2 * (n * n - src))"
+            " ELSE"
+            " -((2 * 10000 * (src - n * trace) + (n * n - src))"
+            "   DIV (2 * (n * n - src)))"
+            " END AS BIGINT)"
+        ).alias("kappa_bp"),
+    )
