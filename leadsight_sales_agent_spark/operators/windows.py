@@ -2150,3 +2150,95 @@ def forecast_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame
             "demand_rate_bp"
         ),
     )
+
+
+@query(
+    "date_business_day_fiscal_suite",
+    oracle="""
+    WITH j AS (
+        SELECT o.o_orderpriority AS priority,
+               o.o_orderdate AS d0, l.l_shipdate AS d1
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    bd AS (
+        SELECT priority,
+               (5 * (date_diff('day', TIMESTAMP '1990-01-01', d1) // 7)
+                + least(date_diff('day', TIMESTAMP '1990-01-01', d1) % 7 + 1, 5))
+             - (5 * (date_diff('day', TIMESTAMP '1990-01-01', d0) // 7)
+                + least(date_diff('day', TIMESTAMP '1990-01-01', d0) % 7 + 1, 5))
+                   AS bdays,
+               CAST(date_part('year', d1) AS BIGINT)
+                 + CASE WHEN date_part('month', d1) >= 7 THEN 1 ELSE 0 END
+                   AS fiscal_year,
+               (CAST(date_part('month', d1) AS BIGINT) + 5) % 12 // 3 + 1
+                   AS fiscal_quarter
+        FROM j
+    )
+    SELECT priority, fiscal_year, fiscal_quarter,
+           bdays // 5 AS delay_weeks,
+           count(*) AS n_lines,
+           CAST(min(bdays) AS BIGINT) AS min_bdays,
+           CAST(max(bdays) AS BIGINT) AS max_bdays
+    FROM bd
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def date_business_day_fiscal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day arithmetic + fiscal calendar mapping — the two
+    calendar quirks every ops/finance report needs and no engine
+    builtin provides. Business days between order and ship date come
+    from a CLOSED-FORM cumulative count (anchor on a known Monday BEFORE all data (1990-01-01 — negative day
+    indices would hit the float-floor vs integer-trunc divergence),
+    B(d) = 5·⌊e/7⌋ + min(e mod 7 + 1, 5), delay = B(ship) −
+    B(order)) — pure integer arithmetic, no per-day explode, no
+    calendar table join, identical text in both engines (the ISO
+    day-numbering pinning from the seasonality heatmap). Fiscal
+    periods use a July-start year (FY = CY + 1 from July, Q1 =
+    Jul-Sep), again pure month arithmetic.
+
+    Scale: entirely map-side until the final bounded rollup
+    (priority x FY x quarter x delay-week) — the closed form is why:
+    a generate_series-per-row calendar expansion would be a 250x row
+    multiplier at 100 TB.
+    """
+    j = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .join(
+            load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("d0"),
+            F.col("l_shipdate").alias("d1"),
+        )
+    )
+
+    def bdays_upto(d):
+        e = F.datediff(d, F.lit("1990-01-01").cast("timestamp"))
+        return F.lit(5) * F.floor(e / 7) + F.least(e % 7 + 1, F.lit(5))
+
+    bd = j.select(
+        "priority",
+        (bdays_upto(F.col("d1")) - bdays_upto(F.col("d0"))).alias("bdays"),
+        (
+            F.year("d1").cast("bigint")
+            + F.when(F.month("d1") >= 7, 1).otherwise(0)
+        ).alias("fiscal_year"),
+        F.expr("(CAST(month(d1) AS BIGINT) + 5) % 12 DIV 3 + 1").alias(
+            "fiscal_quarter"
+        ),
+    )
+    return bd.groupBy(
+        "priority",
+        "fiscal_year",
+        "fiscal_quarter",
+        F.expr("bdays DIV 5").alias("delay_weeks"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("bdays").cast("bigint").alias("min_bdays"),
+        F.max("bdays").cast("bigint").alias("max_bdays"),
+    )
