@@ -1,0 +1,299 @@
+"""Repo-wide physical-plan lint: every ORACLE-BACKED registered query's
+plan is checked for scale-killers, with a documented allowlist for the
+queries whose shape is intentional. Run:
+
+    python tools/plan_lint.py            # writes PLAN_LINT.json, exit 1 on new findings
+
+Rules (per query, formatted physical plan at sf0.001):
+  R1 cartesian      — CartesianProduct / BroadcastNestedLoopJoin present.
+                      Allowed where the operator IS a bounded non-equi
+                      pair expansion on a calendar/grain-bounded side
+                      (documented in ALLOW_NON_EQUI).
+  R2 global-sort    — Exchange rangepartitioning outside the documented
+                      global-order operators (top-k uses
+                      TakeOrderedAndProject instead, which is fine).
+  R4 exchange-storm — more than 12 Exchange nodes (audited-composition
+                      queries carry a higher named cap; the rule still
+                      fires if they grow 8 past it) — a plan that
+                      re-shuffles that often usually lost a shared
+                      partitioning somewhere.
+
+This is the continuous form of the per-query plan audits in
+tests/test_plans.py: those pin the headline shapes deeply; this lint
+keeps the OTHER ~300 queries from silently regressing into a
+scale-killer as they evolve.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from leadsight_sales_agent_spark import registry  # noqa: E402
+from leadsight_sales_agent_spark.plans import formatted_plan  # noqa: E402
+from leadsight_sales_agent_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# R1: operators whose non-equi / nested-loop join is the documented
+# algorithm on a bounded grain (month grid, score grain, pair panel...).
+ALLOW_NON_EQUI = {
+    "join_cross_region_nation",  # the cross join operator itself
+    "join_range_price_brackets",  # range join: bracket dim is 4 rows, broadcast NL is the plan
+    "forecast_mann_kendall_trend",  # month-grain pair expansion (~80 rows/side)
+    "forecast_theil_sen_trend",  # month-grain pair expansion
+    "skyline_parts_pareto",  # NOT-EXISTS dominance check on the pruned survivor set
+    "quantified_all_subquery",  # > ALL rewrite leaves a 1-row scalar NL probe
+    "market_basket_rules",  # antecedent->consequent direction pairs on the pair panel
+    "interval_max_concurrency",  # +-1 delta self-alignment on the instant grain
+    "window_ratio_to_report",  # 1-row total broadcast NL
+    "eval_mutual_information",  # 25-cell grid x 1-row total
+    "variance_price_volume_mix",  # 1-row totals join
+    "mixture_temperature_weights",  # 1-row totals join
+    "eval_cohens_kappa",  # 1-row totals cross join
+    "forecast_seasonal_naive_backtest",  # 1-row scalar anchor
+    "cusum_change_detection",  # 1-row target broadcast
+    "revenue_max_drawdown",  # 1-row argmin anchor
+    "dedup_cross_source_matrix",  # |sources|^2 grid
+    "chi_square_priority_status",  # 5x3 grid x totals
+    "drift_psi_event_mix",  # 1-row totals cross join
+    "sample_ht_estimator_check",  # 1-row truth anchor
+    "benford_first_digit_audit",  # 9-row digit grid
+    "agg_histogram_numeric",  # bucket-grid non-equi containment
+    "resample_gap_filled_30min",  # dense grid expansion (bounded by calendar)
+    "seasonality_heatmap_events",  # 168-cell grid
+    "fifo_cogs_matching",  # interval-overlap non-equi join per part (bounded layers)
+    "scd2_point_in_time_join",  # as-of validity range probe (<=2 versions/key)
+    "scd2_customer_segment_history",  # validity-interval construction
+    "join_asof_purchase_last_click",  # as-of non-equi by design
+    "join_asof_forward_tolerance",  # as-of with tolerance
+    "markov_event_transitions",  # 25-cell matrix x totals
+    "path_top_sequences",  # alphabet-bounded rollup x literal rank
+    "topk_orders_with_ties",  # literal-bound rank compare
+    "sketch_kmv_distinct_userdays",  # k-th order statistic scalar probe
+    "sketch_kmv_intersection",  # sketch-union scalar probes
+    "agg_approx_percentiles",  # envelope compare vs exact scalars
+    "ann_recall_report",  # recall join between shortlist panels
+    "eval_qq_quantile_pairs",  # decile-index pair alignment
+    "correlated_scalar_subquery_rewrite",  # decorrelation demo keeps a scalar probe
+    "sql_session_variables_suite",  # 1-row threshold anchor
+    "conversion_latency_percentiles",  # scalar median anchors
+    "agg_weighted_median_price",  # scalar threshold anchor
+    "outlier_mad_orders",  # broadcast stats anchors
+    "impute_group_median_balance",  # per-group median anchor
+    "agg_median_lower",  # scalar order-statistic anchor
+    "window_rolling_median_events",  # bounded frame median
+    "leakage_jaccard_cross_split",  # cross-split pair verify on blocked candidates
+    "neardup_ngram_jaccard",  # blocked pair verify
+    "text_pmi_cooccurrence",  # vocab-capped pair space
+    "spatial_grid_neighbor_join",  # exact distance filter inside cell candidates
+    "retrieval_mmr_diversified",  # bounded 20x20 pair matrix
+    "retrieval_rrf_fusion",  # shortlist fusion (50-row sides)
+    "retrieval_hybrid_bm25_vector",  # shortlist full-outer fuse
+    "retrieval_coarse_to_fine_rerank",  # 50-candidate rerank probe
+    "retrieval_binary_quantization",  # hamming shortlist x query row
+    "knn_cosine_bruteforce",  # broadcast query side by design
+    "text_bm25_scores",  # 1-row corpus stats anchor
+    "text_tfidf_top_terms",  # 1-row doc-count anchor
+    "text_vocab_coverage",  # 100-row vocab broadcast
+    "text_decontamination_gate",  # eval-fingerprint broadcast probe
+    "corpus_curation_full",  # composes the anchors above
+    "corpus_curation_verdict",
+    "pipeline_curate_and_pack",
+    "eval_ks_two_sample",  # 1-row extrema anchor on the score grain
+    "eval_decile_lift_table",  # 1-row totals anchor
+    "eval_pr_curve",  # grain windows + totals anchor
+    "survival_kaplan_meier",  # duration-grain windows + totals
+    "forecast_croston_intermittent",
+    "agg_skew_kurtosis_moments",
+    "dedup_strategy_overlap_matrix",  # 4x4 name grid
+    "market_basket_apriori_triples",  # basket-bounded triple expansion
+    "market_basket_part_pairs",
+    "recsys_item_item_cosine",
+    "dedup_fuzzy_levenshtein",  # blocked pair verify
+    "dedup_fuzzy_levenshtein_full",  # blocked + banded verify
+    "dedup_sorted_neighborhood",
+    "neardup_prefix_filter_join",  # prefix-filter candidate verify
+    "entity_link_customers_billing",  # blocked linkage scoring
+    "dedup_incremental_batch",
+    "graph_link_prediction_common_suppliers",
+    "graph_triangle_coparts",
+    "graph_degree_distribution",
+    "zorder_locality_buckets",
+    "compaction_bin_packing",
+    "layout_join_skew_advisor",
+    "ab_wilson_significance",  # 1-row z anchor
+    "ab_deterministic_assignment",
+    "incremental_agg_maintenance",  # delta-vs-history 1-row reconcile
+    "incremental_join_maintenance",
+    "snapshot_diff_reconciliation",
+    "values_inline_dim_join",  # literal VALUES dim
+    "late_arriving_dim_handling",
+    "share_of_parent_revenue",
+    "agg_grouping_id_labels",
+    "concentration_gini_hhi_by_segment",
+    "rolling_active_users_7d",  # bounded x7 projection
+    "repurchase_interval_histogram",
+    "cohort_ltv_curve",  # 1-row cohort-size anchors
+    "window_ewma_dyadic_smoothing",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q2_min_cost_supplier",  # correlated min rewrite keeps scalar probe
+    "tpch_q11_important_parts",  # global-threshold scalar anchor
+    "tpch_q15_top_supplier",  # max-revenue scalar anchor
+    "tpch_q22_dormant_rich_customers",  # avg-balance scalar anchor
+    "tpcds_q51_cumulative_compare",
+    "tpcds_q47_sales_deviation",
+    "date_business_day_fiscal_suite",
+    "sample_fair_interleave",
+    "text_ngram_novelty",
+    "eval_roc_auc_scores",
+    "eval_calibration_bins",
+    "eval_langid_confusion",
+    "eval_langid_precision_recall_f1",
+    "window_cume_dist_purchases",
+    "window_range_interval_counts",
+    "funnel_windowed_deadline",
+    "funnel_ordered_stages",
+    "text_repetition_signals",
+    "dedup_repeated_spans",
+    "text_bpe_merge_candidates",
+    "mixture_token_budget_allocation",
+    "pack_sequences_token_budget",
+    "leakage_check_splits",
+    "leakage_embedding_cosine_cross_split",
+    "twap_purchase_value_per_user",
+    "ohlc_monthly_orders",
+    "forecast_seasonal_decomposition",
+    "window_rolling_correlation",
+    "inventory_abc_xyz_matrix",
+    "interval_union_coverage",
+    "join_cross_region_pairs",  # the cross-join operator itself
+    "skew_diagnostics_orders",  # key-distribution grid x totals
+    "diag_join_skew_advisor",  # advisor grid x totals
+    "datetime_timezone_suite",  # 3-row zone VALUES grid
+    "neardup_embedding_cosine",  # documented brute-force cosine baseline
+    "feature_target_encoding_loo",  # 1-row global-mean anchor
+    "feature_woe_iv",  # 1-row global-counts anchor
+    "mining_contrastive_triplets",  # anchor-positive-negative pair mining
+}
+
+# R2: documented global-order operators (range partition IS the plan).
+ALLOW_GLOBAL_SORT = {
+    "sort_orders_desc",  # the global sort operator itself
+    "sample_fair_interleave",  # rank-major merge order
+    "dedup_sorted_neighborhood",  # the sort IS the blocking key
+    "topk_distinct_prices_dense_rank",
+    "pareto_abc_parts",
+    "inventory_abc_xyz_matrix",
+    "eval_roc_auc_scores",
+    "eval_ks_two_sample",
+    "eval_pr_curve",
+    "eval_decile_lift_table",
+    "survival_kaplan_meier",
+    "agg_histogram_equidepth",
+    "skyline_parts_pareto",
+    "window_ewma_dyadic_smoothing",  # month-grain series window
+    "forecast_seasonal_decomposition",
+    "forecast_theil_sen_trend",
+    "window_rolling_correlation",
+    "revenue_mom_growth",
+    "revenue_max_drawdown",
+    "cusum_change_detection",
+    "tpcds_q51_cumulative_compare",
+    "window_ratio_to_report",
+    "agg_string_concat_ordered",
+    "sketch_kmv_distinct_userdays",
+    "sketch_kmv_intersection",
+    "text_vocab_coverage",  # top-100 vocabulary rank
+    "text_tfidf_top_terms",
+    "text_pmi_cooccurrence",
+    "text_bpe_merge_candidates",
+    "market_basket_rules",
+    "mixture_token_budget_allocation",
+    "conversion_latency_percentiles",
+    "agg_weighted_median_price",
+    "agg_median_lower",
+    "interval_max_concurrency",
+    "text_zipf_rank_frequency",
+    "zorder_locality_buckets",
+    "compaction_bin_packing",
+    "pack_sequences_token_budget",
+    "pipeline_curate_and_pack",
+    "corpus_curation_full",
+    "corpus_curation_verdict",
+    "text_ngram_novelty",
+}
+
+# R4: compositions that legitimately chain many shuffling stages — the
+# multi-strategy/meta reports and multi-leg retrieval stacks. The storm
+# rule still fires if they GROW past their audited count + 8.
+ALLOW_MANY_EXCHANGES = {
+    "dedup_strategy_overlap_matrix": 124,  # 4 composed strategies + 10-cell matrix
+    "graph_triangle_coparts": 94,  # orientation build + wedge join + spec twin
+    "market_basket_apriori_triples": 37,  # pair table + prune + triple expansion
+    "graph_link_prediction_common_suppliers": 31,
+    "neardup_prefix_filter_join": 21,  # rarity order + prefix + verify
+    "recsys_item_item_cosine": 21,  # pair counts + sym union + per-item rank
+    "pipeline_curate_and_pack": 14,
+    "retrieval_hybrid_bm25_vector": 14,
+    "mixture_token_budget_allocation": 13,
+    "sketch_kmv_intersection": 13,
+    "market_basket_rules": 13,
+    "text_pmi_cooccurrence": 13,
+    "text_bm25_scores": 13,
+}
+
+FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
+
+def lint_one(name: str, plan: str) -> list[dict]:
+    findings = []
+    if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and (
+        name not in ALLOW_NON_EQUI
+    ):
+        findings.append({"rule": "R1-cartesian", "query": name})
+    if "Exchange rangepartitioning" in plan and name not in ALLOW_GLOBAL_SORT:
+        findings.append({"rule": "R2-global-sort", "query": name})
+    n_exchanges = plan.count("Exchange ")
+    cap = ALLOW_MANY_EXCHANGES.get(name, 4) + 8
+    if n_exchanges > cap:
+        findings.append(
+            {"rule": "R4-exchange-storm", "query": name, "exchanges": n_exchanges}
+        )
+    return findings
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark("plan-lint", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    oracle_backed = [n for n in registry.ordered_queries() if n in registry.ORACLES]
+    findings: list[dict] = []
+    errors: list[dict] = []
+    for name in oracle_backed:
+        try:
+            df = registry.QUERIES[name](spark, SF_DIR)
+            plan = formatted_plan(df)
+        except Exception as e:  # noqa: BLE001 — lint must survive one bad query
+            errors.append({"query": name, "error": str(e)[:200]})
+            continue
+        findings.extend(lint_one(name, plan))
+        spark.catalog.clearCache()
+    out = {
+        "checked": len(oracle_backed),
+        "findings": findings,
+        "errors": errors,
+    }
+    with open("PLAN_LINT.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"checked": len(oracle_backed), "n_findings": len(findings), "n_errors": len(errors)}))
+    for x in findings:
+        print("FINDING", x)
+    spark.stop()
+    sys.exit(1 if findings else 0)
+
+
+if __name__ == "__main__":
+    main()
