@@ -2590,3 +2590,97 @@ def pattern_sequence_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_error_bursts"),
     )
+
+
+def _seasonal_anomaly_oracle() -> str:
+    """Composed from the registered seasonal-decomposition oracle:
+    each complete-window month's trend ratio compares against its
+    calendar month's seasonal index; months deviating more than
+    500 bp after seasonal adjustment flag as anomalies."""
+    from leadsight_sales_agent_spark.registry import ORACLES
+
+    season = ORACLES["forecast_seasonal_decomposition"]
+    return f"""
+    WITH season AS ({season}),
+    series AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(month(o_orderdate) AS BIGINT) AS moy,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    ma AS (
+        SELECT month, moy, cents,
+               2 * sum(cents) OVER (ORDER BY month
+                                    ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+                 + lag(cents, 6)  OVER (ORDER BY month)
+                 + lead(cents, 6) OVER (ORDER BY month) AS s24
+        FROM series
+    ),
+    ratios AS (
+        SELECT month, moy,
+               (2 * 240000 * cents + s24) // (2 * s24) AS ratio_bp
+        FROM ma WHERE s24 IS NOT NULL
+    )
+    SELECT r.month, CAST(r.ratio_bp AS BIGINT) AS ratio_bp,
+           s.seasonal_index_bp,
+           CAST(r.ratio_bp - s.seasonal_index_bp AS BIGINT) AS residual_bp
+    FROM ratios r JOIN season s ON r.moy = s.moy
+    WHERE abs(r.ratio_bp - s.seasonal_index_bp) > 500
+    """
+
+
+@query("anomaly_seasonal_adjusted", oracle=_seasonal_anomaly_oracle())
+def anomaly_seasonal_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection: a month flags only if
+    its revenue deviates from trend BEYOND what its calendar month
+    normally does (ratio-to-MA minus the seasonal index, |residual| >
+    500 bp) — the alarm that doesn't page every December. Composed
+    mechanically from the REGISTERED seasonal-decomposition spec
+    (the zero-drift device), so the anomaly threshold and the
+    seasonal baseline can never disagree about what "seasonal" means.
+    All arithmetic stays in the decomposition's half-up integer bp.
+    """
+    from leadsight_sales_agent_spark.registry import QUERIES
+
+    season = QUERIES["forecast_seasonal_decomposition"](spark, sf_dir).select(
+        "moy", "seasonal_index_bp"
+    )
+    series = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+            F.month("o_orderdate").cast("bigint").alias("moy"),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("month")
+    wma = w.rowsBetween(-5, 5)
+    ma = series.select(
+        "month",
+        "moy",
+        "cents",
+        (
+            F.lit(2) * F.sum("cents").over(wma)
+            + F.lag("cents", 6).over(w)
+            + F.lead("cents", 6).over(w)
+        ).alias("s24"),
+    )
+    ratios = ma.filter(F.col("s24").isNotNull()).select(
+        "month",
+        "moy",
+        F.expr("(2 * 240000 * cents + s24) DIV (2 * s24)").alias("ratio_bp"),
+    )
+    joined = ratios.join(F.broadcast(season), "moy")
+    return joined.select(
+        "month",
+        "ratio_bp",
+        "seasonal_index_bp",
+        (F.col("ratio_bp") - F.col("seasonal_index_bp")).alias("residual_bp"),
+    ).filter(F.abs(F.col("residual_bp")) > 500)

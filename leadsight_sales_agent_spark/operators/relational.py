@@ -3842,3 +3842,58 @@ def tpcds_q47_sales_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_cents",
         "next_cents",
     )
+
+
+@query(
+    "nested_build_flatten_roundtrip",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           count(DISTINCT o.o_orderkey) AS n_orders,
+           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(25,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS rev_cents,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def nested_build_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-document round trip: flat lineitems NEST into one
+    array<struct> per order (the document/JSON-store write shape —
+    collect_list of structs, sorted for determinism), then the nested
+    form FLATTENS back through explode and aggregates. The oracle
+    computes the same aggregate from the flat join — hash equality
+    proves the nest/flatten cycle loses nothing (no dropped items, no
+    duplicated rows, no struct-field reorder corruption), which is
+    the contract a parquet-nested export must satisfy.
+
+    Scale notes: the nest is one shuffle on the order key with
+    per-order bounded state (basket size); array_sort makes the
+    nested layout byte-deterministic so downstream file-level dedup/
+    diff of exports works. The flatten explodes back to line grain
+    map-side. This is the write path multimodal/JSON exports use.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice").cast("decimal(25,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_linenumber",
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "cents", "qty"))
+        ).alias("items")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    docs = nested.join(o, nested.l_orderkey == o.o_orderkey)
+    flat = docs.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.explode("items").alias("item"),
+    )
+    return flat.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.sum("item.cents").cast("bigint").alias("rev_cents"),
+        F.sum("item.qty").cast("bigint").alias("total_qty"),
+    )
