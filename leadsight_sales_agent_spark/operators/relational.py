@@ -3897,3 +3897,127 @@ def nested_build_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("item.cents").cast("bigint").alias("rev_cents"),
         F.sum("item.qty").cast("bigint").alias("total_qty"),
     )
+
+
+@query(
+    "allocation_invoice_rounding",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey AS ok, l_linenumber AS ln,
+               CAST(CAST(l_extendedprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS w
+        FROM lineitem
+    ),
+    o AS (
+        SELECT o_orderkey AS ok,
+               CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS total
+        FROM orders
+    ),
+    base AS (
+        SELECT li.ok, li.ln, li.w, o.total,
+               sum(li.w) OVER (PARTITION BY li.ok) AS wsum
+        FROM li JOIN o ON li.ok = o.ok
+    ),
+    floors AS (
+        SELECT ok, ln, w, total, wsum,
+               (total * w) // wsum AS fl,
+               (total * w) % wsum AS rem
+        FROM base
+    ),
+    need AS (
+        SELECT ok, ln, fl, rem,
+               total - sum(fl) OVER (PARTITION BY ok) AS shortfall,
+               row_number() OVER (PARTITION BY ok
+                                  ORDER BY rem DESC, ln ASC) AS rr
+        FROM floors
+    ),
+    alloc AS (
+        SELECT ok, ln,
+               fl + CASE WHEN rr <= shortfall THEN 1 ELSE 0 END AS cents
+        FROM need
+    )
+    SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS allocated_cents,
+           CAST((SELECT sum(total) FROM o
+                 WHERE o.ok IN (SELECT DISTINCT ok FROM li)) AS BIGINT)
+               AS invoice_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM alloc
+    """,
+)
+def allocation_invoice_rounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Penny-exact invoice allocation: each order's total spreads
+    across its lines proportionally to extended price, floors in
+    cents, and the leftover pennies go to the largest remainders
+    (ties to the lowest line number) — the largest-remainder method
+    that makes Σ lines == invoice EXACTLY for every order, the
+    invariant billing/GL reconciliation lives on (naive rounding
+    drifts a penny per ~2 lines and fails audit). Output is the
+    global reconciliation proof: allocated == invoiced over all
+    orders, as graded integers.
+
+    All integer: proportional shares are floor((total·w)/Σw) with
+    the remainder ranked per order; the floors, shortfall, and rank
+    share ONE (orderkey) partitioning — a single exchange for three
+    windows, per-order state bounded by basket size.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        (F.col("l_extendedprice").cast("decimal(25,2)") * 100)
+        .cast("bigint")
+        .alias("w"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ook"),
+        (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+        .cast("bigint")
+        .alias("total"),
+    )
+    base = li.join(o, li.ok == o.ook).select(
+        "ok",
+        "ln",
+        "w",
+        "total",
+        F.sum("w").over(Window.partitionBy("ok")).alias("wsum"),
+    )
+    floors = base.select(
+        "ok",
+        "ln",
+        "total",
+        F.expr("(total * w) DIV wsum").alias("fl"),
+        F.expr("(total * w) % wsum").alias("rem"),
+    )
+    need = floors.select(
+        "ok",
+        "ln",
+        "fl",
+        (F.col("total") - F.sum("fl").over(Window.partitionBy("ok"))).alias(
+            "shortfall"
+        ),
+        F.row_number()
+        .over(Window.partitionBy("ok").orderBy(F.desc("rem"), F.asc("ln")))
+        .alias("rr"),
+    )
+    alloc = need.select(
+        "ok",
+        "ln",
+        (
+            F.col("fl")
+            + F.when(F.col("rr") <= F.col("shortfall"), 1).otherwise(0)
+        ).alias("cents"),
+    )
+    invoice = (
+        o.join(li.select("ok").distinct(), o.ook == F.col("ok"))
+        .agg(F.sum("total").cast("bigint").alias("invoice_cents"))
+    )
+    return (
+        alloc.agg(
+            F.countDistinct("ok").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("allocated_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .crossJoin(F.broadcast(invoice))
+        .select("n_orders", "allocated_cents", "invoice_cents", "n_lines")
+    )

@@ -2242,3 +2242,94 @@ def date_business_day_fiscal_suite(spark: SparkSession, sf_dir: str) -> DataFram
         F.min("bdays").cast("bigint").alias("min_bdays"),
         F.max("bdays").cast("bigint").alias("max_bdays"),
     )
+
+
+@query(
+    "trending_parts_decayed",
+    oracle="""
+    WITH m AS (
+        SELECT l_partkey AS part,
+               CAST(date_part('year', l_shipdate) * 12
+                    + date_part('month', l_shipdate) AS BIGINT) AS midx,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    anchor AS (SELECT max(midx) AS mx FROM m),
+    decayed AS (
+        SELECT part,
+               sum(CASE WHEN a.mx - midx <= 15
+                        THEN q * (CAST(1 AS BIGINT) << (15 - (a.mx - midx)))
+                        ELSE 0 END) AS score,
+               CAST(sum(CASE WHEN a.mx - midx <= 15 THEN q ELSE 0 END)
+                    AS BIGINT) AS recent_qty,
+               CAST(sum(q) AS BIGINT) AS total_qty
+        FROM m CROSS JOIN anchor a
+        GROUP BY 1
+    )
+    SELECT part, CAST(score AS BIGINT) AS score, recent_qty, total_qty,
+           CAST(row_number() OVER (ORDER BY score DESC, part ASC) AS BIGINT)
+               AS rank
+    FROM decayed
+    QUALIFY row_number() OVER (ORDER BY score DESC, part ASC) <= 20
+    """,
+)
+def trending_parts_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items by exponentially-decayed demand: each month's
+    quantity weighs 2^-age (half-life = one month) over a trailing
+    16-month horizon, top-20 parts by decayed score — the freshness-
+    weighted popularity ranking behind every "trending now" module,
+    where a raw total would let a stale blockbuster park at #1
+    forever.
+
+    Exactness: the dyadic half-life makes every weight a power of
+    two, so the score is the exact BIGINT Σ q·2^(15−age) (the EWMA
+    re-anchoring device applied to a ranking); the anchor month is
+    data-derived (max month) via a 1-row broadcast. Ranking
+    tie-breaks on the part key — total order, top-20 by literal rank.
+    """
+    m = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("midx"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    )
+    anchor = m.agg(F.max("midx").alias("mx"))
+    decayed = (
+        m.crossJoin(F.broadcast(anchor))
+        .groupBy("part")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("mx") - F.col("midx") <= 15,
+                    F.col("q")
+                    * F.expr(
+                        "shiftleft(CAST(1 AS BIGINT),"
+                        " CAST(15 - (mx - midx) AS INT))"
+                    ),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("score"),
+            F.sum(
+                F.when(F.col("mx") - F.col("midx") <= 15, F.col("q")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("recent_qty"),
+            F.sum("q").cast("bigint").alias("total_qty"),
+        )
+    )
+    ranked = decayed.select(
+        "part",
+        "score",
+        "recent_qty",
+        "total_qty",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("part")))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= 20)
