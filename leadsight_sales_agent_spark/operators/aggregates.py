@@ -2872,3 +2872,74 @@ def inventory_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("rev").cast("bigint").alias("rev_cents"),
     )
+
+
+@query(
+    "rollup_rewrite_equivalence",
+    oracle=f"""
+    SELECT
+        c.c_mktsegment AS mktsegment,
+        strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS ship_month,
+        CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def rollup_rewrite_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup query rewrite: the engine first maintains a
+    PARTIAL-AGGREGATE rollup at a FINER grain than the question
+    (segment x month x orderpriority, carrying decimal revenue
+    partials + counts), then answers the flagship segment-x-month
+    question FROM THE ROLLUP by re-aggregating partials — never
+    touching the fact table. The oracle computes the same answer
+    from raw facts; hash equality is the rewrite-correctness proof
+    every materialized-view/cube system rests on (valid because sum
+    and count are decomposable aggregates and the rollup grain
+    functionally determines the query grain).
+
+    At 100 TB: the rollup is the thing a nightly job maintains
+    incrementally (incremental_agg_maintenance is the maintenance
+    half; this is the ANSWERING half) — the flagship dashboard query
+    drops from a fact scan to a rollup-sized aggregation, orders of
+    magnitude less IO. Decimal partials keep the two-step sum exactly
+    equal to the one-step sum (associativity of exact decimal).
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # maintenance side: the finer-grain rollup with DECIMAL partials
+    rollup = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+                "ship_month"
+            ),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(25,6)"
+                )
+            ).alias("rev_partial"),
+            F.count(F.lit(1)).alias("n_partial"),
+        )
+    )
+    # answering side: the user's coarser question, FROM the rollup
+    return rollup.groupBy("mktsegment", "ship_month").agg(
+        F.round(F.sum("rev_partial"), 2).cast("double").alias("revenue"),
+        F.sum("n_partial").alias("n_items"),
+    )

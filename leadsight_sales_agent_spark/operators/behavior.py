@@ -2684,3 +2684,126 @@ def anomaly_seasonal_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal_index_bp",
         (F.col("ratio_bp") - F.col("seasonal_index_bp")).alias("residual_bp"),
     ).filter(F.abs(F.col("residual_bp")) > 500)
+
+
+@query(
+    "forecast_acf_monthly",
+    oracle="""
+    WITH series AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ),
+    lagk AS (
+        SELECT k.k, s.v,
+               lag(s.v, k.k) OVER (PARTITION BY k.k ORDER BY s.month) AS vl
+        FROM series s
+        CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS k) k
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s1,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+        FROM series
+    ),
+    cross_sums AS (
+        SELECT k, CAST(count(vl) AS BIGINT) AS nk,
+               CAST(sum(CASE WHEN vl IS NOT NULL
+                        THEN CAST(v AS HUGEINT) * vl END) AS HUGEINT) AS sxy,
+               CAST(sum(CASE WHEN vl IS NOT NULL THEN v END) AS BIGINT) AS sxk,
+               CAST(sum(CASE WHEN vl IS NOT NULL THEN vl END) AS BIGINT) AS syk
+        FROM lagk GROUP BY 1
+    )
+    SELECT c.k AS lag_months, c.nk AS n_pairs,
+           round((CAST(c.sxy AS DOUBLE)
+                  - CAST(c.sxk AS DOUBLE) * s.s1 / s.n
+                  - CAST(c.syk AS DOUBLE) * s.s1 / s.n
+                  + CAST(c.nk AS DOUBLE)
+                    * (CAST(s.s1 AS DOUBLE) / s.n)
+                    * (CAST(s.s1 AS DOUBLE) / s.n))
+                 / (CAST(s.s2 AS DOUBLE)
+                    - CAST(s.n AS DOUBLE)
+                      * (CAST(s.s1 AS DOUBLE) / s.n)
+                      * (CAST(s.s1 AS DOUBLE) / s.n)),
+                 6) AS acf
+    FROM cross_sums c CROSS JOIN stats s
+    """,
+)
+def forecast_acf_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the monthly revenue series at lags
+    1..12 — the Box-Jenkins diagnostic that picks seasonal periods
+    (the lag-12 spike) and decides whether a series needs
+    differencing. Uses the standard biased ACF estimator: lag
+    products centered on the GLOBAL mean, normalized by the global
+    sum of squares.
+
+    Exactness: all sums (Σv, Σv², Σ v·v_lag per k) are exact
+    integers; the estimator is then ONE fixed IEEE expression tree
+    (the mean enters as the identical division s1/n everywhere),
+    rounded 6dp. Lag alignment uses a per-k lag window over a
+    12-way replicated month grain — 12 x ~80 rows, calendar-bounded.
+    """
+    series = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100, 0)
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    ks = spark.range(1, 13).select(F.col("id").cast("bigint").alias("k"))
+    # Spark's lag() requires a literal offset, so the per-k alignment
+    # is a rank join instead: month index i pairs with i-k.
+    idx = series.select(
+        "v", F.row_number().over(Window.orderBy("month")).alias("i")
+    )
+    a = idx.select(F.col("i").alias("ia"), F.col("v").alias("va"))
+    b = idx.select(F.col("i").alias("ib"), F.col("v").alias("vb"))
+    pairs = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("ib") == F.col("ia") - F.col("k"), "left")
+    )
+    stats = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s1"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    cross_sums = pairs.groupBy("k").agg(
+        F.count("vb").cast("bigint").alias("nk"),
+        F.sum(
+            F.when(
+                F.col("vb").isNotNull(),
+                F.col("va").cast("decimal(38,0)") * F.col("vb"),
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.when(F.col("vb").isNotNull(), F.col("va"))).cast("bigint").alias(
+            "sxk"
+        ),
+        F.sum(F.when(F.col("vb").isNotNull(), F.col("vb"))).cast("bigint").alias(
+            "syk"
+        ),
+    )
+    j = cross_sums.crossJoin(F.broadcast(stats))
+    mean = F.col("s1").cast("double") / F.col("n")
+    num = (
+        F.col("sxy").cast("double")
+        - F.col("sxk").cast("double") * F.col("s1") / F.col("n")
+        - F.col("syk").cast("double") * F.col("s1") / F.col("n")
+        + F.col("nk").cast("double") * mean * mean
+    )
+    den = F.col("s2").cast("double") - F.col("n").cast("double") * mean * mean
+    return j.select(
+        F.col("k").alias("lag_months"),
+        F.col("nk").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    )
