@@ -2943,3 +2943,78 @@ def rollup_rewrite_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("rev_partial"), 2).cast("double").alias("revenue"),
         F.sum("n_partial").alias("n_items"),
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, count(*) AS n_rows,
+           CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+               AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part', count(*),
+           CAST(count(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem->supplier', count(*),
+           CAST(count(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'orders->customer', count(*),
+           CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer->nation', count(*),
+           CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'supplier->nation', count(*),
+           CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'nation->region', count(*),
+           CAST(count(*) FILTER (WHERE r.r_regionkey IS NULL) AS BIGINT)
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star schema: for
+    every foreign-key edge, total rows and orphan count (child rows
+    whose parent is missing) — the load-gate every warehouse runs
+    after ingest, since a broken FK silently DROPS rows from inner
+    joins downstream (revenue vanishing from a dashboard because 2%
+    of lineitems lost their order parent is the classic incident).
+
+    Plan: each edge is a left join with the dimension side broadcast
+    where small (nation/region/customer/supplier/part); the orphan
+    predicate aggregates map-side. One pass per edge — at 100 TB the
+    three lineitem edges share the same fact scan via Spark's scan
+    reuse when executed together.
+    """
+
+    def edge(child, ckey, parent, pkey, label):
+        c = load(spark, sf_dir, child).select(F.col(ckey))
+        p = load(spark, sf_dir, parent).select(F.col(pkey))
+        return (
+            c.join(F.broadcast(p), F.col(ckey) == F.col(pkey), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_if(F.col(pkey).isNull()).cast("bigint").alias("n_orphans"),
+            )
+            .select(F.lit(label).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    edges = [
+        edge("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders"),
+        edge("lineitem", "l_partkey", "part", "p_partkey", "lineitem->part"),
+        edge("lineitem", "l_suppkey", "supplier", "s_suppkey", "lineitem->supplier"),
+        edge("orders", "o_custkey", "customer", "c_custkey", "orders->customer"),
+        edge("customer", "c_nationkey", "nation", "n_nationkey", "customer->nation"),
+        edge("supplier", "s_nationkey", "nation", "n_nationkey", "supplier->nation"),
+        edge("nation", "n_regionkey", "region", "r_regionkey", "nation->region"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out

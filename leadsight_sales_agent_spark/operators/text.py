@@ -2510,3 +2510,63 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("kappa_bp"),
     )
+
+
+@query(
+    "text_kwic_concordance",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    hits AS (
+        SELECT doc_id, u.i AS pos,
+               coalesce(array_to_string(
+                   list_slice(ts, greatest(u.i - 3, 1), u.i - 1), ' '), '')
+                   AS left_ctx,
+               coalesce(array_to_string(
+                   list_slice(ts, u.i + 1, u.i + 3), ' '), '')
+                   AS right_ctx
+        FROM toks, unnest(generate_series(1, len(ts))) AS u(i)
+        WHERE ts[u.i] = 'spark'
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, left_ctx, right_ctx
+    FROM hits
+    """,
+)
+def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance: every occurrence of a term
+    ('spark') with its ±3-token context — the corpus-linguistics /
+    search-snippet primitive, and the eyeball tool behind "how is
+    this term actually used in my training data". Token positions
+    come from a sequence-transform over the token array (no UDF,
+    no re-tokenization per hit); context windows are array slices
+    clamped at document edges.
+
+    Scale: one map-side pass — output is hit-bounded, not
+    doc-bounded; a rare term over 100 TB emits only its occurrences.
+    """
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ts"))
+    )
+    hits = toks.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(1), F.size("ts")),
+                lambda i: F.get(F.col("ts"), i - 1) == "spark",
+            )
+        ).alias("pos"),
+        "ts",
+    )
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.concat_ws(
+            " ",
+            F.expr("slice(ts, greatest(pos - 3, 1), pos - greatest(pos - 3, 1))"),
+        ).alias("left_ctx"),
+        F.concat_ws(" ", F.expr("slice(ts, pos + 1, 3)")).alias("right_ctx"),
+    )
