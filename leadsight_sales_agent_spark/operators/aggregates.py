@@ -3018,3 +3018,78 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in edges[1:]:
         out = out.unionByName(e)
     return out
+
+
+@query(
+    "finance_ar_aging_buckets",
+    oracle="""
+    WITH open_orders AS (
+        SELECT o.o_custkey, o.o_orderdate,
+               CAST(CAST(o.o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents,
+               date_diff('day', o.o_orderdate, TIMESTAMP '1998-01-01') AS age
+        FROM orders o
+        WHERE o.o_orderstatus = 'O'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    bucketed AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN age <= 30 THEN '0-30'
+                    WHEN age <= 60 THEN '31-60'
+                    WHEN age <= 90 THEN '61-90'
+                    ELSE '90+' END AS bucket,
+               cents
+        FROM open_orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT segment, bucket,
+           count(*) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS outstanding_cents
+    FROM bucketed GROUP BY 1, 2
+    """,
+)
+def finance_ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable aging: open orders ('O' status = not yet
+    fulfilled/paid) bucketed by days outstanding at a fixed as-of
+    date (1998-01-01), totalled per customer segment — the collections
+    report every finance team closes the month with, and the input to
+    bad-debt provisioning (the 90+ bucket). Aging is exact integer
+    day arithmetic against the literal as-of date; balances are exact
+    cents.
+
+    Plan: the status+date filter pushes to the scan (only open
+    orders are read), the segment dimension broadcasts, and the
+    4x5-bucket rollup partial-aggregates map-side — at 100 TB this
+    reads a fraction of the fact table and shuffles 20 groups.
+    """
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(
+            "o_custkey",
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.datediff(F.lit("1998-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+                "age"
+            ),
+        )
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    bucket = (
+        F.when(F.col("age") <= 30, "0-30")
+        .when(F.col("age") <= 60, "31-60")
+        .when(F.col("age") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(F.col("c_mktsegment").alias("segment"), bucket.alias("bucket"), "cents")
+        .groupBy("segment", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("outstanding_cents"),
+        )
+    )

@@ -2333,3 +2333,71 @@ def trending_parts_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
     )
     return ranked.filter(F.col("rank") <= 20)
+
+
+@query(
+    "temporal_coalesce_pack",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type, ts, event_id,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_id
+        FROM seq
+    )
+    SELECT user_id, event_type,
+           CAST(run_id AS BIGINT) AS run_id,
+           min(ts) AS valid_from, max(ts) AS valid_to,
+           count(*) AS run_length
+    FROM runs
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= 2
+    """,
+)
+def temporal_coalesce_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal coalescing (the SQL:2011 "PACK" operation): collapse
+    CONSECUTIVE rows with the same state into one validity interval —
+    the compression step that turns an event-grain change log into a
+    compact SCD table (10 consecutive 'view' events become one
+    [from, to] row). Runs are identified by the lag-break + running-
+    sum island device on (ts, event_id) order; IS DISTINCT FROM makes
+    the break NULL-safe. Only multi-row runs are reported (the rows
+    the pack actually compresses).
+
+    One (user_id) exchange shared by the break window, the island
+    cumsum, and the final per-run aggregate. The compression ratio
+    (input rows vs output rows) is exactly what a state-history table
+    saves at 100 TB.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    runs = seq.withColumn(
+        "run_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy("user_id", "event_type", F.col("run_id").cast("bigint").alias("run_id"))
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.max("ts").alias("valid_to"),
+            F.count(F.lit(1)).alias("run_length"),
+        )
+        .filter(F.col("run_length") >= 2)
+    )
