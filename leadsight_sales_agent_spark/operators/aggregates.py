@@ -3093,3 +3093,75 @@ def finance_ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("outstanding_cents"),
         )
     )
+
+
+@query(
+    "dq_primary_key_uniqueness",
+    oracle="""
+    SELECT 'orders' AS tbl, count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_keys,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_dup_rows
+    FROM orders
+    UNION ALL
+    SELECT 'customer', count(*), count(DISTINCT c_custkey),
+           CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'part', count(*), count(DISTINCT p_partkey),
+           CAST(count(*) - count(DISTINCT p_partkey) AS BIGINT)
+    FROM part
+    UNION ALL
+    SELECT 'supplier', count(*), count(DISTINCT s_suppkey),
+           CAST(count(*) - count(DISTINCT s_suppkey) AS BIGINT)
+    FROM supplier
+    UNION ALL
+    SELECT 'lineitem', count(*),
+           count(DISTINCT (l_orderkey, l_linenumber, l_partkey, l_suppkey)),
+           CAST(count(*) - count(DISTINCT
+                (l_orderkey, l_linenumber, l_partkey, l_suppkey)) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events', count(*), count(DISTINCT event_id),
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents', count(*), count(DISTINCT doc_id),
+           CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+    FROM documents
+    """,
+)
+def dq_primary_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across every table: row count vs
+    distinct key count per declared key (composite for lineitem) —
+    the other half of the load gate beside dq_referential_integrity.
+    A duplicated key silently DOUBLES rows through every downstream
+    join (the fan-out bug), so this runs before any fact table is
+    published.
+
+    Each check is one exact count-distinct aggregation (Spark plans
+    the two counts in a single pass via partial aggregation with
+    distinct expansion); the union of 7 one-row results is trivial.
+    """
+
+    def check(tbl: str, *keys: str):
+        d = load(spark, sf_dir, tbl)
+        kd = F.countDistinct(*[F.col(k) for k in keys])
+        return d.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            kd.alias("n_keys"),
+            (F.count(F.lit(1)) - kd).cast("bigint").alias("n_dup_rows"),
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "n_keys", "n_dup_rows")
+
+    checks = [
+        check("orders", "o_orderkey"),
+        check("customer", "c_custkey"),
+        check("part", "p_partkey"),
+        check("supplier", "s_suppkey"),
+        check("lineitem", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        check("events", "event_id"),
+        check("documents", "doc_id"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -4021,3 +4021,117 @@ def allocation_invoice_rounding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(invoice))
         .select("n_orders", "allocated_cents", "invoice_cents", "n_lines")
     )
+
+
+@query(
+    "sql_star_except_suite",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def sql_star_except_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT * EXCEPT (cols)` (Spark 4 / BigQuery dialect; DuckDB
+    spells it EXCLUDE): project everything BUT the named columns —
+    the ergonomic form that keeps wide-table queries stable as
+    columns are added (an explicit list silently misses new columns;
+    EXCEPT names only what to drop). The oracle lists the surviving
+    columns explicitly, so the hash proves the expansion: all
+    columns minus the excluded two, in declaration order.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("o_star_except")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_totalprice, o_orderdate)
+        FROM o_star_except
+        WHERE o_orderkey % 100 = 0
+        """
+    )
+
+
+@query(
+    "tpcds_q1_excess_returns",
+    oracle="""
+    WITH ret AS (
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS ret_cents
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT c_custkey, c_mktsegment, ret_cents,
+               sum(ret_cents) OVER (PARTITION BY c_mktsegment) AS seg_cents,
+               count(*) OVER (PARTITION BY c_mktsegment) AS seg_n
+        FROM ret
+    )
+    SELECT c_custkey AS custkey, c_mktsegment AS segment, ret_cents,
+           CAST((2 * 10000 * ret_cents * seg_n + seg_cents)
+                // (2 * seg_cents) AS BIGINT) AS vs_seg_avg_bp
+    FROM seg
+    WHERE 5 * ret_cents * seg_n > 6 * seg_cents
+    ORDER BY ret_cents DESC, c_custkey ASC
+    LIMIT 100
+    """,
+)
+def tpcds_q1_excess_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q1 shape (adapted): customers whose returned-merchandise
+    value exceeds 1.2x their segment's average returner — the
+    excess-returns watchlist. The original's correlated
+    avg-per-store subquery becomes a WINDOW over the per-customer
+    return rollup (one shuffle, no join-back — the Q17 device), and
+    the 1.2x threshold cross-multiplies to the exact integer
+    5·ret·n > 6·Σret. Top-100 by return value with key tie-break
+    rides TakeOrderedAndProject.
+
+    Plan: the returnflag filter pushes to the lineitem scan (reads
+    only 'R' lines), customer broadcasts, and the window runs on the
+    CUSTOMER-grain rollup, not the fact table.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            (F.col("l_extendedprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ret = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.sum("cents").cast("bigint").alias("ret_cents"))
+    )
+    wseg = Window.partitionBy("c_mktsegment")
+    seg = ret.select(
+        "c_custkey",
+        "c_mktsegment",
+        "ret_cents",
+        F.sum("ret_cents").over(wseg).alias("seg_cents"),
+        F.count(F.lit(1)).over(wseg).alias("seg_n"),
+    )
+    return (
+        seg.filter(
+            F.lit(5) * F.col("ret_cents") * F.col("seg_n")
+            > F.lit(6) * F.col("seg_cents")
+        )
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            "ret_cents",
+            F.expr(
+                "CAST((2 * 10000 * ret_cents * seg_n + seg_cents)"
+                " DIV (2 * seg_cents) AS BIGINT)"
+            ).alias("vs_seg_avg_bp"),
+        )
+        .orderBy(F.desc("ret_cents"), F.asc("custkey"))
+        .limit(100)
+    )
