@@ -1286,3 +1286,107 @@ def sample_fair_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleaved.filter(F.col("pos") <= 100).select(
         "pos", "doc_id", "source", F.col("r").alias("rank_in_source")
     )
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH strata AS (
+        SELECT c_mktsegment AS stratum,
+               count(*) AS n_h,
+               CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(CAST(CAST(c_acctbal AS DECIMAL(25,2)) * 100
+                             AS BIGINT) AS HUGEINT)
+                        * CAST(CAST(c_acctbal AS DECIMAL(25,2)) * 100
+                               AS BIGINT)) AS HUGEINT) AS s2
+        FROM customer GROUP BY 1
+    ),
+    scored AS (
+        SELECT stratum, n_h,
+               CAST(floor(sqrt(CAST(n_h * s2 - CAST(s1 AS HUGEINT) * s1
+                                    AS DOUBLE))) AS BIGINT) AS w
+        FROM strata
+    ),
+    tot AS (SELECT sum(w) AS sw FROM scored),
+    fl AS (
+        SELECT s.stratum, s.n_h, s.w,
+               (1000 * s.w) // t.sw AS base,
+               (1000 * s.w) % t.sw AS rem,
+               1000 - sum((1000 * s.w) // t.sw) OVER () AS shortfall
+        FROM scored s CROSS JOIN tot t
+    )
+    SELECT stratum, CAST(n_h AS BIGINT) AS n_h, w AS neyman_weight,
+           CAST(base + CASE WHEN row_number() OVER
+                                 (ORDER BY rem DESC, stratum ASC) <= shortfall
+                            THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+    FROM fl
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation of a 1000-unit sample across customer
+    segments: each stratum's share goes as N_h·σ_h — variance-heavy
+    strata get more budget, which minimizes the estimator's variance
+    at fixed cost (the survey-sampling upgrade over proportional
+    allocation; the HT audit grades the estimation side, this grades
+    the DESIGN side).
+
+    Determinism: N_h·σ_h ∝ sqrt(N_h·Σx² − (Σx)²) over exact integer
+    cent sums — floor(sqrt(·)) of an exactly-representable... the
+    radicand exceeds 2^53, so both engines cast the SAME exact
+    integer to double (correctly rounded, identical), take IEEE
+    sqrt, floor: identical BIGINT weights. Allocation is the
+    largest-remainder device (floors + ranked remainders), so the
+    1000 units land identically everywhere.
+    """
+    cents = (F.col("c_acctbal").cast("decimal(25,2)") * 100).cast("bigint")
+    strata = load(spark, sf_dir, "customer").groupBy(
+        F.col("c_mktsegment").alias("stratum")
+    ).agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(cents).cast("bigint").alias("s1"),
+        F.sum(cents.cast("decimal(38,0)") * cents).cast("decimal(38,0)").alias("s2"),
+    )
+    scored = strata.select(
+        "stratum",
+        "n_h",
+        F.floor(
+            F.sqrt(
+                (
+                    F.col("n_h").cast("decimal(38,0)") * F.col("s2")
+                    - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+                ).cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    tot = scored.agg(F.sum("w").alias("sw"))
+    fl = scored.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_h",
+        "w",
+        F.expr("(1000 * w) DIV sw").alias("base"),
+        F.expr("(1000 * w) % sw").alias("rem"),
+    )
+    fl = fl.withColumn(
+        "shortfall",
+        F.lit(1000) - F.sum("base").over(Window.partitionBy()),
+    )
+    return fl.select(
+        "stratum",
+        F.col("n_h").cast("bigint").alias("n_h"),
+        F.col("w").alias("neyman_weight"),
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(
+                    Window.orderBy(F.desc("rem"), F.asc("stratum"))
+                )
+                <= F.col("shortfall"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    )
