@@ -3165,3 +3165,68 @@ def dq_primary_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@query(
+    "privacy_deterministic_tokenization",
+    oracle="""
+    WITH tok_orders AS (
+        SELECT substring(md5('tok:' || CAST(o_custkey AS VARCHAR)), 1, 16)
+                   AS cust_token,
+               CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    tok_customer AS (
+        SELECT substring(md5('tok:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+                   AS cust_token,
+               c_mktsegment
+        FROM customer
+    )
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_orders,
+           count(DISTINCT o.cust_token) AS n_tokens,
+           CAST(sum(o.cents) AS BIGINT) AS rev_cents
+    FROM tok_orders o JOIN tok_customer c ON o.cust_token = c.cust_token
+    GROUP BY 1
+    """,
+)
+def privacy_deterministic_tokenization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (consistent) tokenization: the direct identifier
+    c_custkey is replaced EVERYWHERE by a keyed-hash token before
+    analytics — and because the same key tokenizes to the same token
+    in every table, referential integrity survives: the graded query
+    joins orders to customers ON THE TOKENS and reproduces exactly
+    the per-segment order counts, distinct customers, and revenue the
+    raw keys would give. This is the de-identification pattern
+    (tokenize-at-ingest, analyze on tokens, keep the salt in a vault)
+    that complements PII redaction (free text) and k-anonymity
+    (quasi-identifiers): direct identifiers leave the data without
+    breaking a single join.
+
+    In production the salt ('tok:' here, a literal so the oracle can
+    replicate) is a secret from a KMS; rotation = re-tokenization.
+    Map-side hash on both sides, then the ordinary broadcast join —
+    tokenization adds ZERO shuffles.
+    """
+    tok = lambda c: F.substring(  # noqa: E731 — tiny local shorthand
+        F.md5(F.concat(F.lit("tok:"), c.cast("string"))), 1, 16
+    )
+    o = load(spark, sf_dir, "orders").select(
+        tok(F.col("o_custkey")).alias("cust_token"),
+        (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        tok(F.col("c_custkey")).alias("cust_token"), "c_mktsegment"
+    )
+    return (
+        o.join(F.broadcast(c), "cust_token")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("cust_token").alias("n_tokens"),
+            F.sum("cents").cast("bigint").alias("rev_cents"),
+        )
+    )
