@@ -3230,3 +3230,196 @@ def privacy_deterministic_tokenization(spark: SparkSession, sf_dir: str) -> Data
             F.sum("cents").cast("bigint").alias("rev_cents"),
         )
     )
+
+
+# 0.7213/(1+1.079/256); the CAST keeps DuckDB from parsing the literal
+# as DECIMAL(18) (which overflows in the m^2 product) — Spark side uses
+# the same double via float().
+HLL_ALPHA_256 = "CAST(0.7182725932495458 AS DOUBLE)"
+
+
+def _hll_sql(reg_src: str, truth_src: str, label: str) -> str:
+    """DuckDB fragment: HLL estimate from a register table
+    ``reg_src(reg, mr)`` and a truth table ``truth_src(n_true)``."""
+    return f"""
+        SELECT '{label}' AS event_type, t.n_true,
+               round(CASE WHEN {HLL_ALPHA_256} * 65536
+                               * CAST(CAST(1 AS BIGINT) << 49 AS DOUBLE)
+                               / s.s49 <= 640
+                          AND s.zeros > 0
+                     THEN 256 * ln(256.0 / s.zeros)
+                     ELSE {HLL_ALPHA_256} * 65536
+                          * CAST(CAST(1 AS BIGINT) << 49 AS DOUBLE) / s.s49
+                     END, 2) AS est_distinct,
+               s.zeros
+        FROM (
+            SELECT CAST(sum(CAST(1 AS BIGINT) << (49 - mr))
+                        + (256 - count(*)) * (CAST(1 AS BIGINT) << 49)
+                        AS DOUBLE) AS s49,
+                   256 - count(*) AS zeros
+            FROM {reg_src}
+        ) s CROSS JOIN {truth_src} t
+    """
+
+
+@query(
+    "sketch_hll_deterministic",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT DISTINCT event_type,
+               CAST(user_id AS VARCHAR) || '|' || strftime(ts, '%Y-%m-%d') AS k
+        FROM events
+    ),
+    hashed AS (
+        SELECT event_type, md5('hll|' || k) AS h FROM keyed
+    ),
+    slotted AS (
+        SELECT event_type,
+               {sql_hex_to_long("substr(h, 1, 2)", 2)} AS reg,
+               {sql_hex_to_long("substr(h, 3, 12)", 12)} AS w
+        FROM hashed
+    ),
+    ranked AS (
+        SELECT event_type, reg,
+               CASE WHEN w = 0 THEN 49
+                    ELSE 49 - length(bin(w)) END AS m
+        FROM slotted
+    ),
+    regs AS (
+        SELECT event_type, reg, max(m) AS mr FROM ranked GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT event_type, count(*) AS n_true FROM hashed GROUP BY 1
+    ),
+    g_regs AS (
+        SELECT reg, max(mr) AS mr FROM regs GROUP BY 1
+    ),
+    g_truth AS (
+        SELECT count(DISTINCT h) AS n_true FROM hashed
+    ),
+    per_type AS (
+        SELECT r.event_type, t.n_true,
+               round(CASE WHEN {HLL_ALPHA_256} * 65536
+                               * CAST(CAST(1 AS BIGINT) << 49 AS DOUBLE)
+                               / r.s49 <= 640 AND r.zeros > 0
+                     THEN 256 * ln(256.0 / r.zeros)
+                     ELSE {HLL_ALPHA_256} * 65536
+                          * CAST(CAST(1 AS BIGINT) << 49 AS DOUBLE) / r.s49
+                     END, 2) AS est_distinct,
+               r.zeros
+        FROM (
+            SELECT event_type,
+                   CAST(sum(CAST(1 AS BIGINT) << (49 - mr))
+                        + (256 - count(*)) * (CAST(1 AS BIGINT) << 49)
+                        AS DOUBLE) AS s49,
+                   256 - count(*) AS zeros
+            FROM regs GROUP BY 1
+        ) r JOIN truth t USING (event_type)
+    ),
+    g AS ({_hll_sql("g_regs", "g_truth", "__all__")})
+    SELECT event_type, CAST(n_true AS BIGINT) AS n_true, est_distinct,
+           CAST(zeros AS BIGINT) AS zeros,
+           CAST(round(abs(est_distinct - n_true) / n_true * 10000, 0)
+                AS BIGINT) AS err_bp
+    FROM (SELECT * FROM per_type UNION ALL SELECT * FROM g) u
+    """,
+)
+def sketch_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog from scratch, fully deterministic and ORACLE-CHECKED
+    — unlike sketch_hll_mergeable (DataSketches binary, rows-only),
+    every piece here is engine-portable algebra: md5 splits into an
+    8-bit register index + a 48-bit stream; the rank is leading
+    zeros + 1 via the shared ``length(bin(w))`` text; and the
+    harmonic mean's Σ2^-M — the classically float-fragile part —
+    is EXACT because every addend is dyadic: scaled by 2^49 it is an
+    integer sum of shifted ones (the EWMA trick applied to a
+    sketch). Only the final alpha·m²/S division and the small-range
+    ln correction are float — one fixed tree on identical inputs.
+
+    The '__all__' row is built by MERGING the per-type register
+    tables (register-wise max — HLL's union operator) while the
+    oracle builds global registers from scratch; the hash match
+    proves the merge lossless, the same union-proof device as KMV.
+    Standard accuracy (~1.04/√256 ≈ 6.5%) is visible in err_bp next
+    to the exact n_true.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("k"),
+    ).distinct()
+    hashed = ev.select(
+        "event_type", F.md5(F.concat(F.lit("hll|"), F.col("k"))).alias("h")
+    )
+    slotted = hashed.select(
+        "event_type",
+        F.expr(sql_hex_to_long("substr(h, 1, 2)", 2)).alias("reg"),
+        F.expr(sql_hex_to_long("substr(h, 3, 12)", 12)).alias("w"),
+    )
+    ranked = slotted.select(
+        "event_type",
+        "reg",
+        F.when(F.col("w") == 0, F.lit(49))
+        .otherwise(F.lit(49) - F.length(F.expr("bin(w)")))
+        .alias("m"),
+    )
+    regs = ranked.groupBy("event_type", "reg").agg(F.max("m").alias("mr"))
+    truth = hashed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
+    g_regs = regs.groupBy("reg").agg(F.max("mr").alias("mr"))
+    g_truth = hashed.agg(F.countDistinct("h").alias("n_true"))
+
+    def estimate(reg_df, truth_df, label_col):
+        s = reg_df.groupBy(*([c for c in ("event_type",) if c in reg_df.columns])).agg(
+            (
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - mr AS INT))"))
+                + (F.lit(256) - F.count(F.lit(1)))
+                * F.expr("shiftleft(CAST(1 AS BIGINT), 49)")
+            )
+            .cast("double")
+            .alias("s49"),
+            (F.lit(256) - F.count(F.lit(1))).alias("zeros"),
+        )
+        raw = (
+            F.lit(0.7182725932495458)
+            * F.lit(65536)
+            * F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 49) AS DOUBLE)")
+            / F.col("s49")
+        )
+        est = F.round(
+            F.when(
+                (raw <= 640) & (F.col("zeros") > 0),
+                F.lit(256) * F.log(F.lit(256.0) / F.col("zeros")),
+            ).otherwise(raw),
+            2,
+        )
+        if "event_type" in s.columns:
+            joined = s.join(truth_df, "event_type")
+            lbl = F.col("event_type")
+        else:
+            joined = s.crossJoin(F.broadcast(truth_df))
+            lbl = F.lit(label_col)
+        return joined.select(
+            lbl.alias("event_type"),
+            F.col("n_true").cast("bigint").alias("n_true"),
+            est.alias("est_distinct"),
+            F.col("zeros").cast("bigint").alias("zeros"),
+        )
+
+    per_type = estimate(regs, truth, None)
+    g = estimate(g_regs, g_truth, "__all__")
+    u = per_type.unionByName(g)
+    return u.select(
+        "event_type",
+        "n_true",
+        "est_distinct",
+        "zeros",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("n_true")) / F.col("n_true") * 10000,
+            0,
+        )
+        .cast("bigint")
+        .alias("err_bp"),
+    )
