@@ -2628,3 +2628,101 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * count(*)) AS BIGINT)"
         ).alias("hapax_share_bp"),
     )
+
+
+@query(
+    "text_zipf_rank_frequency",
+    oracle="""
+    WITH freq AS (
+        SELECT t, count(*) AS n
+        FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+            FROM documents WHERE length(trim(text)) > 0
+        ) x GROUP BY 1
+    ),
+    ranked AS (
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, t ASC) AS BIGINT)
+                   AS rnk,
+               CAST(n AS BIGINT) AS n
+        FROM freq
+        QUALIFY row_number() OVER (ORDER BY n DESC, t ASC) <= 100
+    ),
+    pts AS (
+        SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 12) AS DECIMAL(38,18)) AS x,
+               CAST(round(ln(CAST(n AS DOUBLE)), 12) AS DECIMAL(38,18)) AS y
+        FROM ranked
+    ),
+    sums AS (
+        SELECT count(*) AS k,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx
+        FROM pts
+    )
+    SELECT CAST(k AS BIGINT) AS n_points,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope,
+           round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 4)
+               AS intercept
+    FROM sums
+    """,
+)
+def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit: the log-log OLS slope over the top-100
+    vocabulary — natural language sits near slope −1; a corpus whose
+    slope collapses toward 0 (flat frequencies) is template spam, and
+    one far below −1 is a tiny-vocabulary loop. The third
+    vocabulary-shape triage signal beside TTR/hapax and token
+    entropy.
+
+    Floats: ranks and counts are exact integers; ln lands in the
+    PSI regime and the OLS closed form is one fixed tree — BUT the
+    float SUMS over the 100 points are order-dependent, so the sums
+    run at the 100-row grain through a SINGLE partition... no: they
+    aggregate via SUM over doubles, which Spark may reorder. The
+    safe device: ln values round to 12dp FIRST (far above ulp noise,
+    far below signal), then sum as exact DECIMAL(38,18) — decimal
+    addition is associative, so partial-aggregation order is
+    irrelevant and both engines sum identical decimals. 4dp output.
+    """
+    freq = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = (
+        freq.select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), F.asc("t")))
+            .cast("bigint")
+            .alias("rnk"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .filter(F.col("rnk") <= 100)
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")), 12)
+        .cast("decimal(38,18)")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 12)
+        .cast("decimal(38,18)")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("k").cast("bigint").alias("n_points"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 4).alias(
+            "intercept"
+        ),
+    )
