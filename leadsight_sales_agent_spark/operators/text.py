@@ -2648,16 +2648,23 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         QUALIFY row_number() OVER (ORDER BY n DESC, t ASC) <= 100
     ),
     pts AS (
-        SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 12) AS DECIMAL(38,18)) AS x,
-               CAST(round(ln(CAST(n AS DOUBLE)), 12) AS DECIMAL(38,18)) AS y
+        SELECT round(ln(CAST(rnk AS DOUBLE)), 12) AS x,
+               round(ln(CAST(n AS DOUBLE)), 12) AS y
         FROM ranked
+    ),
+    terms AS (
+        SELECT CAST(x AS DECIMAL(20,12)) AS xd,
+               CAST(y AS DECIMAL(20,12)) AS yd,
+               CAST(round(x * y, 10) AS DECIMAL(20,10)) AS xyd,
+               CAST(round(x * x, 10) AS DECIMAL(20,10)) AS xxd
+        FROM pts
     ),
     sums AS (
         SELECT count(*) AS k,
-               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-               CAST(sum(x * y) AS DOUBLE) AS sxy,
-               CAST(sum(x * x) AS DOUBLE) AS sxx
-        FROM pts
+               CAST(sum(xd) AS DOUBLE) AS sx, CAST(sum(yd) AS DOUBLE) AS sy,
+               CAST(sum(xyd) AS DOUBLE) AS sxy,
+               CAST(sum(xxd) AS DOUBLE) AS sxx
+        FROM terms
     )
     SELECT CAST(k AS BIGINT) AS n_points,
            round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope,
@@ -2680,9 +2687,12 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     run at the 100-row grain through a SINGLE partition... no: they
     aggregate via SUM over doubles, which Spark may reorder. The
     safe device: ln values round to 12dp FIRST (far above ulp noise,
-    far below signal), then sum as exact DECIMAL(38,18) — decimal
-    addition is associative, so partial-aggregation order is
-    irrelevant and both engines sum identical decimals. 4dp output.
+    far below signal), the cross/square PRODUCTS form on identical
+    doubles and round to 10dp, and all four sums run as exact
+    DECIMAL — decimal addition is associative, so partial-aggregation
+    order is irrelevant and both engines sum identical values.
+    (Products must not multiply as wide decimals: DECIMAL(38,18)^2
+    overflows DuckDB's HUGEINT internals.) 4dp output.
     """
     freq = (
         load(spark, sf_dir, "documents")
@@ -2702,19 +2712,21 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 100)
     )
     pts = ranked.select(
-        F.round(F.log(F.col("rnk").cast("double")), 12)
-        .cast("decimal(38,18)")
-        .alias("x"),
-        F.round(F.log(F.col("n").cast("double")), 12)
-        .cast("decimal(38,18)")
-        .alias("y"),
+        F.round(F.log(F.col("rnk").cast("double")), 12).alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 12).alias("y"),
     )
-    sums = pts.agg(
+    terms = pts.select(
+        F.col("x").cast("decimal(20,12)").alias("xd"),
+        F.col("y").cast("decimal(20,12)").alias("yd"),
+        F.round(F.col("x") * F.col("y"), 10).cast("decimal(20,10)").alias("xyd"),
+        F.round(F.col("x") * F.col("x"), 10).cast("decimal(20,10)").alias("xxd"),
+    )
+    sums = terms.agg(
         F.count(F.lit(1)).alias("k"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("xd").cast("double").alias("sx"),
+        F.sum("yd").cast("double").alias("sy"),
+        F.sum("xyd").cast("double").alias("sxy"),
+        F.sum("xxd").cast("double").alias("sxx"),
     )
     slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
