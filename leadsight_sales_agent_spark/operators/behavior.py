@@ -2807,3 +2807,176 @@ def forecast_acf_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nk").alias("n_pairs"),
         F.round(num / den, 6).alias("acf"),
     )
+
+
+@query(
+    "territory_snake_balanced_assignment",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT o_custkey, cents,
+               CAST(row_number() OVER (ORDER BY cents DESC, o_custkey ASC) - 1
+                    AS BIGINT) AS r
+        FROM cust
+    ),
+    assigned AS (
+        SELECT o_custkey, cents,
+               CASE WHEN r % 8 < 4 THEN r % 4 ELSE 3 - (r % 4) END AS territory
+        FROM ranked
+    ),
+    per AS (
+        SELECT territory, count(*) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM assigned GROUP BY 1
+    )
+    SELECT territory, n_customers, cents,
+           CAST((2 * 10000 * cents + t.tot) // (2 * t.tot) AS BIGINT)
+               AS share_bp
+    FROM per CROSS JOIN (SELECT sum(cents) AS tot FROM per) t
+    """,
+)
+def territory_snake_balanced_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced territory assignment by SNAKE DRAFT: customers ranked
+    by lifetime revenue are dealt to 4 territories in serpentine
+    order (1-2-3-4-4-3-2-1...), the deterministic one-pass
+    approximation of balanced partitioning that sales-ops actually
+    uses — the greedy bin-packing optimum needs a sequential fold,
+    the snake gets within a top-customer of it with pure rank
+    arithmetic: territory = r%4 on even laps, 3-(r%4) on odd
+    (r%8 decides the lap direction). Output: per-territory customer
+    count, revenue, and share in half-up bp — the imbalance report.
+
+    One customer-grain rollup + one global rank on that grain (range
+    partition at scale); assignment is map-side modular arithmetic.
+    """
+    cust = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = cust.select(
+        "o_custkey",
+        "cents",
+        (
+            F.row_number().over(Window.orderBy(F.desc("cents"), F.asc("o_custkey")))
+            - 1
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    assigned = ranked.select(
+        "o_custkey",
+        "cents",
+        F.when(F.col("r") % 8 < 4, F.col("r") % 4)
+        .otherwise(F.lit(3) - F.col("r") % 4)
+        .alias("territory"),
+    )
+    per = assigned.groupBy("territory").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    tot = per.agg(F.sum("cents").alias("tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "territory",
+        "n_customers",
+        "cents",
+        F.expr("CAST((2 * 10000 * cents + tot) DIV (2 * tot) AS BIGINT)").alias(
+            "share_bp"
+        ),
+    )
+
+
+@query(
+    "mrr_movement_waterfall",
+    oracle="""
+    WITH m AS (
+        SELECT o_custkey,
+               CAST(coalesce(sum(CASE WHEN strftime(date_trunc('month',
+                        o_orderdate), '%Y-%m') = '1997-05'
+                        THEN CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                                  AS BIGINT) END), 0) AS BIGINT) AS prev,
+               CAST(coalesce(sum(CASE WHEN strftime(date_trunc('month',
+                        o_orderdate), '%Y-%m') = '1997-06'
+                        THEN CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                                  AS BIGINT) END), 0) AS BIGINT) AS cur
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-05-01'
+          AND o_orderdate <  TIMESTAMP '1997-07-01'
+        GROUP BY 1
+    ),
+    classed AS (
+        SELECT CASE
+                 WHEN prev = 0 AND cur > 0 THEN 'new'
+                 WHEN prev > 0 AND cur = 0 THEN 'churned'
+                 WHEN cur > prev THEN 'expansion'
+                 WHEN cur < prev THEN 'contraction'
+                 ELSE 'flat' END AS movement,
+               prev, cur
+        FROM m
+    )
+    SELECT movement, count(*) AS n_customers,
+           CAST(sum(cur - prev) AS BIGINT) AS delta_cents
+    FROM classed GROUP BY 1
+    """,
+)
+def mrr_movement_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-movement waterfall between two adjacent months (the
+    SaaS MRR bridge applied to order revenue): each customer's May→
+    June 1997 change classifies as new / churned / expansion /
+    contraction / flat, and the per-class deltas sum EXACTLY to the
+    total month-over-month revenue change — the report that explains
+    "revenue grew 3%: +8 new, −6 churn, +1 net expansion". The
+    month-pair pivot is one conditional aggregation over a
+    date-pruned scan (two months of facts read, nothing else);
+    classification and deltas are exact integer cents.
+    """
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-05-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .select(
+            "o_custkey",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    m = o.groupBy("o_custkey").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("month") == "1997-05", F.col("cents"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("prev"),
+        F.coalesce(
+            F.sum(F.when(F.col("month") == "1997-06", F.col("cents"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("cur"),
+    )
+    movement = (
+        F.when((F.col("prev") == 0) & (F.col("cur") > 0), "new")
+        .when((F.col("prev") > 0) & (F.col("cur") == 0), "churned")
+        .when(F.col("cur") > F.col("prev"), "expansion")
+        .when(F.col("cur") < F.col("prev"), "contraction")
+        .otherwise("flat")
+    )
+    return (
+        m.select(movement.alias("movement"), "prev", "cur")
+        .groupBy("movement")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("cur") - F.col("prev")).cast("bigint").alias("delta_cents"),
+        )
+    )
