@@ -3423,3 +3423,63 @@ def sketch_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("err_bp"),
     )
+
+
+@query(
+    "agg_bitmap_distinct_users",
+    oracle="""
+    WITH base AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    pertype AS (
+        SELECT event_type, count(*) AS n_distinct_users FROM base GROUP BY 1
+    ),
+    allrow AS (
+        SELECT '__all__' AS event_type,
+               count(DISTINCT user_id) AS n_distinct_users
+        FROM events
+    )
+    SELECT event_type, CAST(n_distinct_users AS BIGINT) AS n_distinct_users
+    FROM (SELECT * FROM pertype UNION ALL SELECT * FROM allrow) u
+    """,
+)
+def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap algebra — the
+    roaring-bitmap device every serious warehouse uses when distinct
+    counts must be exact AND mergeable (plain count-distinct partials
+    don't merge; bitmaps OR-merge losslessly). Each user_id maps to
+    bit (id % 64) of word (id / 64); per (event_type, word) the
+    engine OR-aggregates a BIGINT mask, distinct count = Σ
+    bit_count(mask). The '__all__' row is produced by OR-MERGING the
+    per-type word masks — never touching the raw data again — while
+    the oracle computes every count with plain COUNT(DISTINCT): the
+    hash match proves the bitmap representation and its union
+    algebra exact.
+
+    Scale: state per group = (#distinct ids / 64) words, dense and
+    mergeable — the incremental-distinct answer
+    (incremental_agg_maintenance's device cannot merge distincts;
+    this can). Shuffle carries word-grain partials, combiner-friendly.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    words = ev.select(
+        "event_type",
+        F.expr("user_id DIV 64").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias(
+            "bit"
+        ),
+    ).groupBy("event_type", "word_idx").agg(
+        F.expr("bit_or(bit)").alias("mask")
+    )
+    pertype = words.groupBy("event_type").agg(
+        F.sum(F.expr("bit_count(mask)")).cast("bigint").alias("n_distinct_users")
+    )
+    merged = (
+        words.groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("mask"))
+        .agg(
+            F.sum(F.expr("bit_count(mask)")).cast("bigint").alias("n_distinct_users")
+        )
+        .select(F.lit("__all__").alias("event_type"), "n_distinct_users")
+    )
+    return pertype.unionByName(merged)

@@ -1623,3 +1623,82 @@ def dedup_exact_token_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_dup_group", F.when(F.col("n_docs") >= 2, 1).otherwise(0)
         )
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+           CAST(length(a.t) AS BIGINT) AS inner_chars,
+           CAST(length(b.t) AS BIGINT) AS outer_chars
+    FROM norm a JOIN norm b
+      ON a.doc_id != b.doc_id
+     AND length(a.t) < length(b.t)
+     AND position((' ' || a.t || ' ') IN (' ' || b.t || ' ')) > 0
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document containment: documents whose ENTIRE (normalized,
+    token-aligned) text appears inside a longer document — the
+    quote-inclusion / page-wrapper duplication class that similarity
+    thresholds misjudge (a 50-token doc inside a 5000-token doc has
+    ~1% Jaccard but is 100% redundant). Token alignment (space
+    padding both sides) is what makes the blocking LOSSLESS: a
+    token-aligned substring's tokens are all members of the
+    container's token set, so every true pair shares the inner doc's
+    globally-RAREST token — candidates are (inner x posting list of
+    its rarest token), bounded by the smallest document frequency in
+    each doc, instead of the oracle's quadratic scan. Verify is one
+    JVM contains() per candidate.
+
+    The rarest-token trick is the 1-token degenerate case of the
+    PPJoin prefix filter (neardup_prefix_filter_join) — same
+    rarity-ordering machinery, containment semantics instead of
+    Jaccard.
+    """
+    norm = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.regexp_replace(F.trim(F.col("text")), r"\s+", " ").alias("t"),
+        )
+    )
+    toks = norm.select(
+        "doc_id", F.explode(F.array_distinct(F.split("t", " "))).alias("tok")
+    )
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    rarest = (
+        toks.join(df, "tok")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("doc_id").alias("inner_doc"), F.col("tok").alias("btok"))
+    )
+    postings = toks.select(F.col("tok").alias("btok"), F.col("doc_id").alias("outer_doc"))
+    a = norm.select(F.col("doc_id").alias("inner_doc"), F.col("t").alias("ta"))
+    b = norm.select(F.col("doc_id").alias("outer_doc"), F.col("t").alias("tb"))
+    cand = (
+        rarest.join(postings, "btok")
+        .filter(F.col("inner_doc") != F.col("outer_doc"))
+        .join(a, "inner_doc")
+        .join(b, "outer_doc")
+        .filter(F.length("ta") < F.length("tb"))
+    )
+    return cand.filter(
+        F.expr("position(' ' || ta || ' ' IN ' ' || tb || ' ') > 0")
+    ).select(
+        "inner_doc",
+        "outer_doc",
+        F.length("ta").cast("bigint").alias("inner_chars"),
+        F.length("tb").cast("bigint").alias("outer_chars"),
+    )
