@@ -1903,3 +1903,110 @@ def recsys_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.col("rn").alias("rank"),
     )
+
+
+# 1/log2(i+1) for ranks 1..5 and their cumulative (ideal-DCG) sums —
+# shared literals so both engines evaluate the identical double tree.
+NDCG_C = (
+    "1.0",
+    "0.6309297535714575",
+    "0.5",
+    "0.43067655807339306",
+    "0.38685280723454163",
+)
+NDCG_IDEAL = (
+    "0.0",  # R = 0
+    "1.0",
+    "1.6309297535714575",
+    "2.1309297535714578",
+    "2.5616063116448506",
+    "2.9484591188793923",
+)
+
+
+def _ndcg_oracle() -> str:
+    """Composed from the registered brute-force KNN oracle (zero
+    drift): binary relevance = neighbor label equals the query's own
+    label; DCG unrolls into one literal-coefficient tree."""
+    from leadsight_sales_agent_spark.registry import ORACLES
+
+    knn = ORACLES["knn_cosine_bruteforce"]
+    dcg = " + ".join(
+        f"CAST({NDCG_C[i]} AS DOUBLE) * r{i + 1}" for i in range(5)
+    )
+    ideal = " ".join(
+        f"WHEN {r} THEN CAST({NDCG_IDEAL[r]} AS DOUBLE)" for r in range(6)
+    )
+    rels = ", ".join(
+        f"coalesce(sum(CASE WHEN rank = {i + 1} AND neighbor_label = qlabel"
+        f" THEN 1 END), 0) AS r{i + 1}"
+        for i in range(5)
+    )
+    return f"""
+    WITH knn AS ({knn}),
+    labeled AS (
+        SELECT k.*, e.label AS qlabel
+        FROM knn k JOIN embeddings e ON e.vec_id = k.query_id
+    ),
+    pivoted AS (
+        SELECT query_id, any_value(qlabel) AS qlabel, {rels}
+        FROM labeled GROUP BY query_id
+    )
+    SELECT query_id, CAST(qlabel AS BIGINT) AS query_label,
+           CAST(r1 + r2 + r3 + r4 + r5 AS BIGINT) AS n_relevant,
+           round(CASE WHEN r1 + r2 + r3 + r4 + r5 = 0 THEN 0.0
+                 ELSE ({dcg}) / (CASE r1 + r2 + r3 + r4 + r5 {ideal} END)
+                 END, 6) AS ndcg_at_5
+    FROM pivoted
+    """
+
+
+@query("eval_ndcg_retrieval", oracle=_ndcg_oracle())
+def eval_ndcg_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the exact cosine retriever against label relevance
+    (a neighbor is relevant iff it shares the query vector's class
+    label) — the position-discounted ranking quality metric that
+    completes the retrieval-eval set: ann_recall_report grades WHAT
+    was found, NDCG grades WHERE it was ranked. Composed from the
+    REGISTERED knn query/oracle pair, so the eval can never drift
+    from the retriever it grades.
+
+    Exactness: binary relevance pivots into five conditional counts;
+    DCG is the literal tree Σ c_i·rel_i with c_i = 1/log2(i+1)
+    PRECOMPUTED as shared double literals (log2 never evaluates in
+    either engine), and the ideal DCG is a literal CASE over the
+    relevant-count 0..5 — so the whole metric is exact double
+    arithmetic on identical constants, no libm anywhere.
+    """
+    from leadsight_sales_agent_spark.registry import QUERIES
+
+    knn = QUERIES["knn_cosine_bruteforce"](spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    labeled = knn.join(F.broadcast(emb), "query_id")
+    rel = F.when(F.col("neighbor_label") == F.col("qlabel"), 1).otherwise(0)
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("rank") == i + 1, rel)), F.lit(0)
+        ).alias(f"r{i + 1}")
+        for i in range(5)
+    ]
+    pivoted = labeled.groupBy("query_id").agg(
+        F.any_value("qlabel").alias("qlabel"), *aggs
+    )
+    n_rel = sum(F.col(f"r{i + 1}") for i in range(5))
+    dcg = sum(
+        F.lit(float(NDCG_C[i])) * F.col(f"r{i + 1}") for i in range(5)
+    )
+    ideal = F.when(n_rel == 0, F.lit(0.0))
+    for r in range(1, 6):
+        ideal = ideal.when(n_rel == r, F.lit(float(NDCG_IDEAL[r])))
+    return pivoted.select(
+        "query_id",
+        F.col("qlabel").cast("bigint").alias("query_label"),
+        n_rel.cast("bigint").alias("n_relevant"),
+        F.round(
+            F.when(n_rel == 0, F.lit(0.0)).otherwise(dcg / ideal), 6
+        ).alias("ndcg_at_5"),
+    )

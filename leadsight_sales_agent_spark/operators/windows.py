@@ -2401,3 +2401,94 @@ def temporal_coalesce_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("run_length") >= 2)
     )
+
+
+@query(
+    "streak_revenue_growth",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderpriority AS priority,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT priority, month, cents,
+               CASE WHEN cents > lag(cents) OVER
+                        (PARTITION BY priority ORDER BY month)
+                    THEN 1 ELSE 0 END AS up
+        FROM m
+    ),
+    islands AS (
+        SELECT priority, month, up,
+               sum(1 - up) OVER (PARTITION BY priority ORDER BY month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM flagged
+    ),
+    runs AS (
+        SELECT priority, grp,
+               CAST(sum(up) AS BIGINT) AS run_len,
+               max(month) AS run_end
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT priority,
+           CAST(max(run_len) AS BIGINT) AS longest_growth_streak,
+           max(CASE WHEN run_len = mx THEN run_end END) AS a_streak_end
+    FROM (SELECT *, max(run_len) OVER (PARTITION BY priority) AS mx FROM runs) t
+    GROUP BY 1
+    """,
+)
+def streak_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive month-over-month revenue GROWTH streak per
+    priority — the momentum statistic behind "N straight months of
+    growth" headlines, and the gaps-and-islands device applied to a
+    monotone CONDITION instead of calendar adjacency: a non-growth
+    month breaks the run (sum of breaks numbers the islands), the
+    streak length is the island's count of up-months. Reported with
+    the latest month a maximal streak ended (ties resolved by max —
+    deterministic).
+
+    All windows and the final rollup share the (priority) month-grain
+    partitioning — the series is calendar-bounded, one fact rollup
+    feeds it.
+    """
+    m = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("priority").orderBy("month")
+    flagged = m.select(
+        "priority",
+        "month",
+        F.when(F.col("cents") > F.lag("cents").over(w), 1).otherwise(0).alias("up"),
+    )
+    islands = flagged.withColumn(
+        "grp",
+        F.sum(F.lit(1) - F.col("up")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    runs = islands.groupBy("priority", "grp").agg(
+        F.sum("up").cast("bigint").alias("run_len"),
+        F.max("month").alias("run_end"),
+    )
+    with_max = runs.withColumn(
+        "mx", F.max("run_len").over(Window.partitionBy("priority"))
+    )
+    return with_max.groupBy("priority").agg(
+        F.max("run_len").cast("bigint").alias("longest_growth_streak"),
+        F.max(
+            F.when(F.col("run_len") == F.col("mx"), F.col("run_end"))
+        ).alias("a_streak_end"),
+    )
