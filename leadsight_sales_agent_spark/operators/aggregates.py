@@ -3483,3 +3483,95 @@ def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("__all__").alias("event_type"), "n_distinct_users")
     )
     return pertype.unionByName(merged)
+
+
+@query(
+    "eval_spearman_rank_corr",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT CAST(row_number() OVER
+                    (ORDER BY rev DESC, o_custkey ASC) AS BIGINT) AS rx,
+               CAST(row_number() OVER
+                    (ORDER BY n_orders DESC, o_custkey ASC) AS BIGINT) AS ry
+        FROM cust
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS HUGEINT)
+                   AS sd2
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(sd2 AS BIGINT) AS sum_d2,
+           CAST(CASE WHEN 6 * sd2 * 10000 * 2 <= 2 * n * (n * n - 1) * 10000
+                THEN (2 * (n * (CAST(n AS HUGEINT) * n - 1) * 10000
+                           - 6 * sd2 * 10000)
+                      + n * (CAST(n AS HUGEINT) * n - 1))
+                     // (2 * n * (CAST(n AS HUGEINT) * n - 1))
+                ELSE -(((2 * (6 * sd2 * 10000
+                              - n * (CAST(n AS HUGEINT) * n - 1) * 10000))
+                        + n * (CAST(n AS HUGEINT) * n - 1))
+                       // (2 * n * (CAST(n AS HUGEINT) * n - 1)))
+                END AS BIGINT) AS rho_bp
+    FROM s
+    """,
+)
+def eval_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer revenue rank and
+    order-count rank — the monotone-association complement of Pearson
+    (agg_corr / window_rolling_correlation): insensitive to outlier
+    whales, it answers "do frequent buyers tend to be big spenders"
+    as a pure ordering statement. Ranks are ROW-NUMBER ranks with the
+    customer key as tie-break (documented: the Kendall-tau companion
+    uses pairwise signs; midrank-tie Spearman would need the u2
+    device), so rho = 1 − 6Σd²/(n(n²−1)) is an EXACT rational —
+    cross-multiplied to half-up basis points with negative mirroring,
+    HUGEINT/decimal widening where n³ outgrows 64 bits.
+
+    One customer rollup, two global ranks on that grain (range
+    partition at scale), one subtraction — no float anywhere.
+    """
+    cust = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    ranked = cust.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("rev"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("rx"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_orders"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("ry"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("rx") - F.col("ry")).cast("decimal(38,0)")
+            * (F.col("rx") - F.col("ry"))
+        )
+        .cast("decimal(38,0)")
+        .alias("sd2"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    den = n * (n * n - 1)
+    num = den * 10000 - F.lit(6) * F.col("sd2") * 10000
+    pos = F.floor((F.lit(2) * num + den) / (F.lit(2) * den))
+    neg = -F.floor((F.lit(2) * (-num) + den) / (F.lit(2) * den))
+    return s.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("sd2").cast("bigint").alias("sum_d2"),
+        F.when(num >= 0, pos).otherwise(neg).cast("bigint").alias("rho_bp"),
+    )

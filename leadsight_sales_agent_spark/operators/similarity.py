@@ -2010,3 +2010,91 @@ def eval_ndcg_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n_rel == 0, F.lit(0.0)).otherwise(dcg / ideal), 6
         ).alias("ndcg_at_5"),
     )
+
+
+def _map_oracle() -> str:
+    """Average precision composed from the registered KNN oracle. With
+    k=5 binary relevances the AP is the exact rational
+    (Σ_i rel_i · (Σ_{j<=i} rel_j)/i) / R — unrolled, scaled to
+    half-up basis points; engines share every integer."""
+    from leadsight_sales_agent_spark.registry import ORACLES
+
+    knn = ORACLES["knn_cosine_bruteforce"]
+    rels = ", ".join(
+        f"coalesce(sum(CASE WHEN rank = {i + 1} AND neighbor_label = qlabel"
+        f" THEN 1 END), 0) AS r{i + 1}"
+        for i in range(5)
+    )
+    # AP numerator over common denominator 60 = lcm(1..5):
+    # prec@i = cum_i/i → contribution rel_i*cum_i*(60/i)
+    contrib = " + ".join(
+        f"r{i + 1} * (r1{''.join(f' + r{j + 1}' for j in range(1, i + 1))}) * {60 // (i + 1)}"
+        for i in range(5)
+    )
+    return f"""
+    WITH knn AS ({knn}),
+    labeled AS (
+        SELECT k.*, e.label AS qlabel
+        FROM knn k JOIN embeddings e ON e.vec_id = k.query_id
+    ),
+    pivoted AS (
+        SELECT query_id, {rels}
+        FROM labeled GROUP BY query_id
+    )
+    SELECT query_id,
+           CAST(r1 + r2 + r3 + r4 + r5 AS BIGINT) AS n_relevant,
+           CAST(CASE WHEN r1 + r2 + r3 + r4 + r5 = 0 THEN 0
+                ELSE (2 * 10000 * ({contrib})
+                      + 60 * (r1 + r2 + r3 + r4 + r5))
+                     // (2 * 60 * (r1 + r2 + r3 + r4 + r5))
+                END AS BIGINT) AS ap_bp
+    FROM pivoted
+    """
+
+
+@query("eval_map_retrieval", oracle=_map_oracle())
+def eval_map_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision @5 per query for the exact cosine retriever —
+    the order-sensitive cousin of recall that rewards putting
+    relevant neighbors EARLY (the MAP family's per-query row; the
+    mean over queries is one trivial avg away). Fully integer: with
+    binary relevance at k=5, AP = Σ rel_i·(cum_i/i) / R — putting
+    the precisions over the common denominator 60 = lcm(1..5) turns
+    the whole metric into exact integer arithmetic, reported as
+    half-up basis points. Composed from the registered KNN spec like
+    NDCG (zero drift).
+    """
+    from leadsight_sales_agent_spark.registry import QUERIES
+
+    knn = QUERIES["knn_cosine_bruteforce"](spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    labeled = knn.join(F.broadcast(emb), "query_id")
+    rel = F.when(F.col("neighbor_label") == F.col("qlabel"), 1).otherwise(0)
+    aggs = [
+        F.coalesce(F.sum(F.when(F.col("rank") == i + 1, rel)), F.lit(0)).alias(
+            f"r{i + 1}"
+        )
+        for i in range(5)
+    ]
+    pivoted = labeled.groupBy("query_id").agg(*aggs)
+    n_rel = sum(F.col(f"r{i + 1}") for i in range(5))
+    contrib = None
+    for i in range(5):
+        cum = sum(F.col(f"r{j + 1}") for j in range(i + 1))
+        term = F.col(f"r{i + 1}") * cum * F.lit(60 // (i + 1))
+        contrib = term if contrib is None else contrib + term
+    return pivoted.select(
+        "query_id",
+        n_rel.cast("bigint").alias("n_relevant"),
+        F.when(n_rel == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                (F.lit(2) * 10000 * contrib + F.lit(60) * n_rel)
+                / (F.lit(2) * 60 * n_rel)
+            )
+        )
+        .cast("bigint")
+        .alias("ap_bp"),
+    )
