@@ -3575,3 +3575,94 @@ def eval_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sd2").cast("bigint").alias("sum_d2"),
         F.when(num >= 0, pos).otherwise(neg).cast("bigint").alias("rho_bp"),
     )
+
+
+@query(
+    "agg_grouped_ols_trend",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderpriority AS priority,
+               CAST(date_part('year', o_orderdate) * 12
+                    + date_part('month', o_orderdate) AS BIGINT) AS x,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2
+    ),
+    anchored AS (
+        SELECT priority, x - min(x) OVER () AS x0, y FROM m
+    ),
+    s AS (
+        SELECT priority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x0) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x0 AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x0 AS HUGEINT) * x0) AS HUGEINT) AS sxx
+        FROM anchored GROUP BY 1
+    )
+    SELECT priority, n,
+           CAST(CASE WHEN n * sxy - CAST(sx AS HUGEINT) * sy >= 0
+                THEN (2 * (n * sxy - CAST(sx AS HUGEINT) * sy)
+                      + (n * sxx - CAST(sx AS HUGEINT) * sx))
+                     // (2 * (n * sxx - CAST(sx AS HUGEINT) * sx))
+                ELSE -((2 * (CAST(sx AS HUGEINT) * sy - n * sxy)
+                        + (n * sxx - CAST(sx AS HUGEINT) * sx))
+                       // (2 * (n * sxx - CAST(sx AS HUGEINT) * sx)))
+                END AS BIGINT) AS slope_cents_per_month
+    FROM s
+    """,
+)
+def agg_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS ("millions of tiny models"): the least-squares
+    revenue trend slope fitted PER GROUP in one aggregation pass —
+    no per-group iteration, no ML library: each group reduces to the
+    five sufficient statistics and the slope closed form, which is
+    why a 100 TB engine can fit one model per customer/SKU/region in
+    a single shuffle. Month indices anchor to the global minimum so
+    the cross-products stay small; the slope (nΣxy−ΣxΣy)/(nΣxx−ΣxΣx)
+    is an exact integer rational, reported half-up in cents/month
+    with negative mirroring (the robust Theil-Sen twin is
+    forecast_theil_sen_trend; this is the classical estimator).
+    """
+    m = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100, 0)
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    anchored = m.select(
+        "priority",
+        (F.col("x") - F.min("x").over(Window.partitionBy())).alias("x0"),
+        "y",
+    )
+    s = anchored.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x0").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x0").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("x0").cast("decimal(38,0)") * F.col("x0"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = n * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+    pos = F.floor((F.lit(2) * num + den) / (F.lit(2) * den))
+    neg = -F.floor((F.lit(2) * (-num) + den) / (F.lit(2) * den))
+    return s.select(
+        "priority",
+        "n",
+        F.when(num >= 0, pos).otherwise(neg).cast("bigint").alias(
+            "slope_cents_per_month"
+        ),
+    )
