@@ -213,3 +213,60 @@ class TestIntervalUnionCoverage:
             islands.append((cur_s, cur_e))
             covered = sum(e - s for s, e in islands)
             assert got[u] == (len(islands), covered), u
+
+
+class TestRetrievalRankMetrics:
+    def _knn_rows(self, spark, sf_dir):
+        knn = registry.QUERIES["knn_cosine_bruteforce"](spark, sf_dir).collect()
+        emb = {
+            r["vec_id"]: r["label"]
+            for r in load(spark, sf_dir, "embeddings")
+            .select("vec_id", "label")
+            .collect()
+        }
+        from collections import defaultdict
+
+        per = defaultdict(dict)
+        for r in knn:
+            per[r["query_id"]][r["rank"]] = (
+                1 if r["neighbor_label"] == emb[r["query_id"]] else 0
+            )
+        return per
+
+    def test_ndcg_matches_python(self, spark, sf_dir):
+        import math
+
+        got = {
+            r["query_id"]: r["ndcg_at_5"]
+            for r in registry.QUERIES["eval_ndcg_retrieval"](spark, sf_dir).collect()
+        }
+        per = self._knn_rows(spark, sf_dir)
+        for q, rels in per.items():
+            rel = [rels.get(i, 0) for i in range(1, 6)]
+            dcg = sum(r / math.log2(i + 2) for i, r in enumerate(rel))
+            R = sum(rel)
+            idcg = sum(1 / math.log2(i + 2) for i in range(R))
+            want = 0.0 if R == 0 else round(dcg / idcg, 6)
+            assert abs(got[q] - want) <= 1e-9, (q, got[q], want)
+
+    def test_map_matches_python(self, spark, sf_dir):
+        from fractions import Fraction
+
+        got = {
+            r["query_id"]: r["ap_bp"]
+            for r in registry.QUERIES["eval_map_retrieval"](spark, sf_dir).collect()
+        }
+        per = self._knn_rows(spark, sf_dir)
+        for q, rels in per.items():
+            rel = [rels.get(i, 0) for i in range(1, 6)]
+            R = sum(rel)
+            if R == 0:
+                want = 0
+            else:
+                ap = sum(
+                    Fraction(sum(rel[: i + 1]), i + 1)
+                    for i, r in enumerate(rel)
+                    if r
+                ) / R
+                want = int((20000 * ap + 1) // 2)  # round-half-up in bp
+            assert got[q] == want, (q, got[q], want)
