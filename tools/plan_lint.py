@@ -177,6 +177,14 @@ ALLOW_NON_EQUI = {
     "feature_target_encoding_loo",  # 1-row global-mean anchor
     "feature_woe_iv",  # 1-row global-counts anchor
     "mining_contrastive_triplets",  # anchor-positive-negative pair mining
+    "allocation_invoice_rounding",  # 1-row invoice-total anchor
+    "sketch_hll_deterministic",  # 1-row global-truth anchor for '__all__'
+    "trending_parts_decayed",  # 1-row max-month anchor
+    "sample_neyman_allocation",  # 1-row weight-total anchor
+    "forecast_acf_monthly",  # 12-row lag grid + 1-row stats anchor
+    "territory_snake_balanced_assignment",  # 1-row total anchor
+    "eval_ndcg_retrieval",  # composes the broadcast-NL knn baseline
+    "eval_map_retrieval",  # composes the broadcast-NL knn baseline
 }
 
 # R2: documented global-order operators (range partition IS the plan).
@@ -243,6 +251,9 @@ ALLOW_MANY_EXCHANGES = {
     "market_basket_rules": 13,
     "text_pmi_cooccurrence": 13,
     "text_bm25_scores": 13,
+    "dq_referential_integrity": 14,  # 7-edge audit union
+    "dq_primary_key_uniqueness": 14,  # 7-table audit union
+    "sketch_hll_deterministic": 13,  # per-type + merged register paths
 }
 
 FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
