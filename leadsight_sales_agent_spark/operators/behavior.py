@@ -2980,3 +2980,198 @@ def mrr_movement_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cur") - F.col("prev")).cast("bigint").alias("delta_cents"),
         )
     )
+
+
+@query(
+    "ab_diff_in_diff",
+    oracle="""
+    WITH base AS (
+        SELECT CASE WHEN p.p_type = 'PROMO' THEN 'treated'
+                    ELSE 'control' END AS grp,
+               CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01'
+                    THEN 'post' ELSE 'pre' END AS period,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    ),
+    cells AS (
+        SELECT grp, period, count(*) AS n_lines,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM base GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN grp = 'treated' AND period = 'post' THEN cents END)
+                AS tp,
+            max(CASE WHEN grp = 'treated' AND period = 'pre' THEN cents END)
+                AS tq,
+            max(CASE WHEN grp = 'control' AND period = 'post' THEN cents END)
+                AS cp,
+            max(CASE WHEN grp = 'control' AND period = 'pre' THEN cents END)
+                AS cq
+        FROM cells
+    )
+    SELECT c.grp, c.period, c.n_lines, c.cents,
+           CAST((w.tp - w.tq) - (w.cp - w.cq) AS BIGINT) AS did_cents
+    FROM cells c CROSS JOIN wide w
+    """,
+)
+def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: promo-part revenue vs everything
+    else, before vs after 1997 — the workhorse causal baseline when
+    you can't randomize (did the promoted line grow MORE than the
+    market's own drift?). DiD = (treatedΔ − controlΔ) on exact
+    cents, attached to every cell so the 2x2 table and the headline
+    estimate travel together (parallel-trends caveats are the
+    analyst's job; the engine's job is exact cell arithmetic).
+
+    One scan (date-pruned), broadcast part flag, 4-cell conditional
+    rollup, 1-row wide pivot broadcast back.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_partkey",
+            F.when(
+                F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"),
+                "post",
+            )
+            .otherwise("pre")
+            .alias("period"),
+            (F.col("l_extendedprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_type") == "PROMO", "treated")
+        .otherwise("control")
+        .alias("grp"),
+    )
+    cells = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("grp", "period")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+    wide = cells.agg(
+        F.max(F.when((F.col("grp") == "treated") & (F.col("period") == "post"), F.col("cents"))).alias("tp"),
+        F.max(F.when((F.col("grp") == "treated") & (F.col("period") == "pre"), F.col("cents"))).alias("tq"),
+        F.max(F.when((F.col("grp") == "control") & (F.col("period") == "post"), F.col("cents"))).alias("cp"),
+        F.max(F.when((F.col("grp") == "control") & (F.col("period") == "pre"), F.col("cents"))).alias("cq"),
+    )
+    return cells.crossJoin(F.broadcast(wide)).select(
+        "grp",
+        "period",
+        "n_lines",
+        "cents",
+        ((F.col("tp") - F.col("tq")) - (F.col("cp") - F.col("cq")))
+        .cast("bigint")
+        .alias("did_cents"),
+    )
+
+
+@query(
+    "eval_auc_by_fold",
+    oracle="""
+    WITH s AS (
+        SELECT (CAST(substr(md5('fold:' || CAST(event_id AS VARCHAR)), 1, 8)
+                     AS VARCHAR)) AS hk,
+               CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    folded AS (
+        SELECT CAST((CAST(instr('0123456789abcdef', substr(hk, 1, 1)) - 1
+                     AS BIGINT) * 16
+                     + instr('0123456789abcdef', substr(hk, 2, 1)) - 1) % 5
+                    AS BIGINT) AS fold,
+               score, y
+        FROM s
+    ),
+    g AS (
+        SELECT fold, score,
+               CAST(sum(y) AS BIGINT) AS np_s,
+               CAST(sum(1 - y) AS BIGINT) AS nn_s
+        FROM folded GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT fold, score, np_s, nn_s,
+               coalesce(sum(nn_s) OVER (PARTITION BY fold ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS nn_lt
+        FROM g
+    )
+    SELECT fold,
+           CAST(sum(np_s) AS BIGINT) AS n_pos,
+           CAST(sum(nn_s) AS BIGINT) AS n_neg,
+           CAST((2 * 10000 * sum(2 * np_s * nn_lt + np_s * nn_s)
+                 + 2 * sum(np_s) * sum(nn_s))
+                // (2 * 2 * sum(np_s) * sum(nn_s)) AS BIGINT) AS auc_bp
+    FROM cum GROUP BY 1
+    """,
+)
+def eval_auc_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validated ranking quality: exact Mann-Whitney AUC per
+    salted-hash fold (the sample_kfold_assignment device feeding the
+    eval_roc_auc_scores device) — the per-fold spread is the
+    stability check a single global AUC hides: one lucky fold can
+    carry a weak scorer. Folds come from the first two md5 hex chars
+    mod 5 (deterministic, engine-portable); within each fold the
+    collapsed-score-grain cumulative window and the doubled-U
+    integer arithmetic are exactly the registered ROC device,
+    partitioned one level deeper.
+    """
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("event_id").cast("string"))),
+                1,
+                2,
+            ).alias("hk"),
+            (F.col("value").cast("decimal(25,2)") * 100).cast("long").alias("score"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+    )
+    folded = s.select(
+        (
+            F.expr(
+                "(CAST(instr('0123456789abcdef', substr(hk, 1, 1)) - 1 AS BIGINT)"
+                " * 16 + instr('0123456789abcdef', substr(hk, 2, 1)) - 1) % 5"
+            )
+        ).alias("fold"),
+        "score",
+        "y",
+    )
+    g = folded.groupBy("fold", "score").agg(
+        F.sum("y").cast("long").alias("np_s"),
+        F.sum(1 - F.col("y")).cast("long").alias("nn_s"),
+    )
+    w = (
+        Window.partitionBy("fold")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = g.withColumn(
+        "nn_lt", F.coalesce(F.sum("nn_s").over(w), F.lit(0)).cast("long")
+    )
+    return cum.groupBy("fold").agg(
+        F.sum("np_s").cast("bigint").alias("n_pos"),
+        F.sum("nn_s").cast("bigint").alias("n_neg"),
+        F.expr(
+            "CAST((2 * 10000 * sum(2 * np_s * nn_lt + np_s * nn_s)"
+            " + 2 * sum(np_s) * sum(nn_s))"
+            " DIV (2 * 2 * sum(np_s) * sum(nn_s)) AS BIGINT)"
+        ).alias("auc_bp"),
+    )
