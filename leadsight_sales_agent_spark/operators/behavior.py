@@ -3175,3 +3175,152 @@ def eval_auc_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * 2 * sum(np_s) * sum(nn_s)) AS BIGINT)"
         ).alias("auc_bp"),
     )
+
+
+@query(
+    "attribution_position_based",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, ts,
+               CAST(CAST(coalesce(value, 0) AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, event_type, ts, cents,
+               sum(CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                   THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS gpos
+        FROM ordered
+    ),
+    purchases AS (
+        SELECT user_id, session_id, event_id AS p_id, gpos AS p_pos,
+               cents AS p_cents
+        FROM sess WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT s.user_id, s.session_id, p.p_id, p.p_cents, s.event_type,
+               row_number() OVER (PARTITION BY p.p_id ORDER BY s.gpos) AS tpos,
+               count(*) OVER (PARTITION BY p.p_id) AS k
+        FROM sess s
+        JOIN purchases p
+          ON s.user_id = p.user_id AND s.session_id = p.session_id
+         AND s.gpos < p.p_pos AND s.event_type <> 'purchase'
+    ),
+    credited AS (
+        SELECT event_type, p_cents,
+               CASE
+                 WHEN k = 1 THEN 10000
+                 WHEN k = 2 THEN 5000
+                 WHEN tpos = 1 OR tpos = k THEN 4000
+                 ELSE 2000 // (k - 2)
+                      + CASE WHEN tpos - 1 <= 2000 % (k - 2) THEN 1 ELSE 0 END
+               END AS credit_bp
+        FROM touches
+    )
+    SELECT event_type AS touch_type,
+           count(*) AS n_credits,
+           CAST(sum(credit_bp) AS BIGINT) AS total_credit_bp,
+           CAST(sum(credit_bp * p_cents) AS BIGINT) AS credited_centbp
+    FROM credited GROUP BY 1
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution:
+    each purchase credits the touches earlier in ITS session — 40%
+    to the first touch, 40% to the touch just before conversion, 20%
+    spread over the middle (k=1 → 100%, k=2 → 50/50) — the standard
+    martech model between first-touch's "all credit to discovery"
+    and linear's "everything equal". Credits are INTEGER basis
+    points with the 20% middle share dealt by largest-remainder in
+    position order, so every purchase's credits sum to exactly
+    10000 and credited revenue (cent-basis-point units) reconciles
+    to the purchase ledger with zero drift.
+
+    Plan: one (user) shuffle sessionizes; the purchase-to-touch
+    expansion joins within (user, session) bounded by session
+    length; per-purchase position windows partition on the purchase
+    id. Nothing global anywhere.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        (F.coalesce(F.col("value"), F.lit(0)).cast("decimal(25,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    sess = ordered.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        "cents",
+        F.sum(
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("prev_ts")
+                    > 1800 * 1000000
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+        F.row_number().over(w).alias("gpos"),
+    )
+    purchases = sess.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("session_id").alias("p_sess"),
+        F.col("event_id").alias("p_id"),
+        F.col("gpos").alias("p_pos"),
+        F.col("cents").alias("p_cents"),
+    )
+    touches = (
+        sess.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("session_id") == F.col("p_sess"))
+            & (F.col("gpos") < F.col("p_pos"))
+            & (F.col("event_type") != "purchase"),
+        )
+        .select(
+            "p_id",
+            "p_cents",
+            "event_type",
+            F.row_number()
+            .over(Window.partitionBy("p_id").orderBy("gpos"))
+            .alias("tpos"),
+            F.count(F.lit(1)).over(Window.partitionBy("p_id")).alias("k"),
+        )
+    )
+    credit = (
+        F.when(F.col("k") == 1, 10000)
+        .when(F.col("k") == 2, 5000)
+        .when((F.col("tpos") == 1) | (F.col("tpos") == F.col("k")), 4000)
+        .otherwise(
+            F.expr("2000 DIV (k - 2)")
+            + F.when(F.col("tpos") - 1 <= F.expr("2000 % (k - 2)"), 1).otherwise(0)
+        )
+    )
+    return (
+        touches.select("event_type", "p_cents", credit.alias("credit_bp"))
+        .groupBy(F.col("event_type").alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit_bp").cast("bigint").alias("total_credit_bp"),
+            F.sum(F.col("credit_bp") * F.col("p_cents"))
+            .cast("bigint")
+            .alias("credited_centbp"),
+        )
+    )

@@ -1390,3 +1390,70 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_alloc"),
     )
+
+
+@query(
+    "sample_walk_forward_folds",
+    oracle="""
+    WITH months AS (
+        SELECT DISTINCT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                   AS month
+        FROM orders
+    ),
+    idx AS (
+        SELECT month,
+               CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS i,
+               count(*) OVER () AS n
+        FROM months
+    ),
+    folds AS (
+        SELECT CAST(f.fold AS BIGINT) AS fold,
+               12 + (f.fold - 1) * 6 AS train_end
+        FROM (SELECT unnest(generate_series(1, 5)) AS fold) f
+    )
+    SELECT f.fold, i.month,
+           CASE WHEN i.i <= f.train_end THEN 'train'
+                WHEN i.i <= f.train_end + 3 THEN 'test'
+                ELSE 'unused' END AS role
+    FROM folds f CROSS JOIN idx i
+    WHERE i.i <= f.train_end + 3
+    """,
+)
+def sample_walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward (expanding-window) cross-validation design for
+    time series: five folds, each training on the first 12+6(f−1)
+    months and testing on the NEXT three — the temporal CV that
+    replaces k-fold when leakage-by-time matters (a random fold
+    would train on the future; sample_kfold_assignment is the i.i.d.
+    sibling, this is the ordered one). Emitted as the (fold, month,
+    role) assignment grid a backtest driver joins against the fact
+    table — assignment is pure month-index arithmetic over the
+    calendar grain, so the design is identical on any engine and
+    any data layout.
+    """
+    months = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .distinct()
+    )
+    idx = months.select(
+        "month",
+        F.row_number().over(Window.orderBy("month")).cast("bigint").alias("i"),
+    )
+    folds = spark.range(1, 6).select(
+        F.col("id").cast("bigint").alias("fold"),
+        (F.lit(12) + (F.col("id") - 1) * 6).cast("bigint").alias("train_end"),
+    )
+    grid = folds.crossJoin(idx).filter(F.col("i") <= F.col("train_end") + 3)
+    return grid.select(
+        "fold",
+        "month",
+        F.when(F.col("i") <= F.col("train_end"), "train")
+        .when(F.col("i") <= F.col("train_end") + 3, "test")
+        .otherwise("unused")
+        .alias("role"),
+    )
