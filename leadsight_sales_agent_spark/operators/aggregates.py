@@ -3666,3 +3666,120 @@ def agg_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_cents_per_month"
         ),
     )
+
+
+@query(
+    "agg_boxplot_five_number",
+    oracle="""
+    WITH c AS (
+        SELECT c_mktsegment AS segment,
+               CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    ranked AS (
+        SELECT segment, cents,
+               row_number() OVER (PARTITION BY segment ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY segment) AS n
+        FROM c
+    ),
+    fn AS (
+        SELECT segment,
+               max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1,
+               max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med,
+               max(CASE WHEN rn = (3 * n + 1) // 4 THEN cents END) AS q3,
+               min(cents) AS lo, max(cents) AS hi,
+               CAST(max(n) AS BIGINT) AS n
+        FROM ranked GROUP BY 1
+    )
+    SELECT f.segment, f.n, f.lo AS min_cents, f.q1, f.med, f.q3,
+           f.hi AS max_cents,
+           CAST((SELECT count(*) FROM c
+                 WHERE c.segment = f.segment
+                   AND (2 * c.cents > 2 * f.q3 + 3 * (f.q3 - f.q1)
+                        OR 2 * c.cents < 2 * f.q1 - 3 * (f.q3 - f.q1)))
+                AS BIGINT) AS n_tukey_outliers
+    FROM fn f
+    """,
+)
+def agg_boxplot_five_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-number boxplot summary per segment (min / Q1 / median /
+    Q3 / max) plus the Tukey-fence outlier count — the descriptive
+    spread report behind every box-and-whisker chart. Quartiles are
+    rank-picked ELEMENTS of the data (positions ⌈n/4⌉, ⌈n/2⌉,
+    ⌈3n/4⌉ — no interpolation, cross-engine exact on cents), and the
+    1.5·IQR fences never compute 1.5: the comparison
+    cents > Q3 + 1.5·IQR cross-multiplies by 2 into pure integers.
+
+    One shuffle ranks each segment; the outlier count re-scans the
+    grain against the broadcast fences (at 100 TB: fence table is
+    |segments| rows — the MAD-outlier broadcast shape).
+    """
+    c = (
+        load(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    wseg = Window.partitionBy("segment").orderBy("cents")
+    wc = Window.partitionBy("segment")
+    ranked = c.select(
+        "segment",
+        "cents",
+        F.row_number().over(wseg).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    fn = ranked.groupBy("segment").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 3) DIV 4"), F.col("cents"))).alias(
+            "q1"
+        ),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("cents"))).alias(
+            "med"
+        ),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * n + 1) DIV 4"), F.col("cents"))
+        ).alias("q3"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    fences = fn.select("segment", "q1", "q3")
+    out = (
+        c.join(F.broadcast(fences), "segment")
+        .filter(
+            (
+                F.lit(2) * F.col("cents")
+                > F.lit(2) * F.col("q3") + F.lit(3) * (F.col("q3") - F.col("q1"))
+            )
+            | (
+                F.lit(2) * F.col("cents")
+                < F.lit(2) * F.col("q1") - F.lit(3) * (F.col("q3") - F.col("q1"))
+            )
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tukey_outliers"))
+    )
+    return (
+        fn.join(out, "segment", "left")
+        .select(
+            "segment",
+            "n",
+            F.col("lo").alias("min_cents"),
+            "q1",
+            "med",
+            "q3",
+            F.col("hi").alias("max_cents"),
+            F.coalesce("n_tukey_outliers", F.lit(0)).cast("bigint").alias(
+                "n_tukey_outliers"
+            ),
+        )
+    )

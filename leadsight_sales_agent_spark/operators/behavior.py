@@ -3324,3 +3324,77 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("credited_centbp"),
         )
     )
+
+
+@query(
+    "process_edge_latency",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               lead(event_type) OVER w AS next_type,
+               lead(ts) OVER w AS next_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    edges AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               epoch_us(next_ts) - epoch_us(ts) AS gap_us
+        FROM seq WHERE next_type IS NOT NULL
+    ),
+    ranked AS (
+        SELECT from_type, to_type, gap_us,
+               row_number() OVER (PARTITION BY from_type, to_type
+                                  ORDER BY gap_us, from_type) AS rn,
+               count(*) OVER (PARTITION BY from_type, to_type) AS n
+        FROM edges
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+           CAST(gap_us AS BIGINT) AS median_gap_us
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)
+def process_edge_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining edge latency: for every directly-follows
+    transition (A → B in a user's event sequence), the MEDIAN time
+    gap — markov_event_transitions says WHERE journeys go, this says
+    HOW LONG each hop takes, and the slowest-median edge is the
+    process bottleneck a flow owner attacks first. The median is the
+    rank-picked LOWER-median ELEMENT of the exact integer
+    microsecond gaps (no averaging, cross-engine exact on arbitrary
+    values — the impute_group_median device at edge grain).
+
+    One (user) shuffle builds adjacent pairs via lead(); the
+    25-edge grain then sorts per edge for the rank pick — a second
+    small exchange on the bounded edge key.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    edges = seq.filter(F.col("next_type").isNotNull()).select(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+        (F.unix_micros("next_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )
+    we = Window.partitionBy("from_type", "to_type").orderBy(
+        "gap_us", "from_type"
+    )
+    wc = Window.partitionBy("from_type", "to_type")
+    ranked = edges.select(
+        "from_type",
+        "to_type",
+        "gap_us",
+        F.row_number().over(we).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return ranked.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.col("gap_us").cast("bigint").alias("median_gap_us"),
+    )
