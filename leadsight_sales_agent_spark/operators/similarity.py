@@ -2098,3 +2098,114 @@ def eval_map_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ap_bp"),
     )
+
+
+@query(
+    "eval_label_silhouette",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS ia, a.label AS la, b.label AS lb,
+               CAST(round((1 - list_dot_product(a.v, b.v) / (a.nrm * b.nrm))
+                          * 10000, 0) AS BIGINT) AS d_bp
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    per_pt AS (
+        SELECT ia, la, lb,
+               CAST(sum(d_bp) AS BIGINT) AS s, count(*) AS n
+        FROM pairs GROUP BY 1, 2, 3
+    ),
+    ab AS (
+        SELECT ia, la,
+               max(CASE WHEN la = lb
+                   THEN (2 * s + n) // (2 * n) END) AS a_bp,
+               min(CASE WHEN la <> lb
+                   THEN (2 * s + n) // (2 * n) END) AS b_bp
+        FROM per_pt GROUP BY 1, 2
+    )
+    SELECT la AS label,
+           count(*) AS n_points,
+           CAST((2 * sum(a_bp) + count(*)) // (2 * count(*)) AS BIGINT)
+               AS mean_intra_bp,
+           CAST((2 * sum(b_bp) + count(*)) // (2 * count(*)) AS BIGINT)
+               AS mean_nearest_other_bp,
+           CAST(count(*) FILTER (WHERE b_bp > a_bp) AS BIGINT)
+               AS n_well_separated
+    FROM ab GROUP BY 1
+    """,
+)
+def eval_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette-style cluster-quality report for the LABEL
+    partitioning of the embedding space: per point, a = mean cosine
+    distance to its own label, b = the smallest mean distance to any
+    other label; per label we report mean a, mean b, and how many
+    points are well-separated (b > a) — the supervised twin of
+    k-means silhouette that answers "are these classes actually
+    separable in embedding space" before anyone trains on them.
+
+    Exactness: each pair's cosine distance is one fixed IEEE tree
+    quantized to integer bp (the knn rounding device); every mean
+    after that is half-up integer division — so a metric famous for
+    float drift hash-checks bit-exactly. The all-pairs matrix is
+    corpus-bounded (N²; at 100 TB the documented form runs on a
+    per-label stratified sample or the IVF cell structure — the
+    candidate-generation paths this repo already grades).
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("ia"),
+        F.col("label").alias("la"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("ib"),
+        F.col("label").alias("lb"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, F.col("ia") != F.col("ib")).select(
+        "ia",
+        "la",
+        "lb",
+        F.round(
+            (F.lit(1) - dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+            * 10000,
+            0,
+        )
+        .cast("bigint")
+        .alias("d_bp"),
+    )
+    per_pt = pairs.groupBy("ia", "la", "lb").agg(
+        F.sum("d_bp").cast("bigint").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    ab = per_pt.groupBy("ia", "la").agg(
+        F.max(
+            F.when(F.col("la") == F.col("lb"), F.expr("(2 * s + n) DIV (2 * n)"))
+        ).alias("a_bp"),
+        F.min(
+            F.when(F.col("la") != F.col("lb"), F.expr("(2 * s + n) DIV (2 * n)"))
+        ).alias("b_bp"),
+    )
+    return ab.groupBy(F.col("la").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.expr(
+            "CAST((2 * sum(a_bp) + count(*)) DIV (2 * count(*)) AS BIGINT)"
+        ).alias("mean_intra_bp"),
+        F.expr(
+            "CAST((2 * sum(b_bp) + count(*)) DIV (2 * count(*)) AS BIGINT)"
+        ).alias("mean_nearest_other_bp"),
+        F.count_if(F.col("b_bp") > F.col("a_bp"))
+        .cast("bigint")
+        .alias("n_well_separated"),
+    )
