@@ -2209,3 +2209,82 @@ def eval_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_well_separated"),
     )
+
+
+@query(
+    "embedding_robust_scale",
+    oracle="""
+    WITH dims AS (
+        SELECT u.i - 1 AS dim,
+               CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0)
+                    AS BIGINT) AS micro
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    ranked AS (
+        SELECT dim, micro,
+               row_number() OVER (PARTITION BY dim ORDER BY micro) AS rn,
+               count(*) OVER (PARTITION BY dim) AS n
+        FROM dims
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN micro END) AS BIGINT)
+               AS median_micro,
+           CAST(max(CASE WHEN rn = (3 * n + 1) // 4 THEN micro END)
+                - max(CASE WHEN rn = (n + 3) // 4 THEN micro END) AS BIGINT)
+               AS iqr_micro,
+           CAST(min(micro) AS BIGINT) AS min_micro,
+           CAST(max(micro) AS BIGINT) AS max_micro
+    FROM ranked GROUP BY 1
+    """,
+)
+def embedding_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/IQR) per-dimension scaling statistics for the
+    embedding matrix — the outlier-immune alternative to
+    embedding_feature_scale's min-max affine: one saturated value
+    per dimension wrecks a min-max scaler but barely moves
+    median/IQR. Values quantize to integer micro-units (the float→
+    exact hop), quartiles are rank-picked ELEMENTS per dimension —
+    the calibration table a serving stack applies as
+    (x − median)/IQR.
+
+    Plan: posexplode to the (dim, value) grain — 64 ranks of 500
+    values each partition independently (at scale: dims are the
+    natural partition key, each holding n values; rank via per-dim
+    sort, embarrassingly parallel across dims).
+    """
+    dims = load(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000, 0).cast("bigint").alias(
+            "micro"
+        ),
+    )
+    wd = Window.partitionBy("dim").orderBy("micro")
+    wc = Window.partitionBy("dim")
+    ranked = dims.select(
+        "dim",
+        "micro",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return ranked.groupBy("dim").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("micro"))
+        )
+        .cast("bigint")
+        .alias("median_micro"),
+        (
+            F.max(
+                F.when(F.col("rn") == F.expr("(3 * n + 1) DIV 4"), F.col("micro"))
+            )
+            - F.max(
+                F.when(F.col("rn") == F.expr("(n + 3) DIV 4"), F.col("micro"))
+            )
+        )
+        .cast("bigint")
+        .alias("iqr_micro"),
+        F.min("micro").cast("bigint").alias("min_micro"),
+        F.max("micro").cast("bigint").alias("max_micro"),
+    )
