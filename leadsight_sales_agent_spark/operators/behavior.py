@@ -3398,3 +3398,172 @@ def process_edge_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_transitions"),
         F.col("gap_us").cast("bigint").alias("median_gap_us"),
     )
+
+
+def _conformal_oracle() -> str:
+    """Split-conformal interval from the REGISTERED seasonal-naive
+    backtest residuals: calibration = all backtest months except the
+    last 6, q-hat = the ceil((n+1)*0.9)-th smallest |residual|
+    (rank-picked element, exact), coverage audited on the 6
+    held-out months."""
+    from leadsight_sales_agent_spark.registry import ORACLES
+
+    backtest = ORACLES["forecast_seasonal_naive_backtest"]
+    return f"""
+    WITH bt AS ({backtest}),
+    split AS (
+        SELECT month, abs_err_cents,
+               row_number() OVER (ORDER BY month DESC) AS recency
+        FROM bt
+    ),
+    calib AS (
+        SELECT abs_err_cents FROM split WHERE recency > 6
+    ),
+    ranked AS (
+        SELECT abs_err_cents,
+               row_number() OVER (ORDER BY abs_err_cents, abs_err_cents) AS rn,
+               count(*) OVER () AS n
+        FROM calib
+    ),
+    qhat AS (
+        SELECT abs_err_cents AS q_cents, n
+        FROM ranked
+        WHERE rn = least(CAST(ceil((n + 1) * 0.9) AS BIGINT), n)
+    ),
+    test AS (
+        SELECT month, abs_err_cents FROM split WHERE recency <= 6
+    )
+    SELECT q.n AS n_calibration,
+           CAST(q.q_cents AS BIGINT) AS qhat_cents,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(count(*) FILTER (WHERE t.abs_err_cents <= q.q_cents) AS BIGINT)
+               AS n_covered
+    FROM test t CROSS JOIN qhat q
+    GROUP BY q.n, q.q_cents
+    """
+
+
+@query("forecast_conformal_interval", oracle=_conformal_oracle())
+def forecast_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the seasonal-naive
+    forecaster: the 90% interval half-width q-hat is the
+    ⌈(n+1)·0.9⌉-th smallest calibration residual — a finite-sample,
+    distribution-free guarantee (coverage ≥ 90% regardless of the
+    error distribution), the modern uncertainty wrapper every point
+    forecaster ships with. Composed from the REGISTERED backtest
+    spec: residuals are its exact integer cents, the quantile is a
+    rank-picked ELEMENT (never interpolated), and the held-out
+    last-6-months coverage count audits the guarantee. (n+1)·0.9
+    evaluates on exact small integers — ceil is deterministic.
+
+    Plan: everything after the backtest runs on the ~80-row month
+    grain; at scale the same construction runs per series key with
+    the identical per-group rank pick.
+    """
+    from leadsight_sales_agent_spark.registry import QUERIES
+
+    bt = QUERIES["forecast_seasonal_naive_backtest"](spark, sf_dir)
+    split = bt.select(
+        "month",
+        "abs_err_cents",
+        F.row_number().over(Window.orderBy(F.desc("month"))).alias("recency"),
+    )
+    calib = split.filter(F.col("recency") > 6).select("abs_err_cents")
+    ranked = calib.select(
+        "abs_err_cents",
+        F.row_number().over(Window.orderBy("abs_err_cents")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    qhat = ranked.filter(
+        F.col("rn")
+        == F.least(F.ceil((F.col("n") + 1) * 0.9).cast("bigint"), F.col("n"))
+    ).select(F.col("abs_err_cents").alias("q_cents"), "n")
+    test = split.filter(F.col("recency") <= 6).select("abs_err_cents")
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .groupBy("n", "q_cents")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.count_if(F.col("abs_err_cents") <= F.col("q_cents"))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+        .select(
+            F.col("n").alias("n_calibration"),
+            F.col("q_cents").cast("bigint").alias("qhat_cents"),
+            "n_test",
+            "n_covered",
+        )
+    )
+
+
+def _ece_oracle() -> str:
+    """Expected calibration error composed from the registered
+    calibration-bin spec: ECE = Σ (n_b/N)·|acc_b − conf_b| where
+    conf_b is the bin's mean score normalized to the outcome scale.
+    Scores are cents and outcomes 0/1, so confidence = mean score /
+    max score (a fixed normalizer: the global max score, exact
+    integer) and everything cross-multiplies to integers."""
+    from leadsight_sales_agent_spark.registry import ORACLES
+
+    bins = ORACLES["eval_calibration_bins"]
+    return f"""
+    WITH b AS ({bins}),
+    mx AS (
+        SELECT max(CAST(value AS DECIMAL(25,2)) * 100) AS mx
+        FROM events WHERE value IS NOT NULL
+    ),
+    terms AS (
+        SELECT b.n_events,
+               abs(CAST(b.purchase_rate_bp AS HUGEINT) * CAST(m.mx AS BIGINT)
+                   - CAST(b.mean_score_cents AS HUGEINT) * 10000) AS dev_num,
+               CAST(m.mx AS BIGINT) AS mx
+        FROM b CROSS JOIN mx m
+    )
+    SELECT CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST((2 * sum(n_events * dev_num)
+                 + sum(n_events) * max(mx))
+                // (2 * sum(n_events) * max(mx)) AS BIGINT) AS ece_bp
+    FROM terms
+    """
+
+
+@query("eval_expected_calibration_error", oracle=_ece_oracle())
+def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error: the event-weighted mean gap between
+    each score bin's OBSERVED purchase rate and its mean score
+    (normalized by the global max score so both live on one scale) —
+    the single-number summary of the reliability diagram
+    (eval_calibration_bins is the per-bin detail; ECE is what goes
+    on the model scorecard). Composed from the registered bin spec —
+    zero drift — and exact end-to-end: the deviation
+    |rate_bp·max − score·10⁴| cross-multiplies to integers, the
+    weighted mean is half-up integer division.
+    """
+    from leadsight_sales_agent_spark.registry import QUERIES
+
+    b = QUERIES["eval_calibration_bins"](spark, sf_dir)
+    mx = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .agg(
+            (F.max(F.col("value").cast("decimal(25,2)") * 100))
+            .cast("bigint")
+            .alias("mx")
+        )
+    )
+    terms = b.crossJoin(F.broadcast(mx)).select(
+        "n_events",
+        F.abs(
+            F.col("purchase_rate_bp").cast("decimal(38,0)") * F.col("mx")
+            - F.col("mean_score_cents").cast("decimal(38,0)") * 10000
+        ).alias("dev_num"),
+        "mx",
+    )
+    return terms.agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.expr(
+            "CAST((2 * sum(n_events * dev_num) + sum(n_events) * max(mx))"
+            " DIV (2 * sum(n_events) * max(mx)) AS BIGINT)"
+        ).alias("ece_bp"),
+    )
