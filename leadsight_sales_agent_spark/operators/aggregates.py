@@ -3783,3 +3783,77 @@ def agg_boxplot_five_number(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "agg_weighted_percentile_p90",
+    oracle="""
+    WITH w AS (
+        SELECT CAST(CAST(l_extendedprice / l_quantity AS DECIMAL(25,2)) * 100
+                    AS BIGINT) AS unit_cents,
+               CAST(l_quantity AS BIGINT) AS wt,
+               l_returnflag AS flag
+        FROM lineitem WHERE l_quantity > 0
+    ),
+    cum AS (
+        SELECT flag, unit_cents, wt,
+               sum(wt) OVER (PARTITION BY flag ORDER BY unit_cents, wt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               sum(wt) OVER (PARTITION BY flag) AS tot
+        FROM w
+    ),
+    hit AS (
+        SELECT flag, unit_cents, tot,
+               row_number() OVER (PARTITION BY flag ORDER BY unit_cents, wt)
+                   AS rn
+        FROM cum WHERE 10 * cw >= 9 * tot
+    )
+    SELECT flag, CAST(tot AS BIGINT) AS total_weight,
+           CAST(unit_cents AS BIGINT) AS p90_unit_cents
+    FROM hit WHERE rn = 1
+    """,
+)
+def agg_weighted_percentile_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted 90th-percentile unit price per return flag —
+    the general weighted quantile (agg_weighted_median_price is the
+    p50 special case): the smallest unit price whose cumulative
+    QUANTITY reaches 90% of the total, i.e. "9 of 10 units sold at
+    or below this price" — the inventory-valuation and price-banding
+    statistic where row-weighted percentiles mislead (one 1000-unit
+    line must count 1000×). The threshold is the division-free
+    integer compare 10·cum ≥ 9·total on exact cents x units; the
+    picked value is an ELEMENT of the data.
+
+    One partition sort per flag serves the cumulative sum AND the
+    first-hit rank — a single exchange.
+    """
+    w = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .select(
+            ((F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("unit_cents"),
+            F.col("l_quantity").cast("bigint").alias("wt"),
+            F.col("l_returnflag").alias("flag"),
+        )
+    )
+    wo = Window.partitionBy("flag").orderBy("unit_cents", "wt")
+    cum = w.select(
+        "flag",
+        "unit_cents",
+        "wt",
+        F.sum("wt").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("wt").over(Window.partitionBy("flag")).alias("tot"),
+    )
+    hit = cum.filter(F.lit(10) * F.col("cw") >= F.lit(9) * F.col("tot")).select(
+        "flag",
+        "unit_cents",
+        "tot",
+        F.row_number().over(wo).alias("rn"),
+    )
+    return hit.filter(F.col("rn") == 1).select(
+        "flag",
+        F.col("tot").cast("bigint").alias("total_weight"),
+        F.col("unit_cents").cast("bigint").alias("p90_unit_cents"),
+    )
