@@ -185,6 +185,11 @@ ALLOW_NON_EQUI = {
     "territory_snake_balanced_assignment",  # 1-row total anchor
     "eval_ndcg_retrieval",  # composes the broadcast-NL knn baseline
     "eval_map_retrieval",  # composes the broadcast-NL knn baseline
+    "sample_walk_forward_folds",  # 5-fold x month-grain design grid
+    "ab_diff_in_diff",  # 1-row 2x2 wide pivot broadcast
+    "forecast_conformal_interval",  # 1-row q-hat anchor
+    "eval_expected_calibration_error",  # 1-row max-score normalizer
+    "eval_label_silhouette",  # documented corpus-bounded all-pairs matrix
 }
 
 # R2: documented global-order operators (range partition IS the plan).
