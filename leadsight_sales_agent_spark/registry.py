@@ -185,7 +185,28 @@ _PANEL_50 = [
 # cohort_ltv_curve, inventory_abc_xyz_matrix, eval_pr_curve,
 # eval_langid_precision_recall_f1, dedup_phonetic_soundex_blocking,
 # dedup_strategy_overlap_matrix, window_rolling_correlation,
-# forecast_croston_intermittent
+# forecast_croston_intermittent, and waves 3-4:
+# text_ngram_novelty, pattern_sequence_regex_match,
+# sample_fair_interleave, recsys_item_item_cosine, eval_cohens_kappa,
+# forecast_acf_monthly, rollup_rewrite_equivalence,
+# text_kwic_concordance, dq_referential_integrity,
+# dq_primary_key_uniqueness, temporal_coalesce_pack,
+# dedup_exact_token_multiset, finance_ar_aging_buckets,
+# sql_star_except_suite, tpcds_q1_excess_returns,
+# sample_neyman_allocation, text_lexical_diversity,
+# privacy_deterministic_tokenization, sketch_hll_deterministic,
+# text_zipf_rank_frequency, territory_snake_balanced_assignment,
+# mrr_movement_waterfall, anomaly_seasonal_adjusted,
+# nested_build_flatten_roundtrip, trending_parts_decayed,
+# allocation_invoice_rounding, agg_bitmap_distinct_users,
+# dedup_containment_pairs, eval_ndcg_retrieval, eval_map_retrieval,
+# eval_spearman_rank_corr, agg_grouped_ols_trend, ab_diff_in_diff,
+# eval_auc_by_fold, attribution_position_based,
+# sample_walk_forward_folds, process_edge_latency,
+# agg_boxplot_five_number, eval_label_silhouette,
+# embedding_robust_scale, forecast_conformal_interval,
+# eval_expected_calibration_error, agg_weighted_percentile_p90,
+# streak_revenue_growth
 # (streaming_session_window_native is rows-only).
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
