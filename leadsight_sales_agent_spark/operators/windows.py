@@ -2492,3 +2492,162 @@ def streak_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("run_len") == F.col("mx"), F.col("run_end"))
         ).alias("a_streak_end"),
     )
+
+
+# Sliding-window Holt linear smoothing, exactly unrolled: with alpha =
+# beta = 1/2 the coupled recurrence l_t = (v_t + l + b)/2, b_t = v_t/4 −
+# l/4 + 3b/4 over a 16-observation window (init l = v_{t-15}, b = 0)
+# collapses into literal dyadic coefficient tables (matrix powers of
+# A = [[1/2,1/2],[−1/4,3/4]], common denominator 2^30) — derived and
+# verified against the sequential recursion in tests/tools; see the
+# generator snippet in the docstring of holt_linear_smoothing.
+HOLT_DEN = 1 << 30
+HOLT_L = (
+    536870912, 402653184, 234881024, 92274688, -2097152, -48758784,
+    -59899904, -50495488, -33169408, -16214016, -3682816, 3503488,
+    6220768, 6024216, 4419886, 1211226,
+)
+HOLT_B = (
+    268435456, 67108864, -50331648, -96468992, -95420416, -71041024,
+    -41091072, -15843328, 741376, 8848384, 10689792, 8938048, 5827664,
+    2815556, 605613, -3814273,
+)
+
+
+def _holt_sql_dot(coefs, part: str, order: str) -> str:
+    terms = [
+        f"CAST({c} AS DECIMAL(38,0)) * lag(cents, {k}) OVER "
+        f"(PARTITION BY {part} ORDER BY {order})"
+        if k
+        else f"CAST({c} AS DECIMAL(38,0)) * cents"
+        for k, c in enumerate(coefs)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "holt_linear_smoothing",
+    oracle=f"""
+    WITH series AS (
+        SELECT o_orderpriority AS priority,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT priority, month, cents,
+               row_number() OVER (PARTITION BY priority ORDER BY month) AS i,
+               count(*) OVER (PARTITION BY priority) AS n
+        FROM series
+    ),
+    dotted AS (
+        SELECT priority, month, i, n,
+               {_holt_sql_dot(HOLT_L, "priority", "month")} AS lsc,
+               {_holt_sql_dot(HOLT_B, "priority", "month")} AS bsc
+        FROM idx
+    ),
+    final AS (
+        SELECT priority, month, lsc, bsc
+        FROM dotted WHERE i = n AND i >= 16
+    )
+    SELECT priority, month AS asof_month,
+           CAST(CASE WHEN lsc >= 0
+                THEN (2 * CAST(lsc AS HUGEINT) + {HOLT_DEN}) // {2 * HOLT_DEN}
+                ELSE -((2 * CAST(-lsc AS HUGEINT) + {HOLT_DEN})
+                       // {2 * HOLT_DEN}) END
+                AS BIGINT) AS level_cents,
+           CAST(CASE WHEN bsc >= 0
+                THEN (2 * CAST(bsc AS HUGEINT) + {HOLT_DEN}) // {2 * HOLT_DEN}
+                ELSE -((2 * CAST(-bsc AS HUGEINT) + {HOLT_DEN})
+                       // {2 * HOLT_DEN}) END
+                AS BIGINT) AS trend_cents,
+           CAST(CASE WHEN lsc + bsc >= 0
+                THEN (2 * CAST(lsc + bsc AS HUGEINT) + {HOLT_DEN})
+                     // {2 * HOLT_DEN}
+                ELSE -((2 * CAST(-(lsc + bsc) AS HUGEINT) + {HOLT_DEN})
+                       // {2 * HOLT_DEN}) END
+                AS BIGINT) AS forecast_next_cents
+    FROM final
+    """,
+)
+def holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (level + trend) smoothing with alpha =
+    beta = 1/2 over the trailing 16 months, per priority — the
+    trend-aware upgrade of the EWMA, whose COUPLED recurrence is the
+    textbook "inherently sequential" case. Device: the recurrence is
+    the linear system s_t = A·s_{t-1} + c·v_t, so a fixed window
+    unrolls into matrix powers of A — and with dyadic alpha/beta
+    every power is exact with common denominator 2^30, giving
+    LITERAL integer coefficient tables (HOLT_L/HOLT_B above; level
+    weights provably sum to 1, trend weights to 0). The windowed dot
+    product is then exact DECIMAL arithmetic — the sequential-fold
+    equivalence is machine-verified (fractions-exact) and pinned in
+    tests. Reported at each series' last month: level, trend, and
+    the one-step forecast level+trend, half-up cents with negative
+    mirroring (trend can be negative).
+
+    Plan: one month-grain rollup; all 32 lag terms fuse into ONE
+    WindowExec per series — the EWMA/Croston shape with a 2-state
+    recurrence instead of 1.
+    """
+    series = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("priority").orderBy("month")
+    idx = series.select(
+        "priority",
+        "month",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("priority")).alias("n"),
+    )
+
+    def dot(coefs):
+        s = None
+        for k, c in enumerate(coefs):
+            v = F.col("cents") if k == 0 else F.lag("cents", k).over(w)
+            term = F.lit(c).cast("decimal(38,0)") * v
+            s = term if s is None else s + term
+        return s
+
+    dotted = idx.select(
+        "priority",
+        "month",
+        "i",
+        "n",
+        dot(HOLT_L).alias("lsc"),
+        dot(HOLT_B).alias("bsc"),
+    )
+    final = dotted.filter((F.col("i") == F.col("n")) & (F.col("i") >= 16))
+
+    def half_up(name_expr: str):
+        # DIV (exact integral division) — decimal '/'+floor rounds the
+        # intermediate quotient and can be off by one at boundaries
+        col = F.expr(name_expr)
+        pos = F.expr(
+            f"(2 * ({name_expr}) + {HOLT_DEN}) DIV {2 * HOLT_DEN}"
+        )
+        neg = -F.expr(
+            f"(2 * (-({name_expr})) + {HOLT_DEN}) DIV {2 * HOLT_DEN}"
+        )
+        return F.when(col >= 0, pos).otherwise(neg).cast("bigint")
+
+    return final.select(
+        "priority",
+        F.col("month").alias("asof_month"),
+        half_up("lsc").alias("level_cents"),
+        half_up("bsc").alias("trend_cents"),
+        half_up("lsc + bsc").alias("forecast_next_cents"),
+    )

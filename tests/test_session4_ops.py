@@ -270,3 +270,35 @@ class TestRetrievalRankMetrics:
                 ) / R
                 want = int((20000 * ap + 1) // 2)  # round-half-up in bp
             assert got[q] == want, (q, got[q], want)
+
+
+class TestHoltMatrixUnroll:
+    def test_coefficients_equal_sequential_recursion(self):
+        """The literal HOLT_L/HOLT_B tables ARE the 16-step sequential
+        Holt recursion (alpha=beta=1/2, init l=v[0], b=0), exactly."""
+        from fractions import Fraction as Fr
+
+        from leadsight_sales_agent_spark.operators.windows import (
+            HOLT_B,
+            HOLT_DEN,
+            HOLT_L,
+        )
+
+        vals = [100, 120, 90, 130, 150, 110, 105, 160,
+                170, 140, 135, 180, 190, 175, 200, 210]
+        l, b = Fr(vals[0]), Fr(0)
+        for v in vals[1:]:
+            l, b = Fr(v + l + b, 1) / 2, Fr(v, 4) - l / 4 + 3 * b / 4
+        lc = sum(Fr(HOLT_L[k], HOLT_DEN) * vals[15 - k] for k in range(16))
+        bc = sum(Fr(HOLT_B[k], HOLT_DEN) * vals[15 - k] for k in range(16))
+        assert l == lc and b == bc
+
+    def test_weight_identities(self):
+        from leadsight_sales_agent_spark.operators.windows import (
+            HOLT_B,
+            HOLT_DEN,
+            HOLT_L,
+        )
+
+        assert sum(HOLT_L) == HOLT_DEN  # level weights sum to 1
+        assert sum(HOLT_B) == 0  # trend weights sum to 0
