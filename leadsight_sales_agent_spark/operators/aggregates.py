@@ -3857,3 +3857,96 @@ def agg_weighted_percentile_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tot").cast("bigint").alias("total_weight"),
         F.col("unit_cents").cast("bigint").alias("p90_unit_cents"),
     )
+
+
+@query(
+    "eval_qq_quantile_pairs",
+    oracle="""
+    WITH s AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(CAST(o.o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    ranked AS (
+        SELECT seg, cents,
+               row_number() OVER (PARTITION BY seg ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY seg) AS n
+        FROM s
+    ),
+    deciles AS (
+        SELECT seg, d.d AS decile,
+               max(CASE WHEN rn = (d.d * n + 9) // 10 THEN cents END) AS q
+        FROM ranked
+        CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d) d
+        GROUP BY 1, 2
+    )
+    SELECT a.decile,
+           CAST(a.q AS BIGINT) AS building_cents,
+           CAST(b.q AS BIGINT) AS machinery_cents,
+           CAST(a.q - b.q AS BIGINT) AS gap_cents
+    FROM deciles a JOIN deciles b ON a.decile = b.decile
+    WHERE a.seg = 'BUILDING' AND b.seg = 'MACHINERY'
+    """,
+)
+def eval_qq_quantile_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q comparison: the nine decile order statistics of order value
+    for two segments, PAIRED by decile index — the quantile-quantile
+    plot's data, which shows WHERE two distributions diverge (a KS
+    statistic says they differ; the Q-Q gap column says "only above
+    the 7th decile — it's a tail effect"). Deciles are rank-picked
+    ELEMENTS at ⌈d·n/10⌉ (exact on cents, no interpolation), so the
+    paired table hash-checks bit-exactly.
+
+    One partitioned rank per segment; the 9-position decile grid
+    joins on the grain, and the pairing is a 9-row self-join.
+    """
+    s = (
+        load(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    ranked = s.select(
+        "seg",
+        "cents",
+        F.row_number().over(Window.partitionBy("seg").orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("n"),
+    )
+    ds = spark.range(1, 10).select(F.col("id").cast("bigint").alias("decile"))
+    deciles = (
+        ranked.crossJoin(F.broadcast(ds))
+        .groupBy("seg", "decile")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(decile * n + 9) DIV 10"), F.col("cents")
+                )
+            ).alias("q")
+        )
+    )
+    a = deciles.filter(F.col("seg") == "BUILDING").select(
+        "decile", F.col("q").alias("building_cents")
+    )
+    b = deciles.filter(F.col("seg") == "MACHINERY").select(
+        "decile", F.col("q").alias("machinery_cents")
+    )
+    return a.join(b, "decile").select(
+        "decile",
+        F.col("building_cents").cast("bigint").alias("building_cents"),
+        F.col("machinery_cents").cast("bigint").alias("machinery_cents"),
+        (F.col("building_cents") - F.col("machinery_cents"))
+        .cast("bigint")
+        .alias("gap_cents"),
+    )

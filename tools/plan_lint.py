@@ -40,7 +40,6 @@ SF_DIR = "/root/testdata/sf0.001"
 # R1: operators whose non-equi / nested-loop join is the documented
 # algorithm on a bounded grain (month grid, score grain, pair panel...).
 ALLOW_NON_EQUI = {
-    "join_cross_region_nation",  # the cross join operator itself
     "join_range_price_brackets",  # range join: bracket dim is 4 rows, broadcast NL is the plan
     "forecast_mann_kendall_trend",  # month-grain pair expansion (~80 rows/side)
     "forecast_theil_sen_trend",  # month-grain pair expansion
@@ -61,7 +60,6 @@ ALLOW_NON_EQUI = {
     "drift_psi_event_mix",  # 1-row totals cross join
     "sample_ht_estimator_check",  # 1-row truth anchor
     "benford_first_digit_audit",  # 9-row digit grid
-    "agg_histogram_numeric",  # bucket-grid non-equi containment
     "resample_gap_filled_30min",  # dense grid expansion (bounded by calendar)
     "seasonality_heatmap_events",  # 168-cell grid
     "fifo_cogs_matching",  # interval-overlap non-equi join per part (bounded layers)
@@ -77,13 +75,11 @@ ALLOW_NON_EQUI = {
     "agg_approx_percentiles",  # envelope compare vs exact scalars
     "ann_recall_report",  # recall join between shortlist panels
     "eval_qq_quantile_pairs",  # decile-index pair alignment
-    "correlated_scalar_subquery_rewrite",  # decorrelation demo keeps a scalar probe
     "sql_session_variables_suite",  # 1-row threshold anchor
     "conversion_latency_percentiles",  # scalar median anchors
     "agg_weighted_median_price",  # scalar threshold anchor
     "outlier_mad_orders",  # broadcast stats anchors
     "impute_group_median_balance",  # per-group median anchor
-    "agg_median_lower",  # scalar order-statistic anchor
     "window_rolling_median_events",  # bounded frame median
     "leakage_jaccard_cross_split",  # cross-split pair verify on blocked candidates
     "neardup_ngram_jaccard",  # blocked pair verify
@@ -123,7 +119,6 @@ ALLOW_NON_EQUI = {
     "graph_degree_distribution",
     "zorder_locality_buckets",
     "compaction_bin_packing",
-    "layout_join_skew_advisor",
     "ab_wilson_significance",  # 1-row z anchor
     "ab_deterministic_assignment",
     "incremental_agg_maintenance",  # delta-vs-history 1-row reconcile
@@ -194,7 +189,6 @@ ALLOW_NON_EQUI = {
 
 # R2: documented global-order operators (range partition IS the plan).
 ALLOW_GLOBAL_SORT = {
-    "sort_orders_desc",  # the global sort operator itself
     "sample_fair_interleave",  # rank-major merge order
     "dedup_sorted_neighborhood",  # the sort IS the blocking key
     "topk_distinct_prices_dense_rank",
@@ -227,7 +221,6 @@ ALLOW_GLOBAL_SORT = {
     "mixture_token_budget_allocation",
     "conversion_latency_percentiles",
     "agg_weighted_median_price",
-    "agg_median_lower",
     "interval_max_concurrency",
     "text_zipf_rank_frequency",
     "zorder_locality_buckets",
