@@ -93,6 +93,10 @@ HEADLINE = [
     "text_vocab_coverage",
     "market_basket_apriori_triples",
     "impute_linear_interpolation",
+    # session-4 late additions: the 32-lag fused Holt window and the
+    # register-grain deterministic HLL (explode + two-level max-merge).
+    "holt_linear_smoothing",
+    "sketch_hll_deterministic",
 ]
 
 
