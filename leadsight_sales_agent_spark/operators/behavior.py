@@ -3567,3 +3567,184 @@ def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFra
             " DIV (2 * sum(n_events) * max(mx)) AS BIGINT)"
         ).alias("ece_bp"),
     )
+
+
+@query(
+    "forecast_seasonal_mann_kendall",
+    oracle="""
+    WITH series AS (
+        SELECT CAST(month(o_orderdate) AS BIGINT) AS moy,
+               CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.moy,
+               CASE WHEN b.cents > a.cents THEN 1
+                    WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+        FROM series a JOIN series b ON a.moy = b.moy AND a.yr < b.yr
+    )
+    SELECT moy, count(*) AS n_pairs,
+           CAST(sum(sgn) AS BIGINT) AS s,
+           CAST(CASE WHEN sum(sgn) >= 0
+                THEN (2 * 10000 * sum(sgn) + count(*)) // (2 * count(*))
+                ELSE -((2 * 10000 * (-sum(sgn)) + count(*)) // (2 * count(*)))
+           END AS BIGINT) AS tau_bp
+    FROM pairs GROUP BY 1
+    """,
+)
+def forecast_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall: the monotone-trend test run WITHIN each
+    calendar month across years (January vs January, never January vs
+    July) — the Hirsch-Slack correction that keeps seasonality from
+    masquerading as (or masking) a trend, standard in any seasonal
+    KPI. Per-month S and tau in exact integers; the global seasonal
+    statistic is the plain sum of the 12 S values downstream.
+
+    Pair expansion is within-month-across-years — 12 independent
+    ~C(7,2) grids, calendar-bounded like the plain MK test
+    (forecast_mann_kendall_trend is the unstratified sibling).
+    """
+    series = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.month("o_orderdate").cast("bigint").alias("moy"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    a = series.select("moy", F.col("yr").alias("ya"), F.col("cents").alias("ca"))
+    b = series.select(
+        F.col("moy").alias("moy_b"), F.col("yr").alias("yb"), F.col("cents").alias("cb")
+    )
+    pairs = a.join(
+        b, (F.col("moy") == F.col("moy_b")) & (F.col("ya") < F.col("yb"))
+    ).select(
+        "moy",
+        F.when(F.col("cb") > F.col("ca"), 1)
+        .when(F.col("cb") < F.col("ca"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    return pairs.groupBy("moy").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("sgn").cast("bigint").alias("s"),
+        F.expr(
+            "CAST(CASE WHEN sum(sgn) >= 0"
+            " THEN (2 * 10000 * sum(sgn) + count(*)) DIV (2 * count(*))"
+            " ELSE -((2 * 10000 * (-sum(sgn)) + count(*)) DIV (2 * count(*)))"
+            " END AS BIGINT)"
+        ).alias("tau_bp"),
+    )
+
+
+@query(
+    "chi_trend_cochran_armitage",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_custkey,
+               CAST(CAST(c.c_acctbal AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS bal_cents,
+               max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                   AS y
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT CAST(ntile(5) OVER (ORDER BY bal_cents, c_custkey) AS BIGINT)
+                   AS s,
+               y
+        FROM cust
+    ),
+    g AS (
+        SELECT s, count(*) AS n_i, CAST(sum(y) AS BIGINT) AS r_i
+        FROM scored GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(n_i) AS n, sum(r_i) AS r,
+               sum(s * n_i) AS sn, sum(s * s * n_i) AS ssn,
+               sum(s * r_i) AS sr
+        FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(r AS BIGINT) AS n_positive,
+           CAST(n * sr - r * sn AS BIGINT) AS t_num,
+           round(CAST(n * sr - r * sn AS DOUBLE)
+                 / sqrt(CAST(r AS DOUBLE) * (n - r)
+                        * (n * ssn - sn * sn) / n), 4) AS z_trend
+    FROM tot
+    """,
+)
+def chi_trend_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the probability of placing an
+    URGENT order rise MONOTONICALLY with customer account-balance
+    quintile? The ordered-exposure upgrade of the chi-square
+    independence test (chi_square_priority_status treats categories
+    as unordered; CA spends its single degree of freedom on the
+    linear trend, making it far more powerful when order matters —
+    dose-response analysis, wealth-tier effects). Quintiles are
+    tie-broken ntiles (total order); the trend numerator
+    T = N·Σs·r − R·Σs·n is EXACT integer, and z = T/√Var is one
+    fixed IEEE tree over integer-derived doubles, rounded 4dp.
+
+    One customer-grain rollup (fact join → max flag), a 5-group
+    reduce, and scalar arithmetic — the heavy lifting is all in the
+    first aggregation.
+    """
+    cust = (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("bal_cents"),
+        )
+        .join(
+            load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy("c_custkey", "bal_cents")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("y")
+        )
+    )
+    scored = cust.select(
+        F.ntile(5)
+        .over(Window.orderBy("bal_cents", "c_custkey"))
+        .cast("bigint")
+        .alias("s"),
+        "y",
+    )
+    g = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_i"), F.sum("y").cast("bigint").alias("r_i")
+    )
+    tot = g.agg(
+        F.sum("n_i").alias("n"),
+        F.sum("r_i").alias("r"),
+        F.sum(F.col("s") * F.col("n_i")).alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i")).alias("ssn"),
+        F.sum(F.col("s") * F.col("r_i")).alias("sr"),
+    )
+    t_num = F.col("n") * F.col("sr") - F.col("r") * F.col("sn")
+    return tot.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("r").cast("bigint").alias("n_positive"),
+        t_num.cast("bigint").alias("t_num"),
+        F.round(
+            t_num.cast("double")
+            / F.sqrt(
+                F.col("r").cast("double")
+                * (F.col("n") - F.col("r"))
+                * (F.col("n") * F.col("ssn") - F.col("sn") * F.col("sn"))
+                / F.col("n")
+            ),
+            4,
+        ).alias("z_trend"),
+    )

@@ -2738,3 +2738,85 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@query(
+    "text_term_burstiness",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    counts AS (
+        SELECT t, doc_id, count(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    ndocs AS (SELECT count(*) AS nd FROM documents
+              WHERE length(trim(text)) > 0),
+    stats AS (
+        SELECT t,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2,
+               count(*) AS df
+        FROM counts GROUP BY 1
+    ),
+    top AS (
+        SELECT t, s1, s2, df,
+               row_number() OVER (ORDER BY s1 DESC, t ASC) AS rn
+        FROM stats
+    )
+    SELECT t.t AS term, t.s1 AS total_count, CAST(t.df AS BIGINT) AS doc_freq,
+           CAST((2 * 10000 * (n.nd * t.s2 - CAST(t.s1 AS HUGEINT) * t.s1)
+                 + CAST(t.s1 AS HUGEINT) * n.nd)
+                // (2 * CAST(t.s1 AS HUGEINT) * n.nd) AS BIGINT)
+               AS fano_bp
+    FROM top t CROSS JOIN ndocs n
+    WHERE t.rn <= 50
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness via the Fano factor (variance/mean of per-doc
+    occurrence counts, zeros included) for the top-50 terms — the
+    content/function-word separator: function words scatter evenly
+    (Fano ≈ 1, Poisson-like), topical words BURST in the documents
+    that are about them (Fano >> 1), which is why burstiness beats
+    raw frequency for keyword and boilerplate triage.
+
+    Zeros-included exactness without materializing zeros: with N
+    docs, mean = s1/N and var = (N·Σc² − s1²)/N² over the FULL
+    zero-padded vector — absent docs add nothing to s1/s2, so only
+    the constant N matters (the ABC-XYZ device). Fano =
+    (N·s2 − s1²)/(s1·N) cross-multiplied into half-up bp — pure
+    integers. One explode, term-grain reduce, top-50 rank.
+    """
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    counts = tok.groupBy("t", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    stats = counts.groupBy("t").agg(
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    top = stats.select(
+        "t",
+        "s1",
+        "s2",
+        "df",
+        F.row_number().over(Window.orderBy(F.desc("s1"), F.asc("t"))).alias("rn"),
+    ).filter(F.col("rn") <= 50)
+    return top.crossJoin(F.broadcast(nd)).select(
+        F.col("t").alias("term"),
+        F.col("s1").alias("total_count"),
+        F.col("df").cast("bigint").alias("doc_freq"),
+        F.expr(
+            "CAST((2 * 10000 * (nd * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)"
+            " + CAST(s1 AS DECIMAL(38,0)) * nd)"
+            " DIV (2 * CAST(s1 AS DECIMAL(38,0)) * nd) AS BIGINT)"
+        ).alias("fano_bp"),
+    )
