@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from leadsight_sales_agent_spark.functions.numeric import sql_hex_to_long
 from leadsight_sales_agent_spark.registry import query
 from leadsight_sales_agent_spark.sources.catalog import load
 
@@ -1702,3 +1703,127 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("ta").cast("bigint").alias("inner_chars"),
         F.length("tb").cast("bigint").alias("outer_chars"),
     )
+
+
+@query(
+    "neardup_simhash_exact",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               {sql_hex_to_long("substr(md5('sh|' || t), 1, 12)", 12)} AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS t
+            FROM documents WHERE length(trim(text)) > 0
+        ) x
+    ),
+    votes AS (
+        SELECT doc_id, b.b,
+               sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+        GROUP BY 1, 2
+    ),
+    sigs AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0
+                        THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT)
+                   AS sig
+        FROM votes GROUP BY 1
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) AS BIGINT)
+               AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) <= 1
+    """,
+)
+def neardup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 32-bit SimHash near-dup join, ORACLE-CHECKED —
+    the proven-exact upgrade of the rows-only neardup_simhash
+    heuristic: token hashes come from the shared md5 hex→BIGINT
+    device (no engine-local hash), signature bits are majority votes
+    of ±1 per bit over DISTINCT tokens, and pairs within Hamming
+    distance 3 are reported. The ENGINE never scans all pairs: it
+    blocks on FOUR 4-bit bands — by pigeonhole, two signatures
+    within Hamming 3 differ in at most 3 bands, so they AGREE on at
+    least one band: banding is LOSSLESS for the threshold, and the
+    hash match against the oracle's quadratic join PROVES it (the
+    same guarantee MinHash-LSH can only claim probabilistically).
+
+    Plan: one explode for votes (32x token grain, map-side),
+    signature per doc, then 8 band-keyed equi-joins (union,
+    deduped) with the exact Hamming verify inside the candidate
+    set. Band buckets bound the join the way LSH buckets do —
+    deterministically.
+    """
+    tok = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+        )
+        .distinct()
+        .select(
+            "doc_id",
+            F.expr(
+                sql_hex_to_long("substr(md5('sh|' || t), 1, 12)", 12)
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    bits = spark.range(0, 32).select(F.col("id").cast("int").alias("b"))
+    votes = (
+        tok.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> b) & 1 = 1"), 1).otherwise(-1)
+            ).alias("v")
+        )
+    )
+    sigs = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("sig")
+    )
+    # eight 4-bit bands: band k = bits 4k..4k+3
+    banded = None
+    for k in range(8):
+        bnd = sigs.select(
+            "doc_id",
+            "sig",
+            F.lit(k).alias("band"),
+            F.expr(f"(sig >> {4 * k}) & 15").alias("bkey"),
+        )
+        banded = bnd if banded is None else banded.unionByName(bnd)
+    a = banded.select(
+        F.col("band").alias("band_a"),
+        F.col("bkey").alias("bkey_a"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = banded.select(
+        F.col("band").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bkey_a") == F.col("bkey_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("bit_count(sig_a ^ sig_b)").cast("bigint").alias("hamming"),
+    ).filter(F.col("hamming") <= 1)
