@@ -3748,3 +3748,58 @@ def chi_trend_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_trend"),
     )
+
+
+def _cost_threshold_oracle() -> str:
+    """Composed from the registered PR-curve spec: pick the threshold
+    maximizing integer profit 5·TP − 1·FP (ties → lowest threshold
+    maximizing recall... resolved by the explicit rank)."""
+    from leadsight_sales_agent_spark.registry import ORACLES
+
+    pr = ORACLES["eval_pr_curve"]
+    return f"""
+    WITH pr AS ({pr}),
+    scored AS (
+        SELECT threshold_cents, tp, fp,
+               5 * tp - fp AS profit,
+               row_number() OVER (ORDER BY 5 * tp - fp DESC,
+                                  threshold_cents ASC) AS rn
+        FROM pr
+    )
+    SELECT threshold_cents AS best_threshold_cents,
+           tp, fp, CAST(profit AS BIGINT) AS profit
+    FROM scored WHERE rn = 1
+    """
+
+
+@query("eval_cost_optimal_threshold", oracle=_cost_threshold_oracle())
+def eval_cost_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive operating point: sweep every threshold on the
+    REGISTERED PR curve and pick the one maximizing business profit
+    (value 5 per true positive, cost 1 per false positive — the
+    asymmetric-cost setting where accuracy/F1 pick the WRONG
+    threshold). The sweep is the PR grain (bounded by the score
+    domain), profit is exact integer arithmetic, and the argmax is
+    a total-ordered rank — composed with zero drift from the same
+    spec the PR curve grades.
+    """
+    from leadsight_sales_agent_spark.registry import QUERIES
+
+    pr = QUERIES["eval_pr_curve"](spark, sf_dir)
+    scored = pr.select(
+        "threshold_cents",
+        "tp",
+        "fp",
+        (F.lit(5) * F.col("tp") - F.col("fp")).alias("profit"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.desc("profit"), F.asc("threshold_cents"))
+        ),
+    )
+    return scored.filter(F.col("rn") == 1).select(
+        F.col("threshold_cents").alias("best_threshold_cents"),
+        "tp",
+        "fp",
+        F.col("profit").cast("bigint").alias("profit"),
+    )
