@@ -3950,3 +3950,82 @@ def eval_qq_quantile_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_cents"),
     )
+
+
+@query(
+    "profile_column_entropy",
+    oracle="""
+    WITH cols AS (
+        SELECT 'o_orderpriority' AS col, o_orderpriority AS v FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', o_orderstatus FROM orders
+        UNION ALL
+        SELECT 'c_mktsegment', c_mktsegment FROM customer
+        UNION ALL
+        SELECT 'l_returnflag', l_returnflag FROM lineitem
+        UNION ALL
+        SELECT 'event_type', event_type FROM events
+    ),
+    freq AS (
+        SELECT col, v, count(*) AS c FROM cols GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT col, sum(c) AS n, count(*) AS n_distinct FROM freq GROUP BY 1
+    )
+    SELECT f.col, CAST(t.n_distinct AS BIGINT) AS n_distinct,
+           round(CAST(sum(CAST(round(- (CAST(f.c AS DOUBLE) / t.n)
+                                     * ln(CAST(f.c AS DOUBLE) / t.n), 12)
+                               AS DECIMAL(20,12))) AS DOUBLE), 6)
+               AS entropy_nats,
+           round(ln(CAST(t.n_distinct AS DOUBLE)), 6) AS max_entropy_nats
+    FROM freq f JOIN tot t ON f.col = t.col
+    GROUP BY f.col, t.n_distinct, t.n
+    """,
+)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per categorical column across the schema — the
+    information-content profile that ranks columns for partitioning,
+    encoding, and feature value: entropy near ln(k) means uniform
+    (great partition key, useless feature on its own), near 0 means
+    degenerate (drop it). Reported beside the uniform-maximum so the
+    ratio reads directly.
+
+    One union-of-scans to the (column, value) grain (each leg reads
+    ONE pruned column), a 2-level reduce, and the PSI ln-rounding
+    regime for the only float step — the frequencies entering ln are
+    exact-integer ratios, quantized per term to 12dp decimals before
+    summing (the Zipf device: decimal addition is associative, so
+    partial-agg order can't wiggle the 6dp output). The same pattern
+    extends mechanically to
+    any column list (profile_table_summary is the null/min/max
+    sibling).
+    """
+    legs = [
+        ("o_orderpriority", load(spark, sf_dir, "orders").select(F.col("o_orderpriority").alias("v"))),
+        ("o_orderstatus", load(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("v"))),
+        ("c_mktsegment", load(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("v"))),
+        ("l_returnflag", load(spark, sf_dir, "lineitem").select(F.col("l_returnflag").alias("v"))),
+        ("event_type", load(spark, sf_dir, "events").select(F.col("event_type").alias("v"))),
+    ]
+    cols = None
+    for name, df in legs:
+        leg = df.select(F.lit(name).alias("col"), "v")
+        cols = leg if cols is None else cols.unionByName(leg)
+    freq = cols.groupBy("col", "v").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.groupBy("col").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    j = freq.join(tot, "col")
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p), 12).cast("decimal(20,12)")
+    return j.groupBy("col", "n_distinct", "n").agg(
+        F.round(F.sum(term).cast("double"), 6).alias("entropy_nats"),
+        F.round(F.log(F.col("n_distinct").cast("double")), 6).alias(
+            "max_entropy_nats"
+        ),
+    ).select(
+        "col",
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "entropy_nats",
+        "max_entropy_nats",
+    )

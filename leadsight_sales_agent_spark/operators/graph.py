@@ -445,3 +445,94 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("min_degree"),
         F.max("d").alias("max_degree"),
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    sdeg AS (SELECT s, count(*) AS ds FROM edges GROUP BY 1),
+    pdeg AS (SELECT p, count(*) AS dp FROM edges GROUP BY 1),
+    pairs AS (
+        SELECT CAST(sd.ds AS BIGINT) AS x, CAST(pd.dp AS BIGINT) AS y
+        FROM edges e
+        JOIN sdeg sd ON sd.s = e.s
+        JOIN pdeg pd ON pd.p = e.p
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier-part bipartite graph: the
+    Pearson correlation between endpoint degrees ACROSS EDGES —
+    positive means hub suppliers connect to popular parts
+    (rich-club), negative means hubs serve the long tail; the
+    number that predicts whether hub-targeted optimizations (the
+    triangle-orientation device, skew salting) will pay off on this
+    graph. Newman's r computed from five exact integer sufficient
+    statistics over the edge list (degrees are integers), one fixed
+    IEEE tree, 6dp — the rolling-correlation device on graph
+    structure.
+
+    Plan: degree tables are two aggregations of the edge list; the
+    per-edge join brings each endpoint's degree (dimension-sized
+    sides broadcast at this grain), then one reduce.
+    """
+    edges = (
+        load(spark, sf_dir, "lineitem").select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        )
+    ).distinct()
+    sdeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+    pdeg = edges.groupBy("p").agg(F.count(F.lit(1)).alias("dp"))
+    pairs = (
+        edges.join(F.broadcast(sdeg), "s")
+        .join(F.broadcast(pdeg), "p")
+        .select(
+            F.col("ds").cast("bigint").alias("x"),
+            F.col("dp").cast("bigint").alias("y"),
+        )
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (
+                F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * F.sqrt(
+                    nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+                )
+            ),
+            6,
+        ).alias("assortativity"),
+    )
