@@ -1827,3 +1827,75 @@ def neardup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.expr("bit_count(sig_a ^ sig_b)").cast("bigint").alias("hamming"),
     ).filter(F.col("hamming") <= 1)
+
+
+def _linkage_quality_oracle() -> str:
+    """Linkage quality vs ground truth, composed from the registered
+    entity_link oracle: the dirtying is deterministic (billing_id =
+    custkey + 10^7, population = custkey % 9 == 0), so the truth set
+    is reconstructible in-query and precision/recall are exact."""
+    from leadsight_sales_agent_spark.registry import ORACLES
+
+    link = ORACLES["entity_link_customers_billing"]
+    return f"""
+    WITH links AS ({link}),
+    truth AS (
+        SELECT count(*) AS n_truth FROM customer WHERE c_custkey % 9 = 0
+    ),
+    graded AS (
+        SELECT count(*) AS n_accepted,
+               CAST(sum(CASE WHEN billing_id - 10000000 = c_custkey
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM links
+    )
+    SELECT g.n_accepted, g.n_correct,
+           CAST(t.n_truth AS BIGINT) AS n_truth,
+           CAST((2 * 10000 * g.n_correct + g.n_accepted)
+                // (2 * g.n_accepted) AS BIGINT) AS precision_bp,
+           CAST((2 * 10000 * g.n_correct + t.n_truth)
+                // (2 * t.n_truth) AS BIGINT) AS recall_bp
+    FROM graded g CROSS JOIN truth t
+    """
+
+
+@query("eval_linkage_quality", oracle=_linkage_quality_oracle())
+def eval_linkage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage quality scorecard: precision and recall of the
+    REGISTERED entity-resolution query against ground truth — which
+    is knowable exactly because the billing side is a DETERMINISTIC
+    in-query dirtying of the customer table (billing_id encodes the
+    true key). This is the eval loop every linkage deployment needs
+    (tune the threshold on labeled truth, then ship); here it closes
+    the loop with zero drift: the linker's spec appears once, the
+    grader composes it. All-integer precision/recall in half-up bp.
+    """
+    from leadsight_sales_agent_spark.registry import QUERIES
+
+    links = QUERIES["entity_link_customers_billing"](spark, sf_dir)
+    truth = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 9 == 0)
+        .agg(F.count(F.lit(1)).alias("n_truth"))
+    )
+    graded = links.agg(
+        F.count(F.lit(1)).alias("n_accepted"),
+        F.sum(
+            F.when(F.col("billing_id") - 10000000 == F.col("c_custkey"), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    return graded.crossJoin(F.broadcast(truth)).select(
+        "n_accepted",
+        "n_correct",
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        F.expr(
+            "CAST((2 * 10000 * n_correct + n_accepted) DIV (2 * n_accepted)"
+            " AS BIGINT)"
+        ).alias("precision_bp"),
+        F.expr(
+            "CAST((2 * 10000 * n_correct + n_truth) DIV (2 * n_truth) AS BIGINT)"
+        ).alias("recall_bp"),
+    )
