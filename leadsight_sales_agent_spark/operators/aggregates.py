@@ -4029,3 +4029,109 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entropy_nats",
         "max_entropy_nats",
     )
+
+
+@query(
+    "price_elasticity_grouped",
+    oracle="""
+    WITH parts AS (
+        SELECT p.p_brand AS brand, l.l_partkey,
+               CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_cents,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    pts AS (
+        SELECT brand,
+               CAST(round(ln(CAST(rev_cents AS DOUBLE) / qty), 12)
+                    AS DECIMAL(20,12)) AS x,
+               CAST(round(ln(CAST(qty AS DOUBLE)), 12)
+                    AS DECIMAL(20,12)) AS y
+        FROM parts WHERE qty > 0
+    ),
+    terms AS (
+        SELECT brand, x, y,
+               CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 10)
+                    AS DECIMAL(20,10)) AS xy,
+               CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 10)
+                    AS DECIMAL(20,10)) AS xx
+        FROM pts
+    ),
+    s AS (
+        SELECT brand, count(*) AS k,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx
+        FROM terms GROUP BY 1
+    )
+    SELECT brand, CAST(k AS BIGINT) AS n_parts,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+               AS elasticity
+    FROM s WHERE k >= 10
+    """,
+)
+def price_elasticity_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price elasticity of demand per brand, estimated as the
+    log-log OLS slope across that brand's parts (x = ln realized
+    unit price, y = ln quantity sold) — the pricing team's first
+    screen for which brands tolerate a price increase (elasticity
+    near 0) vs bleed volume (strongly negative). A grouped
+    tiny-model like agg_grouped_ols_trend, but on the LOG scale —
+    so the whole Zipf float regime applies: realized prices are
+    ratios of exact integers (identical doubles), ln rounds to 12dp,
+    cross-products to 10dp, all sums ride associative decimals, and
+    the closed form runs once per brand on identical doubles.
+    Brands with <10 parts are suppressed (no meaningful fit).
+    """
+    parts = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"), "l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(25,2)") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev_cents"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+        )
+    )
+    pts = parts.filter(F.col("qty") > 0).select(
+        "brand",
+        F.round(F.log(F.col("rev_cents").cast("double") / F.col("qty")), 12)
+        .cast("decimal(20,12)")
+        .alias("x"),
+        F.round(F.log(F.col("qty").cast("double")), 12)
+        .cast("decimal(20,12)")
+        .alias("y"),
+    )
+    terms = pts.select(
+        "brand",
+        "x",
+        "y",
+        F.round(F.col("x").cast("double") * F.col("y").cast("double"), 10)
+        .cast("decimal(20,10)")
+        .alias("xy"),
+        F.round(F.col("x").cast("double") * F.col("x").cast("double"), 10)
+        .cast("decimal(20,10)")
+        .alias("xx"),
+    )
+    s = terms.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    return s.filter(F.col("k") >= 10).select(
+        "brand",
+        F.col("k").cast("bigint").alias("n_parts"),
+        F.round(
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("elasticity"),
+    )
