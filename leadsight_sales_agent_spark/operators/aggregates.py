@@ -4135,3 +4135,109 @@ def price_elasticity_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("elasticity"),
     )
+
+
+@query(
+    "panel_fixed_effects_slope",
+    oracle="""
+    WITH panel AS (
+        SELECT o_custkey AS cust,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT cust, count(*) AS n_g,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        FROM panel GROUP BY 1
+        HAVING count(*) >= 2
+    ),
+    terms AS (
+        SELECT CAST(round(CAST(n_g * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                          / n_g, 6) AS DECIMAL(25,6)) AS num_t,
+               CAST(round(CAST(n_g * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                          / n_g, 6) AS DECIMAL(25,6)) AS den_t,
+               n_g
+        FROM g
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_entities,
+           CAST(sum(n_g) AS BIGINT) AS n_obs,
+           round(CAST(sum(num_t) AS DOUBLE) / CAST(sum(den_t) AS DOUBLE), 4)
+               AS fe_slope_cents_per_order
+    FROM terms
+    """,
+)
+def panel_fixed_effects_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effects (within) panel estimator: monthly revenue on
+    monthly order count per CUSTOMER, with every customer's own
+    level differenced out — the econometric answer to "what does one
+    MORE order in a month buy", immune to cross-customer confounding
+    (big customers have more orders AND higher revenue; pooled OLS
+    conflates the two, the within transformation doesn't). β_FE =
+    Σ_g centered-cross / Σ_g centered-var over single-customer
+    panels with ≥2 months.
+
+    Float regime: each group's centered sums (n·Σxy − ΣxΣy)/n are
+    exact-integer numerators over the group count — divided as
+    identical doubles, quantized to 6dp decimals (values are
+    cents-scale; 6dp is far above ulp noise), and SUMMED as
+    associative decimals across groups, so partial-aggregation order
+    can't move the 4dp slope. One fact rollup, one customer-grain
+    reduce, one global reduce.
+    """
+    panel = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    g = (
+        panel.groupBy("cust")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+            .cast("decimal(38,0)")
+            .alias("sxx"),
+        )
+        .filter(F.col("n_g") >= 2)
+    )
+    num = (
+        F.col("n_g").cast("decimal(38,0)") * F.col("sxy")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    ).cast("double") / F.col("n_g")
+    den = (
+        F.col("n_g").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+    ).cast("double") / F.col("n_g")
+    terms = g.select(
+        F.round(num, 6).cast("decimal(25,6)").alias("num_t"),
+        F.round(den, 6).cast("decimal(25,6)").alias("den_t"),
+        "n_g",
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+        F.sum("n_g").cast("bigint").alias("n_obs"),
+        F.round(
+            F.sum("num_t").cast("double") / F.sum("den_t").cast("double"), 4
+        ).alias("fe_slope_cents_per_order"),
+    )
