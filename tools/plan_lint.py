@@ -185,6 +185,9 @@ ALLOW_NON_EQUI = {
     "forecast_conformal_interval",  # 1-row q-hat anchor
     "eval_expected_calibration_error",  # 1-row max-score normalizer
     "eval_label_silhouette",  # documented corpus-bounded all-pairs matrix
+    "neardup_simhash_exact",  # 32-row bit grid broadcast for the votes
+    "eval_linkage_quality",  # 1-row truth anchor
+    "text_term_burstiness",  # 1-row corpus-size anchor
 }
 
 # R2: documented global-order operators (range partition IS the plan).
@@ -252,6 +255,7 @@ ALLOW_MANY_EXCHANGES = {
     "dq_referential_integrity": 14,  # 7-edge audit union
     "dq_primary_key_uniqueness": 14,  # 7-table audit union
     "sketch_hll_deterministic": 13,  # per-type + merged register paths
+    "neardup_simhash_exact": 65,  # 8 band-keyed joins + dedup + verify
 }
 
 FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
