@@ -2651,3 +2651,75 @@ def holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         half_up("bsc").alias("trend_cents"),
         half_up("lsc + bsc").alias("forecast_next_cents"),
     )
+
+
+@query(
+    "ops_error_budget_burn",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n_events,
+               CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+                   AS n_errors
+        FROM events GROUP BY 1
+    ),
+    rolling AS (
+        SELECT day, n_events, n_errors,
+               sum(n_events) OVER w AS n7, sum(n_errors) OVER w AS e7,
+               count(*) OVER w AS d7
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, n_events, n_errors,
+           CAST((2 * 10000 * n_errors + n_events) // (2 * n_events) AS BIGINT)
+               AS day_error_bp,
+           CAST((2 * 10000 * e7 + n7) // (2 * n7) AS BIGINT) AS rolling7_bp,
+           CAST((2 * 100 * e7 + n7) // (2 * n7) AS BIGINT) AS burn_rate_x
+    FROM rolling WHERE d7 = 7
+    """,
+)
+def ops_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn: daily and 7-day-rolling error rates
+    against a 1% (100 bp) budget, with the burn-rate MULTIPLE (how
+    many budgets a week at this rate consumes — burn 1x = exactly on
+    budget, 14x = the classic page-now threshold) — the SRE
+    alerting arithmetic (multiwindow burn alerts), computed on the
+    day grain with exact integer rates. burn_rate_x is the rolling
+    error rate divided by the 100 bp budget = (10000·e/n)/100,
+    half-up. Incomplete leading windows are gated (d7 = 7).
+
+    One fact rollup to days, one frame for all three window sums.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(F.col("event_type") == "error")
+            .cast("bigint")
+            .alias("n_errors"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    rolling = daily.select(
+        "day",
+        "n_events",
+        "n_errors",
+        F.sum("n_events").over(w).alias("n7"),
+        F.sum("n_errors").over(w).alias("e7"),
+        F.count(F.lit(1)).over(w).alias("d7"),
+    )
+    return rolling.filter(F.col("d7") == 7).select(
+        "day",
+        "n_events",
+        "n_errors",
+        F.expr(
+            "CAST((2 * 10000 * n_errors + n_events) DIV (2 * n_events) AS BIGINT)"
+        ).alias("day_error_bp"),
+        F.expr("CAST((2 * 10000 * e7 + n7) DIV (2 * n7) AS BIGINT)").alias(
+            "rolling7_bp"
+        ),
+        F.expr("CAST((2 * 100 * e7 + n7) DIV (2 * n7) AS BIGINT)").alias(
+            "burn_rate_x"
+        ),
+    )
