@@ -3803,3 +3803,147 @@ def eval_cost_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         F.col("profit").cast("bigint").alias("profit"),
     )
+
+
+def _qini_oracle() -> str:
+    """Qini-style cumulative uplift by score quintile, reusing the
+    REGISTERED A/B assignment constants (salt 'ab:', same threshold)
+    so the arms here are bit-identical to ab_deterministic_assignment."""
+    from leadsight_sales_agent_spark.operators.sampling import (
+        _SQL_HASH,
+        AB_ARM_THRESHOLD,
+    )
+
+    arm = (
+        f"CASE WHEN {_SQL_HASH.format(salt='ab:', key='user_id')}"
+        f" < '{AB_ARM_THRESHOLD}' THEN 'A' ELSE 'B' END"
+    )
+    return f"""
+    WITH users AS (
+        SELECT user_id,
+               {arm} AS arm,
+               CAST(sum(CAST(coalesce(value, 0) AS DECIMAL(25,2)) * 100)
+                    AS BIGINT) AS score_cents,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT arm, y,
+               ntile(5) OVER (ORDER BY score_cents DESC, user_id ASC)
+                   AS quintile
+        FROM users
+    ),
+    per AS (
+        SELECT quintile,
+               CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+               CAST(sum(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS BIGINT) AS pt,
+               CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+               CAST(sum(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS BIGINT) AS pc
+        FROM ranked GROUP BY 1
+    ),
+    cum AS (
+        SELECT quintile,
+               sum(nt) OVER w AS nt, sum(pt) OVER w AS pt,
+               sum(nc) OVER w AS nc, sum(pc) OVER w AS pc
+        FROM per
+        WINDOW w AS (ORDER BY quintile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT quintile,
+           CAST(nt AS BIGINT) AS cum_treated,
+           CAST(pt AS BIGINT) AS cum_treated_pos,
+           CAST(nc AS BIGINT) AS cum_control,
+           CAST(pc AS BIGINT) AS cum_control_pos,
+           CAST(CASE WHEN pt * nc - pc * nt >= 0
+                THEN (2 * 10000 * (pt * nc - pc * nt) + nt * nc)
+                     // (2 * nt * nc)
+                ELSE -((2 * 10000 * (pc * nt - pt * nc) + nt * nc)
+                       // (2 * nt * nc))
+           END AS BIGINT) AS cum_uplift_bp
+    FROM cum
+    """
+
+
+@query("eval_qini_uplift_curve", oracle=_qini_oracle())
+def eval_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini-style cumulative uplift curve: users ranked by a targeting
+    score (total event value), cut into quintiles, and at each depth
+    the CUMULATIVE treated-minus-control conversion-rate gap — the
+    uplift-model evaluation that answers "does targeting the top
+    scores actually concentrate the causal effect" (with the
+    registered hash arms this is an A/A, so the curve hovering
+    around 0 is itself the validity check). Arms reuse the EXACT
+    registered assignment expression (zero drift); the rate gap is
+    the cross-multiplied integer (pt·nc − pc·nt)/(nt·nc), half-up
+    bp with negative mirroring.
+
+    One user-grain fold, a total-ordered ntile on the user grain,
+    and windows over the 5-row quintile grain.
+    """
+    from leadsight_sales_agent_spark.operators.sampling import (
+        AB_ARM_THRESHOLD,
+        hash_key,
+    )
+
+    users = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.coalesce(F.col("value"), F.lit(0)).cast("decimal(25,2)") * 100)
+            )
+            .cast("bigint")
+            .alias("score_cents"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y"),
+        )
+        .select(
+            "user_id",
+            F.when(
+                hash_key("ab:", F.col("user_id")) < F.lit(AB_ARM_THRESHOLD), "A"
+            )
+            .otherwise("B")
+            .alias("arm"),
+            "score_cents",
+            "y",
+        )
+    )
+    ranked = users.select(
+        "arm",
+        "y",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("score_cents"), F.asc("user_id")))
+        .alias("quintile"),
+    )
+    per = ranked.groupBy("quintile").agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("bigint").alias("nt"),
+        F.sum(F.when(F.col("arm") == "A", F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("pt"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("bigint").alias("nc"),
+        F.sum(F.when(F.col("arm") == "B", F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("pc"),
+    )
+    w = Window.orderBy("quintile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "quintile",
+        F.sum("nt").over(w).alias("nt"),
+        F.sum("pt").over(w).alias("pt"),
+        F.sum("nc").over(w).alias("nc"),
+        F.sum("pc").over(w).alias("pc"),
+    )
+    return cum.select(
+        "quintile",
+        F.col("nt").cast("bigint").alias("cum_treated"),
+        F.col("pt").cast("bigint").alias("cum_treated_pos"),
+        F.col("nc").cast("bigint").alias("cum_control"),
+        F.col("pc").cast("bigint").alias("cum_control_pos"),
+        F.expr(
+            "CAST(CASE WHEN pt * nc - pc * nt >= 0"
+            " THEN (2 * 10000 * (pt * nc - pc * nt) + nt * nc) DIV (2 * nt * nc)"
+            " ELSE -((2 * 10000 * (pc * nt - pt * nc) + nt * nc)"
+            " DIV (2 * nt * nc)) END AS BIGINT)"
+        ).alias("cum_uplift_bp"),
+    )
