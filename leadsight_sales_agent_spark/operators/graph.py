@@ -536,3 +536,102 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@query(
+    "graph_rich_club_coefficient",
+    oracle="""
+    WITH bip AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM bip a JOIN bip b ON a.p = b.p AND a.s < b.s
+    ),
+    deg AS (
+        SELECT u AS node, count(*) AS d FROM (
+            SELECT u FROM edges UNION ALL SELECT v FROM edges
+        ) t(u) GROUP BY 1
+    ),
+    ks AS (SELECT unnest([5, 10, 20, 40]) AS k),
+    club AS (
+        SELECT k.k, d.node
+        FROM ks k JOIN deg d ON d.d > k.k
+    ),
+    club_n AS (
+        SELECT k, count(*) AS n_k FROM club GROUP BY 1
+    ),
+    club_e AS (
+        SELECT c1.k, count(*) AS e_k
+        FROM edges e
+        JOIN club c1 ON c1.node = e.u
+        JOIN club c2 ON c2.node = e.v AND c2.k = c1.k
+        GROUP BY 1
+    )
+    SELECT n.k, CAST(n.n_k AS BIGINT) AS n_nodes,
+           CAST(coalesce(e.e_k, 0) AS BIGINT) AS n_edges,
+           CAST(CASE WHEN n.n_k >= 2
+                THEN (2 * 10000 * 2 * coalesce(e.e_k, 0)
+                      + n.n_k * (n.n_k - 1))
+                     // (2 * n.n_k * (n.n_k - 1))
+                ELSE NULL END AS BIGINT) AS phi_bp
+    FROM club_n n LEFT JOIN club_e e ON e.k = n.k
+    """,
+)
+def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the supplier co-supply graph: for each
+    degree cutoff k, the edge density among nodes of degree > k —
+    rising φ(k) means hub suppliers preferentially interconnect (a
+    "rich club"), the structural fact that decides whether hub
+    failures cascade and whether hub-first optimizations compound.
+    Completes the graph-topology kit: degree distribution (tail
+    shape), assortativity (edge-level mixing), rich club
+    (subgraph-level mixing).
+
+    φ = 2·E_k / (N_k(N_k−1)) as half-up integer bp; the co-supply
+    projection is part-bounded (the market-basket device on the
+    bipartite graph), degrees one reduce, and the per-k club
+    membership joins are dimension-sized.
+    """
+    bip = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = bip.select(F.col("p").alias("pa"), F.col("s").alias("u"))
+    b = bip.select(F.col("p").alias("pb"), F.col("s").alias("v"))
+    edges = (
+        a.join(b, (F.col("pa") == F.col("pb")) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ks = spark.createDataFrame([(5,), (10,), (20,), (40,)], "k bigint")
+    club = F.broadcast(ks).join(deg, F.col("d") > F.col("k")).select("k", "node")
+    club_n = club.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
+    c1 = club.select(F.col("k").alias("k1"), F.col("node").alias("nu"))
+    c2 = club.select(F.col("k").alias("k2"), F.col("node").alias("nv"))
+    club_e = (
+        edges.join(c1, F.col("u") == F.col("nu"))
+        .join(c2, (F.col("v") == F.col("nv")) & (F.col("k1") == F.col("k2")))
+        .groupBy(F.col("k1").alias("k"))
+        .agg(F.count(F.lit(1)).alias("e_k"))
+    )
+    return (
+        club_n.join(club_e, "k", "left")
+        .select(
+            "k",
+            F.col("n_k").cast("bigint").alias("n_nodes"),
+            F.coalesce("e_k", F.lit(0)).cast("bigint").alias("n_edges"),
+            F.expr(
+                "CAST(CASE WHEN n_k >= 2"
+                " THEN (2 * 10000 * 2 * coalesce(e_k, 0) + n_k * (n_k - 1))"
+                " DIV (2 * n_k * (n_k - 1)) ELSE NULL END AS BIGINT)"
+            ).alias("phi_bp"),
+        )
+    )
