@@ -188,6 +188,7 @@ ALLOW_NON_EQUI = {
     "neardup_simhash_exact",  # 32-row bit grid broadcast for the votes
     "eval_linkage_quality",  # 1-row truth anchor
     "text_term_burstiness",  # 1-row corpus-size anchor
+    "graph_rich_club_coefficient",  # 4-row degree-cutoff grid join
 }
 
 # R2: documented global-order operators (range partition IS the plan).
@@ -256,6 +257,7 @@ ALLOW_MANY_EXCHANGES = {
     "dq_primary_key_uniqueness": 14,  # 7-table audit union
     "sketch_hll_deterministic": 13,  # per-type + merged register paths
     "neardup_simhash_exact": 65,  # 8 band-keyed joins + dedup + verify
+    "graph_rich_club_coefficient": 39,  # projection + degree + per-k club joins
 }
 
 FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
