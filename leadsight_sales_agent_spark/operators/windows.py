@@ -2723,3 +2723,79 @@ def ops_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "burn_rate_x"
         ),
     )
+
+
+@query(
+    "window_zscore_rolling",
+    oracle="""
+    WITH m AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ),
+    roll AS (
+        SELECT month, v,
+               count(*) OVER w AS n,
+               sum(v) OVER w AS s1,
+               sum(CAST(v AS HUGEINT) * v) OVER w AS s2
+        FROM m
+        WINDOW w AS (ORDER BY month ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT month, v AS revenue_cents,
+           round((CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                 / sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                        / (CAST(n AS DOUBLE) * n)), 4) AS zscore,
+           CASE WHEN abs((CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                 / sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                        / (CAST(n AS DOUBLE) * n))) > 2
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM roll WHERE n = 12
+    """,
+)
+def window_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score monitoring: each month's revenue scored against
+    the mean and population-σ of the TRAILING 12 months (current row
+    excluded — a spike must not mask itself by inflating its own
+    baseline), |z| > 2 flags — the ubiquitous dashboards-and-alerts
+    statistic, with the sufficient-statistics exactness contract:
+    Σv and Σv² are exact integer window sums, the z formula is one
+    fixed IEEE tree (+,-,*,/ and sqrt), 4dp round. The leave-one-out
+    frame (12 PRECEDING .. 1 PRECEDING) is the detail naive
+    implementations get wrong.
+
+    Complements the robust detectors (MAD, CUSUM, seasonal-adjusted):
+    this is the cheap first-line z alarm.
+    """
+    m = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100, 0)
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(-12, -1)
+    roll = m.select(
+        "month",
+        "v",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v").over(w).alias("s1"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).over(w).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    z = (F.col("v").cast("double") - F.col("s1").cast("double") / F.col("n")) / F.sqrt(
+        (nd * F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1"))
+        / (nd * F.col("n"))
+    )
+    return roll.filter(F.col("n") == 12).select(
+        "month",
+        F.col("v").alias("revenue_cents"),
+        F.round(z, 4).alias("zscore"),
+        F.when(F.abs(z) > 2, 1).otherwise(0).alias("is_anomaly"),
+    )
