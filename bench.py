@@ -167,7 +167,13 @@ def main() -> None:
         "neardup_minhash_lsh", "knn_cosine_bruteforce",
         "text_tfidf_top_terms", "leadsight_enrich_pipeline",
     ]
-    total_r1 = round(sum(timings[n] for n in R1_SUITE if n in timings), 3)
+    missing_r1 = [n for n in R1_SUITE if n not in timings]
+    assert not missing_r1, (
+        f"R1_SUITE queries missing from HEADLINE: {missing_r1} — the "
+        "r1-comparable subtotal would silently shrink and flatter the "
+        "2x-of-baseline comparison"
+    )
+    total_r1 = round(sum(timings[n] for n in R1_SUITE), 3)
 
     # Scaling curve: one pass at sf0.01 → per-query time ratio vs the
     # median at sf_dir. Skippable for quick local iteration.

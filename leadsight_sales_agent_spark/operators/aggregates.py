@@ -829,8 +829,11 @@ def agg_bitwise_boolean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_ordered_topk",
     oracle="""
     SELECT event_type,
-           (array_agg(event_id ORDER BY value DESC, event_id DESC))[1:5]
-               AS top_event_ids
+           array_to_string(
+               list_transform(
+                   (array_agg(event_id ORDER BY value DESC, event_id DESC))[1:5],
+                   x -> CAST(x AS VARCHAR)),
+               ',') AS top_event_ids
     FROM events
     WHERE value IS NOT NULL
     GROUP BY 1
@@ -838,28 +841,32 @@ def agg_bitwise_boolean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect_ordered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered array aggregation: per event type, the ids of the five
-    highest-value events as an ARRAY, ordered (value DESC, id DESC so
-    ties are total — collect order alone is nondeterministic in ANY
-    distributed engine and can never be graded on).
+    highest-value events, ordered (value DESC, id DESC so ties are
+    total — collect order alone is nondeterministic in ANY distributed
+    engine and can never be graded on), serialized as a CSV string.
 
     Spark has no `array_agg(... ORDER BY)`; the equivalent is
     collect_list of (value, id) structs + array_sort on the struct's
     natural (asc, asc) ordering + reverse + slice + field projection —
-    all JVM array expressions, one shuffle. Negating both sort keys
-    would also work; reverse() reads better. slice BEFORE transform
-    keeps the per-group state bounded... at true scale you'd cap the
-    collect itself with a windowed top-k first (window_topk query) —
-    here group cardinality is small and the single-agg form is the
-    point.
+    all JVM array expressions, one shuffle. The final concat_ws
+    serializes the id array deterministically: graded outputs must be
+    scalar columns (array-typed cells crash pandas-side canonicalizers
+    downstream — round-5 driver finding), and CSV keeps the element
+    order observable. At true scale you'd cap the collect itself with
+    a windowed top-k first (window_topk query) — here group
+    cardinality is small and the single-agg form is the point.
     """
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     sorted_pairs = F.reverse(
         F.array_sort(F.collect_list(F.struct(F.col("value"), F.col("event_id"))))
     )
     return ev.groupBy("event_type").agg(
-        F.transform(F.slice(sorted_pairs, 1, 5), lambda s: s["event_id"]).alias(
-            "top_event_ids"
-        )
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(sorted_pairs, 1, 5), lambda s: s["event_id"].cast("string")
+            ),
+        ).alias("top_event_ids")
     )
 
 
@@ -3568,12 +3575,27 @@ def eval_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n").cast("decimal(38,0)")
     den = n * (n * n - 1)
     num = den * 10000 - F.lit(6) * F.col("sd2") * 10000
-    pos = F.floor((F.lit(2) * num + den) / (F.lit(2) * den))
-    neg = -F.floor((F.lit(2) * (-num) + den) / (F.lit(2) * den))
-    return s.select(
+    # Half-up with negative mirroring via IntegralDivide (DIV): Spark's
+    # decimal `/` rounds the quotient HALF_UP to scale 6 BEFORE floor,
+    # so floor(/) and DuckDB's exact `//` can disagree by 1 bp when
+    # num/den lands within ~5e-7 of a .5 tie (playbook: "decimal / +
+    # floor is NOT exact integral division — use DIV").
+    staged = s.select(
         F.col("n").cast("bigint").alias("n_customers"),
         F.col("sd2").cast("bigint").alias("sum_d2"),
-        F.when(num >= 0, pos).otherwise(neg).cast("bigint").alias("rho_bp"),
+        num.alias("num"),
+        den.alias("den"),
+    )
+    return staged.select(
+        "n_customers",
+        "sum_d2",
+        F.when(
+            F.col("num") >= 0,
+            F.expr("(2 * num + den) DIV (2 * den)"),
+        )
+        .otherwise(-F.expr("(2 * (-num) + den) DIV (2 * den)"))
+        .cast("bigint")
+        .alias("rho_bp"),
     )
 
 
@@ -3657,14 +3679,20 @@ def agg_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n").cast("decimal(38,0)")
     num = n * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy")
     den = n * F.col("sxx") - F.col("sx").cast("decimal(38,0)") * F.col("sx")
-    pos = F.floor((F.lit(2) * num + den) / (F.lit(2) * den))
-    neg = -F.floor((F.lit(2) * (-num) + den) / (F.lit(2) * den))
-    return s.select(
+    # DIV, not floor(/): Spark decimal division pre-rounds the quotient
+    # HALF_UP to scale 6, so floor(/) diverges from DuckDB `//` at
+    # near-tie quotients (playbook device — see eval_spearman_rank_corr).
+    staged = s.select("priority", "n", num.alias("num"), den.alias("den"))
+    return staged.select(
         "priority",
         "n",
-        F.when(num >= 0, pos).otherwise(neg).cast("bigint").alias(
-            "slope_cents_per_month"
-        ),
+        F.when(
+            F.col("num") >= 0,
+            F.expr("(2 * num + den) DIV (2 * den)"),
+        )
+        .otherwise(-F.expr("(2 * (-num) + den) DIV (2 * den)"))
+        .cast("bigint")
+        .alias("slope_cents_per_month"),
     )
 
 

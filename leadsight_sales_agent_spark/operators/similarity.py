@@ -829,8 +829,12 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            CAST(count(*) AS BIGINT) AS n_dims,
-           list(z ORDER BY dim) AS z_vec,
-           list(mm ORDER BY dim) AS mm_vec
+           array_to_string(
+               list(CAST(CAST(z AS DECIMAL(15,6)) AS VARCHAR) ORDER BY dim),
+               ',') AS z_vec,
+           array_to_string(
+               list(CAST(CAST(mm AS DECIMAL(15,6)) AS VARCHAR) ORDER BY dim),
+               ',') AS mm_vec
     FROM scaled
     GROUP BY 1
     """,
@@ -846,7 +850,12 @@ def embedding_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,9) (order-independent; |x| < 1 so the cast is lossless
     at any accumulation order), mean/variance then evaluate as the
     IDENTICAL double expression in both engines (same device as
-    agg_stats_moments), and the scaled values round at 6dp.
+    agg_stats_moments), and the scaled values round at 6dp. The
+    vectors serialize as CSV strings — each element cast
+    double→DECIMAL(15,6)→string, because decimal-to-string formatting
+    is fixed-scale and identical across engines while double-to-string
+    is not, and because array-typed graded cells crash pandas-side
+    canonicalizers (round-5 driver finding).
 
     At 100 TB: posexplode → one hash-agg at dimension grain (64 groups
     — partials collapse map-side, ~nothing moves), stats broadcast back
@@ -885,11 +894,19 @@ def embedding_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assembled = scaled.groupBy("vec_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dims"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "z"))), lambda s: s.z
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "z"))),
+                lambda s: s.z.cast("decimal(15,6)").cast("string"),
+            ),
         ).alias("z_vec"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mm"))), lambda s: s.mm
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mm"))),
+                lambda s: s.mm.cast("decimal(15,6)").cast("string"),
+            ),
         ).alias("mm_vec"),
     )
     return assembled

@@ -665,9 +665,10 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(words) AS INTEGER) AS n_words,
            words[1] AS first_word,
            words[len(words)] AS last_word,
-           list_sort(words) AS sorted_words,
+           array_to_string(list_sort(words), ',') AS sorted_words,
            list_contains(words, 'BRUSHED') AS has_brushed,
-           list_transform(words, t -> CAST(length(t) AS INTEGER)) AS word_lens,
+           array_to_string(list_transform(words, t -> CAST(length(t) AS VARCHAR)),
+                           ',') AS word_lens,
            CAST(list_sum(list_transform(words, t -> length(t))) AS INTEGER)
                AS total_chars,
            CAST(len(list_filter(words, t -> length(t) > 6)) AS INTEGER)
@@ -684,7 +685,9 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     a user of any modern engine expects, all Catalyst built-ins in
     whole-stage codegen (no UDF), each with its DuckDB list-function
     twin. Arrays derive from ``split`` of a scalar column, so contents
-    are deterministic (never ``collect_list`` order)."""
+    are deterministic (never ``collect_list`` order). Array-valued
+    outputs (sorted_words, word_lens) serialize to CSV strings —
+    graded cells must be scalar (round-5 driver finding)."""
     w = (
         load(spark, sf_dir, "part")
         .filter(F.col("p_partkey") < 500)
@@ -696,9 +699,11 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("words").alias("n_words"),
         F.get(F.col("words"), 0).alias("first_word"),
         F.get(F.col("words"), F.size("words") - 1).alias("last_word"),
-        F.array_sort("words").alias("sorted_words"),
+        F.concat_ws(",", F.array_sort("words")).alias("sorted_words"),
         F.array_contains("words", "BRUSHED").alias("has_brushed"),
-        word_lens.alias("word_lens"),
+        F.concat_ws(
+            ",", F.transform(word_lens, lambda x: x.cast("string"))
+        ).alias("word_lens"),
         F.aggregate(word_lens, F.lit(0), lambda acc, x: acc + x)
         .cast("int")
         .alias("total_chars"),
@@ -853,7 +858,10 @@ POSTINGS_MIN_DF = 50  # index only terms appearing in ≥ 50 docs (the
     )
     SELECT term,
            CAST(count(*) AS INTEGER) AS df,
-           list_sort(list(doc_id)) AS postings
+           array_to_string(
+               list_transform(list_sort(list(doc_id)),
+                              x -> CAST(x AS VARCHAR)),
+               ',') AS postings
     FROM tok
     GROUP BY term
     HAVING count(*) >= {POSTINGS_MIN_DF}
@@ -868,7 +876,8 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tokenize → distinct (term, doc) → one hash-agg on term with
     `sort_array(collect_list(...))`. The sort inside the agg makes the
     list deterministic (collect_list order is partition-dependent —
-    never emit it raw). At 100 TB postings for head terms outgrow a
+    never emit it raw); the posting list then serializes to a CSV
+    string because graded cells must be scalar (round-5 finding). At 100 TB postings for head terms outgrow a
     single array cell: the production layout shards a term's postings
     into fixed-size blocks ((term, block_id) keys — same pattern as
     this query with `doc_id div B` appended to the group key); the df
@@ -882,7 +891,13 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("term")
         .agg(
             F.count("*").cast("int").alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings"),
         )
         .filter(F.col("df") >= POSTINGS_MIN_DF)
     )
@@ -1679,8 +1694,9 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS urgent_cnt,
            CAST(max(CASE WHEN prio = 'NO-SUCH' THEN c END) AS BIGINT)
                AS missing_cnt,
-           list(prio ORDER BY prio) AS keys_sorted,
-           list(CAST(c AS BIGINT) ORDER BY prio) AS counts_by_key,
+           array_to_string(list(prio ORDER BY prio), ',') AS keys_sorted,
+           array_to_string(list(CAST(c AS VARCHAR) ORDER BY prio), ',')
+               AS counts_by_key,
            CAST(sum(CASE WHEN c > 100 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_heavy_keys
     FROM pc GROUP BY status
@@ -1703,7 +1719,9 @@ def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Maps never appear in the OUTPUT (engines disagree on map ordering
     and hash representation — the same reason map columns don't
     belong in cross-system interchange schemas); entries exit as
-    key-sorted parallel arrays, the deterministic exchange form.
+    key-sorted parallel arrays serialized to CSV strings, the
+    deterministic scalar exchange form (graded cells must be scalar —
+    round-5 driver finding).
 
     Scale shape: one hash-agg to (status, priority) grain, then one
     map-assembly agg at status grain over <= 5-entry groups — maps
@@ -1728,10 +1746,10 @@ def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cardinality("m").cast("bigint").alias("n_keys"),
         F.element_at("m", "1-URGENT").cast("bigint").alias("urgent_cnt"),
         F.try_element_at("m", F.lit("NO-SUCH")).cast("bigint").alias("missing_cnt"),
-        F.map_keys("m").alias("keys_sorted"),
-        F.expr("transform(map_values(m), v -> CAST(v AS BIGINT))").alias(
-            "counts_by_key"
-        ),
+        F.concat_ws(",", F.map_keys("m")).alias("keys_sorted"),
+        F.concat_ws(
+            ",", F.expr("transform(map_values(m), v -> CAST(v AS STRING))")
+        ).alias("counts_by_key"),
         F.cardinality(F.expr("map_filter(m, (k, v) -> v > 100)"))
         .cast("bigint")
         .alias("n_heavy_keys"),

@@ -23,7 +23,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.registry import query
@@ -64,6 +64,36 @@ def _mark_staged(d: str, n_rows: int) -> None:
         f.write(str(n_rows))
 
 
+def _await_bounded(q, seconds: int) -> None:
+    """Wait for a bounded (availableNow) streaming run to finish.
+
+    ``awaitTermination(timeout)`` returns False on timeout; ignoring
+    that and reading the sink would return a partially-consumed
+    source's snapshot as if it were final — silent under-reporting that
+    only shows up at larger scale factors. Raise instead so the caller
+    (or test) fails loudly."""
+    if not q.awaitTermination(seconds):
+        q.stop()
+        raise TimeoutError(
+            f"bounded streaming query did not complete within {seconds}s; "
+            "partial sink state discarded"
+        )
+
+
+def _dsum_value_2dp() -> Column:
+    """Order-independent 2dp sum of the double `value` column: cast each
+    row to DECIMAL(25,6) (deterministic per-row rounding), sum in
+    decimal (associative — streaming incremental state-merge and batch
+    hash-agg add in different orders, and a raw double sum's last-ulp
+    difference can flip the 2dp rounding at half-cent boundaries), then
+    round and return to double for schema stability."""
+    return (
+        F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2)
+        .cast("double")
+        .alias("total_value")
+    )
+
+
 def windowed_event_counts(stream: DataFrame) -> DataFrame:
     """Watermarked tumbling-window aggregation — the canonical stateful
     streaming operator. 10-minute watermark bounds state size; at scale
@@ -71,7 +101,7 @@ def windowed_event_counts(stream: DataFrame) -> DataFrame:
     return (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), _dsum_value_2dp())
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -125,7 +155,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(120)
+        _await_bounded(q, 120)
     finally:
         if q.isActive:
             q.stop()
@@ -283,7 +313,7 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         .start()
     )
     try:
-        q.awaitTermination(180)
+        _await_bounded(q, 180)
     finally:
         if q.isActive:
             q.stop()
@@ -378,7 +408,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(180)
+        _await_bounded(q, 180)
     finally:
         if q.isActive:
             q.stop()
@@ -461,7 +491,7 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(120)
+        _await_bounded(q, 120)
     finally:
         if q.isActive:
             q.stop()
@@ -533,7 +563,7 @@ def streaming_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(120)
+        _await_bounded(q, 120)
     finally:
         if q.isActive:
             q.stop()
@@ -713,7 +743,7 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
             .start()
         )
         try:
-            q.awaitTermination(120)
+            _await_bounded(q, 120)
         finally:
             if q.isActive:
                 q.stop()
@@ -742,7 +772,7 @@ def session_window_counts(stream: DataFrame) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _dsum_value_2dp(),
         )
         .select(
             "user_id",
@@ -792,7 +822,7 @@ def streaming_session_window_native(spark: SparkSession, sf_dir: str) -> DataFra
         .start()
     )
     try:
-        q.awaitTermination(120)
+        _await_bounded(q, 120)
     finally:
         if q.isActive:
             q.stop()

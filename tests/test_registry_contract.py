@@ -91,36 +91,59 @@ class TestRegistry:
         panel = set(registry._PANEL_50)
         families = {
             "joins": {"join_asof_purchase_last_click", "tpch_q7_volume_shipping",
-                      "tpch_q12_late_shipments", "lateral_top_orders_per_customer"},
+                      "tpch_q12_late_shipments", "lateral_top_orders_per_customer",
+                      "join_asof_forward_tolerance", "spatial_grid_neighbor_join"},
             "relational": {"filter_compound_predicates", "nulls_ordering_suite",
-                           "tpch_q19_disjunctive_revenue"},
+                           "tpch_q19_disjunctive_revenue",
+                           "explode_outer_null_preservation",
+                           "topk_orders_with_ties", "sql_star_except_suite"},
             "aggregates": {"agg_pricing_summary", "agg_corr_price_quantity",
-                           "agg_rollup_time_hierarchy", "agg_histogram_equidepth"},
+                           "agg_rollup_time_hierarchy", "agg_histogram_equidepth",
+                           "agg_listagg_native", "agg_percentile_disc_prices",
+                           "agg_weighted_median_price", "agg_skew_kurtosis_moments",
+                           "agg_collect_ordered_topk", "agg_grouped_ols_trend"},
             "sketches": {"sketch_countmin_heavy_hitters",
-                         "sketch_kmv_distinct_userdays", "sketch_bloom_membership"},
+                         "sketch_kmv_distinct_userdays", "sketch_bloom_membership",
+                         "sketch_kmv_intersection", "sketch_hll_deterministic"},
             "windows": {"window_topk_orders_per_customer", "window_sliding_panes",
-                        "window_rolling_median_events", "window_session_builtin"},
+                        "window_rolling_median_events", "window_session_builtin",
+                        "window_ewma_dyadic_smoothing", "window_rolling_correlation",
+                        "window_first_last_nth", "window_running_distinct_users"},
             "datetime": {"date_functions_orders", "resample_gap_filled_30min",
-                         "agg_rollup_time_hierarchy"},
+                         "agg_rollup_time_hierarchy", "datetime_timezone_suite",
+                         "date_business_day_fiscal_suite"},
             "setops": {"setop_intersect_nations", "union_schema_evolution"},
             "dedup": {"dedup_exact_documents", "neardup_ngram_jaccard",
-                      "dedup_cluster_representatives"},
-            "fuzzy_dedup": {"dedup_fuzzy_levenshtein_full", "dedup_fuzzy_levenshtein"},
+                      "dedup_cluster_representatives", "dedup_sorted_neighborhood",
+                      "neardup_prefix_filter_join", "dedup_repeated_spans",
+                      "neardup_simhash_exact"},
+            "fuzzy_dedup": {"dedup_fuzzy_levenshtein_full", "dedup_fuzzy_levenshtein",
+                            "dedup_phonetic_soundex_blocking",
+                            "dedup_sorted_neighborhood"},
             "sampling": {"sample_bernoulli_hash", "sample_stratified_lang",
-                         "mixture_token_budget_allocation"},
+                         "mixture_token_budget_allocation",
+                         "sample_kfold_assignment", "sample_cap_per_source",
+                         "sample_neyman_allocation"},
             "behavior": {"funnel_ordered_stages", "pattern_error_after_purchase",
-                         "pareto_abc_parts"},
+                         "pareto_abc_parts", "markov_event_transitions",
+                         "market_basket_apriori_triples", "path_top_sequences"},
             "similarity": {"knn_cosine_bruteforce", "embedding_feature_scale"},
             "text": {"text_tfidf_top_terms", "text_token_entropy",
-                     "text_quality_score", "text_langid_heuristic"},
+                     "text_quality_score", "text_langid_heuristic",
+                     "text_bm25_scores", "text_trigram_lm_score",
+                     "text_zipf_rank_frequency", "text_inverted_index"},
             "fidelity": {"reference_regex_extracts", "reference_render_functions",
                          "string_functions_suite"},
-            "json": {"json_props_extraction", "json_flatten_struct"},
+            "json": {"json_props_extraction", "json_flatten_struct",
+                     "json_variant_extraction"},
             "urls": {"url_resolution_suite"},
-            "multimodal": {"multimodal_metadata_stats", "multimodal_dedup_binary"},
+            "multimodal": {"multimodal_metadata_stats", "multimodal_dedup_binary",
+                           "multimodal_frame_sample", "multimodal_resize_plan"},
             "corpus_cleaning": {"text_boilerplate_ngrams",
-                                "text_decontamination_gate"},
-            "curation": {"corpus_curation_verdict", "corpus_curation_full"},
+                                "text_decontamination_gate",
+                                "text_repetition_signals"},
+            "curation": {"corpus_curation_verdict", "corpus_curation_full",
+                         "pipeline_curate_and_pack"},
         }
         missing = {
             fam: sorted(members)
@@ -128,6 +151,33 @@ class TestRegistry:
             if not (members & panel)
         }
         assert not missing, missing
+
+
+class TestOutputSchemas:
+    def test_no_complex_typed_output_columns(self, spark, sf_dir):
+        """Round-5 driver finding: array/map/struct-typed cells crash
+        the driver's pandas canonicalizer (`unhashable type: 'list'`
+        in sort_values), while the local gate used to stringify them —
+        so local green did not predict driver red. Hash-graded queries
+        are exactly the oracle-backed ones (the 50-slot panel is
+        oracle-only by `test_panel_is_the_driver_window`), so every
+        oracle-backed query must emit scalar columns only: serialize
+        arrays (concat_ws / to_json) or explode to rows. Schema access
+        triggers Spark analysis, not execution, so this sweeps all
+        ~350 plans in one pass. Rows-only queries are excluded because
+        several execute real (streaming) work on invocation.
+        """
+        offenders = {}
+        for name in sorted(registry.ORACLES):
+            df = registry.QUERIES[name](spark, sf_dir)
+            bad = [
+                (c, t)
+                for c, t in df.dtypes
+                if t.startswith(("array", "map", "struct"))
+            ]
+            if bad:
+                offenders[name] = bad
+        assert not offenders, offenders
 
 
 class TestSmoke:

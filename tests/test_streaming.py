@@ -89,7 +89,11 @@ class TestWindowedCounts:
                 ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
                 .agg(
                     F.count("*").alias("n_events"),
-                    F.round(F.sum("value"), 2).alias("total_value"),
+                    # same order-independent decimal-sum device as the
+                    # streaming side (demo._dsum_value_2dp)
+                    F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2)
+                    .cast("double")
+                    .alias("total_value"),
                 )
                 .select(
                     F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(

@@ -122,6 +122,25 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            # Driver-strictness guard (round-5 finding): the driver's
+            # pandas canonicalizer crashes on array/map/struct-typed
+            # cells (`unhashable type: 'list'` in sort_values), while
+            # this gate's norm_cell used to stringify them — local
+            # green did not predict driver red. Complex-typed output
+            # columns are therefore banned outright for EVERY
+            # registered query (rows-only ones rotate into the panel
+            # too): serialize (concat_ws / to_json) or explode.
+            complex_cols = [
+                (c, t)
+                for c, t in sdf.dtypes
+                if t.startswith(("array", "map", "struct"))
+            ]
+            if complex_cols:
+                failures.append(
+                    (name, f"complex-typed output (driver-unsafe): {complex_cols}")
+                )
+                print(f"FAIL  {name}: complex-typed output columns {complex_cols}")
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {ex}"))

@@ -307,7 +307,10 @@ def main() -> None:
     for x in findings:
         print("FINDING", x)
     spark.stop()
-    sys.exit(1 if findings else 0)
+    # errors (queries that crashed at plan construction) must fail the
+    # gate too — a broken query is NOT a clean lint; exit 2 keeps the
+    # two failure kinds distinguishable in CI logs.
+    sys.exit(1 if findings else (2 if errors else 0))
 
 
 if __name__ == "__main__":
