@@ -2810,6 +2810,203 @@ def forecast_acf_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "forecast_pacf_durbin_levinson",
+    oracle="""
+    WITH series AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ),
+    lagk AS (
+        SELECT k.k, s.v,
+               lag(s.v, k.k) OVER (PARTITION BY k.k ORDER BY s.month) AS vl
+        FROM series s
+        CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS k) k
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(v) AS HUGEINT) AS s1,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+        FROM series
+    ),
+    cross_sums AS (
+        SELECT k, CAST(count(vl) AS HUGEINT) AS nk,
+               CAST(sum(CASE WHEN vl IS NOT NULL
+                        THEN CAST(v AS HUGEINT) * vl END) AS HUGEINT) AS sxy,
+               CAST(sum(CASE WHEN vl IS NOT NULL THEN v END) AS HUGEINT) AS sxk,
+               CAST(sum(CASE WHEN vl IS NOT NULL THEN vl END) AS HUGEINT) AS syk
+        FROM lagk GROUP BY 1
+    ),
+    numden AS (
+        SELECT s.n,
+               n*n*s2 - n*s1*s1 AS d,
+               max(CASE WHEN k=1 THEN n*n*sxy - n*s1*sxk - n*s1*syk
+                                      + nk*s1*s1 END) AS n1,
+               max(CASE WHEN k=2 THEN n*n*sxy - n*s1*sxk - n*s1*syk
+                                      + nk*s1*s1 END) AS n2,
+               max(CASE WHEN k=3 THEN n*n*sxy - n*s1*sxk - n*s1*syk
+                                      + nk*s1*s1 END) AS n3
+        FROM cross_sums CROSS JOIN stats s GROUP BY s.n, d
+    ),
+    acf_bp AS (
+        SELECT n,
+               CASE WHEN n1 >= 0 THEN (2*10000*n1 + d) // (2*d)
+                    ELSE -((2*10000*(-n1) + d) // (2*d)) END AS a1,
+               CASE WHEN n2 >= 0 THEN (2*10000*n2 + d) // (2*d)
+                    ELSE -((2*10000*(-n2) + d) // (2*d)) END AS a2,
+               CASE WHEN n3 >= 0 THEN (2*10000*n3 + d) // (2*d)
+                    ELSE -((2*10000*(-n3) + d) // (2*d)) END AS a3
+        FROM numden
+    ),
+    pacf AS (
+        SELECT n, a1, a2, a3,
+               a2*10000 - a1*a1 AS p2n,
+               CAST(10000 AS HUGEINT)*10000 - a1*a1 AS p2d,
+               CAST(10000 AS HUGEINT)*10000*a3 - 2*10000*a1*a2
+                   + a1*a2*a2 + a1*a1*a1 - a1*a1*a3 AS p3n,
+               CAST(10000 AS HUGEINT)*10000*10000 - 2*10000*a1*a1
+                   + 2*a1*a1*a2 - 10000*a2*a2 AS p3d
+        FROM acf_bp
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST(a1 AS BIGINT) AS acf1_bp,
+           CAST(a2 AS BIGINT) AS acf2_bp,
+           CAST(a3 AS BIGINT) AS acf3_bp,
+           CAST(a1 AS BIGINT) AS pacf1_bp,
+           CAST(CASE WHEN p2n >= 0 THEN (2*10000*p2n + p2d) // (2*p2d)
+                ELSE -((2*10000*(-p2n) + p2d) // (2*p2d)) END AS BIGINT)
+               AS pacf2_bp,
+           CAST(CASE WHEN p3n >= 0 THEN (2*10000*p3n + p3d) // (2*p3d)
+                ELSE -((2*10000*(-p3n) + p3d) // (2*p3d)) END AS BIGINT)
+               AS pacf3_bp
+    FROM pacf
+    """,
+)
+def forecast_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (PACF) of the monthly revenue series at
+    lags 1-3 via Durbin-Levinson — the Box-Jenkins AR-order picker
+    (`forecast_acf_monthly`'s companion; ACF tails, PACF cuts off at
+    the AR order), closing the declared PACF thin spot.
+
+    The D-L recursion divides at every lag, so raw-rational PACF
+    degree grows unboundedly — the cross-engine-exact contract is
+    instead: (1) the biased ACF r_1..r_3 as EXACT integer rationals
+    N_k/D (cross-multiplied by n² — no float mean), reported half-up
+    in basis points; (2) PACF by the D-L closed forms (equivalently
+    Cramer on the Toeplitz system — equivalence is property-tested)
+    applied to those ROUNDED basis-point integers:
+    phi_22 = (a2·S − a1²)/(S² − a1²),
+    phi_33 = (S²a3 − 2S·a1a2 + a1a2² + a1³ − a1²a3)
+           / (S³ − 2S·a1² + 2a1²a2 − S·a2²), S = 10⁴ —
+    pure integer polynomials, half-up bp with negative mirroring.
+    Magnitudes stay under DECIMAL(38,0)/HUGEINT through sf10; beyond
+    that the series would roll up in dollars, not cents.
+
+    Plan: one month-grain rollup (calendar-bounded), a 3-way
+    broadcast lag join, one scalar row out — the stats frame is the
+    classic tiny-aggregate broadcast shape.
+    """
+    series = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100, 0)
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    idx = series.select(
+        "v", F.row_number().over(Window.orderBy("month")).alias("i")
+    )
+    ks = spark.range(1, 4).select(F.col("id").cast("bigint").alias("k"))
+    a = idx.select(F.col("i").alias("ia"), F.col("v").alias("va"))
+    b = idx.select(F.col("i").alias("ib"), F.col("v").alias("vb"))
+    pairs = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("ib") == F.col("ia") - F.col("k"), "left")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    stats = idx.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("v").cast("decimal(38,0)").alias("s1"),
+        F.sum(dec("v") * F.col("v")).cast("decimal(38,0)").alias("s2"),
+    )
+    cross_sums = pairs.groupBy("k").agg(
+        F.count("vb").cast("decimal(38,0)").alias("nk"),
+        F.sum(
+            F.when(F.col("vb").isNotNull(), dec("va") * F.col("vb"))
+        ).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.when(F.col("vb").isNotNull(), F.col("va")))
+        .cast("decimal(38,0)")
+        .alias("sxk"),
+        F.sum(F.when(F.col("vb").isNotNull(), F.col("vb")))
+        .cast("decimal(38,0)")
+        .alias("syk"),
+    )
+    nk_expr = (
+        dec("n") * F.col("n") * F.col("sxy")
+        - dec("n") * F.col("s1") * F.col("sxk")
+        - dec("n") * F.col("s1") * F.col("syk")
+        + dec("nk") * F.col("s1") * F.col("s1")
+    )
+    numden = (
+        cross_sums.crossJoin(F.broadcast(stats))
+        .groupBy(
+            "n", (dec("n") * F.col("n") * F.col("s2")
+                  - dec("n") * F.col("s1") * F.col("s1")).alias("d")
+        )
+        .agg(
+            F.max(F.when(F.col("k") == 1, nk_expr)).alias("n1"),
+            F.max(F.when(F.col("k") == 2, nk_expr)).alias("n2"),
+            F.max(F.when(F.col("k") == 3, nk_expr)).alias("n3"),
+        )
+    )
+
+    def bp(num: str, den: str):
+        pos = F.expr(f"(2 * 10000 * ({num}) + {den}) DIV (2 * ({den}))")
+        neg = -F.expr(f"(2 * 10000 * (-({num})) + {den}) DIV (2 * ({den}))")
+        return F.when(F.expr(num) >= 0, pos).otherwise(neg)
+
+    acf_bp = numden.select(
+        "n",
+        bp("n1", "d").cast("decimal(38,0)").alias("a1"),
+        bp("n2", "d").cast("decimal(38,0)").alias("a2"),
+        bp("n3", "d").cast("decimal(38,0)").alias("a3"),
+    )
+    S = "CAST(10000 AS DECIMAL(38,0))"
+    pacf = acf_bp.select(
+        "n",
+        "a1",
+        "a2",
+        "a3",
+        F.expr(f"a2 * 10000 - a1 * a1").alias("p2n"),
+        F.expr(f"{S} * 10000 - a1 * a1").alias("p2d"),
+        F.expr(
+            f"{S} * 10000 * a3 - 2 * 10000 * a1 * a2"
+            " + a1 * a2 * a2 + a1 * a1 * a1 - a1 * a1 * a3"
+        ).alias("p3n"),
+        F.expr(
+            f"{S} * 10000 * 10000 - 2 * 10000 * a1 * a1"
+            " + 2 * a1 * a1 * a2 - 10000 * a2 * a2"
+        ).alias("p3d"),
+    )
+    return pacf.select(
+        F.col("n").cast("bigint").alias("n_months"),
+        F.col("a1").cast("bigint").alias("acf1_bp"),
+        F.col("a2").cast("bigint").alias("acf2_bp"),
+        F.col("a3").cast("bigint").alias("acf3_bp"),
+        F.col("a1").cast("bigint").alias("pacf1_bp"),
+        bp("p2n", "p2d").cast("bigint").alias("pacf2_bp"),
+        bp("p3n", "p3d").cast("bigint").alias("pacf3_bp"),
+    )
+
+
+@query(
     "territory_snake_balanced_assignment",
     oracle="""
     WITH cust AS (

@@ -19,7 +19,7 @@ member — DuckDB allows it).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.registry import query
@@ -634,4 +634,131 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " DIV (2 * n_k * (n_k - 1)) ELSE NULL END AS BIGINT)"
             ).alias("phi_bp"),
         )
+    )
+
+
+K_CORE_K = 80  # degree floor; chosen so the sf0.01 co-purchase graph
+# shows a real multi-round cascade AND a nonempty fixpoint (~1857 of
+# 2000 nodes) within the iteration budget
+K_CORE_ITERS = 6  # fixed peel rounds — the bounded-iteration contract
+
+
+def _kcore_oracle() -> str:
+    """Unrolled fixed-iteration peel (DuckDB recursive CTEs allow only
+    one self-reference in the recursive member; the peel needs the
+    previous generation TWICE — once per edge endpoint — so the
+    k-core oracle unrolls the {K_CORE_ITERS} rounds as chained CTEs
+    instead, which is also the honest spelling of the fixed-iteration
+    contract)."""
+    ctes = [
+        """alive0 AS (
+        SELECT DISTINCT src AS node FROM edges
+    )"""
+    ]
+    for i in range(K_CORE_ITERS):
+        ctes.append(f"""alive{i + 1} AS (
+        SELECT e.src AS node
+        FROM edges e
+        JOIN alive{i} a1 ON e.src = a1.node
+        JOIN alive{i} a2 ON e.dst = a2.node
+        GROUP BY e.src
+        HAVING count(*) >= {K_CORE_K}
+    )""")
+    counts = "\n        UNION ALL\n".join(
+        f"        SELECT {i} AS iteration, count(*) AS n_alive FROM alive{i}"
+        for i in range(K_CORE_ITERS + 1)
+    )
+    return f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), p AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT pa AS src, pb AS dst FROM p
+        UNION ALL
+        SELECT pb, pa FROM p
+    ), {", ".join(ctes)},
+    curve AS (
+{counts}
+    )
+    SELECT CAST(iteration AS INTEGER) AS iteration,
+           CAST(n_alive AS BIGINT) AS n_alive,
+           CAST(coalesce(lag(n_alive) OVER (ORDER BY iteration)
+                         - n_alive, 0) AS BIGINT) AS n_removed,
+           coalesce(n_alive = lag(n_alive) OVER (ORDER BY iteration),
+                    FALSE) AS converged
+    FROM curve
+    """
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core decomposition of the part co-purchase graph —
+    closing the declared k-core thin spot with the same device that
+    made PageRank gradable: a FIXED iteration count instead of
+    iterate-to-convergence (unbounded loops cannot be a graded
+    contract; a converged flag column reports whether the fixpoint
+    was reached inside the budget, and at k={K_CORE_K} the sf0.01
+    graph converges in 5 of the {K_CORE_ITERS} rounds with a nonempty
+    core).
+
+    Peel round: keep nodes with >= k neighbors still alive — two
+    semi-join-shaped hash joins of the static edge list against the
+    alive set plus one count per node, i.e. ONE shuffle per round
+    (the Pregel degree-message round). The graded output is the peel
+    CURVE (iteration, n_alive, n_removed, converged): node-level core
+    membership is alive_{K_CORE_ITERS}'s content, deliberately
+    rolled up so the output is scale-stable. At 100 TB the edge list
+    is bucketed by src so the per-round joins never reshuffle it, and
+    `localCheckpoint` truncates lineage exactly as in PageRank.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    p = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    edges = p.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
+        p.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=False)
+
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    gens = [alive]
+    for _ in range(K_CORE_ITERS):
+        e1 = edges.join(alive.select(F.col("node").alias("src")), "src")
+        e2 = e1.join(alive.select(F.col("node").alias("dst")), "dst")
+        alive = (
+            e2.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= K_CORE_K)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+        gens.append(alive)
+
+    curve = None
+    for i, g in enumerate(gens):
+        row = g.agg(F.count(F.lit(1)).cast("bigint").alias("n_alive")).select(
+            F.lit(i).cast("int").alias("iteration"), "n_alive"
+        )
+        curve = row if curve is None else curve.unionAll(row)
+
+    w = Window.orderBy("iteration")
+    return curve.select(
+        "iteration",
+        "n_alive",
+        F.coalesce(
+            F.lag("n_alive").over(w) - F.col("n_alive"), F.lit(0)
+        ).cast("bigint").alias("n_removed"),
+        F.coalesce(
+            F.col("n_alive") == F.lag("n_alive").over(w), F.lit(False)
+        ).alias("converged"),
     )

@@ -2653,6 +2653,182 @@ def holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Holt-Winters TRIPLE smoothing (level + trend + additive seasonality),
+# exactly unrolled: alpha = beta = gamma = 1/2, season length m = 4
+# (annual cycle on the QUARTER grain), trailing window W = 16 quarters.
+# Classic init from the first two seasons (l_4 = mean v1..4, b_4 =
+# (mean v5..8 − mean v1..4)/4, s_i = v_i − l_4), then the coupled
+# 6-state recurrence for t = 5..16. Every operation is dyadic-linear in
+# the 16 window values, so the final level / trend / next-season-index /
+# one-step forecast each collapse to a LITERAL integer coefficient
+# table over common denominator 2^28 — derived with exact Fractions by
+# the generator below and pinned table == sequential-recursion in
+# tests/test_r6_ops.py. Identities: L sums to 1, B and S to 0, F to 1.
+#
+#   from fractions import Fraction as Fr
+#   W, m = 16, 4
+#   unit = lambda i: [Fr(k == i) for k in range(W)]
+#   lin = lambda a, b, ca, cb: [x*ca + y*cb for x, y in zip(a, b)]
+#   l = [sum(unit(i)[k] for i in range(4))/4 for k in range(W)]
+#   b = lin([sum(unit(i)[k] for i in range(4,8))/4 for k in range(W)], l,
+#           Fr(1,4), Fr(-1,4))
+#   s = [None] + [lin(unit(i), l, Fr(1), Fr(-1)) for i in range(4)]
+#   for t in range(5, W+1):
+#       ln = lin(lin(unit(t-1), s[t-m], Fr(1,2), Fr(-1,2)),
+#                lin(l, b, Fr(1,2), Fr(1,2)), Fr(1), Fr(1))
+#       bn = lin(lin(ln, l, Fr(1,2), Fr(-1,2)), b, Fr(1), Fr(1,2))
+#       s.append(lin(lin(unit(t-1), ln, Fr(1,2), Fr(-1,2)), s[t-m],
+#                    Fr(1), Fr(1,2)))
+#       l, b = ln, bn
+#   # tables = [int(v[W-1-k] * 2**28) for k in range(W)] for each of
+#   # l, b, s[W+1-m] (next period's index), and l+b+s[W+1-m]
+HW_DEN = 1 << 28
+HW_L = (
+    134217728, 100663296, 58720256, 23068672, -34078720, -12189696,
+    3899392, 9396224, -14434918, -1545318, 9820442, 15110906,
+    -18595226, -19819418, -5331226, 19533062,
+)
+HW_B = (
+    67108864, 16777216, -12582912, -24117248, -40632320, -9371648,
+    3358720, 4427776, -11857313, 425823, 5805471, 5457647,
+    -14619231, -7831391, 3418721, 14231825,
+)
+HW_S = (
+    0, 0, 0, 67108864, -50331648, -29360128, -11534336, 50593792,
+    -23255616, -20814400, -14649920, 30304704, 6478400, -16934336,
+    -40924608, 53319232,
+)
+HW_F = (
+    201326592, 117440512, 46137344, 66060288, -125042688, -50921472,
+    -4276224, 64417792, -49547847, -21933895, 975993, 50873257,
+    -26736057, -44585145, -42837113, 87084119,
+)
+
+
+def _hw_sql_half_up(expr: str) -> str:
+    return f"""CAST(CASE WHEN {expr} >= 0
+        THEN (2 * CAST({expr} AS HUGEINT) + {HW_DEN}) // {2 * HW_DEN}
+        ELSE -((2 * CAST(-({expr}) AS HUGEINT) + {HW_DEN})
+               // {2 * HW_DEN}) END AS BIGINT)"""
+
+
+@query(
+    "holt_winters_seasonal_smoothing",
+    oracle=f"""
+    WITH series AS (
+        SELECT o_orderpriority AS priority,
+               CAST(date_part('year', o_orderdate) AS VARCHAR) || '-Q'
+                   || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT priority, quarter, cents,
+               row_number() OVER (PARTITION BY priority ORDER BY quarter) AS i,
+               count(*) OVER (PARTITION BY priority) AS n
+        FROM series
+    ),
+    dotted AS (
+        SELECT priority, quarter, i, n,
+               {_holt_sql_dot(HW_L, "priority", "quarter")} AS lsc,
+               {_holt_sql_dot(HW_B, "priority", "quarter")} AS bsc,
+               {_holt_sql_dot(HW_S, "priority", "quarter")} AS ssc,
+               {_holt_sql_dot(HW_F, "priority", "quarter")} AS fsc
+        FROM idx
+    ),
+    final AS (
+        SELECT priority, quarter, lsc, bsc, ssc, fsc
+        FROM dotted WHERE i = n AND i >= 16
+    )
+    SELECT priority, quarter AS asof_quarter,
+           {_hw_sql_half_up("lsc")} AS level_cents,
+           {_hw_sql_half_up("bsc")} AS trend_cents,
+           {_hw_sql_half_up("ssc")} AS season_next_cents,
+           {_hw_sql_half_up("fsc")} AS forecast_next_cents
+    FROM final
+    """,
+)
+def holt_winters_seasonal_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters TRIPLE exponential smoothing (level + trend +
+    additive annual seasonality, alpha = beta = gamma = 1/2) over the
+    trailing 16 quarters per priority — closing the declared thin spot
+    above `holt_linear_smoothing`: the 6-dimensional coupled state
+    (l, b, s_t..s_{t-3}) looked "too wide to unroll", but the same
+    matrix-power device applies — the recurrence is linear, the window
+    is fixed, and dyadic parameters keep every coefficient exact over
+    denominator 2^28 (tables HW_L/HW_B/HW_S/HW_F above; generator in
+    the comment, sequential-equivalence pinned in tests). Classic
+    two-season initialization; reported at each series' last quarter:
+    level, trend, next period's seasonal index, and the one-step
+    forecast l + b + s_{t+1-m}, half-up cents with negative mirroring.
+
+    Plan: one quarter-grain rollup, all 64 lag terms fuse into ONE
+    WindowExec per series — identical shape to the Holt/EWMA family;
+    the seasonal dimension costs nothing at runtime because it lives
+    in the precomputed coefficients, not the plan.
+    """
+    series = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.concat(
+                F.year("o_orderdate").cast("string"),
+                F.lit("-Q"),
+                F.quarter("o_orderdate").cast("string"),
+            ).alias("quarter"),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("priority").orderBy("quarter")
+    idx = series.select(
+        "priority",
+        "quarter",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("priority")).alias("n"),
+    )
+
+    def dot(coefs):
+        s = None
+        for k, c in enumerate(coefs):
+            v = F.col("cents") if k == 0 else F.lag("cents", k).over(w)
+            term = F.lit(c).cast("decimal(38,0)") * v
+            s = term if s is None else s + term
+        return s
+
+    dotted = idx.select(
+        "priority",
+        "quarter",
+        "i",
+        "n",
+        dot(HW_L).alias("lsc"),
+        dot(HW_B).alias("bsc"),
+        dot(HW_S).alias("ssc"),
+        dot(HW_F).alias("fsc"),
+    )
+    final = dotted.filter((F.col("i") == F.col("n")) & (F.col("i") >= 16))
+
+    def half_up(name_expr: str):
+        col = F.expr(name_expr)
+        pos = F.expr(f"(2 * ({name_expr}) + {HW_DEN}) DIV {2 * HW_DEN}")
+        neg = -F.expr(f"(2 * (-({name_expr})) + {HW_DEN}) DIV {2 * HW_DEN}")
+        return F.when(col >= 0, pos).otherwise(neg).cast("bigint")
+
+    return final.select(
+        "priority",
+        F.col("quarter").alias("asof_quarter"),
+        half_up("lsc").alias("level_cents"),
+        half_up("bsc").alias("trend_cents"),
+        half_up("ssc").alias("season_next_cents"),
+        half_up("fsc").alias("forecast_next_cents"),
+    )
+
+
 @query(
     "ops_error_budget_burn",
     oracle="""

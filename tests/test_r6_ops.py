@@ -1,0 +1,123 @@
+"""Round-6 operators: Holt-Winters triple smoothing (table ==
+sequential recursion), PACF Durbin-Levinson closed forms, bounded
+k-core peel invariants."""
+
+from __future__ import annotations
+
+from fractions import Fraction as Fr
+
+from leadsight_sales_agent_spark import registry
+
+registry.load_all()
+
+
+class TestHoltWintersUnroll:
+    def test_tables_equal_sequential_recursion(self):
+        """The literal HW_* tables ARE the 16-step Holt-Winters
+        recursion (alpha=beta=gamma=1/2, m=4, classic two-season
+        init), exactly — same machine-checked equivalence that pins
+        the Holt double-smoothing tables."""
+        from leadsight_sales_agent_spark.operators.windows import (
+            HW_B,
+            HW_DEN,
+            HW_F,
+            HW_L,
+            HW_S,
+        )
+
+        vals = [100, 120, 90, 130, 150, 110, 105, 160,
+                170, 140, 135, 180, 190, 175, 200, 210]
+        l = Fr(sum(vals[:4]), 4)
+        b = (Fr(sum(vals[4:8]), 4) - l) / 4
+        s = [None] + [Fr(v) - l for v in vals[:4]]
+        for t in range(5, 17):
+            v, sp = Fr(vals[t - 1]), s[t - 4]
+            ln = (v - sp) / 2 + (l + b) / 2
+            bn = (ln - l) / 2 + b / 2
+            s.append((v - ln) / 2 + sp / 2)
+            l, b = ln, bn
+
+        def dot(table):
+            return sum(Fr(table[k], HW_DEN) * vals[15 - k] for k in range(16))
+
+        assert dot(HW_L) == l
+        assert dot(HW_B) == b
+        assert dot(HW_S) == s[13]  # next period's seasonal index
+        assert dot(HW_F) == l + b + s[13]
+
+    def test_weight_identities(self):
+        from leadsight_sales_agent_spark.operators.windows import (
+            HW_B,
+            HW_DEN,
+            HW_F,
+            HW_L,
+            HW_S,
+        )
+
+        assert sum(HW_L) == HW_DEN  # level weights sum to 1
+        assert sum(HW_B) == 0  # trend weights sum to 0
+        assert sum(HW_S) == 0  # seasonal index weights sum to 0
+        assert sum(HW_F) == HW_DEN  # forecast = level + trend + season
+        assert [x + y + z for x, y, z in zip(HW_L, HW_B, HW_S)] == list(HW_F)
+
+
+class TestPacfClosedForms:
+    def test_closed_forms_equal_durbin_levinson(self):
+        """The integer polynomials graded by
+        forecast_pacf_durbin_levinson are the D-L recursion (equiv.
+        Cramer on the Toeplitz Yule-Walker system) on r_k = a_k/S."""
+        import random
+
+        S = 10000
+        rng = random.Random(42)
+        for _ in range(100):
+            a1, a2, a3 = (rng.randint(-9000, 9000) for _ in range(3))
+            r = [Fr(a, S) for a in (a1, a2, a3)]
+            # Durbin-Levinson
+            phi11 = r[0]
+            v = 1 - r[0] ** 2
+            phi22 = (r[1] - phi11 * r[0]) / v
+            phi21 = phi11 - phi22 * phi11
+            v *= 1 - phi22 ** 2
+            phi33 = (r[2] - phi21 * r[1] - phi22 * r[0]) / v
+            # graded integer polynomials
+            n2, d2 = a2 * S - a1 * a1, S * S - a1 * a1
+            n3 = (S * S * a3 - 2 * S * a1 * a2 + a1 * a2 * a2
+                  + a1 ** 3 - a1 * a1 * a3)
+            d3 = S ** 3 - 2 * S * a1 * a1 + 2 * a1 * a1 * a2 - S * a2 * a2
+            assert Fr(n2, d2) == phi22
+            assert Fr(n3, d3) == phi33
+
+    def test_pacf1_equals_acf1_on_sf0001(self, spark, sf_dir):
+        rows = registry.QUERIES["forecast_pacf_durbin_levinson"](
+            spark, sf_dir
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["pacf1_bp"] == r["acf1_bp"]
+        for c in ("acf1_bp", "acf2_bp", "acf3_bp", "pacf2_bp", "pacf3_bp"):
+            assert -10000 <= r[c] <= 10000, (c, r[c])
+
+
+class TestKCorePeel:
+    def test_curve_invariants(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.graph import K_CORE_ITERS
+
+        rows = sorted(
+            registry.QUERIES["graph_kcore_peel"](spark, sf_dir).collect(),
+            key=lambda r: r["iteration"],
+        )
+        assert [r["iteration"] for r in rows] == list(range(K_CORE_ITERS + 1))
+        alive = [r["n_alive"] for r in rows]
+        # monotone non-increasing peel
+        assert all(a >= b for a, b in zip(alive, alive[1:]))
+        # n_removed is the successive difference; first row removes 0
+        assert rows[0]["n_removed"] == 0
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur["n_removed"] == prev["n_alive"] - cur["n_alive"]
+            assert cur["converged"] == (cur["n_alive"] == prev["n_alive"])
+        # once converged, stays converged (fixpoint is stable)
+        flags = [r["converged"] for r in rows[1:]]
+        if True in flags:
+            first = flags.index(True)
+            assert all(flags[first:])

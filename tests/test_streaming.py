@@ -654,3 +654,49 @@ class TestNativeSessionWindow:
             spans.sort()
             for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
                 assert e1 <= s2, f"user {user}: overlapping sessions"
+
+
+class TestWatermarkEvictionAudit:
+    def test_hand_built_arrival_sequence(self, spark):
+        """Pin the eviction rule on a constructed stream: batch size 3,
+        delay 10 min. Batch 0 max ts = 10:00 -> watermark for batch 1
+        is 09:50; batch 1 carries one row at 09:45 (dropped, 5 min
+        late) and one at 09:55 (admitted — late but inside delay).
+        Batch 0 rows are never dropped (no watermark yet)."""
+        from datetime import datetime
+
+        from leadsight_sales_agent_spark.streaming.demo import (
+            watermark_eviction_flags,
+        )
+
+        T = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+        rows = [
+            (0, T(9, 30)), (1, T(10, 0)), (2, T(9, 40)),   # batch 0
+            (3, T(9, 45)), (4, T(9, 55)), (5, T(10, 30)),  # batch 1
+            (6, T(10, 15)), (7, T(10, 25)), (8, T(10, 21)),  # batch 2
+        ]
+        df = spark.createDataFrame(rows, "event_id BIGINT, ts TIMESTAMP")
+        got = {
+            r["event_id"]: (r["dropped"], r["late_us"])
+            for r in watermark_eviction_flags(df, batch=3, delay_min=10).collect()
+        }
+        # batch 0: no watermark yet -> all admitted
+        assert got[0] == (0, None) and got[1] == (0, None) and got[2] == (0, None)
+        # batch 1: watermark = 10:00 - 10min = 09:50
+        assert got[3] == (1, 5 * 60 * 1_000_000)  # 09:45 is 5 min late
+        assert got[4] == (0, None)  # 09:55 inside the delay
+        assert got[5] == (0, None)
+        # batch 2: watermark = max(10:00, 10:30) - 10min = 10:20
+        assert got[6] == (1, 5 * 60 * 1_000_000)  # 10:15 dropped
+        assert got[7] == (0, None)  # 10:25 admitted
+        assert got[8] == (0, None)  # 10:21 admitted (>= is kept)
+
+    def test_graded_accounting_consistency(self, spark, sf_dir):
+        rows = registry.QUERIES["streaming_watermark_eviction_audit"](
+            spark, sf_dir
+        ).collect()
+        assert rows, "the 90-min skew must produce drops"
+        for r in rows:
+            assert r["n_admitted"] + r["n_dropped"] == r["n_rows"]
+            assert r["n_dropped"] > 0
+            assert r["max_late_us"] > 0
