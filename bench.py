@@ -97,6 +97,14 @@ HEADLINE = [
     # register-grain deterministic HLL (explode + two-level max-merge).
     "holt_linear_smoothing",
     "sketch_hll_deterministic",
+    # r6 additions: the FOUR-stage release capstone (curate → dedup →
+    # mixture-select → pack, three left-semi stitches), the 64-lag
+    # fused Holt-Winters window, and the batch-grain watermark
+    # eviction replay (bounded running max + broadcast back onto the
+    # arrivals).
+    "pipeline_full_release",
+    "holt_winters_seasonal_smoothing",
+    "streaming_watermark_eviction_audit",
 ]
 
 

@@ -315,7 +315,7 @@ MIXTURE_WEIGHT_LOW = 1
                    AS token_budget
         FROM ranked
     ), sel AS (
-        SELECT t.source, t.n_tok, b.token_budget,
+        SELECT t.doc_id, t.source, t.n_tok, b.token_budget,
                sum(t.n_tok) OVER (PARTITION BY t.source
                                   ORDER BY t.h, t.doc_id) AS cum
         FROM tok t JOIN budgets b ON t.source = b.source
@@ -351,7 +351,33 @@ def mixture_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFra
     mixture. Output is the per-source allocation report: weight,
     apportioned budget, docs and tokens actually packed.
     """
-    docs = load(spark, sf_dir, "documents")
+    budgets, sel = mixture_budgets_and_selection(
+        load(spark, sf_dir, "documents")
+    )
+    used = (
+        sel.filter(F.col("cum") <= F.col("token_budget"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens_used"),
+        )
+    )
+    return budgets.join(used, "source", "left").select(
+        "source",
+        F.col("weight").cast("int").alias("weight"),
+        F.col("token_budget").cast("bigint").alias("token_budget"),
+        F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.col("tokens_used"), F.lit(0)).cast("bigint").alias("tokens_used"),
+    )
+
+
+def mixture_budgets_and_selection(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Reusable core of mixture_token_budget_allocation over any
+    documents frame (doc_id + source + text): returns (budgets, sel) —
+    the per-source largest-remainder budget table and the corpus-grain
+    selection frame (doc_id, source, n_tok, token_budget, cum); a doc
+    is IN the mix iff cum <= token_budget. Also composed downstream of
+    curation + dedup by pipeline_full_release."""
     tok = docs.select(
         "doc_id",
         "source",
@@ -396,21 +422,7 @@ def mixture_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFra
     sel = tok.join(F.broadcast(budgets), "source").withColumn(
         "cum", F.sum("n_tok").over(ws)
     )
-    used = (
-        sel.filter(F.col("cum") <= F.col("token_budget"))
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tok").cast("bigint").alias("tokens_used"),
-        )
-    )
-    return budgets.join(used, "source", "left").select(
-        "source",
-        F.col("weight").cast("int").alias("weight"),
-        F.col("token_budget").cast("bigint").alias("token_budget"),
-        F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
-        F.coalesce(F.col("tokens_used"), F.lit(0)).cast("bigint").alias("tokens_used"),
-    )
+    return budgets, sel
 
 
 # -- Sequence packing --------------------------------------------------------

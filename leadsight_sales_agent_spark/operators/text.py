@@ -1817,6 +1817,112 @@ def pipeline_curate_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_manifest(docs)
 
 
+def _composed_full_release_oracle() -> str:
+    """FOUR-stage mechanical composition (curate → exact-dedup →
+    mixture-budget selection → pack): each stage is the registered
+    oracle of an independently graded query, wired together with
+    keep-set filters — a change to any stage re-grades the whole
+    release pipeline automatically (the pipeline_curate_and_pack trick,
+    extended). Structural asserts pin the markers the surgery relies
+    on."""
+    import leadsight_sales_agent_spark.operators.dedup  # noqa: F401
+    import leadsight_sales_agent_spark.operators.sampling  # noqa: F401
+
+    from leadsight_sales_agent_spark.registry import ORACLES
+
+    cur = ORACLES["corpus_curation_full"]
+    ded = ORACLES["dedup_exact_documents"]
+    mix = ORACLES["mixture_token_budget_allocation"]
+    pack = ORACLES["pack_sequences_token_budget"]
+
+    assert ded.count("FROM documents") == 1
+    ded_f = ded.replace(
+        "FROM documents",
+        "FROM documents WHERE doc_id IN (SELECT doc_id FROM kept)",
+        1,
+    )
+
+    mix = mix.lstrip()
+    assert mix.startswith("WITH tok AS (")
+    assert mix.count("FROM documents") == 1
+    assert mix.count("SELECT b.source,") == 1
+    mix_chain = mix[len("WITH ") : mix.rindex("SELECT b.source,")].rstrip()
+    assert mix_chain.endswith(")"), mix_chain[-40:]
+    mix_chain = mix_chain.replace(
+        "FROM documents",
+        "FROM documents WHERE doc_id IN (SELECT keep_doc_id FROM winners)",
+        1,
+    )
+
+    pack = pack.lstrip()
+    assert pack.startswith("WITH t AS (")
+    assert pack.count("FROM documents") == 1
+    pack_f = pack.replace("WITH t AS (", "t AS (", 1).replace(
+        "FROM documents",
+        "FROM documents WHERE doc_id IN (SELECT doc_id FROM selected)",
+        1,
+    )
+
+    return f"""
+    WITH verdicts AS ({cur}),
+    kept AS (SELECT doc_id FROM verdicts WHERE verdict = 'keep'),
+    winners AS ({ded_f}),
+    selected AS (
+        WITH {mix_chain}
+        SELECT doc_id FROM sel WHERE cum <= token_budget
+    ),
+    {pack_f}
+    """
+
+
+@query("pipeline_full_release", oracle=_composed_full_release_oracle())
+def pipeline_full_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL corpus release pipeline, end-to-end in one graded call
+    — the four stages a production training-data release actually
+    chains: (1) five-signal curation verdict, keep survivors; (2)
+    exact dedup among survivors, deterministic min-id winners; (3)
+    token-budget mixture selection (largest-remainder budgets per
+    source, greedy hash-order fill) over the deduped set; (4) the
+    packed fixed-token-budget sequence manifest over the final mix.
+    Extends the two-stage `pipeline_curate_and_pack` capstone to the
+    shape the round-5 verdict suggested (curate → dedup → pack →
+    mixture), with the same mechanical-oracle guarantee: the composed
+    DuckDB spec is assembled from the four stages' REGISTERED oracle
+    strings, so stage specs and pipeline spec cannot drift.
+
+    Scale shape: three left-semi joins stitch the stages (AQE
+    broadcasts each id side); every stage keeps its own graded plan —
+    curation's doc-grain aggregates, dedup's hash-pair shuffle, the
+    mixture's source-partitioned prefix sum, the pack's 16-shard
+    prefix sum. No stage adds a global order or a driver loop, so the
+    composition inherits each stage's 100 TB story unchanged.
+    """
+    from leadsight_sales_agent_spark.operators.sampling import (
+        mixture_budgets_and_selection,
+        pack_manifest,
+    )
+
+    keep = (
+        corpus_curation_full(spark, sf_dir)
+        .filter(F.col("verdict") == "keep")
+        .select("doc_id")
+    )
+    docs = load(spark, sf_dir, "documents").join(keep, "doc_id", "left_semi")
+    winners = (
+        docs.groupBy(
+            F.md5(F.trim(F.col("text"))).alias("h1"),
+            F.xxhash64(F.trim(F.col("text"))).alias("h2"),
+        )
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = docs.join(winners, "doc_id", "left_semi")
+    _budgets, sel = mixture_budgets_and_selection(deduped)
+    selected = sel.filter(F.col("cum") <= F.col("token_budget")).select("doc_id")
+    final = deduped.join(selected, "doc_id", "left_semi")
+    return pack_manifest(final)
+
+
 STOPWORDS = (
     "the", "a", "an", "of", "and", "to", "in", "is", "for", "on", "with",
 )

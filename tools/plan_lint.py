@@ -99,6 +99,7 @@ ALLOW_NON_EQUI = {
     "corpus_curation_full",  # composes the anchors above
     "corpus_curation_verdict",
     "pipeline_curate_and_pack",
+    "pipeline_full_release",  # inherits the curation + mixture 1-row anchors
     "eval_ks_two_sample",  # 1-row extrema anchor on the score grain
     "eval_decile_lift_table",  # 1-row totals anchor
     "eval_pr_curve",  # grain windows + totals anchor
@@ -232,6 +233,7 @@ ALLOW_GLOBAL_SORT = {
     "compaction_bin_packing",
     "pack_sequences_token_budget",
     "pipeline_curate_and_pack",
+    "pipeline_full_release",
     "corpus_curation_full",
     "corpus_curation_verdict",
     "text_ngram_novelty",
@@ -248,6 +250,7 @@ ALLOW_MANY_EXCHANGES = {
     "neardup_prefix_filter_join": 21,  # rarity order + prefix + verify
     "recsys_item_item_cosine": 21,  # pair counts + sym union + per-item rank
     "pipeline_curate_and_pack": 14,
+    "pipeline_full_release": 120,  # 4-stage composition: curation(5 signals) + dedup + mixture + pack stage plans stitched by 3 semi-joins
     "retrieval_hybrid_bm25_vector": 14,
     "mixture_token_budget_allocation": 13,
     "sketch_kmv_intersection": 13,
