@@ -654,6 +654,98 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE ENCODE: a fixed, ordered merge table (the artifact a TRAINED
+# tokenizer ships — text_bpe_merge_candidates above is the learning
+# side). Rules are applied in priority order, each as one global
+# left-to-right replace over the space-separated symbol string — the
+# standard greedy BPE encode. The chain is multi-level on this corpus:
+# (a,n)→(c,an)→(s,can) collapses "scan" to one token.
+BPE_MERGES = (
+    ("a", "n"), ("c", "an"), ("s", "can"),
+    ("e", "r"), ("o", "w"), ("r", "ow"),
+    ("t", "h"), ("th", "e"),
+)
+BPE_ENCODE_TOP = 30  # words graded (top corpus frequency, tie on word)
+
+
+@query(
+    "text_bpe_encode_fixed_merges",
+    oracle=f"""
+    WITH wf AS (
+        SELECT w, count(*) AS freq
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+              FROM documents)
+        GROUP BY 1
+        ORDER BY freq DESC, w
+        LIMIT {BPE_ENCODE_TOP}
+    ),
+    spaced AS (
+        SELECT w, freq,
+               ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym
+        FROM wf
+    ),
+    merged AS (
+        SELECT w, freq,
+               {"".join("replace(" for _ in BPE_MERGES)}sym{
+                   "".join(
+                       f", ' {a} {b} ', ' {a}{b} ')"
+                       for a, b in BPE_MERGES
+                   )
+               } AS sym
+        FROM spaced
+    )
+    SELECT w AS word,
+           CAST(freq AS BIGINT) AS freq,
+           CAST(length(w) AS INTEGER) AS n_chars,
+           trim(sym) AS encoded,
+           CAST(len(string_split(trim(sym), ' ')) AS INTEGER) AS n_bpe_tokens
+    FROM merged
+    """,
+)
+def text_bpe_encode_fixed_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer ENCODE pass with a fixed ordered merge table —
+    the runtime half of the tokenizer whose training half is
+    `text_bpe_merge_candidates`: split each word into characters,
+    then apply each merge rule in priority order as one global
+    left-to-right replace over the boundary-padded symbol string
+    (' t h e ' → ' th e ' → ' the '), which is exactly the greedy
+    BPE encode. Both engines' `replace` scans left-to-right over
+    non-overlapping occurrences, so the fold is cross-engine
+    deterministic; rules chain (scan → s c a n → s c an → s can →
+    scan = ONE token). Graded on the top-{BPE_ENCODE_TOP} corpus
+    words: encoded form plus before/after symbol counts.
+
+    Scale shape: identical to the trainer — collapse the corpus to
+    the distinct-word frequency table first (one hash agg), then the
+    encode is per-row scalar expression work over that tiny table;
+    encoding the full token STREAM at 100 TB is the same expressions
+    mapped over the corpus scan, zero shuffles.
+    """
+    docs = load(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(BPE_ENCODE_TOP)
+    )
+    # boundary-padded symbol string, then the ordered merge fold as
+    # chained replace() calls (Java regexp_replace uses $1 for the
+    # backref where RE2 uses \\1 — spelled per-engine, same semantics)
+    expr = F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 "))
+    for a, b in BPE_MERGES:
+        expr = F.call_function(
+            "replace", expr, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        )
+    return wf.select(
+        F.col("w").alias("word"),
+        F.col("freq").cast("bigint").alias("freq"),
+        F.length("w").cast("int").alias("n_chars"),
+        F.trim(expr).alias("encoded"),
+        F.size(F.split(F.trim(expr), " ")).cast("int").alias("n_bpe_tokens"),
+    )
+
+
 @query(
     "array_functions_suite",
     oracle="""
@@ -839,6 +931,118 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(chunk).cast("int").alias("chunk_len"),
             F.md5(chunk).alias("chunk_hash"),
         )
+    )
+
+
+# -- Encoding-damage audit ---------------------------------------------------
+# The synthetic corpus is clean ASCII, so damage is PLANTED
+# deterministically (the PII/entity-link dirtying pattern): 1-in-7 docs
+# get a classic double-decoded-UTF-8 mojibake marker ("Ã©" = é read as
+# latin-1) plus a U+FFFD replacement char; 1-in-11 get a BEL control
+# character. The audit then detects exactly these damage classes.
+
+MOJIBAKE_MARK = "Ã©"  # 'Ã©'
+REPLACEMENT_CHAR = "�"
+
+
+@query(
+    "text_encoding_damage_audit",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 3
+                       THEN ' caf{MOJIBAKE_MARK}{REPLACEMENT_CHAR}' ELSE '' END
+               || CASE WHEN doc_id % 11 = 4 THEN chr(7) ELSE '' END AS text
+        FROM documents
+    ),
+    audited AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length(text) - length(replace(text, '{REPLACEMENT_CHAR}', ''))
+                   AS n_replacement,
+               length(text) - length(replace(text, chr(7), '')) AS n_control,
+               (length(text) - length(replace(text, '{MOJIBAKE_MARK}', ''))) // 2
+                   AS n_mojibake,
+               length(text)
+               - length(regexp_replace(text, '[\\x{{80}}-\\x{{10FFFF}}]', '', 'g'))
+                   AS n_non_ascii
+        FROM planted
+    )
+    SELECT doc_id,
+           CAST(n_replacement AS BIGINT) AS n_replacement,
+           CAST(n_control AS BIGINT) AS n_control,
+           CAST(n_mojibake AS BIGINT) AS n_mojibake,
+           CAST(n_non_ascii * 10000 // n_chars AS BIGINT) AS non_ascii_bp,
+           (n_replacement + n_control + n_mojibake) > 0 AS is_damaged
+    FROM audited
+    WHERE n_replacement + n_control + n_mojibake > 0
+    """,
+)
+def text_encoding_damage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage detection — the missing member of the C4/CCNet
+    cleaning battery (alongside quality score, entropy, repetition,
+    stopword/punct ratios, PII scrub): flag documents carrying UTF-8
+    replacement characters (U+FFFD — a decoder already lost data), C0
+    control characters, and double-decoded mojibake signatures
+    ('Ã©' — UTF-8 bytes re-read as latin-1), plus the non-ASCII
+    character ratio that catches binary spills. Counts are
+    length-deltas after targeted replace() — exact, no regex except
+    the one codepoint-range class both RE2 and Java spell
+    identically. Only damaged docs are reported (the quarantine set).
+
+    Map-side only: per-row scalar expressions over one corpus scan —
+    zero shuffles at any scale; the quarantine WHERE prunes the
+    output, not the scan.
+    """
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 3,
+                F.lit(f" caf{MOJIBAKE_MARK}{REPLACEMENT_CHAR}"),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 4, F.expr("chr(7)")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_repl = n_chars - F.length(F.call_function("replace", t, F.lit(REPLACEMENT_CHAR)))
+    n_ctrl = n_chars - F.length(
+        F.call_function("replace", t, F.expr("chr(7)"))
+    )
+    n_moji = (
+        n_chars - F.length(F.call_function("replace", t, F.lit(MOJIBAKE_MARK)))
+    ) / 2
+    n_non_ascii = n_chars - F.length(
+        F.regexp_replace(t, r"[\x{80}-\x{10FFFF}]", "")
+    )
+    audited = planted.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_repl.cast("bigint").alias("n_replacement"),
+        n_ctrl.cast("bigint").alias("n_control"),
+        n_moji.cast("bigint").alias("n_mojibake"),
+        n_non_ascii.alias("n_non_ascii"),
+    )
+    return audited.select(
+        "doc_id",
+        "n_replacement",
+        "n_control",
+        "n_mojibake",
+        F.expr("CAST(n_non_ascii * 10000 DIV n_chars AS BIGINT)").alias(
+            "non_ascii_bp"
+        ),
+        (
+            (F.col("n_replacement") + F.col("n_control") + F.col("n_mojibake"))
+            > 0
+        ).alias("is_damaged"),
+    ).filter(
+        F.col("n_replacement") + F.col("n_control") + F.col("n_mojibake") > 0
     )
 
 

@@ -121,3 +121,44 @@ class TestKCorePeel:
         if True in flags:
             first = flags.index(True)
             assert all(flags[first:])
+
+
+class TestBpeEncode:
+    def test_merge_chain_collapses_known_words(self, spark, sf_dir):
+        rows = {
+            r["word"]: r
+            for r in registry.QUERIES["text_bpe_encode_fixed_merges"](
+                spark, sf_dir
+            ).collect()
+        }
+        # multi-level chain: (a,n) -> (c,an) -> (s,can) => one token
+        if "scan" in rows:
+            assert rows["scan"]["encoded"] == "scan"
+            assert rows["scan"]["n_bpe_tokens"] == 1
+        if "row" in rows:  # (o,w) -> (r,ow)
+            assert rows["row"]["encoded"] == "row"
+        if "the" in rows:  # (t,h) -> (th,e)
+            assert rows["the"]["encoded"] == "the"
+        for r in rows.values():
+            # token count never exceeds character count and encoded
+            # round-trips to the word when spaces are removed
+            assert 1 <= r["n_bpe_tokens"] <= r["n_chars"]
+            assert r["encoded"].replace(" ", "") == r["word"]
+
+
+class TestEncodingDamageAudit:
+    def test_planted_damage_is_found_exactly(self, spark, sf_dir):
+        rows = registry.QUERIES["text_encoding_damage_audit"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r["is_damaged"]
+            # damage classes follow the planting rule exactly
+            moji = r["doc_id"] % 7 == 3
+            ctrl = r["doc_id"] % 11 == 4
+            assert moji or ctrl
+            assert r["n_mojibake"] == (1 if moji else 0)
+            assert r["n_replacement"] == (1 if moji else 0)
+            assert r["n_control"] == (1 if ctrl else 0)
+            assert r["non_ascii_bp"] >= 0
