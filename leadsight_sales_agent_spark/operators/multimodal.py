@@ -321,3 +321,110 @@ def provenance_file_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("idx").alias("n_distinct_idx"),
         )
     )
+
+
+AUDIO_FRAME_MS = 25  # STFT window length
+AUDIO_HOP_MS = 10  # STFT hop
+AUDIO_CHUNK_S = 30  # model input chunk length (the Whisper-style unit)
+
+
+@query(
+    "multimodal_audio_chunk_plan",
+    oracle=f"""
+    WITH audio AS (
+        SELECT doc_id,
+               CASE CAST((doc_id // 3) % 3 AS INTEGER)
+                    WHEN 0 THEN 16000 WHEN 1 THEN 22050 ELSE 44100
+               END AS sample_rate,
+               CAST(doc_id % 30000 + 1000 AS BIGINT) AS duration_ms
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    geom AS (
+        SELECT doc_id, sample_rate, duration_ms,
+               duration_ms * sample_rate // 1000 AS n_samples,
+               sample_rate * {AUDIO_FRAME_MS} // 1000 AS win,
+               sample_rate * {AUDIO_HOP_MS} // 1000 AS hop,
+               CAST(sample_rate AS BIGINT) * {AUDIO_CHUNK_S} AS chunk
+        FROM audio
+    ),
+    plan AS (
+        SELECT doc_id, sample_rate, n_samples,
+               CASE WHEN n_samples >= win
+                    THEN 1 + (n_samples - win) // hop ELSE 0 END AS n_frames,
+               (n_samples + chunk - 1) // chunk AS n_chunks,
+               ((n_samples + chunk - 1) // chunk) * chunk - n_samples
+                   AS pad_samples
+        FROM geom
+    )
+    SELECT CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(n_samples) AS BIGINT) AS total_samples,
+           CAST(sum(n_frames) AS BIGINT) AS total_frames,
+           CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
+           CAST(sum(pad_samples) AS BIGINT) AS total_pad_samples,
+           CAST(max(n_frames) AS BIGINT) AS max_frames_per_asset
+    FROM plan GROUP BY 1
+    """,
+)
+def multimodal_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking/STFT geometry plan — the audio-modality twin of
+    the image `multimodal_resize_plan`: for each audio asset
+    (deterministic sample_rate/duration metadata — the container has
+    no codecs, the ARITHMETIC is the contract), compute the exact
+    frame and chunk geometry a feature-extraction stage materializes:
+    sample count, {AUDIO_FRAME_MS} ms/{AUDIO_HOP_MS} ms STFT frame
+    count (1 + (n−win)/hop), {AUDIO_CHUNK_S}-second model chunks with
+    end-padding (the Whisper-style fixed-length unit), rolled up per
+    sample rate. All integer division — cross-engine exact, and the
+    rollup IS the batch-shape/a storage budget the pipeline scheduler
+    consumes (total_frames sizes the feature store; total_pad_samples
+    is the wasted compute a length-bucketing pass would reclaim —
+    `batch_by_length_buckets` is that pass on the text side).
+
+    Map-side metadata arithmetic + one small rollup: zero decode, one
+    hash-agg on a 3-value key. The real decode seam stays
+    `decode_image_stub`'s mapInPandas shape.
+    """
+    audio = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select(
+            "doc_id",
+            F.element_at(
+                F.array(F.lit(16000), F.lit(22050), F.lit(44100)),
+                ((F.col("doc_id") / 3).cast("bigint") % 3 + 1).cast("int"),
+            ).alias("sample_rate"),
+            (F.col("doc_id") % 30000 + 1000).cast("bigint").alias("duration_ms"),
+        )
+    )
+    geom = audio.select(
+        "doc_id",
+        "sample_rate",
+        F.expr("duration_ms * sample_rate DIV 1000").alias("n_samples"),
+        F.expr(f"sample_rate * {AUDIO_FRAME_MS} DIV 1000").alias("win"),
+        F.expr(f"sample_rate * {AUDIO_HOP_MS} DIV 1000").alias("hop"),
+        (F.col("sample_rate").cast("bigint") * AUDIO_CHUNK_S).alias("chunk"),
+    )
+    plan = geom.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.when(
+            F.col("n_samples") >= F.col("win"),
+            1 + F.expr("(n_samples - win) DIV hop"),
+        )
+        .otherwise(F.lit(0))
+        .alias("n_frames"),
+        F.expr("(n_samples + chunk - 1) DIV chunk").alias("n_chunks"),
+        F.expr(
+            "((n_samples + chunk - 1) DIV chunk) * chunk - n_samples"
+        ).alias("pad_samples"),
+    )
+    return plan.groupBy(F.col("sample_rate").cast("int").alias("sample_rate")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.sum("n_samples").cast("bigint").alias("total_samples"),
+        F.sum("n_frames").cast("bigint").alias("total_frames"),
+        F.sum("n_chunks").cast("bigint").alias("total_chunks"),
+        F.sum("pad_samples").cast("bigint").alias("total_pad_samples"),
+        F.max("n_frames").cast("bigint").alias("max_frames_per_asset"),
+    )
