@@ -1017,6 +1017,116 @@ def neardup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "neardup_incremental_prefix_join",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1
+    ), inter AS (
+        SELECT d.doc_id AS delta_doc, c.doc_id AS corpus_doc,
+               count(*) AS n_common
+        FROM tok d JOIN tok c ON d.token = c.token
+        WHERE d.source = '{NEW_BATCH_SOURCE}'
+          AND c.source <> '{NEW_BATCH_SOURCE}'
+        GROUP BY 1, 2
+    )
+    SELECT i.delta_doc, i.corpus_doc, i.n_common,
+           sd.n_tok AS size_delta, sc.n_tok AS size_corpus,
+           CAST((2 * 10000 * i.n_common
+                 + (sd.n_tok + sc.n_tok - i.n_common))
+                // (2 * (sd.n_tok + sc.n_tok - i.n_common)) AS BIGINT)
+               AS jaccard_bp
+    FROM inter i
+    JOIN sizes sd ON i.delta_doc = sd.doc_id
+    JOIN sizes sc ON i.corpus_doc = sc.doc_id
+    WHERE 9 * i.n_common >= 4 * (sd.n_tok + sc.n_tok)
+    """,
+)
+def neardup_incremental_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup maintenance — the exact-set-similarity twin
+    of `dedup_incremental_batch`: an incoming ingest batch (the
+    {NEW_BATCH_SOURCE} stand-in) is checked for Jaccard >= 0.8 overlap
+    against the EXISTING corpus only, never corpus x corpus — the
+    join a production ingest actually reruns per batch. The candidate
+    cut is the same AllPairs/PPJoin prefix filter proven lossless by
+    `neardup_prefix_filter_join`, at the tighter 0.8 threshold
+    (global token-rarity order, prefix = first floor(|d|/5)+1 tokens —
+    two sets with J >= t MUST share a token among each side's first
+    floor((1-t)|d|)+1; verify threshold division-free:
+    9*inter >= 4*(|a|+|b|) <=> J >= 4/5), applied ASYMMETRICALLY: only delta-prefix
+    x corpus-prefix pairs are generated, so candidate volume scales
+    with the BATCH, not the corpus. Verification is the exact
+    intersection count with the division-free threshold; the hash
+    match against the unfiltered delta-x-corpus oracle proves the
+    incremental filter lossless too.
+
+    100 TB: the corpus-side prefix table and the document-frequency
+    order are persisted artifacts maintained across batches (append
+    per batch, re-rank lazily — rarity ranks only improve as df grows,
+    so a stale order stays a valid prefix order and the filter stays
+    lossless); the per-batch cost is one broadcast of the delta
+    prefixes against the corpus prefix index plus candidate verify.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(_tokens())).alias("token")
+    ).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    df_counts = tok.groupBy("token").agg(F.count("*").alias("df"))
+    ranked = (
+        tok.join(F.broadcast(df_counts), "token")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("token"))
+            ),
+        )
+        .join(F.broadcast(sizes), "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.floor(F.col("n_tok") / 5) + 1
+    ).select("doc_id", "source", "token", "n_tok")
+    pd_ = prefix.filter(F.col("source") == NEW_BATCH_SOURCE).select(
+        F.col("doc_id").alias("delta_doc"), "token",
+        F.col("n_tok").alias("size_delta"),
+    )
+    pc = prefix.filter(F.col("source") != NEW_BATCH_SOURCE).select(
+        F.col("doc_id").alias("corpus_doc"), "token",
+        F.col("n_tok").alias("size_corpus"),
+    )
+    cand = (
+        F.broadcast(pd_)
+        .join(pc, "token")
+        .select("delta_doc", "corpus_doc", "size_delta", "size_corpus")
+        .distinct()
+    )
+    td = tok.select(F.col("doc_id").alias("delta_doc"), "token")
+    tc = tok.select(F.col("doc_id").alias("corpus_doc"), "token")
+    inter = (
+        cand.join(td, "delta_doc")
+        .join(tc, ["corpus_doc", "token"])
+        .groupBy("delta_doc", "corpus_doc", "size_delta", "size_corpus")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return inter.filter(
+        9 * F.col("n_common") >= 4 * (F.col("size_delta") + F.col("size_corpus"))
+    ).select(
+        "delta_doc",
+        "corpus_doc",
+        "n_common",
+        "size_delta",
+        "size_corpus",
+        F.expr(
+            "CAST((2 * 10000 * n_common + (size_delta + size_corpus - n_common))"
+            " DIV (2 * (size_delta + size_corpus - n_common)) AS BIGINT)"
+        ).alias("jaccard_bp"),
+    )
+
+
+@query(
     "dedup_cross_source_matrix",
     oracle="""
     WITH h AS (

@@ -248,6 +248,7 @@ ALLOW_MANY_EXCHANGES = {
     "market_basket_apriori_triples": 37,  # pair table + prune + triple expansion
     "graph_link_prediction_common_suppliers": 31,
     "neardup_prefix_filter_join": 21,  # rarity order + prefix + verify
+    "neardup_incremental_prefix_join": 14,  # delta-vs-corpus prefix + verify
     "recsys_item_item_cosine": 21,  # pair counts + sym union + per-item rank
     "pipeline_curate_and_pack": 14,
     "pipeline_full_release": 120,  # 4-stage composition: curation(5 signals) + dedup + mixture + pack stage plans stitched by 3 semi-joins
