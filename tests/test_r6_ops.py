@@ -162,3 +162,71 @@ class TestEncodingDamageAudit:
             assert r["n_replacement"] == (1 if moji else 0)
             assert r["n_control"] == (1 if ctrl else 0)
             assert r["non_ascii_bp"] >= 0
+
+
+class TestFullReleasePipeline:
+    def test_stage_subset_invariants(self, spark, sf_dir):
+        """Packed docs ⊆ mixture-selected ⊆ deduped ⊆ curated-keep, and
+        the manifest's doc count equals the final selected set size."""
+        from leadsight_sales_agent_spark.sources.catalog import load
+        from leadsight_sales_agent_spark.operators.text import (
+            corpus_curation_full,
+        )
+        from leadsight_sales_agent_spark.operators.sampling import (
+            mixture_budgets_and_selection,
+        )
+        import pyspark.sql.functions as F
+
+        keep = {
+            r["doc_id"]
+            for r in corpus_curation_full(spark, sf_dir)
+            .filter(F.col("verdict") == "keep")
+            .select("doc_id")
+            .collect()
+        }
+        docs = load(spark, sf_dir, "documents").filter(
+            F.col("doc_id").isin(*keep) if keep else F.lit(False)
+        )
+        winners = {
+            r["doc_id"]
+            for r in docs.groupBy(F.md5(F.trim(F.col("text"))).alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .collect()
+        }
+        assert winners <= keep
+        _b, sel = mixture_budgets_and_selection(
+            docs.filter(F.col("doc_id").isin(*winners))
+        )
+        selected = {
+            r["doc_id"]
+            for r in sel.filter(F.col("cum") <= F.col("token_budget"))
+            .select("doc_id")
+            .collect()
+        }
+        assert selected <= winners
+        manifest = registry.QUERIES["pipeline_full_release"](spark, sf_dir).collect()
+        assert sum(r["n_docs"] for r in manifest) == len(selected)
+
+
+class TestIncrementalPrefixJoin:
+    def test_delta_side_and_threshold(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.dedup import NEW_BATCH_SOURCE
+        from leadsight_sales_agent_spark.sources.catalog import load
+        import pyspark.sql.functions as F
+
+        docs = load(spark, sf_dir, "documents")
+        delta_ids = {
+            r["doc_id"]
+            for r in docs.filter(F.col("source") == NEW_BATCH_SOURCE)
+            .select("doc_id")
+            .collect()
+        }
+        rows = registry.QUERIES["neardup_incremental_prefix_join"](
+            spark, sf_dir
+        ).collect()
+        for r in rows:
+            assert r["delta_doc"] in delta_ids
+            assert r["corpus_doc"] not in delta_ids
+            # division-free threshold <=> J >= 0.8
+            assert 9 * r["n_common"] >= 4 * (r["size_delta"] + r["size_corpus"])
+            assert r["jaccard_bp"] >= 8000

@@ -142,6 +142,12 @@ def main() -> int:
                 print(f"FAIL  {name}: complex-typed output columns {complex_cols}")
                 continue
             srows = [tuple(r) for r in sdf.collect()]
+            # Emulate the driver's pandas canonicalization (sort_values
+            # over every column) so ANY cell class that crashes it —
+            # not just the banned complex types — fails HERE first.
+            import pandas as _pd
+
+            _pd.DataFrame(srows, columns=scols).sort_values(list(scols))
         except Exception as ex:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {ex}"))
             print(f"FAIL  {name}: spark error: {ex}")
