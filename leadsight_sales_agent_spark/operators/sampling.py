@@ -1469,3 +1469,165 @@ def sample_walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unused")
         .alias("role"),
     )
+
+
+# -- Deterministic Poisson bootstrap ----------------------------------------
+# The distributed bootstrap (Chamandy et al., "Estimating Uncertainty
+# for Massive Data Streams", Google 2012): instead of resampling n rows
+# WITH replacement (impossible to coordinate across a cluster), each
+# row enters replica b with an independent Poisson(1) count — and here
+# even that draw is DERANDOMIZED: the count comes from inverse-CDF
+# thresholds on the row's deterministic 32-bit hash, so the whole
+# confidence interval is a pure function of the data, reproducible on
+# any cluster and graded hash-exact against the oracle.
+
+BOOT_B = 100  # bootstrap replicas
+# cumulative Poisson(1) inverse-CDF cut points as 8-hex-char thresholds
+# (floor(cum * 2^32)): P(X=0)..P(X<=5); the tail rounds up to 6.
+BOOT_POISSON_CUM_HEX = (
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5", "ffd90f3b",
+)
+BOOT_LO_RANK = 3  # ceil(0.025 * B): 2.5% rank-picked bound
+BOOT_HI_RANK = 98  # ceil(0.975 * B): 97.5% rank-picked bound
+
+
+def _boot_count_sql(h: str) -> str:
+    cases = " ".join(
+        f"WHEN {h} < '{t}' THEN {k}"
+        for k, t in enumerate(BOOT_POISSON_CUM_HEX)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@query(
+    "bootstrap_poisson_ci_mean",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority AS priority,
+               CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    replicated AS (
+        SELECT priority, cents, b.b,
+               {_boot_count_sql(
+                   _SQL_HASH.format(
+                       salt="boot:",
+                       key="o_orderkey || ':' || b.b",
+                   )
+               )} AS c
+        FROM base CROSS JOIN (SELECT unnest(generate_series(0, {BOOT_B - 1}))
+                              AS b) b
+    ),
+    replica_means AS (
+        SELECT priority, b,
+               CAST((2 * sum(CAST(c AS HUGEINT) * cents) + sum(c))
+                    // (2 * sum(c)) AS BIGINT) AS mean_cents
+        FROM replicated GROUP BY 1, 2 HAVING sum(c) > 0
+    ),
+    ranked AS (
+        SELECT priority, mean_cents,
+               row_number() OVER (PARTITION BY priority
+                                  ORDER BY mean_cents, b) AS rk
+        FROM replica_means
+    ),
+    point AS (
+        SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST((2 * sum(CAST(cents AS HUGEINT)) + count(*))
+                    // (2 * count(*)) AS BIGINT) AS mean_cents
+        FROM base GROUP BY 1
+    )
+    SELECT p.priority, p.n_orders, p.mean_cents,
+           max(CASE WHEN r.rk = {BOOT_LO_RANK} THEN r.mean_cents END)
+               AS ci_lo_cents,
+           max(CASE WHEN r.rk = {BOOT_HI_RANK} THEN r.mean_cents END)
+               AS ci_hi_cents,
+           CAST({BOOT_B} AS INTEGER) AS n_replicas
+    FROM point p JOIN ranked r ON r.priority = p.priority
+    GROUP BY 1, 2, 3
+    """,
+)
+def bootstrap_poisson_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean order value per priority
+    via the DETERMINISTIC Poisson bootstrap — the uncertainty
+    quantification a 100 TB pipeline can actually run: classic
+    resampling needs coordinated with-replacement draws over n rows;
+    the Poisson bootstrap gives each row an independent Poisson(1)
+    multiplicity per replica (correct to O(1/n)), which shards
+    perfectly — and this implementation derandomizes the draw with
+    inverse-CDF thresholds on a salted per-(row, replica) hash, so
+    the CI is reproducible and hash-gradable (no RNG anywhere — the
+    same derandomization the engine's Bernoulli sampler uses).
+
+    Exactness: multiplicities are exact integers from hex-string
+    threshold compares; replica means are the tie-safe half-up davg
+    on integer cents; CI bounds are RANK-PICKED replica means
+    (positions ceil(0.025 B) and ceil(0.975 B), ties broken by
+    replica id — no interpolation).
+
+    Scale shape: the x{BOOT_B} explode is the algorithm's stated cost
+    and collapses map-side (partial aggregation) before one shuffle
+    to (priority, replica) grain — 5x{BOOT_B} groups; the rank window
+    runs over {BOOT_B} rows per priority. Nothing driver-side.
+    """
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    replicated = base.select(
+        "priority",
+        "cents",
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    ).withColumn(
+        "c",
+        F.expr(
+            _boot_count_sql(
+                "substring(md5('boot:' || CAST(o_orderkey AS STRING)"
+                " || ':' || CAST(b AS STRING)), 1, 8)"
+            )
+        ),
+    )
+    replica_means = (
+        replicated.groupBy("priority", "b")
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("cents")).alias("s"),
+            F.sum("c").cast("decimal(38,0)").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            "priority",
+            "b",
+            F.expr("CAST((2 * s + n) DIV (2 * n) AS BIGINT)").alias("rep_mean"),
+        )
+    )
+    ranked = replica_means.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("priority").orderBy("rep_mean", "b")
+        ),
+    )
+    point = base.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr(
+            "CAST((2 * sum(CAST(cents AS DECIMAL(38,0))) + count(*))"
+            " DIV (2 * count(*)) AS BIGINT)"
+        ).alias("mean_cents"),
+    )
+    return (
+        point.join(ranked, "priority")
+        .groupBy("priority", "n_orders", "mean_cents")
+        .agg(
+            F.max(
+                F.when(F.col("rk") == BOOT_LO_RANK, F.col("rep_mean"))
+            ).alias("ci_lo_cents"),
+            F.max(
+                F.when(F.col("rk") == BOOT_HI_RANK, F.col("rep_mean"))
+            ).alias("ci_hi_cents"),
+        )
+        .withColumn("n_replicas", F.lit(BOOT_B).cast("int"))
+    )

@@ -230,3 +230,21 @@ class TestIncrementalPrefixJoin:
             # division-free threshold <=> J >= 0.8
             assert 9 * r["n_common"] >= 4 * (r["size_delta"] + r["size_corpus"])
             assert r["jaccard_bp"] >= 8000
+
+
+class TestPoissonBootstrap:
+    def test_ci_brackets_point_estimate(self, spark, sf_dir):
+        rows = registry.QUERIES["bootstrap_poisson_ci_mean"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r["n_replicas"] == 100
+            assert r["ci_lo_cents"] <= r["ci_hi_cents"]
+            # the 95% CI must bracket the full-sample mean (holds at any
+            # reasonable n; a violation means the replica hash-counts or
+            # the rank picks are wrong)
+            assert r["ci_lo_cents"] <= r["mean_cents"] <= r["ci_hi_cents"]
+            # width shrinks like 1/sqrt(n): at n>=100 it is far below
+            # the mean itself
+            assert (r["ci_hi_cents"] - r["ci_lo_cents"]) < r["mean_cents"]
