@@ -874,3 +874,44 @@ class TestJoinHints:
         # "optimizes" a join with it.
         plan = self._join(spark, sf_dir, "shuffle_replicate_nl")
         assert "CartesianProduct" in plan
+
+
+class TestRound6Plans:
+    def test_holt_winters_lag_terms_fuse(self, spark, sf_dir):
+        # all 64 lag terms must fuse into ONE WindowExec (plus the
+        # row_number and partition-count windows sharing its exchange)
+        # — a per-coefficient window would be a 64-pass disaster at
+        # scale, and a per-window re-shuffle would be worse
+        plan = plan_of(spark, sf_dir, "holt_winters_seasonal_smoothing")
+        n_windows = len(re.findall(r"\(\d+\) Window\b", plan))
+        assert n_windows <= 3, f"{n_windows} Window nodes — lags did not fuse"
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+        assert n_exchanges <= 2, f"{n_exchanges} exchanges"
+        assert "CartesianProduct" not in plan
+
+    def test_watermark_audit_broadcasts_the_batch_table(self, spark, sf_dir):
+        # the watermark table is batch-grain (bounded); it must broadcast
+        # back onto the arrivals, never shuffle the fact side for it
+        plan = plan_of(spark, sf_dir, "streaming_watermark_eviction_audit")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_release_pipeline_stitches_with_semi_joins(self, spark, sf_dir):
+        # the 3 stage stitches are LeftSemi joins; no stage may
+        # degenerate into a cartesian product
+        plan = plan_of(spark, sf_dir, "pipeline_full_release")
+        assert plan.count("LeftSemi") >= 3
+        assert "CartesianProduct" not in plan
+
+    def test_incremental_prefix_join_broadcasts_delta(self, spark, sf_dir):
+        # candidate generation must broadcast the (small) delta prefix
+        # side — candidates scale with the batch, not the corpus
+        plan = plan_of(spark, sf_dir, "neardup_incremental_prefix_join")
+        assert "BroadcastHashJoin" in plan
+
+    def test_bootstrap_partial_aggregates_before_shuffle(self, spark, sf_dir):
+        # the x100 explode must collapse map-side: partial+final
+        # HashAggregate around one exchange at (priority, replica) grain
+        plan = plan_of(spark, sf_dir, "bootstrap_poisson_ci_mean")
+        assert plan.count("HashAggregate") >= 2
+        assert "CartesianProduct" not in plan
