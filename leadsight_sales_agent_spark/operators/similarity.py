@@ -2305,3 +2305,156 @@ def embedding_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("micro").cast("bigint").alias("min_micro"),
         F.max("micro").cast("bigint").alias("max_micro"),
     )
+
+
+# -- PCA top component (distributed power iteration) -------------------------
+
+PCA_ITERS = 4  # fixed iteration count — the PageRank-style bounded contract
+
+
+def _pca_oracle() -> str:
+    """Unrolled power iteration (same fixed-iteration device as the
+    k-core oracle): covariance from exact decimal sums, then
+    PCA_ITERS rounds of u = C·v (per-term 12dp rounding + decimal sum
+    so the 64-term dot products are addition-order-independent),
+    l-infinity normalization, 12dp re-round."""
+    cov = """
+    flat AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    sums AS (
+        SELECT i, CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx
+        FROM flat GROUP BY 1
+    ),
+    cross_sums AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(sum(CAST(a.x AS DECIMAL(18,9)) * CAST(b.x AS DECIMAL(18,9)))
+                    AS DOUBLE) AS sxy
+        FROM flat a JOIN flat b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT cs.i, cs.j,
+               round((cs.sxy - sa.sx * sb.sx / nn.n) / (nn.n - 1), 12) AS cij
+        FROM cross_sums cs
+        JOIN sums sa ON sa.i = cs.i
+        JOIN sums sb ON sb.i = cs.j
+        CROSS JOIN n nn
+    ),
+    v0 AS (SELECT DISTINCT i, CAST(1 AS DOUBLE) AS v FROM flat)"""
+    its = []
+    for k in range(1, PCA_ITERS + 1):
+        its.append(f"""
+    u{k} AS (
+        SELECT c.i,
+               CAST(sum(CAST(round(c.cij * v.v, 12) AS DECIMAL(22,12)))
+                    AS DOUBLE) AS u
+        FROM c JOIN v{k - 1} v ON v.i = c.j
+        GROUP BY 1
+    ),
+    m{k} AS (SELECT max(abs(u)) AS m FROM u{k}),
+    v{k} AS (
+        SELECT u.i, round(u.u / m.m, 12) AS v
+        FROM u{k} u CROSS JOIN m{k} m
+    )""")
+    return f"""
+    WITH {cov},{",".join(its)}
+    SELECT CAST(v.i AS INTEGER) AS dim,
+           v.v AS loading,
+           round(m.m, 8) AS eigenvalue_linf
+    FROM v{PCA_ITERS} v CROSS JOIN m{PCA_ITERS} m
+    """
+
+
+@query("embedding_pca_power_iteration", oracle=_pca_oracle())
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by DISTRIBUTED
+    power iteration — the whitening/decorrelation primitive real
+    embedding pipelines run before quantization (PQ codebooks assume
+    balanced variance; `embedding_feature_scale` fixes scale per dim,
+    PCA fixes correlation ACROSS dims). Eigensolvers are the textbook
+    "iterate to convergence" case; the graded contract is the same
+    one that made PageRank hash-checkable: a FIXED {PCA_ITERS}
+    iterations from the all-ones start, every dot product summed
+    order-independently (per-term 12dp round → DECIMAL(22,12) sum),
+    l-infinity normalization (the scale factor converges to the top
+    eigenvalue), 12dp re-round at every iteration boundary so float
+    state is bit-equal across engines at each step.
+
+    Scale shape: covariance is ONE pass — the (i,j) outer-product
+    accumulation is a self-join on vec_id exploded to 64x64 pairs per
+    vector with map-side decimal partials collapsing to a 4096-row
+    matrix; each iteration is a broadcast of the 64-row vector onto
+    the tiny matrix (at 1000 dims the matrix is 1M rows — still one
+    executor's worth; beyond that you shard j and tree-aggregate).
+    The corpus is scanned ONCE regardless of iteration count.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select(
+        "vec_id", (F.col("pos") + 1).alias("i"), F.col("vf").cast("double").alias("x")
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    xd = F.col("x").cast("decimal(18,9)")
+    sums = flat.groupBy("i").agg(F.sum(xd).cast("double").alias("sx"))
+    a = flat.select("vec_id", F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = flat.select("vec_id", F.col("i").alias("ib"), F.col("x").alias("xb"))
+    cross_sums = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("ia").alias("i"), F.col("ib").alias("j"))
+        .agg(
+            F.sum(
+                F.col("xa").cast("decimal(18,9)") * F.col("xb").cast("decimal(18,9)")
+            )
+            .cast("double")
+            .alias("sxy")
+        )
+    )
+    sa = sums.select(F.col("i").alias("i_"), F.col("sx").alias("sxa"))
+    sb = sums.select(F.col("i").alias("j_"), F.col("sx").alias("sxb"))
+    c = (
+        cross_sums.join(F.broadcast(sa), F.col("i") == F.col("i_"))
+        .join(F.broadcast(sb), F.col("j") == F.col("j_"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("sxy") - F.col("sxa") * F.col("sxb") / F.col("n"))
+                / (F.col("n") - 1),
+                12,
+            ).alias("cij"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = flat.select("i").distinct().select("i", F.lit(1.0).alias("v"))
+    m = None
+    for _ in range(PCA_ITERS):
+        u = (
+            c.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(F.col("cij") * F.col("v"), 12).cast("decimal(22,12)")
+                )
+                .cast("double")
+                .alias("u")
+            )
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        # localCheckpoint per round truncates the otherwise-compounding
+        # lineage, exactly as in graph_pagerank_trade's loop
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .select("i", F.round(F.col("u") / F.col("m"), 12).alias("v"))
+            .localCheckpoint(eager=False)
+        )
+    return v.crossJoin(F.broadcast(m)).select(
+        F.col("i").cast("int").alias("dim"),
+        F.col("v").alias("loading"),
+        F.round("m", 8).alias("eigenvalue_linf"),
+    )
