@@ -2458,3 +2458,132 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("v").alias("loading"),
         F.round("m", 8).alias("eigenvalue_linf"),
     )
+
+
+# -- Johnson-Lindenstrauss random projection ---------------------------------
+
+JL_OUT_DIM = 16  # target dimensionality (64 -> 16)
+
+
+@query(
+    "embedding_random_projection_jl",
+    oracle=f"""
+    WITH flat AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    signs AS (
+        SELECT k.k, f.i,
+               CASE WHEN substring(md5('jl:' || CAST(k.k AS VARCHAR) || ':'
+                                        || CAST(f.i AS VARCHAR)), 1, 1)
+                         < '8' THEN 1 ELSE -1 END AS s
+        FROM (SELECT DISTINCT i FROM flat) f
+        CROSS JOIN (SELECT unnest(generate_series(1, {JL_OUT_DIM})) AS k) k
+    ),
+    proj AS (
+        SELECT f.vec_id, s.k,
+               CAST(sum(s.s * CAST(f.x AS DECIMAL(18,9))) AS DOUBLE)
+                   / {JL_OUT_DIM} * 4 AS c
+        FROM flat f JOIN signs s ON s.i = f.i
+        GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT vec_id,
+               CAST(sum(CAST(round(x * x, 10) AS DECIMAL(22,10))) AS DOUBLE)
+                   AS n_in
+        FROM flat GROUP BY 1
+    ),
+    pnorms AS (
+        SELECT vec_id,
+               CAST(sum(CAST(round(c * c, 10) AS DECIMAL(22,10))) AS DOUBLE)
+                   AS n_out
+        FROM proj GROUP BY 1
+    )
+    SELECT p.vec_id, CAST(p.k AS INTEGER) AS k,
+           round(p.c, 6) AS coord,
+           CAST(round(10000 * pn.n_out / nm.n_in, 0) AS BIGINT)
+               AS norm_ratio_bp
+    FROM proj p
+    JOIN norms nm ON nm.vec_id = p.vec_id
+    JOIN pnorms pn ON pn.vec_id = p.vec_id
+    """,
+)
+def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → {JL_OUT_DIM} dims
+    with a DETERMINISTIC sign matrix (Achlioptas ±1 variant): entry
+    signs come from a salted hash of (output dim, input dim), so the
+    projection matrix is a pure function of the spec — no RNG, no
+    stored matrix, any executor regenerates any entry on demand (the
+    property that makes JL viable at 100 TB: the "matrix" ships as a
+    hash seed, not data). Coordinates scale by 1/sqrt({JL_OUT_DIM}) =
+    1/4 exactly (the target dim is chosen to make the JL scale factor
+    dyadic — no sqrt in the data path); the per-vector norm ratio
+    ||Px||²/||x||² (basis points) is emitted as the distortion audit
+    JL guarantees to concentrate near 1.
+
+    Exactness: dot products accumulate sign·x in DECIMAL(18,9)
+    (order-independent); norms use the round-squares-then-decimal-sum
+    device; the only divisions are identical double expressions.
+
+    Scale: one explode + one (dim-grain tiny) broadcast sign join +
+    one hash-agg to (vec, k) grain — the corpus is scanned once and
+    the shuffle carries {JL_OUT_DIM} partials per vector.
+    """
+    from leadsight_sales_agent_spark.operators.sampling import hash_key
+
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select(
+        "vec_id", (F.col("pos") + 1).alias("i"), F.col("vf").cast("double").alias("x")
+    )
+    ks = spark.range(1, JL_OUT_DIM + 1).select(F.col("id").cast("bigint").alias("k"))
+    dims = flat.select("i").distinct()
+    signs = dims.crossJoin(F.broadcast(ks)).select(
+        "k",
+        "i",
+        F.when(
+            hash_key(
+                "jl:", F.concat(F.col("k").cast("string"), F.lit(":"),
+                                F.col("i").cast("string"))
+            ).substr(1, 1)
+            < "8",
+            1,
+        )
+        .otherwise(-1)
+        .alias("s"),
+    )
+    proj = (
+        flat.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "k")
+        .agg(
+            (
+                F.sum(F.col("s") * F.col("x").cast("decimal(18,9)")).cast("double")
+                / JL_OUT_DIM
+                * 4
+            ).alias("c")
+        )
+    )
+    norms = flat.groupBy("vec_id").agg(
+        F.sum(F.round(F.col("x") * F.col("x"), 10).cast("decimal(22,10)"))
+        .cast("double")
+        .alias("n_in")
+    )
+    pnorms = proj.groupBy("vec_id").agg(
+        F.sum(F.round(F.col("c") * F.col("c"), 10).cast("decimal(22,10)"))
+        .cast("double")
+        .alias("n_out")
+    )
+    return (
+        proj.join(F.broadcast(norms), "vec_id")
+        .join(F.broadcast(pnorms), "vec_id")
+        .select(
+            "vec_id",
+            F.col("k").cast("int").alias("k"),
+            F.round("c", 6).alias("coord"),
+            F.round(F.lit(10000) * F.col("n_out") / F.col("n_in"), 0)
+            .cast("bigint")
+            .alias("norm_ratio_bp"),
+        )
+    )

@@ -286,3 +286,24 @@ class TestPcaPowerIteration:
         rayleigh = (v @ C @ v) / (v @ v)
         assert rayleigh >= 0.75 * top, (rayleigh, top)
         assert lam <= 1.05 * top  # l-inf growth factor bounded by the spectrum
+
+
+class TestJlProjection:
+    def test_norm_concentration(self, spark, sf_dir):
+        """JL distortion audit: per-vector projected-norm ratios must
+        concentrate around 1 (here: median within [0.5, 1.5] and all
+        ratios positive), and every vector gets exactly JL_OUT_DIM
+        coordinates."""
+        from collections import Counter
+
+        from leadsight_sales_agent_spark.operators.similarity import JL_OUT_DIM
+
+        rows = registry.QUERIES["embedding_random_projection_jl"](
+            spark, sf_dir
+        ).collect()
+        per_vec = Counter(r["vec_id"] for r in rows)
+        assert set(per_vec.values()) == {JL_OUT_DIM}
+        ratios = sorted({r["vec_id"]: r["norm_ratio_bp"] for r in rows}.values())
+        assert all(x > 0 for x in ratios)
+        med = ratios[len(ratios) // 2]
+        assert 5000 <= med <= 15000, med
