@@ -1631,3 +1631,65 @@ def bootstrap_poisson_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_replicas", F.lit(BOOT_B).cast("int"))
     )
+
+
+def _pack_shard_balance_oracle() -> str:
+    """Mechanical composition over the registered pack oracle (same
+    guarantee as pipeline_full_release: the audit's spec IS the pack's
+    spec, wrapped)."""
+    from leadsight_sales_agent_spark.registry import ORACLES
+
+    pack = ORACLES["pack_sequences_token_budget"]
+    return f"""
+    WITH manifest AS ({pack}),
+    per_shard AS (
+        SELECT shard,
+               CAST(count(*) AS BIGINT) AS n_sequences,
+               CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+        FROM manifest GROUP BY 1
+    ),
+    tot AS (SELECT sum(shard_tokens) AS t, count(*) AS ns FROM per_shard)
+    SELECT p.shard, p.n_sequences, p.shard_tokens,
+           CAST((2 * 10000 * p.shard_tokens + t.t) // (2 * t.t) AS BIGINT)
+               AS share_bp,
+           CAST((2 * 10000 * p.shard_tokens * t.ns + t.t) // (2 * t.t)
+                AS BIGINT) AS vs_even_bp
+    FROM per_shard p CROSS JOIN tot t
+    """
+
+
+@query("layout_pack_shard_balance", oracle=_pack_shard_balance_oracle())
+def layout_pack_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit of the packed-sequence layout — the QA pass
+    that decides whether the pack's 16-way hash sharding actually
+    balanced the token stream (a skewed shard becomes the straggler of
+    every downstream training epoch): per shard, sequence and token
+    totals, the token share in basis points, and the deviation from
+    the even split as 10000 = exactly even (vs_even_bp = share x
+    n_shards — a shard at 12000 carries 20% more than its fair slice).
+    The oracle is composed mechanically from the pack stage's
+    registered spec.
+
+    One rollup of the manifest (16 rows) + a 1-row totals broadcast —
+    free at any scale; the signal guards the 100 TB property the pack
+    relies on (hash-uniform shard assignment).
+    """
+    manifest = pack_manifest(load(spark, sf_dir, "documents"))
+    per_shard = manifest.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sequences"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+    )
+    tot = per_shard.agg(
+        F.sum("shard_tokens").alias("t"), F.count(F.lit(1)).alias("ns")
+    )
+    return per_shard.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_sequences",
+        "shard_tokens",
+        F.expr("CAST((2 * 10000 * shard_tokens + t) DIV (2 * t) AS BIGINT)").alias(
+            "share_bp"
+        ),
+        F.expr(
+            "CAST((2 * 10000 * shard_tokens * ns + t) DIV (2 * t) AS BIGINT)"
+        ).alias("vs_even_bp"),
+    )

@@ -934,6 +934,89 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bpe_compression_by_lang",
+    oracle=f"""
+    WITH wf AS (
+        SELECT lang, w, count(*) AS freq
+        FROM (SELECT lang,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT lang, w, freq,
+               {"".join("replace(" for _ in BPE_MERGES)}' '
+                   || regexp_replace(w, '(.)', '\\1 ', 'g'){
+                   "".join(
+                       f", ' {a} {b} ', ' {a}{b} ')" for a, b in BPE_MERGES
+                   )
+               } AS sym
+        FROM wf
+    )
+    SELECT lang,
+           CAST(sum(freq) AS BIGINT) AS n_words,
+           CAST(sum(freq * length(w)) AS BIGINT) AS n_chars,
+           CAST(sum(freq * len(string_split(trim(sym), ' '))) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST((2 * 10000 * sum(freq * length(w))
+                 + sum(freq * len(string_split(trim(sym), ' '))))
+                // (2 * sum(freq * len(string_split(trim(sym), ' '))))
+                AS BIGINT) AS chars_per_token_e4,
+           CAST((2 * 10000 * sum(freq * len(string_split(trim(sym), ' ')))
+                 + sum(freq))
+                // (2 * sum(freq)) AS BIGINT) AS fertility_e4
+    FROM merged GROUP BY 1
+    """,
+)
+def text_bpe_compression_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer compression/fertility audit per language — the metric
+    that decides whether a merge table is FAIR across languages
+    (under-merged languages pay more tokens per word, i.e. more
+    compute and effectively shorter context): apply the fixed merge
+    table to the distinct-word table (the trainer's own collapse — the
+    fold runs once per distinct word, then weights by corpus
+    frequency) and report chars-per-token and tokens-per-word
+    (fertility), both as 1e4-scaled truncating-safe half-up integers.
+    Completes the tokenizer story: `text_bpe_merge_candidates` learns,
+    `text_bpe_encode_fixed_merges` encodes, this audits.
+
+    Scale: distinct-word collapse first (hash agg), scalar fold over
+    the word table, one lang-grain rollup — the corpus token stream is
+    never re-scanned per merge rule.
+    """
+    docs = load(spark, sf_dir, "documents")
+    wf = (
+        docs.select("lang", F.explode(_tokens()).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("freq"))
+    )
+    expr = F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 "))
+    for a, b in BPE_MERGES:
+        expr = F.call_function(
+            "replace", expr, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        )
+    merged = wf.select(
+        "lang",
+        "freq",
+        F.length("w").alias("n_chars_w"),
+        F.size(F.split(F.trim(expr), " ")).alias("n_tok_w"),
+    )
+    return merged.groupBy("lang").agg(
+        F.sum("freq").cast("bigint").alias("n_words"),
+        F.sum(F.col("freq") * F.col("n_chars_w")).cast("bigint").alias("n_chars"),
+        F.sum(F.col("freq") * F.col("n_tok_w")).cast("bigint").alias("n_bpe_tokens"),
+        F.expr(
+            "CAST((2 * 10000 * sum(freq * n_chars_w) + sum(freq * n_tok_w))"
+            " DIV (2 * sum(freq * n_tok_w)) AS BIGINT)"
+        ).alias("chars_per_token_e4"),
+        F.expr(
+            "CAST((2 * 10000 * sum(freq * n_tok_w) + sum(freq))"
+            " DIV (2 * sum(freq)) AS BIGINT)"
+        ).alias("fertility_e4"),
+    )
+
+
 # -- Encoding-damage audit ---------------------------------------------------
 # The synthetic corpus is clean ASCII, so damage is PLANTED
 # deterministically (the PII/entity-link dirtying pattern): 1-in-7 docs

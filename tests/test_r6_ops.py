@@ -307,3 +307,26 @@ class TestJlProjection:
         assert all(x > 0 for x in ratios)
         med = ratios[len(ratios) // 2]
         assert 5000 <= med <= 15000, med
+
+
+class TestAuditDerivatives:
+    def test_bpe_compression_identities(self, spark, sf_dir):
+        rows = registry.QUERIES["text_bpe_compression_by_lang"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            # tokens never exceed chars, never fewer than words
+            assert r["n_words"] <= r["n_bpe_tokens"] <= r["n_chars"]
+            assert r["fertility_e4"] >= 10000  # >= 1 token per word
+            assert r["chars_per_token_e4"] >= 10000  # >= 1 char per token
+
+    def test_pack_shard_shares_sum_to_whole(self, spark, sf_dir):
+        rows = registry.QUERIES["layout_pack_shard_balance"](
+            spark, sf_dir
+        ).collect()
+        assert len(rows) == 16  # one per hex shard
+        total_share = sum(r["share_bp"] for r in rows)
+        assert abs(total_share - 10000) <= len(rows)  # half-up rounding slack
+        for r in rows:
+            assert r["vs_even_bp"] > 0
