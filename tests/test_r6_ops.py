@@ -330,3 +330,33 @@ class TestAuditDerivatives:
         assert abs(total_share - 10000) <= len(rows)  # half-up rounding slack
         for r in rows:
             assert r["vs_even_bp"] > 0
+
+
+class TestObservedMetrics:
+    def test_observation_collects_counters_in_one_pass(self, spark, sf_dir):
+        """Dataset.observe — the engine-level twin of the reference's
+        per-row progress counters (app.py's processed/total): named
+        aggregates piggyback on the ACTION's single pass (no second
+        scan), delivered after completion like a StreamingQueryListener
+        metric. The counters must agree with directly-computed values."""
+        from pyspark.sql import Observation
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        obs = Observation("ingest_stats")
+        orders = load(spark, sf_dir, "orders")
+        observed = orders.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+        n_out = observed.filter(F.col("o_orderstatus") == "F").count()
+        got = obs.get
+        assert got["n_rows"] == orders.count()
+        assert got["n_large"] == orders.filter(
+            F.col("o_totalprice") > 100000
+        ).count()
+        assert got["max_date"] == orders.agg(F.max("o_orderdate")).first()[0]
+        assert 0 < n_out <= got["n_rows"]
