@@ -4269,3 +4269,143 @@ def panel_fixed_effects_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("num_t").cast("double") / F.sum("den_t").cast("double"), 4
         ).alias("fe_slope_cents_per_order"),
     )
+
+
+AMS_GROUPS = 5  # median-of-means: mean over AMS_PER_GROUP basic
+AMS_PER_GROUP = 5  # estimators cuts variance 5x; the median over the 5
+# group means drives the failure probability down exponentially (the
+# paper's standard parameterization)
+AMS_ESTIMATORS = AMS_GROUPS * AMS_PER_GROUP
+
+
+@query(
+    "sketch_ams_f2_moment",
+    oracle=f"""
+    WITH stream AS (
+        SELECT l_partkey AS x FROM lineitem
+    ),
+    truth AS (
+        SELECT CAST(sum(f) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(f AS HUGEINT) * f) AS BIGINT) AS f2_true
+        FROM (SELECT count(*) AS f FROM stream GROUP BY x)
+    ),
+    z AS (
+        SELECT j.j,
+               CAST(sum(CASE WHEN substring(md5('ams:' || CAST(j.j AS VARCHAR)
+                                   || ':' || CAST(s.x AS VARCHAR)), 1, 1) < '8'
+                             THEN 1 ELSE -1 END) AS BIGINT) AS zj
+        FROM stream s
+        CROSS JOIN (SELECT unnest(generate_series(1, {AMS_ESTIMATORS})) AS j) j
+        GROUP BY 1
+    ),
+    grp AS (
+        SELECT (j - 1) // {AMS_PER_GROUP} AS g, sum(zj * zj) AS gsum
+        FROM z GROUP BY 1
+    ),
+    med AS (
+        SELECT gsum,
+               row_number() OVER (ORDER BY gsum, g) AS rk
+        FROM grp
+    )
+    SELECT t.n_rows, t.f2_true,
+           CAST((2 * max(CASE WHEN m.rk = {(AMS_GROUPS + 1) // 2}
+                         THEN m.gsum END) + {AMS_PER_GROUP})
+                // (2 * {AMS_PER_GROUP}) AS BIGINT) AS f2_ams,
+           CAST((2 * 10000 * abs((2 * max(CASE WHEN m.rk = {(AMS_GROUPS + 1) // 2}
+                                          THEN m.gsum END) + {AMS_PER_GROUP})
+                                 // (2 * {AMS_PER_GROUP}) - t.f2_true)
+                 + t.f2_true)
+                // (2 * t.f2_true) AS BIGINT) AS err_bp,
+           CAST({AMS_ESTIMATORS} AS INTEGER) AS n_estimators
+    FROM truth t CROSS JOIN med m
+    GROUP BY 1, 2
+    """,
+)
+def sketch_ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy, STOC'96
+    — the paper that started streaming sketches), completing the
+    deterministic sketch family (Count-Min, KMV, Bloom, HLL,
+    Misra-Gries): F2 = Σ f_x² measures stream self-join size / skew,
+    estimated in ONE pass with O(1) state per estimator — Z_j =
+    Σ_rows s_j(x) where s_j is a ±1 hash sign, E[Z²] = F2 exactly.
+    Median-of-means parameterization ({AMS_GROUPS} groups averaging
+    {AMS_PER_GROUP} estimators each; rank-picked median, ties broken
+    by group id, mean as a half-up integer) against the exact F2,
+    with the error in basis points. The ±1 draws are the same derandomized-hash device as the
+    JL projection and the Poisson bootstrap — no RNG, hash-exact.
+
+    Scale: the x{AMS_ESTIMATORS} sign expansion collapses map-side to
+    {AMS_ESTIMATORS} running sums (each estimator IS 8 bytes of state
+    — the whole sketch fits in a register file at 100 TB); exact F2
+    costs the one key-grain shuffle the sketch exists to avoid, kept
+    here as the graded truth.
+    """
+    stream = load(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("x"))
+    truth = (
+        stream.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(
+            F.sum("f").cast("bigint").alias("n_rows"),
+            F.sum(F.col("f").cast("decimal(38,0)") * F.col("f"))
+            .cast("bigint")
+            .alias("f2_true"),
+        )
+    )
+    js = spark.range(1, AMS_ESTIMATORS + 1).select(
+        F.col("id").cast("bigint").alias("j")
+    )
+    z = (
+        stream.crossJoin(F.broadcast(js))
+        .groupBy("j")
+        .agg(
+            F.sum(
+                F.when(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("ams:"),
+                                F.col("j").cast("string"),
+                                F.lit(":"),
+                                F.col("x").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    )
+                    < "8",
+                    1,
+                ).otherwise(-1)
+            )
+            .cast("bigint")
+            .alias("zj")
+        )
+    )
+    grp = z.groupBy(
+        F.expr(f"(j - 1) DIV {AMS_PER_GROUP}").alias("g")
+    ).agg(F.sum(F.col("zj") * F.col("zj")).alias("gsum"))
+    med_ranked = grp.select(
+        "gsum",
+        F.row_number().over(Window.orderBy("gsum", "g")).alias("rk"),
+    )
+    med_rk = (AMS_GROUPS + 1) // 2
+    return (
+        truth.crossJoin(med_ranked)
+        .groupBy("n_rows", "f2_true")
+        .agg(
+            F.max(F.when(F.col("rk") == med_rk, F.col("gsum"))).alias("med_gsum")
+        )
+        .select(
+            "n_rows",
+            "f2_true",
+            F.expr(
+                f"CAST((2 * med_gsum + {AMS_PER_GROUP})"
+                f" DIV (2 * {AMS_PER_GROUP}) AS BIGINT)"
+            ).alias("f2_ams"),
+            F.expr(
+                f"CAST((2 * 10000 * abs((2 * med_gsum + {AMS_PER_GROUP})"
+                f" DIV (2 * {AMS_PER_GROUP}) - f2_true) + f2_true)"
+                " DIV (2 * f2_true) AS BIGINT)"
+            ).alias("err_bp"),
+            F.lit(AMS_ESTIMATORS).cast("int").alias("n_estimators"),
+        )
+    )
