@@ -377,3 +377,20 @@ class TestAmsF2:
         # 0.71x at sf0.001, 0.90x at sf0.01)
         assert r["f2_ams"] <= 3 * r["f2_true"]
         assert 3 * r["f2_ams"] >= r["f2_true"]
+
+
+class TestCountSketch:
+    def test_unbiased_estimates_near_truth(self, spark, sf_dir):
+        """On heavy keys the signed-median estimate must land within the
+        collision noise band (||f||_2-ish); exactness of individual
+        cells is already hash-graded — this pins the statistical
+        contract on the probe set."""
+        rows = registry.QUERIES["sketch_count_sketch_estimates"](
+            spark, sf_dir
+        ).collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert r["abs_err"] == abs(r["cs_estimate"] - r["true_count"])
+        # median relative error across probes stays bounded
+        rels = sorted(r["abs_err"] / r["true_count"] for r in rows)
+        assert rels[len(rels) // 2] < 2.0, rels

@@ -62,7 +62,8 @@ ALLOW_NON_EQUI = {
     "embedding_pca_power_iteration",  # 1-row n / l-inf-norm scalar anchors per round
     "embedding_random_projection_jl",  # 16-row sign-matrix dim cross join
     "layout_pack_shard_balance",  # 1-row totals cross join
-    "sketch_ams_f2_moment",  # 9-row estimator panel + 1-row truth cross joins
+    "sketch_ams_f2_moment",  # estimator panel + 1-row truth cross joins
+    "sketch_count_sketch_estimates",  # 5-row depth panel cross joins
     "sample_ht_estimator_check",  # 1-row truth anchor
     "benford_first_digit_audit",  # 9-row digit grid
     "resample_gap_filled_30min",  # dense grid expansion (bounded by calendar)
