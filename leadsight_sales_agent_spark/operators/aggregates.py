@@ -4540,3 +4540,80 @@ def sketch_count_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame
             F.abs(F.col("cs_estimate") - F.col("true_count")).alias("abs_err"),
         )
     )
+
+
+# Two-sided geometric (discrete Laplace) inverse-CDF thresholds for
+# epsilon = 1, sensitivity 1, truncated at |k| <= 8 (cumulative mass
+# 0.99982; the tail clamps to +-8): floor(cdf(k) * 2^32) as 8-hex-char
+# cut points. Derived from P(0) = (1-a)/(1+a), P(+-k) = P(0) a^k with
+# a = e^-1 — the geometric mechanism of Ghosh-Roughgarden-Sundararajan.
+DP_GEOM_THRESHOLDS = (
+    (-8, "000a28da"), (-7, "0025c6b6"), (-6, "0070d893"), (-5, "013ce824"),
+    (-4, "03679a03"), (-3, "094b6b1d"), (-2, "194e16e4"), (-1, "44d36eae"),
+    (0, "bb20be0b"), (1, "e6a615d5"), (2, "f6a8c19c"), (3, "fc8c92b6"),
+    (4, "feb74495"), (5, "ff835426"), (6, "ffce6603"), (7, "ffea03de"),
+    (8, "fff42cb9"),
+)
+
+
+def _dp_noise_sql(h: str) -> str:
+    cases = " ".join(
+        f"WHEN {h} < '{t}' THEN {k}" for k, t in DP_GEOM_THRESHOLDS
+    )
+    return f"CASE {cases} ELSE 8 END"
+
+
+@query(
+    "privacy_geometric_mechanism_counts",
+    oracle=f"""
+    WITH counts AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS true_count
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, true_count,
+           CAST({_dp_noise_sql(
+               "substring(md5('dp:' || event_type), 1, 8)"
+           )} AS BIGINT) AS noise,
+           true_count + CAST({_dp_noise_sql(
+               "substring(md5('dp:' || event_type), 1, 8)"
+           )} AS BIGINT) AS noisy_count,
+           CAST(10000 AS BIGINT) AS epsilon_e4
+    FROM counts
+    """,
+)
+def privacy_geometric_mechanism_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The geometric mechanism (discrete Laplace — the
+    Ghosh-Roughgarden-Sundararajan utility-optimal mechanism for
+    counting queries) applied to per-type event counts at epsilon = 1,
+    sensitivity 1 — completing the privacy family (k-anonymity,
+    l-diversity, deterministic tokenization) with the
+    differential-privacy release shape: integer noise drawn from the
+    two-sided geometric by inverse CDF over a salted hash (the same
+    derandomization device as the Poisson bootstrap; a production
+    release draws from a secret-seeded or hardware source — with a
+    PUBLIC seed this demonstrates the mechanism's arithmetic and
+    utility, not a privacy guarantee, and says so). Noise truncates
+    at |k| <= 8 (0.018% tail mass).
+
+    Scale: the mechanism is a per-GROUP scalar expression after the
+    one counting shuffle — noise addition costs nothing at any scale,
+    which is exactly why DP releases run this shape at the
+    aggregate (never the row) grain.
+    """
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    )
+    noise = F.expr(
+        _dp_noise_sql("substring(md5('dp:' || event_type), 1, 8)")
+    ).cast("bigint")
+    return counts.select(
+        "event_type",
+        "true_count",
+        noise.alias("noise"),
+        (F.col("true_count") + noise).alias("noisy_count"),
+        F.lit(10000).cast("bigint").alias("epsilon_e4"),
+    )

@@ -394,3 +394,15 @@ class TestCountSketch:
         # median relative error across probes stays bounded
         rels = sorted(r["abs_err"] / r["true_count"] for r in rows)
         assert rels[len(rels) // 2] < 2.0, rels
+
+
+class TestGeometricMechanism:
+    def test_noise_distribution_and_consistency(self, spark, sf_dir):
+        rows = registry.QUERIES["privacy_geometric_mechanism_counts"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r["noisy_count"] == r["true_count"] + r["noise"]
+            assert -8 <= r["noise"] <= 8  # truncation bound
+            assert r["epsilon_e4"] == 10000
