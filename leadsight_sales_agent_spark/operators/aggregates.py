@@ -4617,3 +4617,137 @@ def privacy_geometric_mechanism_counts(
         (F.col("true_count") + noise).alias("noisy_count"),
         F.lit(10000).cast("bigint").alias("epsilon_e4"),
     )
+
+
+@query(
+    "sketch_kmv_rolling_distinct_7d",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+               md5('kmvr|' || CAST(user_id AS VARCHAR)) AS h
+        FROM events
+    ),
+    daily AS (
+        SELECT day, h,
+               row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM du
+    ),
+    anchor AS (SELECT min(day) AS d0 FROM du),
+    days AS (
+        SELECT DISTINCT day AS t FROM du, anchor
+        WHERE day >= d0 + 6
+    ),
+    win_hashes AS (
+        SELECT DISTINCT d.t, s.h
+        FROM days d
+        JOIN daily s ON s.day BETWEEN d.t - 6 AND d.t
+        WHERE s.rn <= {KMV_K}
+    ),
+    win_ranked AS (
+        SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+        FROM win_hashes
+    ),
+    sk AS (
+        SELECT t, max(h) AS kth_h, count(*) AS in_sk
+        FROM win_ranked WHERE rn <= {KMV_K} GROUP BY 1
+    ),
+    truth AS (
+        SELECT d.t, count(DISTINCT u.h) AS n_true
+        FROM days d JOIN du u ON u.day BETWEEN d.t - 6 AND d.t
+        GROUP BY 1
+    )
+    SELECT strftime(t.t, '%Y-%m-%d') AS day,
+           CAST(t.n_true AS BIGINT) AS n_true,
+           CAST(CASE WHEN s.in_sk < {KMV_K} THEN t.n_true
+                ELSE ({KMV_K - 1} * {_HEX12})
+                     // {sql_hex_to_long('s.kth_h', 12)} END AS BIGINT)
+               AS est_distinct,
+           CAST(abs(CASE WHEN s.in_sk < {KMV_K} THEN t.n_true
+                    ELSE ({KMV_K - 1} * {_HEX12})
+                         // {sql_hex_to_long('s.kth_h', 12)} END
+                    - t.n_true) * 10000 // t.n_true AS BIGINT) AS err_bp
+    FROM truth t JOIN sk s ON s.t = t.t
+    """,
+)
+def sketch_kmv_rolling_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users from MERGED daily KMV sketches —
+    the production rolling-cardinality pattern: persist one k-hash
+    sketch per day, answer any trailing window by unioning 7 sketches
+    and re-ranking, NEVER re-scanning raw history (the exact twin
+    `rolling_active_users_7d` re-touches every event in the window;
+    this touches 7 x {KMV_K} hashes). Merge losslessness is the KMV
+    pigeonhole again, now across days: a hash among the window's k
+    smallest has fewer than k smaller hashes in its own day, so it
+    survives that day's sketch — the oracle builds each window's
+    sketch from the daily sketches the same way, and the graded truth
+    is the EXACT rolling distinct, so both the merge identity and the
+    ~1/sqrt(k) error claim are checked per window position.
+
+    Scale: daily sketch build is one day-partitioned rank; the window
+    union joins the bounded day grid against <= k rows per day —
+    31 x 7 x {KMV_K} hash rows total, independent of corpus size.
+    """
+    K = KMV_K
+    du = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.md5(F.concat(F.lit("kmvr|"), F.col("user_id").cast("string"))).alias(
+                "h"
+            ),
+        )
+        .distinct()
+    )
+    daily = du.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("day").orderBy("h"))
+    )
+    anchor = du.agg(F.min("day").alias("d0"))
+    days = (
+        du.select("day")
+        .distinct()
+        .crossJoin(F.broadcast(anchor))
+        .filter(F.col("day") >= F.date_add(F.col("d0"), 6))
+        .select(F.col("day").alias("t"))
+    )
+    win_hashes = (
+        F.broadcast(days)
+        .join(
+            daily.filter(F.col("rn") <= K),
+            (F.col("day") >= F.date_sub(F.col("t"), 6))
+            & (F.col("day") <= F.col("t")),
+        )
+        .select("t", "h")
+        .distinct()
+    )
+    win_ranked = win_hashes.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("t").orderBy("h"))
+    )
+    sk = (
+        win_ranked.filter(F.col("rn") <= K)
+        .groupBy("t")
+        .agg(F.max("h").alias("kth_h"), F.count("*").alias("in_sk"))
+    )
+    truth = (
+        F.broadcast(days)
+        .join(
+            du,
+            (F.col("day") >= F.date_sub(F.col("t"), 6))
+            & (F.col("day") <= F.col("t")),
+        )
+        .groupBy("t")
+        .agg(F.count_distinct("h").alias("n_true"))
+    )
+    est = F.when(F.col("in_sk") < K, F.col("n_true")).otherwise(
+        F.expr(f"({K - 1} * {_HEX12}) DIV {sql_hex_to_long('kth_h', 12)}")
+    )
+    staged = truth.join(sk, "t").select(
+        F.date_format("t", "yyyy-MM-dd").alias("day"),
+        F.col("n_true").cast("bigint").alias("n_true"),
+        est.cast("bigint").alias("est_distinct"),
+    )
+    # integer floor (DIV), matching the oracle's `//` exactly — a double
+    # division truncated to bigint can flip at exact-multiple boundaries
+    return staged.withColumn(
+        "err_bp",
+        F.expr("CAST(abs(est_distinct - n_true) * 10000 DIV n_true AS BIGINT)"),
+    )

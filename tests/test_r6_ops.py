@@ -406,3 +406,15 @@ class TestGeometricMechanism:
             assert r["noisy_count"] == r["true_count"] + r["noise"]
             assert -8 <= r["noise"] <= 8  # truncation bound
             assert r["epsilon_e4"] == 10000
+
+
+class TestKmvRolling:
+    def test_rolling_estimate_matches_sketch_error_envelope(self, spark, sf_dir):
+        rows = registry.QUERIES["sketch_kmv_rolling_distinct_7d"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r["err_bp"] == abs(r["est_distinct"] - r["n_true"]) * 10000 // r["n_true"]
+            # KMV with k=64: ~12.5% expected error; pin a 4-sigma envelope
+            assert r["err_bp"] <= 5000, r

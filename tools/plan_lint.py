@@ -64,6 +64,7 @@ ALLOW_NON_EQUI = {
     "layout_pack_shard_balance",  # 1-row totals cross join
     "sketch_ams_f2_moment",  # estimator panel + 1-row truth cross joins
     "sketch_count_sketch_estimates",  # 5-row depth panel cross joins
+    "sketch_kmv_rolling_distinct_7d",  # day-grid range join (31 rows x <=k hashes)
     "sample_ht_estimator_check",  # 1-row truth anchor
     "benford_first_digit_audit",  # 9-row digit grid
     "resample_gap_filled_30min",  # dense grid expansion (bounded by calendar)
@@ -260,6 +261,7 @@ ALLOW_MANY_EXCHANGES = {
     "retrieval_hybrid_bm25_vector": 14,
     "mixture_token_budget_allocation": 13,
     "sketch_kmv_intersection": 13,
+    "sketch_kmv_rolling_distinct_7d": 7,  # daily rank + window rank + exact-truth twin
     "market_basket_rules": 13,
     "text_pmi_cooccurrence": 13,
     "text_bm25_scores": 13,
