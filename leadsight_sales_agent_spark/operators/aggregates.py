@@ -4751,3 +4751,155 @@ def sketch_kmv_rolling_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFram
         "err_bp",
         F.expr("CAST(abs(est_distinct - n_true) * 10000 DIV n_true AS BIGINT)"),
     )
+
+
+@query(
+    "sketch_ams_join_size_estimate",
+    oracle=f"""
+    WITH a AS (
+        SELECT l_partkey AS x FROM lineitem
+        WHERE date_part('year', l_shipdate) = 1996
+    ),
+    b AS (
+        SELECT l_partkey AS x FROM lineitem
+        WHERE date_part('year', l_shipdate) = 1997
+    ),
+    truth AS (
+        SELECT CAST(sum(CAST(fa.f AS HUGEINT) * fb.f) AS BIGINT) AS join_size
+        FROM (SELECT x, count(*) AS f FROM a GROUP BY 1) fa
+        JOIN (SELECT x, count(*) AS f FROM b GROUP BY 1) fb USING (x)
+    ),
+    za AS (
+        SELECT j.j,
+               CAST(sum(CASE WHEN substring(md5('ams:' || CAST(j.j AS VARCHAR)
+                                   || ':' || CAST(a.x AS VARCHAR)), 1, 1) < '8'
+                             THEN 1 ELSE -1 END) AS BIGINT) AS z
+        FROM a CROSS JOIN (SELECT unnest(generate_series(1, {AMS_ESTIMATORS}))
+                           AS j) j
+        GROUP BY 1
+    ),
+    zb AS (
+        SELECT j.j,
+               CAST(sum(CASE WHEN substring(md5('ams:' || CAST(j.j AS VARCHAR)
+                                   || ':' || CAST(b.x AS VARCHAR)), 1, 1) < '8'
+                             THEN 1 ELSE -1 END) AS BIGINT) AS z
+        FROM b CROSS JOIN (SELECT unnest(generate_series(1, {AMS_ESTIMATORS}))
+                           AS j) j
+        GROUP BY 1
+    ),
+    grp AS (
+        SELECT (za.j - 1) // {AMS_PER_GROUP} AS g, sum(za.z * zb.z) AS gsum
+        FROM za JOIN zb ON za.j = zb.j
+        GROUP BY 1
+    ),
+    med AS (
+        SELECT gsum, row_number() OVER (ORDER BY gsum, g) AS rk FROM grp
+    )
+    SELECT t.join_size,
+           CAST(CASE WHEN max(CASE WHEN m.rk = {(AMS_GROUPS + 1) // 2}
+                              THEN m.gsum END) >= 0
+                THEN (2 * max(CASE WHEN m.rk = {(AMS_GROUPS + 1) // 2}
+                              THEN m.gsum END) + {AMS_PER_GROUP})
+                     // (2 * {AMS_PER_GROUP})
+                ELSE -((2 * -max(CASE WHEN m.rk = {(AMS_GROUPS + 1) // 2}
+                                 THEN m.gsum END) + {AMS_PER_GROUP})
+                       // (2 * {AMS_PER_GROUP})) END AS BIGINT) AS est_join_size,
+           CAST({AMS_ESTIMATORS} AS INTEGER) AS n_estimators
+    FROM truth t CROSS JOIN med m
+    GROUP BY 1
+    """,
+)
+def sketch_ams_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from AMS sign sketches — the
+    cardinality-estimation trick inside cost-based optimizers
+    (Alon-Gibbons-Matias-Szegedy): |A ⋈ B| = Σ_x f_A(x)·f_B(x) is the
+    inner product of two frequency vectors, and E[Z_A·Z_B] over shared
+    sign functions equals it exactly — so each relation is summarized
+    by {AMS_ESTIMATORS} 8-byte counters and the join size is estimated
+    WITHOUT touching the other table (here: how many 1996 line items
+    pair with 1997 line items on part key — the self-join-over-time
+    question behind yearly-comparison query planning). Median-of-means
+    as in sketch_ams_f2_moment; the estimate can be negative on
+    adversarial draws, so the half-up report mirrors. Graded against
+    the exact join size.
+
+    Scale: each side collapses map-side to {AMS_ESTIMATORS} running
+    sums over ITS OWN scan — the two relations never co-shuffle; exact
+    truth (kept as the graded baseline) costs the key-grain join the
+    sketch avoids.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("x"), F.year("l_shipdate").alias("yr")
+    )
+    a = li.filter(F.col("yr") == 1996).select("x")
+    b = li.filter(F.col("yr") == 1997).select("x")
+    fa = a.groupBy("x").agg(F.count(F.lit(1)).alias("f"))
+    fb = b.groupBy("x").agg(F.count(F.lit(1)).alias("f"))
+    truth = (
+        fa.join(fb.withColumnRenamed("f", "fb"), "x")
+        .agg(
+            F.sum(F.col("f").cast("decimal(38,0)") * F.col("fb"))
+            .cast("bigint")
+            .alias("join_size")
+        )
+    )
+    js = spark.range(1, AMS_ESTIMATORS + 1).select(
+        F.col("id").cast("bigint").alias("j")
+    )
+
+    def sign():
+        return F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ams:"),
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("x").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8",
+            1,
+        ).otherwise(-1)
+
+    za = (
+        a.crossJoin(F.broadcast(js))
+        .groupBy("j")
+        .agg(F.sum(sign()).cast("bigint").alias("za"))
+    )
+    zb = (
+        b.crossJoin(F.broadcast(js))
+        .groupBy("j")
+        .agg(F.sum(sign()).cast("bigint").alias("zb"))
+    )
+    grp = (
+        za.join(zb, "j")
+        .groupBy(F.expr(f"(j - 1) DIV {AMS_PER_GROUP}").alias("g"))
+        .agg(F.sum(F.col("za") * F.col("zb")).alias("gsum"))
+    )
+    med_ranked = grp.select(
+        "gsum", F.row_number().over(Window.orderBy("gsum", "g")).alias("rk")
+    )
+    med_rk = (AMS_GROUPS + 1) // 2
+    staged = (
+        truth.crossJoin(med_ranked)
+        .groupBy("join_size")
+        .agg(F.max(F.when(F.col("rk") == med_rk, F.col("gsum"))).alias("med_gsum"))
+    )
+    pos = F.expr(
+        f"(2 * med_gsum + {AMS_PER_GROUP}) DIV (2 * {AMS_PER_GROUP})"
+    )
+    neg = -F.expr(
+        f"(2 * (-med_gsum) + {AMS_PER_GROUP}) DIV (2 * {AMS_PER_GROUP})"
+    )
+    return staged.select(
+        "join_size",
+        F.when(F.col("med_gsum") >= 0, pos)
+        .otherwise(neg)
+        .cast("bigint")
+        .alias("est_join_size"),
+        F.lit(AMS_ESTIMATORS).cast("int").alias("n_estimators"),
+    )

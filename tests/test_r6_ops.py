@@ -418,3 +418,16 @@ class TestKmvRolling:
             assert r["err_bp"] == abs(r["est_distinct"] - r["n_true"]) * 10000 // r["n_true"]
             # KMV with k=64: ~12.5% expected error; pin a 4-sigma envelope
             assert r["err_bp"] <= 5000, r
+
+
+class TestAmsJoinSize:
+    def test_estimate_within_envelope(self, spark, sf_dir):
+        rows = registry.QUERIES["sketch_ams_join_size_estimate"](
+            spark, sf_dir
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["join_size"] > 0
+        # inner-product sketch with median-of-means: pin a 3x envelope
+        assert abs(r["est_join_size"]) <= 3 * r["join_size"]
+        assert 3 * abs(r["est_join_size"]) >= r["join_size"]

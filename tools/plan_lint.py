@@ -64,6 +64,7 @@ ALLOW_NON_EQUI = {
     "layout_pack_shard_balance",  # 1-row totals cross join
     "sketch_ams_f2_moment",  # estimator panel + 1-row truth cross joins
     "sketch_count_sketch_estimates",  # 5-row depth panel cross joins
+    "sketch_ams_join_size_estimate",  # estimator panel + 1-row truth cross joins
     "sketch_kmv_rolling_distinct_7d",  # day-grid range join (31 rows x <=k hashes)
     "sample_ht_estimator_check",  # 1-row truth anchor
     "benford_first_digit_audit",  # 9-row digit grid
