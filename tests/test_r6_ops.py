@@ -431,3 +431,37 @@ class TestAmsJoinSize:
         # inner-product sketch with median-of-means: pin a 3x envelope
         assert abs(r["est_join_size"]) <= 3 * r["join_size"]
         assert 3 * abs(r["est_join_size"]) >= r["join_size"]
+
+
+class TestShapleyAttribution:
+    def test_efficiency_axiom(self, spark, sf_dir):
+        """Shapley efficiency: the scaled values sum EXACTLY to
+        24 * (v(N) - v(empty)) — the axiom that makes the split an
+        allocation rather than a score."""
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+        from leadsight_sales_agent_spark.operators.behavior import (
+            SHAPLEY_CHANNELS,
+        )
+
+        rows = registry.QUERIES["attribution_shapley_channels"](
+            spark, sf_dir
+        ).collect()
+        assert {r["channel"] for r in rows} == {c for c, _ in SHAPLEY_CHANNELS}
+        ev = load(spark, sf_dir, "events")
+        fp = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t0"))
+        )
+        n_conv = fp.count()
+        # v(N) = all converted users; v(empty) = users converting with
+        # no prior channel events
+        pre = ev.filter(F.col("event_type") != "purchase").select("user_id", "ts")
+        with_pre = (
+            fp.join(pre, "user_id").filter(F.col("ts") < F.col("t0"))
+            .select("user_id").distinct().count()
+        )
+        v_empty = n_conv - with_pre
+        assert sum(r["shapley_x24"] for r in rows) == 24 * (n_conv - v_empty)

@@ -76,6 +76,7 @@ ALLOW_NON_EQUI = {
     "join_asof_purchase_last_click",  # as-of non-equi by design
     "join_asof_forward_tolerance",  # as-of with tolerance
     "markov_event_transitions",  # 25-cell matrix x totals
+    "attribution_shapley_channels",  # 16-coalition grid + 1-row span anchor
     "path_top_sequences",  # alphabet-bounded rollup x literal rank
     "topk_orders_with_ties",  # literal-bound rank compare
     "sketch_kmv_distinct_userdays",  # k-th order statistic scalar probe
@@ -263,6 +264,7 @@ ALLOW_MANY_EXCHANGES = {
     "mixture_token_budget_allocation": 13,
     "sketch_kmv_intersection": 13,
     "sketch_kmv_rolling_distinct_7d": 7,  # daily rank + window rank + exact-truth twin
+    "attribution_shapley_channels": 9,  # pre-purchase mask join + coalition grid + span anchor
     "market_basket_rules": 13,
     "text_pmi_cooccurrence": 13,
     "text_bm25_scores": 13,
