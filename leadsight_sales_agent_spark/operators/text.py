@@ -3231,3 +3231,156 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * CAST(s1 AS DECIMAL(38,0)) * nd) AS BIGINT)"
         ).alias("fano_bp"),
     )
+
+
+GREEDY_COVER_ROUNDS = 5  # sources picked (bounded-iteration contract)
+
+
+def _greedy_cover_oracle() -> str:
+    """Unrolled greedy set cover: round k picks the not-yet-picked
+    source with the largest NEW bigram coverage (ties by source name;
+    zero-gain sources stay eligible so every round emits a row), then
+    adds its bigrams to the covered set — the same chained-CTE unroll
+    as the k-core peel."""
+    rounds = []
+    for k in range(1, GREEDY_COVER_ROUNDS + 1):
+        if k > 1:
+            picked = " UNION ALL ".join(
+                f"SELECT source FROM win{i}" for i in range(1, k)
+            )
+            not_picked = f"WHERE source NOT IN ({picked})"
+        else:
+            not_picked = ""
+        rounds.append(f"""
+    gain{k} AS (
+        SELECT sv.source,
+               count(DISTINCT CASE WHEN c.token IS NULL THEN sv.token END)
+                   AS gain
+        FROM sv LEFT JOIN cov{k - 1} c ON c.token = sv.token
+        GROUP BY 1
+    ),
+    win{k} AS (
+        SELECT source, gain, {k} AS round
+        FROM gain{k} {not_picked}
+        ORDER BY gain DESC, source LIMIT 1
+    ),
+    cov{k} AS (
+        SELECT token FROM cov{k - 1}
+        UNION
+        SELECT sv.token FROM sv JOIN win{k} w ON sv.source = w.source
+    )""")
+    wins = "\n        UNION ALL\n".join(
+        f"        SELECT round, source, gain FROM win{i}"
+        for i in range(1, GREEDY_COVER_ROUNDS + 1)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT source, string_split_regex(trim(text), '\\s+') AS a
+        FROM documents
+    ),
+    sv AS (
+        SELECT DISTINCT source, a[u.i] || ' ' || a[u.i + 1] AS token
+        FROM tok, unnest(generate_series(1, len(a) - 1)) AS u(i)
+    ),
+    universe AS (SELECT count(DISTINCT token) AS u FROM sv),
+    cov0 AS (SELECT NULL AS token WHERE FALSE),{",".join(rounds)},
+    wins AS (
+{wins}
+    ),
+    cum AS (
+        SELECT round, source, CAST(gain AS BIGINT) AS gain,
+               CAST(sum(gain) OVER (ORDER BY round) AS BIGINT) AS covered
+        FROM wins
+    )
+    SELECT c.round, c.source, c.gain, c.covered,
+           CAST((2 * 10000 * c.covered + u.u) // (2 * u.u) AS BIGINT)
+               AS coverage_bp
+    FROM cum c CROSS JOIN universe u
+    """
+
+
+@query("corpus_greedy_source_cover", oracle=_greedy_cover_oracle())
+def corpus_greedy_source_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy submodular source selection — the data-subset-selection
+    primitive (facility location / max-coverage greedy, the standard
+    (1-1/e)-approximation): pick {GREEDY_COVER_ROUNDS} corpus sources
+    that together maximize distinct-BIGRAM coverage (the corpus's
+    31-word vocabulary saturates with any single source; bigrams
+    discriminate), one
+    argmax-of-marginal-gain round at a time (ties by source name —
+    total order). Greedy selection is the textbook sequential
+    algorithm; the graded contract is the k-core/PageRank device
+    again: a FIXED number of unrolled rounds, each one hash-agg of
+    per-source NEW-token counts against the covered set plus a 1-row
+    argmax. Output is the selection trace: round, source, marginal
+    gain, cumulative coverage, and coverage of the token universe in
+    basis points.
+
+    Scale: the (source, token) incidence collapses once (distinct —
+    the submodular oracle's only corpus-grain pass); each round's
+    marginal-gain scan is an anti-join of that incidence against the
+    covered-token set (bounded by vocabulary, not corpus), and the
+    argmax is |sources| rows. localCheckpoint truncates per-round
+    lineage exactly as in the other bounded-iteration operators.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    bigrams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda t, i: F.concat(t, F.lit(" "), F.get(toks, i + 1)),
+    )
+    sv = docs.select(
+        "source", F.explode(bigrams).alias("token")
+    ).distinct()
+    sv = sv.localCheckpoint(eager=False)
+    universe = sv.select("token").distinct().agg(F.count("*").alias("u"))
+
+    covered = sv.select("token").filter(F.lit(False))
+    wins = None
+    for k in range(1, GREEDY_COVER_ROUNDS + 1):
+        gain = (
+            sv.join(
+                covered.withColumn("hit", F.lit(1)), "token", "left"
+            )
+            .groupBy("source")
+            .agg(
+                F.count_distinct(
+                    F.when(F.col("hit").isNull(), F.col("token"))
+                ).alias("gain")
+            )
+        )
+        if wins is not None:
+            gain = gain.join(wins.select("source"), "source", "left_anti")
+        win = (
+            gain.orderBy(F.desc("gain"), F.asc("source"))
+            .limit(1)
+            .select(F.lit(k).alias("round"), "source", "gain")
+            .localCheckpoint(eager=False)
+        )
+        covered = (
+            covered.union(
+                sv.join(win.select("source"), "source").select("token")
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        wins = win if wins is None else wins.unionByName(win)
+
+    cum = wins.select(
+        "round",
+        "source",
+        F.col("gain").cast("bigint").alias("gain"),
+        F.sum("gain")
+        .over(Window.orderBy("round"))
+        .cast("bigint")
+        .alias("covered"),
+    )
+    return cum.crossJoin(F.broadcast(universe)).select(
+        "round",
+        "source",
+        "gain",
+        "covered",
+        F.expr("CAST((2 * 10000 * covered + u) DIV (2 * u) AS BIGINT)").alias(
+            "coverage_bp"
+        ),
+    )

@@ -465,3 +465,29 @@ class TestShapleyAttribution:
         )
         v_empty = n_conv - with_pre
         assert sum(r["shapley_x24"] for r in rows) == 24 * (n_conv - v_empty)
+
+
+class TestGreedySourceCover:
+    def test_greedy_invariants(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.text import (
+            GREEDY_COVER_ROUNDS,
+        )
+
+        rows = sorted(
+            registry.QUERIES["corpus_greedy_source_cover"](spark, sf_dir).collect(),
+            key=lambda r: r["round"],
+        )
+        assert [r["round"] for r in rows] == list(
+            range(1, GREEDY_COVER_ROUNDS + 1)
+        )
+        # no source picked twice
+        assert len({r["source"] for r in rows}) == len(rows)
+        # marginal gains are non-increasing (submodularity of coverage)
+        gains = [r["gain"] for r in rows]
+        assert gains == sorted(gains, reverse=True)
+        # cumulative coverage is consistent and bounded by the universe
+        cum = 0
+        for r in rows:
+            cum += r["gain"]
+            assert r["covered"] == cum
+            assert 0 <= r["coverage_bp"] <= 10000

@@ -77,6 +77,7 @@ ALLOW_NON_EQUI = {
     "join_asof_forward_tolerance",  # as-of with tolerance
     "markov_event_transitions",  # 25-cell matrix x totals
     "attribution_shapley_channels",  # 16-coalition grid + 1-row span anchor
+    "corpus_greedy_source_cover",  # 1-row universe anchor on the 5-row trace
     "path_top_sequences",  # alphabet-bounded rollup x literal rank
     "topk_orders_with_ties",  # literal-bound rank compare
     "sketch_kmv_distinct_userdays",  # k-th order statistic scalar probe
