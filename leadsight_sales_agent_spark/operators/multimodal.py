@@ -428,3 +428,121 @@ def multimodal_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pad_samples").cast("bigint").alias("total_pad_samples"),
         F.max("n_frames").cast("bigint").alias("max_frames_per_asset"),
     )
+
+
+VIDEO_GOP_SECONDS = 2  # keyframe every 2 s (the codec GOP length)
+VIDEO_CLIP_LEN = 16  # frames per training clip (the video-model unit)
+VIDEO_CLIP_STRIDE = 64  # clip sampling stride in frames
+
+
+@query(
+    "multimodal_video_gop_plan",
+    oracle=f"""
+    WITH video AS (
+        SELECT doc_id,
+               CASE CAST((doc_id // 3) % 3 AS INTEGER)
+                    WHEN 0 THEN 24 WHEN 1 THEN 25 ELSE 30
+               END AS fps,
+               CAST(doc_id % 7200 + 240 AS BIGINT) AS n_frames
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    geom AS (
+        SELECT doc_id, fps, n_frames,
+               CAST(fps * {VIDEO_GOP_SECONDS} AS BIGINT) AS gop,
+               (n_frames - {VIDEO_CLIP_LEN}) // {VIDEO_CLIP_STRIDE} + 1
+                   AS n_clips
+        FROM video
+    ),
+    plan AS (
+        SELECT doc_id, fps, n_frames, n_clips,
+               (n_frames + gop - 1) // gop AS n_gops,
+               n_frames * 1000 // fps AS duration_ms,
+               CAST(list_sum(list_transform(
+                        generate_series(0, CAST(n_clips - 1 AS INTEGER)),
+                        i -> (CAST(i AS BIGINT) * {VIDEO_CLIP_STRIDE}) % gop))
+                    AS BIGINT) AS seek_waste
+        FROM geom
+    )
+    SELECT CAST(fps AS INTEGER) AS fps,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(n_frames) AS BIGINT) AS total_frames,
+           CAST(sum(n_gops) AS BIGINT) AS total_keyframes,
+           CAST(sum(n_clips) AS BIGINT) AS total_clips,
+           CAST(sum(n_clips) * {VIDEO_CLIP_LEN} AS BIGINT) AS total_clip_frames,
+           CAST(sum(seek_waste) AS BIGINT) AS total_seek_waste_frames,
+           CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms,
+           CAST(max(n_clips) AS BIGINT) AS max_clips_per_asset
+    FROM plan GROUP BY 1
+    """,
+)
+def multimodal_video_gop_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video codec-geometry plan — the video twin of
+    ``multimodal_audio_chunk_plan``: for each video asset (deterministic
+    fps / frame-count metadata; no codecs in this container, the
+    ARITHMETIC is the contract) compute the decode plan a
+    video-pretraining pipeline schedules before touching pixels:
+
+    - GOP structure: a keyframe every {VIDEO_GOP_SECONDS} s →
+      ``n_gops = ceil(n_frames / gop)`` keyframes per asset (the seek
+      index a thumbnail/preview stage decodes);
+    - clip sampling: {VIDEO_CLIP_LEN}-frame training clips every
+      {VIDEO_CLIP_STRIDE} frames → ``n_clips`` model inputs per asset;
+    - seek waste: decoding a clip must start at the PRECEDING keyframe,
+      so clip i (start frame ``i*stride``) wastes ``(i*stride) mod gop``
+      frames of decode before its first usable frame. Summed exactly per
+      asset via a fold over the clip-index sequence (``F.aggregate`` over
+      ``F.sequence`` — no explode, no shuffle; ≤ ~120 clips/asset here,
+      and at any scale the fold is O(clips) map-side work). This number
+      is the decode compute a stride-vs-GOP alignment fix would reclaim
+      — the video analogue of audio's ``total_pad_samples``.
+
+    All integer arithmetic (DIV / %% on positive operands) — cross-engine
+    exact; one hash-agg rollup on a 3-value fps key. The per-frame decode
+    seam stays ``decode_image_stub``'s mapInPandas shape
+    (cf. reference app.py's media handling is nonexistent — this family
+    is the beyond-reference training-data surface the brief mandates).
+    """
+    video = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select(
+            "doc_id",
+            F.element_at(
+                F.array(F.lit(24), F.lit(25), F.lit(30)),
+                ((F.col("doc_id") / 3).cast("bigint") % 3 + 1).cast("int"),
+            ).alias("fps"),
+            (F.col("doc_id") % 7200 + 240).cast("bigint").alias("n_frames"),
+        )
+    )
+    geom = video.select(
+        "doc_id",
+        "fps",
+        "n_frames",
+        (F.col("fps").cast("bigint") * VIDEO_GOP_SECONDS).alias("gop"),
+        (
+            F.expr(f"(n_frames - {VIDEO_CLIP_LEN}) DIV {VIDEO_CLIP_STRIDE}") + 1
+        ).alias("n_clips"),
+    )
+    plan = geom.select(
+        "doc_id",
+        "fps",
+        "n_frames",
+        "n_clips",
+        F.expr("(n_frames + gop - 1) DIV gop").alias("n_gops"),
+        F.expr("n_frames * 1000 DIV fps").alias("duration_ms"),
+        F.expr(
+            f"aggregate(sequence(CAST(0 AS BIGINT), n_clips - 1), "
+            f"CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + (i * {VIDEO_CLIP_STRIDE}) % gop)"
+        ).alias("seek_waste"),
+    )
+    return plan.groupBy(F.col("fps").cast("int").alias("fps")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.sum("n_frames").cast("bigint").alias("total_frames"),
+        F.sum("n_gops").cast("bigint").alias("total_keyframes"),
+        F.sum("n_clips").cast("bigint").alias("total_clips"),
+        (F.sum("n_clips") * VIDEO_CLIP_LEN).cast("bigint").alias("total_clip_frames"),
+        F.sum("seek_waste").cast("bigint").alias("total_seek_waste_frames"),
+        F.sum("duration_ms").cast("bigint").alias("total_duration_ms"),
+        F.max("n_clips").cast("bigint").alias("max_clips_per_asset"),
+    )

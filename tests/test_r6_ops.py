@@ -491,3 +491,32 @@ class TestGreedySourceCover:
             cum += r["gain"]
             assert r["covered"] == cum
             assert 0 <= r["coverage_bp"] <= 10000
+
+
+class TestVideoGopPlan:
+    def test_geometry_invariants(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.multimodal import (
+            VIDEO_CLIP_LEN,
+            VIDEO_CLIP_STRIDE,
+            VIDEO_GOP_SECONDS,
+        )
+
+        rows = registry.QUERIES["multimodal_video_gop_plan"](spark, sf_dir).collect()
+        assert {r["fps"] for r in rows} <= {24, 25, 30}
+        for r in rows:
+            gop = r["fps"] * VIDEO_GOP_SECONDS
+            # every clip contributes exactly CLIP_LEN frames
+            assert r["total_clip_frames"] == r["total_clips"] * VIDEO_CLIP_LEN
+            # keyframes cover the frames: gop*(keyframes-n) < frames <= gop*keyframes
+            assert r["total_keyframes"] * gop >= r["total_frames"]
+            assert (r["total_keyframes"] - r["n_assets"]) * gop < r["total_frames"]
+            # seek waste per clip is bounded by gop-1
+            assert 0 <= r["total_seek_waste_frames"] <= r["total_clips"] * (gop - 1)
+            # max clips consistent with the metadata bounds
+            assert 1 <= r["max_clips_per_asset"] <= (7439 - VIDEO_CLIP_LEN) // VIDEO_CLIP_STRIDE + 1
+
+    def test_seek_waste_exact_small_case(self):
+        """Hand-check the fold: fps=24 → gop=48, stride 64: clip i wastes
+        (64*i) % 48 — period 3 pattern 0,16,32."""
+        waste = [(64 * i) % 48 for i in range(7)]
+        assert waste == [0, 16, 32, 0, 16, 32, 0]
