@@ -4903,3 +4903,120 @@ def sketch_ams_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("est_join_size"),
         F.lit(AMS_ESTIMATORS).cast("int").alias("n_estimators"),
     )
+
+
+QUANTILE_BUCKET_CENTS = 100_000  # $1000 histogram buckets for rank localization
+
+
+@query(
+    "quantile_bucket_localized_exact",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag AS flag,
+               CAST(CAST(l_extendedprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT flag, cents,
+               row_number() OVER (PARTITION BY flag ORDER BY cents) AS rk,
+               count(*) OVER (PARTITION BY flag) AS n
+        FROM base
+    ),
+    med AS (
+        SELECT flag, CAST(n AS BIGINT) AS n_rows, cents AS median_cents
+        FROM ranked WHERE rk = (n + 1) // 2
+    )
+    SELECT m.flag,
+           m.n_rows,
+           m.median_cents,
+           m.median_cents // {QUANTILE_BUCKET_CENTS} AS located_bucket,
+           CAST((SELECT count(*) FROM base b
+                 WHERE b.flag = m.flag
+                   AND b.cents // {QUANTILE_BUCKET_CENTS}
+                       = m.median_cents // {QUANTILE_BUCKET_CENTS}) AS BIGINT)
+               AS bucket_rows,
+           CAST((2 * (SELECT count(*) FROM base b
+                      WHERE b.flag = m.flag
+                        AND b.cents // {QUANTILE_BUCKET_CENTS}
+                            = m.median_cents // {QUANTILE_BUCKET_CENTS})
+                     * 10000 + m.n_rows) // (2 * m.n_rows) AS BIGINT)
+               AS scan_bp
+    FROM med m
+    """,
+)
+def quantile_bucket_localized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median WITHOUT a global sort — the two-phase
+    rank-localization pattern every 100 TB engine uses where a naive
+    ``orderBy`` would be the bottleneck:
+
+    1. histogram pass: one hash-agg of row counts per (group, $1000
+       price bucket) — a map-side-combinable aggregate whose output is
+       bounded by the DOMAIN (~105 buckets), not the data;
+    2. locate: a cumulative sum over the tiny bucket grid finds the
+       bucket containing the target rank r = (n+1) DIV 2 and the local
+       rank r_local = r − cum_prev within it;
+    3. rescan: only the located bucket's rows (~1/100 of the data;
+       `scan_bp` reports the exact fraction in basis points) are
+       re-read — the 3-row locator broadcasts onto the scan as a
+       pushable (flag, bucket) filter — and the r_local-th smallest
+       value in that sliver IS the exact median.
+
+    No global sort anywhere: the plan is two scans, one bounded-grid
+    window, one broadcast semi-filter, one sliver-sized window. At any
+    scale the re-scanned sliver is controlled by the bucket width (and
+    the same step recurses if a bucket is still too fat — one more
+    level makes it (1/100)^2). The oracle takes the opposite,
+    quadratic-at-scale path (full-sort row_number) — same answer,
+    mechanically independent construction.
+
+    Everything is exact integers: cents via the DECIMAL(25,2)x100
+    device, rank arithmetic via DIV, scan fraction via the cross-
+    multiplied half-up bp device.
+    """
+    base = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(25,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    hist = base.groupBy(
+        "flag", F.expr(f"cents DIV {QUANTILE_BUCKET_CENTS}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    grid = Window.partitionBy("flag").orderBy("bucket")
+    located = (
+        hist.select(
+            "flag",
+            "bucket",
+            "cnt",
+            F.sum("cnt").over(grid).alias("cum"),
+            F.sum("cnt").over(Window.partitionBy("flag")).alias("n"),
+        )
+        .withColumn("r", F.expr("(n + 1) DIV 2"))
+        .filter((F.col("cum") >= F.col("r")) & (F.col("cum") - F.col("cnt") < F.col("r")))
+        .select(
+            "flag",
+            "bucket",
+            "cnt",
+            "n",
+            (F.col("r") - (F.col("cum") - F.col("cnt"))).alias("r_local"),
+        )
+    )
+    sliver = base.withColumn(
+        "bucket", F.expr(f"cents DIV {QUANTILE_BUCKET_CENTS}")
+    ).join(F.broadcast(located), ["flag", "bucket"])
+    local = Window.partitionBy("flag", "bucket").orderBy("cents")
+    return (
+        sliver.withColumn("rk", F.row_number().over(local))
+        .filter(F.col("rk") == F.col("r_local"))
+        .select(
+            "flag",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("cents").alias("median_cents"),
+            F.col("bucket").cast("bigint").alias("located_bucket"),
+            F.col("cnt").cast("bigint").alias("bucket_rows"),
+            F.expr("CAST((2 * cnt * 10000 + n) DIV (2 * n) AS BIGINT)").alias(
+                "scan_bp"
+            ),
+        )
+    )

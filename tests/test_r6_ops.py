@@ -520,3 +520,42 @@ class TestVideoGopPlan:
         (64*i) % 48 — period 3 pattern 0,16,32."""
         waste = [(64 * i) % 48 for i in range(7)]
         assert waste == [0, 16, 32, 0, 16, 32, 0]
+
+
+class TestBucketLocalizedQuantile:
+    def test_matches_global_sort_median(self, spark, sf_dir):
+        """The two-phase localized median == the naive global-sort rank
+        pick, per group — the equivalence that lets the cheap plan
+        replace the expensive one."""
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = {
+            r["flag"]: r
+            for r in registry.QUERIES["quantile_bucket_localized_exact"](
+                spark, sf_dir
+            ).collect()
+        }
+        base = load(spark, sf_dir, "lineitem").select(
+            F.col("l_returnflag").alias("flag"),
+            (F.col("l_extendedprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        w = Window.partitionBy("flag").orderBy("cents")
+        naive = {
+            r["flag"]: r
+            for r in base.withColumn("rk", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("flag")))
+            .filter(F.expr("rk = (n + 1) DIV 2"))
+            .collect()
+        }
+        assert set(rows) == set(naive)
+        for flag, r in rows.items():
+            assert r["median_cents"] == naive[flag]["cents"]
+            assert r["n_rows"] == naive[flag]["n"]
+            # the rescanned sliver is a small fraction of the group
+            assert 0 < r["bucket_rows"] < r["n_rows"]
+            assert 0 < r["scan_bp"] < 2000
