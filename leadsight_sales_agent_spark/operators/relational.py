@@ -4135,3 +4135,136 @@ def tpcds_q1_excess_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ret_cents"), F.asc("custkey"))
         .limit(100)
     )
+
+
+TOPK_IVM_K = 10
+TOPK_IVM_CUTOVER = "1998-06-01"
+_TOPK_MICRO = (
+    "CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) "
+    "* 1000000 AS DECIMAL(38,0))"
+)
+
+
+@query(
+    "incremental_topk_maintenance",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               sum({_TOPK_MICRO}) AS rev_micro,
+               count(*) AS n_items
+        FROM lineitem GROUP BY 1
+    ),
+    hist AS (
+        SELECT l_partkey, sum({_TOPK_MICRO}) AS rev_micro
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '{TOPK_IVM_CUTOVER}'
+        GROUP BY 1
+    ),
+    old_topk AS (
+        SELECT l_partkey FROM hist
+        ORDER BY rev_micro DESC, l_partkey LIMIT {TOPK_IVM_K}
+    ),
+    new_topk AS (
+        SELECT l_partkey, rev_micro, n_items,
+               row_number() OVER (ORDER BY rev_micro DESC, l_partkey) AS rank
+        FROM rev ORDER BY rev_micro DESC, l_partkey LIMIT {TOPK_IVM_K}
+    )
+    SELECT CAST(t.rank AS INTEGER) AS rank,
+           t.l_partkey AS p_partkey,
+           CAST(round(CAST(t.rev_micro AS DOUBLE) / 1000000.0, 2) AS DOUBLE)
+               AS revenue,
+           CAST(t.n_items AS BIGINT) AS n_items,
+           CAST(CASE WHEN o.l_partkey IS NULL THEN 0 ELSE 1 END AS INTEGER)
+               AS was_in_old_topk
+    FROM new_topk t LEFT JOIN old_topk o ON o.l_partkey = t.l_partkey
+    """,
+)
+def incremental_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental TOP-K view maintenance under an insert-only delta —
+    the non-monotonic cousin of ``incremental_agg_maintenance``: a
+    materialized "top-{TOPK_IVM_K} parts by revenue" view is refreshed
+    WITHOUT rescanning history by re-ranking only the CANDIDATE set =
+    (state keys at or above the old k-th boundary total) ∪ (keys
+    touched by the delta batch). The rule is sound for insert-only
+    deltas because revenue partials only grow: an untouched key BELOW
+    the old k-th total is strictly dominated by it, and the new k-th
+    can only exceed it; boundary TIES are kept as candidates so the
+    deterministic partkey tie-break stays exact. (Deletes/retractions
+    would need the k-th-boundary re-probe — ``cdc_log_compaction`` is
+    the retraction-side anchor.)
+
+    The maintained path: history partials (the O(|keys|) stored state)
+    are probed only for candidate keys (a keyed semi-join, never a
+    rescan), delta partials are O(batch), and the final rank runs over
+    ≤ k + |delta keys| rows. The oracle recomputes BOTH snapshots from
+    scratch, so the hash match proves candidate-set maintenance ==
+    full recompute, including the was_in_old_topk provenance flag.
+
+    Exactness: revenue partials are integer micro-units via the
+    DECIMAL(25,6)x1e6 device (order-free merges), ranks break ties on
+    (revenue DESC, partkey) — a total order; the single display
+    division is the identical double op in both engines
+    (incremental_agg_maintenance's projection device).
+    """
+    micro = F.expr(_TOPK_MICRO)
+    li = load(spark, sf_dir, "lineitem")
+    cut = F.lit(TOPK_IVM_CUTOVER).cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_partkey").agg(
+            F.sum(micro).alias("rev_micro"), F.count(F.lit(1)).alias("n_items")
+        )
+
+    hist = partials(li.filter(F.col("l_shipdate") < cut))
+    delta = partials(li.filter(F.col("l_shipdate") >= cut))
+    old_topk = (
+        hist.orderBy(F.col("rev_micro").desc(), "l_partkey")
+        .limit(TOPK_IVM_K)
+        .select("l_partkey")
+    )
+    # Candidate rule, tie-safe: every state key whose total REACHES the
+    # old k-th boundary is a candidate (an untouched key exactly tied
+    # with the boundary can still enter the new top-k on the partkey
+    # tie-break), plus every delta-touched key. The boundary probe is a
+    # one-row broadcast onto the O(|keys|) state — never a history scan.
+    boundary = (
+        hist.orderBy(F.col("rev_micro").desc(), "l_partkey")
+        .limit(TOPK_IVM_K)
+        .agg(F.min("rev_micro").alias("kth_rev"))
+    )
+    cand = (
+        hist.crossJoin(F.broadcast(boundary))
+        .filter(F.col("rev_micro") >= F.col("kth_rev"))
+        .select("l_partkey")
+        .union(delta.select("l_partkey"))
+        .distinct()
+    )
+    merged = (
+        hist.join(cand, "l_partkey", "left_semi")
+        .unionByName(delta)
+        .groupBy("l_partkey")
+        .agg(F.sum("rev_micro").alias("rev_micro"), F.sum("n_items").alias("n_items"))
+    )
+    new_topk = (
+        merged.orderBy(F.col("rev_micro").desc(), "l_partkey")
+        .limit(TOPK_IVM_K)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("rev_micro").desc(), "l_partkey")),
+        )
+    )
+    return (
+        new_topk.join(
+            F.broadcast(old_topk.withColumn("old_flag", F.lit(1))),
+            "l_partkey",
+            "left",
+        )
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("rev_micro").cast("double") / 1000000.0, 2)
+            .cast("double")
+            .alias("revenue"),
+            F.col("n_items").cast("bigint").alias("n_items"),
+            F.coalesce(F.col("old_flag"), F.lit(0)).cast("int").alias("was_in_old_topk"),
+        )
+    )

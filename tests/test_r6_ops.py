@@ -559,3 +559,38 @@ class TestBucketLocalizedQuantile:
             # the rescanned sliver is a small fraction of the group
             assert 0 < r["bucket_rows"] < r["n_rows"]
             assert 0 < r["scan_bp"] < 2000
+
+
+class TestIncrementalTopkMaintenance:
+    def test_maintained_equals_full_recompute(self, spark, sf_dir):
+        """Candidate-set maintenance == full recompute, Spark-vs-Spark —
+        the IVM equivalence, independent of the DuckDB oracle."""
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        from leadsight_sales_agent_spark.operators.relational import (
+            _TOPK_MICRO,
+            TOPK_IVM_K,
+        )
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = sorted(
+            registry.QUERIES["incremental_topk_maintenance"](spark, sf_dir).collect(),
+            key=lambda r: r["rank"],
+        )
+        assert [r["rank"] for r in rows] == list(range(1, TOPK_IVM_K + 1))
+        full = (
+            load(spark, sf_dir, "lineitem")
+            .groupBy("l_partkey")
+            .agg(F.sum(F.expr(_TOPK_MICRO)).alias("rev_micro"))
+            .orderBy(F.col("rev_micro").desc(), "l_partkey")
+            .limit(TOPK_IVM_K)
+            .collect()
+        )
+        assert [r["p_partkey"] for r in rows] == [r["l_partkey"] for r in full]
+        for got, want in zip(rows, full):
+            assert got["revenue"] == round(float(want["rev_micro"]) / 1e6, 2)
+        # revenue is non-increasing down the ranks
+        revs = [r["revenue"] for r in rows]
+        assert revs == sorted(revs, reverse=True)
+        assert all(r["was_in_old_topk"] in (0, 1) for r in rows)

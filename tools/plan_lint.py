@@ -81,6 +81,7 @@ ALLOW_NON_EQUI = {
     "path_top_sequences",  # alphabet-bounded rollup x literal rank
     "topk_orders_with_ties",  # literal-bound rank compare
     "sketch_kmv_distinct_userdays",  # k-th order statistic scalar probe
+    "incremental_topk_maintenance",  # 1-row old-kth-boundary scalar broadcast
     "sketch_kmv_intersection",  # sketch-union scalar probes
     "agg_approx_percentiles",  # envelope compare vs exact scalars
     "ann_recall_report",  # recall join between shortlist panels
