@@ -105,6 +105,11 @@ HEADLINE = [
     "pipeline_full_release",
     "holt_winters_seasonal_smoothing",
     "streaming_watermark_eviction_audit",
+    # r6 session-2 additions: the two-phase rank-localized exact median
+    # (the no-global-sort quantile plan) and the candidate-set top-k
+    # view maintenance (boundary scalar broadcast + keyed semi-probe).
+    "quantile_bucket_localized_exact",
+    "incremental_topk_maintenance",
 ]
 
 
