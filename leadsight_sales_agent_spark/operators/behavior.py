@@ -4299,3 +4299,139 @@ def attribution_shapley_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("share_bp"),
     )
+
+
+_MW_Z_EXPR = (
+    "round(CAST(u2_a - n_a * n_b AS DOUBLE) / "
+    "(2.0 * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * "
+    "(CAST(nt AS DOUBLE) + 1.0 - CAST(tie_t AS DOUBLE) / "
+    "(CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1.0)))) / 12.0)), 4)"
+)
+
+
+@query(
+    "eval_mann_whitney_u",
+    oracle=f"""
+    WITH j AS (
+        SELECT CAST(CAST(o.o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS a
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    g AS (
+        SELECT cents,
+               CAST(sum(a) AS BIGINT) AS ca,
+               CAST(sum(1 - a) AS BIGINT) AS cb
+        FROM j GROUP BY 1
+    ),
+    cum AS (
+        SELECT cents, ca, cb, ca + cb AS t,
+               sum(ca + cb) OVER (ORDER BY cents) - (ca + cb) AS cum_prev,
+               sum(ca) OVER () AS n_a,
+               sum(cb) OVER () AS n_b
+        FROM g
+    ),
+    tot AS (
+        SELECT CAST(max(n_a) AS BIGINT) AS n_a,
+               CAST(max(n_b) AS BIGINT) AS n_b,
+               CAST(sum(ca * (2 * cum_prev + t + 1)) AS BIGINT) AS r2_a,
+               CAST(sum(t * t * t - t) AS BIGINT) AS tie_t
+        FROM cum
+    ),
+    u AS (
+        SELECT n_a, n_b, n_a + n_b AS nt, tie_t,
+               r2_a - n_a * (n_a + 1) AS u2_a
+        FROM tot
+    )
+    SELECT n_a, n_b,
+           CAST(u2_a AS BIGINT) AS u2_a,
+           CAST(2 * n_a * n_b - u2_a AS BIGINT) AS u2_b,
+           CAST(tie_t AS BIGINT) AS tie_t,
+           {_MW_Z_EXPR} AS z_mw
+    FROM u
+    """,
+)
+def eval_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Mann-Whitney U (Wilcoxon rank-sum) with tie
+    correction: do BUILDING and MACHINERY customers draw their order
+    totals from the same distribution? The rank-based complement of
+    eval_ks_two_sample — KS finds WHERE the CDFs split, MW tests
+    whether one population stochastically dominates, and unlike a
+    t-test it needs no normality.
+
+    Exactness device (the KS collapse + a rank twist): collapse to the
+    distinct-cents grain, then the AVERAGE rank of a tie group of size
+    t starting after cum_prev items is cum_prev + (t+1)/2 — kept in
+    HALF-UNITS (2·rank = 2·cum_prev + t + 1) so every rank sum is an
+    exact integer; U doubles likewise (u2_a = 2·U_A = 2R_A − n_a(n_a+1))
+    and the identity u2_a + u2_b = 2·n_a·n_b holds exactly. The
+    tie-corrected z is ONE fixed IEEE tree (the chi_trend device) over
+    integer-derived doubles — the expression text is shared verbatim
+    between the Spark plan and the oracle — rounded 4dp. Integer range:
+    rank sums are O(n²) — BIGINT-safe through ~3e9 rows per test cell;
+    past that the same sums carry as DECIMAL(38,0) unchanged.
+
+    100 TB plan: one keyed join + one hash collapse to the value grain,
+    then every window runs on the collapsed grain (bounded by the
+    price domain, not the order count) sharing one sort; a single-row
+    reduce finishes. Same shape as eval_ks_two_sample.
+    """
+    j = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer").filter(
+                F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("a"),
+        )
+    )
+    g = j.groupBy("cents").agg(
+        F.sum("a").cast("long").alias("ca"),
+        F.sum(1 - F.col("a")).cast("long").alias("cb"),
+    )
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = g.select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("t"),
+        (F.sum(F.col("ca") + F.col("cb")).over(wcum) - (F.col("ca") + F.col("cb"))).alias(
+            "cum_prev"
+        ),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    tot = cum.agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.sum(F.col("ca") * (2 * F.col("cum_prev") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("r2_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_t"),
+    )
+    u = tot.select(
+        "n_a",
+        "n_b",
+        (F.col("n_a") + F.col("n_b")).alias("nt"),
+        "tie_t",
+        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)).alias("u2_a"),
+    )
+    return u.select(
+        "n_a",
+        "n_b",
+        F.col("u2_a").cast("bigint").alias("u2_a"),
+        (2 * F.col("n_a") * F.col("n_b") - F.col("u2_a"))
+        .cast("bigint")
+        .alias("u2_b"),
+        F.col("tie_t").cast("bigint").alias("tie_t"),
+        F.expr(_MW_Z_EXPR).alias("z_mw"),
+    )

@@ -594,3 +594,57 @@ class TestIncrementalTopkMaintenance:
         revs = [r["revenue"] for r in rows]
         assert revs == sorted(revs, reverse=True)
         assert all(r["was_in_old_topk"] in (0, 1) for r in rows)
+
+
+class TestMannWhitneyU:
+    def test_brute_force_ranks(self, spark, sf_dir):
+        """u2_a/u2_b/tie term match a from-scratch Python average-rank
+        computation on the raw rows; U_A + U_B = n_a*n_b exactly."""
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        row = registry.QUERIES["eval_mann_whitney_u"](spark, sf_dir).collect()[0]
+        raw = (
+            load(spark, sf_dir, "orders")
+            .join(
+                load(spark, sf_dir, "customer").filter(
+                    F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+                ),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            .select(
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+                .cast("bigint")
+                .alias("cents"),
+                "c_mktsegment",
+            )
+            .collect()
+        )
+        vals = sorted((r["cents"], r["c_mktsegment"]) for r in raw)
+        n_a = sum(1 for _, s in vals if s == "BUILDING")
+        n_b = len(vals) - n_a
+        # average ranks in half-units over the sorted sample
+        from itertools import groupby
+
+        r2a = 0
+        tie_t = 0
+        pos = 0
+        for _, grp in groupby(vals, key=lambda v: v[0]):
+            grp = list(grp)
+            t = len(grp)
+            rank2 = 2 * pos + t + 1  # 2 * average rank of the tie group
+            r2a += rank2 * sum(1 for _, s in grp if s == "BUILDING")
+            tie_t += t * t * t - t
+            pos += t
+        u2_a = r2a - n_a * (n_a + 1)
+        assert (row["n_a"], row["n_b"]) == (n_a, n_b)
+        assert row["u2_a"] == u2_a
+        assert row["u2_b"] == 2 * n_a * n_b - u2_a
+        assert row["tie_t"] == tie_t
+        # z agrees with the closed form to rounding
+        import math
+
+        nt = n_a + n_b
+        var = n_a * n_b * (nt + 1 - tie_t / (nt * (nt - 1))) / 12.0
+        assert abs(row["z_mw"] - (u2_a - n_a * n_b) / (2.0 * math.sqrt(var))) < 1e-3

@@ -212,6 +212,7 @@ ALLOW_GLOBAL_SORT = {
     "inventory_abc_xyz_matrix",
     "eval_roc_auc_scores",
     "eval_ks_two_sample",
+    "eval_mann_whitney_u",  # collapsed value-grain rank windows
     "eval_pr_curve",
     "eval_decile_lift_table",
     "survival_kaplan_meier",
