@@ -4435,3 +4435,235 @@ def eval_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tie_t").cast("bigint").alias("tie_t"),
         F.expr(_MW_Z_EXPR).alias("z_mw"),
     )
+
+
+@query(
+    "eval_mcnemar_paired",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS p1,
+               CASE WHEN CAST(minute(ts) AS INTEGER) < 30 THEN 1 ELSE 0 END
+                   AS p2
+        FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+        SELECT
+            CAST(sum(CASE WHEN p1 = y AND p2 <> y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS b,
+            CAST(sum(CASE WHEN p1 <> y AND p2 = y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c,
+            CAST(sum(CASE WHEN p1 = y AND p2 = y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS both_right,
+            count(*) AS n
+        FROM scored
+    )
+    SELECT CAST(n AS BIGINT) AS n_examples, b, c, both_right,
+           (b - c) * (b - c) AS chi2_num,
+           round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 4) AS chi2,
+           round(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+                 / (b + c), 4) AS chi2_cc
+    FROM cells
+    """,
+)
+def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED classifier comparison — the missing
+    piece beside the unpaired metrics (AUC/PR/kappa): when two models
+    score the SAME examples, only the DISCORDANT pairs carry evidence
+    (b = only model 1 right, c = only model 2 right), and
+    chi2 = (b-c)^2/(b+c) on one degree of freedom, reported raw and
+    with the Edwards continuity correction. Both classifiers here are
+    deterministic threshold rules over the event stream (a value rule
+    vs a time-of-day rule), so the 2x2 discordance table is exact.
+
+    Exactness: everything through chi2_num is BIGINT arithmetic; the
+    single division is one IEEE op on integer-derived doubles both
+    engines round identically at 4dp. Scale: one map-side projection,
+    one count-reduce — no shuffle beyond the final 1-row aggregate;
+    the discordance counts are map-side partials at any scale.
+    """
+    scored = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+            F.when(F.col("value") >= 50.0, 1).otherwise(0).alias("p1"),
+            F.when(F.minute("ts").cast("int") < 30, 1).otherwise(0).alias("p2"),
+        )
+    )
+    cells = scored.agg(
+        F.sum(
+            F.when((F.col("p1") == F.col("y")) & (F.col("p2") != F.col("y")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(
+            F.when((F.col("p1") != F.col("y")) & (F.col("p2") == F.col("y")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+        F.sum(
+            F.when((F.col("p1") == F.col("y")) & (F.col("p2") == F.col("y")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("both_right"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return cells.select(
+        F.col("n").cast("bigint").alias("n_examples"),
+        "b",
+        "c",
+        "both_right",
+        ((F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))).alias("chi2_num"),
+        F.expr("round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 4)").alias("chi2"),
+        F.expr(
+            "round(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE) / (b + c), 4)"
+        ).alias("chi2_cc"),
+    )
+
+
+_KW_H_EXPR = (
+    "round((12.0 * CAST(s6 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)"
+    " + 1.0))) - 3.0 * (CAST(n AS DOUBLE) + 1.0), 4)"
+)
+_KW_HC_EXPR = (
+    "round(((12.0 * CAST(s6 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)"
+    " + 1.0))) - 3.0 * (CAST(n AS DOUBLE) + 1.0)) / (1.0 - CAST(tie_t AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " - CAST(n AS DOUBLE))), 4)"
+)
+
+
+@query(
+    "eval_kruskal_wallis",
+    oracle=f"""
+    WITH j AS (
+        SELECT CAST(CAST(o.o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents,
+               c.c_mktsegment AS seg
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g1 AS (
+        SELECT cents, seg, count(*) AS cnt FROM j GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT cents, seg, cnt,
+               sum(cnt) OVER (PARTITION BY cents) AS t,
+               sum(cnt) OVER (ORDER BY cents) AS cum_incl,
+               row_number() OVER (PARTITION BY cents ORDER BY seg) AS rn
+        FROM g1
+    ),
+    segstats AS (
+        SELECT seg,
+               CAST(sum(cnt) AS BIGINT) AS n_g,
+               CAST(sum(cnt * (2 * (cum_incl - t) + t + 1)) AS BIGINT) AS r2_g
+        FROM ranked GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n,
+               count(*) AS k,
+               CAST(sum(CAST(round(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)
+                                   / (4.0 * CAST(n_g AS DOUBLE)), 6)
+                             AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS s6
+        FROM segstats
+    ),
+    ties AS (
+        SELECT CAST(sum(CASE WHEN rn = 1 THEN t * t * t - t ELSE 0 END)
+                    AS BIGINT) AS tie_t
+        FROM ranked
+    )
+    SELECT n AS n_orders,
+           CAST(k AS INTEGER) AS k_groups,
+           CAST(k - 1 AS INTEGER) AS df,
+           tie_t,
+           {_KW_H_EXPR} AS h_stat,
+           {_KW_HC_EXPR} AS h_tie_corrected
+    FROM tot, ties
+    """,
+)
+def eval_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H: do the FIVE market segments draw their order
+    totals from one distribution? The k-sample extension that
+    completes the nonparametric battery (eval_ks_two_sample locates a
+    two-sample divergence, eval_mann_whitney_u tests two-sample
+    dominance, KW generalizes to k groups on one chi-square degree per
+    extra group) — the distribution-free ANOVA a feature-screening
+    pass runs over every categorical/numeric pair.
+
+    Exactness: ranks use the SAME half-unit average-rank device as
+    eval_mann_whitney_u (2·rank = 2·cum_prev + t + 1 over the collapsed
+    cents grain — the ties-inclusive RANGE cumulative both engines
+    default to for ORDER BY windows), so every per-group rank sum r2_g
+    is an exact BIGINT. The cross-group sum Σ R_g²/n_g cannot stay
+    integral (5 incommensurate denominators), so each group's term is
+    rounded to 6dp and summed as DECIMAL(38,6) — the playbook's
+    order-free term-sum device (5 terms, one tie at 1e-6 would need a
+    half-ulp coincidence); H and its tie-corrected form are single
+    IEEE trees whose text the Spark plan shares verbatim with the
+    oracle. tie_t is charged once per distinct value via the rn=1 row.
+
+    Scale: one keyed join, one (cents, seg) collapse, windows on the
+    collapsed grain (domain-bounded), then a 5-row reduce. Same sort
+    is shared by the cumulative, the per-cents partition, and the
+    tie-flag window.
+    """
+    j = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    g1 = j.groupBy("cents", "seg").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = g1.select(
+        "cents",
+        "seg",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("cents")).alias("t"),
+        F.sum("cnt").over(Window.orderBy("cents")).alias("cum_incl"),
+        F.row_number()
+        .over(Window.partitionBy("cents").orderBy("seg"))
+        .alias("rn"),
+    )
+    segstats = ranked.groupBy("seg").agg(
+        F.sum("cnt").cast("bigint").alias("n_g"),
+        F.sum(
+            F.col("cnt") * (2 * (F.col("cum_incl") - F.col("t")) + F.col("t") + 1)
+        )
+        .cast("bigint")
+        .alias("r2_g"),
+    )
+    tot = segstats.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)"
+                " / (4.0 * CAST(n_g AS DOUBLE)), 6) AS DECIMAL(38,6))"
+            )
+        )
+        .cast("decimal(38,6)")
+        .alias("s6"),
+    )
+    ties = ranked.agg(
+        F.sum(
+            F.when(F.col("rn") == 1, F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tie_t")
+    )
+    return tot.crossJoin(F.broadcast(ties)).select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("k").cast("int").alias("k_groups"),
+        (F.col("k") - 1).cast("int").alias("df"),
+        "tie_t",
+        F.expr(_KW_H_EXPR).alias("h_stat"),
+        F.expr(_KW_HC_EXPR).alias("h_tie_corrected"),
+    )

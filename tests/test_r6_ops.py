@@ -648,3 +648,86 @@ class TestMannWhitneyU:
         nt = n_a + n_b
         var = n_a * n_b * (nt + 1 - tie_t / (nt * (nt - 1))) / 12.0
         assert abs(row["z_mw"] - (u2_a - n_a * n_b) / (2.0 * math.sqrt(var))) < 1e-3
+
+
+class TestMcNemarPaired:
+    def test_cells_and_chi2(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        row = registry.QUERIES["eval_mcnemar_paired"](spark, sf_dir).collect()[0]
+        raw = (
+            load(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select("event_type", "value", F.minute("ts").alias("mi"))
+            .collect()
+        )
+        b = c = both = 0
+        for r in raw:
+            y = 1 if r["event_type"] == "purchase" else 0
+            p1 = 1 if r["value"] >= 50.0 else 0
+            p2 = 1 if r["mi"] < 30 else 0
+            if p1 == y and p2 != y:
+                b += 1
+            elif p1 != y and p2 == y:
+                c += 1
+            elif p1 == y and p2 == y:
+                both += 1
+        assert (row["b"], row["c"], row["both_right"]) == (b, c, both)
+        assert row["n_examples"] == len(raw)
+        assert row["chi2_num"] == (b - c) ** 2
+        assert abs(row["chi2"] - (b - c) ** 2 / (b + c)) < 1e-3
+        assert row["chi2_cc"] <= row["chi2"]
+
+
+class TestKruskalWallis:
+    def test_brute_force(self, spark, sf_dir):
+        """H from a from-scratch Python average-rank computation matches
+        to the 4dp reporting grain; k=5 segments, n = all orders."""
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        row = registry.QUERIES["eval_kruskal_wallis"](spark, sf_dir).collect()[0]
+        raw = (
+            load(spark, sf_dir, "orders")
+            .join(
+                load(spark, sf_dir, "customer"),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            .select(
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+                .cast("bigint")
+                .alias("cents"),
+                F.col("c_mktsegment").alias("seg"),
+            )
+            .collect()
+        )
+        from collections import defaultdict
+        from itertools import groupby
+
+        vals = sorted((r["cents"], r["seg"]) for r in raw)
+        n = len(vals)
+        r2 = defaultdict(int)
+        counts = defaultdict(int)
+        tie_t = 0
+        pos = 0
+        for _, grp in groupby(vals, key=lambda v: v[0]):
+            grp = list(grp)
+            t = len(grp)
+            rank2 = 2 * pos + t + 1
+            for _, seg in grp:
+                r2[seg] += rank2
+                counts[seg] += 1
+            tie_t += t**3 - t
+            pos += t
+        assert row["n_orders"] == n
+        assert row["k_groups"] == len(counts) == 5
+        assert row["tie_t"] == tie_t
+        s = sum((r2[g] / 2) ** 2 / counts[g] for g in counts)
+        h = 12.0 * s / (n * (n + 1)) - 3.0 * (n + 1)
+        hc = h / (1.0 - tie_t / (n**3 - n))
+        assert abs(row["h_stat"] - h) < 1e-3
+        assert abs(row["h_tie_corrected"] - hc) < 1e-3
+        assert row["h_tie_corrected"] >= row["h_stat"] - 1e-9

@@ -82,6 +82,7 @@ ALLOW_NON_EQUI = {
     "topk_orders_with_ties",  # literal-bound rank compare
     "sketch_kmv_distinct_userdays",  # k-th order statistic scalar probe
     "incremental_topk_maintenance",  # 1-row old-kth-boundary scalar broadcast
+    "eval_kruskal_wallis",  # 1-row tie-term scalar combine
     "sketch_kmv_intersection",  # sketch-union scalar probes
     "agg_approx_percentiles",  # envelope compare vs exact scalars
     "ann_recall_report",  # recall join between shortlist panels
@@ -213,6 +214,7 @@ ALLOW_GLOBAL_SORT = {
     "eval_roc_auc_scores",
     "eval_ks_two_sample",
     "eval_mann_whitney_u",  # collapsed value-grain rank windows
+    "eval_kruskal_wallis",  # collapsed value-grain rank windows
     "eval_pr_curve",
     "eval_decile_lift_table",
     "survival_kaplan_meier",
