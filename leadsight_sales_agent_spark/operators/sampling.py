@@ -1693,3 +1693,128 @@ def layout_pack_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((2 * 10000 * shard_tokens * ns + t) DIV (2 * t) AS BIGINT)"
         ).alias("vs_even_bp"),
     )
+
+
+REPEAT_MAX_EPOCHS = 4  # the "up to ~4 epochs are nearly free" regime
+# epoch value decays dyadically: (1/2)^(e-1), scaled x8 to integers
+_EPOCH_UTIL_SQL = "CASE epoch WHEN 1 THEN 8 WHEN 2 THEN 4 WHEN 3 THEN 2 ELSE 1 END"
+
+
+@query(
+    "mixture_repeat_epochs_plan",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(trim(text), '{chr(92)}s+')))
+                    AS BIGINT) AS tok_s
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(tok_s) * 3 // 2 AS BIGINT) AS budget FROM tok
+    ),
+    grid AS (
+        SELECT source, tok_s,
+               CAST(unnest(generate_series(1, {REPEAT_MAX_EPOCHS}))
+                    AS INTEGER) AS epoch
+        FROM tok
+    ),
+    util AS (
+        SELECT source, tok_s, epoch,
+               tok_s * ({_EPOCH_UTIL_SQL}) AS util8
+        FROM grid
+    ),
+    sched AS (
+        SELECT source, tok_s, epoch, util8, t.budget,
+               sum(tok_s) OVER (ORDER BY util8 DESC, source, epoch
+                                ROWS UNBOUNDED PRECEDING) - tok_s AS cum_prev
+        FROM util, tot t
+    )
+    SELECT source, epoch,
+           tok_s AS tokens_planned,
+           CAST(CASE WHEN cum_prev + tok_s <= budget THEN tok_s
+                     ELSE budget - cum_prev END AS BIGINT) AS tokens_taken,
+           CAST(util8 AS BIGINT) AS util8,
+           CAST(CASE WHEN cum_prev + tok_s <= budget THEN 1 ELSE 0 END
+                AS INTEGER) AS full_epoch
+    FROM sched WHERE cum_prev < budget
+    """,
+)
+def mixture_repeat_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixture planning with REPEATED epochs — when the
+    token budget EXCEEDS the deduped corpus (the data-constrained
+    regime of Muennighoff et al., "Scaling Data-Constrained Language
+    Models"), which sources should be repeated, and how many epochs
+    each? Epoch e of a source is worth (1/2)^(e-1) of a fresh pass
+    (a dyadic stand-in for the paper's fitted decay), and the greedy
+    rule — always buy the highest marginal-utility-per-token epoch
+    next — is EXACTLY optimal here because dyadic decay makes the
+    per-source utility sequence diminishing (the allocation problem is
+    submodular; greedy on the (source x epoch) grid is the argmax).
+
+    Mechanics, all exact integers: per-source token totals (one
+    hash-agg over the corpus — the only data-scale work), a bounded
+    #sources x {REPEAT_MAX_EPOCHS} grid with utility tok_s·2^(4-e)
+    scaled x8 to BIGINT, one cumulative window over the greedy order
+    (utility DESC, source, epoch — a total order), and the budget
+    B = 3/2 x corpus tokens cuts the schedule, possibly mid-epoch
+    (tokens_taken < tokens_planned on the boundary row, full_epoch=0).
+    Later epochs of a source can never precede earlier ones in the
+    greedy order (utility strictly halves), so the schedule is always
+    a valid epoch prefix per source.
+
+    Scale: the corpus is touched once; everything after runs on the
+    source-grain grid (bounded by the source alphabet, not the data),
+    like mixture_token_budget_allocation's budget table. The 1-row
+    budget scalar broadcasts onto the grid.
+    """
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("tok_s"))
+    )
+    tot = tok.agg(
+        F.expr("CAST(sum(tok_s) * 3 DIV 2 AS BIGINT)").alias("budget")
+    )
+    grid = tok.select(
+        "source",
+        "tok_s",
+        F.explode(F.sequence(F.lit(1), F.lit(REPEAT_MAX_EPOCHS))).alias("epoch"),
+    )
+    util = grid.select(
+        "source",
+        "tok_s",
+        F.col("epoch").cast("int").alias("epoch"),
+        (F.col("tok_s") * F.expr(_EPOCH_UTIL_SQL)).alias("util8"),
+    )
+    w = (
+        Window.orderBy(F.desc("util8"), F.asc("source"), F.asc("epoch"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sched = util.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tok_s",
+        "epoch",
+        "util8",
+        "budget",
+        (F.sum("tok_s").over(w) - F.col("tok_s")).alias("cum_prev"),
+    )
+    return sched.filter(F.col("cum_prev") < F.col("budget")).select(
+        "source",
+        "epoch",
+        F.col("tok_s").alias("tokens_planned"),
+        F.when(
+            F.col("cum_prev") + F.col("tok_s") <= F.col("budget"), F.col("tok_s")
+        )
+        .otherwise(F.col("budget") - F.col("cum_prev"))
+        .cast("bigint")
+        .alias("tokens_taken"),
+        F.col("util8").cast("bigint").alias("util8"),
+        F.when(F.col("cum_prev") + F.col("tok_s") <= F.col("budget"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("full_epoch"),
+    )

@@ -731,3 +731,35 @@ class TestKruskalWallis:
         assert abs(row["h_stat"] - h) < 1e-3
         assert abs(row["h_tie_corrected"] - hc) < 1e-3
         assert row["h_tie_corrected"] >= row["h_stat"] - 1e-9
+
+
+class TestRepeatEpochsPlan:
+    def test_greedy_schedule_invariants(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = registry.QUERIES["mixture_repeat_epochs_plan"](spark, sf_dir).collect()
+        docs = load(spark, sf_dir, "documents").select(
+            "source", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n")
+        )
+        total = docs.agg(F.sum("n")).collect()[0][0]
+        budget = total * 3 // 2
+        # the schedule spends the budget exactly (supply exceeds it)
+        assert sum(r["tokens_taken"] for r in rows) == budget
+        # at most one partial epoch, and it's the boundary
+        partial = [r for r in rows if r["full_epoch"] == 0]
+        assert len(partial) <= 1
+        for r in partial:
+            assert 0 < r["tokens_taken"] < r["tokens_planned"]
+        # per source, epochs form a prefix 1..k (greedy can't skip)
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for r in rows:
+            per[r["source"]].append(r["epoch"])
+        for eps in per.values():
+            assert sorted(eps) == list(range(1, len(eps) + 1))
+        # utility really is tok * 2^(4-e)
+        for r in rows:
+            assert r["util8"] == r["tokens_planned"] * (1 << (4 - r["epoch"]))

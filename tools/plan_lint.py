@@ -83,6 +83,7 @@ ALLOW_NON_EQUI = {
     "sketch_kmv_distinct_userdays",  # k-th order statistic scalar probe
     "incremental_topk_maintenance",  # 1-row old-kth-boundary scalar broadcast
     "eval_kruskal_wallis",  # 1-row tie-term scalar combine
+    "mixture_repeat_epochs_plan",  # 1-row budget scalar onto the source-grain grid
     "sketch_kmv_intersection",  # sketch-union scalar probes
     "agg_approx_percentiles",  # envelope compare vs exact scalars
     "ann_recall_report",  # recall join between shortlist panels
@@ -168,6 +169,7 @@ ALLOW_NON_EQUI = {
     "dedup_repeated_spans",
     "text_bpe_merge_candidates",
     "mixture_token_budget_allocation",
+    "mixture_repeat_epochs_plan",  # greedy order over the bounded source x epoch grid
     "pack_sequences_token_budget",
     "leakage_check_splits",
     "leakage_embedding_cosine_cross_split",
@@ -238,6 +240,7 @@ ALLOW_GLOBAL_SORT = {
     "text_bpe_merge_candidates",
     "market_basket_rules",
     "mixture_token_budget_allocation",
+    "mixture_repeat_epochs_plan",  # greedy order over the bounded source x epoch grid
     "conversion_latency_percentiles",
     "agg_weighted_median_price",
     "interval_max_concurrency",
