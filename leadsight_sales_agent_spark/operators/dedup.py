@@ -2009,3 +2009,159 @@ def eval_linkage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((2 * 10000 * n_correct + n_truth) DIV (2 * n_truth) AS BIGINT)"
         ).alias("recall_bp"),
     )
+
+
+# Synthetic raw-URL construction (no URL column in the testdata; the
+# variants exercise every canonicalization rule deterministically).
+_RAW_URL_SQL = """
+concat(
+    CASE WHEN doc_id % 7 % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END,
+    CASE CAST(doc_id % 7 % 3 AS INTEGER)
+         WHEN 0 THEN 'example.com' WHEN 1 THEN 'WWW.Example.COM'
+         ELSE 'www.example.com' END,
+    '/p/', CAST(doc_id DIV 7 AS STRING),
+    CASE WHEN doc_id % 7 % 2 = 1 THEN '/' ELSE '' END,
+    CASE CAST(doc_id % 7 AS INTEGER)
+         WHEN 0 THEN concat('?id=', CAST(doc_id DIV 7 % 5 AS STRING))
+         WHEN 3 THEN concat('?id=', CAST(doc_id DIV 7 % 5 AS STRING))
+         WHEN 1 THEN concat('?utm_source=mail&id=',
+                            CAST(doc_id DIV 7 % 5 AS STRING))
+         WHEN 4 THEN concat('?utm_source=mail&id=',
+                            CAST(doc_id DIV 7 % 5 AS STRING))
+         WHEN 2 THEN concat('?id=', CAST(doc_id DIV 7 % 5 AS STRING),
+                            '&utm_campaign=x')
+         WHEN 5 THEN concat('?id=', CAST(doc_id DIV 7 % 5 AS STRING),
+                            '&utm_campaign=x')
+         ELSE '' END,
+    CASE WHEN doc_id % 7 % 3 = 2 THEN '#section' ELSE '' END)
+"""
+
+# DuckDB twin: DIV -> //, CAST AS STRING -> CAST AS VARCHAR.
+_RAW_URL_DUCK = (
+    _RAW_URL_SQL.replace("DIV 7", "// 7").replace("AS STRING", "AS VARCHAR")
+)
+
+
+@query(
+    "dedup_url_canonicalization",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_RAW_URL_DUCK} AS url FROM documents
+    ),
+    parts AS (
+        SELECT doc_id, url,
+               string_split(url, '#')[1] AS no_frag
+        FROM raw
+    ),
+    split_q AS (
+        SELECT doc_id, url,
+               string_split(no_frag, '?')[1] AS base,
+               CASE WHEN instr(no_frag, '?') > 0
+                    THEN string_split(no_frag, '?')[2] ELSE '' END AS q
+        FROM parts
+    ),
+    hostpath AS (
+        SELECT doc_id, url, q,
+               lower(substr(base, 1, instr(base, '://') - 1)) AS scheme,
+               substr(base, instr(base, '://') + 3) AS rest
+        FROM split_q
+    ),
+    hp2 AS (
+        SELECT doc_id, url, q, scheme,
+               lower(substr(rest, 1, instr(rest, '/') - 1)) AS host0,
+               substr(rest, instr(rest, '/')) AS path0
+        FROM hostpath
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               concat(
+                   scheme, '://',
+                   CASE WHEN host0 LIKE 'www.%' THEN substr(host0, 5)
+                        ELSE host0 END,
+                   CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+                        THEN substr(path0, 1, length(path0) - 1)
+                        ELSE path0 END,
+                   CASE WHEN length(array_to_string(list_sort(list_filter(
+                                 string_split(q, '&'),
+                                 p -> substr(p, 1, 4) <> 'utm_')), '&')) > 0
+                        THEN concat('?', array_to_string(list_sort(list_filter(
+                                 string_split(q, '&'),
+                                 p -> substr(p, 1, 4) <> 'utm_')), '&'))
+                        ELSE '' END) AS canonical_url
+        FROM hp2
+    )
+    SELECT canonical_url,
+           count(*) AS n_variants,
+           count(DISTINCT url) AS n_distinct_raw,
+           min(doc_id) AS keep_doc_id
+    FROM canon GROUP BY 1
+    """,
+)
+def dedup_url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the FIRST dedup lever every web
+    corpus applies (CommonCrawl-style pipelines collapse a large slice
+    of the crawl before touching content): scheme and host lowercased,
+    `www.` stripped, fragment dropped, `utm_*` tracking parameters
+    removed, surviving query parameters SORTED, trailing slash
+    stripped — then exact-group by the canonical form, keeping the
+    smallest doc_id as survivor. Raw URLs are synthesized
+    deterministically with seven variant shapes per page id so every
+    rule fires (the same metadata-synthesis contract as media_frame).
+
+    Everything is map-side JVM string/array work (split, instr,
+    array_sort, filter-lambda) followed by ONE hash aggregation on the
+    canonical key — the identical shuffle shape as exact text dedup,
+    so it runs at crawl scale unchanged. The canonicalizer is generic:
+    it parses scheme/host/path/query positionally and never exploits
+    knowledge of the synthetic construction (the oracle performs the
+    same parse in DuckDB's list dialect).
+    """
+    raw = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_RAW_URL_SQL).alias("url")
+    )
+    no_frag = F.expr("split(url, '#')[0]")
+    parts = raw.select("doc_id", "url", no_frag.alias("no_frag"))
+    split_q = parts.select(
+        "doc_id",
+        "url",
+        F.expr("split(no_frag, '[?]')[0]").alias("base"),
+        F.expr(
+            "CASE WHEN instr(no_frag, '?') > 0"
+            " THEN split(no_frag, '[?]')[1] ELSE '' END"
+        ).alias("q"),
+    )
+    hp = split_q.select(
+        "doc_id",
+        "url",
+        "q",
+        F.expr("lower(substr(base, 1, instr(base, '://') - 1))").alias("scheme"),
+        F.expr("substr(base, instr(base, '://') + 3)").alias("rest"),
+    ).select(
+        "doc_id",
+        "url",
+        "q",
+        "scheme",
+        F.expr("lower(substr(rest, 1, instr(rest, '/') - 1))").alias("host0"),
+        F.expr("substr(rest, instr(rest, '/'))").alias("path0"),
+    )
+    canon_q = (
+        "array_join(array_sort(filter(split(q, '&'),"
+        " p -> substr(p, 1, 4) != 'utm_')), '&')"
+    )
+    canon = hp.select(
+        "doc_id",
+        "url",
+        F.expr(
+            "concat(scheme, '://',"
+            " CASE WHEN host0 LIKE 'www.%' THEN substr(host0, 5) ELSE host0 END,"
+            " CASE WHEN length(path0) > 1 AND path0 LIKE '%/'"
+            "      THEN substr(path0, 1, length(path0) - 1) ELSE path0 END,"
+            f" CASE WHEN length({canon_q}) > 0"
+            f"      THEN concat('?', {canon_q}) ELSE '' END)"
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.countDistinct("url").alias("n_distinct_raw"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )

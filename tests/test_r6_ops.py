@@ -763,3 +763,83 @@ class TestRepeatEpochsPlan:
         # utility really is tok * 2^(4-e)
         for r in rows:
             assert r["util8"] == r["tokens_planned"] * (1 << (4 - r["epoch"]))
+
+
+class TestUrlCanonicalization:
+    def test_rules_on_handmade_urls(self, spark):
+        """Each canonicalization rule verified on explicit raw URLs via
+        the same expression pipeline (no synthetic-construction
+        knowledge): case, www, fragment, utm, param order, trailing
+        slash all collapse; distinct pages stay distinct."""
+        import pyspark.sql.functions as F
+
+        raws = [
+            "https://example.com/p/9?id=4",
+            "HTTPS://WWW.Example.COM/p/9?id=4",
+            "https://www.example.com/p/9/?id=4#section",
+            "https://example.com/p/9?utm_source=mail&id=4",
+            "https://example.com/p/9?id=4&utm_campaign=x",
+            "https://example.com/p/9?b=2&a=1",
+            "https://example.com/p/10?id=4",
+        ]
+        df = spark.createDataFrame([(i, u) for i, u in enumerate(raws)], "doc_id long, url string")
+        canon_q = (
+            "array_join(array_sort(filter(split(q, '&'),"
+            " p -> substr(p, 1, 4) != 'utm_')), '&')"
+        )
+        out = (
+            df.select(
+                "doc_id",
+                F.expr("split(url, '#')[0]").alias("no_frag"),
+            )
+            .select(
+                "doc_id",
+                F.expr("split(no_frag, '[?]')[0]").alias("base"),
+                F.expr(
+                    "CASE WHEN instr(no_frag, '?') > 0"
+                    " THEN split(no_frag, '[?]')[1] ELSE '' END"
+                ).alias("q"),
+            )
+            .select(
+                "doc_id",
+                "q",
+                F.expr("lower(substr(base, 1, instr(base, '://') - 1))").alias("scheme"),
+                F.expr("substr(base, instr(base, '://') + 3)").alias("rest"),
+            )
+            .select(
+                "doc_id",
+                "q",
+                "scheme",
+                F.expr("lower(substr(rest, 1, instr(rest, '/') - 1))").alias("host0"),
+                F.expr("substr(rest, instr(rest, '/'))").alias("path0"),
+            )
+            .select(
+                "doc_id",
+                F.expr(
+                    "concat(scheme, '://',"
+                    " CASE WHEN host0 LIKE 'www.%' THEN substr(host0, 5) ELSE host0 END,"
+                    " CASE WHEN length(path0) > 1 AND path0 LIKE '%/'"
+                    "      THEN substr(path0, 1, length(path0) - 1) ELSE path0 END,"
+                    f" CASE WHEN length({canon_q}) > 0"
+                    f"      THEN concat('?', {canon_q}) ELSE '' END)"
+                ).alias("c"),
+            )
+            .collect()
+        )
+        canon = {r["doc_id"]: r["c"] for r in out}
+        # first five collapse to one canonical form
+        assert len({canon[i] for i in range(5)}) == 1
+        assert canon[0] == "https://example.com/p/9?id=4"
+        # param sorting
+        assert canon[5] == "https://example.com/p/9?a=1&b=2"
+        # different page stays distinct
+        assert canon[6] == "https://example.com/p/10?id=4"
+
+    def test_registered_query_groups(self, spark, sf_dir):
+        rows = registry.QUERIES["dedup_url_canonicalization"](spark, sf_dir).collect()
+        # no canonical url retains a fragment, utm param, or upper-case
+        for r in rows:
+            u = r["canonical_url"]
+            assert "#" not in u and "utm_" not in u and u == u.lower()
+            assert r["n_variants"] >= r["n_distinct_raw"] >= 1
+            assert 1 <= r["n_distinct_raw"]
