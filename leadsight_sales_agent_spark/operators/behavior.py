@@ -4667,3 +4667,121 @@ def eval_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_KW_H_EXPR).alias("h_stat"),
         F.expr(_KW_HC_EXPR).alias("h_tie_corrected"),
     )
+
+
+DECAY_CAP_DAYS = 7  # touches older than a week get the floor weight
+ATTR_MICROS = 1_000_000  # one conversion = 1e6 micro-credits
+
+
+@query(
+    "attribution_time_decay_apportioned",
+    oracle=f"""
+    WITH fp AS (
+        SELECT user_id, min(ts) AS t0
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    touches AS (
+        SELECT e.user_id, e.event_type AS channel,
+               CAST(2 AS BIGINT) ** ({DECAY_CAP_DAYS} - least(
+                   CAST(floor(date_diff('second', e.ts, f.t0) / 86400.0)
+                        AS BIGINT), {DECAY_CAP_DAYS})) AS w
+        FROM events e JOIN fp f ON f.user_id = e.user_id
+        WHERE e.event_type <> 'purchase' AND e.ts < f.t0
+    ),
+    bychan AS (
+        SELECT user_id, channel,
+               CAST(sum(w) AS BIGINT) AS w_ch,
+               count(*) AS n_touch
+        FROM touches GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT user_id, channel, w_ch, n_touch,
+               sum(w_ch) OVER (PARTITION BY user_id) AS w_tot
+        FROM bychan
+    ),
+    app AS (
+        SELECT user_id, channel, w_ch, n_touch, w_tot,
+               w_ch * {ATTR_MICROS} // w_tot AS floor_cr,
+               w_ch * {ATTR_MICROS} % w_tot AS rem,
+               {ATTR_MICROS} - sum(w_ch * {ATTR_MICROS} // w_tot)
+                   OVER (PARTITION BY user_id) AS extra,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY w_ch * {ATTR_MICROS} % w_tot DESC,
+                                           channel) AS rr
+        FROM tot
+    )
+    SELECT channel,
+           CAST(sum(floor_cr + CASE WHEN rr <= extra THEN 1 ELSE 0 END)
+                AS BIGINT) AS micro_credit,
+           CAST(sum(n_touch) AS BIGINT) AS n_touches,
+           count(DISTINCT user_id) AS n_users
+    FROM app GROUP BY 1
+    """,
+)
+def attribution_time_decay_apportioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution — completes the model family
+    (first-touch, last-touch via the as-of join, position-based,
+    Shapley): every pre-purchase touch earns a DYADIC weight
+    2^({DECAY_CAP_DAYS} - min(days_before_purchase, {DECAY_CAP_DAYS}))
+    — recent touches count exponentially more, with a one-week cap —
+    and each converting user's single conversion is split into exactly
+    {ATTR_MICROS} micro-credits across their touched channels by
+    LARGEST-REMAINDER apportionment over the weights (the mixture
+    budget device). Per user the micro-credits sum to {ATTR_MICROS}
+    exactly, so the channel totals sum to n_users x {ATTR_MICROS} —
+    the efficiency axiom as an integer identity, pinned in tests.
+
+    Exactness: dyadic weights are exact BIGINTs (playbook device), the
+    apportionment is pure integer floor/remainder arithmetic with a
+    deterministic remainder rank (ties -> channel name), and nothing
+    is ever a float. Scale: one keyed join onto the first-purchase
+    frame, one (user, channel) collapse, windows partitioned BY USER
+    (≤4 channel rows per partition), one channel rollup.
+
+    Reference anchor: the crawler has no attribution; this extends the
+    behavioral family the engine adds beyond the reference surface.
+    """
+    ev = load(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id")
+        .filter(F.col("ts") < F.col("t0"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("channel"),
+            F.expr(
+                f"CAST(shiftleft(CAST(1 AS BIGINT), {DECAY_CAP_DAYS} - least("
+                f"CAST(floor((unix_timestamp(t0) - unix_timestamp(ts)) / 86400.0)"
+                f" AS BIGINT), {DECAY_CAP_DAYS})) AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    bychan = touches.groupBy("user_id", "channel").agg(
+        F.sum("w").cast("bigint").alias("w_ch"),
+        F.count(F.lit(1)).alias("n_touch"),
+    )
+    wu = Window.partitionBy("user_id")
+    tot = bychan.withColumn("w_tot", F.sum("w_ch").over(wu))
+    app = (
+        tot.withColumn("floor_cr", F.expr(f"w_ch * {ATTR_MICROS} DIV w_tot"))
+        .withColumn("rem", F.expr(f"w_ch * {ATTR_MICROS} % w_tot"))
+        .withColumn("extra", ATTR_MICROS - F.sum("floor_cr").over(wu))
+        .withColumn(
+            "rr",
+            F.row_number().over(wu.orderBy(F.desc("rem"), F.asc("channel"))),
+        )
+    )
+    return app.groupBy("channel").agg(
+        F.sum(
+            F.col("floor_cr") + F.when(F.col("rr") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("micro_credit"),
+        F.sum("n_touch").cast("bigint").alias("n_touches"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -843,3 +843,35 @@ class TestUrlCanonicalization:
             assert "#" not in u and "utm_" not in u and u == u.lower()
             assert r["n_variants"] >= r["n_distinct_raw"] >= 1
             assert 1 <= r["n_distinct_raw"]
+
+
+class TestTimeDecayAttribution:
+    def test_efficiency_identity(self, spark, sf_dir):
+        """Channel micro-credits sum to exactly 1e6 per converting user
+        with pre-purchase touches — largest-remainder never leaks or
+        mints a micro-credit."""
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.operators.behavior import ATTR_MICROS
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = registry.QUERIES["attribution_time_decay_apportioned"](
+            spark, sf_dir
+        ).collect()
+        ev = load(spark, sf_dir, "events")
+        fp = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t0"))
+        )
+        n_users = (
+            ev.filter(F.col("event_type") != "purchase")
+            .join(fp, "user_id")
+            .filter(F.col("ts") < F.col("t0"))
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert sum(r["micro_credit"] for r in rows) == n_users * ATTR_MICROS
+        assert {r["channel"] for r in rows} <= {"click", "view", "signup", "error"}
+        assert all(r["micro_credit"] > 0 for r in rows)
