@@ -2314,10 +2314,14 @@ PCA_ITERS = 4  # fixed iteration count — the PageRank-style bounded contract
 
 def _pca_oracle() -> str:
     """Unrolled power iteration (same fixed-iteration device as the
-    k-core oracle): covariance from exact decimal sums, then
-    PCA_ITERS rounds of u = C·v (per-term 12dp rounding + decimal sum
-    so the 64-term dot products are addition-order-independent),
-    l-infinity normalization, 12dp re-round."""
+    k-core oracle): covariance from floor-quantized products summed as
+    DECIMAL(25,0) (scaled ints stay < 2^53 so decimal→double is the
+    single correctly-rounded conversion in BOTH engines — wide-decimal
+    casts double-round differently at sf0.1 sums), then PCA_ITERS
+    rounds of u = C·v with per-term floor(x·1e12 + 0.5) quantization
+    (`round(double)` is NOT cross-engine-safe; floor of an identical
+    IEEE product is), l-infinity normalization, floor re-quantization
+    at every iteration boundary."""
     cov = """
     flat AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -2331,14 +2335,16 @@ def _pca_oracle() -> str:
     ),
     cross_sums AS (
         SELECT a.i AS i, b.i AS j,
-               CAST(sum(CAST(a.x AS DECIMAL(18,9)) * CAST(b.x AS DECIMAL(18,9)))
-                    AS DOUBLE) AS sxy
+               CAST(sum(CAST(floor(a.x * b.x * 1e10 + 0.5)
+                             AS DECIMAL(25,0))) AS DOUBLE)
+                   / 1e10 AS sxy
         FROM flat a JOIN flat b ON a.vec_id = b.vec_id
         GROUP BY 1, 2
     ),
     c AS (
         SELECT cs.i, cs.j,
-               round((cs.sxy - sa.sx * sb.sx / nn.n) / (nn.n - 1), 12) AS cij
+               floor((cs.sxy - sa.sx * sb.sx / nn.n) / (nn.n - 1)
+                     * 1e12 + 0.5) / 1e12 AS cij
         FROM cross_sums cs
         JOIN sums sa ON sa.i = cs.i
         JOIN sums sb ON sb.i = cs.j
@@ -2350,21 +2356,23 @@ def _pca_oracle() -> str:
         its.append(f"""
     u{k} AS (
         SELECT c.i,
-               CAST(sum(CAST(round(c.cij * v.v, 12) AS DECIMAL(22,12)))
-                    AS DOUBLE) AS u
+               CAST(sum(CAST(floor(c.cij * v.v * 1e12 + 0.5)
+                             AS DECIMAL(25,0))) AS DOUBLE)
+                   / 1e12 AS u
         FROM c JOIN v{k - 1} v ON v.i = c.j
         GROUP BY 1
     ),
     m{k} AS (SELECT max(abs(u)) AS m FROM u{k}),
     v{k} AS (
-        SELECT u.i, round(u.u / m.m, 12) AS v
+        SELECT u.i, floor(u.u / m.m * 1e12 + 0.5)
+                        / 1e12 AS v
         FROM u{k} u CROSS JOIN m{k} m
     )""")
     return f"""
     WITH {cov},{",".join(its)}
     SELECT CAST(v.i AS INTEGER) AS dim,
            v.v AS loading,
-           round(m.m, 8) AS eigenvalue_linf
+           floor(m.m * 1e8 + 0.5) / 1e8 AS eigenvalue_linf
     FROM v{PCA_ITERS} v CROSS JOIN m{PCA_ITERS} m
     """
 
@@ -2379,10 +2387,13 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     "iterate to convergence" case; the graded contract is the same
     one that made PageRank hash-checkable: a FIXED {PCA_ITERS}
     iterations from the all-ones start, every dot product summed
-    order-independently (per-term 12dp round → DECIMAL(22,12) sum),
-    l-infinity normalization (the scale factor converges to the top
-    eigenvalue), 12dp re-round at every iteration boundary so float
-    state is bit-equal across engines at each step.
+    order-independently (per-term floor(x·1e12 + 0.5) quantization →
+    DECIMAL(25,0) sum — the engine-identical quantizer; round(double)
+    diverges between Spark's shortest-string and DuckDB's binary
+    rounding, which surfaced at sf0.1 volume), l-infinity
+    normalization (the scale factor converges to the top eigenvalue),
+    floor re-quantization at every iteration boundary so float state
+    is bit-equal across engines at each step.
 
     Scale shape: covariance is ONE pass — the (i,j) outer-product
     accumulation is a self-join on vec_id exploded to 64x64 pairs per
@@ -2407,11 +2418,15 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         a.join(b, "vec_id")
         .groupBy(F.col("ia").alias("i"), F.col("ib").alias("j"))
         .agg(
-            F.sum(
-                F.col("xa").cast("decimal(18,9)") * F.col("xb").cast("decimal(18,9)")
-            )
-            .cast("double")
-            .alias("sxy")
+            (
+                F.sum(
+                    F.expr(
+                        "CAST(floor(xa * xb * 1e10 + 0.5)"
+                        " AS DECIMAL(25,0))"
+                    )
+                ).cast("double")
+                / F.lit(1e10)
+            ).alias("sxy")
         )
     )
     sa = sums.select(F.col("i").alias("i_"), F.col("sx").alias("sxa"))
@@ -2423,10 +2438,9 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "i",
             "j",
-            F.round(
-                (F.col("sxy") - F.col("sxa") * F.col("sxb") / F.col("n"))
-                / (F.col("n") - 1),
-                12,
+            F.expr(
+                "floor((sxy - sxa * sxb / n) / (n - 1)"
+                " * 1e12 + 0.5) / 1e12"
             ).alias("cij"),
         )
         .localCheckpoint(eager=False)
@@ -2438,11 +2452,15 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             c.join(v.select(F.col("i").alias("j"), "v"), "j")
             .groupBy("i")
             .agg(
-                F.sum(
-                    F.round(F.col("cij") * F.col("v"), 12).cast("decimal(22,12)")
-                )
-                .cast("double")
-                .alias("u")
+                (
+                    F.sum(
+                        F.expr(
+                            "CAST(floor(cij * v * 1e12 + 0.5)"
+                            " AS DECIMAL(25,0))"
+                        )
+                    ).cast("double")
+                    / F.lit(1e12)
+                ).alias("u")
             )
         )
         m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
@@ -2450,13 +2468,20 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         # lineage, exactly as in graph_pagerank_trade's loop
         v = (
             u.crossJoin(F.broadcast(m))
-            .select("i", F.round(F.col("u") / F.col("m"), 12).alias("v"))
+            .select(
+                "i",
+                F.expr(
+                    "floor(u / m * 1e12 + 0.5) / 1e12"
+                ).alias("v"),
+            )
             .localCheckpoint(eager=False)
         )
     return v.crossJoin(F.broadcast(m)).select(
         F.col("i").cast("int").alias("dim"),
         F.col("v").alias("loading"),
-        F.round("m", 8).alias("eigenvalue_linf"),
+        F.expr("floor(m * 1e8 + 0.5) / 1e8").alias(
+            "eigenvalue_linf"
+        ),
     )
 
 
@@ -2490,19 +2515,19 @@ JL_OUT_DIM = 16  # target dimensionality (64 -> 16)
     ),
     norms AS (
         SELECT vec_id,
-               CAST(sum(CAST(round(x * x, 10) AS DECIMAL(22,10))) AS DOUBLE)
-                   AS n_in
+               CAST(sum(CAST(floor(x * x * 1e10 + 0.5)
+                             AS DECIMAL(25,0))) AS DOUBLE) AS n_in10
         FROM flat GROUP BY 1
     ),
     pnorms AS (
         SELECT vec_id,
-               CAST(sum(CAST(round(c * c, 10) AS DECIMAL(22,10))) AS DOUBLE)
-                   AS n_out
+               CAST(sum(CAST(floor(c * c * 1e10 + 0.5)
+                             AS DECIMAL(25,0))) AS DOUBLE) AS n_out10
         FROM proj GROUP BY 1
     )
     SELECT p.vec_id, CAST(p.k AS INTEGER) AS k,
-           round(p.c, 6) AS coord,
-           CAST(round(10000 * pn.n_out / nm.n_in, 0) AS BIGINT)
+           floor(p.c * 1e6 + 0.5) / 1e6 AS coord,
+           CAST(floor(10000 * pn.n_out10 / nm.n_in10 + 0.5) AS BIGINT)
                AS norm_ratio_bp
     FROM proj p
     JOIN norms nm ON nm.vec_id = p.vec_id
@@ -2523,8 +2548,13 @@ def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFram
     JL guarantees to concentrate near 1.
 
     Exactness: dot products accumulate sign·x in DECIMAL(18,9)
-    (order-independent); norms use the round-squares-then-decimal-sum
-    device; the only divisions are identical double expressions.
+    (order-independent); norms quantize squares by the engine-identical
+    ``floor(x·10^k + 0.5)`` device before decimal-summing, and every
+    reported value is floor-quantized the same way — `round(double, s)`
+    is NOT cross-engine-safe (Spark rounds the shortest decimal string,
+    DuckDB the binary value; the divergence surfaced at sf0.1 volume),
+    while floor of an identical IEEE product is bit-equal everywhere.
+    The only divisions are identical double expressions on <2^53 ints.
 
     Scale: one explode + one (dim-grain tiny) broadcast sign join +
     one hash-agg to (vec, k) grain — the corpus is scanned once and
@@ -2566,14 +2596,18 @@ def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     norms = flat.groupBy("vec_id").agg(
-        F.sum(F.round(F.col("x") * F.col("x"), 10).cast("decimal(22,10)"))
+        F.sum(
+            F.expr("CAST(floor(x * x * 1e10 + 0.5) AS DECIMAL(25,0))")
+        )
         .cast("double")
-        .alias("n_in")
+        .alias("n_in10")
     )
     pnorms = proj.groupBy("vec_id").agg(
-        F.sum(F.round(F.col("c") * F.col("c"), 10).cast("decimal(22,10)"))
+        F.sum(
+            F.expr("CAST(floor(c * c * 1e10 + 0.5) AS DECIMAL(25,0))")
+        )
         .cast("double")
-        .alias("n_out")
+        .alias("n_out10")
     )
     return (
         proj.join(F.broadcast(norms), "vec_id")
@@ -2581,9 +2615,9 @@ def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFram
         .select(
             "vec_id",
             F.col("k").cast("int").alias("k"),
-            F.round("c", 6).alias("coord"),
-            F.round(F.lit(10000) * F.col("n_out") / F.col("n_in"), 0)
-            .cast("bigint")
-            .alias("norm_ratio_bp"),
+            F.expr("floor(c * 1e6 + 0.5) / 1e6").alias("coord"),
+            F.expr("CAST(floor(10000 * n_out10 / n_in10 + 0.5) AS BIGINT)").alias(
+                "norm_ratio_bp"
+            ),
         )
     )
