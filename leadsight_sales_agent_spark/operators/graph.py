@@ -651,12 +651,12 @@ def _kcore_oracle() -> str:
     instead, which is also the honest spelling of the fixed-iteration
     contract)."""
     ctes = [
-        """alive0 AS (
+        """alive0 AS MATERIALIZED (
         SELECT DISTINCT src AS node FROM edges
     )"""
     ]
     for i in range(K_CORE_ITERS):
-        ctes.append(f"""alive{i + 1} AS (
+        ctes.append(f"""alive{i + 1} AS MATERIALIZED (
         SELECT e.src AS node
         FROM edges e
         JOIN alive{i} a1 ON e.src = a1.node
@@ -676,7 +676,7 @@ def _kcore_oracle() -> str:
         FROM op a JOIN op b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT pa AS src, pb AS dst FROM p
         UNION ALL
         SELECT pb, pa FROM p
