@@ -1818,3 +1818,144 @@ def mixture_repeat_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("full_epoch"),
     )
+
+
+PRIORITY_K = 20  # sample size per source stratum
+
+
+@query(
+    "sample_priority_weighted_topk",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+               {sql_hex_to_long(_SQL_HASH.format(salt="pri:", key="doc_id"), 8)}
+                   + 1 AS h1
+        FROM documents WHERE n_chars > 0
+    ),
+    pri AS (
+        SELECT doc_id, source, w,
+               CAST(w AS DOUBLE) / h1 AS qd,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY CAST(w AS DOUBLE) / h1 DESC,
+                                           doc_id) AS rn
+        FROM base
+    ),
+    tau AS (
+        SELECT source, max(CASE WHEN rn = {PRIORITY_K} + 1 THEN qd END)
+                           * 4294967296.0 AS tau_q
+        FROM pri GROUP BY 1
+    ),
+    est AS (
+        SELECT p.source,
+               CAST(floor(greatest(CAST(p.w AS DOUBLE), t.tau_q) * 1e3 + 0.5)
+                    AS DECIMAL(25,0)) AS est_milli
+        FROM pri p JOIN tau t ON t.source = p.source
+        WHERE p.rn <= {PRIORITY_K}
+    ),
+    truth AS (
+        SELECT source, CAST(sum(w) AS BIGINT) AS true_w, count(*) AS n_docs
+        FROM base GROUP BY 1
+    ),
+    esum AS (
+        SELECT source, CAST(sum(est_milli) AS BIGINT) AS est_milli_sum
+        FROM est GROUP BY 1
+    )
+    SELECT t.source,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           t.true_w,
+           e.est_milli_sum,
+           CAST((2 * 10000 * (e.est_milli_sum - t.true_w * 1000)
+                 + t.true_w * 1000)
+                // (2 * t.true_w * 1000) AS BIGINT) AS err_bp
+    FROM truth t JOIN esum e ON e.source = t.source
+    """,
+)
+def sample_priority_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup, JACM '07) — weighted
+    sampling WITHOUT replacement of {PRIORITY_K} docs per source with
+    the unbiased subset-sum estimator: each doc draws priority
+    q = w/u from a hash uniform u, the top-k priorities are the
+    sample, tau is the (k+1)-th priority, and every selected doc
+    estimates its weight as max(w, tau) — E[estimate] telescopes to
+    the TRUE total weight, which is what lets a 100 TB pipeline answer
+    weighted-sum queries (token counts, quality mass) from a tiny
+    stored sample. The graded output is the per-source audit: true
+    weight mass vs the estimator's mass, error in half-up basis
+    points.
+
+    Exactness WITHOUT libm (the trick): u = (h+1)/2^32 from the md5
+    device, so q = w/u = w·2^32/(h+1) — every comparison key is ONE
+    IEEE division of two exact <2^53 integers, bit-identical in both
+    engines (no ln/exp anywhere, unlike the exponential-race
+    formulation of weighted sampling); the rank's tie-break is doc_id.
+    tau·2^32 and max(w, tau) stay in the identical-double regime and
+    the k-row estimator sum is floor-quantized to milli-units and
+    summed as DECIMAL — order-free. err_bp uses the cross-multiplied
+    half-up integer device.
+
+    Scale: one map-side priority per row, one per-stratum top-(k+1)
+    (WindowGroupLimit prunes per partition before the shuffle at
+    scale), and the truth aggregate — a second scan that a real
+    deployment already has as corpus metadata.
+    """
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("w"),
+            hash_key("pri:", F.col("doc_id")).alias("hx"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            (F.expr(sql_hex_to_long("hx", 8)) + 1).alias("h1"),
+        )
+    )
+    pri = base.select(
+        "doc_id",
+        "source",
+        "w",
+        (F.col("w").cast("double") / F.col("h1")).alias("qd"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("qd"), F.asc("doc_id"))
+        ),
+    )
+    tau = pri.groupBy("source").agg(
+        (
+            F.max(F.when(F.col("rn") == PRIORITY_K + 1, F.col("qd")))
+            * F.lit(4294967296.0)
+        ).alias("tau_q")
+    )
+    est = (
+        pri.filter(F.col("rn") <= PRIORITY_K)
+        .join(F.broadcast(tau), "source")
+        .select(
+            "source",
+            F.expr(
+                "CAST(floor(greatest(CAST(w AS DOUBLE), tau_q) * 1e3 + 0.5)"
+                " AS DECIMAL(25,0))"
+            ).alias("est_milli"),
+        )
+    )
+    truth = base.groupBy("source").agg(
+        F.sum("w").cast("bigint").alias("true_w"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    esum = est.groupBy("source").agg(
+        F.sum("est_milli").cast("bigint").alias("est_milli_sum")
+    )
+    return truth.join(esum, "source").select(
+        "source",
+        "n_docs",
+        "true_w",
+        "est_milli_sum",
+        F.expr(
+            "CAST((2 * 10000 * (est_milli_sum - true_w * 1000) + true_w * 1000)"
+            " DIV (2 * true_w * 1000) AS BIGINT)"
+        ).alias("err_bp"),
+    )
