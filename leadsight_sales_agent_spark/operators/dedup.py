@@ -2165,3 +2165,149 @@ def dedup_url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("url").alias("n_distinct_raw"),
         F.min("doc_id").alias("keep_doc_id"),
     )
+
+
+CDC_WINDOW = 8  # rolling window width (bytes) for boundary detection
+# boundary when the window hash's first hex digit is '0' -> ~1/16 rate,
+# expected chunk length ~16 chars
+
+
+@query(
+    "dedup_cdc_chunking",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, length(text) AS n
+        FROM documents WHERE length(text) >= {CDC_WINDOW}
+    ),
+    pos AS (
+        SELECT doc_id, text, n,
+               CAST(unnest(generate_series({CDC_WINDOW}, n)) AS BIGINT) AS i
+        FROM base
+    ),
+    cuts AS (
+        SELECT DISTINCT doc_id, text, n, i AS cut
+        FROM pos
+        WHERE substring(md5(substring(text, CAST(i - {CDC_WINDOW} + 1
+                                               AS INTEGER),
+                                      {CDC_WINDOW})), 1, 1) = '0'
+           OR i = n
+    ),
+    chunks AS (
+        SELECT doc_id,
+               coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0)
+                   AS cstart,
+               cut, text
+        FROM cuts
+    ),
+    hashed AS (
+        SELECT doc_id,
+               cut - cstart AS clen,
+               md5(substring(text, CAST(cstart + 1 AS INTEGER),
+                             CAST(cut - cstart AS INTEGER))) AS chash
+        FROM chunks WHERE cut > cstart
+    ),
+    store AS (
+        SELECT chash,
+               CAST(min(clen) AS BIGINT) AS clen,
+               count(*) AS cnt
+        FROM hashed GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS distinct_chunks,
+           CAST(sum(cnt) AS BIGINT) AS total_chunks,
+           CAST(sum(cnt * clen) AS BIGINT) AS total_bytes,
+           CAST(sum((cnt - 1) * clen) AS BIGINT) AS saved_bytes,
+           CAST((2 * 10000 * sum((cnt - 1) * clen) + sum(cnt * clen))
+                // (2 * sum(cnt * clen)) AS BIGINT) AS dedup_bp
+    FROM store
+    """,
+)
+def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) dedup — the storage-layer dedup
+    every blob store and backup system runs, and the byte-level
+    complement of the document/span dedup family: chunk boundaries are
+    set wherever the rolling {CDC_WINDOW}-byte window's hash satisfies
+    a mask (first md5 hex digit '0' → ~1/16 boundary rate, ~16-byte
+    expected chunks), so INSERTING bytes only reshapes chunks near the
+    edit while every chunk elsewhere keeps its content hash — the
+    shift-resistance fixed-size blocking lacks. Duplicate chunks
+    across the corpus collapse into one stored copy; the graded audit
+    is the chunk-store economics: distinct vs total chunks, bytes
+    stored vs bytes addressed, saved bytes in half-up basis points.
+
+    Plan: one position explode per doc (the dedup_repeated_spans
+    grain) filtered immediately to the ~1/16 boundary positions, a
+    per-doc lag window over the cut list (partitions bounded by
+    chunks-per-doc), substring+md5 per chunk, and ONE hash aggregate
+    on the 32-char chunk hash — the same fixed-width-key shuffle as
+    exact dedup. No cross-doc comparison ever happens; the chunk hash
+    IS the join key, which is what lets CDC dedup run at archive
+    scale.
+
+    Exactness: pure string/integer arithmetic end to end (substr is
+    1-based in both engines; md5 lowercase hex in both); the tail cut
+    at n guarantees full coverage, and Σ chunk lengths = Σ doc
+    lengths is pinned in tests.
+    """
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= CDC_WINDOW)
+        .select("doc_id", "text", F.length("text").cast("bigint").alias("n"))
+    )
+    pos = base.select(
+        "doc_id",
+        "text",
+        "n",
+        F.explode(F.sequence(F.lit(CDC_WINDOW).cast("bigint"), F.col("n"))).alias(
+            "i"
+        ),
+    )
+    cuts = (
+        pos.filter(
+            (
+                F.substring(
+                    F.md5(
+                        F.expr(
+                            f"substring(text, CAST(i - {CDC_WINDOW} + 1 AS INT),"
+                            f" {CDC_WINDOW})"
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                == "0"
+            )
+            | (F.col("i") == F.col("n"))
+        )
+        .select("doc_id", "text", "n", F.col("i").alias("cut"))
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("cut")
+    chunks = cuts.select(
+        "doc_id",
+        F.coalesce(F.lag("cut").over(w), F.lit(0)).alias("cstart"),
+        "cut",
+        "text",
+    ).filter(F.col("cut") > F.col("cstart"))
+    hashed = chunks.select(
+        "doc_id",
+        (F.col("cut") - F.col("cstart")).alias("clen"),
+        F.md5(
+            F.expr("substring(text, CAST(cstart + 1 AS INT), CAST(cut - cstart AS INT))")
+        ).alias("chash"),
+    )
+    store = hashed.groupBy("chash").agg(
+        F.min("clen").cast("bigint").alias("clen"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return store.agg(
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chunks"),
+        F.sum("cnt").cast("bigint").alias("total_chunks"),
+        F.sum(F.col("cnt") * F.col("clen")).cast("bigint").alias("total_bytes"),
+        F.sum((F.col("cnt") - 1) * F.col("clen"))
+        .cast("bigint")
+        .alias("saved_bytes"),
+        F.expr(
+            "CAST((2 * 10000 * sum((cnt - 1) * clen) + sum(cnt * clen))"
+            " DIV (2 * sum(cnt * clen)) AS BIGINT)"
+        ).alias("dedup_bp"),
+    )

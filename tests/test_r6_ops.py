@@ -930,3 +930,61 @@ class TestPrioritySampling:
             # identical for the magnitudes here unless exactly negative
             # non-divisible, so compare within 1 bp
             assert abs(rows[src]["err_bp"] - want_bp) <= 1
+
+
+class TestCdcChunking:
+    def test_coverage_identity(self, spark, sf_dir):
+        """Chunks tile each doc exactly: total addressed bytes equal the
+        summed lengths of all chunkable docs; dedup never exceeds
+        total; savings arithmetic is consistent."""
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.operators.dedup import CDC_WINDOW
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        row = registry.QUERIES["dedup_cdc_chunking"](spark, sf_dir).collect()[0]
+        total_len = (
+            load(spark, sf_dir, "documents")
+            .filter(F.length("text") >= CDC_WINDOW)
+            .agg(F.sum(F.length("text")))
+            .collect()[0][0]
+        )
+        assert row["total_bytes"] == total_len
+        assert 0 < row["distinct_chunks"] <= row["total_chunks"]
+        assert row["saved_bytes"] < row["total_bytes"]
+        assert 0 <= row["dedup_bp"] < 10000
+
+    def test_shift_resistance(self, spark):
+        """The CDC property: prepending bytes to a doc changes only the
+        chunks up to the first boundary after the edit — the chunk
+        hashes of the untouched tail survive (fixed-size blocking
+        would shift every block)."""
+        import hashlib
+
+        def chunks(text):
+            n = len(text)
+            cuts = [
+                i
+                for i in range(8, n + 1)
+                if hashlib.md5(text[i - 8 : i].encode()).hexdigest()[0] == "0"
+                or i == n
+            ]
+            out, start = [], 0
+            for c in sorted(set(cuts)):
+                if c > start:
+                    out.append(text[start:c])
+                    start = c
+            return out
+
+        base = "the quick brown fox jumps over the lazy dog " * 20
+        edited = "PREFIX-INSERTED " + base
+        cb, ce = chunks(base), chunks(edited)
+        # the untouched tail re-synchronizes: the chunk SEQUENCES share
+        # a long common suffix (fixed-size blocking would share none)
+        suffix = 0
+        while (
+            suffix < min(len(cb), len(ce))
+            and cb[-1 - suffix] == ce[-1 - suffix]
+        ):
+            suffix += 1
+        assert suffix >= len(cb) - 3
