@@ -244,3 +244,128 @@ def diag_join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_rows").cast("double") / SKEW_TARGET_ROWS_PER_TASK
         ).cast("long").alias("recommended_salt"),
     )
+
+
+# Gorilla timestamp compression classes (Pelkonen et al., VLDB '15):
+# bits charged per event by delta-of-delta magnitude.
+_GORILLA_CLASS_SQL = """
+CASE WHEN seq = 1 THEN 'header-full'
+     WHEN seq = 2 THEN 'header-delta'
+     WHEN dod = 0 THEN 'dod-zero'
+     WHEN dod BETWEEN -63 AND 64 THEN 'dod-7bit'
+     WHEN dod BETWEEN -255 AND 256 THEN 'dod-9bit'
+     WHEN dod BETWEEN -2047 AND 2048 THEN 'dod-12bit'
+     ELSE 'dod-32bit' END
+"""
+_GORILLA_BITS_SQL = """
+CASE WHEN seq = 1 THEN 64
+     WHEN seq = 2 THEN 27
+     WHEN dod = 0 THEN 1
+     WHEN dod BETWEEN -63 AND 64 THEN 9
+     WHEN dod BETWEEN -255 AND 256 THEN 12
+     WHEN dod BETWEEN -2047 AND 2048 THEN 16
+     ELSE 36 END
+"""
+
+
+@query(
+    "storage_gorilla_ts_encoding_audit",
+    oracle=f"""
+    WITH seqd AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS t,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d1
+        FROM events
+    ),
+    dodt AS (
+        SELECT user_id, seq,
+               d1 - lag(d1) OVER (PARTITION BY user_id
+                                  ORDER BY seq) AS dod
+        FROM seqd
+    ),
+    classed AS (
+        SELECT {_GORILLA_CLASS_SQL} AS enc_class,
+               {_GORILLA_BITS_SQL} AS bits
+        FROM dodt
+    ),
+    agg AS (
+        SELECT enc_class,
+               count(*) AS n_events,
+               CAST(sum(bits) AS BIGINT) AS bits_total
+        FROM classed GROUP BY 1
+    )
+    SELECT enc_class, n_events, bits_total,
+           CAST((2 * 10000 * n_events + sum(n_events) OVER ())
+                // (2 * sum(n_events) OVER ()) AS BIGINT) AS share_bp,
+           CAST((2 * 10000 * sum(bits_total) OVER ()
+                 + 64 * sum(n_events) OVER ())
+                // (2 * 64 * sum(n_events) OVER ()) AS BIGINT)
+               AS corpus_ratio_bp
+    FROM agg
+    """,
+)
+def storage_gorilla_ts_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla delta-of-delta timestamp encodability audit (Pelkonen
+    et al., VLDB '15 — the encoding behind every modern TSDB): for
+    each user's event stream in time order, charge the bits Gorilla
+    would spend on the timestamp — full header for the first point, a
+    27-bit delta for the second, then 1/9/12/16/36 bits by
+    delta-of-delta magnitude class — and roll up the class histogram
+    plus the corpus-wide compressed-vs-raw-64-bit ratio in basis
+    points. This is the storage-side twin of the zorder/compaction
+    audits: it tells a time-series ingest pipeline how regular its
+    event cadence is (dod-zero share == perfectly periodic traffic)
+    and what its timestamp column will actually cost on disk.
+
+    Exactness: epoch seconds and all deltas are BIGINTs; class edges
+    are integer BETWEENs; shares/ratios use the cross-multiplied
+    half-up device. The (ts, event_id) sort key makes same-timestamp
+    ordering total. Scale: two lag windows sharing ONE per-user sort
+    (the sessionization shape), one small class rollup — the windows
+    over the 7-row class frame are calendar-bounded, not data-bounded.
+    """
+    ev = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("t"),
+        F.row_number().over(wu).alias("seq"),
+        (
+            F.unix_timestamp("ts").cast("bigint")
+            - F.lag(F.unix_timestamp("ts").cast("bigint")).over(wu)
+        ).alias("d1"),
+    )
+    dodt = seqd.select(
+        "seq",
+        (
+            F.col("d1")
+            - F.lag("d1").over(Window.partitionBy("user_id").orderBy("seq"))
+        ).alias("dod"),
+    )
+    classed = dodt.select(
+        F.expr(_GORILLA_CLASS_SQL).alias("enc_class"),
+        F.expr(_GORILLA_BITS_SQL).alias("bits"),
+    )
+    agg = classed.groupBy("enc_class").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("bits").cast("bigint").alias("bits_total"),
+    )
+    wall = Window.partitionBy()
+    return agg.select(
+        "enc_class",
+        "n_events",
+        "bits_total",
+        F.expr(
+            "CAST((2 * 10000 * n_events + sum(n_events) OVER ())"
+            " DIV (2 * sum(n_events) OVER ()) AS BIGINT)"
+        ).alias("share_bp"),
+        F.expr(
+            "CAST((2 * 10000 * sum(bits_total) OVER ()"
+            " + 64 * sum(n_events) OVER ())"
+            " DIV (2 * 64 * sum(n_events) OVER ()) AS BIGINT)"
+        ).alias("corpus_ratio_bp"),
+    )

@@ -988,3 +988,29 @@ class TestCdcChunking:
         ):
             suffix += 1
         assert suffix >= len(cb) - 3
+
+
+class TestGorillaTsAudit:
+    def test_accounting_identities(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = registry.QUERIES["storage_gorilla_ts_encoding_audit"](
+            spark, sf_dir
+        ).collect()
+        ev = load(spark, sf_dir, "events")
+        n_events = ev.count()
+        n_users = ev.select("user_id").distinct().count()
+        by = {r["enc_class"]: r for r in rows}
+        # every event charged exactly once
+        assert sum(r["n_events"] for r in rows) == n_events
+        # one full header per user stream
+        assert by["header-full"]["n_events"] == n_users
+        assert by["header-full"]["bits_total"] == 64 * n_users
+        # compression must beat raw 64-bit on this cadence
+        ratio = rows[0]["corpus_ratio_bp"]
+        assert all(r["corpus_ratio_bp"] == ratio for r in rows)
+        assert 0 < ratio < 10000
+        # shares sum to ~100% (half-up rounding slack)
+        assert abs(sum(r["share_bp"] for r in rows) - 10000) <= len(rows)
