@@ -369,3 +369,120 @@ def storage_gorilla_ts_encoding_audit(spark: SparkSession, sf_dir: str) -> DataF
             " DIV (2 * 64 * sum(n_events) OVER ()) AS BIGINT)"
         ).alias("corpus_ratio_bp"),
     )
+
+
+_DICT_COLS = [
+    ("orders", "o_orderpriority"),
+    ("orders", "o_orderstatus"),
+    ("customer", "c_mktsegment"),
+    ("events", "event_type"),
+    ("documents", "lang"),
+    ("documents", "source"),
+]
+
+
+def _dict_advisor_sql(table: str, col: str) -> str:
+    return f"""
+        SELECT '{table}' AS tbl, '{col}' AS col,
+               count(*) AS n_rows,
+               count(DISTINCT {col}) AS ndv,
+               CAST(8 * sum(length({col})) AS BIGINT) AS plain_bits,
+               CAST(count(*) * greatest(length(bin(count(DISTINCT {col}) - 1)), 1)
+                    AS BIGINT) AS idx_bits
+        FROM {table}"""
+
+
+@query(
+    "storage_dictionary_encoding_advisor",
+    oracle=f"""
+    WITH stats AS (
+        {" UNION ALL ".join(_dict_advisor_sql(t, c) for t, c in _DICT_COLS)}
+    ),
+    dlen AS (
+        {" UNION ALL ".join(
+            f"SELECT '{t}' AS tbl, '{c}' AS col, "
+            f"CAST(8 * sum(l) AS BIGINT) AS dict_entry_bits "
+            f"FROM (SELECT DISTINCT {c} AS v, length({c}) AS l FROM {t})"
+            for t, c in _DICT_COLS
+        )}
+    )
+    SELECT s.tbl, s.col,
+           CAST(s.n_rows AS BIGINT) AS n_rows,
+           CAST(s.ndv AS BIGINT) AS ndv,
+           s.plain_bits,
+           CAST(s.idx_bits + d.dict_entry_bits AS BIGINT) AS dict_bits,
+           CAST(CASE WHEN s.idx_bits + d.dict_entry_bits < s.plain_bits
+                     THEN 1 ELSE 0 END AS INTEGER) AS use_dict,
+           CAST((2 * 10000 * (s.plain_bits - s.idx_bits - d.dict_entry_bits)
+                 + s.plain_bits) // (2 * s.plain_bits) AS BIGINT)
+               AS savings_bp
+    FROM stats s JOIN dlen d ON d.tbl = s.tbl AND d.col = s.col
+    """,
+)
+def storage_dictionary_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding advisor — the cost model a columnar writer
+    (parquet/ORC) evaluates per column: plain encoding costs
+    8·Σlength bits; dictionary encoding costs one ceil(log2(NDV))-bit
+    index per row plus the dictionary's entry bytes. The advisor
+    profiles six categorical string columns across four tables and
+    emits the decision plus savings in basis points — the
+    profile_table_columns sibling aimed at storage bytes rather than
+    semantics (low-NDV priority/status/segment columns dictionary-
+    encode at >90% savings; that's why the layout family's zorder and
+    compaction choices treat them as cheap sort keys).
+
+    Exactness: index width = length(bin(ndv-1)) — both engines render
+    identical binary strings — and everything else is integer counts
+    and lengths with the half-up bp device. Scale: one column-pruned
+    scan + one hash-agg per column (NDV exact here; at extreme NDV
+    you'd swap in the KMV sketch family's estimate and keep the same
+    decision rule).
+    """
+    frames = []
+    for t, c in _DICT_COLS:
+        df = load(spark, sf_dir, t)
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(c).alias("ndv"),
+            (8 * F.sum(F.length(c))).cast("bigint").alias("plain_bits"),
+        )
+        dlen = (
+            df.select(F.col(c).alias("v"))
+            .distinct()
+            .agg((8 * F.sum(F.length("v"))).cast("bigint").alias("dict_entry_bits"))
+        )
+        frames.append(
+            stats.crossJoin(dlen).select(
+                F.lit(t).alias("tbl"),
+                F.lit(c).alias("col"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("ndv").cast("bigint").alias("ndv"),
+                "plain_bits",
+                (
+                    F.col("n_rows")
+                    * F.greatest(F.length(F.bin(F.col("ndv") - 1)), F.lit(1))
+                    + F.col("dict_entry_bits")
+                )
+                .cast("bigint")
+                .alias("dict_bits"),
+            )
+        )
+    allc = frames[0]
+    for f2 in frames[1:]:
+        allc = allc.unionByName(f2)
+    return allc.select(
+        "tbl",
+        "col",
+        "n_rows",
+        "ndv",
+        "plain_bits",
+        "dict_bits",
+        F.when(F.col("dict_bits") < F.col("plain_bits"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("use_dict"),
+        F.expr(
+            "CAST((2 * 10000 * (plain_bits - dict_bits) + plain_bits)"
+            " DIV (2 * plain_bits) AS BIGINT)"
+        ).alias("savings_bp"),
+    )

@@ -1014,3 +1014,35 @@ class TestGorillaTsAudit:
         assert 0 < ratio < 10000
         # shares sum to ~100% (half-up rounding slack)
         assert abs(sum(r["share_bp"] for r in rows) - 10000) <= len(rows)
+
+
+class TestDictionaryAdvisor:
+    def test_cost_model(self, spark, sf_dir):
+        import math
+
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.operators.layout import _DICT_COLS
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = {
+            (r["tbl"], r["col"]): r
+            for r in registry.QUERIES["storage_dictionary_encoding_advisor"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(rows) == set(_DICT_COLS)
+        t, c = "orders", "o_orderpriority"
+        df = load(spark, sf_dir, t)
+        vals = [r[0] for r in df.select(c).collect()]
+        distinct = set(vals)
+        r = rows[(t, c)]
+        assert r["n_rows"] == len(vals)
+        assert r["ndv"] == len(distinct)
+        assert r["plain_bits"] == 8 * sum(len(v) for v in vals)
+        width = max(1, (len(distinct) - 1).bit_length())
+        assert r["dict_bits"] == len(vals) * width + 8 * sum(
+            len(v) for v in distinct
+        )
+        # a 5-value priority column must dictionary-encode massively
+        assert r["use_dict"] == 1 and r["savings_bp"] > 9000

@@ -83,6 +83,7 @@ ALLOW_NON_EQUI = {
     "sketch_kmv_distinct_userdays",  # k-th order statistic scalar probe
     "incremental_topk_maintenance",  # 1-row old-kth-boundary scalar broadcast
     "eval_kruskal_wallis",  # 1-row tie-term scalar combine
+    "storage_dictionary_encoding_advisor",  # 1-row stats x 1-row dict-size per column
     "mixture_repeat_epochs_plan",  # 1-row budget scalar onto the source-grain grid
     "sketch_kmv_intersection",  # sketch-union scalar probes
     "agg_approx_percentiles",  # envelope compare vs exact scalars
@@ -270,6 +271,7 @@ ALLOW_MANY_EXCHANGES = {
     "pipeline_full_release": 120,  # 4-stage composition: curation(5 signals) + dedup + mixture + pack stage plans stitched by 3 semi-joins
     "retrieval_hybrid_bm25_vector": 14,
     "mixture_token_budget_allocation": 13,
+    "storage_dictionary_encoding_advisor": 30,  # 6 independent column profiles (tiny dims), 5 exchanges each
     "sketch_kmv_intersection": 13,
     "sketch_kmv_rolling_distinct_7d": 7,  # daily rank + window rank + exact-truth twin
     "attribution_shapley_channels": 9,  # pre-purchase mask join + coalition grid + span anchor
