@@ -486,3 +486,91 @@ def storage_dictionary_encoding_advisor(spark: SparkSession, sf_dir: str) -> Dat
             " DIV (2 * plain_bits) AS BIGINT)"
         ).alias("savings_bp"),
     )
+
+
+@query(
+    "storage_rle_sortedness_audit",
+    oracle="""
+    WITH nat AS (
+        SELECT o_orderpriority AS v,
+               lag(o_orderpriority) OVER (ORDER BY o_orderkey) AS pv
+        FROM orders
+    ),
+    srt AS (
+        SELECT o_orderpriority AS v,
+               lag(o_orderpriority) OVER (ORDER BY o_orderpriority, o_orderkey)
+                   AS pv
+        FROM orders
+    ),
+    runs AS (
+        SELECT 'natural' AS layout,
+               CAST(sum(CASE WHEN pv IS NULL OR v <> pv THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_runs,
+               count(*) AS n_rows
+        FROM nat
+        UNION ALL
+        SELECT 'sorted',
+               CAST(sum(CASE WHEN pv IS NULL OR v <> pv THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               count(*)
+        FROM srt
+    )
+    SELECT layout, n_runs, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST((2 * 10000 * n_runs + n_rows) // (2 * n_rows) AS BIGINT)
+               AS runs_per_row_bp
+    FROM runs
+    """,
+)
+def storage_rle_sortedness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length-encoding sortedness audit — the quantified payoff of
+    sorting before writing: RLE stores one (value, length) pair per
+    RUN, so its size is proportional to the run count, and the same
+    priority column that needs ~n runs in arrival order collapses to
+    NDV runs after a sort. The two-row report (runs and runs-per-row
+    in bp per layout) is exactly the evidence a table-layout decision
+    (zorder_locality_buckets' sibling) weighs when choosing sort keys
+    for write jobs: runs_per_row_bp(sorted) / runs_per_row_bp(natural)
+    IS the RLE compression multiplier sorting buys.
+
+    Exactness: a run starts where lag(value) differs — pure string
+    compare over total-ordered windows (tie-broken by o_orderkey);
+    counts and the bp device are integers. Scale: two window passes,
+    each one global sort of a column-pruned scan — the 'sorted' pass
+    at real scale IS the write job's sort, so the audit is free there;
+    the run counting itself is map-side after the sort.
+    """
+    o = load(spark, sf_dir, "orders")
+    nat = o.select(
+        F.col("o_orderpriority").alias("v"),
+        F.lag("o_orderpriority").over(Window.orderBy("o_orderkey")).alias("pv"),
+    )
+    srt = o.select(
+        F.col("o_orderpriority").alias("v"),
+        F.lag("o_orderpriority")
+        .over(Window.orderBy("o_orderpriority", "o_orderkey"))
+        .alias("pv"),
+    )
+
+    def runs(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.sum(
+                F.when(F.col("pv").isNull() | (F.col("v") != F.col("pv")), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_runs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        ).select(F.lit(label).alias("layout"), "n_runs", "n_rows")
+
+    return (
+        runs(nat, "natural")
+        .unionByName(runs(srt, "sorted"))
+        .select(
+            "layout",
+            "n_runs",
+            "n_rows",
+            F.expr(
+                "CAST((2 * 10000 * n_runs + n_rows) DIV (2 * n_rows) AS BIGINT)"
+            ).alias("runs_per_row_bp"),
+        )
+    )

@@ -1046,3 +1046,26 @@ class TestDictionaryAdvisor:
         )
         # a 5-value priority column must dictionary-encode massively
         assert r["use_dict"] == 1 and r["savings_bp"] > 9000
+
+
+class TestRleSortednessAudit:
+    def test_run_bounds(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = {
+            r["layout"]: r
+            for r in registry.QUERIES["storage_rle_sortedness_audit"](
+                spark, sf_dir
+            ).collect()
+        }
+        o = load(spark, sf_dir, "orders")
+        n = o.count()
+        ndv = o.select("o_orderpriority").distinct().count()
+        assert rows["natural"]["n_rows"] == rows["sorted"]["n_rows"] == n
+        # a sorted column has exactly NDV runs
+        assert rows["sorted"]["n_runs"] == ndv
+        # natural order is far less compressible but bounded by n
+        assert ndv <= rows["natural"]["n_runs"] <= n
+        assert rows["natural"]["n_runs"] > 10 * rows["sorted"]["n_runs"]

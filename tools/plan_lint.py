@@ -133,6 +133,7 @@ ALLOW_NON_EQUI = {
     "graph_triangle_coparts",
     "graph_degree_distribution",
     "zorder_locality_buckets",
+    "storage_rle_sortedness_audit",  # the sort IS the audited layout
     "compaction_bin_packing",
     "ab_wilson_significance",  # 1-row z anchor
     "ab_deterministic_assignment",
@@ -247,6 +248,7 @@ ALLOW_GLOBAL_SORT = {
     "interval_max_concurrency",
     "text_zipf_rank_frequency",
     "zorder_locality_buckets",
+    "storage_rle_sortedness_audit",  # the sort IS the audited layout
     "compaction_bin_packing",
     "pack_sequences_token_budget",
     "pipeline_curate_and_pack",
