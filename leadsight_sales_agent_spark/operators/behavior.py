@@ -4785,3 +4785,146 @@ def attribution_time_decay_apportioned(spark: SparkSession, sf_dir: str) -> Data
         F.sum("n_touch").cast("bigint").alias("n_touches"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+FAIR_PRED_THRESHOLD = 180000.0  # fixed decision threshold on order total
+FAIR_REF_SEGMENT = "BUILDING"  # reference group for the gap columns
+
+
+@query(
+    "eval_fairness_group_metrics",
+    oracle=f"""
+    WITH scored AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+               CASE WHEN o.o_totalprice >= {FAIR_PRED_THRESHOLD} THEN 1
+                    ELSE 0 END AS p
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (
+        SELECT segment,
+               count(*) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(sum(p) AS BIGINT) AS n_sel,
+               CAST(sum(p * y) AS BIGINT) AS tp,
+               CAST(sum(p * (1 - y)) AS BIGINT) AS fp
+        FROM scored GROUP BY 1
+    ),
+    rates AS (
+        SELECT segment, CAST(n AS BIGINT) AS n, n_pos, n_sel, tp, fp,
+               (2 * 10000 * n_sel + n) // (2 * n) AS sel_bp,
+               (2 * 10000 * tp + n_pos) // (2 * n_pos) AS tpr_bp,
+               (2 * 10000 * fp + (n - n_pos)) // (2 * (n - n_pos)) AS fpr_bp
+        FROM g
+    ),
+    ref AS (
+        SELECT segment, n, n_pos, n_sel, tp, fp,
+               sel_bp, tpr_bp, fpr_bp,
+               max(CASE WHEN segment = '{FAIR_REF_SEGMENT}' THEN sel_bp END)
+                   OVER () AS ref_sel,
+               max(CASE WHEN segment = '{FAIR_REF_SEGMENT}' THEN tpr_bp END)
+                   OVER () AS ref_tpr,
+               max(CASE WHEN segment = '{FAIR_REF_SEGMENT}' THEN fpr_bp END)
+                   OVER () AS ref_fpr
+        FROM rates
+    )
+    SELECT segment, n, n_pos, n_sel, tp, fp,
+           CAST(sel_bp AS BIGINT) AS sel_bp,
+           CAST(tpr_bp AS BIGINT) AS tpr_bp,
+           CAST(fpr_bp AS BIGINT) AS fpr_bp,
+           CAST(sel_bp - ref_sel AS BIGINT) AS dp_gap_bp,
+           CAST(greatest(abs(tpr_bp - ref_tpr), abs(fpr_bp - ref_fpr))
+                AS BIGINT) AS eo_gap_bp
+    FROM ref
+    """,
+)
+def eval_fairness_group_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of a fixed decision rule — the
+    responsible-AI member of the eval family: with market segment as
+    the (proxy) protected attribute, a threshold classifier on order
+    totals, and URGENT priority as the outcome label, report per group
+    the selection rate (whose cross-group spread is the DEMOGRAPHIC
+    PARITY gap) and TPR/FPR (whose spreads are the EQUALIZED ODDS
+    gaps, Hardt et al. '16), each as half-up basis points plus the gap
+    against a fixed reference group. These are the slice metrics every
+    model-governance gate computes before a classifier ships; the
+    per-slice machinery is eval_auc_by_fold's, aimed at fairness.
+
+    Exactness: all counts are map-side integer partials; every rate
+    and gap is the cross-multiplied half-up device — no floats
+    anywhere. The reference rates broadcast across the 5-row group
+    frame through an unordered window (no sort, no join). Scale: one
+    keyed join + one 5-key hash-agg; the windows run on the 5-row
+    group frame.
+    """
+    scored = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+            F.when(F.col("o_totalprice") >= FAIR_PRED_THRESHOLD, 1)
+            .otherwise(0)
+            .alias("p"),
+        )
+    )
+    g = scored.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum("p").cast("bigint").alias("n_sel"),
+        F.sum(F.col("p") * F.col("y")).cast("bigint").alias("tp"),
+        F.sum(F.col("p") * (1 - F.col("y"))).cast("bigint").alias("fp"),
+    )
+    rates = g.select(
+        "segment",
+        "n",
+        "n_pos",
+        "n_sel",
+        "tp",
+        "fp",
+        F.expr("(2 * 10000 * n_sel + n) DIV (2 * n)").alias("sel_bp"),
+        F.expr("(2 * 10000 * tp + n_pos) DIV (2 * n_pos)").alias("tpr_bp"),
+        F.expr(
+            "(2 * 10000 * fp + (n - n_pos)) DIV (2 * (n - n_pos))"
+        ).alias("fpr_bp"),
+    )
+    wall = Window.partitionBy()
+    ref = rates.select(
+        "*",
+        F.max(
+            F.when(F.col("segment") == FAIR_REF_SEGMENT, F.col("sel_bp"))
+        )
+        .over(wall)
+        .alias("ref_sel"),
+        F.max(
+            F.when(F.col("segment") == FAIR_REF_SEGMENT, F.col("tpr_bp"))
+        )
+        .over(wall)
+        .alias("ref_tpr"),
+        F.max(
+            F.when(F.col("segment") == FAIR_REF_SEGMENT, F.col("fpr_bp"))
+        )
+        .over(wall)
+        .alias("ref_fpr"),
+    )
+    return ref.select(
+        "segment",
+        "n",
+        "n_pos",
+        "n_sel",
+        "tp",
+        "fp",
+        F.col("sel_bp").cast("bigint").alias("sel_bp"),
+        F.col("tpr_bp").cast("bigint").alias("tpr_bp"),
+        F.col("fpr_bp").cast("bigint").alias("fpr_bp"),
+        (F.col("sel_bp") - F.col("ref_sel")).cast("bigint").alias("dp_gap_bp"),
+        F.greatest(
+            F.abs(F.col("tpr_bp") - F.col("ref_tpr")),
+            F.abs(F.col("fpr_bp") - F.col("ref_fpr")),
+        )
+        .cast("bigint")
+        .alias("eo_gap_bp"),
+    )

@@ -1069,3 +1069,32 @@ class TestRleSortednessAudit:
         # natural order is far less compressible but bounded by n
         assert ndv <= rows["natural"]["n_runs"] <= n
         assert rows["natural"]["n_runs"] > 10 * rows["sorted"]["n_runs"]
+
+
+class TestFairnessGroupMetrics:
+    def test_identities(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.behavior import (
+            FAIR_REF_SEGMENT,
+        )
+
+        rows = {
+            r["segment"]: r
+            for r in registry.QUERIES["eval_fairness_group_metrics"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert len(rows) == 5 and FAIR_REF_SEGMENT in rows
+        ref = rows[FAIR_REF_SEGMENT]
+        # the reference group's gaps vanish by construction
+        assert ref["dp_gap_bp"] == 0 and ref["eo_gap_bp"] == 0
+        for r in rows.values():
+            # confusion-cell accounting
+            assert r["tp"] + r["fp"] == r["n_sel"]
+            assert 0 <= r["tp"] <= r["n_pos"] <= r["n"]
+            for c in ("sel_bp", "tpr_bp", "fpr_bp"):
+                assert 0 <= r[c] <= 10000
+            assert r["dp_gap_bp"] == r["sel_bp"] - ref["sel_bp"]
+            assert r["eo_gap_bp"] == max(
+                abs(r["tpr_bp"] - ref["tpr_bp"]),
+                abs(r["fpr_bp"] - ref["fpr_bp"]),
+            )
