@@ -574,3 +574,187 @@ def storage_rle_sortedness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("runs_per_row_bp"),
         )
     )
+
+
+RING_SHARDS = 8  # shards before the resize
+RING_VNODES = 8  # virtual nodes per shard
+# sql_hex_to_long lives in functions.numeric; imported lazily below to
+# keep this module's header unchanged.
+
+
+def _ring_sql(n_shards: int) -> str:
+    """Ring CTE: vnode positions for shards 0..n_shards-1."""
+    from leadsight_sales_agent_spark.functions.numeric import sql_hex_to_long
+
+    pos = sql_hex_to_long(
+        "substring(md5('ring:' || CAST(s AS VARCHAR) || ':'"
+        " || CAST(v AS VARCHAR)), 1, 12)",
+        12,
+    )
+    return f"""
+        SELECT CAST(s AS INTEGER) AS shard, {pos} AS pos
+        FROM (SELECT unnest(generate_series(0, {n_shards - 1})) AS s),
+             (SELECT unnest(generate_series(0, {RING_VNODES - 1})) AS v)"""
+
+
+def _assign_sql(ring_cte: str) -> str:
+    """Assignment via the sweep: union keys and vnodes by ring position;
+    each key takes the next vnode's shard (wrapping to the first)."""
+    return f"""
+        SELECT kid, coalesce(nxt, frst) AS shard
+        FROM (
+            SELECT kid, is_v,
+                   first_value(CASE WHEN is_v = 1 THEN shard END IGNORE NULLS)
+                       OVER (ORDER BY pos, is_v
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS nxt,
+                   first_value(CASE WHEN is_v = 1 THEN shard END IGNORE NULLS)
+                       OVER (ORDER BY pos, is_v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS frst
+            FROM (
+                SELECT NULL AS kid, shard, pos, 1 AS is_v FROM ({ring_cte})
+                UNION ALL
+                SELECT kid, NULL, kpos, 0 FROM keys
+            )
+        ) WHERE is_v = 0"""
+
+
+def _consistent_hash_oracle() -> str:
+    from leadsight_sales_agent_spark.functions.numeric import sql_hex_to_long
+
+    kpos = sql_hex_to_long(
+        "substring(md5('key:' || CAST(c_custkey AS VARCHAR)), 1, 12)", 12
+    )
+    return f"""
+    WITH keys AS (
+        SELECT c_custkey AS kid, {kpos} AS kpos FROM customer
+    ),
+    before AS ({_assign_sql(_ring_sql(RING_SHARDS))}),
+    after AS ({_assign_sql(_ring_sql(RING_SHARDS + 1))}),
+    joined AS (
+        SELECT b.kid, b.shard AS s_before, a.shard AS s_after
+        FROM before b JOIN after a ON a.kid = b.kid
+    ),
+    pershard AS (
+        SELECT s_after AS shard,
+               count(*) AS n_keys,
+               CAST(sum(CASE WHEN s_before <> s_after THEN 1 ELSE 0 END)
+                    AS BIGINT) AS gained
+        FROM joined GROUP BY 1
+    )
+    SELECT CAST(shard AS INTEGER) AS shard,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           gained,
+           CAST((2 * 10000 * n_keys + sum(n_keys) OVER ())
+                // (2 * sum(n_keys) OVER ()) AS BIGINT) AS load_bp,
+           CAST((2 * 10000 * sum(gained) OVER () + sum(n_keys) OVER ())
+                // (2 * sum(n_keys) OVER ()) AS BIGINT) AS moved_total_bp
+    FROM pershard
+    """
+
+
+@query("shard_consistent_hash_ring", oracle=_consistent_hash_oracle())
+def shard_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring sharding with a resize audit — the
+    placement algorithm every distributed store (Dynamo, Cassandra,
+    object caches) uses so that ADDING a shard moves only ~1/(n+1) of
+    the keys, and moves them ONLY to the new shard: {RING_SHARDS}
+    shards x {RING_VNODES} virtual nodes hash onto a ring, every
+    customer key takes the next vnode clockwise, then the ring is
+    re-run with one extra shard and the per-shard load and gained-key
+    counts are compared. `gained` is nonzero ONLY for the new shard —
+    the consistent-hashing contract as a graded integer column — and
+    `moved_total_bp` lands near 10000/(n+1) bp.
+
+    Implementation trick (both engines): assignment is NOT a key x
+    vnode expansion — keys and vnodes union into one frame ordered by
+    ring position, and a forward-looking IGNORE NULLS first_value
+    carries each key to its next vnode (wrap via the global first
+    vnode) — one sort per ring instead of an |keys| x 64 join. At
+    scale that sort is a range partition by ring position, which is
+    exactly how the placement table is materialized anyway.
+
+    Exactness: positions are 48-bit md5 integers (the shared
+    hex-ladder device), ties between a key and a coincident vnode
+    order the vnode after the key (kpos <= vpos owns), and the load /
+    movement shares use the half-up bp device.
+    """
+    from leadsight_sales_agent_spark.functions.numeric import sql_hex_to_long
+    from leadsight_sales_agent_spark.operators.sampling import hash_key
+
+    def ring(n_shards: int) -> DataFrame:
+        s = spark.range(n_shards).select(F.col("id").cast("int").alias("s"))
+        v = spark.range(RING_VNODES).select(F.col("id").cast("int").alias("v"))
+        return (
+            s.crossJoin(v)
+            .select(
+                "s",
+                hash_key(
+                    "ring:",
+                    F.concat(
+                        F.col("s").cast("string"), F.lit(":"), F.col("v").cast("string")
+                    ),
+                ).substr(1, 12).alias("hx"),
+            )
+            .select(F.col("s").alias("shard"), F.expr(sql_hex_to_long("hx", 12)).alias("pos"))
+        )
+
+    keys = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", hash_key("key:", F.col("c_custkey")).substr(1, 12).alias("hx"))
+        .select(
+            F.col("c_custkey").alias("kid"),
+            F.expr(sql_hex_to_long("hx", 12)).alias("kpos"),
+        )
+    )
+
+    def assign(r: DataFrame) -> DataFrame:
+        uni = r.select(
+            F.lit(None).cast("bigint").alias("kid"),
+            "shard",
+            "pos",
+            F.lit(1).alias("is_v"),
+        ).unionByName(
+            keys.select(
+                "kid",
+                F.lit(None).cast("int").alias("shard"),
+                F.col("kpos").alias("pos"),
+                F.lit(0).alias("is_v"),
+            )
+        )
+        w = Window.orderBy("pos", "is_v")
+        nxt = F.first(
+            F.when(F.col("is_v") == 1, F.col("shard")), ignorenulls=True
+        ).over(w.rowsBetween(0, Window.unboundedFollowing))
+        frst = F.first(
+            F.when(F.col("is_v") == 1, F.col("shard")), ignorenulls=True
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        return (
+            uni.select("kid", "is_v", nxt.alias("nxt"), frst.alias("frst"))
+            .filter(F.col("is_v") == 0)
+            .select("kid", F.coalesce(F.col("nxt"), F.col("frst")).alias("shard"))
+        )
+
+    before = assign(ring(RING_SHARDS)).withColumnRenamed("shard", "s_before")
+    after = assign(ring(RING_SHARDS + 1)).withColumnRenamed("shard", "s_after")
+    joined = before.join(after, "kid")
+    pershard = joined.groupBy(F.col("s_after").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.when(F.col("s_before") != F.col("s_after"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("gained"),
+    )
+    return pershard.select(
+        F.col("shard").cast("int").alias("shard"),
+        "n_keys",
+        "gained",
+        F.expr(
+            "CAST((2 * 10000 * n_keys + sum(n_keys) OVER ())"
+            " DIV (2 * sum(n_keys) OVER ()) AS BIGINT)"
+        ).alias("load_bp"),
+        F.expr(
+            "CAST((2 * 10000 * sum(gained) OVER () + sum(n_keys) OVER ())"
+            " DIV (2 * sum(n_keys) OVER ()) AS BIGINT)"
+        ).alias("moved_total_bp"),
+    )

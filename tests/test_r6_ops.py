@@ -1098,3 +1098,30 @@ class TestFairnessGroupMetrics:
                 abs(r["tpr_bp"] - ref["tpr_bp"]),
                 abs(r["fpr_bp"] - ref["fpr_bp"]),
             )
+
+
+class TestConsistentHashRing:
+    def test_movement_contract(self, spark, sf_dir):
+        """Adding a shard: keys move ONLY to the new shard, the moved
+        fraction is near 1/(n+1), and loads are roughly balanced."""
+        from leadsight_sales_agent_spark.operators.layout import RING_SHARDS
+
+        rows = {
+            r["shard"]: r
+            for r in registry.QUERIES["shard_consistent_hash_ring"](
+                spark, sf_dir
+            ).collect()
+        }
+        new = RING_SHARDS  # the added shard's id
+        assert new in rows
+        # the consistent-hashing contract: only the new shard gains
+        for sid, r in rows.items():
+            if sid != new:
+                assert r["gained"] == 0, (sid, r["gained"])
+        assert rows[new]["gained"] == rows[new]["n_keys"]
+        total = sum(r["n_keys"] for r in rows.values())
+        moved = rows[new]["n_keys"]
+        # expected ~ total/(n+1); allow generous hash-variance slack
+        expect = total / (RING_SHARDS + 1)
+        assert 0.3 * expect < moved < 3 * expect
+        assert rows[new]["moved_total_bp"] == rows[0]["moved_total_bp"]

@@ -84,6 +84,7 @@ ALLOW_NON_EQUI = {
     "incremental_topk_maintenance",  # 1-row old-kth-boundary scalar broadcast
     "eval_kruskal_wallis",  # 1-row tie-term scalar combine
     "storage_dictionary_encoding_advisor",  # 1-row stats x 1-row dict-size per column
+    "shard_consistent_hash_ring",  # 8x8 literal vnode grid cross join
     "mixture_repeat_epochs_plan",  # 1-row budget scalar onto the source-grain grid
     "sketch_kmv_intersection",  # sketch-union scalar probes
     "agg_approx_percentiles",  # envelope compare vs exact scalars
@@ -134,6 +135,7 @@ ALLOW_NON_EQUI = {
     "graph_degree_distribution",
     "zorder_locality_buckets",
     "storage_rle_sortedness_audit",  # the sort IS the audited layout
+    "shard_consistent_hash_ring",  # ring-position order IS the placement table
     "compaction_bin_packing",
     "ab_wilson_significance",  # 1-row z anchor
     "ab_deterministic_assignment",
@@ -249,6 +251,7 @@ ALLOW_GLOBAL_SORT = {
     "text_zipf_rank_frequency",
     "zorder_locality_buckets",
     "storage_rle_sortedness_audit",  # the sort IS the audited layout
+    "shard_consistent_hash_ring",  # ring-position order IS the placement table
     "compaction_bin_packing",
     "pack_sequences_token_budget",
     "pipeline_curate_and_pack",
