@@ -110,6 +110,11 @@ HEADLINE = [
     # view maintenance (boundary scalar broadcast + keyed semi-probe).
     "quantile_bucket_localized_exact",
     "incremental_topk_maintenance",
+    # r6 session-2 wave 2: the per-position rolling-hash explode (CDC
+    # chunk boundaries — the heaviest new map-side shape) and the
+    # dual ring-position sweeps of the consistent-hash resize audit.
+    "dedup_cdc_chunking",
+    "shard_consistent_hash_ring",
 ]
 
 

@@ -4928,3 +4928,150 @@ def eval_fairness_group_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("eo_gap_bp"),
     )
+
+
+DTW_REF_SEGMENT = "BUILDING"
+_DTW_INF = "CAST(9223372036854775807 AS BIGINT)"
+
+
+def _dtw_oracle() -> str:
+    """12x12 DTW as a recursive CTE: one iteration per matrix ROW, the
+    within-row left-to-right dependency unrolled as 12 lateral column
+    aliases (DuckDB resolves prior SELECT-list aliases), the previous
+    row carried as a LIST column. Exact BIGINT min/abs throughout."""
+    rowcalc = []
+    for j in range(1, 13):
+        if j == 1:
+            expr = "abs(v[i + 1] - rv[1]) + (CASE WHEN i = 0 THEN 0 ELSE pv[1] END)"
+        else:
+            expr = (
+                f"abs(v[i + 1] - rv[{j}]) + (CASE WHEN i = 0 THEN v{j - 1} "
+                f"ELSE least(v{j - 1}, pv[{j}], pv[{j - 1}]) END)"
+            )
+        rowcalc.append(f"{expr} AS v{j}")
+    rowsel = ",\n               ".join(rowcalc)
+    packed = "[" + ", ".join(f"v{j}" for j in range(1, 13)) + "]"
+    return f"""
+    WITH RECURSIVE series AS (
+        SELECT c.c_mktsegment AS seg, CAST(month(o.o_orderdate) AS INTEGER) AS m,
+               CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT s.seg, g.m, coalesce(x.cents, 0) AS cents
+        FROM (SELECT DISTINCT seg FROM series) s
+        CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS m) g
+        LEFT JOIN series x ON x.seg = s.seg AND x.m = g.m
+    ),
+    vecs AS (
+        SELECT seg, list(cents ORDER BY m) AS v FROM grid GROUP BY 1
+    ),
+    ref AS (SELECT v AS rv FROM vecs WHERE seg = '{DTW_REF_SEGMENT}'),
+    dp AS (
+        SELECT seg, 0 AS i, v, rv, CAST(NULL AS BIGINT[]) AS pv
+        FROM vecs, ref
+        UNION ALL
+        SELECT seg, i + 1, v, rv, {packed}
+        FROM (
+            SELECT seg, i, v, rv, pv,
+               {rowsel}
+            FROM dp WHERE i < 12
+        )
+    )
+    SELECT seg AS segment,
+           CAST(pv[12] AS BIGINT) AS dtw_cents,
+           CAST(pv[12] // 23 AS BIGINT) AS dtw_per_step_cents
+    FROM dp WHERE i = 12
+    """
+
+
+@query("timeseries_dtw_monthly_segments", oracle=_dtw_oracle())
+def timeseries_dtw_monthly_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Time Warping distance between each market segment's 1995
+    monthly-revenue trajectory and the {DTW_REF_SEGMENT} reference —
+    the classic elastic similarity measure for series whose shapes
+    align under local time shifts (a one-month-late promotion spike
+    costs little under DTW and a lot under Euclidean). DTW is the
+    textbook "inherently sequential DP" — and the graded contract
+    makes it exact anyway, two different ways:
+
+    - the ENGINE runs the whole 12x12 DP as ONE fold expression:
+      `aggregate(sequence(1,144), ...)` appends each cell in row-major
+      order and reads neighbors at negative offsets -1/-12/-13 — the
+      entire recurrence stays inside whole-stage codegen, one
+      expression per segment row, zero shuffles beyond the monthly
+      rollup (the Holt-Winters unroll device, generalized from a
+      linear recurrence to a 2-D DP);
+    - the ORACLE replays it as a recursive CTE, one iteration per row
+      with the within-row dependency unrolled as lateral aliases.
+
+    Everything is BIGINT (cent costs, min/abs); the boundary sentinel
+    is never added to (least() only selects it away), so no overflow.
+    Scale: the DP is O(144) per segment INDEPENDENT of data size; the
+    only data-scale work is the month-grain rollup, and series length
+    would bound the fold (a 365-step daily DTW is a 133k-element
+    fold — still one codegen expression).
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    series = (
+        o.join(
+            load(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.month("o_orderdate").cast("int").alias("m"),
+        )
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    months = spark.range(1, 13).select(F.col("id").cast("int").alias("m"))
+    grid = (
+        series.select("seg")
+        .distinct()
+        .crossJoin(F.broadcast(months))
+        .join(series, ["seg", "m"], "left")
+        .select("seg", "m", F.coalesce("cents", F.lit(0)).alias("cents"))
+    )
+    vecs = grid.groupBy("seg").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(m, cents))), x -> x.cents)"
+        ).alias("v")
+    )
+    ref = vecs.filter(F.col("seg") == DTW_REF_SEGMENT).select(
+        F.col("v").alias("rv")
+    )
+    fold = f"""
+    element_at(
+      aggregate(
+        sequence(1, 144),
+        CAST(array() AS ARRAY<BIGINT>),
+        (acc, t) -> array_append(acc,
+          abs(element_at(v, CAST((t - 1) DIV 12 + 1 AS INT))
+              - element_at(rv, CAST((t - 1) % 12 + 1 AS INT)))
+          + least(
+              CASE WHEN (t - 1) % 12 + 1 > 1 THEN element_at(acc, -1)
+                   ELSE {_DTW_INF} END,
+              CASE WHEN (t - 1) DIV 12 + 1 > 1 THEN element_at(acc, -12)
+                   ELSE {_DTW_INF} END,
+              CASE WHEN (t - 1) DIV 12 + 1 > 1 AND (t - 1) % 12 + 1 > 1
+                   THEN element_at(acc, -13)
+                   WHEN t = 1 THEN CAST(0 AS BIGINT)
+                   ELSE {_DTW_INF} END))
+      ), -1)
+    """
+    return vecs.crossJoin(F.broadcast(ref)).select(
+        F.col("seg").alias("segment"),
+        F.expr(fold).cast("bigint").alias("dtw_cents"),
+        F.expr(f"CAST(({fold}) DIV 23 AS BIGINT)").alias("dtw_per_step_cents"),
+    )

@@ -1125,3 +1125,67 @@ class TestConsistentHashRing:
         expect = total / (RING_SHARDS + 1)
         assert 0.3 * expect < moved < 3 * expect
         assert rows[new]["moved_total_bp"] == rows[0]["moved_total_bp"]
+
+
+class TestDtwMonthlySegments:
+    def test_brute_force_dp(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.operators.behavior import (
+            DTW_REF_SEGMENT,
+        )
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = {
+            r["segment"]: r
+            for r in registry.QUERIES["timeseries_dtw_monthly_segments"](
+                spark, sf_dir
+            ).collect()
+        }
+        # rebuild the series
+        o = load(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        raw = (
+            o.join(
+                load(spark, sf_dir, "customer"),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            .groupBy(
+                F.col("c_mktsegment").alias("seg"),
+                F.month("o_orderdate").alias("m"),
+            )
+            .agg(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast(
+                        "bigint"
+                    )
+                ).alias("cents")
+            )
+            .collect()
+        )
+        series = {}
+        for r in raw:
+            series.setdefault(r["seg"], {})[r["m"]] = r["cents"]
+        vec = {s: [series[s].get(m, 0) for m in range(1, 13)] for s in series}
+
+        def dtw(a, b):
+            INF = float("inf")
+            dp = [[INF] * 13 for _ in range(13)]
+            dp[0][0] = 0
+            for i in range(1, 13):
+                for j in range(1, 13):
+                    dp[i][j] = abs(a[i - 1] - b[j - 1]) + min(
+                        dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]
+                    )
+            return dp[12][12]
+
+        ref = vec[DTW_REF_SEGMENT]
+        assert rows[DTW_REF_SEGMENT]["dtw_cents"] == 0  # self-distance
+        for seg, v in vec.items():
+            assert rows[seg]["dtw_cents"] == dtw(v, ref), seg
+            # DTW never exceeds the rigid (diagonal) alignment cost
+            assert rows[seg]["dtw_cents"] <= sum(
+                abs(x - y) for x, y in zip(v, ref)
+            ) * 2  # diagonal path cost bound (costs re-counted on steps)

@@ -83,6 +83,7 @@ ALLOW_NON_EQUI = {
     "sketch_kmv_distinct_userdays",  # k-th order statistic scalar probe
     "incremental_topk_maintenance",  # 1-row old-kth-boundary scalar broadcast
     "eval_kruskal_wallis",  # 1-row tie-term scalar combine
+    "timeseries_dtw_monthly_segments",  # 1-row reference-vector broadcast onto 5 segments
     "storage_dictionary_encoding_advisor",  # 1-row stats x 1-row dict-size per column
     "shard_consistent_hash_ring",  # 8x8 literal vnode grid cross join
     "mixture_repeat_epochs_plan",  # 1-row budget scalar onto the source-grain grid
@@ -277,6 +278,7 @@ ALLOW_MANY_EXCHANGES = {
     "retrieval_hybrid_bm25_vector": 14,
     "mixture_token_budget_allocation": 13,
     "storage_dictionary_encoding_advisor": 30,  # 6 independent column profiles (tiny dims), 5 exchanges each
+    "timeseries_dtw_monthly_segments": 13,  # dense month grid build + ordered-vector rollup + ref broadcast
     "sketch_kmv_intersection": 13,
     "sketch_kmv_rolling_distinct_7d": 7,  # daily rank + window rank + exact-truth twin
     "attribution_shapley_channels": 9,  # pre-purchase mask join + coalition grid + span anchor
