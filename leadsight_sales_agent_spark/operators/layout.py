@@ -723,13 +723,21 @@ def shard_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).alias("is_v"),
             )
         )
-        w = Window.orderBy("pos", "is_v")
-        nxt = F.first(
+        # next-vnode-upward == running last-seen-vnode in a DESCENDING
+        # scan: an O(n) running frame, where the naive forward
+        # UNBOUNDED FOLLOWING first_value frame is O(n^2) per
+        # partition in Spark (re-scans the tail for every row —
+        # measured 8.7s vs <2s at sf0.1).
+        wd = Window.orderBy(F.desc("pos"), F.desc("is_v"))
+        nxt = F.last(
             F.when(F.col("is_v") == 1, F.col("shard")), ignorenulls=True
-        ).over(w.rowsBetween(0, Window.unboundedFollowing))
-        frst = F.first(
+        ).over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        # wrap target = the globally smallest vnode position — the LAST
+        # vnode in the descending order; full-frame windows evaluate
+        # once per partition (O(n)).
+        frst = F.last(
             F.when(F.col("is_v") == 1, F.col("shard")), ignorenulls=True
-        ).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        ).over(wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
         return (
             uni.select("kid", "is_v", nxt.alias("nxt"), frst.alias("frst"))
             .filter(F.col("is_v") == 0)
