@@ -3384,3 +3384,138 @@ def corpus_greedy_source_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_bp"
         ),
     )
+
+
+GT_MAX_R = 10  # counts-of-counts reported for frequencies 1..10
+
+
+@query(
+    "text_good_turing_unseen_mass",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents WHERE trim(text) <> ''
+    ),
+    freq AS (
+        SELECT w, count(*) AS r FROM tok GROUP BY 1
+    ),
+    coc AS (
+        SELECT r, count(*) AS n_r FROM freq WHERE r <= {GT_MAX_R} GROUP BY 1
+    ),
+    totals AS (
+        SELECT CAST(sum(r) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab_seen,
+               CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM freq
+    ),
+    summary AS (
+        SELECT n_tokens, vocab_seen, n1, n2,
+               CAST((2 * 10000 * n1 + n_tokens) // (2 * n_tokens)
+                    AS BIGINT) AS unseen_mass_bp,
+               CAST(CASE WHEN n2 = 0
+                         THEN vocab_seen + (n1 * (n1 - 1)) // 2
+                         ELSE vocab_seen
+                              + (2 * n1 * n1 + 4 * n2) // (8 * n2) END
+                    AS BIGINT) AS chao1_total
+        FROM totals
+    )
+    SELECT CAST(c.r AS INTEGER) AS r,
+           CAST(c.n_r AS BIGINT) AS n_r,
+           CAST(CASE WHEN nx.n_r IS NULL THEN NULL
+                     ELSE (2 * 1000 * (c.r + 1) * nx.n_r + c.n_r)
+                          // (2 * c.n_r) END AS BIGINT) AS gt_rstar_milli,
+           s.n_tokens, s.vocab_seen, s.n1, s.n2,
+           s.unseen_mass_bp, s.chao1_total
+    FROM coc c
+    LEFT JOIN coc nx ON nx.r = c.r + 1
+    CROSS JOIN summary s
+    UNION ALL
+    SELECT 0, NULL, NULL, n_tokens, vocab_seen, n1, n2,
+           unseen_mass_bp, chao1_total
+    FROM summary
+    """,
+)
+def text_good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-species accounting for the corpus vocabulary
+    — the smoothing-theory numbers a corpus-collection plan runs on:
+    the counts-of-counts table N_r (how many words occur exactly r
+    times), the Good-Turing discounted frequency r* = (r+1)·N_(r+1)/N_r
+    (reported in exact half-up milli-units), the unseen-probability
+    mass N_1/N (the chance the NEXT crawled token is a word never seen
+    — Good-Turing's estimate, in bp), and the Chao1 richness estimate
+    V + N_1²/(2·N_2) of how many word types exist INCLUDING the unseen
+    ones. Together they answer "is the crawl saturating?" — falling
+    unseen mass and a Chao1 close to V mean more data adds few new
+    types.
+
+    Exactness: everything derives from two integer tables (word
+    frequencies, counts-of-counts); every ratio is the cross-
+    multiplied half-up device (Chao1's N1²/(2·N2) as
+    (2·N1² + 4·N2) DIV (8·N2)). Scale: one token explode + two
+    hash-aggs; the counts-of-counts table is bounded by GT_MAX_R and
+    the summary totals broadcast onto it.
+    """
+    tok = (
+        load(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("r"))
+    coc = (
+        freq.filter(F.col("r") <= GT_MAX_R)
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).alias("n_r"))
+    )
+    totals = freq.agg(
+        F.sum("r").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_seen"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("r") == 2, 1).otherwise(0)).cast("bigint").alias("n2"),
+    )
+    nx = coc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next"))
+    summary = totals.select(
+        "n_tokens",
+        "vocab_seen",
+        "n1",
+        "n2",
+        F.expr(
+            "CAST((2 * 10000 * n1 + n_tokens) DIV (2 * n_tokens) AS BIGINT)"
+        ).alias("unseen_mass_bp"),
+        F.expr(
+            "CAST(CASE WHEN n2 = 0 THEN vocab_seen + (n1 * (n1 - 1)) DIV 2"
+            " ELSE vocab_seen + (2 * n1 * n1 + 4 * n2) DIV (8 * n2) END"
+            " AS BIGINT)"
+        ).alias("chao1_total"),
+    )
+    hist = (
+        coc.join(F.broadcast(nx), "r", "left")
+        .crossJoin(F.broadcast(summary))
+        .select(
+            F.col("r").cast("int").alias("r"),
+            F.col("n_r").cast("bigint").alias("n_r"),
+            F.expr(
+                "CAST(CASE WHEN n_next IS NULL THEN NULL"
+                " ELSE (2 * 1000 * (r + 1) * n_next + n_r) DIV (2 * n_r) END"
+                " AS BIGINT)"
+            ).alias("gt_rstar_milli"),
+            "n_tokens",
+            "vocab_seen",
+            "n1",
+            "n2",
+            "unseen_mass_bp",
+            "chao1_total",
+        )
+    )
+    sentinel = summary.select(
+        F.lit(0).cast("int").alias("r"),
+        F.lit(None).cast("bigint").alias("n_r"),
+        F.lit(None).cast("bigint").alias("gt_rstar_milli"),
+        "n_tokens",
+        "vocab_seen",
+        "n1",
+        "n2",
+        "unseen_mass_bp",
+        "chao1_total",
+    )
+    return hist.unionByName(sentinel)

@@ -1189,3 +1189,43 @@ class TestDtwMonthlySegments:
             assert rows[seg]["dtw_cents"] <= sum(
                 abs(x - y) for x, y in zip(v, ref)
             ) * 2  # diagonal path cost bound (costs re-counted on steps)
+
+
+class TestGoodTuring:
+    def test_identities(self, spark, sf_dir):
+        from collections import Counter
+
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = {
+            r["r"]: r
+            for r in registry.QUERIES["text_good_turing_unseen_mass"](
+                spark, sf_dir
+            ).collect()
+        }
+        texts = [
+            r["text"]
+            for r in load(spark, sf_dir, "documents")
+            .filter(F.trim("text") != "")
+            .select("text")
+            .collect()
+        ]
+        freq = Counter(w for t in texts for w in t.strip().split())
+        coc = Counter(freq.values())
+        any_row = rows[0]  # the always-present totals sentinel
+        assert any_row["n_tokens"] == sum(freq.values())
+        assert any_row["vocab_seen"] == len(freq)
+        assert any_row["n1"] == coc[1] and any_row["n2"] == coc[2]
+        for r, row in rows.items():
+            if r == 0:
+                assert row["n_r"] is None
+                continue
+            assert row["n_r"] == coc[r]
+            if r + 1 in coc:
+                want = (2 * 1000 * (r + 1) * coc[r + 1] + coc[r]) // (2 * coc[r])
+                assert row["gt_rstar_milli"] == want
+        # Chao1 adds a nonnegative unseen-species correction
+        assert any_row["chao1_total"] >= any_row["vocab_seen"]
+        assert 0 <= any_row["unseen_mass_bp"] < 10000
