@@ -16,6 +16,7 @@ from leadsight_sales_agent_spark.functions.extracts import (
     extract_founded,
     extract_sentence_near_keyword,
 )
+from leadsight_sales_agent_spark.operators.sampling import _SQL_HASH, hash_key
 from leadsight_sales_agent_spark.registry import query
 from leadsight_sales_agent_spark.sources.catalog import load
 
@@ -3519,3 +3520,101 @@ def text_good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chao1_total",
     )
     return hist.unionByName(sentinel)
+
+
+ACCUM_BUCKETS = 10  # corpus prefix checkpoints (deciles)
+
+
+@query(
+    "text_vocab_accumulation_curve",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT doc_id, text,
+               ntile({ACCUM_BUCKETS}) OVER (
+                   ORDER BY {_SQL_HASH.format(salt="acc:", key="doc_id")},
+                            doc_id) AS decile
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tok AS (
+        SELECT decile,
+               unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM ordered
+    ),
+    firstseen AS (
+        SELECT w, min(decile) AS first_decile FROM tok GROUP BY 1
+    ),
+    newtypes AS (
+        SELECT first_decile AS decile, count(*) AS new_types
+        FROM firstseen GROUP BY 1
+    ),
+    toks AS (
+        SELECT decile, count(*) AS n_tokens FROM tok GROUP BY 1
+    )
+    SELECT CAST(t.decile AS INTEGER) AS decile,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(n.new_types, 0) AS BIGINT) AS new_types,
+           CAST(sum(coalesce(n.new_types, 0))
+                OVER (ORDER BY t.decile) AS BIGINT) AS cum_types,
+           CAST((2 * 10000 * coalesce(n.new_types, 0) + t.n_tokens)
+                // (2 * t.n_tokens) AS BIGINT) AS new_per_token_bp
+    FROM toks t LEFT JOIN newtypes n ON n.decile = t.decile
+    """,
+)
+def text_vocab_accumulation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical vocabulary accumulation (rarefaction) curve — the
+    companion measurement to text_good_turing_unseen_mass's model-based
+    estimate: shuffle the corpus into a deterministic hash order, cut
+    it into {ACCUM_BUCKETS} prefix checkpoints, and count how many NEW
+    word types each decile introduces. A flattening curve (new_types
+    and new-per-token falling decile over decile) is the direct
+    evidence of crawl saturation; Chao1 minus the final cum_types is
+    the modeled remainder. The hash order makes the curve a property
+    of the corpus, not of arrival order — reproducible on any cluster.
+
+    Exactness: the decile assignment is a tie-broken ntile over the
+    md5 device (total order), first-seen is an integer min per word,
+    and the curve is integer counts + the half-up bp device; the
+    cumulative window runs over the 10-row decile frame. Scale: one
+    token explode, one (word) hash-agg for first-seen — the same
+    shuffle exact dedup pays; the global sort exists only to rank DOCS
+    (at 100 TB you'd rank by the hash value directly — range partition
+    — which is exactly what ntile over a hash does).
+    """
+    ordered = (
+        load(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            "text",
+            F.ntile(ACCUM_BUCKETS)
+            .over(Window.orderBy(hash_key("acc:", F.col("doc_id")), "doc_id"))
+            .alias("decile"),
+        )
+    )
+    tok = ordered.select(
+        "decile", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    firstseen = tok.groupBy("w").agg(F.min("decile").alias("first_decile"))
+    newtypes = firstseen.groupBy(F.col("first_decile").alias("decile")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    toks = tok.groupBy("decile").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        toks.join(F.broadcast(newtypes), "decile", "left")
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+        )
+        .withColumn(
+            "cum_types",
+            F.sum("new_types").over(Window.orderBy("decile")).cast("bigint"),
+        )
+        .withColumn(
+            "new_per_token_bp",
+            F.expr(
+                "CAST((2 * 10000 * new_types + n_tokens) DIV (2 * n_tokens)"
+                " AS BIGINT)"
+            ),
+        )
+    )

@@ -1229,3 +1229,31 @@ class TestGoodTuring:
         # Chao1 adds a nonnegative unseen-species correction
         assert any_row["chao1_total"] >= any_row["vocab_seen"]
         assert 0 <= any_row["unseen_mass_bp"] < 10000
+
+
+class TestVocabAccumulation:
+    def test_curve_identities(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = sorted(
+            registry.QUERIES["text_vocab_accumulation_curve"](
+                spark, sf_dir
+            ).collect(),
+            key=lambda r: r["decile"],
+        )
+        docs = load(spark, sf_dir, "documents").filter(F.trim("text") != "")
+        texts = [r["text"] for r in docs.select("text").collect()]
+        total_types = len({w for t in texts for w in t.strip().split()})
+        total_tokens = sum(len(t.strip().split()) for t in texts)
+        assert sum(r["new_types"] for r in rows) == total_types
+        assert sum(r["n_tokens"] for r in rows) == total_tokens
+        assert rows[-1]["cum_types"] == total_types
+        # cumulative is the running sum and is monotone
+        cum = 0
+        for r in rows:
+            cum += r["new_types"]
+            assert r["cum_types"] == cum
+        # decile 1 introduces the most new types (fresh corpus prefix)
+        assert rows[0]["new_types"] == max(r["new_types"] for r in rows)

@@ -137,6 +137,7 @@ ALLOW_NON_EQUI = {
     "graph_degree_distribution",
     "zorder_locality_buckets",
     "storage_rle_sortedness_audit",  # the sort IS the audited layout
+    "text_vocab_accumulation_curve",  # hash-order ntile + 10-row decile cumulative
     "shard_consistent_hash_ring",  # ring-position order IS the placement table
     "compaction_bin_packing",
     "ab_wilson_significance",  # 1-row z anchor
@@ -253,6 +254,7 @@ ALLOW_GLOBAL_SORT = {
     "text_zipf_rank_frequency",
     "zorder_locality_buckets",
     "storage_rle_sortedness_audit",  # the sort IS the audited layout
+    "text_vocab_accumulation_curve",  # hash-order ntile + 10-row decile cumulative
     "shard_consistent_hash_ring",  # ring-position order IS the placement table
     "compaction_bin_packing",
     "pack_sequences_token_budget",
