@@ -3618,3 +3618,143 @@ def text_vocab_accumulation_curve(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+@query(
+    "text_heaps_law_fit",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT doc_id, text,
+               ntile({ACCUM_BUCKETS}) OVER (
+                   ORDER BY {_SQL_HASH.format(salt="acc:", key="doc_id")},
+                            doc_id) AS decile
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tok AS (
+        SELECT decile,
+               unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM ordered
+    ),
+    firstseen AS (
+        SELECT w, min(decile) AS first_decile FROM tok GROUP BY 1
+    ),
+    curve AS (
+        SELECT t.decile,
+               sum(t.n_tokens) OVER (ORDER BY t.decile) AS cum_tokens,
+               sum(coalesce(n.new_types, 0)) OVER (ORDER BY t.decile)
+                   AS cum_types
+        FROM (SELECT decile, count(*) AS n_tokens FROM tok GROUP BY 1) t
+        LEFT JOIN (SELECT first_decile AS decile, count(*) AS new_types
+                   FROM firstseen GROUP BY 1) n ON n.decile = t.decile
+    ),
+    pts AS (
+        SELECT CAST(round(ln(CAST(cum_tokens AS DOUBLE)), 12)
+                    AS DECIMAL(20,12)) AS x,
+               CAST(round(ln(CAST(cum_types AS DOUBLE)), 12)
+                    AS DECIMAL(20,12)) AS y
+        FROM curve
+    ),
+    terms AS (
+        SELECT x, y,
+               CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 10)
+                    AS DECIMAL(20,10)) AS xy,
+               CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 10)
+                    AS DECIMAL(20,10)) AS xx
+        FROM pts
+    ),
+    s AS (
+        SELECT count(*) AS k,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx
+        FROM terms
+    )
+    SELECT CAST(k AS BIGINT) AS n_points,
+           CAST(floor((k * sxy - sx * sy) / (k * sxx - sx * sx) * 1e4 + 0.5)
+                AS BIGINT) AS beta_e4,
+           CAST(floor((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx)
+                      / k * 1e4 + 0.5) AS BIGINT) AS ln_k_e4
+    FROM s
+    """,
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law fit V(N) = k·N^beta over the vocabulary accumulation
+    curve — the third leg of the crawl-saturation battery: Good-Turing
+    gives the instantaneous unseen mass, the accumulation curve the
+    measured trajectory, and the Heaps exponent beta the growth LAW
+    that extrapolates it (natural corpora sit near beta ~ 0.5; a word-
+    soup corpus like this one fits much lower, which is itself the
+    finding). The fit is log-log OLS over the {ACCUM_BUCKETS}
+    cumulative checkpoints.
+
+    Exactness: the curve is exact integers; the ln regime follows
+    price_elasticity_grouped verbatim (12dp ln terms, 10dp cross
+    products, decimal sums, one closed-form slope on identical
+    doubles) — except the final report uses the floor(x·1e4 + 0.5)
+    quantizer rather than round() (the r6 sf0.1 finding: round(double)
+    is not cross-engine-safe). Scale: identical to the accumulation
+    curve, plus a 10-row fit.
+    """
+    ordered = (
+        load(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            "text",
+            F.ntile(ACCUM_BUCKETS)
+            .over(Window.orderBy(hash_key("acc:", F.col("doc_id")), "doc_id"))
+            .alias("decile"),
+        )
+    )
+    tok = ordered.select(
+        "decile", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    firstseen = tok.groupBy("w").agg(F.min("decile").alias("first_decile"))
+    newtypes = firstseen.groupBy(F.col("first_decile").alias("decile")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    toks = tok.groupBy("decile").agg(F.count(F.lit(1)).alias("n_tokens"))
+    wc = Window.orderBy("decile")
+    curve = (
+        toks.join(F.broadcast(newtypes), "decile", "left")
+        .select(
+            "decile",
+            F.sum("n_tokens").over(wc).alias("cum_tokens"),
+            F.sum(F.coalesce("new_types", F.lit(0))).over(wc).alias("cum_types"),
+        )
+    )
+    pts = curve.select(
+        F.round(F.log(F.col("cum_tokens").cast("double")), 12)
+        .cast("decimal(20,12)")
+        .alias("x"),
+        F.round(F.log(F.col("cum_types").cast("double")), 12)
+        .cast("decimal(20,12)")
+        .alias("y"),
+    )
+    terms = pts.select(
+        "x",
+        "y",
+        F.round(F.col("x").cast("double") * F.col("y").cast("double"), 10)
+        .cast("decimal(20,10)")
+        .alias("xy"),
+        F.round(F.col("x").cast("double") * F.col("x").cast("double"), 10)
+        .cast("decimal(20,10)")
+        .alias("xx"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    return s.select(
+        F.col("k").cast("bigint").alias("n_points"),
+        F.expr(
+            "CAST(floor((k * sxy - sx * sy) / (k * sxx - sx * sx) * 1e4 + 0.5)"
+            " AS BIGINT)"
+        ).alias("beta_e4"),
+        F.expr(
+            "CAST(floor((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx)"
+            " / k * 1e4 + 0.5) AS BIGINT)"
+        ).alias("ln_k_e4"),
+    )

@@ -1257,3 +1257,34 @@ class TestVocabAccumulation:
             assert r["cum_types"] == cum
         # decile 1 introduces the most new types (fresh corpus prefix)
         assert rows[0]["new_types"] == max(r["new_types"] for r in rows)
+
+
+class TestHeapsLawFit:
+    def test_fit_matches_curve(self, spark, sf_dir):
+        import math
+
+        rows = registry.QUERIES["text_heaps_law_fit"](spark, sf_dir).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_points"] == 10
+        curve = sorted(
+            registry.QUERIES["text_vocab_accumulation_curve"](
+                spark, sf_dir
+            ).collect(),
+            key=lambda c: c["decile"],
+        )
+        xs, ys, cum_tok, cum_typ = [], [], 0, 0
+        for c in curve:
+            cum_tok += c["n_tokens"]
+            cum_typ += c["new_types"]
+            xs.append(round(math.log(cum_tok), 12))
+            ys.append(round(math.log(cum_typ), 12))
+        k = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(round(x * y, 10) for x, y in zip(xs, ys))
+        sxx = sum(round(x * x, 10) for x in xs)
+        beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+        assert abs(r["beta_e4"] / 1e4 - beta) < 1e-3
+        # vocabulary grows sublinearly in tokens (a fully saturated
+        # tiny-vocab corpus fits beta ~ 0, e.g. at sf0.001)
+        assert 0 <= r["beta_e4"] < 10000

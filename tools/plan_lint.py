@@ -138,6 +138,7 @@ ALLOW_NON_EQUI = {
     "zorder_locality_buckets",
     "storage_rle_sortedness_audit",  # the sort IS the audited layout
     "text_vocab_accumulation_curve",  # hash-order ntile + 10-row decile cumulative
+    "text_heaps_law_fit",  # same curve + 10-point log-log fit
     "shard_consistent_hash_ring",  # ring-position order IS the placement table
     "compaction_bin_packing",
     "ab_wilson_significance",  # 1-row z anchor
@@ -255,6 +256,7 @@ ALLOW_GLOBAL_SORT = {
     "zorder_locality_buckets",
     "storage_rle_sortedness_audit",  # the sort IS the audited layout
     "text_vocab_accumulation_curve",  # hash-order ntile + 10-row decile cumulative
+    "text_heaps_law_fit",  # same curve + 10-point log-log fit
     "shard_consistent_hash_ring",  # ring-position order IS the placement table
     "compaction_bin_packing",
     "pack_sequences_token_budget",
