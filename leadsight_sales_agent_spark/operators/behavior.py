@@ -5075,3 +5075,110 @@ def timeseries_dtw_monthly_segments(spark: SparkSession, sf_dir: str) -> DataFra
         F.expr(fold).cast("bigint").alias("dtw_cents"),
         F.expr(f"CAST(({fold}) DIV 23 AS BIGINT)").alias("dtw_per_step_cents"),
     )
+
+
+MARKOV_BT_CUTOVER = "2024-01-24"  # temporal split: ~last week is the test fold
+
+
+@query(
+    "eval_markov_next_event_backtest",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type, ts
+        FROM seq WHERE prev_type IS NOT NULL
+    ),
+    train AS (
+        SELECT prev_type, next_type, count(*) AS c
+        FROM trans WHERE ts < TIMESTAMP '{MARKOV_BT_CUTOVER}'
+        GROUP BY 1, 2
+    ),
+    model AS (
+        SELECT prev_type, next_type AS predicted
+        FROM (
+            SELECT prev_type, next_type,
+                   row_number() OVER (PARTITION BY prev_type
+                                      ORDER BY c DESC, next_type) AS rn
+            FROM train
+        ) WHERE rn = 1
+    ),
+    test AS (
+        SELECT t.prev_type, t.next_type, m.predicted
+        FROM trans t LEFT JOIN model m ON m.prev_type = t.prev_type
+        WHERE t.ts >= TIMESTAMP '{MARKOV_BT_CUTOVER}'
+    )
+    SELECT prev_type,
+           max(predicted) AS predicted,
+           count(*) AS n_test,
+           CAST(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST((2 * 10000 * sum(CASE WHEN next_type = predicted
+                                      THEN 1 ELSE 0 END) + count(*))
+                // (2 * count(*)) AS BIGINT) AS top1_acc_bp
+    FROM test GROUP BY 1
+    """,
+)
+def eval_markov_next_event_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-split backtest of the first-order Markov next-event
+    model — the evaluation loop `markov_event_transitions` feeds: fit
+    argmax-next-state per current state on events BEFORE the cutover,
+    then score top-1 accuracy on the transitions AFTER it, per state
+    in half-up basis points. The split is by time, not by hash — the
+    honest protocol for sequence models (a random split leaks the
+    future), mirroring sample_walk_forward_folds on the model-eval
+    side.
+
+    Exactness: the model is an integer-count argmax with a
+    deterministic (count DESC, label) tie-break; accuracy is integer
+    counting + the bp device. Scale: one per-user lag window (the
+    sessionization sort), one small train rollup whose 5x5 argmax
+    broadcasts onto the test stream.
+    """
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    trans = seq.filter(F.col("prev_type").isNotNull()).select(
+        "prev_type", F.col("event_type").alias("next_type"), "ts"
+    )
+    cut = F.lit(MARKOV_BT_CUTOVER).cast("timestamp")
+    train = (
+        trans.filter(F.col("ts") < cut)
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    model = (
+        train.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("prev_type").orderBy(
+                    F.desc("c"), F.asc("next_type")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"))
+    )
+    test = trans.filter(F.col("ts") >= cut).join(
+        F.broadcast(model), "prev_type", "left"
+    )
+    return test.groupBy("prev_type").agg(
+        F.max("predicted").alias("predicted"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.when(F.col("next_type") == F.col("predicted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.expr(
+            "CAST((2 * 10000 * sum(CASE WHEN next_type = predicted THEN 1"
+            " ELSE 0 END) + count(*)) DIV (2 * count(*)) AS BIGINT)"
+        ).alias("top1_acc_bp"),
+    )

@@ -1288,3 +1288,57 @@ class TestHeapsLawFit:
         # vocabulary grows sublinearly in tokens (a fully saturated
         # tiny-vocab corpus fits beta ~ 0, e.g. at sf0.001)
         assert 0 <= r["beta_e4"] < 10000
+
+
+class TestMarkovBacktest:
+    def test_no_leakage_and_accounting(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.operators.behavior import (
+            MARKOV_BT_CUTOVER,
+        )
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = {
+            r["prev_type"]: r
+            for r in registry.QUERIES["eval_markov_next_event_backtest"](
+                spark, sf_dir
+            ).collect()
+        }
+        # recompute: the model must be derivable from PRE-cutover data only
+        from collections import Counter, defaultdict
+
+        ev = sorted(
+            load(spark, sf_dir, "events")
+            .select("user_id", "event_type", "ts", "event_id")
+            .collect(),
+            key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+        )
+        import datetime
+
+        cut = datetime.datetime.fromisoformat(MARKOV_BT_CUTOVER)
+        train = defaultdict(Counter)
+        test = defaultdict(list)
+        prev_by_user = {}
+        for r in ev:
+            p = prev_by_user.get(r["user_id"])
+            if p is not None:
+                if r["ts"] < cut:
+                    train[p][r["event_type"]] += 1
+                else:
+                    test[p].append(r["event_type"])
+            prev_by_user[r["user_id"]] = r["event_type"]
+        for p, outcomes in test.items():
+            want_pred = (
+                min(
+                    train[p].items(),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[0]
+                if train[p]
+                else None
+            )
+            r = rows[p]
+            assert r["predicted"] == want_pred
+            assert r["n_test"] == len(outcomes)
+            assert r["n_correct"] == sum(1 for o in outcomes if o == want_pred)
+            assert 0 <= r["top1_acc_bp"] <= 10000
