@@ -5182,3 +5182,110 @@ def eval_markov_next_event_backtest(spark: SparkSession, sf_dir: str) -> DataFra
             " ELSE 0 END) + count(*)) DIV (2 * count(*)) AS BIGINT)"
         ).alias("top1_acc_bp"),
     )
+
+
+@query(
+    "eval_kendall_tau_brands",
+    oracle="""
+    WITH brands AS (
+        SELECT p.p_brand AS brand,
+               CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN (a.rev - b.rev) * (a.qty - b.qty) > 0
+                    THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (a.rev - b.rev) * (a.qty - b.qty) < 0
+                    THEN 1 ELSE 0 END AS disc,
+               CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END AS tie_x,
+               CASE WHEN a.qty = b.qty THEN 1 ELSE 0 END AS tie_y
+        FROM brands a JOIN brands b ON a.brand < b.brand
+    ),
+    s AS (
+        SELECT (SELECT count(*) FROM brands) AS n,
+               CAST(sum(conc) AS BIGINT) AS c,
+               CAST(sum(disc) AS BIGINT) AS d,
+               CAST(sum(tie_x) AS BIGINT) AS tx,
+               CAST(sum(tie_y) AS BIGINT) AS ty,
+               count(*) AS n0
+        FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_brands, c AS concordant, d AS discordant,
+           tx AS ties_rev, ty AS ties_qty,
+           CAST(floor(CAST(c - d AS DOUBLE)
+                      / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))
+                      * 1e4 + 0.5) AS BIGINT) AS tau_b_e4
+    FROM s
+    """,
+)
+def eval_kendall_tau_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between brand revenue and brand
+    quantity — the pair-counting complement of eval_spearman_rank_corr
+    (Spearman squares rank displacements; Kendall counts pairwise
+    order inversions, is more robust to single outlier ranks, and its
+    C/D counts are themselves interpretable: D IS the number of brand
+    pairs where the revenue and volume rankings disagree).
+
+    Exactness: the brand rollup is exact integers, concordance is a
+    sign test on integer products, and tau-b's one square root runs on
+    integer-derived doubles (sqrt is correctly rounded — playbook),
+    reported through the floor quantizer. The pair expansion is on the
+    BRAND grain — ~25 rows self-joined, bounded by the brand alphabet
+    at any data scale (the fact scan collapses first; this is the
+    Theil-Sen/Mann-Kendall month-grain device on a dimension grain).
+    """
+    brands = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(25,2)") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+        )
+    )
+    a = brands.select(
+        F.col("brand").alias("ba"), F.col("rev").alias("ra"), F.col("qty").alias("qa")
+    )
+    b = brands.select(
+        F.col("brand").alias("bb"), F.col("rev").alias("rb"), F.col("qty").alias("qb")
+    )
+    pairs = a.join(b, F.col("ba") < F.col("bb")).select(
+        F.when((F.col("ra") - F.col("rb")) * (F.col("qa") - F.col("qb")) > 0, 1)
+        .otherwise(0)
+        .alias("conc"),
+        F.when((F.col("ra") - F.col("rb")) * (F.col("qa") - F.col("qb")) < 0, 1)
+        .otherwise(0)
+        .alias("disc"),
+        F.when(F.col("ra") == F.col("rb"), 1).otherwise(0).alias("tie_x"),
+        F.when(F.col("qa") == F.col("qb"), 1).otherwise(0).alias("tie_y"),
+    )
+    n = brands.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = pairs.agg(
+        F.sum("conc").cast("bigint").alias("c"),
+        F.sum("disc").cast("bigint").alias("d"),
+        F.sum("tie_x").cast("bigint").alias("tx"),
+        F.sum("tie_y").cast("bigint").alias("ty"),
+        F.count(F.lit(1)).alias("n0"),
+    ).crossJoin(F.broadcast(n))
+    return s.select(
+        F.col("n").alias("n_brands"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("tx").alias("ties_rev"),
+        F.col("ty").alias("ties_qty"),
+        F.expr(
+            "CAST(floor(CAST(c - d AS DOUBLE)"
+            " / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))"
+            " * 1e4 + 0.5) AS BIGINT)"
+        ).alias("tau_b_e4"),
+    )

@@ -1342,3 +1342,46 @@ class TestMarkovBacktest:
             assert r["n_test"] == len(outcomes)
             assert r["n_correct"] == sum(1 for o in outcomes if o == want_pred)
             assert 0 <= r["top1_acc_bp"] <= 10000
+
+
+class TestKendallTau:
+    def test_scipy_free_recompute(self, spark, sf_dir):
+        import math
+        from itertools import combinations
+
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        row = registry.QUERIES["eval_kendall_tau_brands"](spark, sf_dir).collect()[0]
+        brands = (
+            load(spark, sf_dir, "lineitem")
+            .join(
+                load(spark, sf_dir, "part").select("p_partkey", "p_brand"),
+                F.col("l_partkey") == F.col("p_partkey"),
+            )
+            .groupBy("p_brand")
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice").cast("decimal(25,2)") * 100).cast(
+                        "bigint"
+                    )
+                ).alias("rev"),
+                F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+            )
+            .collect()
+        )
+        vals = [(r["rev"], r["qty"]) for r in brands]
+        c = d = tx = ty = 0
+        for (r1, q1), (r2, q2) in combinations(vals, 2):
+            s = (r1 - r2) * (q1 - q2)
+            c += s > 0
+            d += s < 0
+            tx += r1 == r2
+            ty += q1 == q2
+        n0 = len(vals) * (len(vals) - 1) // 2
+        assert (row["concordant"], row["discordant"]) == (c, d)
+        assert (row["ties_rev"], row["ties_qty"]) == (tx, ty)
+        tau = (c - d) / math.sqrt((n0 - tx) * (n0 - ty))
+        assert abs(row["tau_b_e4"] / 1e4 - tau) < 1e-3
+        assert -10000 <= row["tau_b_e4"] <= 10000

@@ -43,6 +43,7 @@ ALLOW_NON_EQUI = {
     "join_range_price_brackets",  # range join: bracket dim is 4 rows, broadcast NL is the plan
     "forecast_mann_kendall_trend",  # month-grain pair expansion (~80 rows/side)
     "forecast_theil_sen_trend",  # month-grain pair expansion
+    "eval_kendall_tau_brands",  # brand-grain (~25 rows) pair expansion + 1-row n anchor
     "skyline_parts_pareto",  # NOT-EXISTS dominance check on the pruned survivor set
     "quantified_all_subquery",  # > ALL rewrite leaves a 1-row scalar NL probe
     "market_basket_rules",  # antecedent->consequent direction pairs on the pair panel
