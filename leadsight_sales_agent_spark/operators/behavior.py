@@ -5289,3 +5289,107 @@ def eval_kendall_tau_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1e4 + 0.5) AS BIGINT)"
         ).alias("tau_b_e4"),
     )
+
+
+@query(
+    "dq_simpsons_paradox_audit",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(CAST(o.o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT) AS x,
+               CAST(year(o.o_orderdate) - 1992 AS BIGINT) AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    grp AS (
+        SELECT segment, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM base GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(sx) AS BIGINT) AS sx, CAST(sum(sy) AS BIGINT) AS sy,
+               CAST(sum(sxy) AS BIGINT) AS sxy
+        FROM grp
+    ),
+    marked AS (
+        SELECT g.segment, g.n,
+               CAST(CASE WHEN g.n * g.sxy - g.sx * g.sy > 0 THEN 1
+                         WHEN g.n * g.sxy - g.sx * g.sy < 0 THEN -1
+                         ELSE 0 END AS INTEGER) AS group_sign,
+               CAST(CASE WHEN t.n * t.sxy - t.sx * t.sy > 0 THEN 1
+                         WHEN t.n * t.sxy - t.sx * t.sy < 0 THEN -1
+                         ELSE 0 END AS INTEGER) AS overall_sign
+        FROM grp g, tot t
+    )
+    SELECT segment, CAST(n AS BIGINT) AS n_orders, group_sign, overall_sign,
+           CAST(CASE WHEN group_sign * overall_sign = -1 THEN 1 ELSE 0 END
+                AS INTEGER) AS reversed
+    FROM marked
+    """,
+)
+def dq_simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen — the aggregation-reversal audit every
+    dashboard rollup should run before a trend claim ships: the SIGN
+    of the price-vs-order-year association is computed overall and
+    within each customer segment from the exact integer covariance
+    numerator n·Σxy − Σx·Σy (no division, no floats — the sign is all
+    that matters), and any segment whose within-group direction
+    contradicts the pooled direction is flagged. A reversal means the
+    pooled trend is a composition artifact (segment mix shifting over
+    time), not a real within-segment effect — the canonical lurking-
+    variable failure that invalidates naive rollups.
+
+    Exactness: x is exact cents, y an exact year index; all products
+    stay in BIGINT (checked: n·Σxy at sf0.1 peaks ~1e17 < 2^63).
+    Scale: one keyed join + one 5-key agg; the pooled stats fold from
+    the group partials (no second scan).
+    """
+    base = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("x"),
+            (F.year("o_orderdate") - 1992).cast("bigint").alias("y"),
+        )
+    )
+    grp = base.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    tot = grp.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("sx").cast("bigint").alias("tsx"),
+        F.sum("sy").cast("bigint").alias("tsy"),
+        F.sum("sxy").cast("bigint").alias("tsxy"),
+    )
+    marked = grp.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        F.col("n").alias("n_orders"),
+        F.expr(
+            "CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1"
+            " WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS INT)"
+        ).alias("group_sign"),
+        F.expr(
+            "CAST(CASE WHEN tn * tsxy - tsx * tsy > 0 THEN 1"
+            " WHEN tn * tsxy - tsx * tsy < 0 THEN -1 ELSE 0 END AS INT)"
+        ).alias("overall_sign"),
+    )
+    return marked.select(
+        "segment",
+        "n_orders",
+        "group_sign",
+        "overall_sign",
+        F.expr(
+            "CAST(CASE WHEN group_sign * overall_sign = -1 THEN 1 ELSE 0 END"
+            " AS INT)"
+        ).alias("reversed"),
+    )

@@ -1385,3 +1385,56 @@ class TestKendallTau:
         tau = (c - d) / math.sqrt((n0 - tx) * (n0 - ty))
         assert abs(row["tau_b_e4"] / 1e4 - tau) < 1e-3
         assert -10000 <= row["tau_b_e4"] <= 10000
+
+
+class TestSimpsonsAudit:
+    def test_signs_match_recompute(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = {
+            r["segment"]: r
+            for r in registry.QUERIES["dq_simpsons_paradox_audit"](
+                spark, sf_dir
+            ).collect()
+        }
+        raw = (
+            load(spark, sf_dir, "orders")
+            .join(
+                load(spark, sf_dir, "customer"),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            .select(
+                "c_mktsegment",
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+                .cast("bigint")
+                .alias("x"),
+                (F.year("o_orderdate") - 1992).alias("y"),
+            )
+            .collect()
+        )
+        from collections import defaultdict
+
+        per = defaultdict(lambda: [0, 0, 0, 0])
+        for r in raw:
+            st = per[r["c_mktsegment"]]
+            st[0] += 1
+            st[1] += r["x"]
+            st[2] += r["y"]
+            st[3] += r["x"] * r["y"]
+
+        def sign(v):
+            return (v > 0) - (v < 0)
+
+        tn = sum(s[0] for s in per.values())
+        tsx = sum(s[1] for s in per.values())
+        tsy = sum(s[2] for s in per.values())
+        tsxy = sum(s[3] for s in per.values())
+        osign = sign(tn * tsxy - tsx * tsy)
+        for seg, st in per.items():
+            r = rows[seg]
+            assert r["n_orders"] == st[0]
+            assert r["group_sign"] == sign(st[0] * st[3] - st[1] * st[2])
+            assert r["overall_sign"] == osign
+            assert r["reversed"] == int(r["group_sign"] * osign == -1)
