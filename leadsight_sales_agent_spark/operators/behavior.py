@@ -5393,3 +5393,129 @@ def dq_simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS INT)"
         ).alias("reversed"),
     )
+
+
+@query(
+    "forecast_durbin_watson_residuals",
+    oracle="""
+    WITH months AS (
+        SELECT (year(o_orderdate) - 1995) * 12
+                   + CAST(month(o_orderdate) AS BIGINT) AS t,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(t * t) AS BIGINT) AS stt,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(t * y) AS BIGINT) AS sty
+        FROM months
+    ),
+    resid AS (
+        SELECT m.t,
+               (s.n * s.stt - s.st * s.st) * m.y
+                   - (s.sy * s.stt - s.st * s.sty)
+                   - (s.n * s.sty - s.st * s.sy) * m.t AS ed
+        FROM months m, s
+    ),
+    dw AS (
+        SELECT CAST(sum(CAST(ed AS DECIMAL(19,0)) * CAST(ed AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS den,
+               CAST(sum(CASE WHEN ped IS NULL THEN 0
+                             ELSE CAST(ed - ped AS DECIMAL(19,0))
+                                  * CAST(ed - ped AS DECIMAL(19,0)) END)
+                    AS DECIMAL(38,0)) AS num
+        FROM (SELECT t, ed,
+                     lag(ed) OVER (ORDER BY t) AS ped
+              FROM resid)
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM s) AS n_months,
+           CAST(CAST((2 * 10000 * num + den) AS HUGEINT)
+                // CAST(2 * den AS HUGEINT) AS BIGINT) AS dw_e4
+    FROM dw
+    """,
+)
+def forecast_durbin_watson_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation diagnostic on the residuals of the
+    monthly-revenue linear trend — the classic "is the trend model
+    missing serial structure?" check that belongs beside the ACF/PACF
+    family: DW = Σ(e_t − e_(t−1))² / Σe_t², near 2 for white-noise
+    residuals, near 0 under positive autocorrelation (seasonality the
+    line didn't capture), near 4 under negative.
+
+    Exactness device: OLS residuals are rationals with the common
+    denominator D = n·Σt² − (Σt)², so every residual SCALED BY D is an
+    exact BIGINT — e_t·D = D·y_t − (Σy·Σt² − Σt·Σty) − (n·Σty − Σt·Σy)·t
+    — and DW is invariant to that scaling, making the statistic a pure
+    integer ratio reported via the half-up e4 device. The squares
+    reach ~1e31, so they sum as DECIMAL(38,0) and the final integral
+    division runs on HUGEINT in DuckDB (the playbook's 1e18 `//`
+    trap). Scale: one month-grain rollup; everything after runs on ≤36
+    rows.
+    """
+    months = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            (
+                (F.year("o_orderdate") - 1995) * 12
+                + F.month("o_orderdate").cast("bigint")
+            ).alias("t")
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    s = months.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+    )
+    resid = months.crossJoin(F.broadcast(s)).select(
+        "t",
+        F.expr(
+            "(n * stt - st * st) * y - (sy * stt - st * sty)"
+            " - (n * sty - st * sy) * t"
+        ).alias("ed"),
+        F.col("n"),
+    )
+    lagged = resid.select(
+        "n",
+        "ed",
+        F.lag("ed").over(Window.orderBy("t")).alias("ped"),
+    )
+    dw = lagged.agg(
+        F.max("n").alias("n_months"),
+        F.sum(F.expr("CAST(ed AS DECIMAL(19,0)) * CAST(ed AS DECIMAL(19,0))"))
+        .cast("decimal(38,0)")
+        .alias("den"),
+        F.sum(
+            F.expr(
+                "CASE WHEN ped IS NULL THEN CAST(0 AS DECIMAL(38,0))"
+                " ELSE CAST(CAST(ed - ped AS DECIMAL(19,0))"
+                " * CAST(ed - ped AS DECIMAL(19,0)) AS DECIMAL(38,0)) END"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("num"),
+    )
+    return dw.select(
+        F.col("n_months").cast("bigint").alias("n_months"),
+        F.expr(
+            "CAST((2 * 10000 * num + den) DIV (2 * den) AS BIGINT)"
+        ).alias("dw_e4"),
+    )

@@ -1438,3 +1438,54 @@ class TestSimpsonsAudit:
             assert r["group_sign"] == sign(st[0] * st[3] - st[1] * st[2])
             assert r["overall_sign"] == osign
             assert r["reversed"] == int(r["group_sign"] * osign == -1)
+
+
+class TestDurbinWatson:
+    def test_fraction_recompute(self, spark, sf_dir):
+        from fractions import Fraction as Fr
+
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        row = registry.QUERIES["forecast_durbin_watson_residuals"](
+            spark, sf_dir
+        ).collect()[0]
+        months = (
+            load(spark, sf_dir, "orders")
+            .filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            )
+            .groupBy(
+                (
+                    (F.year("o_orderdate") - 1995) * 12
+                    + F.month("o_orderdate")
+                ).alias("t")
+            )
+            .agg(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast(
+                        "bigint"
+                    )
+                ).alias("y")
+            )
+            .collect()
+        )
+        pts = sorted((r["t"], r["y"]) for r in months)
+        n = len(pts)
+        assert row["n_months"] == n
+        st = sum(t for t, _ in pts)
+        stt = sum(t * t for t, _ in pts)
+        sy = sum(y for _, y in pts)
+        sty = sum(t * y for t, y in pts)
+        b = Fr(n * sty - st * sy, n * stt - st * st)
+        a = Fr(sy, n) - b * Fr(st, n)
+        e = [Fr(y) - (a + b * t) for t, y in pts]
+        num = sum((x - p) ** 2 for p, x in zip(e, e[1:]))
+        den = sum(x**2 for x in e)
+        dw = num / den
+        # exact half-up of 1e4*dw on the reduced fraction
+        dw_e4 = (2 * 10000 * dw.numerator + dw.denominator) // (2 * dw.denominator)
+        assert row["dw_e4"] == dw_e4
+        assert 0 <= row["dw_e4"] <= 40000

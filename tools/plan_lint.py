@@ -85,6 +85,7 @@ ALLOW_NON_EQUI = {
     "incremental_topk_maintenance",  # 1-row old-kth-boundary scalar broadcast
     "eval_kruskal_wallis",  # 1-row tie-term scalar combine
     "dq_simpsons_paradox_audit",  # 1-row pooled-stats cross join
+    "forecast_durbin_watson_residuals",  # 1-row OLS-stats cross join onto 36 months
     "timeseries_dtw_monthly_segments",  # 1-row reference-vector broadcast onto 5 segments
     "text_good_turing_unseen_mass",  # 1-row summary cross join onto the bounded histogram
     "storage_dictionary_encoding_advisor",  # 1-row stats x 1-row dict-size per column
