@@ -5519,3 +5519,90 @@ def forecast_durbin_watson_residuals(spark: SparkSession, sf_dir: str) -> DataFr
             "CAST((2 * 10000 * num + den) DIV (2 * den) AS BIGINT)"
         ).alias("dw_e4"),
     )
+
+
+LB_CHI2_DF12_5PCT_E4 = 210261  # chi-square(12) 5% critical value, x1e4
+
+
+def _ljung_box_oracle() -> str:
+    """Mechanically composed from the REGISTERED ACF spec (the
+    _cost_threshold_oracle device): quantize each 6dp acf to integer
+    e6 with the floor device, form the per-lag Ljung-Box terms on
+    identical doubles rounded 6dp, and decimal-sum them (the KW
+    term-sum device). n derives from the spec's own n_pairs column."""
+    from leadsight_sales_agent_spark.registry import ORACLES
+
+    acf = ORACLES["forecast_acf_monthly"]
+    return f"""
+    WITH acf AS ({acf}),
+    nn AS (
+        SELECT max(CASE WHEN lag_months = 1 THEN n_pairs END) + 1 AS n
+        FROM acf
+    ),
+    terms AS (
+        SELECT CAST(round(
+                 CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                 * (CAST(floor(acf * 1e6 + 0.5) AS DOUBLE)
+                    * CAST(floor(acf * 1e6 + 0.5) AS DOUBLE) / 1e12)
+                 / (CAST(n AS DOUBLE) - CAST(lag_months AS DOUBLE)), 6)
+               AS DECIMAL(20,6)) AS term
+        FROM acf, nn
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_months,
+           CAST(count(*) AS INTEGER) AS m_lags,
+           CAST(floor(CAST(sum(term) AS DOUBLE) * 1e4 + 0.5) AS BIGINT)
+               AS q_e4,
+           CAST(CASE WHEN floor(CAST(sum(term) AS DOUBLE) * 1e4 + 0.5)
+                          > {LB_CHI2_DF12_5PCT_E4} THEN 1 ELSE 0 END
+                AS INTEGER) AS reject_white_noise_5pct
+    FROM terms
+    """
+
+
+@query("forecast_ljung_box_q", oracle=_ljung_box_oracle())
+def forecast_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test over the registered monthly ACF —
+    the Box-Jenkins whiteness check that aggregates ALL 12
+    autocorrelations into one statistic Q = n(n+2)·Σ r_k²/(n−k) and
+    compares it to the chi-square(12) critical value: DW (one lag, on
+    residuals) asks "did the trend miss structure?", Ljung-Box asks
+    "is there ANY serial structure at all?". The test consumes the
+    REGISTERED forecast_acf_monthly output — both engines compose the
+    same published stage (the pipeline_full_release mechanical-
+    composition device), and n itself derives from the stage's
+    n_pairs column, so the two specs cannot drift apart.
+
+    Exactness: the 6dp acf values quantize to integer e6 via the
+    floor device, each term is one identical IEEE tree rounded 6dp,
+    and the 12 terms sum as DECIMAL (order-free); Q reports through
+    the floor e4 quantizer with the critical-value comparison as an
+    integer compare. Scale: everything after the month-grain rollup
+    runs on 12 rows.
+    """
+    acf = forecast_acf_monthly(spark, sf_dir)
+    nn = acf.agg(
+        (
+            F.max(F.when(F.col("lag_months") == 1, F.col("n_pairs"))) + 1
+        ).alias("n")
+    )
+    terms = acf.crossJoin(F.broadcast(nn)).select(
+        F.expr(
+            "CAST(round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)"
+            " * (CAST(floor(acf * 1e6 + 0.5) AS DOUBLE)"
+            "    * CAST(floor(acf * 1e6 + 0.5) AS DOUBLE) / 1e12)"
+            " / (CAST(n AS DOUBLE) - CAST(lag_months AS DOUBLE)), 6)"
+            " AS DECIMAL(20,6))"
+        ).alias("term"),
+        "n",
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_months"),
+        F.count(F.lit(1)).cast("int").alias("m_lags"),
+        F.expr(
+            "CAST(floor(CAST(sum(term) AS DOUBLE) * 1e4 + 0.5) AS BIGINT)"
+        ).alias("q_e4"),
+        F.expr(
+            f"CAST(CASE WHEN floor(CAST(sum(term) AS DOUBLE) * 1e4 + 0.5)"
+            f" > {LB_CHI2_DF12_5PCT_E4} THEN 1 ELSE 0 END AS INT)"
+        ).alias("reject_white_noise_5pct"),
+    )

@@ -1489,3 +1489,26 @@ class TestDurbinWatson:
         dw_e4 = (2 * 10000 * dw.numerator + dw.denominator) // (2 * dw.denominator)
         assert row["dw_e4"] == dw_e4
         assert 0 <= row["dw_e4"] <= 40000
+
+
+class TestLjungBox:
+    def test_composes_registered_acf(self, spark, sf_dir):
+        import math
+
+        rows = registry.QUERIES["forecast_ljung_box_q"](spark, sf_dir).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["m_lags"] == 12
+        acf = registry.QUERIES["forecast_acf_monthly"](spark, sf_dir).collect()
+        n = max(a["n_pairs"] for a in acf if a["lag_months"] == 1) + 1
+        assert r["n_months"] == n
+        terms = []
+        for a in acf:
+            r6 = math.floor(a["acf"] * 1e6 + 0.5)
+            terms.append(
+                round(n * (n + 2.0) * (r6 * r6 / 1e12) / (n - a["lag_months"]), 6)
+            )
+        q = sum(terms)
+        assert r["q_e4"] == math.floor(q * 1e4 + 0.5)
+        assert r["reject_white_noise_5pct"] == int(r["q_e4"] > 210261)
+        assert r["q_e4"] >= 0

@@ -86,6 +86,7 @@ ALLOW_NON_EQUI = {
     "eval_kruskal_wallis",  # 1-row tie-term scalar combine
     "dq_simpsons_paradox_audit",  # 1-row pooled-stats cross join
     "forecast_durbin_watson_residuals",  # 1-row OLS-stats cross join onto 36 months
+    "forecast_ljung_box_q",  # composes the ACF stage + 1-row n anchor
     "timeseries_dtw_monthly_segments",  # 1-row reference-vector broadcast onto 5 segments
     "text_good_turing_unseen_mass",  # 1-row summary cross join onto the bounded histogram
     "storage_dictionary_encoding_advisor",  # 1-row stats x 1-row dict-size per column
@@ -287,6 +288,7 @@ ALLOW_MANY_EXCHANGES = {
     "mixture_token_budget_allocation": 13,
     "storage_dictionary_encoding_advisor": 30,  # 6 independent column profiles (tiny dims), 5 exchanges each
     "timeseries_dtw_monthly_segments": 13,  # dense month grid build + ordered-vector rollup + ref broadcast
+    "forecast_ljung_box_q": 18,  # inherits the ACF stage's 12-way lag alignment exchanges
     "sketch_kmv_intersection": 13,
     "sketch_kmv_rolling_distinct_7d": 7,  # daily rank + window rank + exact-truth twin
     "attribution_shapley_channels": 9,  # pre-purchase mask join + coalition grid + span anchor
