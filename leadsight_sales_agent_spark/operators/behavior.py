@@ -5606,3 +5606,160 @@ def forecast_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" > {LB_CHI2_DF12_5PCT_E4} THEN 1 ELSE 0 END AS INT)"
         ).alias("reject_white_noise_5pct"),
     )
+
+
+GRANGER_F_CRIT_1_80_5PCT_E4 = 39600  # F(1, ~80) 5% critical value, x1e4
+
+# Shared-text determinant trees over the EXACT integer sums (suffix d =
+# CAST AS DOUBLE). det3/det4 are cofactor expansions; identical IEEE in
+# both engines.
+_G_DET3 = (
+    "(md * (ylyl_d * xlxl_d - ylxl_d * ylxl_d)"
+    " - syl_d * (syl_d * xlxl_d - ylxl_d * sxl_d)"
+    " + sxl_d * (syl_d * ylxl_d - ylyl_d * sxl_d))"
+)
+_G_DET2 = "(md * ylyl_d - syl_d * syl_d)"
+_G_RSS_R = (
+    "((md * (ylyl_d * syy_d - yyl_d * yyl_d)"
+    " - syl_d * (syl_d * syy_d - yyl_d * sy_d)"
+    " + sy_d * (syl_d * yyl_d - ylyl_d * sy_d)) / " + _G_DET2 + ")"
+)
+# det4 of the Gram matrix [[m,syl,sxl,sy],[syl,ylyl,ylxl,yyl],
+# [sxl,ylxl,xlxl,yxl],[sy,yyl,yxl,syy]] by expansion along row 1.
+_G_DET4 = (
+    "(md * (ylyl_d * (xlxl_d * syy_d - yxl_d * yxl_d)"
+    "       - ylxl_d * (ylxl_d * syy_d - yxl_d * yyl_d)"
+    "       + yyl_d * (ylxl_d * yxl_d - xlxl_d * yyl_d))"
+    " - syl_d * (syl_d * (xlxl_d * syy_d - yxl_d * yxl_d)"
+    "            - ylxl_d * (sxl_d * syy_d - yxl_d * sy_d)"
+    "            + yyl_d * (sxl_d * yxl_d - xlxl_d * sy_d))"
+    " + sxl_d * (syl_d * (ylxl_d * syy_d - yxl_d * yyl_d)"
+    "            - ylyl_d * (sxl_d * syy_d - yxl_d * sy_d)"
+    "            + yyl_d * (sxl_d * yyl_d - ylxl_d * sy_d))"
+    " - sy_d * (syl_d * (ylxl_d * yxl_d - xlxl_d * yyl_d)"
+    "           - ylyl_d * (sxl_d * yxl_d - xlxl_d * sy_d)"
+    "           + ylxl_d * (sxl_d * yyl_d - ylxl_d * sy_d)))"
+)
+_G_RSS_U = "(" + _G_DET4 + " / " + _G_DET3 + ")"
+_G_F_EXPR = (
+    "floor(((" + _G_RSS_R + " - " + _G_RSS_U + ") * (md - 3.0) / "
+    + _G_RSS_U + ") * 1e4 + 0.5)"
+)
+_G_CAST_BLOCK = (
+    "CAST(m AS DOUBLE) AS md, CAST(sy AS DOUBLE) AS sy_d,"
+    " CAST(syl AS DOUBLE) AS syl_d, CAST(sxl AS DOUBLE) AS sxl_d,"
+    " CAST(syy AS DOUBLE) AS syy_d, CAST(yyl AS DOUBLE) AS yyl_d,"
+    " CAST(yxl AS DOUBLE) AS yxl_d, CAST(ylyl AS DOUBLE) AS ylyl_d,"
+    " CAST(ylxl AS DOUBLE) AS ylxl_d, CAST(xlxl AS DOUBLE) AS xlxl_d"
+)
+
+
+@query(
+    "forecast_granger_urgent_revenue",
+    oracle=f"""
+    WITH months AS (
+        SELECT (year(o_orderdate) - 1992) * 12
+                   + CAST(month(o_orderdate) AS BIGINT) AS t,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) // 100000 AS BIGINT) AS y,
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT t, y,
+               lag(y) OVER (ORDER BY t) AS yl,
+               lag(x) OVER (ORDER BY t) AS xl
+        FROM months
+    ),
+    sums AS (
+        SELECT count(*) AS m,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(yl) AS BIGINT) AS syl,
+               CAST(sum(xl) AS BIGINT) AS sxl,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(y * yl) AS BIGINT) AS yyl,
+               CAST(sum(y * xl) AS BIGINT) AS yxl,
+               CAST(sum(yl * yl) AS BIGINT) AS ylyl,
+               CAST(sum(yl * xl) AS BIGINT) AS ylxl,
+               CAST(sum(xl * xl) AS BIGINT) AS xlxl
+        FROM lagged WHERE yl IS NOT NULL
+    ),
+    d AS (
+        SELECT m, {_G_CAST_BLOCK} FROM sums
+    )
+    SELECT CAST(m AS BIGINT) AS n_pairs,
+           CAST({_G_F_EXPR} AS BIGINT) AS f_e4,
+           CAST(CASE WHEN {_G_F_EXPR} > {GRANGER_F_CRIT_1_80_5PCT_E4}
+                     THEN 1 ELSE 0 END AS INTEGER) AS granger_causes_5pct
+    FROM d
+    """,
+)
+def forecast_granger_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality test: does last month's URGENT-order count
+    improve the forecast of this month's revenue beyond what last
+    month's revenue already tells us? The nested-OLS F-test —
+    restricted y_t ~ 1 + y_(t-1) vs unrestricted y_t ~ 1 + y_(t-1) +
+    x_(t-1) — with both residual sums of squares obtained as ratios of
+    Gram determinants (RSS = det(augmented Gram)/det(Gram) — no
+    coefficient vector is ever materialized), F = (RSS_r − RSS_u)·
+    (m−3)/RSS_u on one degree of freedom, and the 5% verdict as an
+    integer compare against the F(1,80) critical value.
+
+    Exactness: the monthly series quantizes to integer thousand-dollar
+    units by spec (DIV — deterministic), every Gram entry is an exact
+    BIGINT sum, and the cofactor-expansion determinant trees evaluate
+    as ONE shared-text IEEE expression in both engines (4x4 integer
+    determinants reach ~1e45 — beyond HUGEINT — so the fixed-tree
+    double regime is the honest device, reported through the floor e4
+    quantizer). Scale: one month rollup; the test runs on 83 lagged
+    rows and ten scalar sums.
+    """
+    months = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                (F.year("o_orderdate") - 1992) * 12
+                + F.month("o_orderdate").cast("bigint")
+            ).alias("t")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100"
+                " AS BIGINT)) DIV 100000 AS BIGINT)"
+            ).alias("y"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    w = Window.orderBy("t")
+    lagged = months.select(
+        "t",
+        "y",
+        F.lag("y").over(w).alias("yl"),
+        F.lag("x").over(w).alias("xl"),
+    ).filter(F.col("yl").isNotNull())
+    sums = lagged.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("yl").cast("bigint").alias("syl"),
+        F.sum("xl").cast("bigint").alias("sxl"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("y") * F.col("yl")).cast("bigint").alias("yyl"),
+        F.sum(F.col("y") * F.col("xl")).cast("bigint").alias("yxl"),
+        F.sum(F.col("yl") * F.col("yl")).cast("bigint").alias("ylyl"),
+        F.sum(F.col("yl") * F.col("xl")).cast("bigint").alias("ylxl"),
+        F.sum(F.col("xl") * F.col("xl")).cast("bigint").alias("xlxl"),
+    )
+    d = sums.selectExpr("m", *_G_CAST_BLOCK.split(", "))
+    return d.select(
+        F.col("m").cast("bigint").alias("n_pairs"),
+        F.expr(f"CAST({_G_F_EXPR} AS BIGINT)").alias("f_e4"),
+        F.expr(
+            f"CAST(CASE WHEN {_G_F_EXPR} > {GRANGER_F_CRIT_1_80_5PCT_E4}"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("granger_causes_5pct"),
+    )

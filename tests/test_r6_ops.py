@@ -1512,3 +1512,78 @@ class TestLjungBox:
         assert r["q_e4"] == math.floor(q * 1e4 + 0.5)
         assert r["reject_white_noise_5pct"] == int(r["q_e4"] > 210261)
         assert r["q_e4"] >= 0
+
+
+class TestGrangerCausality:
+    def test_fraction_exact_f(self, spark, sf_dir):
+        import math
+        from fractions import Fraction as Fr
+
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        row = registry.QUERIES["forecast_granger_urgent_revenue"](
+            spark, sf_dir
+        ).collect()[0]
+        months = (
+            load(spark, sf_dir, "orders")
+            .groupBy(
+                (
+                    (F.year("o_orderdate") - 1992) * 12
+                    + F.month("o_orderdate")
+                ).alias("t")
+            )
+            .agg(
+                F.expr(
+                    "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100"
+                    " AS BIGINT)) DIV 100000 AS BIGINT)"
+                ).alias("y"),
+                F.sum(
+                    F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+                ).alias("x"),
+            )
+            .collect()
+        )
+        pts = sorted((r["t"], r["y"], r["x"]) for r in months)
+        rows_ = [
+            (y, pts[i - 1][1], pts[i - 1][2]) for i, (_, y, _x) in enumerate(pts) if i > 0
+        ]
+        m = len(rows_)
+        assert row["n_pairs"] == m
+
+        def rss(cols, yv):
+            # exact OLS RSS via Gram determinants on Fractions
+            import itertools
+
+            k = len(cols)
+            G = [[Fr(sum(a * b for a, b in zip(cols[i], cols[j])))
+                  for j in range(k)] for i in range(k)]
+            gy = [Fr(sum(a * b for a, b in zip(cols[i], yv))) for i in range(k)]
+            yy = Fr(sum(v * v for v in yv))
+            # det of [[G, gy],[gy^T, yy]] / det(G)
+            def det(M):
+                n = len(M)
+                if n == 1:
+                    return M[0][0]
+                return sum(
+                    (-1) ** j * M[0][j]
+                    * det([r[:j] + r[j + 1:] for r in M[1:]])
+                    for j in range(n)
+                )
+
+            aug = [G[i] + [gy[i]] for i in range(k)] + [gy + [yy]]
+            return det(aug) / det(G)
+
+        ones = [1] * m
+        yv = [r[0] for r in rows_]
+        ylv = [r[1] for r in rows_]
+        xlv = [r[2] for r in rows_]
+        rss_r = rss([ones, ylv], yv)
+        rss_u = rss([ones, ylv, xlv], yv)
+        assert rss_u <= rss_r  # adding a regressor never hurts
+        f = (rss_r - rss_u) * (m - 3) / rss_u
+        # engine computes the same value through double determinant
+        # trees; agree to the reporting grain
+        assert abs(row["f_e4"] / 1e4 - float(f)) < 2e-3
+        assert row["granger_causes_5pct"] == int(row["f_e4"] > 39600)
