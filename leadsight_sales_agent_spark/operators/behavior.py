@@ -5763,3 +5763,118 @@ def forecast_granger_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFra
             " THEN 1 ELSE 0 END AS INT)"
         ).alias("granger_causes_5pct"),
     )
+
+
+DF_CRIT_CONST_5PCT_E4 = -28990  # Dickey-Fuller tau-mu 5% critical value, x1e4
+
+_DF_T_EXPR = (
+    "floor(((md * dyyl_d - syl_d * sdy_d) / (md * ylyl_d - syl_d * syl_d))"
+    " / sqrt(((md * (ylyl_d * dydy_d - dyyl_d * dyyl_d)"
+    "          - syl_d * (syl_d * dydy_d - dyyl_d * sdy_d)"
+    "          + sdy_d * (syl_d * dyyl_d - ylyl_d * sdy_d))"
+    "         / (md * ylyl_d - syl_d * syl_d))"
+    "        / (md - 2.0) * md / (md * ylyl_d - syl_d * syl_d)) * 1e4 + 0.5)"
+)
+
+
+@query(
+    "forecast_dickey_fuller_unit_root",
+    oracle=f"""
+    WITH months AS (
+        SELECT (year(o_orderdate) - 1992) * 12
+                   + CAST(month(o_orderdate) AS BIGINT) AS t,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) // 100000 AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT t, y, lag(y) OVER (ORDER BY t) AS yl FROM months
+    ),
+    sums AS (
+        SELECT count(*) AS m,
+               CAST(sum(yl) AS BIGINT) AS syl,
+               CAST(sum(yl * yl) AS BIGINT) AS ylyl,
+               CAST(sum(y - yl) AS BIGINT) AS sdy,
+               CAST(sum((y - yl) * yl) AS BIGINT) AS dyyl,
+               CAST(sum((y - yl) * (y - yl)) AS BIGINT) AS dydy
+        FROM lagged WHERE yl IS NOT NULL
+    ),
+    d AS (
+        SELECT m, CAST(m AS DOUBLE) AS md,
+               CAST(syl AS DOUBLE) AS syl_d, CAST(ylyl AS DOUBLE) AS ylyl_d,
+               CAST(sdy AS DOUBLE) AS sdy_d, CAST(dyyl AS DOUBLE) AS dyyl_d,
+               CAST(dydy AS DOUBLE) AS dydy_d
+        FROM sums
+    )
+    SELECT CAST(m AS BIGINT) AS n_pairs,
+           CAST({_DF_T_EXPR} AS BIGINT) AS tau_e4,
+           CAST(CASE WHEN {_DF_T_EXPR} < {DF_CRIT_CONST_5PCT_E4}
+                     THEN 1 ELSE 0 END AS INTEGER) AS stationary_5pct
+    FROM d
+    """,
+)
+def forecast_dickey_fuller_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test on the monthly revenue series —
+    the stationarity gate that decides whether the trend/forecast
+    family may difference the series: regress Δy_t on a constant and
+    y_(t−1), and the t-statistic of the lag coefficient (tau-mu)
+    against the Dickey-Fuller 5% critical value (−2.899; the tau
+    distribution is NOT Student-t — that is the whole point of the
+    test) declares the series stationary or unit-root. Completes the
+    Box-Jenkins battery: ACF/PACF describe, DW and Ljung-Box detect
+    leftover structure, Granger tests cross-series predictiveness, DF
+    decides differencing.
+
+    Exactness: the Granger device — exact BIGINT sums on the DIV-
+    quantized series, gamma-hat and its standard error formed from
+    Gram-determinant expressions in ONE shared-text IEEE tree (sqrt is
+    correctly rounded), floor e4 reporting, integer critical-value
+    verdict. Scale: month rollup + 83 lagged rows + six scalar sums.
+    """
+    months = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                (F.year("o_orderdate") - 1992) * 12
+                + F.month("o_orderdate").cast("bigint")
+            ).alias("t")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100"
+                " AS BIGINT)) DIV 100000 AS BIGINT)"
+            ).alias("y")
+        )
+    )
+    lagged = months.select(
+        "t", "y", F.lag("y").over(Window.orderBy("t")).alias("yl")
+    ).filter(F.col("yl").isNotNull())
+    sums = lagged.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("yl").cast("bigint").alias("syl"),
+        F.sum(F.col("yl") * F.col("yl")).cast("bigint").alias("ylyl"),
+        F.sum(F.col("y") - F.col("yl")).cast("bigint").alias("sdy"),
+        F.sum((F.col("y") - F.col("yl")) * F.col("yl"))
+        .cast("bigint")
+        .alias("dyyl"),
+        F.sum((F.col("y") - F.col("yl")) * (F.col("y") - F.col("yl")))
+        .cast("bigint")
+        .alias("dydy"),
+    )
+    d = sums.selectExpr(
+        "m",
+        "CAST(m AS DOUBLE) AS md",
+        "CAST(syl AS DOUBLE) AS syl_d",
+        "CAST(ylyl AS DOUBLE) AS ylyl_d",
+        "CAST(sdy AS DOUBLE) AS sdy_d",
+        "CAST(dyyl AS DOUBLE) AS dyyl_d",
+        "CAST(dydy AS DOUBLE) AS dydy_d",
+    )
+    return d.select(
+        F.col("m").cast("bigint").alias("n_pairs"),
+        F.expr(f"CAST({_DF_T_EXPR} AS BIGINT)").alias("tau_e4"),
+        F.expr(
+            f"CAST(CASE WHEN {_DF_T_EXPR} < {DF_CRIT_CONST_5PCT_E4}"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("stationary_5pct"),
+    )

@@ -1587,3 +1587,47 @@ class TestGrangerCausality:
         # trees; agree to the reporting grain
         assert abs(row["f_e4"] / 1e4 - float(f)) < 2e-3
         assert row["granger_causes_5pct"] == int(row["f_e4"] > 39600)
+
+
+class TestDickeyFuller:
+    def test_tau_matches_ols(self, spark, sf_dir):
+        import math
+
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        row = registry.QUERIES["forecast_dickey_fuller_unit_root"](
+            spark, sf_dir
+        ).collect()[0]
+        months = (
+            load(spark, sf_dir, "orders")
+            .groupBy(
+                (
+                    (F.year("o_orderdate") - 1992) * 12
+                    + F.month("o_orderdate")
+                ).alias("t")
+            )
+            .agg(
+                F.expr(
+                    "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100"
+                    " AS BIGINT)) DIV 100000 AS BIGINT)"
+                ).alias("y")
+            )
+            .collect()
+        )
+        ys = [y for _, y in sorted((r["t"], r["y"]) for r in months)]
+        dy = [b - a for a, b in zip(ys, ys[1:])]
+        yl = ys[:-1]
+        m = len(dy)
+        assert row["n_pairs"] == m
+        mean_yl = sum(yl) / m
+        mean_dy = sum(dy) / m
+        sxx = sum((v - mean_yl) ** 2 for v in yl)
+        gamma = sum((a - mean_yl) * (b - mean_dy) for a, b in zip(yl, dy)) / sxx
+        alpha = mean_dy - gamma * mean_yl
+        rss = sum((b - alpha - gamma * a) ** 2 for a, b in zip(yl, dy))
+        se = math.sqrt(rss / (m - 2) / sxx)
+        tau = gamma / se
+        assert abs(row["tau_e4"] / 1e4 - tau) < 2e-3
+        assert row["stationary_5pct"] == int(row["tau_e4"] < -28990)
