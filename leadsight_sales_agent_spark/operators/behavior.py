@@ -5878,3 +5878,164 @@ def forecast_dickey_fuller_unit_root(spark: SparkSession, sf_dir: str) -> DataFr
             " THEN 1 ELSE 0 END AS INT)"
         ).alias("stationary_5pct"),
     )
+
+
+EG_CRIT_5PCT_E4 = -33700  # Engle-Granger 2-variable 5% critical value, x1e4
+
+
+@query(
+    "forecast_engle_granger_cointegration",
+    oracle=f"""
+    WITH months AS (
+        SELECT (year(o_orderdate) - 1992) * 12
+                   + CAST(month(o_orderdate) AS BIGINT) AS t,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) // 100000 AS BIGINT) AS y,
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    s1 AS (
+        SELECT count(*) AS m,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM months
+    ),
+    resid AS (
+        SELECT mo.t,
+               (s.m * s.sxx - s.sx * s.sx) * mo.y
+                   - (s.sy * s.sxx - s.sx * s.sxy)
+                   - (s.m * s.sxy - s.sx * s.sy) * mo.x AS ed
+        FROM months mo, s1 s
+    ),
+    q AS (
+        SELECT greatest(CAST(max(abs(ed)) // 1000000 AS BIGINT), 1) AS scale
+        FROM resid
+    ),
+    e2 AS (
+        SELECT r.t, r.ed // q.scale AS e FROM resid r, q
+    ),
+    lagged AS (
+        SELECT t, e, lag(e) OVER (ORDER BY t) AS el FROM e2
+    ),
+    sums AS (
+        SELECT count(*) AS m,
+               CAST(sum(el) AS BIGINT) AS syl,
+               CAST(sum(el * el) AS BIGINT) AS ylyl,
+               CAST(sum(e - el) AS BIGINT) AS sdy,
+               CAST(sum((e - el) * el) AS BIGINT) AS dyyl,
+               CAST(sum((e - el) * (e - el)) AS BIGINT) AS dydy
+        FROM lagged WHERE el IS NOT NULL
+    ),
+    d AS (
+        SELECT m, CAST(m AS DOUBLE) AS md,
+               CAST(syl AS DOUBLE) AS syl_d, CAST(ylyl AS DOUBLE) AS ylyl_d,
+               CAST(sdy AS DOUBLE) AS sdy_d, CAST(dyyl AS DOUBLE) AS dyyl_d,
+               CAST(dydy AS DOUBLE) AS dydy_d
+        FROM sums
+    )
+    SELECT CAST(m AS BIGINT) AS n_pairs,
+           CAST({_DF_T_EXPR} AS BIGINT) AS tau_e4,
+           CAST(CASE WHEN {_DF_T_EXPR} < {EG_CRIT_5PCT_E4}
+                     THEN 1 ELSE 0 END AS INTEGER) AS cointegrated_5pct
+    FROM d
+    """,
+)
+def forecast_engle_granger_cointegration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Engle-Granger cointegration test between monthly revenue and
+    urgent-order volume — do the two series share a common stochastic
+    trend? Step 1 regresses y on x and takes the residuals (the
+    candidate long-run equilibrium deviations); step 2 runs the
+    Dickey-Fuller machinery ON those residuals against the stricter
+    Engle-Granger critical value (−3.37; stricter because the
+    residuals are estimated, not observed). A rejection means the
+    spread y − βx is stationary: the pair is tied together even if
+    each series alone wanders.
+
+    Exactness: a composition of two proven devices. The step-1
+    residuals carry the DW trick — scaled by the OLS denominator they
+    are exact BIGINTs — then a DATA-DERIVED quantizer (max|e|
+    DIV 1e6 + 1, a deterministic 1-row broadcast) shrinks them so
+    every step-2 Gram sum stays under 2^53 (tau is scale-invariant;
+    the DIV truncation is part of the spec). Step 2 is DF's
+    shared-text determinant tree verbatim. Scale: month rollup plus
+    ~84-row arithmetic.
+    """
+    months = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                (F.year("o_orderdate") - 1992) * 12
+                + F.month("o_orderdate").cast("bigint")
+            ).alias("t")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100"
+                " AS BIGINT)) DIV 100000 AS BIGINT)"
+            ).alias("y"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    s1 = months.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    resid = months.crossJoin(F.broadcast(s1)).select(
+        "t",
+        F.expr(
+            "(m * sxx - sx * sx) * y - (sy * sxx - sx * sxy)"
+            " - (m * sxy - sx * sy) * x"
+        ).alias("ed"),
+    )
+    q = resid.agg(
+        F.expr("greatest(CAST(max(abs(ed)) DIV 1000000 AS BIGINT), 1)").alias(
+            "scale"
+        )
+    )
+    e2 = resid.crossJoin(F.broadcast(q)).select(
+        "t", F.expr("ed DIV scale").alias("e")
+    )
+    lagged = e2.select(
+        "t", "e", F.lag("e").over(Window.orderBy("t")).alias("el")
+    ).filter(F.col("el").isNotNull())
+    sums = lagged.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("el").cast("bigint").alias("syl"),
+        F.sum(F.col("el") * F.col("el")).cast("bigint").alias("ylyl"),
+        F.sum(F.col("e") - F.col("el")).cast("bigint").alias("sdy"),
+        F.sum((F.col("e") - F.col("el")) * F.col("el"))
+        .cast("bigint")
+        .alias("dyyl"),
+        F.sum((F.col("e") - F.col("el")) * (F.col("e") - F.col("el")))
+        .cast("bigint")
+        .alias("dydy"),
+    )
+    d = sums.selectExpr(
+        "m",
+        "CAST(m AS DOUBLE) AS md",
+        "CAST(syl AS DOUBLE) AS syl_d",
+        "CAST(ylyl AS DOUBLE) AS ylyl_d",
+        "CAST(sdy AS DOUBLE) AS sdy_d",
+        "CAST(dyyl AS DOUBLE) AS dyyl_d",
+        "CAST(dydy AS DOUBLE) AS dydy_d",
+    )
+    return d.select(
+        F.col("m").cast("bigint").alias("n_pairs"),
+        F.expr(f"CAST({_DF_T_EXPR} AS BIGINT)").alias("tau_e4"),
+        F.expr(
+            f"CAST(CASE WHEN {_DF_T_EXPR} < {EG_CRIT_5PCT_E4}"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("cointegrated_5pct"),
+    )

@@ -1631,3 +1631,61 @@ class TestDickeyFuller:
         tau = gamma / se
         assert abs(row["tau_e4"] / 1e4 - tau) < 2e-3
         assert row["stationary_5pct"] == int(row["tau_e4"] < -28990)
+
+
+class TestEngleGranger:
+    def test_two_step_recompute(self, spark, sf_dir):
+        import math
+
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        row = registry.QUERIES["forecast_engle_granger_cointegration"](
+            spark, sf_dir
+        ).collect()[0]
+        months = (
+            load(spark, sf_dir, "orders")
+            .groupBy(
+                (
+                    (F.year("o_orderdate") - 1992) * 12
+                    + F.month("o_orderdate")
+                ).alias("t")
+            )
+            .agg(
+                F.expr(
+                    "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100"
+                    " AS BIGINT)) DIV 100000 AS BIGINT)"
+                ).alias("y"),
+                F.sum(
+                    F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+                ).alias("x"),
+            )
+            .collect()
+        )
+        pts = sorted((r["t"], r["y"], r["x"]) for r in months)
+        m0 = len(pts)
+        sx = sum(x for _, _, x in pts)
+        sxx = sum(x * x for _, _, x in pts)
+        sy = sum(y for _, y, _ in pts)
+        sxy = sum(x * y for _, y, x in pts)
+        D = m0 * sxx - sx * sx
+        ed = [D * y - (sy * sxx - sx * sxy) - (m0 * sxy - sx * sy) * x
+              for _, y, x in pts]
+        scale = max(max(abs(v) for v in ed) // 1000000, 1)
+        # Spark/DuckDB DIV truncates toward zero; Python // floors —
+        # mirror truncation for negatives
+        e = [int(v / scale) for v in ed]
+        dy = [b - a for a, b in zip(e, e[1:])]
+        el = e[:-1]
+        m = len(dy)
+        assert row["n_pairs"] == m
+        mean_el = sum(el) / m
+        mean_dy = sum(dy) / m
+        sxx2 = sum((v - mean_el) ** 2 for v in el)
+        gamma = sum((a - mean_el) * (b - mean_dy) for a, b in zip(el, dy)) / sxx2
+        alpha = mean_dy - gamma * mean_el
+        rss = sum((b - alpha - gamma * a) ** 2 for a, b in zip(el, dy))
+        tau = gamma / math.sqrt(rss / (m - 2) / sxx2)
+        assert abs(row["tau_e4"] / 1e4 - tau) < 2e-3
+        assert row["cointegrated_5pct"] == int(row["tau_e4"] < -33700)

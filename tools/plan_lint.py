@@ -87,6 +87,9 @@ ALLOW_NON_EQUI = {
     "dq_simpsons_paradox_audit",  # 1-row pooled-stats cross join
     "forecast_durbin_watson_residuals",  # 1-row OLS-stats cross join onto 36 months
     "forecast_ljung_box_q",  # composes the ACF stage + 1-row n anchor
+    "forecast_engle_granger_cointegration",  # 1-row OLS-stats + quantizer scalar broadcasts
+    "forecast_granger_urgent_revenue",  # 1-row Gram-sums anchor
+    "forecast_dickey_fuller_unit_root",  # 1-row Gram-sums anchor
     "timeseries_dtw_monthly_segments",  # 1-row reference-vector broadcast onto 5 segments
     "text_good_turing_unseen_mass",  # 1-row summary cross join onto the bounded histogram
     "storage_dictionary_encoding_advisor",  # 1-row stats x 1-row dict-size per column
