@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from leadsight_sales_agent_spark.operators.sampling import _SQL_HASH, hash_key
 from leadsight_sales_agent_spark.registry import query
 from leadsight_sales_agent_spark.sources.catalog import load
 
@@ -6038,4 +6039,125 @@ def forecast_engle_granger_cointegration(
             f"CAST(CASE WHEN {_DF_T_EXPR} < {EG_CRIT_5PCT_E4}"
             " THEN 1 ELSE 0 END AS INT)"
         ).alias("cointegrated_5pct"),
+    )
+
+
+import math as _math
+
+SPRT_P0 = 0.20  # H0 conversion rate
+SPRT_P1 = 0.25  # H1 conversion rate
+# Per-observation log-likelihood-ratio increments and Wald boundaries
+# (alpha = beta = 0.05 -> A = 19, B = 1/19), quantized to e12 integers
+# at MODULE level so both engines consume identical literals.
+SPRT_L_CONV = int(round(_math.log(SPRT_P1 / SPRT_P0) * 1e12))
+SPRT_L_MISS = int(round(_math.log((1 - SPRT_P1) / (1 - SPRT_P0)) * 1e12))
+SPRT_UPPER = int(round(_math.log(19.0) * 1e12))
+SPRT_LOWER = int(round(_math.log(1.0 / 19.0) * 1e12))
+
+
+@query(
+    "ab_sprt_sequential_boundary",
+    oracle=f"""
+    WITH obs AS (
+        SELECT event_id, ts,
+               CASE WHEN event_type = 'purchase' THEN {SPRT_L_CONV}
+                    ELSE {SPRT_L_MISS} END AS llr
+        FROM events
+        WHERE {_SQL_HASH.format(salt="sprt:", key="user_id")} < '80000000'
+    ),
+    walk AS (
+        SELECT row_number() OVER (ORDER BY ts, event_id) AS n,
+               sum(llr) OVER (ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM obs
+    ),
+    crossing AS (
+        SELECT n, cum,
+               row_number() OVER (ORDER BY n) AS rn
+        FROM walk
+        WHERE cum >= {SPRT_UPPER} OR cum <= {SPRT_LOWER}
+    ),
+    terminal AS (
+        SELECT max(n) AS n_total, max(cum) AS cum_final FROM walk
+    )
+    SELECT CASE WHEN c.n IS NULL THEN 'continue'
+                WHEN c.cum >= {SPRT_UPPER} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           CAST(coalesce(c.n, t.n_total) AS BIGINT) AS n_at_decision,
+           CAST(coalesce(c.cum,
+                         (SELECT cum FROM walk WHERE n = t.n_total))
+                AS BIGINT) AS llr_e12,
+           CAST(t.n_total AS BIGINT) AS n_available,
+           CAST((2 * 10000 * coalesce(c.n, t.n_total) + t.n_total)
+                // (2 * t.n_total) AS BIGINT) AS sample_used_bp
+    FROM terminal t LEFT JOIN crossing c ON c.rn = 1
+    """,
+)
+def ab_sprt_sequential_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over the event stream —
+    the sequential complement of ab_wilson_significance's fixed-n
+    test: a hash-selected arm's events are walked in time order, each
+    observation adds one of TWO constant log-likelihood increments
+    (convert vs not, for H1 p={SPRT_P1} against H0 p={SPRT_P0}), and
+    the experiment STOPS at the first crossing of the Wald boundaries
+    ln(19)/ln(1/19) (alpha=beta=5%). `sample_used_bp` is the point of
+    sequential testing — the fraction of available traffic actually
+    consumed before the decision.
+
+    Exactness: the only logarithms are MODULE-LEVEL spec constants
+    quantized to e12 integers before either engine sees them, so the
+    cumulative LLR walk is an exact BIGINT running sum and both the
+    crossing test and the decision are integer compares. The walk's
+    global (ts, event_id) order is one range-partitioned sort — the
+    same total order every sequential monitor needs; the crossing
+    extraction is a filter + first-row rank, never a driver loop.
+    """
+    obs = (
+        load(spark, sf_dir, "events")
+        .filter(hash_key("sprt:", F.col("user_id")) < "80000000")
+        .select(
+            "event_id",
+            "ts",
+            F.when(F.col("event_type") == "purchase", SPRT_L_CONV)
+            .otherwise(SPRT_L_MISS)
+            .cast("bigint")
+            .alias("llr"),
+        )
+    )
+    w = Window.orderBy("ts", "event_id")
+    walk = obs.select(
+        F.row_number().over(w).alias("n"),
+        F.sum("llr").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    crossing = (
+        walk.filter(
+            (F.col("cum") >= SPRT_UPPER) | (F.col("cum") <= SPRT_LOWER)
+        )
+        .withColumn("rn", F.row_number().over(Window.orderBy("n")))
+        .filter(F.col("rn") == 1)
+        .select(F.col("n").alias("cn"), F.col("cum").alias("ccum"))
+    )
+    terminal = walk.agg(F.max("n").alias("n_total"))
+    final_cum = (
+        walk.crossJoin(F.broadcast(terminal))
+        .filter(F.col("n") == F.col("n_total"))
+        .select(F.col("cum").alias("fcum"), "n_total")
+        .withColumn("k", F.lit(1))
+    )
+    cr = crossing.withColumn("k", F.lit(1))
+    return (
+        final_cum.join(F.broadcast(cr), "k", "left")
+        .select(
+            F.when(F.col("cn").isNull(), "continue")
+            .when(F.col("ccum") >= SPRT_UPPER, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("decision"),
+            F.coalesce("cn", "n_total").cast("bigint").alias("n_at_decision"),
+            F.coalesce("ccum", "fcum").cast("bigint").alias("llr_e12"),
+            F.col("n_total").cast("bigint").alias("n_available"),
+            F.expr(
+                "CAST((2 * 10000 * coalesce(cn, n_total) + n_total)"
+                " DIV (2 * n_total) AS BIGINT)"
+            ).alias("sample_used_bp"),
+        )
     )

@@ -1689,3 +1689,49 @@ class TestEngleGranger:
         tau = gamma / math.sqrt(rss / (m - 2) / sxx2)
         assert abs(row["tau_e4"] / 1e4 - tau) < 2e-3
         assert row["cointegrated_5pct"] == int(row["tau_e4"] < -33700)
+
+
+class TestSprtBoundary:
+    def test_walk_recompute(self, spark, sf_dir):
+        import hashlib
+
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.operators.behavior import (
+            SPRT_L_CONV,
+            SPRT_L_MISS,
+            SPRT_LOWER,
+            SPRT_UPPER,
+        )
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        row = registry.QUERIES["ab_sprt_sequential_boundary"](
+            spark, sf_dir
+        ).collect()[0]
+        ev = (
+            load(spark, sf_dir, "events")
+            .select("event_id", "ts", "user_id", "event_type")
+            .collect()
+        )
+        arm = [
+            r
+            for r in ev
+            if hashlib.md5(f"sprt:{r['user_id']}".encode()).hexdigest()[:8]
+            < "80000000"
+        ]
+        arm.sort(key=lambda r: (r["ts"], r["event_id"]))
+        cum = 0
+        decision, n_dec, llr_dec = "continue", len(arm), None
+        for i, r in enumerate(arm, 1):
+            cum += SPRT_L_CONV if r["event_type"] == "purchase" else SPRT_L_MISS
+            if cum >= SPRT_UPPER or cum <= SPRT_LOWER:
+                decision = "accept_h1" if cum >= SPRT_UPPER else "accept_h0"
+                n_dec, llr_dec = i, cum
+                break
+        if decision == "continue":
+            llr_dec = cum
+        assert row["decision"] == decision
+        assert row["n_at_decision"] == n_dec
+        assert row["llr_e12"] == llr_dec
+        assert row["n_available"] == len(arm)
+        assert 0 < row["sample_used_bp"] <= 10000

@@ -55,6 +55,7 @@ ALLOW_NON_EQUI = {
     "eval_cohens_kappa",  # 1-row totals cross join
     "forecast_seasonal_naive_backtest",  # 1-row scalar anchor
     "cusum_change_detection",  # 1-row target broadcast
+    "ab_sprt_sequential_boundary",  # 1-row terminal x 0/1-row crossing anchors
     "revenue_max_drawdown",  # 1-row argmin anchor
     "dedup_cross_source_matrix",  # |sources|^2 grid
     "chi_square_priority_status",  # 5x3 grid x totals
@@ -244,6 +245,7 @@ ALLOW_GLOBAL_SORT = {
     "revenue_mom_growth",
     "revenue_max_drawdown",
     "cusum_change_detection",
+    "ab_sprt_sequential_boundary",  # the time-ordered LLR walk IS the monitor
     "tpcds_q51_cumulative_compare",
     "window_ratio_to_report",
     "agg_string_concat_ordered",
