@@ -6161,3 +6161,108 @@ def ab_sprt_sequential_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sample_used_bp"),
         )
     )
+
+
+@query(
+    "bandit_ucb1_allocation",
+    oracle="""
+    WITH fp AS (
+        SELECT user_id, min(ts) AS t0
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    trials AS (
+        SELECT e.event_type AS arm,
+               CASE WHEN f.t0 IS NOT NULL AND e.ts < f.t0
+                    THEN 1 ELSE 0 END AS success
+        FROM events e LEFT JOIN fp f ON f.user_id = e.user_id
+        WHERE e.event_type <> 'purchase'
+    ),
+    arms AS (
+        SELECT arm, count(*) AS n,
+               CAST(sum(success) AS BIGINT) AS s
+        FROM trials GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM arms),
+    scored AS (
+        SELECT a.arm, CAST(a.n AS BIGINT) AS n, a.s, t.big_n,
+               CAST((2 * 10000 * a.s + a.n) // (2 * a.n) AS BIGINT)
+                   AS mean_bp,
+               CAST(floor((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                           + sqrt(2.0 * ln(CAST(t.big_n AS DOUBLE))
+                                  / CAST(a.n AS DOUBLE))) * 1e4 + 0.5)
+                    AS BIGINT) AS ucb1_e4
+        FROM arms a, tot t
+    )
+    SELECT arm, n, s AS successes, mean_bp, ucb1_e4,
+           CAST(CASE WHEN row_number() OVER (ORDER BY ucb1_e4 DESC, arm) = 1
+                     THEN 1 ELSE 0 END AS INTEGER) AS play_next
+    FROM scored
+    """,
+)
+def bandit_ucb1_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit allocation over the marketing channels — which arm
+    should the NEXT unit of traffic play? Each non-purchase event is a
+    trial of its channel; a trial succeeds if its user goes on to
+    purchase afterward (the Shapley frame's pre-first-purchase
+    notion). UCB1 scores mean + sqrt(2·ln N / n) — exploitation plus
+    the optimism bonus that shrinks as an arm accumulates plays — and
+    the single play_next row is the allocation decision an online
+    serving layer would enact (this batch query IS the nightly prior
+    for it).
+
+    Exactness: trial/success counts are exact integers and the
+    empirical mean reports through the half-up bp device; the UCB
+    score's ln/sqrt run in ONE shared-text tree on integer-derived
+    doubles (ln is within 1 ulp across libms — the e4 floor grain
+    tolerates it; the playbook regime), and the argmax tie-breaks on
+    the arm name. Scale: one left join onto the first-purchase frame,
+    one 4-key rollup, a 4-row scoring window.
+    """
+    ev = load(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    trials = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(F.broadcast(fp), "user_id", "left")
+        .select(
+            F.col("event_type").alias("arm"),
+            F.when(
+                F.col("t0").isNotNull() & (F.col("ts") < F.col("t0")), 1
+            )
+            .otherwise(0)
+            .alias("success"),
+        )
+    )
+    arms = trials.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("success").cast("bigint").alias("s")
+    )
+    tot = arms.agg(F.sum("n").cast("bigint").alias("big_n"))
+    scored = arms.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        F.col("n").cast("bigint").alias("n"),
+        "s",
+        F.expr("CAST((2 * 10000 * s + n) DIV (2 * n) AS BIGINT)").alias("mean_bp"),
+        F.expr(
+            "CAST(floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+            " + sqrt(2.0 * ln(CAST(big_n AS DOUBLE)) / CAST(n AS DOUBLE)))"
+            " * 1e4 + 0.5) AS BIGINT)"
+        ).alias("ucb1_e4"),
+    )
+    return scored.select(
+        "arm",
+        "n",
+        F.col("s").alias("successes"),
+        "mean_bp",
+        "ucb1_e4",
+        F.when(
+            F.row_number().over(Window.orderBy(F.desc("ucb1_e4"), F.asc("arm")))
+            == 1,
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("play_next"),
+    )

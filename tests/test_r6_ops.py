@@ -1735,3 +1735,26 @@ class TestSprtBoundary:
         assert row["llr_e12"] == llr_dec
         assert row["n_available"] == len(arm)
         assert 0 < row["sample_used_bp"] <= 10000
+
+
+class TestUcb1Allocation:
+    def test_scores_and_argmax(self, spark, sf_dir):
+        import math
+
+        rows = registry.QUERIES["bandit_ucb1_allocation"](spark, sf_dir).collect()
+        assert {r["arm"] for r in rows} <= {"click", "view", "signup", "error"}
+        big_n = sum(r["n"] for r in rows)
+        for r in rows:
+            assert 0 <= r["successes"] <= r["n"]
+            want = math.floor(
+                (r["successes"] / r["n"] + math.sqrt(2 * math.log(big_n) / r["n"]))
+                * 1e4
+                + 0.5
+            )
+            assert abs(r["ucb1_e4"] - want) <= 1  # libm ln ulp tolerance
+            # optimism: UCB never below the empirical mean
+            assert r["ucb1_e4"] >= r["mean_bp"]
+        winners = [r for r in rows if r["play_next"] == 1]
+        assert len(winners) == 1
+        best = max(rows, key=lambda r: (r["ucb1_e4"], ))
+        assert winners[0]["ucb1_e4"] == best["ucb1_e4"]
