@@ -5020,3 +5020,150 @@ def quantile_bucket_localized_exact(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
+
+
+SS_N_MONTHS = 36  # simulate 1995-1997 on the month grain
+
+
+def _ss_policy_oracle() -> str:
+    """Per-brand (s,S) replay as a recursive CTE carrying the demand
+    LIST (the DTW device, 1-D state): state = (inv, orders, stockout
+    units, served units); S = 2x average monthly demand, s = S/2."""
+    return f"""
+    WITH RECURSIVE demand AS (
+        SELECT p.p_brand AS brand,
+               (year(l.l_shipdate) - 1995) * 12
+                   + CAST(month(l.l_shipdate) AS BIGINT) AS m,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS d
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT b.brand, g.m, coalesce(d.d, 0) AS d
+        FROM (SELECT DISTINCT brand FROM demand) b
+        CROSS JOIN (SELECT unnest(generate_series(1, {SS_N_MONTHS})) AS m) g
+        LEFT JOIN demand d ON d.brand = b.brand AND d.m = g.m
+    ),
+    vecs AS (
+        SELECT brand, list(d ORDER BY m) AS v,
+               CAST(2 * sum(d) // {SS_N_MONTHS} AS BIGINT) AS cap_s
+        FROM grid GROUP BY 1
+    ),
+    sim AS (
+        SELECT brand, v, cap_s, 0 AS i,
+               cap_s AS inv, CAST(0 AS BIGINT) AS n_orders,
+               CAST(0 AS BIGINT) AS stockout_units,
+               CAST(0 AS BIGINT) AS served
+        FROM vecs
+        UNION ALL
+        SELECT brand, v, cap_s, i + 1,
+               inv2 - least(inv2, v[i + 1]),
+               n_orders + reorder,
+               stockout_units + (v[i + 1] - least(inv2, v[i + 1])),
+               served + least(inv2, v[i + 1])
+        FROM (
+            SELECT brand, v, cap_s, i, n_orders, stockout_units, served,
+                   CASE WHEN inv < cap_s // 2 THEN cap_s ELSE inv END AS inv2,
+                   CASE WHEN inv < cap_s // 2 THEN 1 ELSE 0 END AS reorder
+            FROM sim WHERE i < {SS_N_MONTHS}
+        )
+    )
+    SELECT brand,
+           cap_s,
+           CAST(inv AS BIGINT) AS end_inventory,
+           n_orders, stockout_units, served,
+           CAST(CASE WHEN served + stockout_units = 0 THEN 10000
+                     ELSE (2 * 10000 * served + (served + stockout_units))
+                          // (2 * (served + stockout_units)) END AS BIGINT)
+               AS fill_rate_bp
+    FROM sim WHERE i = {SS_N_MONTHS}
+    """
+
+
+@query("inventory_ss_policy_replay", oracle=_ss_policy_oracle())
+def inventory_ss_policy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s,S) inventory-policy replay per brand — the classic
+    sequential CONTROL simulation (reorder up to S whenever the level
+    falls below s, then serve the month's demand, shortfalls lost):
+    the operations-research sibling of the Holt/DTW unrolls, because a
+    policy simulation is a 1-D state recursion, and the same fold
+    device runs it exactly: per brand, the 36-month demand vector
+    folds through ONE aggregate expression carrying the state
+    (inventory, reorder count, stockout units, served units) — no
+    driver loop, no Python, bounded by the calendar not the data. S is
+    2x the brand's average monthly demand and s = S/2 (both derived
+    integers), so the whole spec is data-deterministic.
+
+    The graded output is the policy scorecard a supply planner reads:
+    reorder events, lost units, fill rate in half-up bp, terminal
+    inventory. Exactness: pure BIGINT min/max/DIV arithmetic; the
+    oracle replays the identical recursion as a recursive CTE carrying
+    the demand list (the DTW twin construction).
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    demand = li.groupBy(
+        F.col("p_brand").alias("brand"),
+        (
+            (F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate").cast("bigint")
+        ).alias("m"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("d"))
+    months = spark.range(1, SS_N_MONTHS + 1).select(
+        F.col("id").cast("bigint").alias("m")
+    )
+    grid = (
+        demand.select("brand")
+        .distinct()
+        .crossJoin(F.broadcast(months))
+        .join(demand, ["brand", "m"], "left")
+        .select("brand", "m", F.coalesce("d", F.lit(0)).alias("d"))
+    )
+    vecs = grid.groupBy("brand").agg(
+        F.expr("transform(array_sort(collect_list(struct(m, d))), x -> x.d)").alias(
+            "v"
+        ),
+        F.expr(f"CAST(2 * sum(d) DIV {SS_N_MONTHS} AS BIGINT)").alias("cap_s"),
+    )
+    # state = [inv, n_orders, stockout_units, served]
+    fold = f"""
+    aggregate(
+      sequence(1, {SS_N_MONTHS}),
+      array(cap_s, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      (st, i) -> array(
+        (CASE WHEN st[0] < cap_s DIV 2 THEN cap_s ELSE st[0] END)
+          - least(CASE WHEN st[0] < cap_s DIV 2 THEN cap_s ELSE st[0] END,
+                  element_at(v, CAST(i AS INT))),
+        st[1] + (CASE WHEN st[0] < cap_s DIV 2 THEN 1 ELSE 0 END),
+        st[2] + element_at(v, CAST(i AS INT))
+          - least(CASE WHEN st[0] < cap_s DIV 2 THEN cap_s ELSE st[0] END,
+                  element_at(v, CAST(i AS INT))),
+        st[3] + least(CASE WHEN st[0] < cap_s DIV 2 THEN cap_s ELSE st[0] END,
+                      element_at(v, CAST(i AS INT)))
+      )
+    )
+    """
+    sim = vecs.select("brand", "cap_s", F.expr(fold).alias("st"))
+    return sim.select(
+        "brand",
+        "cap_s",
+        F.expr("st[0]").cast("bigint").alias("end_inventory"),
+        F.expr("st[1]").cast("bigint").alias("n_orders"),
+        F.expr("st[2]").cast("bigint").alias("stockout_units"),
+        F.expr("st[3]").cast("bigint").alias("served"),
+        F.expr(
+            "CAST(CASE WHEN st[3] + st[2] = 0 THEN 10000"
+            " ELSE (2 * 10000 * st[3] + (st[3] + st[2]))"
+            " DIV (2 * (st[3] + st[2])) END AS BIGINT)"
+        ).alias("fill_rate_bp"),
+    )

@@ -1758,3 +1758,61 @@ class TestUcb1Allocation:
         assert len(winners) == 1
         best = max(rows, key=lambda r: (r["ucb1_e4"], ))
         assert winners[0]["ucb1_e4"] == best["ucb1_e4"]
+
+
+class TestSsPolicyReplay:
+    def test_python_replay(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.operators.aggregates import SS_N_MONTHS
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = {
+            r["brand"]: r
+            for r in registry.QUERIES["inventory_ss_policy_replay"](
+                spark, sf_dir
+            ).collect()
+        }
+        demand = (
+            load(spark, sf_dir, "lineitem")
+            .filter(
+                (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            )
+            .join(
+                load(spark, sf_dir, "part").select("p_partkey", "p_brand"),
+                F.col("l_partkey") == F.col("p_partkey"),
+            )
+            .groupBy(
+                "p_brand",
+                (
+                    (F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate")
+                ).alias("m"),
+            )
+            .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("d"))
+            .collect()
+        )
+        from collections import defaultdict
+
+        per = defaultdict(dict)
+        for r in demand:
+            per[r["p_brand"]][r["m"]] = r["d"]
+        for brand, dm in per.items():
+            v = [dm.get(m, 0) for m in range(1, SS_N_MONTHS + 1)]
+            cap = 2 * sum(v) // SS_N_MONTHS
+            inv, orders, lost, served = cap, 0, 0, 0
+            for d in v:
+                if inv < cap // 2:
+                    inv = cap
+                    orders += 1
+                take = min(inv, d)
+                served += take
+                lost += d - take
+                inv -= take
+            r = rows[brand]
+            assert r["cap_s"] == cap
+            assert r["end_inventory"] == inv
+            assert r["n_orders"] == orders
+            assert r["stockout_units"] == lost
+            assert r["served"] == served
+            assert r["served"] + r["stockout_units"] == sum(v)
