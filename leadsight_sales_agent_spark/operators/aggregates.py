@@ -5167,3 +5167,131 @@ def inventory_ss_policy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * (st[3] + st[2])) END AS BIGINT)"
         ).alias("fill_rate_bp"),
     )
+
+
+NV_CU = 3  # unit underage cost (lost margin)
+NV_CO = 1  # unit overage cost (holding/salvage loss)
+# critical fractile cu/(cu+co) = 3/4 -> rank ceil(0.75 n)
+
+
+@query(
+    "inventory_newsvendor_fractile",
+    oracle=f"""
+    WITH demand AS (
+        SELECT p.p_brand AS brand,
+               (year(l.l_shipdate) - 1995) * 12
+                   + CAST(month(l.l_shipdate) AS BIGINT) AS m,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS d
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT brand, d,
+               row_number() OVER (PARTITION BY brand ORDER BY d, m) AS rn,
+               count(*) OVER (PARTITION BY brand) AS n
+        FROM demand
+    ),
+    picks AS (
+        SELECT brand,
+               max(CASE WHEN rn = (3 * n + 3) // 4 THEN d END) AS q_star,
+               max(CASE WHEN rn = (n + 1) // 2 THEN d END) AS q_med
+        FROM ranked GROUP BY 1
+    ),
+    profit AS (
+        SELECT d.brand,
+               p.q_star, p.q_med,
+               CAST(sum({NV_CU} * least(p.q_star, d.d)
+                        - {NV_CO} * greatest(p.q_star - d.d, 0))
+                    AS BIGINT) AS profit_star,
+               CAST(sum({NV_CU} * least(p.q_med, d.d)
+                        - {NV_CO} * greatest(p.q_med - d.d, 0))
+                    AS BIGINT) AS profit_med
+        FROM demand d JOIN picks p ON p.brand = d.brand
+        GROUP BY 1, 2, 3
+    )
+    SELECT brand,
+           CAST(q_star AS BIGINT) AS q_star,
+           CAST(q_med AS BIGINT) AS q_median,
+           profit_star, profit_med,
+           CAST(profit_star - profit_med AS BIGINT) AS uplift
+    FROM profit
+    """,
+)
+def inventory_newsvendor_fractile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor critical-fractile stocking rule per brand — the
+    single-period counterpart of the (s,S) replay: with underage cost
+    {NV_CU} and overage cost {NV_CO}, the optimal stock is the
+    cu/(cu+co) = 3/4 fractile of the demand distribution, taken here
+    as the RANK-PICKED 75th-percentile element of the 36 observed
+    monthly demands (ceil(0.75n), an element of the data — the
+    playbook's interpolation-free quantile rule). The backtest column
+    replays both q* and the median stock against the same months and
+    reports the exact integer profit uplift the fractile rule earns —
+    theory made auditable.
+
+    Exactness: rank picks + integer min/max cost arithmetic, nothing
+    else. Scale: one demand rollup, per-brand rank windows on
+    36-row partitions, one profit re-aggregation.
+    """
+    demand = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (
+                (F.year("l_shipdate") - 1995) * 12
+                + F.month("l_shipdate").cast("bigint")
+            ).alias("m"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("d"))
+    )
+    wb = Window.partitionBy("brand")
+    ranked = demand.select(
+        "brand",
+        "d",
+        F.row_number().over(wb.orderBy("d", "m")).alias("rn"),
+        F.count(F.lit(1)).over(wb).alias("n"),
+    )
+    picks = ranked.groupBy("brand").agg(
+        F.max(F.when(F.col("rn") == F.expr("(3 * n + 3) DIV 4"), F.col("d"))).alias(
+            "q_star"
+        ),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("d"))).alias(
+            "q_med"
+        ),
+    )
+    profit = (
+        demand.join(F.broadcast(picks), "brand")
+        .groupBy("brand", "q_star", "q_med")
+        .agg(
+            F.sum(
+                NV_CU * F.least(F.col("q_star"), F.col("d"))
+                - NV_CO * F.greatest(F.col("q_star") - F.col("d"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("profit_star"),
+            F.sum(
+                NV_CU * F.least(F.col("q_med"), F.col("d"))
+                - NV_CO * F.greatest(F.col("q_med") - F.col("d"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("profit_med"),
+        )
+    )
+    return profit.select(
+        "brand",
+        F.col("q_star").cast("bigint").alias("q_star"),
+        F.col("q_med").cast("bigint").alias("q_median"),
+        "profit_star",
+        "profit_med",
+        (F.col("profit_star") - F.col("profit_med")).cast("bigint").alias("uplift"),
+    )

@@ -1816,3 +1816,18 @@ class TestSsPolicyReplay:
             assert r["stockout_units"] == lost
             assert r["served"] == served
             assert r["served"] + r["stockout_units"] == sum(v)
+
+
+class TestNewsvendorFractile:
+    def test_fractile_beats_median_in_aggregate(self, spark, sf_dir):
+        rows = registry.QUERIES["inventory_newsvendor_fractile"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            # the 75th-percentile stock is at least the median stock
+            assert r["q_star"] >= r["q_median"]
+            assert r["uplift"] == r["profit_star"] - r["profit_med"]
+        # with cu=3 co=1 the fractile rule should win overall on the
+        # very months it was fit on (in-sample optimality tendency)
+        assert sum(r["uplift"] for r in rows) >= 0
