@@ -5295,3 +5295,81 @@ def inventory_newsvendor_fractile(spark: SparkSession, sf_dir: str) -> DataFrame
         "profit_med",
         (F.col("profit_star") - F.col("profit_med")).cast("bigint").alias("uplift"),
     )
+
+
+EOQ_ORDER_COST_CENTS = 50_00  # fixed cost K per replenishment order
+EOQ_HOLD_CENTS_PER_UNIT_YEAR = 2_00  # annual holding cost h per unit
+
+
+@query(
+    "inventory_eoq_per_brand",
+    oracle=f"""
+    WITH demand AS (
+        SELECT p.p_brand AS brand,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) // 3 AS BIGINT)
+                   AS annual_d
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    )
+    SELECT brand, annual_d,
+           CAST(floor(sqrt(2.0 * CAST(annual_d AS DOUBLE)
+                           * {EOQ_ORDER_COST_CENTS}
+                           / {EOQ_HOLD_CENTS_PER_UNIT_YEAR}) + 0.5)
+                AS BIGINT) AS eoq_units,
+           (annual_d + CAST(floor(sqrt(2.0 * CAST(annual_d AS DOUBLE)
+                                       * {EOQ_ORDER_COST_CENTS}
+                                       / {EOQ_HOLD_CENTS_PER_UNIT_YEAR}) + 0.5)
+                            AS BIGINT) - 1)
+                // CAST(floor(sqrt(2.0 * CAST(annual_d AS DOUBLE)
+                              * {EOQ_ORDER_COST_CENTS}
+                              / {EOQ_HOLD_CENTS_PER_UNIT_YEAR}) + 0.5)
+                        AS BIGINT) AS orders_per_year
+    FROM demand
+    """,
+)
+def inventory_eoq_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantity per brand — Wilson's Q* = sqrt(2DK/h),
+    the closed-form that completes the inventory-theory trio beside
+    the (s,S) replay (continuous review) and the newsvendor fractile
+    (single period): D is the brand's observed annual demand (three
+    years averaged by integral DIV), K and h are spec constants, and
+    orders_per_year = ceil(D/Q*) is the replenishment cadence the
+    planner schedules.
+
+    Exactness: one shared-text sqrt tree on integer-derived doubles,
+    rounded through the floor(x+0.5) quantizer to WHOLE UNITS (an EOQ
+    is a physical order size), then pure integer ceiling division.
+    Scale: one rollup; the formula is map-side on the 25-row brand
+    frame.
+    """
+    demand = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.expr("CAST(sum(CAST(l_quantity AS BIGINT)) DIV 3 AS BIGINT)").alias(
+                "annual_d"
+            )
+        )
+    )
+    eoq = (
+        f"floor(sqrt(2.0 * CAST(annual_d AS DOUBLE) * {EOQ_ORDER_COST_CENTS}"
+        f" / {EOQ_HOLD_CENTS_PER_UNIT_YEAR}) + 0.5)"
+    )
+    return demand.select(
+        "brand",
+        "annual_d",
+        F.expr(f"CAST({eoq} AS BIGINT)").alias("eoq_units"),
+        F.expr(f"CAST((annual_d + {eoq} - 1) DIV {eoq} AS BIGINT)").alias(
+            "orders_per_year"
+        ),
+    )

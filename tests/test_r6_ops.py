@@ -1831,3 +1831,32 @@ class TestNewsvendorFractile:
         # with cu=3 co=1 the fractile rule should win overall on the
         # very months it was fit on (in-sample optimality tendency)
         assert sum(r["uplift"] for r in rows) >= 0
+
+
+class TestEoq:
+    def test_wilson_formula(self, spark, sf_dir):
+        import math
+
+        from leadsight_sales_agent_spark.operators.aggregates import (
+            EOQ_HOLD_CENTS_PER_UNIT_YEAR,
+            EOQ_ORDER_COST_CENTS,
+        )
+
+        rows = registry.QUERIES["inventory_eoq_per_brand"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            want = math.floor(
+                math.sqrt(
+                    2.0 * r["annual_d"] * EOQ_ORDER_COST_CENTS
+                    / EOQ_HOLD_CENTS_PER_UNIT_YEAR
+                )
+                + 0.5
+            )
+            assert r["eoq_units"] == want
+            assert r["orders_per_year"] == -(-r["annual_d"] // r["eoq_units"])
+            # EOQ optimality: at Q* annual order cost ~ holding cost —
+            # meaningful only when the cadence isn't ceil-dominated
+            if r["orders_per_year"] >= 5:
+                k_cost = r["orders_per_year"] * EOQ_ORDER_COST_CENTS
+                h_cost = r["eoq_units"] * EOQ_HOLD_CENTS_PER_UNIT_YEAR // 2
+                assert abs(k_cost - h_cost) < 0.25 * max(k_cost, h_cost)
