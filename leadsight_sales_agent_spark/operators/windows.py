@@ -2975,3 +2975,131 @@ def window_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("zscore"),
         F.when(F.abs(z) > 2, 1).otherwise(0).alias("is_anomaly"),
     )
+
+
+# Google SRE workbook multiwindow burn-rate policy for a 1% error SLO:
+# page when burn > 14.4x over BOTH 1h and 5m; ticket when burn > 6x
+# over BOTH 6h and 30m. burn > f <=> errors * 100 > f * total.
+
+
+@query(
+    "ops_multiwindow_burn_alerts",
+    oracle="""
+    WITH minutes AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // 60 AS m,
+               count(*) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS e
+        FROM events GROUP BY 1
+    ),
+    rolled AS (
+        SELECT m,
+               sum(n) OVER (ORDER BY m RANGE BETWEEN 59 PRECEDING
+                            AND CURRENT ROW) AS n_1h,
+               sum(e) OVER (ORDER BY m RANGE BETWEEN 59 PRECEDING
+                            AND CURRENT ROW) AS e_1h,
+               sum(n) OVER (ORDER BY m RANGE BETWEEN 4 PRECEDING
+                            AND CURRENT ROW) AS n_5m,
+               sum(e) OVER (ORDER BY m RANGE BETWEEN 4 PRECEDING
+                            AND CURRENT ROW) AS e_5m,
+               sum(n) OVER (ORDER BY m RANGE BETWEEN 359 PRECEDING
+                            AND CURRENT ROW) AS n_6h,
+               sum(e) OVER (ORDER BY m RANGE BETWEEN 359 PRECEDING
+                            AND CURRENT ROW) AS e_6h,
+               sum(n) OVER (ORDER BY m RANGE BETWEEN 29 PRECEDING
+                            AND CURRENT ROW) AS n_30m,
+               sum(e) OVER (ORDER BY m RANGE BETWEEN 29 PRECEDING
+                            AND CURRENT ROW) AS e_30m
+        FROM minutes
+    ),
+    alerts AS (
+        SELECT m,
+               CAST(CASE WHEN e_1h * 1000 > 144 * n_1h
+                          AND e_5m * 1000 > 144 * n_5m
+                         THEN 1 ELSE 0 END AS INTEGER) AS page,
+               CAST(CASE WHEN e_6h * 100 > 6 * n_6h
+                          AND e_30m * 100 > 6 * n_30m
+                         THEN 1 ELSE 0 END AS INTEGER) AS ticket,
+               e_1h, n_1h, e_5m, n_5m
+        FROM rolled
+    )
+    SELECT m AS minute_idx, page, ticket,
+           CAST(e_1h AS BIGINT) AS errors_1h,
+           CAST(n_1h AS BIGINT) AS events_1h,
+           CAST(e_5m AS BIGINT) AS errors_5m,
+           CAST(n_5m AS BIGINT) AS events_5m
+    FROM alerts WHERE page = 1 OR ticket = 1
+    """,
+)
+def ops_multiwindow_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow, multi-burn-rate SLO alerting (the Google SRE
+    workbook policy) over the event stream's error rate against a 1%
+    SLO: PAGE when the error-budget burn exceeds 14.4x over BOTH the
+    trailing hour and the trailing five minutes (the long window
+    proves it matters, the short window proves it is still
+    happening); TICKET when it exceeds 6x over both 6h and 30m. The
+    graded rows are exactly the alert firings with their window
+    evidence — what an on-call audit replays after an incident.
+
+    Exactness: burn > f against a 1% SLO cross-multiplies to
+    errors·1000 > 144·total (and errors·100 > 6·total) — integer
+    compares only. The minute rollup is exact (floor(epoch) DIV 60 —
+    the cross-engine epoch device), and all eight trailing windows are
+    RANGE frames over the minute INDEX sharing ONE sort of the
+    calendar-bounded minute grain (the window_range_interval_counts
+    device; gaps in traffic are handled by RANGE, not ROWS). At scale
+    the grain is minutes-of-history — bounded by time, not events.
+    """
+    minutes = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.expr("CAST(unix_timestamp(ts) DIV 60 AS BIGINT)").alias("m")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("e"),
+        )
+    )
+
+    def trail(col: str, mins: int):
+        return F.sum(col).over(
+            Window.orderBy("m").rangeBetween(-(mins - 1), 0)
+        )
+
+    rolled = minutes.select(
+        "m",
+        trail("n", 60).alias("n_1h"),
+        trail("e", 60).alias("e_1h"),
+        trail("n", 5).alias("n_5m"),
+        trail("e", 5).alias("e_5m"),
+        trail("n", 360).alias("n_6h"),
+        trail("e", 360).alias("e_6h"),
+        trail("n", 30).alias("n_30m"),
+        trail("e", 30).alias("e_30m"),
+    )
+    alerts = rolled.select(
+        "m",
+        F.expr(
+            "CAST(CASE WHEN e_1h * 1000 > 144 * n_1h"
+            " AND e_5m * 1000 > 144 * n_5m THEN 1 ELSE 0 END AS INT)"
+        ).alias("page"),
+        F.expr(
+            "CAST(CASE WHEN e_6h * 100 > 6 * n_6h"
+            " AND e_30m * 100 > 6 * n_30m THEN 1 ELSE 0 END AS INT)"
+        ).alias("ticket"),
+        "e_1h",
+        "n_1h",
+        "e_5m",
+        "n_5m",
+    )
+    return alerts.filter((F.col("page") == 1) | (F.col("ticket") == 1)).select(
+        F.col("m").alias("minute_idx"),
+        "page",
+        "ticket",
+        F.col("e_1h").cast("bigint").alias("errors_1h"),
+        F.col("n_1h").cast("bigint").alias("events_1h"),
+        F.col("e_5m").cast("bigint").alias("errors_5m"),
+        F.col("n_5m").cast("bigint").alias("events_5m"),
+    )

@@ -1860,3 +1860,29 @@ class TestEoq:
                 k_cost = r["orders_per_year"] * EOQ_ORDER_COST_CENTS
                 h_cost = r["eoq_units"] * EOQ_HOLD_CENTS_PER_UNIT_YEAR // 2
                 assert abs(k_cost - h_cost) < 0.25 * max(k_cost, h_cost)
+
+
+class TestBurnAlerts:
+    def test_alert_semantics(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = registry.QUERIES["ops_multiwindow_burn_alerts"](
+            spark, sf_dir
+        ).collect()
+        # every page alert satisfies both window conditions
+        for r in rows:
+            assert r["page"] == 1 or r["ticket"] == 1
+            if r["page"] == 1:
+                assert r["errors_1h"] * 1000 > 144 * r["events_1h"]
+                assert r["errors_5m"] * 1000 > 144 * r["events_5m"]
+        # alert minutes are a subset of observed minutes
+        minutes = {
+            r[0]
+            for r in load(spark, sf_dir, "events")
+            .select(F.expr("CAST(unix_timestamp(ts) DIV 60 AS BIGINT)"))
+            .distinct()
+            .collect()
+        }
+        assert {r["minute_idx"] for r in rows} <= minutes

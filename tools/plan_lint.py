@@ -148,6 +148,7 @@ ALLOW_NON_EQUI = {
     "zorder_locality_buckets",
     "storage_rle_sortedness_audit",  # the sort IS the audited layout
     "text_vocab_accumulation_curve",  # hash-order ntile + 10-row decile cumulative
+    "ops_multiwindow_burn_alerts",  # 8 trailing RANGE frames share one minute-grain sort
     "text_heaps_law_fit",  # same curve + 10-point log-log fit
     "shard_consistent_hash_ring",  # ring-position order IS the placement table
     "compaction_bin_packing",
@@ -267,6 +268,7 @@ ALLOW_GLOBAL_SORT = {
     "zorder_locality_buckets",
     "storage_rle_sortedness_audit",  # the sort IS the audited layout
     "text_vocab_accumulation_curve",  # hash-order ntile + 10-row decile cumulative
+    "ops_multiwindow_burn_alerts",  # 8 trailing RANGE frames share one minute-grain sort
     "text_heaps_law_fit",  # same curve + 10-point log-log fit
     "shard_consistent_hash_ring",  # ring-position order IS the placement table
     "compaction_bin_packing",
