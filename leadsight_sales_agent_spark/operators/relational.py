@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.functions.numeric import dsum, sql_dsum, sql_hex_to_long
+from leadsight_sales_agent_spark.operators.sampling import hash_key
 from leadsight_sales_agent_spark.registry import query
 from leadsight_sales_agent_spark.sources.catalog import load
 
@@ -4266,5 +4267,145 @@ def incremental_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
             F.col("n_items").cast("bigint").alias("n_items"),
             F.coalesce(F.col("old_flag"), F.lit(0)).cast("int").alias("was_in_old_topk"),
+        )
+    )
+
+
+MERKLE_BUCKET = 64  # orderkeys per leaf bucket
+MERKLE_MUT_MOD = 997  # plant a 1-cent divergence on ~0.1% of rows
+
+
+@query(
+    "replication_merkle_diff",
+    oracle=f"""
+    WITH a AS (
+        SELECT o_orderkey AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    b AS (
+        SELECT k,
+               cents + CASE WHEN k % {MERKLE_MUT_MOD} = 0 THEN 1 ELSE 0 END
+                   AS cents
+        FROM a
+    ),
+    ha AS (
+        SELECT k // {MERKLE_BUCKET} AS bucket,
+               {sql_hex_to_long("substring(md5(CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)), 1, 12)", 12)}
+                   AS h, k
+        FROM a
+    ),
+    hb AS (
+        SELECT k // {MERKLE_BUCKET} AS bucket,
+               {sql_hex_to_long("substring(md5(CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)), 1, 12)", 12)}
+                   AS h, k
+        FROM b
+    ),
+    la AS (SELECT bucket, CAST(sum(h) AS BIGINT) AS bh,
+                  count(*) AS n FROM ha GROUP BY 1),
+    lb AS (SELECT bucket, CAST(sum(h) AS BIGINT) AS bh,
+                  count(*) AS n FROM hb GROUP BY 1),
+    diverged AS (
+        SELECT la.bucket, la.n
+        FROM la JOIN lb ON lb.bucket = la.bucket
+        WHERE la.bh <> lb.bh
+    ),
+    repair AS (
+        SELECT count(*) AS n_rows_divergent
+        FROM a JOIN b ON b.k = a.k
+        WHERE a.k // {MERKLE_BUCKET} IN (SELECT bucket FROM diverged)
+          AND a.cents <> b.cents
+    )
+    SELECT (SELECT count(*) FROM la) AS n_buckets,
+           (SELECT CAST(count(*) AS BIGINT) FROM diverged)
+               AS n_diverged_buckets,
+           (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM diverged)
+               AS n_rows_compared,
+           (SELECT CAST(n_rows_divergent AS BIGINT) FROM repair)
+               AS n_rows_divergent,
+           (SELECT CAST((2 * 10000 * coalesce(sum(n), 0)
+                         + (SELECT count(*) FROM a))
+                        // (2 * (SELECT count(*) FROM a)) AS BIGINT)
+            FROM diverged) AS rows_compared_bp
+    """,
+)
+def replication_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style anti-entropy replica diff (the Dynamo/Cassandra
+    repair device): two replicas of the orders table — B carries a
+    planted 1-cent divergence on every {MERKLE_MUT_MOD}-th key —
+    exchange only per-bucket digests (order-free SUMS of row digests
+    over {MERKLE_BUCKET}-key leaves), and full rows travel ONLY for
+    the buckets whose digests disagree. The graded audit is the
+    repair economics: buckets checked, buckets diverged, rows
+    actually compared vs the full table (`rows_compared_bp` — the
+    bandwidth the digest exchange saved), and the divergent rows
+    found (exactly the planted set — the losslessness claim).
+
+    Exactness: row digests are the md5 hex-ladder integers, bucket
+    digests are exact BIGINT sums (order-independent — the property
+    that makes the scheme shuffle-safe), and every count is an
+    integer. Scale: digest pass is map-side + one bucket-key shuffle
+    per replica; the repair join touches only diverged buckets —
+    that asymmetry IS the algorithm (full-state sync degrades to
+    comparing everything; Merkle compares O(diverged) rows + O(total/
+    {MERKLE_BUCKET}) digests).
+    """
+    a = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    b = a.select(
+        "k",
+        (
+            F.col("cents")
+            + F.when(F.col("k") % MERKLE_MUT_MOD == 0, 1).otherwise(0)
+        ).alias("cents"),
+    )
+
+    def leaves(df: DataFrame) -> DataFrame:
+        hashed = df.select(
+            F.expr(f"k DIV {MERKLE_BUCKET}").alias("bucket"),
+            "k",
+            hash_key("", F.concat(F.col("k").cast("string"), F.lit(":"),
+                                  F.col("cents").cast("string"))).substr(1, 12).alias("hx"),
+        ).select("bucket", "k", F.expr(sql_hex_to_long("hx", 12)).alias("h"))
+        return hashed.groupBy("bucket").agg(
+            F.sum("h").cast("bigint").alias("bh"), F.count(F.lit(1)).alias("n")
+        )
+
+    la = leaves(a)
+    lb = leaves(b)
+    diverged = (
+        la.join(lb.select(F.col("bucket"), F.col("bh").alias("bh_b")), "bucket")
+        .filter(F.col("bh") != F.col("bh_b"))
+        .select("bucket", "n")
+    )
+    n_total = a.count()
+    n_buckets = la.count()
+    div_stats = diverged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_diverged_buckets"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_rows_compared"),
+    )
+    repair = (
+        a.join(diverged.select("bucket"),
+               F.expr(f"k DIV {MERKLE_BUCKET}") == F.col("bucket"), "left_semi")
+        .join(b.select(F.col("k"), F.col("cents").alias("cents_b")), "k")
+        .filter(F.col("cents") != F.col("cents_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_divergent"))
+    )
+    return (
+        div_stats.crossJoin(F.broadcast(repair))
+        .select(
+            F.lit(n_buckets).cast("bigint").alias("n_buckets"),
+            "n_diverged_buckets",
+            "n_rows_compared",
+            "n_rows_divergent",
+            F.expr(
+                f"CAST((2 * 10000 * n_rows_compared + {n_total})"
+                f" DIV (2 * {n_total}) AS BIGINT)"
+            ).alias("rows_compared_bp"),
         )
     )

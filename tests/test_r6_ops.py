@@ -1886,3 +1886,23 @@ class TestBurnAlerts:
             .collect()
         }
         assert {r["minute_idx"] for r in rows} <= minutes
+
+
+class TestMerkleDiff:
+    def test_finds_exactly_the_planted_rows(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.operators.relational import (
+            MERKLE_MUT_MOD,
+        )
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        row = registry.QUERIES["replication_merkle_diff"](spark, sf_dir).collect()[0]
+        o = load(spark, sf_dir, "orders")
+        n_total = o.count()
+        planted = o.filter(F.col("o_orderkey") % MERKLE_MUT_MOD == 0).count()
+        assert row["n_rows_divergent"] == planted
+        assert row["n_diverged_buckets"] <= planted  # ≥1 plant per bucket
+        assert 0 < row["n_rows_compared"] < n_total
+        # the digest exchange saves almost all row comparisons
+        assert row["rows_compared_bp"] < 2000

@@ -58,6 +58,7 @@ ALLOW_NON_EQUI = {
     "ab_sprt_sequential_boundary",  # 1-row terminal x 0/1-row crossing anchors
     "bandit_ucb1_allocation",  # 1-row total-plays anchor on the 4-arm frame
     "inventory_ss_policy_replay",  # 36-month literal grid onto the brand frame
+    "replication_merkle_diff",  # 1-row repair x divergence-stats anchors
     "revenue_max_drawdown",  # 1-row argmin anchor
     "dedup_cross_source_matrix",  # |sources|^2 grid
     "chi_square_priority_status",  # 5x3 grid x totals
