@@ -3103,3 +3103,129 @@ def ops_multiwindow_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e_5m").cast("bigint").alias("errors_5m"),
         F.col("n_5m").cast("bigint").alias("events_5m"),
     )
+
+
+TB_CAPACITY = 5  # token bucket burst capacity
+TB_REFILL_S = 60  # one token per this many seconds
+
+
+def _token_bucket_oracle() -> str:
+    """Per-user token-bucket replay as a recursive CTE carrying the
+    per-user epoch-seconds list (the (s,S)/DTW device with
+    variable-length chains: each user's recursion stops at its own
+    list length)."""
+    return f"""
+    WITH RECURSIVE ulists AS (
+        SELECT user_id,
+               list(CAST(floor(epoch(ts)) AS BIGINT)
+                    ORDER BY ts, event_id) AS v
+        FROM events GROUP BY 1
+    ),
+    sim AS (
+        SELECT user_id, v, 0 AS i,
+               CAST({TB_CAPACITY} AS BIGINT) AS tokens,
+               v[1] AS t_last,
+               CAST(0 AS BIGINT) AS adm, CAST(0 AS BIGINT) AS rej
+        FROM ulists
+        UNION ALL
+        SELECT user_id, v, i + 1,
+               CASE WHEN tok2 >= 1 THEN tok2 - 1 ELSE tok2 END,
+               tl2,
+               adm + CASE WHEN tok2 >= 1 THEN 1 ELSE 0 END,
+               rej + CASE WHEN tok2 >= 1 THEN 0 ELSE 1 END
+        FROM (
+            SELECT user_id, v, i, adm, rej,
+                   least(CAST({TB_CAPACITY} AS BIGINT),
+                         tokens + (v[i + 1] - t_last) // {TB_REFILL_S})
+                       AS tok2,
+                   t_last + ((v[i + 1] - t_last) // {TB_REFILL_S})
+                       * {TB_REFILL_S} AS tl2
+            FROM sim WHERE i < len(v)
+        )
+    ),
+    finals AS (
+        SELECT user_id, adm, rej FROM sim WHERE i = len(v)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(adm) AS BIGINT) AS total_admitted,
+           CAST(sum(rej) AS BIGINT) AS total_rejected,
+           CAST(sum(CASE WHEN rej > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS users_throttled,
+           CAST((2 * 10000 * sum(rej) + sum(adm) + sum(rej))
+                // (2 * (sum(adm) + sum(rej))) AS BIGINT) AS rejected_bp
+    FROM finals
+    """
+
+
+@query("ops_token_bucket_replay", oracle=_token_bucket_oracle())
+def ops_token_bucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limiter replay over every user's event stream
+    — the API-gateway admission audit: each user starts with
+    {TB_CAPACITY} tokens, earns one per {TB_REFILL_S}s (whole tokens,
+    remainder seconds carried — the standard integer bucket), spends
+    one per admitted event, and events arriving to an empty bucket
+    are rejected WITHOUT consuming (the feedback that makes the
+    recursion genuinely sequential — rejected traffic doesn't slow the
+    refill clock, so no prefix-sum shortcut exists; cf. the clamped
+    walk of inventory_clamped_running_balance, which IS prefix-summable
+    because every event lands). The graded row is the policy outcome:
+    admitted/rejected totals, throttled-user count, rejection rate bp.
+
+    Device: per-user sorted epoch arrays fold through ONE aggregate
+    expression with a 4-slot integer state (tokens, refill clock,
+    admitted, rejected) — the funnel sorted-array shuffle, the
+    (s,S)/DTW fold; per-user chains are bounded by events-per-user,
+    not the corpus. All integer arithmetic; the oracle replays
+    variable-length recursions that stop at each user's own list end.
+    """
+    ulists = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id,"
+                " CAST(unix_timestamp(ts) AS BIGINT) AS es))), x -> x.es)"
+            ).alias("v")
+        )
+    )
+    fold = f"""
+    aggregate(
+      sequence(1, size(v)),
+      array(CAST({TB_CAPACITY} AS BIGINT), element_at(v, 1),
+            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      (st, i) -> array(
+        CASE WHEN least(CAST({TB_CAPACITY} AS BIGINT),
+                        st[0] + (element_at(v, CAST(i AS INT)) - st[1])
+                               DIV {TB_REFILL_S}) >= 1
+             THEN least(CAST({TB_CAPACITY} AS BIGINT),
+                        st[0] + (element_at(v, CAST(i AS INT)) - st[1])
+                               DIV {TB_REFILL_S}) - 1
+             ELSE least(CAST({TB_CAPACITY} AS BIGINT),
+                        st[0] + (element_at(v, CAST(i AS INT)) - st[1])
+                               DIV {TB_REFILL_S}) END,
+        st[1] + ((element_at(v, CAST(i AS INT)) - st[1]) DIV {TB_REFILL_S})
+              * {TB_REFILL_S},
+        st[2] + CASE WHEN least(CAST({TB_CAPACITY} AS BIGINT),
+                        st[0] + (element_at(v, CAST(i AS INT)) - st[1])
+                               DIV {TB_REFILL_S}) >= 1 THEN 1 ELSE 0 END,
+        st[3] + CASE WHEN least(CAST({TB_CAPACITY} AS BIGINT),
+                        st[0] + (element_at(v, CAST(i AS INT)) - st[1])
+                               DIV {TB_REFILL_S}) >= 1 THEN 0 ELSE 1 END
+      )
+    )
+    """
+    finals = ulists.select(F.expr(fold).alias("st")).select(
+        F.expr("st[2]").alias("adm"), F.expr("st[3]").alias("rej")
+    )
+    return finals.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("adm").cast("bigint").alias("total_admitted"),
+        F.sum("rej").cast("bigint").alias("total_rejected"),
+        F.sum(F.when(F.col("rej") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("users_throttled"),
+        F.expr(
+            "CAST((2 * 10000 * sum(rej) + sum(adm) + sum(rej))"
+            " DIV (2 * (sum(adm) + sum(rej))) AS BIGINT)"
+        ).alias("rejected_bp"),
+    )

@@ -1906,3 +1906,52 @@ class TestMerkleDiff:
         assert 0 < row["n_rows_compared"] < n_total
         # the digest exchange saves almost all row comparisons
         assert row["rows_compared_bp"] < 2000
+
+
+class TestTokenBucketReplay:
+    def test_python_replay(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.operators.windows import (
+            TB_CAPACITY,
+            TB_REFILL_S,
+        )
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        row = registry.QUERIES["ops_token_bucket_replay"](spark, sf_dir).collect()[0]
+        ev = sorted(
+            load(spark, sf_dir, "events")
+            .select(
+                "user_id",
+                "event_id",
+                "ts",
+                F.unix_timestamp("ts").alias("es"),
+            )
+            .collect(),
+            key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+        )
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for r in ev:
+            per[r["user_id"]].append(r["es"])
+        adm = rej = throttled = 0
+        for _, times in per.items():
+            tokens, t_last, a, j = TB_CAPACITY, times[0], 0, 0
+            for t in times:
+                refill = (t - t_last) // TB_REFILL_S
+                tokens = min(TB_CAPACITY, tokens + refill)
+                t_last += refill * TB_REFILL_S
+                if tokens >= 1:
+                    tokens -= 1
+                    a += 1
+                else:
+                    j += 1
+            adm += a
+            rej += j
+            throttled += j > 0
+        assert row["n_users"] == len(per)
+        assert row["total_admitted"] == adm
+        assert row["total_rejected"] == rej
+        assert row["users_throttled"] == throttled
+        assert row["total_admitted"] + row["total_rejected"] == len(ev)
