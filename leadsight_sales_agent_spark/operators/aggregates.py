@@ -5373,3 +5373,150 @@ def inventory_eoq_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orders_per_year"
         ),
     )
+
+
+TCLOSE_THRESHOLD_BP = 2000  # t = 0.2
+
+
+@query(
+    "dq_t_closeness_audit",
+    oracle=f"""
+    WITH joined AS (
+        SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+               CAST(substring(o.o_orderpriority, 1, 1) AS INTEGER) AS sens
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    cells AS (
+        SELECT segment, nation, sens, CAST(count(*) AS BIGINT) AS c
+        FROM joined GROUP BY 1, 2, 3
+    ),
+    grid AS (
+        SELECT g.segment, g.nation, s.sens, coalesce(c.c, 0) AS c
+        FROM (SELECT DISTINCT segment, nation FROM cells) g
+        CROSS JOIN (SELECT CAST(unnest(generate_series(1, 5)) AS INTEGER)
+                    AS sens) s
+        LEFT JOIN cells c ON c.segment = g.segment AND c.nation = g.nation
+                         AND c.sens = s.sens
+    ),
+    gcum AS (
+        SELECT segment, nation, sens,
+               sum(c) OVER (PARTITION BY segment, nation
+                            ORDER BY sens) AS cum_g,
+               sum(c) OVER (PARTITION BY segment, nation) AS n_g
+        FROM grid
+    ),
+    gtot AS (
+        SELECT sens,
+               sum(cnt) OVER (ORDER BY sens) AS cum_all,
+               sum(cnt) OVER () AS n
+        FROM (SELECT sens, CAST(sum(c) AS BIGINT) AS cnt
+              FROM grid GROUP BY 1)
+    ),
+    terms AS (
+        SELECT g.segment, g.nation, g.n_g, gl.n,
+               abs(g.cum_g * gl.n - gl.cum_all * g.n_g) AS t
+        FROM gcum g JOIN gtot gl ON gl.sens = g.sens
+        WHERE g.sens < 5
+    )
+    SELECT segment, nation,
+           CAST(max(n_g) AS BIGINT) AS n_rows,
+           CAST((2 * 10000 * sum(t) + max(n_g) * max(n) * 4)
+                // (2 * max(n_g) * max(n) * 4) AS BIGINT) AS emd_bp,
+           CAST(CASE WHEN (2 * 10000 * sum(t) + max(n_g) * max(n) * 4)
+                          // (2 * max(n_g) * max(n) * 4)
+                          > {TCLOSE_THRESHOLD_BP}
+                     THEN 1 ELSE 0 END AS INTEGER) AS breaches_t
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def dq_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the privacy-release ladder
+    (dq_k_anonymity_audit bounds group SIZES, dq_l_diversity_audit
+    bounds sensitive-value VARIETY, t-closeness bounds how far each
+    quasi-identifier group's sensitive DISTRIBUTION may drift from the
+    population's): for every (segment, nation) group, the Earth
+    Mover's Distance between its order-priority distribution and the
+    global one over the ORDERED 5-value domain, which for unit ground
+    distance collapses to the mean absolute CDF gap — and therefore to
+    exact integers by cross-multiplication: Σ|cum_g·n − cum_all·n_g|
+    over n_g·n·(m−1), reported in half-up bp with the t=0.2 breach
+    flag as an integer compare.
+
+    Scale: one fact join, one (group, sens) collapse, windows on the
+    dense 5-slot grid per group, a 5-row global CDF broadcast. The
+    audit is release-gating: any breaching group must be generalized
+    or suppressed before the table ships.
+    """
+    joined = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("sens"),
+        )
+    )
+    cells = joined.groupBy("segment", "nation", "sens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    sens5 = spark.range(1, 6).select(F.col("id").cast("int").alias("sens"))
+    grid = (
+        cells.select("segment", "nation")
+        .distinct()
+        .crossJoin(F.broadcast(sens5))
+        .join(cells, ["segment", "nation", "sens"], "left")
+        .select(
+            "segment", "nation", "sens", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    wg = Window.partitionBy("segment", "nation")
+    gcum = grid.select(
+        "segment",
+        "nation",
+        "sens",
+        F.sum("c").over(wg.orderBy("sens")).alias("cum_g"),
+        F.sum("c").over(wg).alias("n_g"),
+    )
+    glob = (
+        grid.groupBy("sens")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+        .select(
+            "sens",
+            F.sum("cnt").over(Window.orderBy("sens")).alias("cum_all"),
+            F.sum("cnt").over(Window.partitionBy()).alias("n"),
+        )
+    )
+    terms = (
+        gcum.filter(F.col("sens") < 5)
+        .join(F.broadcast(glob), "sens")
+        .select(
+            "segment",
+            "nation",
+            "n_g",
+            "n",
+            F.abs(
+                F.col("cum_g") * F.col("n") - F.col("cum_all") * F.col("n_g")
+            ).alias("t"),
+        )
+    )
+    return terms.groupBy("segment", "nation").agg(
+        F.max("n_g").cast("bigint").alias("n_rows"),
+        F.expr(
+            "CAST((2 * 10000 * sum(t) + max(n_g) * max(n) * 4)"
+            " DIV (2 * max(n_g) * max(n) * 4) AS BIGINT)"
+        ).alias("emd_bp"),
+        F.expr(
+            f"CAST(CASE WHEN (2 * 10000 * sum(t) + max(n_g) * max(n) * 4)"
+            f" DIV (2 * max(n_g) * max(n) * 4) > {TCLOSE_THRESHOLD_BP}"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("breaches_t"),
+    )

@@ -1955,3 +1955,56 @@ class TestTokenBucketReplay:
         assert row["total_rejected"] == rej
         assert row["users_throttled"] == throttled
         assert row["total_admitted"] + row["total_rejected"] == len(ev)
+
+
+class TestTCloseness:
+    def test_emd_recompute(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        rows = {
+            (r["segment"], r["nation"]): r
+            for r in registry.QUERIES["dq_t_closeness_audit"](
+                spark, sf_dir
+            ).collect()
+        }
+        raw = (
+            load(spark, sf_dir, "orders")
+            .join(
+                load(spark, sf_dir, "customer"),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            .join(
+                load(spark, sf_dir, "nation"),
+                F.col("n_nationkey") == F.col("c_nationkey"),
+            )
+            .select(
+                "c_mktsegment",
+                "n_name",
+                F.substring("o_orderpriority", 1, 1).cast("int").alias("s"),
+            )
+            .collect()
+        )
+        from collections import Counter, defaultdict
+
+        per = defaultdict(Counter)
+        tot = Counter()
+        for r in raw:
+            per[(r["c_mktsegment"], r["n_name"])][r["s"]] += 1
+            tot[r["s"]] += 1
+        n = sum(tot.values())
+        for key, cnt in per.items():
+            n_g = sum(cnt.values())
+            S = 0
+            cg = ca = 0
+            for k in range(1, 5):
+                cg += cnt[k]
+                ca += tot[k]
+                S += abs(cg * n - ca * n_g)
+            D = n_g * n * 4
+            want = (2 * 10000 * S + D) // (2 * D)
+            r = rows[key]
+            assert r["n_rows"] == n_g
+            assert r["emd_bp"] == want
+            assert r["breaches_t"] == int(want > 2000)
