@@ -5520,3 +5520,89 @@ def dq_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS INT)"
         ).alias("breaches_t"),
     )
+
+
+def _release_gate_oracle() -> str:
+    """Composes the registered t-closeness spec (embedded verbatim via
+    ORACLES — the mechanical-composition device) with unfiltered
+    k-anonymity and l-diversity stats at the shared QI grain."""
+    from leadsight_sales_agent_spark.registry import ORACLES
+
+    tclose = ORACLES["dq_t_closeness_audit"]
+    return f"""
+    WITH tc AS ({tclose}),
+    kl AS (
+        SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+               CAST(count(*) AS BIGINT) AS group_size,
+               CAST(count(DISTINCT least(CAST(floor(greatest(c.c_acctbal, 0)
+                                              / 2000) AS BIGINT), 4))
+                    AS BIGINT) AS n_sensitive_values
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT kl.segment, kl.nation, kl.group_size, kl.n_sensitive_values,
+           tc.emd_bp,
+           CAST(CASE WHEN kl.group_size >= 5
+                      AND kl.n_sensitive_values >= 3
+                      AND tc.emd_bp <= 2000
+                     THEN 1 ELSE 0 END AS INTEGER) AS releasable
+    FROM kl JOIN tc ON tc.segment = kl.segment AND tc.nation = kl.nation
+    """
+
+
+@query("privacy_release_gate", oracle=_release_gate_oracle())
+def privacy_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The privacy-release gate — the family capstone that a data-
+    release pipeline actually runs: every quasi-identifier cell must
+    simultaneously pass k-anonymity (≥5 members), l-diversity (≥3
+    distinct sensitive brackets), and t-closeness (sensitive
+    distribution within 0.2 EMD of the population) before its rows may
+    ship. One verdict row per (segment, nation) cell with the three
+    evidence columns and the boolean-as-integer release flag; the
+    suppress/generalize remediation joins against the zero rows.
+
+    Composition: the t-closeness leg embeds the REGISTERED spec
+    verbatim (Spark side calls the registered query function, the
+    oracle embeds its SQL — the pipeline_full_release device), and the
+    k/l legs are the unfiltered forms of their audit queries at the
+    same grain. All-integer evidence; the verdict is three integer
+    compares.
+    """
+    tc = dq_t_closeness_audit(spark, sf_dir).select(
+        "segment", "nation", "emd_bp"
+    )
+    kl = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.countDistinct(
+                F.least(
+                    F.floor(F.greatest(F.col("c_acctbal"), F.lit(0)) / 2000).cast(
+                        "bigint"
+                    ),
+                    F.lit(4),
+                )
+            )
+            .cast("bigint")
+            .alias("n_sensitive_values"),
+        )
+    )
+    return kl.join(tc, ["segment", "nation"]).select(
+        "segment",
+        "nation",
+        "group_size",
+        "n_sensitive_values",
+        "emd_bp",
+        F.expr(
+            "CAST(CASE WHEN group_size >= 5 AND n_sensitive_values >= 3"
+            " AND emd_bp <= 2000 THEN 1 ELSE 0 END AS INT)"
+        ).alias("releasable"),
+    )

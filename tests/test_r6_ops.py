@@ -2008,3 +2008,25 @@ class TestTCloseness:
             assert r["n_rows"] == n_g
             assert r["emd_bp"] == want
             assert r["breaches_t"] == int(want > 2000)
+
+
+class TestPrivacyReleaseGate:
+    def test_gate_consistency(self, spark, sf_dir):
+        rows = registry.QUERIES["privacy_release_gate"](spark, sf_dir).collect()
+        assert rows
+        tc = {
+            (r["segment"], r["nation"]): r["emd_bp"]
+            for r in registry.QUERIES["dq_t_closeness_audit"](
+                spark, sf_dir
+            ).collect()
+        }
+        for r in rows:
+            want = int(
+                r["group_size"] >= 5
+                and r["n_sensitive_values"] >= 3
+                and r["emd_bp"] <= 2000
+            )
+            assert r["releasable"] == want
+            # t leg equals the registered stage's value
+            assert r["emd_bp"] == tc[(r["segment"], r["nation"])]
+            assert 1 <= r["n_sensitive_values"] <= 5
