@@ -6266,3 +6266,236 @@ def bandit_ucb1_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("play_next"),
     )
+
+
+LOGRANK_CHI2_1DF_5PCT_E4 = 38415  # chi-square(1) 5% critical value x1e4
+
+
+@query(
+    "survival_logrank_test",
+    oracle=f"""
+    WITH anchor AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ),
+    outcome AS (
+        SELECT a.user_id,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts > a.t0
+                        THEN e.ts END) AS tp,
+               max(e.ts) AS tlast,
+               any_value(a.t0) AS t0
+        FROM anchor a JOIN events e ON e.user_id = a.user_id
+        GROUP BY 1
+    ),
+    spells AS (
+        SELECT user_id,
+               CASE WHEN {_SQL_HASH.format(salt="lr:", key="user_id")}
+                         < '80000000' THEN 1 ELSE 0 END AS arm,
+               CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS died,
+               CASE WHEN tp IS NOT NULL
+                    THEN date_diff('day', t0, tp)
+                    ELSE date_diff('day', t0, tlast) END AS dur
+        FROM outcome
+    ),
+    pg AS (
+        SELECT arm, dur,
+               CAST(sum(died) AS BIGINT) AS d_g,
+               CAST(count(*) AS BIGINT) AS x_g
+        FROM spells GROUP BY 1, 2
+    ),
+    times AS (
+        SELECT DISTINCT dur FROM pg WHERE d_g > 0
+    ),
+    grid AS (
+        SELECT a.arm, t.dur, coalesce(p.d_g, 0) AS d_g,
+               coalesce(p.x_g, 0) AS x_g
+        FROM (SELECT DISTINCT arm FROM pg) a
+        CROSS JOIN (SELECT DISTINCT dur FROM pg) t
+        LEFT JOIN pg p ON p.arm = a.arm AND p.dur = t.dur
+    ),
+    risk AS (
+        SELECT arm, dur, d_g,
+               sum(x_g) OVER (PARTITION BY arm) 
+                   - coalesce(sum(x_g) OVER (PARTITION BY arm ORDER BY dur
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS n_g
+        FROM grid
+    ),
+    att AS (
+        SELECT r.dur,
+               max(CASE WHEN arm = 1 THEN d_g END) AS d1,
+               max(CASE WHEN arm = 1 THEN n_g END) AS n1,
+               max(CASE WHEN arm = 0 THEN d_g END) + 
+                   max(CASE WHEN arm = 1 THEN d_g END) AS d,
+               max(CASE WHEN arm = 0 THEN n_g END) + 
+                   max(CASE WHEN arm = 1 THEN n_g END) AS n
+        FROM risk r JOIN times t ON t.dur = r.dur
+        GROUP BY 1
+    ),
+    terms AS (
+        SELECT CAST(sum(d1) AS BIGINT) AS o1,
+               CAST(sum(CAST(round(CAST(n1 AS DOUBLE) * CAST(d AS DOUBLE)
+                                   / CAST(n AS DOUBLE), 6)
+                             AS DECIMAL(20,6))) AS DECIMAL(20,6)) AS e1,
+               CAST(sum(CASE WHEN n > 1 THEN
+                        CAST(round(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE)
+                                   / CAST(n AS DOUBLE))
+                                   * (1.0 - CAST(n1 AS DOUBLE)
+                                      / CAST(n AS DOUBLE))
+                                   * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+                                   / (CAST(n AS DOUBLE) - 1.0), 6)
+                             AS DECIMAL(20,6)) ELSE 0 END)
+                    AS DECIMAL(20,6)) AS v
+        FROM att
+    )
+    SELECT o1 AS observed_arm1,
+           CAST(floor(CAST(e1 AS DOUBLE) * 1e4 + 0.5) AS BIGINT)
+               AS expected_arm1_e4,
+           CAST(floor((CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
+                      * (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
+                      / CAST(v AS DOUBLE) * 1e4 + 0.5) AS BIGINT)
+               AS chi2_e4,
+           CAST(CASE WHEN floor((CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
+                      * (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
+                      / CAST(v AS DOUBLE) * 1e4 + 0.5)
+                          > {LOGRANK_CHI2_1DF_5PCT_E4}
+                     THEN 1 ELSE 0 END AS INTEGER) AS curves_differ_5pct
+    FROM terms
+    """,
+)
+def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between two arms' survival curves — the
+    inferential sibling of survival_kaplan_meier (KM describes one
+    curve; log-rank decides whether two differ): users hash-split into
+    two arms, and at every death time the observed arm-1 events are
+    compared to the hypergeometric expectation given the at-risk sets,
+    Z² = (ΣO−ΣE)²/ΣV on one degree of freedom.
+
+    Exactness: O is an exact integer; the E and V terms are rationals
+    with per-time denominators, so each evaluates as an identical IEEE
+    expression rounded 6dp and sums as DECIMAL (the Kruskal-Wallis
+    term-sum device); at-risk counts come from dense per-arm grids
+    with a PRECEDING-frame cumulative (exact integers); the statistic
+    reports through the floor quantizer with an integer critical-value
+    verdict. Scale: spells build on the KM plan; everything after runs
+    on the duration grain (bounded by the observation window in days).
+    """
+    ev = load(spark, sf_dir, "events")
+    anchor = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    outcome = (
+        anchor.join(ev, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t0")),
+                    F.col("ts"),
+                )
+            ).alias("tp"),
+            F.max("ts").alias("tlast"),
+            F.any_value("t0").alias("t0"),
+        )
+    )
+    spells = outcome.select(
+        F.when(hash_key("lr:", F.col("user_id")) < "80000000", 1)
+        .otherwise(0)
+        .alias("arm"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("died"),
+        F.when(
+            F.col("tp").isNotNull(), F.datediff(F.col("tp"), F.col("t0"))
+        )
+        .otherwise(F.datediff(F.col("tlast"), F.col("t0")))
+        .cast("bigint")
+        .alias("dur"),
+    )
+    pg = spells.groupBy("arm", "dur").agg(
+        F.sum("died").cast("bigint").alias("d_g"),
+        F.count(F.lit(1)).cast("bigint").alias("x_g"),
+    )
+    times = pg.filter(F.col("d_g") > 0).select("dur").distinct()
+    grid = (
+        pg.select("arm")
+        .distinct()
+        .crossJoin(pg.select("dur").distinct())
+        .join(pg, ["arm", "dur"], "left")
+        .select(
+            "arm",
+            "dur",
+            F.coalesce("d_g", F.lit(0)).alias("d_g"),
+            F.coalesce("x_g", F.lit(0)).alias("x_g"),
+        )
+    )
+    wa = Window.partitionBy("arm")
+    risk = grid.select(
+        "arm",
+        "dur",
+        "d_g",
+        (
+            F.sum("x_g").over(wa)
+            - F.coalesce(
+                F.sum("x_g").over(
+                    wa.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("n_g"),
+    )
+    att = (
+        risk.join(times, "dur")
+        .groupBy("dur")
+        .agg(
+            F.max(F.when(F.col("arm") == 1, F.col("d_g"))).alias("d1"),
+            F.max(F.when(F.col("arm") == 1, F.col("n_g"))).alias("n1"),
+            (
+                F.max(F.when(F.col("arm") == 0, F.col("d_g")))
+                + F.max(F.when(F.col("arm") == 1, F.col("d_g")))
+            ).alias("d"),
+            (
+                F.max(F.when(F.col("arm") == 0, F.col("n_g")))
+                + F.max(F.when(F.col("arm") == 1, F.col("n_g")))
+            ).alias("n"),
+        )
+    )
+    terms = att.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(n1 AS DOUBLE) * CAST(d AS DOUBLE)"
+                " / CAST(n AS DOUBLE), 6) AS DECIMAL(20,6))"
+            )
+        )
+        .cast("decimal(20,6)")
+        .alias("e1"),
+        F.sum(
+            F.expr(
+                "CASE WHEN n > 1 THEN CAST(round(CAST(d AS DOUBLE)"
+                " * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))"
+                " / (CAST(n AS DOUBLE) - 1.0), 6) AS DECIMAL(20,6))"
+                " ELSE CAST(0 AS DECIMAL(20,6)) END"
+            )
+        )
+        .cast("decimal(20,6)")
+        .alias("v"),
+    )
+    chi2 = (
+        "floor((CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))"
+        " * (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))"
+        " / CAST(v AS DOUBLE) * 1e4 + 0.5)"
+    )
+    return terms.select(
+        F.col("o1").alias("observed_arm1"),
+        F.expr("CAST(floor(CAST(e1 AS DOUBLE) * 1e4 + 0.5) AS BIGINT)").alias(
+            "expected_arm1_e4"
+        ),
+        F.expr(f"CAST({chi2} AS BIGINT)").alias("chi2_e4"),
+        F.expr(
+            f"CAST(CASE WHEN {chi2} > {LOGRANK_CHI2_1DF_5PCT_E4}"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("curves_differ_5pct"),
+    )

@@ -2030,3 +2030,59 @@ class TestPrivacyReleaseGate:
             # t leg equals the registered stage's value
             assert r["emd_bp"] == tc[(r["segment"], r["nation"])]
             assert 1 <= r["n_sensitive_values"] <= 5
+
+
+class TestLogRank:
+    def test_lifelines_free_recompute(self, spark, sf_dir):
+        import hashlib
+        import math
+
+        import pyspark.sql.functions as F
+
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        row = registry.QUERIES["survival_logrank_test"](spark, sf_dir).collect()[0]
+        ev = load(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts"
+        ).collect()
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for r in ev:
+            per[r["user_id"]].append((r["ts"], r["event_type"]))
+        spells = []
+        for uid, evs in per.items():
+            sign = [t for t, k in evs if k == "signup"]
+            if not sign:
+                continue
+            t0 = min(sign)
+            purch = [t for t, k in evs if k == "purchase" and t > t0]
+            last = max(t for t, _ in evs)
+            arm = (
+                1
+                if hashlib.md5(f"lr:{uid}".encode()).hexdigest()[:8] < "80000000"
+                else 0
+            )
+            if purch:
+                spells.append((arm, 1, (min(purch).date() - t0.date()).days))
+            else:
+                spells.append((arm, 0, (last.date() - t0.date()).days))
+        times = sorted({d for a, died, d in spells if died})
+        o1 = 0
+        e1 = 0.0
+        v = 0.0
+        for t in times:
+            n1 = sum(1 for a, _, d in spells if a == 1 and d >= t)
+            n0 = sum(1 for a, _, d in spells if a == 0 and d >= t)
+            d1 = sum(1 for a, died, d in spells if a == 1 and died and d == t)
+            d0 = sum(1 for a, died, d in spells if a == 0 and died and d == t)
+            n, d = n1 + n0, d1 + d0
+            o1 += d1
+            e1 += round(n1 * d / n, 6)
+            if n > 1:
+                v += round(d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1), 6)
+        assert row["observed_arm1"] == o1
+        assert row["expected_arm1_e4"] == math.floor(e1 * 1e4 + 0.5)
+        chi2 = (o1 - e1) ** 2 / v
+        assert abs(row["chi2_e4"] / 1e4 - chi2) < 1e-3
+        assert row["curves_differ_5pct"] == int(row["chi2_e4"] > 38415)

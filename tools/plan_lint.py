@@ -60,6 +60,7 @@ ALLOW_NON_EQUI = {
     "inventory_ss_policy_replay",  # 36-month literal grid onto the brand frame
     "replication_merkle_diff",  # 1-row repair x divergence-stats anchors
     "dq_t_closeness_audit",  # 5-slot sens grid + 5-row global CDF broadcast
+    "survival_logrank_test",  # dense arm x duration grid (observation-window bounded)
     "privacy_release_gate",  # embeds the t-closeness stage
     "revenue_max_drawdown",  # 1-row argmin anchor
     "dedup_cross_source_matrix",  # |sources|^2 grid
@@ -303,6 +304,7 @@ ALLOW_MANY_EXCHANGES = {
     "forecast_ljung_box_q": 18,  # inherits the ACF stage's 12-way lag alignment exchanges
     "dq_t_closeness_audit": 20,  # dense grid build + per-group and global CDF windows
     "privacy_release_gate": 24,  # inherits the t-closeness stage + the k/l rollup
+    "survival_logrank_test": 22,  # spell build + dense grid + at-risk cumulative windows
     "sketch_kmv_intersection": 13,
     "sketch_kmv_rolling_distinct_7d": 7,  # daily rank + window rank + exact-truth twin
     "attribution_shapley_channels": 9,  # pre-purchase mask join + coalition grid + span anchor
