@@ -4670,6 +4670,164 @@ def eval_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ANOVA report trees (shared VERBATIM with the oracle — identical IEEE
+# ops on integer-derived doubles; floor(x*1e4+0.5), never round(double)).
+_ANOVA_ETA_EXPR = (
+    "CAST(floor(CAST(ssb_c2 AS DOUBLE) / CAST(sst_c2 AS DOUBLE)"
+    " * 1e4 + 0.5) AS BIGINT)"
+)
+_ANOVA_F_EXPR = (
+    "CAST(floor(CAST(ssb_c2 AS DOUBLE) * CAST(n - k AS DOUBLE)"
+    " / (CAST(ssw_c2 AS DOUBLE) * CAST(k - 1 AS DOUBLE))"
+    " * 1e4 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "eval_anova_f_oneway",
+    oracle=f"""
+    WITH j AS (
+        SELECT CAST(CAST(o.o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents,
+               c.c_mktsegment AS seg
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g1 AS (
+        SELECT seg, cents, count(*) AS cnt FROM j GROUP BY 1, 2
+    ),
+    cen AS (
+        SELECT seg, cents, cnt,
+               cents - (sum(cents * cnt) OVER () // sum(cnt) OVER ()) AS d
+        FROM g1
+    ),
+    segstats AS (
+        SELECT seg,
+               CAST(sum(cnt) AS BIGINT) AS n_g,
+               CAST(sum(cnt * d) AS BIGINT) AS d1_g,
+               CAST(sum(CAST(cnt AS HUGEINT) * d * d) AS HUGEINT) AS d2_g
+        FROM cen GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(count(*) AS INTEGER) AS k,
+               CAST(sum(d1_g) AS BIGINT) AS s1,
+               CAST(sum(d2_g) AS HUGEINT) AS s2,
+               CAST(sum(CAST(d1_g AS HUGEINT) * d1_g // n_g) AS HUGEINT)
+                   AS ssb_terms
+        FROM segstats
+    ),
+    fin AS (
+        SELECT n, k,
+               ssb_terms - (CAST(s1 AS HUGEINT) * s1 // n) AS ssb_c2,
+               s2 - (CAST(s1 AS HUGEINT) * s1 // n) AS sst_c2,
+               (s2 - (CAST(s1 AS HUGEINT) * s1 // n))
+                   - (ssb_terms - (CAST(s1 AS HUGEINT) * s1 // n)) AS ssw_c2
+        FROM tot
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(k AS INTEGER) AS k_groups,
+           CAST(n - k AS BIGINT) AS df_within,
+           CAST(ssb_c2 AS DECIMAL(38,0)) AS ssb_cents2,
+           CAST(ssw_c2 AS DECIMAL(38,0)) AS ssw_cents2,
+           {_ANOVA_ETA_EXPR} AS eta2_bp,
+           {_ANOVA_F_EXPR} AS f_bp
+    FROM fin
+    """,
+)
+def eval_anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five market segments: does mean order
+    value differ by segment? The PARAMETRIC complement of
+    eval_kruskal_wallis on the same design — KW compares rank
+    distributions, ANOVA partitions variance (SST = SSB + SSW) and
+    tests the between/within mean-square ratio; eta²=SSB/SST is the
+    effect size a feature screen actually thresholds on.
+
+    Exactness (all-integer until the 1-row report): values center on
+    the GLOBAL integer floor-mean (window over the collapsed
+    (seg,cents) grain — exact BIGINT division, and 0 <= s1=Σd < N by
+    construction), so the centered power sums are exact (Σcnt·d BIGINT,
+    Σcnt·d² DECIMAL(38,0)). Per-group floor(d1_g²/n_g) CANNOT use DIV —
+    Spark's IntegralDivide returns BIGINT and silently WRAPS for
+    quotients past 2^63 (verified: 5.1e25 DIV 7 went negative) — so the
+    quotient rides the pmod identity (p - pmod(p,q))/q, which Spark's
+    decimal division renders exactly for divisible pairs; DuckDB uses
+    HUGEINT `//`. Big floor(double)->DECIMAL casts are also banned
+    here: Spark casts double->decimal through the SHORTEST STRING,
+    which is lossy past ~1e17 (playbook). F and eta² are shared-text
+    IEEE trees over DECIMAL(38,0)->DOUBLE casts (scale-0 decimal ->
+    double is ONE correctly-rounded conversion in both engines — safe,
+    unlike fractional-scale decimals). BIGINT headroom: s1² < N², safe
+    to ~1.5e9 rows per cell; d2 sums carry DECIMAL(38,0)/HUGEINT.
+
+    100 TB plan: one keyed join, one (seg,cents) hash collapse, one
+    unpartitioned window on the DOMAIN-bounded collapsed grain, then a
+    5-row reduce — the same shape as eval_kruskal_wallis, minus the
+    rank sort.
+    """
+    j = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    g1 = j.groupBy("seg", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wall = Window.partitionBy()
+    cen = g1.select(
+        "seg",
+        "cents",
+        "cnt",
+        F.sum(F.col("cents") * F.col("cnt")).over(wall).alias("sall"),
+        F.sum("cnt").over(wall).alias("nall"),
+    ).withColumn("d", F.expr("cents - (sall DIV nall)"))
+    segstats = cen.groupBy("seg").agg(
+        F.sum("cnt").cast("bigint").alias("n_g"),
+        F.sum(F.col("cnt") * F.col("d")).cast("bigint").alias("d1_g"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * d * d"))
+        .cast("decimal(38,0)")
+        .alias("d2_g"),
+    )
+    tot = segstats.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.sum("d1_g").cast("bigint").alias("s1"),
+        F.sum("d2_g").cast("decimal(38,0)").alias("s2"),
+        F.sum(
+            F.expr(
+                "CAST((CAST(d1_g AS DECIMAL(38,0)) * d1_g"
+                " - pmod(CAST(d1_g AS DECIMAL(38,0)) * d1_g,"
+                " CAST(n_g AS DECIMAL(38,0)))) / n_g AS DECIMAL(38,0))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("ssb_terms"),
+    )
+    fin = tot.select(
+        "n",
+        "k",
+        F.expr("ssb_terms - (s1 * s1 DIV n)").alias("ssb_c2"),
+        F.expr("s2 - (s1 * s1 DIV n)").alias("sst_c2"),
+        F.expr(
+            "(s2 - (s1 * s1 DIV n)) - (ssb_terms - (s1 * s1 DIV n))"
+        ).alias("ssw_c2"),
+    )
+    return fin.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("k").cast("int").alias("k_groups"),
+        F.expr("CAST(n - k AS BIGINT)").alias("df_within"),
+        F.col("ssb_c2").cast("decimal(38,0)").alias("ssb_cents2"),
+        F.col("ssw_c2").cast("decimal(38,0)").alias("ssw_cents2"),
+        F.expr(_ANOVA_ETA_EXPR).alias("eta2_bp"),
+        F.expr(_ANOVA_F_EXPR).alias("f_bp"),
+    )
+
+
 DECAY_CAP_DAYS = 7  # touches older than a week get the floor weight
 ATTR_MICROS = 1_000_000  # one conversion = 1e6 micro-credits
 
