@@ -4828,6 +4828,180 @@ def eval_anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BF_F_EXPR = (
+    "CAST(floor(CAST(ssb_c2 AS DOUBLE) * CAST(n - k AS DOUBLE)"
+    " / (CAST(ssw_c2 AS DOUBLE) * CAST(k - 1 AS DOUBLE))"
+    " * 1e4 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "eval_brown_forsythe_levene",
+    oracle=f"""
+    WITH j AS (
+        SELECT CAST(CAST(o.o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents,
+               c.c_mktsegment AS seg
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g1 AS (
+        SELECT seg, cents, count(*) AS cnt FROM j GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT seg, cents, cnt,
+               sum(cnt) OVER (PARTITION BY seg ORDER BY cents) AS cum_incl,
+               sum(cnt) OVER (PARTITION BY seg) AS n_g
+        FROM g1
+    ),
+    zg AS (
+        SELECT seg, cents, cnt,
+               abs(cents - min(CASE WHEN cum_incl >= (n_g + 1) // 2
+                                    THEN cents END)
+                           OVER (PARTITION BY seg)) AS z
+        FROM med
+    ),
+    cen AS (
+        SELECT seg, z, cnt,
+               z - (sum(z * cnt) OVER () // sum(cnt) OVER ()) AS d
+        FROM zg
+    ),
+    segstats AS (
+        SELECT seg,
+               CAST(sum(cnt) AS BIGINT) AS n_g,
+               CAST(sum(cnt * d) AS BIGINT) AS d1_g,
+               CAST(sum(CAST(cnt AS HUGEINT) * d * d) AS HUGEINT) AS d2_g
+        FROM cen GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(count(*) AS INTEGER) AS k,
+               CAST(sum(d1_g) AS BIGINT) AS s1,
+               CAST(sum(d2_g) AS HUGEINT) AS s2,
+               CAST(sum(CAST(d1_g AS HUGEINT) * d1_g // n_g) AS HUGEINT)
+                   AS ssb_terms
+        FROM segstats
+    ),
+    fin AS (
+        SELECT n, k,
+               ssb_terms - (CAST(s1 AS HUGEINT) * s1 // n) AS ssb_c2,
+               (s2 - (CAST(s1 AS HUGEINT) * s1 // n))
+                   - (ssb_terms - (CAST(s1 AS HUGEINT) * s1 // n)) AS ssw_c2
+        FROM tot
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(k AS INTEGER) AS k_groups,
+           CAST(n - k AS BIGINT) AS df_within,
+           CAST(ssb_c2 AS DECIMAL(38,0)) AS ssb_z2,
+           CAST(ssw_c2 AS DECIMAL(38,0)) AS ssw_z2,
+           {_BF_F_EXPR} AS f_bp
+    FROM fin
+    """,
+)
+def eval_brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test for EQUALITY OF
+    VARIANCE across the five market segments — the gate every pooled
+    t-test/ANOVA should pass first, and the robust form (deviations
+    from the group MEDIAN, not mean) that survives the heavy right
+    tail of order totals. The statistic is a one-way ANOVA F computed
+    on z = |x - median_g|, so this composes eval_anova_f_oneway's
+    all-integer device on a derived integer column.
+
+    Exactness: the group median is the LOWER median picked as an
+    ELEMENT (first cents whose ties-inclusive cumulative count reaches
+    (n_g+1) DIV 2 — rank-picked, never interpolated), so z is an exact
+    BIGINT; everything downstream is the ANOVA chain verbatim
+    (floor-mean centering, pmod quotient for floor(d1²/n), HUGEINT //
+    on the DuckDB side, shared-text IEEE F tree at 4dp).
+
+    100 TB plan: the (seg,cents) collapse bounds every window by the
+    price DOMAIN; the per-seg median windows and the group stats share
+    one hash partitioning on seg; one unpartitioned window on the
+    collapsed grain; 5-row reduce.
+    """
+    j = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    g1 = j.groupBy("seg", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wseg_ord = Window.partitionBy("seg").orderBy("cents")
+    wseg = Window.partitionBy("seg")
+    med = g1.select(
+        "seg",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wseg_ord).alias("cum_incl"),
+        F.sum("cnt").over(wseg).alias("n_g"),
+    )
+    zg = med.select(
+        "seg",
+        "cnt",
+        F.abs(
+            F.col("cents")
+            - F.min(
+                F.when(
+                    F.col("cum_incl") >= F.expr("(n_g + 1) DIV 2"),
+                    F.col("cents"),
+                )
+            ).over(wseg)
+        ).alias("z"),
+    )
+    wall = Window.partitionBy()
+    cen = zg.select(
+        "seg",
+        "z",
+        "cnt",
+        F.sum(F.col("z") * F.col("cnt")).over(wall).alias("sall"),
+        F.sum("cnt").over(wall).alias("nall"),
+    ).withColumn("d", F.expr("z - (sall DIV nall)"))
+    segstats = cen.groupBy("seg").agg(
+        F.sum("cnt").cast("bigint").alias("n_g"),
+        F.sum(F.col("cnt") * F.col("d")).cast("bigint").alias("d1_g"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * d * d"))
+        .cast("decimal(38,0)")
+        .alias("d2_g"),
+    )
+    tot = segstats.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.sum("d1_g").cast("bigint").alias("s1"),
+        F.sum("d2_g").cast("decimal(38,0)").alias("s2"),
+        F.sum(
+            F.expr(
+                "CAST((CAST(d1_g AS DECIMAL(38,0)) * d1_g"
+                " - pmod(CAST(d1_g AS DECIMAL(38,0)) * d1_g,"
+                " CAST(n_g AS DECIMAL(38,0)))) / n_g AS DECIMAL(38,0))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("ssb_terms"),
+    )
+    fin = tot.select(
+        "n",
+        "k",
+        F.expr("ssb_terms - (s1 * s1 DIV n)").alias("ssb_c2"),
+        F.expr(
+            "(s2 - (s1 * s1 DIV n)) - (ssb_terms - (s1 * s1 DIV n))"
+        ).alias("ssw_c2"),
+    )
+    return fin.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("k").cast("int").alias("k_groups"),
+        F.expr("CAST(n - k AS BIGINT)").alias("df_within"),
+        F.col("ssb_c2").cast("decimal(38,0)").alias("ssb_z2"),
+        F.col("ssw_c2").cast("decimal(38,0)").alias("ssw_z2"),
+        F.expr(_BF_F_EXPR).alias("f_bp"),
+    )
+
+
 DECAY_CAP_DAYS = 7  # touches older than a week get the floor weight
 ATTR_MICROS = 1_000_000  # one conversion = 1e6 micro-credits
 
