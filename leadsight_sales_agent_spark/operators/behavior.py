@@ -5002,6 +5002,189 @@ def eval_brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Welch stage trees, shared VERBATIM Spark/oracle. Each is one IEEE
+# tree over exact integer inputs (d1_* BIGINT < 2^53; d2_* scale-0
+# decimal -> double is a single correctly-rounded conversion).
+_WELCH_SE_A = (
+    "(CAST(d2_a AS DOUBLE) - CAST(d1_a AS DOUBLE) * CAST(d1_a AS DOUBLE)"
+    " / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)"
+    " / CAST(n_a AS DOUBLE)"
+)
+_WELCH_SE_B = (
+    "(CAST(d2_b AS DOUBLE) - CAST(d1_b AS DOUBLE) * CAST(d1_b AS DOUBLE)"
+    " / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)"
+    " / CAST(n_b AS DOUBLE)"
+)
+_WELCH_MD = (
+    "CAST(d1_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    " - CAST(d1_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+)
+_WELCH_T = "CAST(floor(md / sqrt(sea + seb) * 1e4 + 0.5) AS BIGINT)"
+_WELCH_DF = (
+    "CAST(floor((sea + seb) * (sea + seb)"
+    " / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)"
+    "  + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)) * 1e2 + 0.5) AS BIGINT)"
+)
+_WELCH_D = (
+    "CAST(floor(md / sqrt((CAST(d2_a AS DOUBLE)"
+    " - CAST(d1_a AS DOUBLE) * CAST(d1_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    " + CAST(d2_b AS DOUBLE)"
+    " - CAST(d1_b AS DOUBLE) * CAST(d1_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    " / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0))"
+    " * 1e4 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "eval_welch_t_test",
+    oracle=f"""
+    WITH j AS (
+        SELECT CAST(CAST(o.o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS a
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    g1 AS (
+        SELECT a, cents, count(*) AS cnt FROM j GROUP BY 1, 2
+    ),
+    cen AS (
+        SELECT a, cents, cnt,
+               cents - (sum(cents * cnt) OVER () // sum(cnt) OVER ()) AS d
+        FROM g1
+    ),
+    tot AS (
+        SELECT CAST(sum(CASE WHEN a = 1 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN a = 0 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               CAST(sum(CASE WHEN a = 1 THEN cnt * d ELSE 0 END) AS BIGINT)
+                   AS d1_a,
+               CAST(sum(CASE WHEN a = 0 THEN cnt * d ELSE 0 END) AS BIGINT)
+                   AS d1_b,
+               CAST(sum(CASE WHEN a = 1 THEN CAST(cnt AS HUGEINT) * d * d
+                             ELSE 0 END) AS DECIMAL(38,0)) AS d2_a,
+               CAST(sum(CASE WHEN a = 0 THEN CAST(cnt AS HUGEINT) * d * d
+                             ELSE 0 END) AS DECIMAL(38,0)) AS d2_b
+        FROM cen
+    ),
+    staged AS (
+        SELECT n_a, n_b,
+               {_WELCH_MD} AS md,
+               {_WELCH_SE_A} AS sea,
+               {_WELCH_SE_B} AS seb,
+               d1_a, d1_b, d2_a, d2_b
+        FROM tot
+    )
+    SELECT n_a, n_b,
+           CAST(floor(md * 1e2 + 0.5) AS BIGINT) AS mean_diff_cents_e2,
+           {_WELCH_T} AS t_welch_e4,
+           {_WELCH_DF} AS df_welch_e2,
+           {_WELCH_D} AS cohens_d_e4
+    FROM staged
+    """,
+)
+def eval_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on BUILDING vs MACHINERY order
+    totals, with the Welch-Satterthwaite effective df and Cohen's d —
+    the parametric twin of eval_mann_whitney_u on the same two-sample
+    design, and the test that stays valid when
+    eval_brown_forsythe_levene rejects equal variances (classic
+    pooled t does not).
+
+    Exactness: both samples center on the SHARED global floor-mean
+    (shift-invariance: t, df, and d depend only on mean DIFFERENCE and
+    per-group variances), making every sufficient statistic an exact
+    integer: d1_* BIGINT (< 2^53, exact in double), d2_* DECIMAL(38,0)
+    (scale-0 decimal -> double is one correctly-rounded conversion both
+    engines). The report is staged shared-verbatim IEEE trees — the
+    mean diff and the two squared standard errors land in named DOUBLE
+    columns (identical bits both engines), then t, df, and d are fixed
+    trees over those; sqrt is IEEE-exact, and floor(x*1eK + 0.5)
+    replaces round(double,k) per the playbook (negative t rounds
+    half-toward-+inf identically).
+
+    100 TB plan: one keyed join, one (a,cents) collapse, one
+    unpartitioned window on the domain-bounded grain, one 1-row
+    conditional reduce — no joins after the collapse.
+    """
+    j = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer").filter(
+                F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("a"),
+        )
+    )
+    g1 = j.groupBy("a", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wall = Window.partitionBy()
+    cen = g1.select(
+        "a",
+        "cents",
+        "cnt",
+        F.sum(F.col("cents") * F.col("cnt")).over(wall).alias("sall"),
+        F.sum("cnt").over(wall).alias("nall"),
+    ).withColumn("d", F.expr("cents - (sall DIV nall)"))
+    tot = cen.agg(
+        F.sum(F.when(F.col("a") == 1, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("a") == 0, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("a") == 1, F.col("cnt") * F.col("d")).otherwise(0))
+        .cast("bigint")
+        .alias("d1_a"),
+        F.sum(F.when(F.col("a") == 0, F.col("cnt") * F.col("d")).otherwise(0))
+        .cast("bigint")
+        .alias("d1_b"),
+        F.sum(
+            F.expr(
+                "CASE WHEN a = 1 THEN CAST(cnt AS DECIMAL(38,0)) * d * d"
+                " ELSE 0 END"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("d2_a"),
+        F.sum(
+            F.expr(
+                "CASE WHEN a = 0 THEN CAST(cnt AS DECIMAL(38,0)) * d * d"
+                " ELSE 0 END"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("d2_b"),
+    )
+    staged = tot.select(
+        "n_a",
+        "n_b",
+        F.expr(_WELCH_MD).alias("md"),
+        F.expr(_WELCH_SE_A).alias("sea"),
+        F.expr(_WELCH_SE_B).alias("seb"),
+        "d1_a",
+        "d1_b",
+        "d2_a",
+        "d2_b",
+    )
+    return staged.select(
+        "n_a",
+        "n_b",
+        F.expr("CAST(floor(md * 1e2 + 0.5) AS BIGINT)").alias(
+            "mean_diff_cents_e2"
+        ),
+        F.expr(_WELCH_T).alias("t_welch_e4"),
+        F.expr(_WELCH_DF).alias("df_welch_e2"),
+        F.expr(_WELCH_D).alias("cohens_d_e4"),
+    )
+
+
 DECAY_CAP_DAYS = 7  # touches older than a week get the floor weight
 ATTR_MICROS = 1_000_000  # one conversion = 1e6 micro-credits
 
