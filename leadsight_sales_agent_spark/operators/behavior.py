@@ -5185,6 +5185,137 @@ def eval_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "eval_friedman_blocked_ranks",
+    oracle="""
+    WITH cell AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               o_orderpriority AS prio,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY 1, 2
+    ),
+    complete AS (
+        SELECT * FROM cell
+        QUALIFY count(*) OVER (PARTITION BY mon) = 5
+    ),
+    ranked AS (
+        SELECT mon, prio, v,
+               sum(1) OVER (PARTITION BY mon ORDER BY v) AS cum_incl,
+               count(*) OVER (PARTITION BY mon, v) AS t
+        FROM complete
+    ),
+    r2 AS (
+        SELECT prio,
+               CAST(sum(2 * (cum_incl - t) + t + 1) AS BIGINT) AS r2_sum,
+               CAST(count(*) AS BIGINT) AS n_blocks
+        FROM ranked GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(max(n_blocks) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(r2_sum * r2_sum) AS BIGINT) AS sr2
+        FROM r2
+    ),
+    fin AS (
+        SELECT n, k,
+               3 * sr2 - 3 * n * n * k * (k + 1) * (k + 1) AS num,
+               n * k * (k + 1) AS den
+        FROM tot
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           CAST(k AS INTEGER) AS k_treatments,
+           CAST(k - 1 AS INTEGER) AS df,
+           CAST((2 * num * 10000 + den) // (2 * den) AS BIGINT) AS chi2_bp,
+           CAST((2 * num * 10000 + den * (k - 1)) // (2 * den * (k - 1))
+                AS BIGINT) AS kendalls_w_bp
+    FROM fin
+    """,
+)
+def eval_friedman_blocked_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test over BLOCKED ranks: rank the five order priorities
+    by monthly revenue WITHIN each month (the block), then test whether
+    any priority consistently out-earns the others across months.
+    Completes the nonparametric battery's missing cell — KS/MW are
+    two-sample, Kruskal-Wallis is k independent samples, Friedman is k
+    MATCHED treatments (the repeated-measures design every
+    month-over-month league table implies). Kendall's W = chi2/(n(k-1))
+    is reported as the concordance effect size. Only COMPLETE blocks
+    (months where all five priorities traded) enter the design — the
+    standard Friedman requirement, and a real filter at sf0.001 where
+    thin months miss priorities.
+
+    Exactness: per-cell revenue is an exact BIGINT cent sum; within-
+    block ranks use the half-unit average-rank device (2·rank =
+    2·(cum_incl - t) + t + 1 on the ties-inclusive default RANGE
+    cumulative both engines share — ties across priorities within one
+    month are near-impossible at the cent grain but the device makes
+    them deterministic anyway). Rank sums are tiny integers (<= 2kn),
+    so chi2 = (3·ΣR2² - 3n²k(k+1)²)/(nk(k+1)) — the half-unit form,
+    nonnegative by Cauchy-Schwarz — reports as half-up basis points
+    via bare integer DIV (cross-engine identical truncation).
+
+    100 TB plan: one month+priority hash collapse (map-side partial
+    sums), windows on the collapsed ~420-row grid, 5-row reduce —
+    the fact scan is the only data-sized stage.
+    """
+    cell = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    complete = (
+        cell.withColumn(
+            "n_prio", F.count(F.lit(1)).over(Window.partitionBy("mon"))
+        )
+        .filter(F.col("n_prio") == 5)
+        .drop("n_prio")
+    )
+    ranked = complete.select(
+        "mon",
+        "prio",
+        "v",
+        F.sum(F.lit(1)).over(Window.partitionBy("mon").orderBy("v")).alias("cum_incl"),
+        F.count(F.lit(1)).over(Window.partitionBy("mon", "v")).alias("t"),
+    )
+    r2 = ranked.groupBy("prio").agg(
+        F.sum(2 * (F.col("cum_incl") - F.col("t")) + F.col("t") + 1)
+        .cast("bigint")
+        .alias("r2_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+    tot = r2.agg(
+        F.max("n_blocks").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("r2_sum") * F.col("r2_sum")).cast("bigint").alias("sr2"),
+    )
+    fin = tot.select(
+        "n",
+        "k",
+        F.expr("3 * sr2 - 3 * n * n * k * (k + 1) * (k + 1)").alias("num"),
+        F.expr("n * k * (k + 1)").alias("den"),
+    )
+    return fin.select(
+        F.col("n").cast("bigint").alias("n_blocks"),
+        F.col("k").cast("int").alias("k_treatments"),
+        (F.col("k") - 1).cast("int").alias("df"),
+        F.expr("CAST((2 * num * 10000 + den) DIV (2 * den) AS BIGINT)").alias(
+            "chi2_bp"
+        ),
+        F.expr(
+            "CAST((2 * num * 10000 + den * (k - 1)) DIV (2 * den * (k - 1))"
+            " AS BIGINT)"
+        ).alias("kendalls_w_bp"),
+    )
+
+
 DECAY_CAP_DAYS = 7  # touches older than a week get the floor weight
 ATTR_MICROS = 1_000_000  # one conversion = 1e6 micro-credits
 
