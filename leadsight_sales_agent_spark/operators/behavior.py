@@ -5316,6 +5316,136 @@ def eval_friedman_blocked_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Effect-size report trees, shared VERBATIM Spark/oracle over the
+# exact integer chi2_micro (chi² in 1e-6 units, < 2^53).
+_CONT_V_EXPR = (
+    "CAST(floor(sqrt(CAST(chi2_micro AS DOUBLE) / 1e6"
+    " / (CAST(nn AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE)))"
+    " * 1e4 + 0.5) AS BIGINT)"
+)
+_CONT_PHI_EXPR = (
+    "CAST(floor(sqrt(CAST(chi2_micro AS DOUBLE) / 1e6"
+    " / CAST(nn AS DOUBLE)) * 1e4 + 0.5) AS BIGINT)"
+)
+_CONT_C_EXPR = (
+    "CAST(floor(sqrt(CAST(chi2_micro AS DOUBLE)"
+    " / (CAST(chi2_micro AS DOUBLE) + 1e6 * CAST(nn AS DOUBLE)))"
+    " * 1e4 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "eval_effect_size_contingency",
+    oracle=f"""
+    WITH j AS (
+        SELECT o.o_orderpriority AS prio, c.c_mktsegment AS seg
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS (
+        SELECT prio, seg, CAST(count(*) AS BIGINT) AS o
+        FROM j GROUP BY 1, 2
+    ),
+    marg AS (
+        SELECT prio, seg, o,
+               sum(o) OVER (PARTITION BY prio) AS rr,
+               sum(o) OVER (PARTITION BY seg) AS cc,
+               sum(o) OVER () AS nn
+        FROM cells
+    ),
+    terms AS (
+        SELECT prio, seg, nn,
+               (2 * CAST((o * nn - rr * cc) AS HUGEINT) * (o * nn - rr * cc)
+                    * 1000000 + CAST(nn AS HUGEINT) * rr * cc)
+                   // (2 * CAST(nn AS HUGEINT) * rr * cc) AS term_micro
+        FROM marg
+    ),
+    tot AS (
+        SELECT CAST(max(nn) AS BIGINT) AS nn,
+               CAST(count(DISTINCT prio) AS INTEGER) AS r,
+               CAST(count(DISTINCT seg) AS INTEGER) AS c,
+               CAST(sum(term_micro) AS BIGINT) AS chi2_micro
+        FROM terms
+    )
+    SELECT nn AS n_orders, r AS n_rows, c AS n_cols,
+           CAST((r - 1) * (c - 1) AS INTEGER) AS df,
+           chi2_micro,
+           {_CONT_V_EXPR} AS cramers_v_e4,
+           {_CONT_PHI_EXPR} AS phi_e4,
+           {_CONT_C_EXPR} AS pearson_c_e4
+    FROM tot
+    """,
+)
+def eval_effect_size_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association with the EFFECT SIZES a screening pass
+    actually ranks by: Cramér's V, the mean-square contingency phi,
+    and Pearson's C over the priority x market-segment table.
+    chi_square_priority_status tests significance on one pair; this
+    reports the size of the association — at 100 TB row counts
+    everything is 'significant', so V is the number that matters.
+
+    Exactness: each cell's (O·N - R·C)²/(N·R·C) term is computed as a
+    half-up integral quotient in 1e-6 units — numerator and denominator
+    are exact products (DECIMAL(38,0) Spark / HUGEINT DuckDB), and the
+    quotient fits BIGINT so bare DIV is cross-engine identical. The
+    exact integer chi2_micro then feeds three shared-verbatim IEEE
+    trees (sqrt is correctly rounded; floor(x*1e4+0.5), never
+    round(double)). Headroom: numerator ~(O·N)²·1e6 caps DECIMAL(38,0)
+    around N~1e8 per table — past that, drop the micro scale a decade
+    (documented, same statistic).
+
+    100 TB plan: one keyed join, one 25-cell hash collapse — margins
+    and terms are windows on the COLLAPSED grid, then a 1-row reduce;
+    no joins after the collapse, no data-sized window.
+    """
+    j = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    cells = j.groupBy("prio", "seg").agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    marg = cells.select(
+        "prio",
+        "seg",
+        "o",
+        F.sum("o").over(Window.partitionBy("prio")).alias("rr"),
+        F.sum("o").over(Window.partitionBy("seg")).alias("cc"),
+        F.sum("o").over(Window.partitionBy()).alias("nn"),
+    )
+    terms = marg.select(
+        "prio",
+        "seg",
+        "nn",
+        F.expr(
+            "(2 * CAST((o * nn - rr * cc) AS DECIMAL(38,0))"
+            " * (o * nn - rr * cc) * 1000000"
+            " + CAST(nn AS DECIMAL(38,0)) * rr * cc)"
+            " DIV (2 * CAST(nn AS DECIMAL(38,0)) * rr * cc)"
+        ).alias("term_micro"),
+    )
+    tot = terms.agg(
+        F.max("nn").cast("bigint").alias("nn"),
+        F.countDistinct("prio").cast("int").alias("r"),
+        F.countDistinct("seg").cast("int").alias("c"),
+        F.sum("term_micro").cast("bigint").alias("chi2_micro"),
+    )
+    return tot.select(
+        F.col("nn").alias("n_orders"),
+        F.col("r").alias("n_rows"),
+        F.col("c").alias("n_cols"),
+        F.expr("CAST((r - 1) * (c - 1) AS INTEGER)").alias("df"),
+        "chi2_micro",
+        F.expr(_CONT_V_EXPR).alias("cramers_v_e4"),
+        F.expr(_CONT_PHI_EXPR).alias("phi_e4"),
+        F.expr(_CONT_C_EXPR).alias("pearson_c_e4"),
+    )
+
+
 DECAY_CAP_DAYS = 7  # touches older than a week get the floor weight
 ATTR_MICROS = 1_000_000  # one conversion = 1e6 micro-credits
 
