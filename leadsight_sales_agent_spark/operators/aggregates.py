@@ -5606,3 +5606,127 @@ def privacy_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND emd_bp <= 2000 THEN 1 ELSE 0 END AS INT)"
         ).alias("releasable"),
     )
+
+
+@query(
+    "agg_percentile_cont_exact",
+    oracle="""
+    WITH g1 AS (
+        SELECT o_orderpriority AS prio,
+               CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents,
+               count(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT prio, cents, cnt,
+               sum(cnt) OVER (PARTITION BY prio ORDER BY cents) AS cum_incl,
+               sum(cnt) OVER (PARTITION BY prio) AS n_g
+        FROM g1
+    ),
+    picks AS (
+        SELECT prio, n_g,
+               min(CASE WHEN cum_incl >= ((n_g - 1) * 50) // 100 + 1
+                        THEN cents END) OVER (PARTITION BY prio) AS lo50,
+               min(CASE WHEN cum_incl >= ((n_g - 1) * 50) // 100 + 2
+                        THEN cents END) OVER (PARTITION BY prio) AS hi50,
+               min(CASE WHEN cum_incl >= ((n_g - 1) * 90) // 100 + 1
+                        THEN cents END) OVER (PARTITION BY prio) AS lo90,
+               min(CASE WHEN cum_incl >= ((n_g - 1) * 90) // 100 + 2
+                        THEN cents END) OVER (PARTITION BY prio) AS hi90,
+               min(CASE WHEN cum_incl >= ((n_g - 1) * 99) // 100 + 1
+                        THEN cents END) OVER (PARTITION BY prio) AS lo99,
+               min(CASE WHEN cum_incl >= ((n_g - 1) * 99) // 100 + 2
+                        THEN cents END) OVER (PARTITION BY prio) AS hi99
+        FROM w
+    )
+    SELECT prio AS o_orderpriority,
+           CAST(max(n_g) AS BIGINT) AS n_orders,
+           CAST(max(lo50 * 1000000 + (coalesce(hi50, lo50) - lo50)
+                    * (((n_g - 1) * 50) % 100) * 10000) AS BIGINT)
+               AS p50_microcents,
+           CAST(max(lo90 * 1000000 + (coalesce(hi90, lo90) - lo90)
+                    * (((n_g - 1) * 90) % 100) * 10000) AS BIGINT)
+               AS p90_microcents,
+           CAST(max(lo99 * 1000000 + (coalesce(hi99, lo99) - lo99)
+                    * (((n_g - 1) * 99) % 100) * 10000) AS BIGINT)
+               AS p99_microcents
+    FROM picks GROUP BY 1
+    """,
+)
+def agg_percentile_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linearly-interpolated percentiles (the percentile_cont /
+    type-7 quantile every BI tool reports) per order priority, with the
+    interpolation carried in INTEGER micro-cents — no float quantile
+    anywhere. agg_percentile_disc_prices picks elements and
+    agg_approx_percentiles bounds sketch error; this closes the family
+    with the interpolated definition made cross-engine exact: at
+    position pos=(n-1)p/100, the fraction is a RATIONAL with
+    denominator 100, so value = lo + (hi-lo)*frac is exactly
+    lo*1e6 + (hi-lo)*(pos%100)*1e4 micro-cents — BIGINT arithmetic
+    both engines (never DuckDB's quantile_cont double path).
+
+    Device: collapse to the (priority, cents) grain, ties-inclusive
+    RANGE cumulative locates the two bracketing ELEMENTS per target
+    rank (conditional-min full-partition windows — six picks share the
+    one per-priority sort); hi falls back to lo only when frac=0 at
+    the top rank (coalesce guards the NULL). Integer headroom:
+    cents*1e6 ~ 6e13.
+
+    100 TB plan: windows run on the domain-bounded collapsed grain
+    partitioned BY priority (no global sort — contrast the single-
+    sequence exact-median device in quantile_bucket_localized_exact);
+    one hash collapse + one 5-row reduce.
+    """
+    g1 = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("prio", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    word = Window.partitionBy("prio").orderBy("cents")
+    wprio = Window.partitionBy("prio")
+    w = g1.select(
+        "prio",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(word).alias("cum_incl"),
+        F.sum("cnt").over(wprio).alias("n_g"),
+    )
+
+    def pick(p: int, bound: int, alias: str):
+        return F.min(
+            F.expr(
+                f"CASE WHEN cum_incl >= ((n_g - 1) * {p}) DIV 100 + {bound}"
+                " THEN cents END"
+            )
+        ).over(wprio).alias(alias)
+
+    picks = w.select(
+        "prio",
+        "n_g",
+        pick(50, 1, "lo50"),
+        pick(50, 2, "hi50"),
+        pick(90, 1, "lo90"),
+        pick(90, 2, "hi90"),
+        pick(99, 1, "lo99"),
+        pick(99, 2, "hi99"),
+    )
+
+    def interp(p: int) -> str:
+        return (
+            f"CAST(max(lo{p} * 1000000 + (coalesce(hi{p}, lo{p}) - lo{p})"
+            f" * (((n_g - 1) * {p}) % 100) * 10000) AS BIGINT)"
+        )
+
+    return picks.groupBy(F.col("prio").alias("o_orderpriority")).agg(
+        F.max("n_g").cast("bigint").alias("n_orders"),
+        F.expr(interp(50)).alias("p50_microcents"),
+        F.expr(interp(90)).alias("p90_microcents"),
+        F.expr(interp(99)).alias("p99_microcents"),
+    )
