@@ -762,3 +762,154 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_alive") == F.lag("n_alive").over(w), F.lit(False)
         ).alias("converged"),
     )
+
+
+HITS_ROUNDS = 3
+HITS_PPM = 1_000_000  # per-round fixed-point rescale: x <- x*1e6 DIV max(x)
+
+
+def _hits_oracle() -> str:
+    """Unrolled HITS oracle: 3 rounds of h = W·a, a = Wᵀ·h, each half
+    renormalized to 1e6 fixed point by integer division by the round
+    max. Every CTE is MATERIALIZED — raw/normalized pairs are
+    referenced twice and DuckDB otherwise re-inlines the whole chain
+    exponentially (playbook: graph_kcore_peel's >80GB spill)."""
+    sql = [
+        """
+    WITH w AS MATERIALIZED (
+        SELECT s.s_nationkey AS s_nat, c.c_nationkey AS c_nat,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    a0 AS MATERIALIZED (
+        SELECT n_nationkey AS node, CAST(1000000 AS BIGINT) AS x
+        FROM nation
+    )"""
+    ]
+    prev_a = "a0"
+    for r in range(1, HITS_ROUNDS + 1):
+        sql.append(f""",
+    h{r}r AS MATERIALIZED (
+        SELECT n.n_nationkey AS node,
+               coalesce(sum(w.w * a.x), 0) AS x
+        FROM nation n
+        LEFT JOIN w ON w.s_nat = n.n_nationkey
+        LEFT JOIN {prev_a} a ON a.node = w.c_nat
+        GROUP BY 1
+    ),
+    h{r} AS MATERIALIZED (
+        SELECT node,
+               CAST((CAST(x AS HUGEINT) * {HITS_PPM})
+                    // (SELECT max(x) FROM h{r}r) AS BIGINT) AS x
+        FROM h{r}r
+    ),
+    a{r}r AS MATERIALIZED (
+        SELECT n.n_nationkey AS node,
+               coalesce(sum(w.w * h.x), 0) AS x
+        FROM nation n
+        LEFT JOIN w ON w.c_nat = n.n_nationkey
+        LEFT JOIN h{r} h ON h.node = w.s_nat
+        GROUP BY 1
+    ),
+    a{r} AS MATERIALIZED (
+        SELECT node,
+               CAST((CAST(x AS HUGEINT) * {HITS_PPM})
+                    // (SELECT max(x) FROM a{r}r) AS BIGINT) AS x
+        FROM a{r}r
+    )""")
+        prev_a = f"a{r}"
+    sql.append(f"""
+    SELECT n.n_name, h.x AS hub_ppm, a.x AS auth_ppm
+    FROM nation n
+    JOIN h{HITS_ROUNDS} h ON h.node = n.n_nationkey
+    JOIN a{HITS_ROUNDS} a ON a.node = n.n_nationkey
+    ORDER BY n.n_name
+    """)
+    return "".join(sql)
+
+
+@query("graph_hits_hubs_authorities", oracle=_hits_oracle())
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities) on the DIRECTED nation trade
+    graph — supplier nation -> customer nation, weighted by shipped
+    lineitem count. Hubs are nations whose suppliers feed the big
+    buying nations; authorities are the nations that buy from the big
+    supplying ones — the directed complement of graph_pagerank_trade's
+    undirected centrality. 3 synchronous rounds of h = W·a, a = Wᵀ·h.
+
+    Exactness device (all-integer, unlike PageRank's 12dp-round float
+    contract): scores live in 1e6 FIXED POINT and every half-round
+    renormalizes by x <- (x*1e6) DIV max(x) — exact integer division
+    identical in both engines (Spark DECIMAL DIV with a small quotient;
+    DuckDB HUGEINT //), so state is bit-equal at every boundary and no
+    float exists anywhere. Unnormalized HITS would grow like
+    ||W||^(2k) and overflow any fixed width; max-normalizing per half
+    keeps scores <= 1e6 and raw sums <= W_total*1e6 (BIGINT to ~9e12
+    total edges; the DECIMAL(38,0) product path carries past that).
+
+    100 TB plan: the data-sized stage is ONE pass building the 625-cell
+    W matrix (three keyed joins + hash collapse, map-side partials);
+    every iteration then runs on nation-grain frames (25 rows) with
+    1-row max anchors — zero driver round-trips, no lineage growth
+    worth checkpointing. The oracle unrolls the same rounds as
+    MATERIALIZED CTEs.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("s_nat"),
+            F.col("c_nationkey").alias("c_nat"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = nat.select(F.col("n_nationkey").alias("node"))
+
+    def norm(raw: DataFrame) -> DataFrame:
+        # raw is referenced twice (max anchor + rescale): checkpoint it
+        # or the lineage DOUBLES per half-round (2^6 plan blow-up —
+        # 1500+ Exchange nodes in the unchecked plan, vs ~30 after).
+        raw = raw.localCheckpoint(eager=False)
+        mx = raw.agg(F.max("x").alias("mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.expr(
+                f"CAST((CAST(x AS DECIMAL(38,0)) * {HITS_PPM}) DIV mx"
+                " AS BIGINT)"
+            ).alias("x"),
+        )
+
+    def pull(vec: DataFrame, src_key: str, dst_key: str) -> DataFrame:
+        # one message round: for each node, sum w * vec over incoming arcs
+        msgs = (
+            w.join(vec, w[src_key] == vec.node)
+            .select(F.col(dst_key).alias("node"), (F.col("w") * F.col("x")).alias("m"))
+            .groupBy("node")
+            .agg(F.sum("m").alias("mass"))
+        )
+        return nodes.join(msgs, "node", "left").select(
+            "node", F.coalesce("mass", F.lit(0)).cast("bigint").alias("x")
+        )
+
+    a = nodes.select("node", F.lit(HITS_PPM).cast("bigint").alias("x"))
+    for _ in range(HITS_ROUNDS):
+        h = norm(pull(a, "c_nat", "s_nat"))
+        a = norm(pull(h, "s_nat", "c_nat"))
+    return (
+        nat.join(h.withColumnRenamed("x", "hub_ppm"), nat.n_nationkey == F.col("node"))
+        .drop("node")
+        .join(a.withColumnRenamed("x", "auth_ppm"), nat.n_nationkey == F.col("node"))
+        .select("n_name", "hub_ppm", "auth_ppm")
+        .orderBy("n_name")
+    )

@@ -227,6 +227,7 @@ ALLOW_NON_EQUI = {
     "eval_linkage_quality",  # 1-row truth anchor
     "text_term_burstiness",  # 1-row corpus-size anchor
     "graph_rich_club_coefficient",  # 4-row degree-cutoff grid join
+    "graph_hits_hubs_authorities",  # 1-row max-normalizer anchor per half-round
 }
 
 # R2: documented global-order operators (range partition IS the plan).
@@ -316,6 +317,7 @@ ALLOW_MANY_EXCHANGES = {
     "sketch_hll_deterministic": 13,  # per-type + merged register paths
     "neardup_simhash_exact": 65,  # 8 band-keyed joins + dedup + verify
     "graph_rich_club_coefficient": 39,  # projection + degree + per-k club joins
+    "graph_hits_hubs_authorities": 16,  # W build + 6 checkpointed half-rounds
 }
 
 FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
