@@ -5730,3 +5730,169 @@ def agg_percentile_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(interp(90)).alias("p90_microcents"),
         F.expr(interp(99)).alias("p99_microcents"),
     )
+
+
+# DDSketch bucketing constants: gamma = 1.02 (2% relative accuracy).
+# DD_LG is floor(ln(gamma)*1e12 + 0.5) PRECOMPUTED as a literal so both
+# engines bucket with the identical integer — an in-engine ln(1.02)
+# could differ by 1 ulp and shift every boundary. The per-row
+# ln(cents) IS computed in-engine: its 12dp-scaled floor can differ by
+# 1 between engines on ~0.4% of rows, but that changes the DIV bucket
+# only when lx lands exactly on a multiple of DD_LG (~5e-14/row) — the
+# playbook's scaled-ln integer-ops device.
+DD_LG = 19_802_627_296
+_DD_BUCKET = f"CAST(floor(ln(CAST(cents AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) DIV {DD_LG}"
+_DD_EST = (
+    f"CAST(floor(exp((CAST(b{{q}} AS DOUBLE) + 0.5) * ({DD_LG} * 1e-12))"
+    " * 100 + 0.5) AS BIGINT)"
+)
+_DD_ERR = (
+    "CAST(floor(abs(CAST(est{q}_e2 AS DOUBLE) / 100"
+    " - CAST(exact{q} AS DOUBLE)) / CAST(exact{q} AS DOUBLE)"
+    " * 1e4 + 0.5) AS BIGINT)"
+)
+
+
+def _dd_oracle() -> str:
+    picks_sk, picks_ex, est_cols, out_cols = [], [], [], []
+    for q in (50, 95, 99):
+        picks_sk.append(
+            f"min(CASE WHEN cum >= (n - 1) * {q} // 100 + 1 THEN b END) AS b{q}"
+        )
+        picks_ex.append(
+            f"min(CASE WHEN cum >= (n - 1) * {q} // 100 + 1 THEN cents END)"
+            f" AS exact{q}"
+        )
+        est_cols.append(_DD_EST.format(q=q) + f" AS est{q}_e2")
+        out_cols.append(
+            f"b{q} AS bucket_p{q}, est{q}_e2 AS est_p{q}_e2,"
+            f" exact{q} AS exact_p{q}_cents,"
+            f" {_DD_ERR.format(q=q)} AS rel_err_p{q}_bp"
+        )
+    return f"""
+    WITH base AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    hist AS (
+        SELECT {_DD_BUCKET.replace('DIV', '//')} AS b, count(*) AS cnt
+        FROM base GROUP BY 1
+    ),
+    hcum AS (
+        SELECT b, cnt,
+               sum(cnt) OVER (ORDER BY b) AS cum,
+               sum(cnt) OVER () AS n
+        FROM hist
+    ),
+    sk AS (
+        SELECT CAST(max(n) AS BIGINT) AS n_values,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(max(cnt) AS BIGINT) AS max_bucket_count,
+               {', '.join(picks_sk)}
+        FROM hcum
+    ),
+    vgrain AS (
+        SELECT cents, count(*) AS cnt FROM base GROUP BY 1
+    ),
+    vcum AS (
+        SELECT cents,
+               sum(cnt) OVER (ORDER BY cents) AS cum,
+               sum(cnt) OVER () AS n
+        FROM vgrain
+    ),
+    ex AS (
+        SELECT {', '.join(picks_ex)} FROM vcum
+    ),
+    staged AS (
+        SELECT sk.*, ex.*, {', '.join(est_cols)} FROM sk, ex
+    )
+    SELECT n_values, n_buckets, max_bucket_count,
+           {', '.join(out_cols)}
+    FROM staged
+    """
+
+
+@query("sketch_ddsketch_quantiles", oracle=_dd_oracle())
+def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style relative-error quantiles (Masson et al., VLDB'19)
+    over order totals: log-bucket the values (gamma=1.02 -> guaranteed
+    2% relative error), take quantiles from the bounded bucket
+    histogram, and AUDIT the estimates against the exact rank-picked
+    elements — the audit columns are the sketch's contract made
+    checkable (rel_err <= ~200 bp by construction). Completes the
+    sketch family's quantile cell: KMV/HLL do distinct, CMS/Misra-Gries
+    do frequency, equi-depth does fixed buckets; DDSketch is the
+    mergeable quantile structure a 1000-executor scan would combine.
+
+    Exactness: bucket = floor(ln(cents)*1e12 + 0.5) DIV ln(gamma)-
+    scaled-literal — the ln is in-engine but a 1-ulp disagreement
+    changes the bucket only on an exact DD_LG multiple (~5e-14/row);
+    the gamma constant is a PRECOMPUTED integer literal, never an
+    in-engine ln. Quantile picks are conditional-min windows on the
+    ties-inclusive cumulative (the percentile_cont device); the
+    geometric-midpoint estimate exp((b+0.5)·ln gamma) is a shared-
+    verbatim IEEE tree over the integer bucket (flip risk ~1e-6 at the
+    e2 grain — measure-zero regime).
+
+    100 TB plan: one scan -> ~900-bucket hash collapse (map-side
+    partials — this is the whole point of the sketch: fixed-size state
+    per executor); the exact-quantile audit leg collapses to the cents
+    domain grain. Windows run on collapsed grains only; one 1-row
+    combine at the end.
+    """
+    base = load(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    hist = base.select(F.expr(_DD_BUCKET).alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    hcum = hist.select(
+        "b",
+        "cnt",
+        F.sum("cnt").over(Window.orderBy("b")).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    sk_aggs = [
+        F.max("n").cast("bigint").alias("n_values"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("cnt").cast("bigint").alias("max_bucket_count"),
+    ]
+    for q in (50, 95, 99):
+        sk_aggs.append(
+            F.min(
+                F.expr(f"CASE WHEN cum >= (n - 1) * {q} DIV 100 + 1 THEN b END")
+            ).alias(f"b{q}")
+        )
+    sk = hcum.agg(*sk_aggs)
+    vgrain = base.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    vcum = vgrain.select(
+        "cents",
+        F.sum("cnt").over(Window.orderBy("cents")).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    ex = vcum.agg(
+        *[
+            F.min(
+                F.expr(
+                    f"CASE WHEN cum >= (n - 1) * {q} DIV 100 + 1 THEN cents END"
+                )
+            ).alias(f"exact{q}")
+            for q in (50, 95, 99)
+        ]
+    )
+    staged = sk.crossJoin(F.broadcast(ex)).select(
+        "*", *[F.expr(_DD_EST.format(q=q)).alias(f"est{q}_e2") for q in (50, 95, 99)]
+    )
+    out = ["n_values", "n_buckets", "max_bucket_count"]
+    sel = [F.col(c) for c in out]
+    for q in (50, 95, 99):
+        sel += [
+            F.col(f"b{q}").alias(f"bucket_p{q}"),
+            F.col(f"est{q}_e2").alias(f"est_p{q}_e2"),
+            F.col(f"exact{q}").alias(f"exact_p{q}_cents"),
+            F.expr(_DD_ERR.format(q=q)).alias(f"rel_err_p{q}_bp"),
+        ]
+    return staged.select(*sel)

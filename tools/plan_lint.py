@@ -228,6 +228,7 @@ ALLOW_NON_EQUI = {
     "text_term_burstiness",  # 1-row corpus-size anchor
     "graph_rich_club_coefficient",  # 4-row degree-cutoff grid join
     "graph_hits_hubs_authorities",  # 1-row max-normalizer anchor per half-round
+    "sketch_ddsketch_quantiles",  # 1-row exact-quantile audit anchor
 }
 
 # R2: documented global-order operators (range partition IS the plan).
@@ -283,6 +284,8 @@ ALLOW_GLOBAL_SORT = {
     "corpus_curation_full",
     "corpus_curation_verdict",
     "text_ngram_novelty",
+    "sketch_ddsketch_quantiles",  # collapsed bucket/value-grain rank windows
+    "agg_percentile_cont_exact",  # collapsed value-grain rank windows (per-priority)
 }
 
 # R4: compositions that legitimately chain many shuffling stages — the
