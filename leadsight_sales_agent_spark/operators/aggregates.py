@@ -5896,3 +5896,97 @@ def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_DD_ERR.format(q=q)).alias(f"rel_err_p{q}_bp"),
         ]
     return staged.select(*sel)
+
+
+# Composition trees shared VERBATIM Spark/oracle: k is the only input
+# (exact integer), eps=0.1 and delta=1e-6 are decimal-literal-free
+# double constants (0.1 parses to the same double both engines; the
+# in-engine ln(1e6)/exp(0.1) are single libm terms whose 1-ulp
+# disagreement is ~1e-9 of the 1e-6 report quantum).
+_PB_BASIC = "CAST(k AS BIGINT) * 100000"
+_PB_ADV = (
+    "CAST(floor((0.1 * sqrt(2.0 * CAST(k AS DOUBLE) * ln(1e6))"
+    " + CAST(k AS DOUBLE) * 0.1 * (exp(0.1) - 1.0)) * 1e6 + 0.5) AS BIGINT)"
+)
+_PB_ZCDP = (
+    "CAST(floor((CAST(k AS DOUBLE) * 0.005"
+    " + 2.0 * sqrt(CAST(k AS DOUBLE) * 0.005 * ln(1e6))) * 1e6 + 0.5)"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "privacy_budget_composition",
+    oracle=f"""
+    WITH rel AS (
+        SELECT event_type,
+               CAST(count(DISTINCT date_trunc('month', ts)) AS BIGINT) AS k
+        FROM events GROUP BY 1
+    ),
+    staged AS (
+        SELECT event_type, k,
+               {_PB_BASIC} AS eps_basic_e6,
+               {_PB_ADV} AS eps_advanced_e6,
+               {_PB_ZCDP} AS eps_zcdp_e6
+        FROM rel
+    )
+    SELECT event_type, k AS k_releases,
+           eps_basic_e6, eps_advanced_e6, eps_zcdp_e6,
+           CASE WHEN eps_basic_e6 <= eps_advanced_e6
+                     AND eps_basic_e6 <= eps_zcdp_e6 THEN 'basic'
+                WHEN eps_advanced_e6 <= eps_zcdp_e6 THEN 'advanced'
+                ELSE 'zcdp' END AS tightest_bound
+    FROM staged
+    """,
+)
+def privacy_budget_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy BUDGET ACCOUNTING over a release log: each
+    event type publishes one epsilon=0.1 mechanism per calendar month
+    (k = months released), and the accountant reports the total
+    epsilon under the three standard composition theorems — basic
+    (k·eps), advanced (Dwork-Rothblum-Vadhan: eps·sqrt(2k·ln(1/δ)) +
+    k·eps·(e^eps - 1), delta=1e-6), and the zCDP route (rho = k·eps²/2,
+    eps = rho + 2·sqrt(rho·ln(1/δ))) — plus which bound is tightest at
+    each k. The operational gate that closes the privacy family:
+    k-anonymity/l-diversity/t-closeness say WHAT may release (see
+    privacy_release_gate); composition says HOW MANY TIMES before the
+    budget is spent.
+
+    Exactness: k is the only data input (exact BIGINT); each bound is
+    one shared-verbatim IEEE tree over k with 0.1/0.005 double
+    constants, reported at 1e-6 grain via floor(x*1e6+0.5); basic
+    composition is pure integer (k·1e5 micro-eps).
+
+    100 TB plan: map-side month-distinct per type (bounded grain:
+    type x calendar), then per-row scalar trees — no joins, no
+    windows, no data-sized shuffle.
+    """
+    rel = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct(F.date_trunc("month", F.col("ts")))
+            .cast("bigint")
+            .alias("k")
+        )
+    )
+    staged = rel.select(
+        "event_type",
+        "k",
+        F.expr(_PB_BASIC).alias("eps_basic_e6"),
+        F.expr(_PB_ADV).alias("eps_advanced_e6"),
+        F.expr(_PB_ZCDP).alias("eps_zcdp_e6"),
+    )
+    return staged.select(
+        "event_type",
+        F.col("k").alias("k_releases"),
+        "eps_basic_e6",
+        "eps_advanced_e6",
+        "eps_zcdp_e6",
+        F.expr(
+            "CASE WHEN eps_basic_e6 <= eps_advanced_e6"
+            " AND eps_basic_e6 <= eps_zcdp_e6 THEN 'basic'"
+            " WHEN eps_advanced_e6 <= eps_zcdp_e6 THEN 'advanced'"
+            " ELSE 'zcdp' END"
+        ).alias("tightest_bound"),
+    )
