@@ -5990,3 +5990,132 @@ def privacy_budget_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'zcdp' END"
         ).alias("tightest_bound"),
     )
+
+
+# Jarque-Bera trees over the staged double moments (shared verbatim).
+_JB_STAT = (
+    "CAST(n AS DOUBLE) / 6.0 * (m3 * m3 / (m2 * m2 * m2)"
+    " + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0)"
+)
+_JB_CRIT_5PCT = "5.991464547107979"  # chi2(2) 95th percentile
+
+
+@query(
+    "eval_jarque_bera_normality",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    shifted AS (
+        SELECT event_type, cents,
+               cents - (sum(cents) OVER (PARTITION BY event_type)
+                        // count(*) OVER (PARTITION BY event_type)) AS d
+        FROM c
+    ),
+    sums AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(d) AS BIGINT) AS s1,
+               CAST(sum(d * d) AS BIGINT) AS s2,
+               CAST(sum(CAST(d AS DECIMAL(38,0)) * d * d) AS DECIMAL(38,0)) AS s3,
+               CAST(sum(CAST(d AS DECIMAL(38,0)) * d * d * d) AS DECIMAL(38,0)) AS s4
+        FROM shifted GROUP BY 1
+    ),
+    mom AS (
+        SELECT event_type, n,
+               CAST(s1 AS DOUBLE) / n AS m1,
+               CAST(s2 AS DOUBLE) / n AS r2,
+               CAST(s3 AS DOUBLE) / n AS r3,
+               CAST(s4 AS DOUBLE) / n AS r4
+        FROM sums
+    ),
+    cm AS (
+        SELECT event_type, n, m1,
+               r2 - m1 * m1 AS m2,
+               r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS m3,
+               r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2
+                  - 3 * m1 * m1 * m1 * m1 AS m4
+        FROM mom
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           CAST(floor({_JB_STAT} * 100 + 0.5) AS BIGINT) AS jb_e2,
+           CAST(CASE WHEN {_JB_STAT} > {_JB_CRIT_5PCT} THEN 1 ELSE 0 END
+                AS INTEGER) AS reject_normal_5pct
+    FROM cm
+    """,
+)
+def eval_jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type: the goodness-of-fit
+    screen (JB = n/6·(S² + K²/4) on one chi²(2) df) that turns
+    agg_skew_kurtosis_moments' raw fingerprints into a DECISION —
+    'is this value distribution Gaussian enough for z-score
+    thresholds?' — the question outlier_zscore_orders silently assumes
+    away. Same centered-integer-moment device as the moments query
+    (cites its docstring): shift by the per-group integer floor-mean,
+    exact BIGINT/DECIMAL(38,0) power sums, then ONE shared-verbatim
+    IEEE tree; the 5% decision compares the identical double against
+    the chi²(2) critical literal, so the flag can never disagree
+    cross-engine. Report at e2 grain via floor(x*100+0.5).
+
+    100 TB plan: identical to agg_skew_kurtosis_moments — one window +
+    groupBy sharing the event_type partitioning, map-side arithmetic
+    everywhere else.
+    """
+    c = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.col("value").cast("decimal(25,2)") * 100).cast("long").alias("cents"),
+        )
+    )
+    shifted = c.select(
+        "event_type",
+        (
+            F.col("cents")
+            - F.expr(
+                "sum(cents) OVER (PARTITION BY event_type)"
+                " DIV count(*) OVER (PARTITION BY event_type)"
+            )
+        ).alias("d"),
+    )
+    sums = shifted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").cast("bigint").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("s2"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d * d"))
+        .cast("decimal(38,0)")
+        .alias("s3"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d * d * d"))
+        .cast("decimal(38,0)")
+        .alias("s4"),
+    )
+    mom = sums.select(
+        "event_type",
+        "n",
+        F.expr("CAST(s1 AS DOUBLE) / n").alias("m1"),
+        F.expr("CAST(s2 AS DOUBLE) / n").alias("r2"),
+        F.expr("CAST(s3 AS DOUBLE) / n").alias("r3"),
+        F.expr("CAST(s4 AS DOUBLE) / n").alias("r4"),
+    )
+    cm = mom.select(
+        "event_type",
+        "n",
+        "m1",
+        F.expr("r2 - m1 * m1").alias("m2"),
+        F.expr("r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1").alias("m3"),
+        F.expr(
+            "r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1"
+        ).alias("m4"),
+    )
+    return cm.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.expr(f"CAST(floor({_JB_STAT} * 100 + 0.5) AS BIGINT)").alias("jb_e2"),
+        F.expr(
+            f"CAST(CASE WHEN {_JB_STAT} > {_JB_CRIT_5PCT} THEN 1 ELSE 0 END"
+            " AS INTEGER)"
+        ).alias("reject_normal_5pct"),
+    )
