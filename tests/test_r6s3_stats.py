@@ -1,0 +1,326 @@
+"""Independent-reference pins for the session-3 statistics wave.
+
+The oracle gate proves Spark == DuckDB; these prove both match a THIRD,
+dumb-but-obviously-correct Python implementation (Fractions / brute
+loops) — the defense against a shared misreading of a statistic
+landing in both engines. Pattern follows tests/test_session4_ops.py.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from fractions import Fraction as Fr
+
+from pyspark.sql import functions as F
+
+from leadsight_sales_agent_spark import registry
+from leadsight_sales_agent_spark.sources.catalog import load
+
+registry.load_all()
+
+
+def _seg_cents(spark, sf_dir, segs=None):
+    j = (
+        load(spark, sf_dir, "orders")
+        .join(load(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    if segs:
+        j = j.filter(F.col("seg").isin(*segs))
+    out = defaultdict(list)
+    for r in j.collect():
+        out[r.seg].append(r.cents)
+    return out
+
+
+class TestAnovaF:
+    def test_matches_fraction_exact_textbook(self, spark, sf_dir):
+        groups = _seg_cents(spark, sf_dir)
+        allv = [v for g in groups.values() for v in g]
+        n, k = len(allv), len(groups)
+        gm = Fr(sum(allv), n)
+        ssb = sum(len(g) * (Fr(sum(g), len(g)) - gm) ** 2 for g in groups.values())
+        sst = sum((Fr(v) - gm) ** 2 for v in allv)
+        ssw = sst - ssb
+        f_exact = float(ssb * (n - k) / (ssw * (k - 1)))
+        row = registry.QUERIES["eval_anova_f_oneway"](spark, sf_dir).collect()[0]
+        assert row.n_orders == n and row.k_groups == k
+        # device rounding on SS terms is <= 1 cents^2 per group — far
+        # below the 1e-4 relative grain of f_bp
+        assert abs(row.f_bp / 1e4 - f_exact) <= max(2e-4 * f_exact, 3e-4)
+        assert abs(int(row.ssb_cents2) - float(ssb)) <= k + 1
+        assert abs(int(row.ssw_cents2) - float(ssw)) <= k + 2
+
+
+class TestBrownForsythe:
+    def test_matches_brute_force(self, spark, sf_dir):
+        groups = _seg_cents(spark, sf_dir)
+        zg = {}
+        for s, vals in groups.items():
+            sv = sorted(vals)
+            med = sv[(len(sv) + 1) // 2 - 1]  # lower median ELEMENT
+            zg[s] = [abs(v - med) for v in vals]
+        allz = [z for g in zg.values() for z in g]
+        n, k = len(allz), len(zg)
+        gm = Fr(sum(allz), n)
+        ssb = sum(len(g) * (Fr(sum(g), len(g)) - gm) ** 2 for g in zg.values())
+        sst = sum((Fr(z) - gm) ** 2 for z in allz)
+        f_exact = float(ssb * (n - k) / ((sst - ssb) * (k - 1)))
+        row = registry.QUERIES["eval_brown_forsythe_levene"](spark, sf_dir).collect()[0]
+        assert row.n_orders == n
+        assert abs(row.f_bp / 1e4 - f_exact) <= max(2e-4 * f_exact, 3e-4)
+
+
+class TestWelchT:
+    def test_matches_float_textbook(self, spark, sf_dir):
+        groups = _seg_cents(spark, sf_dir, segs=("BUILDING", "MACHINERY"))
+        a, b = groups["BUILDING"], groups["MACHINERY"]
+
+        def mv(x):
+            m = sum(x) / len(x)
+            v = sum((xi - m) ** 2 for xi in x) / (len(x) - 1)
+            return m, v
+
+        ma, va = mv(a)
+        mb, vb = mv(b)
+        se2 = va / len(a) + vb / len(b)
+        t = (ma - mb) / math.sqrt(se2)
+        df = se2 * se2 / (
+            (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+        )
+        row = registry.QUERIES["eval_welch_t_test"](spark, sf_dir).collect()[0]
+        assert row.n_a == len(a) and row.n_b == len(b)
+        assert abs(row.t_welch_e4 / 1e4 - t) <= 2e-3
+        assert abs(row.df_welch_e2 / 1e2 - df) <= max(1e-4 * df, 0.02)
+        assert abs(row.mean_diff_cents_e2 / 1e2 - (ma - mb)) <= 0.02
+
+
+class TestFriedman:
+    def test_matches_brute_ranks_exactly(self, spark, sf_dir):
+        cells = (
+            load(spark, sf_dir, "orders")
+            .groupBy(
+                F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+                F.col("o_orderpriority").alias("prio"),
+            )
+            .agg(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint")
+                ).alias("v")
+            )
+            .collect()
+        )
+        blocks = defaultdict(dict)
+        for r in cells:
+            blocks[r.mon][r.prio] = r.v
+        complete = {m: d for m, d in blocks.items() if len(d) == 5}
+        r2 = Counter()
+        for d in complete.values():
+            vals = sorted(d.values())
+            for prio, v in d.items():
+                lo = sum(1 for x in vals if x < v)
+                t = sum(1 for x in vals if x == v)
+                r2[prio] += 2 * lo + t + 1  # half-unit average rank
+        n, k = len(complete), 5
+        sr2 = sum(x * x for x in r2.values())
+        num = 3 * sr2 - 3 * n * n * k * (k + 1) * (k + 1)
+        den = n * k * (k + 1)
+        chi2_bp = (2 * num * 10000 + den) // (2 * den)
+        row = registry.QUERIES["eval_friedman_blocked_ranks"](spark, sf_dir).collect()[0]
+        assert row.n_blocks == n
+        assert row.chi2_bp == chi2_bp  # device is exact -> integer equality
+
+
+class TestEffectSizes:
+    def test_matches_fraction_chi2(self, spark, sf_dir):
+        rows = (
+            load(spark, sf_dir, "orders")
+            .join(
+                load(spark, sf_dir, "customer"),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            .groupBy("o_orderpriority", "c_mktsegment")
+            .count()
+            .collect()
+        )
+        o = {(r.o_orderpriority, r.c_mktsegment): r["count"] for r in rows}
+        rr = Counter()
+        cc = Counter()
+        for (p, s), v in o.items():
+            rr[p] += v
+            cc[s] += v
+        n = sum(o.values())
+        chi2 = sum(
+            (Fr(v * n - rr[p] * cc[s]) ** 2) / Fr(n * rr[p] * cc[s])
+            for (p, s), v in o.items()
+        )
+        v_stat = math.sqrt(float(chi2) / (n * (min(len(rr), len(cc)) - 1)))
+        row = registry.QUERIES["eval_effect_size_contingency"](spark, sf_dir).collect()[0]
+        assert row.n_orders == n
+        assert abs(row.chi2_micro / 1e6 - float(chi2)) <= 25e-6 + 1e-9 * float(chi2)
+        assert abs(row.cramers_v_e4 / 1e4 - v_stat) <= 2e-4
+
+
+class TestPercentileCont:
+    def test_matches_numpy_linear(self, spark, sf_dir):
+        import numpy as np
+
+        vals = defaultdict(list)
+        for r in (
+            load(spark, sf_dir, "orders")
+            .select(
+                "o_orderpriority",
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .collect()
+        ):
+            vals[r.o_orderpriority].append(r.cents)
+        out = {
+            r.o_orderpriority: r
+            for r in registry.QUERIES["agg_percentile_cont_exact"](
+                spark, sf_dir
+            ).collect()
+        }
+        for prio, xs in vals.items():
+            row = out[prio]
+            for p, col in ((50, "p50_microcents"), (90, "p90_microcents"), (99, "p99_microcents")):
+                want = float(np.percentile(np.array(xs, dtype=float), p))
+                assert abs(row[col] / 1e6 - want) < 1e-3, (prio, p)
+
+
+class TestDDSketch:
+    def test_relative_error_contract(self, spark, sf_dir):
+        row = registry.QUERIES["sketch_ddsketch_quantiles"](spark, sf_dir).collect()[0]
+        # geometric-midpoint estimate of a gamma=1.02 bucket is within
+        # sqrt(gamma)-1 ~ 1% of any value in the bucket
+        for p in (50, 95, 99):
+            assert row[f"rel_err_p{p}_bp"] <= 150, p
+            est = row[f"est_p{p}_e2"] / 100
+            exact = row[f"exact_p{p}_cents"]
+            assert exact / 1.021 <= est <= exact * 1.021, p
+
+
+class TestHits:
+    def test_matches_integer_brute_force(self, spark, sf_dir):
+        w_rows = (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_suppkey")
+            .join(
+                load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
+                F.col("l_suppkey") == F.col("s_suppkey"),
+            )
+            .join(
+                load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(
+                load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("s_nationkey", "c_nationkey")
+            .count()
+            .collect()
+        )
+        nat = {
+            r.n_nationkey: r.n_name
+            for r in load(spark, sf_dir, "nation").collect()
+        }
+        w = {(r.s_nationkey, r.c_nationkey): r["count"] for r in w_rows}
+        nodes = sorted(nat)
+        a = {u: 1_000_000 for u in nodes}
+
+        def norm(x):
+            mx = max(x.values())
+            return {u: (v * 1_000_000) // mx for u, v in x.items()}
+
+        for _ in range(3):
+            h = norm(
+                {
+                    s: sum(w.get((s, c), 0) * a[c] for c in nodes)
+                    for s in nodes
+                }
+            )
+            a = norm(
+                {
+                    c: sum(w.get((s, c), 0) * h[s] for s in nodes)
+                    for c in nodes
+                }
+            )
+        got = {
+            r.n_name: (r.hub_ppm, r.auth_ppm)
+            for r in registry.QUERIES["graph_hits_hubs_authorities"](
+                spark, sf_dir
+            ).collect()
+        }
+        for u in nodes:
+            assert got[nat[u]] == (h[u], a[u]), nat[u]
+
+
+class TestJarqueBera:
+    def test_matches_float_textbook(self, spark, sf_dir):
+        vals = defaultdict(list)
+        for r in (
+            load(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select(
+                "event_type",
+                (F.col("value").cast("decimal(25,2)") * 100).cast("long").alias("c"),
+            )
+            .collect()
+        ):
+            vals[r.event_type].append(r.c)
+        rows = {
+            r.event_type: r
+            for r in registry.QUERIES["eval_jarque_bera_normality"](
+                spark, sf_dir
+            ).collect()
+        }
+        for et, xs in vals.items():
+            n = len(xs)
+            m = sum(xs) / n
+            m2 = sum((x - m) ** 2 for x in xs) / n
+            m3 = sum((x - m) ** 3 for x in xs) / n
+            m4 = sum((x - m) ** 4 for x in xs) / n
+            skew = m3 / m2**1.5
+            kurt = m4 / m2**2 - 3
+            jb = n / 6 * (skew**2 + kurt**2 / 4)
+            assert abs(rows[et].jb_e2 / 100 - jb) <= max(1e-6 * jb, 0.02), et
+            assert rows[et].reject_normal_5pct == (1 if jb > 5.991464547107979 else 0)
+
+
+class TestPrivacyComposition:
+    def test_matches_formula(self, spark, sf_dir):
+        rows = registry.QUERIES["privacy_budget_composition"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            k = r.k_releases
+            assert r.eps_basic_e6 == k * 100_000
+            adv = 0.1 * math.sqrt(2 * k * math.log(1e6)) + k * 0.1 * (
+                math.exp(0.1) - 1
+            )
+            rho = k * 0.005
+            zcdp = rho + 2 * math.sqrt(rho * math.log(1e6))
+            assert abs(r.eps_advanced_e6 / 1e6 - adv) <= 2e-6
+            assert abs(r.eps_zcdp_e6 / 1e6 - zcdp) <= 2e-6
+            best = min(
+                ("basic", r.eps_basic_e6),
+                ("advanced", r.eps_advanced_e6),
+                ("zcdp", r.eps_zcdp_e6),
+                key=lambda t: t[1],
+            )[0]
+            # tie-break order in the query: basic, then advanced
+            if r.eps_basic_e6 <= r.eps_advanced_e6 and r.eps_basic_e6 <= r.eps_zcdp_e6:
+                best = "basic"
+            elif r.eps_advanced_e6 <= r.eps_zcdp_e6:
+                best = "advanced"
+            else:
+                best = "zcdp"
+            assert r.tightest_bound == best
