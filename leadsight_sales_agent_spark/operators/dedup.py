@@ -2311,3 +2311,187 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * sum(cnt * clen)) AS BIGINT)"
         ).alias("dedup_bp"),
     )
+
+
+SEMD_BITS = 4  # 16 semantic cells; raise with corpus size at scale
+SEMD_COS_E4 = 3500  # same 0.35 near-dup bar as neardup_embedding_cosine
+
+
+@query(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+    WITH flat AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    signs AS (
+        SELECT k.k, f.i,
+               CASE WHEN substring(md5('sd:' || CAST(k.k AS VARCHAR) || ':'
+                                        || CAST(f.i AS VARCHAR)), 1, 1)
+                         < '8' THEN 1 ELSE -1 END AS s
+        FROM (SELECT DISTINCT i FROM flat) f
+        CROSS JOIN (SELECT unnest(generate_series(1, {SEMD_BITS})) AS k) k
+    ),
+    proj AS (
+        SELECT f.vec_id, s.k,
+               sum(s.s * CAST(f.x AS DECIMAL(18,9))) AS c
+        FROM flat f JOIN signs s ON s.i = f.i
+        GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN c > 0
+                             THEN CAST(2 AS BIGINT) ** (k - 1)
+                             ELSE 0 END) AS BIGINT) AS cell
+        FROM proj GROUP BY 1
+    ),
+    v AS (
+        SELECT c.vec_id, c.cell, CAST(e.embedding AS DOUBLE[]) AS emb,
+               sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                     CAST(e.embedding AS DOUBLE[]))) AS nrm
+        FROM cells c JOIN embeddings e ON e.vec_id = c.vec_id
+    ),
+    pairs AS (
+        SELECT a.cell, a.vec_id AS keep_id, b.vec_id AS drop_id
+        FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE CAST(floor(list_dot_product(a.emb, b.emb)
+                         / (a.nrm * b.nrm) * 1e4 + 0.5) AS BIGINT)
+              >= {SEMD_COS_E4}
+    ),
+    dropped AS (
+        SELECT cell, count(DISTINCT drop_id) AS n_dropped,
+               count(*) AS n_dup_pairs
+        FROM pairs GROUP BY 1
+    ),
+    percell AS (
+        SELECT cell, count(*) AS n_vectors FROM v GROUP BY 1
+    )
+    SELECT p.cell AS cell_id,
+           CAST(p.n_vectors AS BIGINT) AS n_vectors,
+           CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(coalesce(d.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST((2 * (p.n_vectors - coalesce(d.n_dropped, 0)) * 10000
+                 + p.n_vectors) // (2 * p.n_vectors) AS BIGINT) AS keep_rate_bp
+    FROM percell p LEFT JOIN dropped d ON d.cell = p.cell
+    ORDER BY cell_id
+    """,
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — SEMANTIC deduplication: partition
+    the embedding space into cells, then inside each cell drop every
+    vector that has a higher-priority near-duplicate (cosine >= the
+    near-dup bar). This is the embedding-space complement of
+    MinHash/SimHash: those catch lexical copies, SemDeDup catches
+    paraphrases and re-encodings that share no n-grams. The per-cell
+    keep-rate report is the curation dashboard a 100 TB dedup run is
+    driven by.
+
+    Determinism devices: (1) cells come from the SIGNS of projections
+    onto {SEMD_BITS} hash-derived Rademacher vectors (the JL
+    sign-matrix device, salt 'sd:') — each projection is an
+    order-independent DECIMAL(18,9) sum, so its sign is an exact
+    integer fact, never a float comparison; (2) within a cell the
+    survivor rule is greedy-by-id (a vector drops iff a SMALLER-id
+    vector sits within the cosine bar — first-match-wins semantics,
+    one semi-join, no iteration); (3) the cosine bar compares
+    floor(cos*1e4+0.5) — identical IEEE products both engines.
+
+    100 TB plan: the projection is one explode + a {SEMD_BITS}x64
+    broadcast sign join + one hash-agg; the pair stage joins WITHIN
+    cells only — at scale the bit count rises with the corpus
+    (2^bits cells ~ n/1000) so expected cell size, and therefore
+    per-cell pair cost, stays constant; the oracle's bounded corpus
+    runs the same plan with 16 cells. No global sort, no all-pairs
+    join across cells.
+    """
+    from leadsight_sales_agent_spark.operators.sampling import hash_key
+    from leadsight_sales_agent_spark.operators.similarity import dot, l2_norm
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.col("vf").cast("double").alias("x"),
+    )
+    ks = spark.range(1, SEMD_BITS + 1).select(F.col("id").cast("bigint").alias("k"))
+    signs = flat.select("i").distinct().crossJoin(F.broadcast(ks)).select(
+        "k",
+        "i",
+        F.when(
+            hash_key(
+                "sd:",
+                F.concat(F.col("k").cast("string"), F.lit(":"),
+                         F.col("i").cast("string")),
+            ).substr(1, 1)
+            < "8",
+            1,
+        )
+        .otherwise(-1)
+        .alias("s"),
+    )
+    proj = (
+        flat.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("s") * F.col("x").cast("decimal(18,9)")).alias("c"))
+    )
+    cells = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT),"
+                " CAST(k - 1 AS INT)) ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("cell")
+    )
+    v = cells.join(emb, "vec_id").withColumn("nrm", l2_norm(F.col("embedding")))
+    a = v.select(
+        F.col("cell"),
+        F.col("vec_id").alias("keep_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("drop_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    # dp: the exact same left-fold dot product as the oracle's
+    # list_dot_product, computed once per candidate pair
+    pairs = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("keep_id") < F.col("drop_id")),
+        )
+        .withColumn("dp", dot(F.col("ea"), F.col("eb")))
+        .withColumn(
+            "cos_e4",
+            F.expr("CAST(floor(dp / (na * nb) * 1e4 + 0.5) AS BIGINT)"),
+        )
+        .filter(F.col("cos_e4") >= SEMD_COS_E4)
+        .select("cell", "keep_id", "drop_id")
+    )
+    dropped = pairs.groupBy("cell").agg(
+        F.countDistinct("drop_id").alias("n_dropped"),
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+    )
+    percell = v.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        percell.join(dropped, "cell", "left")
+        .select(
+            F.col("cell").alias("cell_id"),
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.expr(
+                "CAST((2 * (n_vectors - coalesce(n_dropped, 0)) * 10000"
+                " + n_vectors) DIV (2 * n_vectors) AS BIGINT)"
+            ).alias("keep_rate_bp"),
+        )
+        .orderBy("cell_id")
+    )

@@ -324,3 +324,72 @@ class TestPrivacyComposition:
             else:
                 best = "zcdp"
             assert r.tightest_bound == best
+
+
+class TestSemDeDup:
+    def test_matches_brute_force_exactly(self, spark, sf_dir):
+        """Cells, greedy-by-id drops, and per-cell counts recomputed
+        from raw embeddings in pure Python — exact integer equality."""
+        import hashlib
+        from decimal import Decimal
+
+        from leadsight_sales_agent_spark.operators.dedup import (
+            SEMD_BITS,
+            SEMD_COS_E4,
+        )
+
+        rows = (
+            load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+        )
+        embs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+        dim = len(next(iter(embs.values())))
+
+        def sign(k, i):
+            h = hashlib.md5(f"sd:{k}:{i}".encode()).hexdigest()
+            return 1 if h[0] < "8" else -1
+
+        cells = {}
+        for vid, e in embs.items():
+            cell = 0
+            for k in range(1, SEMD_BITS + 1):
+                c = sum(
+                    sign(k, i + 1) * Decimal(repr(x)).quantize(Decimal("1e-9"))
+                    for i, x in enumerate(e)
+                )
+                if c > 0:
+                    cell |= 1 << (k - 1)
+            cells[vid] = cell
+
+        def fold_dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        import math
+
+        nrm = {v: math.sqrt(fold_dot(e, e)) for v, e in embs.items()}
+        by_cell = {}
+        for v, c in cells.items():
+            by_cell.setdefault(c, []).append(v)
+        summary = {}
+        for c, vids in by_cell.items():
+            vids = sorted(vids)
+            drops, pairs = set(), 0
+            for i, a in enumerate(vids):
+                for b in vids[i + 1:]:
+                    cos = fold_dot(embs[a], embs[b]) / (nrm[a] * nrm[b])
+                    if math.floor(cos * 1e4 + 0.5) >= SEMD_COS_E4:
+                        pairs += 1
+                        drops.add(b)
+            n = len(vids)
+            keep_bp = (2 * (n - len(drops)) * 10000 + n) // (2 * n)
+            summary[c] = (n, len(drops), pairs, keep_bp)
+        got = {
+            r.cell_id: (r.n_vectors, r.n_dropped, r.n_dup_pairs, r.keep_rate_bp)
+            for r in registry.QUERIES["dedup_semantic_semdedup"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == summary
+        assert dim == 64

@@ -229,6 +229,7 @@ ALLOW_NON_EQUI = {
     "graph_rich_club_coefficient",  # 4-row degree-cutoff grid join
     "graph_hits_hubs_authorities",  # 1-row max-normalizer anchor per half-round
     "sketch_ddsketch_quantiles",  # 1-row exact-quantile audit anchor
+    "dedup_semantic_semdedup",  # 4x64 sign-matrix dim cross join (the JL device)
 }
 
 # R2: documented global-order operators (range partition IS the plan).
@@ -286,6 +287,7 @@ ALLOW_GLOBAL_SORT = {
     "text_ngram_novelty",
     "sketch_ddsketch_quantiles",  # collapsed bucket/value-grain rank windows
     "agg_percentile_cont_exact",  # collapsed value-grain rank windows (per-priority)
+    "dedup_semantic_semdedup",  # 16-row cell-summary output order
 }
 
 # R4: compositions that legitimately chain many shuffling stages — the
