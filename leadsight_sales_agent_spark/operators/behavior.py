@@ -7275,3 +7275,220 @@ def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS INT)"
         ).alias("curves_differ_5pct"),
     )
+
+
+@query(
+    "eval_cochran_q",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS p1,
+               CASE WHEN CAST(minute(ts) AS INTEGER) < 30 THEN 1 ELSE 0 END
+                   AS p2,
+               CASE WHEN CAST(length(props) AS INTEGER) % 2 = 0
+                    THEN 1 ELSE 0 END AS p3
+        FROM events WHERE value IS NOT NULL AND props IS NOT NULL
+    ),
+    per_item AS (
+        SELECT CASE WHEN p1 = y THEN 1 ELSE 0 END
+                 + CASE WHEN p2 = y THEN 1 ELSE 0 END
+                 + CASE WHEN p3 = y THEN 1 ELSE 0 END AS li,
+               CASE WHEN p1 = y THEN 1 ELSE 0 END AS g1,
+               CASE WHEN p2 = y THEN 1 ELSE 0 END AS g2,
+               CASE WHEN p3 = y THEN 1 ELSE 0 END AS g3
+        FROM scored
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(g1) AS BIGINT) AS s1,
+               CAST(sum(g2) AS BIGINT) AS s2,
+               CAST(sum(g3) AS BIGINT) AS s3,
+               CAST(sum(li) AS BIGINT) AS sl,
+               CAST(sum(li * li) AS BIGINT) AS sl2
+        FROM per_item
+    ),
+    fin AS (
+        SELECT n, s1, s2, s3,
+               2 * (3 * (s1 * s1 + s2 * s2 + s3 * s3)
+                    - (s1 + s2 + s3) * (s1 + s2 + s3)) AS num,
+               3 * sl - sl2 AS den
+        FROM sums
+    )
+    SELECT n AS n_items, s1 AS correct_m1, s2 AS correct_m2,
+           s3 AS correct_m3,
+           CAST((2 * num * 10000 + den) // (2 * den) AS BIGINT) AS q_bp,
+           CAST(CASE WHEN CAST(num AS DOUBLE) / den > 5.991464547107979
+                     THEN 1 ELSE 0 END AS INTEGER) AS models_differ_5pct
+    FROM fin
+    """,
+)
+def eval_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q for THREE paired binary classifiers on the same
+    examples — the k-treatment extension of eval_mcnemar_paired (k=2),
+    closing the paired-eval family: do a value rule, a time-of-day
+    rule, and a props-parity rule differ in accuracy on the shared
+    event stream? Q = (k-1)(kΣG_j² - (ΣG_j)²)/(kΣL_i - ΣL_i²) on
+    chi²(k-1); with k=3 both numerator and denominator are exact
+    BIGINTs, so Q reports as pure-integer half-up basis points via
+    bare DIV, and the 5% verdict compares the identical double ratio
+    against the chi²(2) critical literal — cross-engine by
+    construction, no device subtlety at all.
+
+    100 TB plan: one map-side projection, one 1-row reduce — the
+    cheapest possible shape (the McNemar plan with one more column).
+    """
+    scored = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("props").isNotNull())
+        .select(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+            F.when(F.col("value") >= 50.0, 1).otherwise(0).alias("p1"),
+            F.when(F.minute("ts").cast("int") < 30, 1).otherwise(0).alias("p2"),
+            F.when(F.length("props").cast("int") % 2 == 0, 1)
+            .otherwise(0)
+            .alias("p3"),
+        )
+    )
+    per_item = scored.select(
+        *[
+            F.when(F.col(p) == F.col("y"), 1).otherwise(0).alias(g)
+            for p, g in (("p1", "g1"), ("p2", "g2"), ("p3", "g3"))
+        ]
+    ).withColumn("li", F.col("g1") + F.col("g2") + F.col("g3"))
+    sums = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g1").cast("bigint").alias("s1"),
+        F.sum("g2").cast("bigint").alias("s2"),
+        F.sum("g3").cast("bigint").alias("s3"),
+        F.sum("li").cast("bigint").alias("sl"),
+        F.sum(F.col("li") * F.col("li")).cast("bigint").alias("sl2"),
+    )
+    fin = sums.select(
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        F.expr(
+            "2 * (3 * (s1 * s1 + s2 * s2 + s3 * s3)"
+            " - (s1 + s2 + s3) * (s1 + s2 + s3))"
+        ).alias("num"),
+        F.expr("3 * sl - sl2").alias("den"),
+    )
+    return fin.select(
+        F.col("n").alias("n_items"),
+        F.col("s1").alias("correct_m1"),
+        F.col("s2").alias("correct_m2"),
+        F.col("s3").alias("correct_m3"),
+        F.expr("CAST((2 * num * 10000 + den) DIV (2 * den) AS BIGINT)").alias(
+            "q_bp"
+        ),
+        F.expr(
+            "CAST(CASE WHEN CAST(num AS DOUBLE) / den > 5.991464547107979"
+            " THEN 1 ELSE 0 END AS INTEGER)"
+        ).alias("models_differ_5pct"),
+    )
+
+
+# Power-analysis trees shared VERBATIM Spark/oracle: z constants are
+# decimal literals of the standard normal quantiles (alpha/2 = 0.025
+# two-sided -> 1.959964; power 80% -> 0.841621), sigma^2 comes from the
+# exact integer sufficient stats, n is the per-arm size.
+_MDE_ABS = (
+    "(1.959963984540054 + 0.8416212335729143)"
+    " * sqrt(2.0 * ((CAST(d2 AS DOUBLE) - CAST(d1 AS DOUBLE)"
+    " * CAST(d1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) - 1.0)) / (CAST(n AS DOUBLE) / 2.0))"
+)
+
+
+@query(
+    "ab_power_mde_planner",
+    oracle=f"""
+    WITH j AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(CAST(o.o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g1 AS (
+        SELECT seg, cents, count(*) AS cnt FROM j GROUP BY 1, 2
+    ),
+    cen AS (
+        SELECT seg, cents, cnt,
+               cents - (sum(cents * cnt) OVER (PARTITION BY seg)
+                        // sum(cnt) OVER (PARTITION BY seg)) AS d
+        FROM g1
+    ),
+    stats AS (
+        SELECT seg,
+               CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(cnt * d) AS BIGINT) AS d1,
+               CAST(sum(CAST(cnt AS HUGEINT) * d * d) AS DECIMAL(38,0)) AS d2,
+               CAST(sum(cents * cnt) AS BIGINT) AS s_cents
+        FROM cen GROUP BY 1
+    )
+    SELECT seg AS segment, n AS n_orders,
+           CAST(floor({_MDE_ABS} + 0.5) AS BIGINT) AS mde_cents,
+           CAST(floor({_MDE_ABS} / (CAST(s_cents AS DOUBLE) / CAST(n AS DOUBLE))
+                      * 1e4 + 0.5) AS BIGINT) AS mde_rel_bp
+    FROM stats
+    """,
+)
+def ab_power_mde_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect (MDE) planner per market segment: if
+    each segment's order population were split 50/50 into an A/B test,
+    what lift in mean order value could the experiment detect at 5%
+    two-sided significance with 80% power? MDE = (z_{{a/2}} + z_b) ·
+    sqrt(2sigma²/(n/2)) — the PLANNING member of the A/B family
+    (ab_wilson_significance judges after the fact, ab_sprt monitors
+    during, this says whether the test is worth running at all),
+    reported absolute (cents) and relative (bp of the segment mean).
+
+    Exactness: sigma² comes from the ANOVA centering device (per-group
+    integer floor-mean shift, exact BIGINT/DECIMAL(38,0) power sums);
+    the z quantiles are decimal literals, never an in-engine inverse
+    CDF; the report is one shared-verbatim IEEE tree per column,
+    floor-quantized. Scale-0 decimal -> double only.
+
+    100 TB plan: one keyed join, one (seg,cents) collapse, per-seg
+    windows sharing the seg hash partitioning, 5-row reduce.
+    """
+    j = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    g1 = j.groupBy("seg", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wseg = Window.partitionBy("seg")
+    cen = g1.select(
+        "seg",
+        "cents",
+        "cnt",
+        F.sum(F.col("cents") * F.col("cnt")).over(wseg).alias("sall"),
+        F.sum("cnt").over(wseg).alias("nall"),
+    ).withColumn("d", F.expr("cents - (sall DIV nall)"))
+    stats = cen.groupBy("seg").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("d")).cast("bigint").alias("d1"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * d * d"))
+        .cast("decimal(38,0)")
+        .alias("d2"),
+        F.sum(F.col("cents") * F.col("cnt")).cast("bigint").alias("s_cents"),
+    )
+    return stats.select(
+        F.col("seg").alias("segment"),
+        F.col("n").alias("n_orders"),
+        F.expr(f"CAST(floor({_MDE_ABS} + 0.5) AS BIGINT)").alias("mde_cents"),
+        F.expr(
+            f"CAST(floor({_MDE_ABS} / (CAST(s_cents AS DOUBLE)"
+            " / CAST(n AS DOUBLE)) * 1e4 + 0.5) AS BIGINT)"
+        ).alias("mde_rel_bp"),
+    )

@@ -393,3 +393,55 @@ class TestSemDeDup:
         }
         assert got == summary
         assert dim == 64
+
+
+class TestCochranQ:
+    def test_matches_brute_force_exactly(self, spark, sf_dir):
+        rows = (
+            load(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull() & F.col("props").isNotNull())
+            .select("event_type", "value", F.minute("ts").alias("mi"),
+                    F.length("props").alias("pl"))
+            .collect()
+        )
+        recs = []
+        for r in rows:
+            y = 1 if r.event_type == "purchase" else 0
+            p1 = 1 if float(r.value) >= 50.0 else 0
+            p2 = 1 if r.mi < 30 else 0
+            p3 = 1 if r.pl % 2 == 0 else 0
+            recs.append((int(p1 == y), int(p2 == y), int(p3 == y)))
+        s1 = sum(g[0] for g in recs)
+        s2 = sum(g[1] for g in recs)
+        s3 = sum(g[2] for g in recs)
+        sl = sum(sum(g) for g in recs)
+        sl2 = sum(sum(g) ** 2 for g in recs)
+        num = 2 * (3 * (s1 * s1 + s2 * s2 + s3 * s3) - (s1 + s2 + s3) ** 2)
+        den = 3 * sl - sl2
+        q_bp = (2 * num * 10000 + den) // (2 * den)
+        row = registry.QUERIES["eval_cochran_q"](spark, sf_dir).collect()[0]
+        assert (row.n_items, row.correct_m1, row.correct_m2, row.correct_m3) == (
+            len(recs), s1, s2, s3,
+        )
+        assert row.q_bp == q_bp
+        assert row.models_differ_5pct == (1 if num / den > 5.991464547107979 else 0)
+
+
+class TestPowerMde:
+    def test_matches_float_textbook(self, spark, sf_dir):
+        groups = _seg_cents(spark, sf_dir)
+        rows = {
+            r.segment: r
+            for r in registry.QUERIES["ab_power_mde_planner"](spark, sf_dir).collect()
+        }
+        for seg, xs in groups.items():
+            n = len(xs)
+            m = sum(xs) / n
+            var = sum((x - m) ** 2 for x in xs) / (n - 1)
+            mde = (1.959963984540054 + 0.8416212335729143) * math.sqrt(
+                2 * var / (n / 2)
+            )
+            r = rows[seg]
+            assert r.n_orders == n
+            assert abs(r.mde_cents - mde) <= 1.0, seg
+            assert abs(r.mde_rel_bp / 1e4 - mde / m) <= 2e-4, seg
