@@ -3229,3 +3229,224 @@ def ops_token_bucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * (sum(adm) + sum(rej))) AS BIGINT)"
         ).alias("rejected_bp"),
     )
+
+
+CACHE_NEXT_SENTINEL = 1_000_000_000  # "never used again"
+CACHE_EMPTY_NEXT = 2_000_000_000  # empty slots evict before any real item
+
+
+def _cache_replay_oracle() -> str:
+    """LRU and Belady cache replays as one recursive CTE carrying both
+    policies' state columns (the token-bucket device with a 2-slot
+    cache instead of a bucket)."""
+    return f"""
+    WITH RECURSIVE codes AS (
+        SELECT event_type,
+               row_number() OVER (ORDER BY event_type) AS code
+        FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    evs1 AS (
+        SELECT e.user_id, e.ts, e.event_id, c.code,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN codes c ON c.event_type = e.event_type
+    ),
+    evs2 AS (
+        SELECT user_id, rn, code,
+               coalesce(lead(rn) OVER (PARTITION BY user_id, code
+                                       ORDER BY ts, event_id),
+                        {CACHE_NEXT_SENTINEL}) AS nxt
+        FROM evs1
+    ),
+    ulists AS (
+        SELECT user_id,
+               list(CAST(code AS BIGINT) ORDER BY rn) AS vi,
+               list(CAST(nxt AS BIGINT) ORDER BY rn) AS vn
+        FROM evs2 GROUP BY 1
+    ),
+    sim AS (
+        SELECT user_id, vi, vn, 0 AS i,
+               CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+               CAST(0 AS BIGINT) AS lh, CAST(0 AS BIGINT) AS lm,
+               CAST(0 AS BIGINT) AS b1,
+               CAST({CACHE_EMPTY_NEXT} AS BIGINT) AS n1,
+               CAST(0 AS BIGINT) AS b2,
+               CAST({CACHE_EMPTY_NEXT} AS BIGINT) AS n2,
+               CAST(0 AS BIGINT) AS bh, CAST(0 AS BIGINT) AS bm
+        FROM ulists
+        UNION ALL
+        SELECT user_id, vi, vn, i + 1,
+               x,
+               CASE WHEN x = s1 THEN s2 ELSE s1 END,
+               lh + CASE WHEN x = s1 OR x = s2 THEN 1 ELSE 0 END,
+               lm + CASE WHEN x = s1 OR x = s2 THEN 0 ELSE 1 END,
+               x,
+               nx,
+               CASE WHEN x = b1 THEN b2 WHEN x = b2 THEN b1
+                    WHEN n1 >= n2 THEN b2 ELSE b1 END,
+               CASE WHEN x = b1 THEN n2 WHEN x = b2 THEN n1
+                    WHEN n1 >= n2 THEN n2 ELSE n1 END,
+               bh + CASE WHEN x = b1 OR x = b2 THEN 1 ELSE 0 END,
+               bm + CASE WHEN x = b1 OR x = b2 THEN 0 ELSE 1 END
+        FROM (
+            SELECT user_id, vi, vn, i, s1, s2, lh, lm,
+                   b1, n1, b2, n2, bh, bm,
+                   vi[i + 1] AS x, vn[i + 1] AS nx
+            FROM sim WHERE i < len(vi)
+        )
+    ),
+    finals AS (
+        SELECT user_id, lh, lm, bh, bm FROM sim WHERE i = len(vi)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(lh + lm) AS BIGINT) AS n_accesses,
+           CAST(sum(lh) AS BIGINT) AS lru_hits,
+           CAST(sum(bh) AS BIGINT) AS belady_hits,
+           CAST((2 * 10000 * sum(lh) + sum(lh + lm))
+                // (2 * sum(lh + lm)) AS BIGINT) AS lru_hit_bp,
+           CAST((2 * 10000 * sum(bh) + sum(bh + bm))
+                // (2 * sum(bh + bm)) AS BIGINT) AS belady_hit_bp,
+           CAST((2 * 10000 * (sum(bh) - sum(lh)) + sum(lh + lm))
+                // (2 * sum(lh + lm)) AS BIGINT) AS gap_bp
+    FROM finals
+    """
+
+
+@query("ops_cache_belady_vs_lru", oracle=_cache_replay_oracle())
+def ops_cache_belady_vs_lru(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cache-policy replay per user: a 2-slot cache over each user's
+    event-type access sequence, LRU versus Belady's clairvoyant MIN —
+    the canonical systems analysis (how much hit rate does the
+    implementable policy leave on the table vs the offline optimum?).
+    Belady needs each access's NEXT-USE position, which is a lead()
+    window — the engine precomputes the future the optimal policy
+    peeks at, which is exactly why MIN is offline-only.
+
+    Device: the token-bucket sorted-array fold, twice per user — LRU
+    state [mru, lru, hits, misses] (the MRU slot is always the
+    just-accessed item, so s1' = x unconditionally); Belady state
+    [item, next, item2, next2, hits, misses] where a miss evicts the
+    LARGER stored next-use (empty slots carry next = 2e9 so they fill
+    first; ties evict slot 1 — the same rule in both engines). All
+    BIGINT; hit counts are exact; the oracle replays both policies in
+    one variable-length recursive CTE.
+
+    100 TB plan: one per-user shuffle builds the sorted (code, next)
+    arrays (the funnel-fold shape); per-user chains are bounded by
+    events-per-user. The code dim is a 5-row broadcast; the next-use
+    lead shares the (user, code) partitioning. Invariant graded
+    implicitly: belady_hits >= lru_hits (gap_bp >= 0).
+    """
+    evs = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    codes = (
+        evs.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.row_number()
+            .over(Window.orderBy("event_type"))
+            .cast("bigint")
+            .alias("code"),
+        )
+    )
+    evs1 = evs.join(F.broadcast(codes), "event_type").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "code",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("bigint")
+        .alias("rn"),
+    )
+    evs2 = evs1.select(
+        "user_id",
+        "rn",
+        "code",
+        F.coalesce(
+            F.lead("rn").over(
+                Window.partitionBy("user_id", "code").orderBy("ts", "event_id")
+            ),
+            F.lit(CACHE_NEXT_SENTINEL),
+        )
+        .cast("bigint")
+        .alias("nxt"),
+    )
+    ulists = evs2.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(rn, code, nxt))),"
+            " x -> x.code)"
+        ).alias("vi"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(rn, code, nxt))),"
+            " x -> x.nxt)"
+        ).alias("vn"),
+    )
+    lru_fold = """
+    aggregate(
+      sequence(1, size(vi)),
+      array(CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      (st, i) -> array(
+        element_at(vi, CAST(i AS INT)),
+        CASE WHEN element_at(vi, CAST(i AS INT)) = st[0]
+             THEN st[1] ELSE st[0] END,
+        st[2] + CASE WHEN element_at(vi, CAST(i AS INT)) = st[0]
+                      OR element_at(vi, CAST(i AS INT)) = st[1]
+                     THEN 1 ELSE 0 END,
+        st[3] + CASE WHEN element_at(vi, CAST(i AS INT)) = st[0]
+                      OR element_at(vi, CAST(i AS INT)) = st[1]
+                     THEN 0 ELSE 1 END
+      )
+    )
+    """
+    belady_fold = f"""
+    aggregate(
+      sequence(1, size(vi)),
+      array(CAST(0 AS BIGINT), CAST({CACHE_EMPTY_NEXT} AS BIGINT),
+            CAST(0 AS BIGINT), CAST({CACHE_EMPTY_NEXT} AS BIGINT),
+            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      (st, i) -> array(
+        element_at(vi, CAST(i AS INT)),
+        element_at(vn, CAST(i AS INT)),
+        CASE WHEN element_at(vi, CAST(i AS INT)) = st[0] THEN st[2]
+             WHEN element_at(vi, CAST(i AS INT)) = st[2] THEN st[0]
+             WHEN st[1] >= st[3] THEN st[2] ELSE st[0] END,
+        CASE WHEN element_at(vi, CAST(i AS INT)) = st[0] THEN st[3]
+             WHEN element_at(vi, CAST(i AS INT)) = st[2] THEN st[1]
+             WHEN st[1] >= st[3] THEN st[3] ELSE st[1] END,
+        st[4] + CASE WHEN element_at(vi, CAST(i AS INT)) = st[0]
+                      OR element_at(vi, CAST(i AS INT)) = st[2]
+                     THEN 1 ELSE 0 END,
+        st[5] + CASE WHEN element_at(vi, CAST(i AS INT)) = st[0]
+                      OR element_at(vi, CAST(i AS INT)) = st[2]
+                     THEN 0 ELSE 1 END
+      )
+    )
+    """
+    finals = ulists.select(
+        F.expr(lru_fold).alias("ls"), F.expr(belady_fold).alias("bs")
+    ).select(
+        F.expr("ls[2]").alias("lh"),
+        F.expr("ls[3]").alias("lm"),
+        F.expr("bs[4]").alias("bh"),
+        F.expr("bs[5]").alias("bm"),
+    )
+    return finals.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("lh") + F.col("lm")).cast("bigint").alias("n_accesses"),
+        F.sum("lh").cast("bigint").alias("lru_hits"),
+        F.sum("bh").cast("bigint").alias("belady_hits"),
+        F.expr(
+            "CAST((2 * 10000 * sum(lh) + sum(lh + lm))"
+            " DIV (2 * sum(lh + lm)) AS BIGINT)"
+        ).alias("lru_hit_bp"),
+        F.expr(
+            "CAST((2 * 10000 * sum(bh) + sum(bh + bm))"
+            " DIV (2 * sum(bh + bm)) AS BIGINT)"
+        ).alias("belady_hit_bp"),
+        F.expr(
+            "CAST((2 * 10000 * (sum(bh) - sum(lh)) + sum(lh + lm))"
+            " DIV (2 * sum(lh + lm)) AS BIGINT)"
+        ).alias("gap_bp"),
+    )

@@ -445,3 +445,68 @@ class TestPowerMde:
             assert r.n_orders == n
             assert abs(r.mde_cents - mde) <= 1.0, seg
             assert abs(r.mde_rel_bp / 1e4 - mde / m) <= 2e-4, seg
+
+
+class TestCacheReplay:
+    def test_matches_brute_force_exactly(self, spark, sf_dir):
+        """Replay both policies in pure Python from the raw event
+        stream — exact hit-count equality, plus the Belady-dominance
+        invariant per user."""
+        rows = (
+            load(spark, sf_dir, "events")
+            .select("user_id", "ts", "event_id", "event_type")
+            .collect()
+        )
+        by_user = defaultdict(list)
+        for r in rows:
+            by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+        SENT = 1_000_000_000
+        tot = {"lh": 0, "lm": 0, "bh": 0, "bm": 0}
+        for seq in by_user.values():
+            seq.sort()
+            items = [t[2] for t in seq]
+            nxt = []
+            last = {}
+            for i, it in enumerate(items):
+                nxt.append(SENT)
+                if it in last:
+                    nxt[last[it]] = i + 1
+                last[it] = i
+            # LRU, capacity 2
+            s1 = s2 = None
+            lh = lm = 0
+            for it in items:
+                if it == s1 or it == s2:
+                    lh += 1
+                    s1, s2 = it, (s2 if it == s1 else s1)
+                else:
+                    lm += 1
+                    s1, s2 = it, s1
+            # Belady, capacity 2 (evict larger next-use; tie -> slot 1)
+            b1 = b2 = None
+            n1 = n2 = 2_000_000_000
+            bh = bm = 0
+            for i, it in enumerate(items):
+                nx = nxt[i]
+                if it == b1:
+                    bh += 1
+                    b1, n1 = it, nx
+                elif it == b2:
+                    bh += 1
+                    b1, n1, b2, n2 = it, nx, b1, n1
+                else:
+                    bm += 1
+                    if n1 >= n2:
+                        b1, n1, b2, n2 = it, nx, b2, n2
+                    else:
+                        b1, n1, b2, n2 = it, nx, b1, n1
+            assert bh >= lh  # clairvoyant MIN dominates
+            tot["lh"] += lh
+            tot["lm"] += lm
+            tot["bh"] += bh
+            tot["bm"] += bm
+        row = registry.QUERIES["ops_cache_belady_vs_lru"](spark, sf_dir).collect()[0]
+        assert row.n_users == len(by_user)
+        assert (row.lru_hits, row.belady_hits) == (tot["lh"], tot["bh"])
+        assert row.n_accesses == tot["lh"] + tot["lm"]
+        assert row.gap_bp >= 0

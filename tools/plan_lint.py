@@ -288,6 +288,7 @@ ALLOW_GLOBAL_SORT = {
     "sketch_ddsketch_quantiles",  # collapsed bucket/value-grain rank windows
     "agg_percentile_cont_exact",  # collapsed value-grain rank windows (per-priority)
     "dedup_semantic_semdedup",  # 16-row cell-summary output order
+    "ops_cache_belady_vs_lru",  # 5-row event-type code dim rank
 }
 
 # R4: compositions that legitimately chain many shuffling stages — the
