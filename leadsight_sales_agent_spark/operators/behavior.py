@@ -7492,3 +7492,145 @@ def ab_power_mde_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(n AS DOUBLE)) * 1e4 + 0.5) AS BIGINT)"
         ).alias("mde_rel_bp"),
     )
+
+
+# Page L z-tree shared VERBATIM Spark/oracle: with half-unit rank sums
+# (l2 = 2L), E[2L] = n·k(k+1)²/2 and Var[2L] = 4·Var[L] =
+# n·k²(k+1)²(k-1)/36, all exact integers scaled by 36.
+_PAGE_Z_EXPR = (
+    "CAST(floor((CAST(l2 AS DOUBLE) - CAST(e2_36 AS DOUBLE) / 36.0)"
+    " / sqrt(CAST(v2_36 AS DOUBLE) / 36.0) * 1e4 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "eval_page_trend_test",
+    oracle=f"""
+    WITH cell AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               o_orderpriority AS prio,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY 1, 2
+    ),
+    complete AS (
+        SELECT * FROM cell
+        QUALIFY count(*) OVER (PARTITION BY mon) = 5
+    ),
+    ranked AS (
+        SELECT mon, prio, v,
+               sum(1) OVER (PARTITION BY mon ORDER BY v) AS cum_incl,
+               count(*) OVER (PARTITION BY mon, v) AS t
+        FROM complete
+    ),
+    r2 AS (
+        SELECT prio,
+               row_number() OVER (ORDER BY prio) AS w,
+               CAST(sum(2 * (cum_incl - t) + t + 1) AS BIGINT) AS r2_sum,
+               CAST(count(*) AS BIGINT) AS n_blocks
+        FROM ranked GROUP BY prio
+    ),
+    tot AS (
+        SELECT CAST(max(n_blocks) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(w * r2_sum) AS BIGINT) AS l2
+        FROM r2
+    ),
+    fin AS (
+        SELECT n, k, l2,
+               18 * n * k * (k + 1) * (k + 1) AS e2_36,
+               n * k * k * (k + 1) * (k + 1) * (k - 1) AS v2_36
+        FROM tot
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           CAST(k AS INTEGER) AS k_treatments,
+           CAST(l2 AS BIGINT) AS page_l2,
+           {_PAGE_Z_EXPR} AS z_e4,
+           CAST(CASE WHEN ABS((CAST(l2 AS DOUBLE) - CAST(e2_36 AS DOUBLE)
+                               / 36.0) / sqrt(CAST(v2_36 AS DOUBLE) / 36.0))
+                          > 1.959963984540054
+                     THEN 1 ELSE 0 END AS INTEGER) AS trend_5pct
+    FROM fin
+    """,
+)
+def eval_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test — the ORDERED-alternative refinement of
+    eval_friedman_blocked_ranks on the same month x priority design:
+    Friedman asks 'do the five priorities differ at all?'; Page asks
+    'do they trend MONOTONICALLY with the priority order 1-URGENT →
+    5-LOW?' (L = Σ_j w_j·R_j weights each priority's rank sum by its
+    hypothesized position, far more powerful when the alternative is
+    ordered). The normal approximation z is reported with a 5%
+    two-sided verdict.
+
+    Exactness: rank sums ride the half-unit device (so l2 = 2L is an
+    exact BIGINT); E[2L] and Var[2L] carry scaled by 36 as exact
+    integer columns; z is one shared-verbatim IEEE tree, and the
+    verdict compares the identical double against the z literal —
+    deterministic both engines. Treatment weights are row_number over
+    the priority NAME order, which is the semantic urgency order in
+    TPC-H ('1-URGENT' < ... < '5-LOW').
+
+    100 TB plan: identical to Friedman — one month+priority map-side
+    collapse, windows on the ~420-row grid, a 5-row reduce.
+    """
+    cell = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    complete = (
+        cell.withColumn(
+            "n_prio", F.count(F.lit(1)).over(Window.partitionBy("mon"))
+        )
+        .filter(F.col("n_prio") == 5)
+        .drop("n_prio")
+    )
+    ranked = complete.select(
+        "mon",
+        "prio",
+        "v",
+        F.sum(F.lit(1)).over(Window.partitionBy("mon").orderBy("v")).alias("cum_incl"),
+        F.count(F.lit(1)).over(Window.partitionBy("mon", "v")).alias("t"),
+    )
+    r2 = ranked.groupBy("prio").agg(
+        F.sum(2 * (F.col("cum_incl") - F.col("t")) + F.col("t") + 1)
+        .cast("bigint")
+        .alias("r2_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    ).select(
+        "prio",
+        F.row_number().over(Window.orderBy("prio")).cast("bigint").alias("w"),
+        "r2_sum",
+        "n_blocks",
+    )
+    tot = r2.agg(
+        F.max("n_blocks").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("w") * F.col("r2_sum")).cast("bigint").alias("l2"),
+    )
+    fin = tot.select(
+        "n",
+        "k",
+        "l2",
+        F.expr("18 * n * k * (k + 1) * (k + 1)").alias("e2_36"),
+        F.expr("n * k * k * (k + 1) * (k + 1) * (k - 1)").alias("v2_36"),
+    )
+    return fin.select(
+        F.col("n").cast("bigint").alias("n_blocks"),
+        F.col("k").cast("int").alias("k_treatments"),
+        F.col("l2").cast("bigint").alias("page_l2"),
+        F.expr(_PAGE_Z_EXPR).alias("z_e4"),
+        F.expr(
+            "CAST(CASE WHEN ABS((CAST(l2 AS DOUBLE) - CAST(e2_36 AS DOUBLE)"
+            " / 36.0) / sqrt(CAST(v2_36 AS DOUBLE) / 36.0))"
+            " > 1.959963984540054 THEN 1 ELSE 0 END AS INTEGER)"
+        ).alias("trend_5pct"),
+    )

@@ -510,3 +510,41 @@ class TestCacheReplay:
         assert (row.lru_hits, row.belady_hits) == (tot["lh"], tot["bh"])
         assert row.n_accesses == tot["lh"] + tot["lm"]
         assert row.gap_bp >= 0
+
+
+class TestPageTrend:
+    def test_matches_brute_force_exactly(self, spark, sf_dir):
+        cells = (
+            load(spark, sf_dir, "orders")
+            .groupBy(
+                F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+                F.col("o_orderpriority").alias("prio"),
+            )
+            .agg(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint")
+                ).alias("v")
+            )
+            .collect()
+        )
+        blocks = defaultdict(dict)
+        for r in cells:
+            blocks[r.mon][r.prio] = r.v
+        complete = [d for d in blocks.values() if len(d) == 5]
+        prios = sorted({p for d in complete for p in d})
+        r2 = Counter()
+        for d in complete:
+            vals = sorted(d.values())
+            for prio, v in d.items():
+                lo = sum(1 for x in vals if x < v)
+                t = sum(1 for x in vals if x == v)
+                r2[prio] += 2 * lo + t + 1
+        n, k = len(complete), 5
+        l2 = sum((i + 1) * r2[p] for i, p in enumerate(prios))
+        e2 = n * k * (k + 1) ** 2 / 2
+        v2 = n * k * k * (k + 1) ** 2 * (k - 1) / 36
+        z = (l2 - e2) / math.sqrt(v2)
+        row = registry.QUERIES["eval_page_trend_test"](spark, sf_dir).collect()[0]
+        assert (row.n_blocks, row.page_l2) == (n, l2)
+        assert abs(row.z_e4 / 1e4 - z) <= 2e-4
+        assert row.trend_5pct == (1 if abs(z) > 1.959963984540054 else 0)
