@@ -7634,3 +7634,151 @@ def eval_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " > 1.959963984540054 THEN 1 ELSE 0 END AS INTEGER)"
         ).alias("trend_5pct"),
     )
+
+
+HURST_WINDOWS = (8, 16, 32)  # ln-equally-spaced -> 3-point OLS slope
+# Hurst from the two extreme window sizes (equally ln-spaced 3-point
+# OLS slope = (y3 - y1)/(2*ln 2)); ratio of exact micro-integers.
+_HURST_EXPR = (
+    "CAST(floor(ln((CAST(rs32 AS DOUBLE) * CAST(nb8 AS DOUBLE))"
+    " / (CAST(rs8 AS DOUBLE) * CAST(nb32 AS DOUBLE)))"
+    " / (2.0 * ln(2.0)) * 1e4 + 0.5) AS BIGINT)"
+)
+
+
+def _hurst_oracle() -> str:
+    legs = []
+    for m in HURST_WINDOWS:
+        legs.append(f"""
+    blocks{m} AS (
+        SELECT (idx - 1) // {m} AS blk, idx, v,
+               sum(v) OVER (PARTITION BY (idx - 1) // {m}
+                            ORDER BY idx) AS cum,
+               row_number() OVER (PARTITION BY (idx - 1) // {m}
+                                  ORDER BY idx) AS t,
+               sum(v) OVER (PARTITION BY (idx - 1) // {m}) AS sm,
+               count(*) OVER (PARTITION BY (idx - 1) // {m}) AS bn
+        FROM series
+    ),
+    rs{m} AS (
+        SELECT blk,
+               max({m} * cum - t * sm) - min({m} * cum - t * sm) AS r_scaled,
+               CAST({m} AS HUGEINT) * sum(CAST(v AS HUGEINT) * v)
+                   - CAST(max(sm) AS HUGEINT) * max(sm) AS s2_scaled
+        FROM blocks{m} WHERE bn = {m}
+        GROUP BY 1
+    ),
+    leg{m} AS (
+        SELECT CAST(count(*) AS BIGINT) AS nb,
+               CAST(sum(CAST(floor(CAST(r_scaled AS DOUBLE)
+                    / sqrt(CAST(s2_scaled AS DOUBLE)) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS rs_micro
+        FROM rs{m}
+    )""")
+    return f"""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ),
+    series AS (
+        SELECT row_number() OVER (ORDER BY mon) AS idx, v FROM monthly
+    ),{','.join(legs)}
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM series) AS n_months,
+           l8.nb AS nb8, l8.rs_micro AS rs8,
+           l16.nb AS nb16, l16.rs_micro AS rs16,
+           l32.nb AS nb32, l32.rs_micro AS rs32,
+           {_HURST_EXPR} AS hurst_e4
+    FROM leg8 l8, leg16 l16, leg32 l32
+    """
+
+
+@query("timeseries_hurst_rs", oracle=_hurst_oracle())
+def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the monthly revenue series via rescaled-range
+    (R/S) analysis — the long-memory diagnostic (H=0.5 random walk,
+    H>0.5 persistent trends, H<0.5 mean reversion) that tells a
+    forecaster whether the ACF tail is real signal; complements the
+    stationarity battery (Dickey-Fuller) with the fractal view. R/S
+    is computed per non-overlapping block at window sizes
+    {HURST_WINDOWS}, averaged per size, and H is the ln-ln slope —
+    with ln-equally-spaced sizes the 3-point OLS slope collapses to
+    (y3-y1)/(2·ln2), so H needs only the ratio of the two extreme
+    averages (no cross-row float regression).
+
+    Exactness: within a block of m months, m·Z_t = m·cum_t - t·S_m is
+    an exact BIGINT (Z_m = 0 puts the zero baseline in the range for
+    free), so R_scaled = max-min is exact; S_scaled² = m·Q - S_m² is
+    exact (HUGEINT/DECIMAL); R/S = R_scaled/sqrt(S_scaled²) — the m
+    factors cancel — is ONE shared IEEE tree per block, floor-
+    quantized to micro before the cross-block integer sum (the KW
+    term-sum device). H is a single shared tree over four exact
+    integers.
+
+    100 TB plan: one month-grain map-side collapse, then every window
+    runs on the ~84-row calendar-bounded series — the fact scan is
+    the only data-sized stage (the forecast_* family's shape).
+    """
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mon"))
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    series = monthly.select(
+        F.row_number().over(Window.orderBy("mon")).cast("bigint").alias("idx"),
+        "v",
+    ).localCheckpoint(eager=False)
+    legs = {}
+    for m in HURST_WINDOWS:
+        wblk = Window.partitionBy(F.expr(f"(idx - 1) DIV {m}"))
+        wcum = Window.partitionBy(F.expr(f"(idx - 1) DIV {m}")).orderBy("idx")
+        blocks = series.select(
+            F.expr(f"(idx - 1) DIV {m}").alias("blk"),
+            "idx",
+            "v",
+            F.sum("v").over(wcum).alias("cum"),
+            F.row_number().over(wcum).cast("bigint").alias("t"),
+            F.sum("v").over(wblk).alias("sm"),
+            F.count(F.lit(1)).over(wblk).alias("bn"),
+        ).filter(F.col("bn") == m)
+        rs = blocks.groupBy("blk").agg(
+            (
+                F.max(m * F.col("cum") - F.col("t") * F.col("sm"))
+                - F.min(m * F.col("cum") - F.col("t") * F.col("sm"))
+            ).alias("r_scaled"),
+            F.expr(
+                f"CAST({m} AS DECIMAL(38,0)) * sum(CAST(v AS DECIMAL(38,0)) * v)"
+                " - CAST(max(sm) AS DECIMAL(38,0)) * max(sm)"
+            ).alias("s2_scaled"),
+        )
+        legs[m] = rs.agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"nb{m}"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(CAST(r_scaled AS DOUBLE)"
+                    " / sqrt(CAST(s2_scaled AS DOUBLE)) * 1e6 + 0.5)"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias(f"rs{m}"),
+        )
+    n_months = series.agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
+    out = n_months
+    for m in HURST_WINDOWS:
+        out = out.crossJoin(F.broadcast(legs[m]))
+    return out.select(
+        "n_months",
+        "nb8",
+        "rs8",
+        "nb16",
+        "rs16",
+        "nb32",
+        "rs32",
+        F.expr(_HURST_EXPR).alias("hurst_e4"),
+    )

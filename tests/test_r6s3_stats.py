@@ -548,3 +548,41 @@ class TestPageTrend:
         assert (row.n_blocks, row.page_l2) == (n, l2)
         assert abs(row.z_e4 / 1e4 - z) <= 2e-4
         assert row.trend_5pct == (1 if abs(z) > 1.959963984540054 else 0)
+
+
+class TestHurstRS:
+    def test_matches_brute_force(self, spark, sf_dir):
+        rows = (
+            load(spark, sf_dir, "orders")
+            .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mon"))
+            .agg(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint")
+                ).alias("v")
+            )
+            .orderBy("mon")
+            .collect()
+        )
+        series = [r.v for r in rows]
+        got = registry.QUERIES["timeseries_hurst_rs"](spark, sf_dir).collect()[0]
+        assert got.n_months == len(series)
+        legs = {}
+        for m in (8, 16, 32):
+            rs_micro, nb = 0, 0
+            for b in range(len(series) // m):
+                xs = series[b * m:(b + 1) * m]
+                sm = sum(xs)
+                cum, zs = 0, []
+                for t, x in enumerate(xs, start=1):
+                    cum += x
+                    zs.append(m * cum - t * sm)
+                r_scaled = max(zs) - min(zs)
+                s2 = m * sum(x * x for x in xs) - sm * sm
+                rs_micro += math.floor(r_scaled / math.sqrt(s2) * 1e6 + 0.5)
+                nb += 1
+            legs[m] = (nb, rs_micro)
+        assert (got.nb8, got.rs8) == legs[8]
+        assert (got.nb16, got.rs16) == legs[16]
+        assert (got.nb32, got.rs32) == legs[32]
+        h = math.log((got.rs32 * got.nb8) / (got.rs8 * got.nb32)) / (2 * math.log(2))
+        assert abs(got.hurst_e4 / 1e4 - h) <= 2e-4

@@ -98,6 +98,7 @@ ALLOW_NON_EQUI = {
     "forecast_granger_urgent_revenue",  # 1-row Gram-sums anchor
     "forecast_dickey_fuller_unit_root",  # 1-row Gram-sums anchor
     "timeseries_dtw_monthly_segments",  # 1-row reference-vector broadcast onto 5 segments
+    "timeseries_hurst_rs",  # three 1-row R/S-leg anchors
     "text_good_turing_unseen_mass",  # 1-row summary cross join onto the bounded histogram
     "storage_dictionary_encoding_advisor",  # 1-row stats x 1-row dict-size per column
     "shard_consistent_hash_ring",  # 8x8 literal vnode grid cross join
@@ -289,6 +290,8 @@ ALLOW_GLOBAL_SORT = {
     "agg_percentile_cont_exact",  # collapsed value-grain rank windows (per-priority)
     "dedup_semantic_semdedup",  # 16-row cell-summary output order
     "ops_cache_belady_vs_lru",  # 5-row event-type code dim rank
+    "timeseries_hurst_rs",  # 84-row month-index series rank
+    "eval_page_trend_test",  # 5-row priority weight rank
 }
 
 # R4: compositions that legitimately chain many shuffling stages — the
