@@ -6119,3 +6119,107 @@ def eval_jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS INTEGER)"
         ).alias("reject_normal_5pct"),
     )
+
+
+# Order-statistic ranks for a distribution-free 95% median CI: the
+# classic normal approximation lo = floor((n - 1.96*sqrt(n))/2),
+# hi = ceil(1 + (n + 1.96*sqrt(n))/2) — one shared sqrt tree each, so
+# both engines pick the same RANKS, then the values are rank-picked
+# ELEMENTS (never interpolated).
+_MCI_LO = "CAST(floor((CAST(n_g AS DOUBLE) - 1.959963984540054 * sqrt(CAST(n_g AS DOUBLE))) / 2.0) AS BIGINT)"
+_MCI_HI = "CAST(ceil(1.0 + (CAST(n_g AS DOUBLE) + 1.959963984540054 * sqrt(CAST(n_g AS DOUBLE))) / 2.0) AS BIGINT)"
+
+
+@query(
+    "agg_median_ci_order_statistic",
+    oracle=f"""
+    WITH g1 AS (
+        SELECT o_orderpriority AS prio,
+               CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents,
+               count(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT prio, cents, cnt,
+               sum(cnt) OVER (PARTITION BY prio ORDER BY cents) AS cum_incl,
+               sum(cnt) OVER (PARTITION BY prio) AS n_g
+        FROM g1
+    ),
+    ranks AS (
+        SELECT prio, cents, cum_incl, n_g,
+               {_MCI_LO} AS lo_rank,
+               {_MCI_HI} AS hi_rank
+        FROM w
+    )
+    SELECT prio AS o_orderpriority,
+           CAST(max(n_g) AS BIGINT) AS n_orders,
+           CAST(max(lo_rank) AS BIGINT) AS lo_rank,
+           CAST(max(hi_rank) AS BIGINT) AS hi_rank,
+           min(CASE WHEN cum_incl >= (n_g + 1) // 2 THEN cents END)
+               AS median_cents,
+           min(CASE WHEN cum_incl >= lo_rank THEN cents END) AS ci_lo_cents,
+           min(CASE WHEN cum_incl >= hi_rank THEN cents END) AS ci_hi_cents
+    FROM ranks GROUP BY 1
+    """,
+)
+def agg_median_ci_order_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the MEDIAN order
+    value per priority, by the order-statistic (sign-test inversion)
+    method: the CI endpoints are the sample elements at ranks
+    (n ± 1.96·sqrt(n))/2 — no normality assumption, no resampling
+    (contrast bootstrap_poisson_ci_mean, which resamples for the
+    MEAN). The report a dashboard needs next to any median: how much
+    of the gap between two groups' medians is noise?
+
+    Exactness: the ranks come from one shared sqrt tree each (floor/
+    ceil of identical doubles), so both engines pick the same INTEGER
+    ranks; the endpoints are then rank-picked ELEMENTS via
+    conditional-min windows on the ties-inclusive cumulative — the
+    percentile_cont device with data-derived ranks. All output exact.
+
+    100 TB plan: one (priority, cents) hash collapse; windows on the
+    domain-bounded grain share the per-priority sort; 5-row reduce.
+    """
+    g1 = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("prio", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = g1.select(
+        "prio",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("prio").orderBy("cents")).alias(
+            "cum_incl"
+        ),
+        F.sum("cnt").over(Window.partitionBy("prio")).alias("n_g"),
+    )
+    ranks = w.select(
+        "prio",
+        "cents",
+        "cum_incl",
+        "n_g",
+        F.expr(_MCI_LO).alias("lo_rank"),
+        F.expr(_MCI_HI).alias("hi_rank"),
+    )
+    return ranks.groupBy(F.col("prio").alias("o_orderpriority")).agg(
+        F.max("n_g").cast("bigint").alias("n_orders"),
+        F.max("lo_rank").cast("bigint").alias("lo_rank"),
+        F.max("hi_rank").cast("bigint").alias("hi_rank"),
+        F.min(
+            F.expr("CASE WHEN cum_incl >= (n_g + 1) DIV 2 THEN cents END")
+        ).alias("median_cents"),
+        F.min(F.expr("CASE WHEN cum_incl >= lo_rank THEN cents END")).alias(
+            "ci_lo_cents"
+        ),
+        F.min(F.expr("CASE WHEN cum_incl >= hi_rank THEN cents END")).alias(
+            "ci_hi_cents"
+        ),
+    )

@@ -7782,3 +7782,94 @@ def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rs32",
         F.expr(_HURST_EXPR).alias("hurst_e4"),
     )
+
+
+OPS_MM1_MU_PER_HOUR = 2000  # modeled service rate (jobs/hour), spec constant
+# M/M/1 trees over exact integers: lambda = (n-1)/(span seconds) jobs/s.
+# All shares one sub-tree rho = lambda/mu; reported only when rho < 1.
+_MM1_RHO = (
+    "((CAST(n AS DOUBLE) - 1.0) / CAST(span_s AS DOUBLE))"
+    f" / ({OPS_MM1_MU_PER_HOUR}.0 / 3600.0)"
+)
+
+
+@query(
+    "ops_queueing_mm1_metrics",
+    oracle=f"""
+    WITH arr AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(floor(epoch(max(ts))) AS BIGINT)
+                   - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_s
+        FROM events GROUP BY 1
+    ),
+    staged AS (
+        SELECT event_type, n, span_s, {_MM1_RHO} AS rho
+        FROM arr WHERE n > 1 AND span_s > 0
+    )
+    SELECT event_type, n AS n_arrivals, span_s AS span_seconds,
+           CAST(floor(rho * 1e4 + 0.5) AS BIGINT) AS rho_bp,
+           CAST(CASE WHEN rho < 1.0
+                     THEN floor(rho * rho / (1.0 - rho) * 1e4 + 0.5)
+                     ELSE -1 END AS BIGINT) AS lq_e4,
+           CAST(CASE WHEN rho < 1.0
+                     THEN floor(rho / (1.0 - rho)
+                                / ({OPS_MM1_MU_PER_HOUR}.0 / 3600.0)
+                                * 1e2 + 0.5)
+                     ELSE -1 END AS BIGINT) AS wq_s_e2
+    FROM staged
+    """,
+)
+def ops_queueing_mm1_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M/M/1 queueing estimates per event type: treat each type's
+    event stream as a Poisson arrival process (lambda estimated as
+    (n-1)/observed span) against a modeled service rate mu =
+    {OPS_MM1_MU_PER_HOUR}/hour, and report utilization rho, the
+    expected queue length Lq = rho²/(1-rho), and the expected
+    queue wait Wq = rho/(mu-lambda) (Little's law family) — the
+    capacity-planning arithmetic behind every ingestion-pipeline SLO
+    (pairs with ops_multiwindow_burn_alerts: burn tells you the SLO is
+    dying, queueing theory tells you how many workers fix it).
+    Unstable regimes (rho >= 1) report -1 sentinels rather than
+    negative nonsense.
+
+    Exactness: n and span_s are exact integers (the floor(epoch())
+    device — DuckDB CAST(epoch() AS BIGINT) ROUNDS sub-seconds); every
+    metric is one shared-verbatim IEEE tree over those two integers
+    with literal constants, floor-quantized; the rho < 1 branch
+    compares identical doubles. 100 TB plan: one map-side count/min/max
+    reduce per type — the cheapest possible shape.
+    """
+    arr = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            )
+            .cast("bigint")
+            .alias("span_s"),
+        )
+    )
+    staged = arr.filter((F.col("n") > 1) & (F.col("span_s") > 0)).select(
+        "event_type", "n", "span_s", F.expr(_MM1_RHO).alias("rho")
+    )
+    return staged.select(
+        "event_type",
+        F.col("n").alias("n_arrivals"),
+        F.col("span_s").alias("span_seconds"),
+        F.expr("CAST(floor(rho * 1e4 + 0.5) AS BIGINT)").alias("rho_bp"),
+        F.expr(
+            "CAST(CASE WHEN rho < 1.0"
+            " THEN floor(rho * rho / (1.0 - rho) * 1e4 + 0.5)"
+            " ELSE -1 END AS BIGINT)"
+        ).alias("lq_e4"),
+        F.expr(
+            "CAST(CASE WHEN rho < 1.0"
+            " THEN floor(rho / (1.0 - rho)"
+            f" / ({OPS_MM1_MU_PER_HOUR}.0 / 3600.0)"
+            " * 1e2 + 0.5)"
+            " ELSE -1 END AS BIGINT)"
+        ).alias("wq_s_e2"),
+    )

@@ -586,3 +586,68 @@ class TestHurstRS:
         assert (got.nb32, got.rs32) == legs[32]
         h = math.log((got.rs32 * got.nb8) / (got.rs8 * got.nb32)) / (2 * math.log(2))
         assert abs(got.hurst_e4 / 1e4 - h) <= 2e-4
+
+
+class TestMedianCI:
+    def test_matches_brute_force(self, spark, sf_dir):
+        vals = defaultdict(list)
+        for r in (
+            load(spark, sf_dir, "orders")
+            .select(
+                "o_orderpriority",
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .collect()
+        ):
+            vals[r.o_orderpriority].append(r.cents)
+        rows = {
+            r.o_orderpriority: r
+            for r in registry.QUERIES["agg_median_ci_order_statistic"](
+                spark, sf_dir
+            ).collect()
+        }
+        z = 1.959963984540054
+        for prio, xs in vals.items():
+            xs.sort()
+            n = len(xs)
+            lo = math.floor((n - z * math.sqrt(n)) / 2)
+            hi = math.ceil(1 + (n + z * math.sqrt(n)) / 2)
+            r = rows[prio]
+            assert r.n_orders == n
+            assert (r.lo_rank, r.hi_rank) == (lo, hi)
+            assert r.median_cents == xs[(n + 1) // 2 - 1]
+            assert r.ci_lo_cents == xs[lo - 1]
+            assert r.ci_hi_cents == xs[hi - 1]
+            assert r.ci_lo_cents <= r.median_cents <= r.ci_hi_cents
+
+
+class TestQueueingMm1:
+    def test_matches_formula(self, spark, sf_dir):
+        rows = registry.QUERIES["ops_queueing_mm1_metrics"](spark, sf_dir).collect()
+        assert rows
+        raw = {
+            r.event_type: r
+            for r in load(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.unix_timestamp(F.max("ts")).alias("hi"),
+                F.unix_timestamp(F.min("ts")).alias("lo"),
+            )
+            .collect()
+        }
+        mu = 2000 / 3600.0
+        for r in rows:
+            g = raw[r.event_type]
+            span = g.hi - g.lo
+            lam = (g.n - 1) / span
+            rho = lam / mu
+            assert r.span_seconds == span and r.n_arrivals == g.n
+            assert abs(r.rho_bp / 1e4 - rho) <= 1e-4
+            if rho < 1:
+                assert abs(r.lq_e4 / 1e4 - rho * rho / (1 - rho)) <= 1e-3
+                assert abs(r.wq_s_e2 / 1e2 - rho / (mu * (1 - rho))) <= 0.02
+            else:
+                assert r.lq_e4 == -1 and r.wq_s_e2 == -1

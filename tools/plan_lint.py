@@ -288,6 +288,7 @@ ALLOW_GLOBAL_SORT = {
     "text_ngram_novelty",
     "sketch_ddsketch_quantiles",  # collapsed bucket/value-grain rank windows
     "agg_percentile_cont_exact",  # collapsed value-grain rank windows (per-priority)
+    "agg_median_ci_order_statistic",  # same collapsed value-grain rank windows
     "dedup_semantic_semdedup",  # 16-row cell-summary output order
     "ops_cache_belady_vs_lru",  # 5-row event-type code dim rank
     "timeseries_hurst_rs",  # 84-row month-index series rank
