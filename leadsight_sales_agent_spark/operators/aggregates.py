@@ -6223,3 +6223,122 @@ def agg_median_ci_order_statistic(spark: SparkSession, sf_dir: str) -> DataFrame
             "ci_hi_cents"
         ),
     )
+
+
+# 120 monthly discount factors at 1%/month, precomputed as double
+# LITERALS in E-NOTATION: a plain decimal-point literal parses as
+# DECIMAL in both engines, and DuckDB's DECIMAL(18,17) -> DOUBLE
+# conversion DOUBLE-ROUNDS (int128 then /1e17) while Spark's BigDecimal
+# cast rounds once — a 1-ulp factor spread that flipped floor() at
+# sf0.01 volume. Exponent notation is an approximate literal -> parsed
+# straight to the same DOUBLE in both engines; 17 sig digits
+# round-trips exactly. No libm pow in any engine's data path.
+NPV_MONTHLY_RATE = 1.01
+_NPV_FACTOR_LITS = ", ".join(
+    format(1.0 / NPV_MONTHLY_RATE**t, ".17e") for t in range(120)
+)
+_NPV_TERM_SPARK = (
+    "CAST(floor(CAST(v_micro AS DOUBLE)"
+    f" * element_at(array({_NPV_FACTOR_LITS}), CAST(t + 1 AS INT))"
+    " + 0.5) AS BIGINT)"
+)
+_NPV_TERM_SQL = (
+    "CAST(floor(CAST(v_micro AS DOUBLE)"
+    f" * ([{_NPV_FACTOR_LITS}])[CAST(t + 1 AS INT)]"
+    " + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "finance_npv_monthly_cashflows",
+    oracle=f"""
+    WITH cell AS (
+        SELECT p.p_brand AS brand,
+               date_trunc('month', o.o_orderdate) AS mon,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(25,6))) * 1000000 AS BIGINT)
+                   AS v_micro
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT brand, v_micro,
+               (year(mon) * 12 + month(mon))
+                 - min(year(mon) * 12 + month(mon)) OVER () AS t
+        FROM cell
+    ),
+    terms AS (
+        SELECT brand, v_micro, t, {_NPV_TERM_SQL} AS term
+        FROM idx
+    )
+    SELECT brand AS p_brand,
+           CAST(count(*) AS BIGINT) AS n_months,
+           CAST(sum(v_micro) AS BIGINT) AS total_micro,
+           CAST(sum(term) AS BIGINT) AS npv_micro,
+           CAST((2 * sum(term) + 1000000) // 2000000 AS BIGINT)
+               AS npv_cents
+    FROM terms GROUP BY 1
+    """,
+)
+def finance_npv_monthly_cashflows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net present value of each part brand's monthly revenue stream,
+    discounted at 1%/month back to the first traded month — the
+    time-value lens the finance family lacked (FIFO COGS matches cost,
+    AR aging buckets receivables, MRR tracks movement; NPV prices the
+    STREAM). Brands whose revenue front-loads beat brands with the
+    same total that earn late — total_micro vs npv_micro shows exactly
+    that gap.
+
+    Exactness device (new in the playbook): the 120 discount factors
+    are PRECOMPUTED double literals (shortest round-trip repr), so both
+    engines parse identical doubles and every cashflow x factor product
+    is an identical IEEE value — floor(x + 0.5) can never disagree, no
+    matter the quantum (contrast an in-engine pow/exp, whose 1-ulp
+    spread WOULD flip floors at this volume). Cashflows are exact
+    integer micro-units via the dsum decimal device; month index t is
+    pure integer calendar arithmetic anchored at the global minimum.
+
+    100 TB plan: one three-way keyed join + (brand, month) map-side
+    collapse; the discount table ships as a 120-literal expression
+    (zero data); windows only on the ~2100-row collapsed grid.
+    """
+    cell = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "part").select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(l_extendedprice * (1 - l_discount)"
+                " AS DECIMAL(25,6))) * 1000000 AS BIGINT)"
+            ).alias("v_micro")
+        )
+    )
+    idx = cell.select(
+        "brand",
+        "v_micro",
+        (
+            (F.year("mon") * 12 + F.month("mon"))
+            - F.min(F.year("mon") * 12 + F.month("mon")).over(Window.partitionBy())
+        ).alias("t"),
+    )
+    terms = idx.select("brand", "v_micro", "t", F.expr(_NPV_TERM_SPARK).alias("term"))
+    return terms.groupBy(F.col("brand").alias("p_brand")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum("v_micro").cast("bigint").alias("total_micro"),
+        F.sum("term").cast("bigint").alias("npv_micro"),
+        F.expr(
+            "CAST((2 * sum(term) + 1000000) DIV 2000000 AS BIGINT)"
+        ).alias("npv_cents"),
+    )

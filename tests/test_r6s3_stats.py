@@ -651,3 +651,53 @@ class TestQueueingMm1:
                 assert abs(r.wq_s_e2 / 1e2 - rho / (mu * (1 - rho))) <= 0.02
             else:
                 assert r.lq_e4 == -1 and r.wq_s_e2 == -1
+
+
+class TestNpvCashflows:
+    def test_matches_brute_force_exactly(self, spark, sf_dir):
+        from decimal import Decimal
+
+        rows = (
+            load(spark, sf_dir, "lineitem")
+            .join(
+                load(spark, sf_dir, "part").select("p_partkey", "p_brand"),
+                F.col("l_partkey") == F.col("p_partkey"),
+            )
+            .join(
+                load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select(
+                "p_brand",
+                F.year("o_orderdate").alias("y"),
+                F.month("o_orderdate").alias("m"),
+                F.expr(
+                    "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))"
+                ).alias("v"),
+            )
+            .collect()
+        )
+        cells = defaultdict(Decimal)
+        for r in rows:
+            cells[(r.p_brand, r.y * 12 + r.m)] += r.v
+        t0 = min(k[1] for k in cells)
+        per_brand = defaultdict(lambda: [0, 0, 0])
+        for (b, ym), v in cells.items():
+            micro = int(v * 1_000_000)
+            t = ym - t0
+            term = math.floor(micro * (1.0 / 1.01**t) + 0.5)
+            s = per_brand[b]
+            s[0] += 1
+            s[1] += micro
+            s[2] += term
+        got = {
+            r.p_brand: r
+            for r in registry.QUERIES["finance_npv_monthly_cashflows"](
+                spark, sf_dir
+            ).collect()
+        }
+        for b, (nm, tot, npv) in per_brand.items():
+            r = got[b]
+            assert (r.n_months, r.total_micro, r.npv_micro) == (nm, tot, npv), b
+            assert r.npv_micro <= r.total_micro  # discounting shrinks
+            assert r.npv_cents == (2 * npv + 1_000_000) // 2_000_000
