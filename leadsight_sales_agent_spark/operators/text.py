@@ -3758,3 +3758,135 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / k * 1e4 + 0.5) AS BIGINT)"
         ).alias("ln_k_e4"),
     )
+
+
+@query(
+    "text_rake_keyphrases",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents)
+    ),
+    cand AS (
+        SELECT doc_id, pos, w,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM words WHERE w NOT IN {STOPWORDS}
+    ),
+    sized AS (
+        SELECT doc_id, grp, pos, w,
+               count(*) OVER (PARTITION BY doc_id, grp) AS plen
+        FROM cand
+    ),
+    wstats AS (
+        SELECT w,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(plen) AS BIGINT) AS deg
+        FROM sized GROUP BY 1
+    ),
+    scored AS (
+        SELECT s.doc_id, s.grp, s.pos, s.w, s.plen,
+               (2 * ws.deg * 1000000 + ws.freq) // (2 * ws.freq)
+                   AS w_micro
+        FROM sized s JOIN wstats ws ON ws.w = s.w
+    ),
+    phrases AS (
+        SELECT doc_id, grp,
+               string_agg(w, ' ' ORDER BY pos) AS phrase,
+               CAST(max(plen) AS BIGINT) AS n_words,
+               CAST(sum(w_micro) AS BIGINT) AS score_micro
+        FROM scored GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT phrase,
+               CAST(max(n_words) AS BIGINT) AS n_words,
+               CAST(max(score_micro) AS BIGINT) AS rake_score_micro,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM phrases GROUP BY 1
+    )
+    SELECT phrase, n_words, rake_score_micro, n_occurrences
+    FROM agg
+    ORDER BY rake_score_micro DESC, phrase
+    LIMIT 15
+    """,
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-delimited word runs; each
+    word scores deg/freq (deg = sum of the lengths of every phrase
+    containing it — co-occurrence degree including self), and a
+    phrase scores the sum of its words' scores. The unsupervised
+    keyword extractor that needs no model — the corpus-level
+    complement of keyword_score_documents' fixed keyword list and
+    text_tfidf_top_terms' per-doc weighting.
+
+    Exactness: deg and freq are exact integers, so each word's score
+    rides the half-up micro device (2·deg·1e6 + freq) DIV (2·freq) —
+    pure BIGINT — and phrase scores are exact integer sums; identical
+    phrases score identically by construction, so the phrase-grain
+    max() is a no-op dedup. Phrase text assembles via the ordered
+    string-concat device (array_sort of (pos, word) structs vs
+    string_agg ORDER BY). Top-15 with a full deterministic tie-break
+    (score desc, phrase asc).
+
+    100 TB plan: explode -> gaps-islands windows partitioned BY doc
+    (no global sort), one word-grain hash-agg (vocabulary-bounded),
+    one broadcast-able word-stats join back, phrase-grain collapse,
+    and a TakeOrderedAndProject top-15 — never a global sort of the
+    corpus.
+    """
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "w"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    cand = words.filter(~F.col("w").isin(*STOPWORDS)).select(
+        "doc_id",
+        "pos",
+        "w",
+        (
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+        ).alias("grp"),
+    )
+    sized = cand.select(
+        "doc_id",
+        "grp",
+        "pos",
+        "w",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "grp")).alias("plen"),
+    )
+    wstats = sized.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    scored = sized.join(F.broadcast(wstats), "w").select(
+        "doc_id",
+        "grp",
+        "pos",
+        "w",
+        "plen",
+        F.expr("(2 * deg * 1000000 + freq) DIV (2 * freq)").alias("w_micro"),
+    )
+    phrases = scored.groupBy("doc_id", "grp").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, w))),"
+            " x -> x.w), ' ')"
+        ).alias("phrase"),
+        F.max("plen").cast("bigint").alias("n_words"),
+        F.sum("w_micro").cast("bigint").alias("score_micro"),
+    )
+    agg = phrases.groupBy("phrase").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.max("score_micro").cast("bigint").alias("rake_score_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+    )
+    return (
+        agg.select("phrase", "n_words", "rake_score_micro", "n_occurrences")
+        .orderBy(F.desc("rake_score_micro"), F.asc("phrase"))
+        .limit(15)
+    )

@@ -701,3 +701,43 @@ class TestNpvCashflows:
             assert (r.n_months, r.total_micro, r.npv_micro) == (nm, tot, npv), b
             assert r.npv_micro <= r.total_micro  # discounting shrinks
             assert r.npv_cents == (2 * npv + 1_000_000) // 2_000_000
+
+
+class TestRakeKeyphrases:
+    def test_matches_brute_force_exactly(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.text import STOPWORDS
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        stop = set(STOPWORDS)
+        phrase_rows = []
+        for d in docs:
+            run = []
+            for w in d.text.strip().split():
+                if w in stop:
+                    if run:
+                        phrase_rows.append(tuple(run))
+                        run = []
+                else:
+                    run.append(w)
+            if run:
+                phrase_rows.append(tuple(run))
+        freq, deg = Counter(), Counter()
+        for ph in phrase_rows:
+            for w in ph:
+                freq[w] += 1
+                deg[w] += len(ph)
+        def wscore(w):
+            return (2 * deg[w] * 1_000_000 + freq[w]) // (2 * freq[w])
+        agg = {}
+        for ph in phrase_rows:
+            s = sum(wscore(w) for w in ph)
+            key = " ".join(ph)
+            n, _, cnt = agg.get(key, (len(ph), s, 0))
+            agg[key] = (len(ph), s, cnt + 1)
+        top = sorted(agg.items(), key=lambda kv: (-kv[1][1], kv[0]))[:15]
+        got = registry.QUERIES["text_rake_keyphrases"](spark, sf_dir).collect()
+        assert len(got) == 15
+        for r, (phrase, (nw, sc, cnt)) in zip(got, top):
+            assert (r.phrase, r.n_words, r.rake_score_micro, r.n_occurrences) == (
+                phrase, nw, sc, cnt,
+            )
