@@ -115,6 +115,11 @@ HEADLINE = [
     # dual ring-position sweeps of the consistent-hash resize audit.
     "dedup_cdc_chunking",
     "shard_consistent_hash_ring",
+    # r6 session-3 additions: SemDeDup (sign-projection cells + within-
+    # cell cosine pair join) and the dual cache-policy per-user fold
+    # (LRU + Belady in one sorted-array shuffle).
+    "dedup_semantic_semdedup",
+    "ops_cache_belady_vs_lru",
 ]
 
 

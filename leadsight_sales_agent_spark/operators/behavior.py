@@ -7873,3 +7873,164 @@ def ops_queueing_mm1_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE -1 END AS BIGINT)"
         ).alias("wq_s_e2"),
     )
+
+
+@query(
+    "survival_nelson_aalen",
+    oracle="""
+    WITH anchor AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ),
+    outcome AS (
+        SELECT a.user_id,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts > a.t0
+                        THEN e.ts END) AS tp,
+               max(e.ts) AS tlast,
+               any_value(a.t0) AS t0
+        FROM anchor a JOIN events e ON e.user_id = a.user_id
+        GROUP BY 1
+    ),
+    spells AS (
+        SELECT user_id,
+               CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS died,
+               CASE WHEN tp IS NOT NULL
+                    THEN date_diff('day', t0, tp)
+                    ELSE date_diff('day', t0, tlast) END AS dur
+        FROM outcome
+    ),
+    grain AS (
+        SELECT dur, CAST(sum(died) AS BIGINT) AS d,
+               CAST(sum(1 - died) AS BIGINT) AS c
+        FROM spells GROUP BY 1
+    ),
+    risk AS (
+        SELECT dur, d, c,
+               sum(d + c) OVER () - coalesce(sum(d + c) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_r
+        FROM grain
+    ),
+    terms AS (
+        SELECT dur, d, c, n_r,
+               (2 * d * 1000000 + n_r) // (2 * n_r) AS h_term,
+               (2 * d * 1000000000000 + n_r * n_r) // (2 * n_r * n_r)
+                   AS v_term
+        FROM risk
+    ),
+    na AS (
+        SELECT dur, d, c, n_r,
+               sum(h_term) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h_cum,
+               sum(v_term) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_cum
+        FROM terms
+    )
+    SELECT dur AS duration_days,
+           CAST(n_r AS BIGINT) AS n_at_risk,
+           d AS d_events, c AS c_censored,
+           CAST(h_cum AS BIGINT) AS cum_hazard_micro,
+           CAST(v_cum AS BIGINT) AS hazard_var_e12,
+           CAST(floor(exp(-(CAST(h_cum AS DOUBLE) / 1e6)) * 1e6 + 0.5)
+                AS BIGINT) AS fh_survival_e6
+    FROM na
+    """,
+)
+def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the SAME signup-to-purchase
+    spells as survival_kaplan_meier: H(t) = Σ d_i/n_i with its
+    variance Σ d_i/n_i², plus the Fleming-Harrington survival
+    exp(-H) — the hazard-scale view (KM is the survival-scale one;
+    NA is preferred at small risk sets and is what Cox models build
+    on). Completes the survival trio (KM curve, log-rank comparison,
+    NA hazard).
+
+    Exactness: d and n (at-risk by the PRECEDING-cumulative device)
+    are exact integers, each increment rides the half-up integral
+    quotient in 1e-6 (hazard) / 1e-12 (variance) units — pure BIGINT
+    via bare DIV — and the cumulative is an exact integer RANGE sum
+    shared by both engines; only the final exp(-H) display column is
+    a shared-verbatim tree. n_r·n_r <= ~1e8 at sf0.1 and the variance
+    numerator 2·d·1e12 stays under 2^63 to ~4.6e6 events per duration
+    cell (document: drop to e10 past that).
+
+    100 TB plan: identical to KM — user-grain spell build (two keyed
+    aggs), duration-grain collapse, windows on the bounded duration
+    domain.
+    """
+    ev = load(spark, sf_dir, "events")
+    anchor = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    outcome = (
+        ev.join(anchor, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t0")),
+                    F.col("ts"),
+                )
+            ).alias("tp"),
+            F.max("ts").alias("tlast"),
+            F.any_value(F.col("t0")).alias("t0"),
+        )
+    )
+    spells = outcome.select(
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("died"),
+        F.when(
+            F.col("tp").isNotNull(),
+            F.datediff(F.col("tp"), F.col("t0")),
+        )
+        .otherwise(F.datediff(F.col("tlast"), F.col("t0")))
+        .cast("bigint")
+        .alias("dur"),
+    )
+    grain = spells.groupBy("dur").agg(
+        F.sum("died").cast("bigint").alias("d"),
+        F.sum(1 - F.col("died")).cast("bigint").alias("c"),
+    )
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    risk = grain.select(
+        "dur",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(wall)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+        ).alias("n_r"),
+    )
+    terms = risk.select(
+        "dur",
+        "d",
+        "c",
+        "n_r",
+        F.expr("(2 * d * 1000000 + n_r) DIV (2 * n_r)").alias("h_term"),
+        F.expr(
+            "(2 * d * 1000000000000 + n_r * n_r) DIV (2 * n_r * n_r)"
+        ).alias("v_term"),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    na = terms.select(
+        "dur",
+        "d",
+        "c",
+        "n_r",
+        F.sum("h_term").over(wcum).alias("h_cum"),
+        F.sum("v_term").over(wcum).alias("v_cum"),
+    )
+    return na.select(
+        F.col("dur").alias("duration_days"),
+        F.col("n_r").cast("bigint").alias("n_at_risk"),
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        F.col("h_cum").cast("bigint").alias("cum_hazard_micro"),
+        F.col("v_cum").cast("bigint").alias("hazard_var_e12"),
+        F.expr(
+            "CAST(floor(exp(-(CAST(h_cum AS DOUBLE) / 1e6)) * 1e6 + 0.5)"
+            " AS BIGINT)"
+        ).alias("fh_survival_e6"),
+    )

@@ -741,3 +741,31 @@ class TestRakeKeyphrases:
             assert (r.phrase, r.n_words, r.rake_score_micro, r.n_occurrences) == (
                 phrase, nw, sc, cnt,
             )
+
+
+class TestNelsonAalen:
+    def test_matches_brute_force_exactly(self, spark, sf_dir):
+        km = {
+            r.duration_days: r
+            for r in registry.QUERIES["survival_kaplan_meier"](spark, sf_dir).collect()
+        }
+        rows = registry.QUERIES["survival_nelson_aalen"](spark, sf_dir).collect()
+        assert rows
+        # same spell grain as KM (risk sets and event counts identical)
+        h = v = 0
+        last_s = 1e9
+        for r in sorted(rows, key=lambda x: x.duration_days):
+            k = km[r.duration_days]
+            assert (r.n_at_risk, r.d_events, r.c_censored) == (
+                k.n_at_risk, k.d_events, k.c_censored,
+            )
+            n = r.n_at_risk
+            h += (2 * r.d_events * 1_000_000 + n) // (2 * n)
+            v += (2 * r.d_events * 10**12 + n * n) // (2 * n * n)
+            assert (r.cum_hazard_micro, r.hazard_var_e12) == (h, v)
+            s = math.floor(math.exp(-(h / 1e6)) * 1e6 + 0.5)
+            assert r.fh_survival_e6 == s
+            assert r.fh_survival_e6 <= last_s  # survival is monotone
+            last_s = r.fh_survival_e6
+            # FH survival >= KM survival pointwise (standard inequality)
+            assert r.fh_survival_e6 / 1e6 >= k.survival - 1e-6

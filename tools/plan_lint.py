@@ -247,6 +247,7 @@ ALLOW_GLOBAL_SORT = {
     "eval_pr_curve",
     "eval_decile_lift_table",
     "survival_kaplan_meier",
+    "survival_nelson_aalen",  # duration-grain cumulative windows (the KM shape)
     "agg_histogram_equidepth",
     "skyline_parts_pareto",
     "window_ewma_dyadic_smoothing",  # month-grain series window
