@@ -8034,3 +8034,127 @@ def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("fh_survival_e6"),
     )
+
+
+# Theil U2 trees over exact integer SSEs (scale-0 decimal -> double).
+_U2_SEAS = (
+    "CAST(floor(sqrt(CAST(sse_seas AS DOUBLE) / CAST(sse_naive AS DOUBLE))"
+    " * 1e4 + 0.5) AS BIGINT)"
+)
+_U2_MA3 = (
+    "CAST(floor(sqrt(CAST(sse_ma3 AS DOUBLE)"
+    " / (9.0 * CAST(sse_naive AS DOUBLE))) * 1e4 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "forecast_theil_u2_accuracy",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ),
+    series AS (
+        SELECT row_number() OVER (ORDER BY mon) AS idx, v FROM monthly
+    ),
+    lagged AS (
+        SELECT idx, v,
+               lag(v, 1) OVER (ORDER BY idx) AS v1,
+               lag(v, 12) OVER (ORDER BY idx) AS v12,
+               lag(v, 1) OVER (ORDER BY idx)
+                 + lag(v, 2) OVER (ORDER BY idx)
+                 + lag(v, 3) OVER (ORDER BY idx) AS s3
+        FROM series
+    ),
+    scored AS (
+        SELECT idx, v, v1, v12, s3 FROM lagged WHERE v12 IS NOT NULL
+    ),
+    sse AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(v - v1 AS HUGEINT) * (v - v1))
+                    AS DECIMAL(38,0)) AS sse_naive,
+               CAST(sum(CAST(v - v12 AS HUGEINT) * (v - v12))
+                    AS DECIMAL(38,0)) AS sse_seas,
+               CAST(sum(CAST(3 * v - s3 AS HUGEINT) * (3 * v - s3))
+                    AS DECIMAL(38,0)) AS sse_ma3
+        FROM scored
+    )
+    SELECT n AS n_months_scored,
+           sse_naive AS sse_naive_c2, sse_seas AS sse_seasonal_c2,
+           {_U2_SEAS} AS u2_seasonal_e4,
+           {_U2_MA3} AS u2_ma3_e4,
+           CAST(CASE WHEN sqrt(CAST(sse_seas AS DOUBLE)
+                               / CAST(sse_naive AS DOUBLE)) < 1.0
+                     THEN 1 ELSE 0 END AS INTEGER) AS seasonal_beats_naive,
+           CAST(CASE WHEN sqrt(CAST(sse_ma3 AS DOUBLE)
+                               / (9.0 * CAST(sse_naive AS DOUBLE))) < 1.0
+                     THEN 1 ELSE 0 END AS INTEGER) AS ma3_beats_naive
+    FROM sse
+    """,
+)
+def forecast_theil_u2_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U2 forecast-accuracy statistic on monthly revenue:
+    RMSE(model)/RMSE(naive random walk) for two candidate one-step
+    forecasters — seasonal-naive (12 months back) and the trailing
+    3-month mean — scored on the months where all forecasts exist.
+    U2 < 1 means the model beats 'tomorrow = today'; the relative
+    yardstick every backtest should report before MAE impresses
+    anyone (complements forecast_seasonal_naive_backtest's absolute
+    errors with the benchmark-relative view).
+
+    Exactness: all three SSEs are exact integer sums of squared cent
+    errors (HUGEINT/DECIMAL(38,0)); the MA3 forecast error is kept
+    integral as (3y - s3) with the 9 folded into the final tree; U2
+    and the beats-flags are shared-verbatim IEEE trees over scale-0
+    decimal -> double casts. 100 TB plan: month-grain collapse, lag
+    windows on the ~84-row calendar series, 1-row reduce.
+    """
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mon"))
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    w = Window.orderBy("mon")
+    lagged = monthly.select(
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 12).over(w).alias("v12"),
+        (
+            F.lag("v", 1).over(w) + F.lag("v", 2).over(w) + F.lag("v", 3).over(w)
+        ).alias("s3"),
+    ).filter(F.col("v12").isNotNull())
+    sse = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(v - v1 AS DECIMAL(38,0)) * (v - v1)"))
+        .cast("decimal(38,0)")
+        .alias("sse_naive"),
+        F.sum(F.expr("CAST(v - v12 AS DECIMAL(38,0)) * (v - v12)"))
+        .cast("decimal(38,0)")
+        .alias("sse_seas"),
+        F.sum(F.expr("CAST(3 * v - s3 AS DECIMAL(38,0)) * (3 * v - s3)"))
+        .cast("decimal(38,0)")
+        .alias("sse_ma3"),
+    )
+    return sse.select(
+        F.col("n").alias("n_months_scored"),
+        F.col("sse_naive").alias("sse_naive_c2"),
+        F.col("sse_seas").alias("sse_seasonal_c2"),
+        F.expr(_U2_SEAS).alias("u2_seasonal_e4"),
+        F.expr(_U2_MA3).alias("u2_ma3_e4"),
+        F.expr(
+            "CAST(CASE WHEN sqrt(CAST(sse_seas AS DOUBLE)"
+            " / CAST(sse_naive AS DOUBLE)) < 1.0 THEN 1 ELSE 0 END"
+            " AS INTEGER)"
+        ).alias("seasonal_beats_naive"),
+        F.expr(
+            "CAST(CASE WHEN sqrt(CAST(sse_ma3 AS DOUBLE)"
+            " / (9.0 * CAST(sse_naive AS DOUBLE))) < 1.0 THEN 1 ELSE 0 END"
+            " AS INTEGER)"
+        ).alias("ma3_beats_naive"),
+    )

@@ -769,3 +769,36 @@ class TestNelsonAalen:
             last_s = r.fh_survival_e6
             # FH survival >= KM survival pointwise (standard inequality)
             assert r.fh_survival_e6 / 1e6 >= k.survival - 1e-6
+
+
+class TestTheilU2:
+    def test_matches_brute_force_exactly(self, spark, sf_dir):
+        rows = (
+            load(spark, sf_dir, "orders")
+            .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mon"))
+            .agg(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint")
+                ).alias("v")
+            )
+            .orderBy("mon")
+            .collect()
+        )
+        v = [r.v for r in rows]
+        sse_n = sse_s = sse_m = 0
+        n = 0
+        for i in range(12, len(v)):
+            n += 1
+            sse_n += (v[i] - v[i - 1]) ** 2
+            sse_s += (v[i] - v[i - 12]) ** 2
+            sse_m += (3 * v[i] - (v[i - 1] + v[i - 2] + v[i - 3])) ** 2
+        got = registry.QUERIES["forecast_theil_u2_accuracy"](spark, sf_dir).collect()[0]
+        assert got.n_months_scored == n
+        assert int(got.sse_naive_c2) == sse_n
+        assert int(got.sse_seasonal_c2) == sse_s
+        u2s = math.sqrt(sse_s / sse_n)
+        u2m = math.sqrt(sse_m / (9 * sse_n))
+        assert got.u2_seasonal_e4 == math.floor(u2s * 1e4 + 0.5)
+        assert got.u2_ma3_e4 == math.floor(u2m * 1e4 + 0.5)
+        assert got.seasonal_beats_naive == (1 if u2s < 1 else 0)
+        assert got.ma3_beats_naive == (1 if u2m < 1 else 0)

@@ -251,6 +251,7 @@ ALLOW_GLOBAL_SORT = {
     "agg_histogram_equidepth",
     "skyline_parts_pareto",
     "window_ewma_dyadic_smoothing",  # month-grain series window
+    "forecast_theil_u2_accuracy",  # month-grain lag windows
     "forecast_seasonal_decomposition",
     "forecast_theil_sen_trend",
     "window_rolling_correlation",
