@@ -330,6 +330,7 @@ ALLOW_MANY_EXCHANGES = {
     "neardup_simhash_exact": 65,  # 8 band-keyed joins + dedup + verify
     "graph_rich_club_coefficient": 39,  # projection + degree + per-k club joins
     "graph_hits_hubs_authorities": 16,  # W build + 6 checkpointed half-rounds
+    "timeseries_hurst_rs": 13,  # three R/S window legs on the checkpointed 84-row series
 }
 
 FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
