@@ -2447,7 +2447,13 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cell")
     )
-    v = cells.join(emb, "vec_id").withColumn("nrm", l2_norm(F.col("embedding")))
+    # v feeds BOTH pair sides and the per-cell summary: checkpoint so
+    # the sign-projection pipeline runs once, not three times
+    v = (
+        cells.join(emb, "vec_id")
+        .withColumn("nrm", l2_norm(F.col("embedding")))
+        .localCheckpoint(eager=False)
+    )
     a = v.select(
         F.col("cell"),
         F.col("vec_id").alias("keep_id"),
