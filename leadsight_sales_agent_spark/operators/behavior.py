@@ -8158,3 +8158,156 @@ def forecast_theil_u2_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS INTEGER)"
         ).alias("ma3_beats_naive"),
     )
+
+
+# DeLong trees shared VERBATIM Spark/oracle over exact integer
+# placement sums (scale-0 decimal -> double): auc, then
+# var = S10/(2n)²/m + S01/(2m)²/n with S = sample variance of the
+# doubled placements.
+_DL_AUC = "(CAST(sq10 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE)))"
+_DL_VAR = (
+    "((CAST(sq10sq AS DOUBLE) - CAST(sq10 AS DOUBLE) * CAST(sq10 AS DOUBLE)"
+    " / CAST(m AS DOUBLE)) / (CAST(m AS DOUBLE) - 1.0)"
+    " / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(m AS DOUBLE)"
+    " + (CAST(sq01sq AS DOUBLE) - CAST(sq01 AS DOUBLE) * CAST(sq01 AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"
+    " / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) / CAST(n AS DOUBLE))"
+)
+_DL_Z = "1.959963984540054"
+
+
+@query(
+    "eval_auc_delong_ci",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ), g AS (
+        SELECT score,
+               CAST(sum(y) AS BIGINT) AS np_s,
+               CAST(sum(1 - y) AS BIGINT) AS nn_s
+        FROM s GROUP BY score
+    ), cum AS (
+        SELECT score, np_s, nn_s,
+               CAST(COALESCE(sum(nn_s) OVER (ORDER BY score
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS nn_lt,
+               CAST(COALESCE(sum(np_s) OVER (ORDER BY score
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS np_lt,
+               CAST(sum(np_s) OVER () AS BIGINT) AS m,
+               CAST(sum(nn_s) OVER () AS BIGINT) AS n
+        FROM g
+    ), placed AS (
+        SELECT np_s, nn_s, m, n,
+               2 * nn_lt + nn_s AS q10,
+               2 * (m - np_lt - np_s) + np_s AS q01
+        FROM cum
+    ), agg AS (
+        SELECT CAST(max(m) AS BIGINT) AS m, CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(CAST(np_s AS HUGEINT) * q10) AS DECIMAL(38,0))
+                   AS sq10,
+               CAST(sum(CAST(np_s AS HUGEINT) * q10 * q10) AS DECIMAL(38,0))
+                   AS sq10sq,
+               CAST(sum(CAST(nn_s AS HUGEINT) * q01) AS DECIMAL(38,0))
+                   AS sq01,
+               CAST(sum(CAST(nn_s AS HUGEINT) * q01 * q01) AS DECIMAL(38,0))
+                   AS sq01sq
+        FROM placed
+    )
+    SELECT m AS n_pos, n AS n_neg,
+           CAST(floor({_DL_AUC} * 1e6 + 0.5) AS BIGINT) AS auc_e6,
+           CAST(floor(sqrt({_DL_VAR}) * 1e6 + 0.5) AS BIGINT) AS se_e6,
+           CAST(floor(({_DL_AUC} - {_DL_Z} * sqrt({_DL_VAR})) * 1e6 + 0.5)
+                AS BIGINT) AS ci_lo_e6,
+           CAST(floor(({_DL_AUC} + {_DL_Z} * sqrt({_DL_VAR})) * 1e6 + 0.5)
+                AS BIGINT) AS ci_hi_e6
+    FROM agg
+    """,
+)
+def eval_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong confidence interval for the ROC-AUC — the standard error
+    every AUC should ship with (eval_roc_auc_scores reports the point
+    estimate; a 0.71 vs 0.73 comparison is noise until DeLong says
+    otherwise). The structural-component method: each positive's
+    placement V10 (fraction of negatives ranked below it, ties half)
+    and each negative's V01; var(AUC) = S10/m + S01/n over the
+    placement sample variances.
+
+    Exactness: on the collapsed distinct-score grain, DOUBLED
+    placements are exact integers (q10 = 2·nn_lt + nn_s — the MW/AUC
+    half-unit device), so Σq, Σq² per class are exact
+    HUGEINT/DECIMAL(38,0) sums; AUC, se, and the Wald CI are
+    shared-verbatim IEEE trees over scale-0 decimal -> double casts
+    (sqrt correctly rounded, z as a literal). Internal identity:
+    sq10/(2nm) = sq01/(2mn) = AUC — pinned by the unit test.
+
+    100 TB plan: identical to eval_roc_auc_scores — one hash collapse
+    to the score domain, TWO cumulative windows sharing the one
+    bounded sort, a 1-row reduce.
+    """
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("value").cast("decimal(25,2)") * 100).cast("bigint").alias("score"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+    )
+    g = s.groupBy("score").agg(
+        F.sum("y").cast("bigint").alias("np_s"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("nn_s"),
+    )
+    word = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    cum = g.select(
+        "np_s",
+        "nn_s",
+        F.coalesce(F.sum("nn_s").over(word), F.lit(0)).cast("bigint").alias("nn_lt"),
+        F.coalesce(F.sum("np_s").over(word), F.lit(0)).cast("bigint").alias("np_lt"),
+        F.sum("np_s").over(wall).cast("bigint").alias("m"),
+        F.sum("nn_s").over(wall).cast("bigint").alias("n"),
+    )
+    placed = cum.select(
+        "np_s",
+        "nn_s",
+        "m",
+        "n",
+        (2 * F.col("nn_lt") + F.col("nn_s")).alias("q10"),
+        (2 * (F.col("m") - F.col("np_lt") - F.col("np_s")) + F.col("np_s")).alias(
+            "q01"
+        ),
+    )
+    agg = placed.agg(
+        F.max("m").cast("bigint").alias("m"),
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(np_s AS DECIMAL(38,0)) * q10"))
+        .cast("decimal(38,0)")
+        .alias("sq10"),
+        F.sum(F.expr("CAST(np_s AS DECIMAL(38,0)) * q10 * q10"))
+        .cast("decimal(38,0)")
+        .alias("sq10sq"),
+        F.sum(F.expr("CAST(nn_s AS DECIMAL(38,0)) * q01"))
+        .cast("decimal(38,0)")
+        .alias("sq01"),
+        F.sum(F.expr("CAST(nn_s AS DECIMAL(38,0)) * q01 * q01"))
+        .cast("decimal(38,0)")
+        .alias("sq01sq"),
+    )
+    return agg.select(
+        F.col("m").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        F.expr(f"CAST(floor({_DL_AUC} * 1e6 + 0.5) AS BIGINT)").alias("auc_e6"),
+        F.expr(f"CAST(floor(sqrt({_DL_VAR}) * 1e6 + 0.5) AS BIGINT)").alias(
+            "se_e6"
+        ),
+        F.expr(
+            f"CAST(floor(({_DL_AUC} - {_DL_Z} * sqrt({_DL_VAR})) * 1e6 + 0.5)"
+            " AS BIGINT)"
+        ).alias("ci_lo_e6"),
+        F.expr(
+            f"CAST(floor(({_DL_AUC} + {_DL_Z} * sqrt({_DL_VAR})) * 1e6 + 0.5)"
+            " AS BIGINT)"
+        ).alias("ci_hi_e6"),
+    )

@@ -802,3 +802,45 @@ class TestTheilU2:
         assert got.u2_ma3_e4 == math.floor(u2m * 1e4 + 0.5)
         assert got.seasonal_beats_naive == (1 if u2s < 1 else 0)
         assert got.ma3_beats_naive == (1 if u2m < 1 else 0)
+
+
+class TestDelongCI:
+    def test_matches_brute_force(self, spark, sf_dir):
+        rows = (
+            load(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select(
+                (F.col("value").cast("decimal(25,2)") * 100)
+                .cast("bigint")
+                .alias("score"),
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+            )
+            .collect()
+        )
+        pos = sorted(r.score for r in rows if r.y == 1)
+        neg = sorted(r.score for r in rows if r.y == 0)
+        m, n = len(pos), len(neg)
+        import bisect
+
+        v10 = [
+            (bisect.bisect_left(neg, s) + bisect.bisect_right(neg, s)) / (2 * n)
+            for s in pos
+        ]
+        v01 = [
+            ((m - bisect.bisect_right(pos, s)) + (m - bisect.bisect_left(pos, s)))
+            / (2 * m)
+            for s in neg
+        ]
+        auc10 = sum(v10) / m
+        auc01 = sum(v01) / n
+        assert abs(auc10 - auc01) < 1e-12  # structural identity
+        s10 = sum((v - auc10) ** 2 for v in v10) / (m - 1)
+        s01 = sum((v - auc01) ** 2 for v in v01) / (n - 1)
+        se = math.sqrt(s10 / m + s01 / n)
+        got = registry.QUERIES["eval_auc_delong_ci"](spark, sf_dir).collect()[0]
+        assert (got.n_pos, got.n_neg) == (m, n)
+        assert abs(got.auc_e6 / 1e6 - auc10) <= 2e-6
+        assert abs(got.se_e6 / 1e6 - se) <= 2e-6
+        assert abs(got.ci_lo_e6 / 1e6 - (auc10 - 1.959963984540054 * se)) <= 4e-6
+        assert abs(got.ci_hi_e6 / 1e6 - (auc10 + 1.959963984540054 * se)) <= 4e-6
+        assert got.ci_lo_e6 <= got.auc_e6 <= got.ci_hi_e6

@@ -241,6 +241,7 @@ ALLOW_GLOBAL_SORT = {
     "pareto_abc_parts",
     "inventory_abc_xyz_matrix",
     "eval_roc_auc_scores",
+    "eval_auc_delong_ci",  # same collapsed score-grain cumulative windows
     "eval_ks_two_sample",
     "eval_mann_whitney_u",  # collapsed value-grain rank windows
     "eval_kruskal_wallis",  # collapsed value-grain rank windows
