@@ -3450,3 +3450,102 @@ def ops_cache_belady_vs_lru(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * sum(lh + lm)) AS BIGINT)"
         ).alias("gap_bp"),
     )
+
+
+BB_WIN = 12  # trailing months in the band window
+# Per-row Bollinger trees over exact integer frame sums (m +- 2 sigma).
+_BB_MID = "(CAST(s1 AS DOUBLE) / CAST(nw AS DOUBLE))"
+_BB_SD = (
+    "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " / CAST(nw AS DOUBLE)) / (CAST(nw AS DOUBLE) - 1.0))"
+)
+
+
+@query(
+    "window_bollinger_bands",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ),
+    framed AS (
+        SELECT mon, v,
+               sum(v) OVER w AS s1,
+               CAST(sum(CAST(v AS HUGEINT) * v) OVER w AS DECIMAL(38,0))
+                   AS s2,
+               count(*) OVER w AS nw
+        FROM monthly
+        WINDOW w AS (ORDER BY mon
+                     ROWS BETWEEN {BB_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT mon AS month_start, v AS revenue_cents,
+           CAST(floor({_BB_MID} + 0.5) AS BIGINT) AS mid_cents,
+           CAST(floor({_BB_MID} - 2.0 * {_BB_SD} + 0.5) AS BIGINT)
+               AS lower_cents,
+           CAST(floor({_BB_MID} + 2.0 * {_BB_SD} + 0.5) AS BIGINT)
+               AS upper_cents,
+           CAST(CASE WHEN CAST(v AS DOUBLE) > {_BB_MID} + 2.0 * {_BB_SD}
+                     THEN 1
+                     WHEN CAST(v AS DOUBLE) < {_BB_MID} - 2.0 * {_BB_SD}
+                     THEN -1 ELSE 0 END AS INTEGER) AS band_breach
+    FROM framed WHERE nw = {BB_WIN}
+    ORDER BY mon
+    """,
+)
+def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on monthly revenue: trailing {BB_WIN}-month mean
+    ± 2 sample standard deviations, with a breach flag per month —
+    the rolling volatility envelope behind 'is this month's revenue
+    ANOMALOUSLY high, or just high?' (the windowed complement of
+    outlier_zscore_orders' global z and cusum_change_detection's
+    drift test). Months with an incomplete trailing window are
+    excluded rather than reported on thin statistics.
+
+    Exactness: the trailing frame's Σv (BIGINT) and Σv²
+    (DECIMAL(38,0)/HUGEINT) are exact integer window sums; mid, the
+    sd, and both bands are per-row shared-verbatim IEEE trees over
+    scale-0 decimal -> double casts, floor-quantized; the breach flag
+    compares identical doubles. 100 TB plan: month-grain map-side
+    collapse, one ~84-row calendar-bounded ROWS window.
+    """
+    # F.trunc returns DATE (date_trunc returns TIMESTAMP — a type-class
+    # mismatch against DuckDB's DATE when the month is an OUTPUT column)
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.trunc(F.col("o_orderdate"), "month").alias("mon"))
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    w = Window.orderBy("mon").rowsBetween(-(BB_WIN - 1), 0)
+    framed = monthly.select(
+        "mon",
+        "v",
+        F.sum("v").over(w).alias("s1"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v"))
+        .over(w)
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    ).filter(F.col("nw") == BB_WIN)
+    return framed.select(
+        F.col("mon").alias("month_start"),
+        F.col("v").alias("revenue_cents"),
+        F.expr(f"CAST(floor({_BB_MID} + 0.5) AS BIGINT)").alias("mid_cents"),
+        F.expr(
+            f"CAST(floor({_BB_MID} - 2.0 * {_BB_SD} + 0.5) AS BIGINT)"
+        ).alias("lower_cents"),
+        F.expr(
+            f"CAST(floor({_BB_MID} + 2.0 * {_BB_SD} + 0.5) AS BIGINT)"
+        ).alias("upper_cents"),
+        F.expr(
+            f"CAST(CASE WHEN CAST(v AS DOUBLE) > {_BB_MID} + 2.0 * {_BB_SD}"
+            " THEN 1"
+            f" WHEN CAST(v AS DOUBLE) < {_BB_MID} - 2.0 * {_BB_SD}"
+            " THEN -1 ELSE 0 END AS INTEGER)"
+        ).alias("band_breach"),
+    ).orderBy("month_start")

@@ -844,3 +844,31 @@ class TestDelongCI:
         assert abs(got.ci_lo_e6 / 1e6 - (auc10 - 1.959963984540054 * se)) <= 4e-6
         assert abs(got.ci_hi_e6 / 1e6 - (auc10 + 1.959963984540054 * se)) <= 4e-6
         assert got.ci_lo_e6 <= got.auc_e6 <= got.ci_hi_e6
+
+
+class TestBollinger:
+    def test_matches_brute_force_exactly(self, spark, sf_dir):
+        rows = (
+            load(spark, sf_dir, "orders")
+            .groupBy(F.trunc(F.col("o_orderdate"), "month").alias("mon"))
+            .agg(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint")
+                ).alias("v")
+            )
+            .orderBy("mon")
+            .collect()
+        )
+        v = [r.v for r in rows]
+        got = registry.QUERIES["window_bollinger_bands"](spark, sf_dir).collect()
+        assert len(got) == len(v) - 11
+        for i, r in enumerate(sorted(got, key=lambda x: x.month_start)):
+            xs = v[i:i + 12]
+            m = sum(xs) / 12
+            sd = math.sqrt(sum((x - m) ** 2 for x in xs) / 11)
+            assert r.revenue_cents == xs[-1]
+            assert r.mid_cents == math.floor(m + 0.5)
+            assert r.lower_cents == math.floor(m - 2 * sd + 0.5)
+            assert r.upper_cents == math.floor(m + 2 * sd + 0.5)
+            want = 1 if xs[-1] > m + 2 * sd else (-1 if xs[-1] < m - 2 * sd else 0)
+            assert r.band_breach == want

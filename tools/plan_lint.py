@@ -253,6 +253,7 @@ ALLOW_GLOBAL_SORT = {
     "skyline_parts_pareto",
     "window_ewma_dyadic_smoothing",  # month-grain series window
     "forecast_theil_u2_accuracy",  # month-grain lag windows
+    "window_bollinger_bands",  # month-grain trailing ROWS frame + output order
     "forecast_seasonal_decomposition",
     "forecast_theil_sen_trend",
     "window_rolling_correlation",
