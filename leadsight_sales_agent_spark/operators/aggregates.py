@@ -6342,3 +6342,95 @@ def finance_npv_monthly_cashflows(spark: SparkSession, sf_dir: str) -> DataFrame
             "CAST((2 * sum(term) + 1000000) DIV 2000000 AS BIGINT)"
         ).alias("npv_cents"),
     )
+
+
+TRIM_BP = 500  # trim 5% from each tail (in basis points of n)
+
+
+@query(
+    "agg_trimmed_mean_exact",
+    oracle=f"""
+    WITH g1 AS (
+        SELECT o_orderpriority AS prio,
+               CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents,
+               count(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT prio, cents, cnt,
+               sum(cnt) OVER (PARTITION BY prio ORDER BY cents) AS cum_incl,
+               sum(cnt) OVER (PARTITION BY prio) AS n_g
+        FROM g1
+    ),
+    clipped AS (
+        SELECT prio, cents, n_g,
+               -- ranks kept: (lo, hi] with lo = floor(n*trim), hi = n - lo
+               greatest(least(cum_incl, n_g - (n_g * {TRIM_BP}) // 10000)
+                        - greatest(cum_incl - cnt,
+                                   (n_g * {TRIM_BP}) // 10000),
+                        0) AS kept
+        FROM w
+    )
+    SELECT prio AS o_orderpriority,
+           CAST(max(n_g) AS BIGINT) AS n_orders,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST((2 * sum(kept * cents) + sum(kept)) // (2 * sum(kept))
+                AS BIGINT) AS trimmed_mean_cents
+    FROM clipped GROUP BY 1
+    """,
+)
+def agg_trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5%-trimmed mean of order value per priority — the robust
+    location estimate between the mean (outlier-dragged) and the
+    median (throws away 98% of the data): drop the lowest and highest
+    5% BY RANK, average the rest. Complements winsorize_orders_by_
+    segment, which CLAMPS the tails instead of dropping them.
+
+    Device (all-integer, no per-row rank explosion): on the collapsed
+    (priority, cents) grain, a value cell occupying ranks
+    (cum_incl - cnt, cum_incl] contributes
+    kept = max(0, min(cum_incl, hi) - max(cum_incl - cnt, lo))
+    observations to the kept band (lo, hi] — interval clipping as
+    integer arithmetic, so cells straddling a trim boundary contribute
+    PARTIAL counts exactly. The trimmed mean is then a half-up integer
+    quotient of exact sums. 100 TB plan: one hash collapse, per-group
+    windows on the domain-bounded grain, 5-row reduce.
+    """
+    g1 = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("prio", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = g1.select(
+        "prio",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("prio").orderBy("cents")).alias(
+            "cum_incl"
+        ),
+        F.sum("cnt").over(Window.partitionBy("prio")).alias("n_g"),
+    )
+    clipped = w.select(
+        "prio",
+        "cents",
+        "n_g",
+        F.expr(
+            f"greatest(least(cum_incl, n_g - (n_g * {TRIM_BP}) DIV 10000)"
+            f" - greatest(cum_incl - cnt, (n_g * {TRIM_BP}) DIV 10000), 0)"
+        ).alias("kept"),
+    )
+    return clipped.groupBy(F.col("prio").alias("o_orderpriority")).agg(
+        F.max("n_g").cast("bigint").alias("n_orders"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.expr(
+            "CAST((2 * sum(kept * cents) + sum(kept)) DIV (2 * sum(kept))"
+            " AS BIGINT)"
+        ).alias("trimmed_mean_cents"),
+    )

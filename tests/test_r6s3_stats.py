@@ -872,3 +872,32 @@ class TestBollinger:
             assert r.upper_cents == math.floor(m + 2 * sd + 0.5)
             want = 1 if xs[-1] > m + 2 * sd else (-1 if xs[-1] < m - 2 * sd else 0)
             assert r.band_breach == want
+
+
+class TestTrimmedMean:
+    def test_matches_brute_force_exactly(self, spark, sf_dir):
+        vals = defaultdict(list)
+        for r in (
+            load(spark, sf_dir, "orders")
+            .select(
+                "o_orderpriority",
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .collect()
+        ):
+            vals[r.o_orderpriority].append(r.cents)
+        got = {
+            r.o_orderpriority: r
+            for r in registry.QUERIES["agg_trimmed_mean_exact"](spark, sf_dir).collect()
+        }
+        for prio, xs in vals.items():
+            xs.sort()
+            n = len(xs)
+            lo = n * 500 // 10000
+            kept = xs[lo:n - lo]
+            s, k = sum(kept), len(kept)
+            r = got[prio]
+            assert (r.n_orders, r.n_kept) == (n, k)
+            assert r.trimmed_mean_cents == (2 * s + k) // (2 * k)
