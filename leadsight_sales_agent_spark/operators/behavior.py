@@ -8311,3 +8311,141 @@ def eval_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("ci_hi_e6"),
     )
+
+
+# CMH trees over exact micro-integer sums (shared VERBATIM).
+_CMH_CHI2 = (
+    "((abs(CAST(sum_a AS DOUBLE) - CAST(e_micro AS DOUBLE) / 1e6) - 0.5)"
+    " * (abs(CAST(sum_a AS DOUBLE) - CAST(e_micro AS DOUBLE) / 1e6) - 0.5)"
+    " / (CAST(v_micro AS DOUBLE) / 1e6))"
+)
+_CMH_OR = "(CAST(ad_micro AS DOUBLE) / CAST(bc_micro AS DOUBLE))"
+_CMH_CRIT = "3.841458820694124"  # chi2(1) 95th percentile
+
+
+@query(
+    "eval_cmh_stratified",
+    oracle=f"""
+    WITH base AS (
+        SELECT c.c_mktsegment AS stratum,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS exposed,
+               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS outcome
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS (
+        SELECT stratum,
+               CAST(sum(exposed * outcome) AS BIGINT) AS a,
+               CAST(sum(exposed * (1 - outcome)) AS BIGINT) AS b,
+               CAST(sum((1 - exposed) * outcome) AS BIGINT) AS c,
+               CAST(sum((1 - exposed) * (1 - outcome)) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM base GROUP BY 1
+    ),
+    terms AS (
+        SELECT stratum, a,
+               (2 * (a + b) * (a + c) * 1000000 + n) // (2 * n) AS e_t,
+               (2 * CAST((a + b) AS HUGEINT) * (c + d) * (a + c) * (b + d)
+                    * 1000000 + CAST(n AS HUGEINT) * n * (n - 1))
+                   // (2 * CAST(n AS HUGEINT) * n * (n - 1)) AS v_t,
+               (2 * CAST(a AS HUGEINT) * d * 1000000 + n) // (2 * n) AS ad_t,
+               (2 * CAST(b AS HUGEINT) * c * 1000000 + n) // (2 * n) AS bc_t
+        FROM cells
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_strata,
+               CAST(sum(a) AS BIGINT) AS sum_a,
+               CAST(sum(e_t) AS BIGINT) AS e_micro,
+               CAST(sum(v_t) AS BIGINT) AS v_micro,
+               CAST(sum(ad_t) AS BIGINT) AS ad_micro,
+               CAST(sum(bc_t) AS BIGINT) AS bc_micro
+        FROM terms
+    )
+    SELECT k_strata, sum_a, e_micro, v_micro,
+           CAST(floor({_CMH_CHI2} * 1e4 + 0.5) AS BIGINT) AS cmh_chi2_e4,
+           CAST(floor({_CMH_OR} * 1e4 + 0.5) AS BIGINT) AS or_mh_e4,
+           CAST(CASE WHEN {_CMH_CHI2} > {_CMH_CRIT} THEN 1 ELSE 0 END
+                AS INTEGER) AS assoc_5pct
+    FROM agg
+    """,
+)
+def eval_cmh_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test for a 2x2 association (urgent
+    priority -> fulfilled status) CONTROLLED for the market-segment
+    stratum, with the Mantel-Haenszel pooled odds ratio — the remedy
+    for exactly the confounding dq_simpsons_paradox_audit detects:
+    when the pooled sign flips against the within-group signs, CMH is
+    the test that weighs the strata correctly (continuity-corrected,
+    1 df).
+
+    Exactness: per-stratum E = r1·c1/n, V = r1·r0·c1·c0/(n²(n-1)), and
+    the MH numerator/denominator ad/n, bc/n all ride the half-up
+    integral-quotient device in 1e-6 units (HUGEINT/DECIMAL products;
+    quotients fit BIGINT so bare DIV is safe), summed exactly across
+    strata; chi², OR, and the verdict are shared-verbatim IEEE trees
+    over the exact micro sums. 100 TB plan: one keyed join, one
+    5-stratum conditional-count reduce — map-side everything.
+    """
+    base = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("stratum"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+            .otherwise(0)
+            .alias("exposed"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("outcome"),
+        )
+    )
+    cells = base.groupBy("stratum").agg(
+        F.sum(F.col("exposed") * F.col("outcome")).cast("bigint").alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("outcome"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("outcome")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("outcome")))
+        .cast("bigint")
+        .alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    terms = cells.select(
+        "stratum",
+        "a",
+        F.expr("(2 * (a + b) * (a + c) * 1000000 + n) DIV (2 * n)").alias("e_t"),
+        F.expr(
+            "(2 * CAST((a + b) AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)"
+            " * 1000000 + CAST(n AS DECIMAL(38,0)) * n * (n - 1))"
+            " DIV (2 * CAST(n AS DECIMAL(38,0)) * n * (n - 1))"
+        ).alias("v_t"),
+        F.expr("(2 * CAST(a AS DECIMAL(38,0)) * d * 1000000 + n) DIV (2 * n)").alias(
+            "ad_t"
+        ),
+        F.expr("(2 * CAST(b AS DECIMAL(38,0)) * c * 1000000 + n) DIV (2 * n)").alias(
+            "bc_t"
+        ),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_strata"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        F.sum("e_t").cast("bigint").alias("e_micro"),
+        F.sum("v_t").cast("bigint").alias("v_micro"),
+        F.sum("ad_t").cast("bigint").alias("ad_micro"),
+        F.sum("bc_t").cast("bigint").alias("bc_micro"),
+    )
+    return agg.select(
+        "k_strata",
+        "sum_a",
+        "e_micro",
+        "v_micro",
+        F.expr(f"CAST(floor({_CMH_CHI2} * 1e4 + 0.5) AS BIGINT)").alias(
+            "cmh_chi2_e4"
+        ),
+        F.expr(f"CAST(floor({_CMH_OR} * 1e4 + 0.5) AS BIGINT)").alias("or_mh_e4"),
+        F.expr(
+            f"CAST(CASE WHEN {_CMH_CHI2} > {_CMH_CRIT} THEN 1 ELSE 0 END"
+            " AS INTEGER)"
+        ).alias("assoc_5pct"),
+    )

@@ -901,3 +901,40 @@ class TestTrimmedMean:
             r = got[prio]
             assert (r.n_orders, r.n_kept) == (n, k)
             assert r.trimmed_mean_cents == (2 * s + k) // (2 * k)
+
+
+class TestCmhStratified:
+    def test_matches_brute_force_exactly(self, spark, sf_dir):
+        rows = (
+            load(spark, sf_dir, "orders")
+            .join(
+                load(spark, sf_dir, "customer"),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            .select("c_mktsegment", "o_orderpriority", "o_orderstatus")
+            .collect()
+        )
+        cells = defaultdict(lambda: [0, 0, 0, 0])
+        for r in rows:
+            e = 1 if r.o_orderpriority in ("1-URGENT", "2-HIGH") else 0
+            o = 1 if r.o_orderstatus == "F" else 0
+            cells[r.c_mktsegment][(1 - e) * 2 + (1 - o)] += 1
+        sum_a = e_mu = v_mu = ad = bc = 0
+        for a, b, c, d in cells.values():
+            n = a + b + c + d
+            sum_a += a
+            e_mu += (2 * (a + b) * (a + c) * 10**6 + n) // (2 * n)
+            v_mu += (
+                2 * (a + b) * (c + d) * (a + c) * (b + d) * 10**6
+                + n * n * (n - 1)
+            ) // (2 * n * n * (n - 1))
+            ad += (2 * a * d * 10**6 + n) // (2 * n)
+            bc += (2 * b * c * 10**6 + n) // (2 * n)
+        got = registry.QUERIES["eval_cmh_stratified"](spark, sf_dir).collect()[0]
+        assert (got.k_strata, got.sum_a) == (len(cells), sum_a)
+        assert (got.e_micro, got.v_micro) == (e_mu, v_mu)
+        chi2 = (abs(sum_a - e_mu / 1e6) - 0.5) ** 2 / (v_mu / 1e6)
+        orr = ad / bc
+        assert abs(got.cmh_chi2_e4 / 1e4 - chi2) <= 2e-4 * max(1, chi2)
+        assert abs(got.or_mh_e4 / 1e4 - orr) <= 2e-4
+        assert got.assoc_5pct == (1 if chi2 > 3.841458820694124 else 0)
