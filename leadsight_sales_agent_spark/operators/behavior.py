@@ -8449,3 +8449,163 @@ def eval_cmh_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS INTEGER)"
         ).alias("assoc_5pct"),
     )
+
+
+TOST_MARGIN_CENTS = 500.0  # +-$5 equivalence margin on mean order value
+_TOST_SE = "sqrt(sea + seb)"
+_TOST_T_LOW = (
+    f"CAST(floor((md + {TOST_MARGIN_CENTS}) / {_TOST_SE} * 1e4 + 0.5)"
+    " AS BIGINT)"
+)
+_TOST_T_HIGH = (
+    f"CAST(floor(({TOST_MARGIN_CENTS} - md) / {_TOST_SE} * 1e4 + 0.5)"
+    " AS BIGINT)"
+)
+_TOST_Z90 = "1.6448536269514722"  # one-sided 5% normal quantile
+
+
+@query(
+    "ab_tost_equivalence",
+    oracle=f"""
+    WITH j AS (
+        SELECT CAST(CAST(o.o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents,
+               CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS a
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+    ),
+    g1 AS (
+        SELECT a, cents, count(*) AS cnt FROM j GROUP BY 1, 2
+    ),
+    cen AS (
+        SELECT a, cents, cnt,
+               cents - (sum(cents * cnt) OVER () // sum(cnt) OVER ()) AS d
+        FROM g1
+    ),
+    tot AS (
+        SELECT CAST(sum(CASE WHEN a = 1 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN a = 0 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               CAST(sum(CASE WHEN a = 1 THEN cnt * d ELSE 0 END) AS BIGINT)
+                   AS d1_a,
+               CAST(sum(CASE WHEN a = 0 THEN cnt * d ELSE 0 END) AS BIGINT)
+                   AS d1_b,
+               CAST(sum(CASE WHEN a = 1 THEN CAST(cnt AS HUGEINT) * d * d
+                             ELSE 0 END) AS DECIMAL(38,0)) AS d2_a,
+               CAST(sum(CASE WHEN a = 0 THEN CAST(cnt AS HUGEINT) * d * d
+                             ELSE 0 END) AS DECIMAL(38,0)) AS d2_b
+        FROM cen
+    ),
+    staged AS (
+        SELECT n_a, n_b,
+               {_WELCH_MD} AS md,
+               {_WELCH_SE_A} AS sea,
+               {_WELCH_SE_B} AS seb
+        FROM tot
+    )
+    SELECT n_a, n_b,
+           CAST(floor(md * 1e2 + 0.5) AS BIGINT) AS mean_diff_cents_e2,
+           {_TOST_T_LOW} AS t_lower_e4,
+           {_TOST_T_HIGH} AS t_upper_e4,
+           CAST(CASE WHEN (md + {TOST_MARGIN_CENTS}) / {_TOST_SE}
+                          > {_TOST_Z90}
+                      AND ({TOST_MARGIN_CENTS} - md) / {_TOST_SE}
+                          > {_TOST_Z90}
+                     THEN 1 ELSE 0 END AS INTEGER) AS equivalent_90pct
+    FROM staged
+    """,
+)
+def ab_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests) on AUTOMOBILE vs
+    HOUSEHOLD mean order value with a ±{TOST_MARGIN_CENTS:.0f}-cent
+    margin: the inferential OPPOSITE of eval_welch_t_test — failing to
+    reject 'different' never proves 'the same'; TOST does, by
+    rejecting both 'below -margin' and 'above +margin' (Schuirmann,
+    90% equivalence at one-sided 5%). The A/B family's
+    do-no-harm gate: ship the cheaper variant only when TOST PASSES.
+
+    Exactness: reuses eval_welch_t_test's sufficient-statistic device
+    verbatim (shared global floor-mean centering, exact BIGINT /
+    scale-0 DECIMAL sums, the _WELCH_* shared trees for md and the
+    squared standard errors); both one-sided t's and the verdict are
+    shared-verbatim trees with the margin and normal quantile as
+    literals. 100 TB plan: identical to Welch — one keyed join, one
+    collapse, one 1-row reduce.
+    """
+    j = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer").filter(
+                F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1).otherwise(0).alias("a"),
+        )
+    )
+    g1 = j.groupBy("a", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wall = Window.partitionBy()
+    cen = g1.select(
+        "a",
+        "cents",
+        "cnt",
+        F.sum(F.col("cents") * F.col("cnt")).over(wall).alias("sall"),
+        F.sum("cnt").over(wall).alias("nall"),
+    ).withColumn("d", F.expr("cents - (sall DIV nall)"))
+    tot = cen.agg(
+        F.sum(F.when(F.col("a") == 1, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("a") == 0, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("a") == 1, F.col("cnt") * F.col("d")).otherwise(0))
+        .cast("bigint")
+        .alias("d1_a"),
+        F.sum(F.when(F.col("a") == 0, F.col("cnt") * F.col("d")).otherwise(0))
+        .cast("bigint")
+        .alias("d1_b"),
+        F.sum(
+            F.expr(
+                "CASE WHEN a = 1 THEN CAST(cnt AS DECIMAL(38,0)) * d * d"
+                " ELSE 0 END"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("d2_a"),
+        F.sum(
+            F.expr(
+                "CASE WHEN a = 0 THEN CAST(cnt AS DECIMAL(38,0)) * d * d"
+                " ELSE 0 END"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("d2_b"),
+    )
+    staged = tot.select(
+        "n_a",
+        "n_b",
+        F.expr(_WELCH_MD).alias("md"),
+        F.expr(_WELCH_SE_A).alias("sea"),
+        F.expr(_WELCH_SE_B).alias("seb"),
+    )
+    return staged.select(
+        "n_a",
+        "n_b",
+        F.expr("CAST(floor(md * 1e2 + 0.5) AS BIGINT)").alias(
+            "mean_diff_cents_e2"
+        ),
+        F.expr(_TOST_T_LOW).alias("t_lower_e4"),
+        F.expr(_TOST_T_HIGH).alias("t_upper_e4"),
+        F.expr(
+            f"CAST(CASE WHEN (md + {TOST_MARGIN_CENTS}) / {_TOST_SE}"
+            f" > {_TOST_Z90}"
+            f" AND ({TOST_MARGIN_CENTS} - md) / {_TOST_SE} > {_TOST_Z90}"
+            " THEN 1 ELSE 0 END AS INTEGER)"
+        ).alias("equivalent_90pct"),
+    )

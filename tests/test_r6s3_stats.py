@@ -938,3 +938,26 @@ class TestCmhStratified:
         assert abs(got.cmh_chi2_e4 / 1e4 - chi2) <= 2e-4 * max(1, chi2)
         assert abs(got.or_mh_e4 / 1e4 - orr) <= 2e-4
         assert got.assoc_5pct == (1 if chi2 > 3.841458820694124 else 0)
+
+
+class TestTostEquivalence:
+    def test_matches_float_textbook(self, spark, sf_dir):
+        groups = _seg_cents(spark, sf_dir, segs=("AUTOMOBILE", "HOUSEHOLD"))
+        a, b = groups["AUTOMOBILE"], groups["HOUSEHOLD"]
+
+        def mv(x):
+            m = sum(x) / len(x)
+            return m, sum((xi - m) ** 2 for xi in x) / (len(x) - 1)
+
+        ma, va = mv(a)
+        mb, vb = mv(b)
+        md = ma - mb
+        se = math.sqrt(va / len(a) + vb / len(b))
+        t_lo = (md + 500.0) / se
+        t_hi = (500.0 - md) / se
+        z = 1.6448536269514722
+        row = registry.QUERIES["ab_tost_equivalence"](spark, sf_dir).collect()[0]
+        assert (row.n_a, row.n_b) == (len(a), len(b))
+        assert abs(row.t_lower_e4 / 1e4 - t_lo) <= 2e-3
+        assert abs(row.t_upper_e4 / 1e4 - t_hi) <= 2e-3
+        assert row.equivalent_90pct == (1 if (t_lo > z and t_hi > z) else 0)
