@@ -766,3 +766,126 @@ def shard_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * sum(n_keys) OVER ()) AS BIGINT)"
         ).alias("moved_total_bp"),
     )
+
+
+BLOOM_TARGET_FPP_INV = 100  # target false-positive rate 1/100
+# Optimal sizing trees over the exact distinct count n (shared
+# VERBATIM): bits m = ceil(-n ln p / (ln 2)^2), hashes k = round(ln(1/p)
+# / ln 2) -- with p = 1/100 a spec constant, the ln terms are single
+# libm calls on literals, identical in both engines.
+_BLOOM_BITS = (
+    "CAST(ceil(CAST(ndv AS DOUBLE) * ln(100.0)"
+    " / (ln(2.0) * ln(2.0))) AS BIGINT)"
+)
+_BLOOM_K = "CAST(floor(ln(100.0) / ln(2.0) + 0.5) AS BIGINT)"
+_BLOOM_ACTUAL_FPP_E6 = (
+    "CAST(floor(exp(CAST(k_hashes AS DOUBLE)"
+    " * ln(1.0 - exp(-(CAST(k_hashes AS DOUBLE) * CAST(ndv AS DOUBLE))"
+    " / CAST(m_bits AS DOUBLE)))) * 1e6 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "storage_bloom_sizing_advisor",
+    oracle=f"""
+    WITH cols AS (
+        SELECT 'orders.o_custkey' AS column_name,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem.l_partkey',
+               CAST(count(DISTINCT l_partkey) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_suppkey',
+               CAST(count(DISTINCT l_suppkey) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'events.user_id',
+               CAST(count(DISTINCT user_id) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'documents.source',
+               CAST(count(DISTINCT source) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM documents
+    ),
+    sized AS (
+        SELECT column_name, ndv, n_rows,
+               {_BLOOM_BITS} AS m_bits,
+               {_BLOOM_K} AS k_hashes
+        FROM cols
+    )
+    SELECT column_name, ndv, n_rows, m_bits, k_hashes,
+           CAST((m_bits + 7) // 8 AS BIGINT) AS filter_bytes,
+           CAST((2 * 100 * ((m_bits + 7) // 8) + n_rows)
+                // (2 * n_rows) AS BIGINT) AS bytes_per_100rows,
+           {_BLOOM_ACTUAL_FPP_E6} AS actual_fpp_e6
+    FROM sized
+    ORDER BY column_name
+    """,
+)
+def storage_bloom_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing advisor for the join/filter key columns a
+    columnar writer would index (parquet bloom_filter_enabled, Spark's
+    spark.sql.optimizer.runtime.bloomFilter): given each column's EXACT
+    distinct count, report the optimal bit count m = ceil(n·ln(1/p)/
+    ln²2) and hash count k = ln(1/p)/ln2 for a 1% target FPR, the
+    filter's byte cost amortized per 100 rows, and the achieved FPR
+    (1 - e^{{-kn/m}})^k. The sizing arithmetic behind
+    sketch_bloom_membership (which BUILDS a filter) — this one plans a
+    fleet of them, the way a table-format writer does per row group.
+
+    Exactness: ndv/n_rows are exact integers (the only data inputs);
+    every sizing column is one shared-verbatim IEEE tree whose ln/exp
+    arguments are literals or integer-derived (the 1-ulp libm spread
+    cannot flip ceil at these magnitudes: m is ~1e5 from values
+    computed identically); byte costs are pure integer half-up
+    quotients. 100 TB plan: five map-side distinct-count reductions
+    (exact here; at petabyte NDV the same advisor runs on
+    approx_count_distinct within its ±2% envelope) — no joins, no
+    windows.
+    """
+    specs = [
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("events.user_id", "events", "user_id"),
+        ("documents.source", "documents", "source"),
+    ]
+    frames = []
+    for label, table, col in specs:
+        frames.append(
+            load(spark, sf_dir, table).agg(
+                F.lit(label).alias("column_name"),
+                F.countDistinct(col).cast("bigint").alias("ndv"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            )
+        )
+    cols = frames[0]
+    for f in frames[1:]:
+        cols = cols.unionByName(f)
+    sized = cols.select(
+        "column_name",
+        "ndv",
+        "n_rows",
+        F.expr(_BLOOM_BITS).alias("m_bits"),
+        F.expr(_BLOOM_K).alias("k_hashes"),
+    )
+    return sized.select(
+        "column_name",
+        "ndv",
+        "n_rows",
+        "m_bits",
+        "k_hashes",
+        F.expr("CAST((m_bits + 7) DIV 8 AS BIGINT)").alias("filter_bytes"),
+        F.expr(
+            "CAST((2 * 100 * ((m_bits + 7) DIV 8) + n_rows)"
+            " DIV (2 * n_rows) AS BIGINT)"
+        ).alias("bytes_per_100rows"),
+        F.expr(_BLOOM_ACTUAL_FPP_E6).alias("actual_fpp_e6"),
+    ).orderBy("column_name")

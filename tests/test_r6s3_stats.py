@@ -961,3 +961,22 @@ class TestTostEquivalence:
         assert abs(row.t_lower_e4 / 1e4 - t_lo) <= 2e-3
         assert abs(row.t_upper_e4 / 1e4 - t_hi) <= 2e-3
         assert row.equivalent_90pct == (1 if (t_lo > z and t_hi > z) else 0)
+
+
+class TestBloomSizing:
+    def test_matches_formula(self, spark, sf_dir):
+        rows = {
+            r.column_name: r
+            for r in registry.QUERIES["storage_bloom_sizing_advisor"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert len(rows) == 5
+        for name, r in rows.items():
+            m = math.ceil(r.ndv * math.log(100) / (math.log(2) ** 2))
+            k = math.floor(math.log(100) / math.log(2) + 0.5)
+            assert (r.m_bits, r.k_hashes) == (m, k), name
+            assert r.filter_bytes == (m + 7) // 8
+            fpp = (1 - math.exp(-k * r.ndv / m)) ** k
+            assert abs(r.actual_fpp_e6 / 1e6 - fpp) <= 2e-6
+            assert fpp <= 0.0125  # sized for ~1%
