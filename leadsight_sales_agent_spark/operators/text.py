@@ -3890,3 +3890,177 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score_micro"), F.asc("phrase"))
         .limit(15)
     )
+
+
+BD_TOP_WORDS = 20  # most frequent corpus words form the style fingerprint
+
+
+@query(
+    "text_burrows_delta",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    totals AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS t FROM tok GROUP BY 1
+    ),
+    topw AS (
+        SELECT w FROM (
+            SELECT w, count(*) AS c,
+                   row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+            FROM tok GROUP BY w
+        ) WHERE rk <= {BD_TOP_WORDS}
+    ),
+    cell AS (
+        SELECT s.source, tw.w,
+               CAST(coalesce(cnt.c, 0) AS BIGINT) AS c,
+               s.t
+        FROM totals s
+        CROSS JOIN topw tw
+        LEFT JOIN (
+            SELECT source, w, CAST(count(*) AS BIGINT) AS c
+            FROM tok WHERE w IN (SELECT w FROM topw)
+            GROUP BY 1, 2
+        ) cnt ON cnt.source = s.source AND cnt.w = tw.w
+    ),
+    f AS (
+        SELECT source, w,
+               (2 * c * 1000000000000 + t) // (2 * t) AS f12
+        FROM cell
+    ),
+    stats AS (
+        SELECT source, w, f12,
+               count(*) OVER (PARTITION BY w) AS k,
+               sum(f12) OVER (PARTITION BY w) AS sw,
+               CAST(count(*) OVER (PARTITION BY w) AS HUGEINT)
+                   * sum(CAST(f12 AS HUGEINT) * f12) OVER (PARTITION BY w)
+                 - CAST(sum(f12) OVER (PARTITION BY w) AS HUGEINT)
+                   * sum(f12) OVER (PARTITION BY w) AS bw
+        FROM f
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(floor(abs(CAST(a.k * a.f12 - a.sw AS DOUBLE)
+                              - CAST(a.k * b.f12 - b.sw AS DOUBLE))
+                          / sqrt(CAST(a.bw AS DOUBLE)) * 1e6 + 0.5)
+                    AS BIGINT) AS t_micro
+        FROM stats a JOIN stats b
+          ON a.w = b.w AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(sum(t_micro) AS BIGINT) AS delta_micro_sum,
+           CAST((2 * sum(t_micro) + {BD_TOP_WORDS} * 100)
+                // (2 * {BD_TOP_WORDS} * 100) AS BIGINT) AS delta_e4
+    FROM pairs GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between the five document
+    SOURCES: z-score each source's relative frequency of the top-
+    {BD_TOP_WORDS} corpus words against the cross-source mean/sd, then
+    Delta(a,b) = mean |z_a - z_b| — the classic authorship/register
+    fingerprint (here: do two crawl sources share a style, i.e. a
+    likely common generator?). A dedup-adjacent signal MinHash can't
+    see: same style, different content.
+
+    Exactness: relative frequencies quantize to exact 1e-12 integers
+    via the half-up integral-quotient device; with k sources (k derived per word partition),
+    z = (kf - S)/sqrt(B) where S = Σf and B = kΣf² - S² are exact
+    integer window sums per word, so each pair-word term is ONE shared
+    IEEE tree over exact integers, floor-quantized to micro and summed
+    exactly; Delta reports as half-up e4. Top-word selection breaks
+    ties (count desc, word asc) identically in both engines.
+
+    100 TB plan: one token explode feeding two hash-aggs (per-source
+    totals + vocabulary counts); the vocabulary rank is the only
+    ordered pass (vocab-bounded); everything after lives on the
+    sources x {BD_TOP_WORDS} cell grid.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    totals = tok.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    topw = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "w",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("w")))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= BD_TOP_WORDS)
+        .select("w")
+    )
+    cnt = (
+        tok.join(F.broadcast(topw), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cell = (
+        totals.crossJoin(F.broadcast(topw))
+        .join(cnt, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+            "t",
+        )
+    )
+    f = cell.select(
+        "source",
+        "w",
+        F.expr("(2 * c * 1000000000000 + t) DIV (2 * t)").alias("f12"),
+    )
+    ww = Window.partitionBy("w")
+    stats = f.select(
+        "source",
+        "w",
+        "f12",
+        F.count(F.lit(1)).over(ww).alias("k"),
+        F.sum("f12").over(ww).alias("sw"),
+        (
+            F.count(F.lit(1)).over(ww).cast("decimal(38,0)")
+            * F.sum(F.expr("CAST(f12 AS DECIMAL(38,0)) * f12")).over(ww)
+            - F.sum("f12").over(ww).cast("decimal(38,0)")
+            * F.sum("f12").over(ww)
+        ).alias("bw"),
+    )
+    a = stats.select(
+        F.col("source").alias("source_a"),
+        "w",
+        F.col("k").alias("ka"),
+        F.col("f12").alias("fa"),
+        F.col("sw").alias("sa"),
+        F.col("bw").alias("ba"),
+    )
+    b = stats.select(
+        F.col("source").alias("source_b"),
+        F.col("w").alias("wb"),
+        F.col("f12").alias("fb"),
+        F.col("sw").alias("sb"),
+    )
+    pairs = a.join(
+        b, (F.col("w") == F.col("wb")) & (F.col("source_a") < F.col("source_b"))
+    ).select(
+        "source_a",
+        "source_b",
+        F.expr(
+            "CAST(floor(abs(CAST(ka * fa - sa AS DOUBLE)"
+            " - CAST(ka * fb - sb AS DOUBLE))"
+            " / sqrt(CAST(ba AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("t_micro"),
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.sum("t_micro").cast("bigint").alias("delta_micro_sum"),
+            F.expr(
+                f"CAST((2 * sum(t_micro) + {BD_TOP_WORDS} * 100)"
+                f" DIV (2 * {BD_TOP_WORDS} * 100) AS BIGINT)"
+            ).alias("delta_e4"),
+        )
+        .orderBy("source_a", "source_b")
+    )

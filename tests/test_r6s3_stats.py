@@ -980,3 +980,44 @@ class TestBloomSizing:
             fpp = (1 - math.exp(-k * r.ndv / m)) ** k
             assert abs(r.actual_fpp_e6 / 1e6 - fpp) <= 2e-6
             assert fpp <= 0.0125  # sized for ~1%
+
+
+class TestBurrowsDelta:
+    def test_matches_brute_force_exactly(self, spark, sf_dir):
+        docs = load(spark, sf_dir, "documents").select("source", "text").collect()
+        tok = defaultdict(Counter)
+        corpus = Counter()
+        for d in docs:
+            ws = d.text.strip().split()
+            tok[d.source].update(ws)
+            corpus.update(ws)
+        top = [w for w, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:20]]
+        sources = sorted(tok)
+        k = len(sources)
+        totals = {s: sum(tok[s].values()) for s in sources}
+        f12 = {
+            (s, w): (2 * tok[s][w] * 10**12 + totals[s]) // (2 * totals[s])
+            for s in sources
+            for w in top
+        }
+        got = {
+            (r.source_a, r.source_b): r
+            for r in registry.QUERIES["text_burrows_delta"](spark, sf_dir).collect()
+        }
+        assert len(got) == k * (k - 1) // 2
+        import itertools
+
+        for sa, sb in itertools.combinations(sources, 2):
+            tot = 0
+            for w in top:
+                sw = sum(f12[(s, w)] for s in sources)
+                bw = k * sum(f12[(s, w)] ** 2 for s in sources) - sw * sw
+                tot += math.floor(
+                    abs((k * f12[(sa, w)] - sw) - (k * f12[(sb, w)] - sw))
+                    / math.sqrt(bw)
+                    * 1e6
+                    + 0.5
+                )
+            r = got[(sa, sb)]
+            assert r.delta_micro_sum == tot, (sa, sb)
+            assert r.delta_e4 == (2 * tot + 20 * 100) // (2 * 20 * 100)

@@ -231,6 +231,7 @@ ALLOW_NON_EQUI = {
     "graph_hits_hubs_authorities",  # 1-row max-normalizer anchor per half-round
     "sketch_ddsketch_quantiles",  # 1-row exact-quantile audit anchor
     "dedup_semantic_semdedup",  # 4x64 sign-matrix dim cross join (the JL device)
+    "text_burrows_delta",  # 20-row top-word grid cross join onto source totals
 }
 
 # R2: documented global-order operators (range partition IS the plan).
@@ -254,6 +255,7 @@ ALLOW_GLOBAL_SORT = {
     "window_ewma_dyadic_smoothing",  # month-grain series window
     "forecast_theil_u2_accuracy",  # month-grain lag windows
     "window_bollinger_bands",  # month-grain trailing ROWS frame + output order
+    "text_burrows_delta",  # vocab-grain top-word rank + 190-pair output order
     "forecast_seasonal_decomposition",
     "forecast_theil_sen_trend",
     "window_rolling_correlation",
