@@ -6434,3 +6434,105 @@ def agg_trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("trimmed_mean_cents"),
     )
+
+
+@query(
+    "agg_gini_mean_difference",
+    oracle="""
+    WITH g1 AS (
+        SELECT o_orderpriority AS prio,
+               CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents,
+               count(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT prio, cents, cnt,
+               sum(cnt) OVER (PARTITION BY prio ORDER BY cents) AS cum_incl,
+               sum(cnt) OVER (PARTITION BY prio) AS n_g
+        FROM g1
+    ),
+    terms AS (
+        -- a cell of cnt equal values occupying ranks
+        -- (cum_incl-cnt, cum_incl] contributes
+        -- sum over its ranks i of (2i - n - 1) * cents:
+        -- Σi = cnt*(2*cum_incl - cnt + 1)/2 (exact; 2Σi is integer)
+        SELECT prio, n_g, cents, cnt,
+               CAST(cents AS HUGEINT)
+                   * (cnt * (2 * cum_incl - cnt + 1) - cnt * (n_g + 1))
+                   AS t2
+        FROM w
+    )
+    SELECT prio AS o_orderpriority,
+           CAST(max(n_g) AS BIGINT) AS n_orders,
+           CAST((4 * sum(t2) + max(n_g) * (max(n_g) - 1))
+                // (2 * max(n_g) * (max(n_g) - 1)) AS BIGINT) AS gmd_cents,
+           CAST((2 * 10000 * sum(t2)
+                 + (max(n_g) - 1) * sum(CAST(cents AS HUGEINT) * cnt))
+                // (2 * (max(n_g) - 1)
+                    * sum(CAST(cents AS HUGEINT) * cnt)) AS BIGINT)
+               AS rel_gini_bp
+    FROM terms GROUP BY 1
+    """,
+)
+def agg_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini mean difference — E|X - X'|, the dispersion measure that
+    needs no center (unlike sd) and no distribution (unlike IQR) —
+    per order priority, with the relative Gini (GMD / (2·mean), the
+    inequality coefficient) in basis points. The naive form is an
+    O(n²) pairwise scan; the rank identity Σ_i (2i-n-1)·x_(i) makes it
+    one sorted pass, and on the collapsed (priority, cents) grain a
+    cell of cnt ties contributes its whole rank-run in closed form
+    (Σ ranks = cnt·(2·cum_incl - cnt + 1)/2) — the trimmed-mean
+    interval-clipping trick applied to rank WEIGHTS.
+
+    Exactness: t2 = Σ(2i-n-1)x over the cell (= the ordered-pair gap
+    sum T) is an exact integer
+    (HUGEINT/DECIMAL products); GMD = 2T/(n(n-1)) and the relative form report as
+    half-up integer quotients — no float anywhere.
+    100 TB plan: one hash collapse, per-priority windows on the
+    domain-bounded grain, 5-row reduce.
+    """
+    g1 = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("prio", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = g1.select(
+        "prio",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("prio").orderBy("cents")).alias(
+            "cum_incl"
+        ),
+        F.sum("cnt").over(Window.partitionBy("prio")).alias("n_g"),
+    )
+    terms = w.select(
+        "prio",
+        "n_g",
+        "cents",
+        "cnt",
+        F.expr(
+            "CAST(cents AS DECIMAL(38,0))"
+            " * (cnt * (2 * cum_incl - cnt + 1) - cnt * (n_g + 1))"
+        ).alias("t2"),
+    )
+    return terms.groupBy(F.col("prio").alias("o_orderpriority")).agg(
+        F.max("n_g").cast("bigint").alias("n_orders"),
+        F.expr(
+            "CAST((4 * sum(t2) + max(n_g) * (max(n_g) - 1))"
+            " DIV (2 * max(n_g) * (max(n_g) - 1)) AS BIGINT)"
+        ).alias("gmd_cents"),
+        F.expr(
+            "CAST((2 * 10000 * sum(t2)"
+            " + (max(n_g) - 1) * sum(CAST(cents AS DECIMAL(38,0)) * cnt))"
+            " DIV (2 * (max(n_g) - 1)"
+            " * sum(CAST(cents AS DECIMAL(38,0)) * cnt)) AS BIGINT)"
+        ).alias("rel_gini_bp"),
+    )

@@ -1021,3 +1021,46 @@ class TestBurrowsDelta:
             r = got[(sa, sb)]
             assert r.delta_micro_sum == tot, (sa, sb)
             assert r.delta_e4 == (2 * tot + 20 * 100) // (2 * 20 * 100)
+
+
+class TestGiniMeanDifference:
+    def test_matches_pairwise_brute_force(self, spark, sf_dir):
+        vals = defaultdict(list)
+        for r in (
+            load(spark, sf_dir, "orders")
+            .select(
+                "o_orderpriority",
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .collect()
+        ):
+            vals[r.o_orderpriority].append(r.cents)
+        got = {
+            r.o_orderpriority: r
+            for r in registry.QUERIES["agg_gini_mean_difference"](
+                spark, sf_dir
+            ).collect()
+        }
+        for prio, xs in vals.items():
+            xs.sort()
+            n = len(xs)
+            # rank identity: sum |xi-xj| over ordered pairs
+            t2 = 2 * sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+            # cross-check the identity on a small prefix by brute force
+            sub = xs[:60]
+            brute = sum(
+                abs(a - b) for i, a in enumerate(sub) for b in sub[i + 1:]
+            )
+            ident = sum(
+                (2 * (i + 1) - len(sub) - 1) * x for i, x in enumerate(sub)
+            )
+            assert brute == ident
+            r = got[prio]
+            assert r.n_orders == n
+            assert r.gmd_cents == (2 * t2 + n * (n - 1)) // (2 * n * (n - 1))
+            s = sum(xs)
+            assert r.rel_gini_bp == (10000 * t2 + (n - 1) * s) // (
+                2 * (n - 1) * s
+            )
