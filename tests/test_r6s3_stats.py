@@ -1064,3 +1064,32 @@ class TestGiniMeanDifference:
             assert r.rel_gini_bp == (10000 * t2 + (n - 1) * s) // (
                 2 * (n - 1) * s
             )
+
+
+class TestParkinson:
+    def test_matches_brute_force_exactly(self, spark, sf_dir):
+        rows = (
+            load(spark, sf_dir, "orders")
+            .groupBy(F.trunc(F.col("o_orderdate"), "month").alias("mon"))
+            .agg(
+                F.max(
+                    (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint")
+                ).alias("h"),
+                F.min(
+                    (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint")
+                ).alias("l"),
+            )
+            .collect()
+        )
+        s = 0
+        for r in rows:
+            d12 = math.floor(math.log(r.h) * 1e12 + 0.5) - math.floor(
+                math.log(r.l) * 1e12 + 0.5
+            )
+            s += d12 * d12
+        n = len(rows)
+        sig = math.sqrt(s / 1e24 / (n * 4 * math.log(2)))
+        got = registry.QUERIES["window_parkinson_volatility"](spark, sf_dir).collect()[0]
+        assert got.n_months == n
+        assert got.sigma_parkinson_e6 == math.floor(sig * 1e6 + 0.5)
+        assert got.sigma_annualized_e6 == math.floor(sig * math.sqrt(12) * 1e6 + 0.5)
