@@ -1093,3 +1093,73 @@ class TestParkinson:
         assert got.n_months == n
         assert got.sigma_parkinson_e6 == math.floor(sig * 1e6 + 0.5)
         assert got.sigma_annualized_e6 == math.floor(sig * math.sqrt(12) * 1e6 + 0.5)
+
+
+class TestBradleyTerry:
+    def test_matches_brute_force_exactly(self, spark, sf_dir):
+        from decimal import Decimal
+
+        rows = (
+            load(spark, sf_dir, "lineitem")
+            .join(
+                load(spark, sf_dir, "part").select("p_partkey", "p_brand"),
+                F.col("l_partkey") == F.col("p_partkey"),
+            )
+            .join(
+                load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy(
+                F.col("p_brand").alias("brand"),
+                F.trunc(F.col("o_orderdate"), "month").alias("mon"),
+            )
+            .agg(
+                F.expr(
+                    "CAST(sum(CAST(l_extendedprice * (1 - l_discount)"
+                    " AS DECIMAL(25,6))) * 1000000 AS BIGINT)"
+                ).alias("v")
+            )
+            .collect()
+        )
+        by_mon = defaultdict(dict)
+        for r in rows:
+            by_mon[r.mon][r.brand] = r.v
+        n = Counter()
+        for d in by_mon.values():
+            bs = list(d)
+            for i in bs:
+                for j in bs:
+                    if i != j and d[i] > d[j]:
+                        n[(i, j)] += 1
+        brands = sorted({b for d in by_mon.values() for b in d})
+        wins = {i: sum(n[(i, j)] for j in brands) for i in brands}
+        w = {i: 1_000_000 for i in brands}
+        for _ in range(3):
+            raw = {}
+            for i in brands:
+                den = sum(
+                    Decimal(
+                        repr(
+                            round(
+                                (n[(i, j)] + n[(j, i)]) / (w[i] + w[j]), 12
+                            )
+                        )
+                    )
+                    for j in brands
+                    if i != j and (n[(i, j)] + n[(j, i)]) > 0
+                )
+                raw[i] = wins[i] / float(den)
+            mx = max(raw.values())
+            w = {i: math.floor(r / mx * 1_000_000 + 0.5) for i, r in raw.items()}
+        got = {
+            r.p_brand: r
+            for r in registry.QUERIES["eval_bradley_terry_strengths"](
+                spark, sf_dir
+            ).collect()
+        }
+        for i in brands:
+            assert (got[i].n_wins, got[i].strength_ppm) == (wins[i], w[i]), i
+        # rank order: strength desc, brand asc
+        ranked = sorted(brands, key=lambda b: (-w[b], b))
+        for pos, b in enumerate(ranked, start=1):
+            assert got[b].rank == pos

@@ -232,6 +232,7 @@ ALLOW_NON_EQUI = {
     "sketch_ddsketch_quantiles",  # 1-row exact-quantile audit anchor
     "dedup_semantic_semdedup",  # 4x64 sign-matrix dim cross join (the JL device)
     "text_burrows_delta",  # 20-row top-word grid cross join onto source totals
+    "eval_bradley_terry_strengths",  # 1-row max-renormalizer anchor per MM round
 }
 
 # R2: documented global-order operators (range partition IS the plan).
