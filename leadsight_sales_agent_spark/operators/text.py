@@ -4064,3 +4064,179 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+BLEU_MAX_N = 4
+# BLEU trees over exact integers: per-order precisions clip/total are
+# rationals; ln(p_n) pre-rounds to e12 ints summed exactly; BP and the
+# final exp are one shared tree.
+_BLEU_EXPR = (
+    "CAST(floor(CASE WHEN c_len >= r_len THEN 1.0"
+    " ELSE exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)) END"
+    " * exp(CAST(ln_sum12 AS DOUBLE) / 1e12 / 4.0) * 1e6 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "text_bleu_source_similarity",
+    oracle=f"""
+    WITH ref AS (
+        SELECT min(source) AS ref_source FROM documents
+    ),
+    toks AS (
+        SELECT source, string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents
+    ),
+    gexp AS (
+        SELECT d.source, n.n AS n,
+               list_aggregate(d.ws[u.i : u.i + n.n - 1], 'string_agg', ' ')
+                   AS gram
+        FROM toks d,
+             (SELECT unnest(generate_series(1, {BLEU_MAX_N})) AS n) n,
+             unnest(generate_series(1, len(d.ws))) AS u(i)
+        WHERE u.i + n.n - 1 <= len(d.ws)
+    ),
+    grams AS (
+        SELECT source, n, gram, count(*) AS c FROM gexp GROUP BY 1, 2, 3
+    ),
+    refg AS (
+        SELECT g.n, g.gram, g.c AS rc
+        FROM grams g JOIN ref r ON g.source = r.ref_source
+    ),
+    cand AS (
+        SELECT g.source, g.n, g.gram, g.c
+        FROM grams g JOIN ref r ON g.source <> r.ref_source
+    ),
+    clipped AS (
+        SELECT c.source, c.n,
+               CAST(sum(c.c) AS BIGINT) AS total,
+               CAST(sum(least(c.c, coalesce(rg.rc, 0))) AS BIGINT) AS clip
+        FROM cand c LEFT JOIN refg rg ON rg.n = c.n AND rg.gram = c.gram
+        GROUP BY 1, 2
+    ),
+    lns AS (
+        SELECT source,
+               CAST(sum(CASE WHEN clip > 0
+                        THEN CAST(floor(ln(CAST(clip AS DOUBLE)
+                             / CAST(total AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS ln_sum12,
+               CAST(min(clip) AS BIGINT) AS min_clip
+        FROM clipped GROUP BY 1
+    ),
+    lens AS (
+        SELECT source, CAST(sum(len(ws)) AS BIGINT) AS toks
+        FROM toks GROUP BY 1
+    ),
+    fin AS (
+        SELECT l.source, l.ln_sum12, l.min_clip,
+               le.toks AS c_len,
+               (SELECT toks FROM lens je JOIN ref r
+                ON je.source = r.ref_source) AS r_len
+        FROM lns l JOIN lens le ON le.source = l.source
+    )
+    SELECT source, c_len, r_len,
+           CASE WHEN min_clip > 0 THEN {_BLEU_EXPR} ELSE 0 END AS bleu_e6
+    FROM fin
+    ORDER BY source
+    """,
+)
+def text_bleu_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU-{BLEU_MAX_N} of every source against the
+    reference source (lexicographically first): clipped n-gram
+    precisions p_1..p_4 with the brevity penalty — the machine-
+    translation metric repurposed as a corpus-overlap detector
+    (near-1 BLEU between two crawl sources = one is a re-render of
+    the other; complements Burrows' Delta, which sees shared STYLE,
+    where BLEU sees shared CONTENT). Sources with any empty clipped
+    count report 0 (log undefined), per the standard smoothing-free
+    definition.
+
+    Exactness: clipped counts and totals are exact integers from the
+    n-gram collapse; each ln(p_n) pre-rounds to an exact e12 integer
+    (the scaled-ln device) and the four orders sum exactly; the
+    brevity penalty and final exp form one shared-verbatim tree over
+    exact integer lengths. The oracle builds n-grams via a LATERAL
+    position unroll (DuckDB has no WITH ORDINALITY — playbook device).
+
+    100 TB plan: one explode to the n-gram grain (4 passes fused in
+    one lateral), two hash collapses (per-source grams, clipped join
+    against the broadcast-able reference vocabulary), then a
+    source-grain reduce — the reference gram table is the only join
+    side and is vocabulary-bounded.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ref_source = None  # resolved in-plan below, no driver collect
+    toks = docs.select(
+        "source", F.split(F.trim("text"), r"\s+").alias("ws")
+    )
+    gram_frames = []
+    for n in range(1, BLEU_MAX_N + 1):
+        gram_frames.append(
+            toks.select(
+                "source",
+                F.lit(n).alias("n"),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, greatest(size(ws) - {n - 1}, 0)),"
+                        f" i -> array_join(slice(ws, i, {n}), ' '))"
+                    )
+                ).alias("gram"),
+            )
+        )
+    grams = gram_frames[0]
+    for gf in gram_frames[1:]:
+        grams = grams.unionByName(gf)
+    grams = grams.groupBy("source", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ref = docs.agg(F.min("source").alias("ref_source"))
+    refg = (
+        grams.join(
+            F.broadcast(ref), F.col("source") == F.col("ref_source")
+        )
+        .select("n", "gram", F.col("c").alias("rc"))
+    )
+    cand = grams.join(
+        F.broadcast(ref), F.col("source") != F.col("ref_source")
+    ).select("source", "n", "gram", "c")
+    clipped = (
+        cand.join(refg, ["n", "gram"], "left")
+        .groupBy("source", "n")
+        .agg(
+            F.sum("c").cast("bigint").alias("total"),
+            F.sum(F.least(F.col("c"), F.coalesce(F.col("rc"), F.lit(0))))
+            .cast("bigint")
+            .alias("clip"),
+        )
+    )
+    lns = clipped.groupBy("source").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN clip > 0 THEN"
+                " CAST(floor(ln(CAST(clip AS DOUBLE) / CAST(total AS DOUBLE))"
+                " * 1e12 + 0.5) AS BIGINT) ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("ln_sum12"),
+        F.min("clip").cast("bigint").alias("min_clip"),
+    )
+    lens = toks.groupBy("source").agg(
+        F.sum(F.size("ws")).cast("bigint").alias("toks")
+    )
+    rlen = lens.join(
+        F.broadcast(ref), F.col("source") == F.col("ref_source")
+    ).select(F.col("toks").alias("r_len"))
+    fin = (
+        lns.join(lens, "source")
+        .withColumnRenamed("toks", "c_len")
+        .crossJoin(F.broadcast(rlen))
+    )
+    return fin.select(
+        "source",
+        "c_len",
+        "r_len",
+        F.expr(
+            f"CASE WHEN min_clip > 0 THEN {_BLEU_EXPR} ELSE 0 END"
+        ).alias("bleu_e6"),
+    ).orderBy("source")

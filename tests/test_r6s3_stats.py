@@ -1163,3 +1163,47 @@ class TestBradleyTerry:
         ranked = sorted(brands, key=lambda b: (-w[b], b))
         for pos, b in enumerate(ranked, start=1):
             assert got[b].rank == pos
+
+
+class TestBleuSimilarity:
+    def test_matches_brute_force_exactly(self, spark, sf_dir):
+        docs = load(spark, sf_dir, "documents").select("source", "text").collect()
+        by_src = defaultdict(list)
+        for d in docs:
+            by_src[d.source].append(d.text.strip().split())
+        ref = min(by_src)
+        def grams(src, n):
+            c = Counter()
+            for ws in by_src[src]:
+                for i in range(len(ws) - n + 1):
+                    c[" ".join(ws[i:i + n])] += 1
+            return c
+        refg = {n: grams(ref, n) for n in range(1, 5)}
+        r_len = sum(len(ws) for ws in by_src[ref])
+        got = {
+            r.source: r
+            for r in registry.QUERIES["text_bleu_source_similarity"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(got) == set(by_src) - {ref}
+        for src in got:
+            c_len = sum(len(ws) for ws in by_src[src])
+            ln12 = 0
+            min_clip = None
+            for n in range(1, 5):
+                cg = grams(src, n)
+                total = sum(cg.values())
+                clip = sum(min(c, refg[n].get(g, 0)) for g, c in cg.items())
+                min_clip = clip if min_clip is None else min(min_clip, clip)
+                if clip > 0:
+                    ln12 += math.floor(math.log(clip / total) * 1e12 + 0.5)
+            r = got[src]
+            assert (r.c_len, r.r_len) == (c_len, r_len)
+            if min_clip == 0:
+                assert r.bleu_e6 == 0
+            else:
+                bp = 1.0 if c_len >= r_len else math.exp(1 - r_len / c_len)
+                bleu = bp * math.exp(ln12 / 1e12 / 4)
+                assert r.bleu_e6 == math.floor(bleu * 1e6 + 0.5)
+                assert 0 <= r.bleu_e6 <= 1_000_000

@@ -337,6 +337,7 @@ ALLOW_MANY_EXCHANGES = {
     "graph_hits_hubs_authorities": 16,  # W build + 6 checkpointed half-rounds
     "timeseries_hurst_rs": 13,  # three R/S window legs on the checkpointed 84-row series
     "dedup_semantic_semdedup": 22,  # sign-projection agg + cell join + within-cell pair leg + summary join
+    "text_burrows_delta": 19,  # token explode + vocab rank + totals/count grid joins + pair leg
 }
 
 FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
