@@ -889,3 +889,109 @@ def storage_bloom_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bytes_per_100rows"),
         F.expr(_BLOOM_ACTUAL_FPP_E6).alias("actual_fpp_e6"),
     ).orderBy("column_name")
+
+
+HILBERT_BITS = 8  # 256 x 256 grid, d in [0, 65536)
+
+
+def _hilbert_oracle() -> str:
+    """CTE ladder unrolling the canonical xy2d loop (one round per bit
+    level s = 128..1): d += s²·((3rx) xor ry), then the quadrant
+    rotation/reflection. DuckDB xor() / & / << on BIGINTs."""
+    rounds = []
+    prev = "h0"
+    for i, s in enumerate([128, 64, 32, 16, 8, 4, 2, 1]):
+        cur = f"h{i + 1}"
+        rounds.append(f""",
+    {cur} AS (
+        SELECT ck, dy,
+               d + {s * s} * xor(3 * (CASE WHEN (x & {s}) > 0
+                                           THEN 1 ELSE 0 END),
+                                 (CASE WHEN (y & {s}) > 0
+                                       THEN 1 ELSE 0 END)) AS d,
+               CASE WHEN (y & {s}) > 0 THEN x
+                    WHEN (x & {s}) > 0 THEN {s} - 1 - y
+                    ELSE y END AS x,
+               CASE WHEN (y & {s}) > 0 THEN y
+                    WHEN (x & {s}) > 0 THEN {s} - 1 - x
+                    ELSE x END AS y
+        FROM {prev}
+    )""")
+        prev = cur
+    return f"""
+    WITH h0 AS (
+        SELECT o_custkey AS ck,
+               date_diff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS dy,
+               CAST(0 AS BIGINT) AS d,
+               (o_custkey & 255) AS x,
+               (date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) & 255) AS y
+        FROM orders
+    ){''.join(rounds)}
+    SELECT d >> 8 AS hbucket,
+           count(*) AS n_rows,
+           min(ck) AS min_custkey, max(ck) AS max_custkey,
+           min(dy) AS min_day, max(dy) AS max_day
+    FROM {prev} GROUP BY 1
+    """
+
+
+@query("layout_hilbert_locality_buckets", oracle=_hilbert_oracle())
+def layout_hilbert_locality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over (custkey low-8, order-day low-8) and
+    the per-bucket locality profile — the space-filling-curve twin of
+    zorder_locality_buckets on the same grid, bucketed by the top 8
+    bits of d. Hilbert preserves locality strictly better than Morton
+    (every curve step is a unit grid step, so a bucket's cells are 4
+    CONNECTED quadrant fragments vs Z-order's 2 disconnected stripes);
+    comparing the two queries' min/max spans IS the measurement a
+    table-format layout debate needs (Delta/Iceberg both offer the
+    choice). The key is the canonical xy2d bit walk — 8 unrolled
+    rounds of d += s²·((3rx) xor ry) + quadrant rotation — pure
+    integer bit algebra inside whole-stage codegen.
+
+    Exactness: everything is BIGINT bit arithmetic (two's-complement &
+    behaves identically on the briefly-negative reflected coordinates
+    in both engines); the oracle unrolls the identical ladder. One
+    scan + one hash agg — the 100 TB story is the same as Z-order:
+    the key feeds repartitionByRange at write time, this query is the
+    one-scan planning pass.
+    """
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+    )
+    cur = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        day.alias("dy"),
+        F.lit(0).cast("bigint").alias("d"),
+        (F.col("o_custkey").bitwiseAND(255)).alias("x"),
+        day.bitwiseAND(255).alias("y"),
+    )
+    for s in (128, 64, 32, 16, 8, 4, 2, 1):
+        cur = cur.select(
+            "ck",
+            "dy",
+            F.expr(
+                f"d + {s * s} * ((3 * (CASE WHEN (x & {s}) > 0"
+                " THEN 1 ELSE 0 END))"
+                f" ^ (CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END))"
+            ).alias("d"),
+            F.expr(
+                f"CASE WHEN (y & {s}) > 0 THEN x"
+                f" WHEN (x & {s}) > 0 THEN {s} - 1 - y"
+                " ELSE y END"
+            ).alias("x"),
+            F.expr(
+                f"CASE WHEN (y & {s}) > 0 THEN y"
+                f" WHEN (x & {s}) > 0 THEN {s} - 1 - x"
+                " ELSE x END"
+            ).alias("y"),
+        )
+    return cur.groupBy(F.shiftright("d", 8).alias("hbucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("ck").alias("min_custkey"),
+        F.max("ck").alias("max_custkey"),
+        F.min("dy").alias("min_day"),
+        F.max("dy").alias("max_day"),
+    )

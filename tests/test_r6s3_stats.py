@@ -1207,3 +1207,68 @@ class TestBleuSimilarity:
                 bleu = bp * math.exp(ln12 / 1e12 / 4)
                 assert r.bleu_e6 == math.floor(bleu * 1e6 + 0.5)
                 assert 0 <= r.bleu_e6 <= 1_000_000
+
+
+def _xy2d(n, x, y):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+class TestHilbertLocality:
+    def test_curve_is_unit_step_and_bijective(self):
+        """The implemented transform is a true Hilbert curve on the
+        16x16 grid: d is a bijection and consecutive d are unit grid
+        steps (the property Z-order lacks)."""
+        pts = {}
+        for x in range(16):
+            for y in range(16):
+                pts[_xy2d(16, x, y)] = (x, y)
+        assert sorted(pts) == list(range(256))
+        for d in range(255):
+            (x1, y1), (x2, y2) = pts[d], pts[d + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+    def test_matches_brute_force_exactly(self, spark, sf_dir):
+        import datetime as dt
+
+        rows = (
+            load(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderdate")
+            .collect()
+        )
+        anchor = dt.date(1995, 1, 1)
+        agg = {}
+        for r in rows:
+            od = r.o_orderdate
+            if isinstance(od, dt.datetime):
+                od = od.date()
+            dy = (od - anchor).days
+            d = _xy2d(256, r.o_custkey & 255, dy & 255)
+            b = d >> 8
+            cur = agg.get(b)
+            if cur is None:
+                agg[b] = [1, r.o_custkey, r.o_custkey, dy, dy]
+            else:
+                cur[0] += 1
+                cur[1] = min(cur[1], r.o_custkey)
+                cur[2] = max(cur[2], r.o_custkey)
+                cur[3] = min(cur[3], dy)
+                cur[4] = max(cur[4], dy)
+        got = {
+            r.hbucket: (r.n_rows, r.min_custkey, r.max_custkey, r.min_day, r.max_day)
+            for r in registry.QUERIES["layout_hilbert_locality_buckets"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == {b: tuple(v) for b, v in agg.items()}
