@@ -1959,3 +1959,99 @@ def sample_priority_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame
             " DIV (2 * true_w * 1000) AS BIGINT)"
         ).alias("err_bp"),
     )
+
+
+PPS_K = 100  # systematic sample size
+
+
+@query(
+    "sample_pps_systematic",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents,
+               md5('pps:' || CAST(o_orderkey AS VARCHAR)) AS hk
+        FROM orders
+    ),
+    cum AS (
+        SELECT o_orderkey, cents,
+               sum(cents) OVER (ORDER BY hk, o_orderkey) AS cum_incl,
+               sum(cents) OVER () AS t
+        FROM base
+    ),
+    hits AS (
+        SELECT o_orderkey, cents, t,
+               (2 * {PPS_K} * cum_incl + t) // (2 * t)
+                 - (2 * {PPS_K} * (cum_incl - cents) + t) // (2 * t)
+                   AS n_hits
+        FROM cum
+    )
+    SELECT o_orderkey, cents, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST((2 * t + {PPS_K}) // (2 * {PPS_K}) AS BIGINT)
+               AS step_cents
+    FROM hits WHERE n_hits >= 1
+    ORDER BY o_orderkey
+    """,
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling of
+    {PPS_K} draws over orders, weighted by order value: walk the
+    hash-ordered cumulative-cents line and take every (total/k)-th
+    cent starting at the midpoint — the classic PPS design (each
+    order's expected draw count = k·cents/total, big orders can be
+    drawn multiple times; Σ draws = k EXACTLY by telescoping).
+    Completes the sampling family's size-biased cell: Bernoulli/
+    stratified/k-fold are equal-probability, priority-weighted top-k
+    is without-replacement heuristic — systematic PPS is the survey-
+    statistics workhorse (and its hash ordering IS the 'implicit
+    stratification by random order' the textbooks prescribe — no RNG,
+    the playbook's deterministic-hash device).
+
+    Exactness: draw counts are pure integer interval counts on the
+    doubled grid — hits(u) = f(cum) - f(cum - cents) with
+    f(x) = (2kx + t) DIV (2t) — no division result is ever
+    materialized as a float, and midpoint-start means no RNG seed.
+
+    100 TB plan: the systematic pass is inherently ORDERED (one
+    range-partitioned cumulative over the hash order — documented,
+    allowlisted like sample_fair_interleave); everything else is
+    map-side. The k selected keys then broadcast back for any
+    follow-up join.
+    """
+    from leadsight_sales_agent_spark.operators.sampling import hash_key
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        hash_key("pps:", F.col("o_orderkey").cast("string")).alias("hk"),
+    )
+    cum = base.select(
+        "o_orderkey",
+        "cents",
+        F.sum("cents").over(Window.orderBy("hk", "o_orderkey")).alias("cum_incl"),
+        F.sum("cents").over(Window.partitionBy()).alias("t"),
+    )
+    hits = cum.select(
+        "o_orderkey",
+        "cents",
+        "t",
+        F.expr(
+            f"(2 * {PPS_K} * cum_incl + t) DIV (2 * t)"
+            f" - (2 * {PPS_K} * (cum_incl - cents) + t) DIV (2 * t)"
+        ).alias("n_hits"),
+    )
+    return (
+        hits.filter(F.col("n_hits") >= 1)
+        .select(
+            "o_orderkey",
+            "cents",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.expr(
+                f"CAST((2 * t + {PPS_K}) DIV (2 * {PPS_K}) AS BIGINT)"
+            ).alias("step_cents"),
+        )
+        .orderBy("o_orderkey")
+    )

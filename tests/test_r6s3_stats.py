@@ -1272,3 +1272,45 @@ class TestHilbertLocality:
             ).collect()
         }
         assert got == {b: tuple(v) for b, v in agg.items()}
+
+
+class TestPpsSystematic:
+    def test_matches_brute_force_and_sums_to_k(self, spark, sf_dir):
+        import hashlib
+
+        rows = (
+            load(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .collect()
+        )
+        ordered = sorted(
+            rows,
+            key=lambda r: (
+                hashlib.md5(f"pps:{r.o_orderkey}".encode()).hexdigest(),
+                r.o_orderkey,
+            ),
+        )
+        t = sum(r.cents for r in ordered)
+        k = 100
+        f = lambda x: (2 * k * x + t) // (2 * t)
+        cum = 0
+        want = {}
+        tot_hits = 0
+        for r in ordered:
+            prev = cum
+            cum += r.cents
+            h = f(cum) - f(prev)
+            tot_hits += h
+            if h >= 1:
+                want[r.o_orderkey] = (r.cents, h)
+        assert tot_hits == k  # telescoping identity
+        got = {
+            r.o_orderkey: (r.cents, r.n_hits)
+            for r in registry.QUERIES["sample_pps_systematic"](spark, sf_dir).collect()
+        }
+        assert got == want

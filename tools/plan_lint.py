@@ -238,6 +238,7 @@ ALLOW_NON_EQUI = {
 # R2: documented global-order operators (range partition IS the plan).
 ALLOW_GLOBAL_SORT = {
     "sample_fair_interleave",  # rank-major merge order
+    "sample_pps_systematic",  # the systematic pass IS the hash-ordered cumulative
     "dedup_sorted_neighborhood",  # the sort IS the blocking key
     "topk_distinct_prices_dense_rank",
     "pareto_abc_parts",
