@@ -339,6 +339,7 @@ ALLOW_MANY_EXCHANGES = {
     "timeseries_hurst_rs": 13,  # three R/S window legs on the checkpointed 84-row series
     "dedup_semantic_semdedup": 22,  # sign-projection agg + cell join + within-cell pair leg + summary join
     "text_burrows_delta": 19,  # token explode + vocab rank + totals/count grid joins + pair leg
+    "text_bleu_source_similarity": 16,  # 4-order gram union + reference clip join + length legs
 }
 
 FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
