@@ -4409,3 +4409,136 @@ def replication_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rows_compared_bp"),
         )
     )
+
+
+@query(
+    "tpcds_q34_frequent_ticket_bands",
+    oracle="""
+    WITH ticket AS (
+        SELECT o_orderkey, o_custkey, count(*) AS n_items
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE month(o_orderdate) IN (1, 2, 3)
+        GROUP BY o_orderkey, o_custkey
+        HAVING count(*) BETWEEN 5 AND 7
+    )
+    SELECT c_custkey, c_name, o_orderkey, CAST(n_items AS BIGINT) AS n_items
+    FROM ticket JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def tpcds_q34_frequent_ticket_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q34's characteristic shape: per-ticket item counts with a
+    HAVING band (the 'frequent shopper' 15..20 band, adapted to this
+    schema's 1..7 lineitem fan-out as 5..7), then a join back to the
+    customer dimension for the identity columns — aggregate-then-
+    filter-then-join, where the band filter runs ON THE AGGREGATE
+    before any dimension data moves.
+
+    Plan: lineitem joins orders on the orderkey (the fact-fact equi
+    join), partial+final count per ticket, the HAVING band drops ~5/7
+    of tickets BEFORE the customer join, and the surviving ticket list
+    joins the dimension. At 100 TB the band filter is the point: the
+    expensive fact aggregate reduces to a thin ticket list and only
+    that list shuffles against customer — never the raw lineitems.
+    The month filter is pushed to the orders scan (PushedFilters), so
+    the fact join starts from a quarter of the year's orders.
+    """
+    orders = load(spark, sf_dir, "orders").filter(
+        F.month("o_orderdate").isin(1, 2, 3)
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    ticket = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count("*").alias("n_items"))
+        .filter(F.col("n_items").between(5, 7))
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return ticket.join(cust, ticket.o_custkey == cust.c_custkey).select(
+        "c_custkey", "c_name", "o_orderkey", F.col("n_items").cast("bigint").alias("n_items")
+    )
+
+
+@query(
+    "tpcds_q59_week_over_week_sales",
+    oracle="""
+    WITH wk AS (
+        SELECT c_nationkey AS nk,
+               year(o_orderdate) AS y,
+               CAST(dayofyear(o_orderdate) - 1 AS BIGINT) // 7 AS wk,
+               CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        WHERE year(o_orderdate) IN (1996, 1997)
+    ), agg AS (
+        SELECT nk, y, wk, CAST(sum(cents) AS BIGINT) AS rev
+        FROM wk GROUP BY nk, y, wk
+    )
+    SELECT n_name, a.wk,
+           a.rev AS rev96_cents,
+           b.rev AS rev97_cents,
+           CAST(b.rev * 10000 // a.rev AS BIGINT) AS yoy_bp
+    FROM agg a
+    JOIN agg b ON a.nk = b.nk AND a.wk = b.wk AND a.y = 1996 AND b.y = 1997
+    JOIN nation ON n_nationkey = a.nk
+    """,
+)
+def tpcds_q59_week_over_week_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q59's characteristic shape: weekly sales aggregated per
+    group for two consecutive years, SELF-JOINED on (group, week) to
+    report the year-over-year ratio — adapted to nation-grain revenue
+    for 1996 vs 1997. The week index is (dayofyear-1) DIV 7 — a pure
+    integer expression with identical semantics in both engines (ISO
+    week numbering differs subtly across engines near year boundaries,
+    so the portable engine derives its own calendar arithmetic — the
+    playbook's anchor-before-the-data device). Revenue is exact integer
+    cents; the ratio ships as truncating basis points.
+
+    Plan: ONE scan of orders (year filter pushed down) feeds one
+    aggregate; the two year slices come from the SAME aggregated frame
+    (self-join on the tiny nation x week grid, ~25 x 53 keys), and the
+    25-row nation dimension broadcasts. At 100 TB the aggregate output
+    is bounded by the key grid — the self-join never touches fact-table
+    volume, and AQE picks the broadcast for both small joins.
+    """
+    cents = (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .select(
+            "o_custkey",
+            F.year("o_orderdate").alias("y"),
+            F.expr(
+                "CAST(dayofyear(o_orderdate) - 1 AS BIGINT) DIV 7"
+            ).alias("wk"),
+            cents.alias("cents"),
+        )
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    agg = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"), "y", "wk")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    a = agg.filter(F.col("y") == 1996).select(
+        F.col("nk").alias("nk_a"), F.col("wk").alias("wk_a"),
+        F.col("rev").alias("rev96_cents"),
+    )
+    b = agg.filter(F.col("y") == 1997).select(
+        F.col("nk").alias("nk_b"), F.col("wk").alias("wk_b"),
+        F.col("rev").alias("rev97_cents"),
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        a.join(b, (F.col("nk_a") == F.col("nk_b")) & (F.col("wk_a") == F.col("wk_b")))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("nk_a"))
+        .select(
+            "n_name",
+            F.col("wk_a").alias("wk"),
+            "rev96_cents",
+            "rev97_cents",
+            F.expr(
+                "CAST(rev97_cents * 10000 DIV rev96_cents AS BIGINT)"
+            ).alias("yoy_bp"),
+        )
+    )

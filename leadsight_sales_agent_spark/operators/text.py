@@ -4240,3 +4240,236 @@ def text_bleu_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN min_clip > 0 THEN {_BLEU_EXPR} ELSE 0 END"
         ).alias("bleu_e6"),
     ).orderBy("source")
+
+
+# --- Readability (Flesch reading ease / Flesch-Kincaid grade) -----------
+#
+# Syllable heuristic (the classic public one): count maximal vowel runs
+# [aeiouy]+, subtract one for a trailing silent 'e' when more than one
+# run exists, floor at 1. Sentences = maximal [.!?]+ runs, floored at 1
+# (this corpus has no terminal punctuation, so every document scores as
+# one pseudo-sentence — the operator still exercises the full formula).
+# All arithmetic is integer: score*1000 (milli) with the common
+# denominator S*W cross-multiplied away and the playbook's half-up
+# (2*num+den) DIV (2*den) device. Negative numerators truncate toward
+# zero identically in Spark DIV and DuckDB // (playbook-verified), so
+# the forms are cross-engine exact without mirroring.
+
+_FL_W_SPARK = "filter(split(trim(text), '\\\\s+'), wd -> length(wd) > 0)"
+_FL_W_DUCK = r"list_filter(string_split_regex(trim(text), '\s+'), wd -> len(wd) > 0)"
+
+
+def _syll_spark(w: str) -> str:
+    g = (
+        f"(length(regexp_replace({w}, '[aeiouy]+', '@')) - "
+        f"length(replace(regexp_replace({w}, '[aeiouy]+', '@'), '@', '')))"
+    )
+    return (
+        f"greatest(1, {g} - (CASE WHEN {w} LIKE '%e' AND {g} > 1 "
+        "THEN 1 ELSE 0 END))"
+    )
+
+
+def _syll_duck(w: str) -> str:
+    g = (
+        f"(len(regexp_replace({w}, '[aeiouy]+', '@', 'g')) - "
+        f"len(replace(regexp_replace({w}, '[aeiouy]+', '@', 'g'), '@', '')))"
+    )
+    return (
+        f"greatest(1, {g} - (CASE WHEN {w} LIKE '%e' AND {g} > 1 "
+        "THEN 1 ELSE 0 END))"
+    )
+
+
+_FLESCH_NUM = "(206835 * s * w - 1015 * w * w - 84600 * y * s)"
+_FK_NUM = "(39 * w * w + 1180 * y * s - 1559 * s * w)"
+
+
+@query(
+    "text_readability_flesch",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang,
+               {_FL_W_DUCK} AS ws,
+               greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s
+        FROM documents
+    ), counted AS (
+        SELECT lang, s,
+               CAST(len(ws) AS BIGINT) AS w,
+               CAST(coalesce(list_sum(list_transform(ws,
+                   wd -> {_syll_duck('wd')})), 0) AS BIGINT) AS y
+        FROM tok
+    ), scored AS (
+        SELECT lang,
+               CAST((2 * {_FLESCH_NUM} + (s * w)) // (2 * (s * w)) AS BIGINT)
+                   AS flesch_milli,
+               CAST((2 * {_FK_NUM} + (s * w)) // (2 * (s * w)) AS BIGINT)
+                   AS fk_centi
+        FROM counted WHERE w > 0
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST((2 * sum(flesch_milli) + count(*))
+                // (2 * count(*)) AS BIGINT) AS avg_flesch_milli,
+           CAST((2 * sum(fk_centi) + count(*))
+                // (2 * count(*)) AS BIGINT) AS avg_fk_centi,
+           CAST(min(flesch_milli) AS BIGINT) AS min_flesch_milli,
+           CAST(max(flesch_milli) AS BIGINT) AS max_flesch_milli,
+           CAST(count(*) FILTER (flesch_milli >= 60000) * 10000
+                // count(*) AS BIGINT) AS pct_easy_bp
+    FROM scored GROUP BY lang
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per language — the
+    classic readability pair used as a corpus quality-scoring signal
+    (reference analogue: the quality heuristics family, SURVEY §2.10;
+    sibling of text_quality_score's length/diversity score).
+
+    score*1000 and grade*100 are exact integers: words W, pseudo-
+    sentences S, and heuristic syllables Y are counted with built-in
+    higher-order array functions (whole-stage codegen, no UDFs), the
+    formula's common denominator S*W is cross-multiplied away, and the
+    half-up integer division uses the playbook DIV device. The vowel-run
+    syllable count runs inside one `aggregate(...)` fold per document.
+
+    100 TB: embarrassingly parallel per-document scan (no shuffle until
+    the tiny per-lang rollup); the regex work is per-row codegen'd
+    string ops — no Python, no window, no skew (lang rollup is 5 keys,
+    partial-aggregated map-side).
+    """
+    docs = load(spark, sf_dir, "documents")
+    syll = _syll_spark("wd")
+    counted = docs.select(
+        "lang",
+        F.expr(f"CAST(size({_FL_W_SPARK}) AS BIGINT)").alias("w"),
+        F.expr(
+            f"aggregate({_FL_W_SPARK}, 0L, (acc, wd) -> acc + {syll})"
+        ).alias("y"),
+        F.expr(
+            "greatest(1, CAST(regexp_count(text, '[.!?]+') AS BIGINT))"
+        ).alias("s"),
+    ).filter(F.col("w") > 0)
+    scored = counted.select(
+        "lang",
+        F.expr(
+            f"CAST((2 * {_FLESCH_NUM} + (s * w)) DIV (2 * (s * w)) AS BIGINT)"
+        ).alias("flesch_milli"),
+        F.expr(
+            f"CAST((2 * {_FK_NUM} + (s * w)) DIV (2 * (s * w)) AS BIGINT)"
+        ).alias("fk_centi"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr(
+            "CAST((2 * sum(flesch_milli) + count(*)) DIV (2 * count(*)) "
+            "AS BIGINT)"
+        ).alias("avg_flesch_milli"),
+        F.expr(
+            "CAST((2 * sum(fk_centi) + count(*)) DIV (2 * count(*)) "
+            "AS BIGINT)"
+        ).alias("avg_fk_centi"),
+        F.min("flesch_milli").cast("bigint").alias("min_flesch_milli"),
+        F.max("flesch_milli").cast("bigint").alias("max_flesch_milli"),
+        F.expr(
+            "CAST(count_if(flesch_milli >= 60000) * 10000 DIV count(*) "
+            "AS BIGINT)"
+        ).alias("pct_easy_bp"),
+    )
+
+
+@query(
+    "text_c4_quality_gate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang,
+               {_FL_W_DUCK} AS ws,
+               text
+        FROM documents
+    ), feat AS (
+        SELECT lang,
+               CAST(len(ws) AS BIGINT) AS w,
+               CAST(coalesce(list_sum(list_transform(ws, wd -> len(wd))), 0)
+                    AS BIGINT) AS chars,
+               CASE WHEN regexp_matches(rtrim(text), '[.!?"]$')
+                    THEN 0 ELSE 1 END AS f_punct,
+               CASE WHEN text LIKE '%{{%' THEN 1 ELSE 0 END AS f_brace,
+               CASE WHEN lower(text) LIKE '%lorem ipsum%' THEN 1 ELSE 0 END
+                   AS f_lorem
+        FROM tok
+    ), flags AS (
+        SELECT lang,
+               CASE WHEN w < 20 THEN 1 ELSE 0 END AS f_minwords,
+               f_punct, f_brace, f_lorem,
+               CASE WHEN chars < 3 * w OR chars > 10 * w THEN 1 ELSE 0 END
+                   AS f_wordlen
+        FROM feat
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(f_minwords) AS BIGINT) AS fail_min_words,
+           CAST(sum(f_punct) AS BIGINT) AS fail_terminal_punct,
+           CAST(sum(f_brace) AS BIGINT) AS fail_curly_brace,
+           CAST(sum(f_lorem) AS BIGINT) AS fail_lorem_ipsum,
+           CAST(sum(f_wordlen) AS BIGINT) AS fail_mean_word_len,
+           CAST(count(*) FILTER (
+               f_minwords + f_punct + f_brace + f_lorem + f_wordlen = 0)
+               AS BIGINT) AS n_pass
+    FROM flags GROUP BY lang
+    """,
+)
+def text_c4_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-rule corpus quality gate in the C4 / Gopher style (Raffel
+    et al. 2020 §2.2 document filters; Rae et al. 2021 Gopher rules):
+    minimum word count, terminal punctuation, curly-brace (code) marker,
+    'lorem ipsum' placeholder, and the Gopher mean-word-length 3..10
+    band (integer cross-multiplied: chars < 3*W or chars > 10*W — no
+    float division). Reports per-language failure counts per named rule
+    plus the count passing every rule — the audit summary a curation
+    pipeline emits before dropping documents.
+
+    Sibling of text_quality_score (scored ranking) and
+    text_decontamination_gate (eval-overlap); this one is the published
+    named-rule gate with per-rule attribution.
+
+    100 TB: single scan, per-row codegen'd string ops, 5-key rollup —
+    no shuffle beyond the tiny final aggregation; rule counters are
+    map-side partial aggregates.
+    """
+    docs = load(spark, sf_dir, "documents")
+    feat = docs.select(
+        "lang",
+        F.expr(f"CAST(size({_FL_W_SPARK}) AS BIGINT)").alias("w"),
+        F.expr(
+            f"aggregate({_FL_W_SPARK}, 0L, (acc, wd) -> acc + length(wd))"
+        ).alias("chars"),
+        F.expr(
+            "CASE WHEN rtrim(text) RLIKE '[.!?\"]$' THEN 0 ELSE 1 END"
+        ).alias("f_punct"),
+        F.expr("CASE WHEN text LIKE '%{%' THEN 1 ELSE 0 END").alias("f_brace"),
+        F.expr(
+            "CASE WHEN lower(text) LIKE '%lorem ipsum%' THEN 1 ELSE 0 END"
+        ).alias("f_lorem"),
+    )
+    flags = feat.select(
+        "lang",
+        F.expr("CASE WHEN w < 20 THEN 1 ELSE 0 END").alias("f_minwords"),
+        "f_punct",
+        "f_brace",
+        "f_lorem",
+        F.expr(
+            "CASE WHEN chars < 3 * w OR chars > 10 * w THEN 1 ELSE 0 END"
+        ).alias("f_wordlen"),
+    )
+    return flags.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("f_minwords").cast("bigint").alias("fail_min_words"),
+        F.sum("f_punct").cast("bigint").alias("fail_terminal_punct"),
+        F.sum("f_brace").cast("bigint").alias("fail_curly_brace"),
+        F.sum("f_lorem").cast("bigint").alias("fail_lorem_ipsum"),
+        F.sum("f_wordlen").cast("bigint").alias("fail_mean_word_len"),
+        F.expr(
+            "CAST(count_if(f_minwords + f_punct + f_brace + f_lorem "
+            "+ f_wordlen = 0) AS BIGINT)"
+        ).alias("n_pass"),
+    )
