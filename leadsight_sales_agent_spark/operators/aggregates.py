@@ -6536,3 +6536,195 @@ def agg_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * sum(CAST(cents AS DECIMAL(38,0)) * cnt)) AS BIGINT)"
         ).alias("rel_gini_bp"),
     )
+
+
+# --- Theil inequality decomposition --------------------------------------
+
+# Shared-verbatim ln trees (identical expression text in Spark and the
+# DuckDB oracle -> identical IEEE doubles in, libm ln out pre-rounded to
+# e12 integers before any cross-row sum — the playbook's ln-sum device).
+_TH_LNW = (
+    "CAST(floor(ln((CAST(x AS DOUBLE) * CAST(ng AS DOUBLE))"
+    " / CAST(xg AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)"
+)
+_TH_LNT = (
+    "CAST(floor(ln((CAST(x AS DOUBLE) * CAST(n_tot AS DOUBLE))"
+    " / CAST(x_tot AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)"
+)
+_TH_LNB = (
+    "CAST(floor(ln((CAST(xg AS DOUBLE) * CAST(n_tot AS DOUBLE))"
+    " / (CAST(x_tot AS DOUBLE) * CAST(ng AS DOUBLE))) * 1e12 + 0.5)"
+    " AS BIGINT)"
+)
+# e6 report: S / (den * 1e12) scaled to 1e6, floor(+0.5) quantizer on an
+# identical product/division tree; DECIMAL(38,0)->DOUBLE is the safe
+# scale-0 conversion.
+def _th_e6(s: str, den: str) -> str:
+    return (
+        f"CAST(floor(CAST({s} AS DOUBLE) / (CAST({den} AS DOUBLE) * 1e12)"
+        " * 1e6 + 0.5) AS BIGINT)"
+    )
+
+
+@query(
+    "agg_theil_inequality_decomposition",
+    oracle=f"""
+    WITH percust AS (
+        SELECT o_custkey AS ck,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS x
+        FROM orders GROUP BY o_custkey
+    ), seged AS (
+        SELECT c_mktsegment AS seg, x
+        FROM percust JOIN customer ON c_custkey = ck
+    ), g AS (
+        SELECT seg, count(*) AS ng, CAST(sum(x) AS BIGINT) AS xg
+        FROM seged GROUP BY seg
+    ), tot AS (
+        SELECT CAST(sum(ng) AS BIGINT) AS n_tot,
+               CAST(sum(xg) AS BIGINT) AS x_tot,
+               count(*) AS n_groups
+        FROM g
+    ), rows_ AS (
+        SELECT seg, x, ng, xg, n_tot, x_tot,
+               {_TH_LNW} AS lnw, {_TH_LNT} AS lnt
+        FROM seged JOIN g USING (seg) CROSS JOIN tot
+    ), sums AS (
+        SELECT seg,
+               sum(CAST(x AS DECIMAL(38,0)) * lnw) AS s_g,
+               sum(CAST(x AS DECIMAL(38,0)) * lnt) AS s_t
+        FROM rows_ GROUP BY seg
+    ), within AS (
+        SELECT 'within:' || s.seg AS component,
+               CAST(g.ng AS BIGINT) AS n_members,
+               CAST((2 * g.xg * 10000 + t.x_tot) // (2 * t.x_tot) AS BIGINT)
+                   AS income_share_bp,
+               {_th_e6('s.s_g', 'g.xg')} AS theil_e6,
+               {_th_e6('s.s_g', 't.x_tot')} AS contribution_e6
+        FROM sums s JOIN g ON g.seg = s.seg CROSS JOIN tot t
+    ), between_ AS (
+        SELECT 'between' AS component,
+               t.n_groups AS n_members,
+               CAST(10000 AS BIGINT) AS income_share_bp,
+               {_th_e6('sum(CAST(xg AS DECIMAL(38,0)) * ' + _TH_LNB + ')', 'max(t.x_tot)')}
+                   AS theil_e6,
+               {_th_e6('sum(CAST(xg AS DECIMAL(38,0)) * ' + _TH_LNB + ')', 'max(t.x_tot)')}
+                   AS contribution_e6
+        FROM g CROSS JOIN tot t
+        GROUP BY t.n_groups
+    ), total_ AS (
+        SELECT 'total' AS component,
+               t.n_tot AS n_members,
+               CAST(10000 AS BIGINT) AS income_share_bp,
+               {_th_e6('sum(s.s_t)', 'max(t.x_tot)')} AS theil_e6,
+               {_th_e6('sum(s.s_t)', 'max(t.x_tot)')} AS contribution_e6
+        FROM sums s CROSS JOIN tot t
+        GROUP BY t.n_tot
+    )
+    SELECT * FROM within
+    UNION ALL SELECT * FROM between_
+    UNION ALL SELECT * FROM total_
+    """,
+)
+def agg_theil_inequality_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of per-customer revenue, DECOMPOSED into
+    between-segment and within-segment components — the additive
+    decomposition (T = T_between + sum_g share_g * T_g) that Gini
+    famously lacks, and the reason Theil is the econometric tool for
+    'how much of the concentration is explained by the grouping'.
+    Complements agg_gini_mean_difference (dispersion) and the
+    concentration/pareto queries (top-share) with the decomposable
+    entropy measure.
+
+    Exactness: incomes are exact integer cents; every ln term is
+    pre-rounded to an e12 integer from a shared-verbatim IEEE tree
+    (identical double in both engines, libm ln 1-ulp risk accepted at
+    the e12 grain per the playbook), weighted by exact-cent DECIMAL
+    products, and summed order-independently; the e6 report applies one
+    identical floor quantizer to the scale-0-decimal->double ratio. The
+    within/between/total legs are graded independently, and the
+    additive identity is pinned in tests (exact in real math; rounding
+    moves it by <=1e-6).
+
+    100 TB: one shuffle to the customer grain, one to the 5-segment
+    grain; group stats broadcast back onto the row grain (5-row join +
+    1-row totals anchor); no window, no sort — the identical shape as
+    the gini/moments family.
+    """
+    cents = (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long")
+    percust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).cast("long").alias("x"))
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seged = percust.join(cust, percust.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), "x"
+    )
+    g = seged.groupBy("seg").agg(
+        F.count("*").alias("ng"), F.sum("x").cast("long").alias("xg")
+    )
+    tot = g.agg(
+        F.sum("ng").cast("long").alias("n_tot"),
+        F.sum("xg").cast("long").alias("x_tot"),
+        F.count("*").alias("n_groups"),
+    )
+    rows = (
+        seged.join(F.broadcast(g), "seg")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("lnw", F.expr(_TH_LNW))
+        .withColumn("lnt", F.expr(_TH_LNT))
+    )
+    sums = rows.groupBy("seg").agg(
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("lnw")).alias("s_g"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("lnt")).alias("s_t"),
+    )
+    # One 5-row stats frame carries everything the three output legs
+    # need; localCheckpoint truncates its lineage so the heavy part of
+    # the plan exists ONCE instead of once per union leg (the HITS
+    # lineage device — without it the union re-derives the full
+    # customer-grain pipeline 3x: 47 exchanges vs ~12).
+    stats = (
+        sums.join(F.broadcast(g), "seg")
+        .crossJoin(F.broadcast(tot))
+        .localCheckpoint(eager=False)
+    )
+    within = stats.select(
+        F.concat(F.lit("within:"), F.col("seg")).alias("component"),
+        F.col("ng").cast("bigint").alias("n_members"),
+        F.expr(
+            "CAST((2 * xg * 10000 + x_tot) DIV (2 * x_tot) AS BIGINT)"
+        ).alias("income_share_bp"),
+        F.expr(_th_e6("s_g", "xg")).alias("theil_e6"),
+        F.expr(_th_e6("s_g", "x_tot")).alias("contribution_e6"),
+    )
+    between = (
+        stats.groupBy("n_groups")
+        .agg(
+            F.expr(
+                _th_e6(
+                    "sum(CAST(xg AS DECIMAL(38,0)) * " + _TH_LNB + ")",
+                    "max(x_tot)",
+                )
+            ).alias("theil_e6"),
+        )
+        .select(
+            F.lit("between").alias("component"),
+            F.col("n_groups").cast("bigint").alias("n_members"),
+            F.lit(10000).cast("bigint").alias("income_share_bp"),
+            "theil_e6",
+            F.col("theil_e6").alias("contribution_e6"),
+        )
+    )
+    total = (
+        stats.groupBy("n_tot")
+        .agg(F.expr(_th_e6("sum(s_t)", "max(x_tot)")).alias("theil_e6"))
+        .select(
+            F.lit("total").alias("component"),
+            F.col("n_tot").cast("bigint").alias("n_members"),
+            F.lit(10000).cast("bigint").alias("income_share_bp"),
+            "theil_e6",
+            F.col("theil_e6").alias("contribution_e6"),
+        )
+    )
+    return within.unionAll(between).unionAll(total)

@@ -8799,3 +8799,194 @@ def eval_bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank"),
     ).orderBy("rank")
+
+
+@query(
+    "eval_harrell_c_index",
+    oracle="""
+    WITH sig AS (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'signup'
+    ), anchor AS (
+        SELECT user_id AS uid, ts AS t0,
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                   AS score_u
+        FROM sig WHERE rn = 1
+    ), outcome AS (
+        SELECT e.user_id,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts > a.t0
+                        THEN e.ts END) AS tp,
+               max(e.ts) AS tlast,
+               any_value(a.t0) AS t0,
+               any_value(a.score_u) AS score_u
+        FROM anchor a JOIN events e ON e.user_id = a.uid
+        GROUP BY 1
+    ), units AS (
+        SELECT user_id,
+               CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS died,
+               CASE WHEN tp IS NOT NULL
+                    THEN date_diff('day', t0, tp)
+                    ELSE date_diff('day', t0, tlast) END AS dur,
+               score_u
+        FROM outcome
+    ), bucketed AS (
+        SELECT died, dur,
+               ntile(10) OVER (ORDER BY score_u, user_id) AS bucket
+        FROM units
+    ), cells AS (
+        SELECT dur, bucket, count(*) AS n_all,
+               CAST(sum(died) AS BIGINT) AS n_ev
+        FROM bucketed GROUP BY 1, 2
+    ), grid AS (
+        SELECT t.dur, b.bucket,
+               coalesce(c.n_all, 0) AS n_all, coalesce(c.n_ev, 0) AS n_ev
+        FROM (SELECT DISTINCT dur FROM cells) t
+        CROSS JOIN (VALUES (1),(2),(3),(4),(5),
+                           (6),(7),(8),(9),(10)) b(bucket)
+        LEFT JOIN cells c ON c.dur = t.dur AND c.bucket = b.bucket
+    ), s AS (
+        SELECT dur, bucket, n_all, n_ev,
+               sum(n_all) OVER (PARTITION BY bucket)
+               - sum(n_all) OVER (PARTITION BY bucket ORDER BY dur
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS s_gt
+        FROM grid
+    ), g AS (
+        SELECT n_all, n_ev, s_gt,
+               coalesce(sum(s_gt) OVER (PARTITION BY dur ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS g_lt,
+               sum(s_gt) OVER (PARTITION BY dur) AS g_all
+        FROM s
+    )
+    SELECT CAST(sum(n_all) AS BIGINT) AS n_units,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           CAST(sum(n_ev * g_all) AS BIGINT) AS comparable_pairs,
+           CAST(sum(n_ev * g_lt) AS BIGINT) AS concordant_pairs,
+           CAST(sum(n_ev * s_gt) AS BIGINT) AS tied_score_pairs,
+           CAST((2 * (2 * sum(n_ev * g_lt) + sum(n_ev * s_gt)) * 10000
+                 + 2 * sum(n_ev * g_all))
+                // (4 * sum(n_ev * g_all)) AS BIGINT) AS c_index_bp
+    FROM g
+    """,
+)
+def eval_harrell_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's concordance index (C-index) for the signup→purchase
+    survival problem: does a risk score known AT SIGNUP TIME (the
+    signup event's value, decile-bucketed) rank users by how fast they
+    convert? The censoring-aware ordering metric every survival model
+    is graded by — bridges the survival family (same spell convention
+    as survival_kaplan_meier: right-censored at last observed event)
+    and the eval family (AUC's time-to-event generalization; C-index
+    over uncensored data IS the AUC placement construction of
+    eval_auc_delong_ci).
+
+    Contract (documented, both engines + the Python pin share it):
+    comparable pairs are (event i, any j) with dur_j > dur_i strictly
+    (time ties excluded); concordant when the slower j carries a
+    STRICTLY lower risk decile; same-decile pairs credit 1/2. All
+    counting is exact integers: never the O(n²) pair join — events
+    fold to (duration x decile) cells, partners-later counts come from
+    complement-of-running-sum windows (the at-risk device), and the
+    cross-decile strict/tied splits are a 10-step cumulative on the
+    dense duration x 10 grid. c_index_bp is the half-up basis-point
+    report of (concordant + ties/2) / comparable.
+
+    100 TB: two shuffles to the user grain, then everything lives on
+    the calendar x 10 grid (bounded by observation days, not users).
+    The global decile ntile is the one total-ordering step — at
+    cluster scale the same contract runs with broadcast approx-quantile
+    boundaries instead (documented trade; exactness here pins the
+    semantics).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value", "event_id"
+    )
+    wsig = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    anchor = (
+        ev.filter(F.col("event_type") == "signup")
+        .withColumn("rn", F.row_number().over(wsig))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("uid"),
+            F.col("ts").alias("t0"),
+            (F.col("value").cast("decimal(18,6)") * 1000000)
+            .cast("long")
+            .alias("score_u"),
+        )
+    )
+    outcome = (
+        ev.join(anchor, F.col("user_id") == F.col("uid"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t0")),
+                    F.col("ts"),
+                )
+            ).alias("tp"),
+            F.max("ts").alias("tlast"),
+            F.any_value("t0").alias("t0"),
+            F.any_value("score_u").alias("score_u"),
+        )
+    )
+    units = outcome.select(
+        "user_id",
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("died"),
+        F.when(F.col("tp").isNotNull(), F.datediff("tp", "t0"))
+        .otherwise(F.datediff("tlast", "t0"))
+        .alias("dur"),
+        "score_u",
+    )
+    bucketed = units.select(
+        "died",
+        "dur",
+        F.ntile(10).over(Window.orderBy("score_u", "user_id")).alias("bucket"),
+    )
+    cells = bucketed.groupBy("dur", "bucket").agg(
+        F.count("*").alias("n_all"), F.sum("died").cast("long").alias("n_ev")
+    )
+    times = cells.select("dur").distinct()
+    bgrid = spark.range(1, 11).select(F.col("id").cast("int").alias("bucket"))
+    grid = (
+        times.crossJoin(F.broadcast(bgrid))
+        .join(cells, ["dur", "bucket"], "left")
+        .select(
+            "dur",
+            "bucket",
+            F.coalesce("n_all", F.lit(0)).alias("n_all"),
+            F.coalesce("n_ev", F.lit(0)).alias("n_ev"),
+        )
+    )
+    wtotb = Window.partitionBy("bucket")
+    wcum = Window.partitionBy("bucket").orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = grid.withColumn(
+        "s_gt", F.sum("n_all").over(wtotb) - F.sum("n_all").over(wcum)
+    )
+    wblt = Window.partitionBy("dur").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wdall = Window.partitionBy("dur")
+    g = s.select(
+        "n_all",
+        "n_ev",
+        "s_gt",
+        F.coalesce(F.sum("s_gt").over(wblt), F.lit(0)).alias("g_lt"),
+        F.sum("s_gt").over(wdall).alias("g_all"),
+    )
+    return g.agg(
+        F.sum("n_all").cast("bigint").alias("n_units"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.sum(F.col("n_ev") * F.col("g_all")).cast("bigint").alias("comparable_pairs"),
+        F.sum(F.col("n_ev") * F.col("g_lt")).cast("bigint").alias("concordant_pairs"),
+        F.sum(F.col("n_ev") * F.col("s_gt")).cast("bigint").alias("tied_score_pairs"),
+        F.expr(
+            "CAST((2 * (2 * sum(n_ev * g_lt) + sum(n_ev * s_gt)) * 10000"
+            " + 2 * sum(n_ev * g_all)) DIV (4 * sum(n_ev * g_all)) AS BIGINT)"
+        ).alias("c_index_bp"),
+    )

@@ -4542,3 +4542,144 @@ def tpcds_q59_week_over_week_sales(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("yoy_bp"),
         )
     )
+
+
+# --- Bloom-filter join pruning audit -------------------------------------
+
+BLOOM_JOIN_M = 1 << 20  # bit-space size; fixed so the audit is deterministic
+_BJ_POS1 = None  # filled below (needs sql_hex_to_long at def time)
+
+
+def _bj_pos(salt: str, key: str) -> str:
+    """Shared-text bit position: md5 prefix of the salted key, mod m."""
+    h = f"substr(md5('{salt}' || CAST({key} AS STRING)), 1, 12)"
+    return f"({sql_hex_to_long(h, 12)} % {BLOOM_JOIN_M})"
+
+
+@query(
+    "join_bloom_runtime_filter_audit",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT o_orderkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ), bits AS (
+        SELECT DISTINCT pos FROM (
+            SELECT {_bj_pos('b1|', 'k')} AS pos FROM build
+            UNION ALL
+            SELECT {_bj_pos('b2|', 'k')} AS pos FROM build
+        )
+    ), probe AS (
+        SELECT l_orderkey AS k, count(*) AS cnt
+        FROM lineitem GROUP BY l_orderkey
+    ), flagged AS (
+        SELECT p.k, p.cnt,
+               CASE WHEN b1.pos IS NOT NULL AND b2.pos IS NOT NULL
+                    THEN 1 ELSE 0 END AS pass,
+               CASE WHEN bu.k IS NOT NULL THEN 1 ELSE 0 END AS tru
+        FROM probe p
+        LEFT JOIN bits b1 ON b1.pos = {_bj_pos('b1|', 'p.k')}
+        LEFT JOIN bits b2 ON b2.pos = {_bj_pos('b2|', 'p.k')}
+        LEFT JOIN build bu ON bu.k = p.k
+    ), nb AS (SELECT count(*) AS n_build_keys FROM build)
+    SELECT nb.n_build_keys,
+           count(*) AS n_probe_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_probe_rows,
+           CAST(sum(pass) AS BIGINT) AS pass_keys,
+           CAST(sum(pass * cnt) AS BIGINT) AS pass_rows,
+           CAST(sum(tru) AS BIGINT) AS true_keys,
+           CAST(sum(tru * cnt) AS BIGINT) AS true_rows,
+           CAST(sum(pass * (1 - tru)) AS BIGINT) AS false_pass_keys,
+           CAST(sum(pass * (1 - tru)) * 10000
+                // (count(*) - sum(tru)) AS BIGINT) AS fp_keys_bp,
+           CAST(sum(tru * (1 - pass)) AS BIGINT) AS false_negative_keys
+    FROM flagged CROSS JOIN nb
+    GROUP BY nb.n_build_keys
+    """,
+)
+def join_bloom_runtime_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning, audited end-to-end: the build
+    side (urgent orders) is summarized as a deterministic 2-hash bloom
+    over a 2^20-bit space, the probe side (lineitem keys) is tested
+    against the bloom, and the exact semi-join runs alongside so the
+    audit GRADES the filter: pass/true row and key counts, the
+    false-positive rate among true negatives in basis points, and the
+    false-negative count — which a correct bloom must pin at exactly 0
+    (the no-false-negative guarantee is an output column, not an
+    assertion).
+
+    This is the mechanism behind Spark's own
+    `spark.sql.optimizer.runtime.bloomFilter.enabled` runtime filters
+    and parquet row-group dictionary pruning, made inspectable: at
+    100 TB the build side's distinct-bit list (<= 2n rows of one
+    integer, here ~6k) broadcasts where the raw key set might not, and
+    the probe scan drops (1 - fp) of its non-matching rows BEFORE the
+    shuffle join. The audit's fp_keys_bp is exactly the wasted-shuffle
+    fraction a planner would trade against bloom size m.
+
+    Probe work happens on the DISTINCT-key grain (one hash aggregate),
+    then row counts fold back — the bloom test itself never touches
+    row-grain data twice. md5-derived positions keep both engines
+    bit-identical (`sql_hex_to_long` device).
+    """
+    # The build-key frame is referenced four times (two bit legs, the
+    # exact-truth join, the count anchor); localCheckpoint materializes
+    # it once — exactly what a real runtime-filter build does — instead
+    # of re-scanning orders per reference (the HITS lineage device).
+    build = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bits = (
+        build.selectExpr(f"{_bj_pos('b1|', 'k')} AS pos")
+        .unionAll(build.selectExpr(f"{_bj_pos('b2|', 'k')} AS pos"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    probe = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("p1", F.expr(_bj_pos("b1|", "k")))
+        .withColumn("p2", F.expr(_bj_pos("b2|", "k")))
+    )
+    b1 = bits.select(F.col("pos").alias("pos1"))
+    b2 = bits.select(F.col("pos").alias("pos2"))
+    truth = build.select(F.col("k").alias("tk"))
+    flagged = (
+        probe.join(F.broadcast(b1), probe.p1 == b1.pos1, "left")
+        .join(F.broadcast(b2), probe.p2 == b2.pos2, "left")
+        .join(F.broadcast(truth), probe.k == truth.tk, "left")
+        .select(
+            "cnt",
+            F.when(
+                F.col("pos1").isNotNull() & F.col("pos2").isNotNull(), 1
+            ).otherwise(0).alias("pass"),
+            F.when(F.col("tk").isNotNull(), 1).otherwise(0).alias("tru"),
+        )
+    )
+    nb = build.agg(F.count("*").alias("n_build_keys"))
+    return (
+        flagged.crossJoin(F.broadcast(nb))
+        .groupBy("n_build_keys")
+        .agg(
+            F.count("*").alias("n_probe_keys"),
+            F.sum("cnt").cast("bigint").alias("n_probe_rows"),
+            F.sum("pass").cast("bigint").alias("pass_keys"),
+            F.sum(F.col("pass") * F.col("cnt")).cast("bigint").alias("pass_rows"),
+            F.sum("tru").cast("bigint").alias("true_keys"),
+            F.sum(F.col("tru") * F.col("cnt")).cast("bigint").alias("true_rows"),
+            F.sum(F.col("pass") * (1 - F.col("tru")))
+            .cast("bigint")
+            .alias("false_pass_keys"),
+            F.expr(
+                "CAST(sum(pass * (1 - tru)) * 10000 "
+                "DIV (count(*) - sum(tru)) AS BIGINT)"
+            ).alias("fp_keys_bp"),
+            F.sum(F.col("tru") * (1 - F.col("pass")))
+            .cast("bigint")
+            .alias("false_negative_keys"),
+        )
+    )

@@ -206,3 +206,171 @@ class TestTpcdsQ59:
         }
         assert got == expect
         assert len(got) > 0
+
+
+def _md5_pos(salt: str, key: int, m: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:12], 16) % m
+
+
+class TestBloomRuntimeFilterAudit:
+    def test_matches_python_reference_and_no_false_negatives(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.relational import BLOOM_JOIN_M
+
+        build = {
+            r.o_orderkey
+            for r in load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+            .collect()
+        }
+        bits = {_md5_pos("b1|", k, BLOOM_JOIN_M) for k in build} | {
+            _md5_pos("b2|", k, BLOOM_JOIN_M) for k in build
+        }
+        probe = Counter(
+            r.l_orderkey
+            for r in load(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+        )
+        pass_keys = {
+            k
+            for k in probe
+            if _md5_pos("b1|", k, BLOOM_JOIN_M) in bits
+            and _md5_pos("b2|", k, BLOOM_JOIN_M) in bits
+        }
+        true_keys = set(probe) & build
+        r = registry.QUERIES["join_bloom_runtime_filter_audit"](
+            spark, sf_dir
+        ).collect()[0]
+        assert r.n_build_keys == len(build)
+        assert r.n_probe_keys == len(probe)
+        assert r.n_probe_rows == sum(probe.values())
+        assert r.pass_keys == len(pass_keys)
+        assert r.pass_rows == sum(probe[k] for k in pass_keys)
+        assert r.true_keys == len(true_keys)
+        assert r.true_rows == sum(probe[k] for k in true_keys)
+        assert r.false_pass_keys == len(pass_keys - true_keys)
+        # the bloom one-sided guarantee: every true key passes
+        assert true_keys <= pass_keys
+        assert r.false_negative_keys == 0
+
+
+class TestTheilDecomposition:
+    def test_matches_float_reference_and_additive_identity(self, spark, sf_dir):
+        import math
+
+        cents_by_seg = defaultdict(list)
+        orders = defaultdict(int)
+        for r in (
+            load(spark, sf_dir, "orders")
+            .select(
+                "o_custkey",
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .collect()
+        ):
+            orders[r.o_custkey] += r.cents
+        seg_of = {
+            r.c_custkey: r.c_mktsegment
+            for r in load(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment")
+            .collect()
+        }
+        for ck, x in orders.items():
+            cents_by_seg[seg_of[ck]].append(x)
+        allx = [x for g in cents_by_seg.values() for x in g]
+        n, X = len(allx), sum(allx)
+
+        def theil(xs):
+            m = sum(xs) / len(xs)
+            return sum((x / sum(xs)) * math.log(x / m) for x in xs)
+
+        rows = {
+            r.component: r
+            for r in registry.QUERIES["agg_theil_inequality_decomposition"](
+                spark, sf_dir
+            ).collect()
+        }
+        t_total = theil(allx)
+        assert abs(rows["total"].theil_e6 - t_total * 1e6) <= 2
+        t_between = sum(
+            (sum(g) / X) * math.log((sum(g) / len(g)) / (X / n))
+            for g in cents_by_seg.values()
+        )
+        assert abs(rows["between"].theil_e6 - t_between * 1e6) <= 2
+        contrib = 0
+        for seg, g in cents_by_seg.items():
+            r = rows[f"within:{seg}"]
+            assert r.n_members == len(g)
+            assert abs(r.theil_e6 - theil(g) * 1e6) <= 2
+            assert abs(r.contribution_e6 - (sum(g) / X) * theil(g) * 1e6) <= 2
+            contrib += r.contribution_e6
+        # additive identity T = T_between + sum_g s_g T_g (exact in real
+        # math; e12/e6 quantization moves it by a few e6 ulps)
+        assert abs(rows["total"].theil_e6 - rows["between"].theil_e6 - contrib) <= len(
+            cents_by_seg
+        ) + 2
+        share_sum = sum(
+            rows[f"within:{s}"].income_share_bp for s in cents_by_seg
+        )
+        assert abs(share_sum - 10000) <= len(cents_by_seg)
+
+
+class TestHarrellCIndex:
+    def test_matches_python_pair_enumeration(self, spark, sf_dir):
+        """Brute-force O(n^2) pair enumeration of the documented
+        contract — the third implementation the grid windows must
+        match exactly."""
+        ev = load(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_type", "value", "event_id"
+        )
+        sig = defaultdict(list)
+        for r in ev.filter(F.col("event_type") == "signup").collect():
+            sig[r.user_id].append((r.ts, r.event_id, r.value))
+        anchors = {u: min(v) for u, v in sig.items()}
+        per_user = defaultdict(list)
+        for r in ev.collect():
+            if r.user_id in anchors:
+                per_user[r.user_id].append(r)
+        units = []
+        for u, rows in per_user.items():
+            t0, _, val = anchors[u]
+            purch = [
+                r.ts for r in rows if r.event_type == "purchase" and r.ts > t0
+            ]
+            tlast = max(r.ts for r in rows)
+            died = 1 if purch else 0
+            end = min(purch) if purch else tlast
+            dur = (end.date() - t0.date()).days
+            score = int(round(val * 1e6))
+            units.append((u, died, dur, score))
+        units.sort(key=lambda t: (t[3], t[0]))
+        n = len(units)
+        buckets = {}
+        base, extra = divmod(n, 10)
+        pos = 0
+        for b in range(1, 11):
+            size = base + (1 if b <= extra else 0)
+            for u, died, dur, score in units[pos : pos + size]:
+                buckets[u] = b
+            pos += size
+        comp = conc = tied = 0
+        for u_i, died_i, dur_i, _ in units:
+            if not died_i:
+                continue
+            for u_j, _, dur_j, _ in units:
+                if dur_j > dur_i:
+                    comp += 1
+                    if buckets[u_j] < buckets[u_i]:
+                        conc += 1
+                    elif buckets[u_j] == buckets[u_i]:
+                        tied += 1
+        r = registry.QUERIES["eval_harrell_c_index"](spark, sf_dir).collect()[0]
+        assert r.n_units == n
+        assert r.n_events == sum(d for _, d, _, _ in units)
+        assert r.comparable_pairs == comp
+        assert r.concordant_pairs == conc
+        assert r.tied_score_pairs == tied
+        assert r.c_index_bp == _half_up((2 * conc + tied) * 10000, 2 * comp)

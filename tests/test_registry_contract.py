@@ -204,3 +204,35 @@ class TestSmoke:
         rows = registry.QUERIES["dedup_exact_documents"](spark, sf_dir).collect()
         assert sum(r["n_dups"] for r in rows) == total
         assert len({r["text_hash"] for r in rows}) == len(rows)
+
+
+class TestPlanLintAllowlists:
+    def test_allowlists_reference_only_registered_queries(self):
+        """Stale allowlist entries (renamed/dropped queries) would rot
+        silently — the lint just never matches them. Pin every allowlist
+        name to a live registry entry."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "plan_lint",
+            os.path.join(os.path.dirname(__file__), "..", "tools", "plan_lint.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        live = set(registry.QUERIES)
+        for allow in (
+            mod.ALLOW_NON_EQUI,
+            mod.ALLOW_GLOBAL_SORT,
+            set(mod.ALLOW_MANY_EXCHANGES),
+        ):
+            stale = set(allow) - live
+            assert not stale, f"allowlisted but not registered: {sorted(stale)}"
+
+    def test_rows_only_cost_order_names_are_registered(self):
+        stale = set(registry._ROWS_ONLY_COST_ORDER) - set(registry.QUERIES)
+        assert not stale, sorted(stale)
+
+    def test_panel_names_are_registered(self):
+        stale = set(registry._PANEL_50) - set(registry.QUERIES)
+        assert not stale, sorted(stale)

@@ -73,6 +73,10 @@ ALLOW_NON_EQUI = {
     "sketch_ams_f2_moment",  # estimator panel + 1-row truth cross joins
     "sketch_count_sketch_estimates",  # 5-row depth panel cross joins
     "sketch_ams_join_size_estimate",  # estimator panel + 1-row truth cross joins
+    "text_bleu_source_similarity",  # 1-row reference-length scalar cross join + per-order clip anchors
+    "join_bloom_runtime_filter_audit",  # 1-row build-key-count anchor
+    "agg_theil_inequality_decomposition",  # 1-row totals anchors onto the row/group grains
+    "eval_harrell_c_index",  # 10-row literal decile grid onto the duration frame
     "sketch_kmv_rolling_distinct_7d",  # day-grid range join (31 rows x <=k hashes)
     "sample_ht_estimator_check",  # 1-row truth anchor
     "benford_first_digit_audit",  # 9-row digit grid
