@@ -8990,3 +8990,156 @@ def eval_harrell_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + 2 * sum(n_ev * g_all)) DIV (4 * sum(n_ev * g_all)) AS BIGINT)"
         ).alias("c_index_bp"),
     )
+
+
+# CUPED shared-verbatim trees over the exact integer sufficient stats
+# (scale-0 DECIMAL->DOUBLE is the safe conversion; every division and
+# product below is one identical IEEE tree in both engines).
+_CUPED_THETA_NUM = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_CUPED_VARX = (
+    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_CUPED_VARY = (
+    "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_CUPED_THETA_E6 = (
+    f"CAST(floor({_CUPED_THETA_NUM} / {_CUPED_VARX} * 1e6 + 0.5) AS BIGINT)"
+)
+_CUPED_RHO2_BP = (
+    f"CAST(floor({_CUPED_THETA_NUM} * {_CUPED_THETA_NUM}"
+    f" / ({_CUPED_VARX} * {_CUPED_VARY}) * 1e4 + 0.5) AS BIGINT)"
+)
+_CUPED_ADJ_MICRO = (
+    "CAST(floor(((CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)"
+    " - CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    f" - {_CUPED_THETA_NUM} / {_CUPED_VARX}"
+    " * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)"
+    " - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "ab_cuped_variance_reduction",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o_custkey AS ck,
+               CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN
+                   CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN year(o_orderdate) = 1997 THEN
+                   CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS y
+        FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY o_custkey
+    ), units AS (
+        SELECT c_custkey,
+               CASE WHEN {_SQL_HASH.format(salt='ab:', key='c_custkey')}
+                         < '{{AB_T}}' THEN 'A' ELSE 'B' END AS arm,
+               coalesce(r.x, 0) AS x, coalesce(r.y, 0) AS y
+        FROM customer LEFT JOIN rev r ON r.ck = c_custkey
+    ), m AS (
+        SELECT count(*) AS n,
+               sum(CAST(x AS DECIMAL(38,0))) AS sx,
+               sum(CAST(y AS DECIMAL(38,0))) AS sy,
+               sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               sum(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+               sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+               count(*) FILTER (arm = 'A') AS na,
+               count(*) FILTER (arm = 'B') AS nb,
+               sum(CAST(x AS DECIMAL(38,0))) FILTER (arm = 'A') AS sxa,
+               sum(CAST(x AS DECIMAL(38,0))) FILTER (arm = 'B') AS sxb,
+               sum(CAST(y AS DECIMAL(38,0))) FILTER (arm = 'A') AS sya,
+               sum(CAST(y AS DECIMAL(38,0))) FILTER (arm = 'B') AS syb
+        FROM units
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST((2 * (CAST(sya AS HUGEINT) * nb - CAST(syb AS HUGEINT) * na)
+                 * 1000000 + CAST(na AS HUGEINT) * nb)
+                // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT)
+               AS raw_diff_micro,
+           {_CUPED_THETA_E6} AS theta_e6,
+           {_CUPED_RHO2_BP} AS var_reduction_bp,
+           {_CUPED_ADJ_MICRO} AS adj_diff_micro
+    FROM m
+    """.replace("{AB_T}", "80000000"),
+)
+def ab_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. WSDM 2013) — the industry-standard A/B variance-reduction
+    technique: regress the experiment metric (1997 revenue) on its
+    pre-period covariate (1996 revenue), report theta, the achievable
+    variance reduction rho² in basis points, and the CUPED-adjusted
+    treatment effect next to the raw one. Completes the experimentation
+    family (deterministic assignment, Wilson, diff-in-diff, SPRT,
+    power/MDE, TOST) with the technique every large platform runs to
+    cut experiment runtimes ~in half.
+
+    Units are ALL customers (zero-filled revenue — dropping inactives
+    is the classic CUPED bias); arms come from the family's salted md5
+    threshold, so assignment is deterministic and engine-identical.
+    Sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy, per-arm legs) are
+    exact integer cents summed as DECIMAL(38,0); theta/rho²/adjusted
+    diff are shared-verbatim IEEE trees over the safe scale-0
+    decimal→double conversions with floor quantizers (the ANOVA/Welch
+    device); the raw mean difference is an exact cross-multiplied
+    half-up integral quotient.
+
+    100 TB: one shuffle to the customer grain, one 12-term partial
+    aggregate to a single row — CUPED's whole cost is the moment
+    computation, which map-side combines; nothing here depends on unit
+    count beyond the two hash aggregates.
+    """
+    cents = (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long")
+    rev = (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.sum(F.when(F.year("o_orderdate") == 1996, cents).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.year("o_orderdate") == 1997, cents).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    units = cust.join(rev, cust.c_custkey == rev.ck, "left").select(
+        F.when(
+            hash_key("ab:", F.col("c_custkey")) < "80000000", "A"
+        ).otherwise("B").alias("arm"),
+        F.coalesce("x", F.lit(0)).alias("x"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
+    m = units.agg(
+        F.count("*").alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+        F.sum(dy * F.col("y")).alias("syy"),
+        F.sum(dx * F.col("y")).alias("sxy"),
+        F.count_if(F.col("arm") == "A").alias("na"),
+        F.count_if(F.col("arm") == "B").alias("nb"),
+        F.sum(F.when(F.col("arm") == "A", dx)).alias("sxa"),
+        F.sum(F.when(F.col("arm") == "B", dx)).alias("sxb"),
+        F.sum(F.when(F.col("arm") == "A", dy)).alias("sya"),
+        F.sum(F.when(F.col("arm") == "B", dy)).alias("syb"),
+    )
+    return m.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.expr(
+            "CAST((2 * (sya * nb - syb * na) * 1000000 + na * nb)"
+            " DIV (2 * na * nb) AS BIGINT)"
+        ).alias("raw_diff_micro"),
+        F.expr(_CUPED_THETA_E6).alias("theta_e6"),
+        F.expr(_CUPED_RHO2_BP).alias("var_reduction_bp"),
+        F.expr(_CUPED_ADJ_MICRO).alias("adj_diff_micro"),
+    )

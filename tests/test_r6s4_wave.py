@@ -374,3 +374,62 @@ class TestHarrellCIndex:
         assert r.concordant_pairs == conc
         assert r.tied_score_pairs == tied
         assert r.c_index_bp == _half_up((2 * conc + tied) * 10000, 2 * comp)
+
+
+class TestCuped:
+    def test_matches_python_reference(self, spark, sf_dir):
+        import hashlib
+        import math
+
+        xy = defaultdict(lambda: [0, 0])
+        for r in (
+            load(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate").isin(1996, 1997))
+            .select(
+                "o_custkey",
+                F.year("o_orderdate").alias("yy"),
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .collect()
+        ):
+            xy[r.o_custkey][0 if r.yy == 1996 else 1] += r.cents
+        custs = [
+            r.c_custkey
+            for r in load(spark, sf_dir, "customer").select("c_custkey").collect()
+        ]
+        units = []
+        for ck in custs:
+            arm = (
+                "A"
+                if hashlib.md5(f"ab:{ck}".encode()).hexdigest()[:8] < "80000000"
+                else "B"
+            )
+            x, y = xy.get(ck, (0, 0))
+            units.append((arm, x, y))
+        n = len(units)
+        sx = sum(x for _, x, _ in units)
+        sy = sum(y for _, _, y in units)
+        sxx = sum(x * x for _, x, _ in units)
+        syy = sum(y * y for _, _, y in units)
+        sxy = sum(x * y for _, x, y in units)
+        a = [(x, y) for arm, x, y in units if arm == "A"]
+        b = [(x, y) for arm, x, y in units if arm == "B"]
+        theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        rho2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        mya, myb = sum(y for _, y in a) / len(a), sum(y for _, y in b) / len(b)
+        mxa, mxb = sum(x for x, _ in a) / len(a), sum(x for x, _ in b) / len(b)
+        r = registry.QUERIES["ab_cuped_variance_reduction"](spark, sf_dir).collect()[0]
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert r.raw_diff_micro == _half_up(
+            (sum(y for _, y in a) * len(b) - sum(y for _, y in b) * len(a))
+            * 10**6,
+            len(a) * len(b),
+        )
+        assert abs(r.theta_e6 - theta * 1e6) <= 2
+        assert abs(r.var_reduction_bp - rho2 * 1e4) <= 2
+        adj = (mya - myb) - theta * (mxa - mxb)
+        assert abs(r.adj_diff_micro - adj * 1e6) <= 2
+        assert 0 <= r.var_reduction_bp <= 10000
+        assert not math.isnan(theta)
