@@ -913,3 +913,154 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "hub_ppm", "auth_ppm")
         .orderBy("n_name")
     )
+
+
+@query(
+    "graph_modularity_regions",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+        SELECT cn.n_regionkey AS rc, sn.n_regionkey AS rs
+        FROM pairs p
+        JOIN customer c ON c.c_custkey = p.ck
+        JOIN supplier s ON s.s_suppkey = p.sk
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS m FROM edges
+    ), intra AS (
+        SELECT rc AS rk, CAST(count(*) AS BIGINT) AS e_c
+        FROM edges WHERE rc = rs GROUP BY 1
+    ), ends AS (
+        SELECT rk, CAST(count(*) AS BIGINT) AS d_c FROM (
+            SELECT rc AS rk FROM edges
+            UNION ALL
+            SELECT rs FROM edges
+        ) GROUP BY 1
+    ), stats AS (
+        SELECT e.rk, coalesce(i.e_c, 0) AS e_c, e.d_c, m.m
+        FROM ends e LEFT JOIN intra i ON i.rk = e.rk CROSS JOIN m
+    ), contrib AS (
+        SELECT r_name AS community, e_c AS intra_edges,
+               d_c AS degree_endpoints,
+               CAST((2 * (4 * CAST(e_c AS HUGEINT) * m
+                          - CAST(d_c AS HUGEINT) * d_c) * 1000000
+                     + 4 * CAST(m AS HUGEINT) * m)
+                    // (2 * 4 * CAST(m AS HUGEINT) * m) AS BIGINT)
+                   AS q_contrib_e6
+        FROM stats JOIN region ON r_regionkey = rk
+    ), total AS (
+        SELECT 'TOTAL' AS community,
+               CAST(sum(e_c) AS BIGINT) AS intra_edges,
+               CAST(sum(d_c) AS BIGINT) AS degree_endpoints,
+               CAST((2 * (4 * sum(CAST(e_c AS HUGEINT)) * max(m)
+                          - sum(CAST(d_c AS HUGEINT) * d_c)) * 1000000
+                     + 4 * max(CAST(m AS HUGEINT)) * max(m))
+                    // (2 * 4 * max(CAST(m AS HUGEINT)) * max(m)) AS BIGINT)
+                   AS q_contrib_e6
+        FROM stats
+    )
+    SELECT * FROM contrib UNION ALL SELECT * FROM total
+    """,
+)
+def graph_modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the region partition over the
+    customer-supplier trade graph: edges are distinct trading
+    (customer, supplier) pairs projected to nation regions; Q_c =
+    e_c/m - (d_c/2m)^2 per community (region), plus the TOTAL row
+    recomputed exactly from the summed sufficient statistics (not by
+    summing the rounded per-region contributions). Q near 0 is the
+    null expectation — trade in TPC-H-ish data is region-uniform — and
+    that near-zero verdict is itself the graded fact; the operator is
+    the partition-quality score every community-detection pipeline
+    (Louvain/label-propagation) optimizes, here graded exactly.
+
+    Exact end-to-end: edge/endpoint/intra counts are integers, Q's
+    rational (4*e_c*m - d_c^2) / (4m^2) ships as a half-up e6 integral
+    quotient on DECIMAL/HUGEINT products (no floats anywhere).
+
+    100 TB: one distinct-pair shuffle (the dedup-exact shape) then
+    everything folds to the 5-region grain; the region dimension
+    broadcasts; degree endpoints come from one unioned projection of
+    the edge frame, not a self-join.
+    """
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    edges = (
+        pairs.join(F.broadcast(cust), F.col("ck") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("sk") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("cnk"),
+                                   F.col("n_regionkey").alias("rc"))),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("snk"),
+                                   F.col("n_regionkey").alias("rs"))),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .select("rc", "rs")
+        .localCheckpoint(eager=False)
+    )
+    m = edges.agg(F.count("*").cast("long").alias("m"))
+    intra = (
+        edges.filter(F.col("rc") == F.col("rs"))
+        .groupBy(F.col("rc").alias("rk"))
+        .agg(F.count("*").cast("long").alias("e_c"))
+    )
+    ends = (
+        edges.select(F.col("rc").alias("rk"))
+        .unionAll(edges.select(F.col("rs").alias("rk")))
+        .groupBy("rk")
+        .agg(F.count("*").cast("long").alias("d_c"))
+    )
+    stats = (
+        ends.join(intra, "rk", "left")
+        .select("rk", F.coalesce("e_c", F.lit(0)).alias("e_c"), "d_c")
+        .crossJoin(F.broadcast(m))
+        .localCheckpoint(eager=False)
+    )
+    reg = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    q_expr = (
+        "CAST((2 * (4 * CAST(e_c AS DECIMAL(38,0)) * m"
+        " - CAST(d_c AS DECIMAL(38,0)) * d_c) * 1000000"
+        " + 4 * CAST(m AS DECIMAL(38,0)) * m)"
+        " DIV (2 * 4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)"
+    )
+    contrib = stats.join(
+        F.broadcast(reg), F.col("r_regionkey") == F.col("rk")
+    ).select(
+        F.col("r_name").alias("community"),
+        F.col("e_c").alias("intra_edges"),
+        F.col("d_c").alias("degree_endpoints"),
+        F.expr(q_expr).alias("q_contrib_e6"),
+    )
+    total = stats.agg(
+        F.sum("e_c").cast("bigint").alias("intra_edges"),
+        F.sum("d_c").cast("bigint").alias("degree_endpoints"),
+        F.expr(
+            "CAST((2 * (4 * sum(CAST(e_c AS DECIMAL(38,0))) * max(m)"
+            " - sum(CAST(d_c AS DECIMAL(38,0)) * d_c)) * 1000000"
+            " + 4 * max(CAST(m AS DECIMAL(38,0))) * max(m))"
+            " DIV (2 * 4 * max(CAST(m AS DECIMAL(38,0))) * max(m)) AS BIGINT)"
+        ).alias("q_contrib_e6"),
+    ).select(
+        F.lit("TOTAL").alias("community"),
+        "intra_edges",
+        "degree_endpoints",
+        "q_contrib_e6",
+    )
+    return contrib.unionAll(total)

@@ -995,3 +995,127 @@ def layout_hilbert_locality_buckets(spark: SparkSession, sf_dir: str) -> DataFra
         F.min("dy").alias("min_day"),
         F.max("dy").alias("max_day"),
     )
+
+
+# Shannon order-0 entropy bound per categorical column. ln terms are
+# e12-floor-quantized per DISTINCT value (shared-verbatim trees), then
+# count-weighted and decimal-summed — the playbook ln-sum device. The
+# ln(2) divisor is an E-NOTATION literal (decimal-point literals parse
+# as DECIMAL in DuckDB and double-round; E-notation parses straight to
+# the identical double in both engines).
+_LN2 = "6.931471805599453e-01"
+_ENT_LN_E12 = (
+    "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)"
+)
+_ENT_H_MILLI = (
+    "CAST(floor((CAST({lnn} AS DOUBLE) * CAST({n} AS DOUBLE)"
+    " - CAST({s} AS DOUBLE))"
+    f" / (CAST({{n}} AS DOUBLE) * {_LN2} * 1e12) * 1000 + 0.5) AS BIGINT)"
+)
+
+
+def _entropy_sql(table: str, col: str) -> str:
+    ln_c = _ENT_LN_E12.format(x="cnt")
+    return f"""
+    SELECT '{table}' AS tbl, '{col}' AS col,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS ndv,
+           CAST(8 * sum(cnt * len) AS BIGINT) AS plain_bits,
+           sum(CAST(cnt AS DECIMAL(38,0)) * {ln_c}) AS s_clnc
+    FROM (SELECT {col} AS v, length({col}) AS len, count(*) AS cnt
+          FROM {table} GROUP BY 1, 2)
+    """
+
+
+@query(
+    "storage_entropy_compression_bound",
+    oracle=f"""
+    WITH stats AS (
+        {" UNION ALL ".join(_entropy_sql(t, c) for t, c in _DICT_COLS)}
+    ), h AS (
+        SELECT tbl, col, n_rows, ndv, plain_bits,
+               {_ENT_H_MILLI.format(lnn=_ENT_LN_E12.format(x="n_rows"), n="n_rows", s="s_clnc")}
+                   AS h0_milli_bits
+        FROM stats
+    )
+    SELECT tbl, col, n_rows, ndv, plain_bits, h0_milli_bits,
+           CAST(n_rows * h0_milli_bits // 1000 AS BIGINT) AS entropy_bound_bits,
+           CAST((2 * 10000 * (plain_bits - n_rows * h0_milli_bits // 1000)
+                 + plain_bits) // (2 * plain_bits) AS BIGINT) AS savings_bp
+    FROM h
+    """,
+)
+def storage_entropy_compression_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-0 Shannon entropy bound per categorical column — the
+    information-theoretic floor any entropy coder (parquet's
+    dictionary+RLE+zstd stack included) is graded against: H0 =
+    log2(n) − (1/n)·Σ c_i·log2(c_i) in milli-bits per value, the
+    resulting per-column lower bound in total bits, and the savings
+    ceiling vs plain 8·length encoding. Completes the storage advisory
+    family (dictionary advisor = fixed-width index cost,
+    RLE audit = run structure, Gorilla = timestamp deltas, bloom
+    sizing = membership): the same six columns, now with the bound the
+    other encodings are chasing.
+
+    Exactness: value counts are exact integers from one hash-agg per
+    column; each ln(count) is floor-quantized at e12 from a
+    shared-verbatim tree, weighted by the exact count, and summed as
+    DECIMAL(38,0) (order-free); the final H tree divides by an
+    E-notation ln(2) literal and floor-quantizes at milli-bit grain.
+    entropy_bound_bits and savings_bp are then pure integer arithmetic
+    on already-quantized values.
+
+    100 TB: one column-pruned scan + one hash-agg per column (the
+    value histogram); the entropy fold happens on the NDV grain. High-
+    NDV columns would swap the exact histogram for the counters of the
+    Misra-Gries/CMS family and keep the same H formula — the decision
+    rule is unchanged.
+    """
+    frames = []
+    ln_c = _ENT_LN_E12.format(x="cnt")
+    for t, c in _DICT_COLS:
+        vals = (
+            load(spark, sf_dir, t)
+            .groupBy(F.col(c).alias("v"), F.length(c).alias("len"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        stats = vals.agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("ndv"),
+            (8 * F.sum(F.col("cnt") * F.col("len"))).cast("bigint").alias("plain_bits"),
+            F.sum(F.col("cnt").cast("decimal(38,0)") * F.expr(ln_c)).alias("s_clnc"),
+        )
+        frames.append(
+            stats.select(
+                F.lit(t).alias("tbl"),
+                F.lit(c).alias("col"),
+                "n_rows",
+                "ndv",
+                "plain_bits",
+                F.expr(
+                    _ENT_H_MILLI.format(
+                        lnn=_ENT_LN_E12.format(x="n_rows"),
+                        n="n_rows",
+                        s="s_clnc",
+                    )
+                ).alias("h0_milli_bits"),
+            )
+        )
+    allc = frames[0]
+    for f2 in frames[1:]:
+        allc = allc.unionByName(f2)
+    return allc.select(
+        "tbl",
+        "col",
+        "n_rows",
+        "ndv",
+        "plain_bits",
+        "h0_milli_bits",
+        F.expr(
+            "CAST(n_rows * h0_milli_bits DIV 1000 AS BIGINT)"
+        ).alias("entropy_bound_bits"),
+        F.expr(
+            "CAST((2 * 10000 * (plain_bits - n_rows * h0_milli_bits DIV 1000)"
+            " + plain_bits) DIV (2 * plain_bits) AS BIGINT)"
+        ).alias("savings_bp"),
+    )

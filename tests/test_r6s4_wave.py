@@ -433,3 +433,96 @@ class TestCuped:
         assert abs(r.adj_diff_micro - adj * 1e6) <= 2
         assert 0 <= r.var_reduction_bp <= 10000
         assert not math.isnan(theta)
+
+
+class TestEntropyCompressionBound:
+    def test_matches_python_reference(self, spark, sf_dir):
+        import math
+
+        from leadsight_sales_agent_spark.operators.layout import _DICT_COLS
+
+        rows = {
+            (r.tbl, r.col): r
+            for r in registry.QUERIES["storage_entropy_compression_bound"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(rows) == set(_DICT_COLS)
+        for t, c in _DICT_COLS:
+            counts = Counter(
+                x[0] for x in load(spark, sf_dir, t).select(c).collect()
+            )
+            n = sum(counts.values())
+            h_bits = -sum(
+                (v / n) * math.log2(v / n) for v in counts.values()
+            )
+            r = rows[(t, c)]
+            assert r.n_rows == n
+            assert r.ndv == len(counts)
+            assert r.plain_bits == 8 * sum(
+                len(v) * cnt for v, cnt in counts.items()
+            )
+            assert abs(r.h0_milli_bits - h_bits * 1000) <= 2
+            assert r.entropy_bound_bits == n * r.h0_milli_bits // 1000
+            # entropy floor never exceeds the fixed-width plain cost
+            assert r.entropy_bound_bits <= r.plain_bits
+            assert 0 <= r.savings_bp <= 10000
+
+
+class TestModularityRegions:
+    def test_matches_fraction_exact_reference(self, spark, sf_dir):
+        pairs = {
+            (r.o_custkey, r.l_suppkey)
+            for r in load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_suppkey")
+            .join(
+                load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select("o_custkey", "l_suppkey")
+            .collect()
+        }
+        cnat = {
+            r.c_custkey: r.c_nationkey
+            for r in load(spark, sf_dir, "customer").collect()
+        }
+        snat = {
+            r.s_suppkey: r.s_nationkey
+            for r in load(spark, sf_dir, "supplier").collect()
+        }
+        nreg = {
+            r.n_nationkey: r.n_regionkey
+            for r in load(spark, sf_dir, "nation").collect()
+        }
+        rname = {
+            r.r_regionkey: r.r_name
+            for r in load(spark, sf_dir, "region").collect()
+        }
+        m = len(pairs)
+        e_c, d_c = Counter(), Counter()
+        for ck, sk in pairs:
+            rc, rs = nreg[cnat[ck]], nreg[snat[sk]]
+            d_c[rc] += 1
+            d_c[rs] += 1
+            if rc == rs:
+                e_c[rc] += 1
+        rows = {
+            r.community: r
+            for r in registry.QUERIES["graph_modularity_regions"](
+                spark, sf_dir
+            ).collect()
+        }
+        total_q = 0
+        for rk in d_c:
+            r = rows[rname[rk]]
+            assert r.intra_edges == e_c[rk]
+            assert r.degree_endpoints == d_c[rk]
+            exact = _half_up(
+                (4 * e_c[rk] * m - d_c[rk] ** 2) * 10**6, 4 * m * m
+            )
+            assert r.q_contrib_e6 == exact
+            total_q += 4 * e_c[rk] * m - d_c[rk] ** 2
+        t = rows["TOTAL"]
+        assert t.intra_edges == sum(e_c.values())
+        assert t.degree_endpoints == 2 * m
+        assert t.q_contrib_e6 == _half_up(total_q * 10**6, 4 * m * m)

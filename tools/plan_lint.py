@@ -77,6 +77,7 @@ ALLOW_NON_EQUI = {
     "join_bloom_runtime_filter_audit",  # 1-row build-key-count anchor
     "agg_theil_inequality_decomposition",  # 1-row totals anchors onto the row/group grains
     "eval_harrell_c_index",  # 10-row literal decile grid onto the duration frame
+    "graph_modularity_regions",  # 1-row edge-count anchor onto the 5-region stats frame
     "sketch_kmv_rolling_distinct_7d",  # day-grid range join (31 rows x <=k hashes)
     "sample_ht_estimator_check",  # 1-row truth anchor
     "benford_first_digit_audit",  # 9-row digit grid
@@ -323,6 +324,7 @@ ALLOW_MANY_EXCHANGES = {
     "retrieval_hybrid_bm25_vector": 14,
     "mixture_token_budget_allocation": 13,
     "storage_dictionary_encoding_advisor": 30,  # 6 independent column profiles (tiny dims), 5 exchanges each
+    "storage_entropy_compression_bound": 24,  # 6 independent column histograms unioned
     "timeseries_dtw_monthly_segments": 13,  # dense month grid build + ordered-vector rollup + ref broadcast
     "forecast_ljung_box_q": 18,  # inherits the ACF stage's 12-way lag alignment exchanges
     "dq_t_closeness_audit": 20,  # dense grid build + per-group and global CDF windows
