@@ -9143,3 +9143,134 @@ def ab_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_CUPED_RHO2_BP).alias("var_reduction_bp"),
         F.expr(_CUPED_ADJ_MICRO).alias("adj_diff_micro"),
     )
+
+
+RBO_K = 20  # evaluation depth; p = 1/2 keeps every weight dyadic
+
+
+@query(
+    "eval_rank_biased_overlap",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey AS pk, year(o_orderdate) AS y,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)
+                        * (100 - CAST(CAST(l_discount AS DECIMAL(5,2)) * 100
+                                      AS BIGINT))) AS BIGINT) AS r4
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2
+    ), ra AS (
+        SELECT pk, row_number() OVER (ORDER BY r4 DESC, pk) AS rk
+        FROM rev WHERE y = 1996
+    ), rb AS (
+        SELECT pk, row_number() OVER (ORDER BY r4 DESC, pk) AS rk
+        FROM rev WHERE y = 1997
+    ), entry AS (
+        SELECT greatest(ra.rk, rb.rk) AS d0
+        FROM ra JOIN rb ON ra.pk = rb.pk
+        WHERE ra.rk <= {RBO_K} AND rb.rk <= {RBO_K}
+    ), cnt AS (
+        SELECT d0, CAST(count(*) AS BIGINT) AS c FROM entry GROUP BY 1
+    ), grid AS (
+        SELECT g.d, CAST(coalesce(sum(c.c), 0) AS BIGINT) AS o_d
+        FROM (SELECT unnest(range(1, {RBO_K} + 1)) AS d) g
+        LEFT JOIN cnt c ON c.d0 <= g.d
+        GROUP BY g.d
+    ), terms AS (
+        SELECT d, o_d,
+               CAST((2 * o_d * 10000 + d) // (2 * d) AS BIGINT)
+                   AS agreement_bp,
+               CAST((2 * o_d * 1000000000000 + d * (1 << (d - 1)))
+                    // (2 * d * (1 << (d - 1))) AS BIGINT) AS term_e12
+        FROM grid
+    )
+    SELECT d, o_d, agreement_bp,
+           CAST((2 * sum(term_e12) OVER (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 + 2) // 4 AS BIGINT) AS rbo_cum_e12
+    FROM terms
+    """,
+)
+def eval_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel TOIS 2010) between
+    two top-20 part rankings — 1996 revenue rank vs 1997 revenue rank:
+    the top-weighted similarity between indefinite rankings that
+    Kendall/Spearman (whole-list, uniform weight) can't express, and
+    the standard way to compare search result lists, feature rankings,
+    or leaderboards across time. Output is the full depth profile:
+    overlap o_d and agreement o_d/d at every depth d, plus the running
+    RBO itself; the d=20 row's rbo_cum_e12 is the headline number.
+
+    Exactness: persistence p = 1/2 makes every weight (1-p)·p^(d-1)
+    dyadic (the EWMA device), so each term o_d/(d·2^(d-1)) is a half-up
+    e12 integral quotient of exact integers, the cumulative sum is an
+    integer RANGE window, and the final (1-p) factor is one more
+    half-up halving. Part revenues are exact 1e-4-cent integers
+    (price cents x integer discount complement), ranks fully
+    tie-broken. No floats anywhere.
+
+    100 TB: revenue ranking is the TakeOrdered shape (top-20 per year,
+    never a global sort of the part dimension at the output); entry
+    depths live on a <=20-row frame, the depth grid is a 20-row
+    literal. The one real shuffle is the part-grain revenue aggregate.
+    """
+    rev4 = (
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(25,2)) * 100 AS BIGINT)"
+            " * (100 - CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT))"
+        )
+    )
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", rev4.alias("r4"))
+        .join(
+            load(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate").isin(1996, 1997))
+            .select("o_orderkey", F.year("o_orderdate").alias("y")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("pk"), "y")
+        .agg(F.sum("r4").cast("long").alias("r4"))
+    )
+    wrk = Window.partitionBy("y").orderBy(F.desc("r4"), "pk")
+    ranked = rev.withColumn("rk", F.row_number().over(wrk)).filter(
+        F.col("rk") <= RBO_K
+    )
+    ra = ranked.filter(F.col("y") == 1996).select(
+        F.col("pk").alias("pka"), F.col("rk").alias("rka")
+    )
+    rb = ranked.filter(F.col("y") == 1997).select(
+        F.col("pk").alias("pkb"), F.col("rk").alias("rkb")
+    )
+    entry = ra.join(rb, F.col("pka") == F.col("pkb")).select(
+        F.greatest("rka", "rkb").alias("d0")
+    )
+    grid = spark.range(1, RBO_K + 1).select(F.col("id").cast("int").alias("d"))
+    o = (
+        grid.join(F.broadcast(entry), F.col("d0") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("d0").cast("long").alias("o_d"))
+    )
+    terms = o.select(
+        "d",
+        "o_d",
+        F.expr("CAST((2 * o_d * 10000 + d) DIV (2 * d) AS BIGINT)").alias(
+            "agreement_bp"
+        ),
+        F.expr(
+            "CAST((2 * o_d * 1000000000000 + d * shiftleft(1, d - 1))"
+            " DIV (2 * d * shiftleft(1, d - 1)) AS BIGINT)"
+        ).alias("term_e12"),
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        "d",
+        "o_d",
+        "agreement_bp",
+        F.expr(
+            f"CAST((2 * sum(term_e12) OVER (ORDER BY d"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            f" + 2) DIV 4 AS BIGINT)"
+        ).alias("rbo_cum_e12"),
+    )

@@ -4473,3 +4473,103 @@ def text_c4_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "+ f_wordlen = 0) AS BIGINT)"
         ).alias("n_pass"),
     )
+
+
+# CCNet-style perplexity bucketing composes the registered trigram-LM
+# stage verbatim (the ljung_box / release-gate composition device): the
+# oracle embeds that stage's published SQL as a nested CTE, the engine
+# calls the registered stage function.
+from leadsight_sales_agent_spark.registry import ORACLES as _ORACLES
+
+_CCNET_SCORED_SQL = _ORACLES["text_trigram_lm_score"]
+
+
+@query(
+    "text_perplexity_ccnet_buckets",
+    oracle=f"""
+    WITH scored AS ({_CCNET_SCORED_SQL}
+    ), with_lang AS (
+        SELECT s.doc_id, d.lang, s.avg_logp_micro
+        FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ), ranked AS (
+        SELECT lang, avg_logp_micro,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY avg_logp_micro DESC, doc_id) AS rk,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM with_lang
+    ), bucketed AS (
+        SELECT lang, avg_logp_micro, n,
+               CASE WHEN 3 * rk <= n THEN 'head'
+                    WHEN 3 * rk <= 2 * n THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM ranked
+    )
+    SELECT lang, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((2 * count(*) * 10000 + max(n)) // (2 * max(n)) AS BIGINT)
+               AS share_bp,
+           CAST(min(avg_logp_micro) AS BIGINT) AS min_score_micro,
+           CAST(max(avg_logp_micro) AS BIGINT) AS max_score_micro,
+           CAST(CASE WHEN bucket IN ('head', 'middle') THEN 1 ELSE 0 END
+                AS INTEGER) AS kept
+    FROM bucketed GROUP BY lang, bucket
+    """,
+)
+def text_perplexity_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the registered trigram-LM stage
+    (text_trigram_lm_score — the neural-perplexity stand-in), rank
+    within language, and split each language into head / middle / tail
+    terciles; CCNet keeps head+middle and drops the tail. Output is
+    the per-(lang, bucket) audit a curation run emits: document count,
+    share, the score range each bucket spans, and the keep verdict.
+
+    Composition contract: the SPARK side calls the registered stage
+    function, the ORACLE embeds that stage's published SQL as a nested
+    CTE — so this query's hash-match also re-proves the stage it
+    builds on (the ljung-box / release-gate device). Tercile edges are
+    pure integer rank comparisons (3·rk <= n, 3·rk <= 2n) under a
+    fully tie-broken rank — no percentile interpolation to diverge.
+
+    100 TB: the added cost over the LM stage is one lang-partitioned
+    rank (5 partitions) and a 15-row rollup. CCNet's actual deployment
+    shards the rank by (lang, hash-bucket) with per-shard quantile
+    edges; the tercile contract is unchanged.
+    """
+    scored = text_trigram_lm_score(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("did"), "lang"
+    )
+    with_lang = scored.join(docs, scored.doc_id == F.col("did")).select(
+        "doc_id", "lang", "avg_logp_micro"
+    )
+    wrk = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logp_micro"), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    bucketed = with_lang.select(
+        "lang",
+        "avg_logp_micro",
+        F.row_number().over(wrk).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    ).select(
+        "lang",
+        "avg_logp_micro",
+        "n",
+        F.expr(
+            "CASE WHEN 3 * rk <= n THEN 'head'"
+            " WHEN 3 * rk <= 2 * n THEN 'middle' ELSE 'tail' END"
+        ).alias("bucket"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr(
+            "CAST((2 * count(*) * 10000 + max(n)) DIV (2 * max(n)) AS BIGINT)"
+        ).alias("share_bp"),
+        F.min("avg_logp_micro").cast("bigint").alias("min_score_micro"),
+        F.max("avg_logp_micro").cast("bigint").alias("max_score_micro"),
+        F.expr(
+            "CAST(CASE WHEN bucket IN ('head', 'middle') THEN 1 ELSE 0 END"
+            " AS INT)"
+        ).alias("kept"),
+    )

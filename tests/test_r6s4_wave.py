@@ -526,3 +526,117 @@ class TestModularityRegions:
         assert t.intra_edges == sum(e_c.values())
         assert t.degree_endpoints == 2 * m
         assert t.q_contrib_e6 == _half_up(total_q * 10**6, 4 * m * m)
+
+
+class TestRankBiasedOverlap:
+    def test_matches_python_reference(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.behavior import RBO_K
+
+        rev = defaultdict(lambda: defaultdict(int))
+        orders_y = {
+            r.o_orderkey: r.y
+            for r in load(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate").isin(1996, 1997))
+            .select("o_orderkey", F.year("o_orderdate").alias("y"))
+            .collect()
+        }
+        for r in (
+            load(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey",
+                "l_partkey",
+                F.expr(
+                    "CAST(CAST(l_extendedprice AS DECIMAL(25,2)) * 100"
+                    " AS BIGINT) * (100 - CAST(CAST(l_discount AS"
+                    " DECIMAL(5,2)) * 100 AS BIGINT))"
+                ).alias("r4"),
+            )
+            .collect()
+        ):
+            y = orders_y.get(r.l_orderkey)
+            if y:
+                rev[y][r.l_partkey] += r.r4
+
+        def topk(y):
+            items = sorted(rev[y].items(), key=lambda t: (-t[1], t[0]))[:RBO_K]
+            return {pk: i + 1 for i, (pk, _) in enumerate(items)}
+
+        ra, rb = topk(1996), topk(1997)
+        entry = [max(ra[pk], rb[pk]) for pk in set(ra) & set(rb)]
+        rows = {
+            r.d: r
+            for r in registry.QUERIES["eval_rank_biased_overlap"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(rows) == set(range(1, RBO_K + 1))
+        cum = 0
+        for d in range(1, RBO_K + 1):
+            o_d = sum(1 for e in entry if e <= d)
+            r = rows[d]
+            assert r.o_d == o_d
+            assert r.agreement_bp == _half_up(o_d * 10000, d)
+            cum += _half_up(o_d * 10**12, d * (1 << (d - 1)))
+            assert r.rbo_cum_e12 == _half_up(cum, 2)
+        # RBO is a similarity in [0, 1]
+        assert 0 <= rows[RBO_K].rbo_cum_e12 <= 10**12
+
+
+class TestCcnetBuckets:
+    def test_tercile_contract_and_stage_consistency(self, spark, sf_dir):
+        """The bucket edges and shares must follow the integer tercile
+        contract applied to the registered LM stage's own output."""
+        scored = {
+            r.doc_id: r.avg_logp_micro
+            for r in registry.QUERIES["text_trigram_lm_score"](
+                spark, sf_dir
+            ).collect()
+        }
+        lang_of = {
+            r.doc_id: r.lang
+            for r in load(spark, sf_dir, "documents")
+            .select("doc_id", "lang")
+            .collect()
+        }
+        per_lang = defaultdict(list)
+        for did, sc in scored.items():
+            per_lang[lang_of[did]].append((sc, did))
+        expect = defaultdict(lambda: Counter())
+        ranges = {}
+        for lang, items in per_lang.items():
+            items.sort(key=lambda t: (-t[0], t[1]))
+            n = len(items)
+            for rk, (sc, did) in enumerate(items, start=1):
+                b = (
+                    "head"
+                    if 3 * rk <= n
+                    else ("middle" if 3 * rk <= 2 * n else "tail")
+                )
+                expect[(lang, b)]["n"] += 1
+                lo, hi = ranges.get((lang, b), (sc, sc))
+                ranges[(lang, b)] = (min(lo, sc), max(hi, sc))
+        rows = {
+            (r.lang, r.bucket): r
+            for r in registry.QUERIES["text_perplexity_ccnet_buckets"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(rows) == set(expect)
+        for (lang, b), c in expect.items():
+            r = rows[(lang, b)]
+            n_lang = len(per_lang[lang])
+            assert r.n_docs == c["n"]
+            assert r.share_bp == _half_up(c["n"] * 10000, n_lang)
+            assert (r.min_score_micro, r.max_score_micro) == ranges[(lang, b)]
+            assert r.kept == (1 if b in ("head", "middle") else 0)
+        # within a language, head scores dominate middle dominate tail
+        for lang in per_lang:
+            if all((lang, b) in rows for b in ("head", "middle", "tail")):
+                assert (
+                    rows[(lang, "head")].min_score_micro
+                    >= rows[(lang, "middle")].max_score_micro
+                )
+                assert (
+                    rows[(lang, "middle")].min_score_micro
+                    >= rows[(lang, "tail")].max_score_micro
+                )
