@@ -1119,3 +1119,124 @@ def storage_entropy_compression_bound(spark: SparkSession, sf_dir: str) -> DataF
             " + plain_bits) DIV (2 * plain_bits) AS BIGINT)"
         ).alias("savings_bp"),
     )
+
+
+ZM_PAGE_ROWS = 4096  # simulated row-group size
+ZM_LO = "DATE '1997-03-01'"
+ZM_HI = "DATE '1997-04-01'"  # predicate: shipdate in March 1997
+
+
+def _zm_leg_sql(layout: str, order_by: str) -> str:
+    return f"""
+    SELECT '{layout}' AS layout, n_pages, pages_kept,
+           CAST((2 * 10000 * (n_pages - pages_kept) + n_pages)
+                // (2 * n_pages) AS BIGINT) AS skip_bp,
+           rows_in_kept_pages, rows_matched,
+           CAST((2 * 10000 * (rows_in_kept_pages - rows_matched)
+                 + rows_in_kept_pages)
+                // (2 * rows_in_kept_pages) AS BIGINT) AS scan_waste_bp
+    FROM (
+        SELECT CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(count(*) FILTER (mn < {ZM_HI} AND mx >= {ZM_LO})
+                    AS BIGINT) AS pages_kept,
+               CAST(coalesce(sum(nr) FILTER (mn < {ZM_HI} AND mx >= {ZM_LO}),
+                             0) AS BIGINT) AS rows_in_kept_pages,
+               CAST(coalesce(sum(nm), 0) AS BIGINT) AS rows_matched
+        FROM (
+            SELECT pg, min(l_shipdate) AS mn, max(l_shipdate) AS mx,
+                   count(*) AS nr,
+                   count(*) FILTER (l_shipdate >= {ZM_LO}
+                                    AND l_shipdate < {ZM_HI}) AS nm
+            FROM (
+                SELECT l_shipdate,
+                       (row_number() OVER (ORDER BY {order_by}) - 1)
+                           // {ZM_PAGE_ROWS} AS pg
+                FROM lineitem
+            ) GROUP BY pg
+        )
+    )
+    """
+
+
+@query(
+    "storage_zonemap_skipping_audit",
+    oracle=f"""
+    {_zm_leg_sql('natural', 'l_orderkey, l_linenumber')}
+    UNION ALL
+    {_zm_leg_sql('shipdate_sorted', 'l_shipdate, l_orderkey, l_linenumber')}
+    """,
+)
+def storage_zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max row-group statistics) page-skipping audit —
+    the mechanism behind parquet row-group pruning and every
+    warehouse's block-skipping indexes, measured end-to-end for one
+    predicate (shipdate in March 1997) under two physical layouts:
+    the natural (l_orderkey, l_linenumber) insert order, where the
+    predicate's rows smear across nearly every 4096-row page, and the
+    shipdate-sorted layout, where they pack into a handful. Reports
+    pages skipped and scan waste (rows read in surviving pages that
+    don't match) in basis points for each layout — the exact
+    before/after economics that justify the layout family's
+    zorder/Hilbert clustering keys: sorting by the predicate column
+    turns a ~0% skip rate into ~99%+.
+
+    All counts are exact integers; page ids come from fully tie-broken
+    row_numbers over each candidate layout, so both engines page
+    identically. The two legs are independent lineages (one scan
+    each, column-pruned to one date + the order keys).
+
+    100 TB: the audited quantity is the SCAN-side term a layout
+    optimizer minimizes; the audit itself is one sort + one page-grain
+    aggregate per candidate layout — exactly the cost OPTIMIZE ZORDER
+    pays, run here at sample scale to pick the winner before
+    committing the full rewrite.
+    """
+    lo, hi = F.lit("1997-03-01").cast("date"), F.lit("1997-04-01").cast("date")
+
+    def leg(layout: str, order_cols: list) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        pages = (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_shipdate")
+            .withColumn(
+                "pg",
+                ((F.row_number().over(w) - 1) / ZM_PAGE_ROWS).cast("long"),
+            )
+            .groupBy("pg")
+            .agg(
+                F.min("l_shipdate").alias("mn"),
+                F.max("l_shipdate").alias("mx"),
+                F.count("*").alias("nr"),
+                F.count_if(
+                    (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+                ).alias("nm"),
+            )
+        )
+        kept = (F.col("mn") < hi) & (F.col("mx") >= lo)
+        return pages.agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.count_if(kept).cast("bigint").alias("pages_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("nr"))), F.lit(0))
+            .cast("bigint")
+            .alias("rows_in_kept_pages"),
+            F.coalesce(F.sum("nm"), F.lit(0)).cast("bigint").alias("rows_matched"),
+        ).select(
+            F.lit(layout).alias("layout"),
+            "n_pages",
+            "pages_kept",
+            F.expr(
+                "CAST((2 * 10000 * (n_pages - pages_kept) + n_pages)"
+                " DIV (2 * n_pages) AS BIGINT)"
+            ).alias("skip_bp"),
+            "rows_in_kept_pages",
+            "rows_matched",
+            F.expr(
+                "CAST((2 * 10000 * (rows_in_kept_pages - rows_matched)"
+                " + rows_in_kept_pages) DIV (2 * rows_in_kept_pages)"
+                " AS BIGINT)"
+            ).alias("scan_waste_bp"),
+        )
+
+    return leg("natural", ["l_orderkey", "l_linenumber"]).unionAll(
+        leg("shipdate_sorted", ["l_shipdate", "l_orderkey", "l_linenumber"])
+    )

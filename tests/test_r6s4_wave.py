@@ -640,3 +640,57 @@ class TestCcnetBuckets:
                     rows[(lang, "middle")].min_score_micro
                     >= rows[(lang, "tail")].max_score_micro
                 )
+
+
+class TestZonemapSkippingAudit:
+    def test_matches_python_reference_and_sorted_dominates(self, spark, sf_dir):
+        import datetime
+
+        from leadsight_sales_agent_spark.operators.layout import ZM_PAGE_ROWS
+
+        lo = datetime.datetime(1997, 3, 1)
+        hi = datetime.datetime(1997, 4, 1)
+        rows_ = [
+            (r.l_orderkey, r.l_linenumber, r.l_shipdate)
+            for r in load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_shipdate")
+            .collect()
+        ]
+
+        def audit(key):
+            ordered = sorted(rows_, key=key)
+            pages = defaultdict(list)
+            for i, (_, _, d) in enumerate(ordered):
+                pages[i // ZM_PAGE_ROWS].append(d)
+            n_pages = len(pages)
+            kept = {p for p, ds in pages.items() if min(ds) < hi and max(ds) >= lo}
+            rows_kept = sum(len(pages[p]) for p in kept)
+            matched = sum(
+                1 for ds in pages.values() for d in ds if lo <= d < hi
+            )
+            return n_pages, len(kept), rows_kept, matched
+
+        expect = {
+            "natural": audit(lambda t: (t[0], t[1])),
+            "shipdate_sorted": audit(lambda t: (t[2], t[0], t[1])),
+        }
+        got = {
+            r.layout: r
+            for r in registry.QUERIES["storage_zonemap_skipping_audit"](
+                spark, sf_dir
+            ).collect()
+        }
+        for layout, (np_, pk, rk, nm) in expect.items():
+            r = got[layout]
+            assert (r.n_pages, r.pages_kept, r.rows_in_kept_pages, r.rows_matched) == (
+                np_, pk, rk, nm
+            )
+            assert r.skip_bp == _half_up((np_ - pk) * 10000, np_)
+            assert r.scan_waste_bp == _half_up((rk - nm) * 10000, rk)
+        # identical match counts; the sorted layout never skips less
+        assert got["natural"].rows_matched == got["shipdate_sorted"].rows_matched
+        assert got["shipdate_sorted"].skip_bp >= got["natural"].skip_bp
+        assert (
+            got["shipdate_sorted"].scan_waste_bp
+            <= got["natural"].scan_waste_bp
+        )

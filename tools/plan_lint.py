@@ -246,6 +246,7 @@ ALLOW_GLOBAL_SORT = {
     "sample_fair_interleave",  # rank-major merge order
     "sample_pps_systematic",  # the systematic pass IS the hash-ordered cumulative
     "dedup_sorted_neighborhood",  # the sort IS the blocking key
+    "storage_zonemap_skipping_audit",  # the sort IS the layout under audit
     "topk_distinct_prices_dense_rank",
     "pareto_abc_parts",
     "inventory_abc_xyz_matrix",
