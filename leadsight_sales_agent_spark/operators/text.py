@@ -4573,3 +4573,205 @@ def text_perplexity_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
             " AS INT)"
         ).alias("kept"),
     )
+
+
+ROUGE_K = 48  # LCS window: first K tokens of each source's stream
+
+
+def _rouge_rowcalc() -> str:
+    """One recursive-CTE iteration row of the LCS DP: 48 lateral column
+    aliases (DuckDB resolves prior SELECT-list aliases), previous row
+    carried as a LIST column — the DTW oracle device with max/+1
+    instead of min/abs."""
+    cols = []
+    for j in range(1, ROUGE_K + 1):
+        diag = "0" if j == 1 else f"(CASE WHEN i = 0 THEN 0 ELSE pv[{j - 1}] END)"
+        up = f"(CASE WHEN i = 0 THEN 0 ELSE pv[{j}] END)"
+        left = "0" if j == 1 else f"v{j - 1}"
+        cols.append(
+            f"CASE WHEN cv[i + 1] = rv[{j}] THEN {diag} + 1"
+            f" ELSE greatest({left}, {up}) END AS v{j}"
+        )
+    return ",\n               ".join(cols)
+
+
+_ROUGE_PACKED = "[" + ", ".join(f"v{j}" for j in range(1, ROUGE_K + 1)) + "]"
+
+
+@query(
+    "text_rouge_l_source_similarity",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT d.source, d.doc_id, u.i AS pos, ws[u.i] AS tok
+        FROM (SELECT source, doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 w -> len(w) > 0) AS ws
+              FROM documents) d,
+             unnest(generate_series(1, len(d.ws))) AS u(i)
+    ), ranked AS (
+        SELECT source, tok,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY doc_id, pos) AS rk
+        FROM toks
+    ), seqs AS (
+        SELECT source, list(tok ORDER BY rk) AS l
+        FROM ranked WHERE rk <= {ROUGE_K} GROUP BY source
+    ), ref AS (
+        SELECT min(source) AS ref_source FROM documents
+    ), rseq AS (
+        SELECT CAST(len(s.l) AS BIGINT) AS ref_len,
+               list_concat(s.l, list_transform(
+                   range(1, {ROUGE_K + 1} - len(s.l)),
+                   i -> 'r pad ' || i)) AS rv
+        FROM seqs s JOIN ref r ON s.source = r.ref_source
+    ), cands AS (
+        SELECT s.source, CAST(len(s.l) AS BIGINT) AS cand_len,
+               list_concat(s.l, list_transform(
+                   range(1, {ROUGE_K + 1} - len(s.l)),
+                   i -> 'c pad ' || i)) AS cv,
+               r.ref_len, r.rv
+        FROM seqs s CROSS JOIN rseq r
+        WHERE s.source <> (SELECT ref_source FROM ref)
+    ), dp AS (
+        SELECT source, cand_len, ref_len, cv, rv,
+               0 AS i, CAST(NULL AS BIGINT[]) AS pv
+        FROM cands
+        UNION ALL
+        SELECT source, cand_len, ref_len, cv, rv, i + 1, {_ROUGE_PACKED}
+        FROM (
+            SELECT source, cand_len, ref_len, cv, rv, i, pv,
+               {{ROWCALC}}
+            FROM dp WHERE i < {ROUGE_K}
+        )
+    )
+    SELECT source, cand_len, ref_len,
+           CAST(pv[{ROUGE_K}] AS BIGINT) AS lcs_len,
+           CAST((2 * pv[{ROUGE_K}] * 10000 + cand_len)
+                // (2 * cand_len) AS BIGINT) AS rouge_p_bp,
+           CAST((2 * pv[{ROUGE_K}] * 10000 + ref_len)
+                // (2 * ref_len) AS BIGINT) AS rouge_r_bp,
+           CAST((2 * 2 * pv[{ROUGE_K}] * 10000 + (cand_len + ref_len))
+                // (2 * (cand_len + ref_len)) AS BIGINT) AS rouge_f1_bp
+    FROM dp WHERE i = {ROUGE_K}
+    """.replace("{ROWCALC}", _rouge_rowcalc()),
+)
+def text_rouge_l_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L (Lin 2004) of each source against the reference source
+    (min(source), the BLEU query's convention): longest-common-
+    subsequence precision/recall/F1 over each source's first
+    {ROUGE_K}-token stream — the recall-oriented, order-sensitive
+    complement to text_bleu_source_similarity's clipped n-gram
+    precision, and together the standard summarization/content-overlap
+    pair.
+
+    The LCS DP is the 'inherently sequential' textbook case — run
+    exactly anyway with the DTW device scaled up 16x: the ENGINE folds
+    the whole {ROUGE_K}x{ROUGE_K} grid as ONE
+    `aggregate(sequence(1, {ROUGE_K * ROUGE_K}), ...)` expression
+    reading neighbors at -1/-{ROUGE_K}/-{ROUGE_K + 1}; the ORACLE
+    replays it as a recursive CTE, one iteration per row with the
+    within-row dependency unrolled as {ROUGE_K} lateral aliases. Both
+    sides pad short streams with side-tagged space-bearing sentinels
+    ('c pad i' vs 'r pad i' — whitespace tokens can never equal a real
+    token or each other), so the grid is a fixed literal size while
+    P/R/F1 divide by the TRUE truncated lengths. All BIGINT; bp
+    reports are half-up integral quotients.
+
+    100 TB: token extraction is map-side; one 20-partition rank
+    bounds each stream at {ROUGE_K}; the DP runs per source row inside
+    codegen — cost O(K²) per source, independent of corpus size. A
+    document-grain ROUGE (each doc vs a reference doc) is the same
+    plan with doc_id as the grain.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.posexplode(
+            F.expr("filter(split(trim(text), '\\\\s+'), w -> length(w) > 0)")
+        ).alias("pos", "tok"),
+    )
+    wrk = Window.partitionBy("source").orderBy("doc_id", "pos")
+    seqs = (
+        toks.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= ROUGE_K)
+        .groupBy("source")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(rk, tok))),"
+                " x -> x.tok)"
+            ).alias("l")
+        )
+    )
+    ref_name = docs.agg(F.min("source").alias("ref_source"))
+
+    def padded(col: str, tag: str) -> str:
+        return (
+            f"concat({col}, CASE WHEN size({col}) >= {ROUGE_K}"
+            f" THEN CAST(array() AS ARRAY<STRING>)"
+            f" ELSE transform(sequence(1, {ROUGE_K} - size({col})),"
+            f" i -> concat('{tag} pad ', CAST(i AS STRING))) END)"
+        )
+
+    rseq = (
+        seqs.join(F.broadcast(ref_name), F.col("source") == F.col("ref_source"))
+        .select(
+            F.expr("CAST(size(l) AS BIGINT)").alias("ref_len"),
+            F.expr(padded("l", "r")).alias("rv"),
+        )
+    )
+    cands = (
+        seqs.join(
+            F.broadcast(ref_name), F.col("source") != F.col("ref_source")
+        )
+        .select(
+            "source",
+            F.expr("CAST(size(l) AS BIGINT)").alias("cand_len"),
+            F.expr(padded("l", "c")).alias("cv"),
+        )
+        .crossJoin(F.broadcast(rseq))
+    )
+    K = ROUGE_K
+    fold = f"""
+    element_at(
+      aggregate(
+        sequence(1, {K * K}),
+        CAST(array() AS ARRAY<BIGINT>),
+        (acc, t) -> array_append(acc,
+          CASE WHEN element_at(cv, CAST((t - 1) DIV {K} + 1 AS INT))
+                    = element_at(rv, CAST((t - 1) % {K} + 1 AS INT))
+               THEN (CASE WHEN (t - 1) DIV {K} + 1 > 1
+                               AND (t - 1) % {K} + 1 > 1
+                          THEN element_at(acc, -{K + 1})
+                          ELSE CAST(0 AS BIGINT) END) + 1
+               ELSE greatest(
+                  CASE WHEN (t - 1) % {K} + 1 > 1 THEN element_at(acc, -1)
+                       ELSE CAST(0 AS BIGINT) END,
+                  CASE WHEN (t - 1) DIV {K} + 1 > 1
+                       THEN element_at(acc, -{K})
+                       ELSE CAST(0 AS BIGINT) END) END)
+      ), -1)
+    """
+    return cands.select(
+        "source",
+        "cand_len",
+        "ref_len",
+        F.expr(fold).cast("bigint").alias("lcs_len"),
+    ).select(
+        "source",
+        "cand_len",
+        "ref_len",
+        "lcs_len",
+        F.expr(
+            "CAST((2 * lcs_len * 10000 + cand_len) DIV (2 * cand_len)"
+            " AS BIGINT)"
+        ).alias("rouge_p_bp"),
+        F.expr(
+            "CAST((2 * lcs_len * 10000 + ref_len) DIV (2 * ref_len)"
+            " AS BIGINT)"
+        ).alias("rouge_r_bp"),
+        F.expr(
+            "CAST((2 * 2 * lcs_len * 10000 + (cand_len + ref_len))"
+            " DIV (2 * (cand_len + ref_len)) AS BIGINT)"
+        ).alias("rouge_f1_bp"),
+    )

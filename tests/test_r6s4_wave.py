@@ -694,3 +694,56 @@ class TestZonemapSkippingAudit:
             got["shipdate_sorted"].scan_waste_bp
             <= got["natural"].scan_waste_bp
         )
+
+
+class TestRougeL:
+    def test_matches_python_lcs(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.text import ROUGE_K
+
+        docs = sorted(
+            (r.source, r.doc_id, r.text)
+            for r in load(spark, sf_dir, "documents")
+            .select("source", "doc_id", "text")
+            .collect()
+        )
+        streams = defaultdict(list)
+        for src, did, text in sorted(docs, key=lambda t: (t[0], t[1])):
+            streams[src].extend(
+                w for w in re.split(r"\s+", text.strip()) if w
+            )
+        streams = {s: toks[:ROUGE_K] for s, toks in streams.items()}
+        ref_src = min(streams)
+        ref = streams[ref_src]
+
+        def lcs(a, b):
+            dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+            for i in range(1, len(a) + 1):
+                for j in range(1, len(b) + 1):
+                    dp[i][j] = (
+                        dp[i - 1][j - 1] + 1
+                        if a[i - 1] == b[j - 1]
+                        else max(dp[i - 1][j], dp[i][j - 1])
+                    )
+            return dp[len(a)][len(b)]
+
+        rows = {
+            r.source: r
+            for r in registry.QUERIES["text_rouge_l_source_similarity"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert ref_src not in rows
+        assert set(rows) == set(streams) - {ref_src}
+        for src, r in rows.items():
+            cand = streams[src]
+            l = lcs(cand, ref)
+            assert r.cand_len == len(cand)
+            assert r.ref_len == len(ref)
+            assert r.lcs_len == l
+            assert r.rouge_p_bp == _half_up(l * 10000, len(cand))
+            assert r.rouge_r_bp == _half_up(l * 10000, len(ref))
+            assert r.rouge_f1_bp == _half_up(
+                2 * l * 10000, len(cand) + len(ref)
+            )
+            # LCS sanity: bounded by both lengths
+            assert 0 <= l <= min(len(cand), len(ref))
