@@ -4775,3 +4775,140 @@ def text_rouge_l_source_similarity(spark: SparkSession, sf_dir: str) -> DataFram
             " DIV (2 * (cand_len + ref_len)) AS BIGINT)"
         ).alias("rouge_f1_bp"),
     )
+
+
+@query(
+    "eval_krippendorff_alpha_langid",
+    oracle=f"""
+    WITH pred AS ({{LANGID_INNER}}
+    ), majority AS (
+        SELECT source, lang AS maj_lang,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY count(*) DESC, lang) AS rn
+        FROM documents GROUP BY source, lang
+    ), units AS (
+        SELECT d.doc_id, d.lang AS a, p.predicted_lang AS b, m.maj_lang AS c
+        FROM documents d
+        JOIN pred p ON p.doc_id = d.doc_id
+        JOIN majority m ON m.source = d.source AND m.rn = 1
+    ), per_unit AS (
+        SELECT (CASE WHEN a = b THEN 1 ELSE 0 END)
+             + (CASE WHEN a = c THEN 1 ELSE 0 END)
+             + (CASE WHEN b = c THEN 1 ELSE 0 END) AS eqs
+        FROM units
+    ), labels AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS n_c FROM (
+            SELECT a AS v FROM units
+            UNION ALL SELECT b FROM units
+            UNION ALL SELECT c FROM units
+        ) GROUP BY v
+    ), s AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM units) AS u,
+               (SELECT CAST(sum(6 - 2 * eqs) AS BIGINT) FROM per_unit) AS a2,
+               (SELECT CAST(count(*) FILTER (eqs = 3) AS BIGINT)
+                FROM per_unit) AS full_agree,
+               (SELECT CAST(sum(n_c * n_c) AS BIGINT) FROM labels) AS sq
+    )
+    SELECT u AS n_units,
+           3 * u AS n_values,
+           CAST((2 * a2 * 1000000 + 2 * 3 * u)
+                // (2 * 2 * 3 * u) AS BIGINT) AS obs_disagreement_e6,
+           CAST((2 * (9 * u * u - sq) * 1000000 + 3 * u * (3 * u - 1))
+                // (2 * 3 * u * (3 * u - 1)) AS BIGINT)
+               AS exp_disagreement_e6,
+           CAST((2 * (2 * (9 * u * u - sq) - (3 * u - 1) * a2) * 10000
+                 + 2 * (9 * u * u - sq))
+                // (2 * 2 * (9 * u * u - sq)) AS BIGINT) AS alpha_bp,
+           CAST((2 * full_agree * 10000 + u) // (2 * u) AS BIGINT)
+               AS pct_full_agreement_bp
+    FROM s
+    """.replace("{LANGID_INNER}", _ORACLES["text_langid_heuristic"]),
+)
+def eval_krippendorff_alpha_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) across THREE deterministic
+    language 'raters' per document — the declared lang column, the
+    registered langid heuristic stage, and the document's
+    source-majority lang — the standard inter-annotator reliability
+    coefficient for labeling pipelines (LLM data annotation included),
+    generalizing Cohen's kappa (eval_cohens_kappa, 2 raters) to many
+    raters and arbitrary nominal categories. The three raters use
+    different label granularities on purpose (en/unknown vs the 5-lang
+    space): alpha prices that disagreement, and the resulting low
+    reliability is the graded fact.
+
+    Exact: with a complete 3-rater design, the coincidence-matrix
+    disagreement collapses per unit to 6 - 2·(pairwise-equality count),
+    expected disagreement to 9U² - Σ n_c² over the stacked label
+    totals — alpha = 1 - (n-1)·D_o/D_e is a pure integer rational,
+    reported as half-up bp alongside e6 disagreement components and
+    the full-agreement share. The oracle embeds the langid stage SQL
+    (composition device), so the hash-match re-proves that stage.
+
+    100 TB: one broadcast of the per-source majority (bounded by
+    sources), one scan for the per-unit equality fold, one stacked
+    label rollup — the whole statistic is two tiny aggregates.
+    """
+    from leadsight_sales_agent_spark.registry import QUERIES
+
+    pred = QUERIES["text_langid_heuristic"](spark, sf_dir).select(
+        F.col("doc_id").alias("pdid"), "predicted_lang"
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    wmaj = Window.partitionBy("source").orderBy(F.desc("cnt"), "lang")
+    majority = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(wmaj))
+        .filter(F.col("rn") == 1)
+        .select(F.col("source").alias("msrc"), F.col("lang").alias("maj_lang"))
+    )
+    units = (
+        docs.join(pred, docs.doc_id == F.col("pdid"))
+        .join(F.broadcast(majority), docs.source == F.col("msrc"))
+        .select(
+            F.col("lang").alias("a"),
+            F.col("predicted_lang").alias("b"),
+            F.col("maj_lang").alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    per_unit = units.select(
+        (
+            F.when(F.col("a") == F.col("b"), 1).otherwise(0)
+            + F.when(F.col("a") == F.col("c"), 1).otherwise(0)
+            + F.when(F.col("b") == F.col("c"), 1).otherwise(0)
+        ).alias("eqs")
+    ).agg(
+        F.count("*").cast("bigint").alias("u"),
+        F.sum(6 - 2 * F.col("eqs")).cast("bigint").alias("a2"),
+        F.count_if(F.col("eqs") == 3).cast("bigint").alias("full_agree"),
+    )
+    labels = (
+        units.select(F.col("a").alias("v"))
+        .unionAll(units.select(F.col("b").alias("v")))
+        .unionAll(units.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("n_c"))
+        .agg(F.sum(F.col("n_c") * F.col("n_c")).cast("bigint").alias("sq"))
+    )
+    s = per_unit.crossJoin(F.broadcast(labels))
+    return s.select(
+        F.col("u").alias("n_units"),
+        (3 * F.col("u")).cast("bigint").alias("n_values"),
+        F.expr(
+            "CAST((2 * a2 * 1000000 + 2 * 3 * u)"
+            " DIV (2 * 2 * 3 * u) AS BIGINT)"
+        ).alias("obs_disagreement_e6"),
+        F.expr(
+            "CAST((2 * (9 * u * u - sq) * 1000000 + 3 * u * (3 * u - 1))"
+            " DIV (2 * 3 * u * (3 * u - 1)) AS BIGINT)"
+        ).alias("exp_disagreement_e6"),
+        F.expr(
+            "CAST((2 * (2 * (9 * u * u - sq) - (3 * u - 1) * a2) * 10000"
+            " + 2 * (9 * u * u - sq))"
+            " DIV (2 * 2 * (9 * u * u - sq)) AS BIGINT)"
+        ).alias("alpha_bp"),
+        F.expr(
+            "CAST((2 * full_agree * 10000 + u) DIV (2 * u) AS BIGINT)"
+        ).alias("pct_full_agreement_bp"),
+    )

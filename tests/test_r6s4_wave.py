@@ -747,3 +747,68 @@ class TestRougeL:
             )
             # LCS sanity: bounded by both lengths
             assert 0 <= l <= min(len(cand), len(ref))
+
+
+class TestKrippendorffAlpha:
+    def test_matches_textbook_coincidence_formulation(self, spark, sf_dir):
+        """Independent path: the FULL coincidence-matrix definition
+        (Krippendorff 2004) with Fractions — not the collapsed
+        pairwise-equality form the engines use."""
+        from fractions import Fraction as Fr
+
+        pred = {
+            r.doc_id: r.predicted_lang
+            for r in registry.QUERIES["text_langid_heuristic"](
+                spark, sf_dir
+            ).collect()
+        }
+        docs = [
+            (r.doc_id, r.lang, r.source)
+            for r in load(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "source")
+            .collect()
+        ]
+        srcs = defaultdict(Counter)
+        for _, lang, src in docs:
+            srcs[src][lang] += 1
+        maj = {
+            s: min(c.items(), key=lambda t: (-t[1], t[0]))[0]
+            for s, c in srcs.items()
+        }
+        units = [(lang, pred[did], maj[src]) for did, lang, src in docs]
+        m = 3
+        # coincidence matrix o_ck = sum_u n_uc * n_uk / (m_u - 1)
+        o = defaultdict(Fr)
+        n_c = Counter()
+        for labels in units:
+            cnt = Counter(labels)
+            for ci in cnt:
+                n_c[ci] += cnt[ci]
+                for k in cnt:
+                    if ci != k:
+                        o[(ci, k)] += Fr(cnt[ci] * cnt[k], m - 1)
+        n = sum(n_c.values())
+        d_o = sum(o.values()) / n
+        d_e = Fr(
+            sum(n_c[a] * n_c[b] for a in n_c for b in n_c if a != b),
+            n * (n - 1),
+        )
+        alpha = 1 - d_o / d_e
+        r = registry.QUERIES["eval_krippendorff_alpha_langid"](
+            spark, sf_dir
+        ).collect()[0]
+        assert r.n_units == len(units)
+        assert r.n_values == n
+        assert r.alpha_bp == _half_up(
+            alpha.numerator * 10000, alpha.denominator
+        )
+        assert r.obs_disagreement_e6 == _half_up(
+            d_o.numerator * 10**6, d_o.denominator
+        )
+        assert r.exp_disagreement_e6 == _half_up(
+            d_e.numerator * 10**6, d_e.denominator
+        )
+        full = sum(1 for a, b, c in units if a == b == c)
+        assert r.pct_full_agreement_bp == _half_up(
+            full * 10000, len(units)
+        )

@@ -79,6 +79,7 @@ ALLOW_NON_EQUI = {
     "eval_harrell_c_index",  # 10-row literal decile grid onto the duration frame
     "graph_modularity_regions",  # 1-row edge-count anchor onto the 5-region stats frame
     "eval_rank_biased_overlap",  # 20-row depth grid x <=20 entry depths
+    "eval_krippendorff_alpha_langid",  # 1-row label-totals anchor
     "sketch_kmv_rolling_distinct_7d",  # day-grid range join (31 rows x <=k hashes)
     "sample_ht_estimator_check",  # 1-row truth anchor
     "benford_first_digit_audit",  # 9-row digit grid
