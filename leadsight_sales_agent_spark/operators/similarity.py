@@ -2621,3 +2621,151 @@ def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+KCENTER_K = 5  # coreset size; greedy rounds unrolled on both sides
+
+_KC_Q = (
+    "transform(embedding, x ->"
+    " CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"
+)
+_KC_Q_DUCK = (
+    "list_transform(embedding, x ->"
+    " CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"
+)
+
+
+def _kc_dist_duck(a: str, b: str) -> str:
+    """Exact squared L2 between micro-quantized BIGINT lists via three
+    dot products in DOUBLE: every intermediate stays under 2^53 (64
+    dims x (2e6)^2 per term), so the double arithmetic is exact and
+    the BIGINT cast is lossless — both engines land on the identical
+    integer."""
+    d = "CAST({x} AS DOUBLE[])"
+    aa = f"list_dot_product({d.format(x=a)}, {d.format(x=a)})"
+    ab = f"list_dot_product({d.format(x=a)}, {d.format(x=b)})"
+    bb = f"list_dot_product({d.format(x=b)}, {d.format(x=b)})"
+    return f"CAST({aa} - 2 * {ab} + {bb} AS BIGINT)"
+
+
+def _kc_oracle() -> str:
+    parts = [
+        f"""
+    WITH base AS MATERIALIZED (
+        SELECT vec_id, {_KC_Q_DUCK} AS q FROM embeddings
+    ),
+    c1 AS (SELECT vec_id, q FROM base ORDER BY vec_id LIMIT 1),
+    d1 AS MATERIALIZED (
+        SELECT b.vec_id, b.q, {_kc_dist_duck('b.q', 'c.q')} AS d
+        FROM base b CROSS JOIN c1 c
+    ),
+    r1 AS (
+        SELECT 1 AS round, c.vec_id AS center_id,
+               (SELECT CAST(max(d) AS BIGINT) FROM d1) AS radius_sq
+        FROM c1 c
+    )"""
+    ]
+    for r in range(2, KCENTER_K + 1):
+        parts.append(
+            f""",
+    c{r} AS (SELECT vec_id, q FROM d{r - 1}
+             ORDER BY d DESC, vec_id LIMIT 1),
+    d{r} AS MATERIALIZED (
+        SELECT p.vec_id, p.q,
+               least(p.d, {_kc_dist_duck('p.q', 'c.q')}) AS d
+        FROM d{r - 1} p CROSS JOIN c{r} c
+    ),
+    r{r} AS (
+        SELECT {r} AS round, c.vec_id AS center_id,
+               (SELECT CAST(max(d) AS BIGINT) FROM d{r}) AS radius_sq
+        FROM c{r} c
+    )"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM r{r}" for r in range(1, KCENTER_K + 1))
+    return "".join(parts) + f"\n    {union}"
+
+
+@query("sample_coreset_kcenter_greedy", oracle=_kc_oracle())
+def sample_coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection over the embedding corpus
+    (Gonzalez 1985's 2-approximation; Sener & Savarese ICLR'18 as
+    active-learning/data-selection for deep nets): seed with the
+    lowest vec_id, then repeatedly take the point FARTHEST from the
+    selected set and fold the min-distance state. Output is the
+    selection trace — (round, center chosen, covering radius after
+    that round) — whose monotonically shrinking radius IS the k-center
+    objective a coreset bounds.
+
+    Exactness: embeddings quantize once to micro-unit BIGINT
+    components (floor of identical widened doubles), squared L2 is
+    exact integer arithmetic — on the oracle side via three
+    list_dot_products whose double intermediates stay under 2^53, so
+    both engines compute the identical integer and every argmax
+    tie-break (min vec_id) is deterministic. The driver loop is the
+    bounded-rounds contract (kmeans/HITS/greedy-cover precedent) with
+    a localCheckpoint per round to keep the plan linear.
+
+    100 TB: each round is ONE linear scan folding least(d, dist to the
+    new broadcast center) — k rounds of map-side work, no pairwise
+    join anywhere (the reason k-center greedy is THE scalable coreset
+    pick); the argmax is TakeOrderedAndProject(1). The oracle
+    materializes each round's state for the same linearity.
+    """
+    base = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.expr(_KC_Q).alias("q"))
+    )
+    dist = (
+        "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (s, t) -> s + t)"
+    )
+    c1 = (
+        base.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
+    )
+    state = (
+        base.crossJoin(F.broadcast(c1))
+        .select("vec_id", "q", F.expr(dist).alias("d"), "cid")
+        .localCheckpoint(eager=False)
+    )
+    rounds = [
+        state.groupBy("cid")
+        .agg(F.max("d").cast("bigint").alias("radius_sq"))
+        .select(
+            F.lit(1).alias("round"),
+            F.col("cid").cast("bigint").alias("center_id"),
+            "radius_sq",
+        )
+    ]
+    cur = state.select("vec_id", "q", "d")
+    for r in range(2, KCENTER_K + 1):
+        c = (
+            cur.orderBy(F.desc("d"), "vec_id")
+            .limit(1)
+            .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(c))
+            .select(
+                "vec_id",
+                "q",
+                F.least(F.col("d"), F.expr(dist)).alias("d"),
+                "cid",
+            )
+            .localCheckpoint(eager=False)
+        )
+        rounds.append(
+            cur.groupBy("cid")
+            .agg(F.max("d").cast("bigint").alias("radius_sq"))
+            .select(
+                F.lit(r).alias("round"),
+                F.col("cid").cast("bigint").alias("center_id"),
+                "radius_sq",
+            )
+        )
+        cur = cur.select("vec_id", "q", "d")
+    out = rounds[0]
+    for fr in rounds[1:]:
+        out = out.unionAll(fr)
+    return out

@@ -812,3 +812,44 @@ class TestKrippendorffAlpha:
         assert r.pct_full_agreement_bp == _half_up(
             full * 10000, len(units)
         )
+
+
+class TestKCenterCoreset:
+    def test_matches_python_greedy_exactly(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.similarity import KCENTER_K
+
+        import math
+
+        vecs = {
+            r.vec_id: [
+                int(math.floor(float(x) * 1e6 + 0.5)) for x in r.embedding
+            ]
+            for r in load(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .collect()
+        }
+
+        def dist2(a, b):
+            return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+        seed = min(vecs)
+        d = {i: dist2(v, vecs[seed]) for i, v in vecs.items()}
+        trace = [(1, seed, max(d.values()))]
+        for r in range(2, KCENTER_K + 1):
+            nxt = min(vecs, key=lambda i: (-d[i], i))
+            for i, v in vecs.items():
+                d[i] = min(d[i], dist2(v, vecs[nxt]))
+            trace.append((r, nxt, max(d.values())))
+        got = sorted(
+            (r.round, r.center_id, r.radius_sq)
+            for r in registry.QUERIES["sample_coreset_kcenter_greedy"](
+                spark, sf_dir
+            ).collect()
+        )
+        assert got == trace
+        # the covering radius is non-increasing and centers are distinct
+        radii = [t[2] for t in got]
+        assert radii == sorted(radii, reverse=True) or all(
+            radii[i] >= radii[i + 1] for i in range(len(radii) - 1)
+        )
+        assert len({t[1] for t in got}) == KCENTER_K

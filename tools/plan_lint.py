@@ -80,6 +80,8 @@ ALLOW_NON_EQUI = {
     "graph_modularity_regions",  # 1-row edge-count anchor onto the 5-region stats frame
     "eval_rank_biased_overlap",  # 20-row depth grid x <=20 entry depths
     "eval_krippendorff_alpha_langid",  # 1-row label-totals anchor
+    "sample_coreset_kcenter_greedy",  # 1-row center broadcast per greedy round
+    "text_rouge_l_source_similarity",  # 1-row reference-name/sequence anchors (the BLEU shape)
     "sketch_kmv_rolling_distinct_7d",  # day-grid range join (31 rows x <=k hashes)
     "sample_ht_estimator_check",  # 1-row truth anchor
     "benford_first_digit_audit",  # 9-row digit grid
@@ -328,6 +330,7 @@ ALLOW_MANY_EXCHANGES = {
     "mixture_token_budget_allocation": 13,
     "storage_dictionary_encoding_advisor": 30,  # 6 independent column profiles (tiny dims), 5 exchanges each
     "storage_entropy_compression_bound": 24,  # 6 independent column histograms unioned
+    "eval_harrell_c_index": 14,  # user-grain fold + duration x decile grid windows (4 specs on a bounded grid)
     "timeseries_dtw_monthly_segments": 13,  # dense month grid build + ordered-vector rollup + ref broadcast
     "forecast_ljung_box_q": 18,  # inherits the ACF stage's 12-way lag alignment exchanges
     "dq_t_closeness_audit": 20,  # dense grid build + per-group and global CDF windows
