@@ -4912,3 +4912,116 @@ def eval_krippendorff_alpha_langid(spark: SparkSession, sf_dir: str) -> DataFram
             "CAST((2 * full_agree * 10000 + u) DIV (2 * u) AS BIGINT)"
         ).alias("pct_full_agreement_bp"),
     )
+
+
+# Greenlist membership for watermark detection: parity of the first
+# md5 hex digit of the (prev, current) token pair — deterministic,
+# engine-identical, and exactly gamma = 1/2 under the null.
+def _wm_green(prev: str, cur: str) -> str:
+    return (
+        f"CASE WHEN instr('02468ace', substr(md5("
+        f"'wm|' || {prev} || '|' || {cur}), 1, 1)) > 0 THEN 1 ELSE 0 END"
+    )
+
+
+WM_Z_FLAG_CENTI = 400  # flag threshold: z >= 4 (Kirchenbauer et al.)
+
+
+@query(
+    "text_watermark_greenlist_detect",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           w -> len(w) > 0) AS ws
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang,
+               CAST(len(ws) - 1 AS BIGINT) AS n_pairs,
+               CAST(coalesce(list_sum(list_transform(
+                   generate_series(1, len(ws) - 1),
+                   i -> {_wm_green('ws[i]', 'ws[i + 1]')})), 0) AS BIGINT)
+                   AS n_green
+        FROM toks WHERE len(ws) >= 2
+    ), z AS (
+        SELECT doc_id, lang, n_pairs, n_green,
+               CAST(floor((2 * CAST(n_green AS DOUBLE)
+                           - CAST(n_pairs AS DOUBLE))
+                          / sqrt(CAST(n_pairs AS DOUBLE)) * 100 + 0.5)
+                    AS BIGINT) AS z_centi
+        FROM scored
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (z_centi >= {WM_Z_FLAG_CENTI}) AS BIGINT)
+               AS flagged_docs,
+           CAST(max(z_centi) AS BIGINT) AS max_z_centi,
+           CAST(min(z_centi) AS BIGINT) AS min_z_centi,
+           CAST((2 * sum(n_green) * 10000 + sum(n_pairs))
+                // (2 * sum(n_pairs)) AS BIGINT) AS green_rate_bp
+    FROM z GROUP BY lang
+    """,
+)
+def text_watermark_greenlist_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-watermark detection in the Kirchenbauer et al. (ICML 2023)
+    greenlist scheme: for each adjacent token pair, the previous token
+    seeds a pseudorandom gamma=1/2 greenlist and the current token is
+    scored green/red (here: md5 parity of the pair under a fixed salt
+    — deterministic and engine-identical); a watermarked generator
+    over-selects green tokens, so the one-sided z-score
+    (2g - n)/sqrt(n) flags machine text at z >= 4. Run over a human
+    (here: synthetic-but-unwatermarked) corpus the operator reports
+    the NULL CALIBRATION — green rate pinned at ~5000 bp, no flags —
+    which is exactly what a contamination-screening pass wants to see
+    before trusting the detector's positives (the synthetic-text
+    screening step of a modern pretraining pipeline).
+
+    Exactness: green counts are pure integers from one array fold per
+    document (no explode, no shuffle); z is one shared-verbatim tree
+    (integer-derived doubles, correctly-rounded sqrt, floor quantizer);
+    the rollup is the 5-key lang grain with half-up bp.
+
+    100 TB: embarrassingly parallel single scan — per-document cost is
+    linear in tokens, state is two integers; the z computation and
+    threshold are row-local. Detection power and the planted-watermark
+    recovery path are pinned in the Python test (which replays the
+    exact formula over a constructed green-heavy stream).
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(trim(text), '\\\\s+'), w -> length(w) > 0)").alias(
+            "ws"
+        ),
+    ).filter(F.expr("size(ws) >= 2"))
+    green = _wm_green(
+        "element_at(ws, CAST(i AS INT))", "element_at(ws, CAST(i + 1 AS INT))"
+    )
+    scored = toks.select(
+        "lang",
+        F.expr("CAST(size(ws) - 1 AS BIGINT)").alias("n_pairs"),
+        F.expr(
+            f"aggregate(sequence(1, size(ws) - 1), 0L,"
+            f" (acc, i) -> acc + {green})"
+        ).alias("n_green"),
+    )
+    z = scored.withColumn(
+        "z_centi",
+        F.expr(
+            "CAST(floor((2 * CAST(n_green AS DOUBLE)"
+            " - CAST(n_pairs AS DOUBLE))"
+            " / sqrt(CAST(n_pairs AS DOUBLE)) * 100 + 0.5) AS BIGINT)"
+        ),
+    )
+    return z.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_if(F.col("z_centi") >= WM_Z_FLAG_CENTI)
+        .cast("bigint")
+        .alias("flagged_docs"),
+        F.max("z_centi").cast("bigint").alias("max_z_centi"),
+        F.min("z_centi").cast("bigint").alias("min_z_centi"),
+        F.expr(
+            "CAST((2 * sum(n_green) * 10000 + sum(n_pairs))"
+            " DIV (2 * sum(n_pairs)) AS BIGINT)"
+        ).alias("green_rate_bp"),
+    )

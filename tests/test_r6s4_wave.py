@@ -853,3 +853,64 @@ class TestKCenterCoreset:
             radii[i] >= radii[i + 1] for i in range(len(radii) - 1)
         )
         assert len({t[1] for t in got}) == KCENTER_K
+
+
+def _wm_green_py(prev: str, cur: str) -> int:
+    import hashlib
+
+    return 1 if hashlib.md5(f"wm|{prev}|{cur}".encode()).hexdigest()[0] in "02468ace" else 0
+
+
+class TestWatermarkGreenlist:
+    def test_matches_python_reference_null_calibration(self, spark, sf_dir):
+        import math
+
+        stats = defaultdict(lambda: [0, 0, 0, None, None, 0])  # docs,g,n,maxz,minz,flagged
+        for lang, text in _docs(spark, sf_dir):
+            ws = [w for w in re.split(r"\s+", text.strip()) if w]
+            if len(ws) < 2:
+                continue
+            g = sum(_wm_green_py(a, b) for a, b in zip(ws, ws[1:]))
+            n = len(ws) - 1
+            z = int(math.floor((2.0 * g - n) / math.sqrt(n) * 100 + 0.5))
+            s = stats[lang]
+            s[0] += 1
+            s[1] += g
+            s[2] += n
+            s[3] = z if s[3] is None else max(s[3], z)
+            s[4] = z if s[4] is None else min(s[4], z)
+            s[5] += int(z >= 400)
+        rows = {
+            r.lang: r
+            for r in registry.QUERIES["text_watermark_greenlist_detect"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(rows) == set(stats)
+        for lang, (d, g, n, mx, mn, fl) in stats.items():
+            r = rows[lang]
+            assert r.n_docs == d
+            assert r.max_z_centi == mx
+            assert r.min_z_centi == mn
+            assert r.green_rate_bp == _half_up(g * 10000, n)
+            assert r.flagged_docs == fl
+            # unwatermarked corpus: the null calibration
+            assert abs(r.green_rate_bp - 5000) < 1500
+
+    def test_detects_planted_watermark(self):
+        """Detection power: a constructed green-greedy stream must
+        cross the z >= 4 flag under the exact same formula."""
+        import math
+
+        vocab = [f"tok{i}" for i in range(50)]
+        stream = ["tok0"]
+        for _ in range(120):
+            prev = stream[-1]
+            nxt = next(
+                (c for c in vocab if _wm_green_py(prev, c)), vocab[0]
+            )
+            stream.append(nxt)
+        g = sum(_wm_green_py(a, b) for a, b in zip(stream, stream[1:]))
+        n = len(stream) - 1
+        z = (2.0 * g - n) / math.sqrt(n)
+        assert z >= 4.0
