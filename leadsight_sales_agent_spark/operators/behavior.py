@@ -9274,3 +9274,191 @@ def eval_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + 2) DIV 4 AS BIGINT)"
         ).alias("rbo_cum_e12"),
     )
+
+
+SHESD_ROUNDS = 5  # max anomalies tested (ESD's k); threshold 3.5 x MAD
+
+
+def _shesd_round_sql(r: int) -> str:
+    """One generated ESD round: rank-picked median and MAD of the
+    remaining residuals (exact integer ELEMENTS, never interpolation),
+    the argmax |deviation| row, its 3.5xMAD verdict via cross-
+    multiplication (2|dev| >= 7 MAD), then the shrunken remainder."""
+    p = f"rem{r - 1}"
+    return f""",
+    med{r} AS (
+        SELECT resid AS med FROM (
+            SELECT resid, row_number() OVER (ORDER BY resid, mi) AS rn,
+                   count(*) OVER () AS n
+            FROM {p}
+        ) WHERE rn = (n + 1) // 2
+    ),
+    mad{r} AS (
+        SELECT adev AS mad FROM (
+            SELECT abs(resid - m.med) AS adev,
+                   row_number() OVER (ORDER BY abs(resid - m.med),
+                                      {p}.mi) AS rn,
+                   count(*) OVER () AS n
+            FROM {p}, med{r} m
+        ) WHERE rn = (n + 1) // 2
+    ),
+    pick{r} AS (
+        SELECT {p}.mi, {p}.resid,
+               abs({p}.resid - m.med) AS dev, m.med, d.mad
+        FROM {p}, med{r} m, mad{r} d
+        ORDER BY abs({p}.resid - m.med) DESC, {p}.mi
+        LIMIT 1
+    ),
+    r{r} AS (
+        SELECT {r} AS round, mi AS month_removed,
+               CAST(dev AS BIGINT) AS dev_cents,
+               CAST(med AS BIGINT) AS median_cents,
+               CAST(mad AS BIGINT) AS mad_cents,
+               CAST(CASE WHEN 2 * dev >= 7 * mad THEN 1 ELSE 0 END
+                    AS INTEGER) AS exceeds
+        FROM pick{r}
+    ),
+    rem{r} AS MATERIALIZED (
+        SELECT {p}.mi, {p}.resid FROM {p}
+        WHERE {p}.mi <> (SELECT mi FROM pick{r})
+    )"""
+
+
+def _shesd_oracle() -> str:
+    rounds = "".join(_shesd_round_sql(r) for r in range(1, SHESD_ROUNDS + 1))
+    union = " UNION ALL ".join(
+        f"SELECT * FROM r{r}" for r in range(1, SHESD_ROUNDS + 1)
+    )
+    return f"""
+    WITH months AS (
+        SELECT unnest(generate_series(0, 35)) AS mi
+    ), rev AS (
+        SELECT (year(o_orderdate) - 1996) * 12 + month(o_orderdate) - 1 AS mi,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+        GROUP BY 1
+    ), series AS (
+        SELECT m.mi, coalesce(r.cents, 0) AS cents, m.mi % 12 AS moy
+        FROM months m LEFT JOIN rev r ON r.mi = m.mi
+    ), seasonal AS (
+        SELECT moy, cents AS smed FROM (
+            SELECT moy, cents,
+                   row_number() OVER (PARTITION BY moy
+                                      ORDER BY cents, mi) AS rn
+            FROM series
+        ) WHERE rn = 2
+    ), rem0 AS MATERIALIZED (
+        SELECT s.mi, s.cents - x.smed AS resid
+        FROM series s JOIN seasonal x ON x.moy = s.moy
+    ){rounds}
+    {union}
+    """
+
+
+@query("anomaly_seasonal_hybrid_esd", oracle=_shesd_oracle())
+def anomaly_seasonal_hybrid_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Hybrid ESD anomaly detection (Twitter's S-H-ESD,
+    Hochenbaum et al. 2017) over the 1996-1998 monthly revenue series:
+    subtract the per-calendar-month MEDIAN seasonal component
+    (rank-picked middle of the 3 yearly values — the 'hybrid' robust
+    replacement for STL's mean-based seasonal), then run up to
+    {SHESD_ROUNDS} generalized-ESD rounds on the residuals — each
+    round re-derives the remaining set's median and MAD (both exact
+    rank-picked ELEMENTS), removes the largest |deviation| month, and
+    reports whether it crossed the robust 3.5xMAD fence (integer
+    cross-multiplication: 2|dev| >= 7·MAD). ESD's re-estimation after
+    every removal is the part plain outlier fences miss (masking:
+    one huge anomaly inflates MAD and hides the second); the round
+    trace makes the masking-resistant decision auditable.
+
+    Exact end-to-end: cents are integers, every median/MAD is a
+    picked element under a fully tie-broken order, the verdict is an
+    integer inequality — no floats anywhere (contrast
+    anomaly_seasonal_adjusted's z-score fence; this is its robust,
+    iterative sibling).
+
+    100 TB: the series is calendar-bounded (36 rows after one
+    month-grain rollup); each round is a rank + argmax on the
+    shrinking remainder with a localCheckpoint to keep lineage linear
+    — the same bounded-rounds contract as k-center/kmeans/HITS.
+    """
+    cents = (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long")
+    rev = (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").between(1996, 1998))
+        .groupBy(
+            ((F.year("o_orderdate") - 1996) * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("mi")
+        )
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    months = spark.range(0, 36).select(F.col("id").cast("long").alias("mi"))
+    series = (
+        months.join(rev, "mi", "left")
+        .select(
+            "mi",
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+            (F.col("mi") % 12).alias("moy"),
+        )
+    )
+    wmoy = Window.partitionBy("moy").orderBy("cents", "mi")
+    seasonal = (
+        series.withColumn("rn", F.row_number().over(wmoy))
+        .filter(F.col("rn") == 2)
+        .select(F.col("moy").alias("smoy"), F.col("cents").alias("smed"))
+    )
+    rem = (
+        series.join(F.broadcast(seasonal), series.moy == F.col("smoy"))
+        .select("mi", (F.col("cents") - F.col("smed")).alias("resid"))
+        .localCheckpoint(eager=False)
+    )
+    out_rounds = []
+    for r in range(1, SHESD_ROUNDS + 1):
+        wmed = Window.orderBy("resid", "mi")
+        med = (
+            rem.withColumn("rn", F.row_number().over(wmed))
+            .withColumn("n", F.count("*").over(Window.partitionBy()))
+            .filter(F.expr("rn = (n + 1) DIV 2"))
+            .select(F.col("resid").alias("med"))
+        )
+        with_med = rem.crossJoin(F.broadcast(med))
+        wmad = Window.orderBy(F.abs(F.col("resid") - F.col("med")), "mi")
+        mad = (
+            with_med.withColumn("rn", F.row_number().over(wmad))
+            .withColumn("n", F.count("*").over(Window.partitionBy()))
+            .filter(F.expr("rn = (n + 1) DIV 2"))
+            .select(F.abs(F.col("resid") - F.col("med")).alias("mad"))
+        )
+        pick = (
+            with_med.crossJoin(F.broadcast(mad))
+            .orderBy(F.abs(F.col("resid") - F.col("med")).desc(), "mi")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        out_rounds.append(
+            pick.select(
+                F.lit(r).alias("round"),
+                F.col("mi").cast("bigint").alias("month_removed"),
+                F.abs(F.col("resid") - F.col("med"))
+                .cast("bigint")
+                .alias("dev_cents"),
+                F.col("med").cast("bigint").alias("median_cents"),
+                F.col("mad").cast("bigint").alias("mad_cents"),
+                F.expr(
+                    "CAST(CASE WHEN 2 * abs(resid - med) >= 7 * mad"
+                    " THEN 1 ELSE 0 END AS INT)"
+                ).alias("exceeds"),
+            )
+        )
+        removed = pick.select(F.col("mi").alias("rmi"))
+        rem = (
+            rem.join(F.broadcast(removed), rem.mi == F.col("rmi"), "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    out = out_rounds[0]
+    for fr in out_rounds[1:]:
+        out = out.unionAll(fr)
+    return out

@@ -914,3 +914,58 @@ class TestWatermarkGreenlist:
         n = len(stream) - 1
         z = (2.0 * g - n) / math.sqrt(n)
         assert z >= 4.0
+
+
+class TestSeasonalHybridEsd:
+    def test_matches_python_replay_exactly(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.behavior import SHESD_ROUNDS
+
+        rev = defaultdict(int)
+        for r in (
+            load(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate").between(1996, 1998))
+            .select(
+                F.year("o_orderdate").alias("y"),
+                F.month("o_orderdate").alias("m"),
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .collect()
+        ):
+            rev[(r.y - 1996) * 12 + r.m - 1] += r.cents
+        series = {mi: rev.get(mi, 0) for mi in range(36)}
+        seasonal = {}
+        for moy in range(12):
+            vals = sorted(
+                (series[mi], mi) for mi in range(moy, 36, 12)
+            )
+            seasonal[moy] = vals[1][0]  # middle of 3, tie-broken by mi
+        rem = {mi: series[mi] - seasonal[mi % 12] for mi in range(36)}
+
+        def pick_element(pairs):
+            # pairs sorted by (value, mi); element at rank (n+1)//2
+            s = sorted(pairs)
+            return s[(len(s) + 1) // 2 - 1][0]
+
+        trace = []
+        for rnd in range(1, SHESD_ROUNDS + 1):
+            med = pick_element([(v, mi) for mi, v in rem.items()])
+            mad = pick_element([(abs(v - med), mi) for mi, v in rem.items()])
+            mi_star = min(rem, key=lambda mi: (-abs(rem[mi] - med), mi))
+            dev = abs(rem[mi_star] - med)
+            trace.append(
+                (rnd, mi_star, dev, med, mad, int(2 * dev >= 7 * mad))
+            )
+            del rem[mi_star]
+        got = sorted(
+            (r.round, r.month_removed, r.dev_cents, r.median_cents,
+             r.mad_cents, r.exceeds)
+            for r in registry.QUERIES["anomaly_seasonal_hybrid_esd"](
+                spark, sf_dir
+            ).collect()
+        )
+        assert got == trace
+        # deviations are non-increasing only within re-estimation
+        # regimes, but removed months are distinct by construction
+        assert len({t[1] for t in got}) == SHESD_ROUNDS

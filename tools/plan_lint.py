@@ -81,6 +81,7 @@ ALLOW_NON_EQUI = {
     "eval_rank_biased_overlap",  # 20-row depth grid x <=20 entry depths
     "eval_krippendorff_alpha_langid",  # 1-row label-totals anchor
     "sample_coreset_kcenter_greedy",  # 1-row center broadcast per greedy round
+    "anomaly_seasonal_hybrid_esd",  # 1-row median/MAD/argmax anchors per ESD round (36-row series)
     "text_rouge_l_source_similarity",  # 1-row reference-name/sequence anchors (the BLEU shape)
     "sketch_kmv_rolling_distinct_7d",  # day-grid range join (31 rows x <=k hashes)
     "sample_ht_estimator_check",  # 1-row truth anchor
