@@ -9462,3 +9462,201 @@ def anomaly_seasonal_hybrid_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in out_rounds[1:]:
         out = out.unionAll(fr)
     return out
+
+
+# --- Prophet-style piecewise-linear trend ---------------------------------
+#
+# Basis over t = 1..36 (three years of months): [1, t, (t-12)+, (t-24)+]
+# — changepoints at the year boundaries. The Gram matrix G = X'X is
+# DATA-INDEPENDENT, so det(G) and the integer adjugate are module-level
+# Python literals, and each OLS coefficient is an EXACT RATIONAL
+# adj(G)·b / det(G) of the four data sums b = X'y — no matrix solve,
+# no floats, anywhere.
+PW_T = list(range(1, 37))
+PW_CP = (12, 24)
+_PW_X = [[1, t, max(0, t - PW_CP[0]), max(0, t - PW_CP[1])] for t in PW_T]
+
+
+def _pw_det(m) -> int:
+    if len(m) == 1:
+        return m[0][0]
+    return sum(
+        (-1) ** j * m[0][j] * _pw_det(
+            [row[:j] + row[j + 1:] for row in m[1:]]
+        )
+        for j in range(len(m))
+    )
+
+
+_PW_G = [
+    [sum(r[i] * r[j] for r in _PW_X) for j in range(4)] for i in range(4)
+]
+PW_DET_G = _pw_det(_PW_G)
+# adjugate: ADJ[i][j] = cofactor C_ji, so beta_i = sum_j ADJ[i][j]*b_j / det
+PW_ADJ = [
+    [
+        (-1) ** (i + j)
+        * _pw_det(
+            [
+                [
+                    _PW_G[r][c]
+                    for c in range(4)
+                    if c != i
+                ]
+                for r in range(4)
+                if r != j
+            ]
+        )
+        for j in range(4)
+    ]
+    for i in range(4)
+]
+
+
+def _pw_beta_num(i: int, big: str = "DECIMAL(38,0)") -> str:
+    """Exact integer numerator of beta_i (x det(G)) from b0..b3.
+    ``big`` is the wide-integer type: DECIMAL(38,0) Spark-side,
+    HUGEINT oracle-side — DuckDB's ``//`` on DECIMAL operands routes
+    through DOUBLE and rounds (the playbook ~1e18 trap), so every
+    oracle product must stay HUGEINT."""
+    return " + ".join(
+        f"({PW_ADJ[i][j]}) * CAST(b{j} AS {big})" for j in range(4)
+    )
+
+
+@query(
+    "forecast_piecewise_trend_changepoints",
+    oracle=f"""
+    WITH months AS (
+        SELECT unnest(generate_series(1, 36)) AS t
+    ), rev AS (
+        SELECT (year(o_orderdate) - 1996) * 12 + month(o_orderdate) AS t,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) // 100 AS BIGINT) AS y
+        FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+        GROUP BY 1
+    ), series AS (
+        SELECT m.t, coalesce(r.y, 0) AS y,
+               greatest(0, m.t - {PW_CP[0]}) AS x2,
+               greatest(0, m.t - {PW_CP[1]}) AS x3
+        FROM months m LEFT JOIN rev r ON r.t = m.t
+    ), sums AS (
+        SELECT CAST(sum(y) AS BIGINT) AS b0,
+               CAST(sum(t * y) AS BIGINT) AS b1,
+               CAST(sum(x2 * y) AS BIGINT) AS b2,
+               CAST(sum(x3 * y) AS BIGINT) AS b3,
+               sum(CAST(y AS HUGEINT) * y) AS yy
+        FROM series
+    ), nums AS (
+        SELECT b0, b1, b2, b3, yy,
+               {_pw_beta_num(0, 'HUGEINT')} AS n0,
+               {_pw_beta_num(1, 'HUGEINT')} AS n1,
+               {_pw_beta_num(2, 'HUGEINT')} AS n2,
+               {_pw_beta_num(3, 'HUGEINT')} AS n3
+        FROM sums
+    )
+    SELECT
+        CAST((2 * 100 * CAST(n0 AS HUGEINT) + {PW_DET_G})
+             // (2 * CAST({PW_DET_G} AS HUGEINT)) AS BIGINT) AS beta0_centi,
+        CAST((2 * 100 * CAST(n1 AS HUGEINT) + {PW_DET_G})
+             // (2 * CAST({PW_DET_G} AS HUGEINT)) AS BIGINT) AS slope_y1_centi,
+        CAST((2 * 100 * (CAST(n1 AS HUGEINT) + CAST(n2 AS HUGEINT))
+              + {PW_DET_G})
+             // (2 * CAST({PW_DET_G} AS HUGEINT)) AS BIGINT) AS slope_y2_centi,
+        CAST((2 * 100 * (CAST(n1 AS HUGEINT) + CAST(n2 AS HUGEINT)
+                         + CAST(n3 AS HUGEINT)) + {PW_DET_G})
+             // (2 * CAST({PW_DET_G} AS HUGEINT)) AS BIGINT) AS slope_y3_centi,
+        CAST((2 * 10000 * (36 * (CAST(b0 AS HUGEINT) * n0
+                                 + CAST(b1 AS HUGEINT) * n1
+                                 + CAST(b2 AS HUGEINT) * n2
+                                 + CAST(b3 AS HUGEINT) * n3)
+                           - CAST(b0 AS HUGEINT) * b0 * {PW_DET_G})
+              + (36 * CAST(yy AS HUGEINT) * {PW_DET_G}
+                 - CAST(b0 AS HUGEINT) * b0 * {PW_DET_G}))
+             // (2 * (36 * CAST(yy AS HUGEINT) * {PW_DET_G}
+                      - CAST(b0 AS HUGEINT) * b0 * {PW_DET_G}))
+             AS BIGINT) AS r2_bp
+    FROM nums
+    """,
+)
+def forecast_piecewise_trend_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prophet-style piecewise-linear trend (Taylor & Letham 2018) on
+    the 1996-1998 monthly revenue: OLS over the changepoint basis
+    [1, t, (t-12)+, (t-24)+] reports the intercept, the trend slope in
+    EACH regime year (cumulative changepoint deltas), and the fit's
+    R² — the 'did growth bend at the year boundaries' question Prophet
+    answers with this exact basis.
+
+    The device that makes an OLS solve hash-exact: the Gram matrix
+    X'X is DATA-INDEPENDENT (the basis is a calendar), so det(G) and
+    the integer adjugate are precomputed Python integer literals baked
+    into both engines' SQL — each coefficient becomes the exact
+    rational (adj(G)·b)_i / det(G) of the four data sums b = X'y, and
+    R² an exact cross-multiplied rational of those sums (revenue
+    quantized to whole dollars by DIV to keep every product inside
+    DECIMAL(38)/HUGEINT). No matrix solve, no float anywhere — the
+    all-integer answer to the same problem the Granger family handles
+    with shared IEEE determinant trees when the Gram IS data.
+
+    100 TB: one month-grain rollup; the regression itself is four
+    scalar sums and literal arithmetic — the canonical 'normal
+    equations beat row-wise solvers at cluster scale' shape.
+    """
+    cents = (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long")
+    rev = (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").between(1996, 1998))
+        .groupBy(
+            ((F.year("o_orderdate") - 1996) * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.expr(
+            "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100"
+            " AS BIGINT)) DIV 100 AS BIGINT)"
+        ).alias("y"))
+    )
+    months = spark.range(1, 37).select(F.col("id").cast("long").alias("t"))
+    series = months.join(rev, "t", "left").select(
+        "t",
+        F.coalesce("y", F.lit(0)).alias("y"),
+        F.greatest(F.lit(0), F.col("t") - PW_CP[0]).alias("x2"),
+        F.greatest(F.lit(0), F.col("t") - PW_CP[1]).alias("x3"),
+    )
+    sums = series.agg(
+        F.sum("y").cast("long").alias("b0"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("b1"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("b2"),
+        F.sum(F.col("x3") * F.col("y")).cast("long").alias("b3"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("yy"),
+    )
+    nums = sums.select(
+        "b0", "b1", "b2", "b3", "yy",
+        *[F.expr(f"{_pw_beta_num(i)}").alias(f"n{i}") for i in range(4)],
+    )
+    d = PW_DET_G
+
+    def centi(num: str) -> str:
+        return (
+            f"CAST((2 * 100 * CAST({num} AS DECIMAL(38,0)) + {d})"
+            f" DIV (2 * CAST({d} AS DECIMAL(38,0))) AS BIGINT)"
+        )
+
+    bn = (
+        "(36 * (CAST(b0 AS DECIMAL(38,0)) * n0 + CAST(b1 AS DECIMAL(38,0)) * n1"
+        " + CAST(b2 AS DECIMAL(38,0)) * n2 + CAST(b3 AS DECIMAL(38,0)) * n3)"
+        f" - CAST(b0 AS DECIMAL(38,0)) * b0 * {d})"
+    )
+    tss = (
+        f"(36 * CAST(yy AS DECIMAL(38,0)) * {d}"
+        f" - CAST(b0 AS DECIMAL(38,0)) * b0 * {d})"
+    )
+    return nums.select(
+        F.expr(centi("n0")).alias("beta0_centi"),
+        F.expr(centi("n1")).alias("slope_y1_centi"),
+        F.expr(centi("(n1 + n2)")).alias("slope_y2_centi"),
+        F.expr(centi("(n1 + n2 + n3)")).alias("slope_y3_centi"),
+        F.expr(
+            f"CAST((2 * 10000 * {bn} + {tss}) DIV (2 * {tss}) AS BIGINT)"
+        ).alias("r2_bp"),
+    )

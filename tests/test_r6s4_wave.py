@@ -969,3 +969,62 @@ class TestSeasonalHybridEsd:
         # deviations are non-increasing only within re-estimation
         # regimes, but removed months are distinct by construction
         assert len({t[1] for t in got}) == SHESD_ROUNDS
+
+
+class TestPiecewiseTrend:
+    def test_matches_fraction_gaussian_elimination(self, spark, sf_dir):
+        """Independent path: solve the normal equations with Fraction
+        Gaussian elimination — not the adjugate literals the engines
+        use."""
+        from fractions import Fraction as Fr
+
+        rev = defaultdict(int)
+        for r in (
+            load(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate").between(1996, 1998))
+            .select(
+                ((F.year("o_orderdate") - 1996) * 12 + F.month("o_orderdate"))
+                .alias("t"),
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .collect()
+        ):
+            rev[r.t] += r.cents
+        ys = [rev.get(t, 0) // 100 for t in range(1, 37)]
+        X = [[1, t, max(0, t - 12), max(0, t - 24)] for t in range(1, 37)]
+        G = [
+            [Fr(sum(X[r][i] * X[r][j] for r in range(36))) for j in range(4)]
+            for i in range(4)
+        ]
+        b = [Fr(sum(X[r][i] * ys[r] for r in range(36))) for i in range(4)]
+        # gaussian elimination
+        M = [G[i] + [b[i]] for i in range(4)]
+        for c in range(4):
+            p = next(r for r in range(c, 4) if M[r][c] != 0)
+            M[c], M[p] = M[p], M[c]
+            M[c] = [v / M[c][c] for v in M[c]]
+            for r in range(4):
+                if r != c and M[r][c] != 0:
+                    M[r] = [vr - M[r][c] * vc for vr, vc in zip(M[r], M[c])]
+        beta = [M[i][4] for i in range(4)]
+        yy = sum(v * v for v in ys)
+        rss = Fr(yy) - sum(b[i] * beta[i] for i in range(4))
+        tss = Fr(yy) - Fr(sum(ys)) ** 2 / 36
+        r2 = 1 - rss / tss
+        row = registry.QUERIES["forecast_piecewise_trend_changepoints"](
+            spark, sf_dir
+        ).collect()[0]
+
+        def pin(got, frac):
+            v = frac * 100
+            assert got == _half_up(v.numerator, v.denominator), (got, float(v))
+
+        pin(row.beta0_centi, beta[0])
+        pin(row.slope_y1_centi, beta[1])
+        pin(row.slope_y2_centi, beta[1] + beta[2])
+        pin(row.slope_y3_centi, beta[1] + beta[2] + beta[3])
+        v = r2 * 10000
+        assert row.r2_bp == _half_up(v.numerator, v.denominator)
+        assert 0 <= row.r2_bp <= 10000
