@@ -9660,3 +9660,147 @@ def forecast_piecewise_trend_changepoints(spark: SparkSession, sf_dir: str) -> D
             f"CAST((2 * 10000 * {bn} + {tss}) DIV (2 * {tss}) AS BIGINT)"
         ).alias("r2_bp"),
     )
+
+
+# Pre-period (t=1..24) linear-fit Gram literals for the counterfactual:
+# G = [[24, sum t], [sum t, sum t^2]], beta = adj(G)·b / det(G).
+CI_PRE_N = 24
+_CI_ST = sum(range(1, CI_PRE_N + 1))
+_CI_STT = sum(t * t for t in range(1, CI_PRE_N + 1))
+CI_DET = CI_PRE_N * _CI_STT - _CI_ST * _CI_ST
+# n_a = stt*b0 - st*b1 ; n_b = 24*b1 - st*b0  (adjugate rows)
+
+
+@query(
+    "forecast_causal_impact_counterfactual",
+    oracle=f"""
+    WITH months AS (
+        SELECT unnest(generate_series(1, 36)) AS t
+    ), rev AS (
+        SELECT (year(o_orderdate) - 1996) * 12 + month(o_orderdate) AS t,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) // 100 AS BIGINT) AS y
+        FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+        GROUP BY 1
+    ), series AS (
+        SELECT m.t, coalesce(r.y, 0) AS y
+        FROM months m LEFT JOIN rev r ON r.t = m.t
+    ), pre AS (
+        SELECT CAST(sum(y) AS HUGEINT) AS b0,
+               CAST(sum(t * y) AS HUGEINT) AS b1
+        FROM series WHERE t <= {CI_PRE_N}
+    ), post AS (
+        SELECT s.t, s.y,
+               {_CI_STT} * p.b0 - {_CI_ST} * p.b1 AS na,
+               {CI_PRE_N} * p.b1 - {_CI_ST} * p.b0 AS nb
+        FROM series s CROSS JOIN pre p WHERE s.t > {CI_PRE_N}
+    ), gaps AS (
+        SELECT t, y,
+               CAST((2 * 100 * (na + nb * t) + {CI_DET})
+                    // (2 * CAST({CI_DET} AS HUGEINT)) AS BIGINT)
+                   AS counterfactual_centi,
+               CAST(y AS HUGEINT) * {CI_DET} - na - nb * t AS gap_num,
+               na + nb * t AS cf_num
+        FROM post
+    )
+    SELECT t AS month_idx, CAST(y AS BIGINT) AS actual_dollars,
+           counterfactual_centi,
+           CAST((2 * 100 * gap_num + {CI_DET})
+                // (2 * CAST({CI_DET} AS HUGEINT)) AS BIGINT) AS gap_centi,
+           CAST((2 * 100 * sum(gap_num) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 + {CI_DET})
+                // (2 * CAST({CI_DET} AS HUGEINT)) AS BIGINT)
+               AS cum_gap_centi,
+           CAST((2 * 10000 * gap_num + cf_num)
+                // (2 * cf_num) AS BIGINT) AS rel_gap_bp
+    FROM gaps
+    """,
+)
+def forecast_causal_impact_counterfactual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CausalImpact-style intervention analysis (Brodersen et al.
+    2015, linear-trend counterfactual): fit the pre-period trend
+    (months 1-24) by OLS, extrapolate it as the no-intervention
+    counterfactual over the post period (months 25-36), and report the
+    monthly gap, the running cumulative effect, and the relative lift
+    — the 'what did the change actually buy us' readout every launch
+    review wants, computed without a control group.
+
+    Same literal-adjugate device as the piecewise-trend query: the
+    pre-period Gram matrix is a calendar constant, so the counter-
+    factual at month t is the exact rational (na + nb·t)/det with
+    integer numerators from two data sums — gap, cumulative gap, and
+    relative lift are all exact cross-multiplied integers (HUGEINT
+    oracle-side; DuckDB's DECIMAL ``//`` double-rounds). The
+    cumulative column sums NUMERATORS in an integer window and rounds
+    once — no rounded-value accumulation.
+
+    100 TB: one month rollup, one 2-term pre-period aggregate
+    broadcast onto 12 post rows. The honest caveat is statistical,
+    not computational: a linear counterfactual prices trend, not
+    seasonality — the Holt-Winters/piecewise siblings supply those.
+    """
+    cents = (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long")
+    rev = (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").between(1996, 1998))
+        .groupBy(
+            ((F.year("o_orderdate") - 1996) * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.expr(
+            "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100"
+            " AS BIGINT)) DIV 100 AS BIGINT)"
+        ).alias("y"))
+    )
+    months = spark.range(1, 37).select(F.col("id").cast("long").alias("t"))
+    series = months.join(rev, "t", "left").select(
+        "t", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    pre = series.filter(F.col("t") <= CI_PRE_N).agg(
+        F.sum("y").cast("decimal(38,0)").alias("b0"),
+        F.sum(F.col("t") * F.col("y")).cast("decimal(38,0)").alias("b1"),
+    )
+    post = (
+        series.filter(F.col("t") > CI_PRE_N)
+        .crossJoin(F.broadcast(pre))
+        .select(
+            "t",
+            "y",
+            F.expr(f"{_CI_STT} * b0 - {_CI_ST} * b1").alias("na"),
+            F.expr(f"{CI_PRE_N} * b1 - {_CI_ST} * b0").alias("nb"),
+        )
+    )
+    gaps = post.select(
+        "t",
+        "y",
+        F.expr(
+            f"CAST((2 * 100 * (na + nb * t) + {CI_DET})"
+            f" DIV (2 * CAST({CI_DET} AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("counterfactual_centi"),
+        F.expr(
+            f"CAST(y AS DECIMAL(38,0)) * {CI_DET} - na - nb * t"
+        ).alias("gap_num"),
+        F.expr("na + nb * t").alias("cf_num"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return gaps.select(
+        F.col("t").alias("month_idx"),
+        F.col("y").cast("bigint").alias("actual_dollars"),
+        "counterfactual_centi",
+        F.expr(
+            f"CAST((2 * 100 * gap_num + {CI_DET})"
+            f" DIV (2 * CAST({CI_DET} AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("gap_centi"),
+        F.expr(
+            f"CAST((2 * 100 * sum(gap_num) OVER (ORDER BY t"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            f" + {CI_DET}) DIV (2 * CAST({CI_DET} AS DECIMAL(38,0)))"
+            f" AS BIGINT)"
+        ).alias("cum_gap_centi"),
+        F.expr(
+            "CAST((2 * 10000 * gap_num + cf_num)"
+            " DIV (2 * cf_num) AS BIGINT)"
+        ).alias("rel_gap_bp"),
+    )

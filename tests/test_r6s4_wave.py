@@ -1028,3 +1028,64 @@ class TestPiecewiseTrend:
         v = r2 * 10000
         assert row.r2_bp == _half_up(v.numerator, v.denominator)
         assert 0 <= row.r2_bp <= 10000
+
+
+class TestCausalImpactCounterfactual:
+    def test_matches_fraction_reference(self, spark, sf_dir):
+        from fractions import Fraction as Fr
+
+        from leadsight_sales_agent_spark.operators.behavior import (
+            CI_DET,
+            CI_PRE_N,
+        )
+
+        rev = defaultdict(int)
+        for r in (
+            load(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate").between(1996, 1998))
+            .select(
+                ((F.year("o_orderdate") - 1996) * 12 + F.month("o_orderdate"))
+                .alias("t"),
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .collect()
+        ):
+            rev[r.t] += r.cents
+        ys = {t: rev.get(t, 0) // 100 for t in range(1, 37)}
+        pre_t = list(range(1, CI_PRE_N + 1))
+        # independent path: least-squares via Fraction means/covs
+        n = len(pre_t)
+        mt = Fr(sum(pre_t), n)
+        my = Fr(sum(ys[t] for t in pre_t), n)
+        b = sum((Fr(t) - mt) * (ys[t] - my) for t in pre_t) / sum(
+            (Fr(t) - mt) ** 2 for t in pre_t
+        )
+        a = my - b * mt
+        rows = {
+            r.month_idx: r
+            for r in registry.QUERIES["forecast_causal_impact_counterfactual"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(rows) == set(range(CI_PRE_N + 1, 37))
+        cum = Fr(0)
+        for t in range(CI_PRE_N + 1, 37):
+            cf = a + b * t
+            gap = ys[t] - cf
+            cum += gap
+            r = rows[t]
+            assert r.actual_dollars == ys[t]
+
+            def pin(got, frac, scale):
+                v = frac * scale
+                assert got == _half_up(v.numerator, v.denominator), (
+                    t, got, float(v),
+                )
+
+            pin(r.counterfactual_centi, cf, 100)
+            pin(r.gap_centi, gap, 100)
+            pin(r.cum_gap_centi, cum, 100)
+            pin(r.rel_gap_bp, gap / cf, 10000)
+        assert CI_DET == 24 * sum(t * t for t in pre_t) - sum(pre_t) ** 2

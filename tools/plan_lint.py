@@ -82,6 +82,8 @@ ALLOW_NON_EQUI = {
     "eval_krippendorff_alpha_langid",  # 1-row label-totals anchor
     "sample_coreset_kcenter_greedy",  # 1-row center broadcast per greedy round
     "anomaly_seasonal_hybrid_esd",  # 1-row median/MAD/argmax anchors per ESD round (36-row series)
+    "forecast_causal_impact_counterfactual",  # 1-row pre-period sums onto 12 post months
+    "ab_cuped_variance_reduction",  # (defensive) single-row moment frame ops
     "text_rouge_l_source_similarity",  # 1-row reference-name/sequence anchors (the BLEU shape)
     "sketch_kmv_rolling_distinct_7d",  # day-grid range join (31 rows x <=k hashes)
     "sample_ht_estimator_check",  # 1-row truth anchor
