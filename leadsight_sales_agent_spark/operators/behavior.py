@@ -9804,3 +9804,118 @@ def forecast_causal_impact_counterfactual(spark: SparkSession, sf_dir: str) -> D
             " DIV (2 * cf_num) AS BIGINT)"
         ).alias("rel_gap_bp"),
     )
+
+
+@query(
+    "forecast_pinball_loss_quantile",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ), series AS (
+        SELECT row_number() OVER (ORDER BY mon) AS idx, v FROM monthly
+    ), lagged AS (
+        SELECT idx, v,
+               lag(v, 1) OVER (ORDER BY idx) AS v1,
+               lag(v, 12) OVER (ORDER BY idx) AS v12,
+               lag(v, 1) OVER (ORDER BY idx)
+                 + lag(v, 2) OVER (ORDER BY idx)
+                 + lag(v, 3) OVER (ORDER BY idx) AS s3
+        FROM series
+    ), scored AS (
+        SELECT v, v1, v12, s3 FROM lagged WHERE v12 IS NOT NULL
+    ), sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(abs(v - v1)) AS HUGEINT) AS naive50,
+               CAST(sum(greatest(3 * (v - v1), -(v - v1))) AS HUGEINT)
+                   AS naive75,
+               CAST(sum(abs(v - v12)) AS HUGEINT) AS seas50,
+               CAST(sum(greatest(3 * (v - v12), -(v - v12))) AS HUGEINT)
+                   AS seas75,
+               CAST(sum(abs(3 * v - s3)) AS HUGEINT) AS ma50,
+               CAST(sum(greatest(3 * (3 * v - s3), -(3 * v - s3)))
+                    AS HUGEINT) AS ma75
+        FROM scored
+    )
+    SELECT 'naive_last' AS forecaster, n,
+           CAST((2 * 100 * naive50 + 2) // 4 AS BIGINT)
+               AS pinball_q50_centi,
+           CAST((2 * 100 * naive75 + 4) // 8 AS BIGINT)
+               AS pinball_q75_centi
+    FROM sums
+    UNION ALL
+    SELECT 'seasonal_naive', n,
+           CAST((2 * 100 * seas50 + 2) // 4 AS BIGINT),
+           CAST((2 * 100 * seas75 + 4) // 8 AS BIGINT)
+    FROM sums
+    UNION ALL
+    SELECT 'moving_avg_3', n,
+           CAST((2 * 100 * ma50 + 6) // 12 AS BIGINT),
+           CAST((2 * 100 * ma75 + 12) // 24 AS BIGINT)
+    FROM sums
+    """,
+)
+def forecast_pinball_loss_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss scoreboard for the three registered
+    baseline forecasters (last-value naive, seasonal-naive, MA3 — the
+    theil_u2 candidates) at q=1/2 and q=3/4 — the metric quantile
+    forecasts are actually graded by (M5 Uncertainty, every prob-
+    forecasting benchmark): L_q = q(y-f)+ + (1-q)(f-y)+, asymmetric so
+    over- and under-forecasting price differently.
+
+    DYADIC quantiles make it exact: 4·L_{{3/4}} = max(3(y-f), f-y) and
+    2·L_{{1/2}} = |y-f| are pure integers per month (MA3 carries the
+    x3 scale), summed exactly, divided once by the combined dyadic
+    scale with the half-up device. One month-grain rollup, one lag
+    window on the calendar-bounded series, three 1-row output legs.
+    """
+    cents = (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long")
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(F.sum(cents).cast("long").alias("v"))
+    )
+    w = Window.orderBy("mon")
+    lagged = monthly.select(
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 12).over(w).alias("v12"),
+        (
+            F.lag("v", 1).over(w) + F.lag("v", 2).over(w) + F.lag("v", 3).over(w)
+        ).alias("s3"),
+    ).filter(F.col("v12").isNotNull())
+    sums = lagged.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.abs(F.col("v") - F.col("v1"))).cast("decimal(38,0)").alias("naive50"),
+        F.sum(
+            F.greatest(3 * (F.col("v") - F.col("v1")), -(F.col("v") - F.col("v1")))
+        ).cast("decimal(38,0)").alias("naive75"),
+        F.sum(F.abs(F.col("v") - F.col("v12"))).cast("decimal(38,0)").alias("seas50"),
+        F.sum(
+            F.greatest(3 * (F.col("v") - F.col("v12")), -(F.col("v") - F.col("v12")))
+        ).cast("decimal(38,0)").alias("seas75"),
+        F.sum(F.abs(3 * F.col("v") - F.col("s3"))).cast("decimal(38,0)").alias("ma50"),
+        F.sum(
+            F.greatest(3 * (3 * F.col("v") - F.col("s3")), -(3 * F.col("v") - F.col("s3")))
+        ).cast("decimal(38,0)").alias("ma75"),
+    ).localCheckpoint(eager=False)
+
+    def leg(name: str, c50: str, c75: str, d50: int, d75: int) -> DataFrame:
+        return sums.select(
+            F.lit(name).alias("forecaster"),
+            "n",
+            F.expr(
+                f"CAST((2 * 100 * {c50} + {d50}) DIV {2 * d50} AS BIGINT)"
+            ).alias("pinball_q50_centi"),
+            F.expr(
+                f"CAST((2 * 100 * {c75} + {d75}) DIV {2 * d75} AS BIGINT)"
+            ).alias("pinball_q75_centi"),
+        )
+
+    return (
+        leg("naive_last", "naive50", "naive75", 2, 4)
+        .unionAll(leg("seasonal_naive", "seas50", "seas75", 2, 4))
+        .unionAll(leg("moving_avg_3", "ma50", "ma75", 6, 12))
+    )

@@ -4683,3 +4683,140 @@ def join_bloom_runtime_filter_audit(spark: SparkSession, sf_dir: str) -> DataFra
             .alias("false_negative_keys"),
         )
     )
+
+
+ASOF_NEAREST_TOL_MIN = 30
+
+
+@query(
+    "join_asof_nearest_tolerance",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'click'
+    ), cands AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               max(CASE WHEN c.ts <= p.ts THEN c.ts END) AS back_ts,
+               min(CASE WHEN c.ts > p.ts THEN c.ts END) AS fwd_ts
+        FROM purchases p LEFT JOIN clicks c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL {ASOF_NEAREST_TOL_MIN} MINUTE
+         AND c.ts <= p.ts + INTERVAL {ASOF_NEAREST_TOL_MIN} MINUTE
+        GROUP BY 1, 2, 3
+    ), picked AS (
+        SELECT event_id, user_id, ts,
+               CASE
+                 WHEN back_ts IS NOT NULL AND (fwd_ts IS NULL OR
+                      epoch_us(ts) - epoch_us(back_ts)
+                        <= epoch_us(fwd_ts) - epoch_us(ts))
+                   THEN back_ts
+                 ELSE fwd_ts
+               END AS near_ts
+        FROM cands
+    )
+    SELECT event_id AS purchase_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(near_ts, '%Y-%m-%d %H:%M:%S') AS nearest_click_ts,
+           CASE WHEN near_ts IS NULL THEN NULL
+                WHEN near_ts <= ts THEN 'backward' ELSE 'forward' END
+               AS direction,
+           CAST(abs(epoch_us(near_ts) - epoch_us(ts)) AS BIGINT) AS delta_us
+    FROM picked
+    """,
+)
+def join_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join with a ±30-minute tolerance — the
+    third pandas merge_asof direction, completing the family
+    (join_asof_purchase_last_click = backward,
+    join_asof_forward_tolerance = forward): each purchase matches the
+    CLOSEST click on either side, ties resolved backward (pandas'
+    rule), misses beyond tolerance stay NULL.
+
+    Engine plan is the scalable union-and-window as-of device run in
+    BOTH directions: one shuffle on user_id, an ascending pass carries
+    the latest prior click (last IGNORE NULLS, PRECEDING..CURRENT
+    frame), a DESCENDING pass carries the earliest later click with
+    the same bounded frame — the playbook's reverse-sort device, never
+    an UNBOUNDED FOLLOWING frame (O(n²) re-scan) and never the
+    oracle's quadratic per-user join. Equal-timestamp clicks sort
+    before purchases ascending (visible backward, distance 0 — which
+    the tie rule awards anyway) and after purchases descending
+    (excluded forward, keeping the strict > contract). Distances
+    compare in exact microseconds (unix_micros / epoch_us — the
+    sub-second-safe twin of the playbook's floor(epoch) device).
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tord"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("cts"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tord", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("tord"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "tord",
+        F.last("cts", ignorenulls=True).over(wb).alias("back_ts"),
+        F.last(
+            F.when(F.col("tord") == 0, F.col("cts")), ignorenulls=True
+        ).over(wf).alias("fwd_raw"),
+    ).filter(F.col("tord") == 1)
+    tol_us = ASOF_NEAREST_TOL_MIN * 60 * 1_000_000
+    cands = enriched.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros("back_ts") <= tol_us,
+            F.col("back_ts"),
+        ).alias("back_ts"),
+        F.when(
+            (F.unix_micros("fwd_raw") > F.unix_micros("ts"))
+            & (F.unix_micros("fwd_raw") - F.unix_micros("ts") <= tol_us),
+            F.col("fwd_raw"),
+        ).alias("fwd_ts"),
+    )
+    near = F.when(
+        F.col("back_ts").isNotNull()
+        & (
+            F.col("fwd_ts").isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros("back_ts")
+                <= F.unix_micros("fwd_ts") - F.unix_micros("ts")
+            )
+        ),
+        F.col("back_ts"),
+    ).otherwise(F.col("fwd_ts"))
+    picked = cands.withColumn("near_ts", near)
+    return picked.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("near_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "nearest_click_ts"
+        ),
+        F.when(F.col("near_ts").isNull(), F.lit(None).cast("string"))
+        .when(F.col("near_ts") <= F.col("ts"), "backward")
+        .otherwise("forward")
+        .alias("direction"),
+        F.abs(F.unix_micros("near_ts") - F.unix_micros("ts"))
+        .cast("bigint")
+        .alias("delta_us"),
+    )

@@ -1089,3 +1089,103 @@ class TestCausalImpactCounterfactual:
             pin(r.cum_gap_centi, cum, 100)
             pin(r.rel_gap_bp, gap / cf, 10000)
         assert CI_DET == 24 * sum(t * t for t in pre_t) - sum(pre_t) ** 2
+
+
+class TestPinballLoss:
+    def test_matches_python_reference(self, spark, sf_dir):
+        monthly = defaultdict(int)
+        for r in (
+            load(spark, sf_dir, "orders")
+            .select(
+                F.date_trunc("month", "o_orderdate").alias("mon"),
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .collect()
+        ):
+            monthly[r.mon] += r.cents
+        vs = [monthly[m] for m in sorted(monthly)]
+        sums = Counter()
+        n = 0
+        for i in range(12, len(vs)):
+            v = vs[i]
+            n += 1
+            for name, e in (
+                ("naive", v - vs[i - 1]),
+                ("seas", v - vs[i - 12]),
+            ):
+                sums[name + "50"] += abs(e)
+                sums[name + "75"] += max(3 * e, -e)
+            e3 = 3 * v - (vs[i - 1] + vs[i - 2] + vs[i - 3])
+            sums["ma50"] += abs(e3)
+            sums["ma75"] += max(3 * e3, -e3)
+        rows = {
+            r.forecaster: r
+            for r in registry.QUERIES["forecast_pinball_loss_quantile"](
+                spark, sf_dir
+            ).collect()
+        }
+        for name, key, d50, d75 in (
+            ("naive_last", "naive", 2, 4),
+            ("seasonal_naive", "seas", 2, 4),
+            ("moving_avg_3", "ma", 6, 12),
+        ):
+            r = rows[name]
+            assert r.n == n
+            assert r.pinball_q50_centi == _half_up(
+                100 * sums[key + "50"], d50
+            )
+            assert r.pinball_q75_centi == _half_up(
+                100 * sums[key + "75"], d75
+            )
+
+
+class TestAsofNearest:
+    def test_matches_python_reference(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.relational import (
+            ASOF_NEAREST_TOL_MIN,
+        )
+
+        tol = ASOF_NEAREST_TOL_MIN * 60 * 1_000_000
+        clicks = defaultdict(list)
+        purchases = []
+        for r in (
+            load(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin("purchase", "click"))
+            .select("event_id", "user_id", "event_type",
+                    F.unix_micros("ts").alias("us"),
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s"))
+            .collect()
+        ):
+            if r.event_type == "click":
+                clicks[r.user_id].append((r.us, r.s))
+            else:
+                purchases.append(r)
+        got = {
+            r.purchase_id: (r.nearest_click_ts, r.direction, r.delta_us)
+            for r in registry.QUERIES["join_asof_nearest_tolerance"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert len(got) == len(purchases)
+        for p in purchases:
+            back = max(
+                ((us, s) for us, s in clicks.get(p.user_id, [])
+                 if us <= p.us and p.us - us <= tol),
+                default=None,
+            )
+            fwd = min(
+                ((us, s) for us, s in clicks.get(p.user_id, [])
+                 if us > p.us and us - p.us <= tol),
+                default=None,
+            )
+            if back is not None and (
+                fwd is None or p.us - back[0] <= fwd[0] - p.us
+            ):
+                expect = (back[1], "backward", p.us - back[0])
+            elif fwd is not None:
+                expect = (fwd[1], "forward", fwd[0] - p.us)
+            else:
+                expect = (None, None, None)
+            assert got[p.event_id] == expect, p.event_id
