@@ -546,3 +546,111 @@ def multimodal_video_gop_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("duration_ms").cast("bigint").alias("total_duration_ms"),
         F.max("n_clips").cast("bigint").alias("max_clips_per_asset"),
     )
+
+
+VIT_PATCH = 16  # ViT-B/16 patch size
+VIT_MAX_SIDE = 336  # fit box before patch-padding (no upscale)
+
+
+@query(
+    "multimodal_vit_patch_plan",
+    oracle=f"""
+    WITH media AS (
+        SELECT doc_id,
+               CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+               CAST(doc_id % 480 + 16 AS INTEGER) AS height
+        FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0
+    ), fitted AS (
+        SELECT doc_id, width, height,
+               CAST(greatest(floor(width * least(least(
+                   CAST({VIT_MAX_SIDE} AS DOUBLE) / width,
+                   CAST({VIT_MAX_SIDE} AS DOUBLE) / height), 1.0)), 1)
+                   AS BIGINT) AS tw,
+               CAST(greatest(floor(height * least(least(
+                   CAST({VIT_MAX_SIDE} AS DOUBLE) / width,
+                   CAST({VIT_MAX_SIDE} AS DOUBLE) / height), 1.0)), 1)
+                   AS BIGINT) AS th
+        FROM media
+    ), tiled AS (
+        SELECT doc_id, width, height, tw, th,
+               (tw + {VIT_PATCH - 1}) // {VIT_PATCH} AS px,
+               (th + {VIT_PATCH - 1}) // {VIT_PATCH} AS py
+        FROM fitted
+    )
+    SELECT doc_id, width, height,
+           CAST(tw AS BIGINT) AS resized_w, CAST(th AS BIGINT) AS resized_h,
+           CAST(px AS BIGINT) AS patches_x, CAST(py AS BIGINT) AS patches_y,
+           CAST(px * py AS BIGINT) AS n_patches,
+           CAST(px * py + 1 AS BIGINT) AS seq_len,
+           CAST(4 * width // height AS BIGINT) AS aspect_bucket,
+           CAST((2 * 10000 * (px * py * {VIT_PATCH * VIT_PATCH} - tw * th)
+                 + px * py * {VIT_PATCH * VIT_PATCH})
+                // (2 * px * py * {VIT_PATCH * VIT_PATCH}) AS BIGINT)
+               AS pad_waste_bp
+    FROM tiled
+    """,
+)
+def multimodal_vit_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-transformer patch-tiling plan (ViT-B/16 geometry): for
+    every image asset, the aspect-preserving fit into a 336-px box (no
+    upscale — the resize-plan device), the patch grid after padding up
+    to 16-px multiples, the resulting encoder sequence length
+    (patches + CLS), the 4x-quantized aspect-ratio bucket (the
+    bucketing trick aspect-ratio-aware training batches by), and the
+    padding waste in basis points — the numbers a vision-pretraining
+    scheduler needs to pack batches and budget FLOPs BEFORE any pixel
+    is decoded (decode stays behind the documented stub seam).
+
+    Exactness: the only float is the fit scale — floor/greatest of one
+    identical IEEE product (the proven resize-plan device); everything
+    after is integer ceil-division ((a+15) DIV 16), products, and
+    half-up bp. Scale: pure map-side row arithmetic on the metadata
+    frame; the aspect buckets and seq_len are exactly the group-by
+    keys a packing stage (pack_sequences_token_budget) consumes
+    downstream.
+    """
+    media = media_frame(spark, sf_dir).filter(F.col("media_type") == "image/png")
+    scale = F.least(
+        F.least(
+            F.lit(float(VIT_MAX_SIDE)) / F.col("width"),
+            F.lit(float(VIT_MAX_SIDE)) / F.col("height"),
+        ),
+        F.lit(1.0),
+    )
+    fitted = media.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1))
+        .cast("long")
+        .alias("tw"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1))
+        .cast("long")
+        .alias("th"),
+    )
+    P = VIT_PATCH
+    tiled = fitted.select(
+        "doc_id",
+        "width",
+        "height",
+        "tw",
+        "th",
+        F.expr(f"(tw + {P - 1}) DIV {P}").alias("px"),
+        F.expr(f"(th + {P - 1}) DIV {P}").alias("py"),
+    )
+    return tiled.select(
+        "doc_id",
+        "width",
+        "height",
+        F.col("tw").cast("bigint").alias("resized_w"),
+        F.col("th").cast("bigint").alias("resized_h"),
+        F.col("px").cast("bigint").alias("patches_x"),
+        F.col("py").cast("bigint").alias("patches_y"),
+        (F.col("px") * F.col("py")).cast("bigint").alias("n_patches"),
+        (F.col("px") * F.col("py") + 1).cast("bigint").alias("seq_len"),
+        F.expr("CAST(4 * width DIV height AS BIGINT)").alias("aspect_bucket"),
+        F.expr(
+            f"CAST((2 * 10000 * (px * py * {P * P} - tw * th)"
+            f" + px * py * {P * P}) DIV (2 * px * py * {P * P}) AS BIGINT)"
+        ).alias("pad_waste_bp"),
+    )

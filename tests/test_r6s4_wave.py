@@ -1189,3 +1189,43 @@ class TestAsofNearest:
             else:
                 expect = (None, None, None)
             assert got[p.event_id] == expect, p.event_id
+
+
+class TestVitPatchPlan:
+    def test_matches_python_geometry(self, spark, sf_dir):
+        import math
+
+        from leadsight_sales_agent_spark.operators.multimodal import (
+            VIT_MAX_SIDE,
+            VIT_PATCH,
+        )
+
+        doc_ids = [
+            r.doc_id
+            for r in load(spark, sf_dir, "documents").select("doc_id").collect()
+            if r.doc_id % 3 == 0
+        ]
+        rows = {
+            r.doc_id: r
+            for r in registry.QUERIES["multimodal_vit_patch_plan"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(rows) == set(doc_ids)
+        for did in doc_ids:
+            w, h = did % 640 + 16, did % 480 + 16
+            scale = min(VIT_MAX_SIDE / w, VIT_MAX_SIDE / h, 1.0)
+            tw = max(int(math.floor(w * scale)), 1)
+            th = max(int(math.floor(h * scale)), 1)
+            px = (tw + VIT_PATCH - 1) // VIT_PATCH
+            py = (th + VIT_PATCH - 1) // VIT_PATCH
+            r = rows[did]
+            assert (r.width, r.height, r.resized_w, r.resized_h) == (w, h, tw, th)
+            assert (r.patches_x, r.patches_y) == (px, py)
+            assert r.n_patches == px * py and r.seq_len == px * py + 1
+            assert r.aspect_bucket == 4 * w // h
+            area = px * py * VIT_PATCH * VIT_PATCH
+            assert r.pad_waste_bp == _half_up((area - tw * th) * 10000, area)
+            # geometry invariants
+            assert max(tw, th) <= VIT_MAX_SIDE
+            assert px * VIT_PATCH >= tw and py * VIT_PATCH >= th
