@@ -9919,3 +9919,158 @@ def forecast_pinball_loss_quantile(spark: SparkSession, sf_dir: str) -> DataFram
         .unionAll(leg("seasonal_naive", "seas50", "seas75", 2, 4))
         .unionAll(leg("moving_avg_3", "ma50", "ma75", 6, 12))
     )
+
+
+def _brier_oracle() -> str:
+    """Murphy/Stephenson decomposition composed from the registered
+    calibration-bin grain (score cents, confidence = s/max): Brier and
+    uncertainty are single exact rationals; reliability, resolution,
+    within-bin variance, and the within-bin covariance cross-term are
+    sums of per-bin rationals with incommensurate denominators — each
+    bin term rounds half-up at e8 and decimal-sums (the playbook
+    incommensurate-rational device), so the graded numbers are a
+    deterministic contract in both engines."""
+    return f"""
+    WITH s AS (
+        SELECT CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS sc,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ), g AS (
+        SELECT CAST(count(*) AS HUGEINT) AS nn,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(max(sc) AS HUGEINT) AS mx
+        FROM s
+    ), b AS (
+        SELECT sc // {CALIB_BIN_CENTS} AS bin,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(y) AS HUGEINT) AS by_,
+               CAST(sum(sc) AS HUGEINT) AS bs,
+               CAST(sum(CAST(sc AS HUGEINT) * sc) AS HUGEINT) AS bss,
+               CAST(sum(sc * y) AS HUGEINT) AS bsy
+        FROM s GROUP BY 1
+    ), terms AS (
+        SELECT n, by_, bs, bss, bsy, g.nn, g.sy, g.mx,
+               (2 * (bs - by_ * g.mx) * (bs - by_ * g.mx) * 100000000
+                + n * g.mx * g.mx) // (2 * n * g.mx * g.mx) AS rel_e8,
+               (2 * (by_ * g.nn - g.sy * n) * (by_ * g.nn - g.sy * n)
+                * 100000000 + n * g.nn * g.nn)
+                   // (2 * n * g.nn * g.nn) AS res_e8,
+               (2 * (n * bss - bs * bs) * 100000000 + n * g.mx * g.mx)
+                   // (2 * n * g.mx * g.mx) AS wbv_e8,
+               (2 * (n * bsy - bs * by_) * 100000000 + n * g.mx)
+                   // (2 * n * g.mx) AS wbc_e8
+        FROM b CROSS JOIN g
+    )
+    SELECT CAST(max(nn) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST((2 * sum(bss - 2 * mx * bsy + mx * mx * by_) * 10000
+                 + max(nn) * max(mx) * max(mx))
+                // (2 * max(nn) * max(mx) * max(mx)) AS BIGINT) AS brier_bp,
+           CAST((2 * max(sy) * (max(nn) - max(sy)) * 10000 + max(nn) * max(nn))
+                // (2 * max(nn) * max(nn)) AS BIGINT) AS unc_bp,
+           CAST((2 * sum(rel_e8) + max(nn) * 10000)
+                // (2 * max(nn) * 10000) AS BIGINT) AS rel_bp,
+           CAST((2 * sum(res_e8) + max(nn) * 10000)
+                // (2 * max(nn) * 10000) AS BIGINT) AS res_bp,
+           CAST((2 * sum(wbv_e8) + max(nn) * 10000)
+                // (2 * max(nn) * 10000) AS BIGINT) AS wbv_bp,
+           CAST((2 * 2 * sum(wbc_e8) + max(nn) * 10000)
+                // (2 * max(nn) * 10000) AS BIGINT) AS wbc2_bp
+    FROM terms
+    """
+
+
+@query("eval_brier_murphy_decomposition", oracle=_brier_oracle())
+def eval_brier_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the full Murphy/Stephenson decomposition on the
+    calibration-bin grain (confidence = score/max, the ECE query's
+    normalization): BS = UNC + REL − RES + WBV − 2·WBC, where the two
+    extra terms (within-bin forecast variance and within-bin
+    forecast-outcome covariance) are what the textbook three-term
+    Murphy identity silently drops when forecasts inside a bin are not
+    constant — reported here so the identity holds EXACTLY (pinned in
+    the test against Fraction arithmetic), turning 'the model is
+    miscalibrated' (REL) vs 'the model cannot discriminate' (low RES)
+    into separately graded facts.
+
+    Exactness: Brier's numerator collapses per bin to Σs² − 2·mx·Σsy
+    + mx²·Σy (one exact rational over N·mx²), uncertainty is
+    SY(N−SY)/N²; the four bin-denominator terms use the playbook's
+    incommensurate-rational device (each bin term half-up at e8,
+    decimal-summed, one final half-up to bp — negative covariance
+    terms truncate identically in both engines).
+
+    100 TB: one hash aggregate to the bin grain carrying five integer
+    sums; every component is arithmetic on that tiny frame — the
+    decomposition costs nothing beyond the reliability table itself.
+    """
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("value").cast("decimal(25,2)") * 100)
+            .cast("long")
+            .alias("sc"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+    )
+    g = s.agg(
+        F.count("*").cast("decimal(38,0)").alias("nn"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.max("sc").cast("decimal(38,0)").alias("mx"),
+    )
+    b = s.groupBy(F.expr(f"sc DIV {CALIB_BIN_CENTS}").alias("bin")).agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("by_"),
+        F.sum("sc").cast("decimal(38,0)").alias("bs"),
+        F.sum(F.col("sc").cast("decimal(38,0)") * F.col("sc")).alias("bss"),
+        F.sum(F.col("sc") * F.col("y")).cast("decimal(38,0)").alias("bsy"),
+    )
+    terms = b.crossJoin(F.broadcast(g)).select(
+        "n", "by_", "bs", "bss", "bsy", "nn", "sy", "mx",
+        F.expr(
+            "(2 * (bs - by_ * mx) * (bs - by_ * mx) * 100000000"
+            " + n * mx * mx) DIV (2 * n * mx * mx)"
+        ).alias("rel_e8"),
+        F.expr(
+            "(2 * (by_ * nn - sy * n) * (by_ * nn - sy * n) * 100000000"
+            " + n * nn * nn) DIV (2 * n * nn * nn)"
+        ).alias("res_e8"),
+        F.expr(
+            "(2 * (n * bss - bs * bs) * 100000000 + n * mx * mx)"
+            " DIV (2 * n * mx * mx)"
+        ).alias("wbv_e8"),
+        F.expr(
+            "(2 * (n * bsy - bs * by_) * 100000000 + n * mx)"
+            " DIV (2 * n * mx)"
+        ).alias("wbc_e8"),
+    )
+    return terms.agg(
+        F.max("nn").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.expr(
+            "CAST((2 * sum(bss - 2 * mx * bsy + mx * mx * by_) * 10000"
+            " + max(nn) * max(mx) * max(mx))"
+            " DIV (2 * max(nn) * max(mx) * max(mx)) AS BIGINT)"
+        ).alias("brier_bp"),
+        F.expr(
+            "CAST((2 * max(sy) * (max(nn) - max(sy)) * 10000"
+            " + max(nn) * max(nn)) DIV (2 * max(nn) * max(nn)) AS BIGINT)"
+        ).alias("unc_bp"),
+        F.expr(
+            "CAST((2 * sum(rel_e8) + max(nn) * 10000)"
+            " DIV (2 * max(nn) * 10000) AS BIGINT)"
+        ).alias("rel_bp"),
+        F.expr(
+            "CAST((2 * sum(res_e8) + max(nn) * 10000)"
+            " DIV (2 * max(nn) * 10000) AS BIGINT)"
+        ).alias("res_bp"),
+        F.expr(
+            "CAST((2 * sum(wbv_e8) + max(nn) * 10000)"
+            " DIV (2 * max(nn) * 10000) AS BIGINT)"
+        ).alias("wbv_bp"),
+        F.expr(
+            "CAST((2 * 2 * sum(wbc_e8) + max(nn) * 10000)"
+            " DIV (2 * max(nn) * 10000) AS BIGINT)"
+        ).alias("wbc2_bp"),
+    )

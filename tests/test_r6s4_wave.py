@@ -1229,3 +1229,67 @@ class TestVitPatchPlan:
             # geometry invariants
             assert max(tw, th) <= VIT_MAX_SIDE
             assert px * VIT_PATCH >= tw and py * VIT_PATCH >= th
+
+
+class TestBrierMurphyDecomposition:
+    def test_matches_fraction_reference_and_exact_identity(self, spark, sf_dir):
+        from fractions import Fraction as Fr
+
+        from leadsight_sales_agent_spark.operators.behavior import (
+            CALIB_BIN_CENTS,
+        )
+
+        pts = [
+            (r.sc, r.y)
+            for r in load(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select(
+                (F.col("value").cast("decimal(25,2)") * 100)
+                .cast("long")
+                .alias("sc"),
+                F.when(F.col("event_type") == "purchase", 1)
+                .otherwise(0)
+                .alias("y"),
+            )
+            .collect()
+        ]
+        N = len(pts)
+        SY = sum(y for _, y in pts)
+        MX = max(s for s, _ in pts)
+        bins = defaultdict(list)
+        for s, y in pts:
+            bins[s // CALIB_BIN_CENTS].append((s, y))
+        brier = sum((Fr(s, MX) - y) ** 2 for s, y in pts) / N
+        unc = Fr(SY, N) * (1 - Fr(SY, N))
+        rel = res = wbv = wbc = Fr(0)
+        for items in bins.values():
+            n = len(items)
+            fbar = Fr(sum(s for s, _ in items), n * MX)
+            obar = Fr(sum(y for _, y in items), n)
+            rel += n * (fbar - obar) ** 2
+            res += n * (obar - Fr(SY, N)) ** 2
+            wbv += sum((Fr(s, MX) - fbar) ** 2 for s, _ in items)
+            wbc += sum((Fr(s, MX) - fbar) * (y - obar) for s, y in items)
+        rel, res, wbv, wbc = rel / N, res / N, wbv / N, wbc / N
+        # the exact generalized identity
+        assert brier == unc + rel - res + wbv - 2 * wbc
+        r = registry.QUERIES["eval_brier_murphy_decomposition"](
+            spark, sf_dir
+        ).collect()[0]
+        assert r.n_events == N and r.n_bins == len(bins)
+
+        def exact_bp(frac):
+            v = frac * 10000
+            return _half_up(v.numerator, v.denominator)
+
+        assert r.brier_bp == exact_bp(brier)
+        assert r.unc_bp == exact_bp(unc)
+        # e8 per-bin rounding contract: within a couple of bp ulps
+        assert abs(r.rel_bp - exact_bp(rel)) <= 1
+        assert abs(r.res_bp - exact_bp(res)) <= 1
+        assert abs(r.wbv_bp - exact_bp(wbv)) <= 1
+        assert abs(r.wbc2_bp - exact_bp(2 * wbc)) <= 2
+        # graded identity holds at the bp grain
+        assert abs(
+            r.brier_bp - (r.unc_bp + r.rel_bp - r.res_bp + r.wbv_bp - r.wbc2_bp)
+        ) <= 3
