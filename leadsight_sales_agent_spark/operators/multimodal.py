@@ -654,3 +654,88 @@ def multimodal_vit_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + px * py * {P * P}) DIV (2 * px * py * {P * P}) AS BIGINT)"
         ).alias("pad_waste_bp"),
     )
+
+
+VIT_BATCH_TOKENS = 4096  # encoder-token budget per packed batch
+
+
+@query(
+    "multimodal_pack_vision_batches",
+    oracle=f"""
+    WITH media AS (
+        SELECT doc_id,
+               CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+               CAST(doc_id % 480 + 16 AS INTEGER) AS height
+        FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0
+    ), fitted AS (
+        SELECT doc_id, width, height,
+               CAST(greatest(floor(width * least(least(
+                   CAST({VIT_MAX_SIDE} AS DOUBLE) / width,
+                   CAST({VIT_MAX_SIDE} AS DOUBLE) / height), 1.0)), 1)
+                   AS BIGINT) AS tw,
+               CAST(greatest(floor(height * least(least(
+                   CAST({VIT_MAX_SIDE} AS DOUBLE) / width,
+                   CAST({VIT_MAX_SIDE} AS DOUBLE) / height), 1.0)), 1)
+                   AS BIGINT) AS th
+        FROM media
+    ), planned AS (
+        SELECT doc_id,
+               4 * width // height AS aspect_bucket,
+               ((tw + {VIT_PATCH - 1}) // {VIT_PATCH})
+               * ((th + {VIT_PATCH - 1}) // {VIT_PATCH}) + 1 AS seq_len
+        FROM fitted
+    ), packed AS (
+        SELECT aspect_bucket, seq_len,
+               (sum(seq_len) OVER (PARTITION BY aspect_bucket
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - seq_len) // {VIT_BATCH_TOKENS} AS batch_id
+        FROM planned
+    )
+    SELECT aspect_bucket, CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(seq_len) AS BIGINT) AS tokens,
+           CAST((2 * sum(seq_len) * 10000 + {VIT_BATCH_TOKENS})
+                // (2 * {VIT_BATCH_TOKENS}) AS BIGINT) AS fill_bp
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def multimodal_pack_vision_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-bucketed vision batch packing: images group by the ViT
+    plan's aspect bucket (same-shape batches keep padding near zero —
+    the SDXL/NaViT bucketing trick), order deterministically, and pack
+    greedily into {VIT_BATCH_TOKENS}-encoder-token batches with the
+    start-offset rule (an image belongs to the batch where its tokens
+    START — one prefix sum, no sequential loop; a batch may overflow
+    by less than one image, the documented trade of prefix-sum packing
+    vs bin packing). Composes the registered ViT geometry (the oracle
+    embeds the same fit/tile spec), and mirrors
+    pack_sequences_token_budget's device on the vision side.
+
+    100 TB: one window per aspect bucket (bounded partitions), the
+    same sharded-prefix-sum scale story as the text packer; the
+    output (batch fill rates per bucket) is the padding-efficiency
+    scorecard a vision loader is tuned against.
+    """
+    from leadsight_sales_agent_spark.registry import QUERIES
+
+    plan = QUERIES["multimodal_vit_patch_plan"](spark, sf_dir).select(
+        "doc_id", "aspect_bucket", "seq_len"
+    )
+    packed = plan.select(
+        "aspect_bucket",
+        "seq_len",
+        F.expr(
+            f"(sum(seq_len) OVER (PARTITION BY aspect_bucket ORDER BY doc_id"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - seq_len)"
+            f" DIV {VIT_BATCH_TOKENS}"
+        ).alias("batch_id"),
+    )
+    return packed.groupBy("aspect_bucket", "batch_id").agg(
+        F.count("*").cast("bigint").alias("n_images"),
+        F.sum("seq_len").cast("bigint").alias("tokens"),
+        F.expr(
+            f"CAST((2 * sum(seq_len) * 10000 + {VIT_BATCH_TOKENS})"
+            f" DIV (2 * {VIT_BATCH_TOKENS}) AS BIGINT)"
+        ).alias("fill_bp"),
+    )

@@ -5025,3 +5025,101 @@ def text_watermark_greenlist_detect(spark: SparkSession, sf_dir: str) -> DataFra
             " DIV (2 * sum(n_pairs)) AS BIGINT)"
         ).alias("green_rate_bp"),
     )
+
+
+@query(
+    "eval_mcc_langid_binary",
+    oracle=f"""
+    WITH pred AS ({{LANGID_INNER}}
+    ), cells AS (
+        SELECT CAST(count(*) FILTER (actual_lang = 'en'
+                    AND predicted_lang = 'en') AS BIGINT) AS tp,
+               CAST(count(*) FILTER (actual_lang <> 'en'
+                    AND predicted_lang = 'en') AS BIGINT) AS fp,
+               CAST(count(*) FILTER (actual_lang = 'en'
+                    AND predicted_lang <> 'en') AS BIGINT) AS fn,
+               CAST(count(*) FILTER (actual_lang <> 'en'
+                    AND predicted_lang <> 'en') AS BIGINT) AS tn
+        FROM pred
+    )
+    SELECT tp, fp, fn, tn,
+           CAST((2 * 10000 * (tp + tn) + (tp + fp + fn + tn))
+                // (2 * (tp + fp + fn + tn)) AS BIGINT) AS accuracy_bp,
+           CAST((2 * 10000 * (CAST(tp AS HUGEINT) * (tn + fp)
+                              + CAST(tn AS HUGEINT) * (tp + fn))
+                 + 2 * CAST(tp + fn AS HUGEINT) * (tn + fp))
+                // (2 * 2 * CAST(tp + fn AS HUGEINT) * (tn + fp))
+               AS BIGINT) AS balanced_accuracy_bp,
+           CAST(floor((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                       - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+                      / (sqrt(CAST(tp + fp AS DOUBLE)
+                              * CAST(tp + fn AS DOUBLE))
+                         * sqrt(CAST(tn + fp AS DOUBLE)
+                                * CAST(tn + fn AS DOUBLE)))
+                      * 1e4 + 0.5) AS BIGINT) AS mcc_e4
+    FROM cells
+    """.replace("{LANGID_INNER}", _ORACLES["text_langid_heuristic"]),
+)
+def eval_mcc_langid_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of the language-ID heuristic as
+    a binary en-vs-rest classifier — the single balanced metric that
+    stays honest under the heavy class imbalance this corpus has
+    (~55% en), where accuracy flatters and F1 ignores true negatives;
+    the metric of record for imbalanced classification (Chicco &
+    Jurman 2020). Ships beside the exact accuracy and balanced
+    accuracy (both pure cross-multiplied integer bp) from the same
+    2x2 confusion — one more composition of the registered langid
+    stage (precision/recall/F1, kappa, confusion, Krippendorff all
+    share it).
+
+    Exactness: the confusion counts are exact integers; MCC's
+    numerator tp·tn − fp·fn is exact in doubles at graded scale and
+    the denominator is a PAIRED sqrt tree — sqrt(ab)·sqrt(cd) keeps
+    every intermediate far under 2^53 where a single 4-way product
+    might not — one shared-verbatim tree, floor e4 quantizer.
+
+    100 TB: a single map-side conditional aggregate to one row; the
+    binarized confusion is the cheapest possible reduction of the
+    classifier stage.
+    """
+    from leadsight_sales_agent_spark.registry import QUERIES
+
+    pred = QUERIES["text_langid_heuristic"](spark, sf_dir)
+    cells = pred.agg(
+        F.count_if(
+            (F.col("actual_lang") == "en") & (F.col("predicted_lang") == "en")
+        ).cast("long").alias("tp"),
+        F.count_if(
+            (F.col("actual_lang") != "en") & (F.col("predicted_lang") == "en")
+        ).cast("long").alias("fp"),
+        F.count_if(
+            (F.col("actual_lang") == "en") & (F.col("predicted_lang") != "en")
+        ).cast("long").alias("fn"),
+        F.count_if(
+            (F.col("actual_lang") != "en") & (F.col("predicted_lang") != "en")
+        ).cast("long").alias("tn"),
+    )
+    return cells.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            "CAST((2 * 10000 * (tp + tn) + (tp + fp + fn + tn))"
+            " DIV (2 * (tp + fp + fn + tn)) AS BIGINT)"
+        ).alias("accuracy_bp"),
+        F.expr(
+            "CAST((2 * 10000 * (CAST(tp AS DECIMAL(38,0)) * (tn + fp)"
+            " + CAST(tn AS DECIMAL(38,0)) * (tp + fn))"
+            " + 2 * CAST(tp + fn AS DECIMAL(38,0)) * (tn + fp))"
+            " DIV (2 * 2 * CAST(tp + fn AS DECIMAL(38,0)) * (tn + fp))"
+            " AS BIGINT)"
+        ).alias("balanced_accuracy_bp"),
+        F.expr(
+            "CAST(floor((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)"
+            " - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))"
+            " / (sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE))"
+            " * sqrt(CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)))"
+            " * 1e4 + 0.5) AS BIGINT)"
+        ).alias("mcc_e4"),
+    )

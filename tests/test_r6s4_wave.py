@@ -1293,3 +1293,59 @@ class TestBrierMurphyDecomposition:
         assert abs(
             r.brier_bp - (r.unc_bp + r.rel_bp - r.res_bp + r.wbv_bp - r.wbc2_bp)
         ) <= 3
+
+
+class TestPackVisionBatches:
+    def test_matches_python_packing(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.multimodal import (
+            VIT_BATCH_TOKENS,
+        )
+
+        plan = sorted(
+            (r.aspect_bucket, r.doc_id, r.seq_len)
+            for r in registry.QUERIES["multimodal_vit_patch_plan"](
+                spark, sf_dir
+            ).collect()
+        )
+        batches = defaultdict(lambda: [0, 0])  # (bucket, batch) -> [n, tokens]
+        cum = Counter()
+        for bucket, _, seq in plan:
+            bid = cum[bucket] // VIT_BATCH_TOKENS
+            cum[bucket] += seq
+            b = batches[(bucket, bid)]
+            b[0] += 1
+            b[1] += seq
+        got = {
+            (r.aspect_bucket, r.batch_id): (r.n_images, r.tokens, r.fill_bp)
+            for r in registry.QUERIES["multimodal_pack_vision_batches"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(got) == set(batches)
+        for k, (n, toks) in batches.items():
+            assert got[k] == (n, toks, _half_up(toks * 10000, VIT_BATCH_TOKENS))
+        # every image is in exactly one batch
+        assert sum(v[0] for v in batches.values()) == len(plan)
+
+
+class TestMccLangid:
+    def test_matches_python_reference(self, spark, sf_dir):
+        import math
+
+        pred = registry.QUERIES["text_langid_heuristic"](spark, sf_dir).collect()
+        tp = sum(1 for r in pred if r.actual_lang == "en" and r.predicted_lang == "en")
+        fp = sum(1 for r in pred if r.actual_lang != "en" and r.predicted_lang == "en")
+        fn = sum(1 for r in pred if r.actual_lang == "en" and r.predicted_lang != "en")
+        tn = sum(1 for r in pred if r.actual_lang != "en" and r.predicted_lang != "en")
+        r = registry.QUERIES["eval_mcc_langid_binary"](spark, sf_dir).collect()[0]
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+        n = tp + fp + fn + tn
+        assert r.accuracy_bp == _half_up((tp + tn) * 10000, n)
+        assert r.balanced_accuracy_bp == _half_up(
+            (tp * (tn + fp) + tn * (tp + fn)) * 10000, 2 * (tp + fn) * (tn + fp)
+        )
+        mcc = (tp * tn - fp * fn) / (
+            math.sqrt((tp + fp) * (tp + fn)) * math.sqrt((tn + fp) * (tn + fn))
+        )
+        assert r.mcc_e4 == int(math.floor(mcc * 1e4 + 0.5))
+        assert -10000 <= r.mcc_e4 <= 10000
