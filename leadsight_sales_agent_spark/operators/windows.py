@@ -3638,3 +3638,181 @@ def window_parkinson_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(floor({_PK_SIG} * sqrt(12.0) * 1e6 + 0.5) AS BIGINT)"
         ).alias("sigma_annualized_e6"),
     )
+
+
+# --- LTTB downsampling ----------------------------------------------------
+#
+# Largest-Triangle-Three-Buckets over the 36-month series, threshold
+# 12: endpoints always kept, the 10 interior buckets partition months
+# 2..35 with exact integer boundaries, and each bucket keeps the point
+# maximizing the triangle area against the PREVIOUS kept point and the
+# NEXT bucket's average. The only rational (the average) cross-
+# multiplies away: 2·Area·n² = |(n·xa−Sx)(n·yb−Sy) − (n·xb−Sx)(n·ya−Sy)|
+# — all BIGINT, ties to the earliest month.
+LTTB_N = 36
+LTTB_T = 12
+_LTTB_BUCKETS = [
+    (2 + ((k - 1) * (LTTB_N - 2)) // (LTTB_T - 2),
+     1 + (k * (LTTB_N - 2)) // (LTTB_T - 2))
+    for k in range(1, LTTB_T - 1)
+]  # inclusive (lo, hi) month ranges of the 10 interior buckets
+
+
+def _lttb_oracle() -> str:
+    parts = [f"""
+    WITH months AS (
+        SELECT unnest(generate_series(1, {LTTB_N})) AS t
+    ), rev AS (
+        SELECT (year(o_orderdate) - 1996) * 12 + month(o_orderdate) AS t,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+        GROUP BY 1
+    ), series AS (
+        SELECT m.t, coalesce(r.y, 0) AS y FROM months m
+        LEFT JOIN rev r ON r.t = m.t
+    ),
+    p0 AS (SELECT t AS xa, y AS ya FROM series WHERE t = 1)"""]
+    for k, (lo, hi) in enumerate(_LTTB_BUCKETS, start=1):
+        if k < len(_LTTB_BUCKETS):
+            nlo, nhi = _LTTB_BUCKETS[k]
+            nstat = (f"SELECT CAST(count(*) AS BIGINT) AS n,"
+                     f" CAST(sum(t) AS BIGINT) AS sx,"
+                     f" CAST(sum(y) AS BIGINT) AS sy"
+                     f" FROM series WHERE t BETWEEN {nlo} AND {nhi}")
+        else:
+            nstat = (f"SELECT CAST(1 AS BIGINT) AS n, CAST(t AS BIGINT) AS sx,"
+                     f" CAST(y AS BIGINT) AS sy"
+                     f" FROM series WHERE t = {LTTB_N}")
+        parts.append(f""",
+    ns{k} AS ({nstat}),
+    c{k} AS (
+        SELECT s.t, s.y,
+               abs((n.n * p.xa - n.sx) * (n.n * s.y - n.sy)
+                   - (n.n * s.t - n.sx) * (n.n * p.ya - n.sy)) AS a2
+        FROM series s, p{k - 1} p, ns{k} n
+        WHERE s.t BETWEEN {lo} AND {hi}
+        ORDER BY a2 DESC, s.t LIMIT 1
+    ),
+    p{k} AS (SELECT t AS xa, y AS ya FROM c{k})""")
+    legs = [f"SELECT 0 AS bucket, t AS month_idx, y AS y_cents,"
+            f" CAST(0 AS BIGINT) AS area2n2 FROM series WHERE t = 1"]
+    legs += [
+        f"SELECT {k}, t, y, CAST(a2 AS BIGINT) FROM c{k}"
+        for k in range(1, LTTB_T - 1)
+    ]
+    legs.append(
+        f"SELECT {LTTB_T - 1}, t, y, CAST(0 AS BIGINT)"
+        f" FROM series WHERE t = {LTTB_N}"
+    )
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(legs)
+
+
+@query("window_downsample_lttb", oracle=_lttb_oracle())
+def window_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    of the 36-month revenue series to 12 points — the visually-
+    optimal downsampler every time-series dashboard and long-retention
+    metrics store runs before plotting or tiering data out: keep the
+    endpoints, and in each interior bucket keep the point forming the
+    largest triangle with the previously KEPT point and the NEXT
+    bucket's centroid, so peaks, troughs, and inflections survive
+    where naive striding or averaging erase them.
+
+    LTTB is sequential (each bucket depends on the previous pick) —
+    run exactly anyway as {LTTB_T}-2 unrolled rounds (the S-H-ESD
+    bounded-rounds device): bucket boundaries are integer literals,
+    and the next-bucket centroid cross-multiplies away so the argmax
+    compares exact BIGINT doubled-areas x n², ties to the earliest
+    month. The kept point's area ships in the output, making the
+    selection auditable.
+
+    100 TB: the series is calendar-bounded after one month rollup;
+    each round is a <=4-row candidate frame against two 1-row anchors.
+    For a large-N series the same recurrence runs as one
+    aggregate-fold over the bucketed array (the DTW device) — the
+    unroll here keeps the oracle twin mechanical.
+    """
+    cents = (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long")
+    rev = (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").between(1996, 1998))
+        .groupBy(
+            ((F.year("o_orderdate") - 1996) * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum(cents).cast("long").alias("y"))
+    )
+    months = spark.range(1, LTTB_N + 1).select(
+        F.col("id").cast("long").alias("t")
+    )
+    series = (
+        months.join(rev, "t", "left")
+        .select("t", F.coalesce("y", F.lit(0)).alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    prev = series.filter(F.col("t") == 1).select(
+        F.col("t").alias("xa"), F.col("y").alias("ya")
+    )
+    out = [
+        series.filter(F.col("t") == 1).select(
+            F.lit(0).alias("bucket"),
+            F.col("t").alias("month_idx"),
+            F.col("y").alias("y_cents"),
+            F.lit(0).cast("bigint").alias("area2n2"),
+        )
+    ]
+    for k, (lo, hi) in enumerate(_LTTB_BUCKETS, start=1):
+        if k < len(_LTTB_BUCKETS):
+            nlo, nhi = _LTTB_BUCKETS[k]
+            nstat = series.filter(F.col("t").between(nlo, nhi)).agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("t").cast("long").alias("sx"),
+                F.sum("y").cast("long").alias("sy"),
+            )
+        else:
+            nstat = series.filter(F.col("t") == LTTB_N).select(
+                F.lit(1).cast("long").alias("n"),
+                F.col("t").alias("sx"),
+                F.col("y").alias("sy"),
+            )
+        pick = (
+            series.filter(F.col("t").between(lo, hi))
+            .crossJoin(F.broadcast(prev))
+            .crossJoin(F.broadcast(nstat))
+            .select(
+                "t",
+                "y",
+                F.abs(
+                    (F.col("n") * F.col("xa") - F.col("sx"))
+                    * (F.col("n") * F.col("y") - F.col("sy"))
+                    - (F.col("n") * F.col("t") - F.col("sx"))
+                    * (F.col("n") * F.col("ya") - F.col("sy"))
+                ).alias("a2"),
+            )
+            .orderBy(F.desc("a2"), "t")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        out.append(
+            pick.select(
+                F.lit(k).alias("bucket"),
+                F.col("t").alias("month_idx"),
+                F.col("y").alias("y_cents"),
+                F.col("a2").cast("bigint").alias("area2n2"),
+            )
+        )
+        prev = pick.select(F.col("t").alias("xa"), F.col("y").alias("ya"))
+    out.append(
+        series.filter(F.col("t") == LTTB_N).select(
+            F.lit(LTTB_T - 1).alias("bucket"),
+            F.col("t").alias("month_idx"),
+            F.col("y").alias("y_cents"),
+            F.lit(0).cast("bigint").alias("area2n2"),
+        )
+    )
+    res = out[0]
+    for fr in out[1:]:
+        res = res.unionAll(fr)
+    return res

@@ -1349,3 +1349,60 @@ class TestMccLangid:
         )
         assert r.mcc_e4 == int(math.floor(mcc * 1e4 + 0.5))
         assert -10000 <= r.mcc_e4 <= 10000
+
+
+class TestLttbDownsample:
+    def test_matches_python_replay_exactly(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.windows import (
+            _LTTB_BUCKETS,
+            LTTB_N,
+            LTTB_T,
+        )
+
+        rev = defaultdict(int)
+        for r in (
+            load(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate").between(1996, 1998))
+            .select(
+                ((F.year("o_orderdate") - 1996) * 12 + F.month("o_orderdate"))
+                .alias("t"),
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .collect()
+        ):
+            rev[r.t] += r.cents
+        ys = {t: rev.get(t, 0) for t in range(1, LTTB_N + 1)}
+        expect = [(0, 1, ys[1], 0)]
+        xa, ya = 1, ys[1]
+        for k, (lo, hi) in enumerate(_LTTB_BUCKETS, start=1):
+            if k < len(_LTTB_BUCKETS):
+                nlo, nhi = _LTTB_BUCKETS[k]
+                pts = list(range(nlo, nhi + 1))
+                n, sx, sy = len(pts), sum(pts), sum(ys[t] for t in pts)
+            else:
+                n, sx, sy = 1, LTTB_N, ys[LTTB_N]
+            best = None
+            for t in range(lo, hi + 1):
+                a2 = abs(
+                    (n * xa - sx) * (n * ys[t] - sy)
+                    - (n * t - sx) * (n * ya - sy)
+                )
+                if best is None or a2 > best[0]:
+                    best = (a2, t)
+            a2, t = best
+            expect.append((k, t, ys[t], a2))
+            xa, ya = t, ys[t]
+        expect.append((LTTB_T - 1, LTTB_N, ys[LTTB_N], 0))
+        got = sorted(
+            (r.bucket, r.month_idx, r.y_cents, r.area2n2)
+            for r in registry.QUERIES["window_downsample_lttb"](
+                spark, sf_dir
+            ).collect()
+        )
+        assert got == expect
+        # kept months strictly increase and cover both endpoints
+        ms = [t for _, t, _, _ in got]
+        assert ms == sorted(ms) and ms[0] == 1 and ms[-1] == LTTB_N
+        assert len(got) == LTTB_T
