@@ -2769,3 +2769,143 @@ def sample_coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame
     for fr in rounds[1:]:
         out = out.unionAll(fr)
     return out
+
+
+_RS_LN_E12 = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)"
+
+
+def _recsys_audit_oracle() -> str:
+    from leadsight_sales_agent_spark.registry import ORACLES
+
+    recs = ORACLES["recsys_item_item_cosine"]
+    ln_b = _RS_LN_E12.format(x="(SELECT nb FROM baskets)")
+    ln_nj = _RS_LN_E12.format(x="i.n")
+    return f"""
+    WITH recs AS ({recs}
+    ), lines AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ), item_n AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS n FROM lines GROUP BY 1
+    ), baskets AS (
+        SELECT CAST(count(DISTINCT ok) AS BIGINT) AS nb FROM lines
+    ), catalog AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_parts FROM part
+    ), slots AS (
+        SELECT r.item, r.neighbor, {ln_b} - {ln_nj} AS novelty_e12
+        FROM recs r JOIN item_n i ON i.p = r.neighbor
+    ), freq AS (
+        SELECT neighbor, CAST(count(*) AS BIGINT) AS cnt FROM slots GROUP BY 1
+    ), ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, neighbor) AS rn
+        FROM freq
+    ), agg AS (
+        SELECT (SELECT CAST(count(DISTINCT item) AS BIGINT) FROM slots)
+                   AS n_items_with_recs,
+               (SELECT CAST(count(*) AS BIGINT) FROM slots) AS n_slots,
+               (SELECT n_parts FROM catalog) AS catalog_size,
+               (SELECT CAST(count(*) AS BIGINT) FROM freq)
+                   AS covered_neighbors,
+               (SELECT CAST(sum(novelty_e12) AS HUGEINT) FROM slots)
+                   AS nov_sum,
+               (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT)
+                FROM ranked WHERE rn <= 10) AS top10_slots
+    )
+    SELECT n_items_with_recs, n_slots, catalog_size, covered_neighbors,
+           CAST((2 * covered_neighbors * 10000 + catalog_size)
+                // (2 * catalog_size) AS BIGINT) AS coverage_bp,
+           CAST((2 * nov_sum + n_slots * 1000000)
+                // (2 * n_slots * 1000000) AS BIGINT) AS mean_novelty_e6,
+           CAST((2 * top10_slots * 10000 + n_slots)
+                // (2 * n_slots) AS BIGINT) AS top10_share_bp
+    FROM agg
+    """
+
+
+@query("recsys_coverage_novelty_audit", oracle=_recsys_audit_oracle())
+def recsys_coverage_novelty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy recommender audit (Castells et al.'s
+    coverage/novelty/concentration triad) over the registered
+    item-item top-5 table: CATALOG COVERAGE (what share of the part
+    catalog is ever recommended — the long-tail health check), mean
+    NOVELTY as the self-information -ln(popularity) of each
+    recommended neighbor in nats (popularity = basket support /
+    total baskets), and the TOP-10 CONCENTRATION share of
+    recommendation slots (the popularity-bias number). Accuracy-style
+    metrics live elsewhere (MAP/NDCG); these are the catalog-health
+    counterweights every production recsys tracks alongside them.
+
+    Composition: the oracle embeds the registered recommender spec
+    (zero drift); novelty uses the playbook ln-device (each ln
+    floor-quantized at e12, integer-summed — ln(B) - ln(n_j) keeps the
+    per-slot term a pure BIGINT), coverage and concentration are exact
+    cross-multiplied bp.
+
+    100 TB: adds two hash-aggregates and one broadcast join on top of
+    the recommender's own cost; the audit frame is slots-bounded (5
+    per item).
+    """
+    from leadsight_sales_agent_spark.registry import QUERIES
+
+    recs = QUERIES["recsys_item_item_cosine"](spark, sf_dir)
+    lines = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    item_n = lines.groupBy("p").agg(F.count("*").cast("long").alias("n"))
+    baskets = lines.agg(
+        F.countDistinct("ok").cast("long").alias("nb")
+    )
+    catalog = load(spark, sf_dir, "part").agg(
+        F.count("*").cast("long").alias("n_parts")
+    )
+    slots = (
+        recs.join(item_n, recs.neighbor == item_n.p)
+        .crossJoin(F.broadcast(baskets))
+        .select(
+            "item",
+            "neighbor",
+            (
+                F.expr(_RS_LN_E12.format(x="nb"))
+                - F.expr(_RS_LN_E12.format(x="n"))
+            ).alias("novelty_e12"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    freq = slots.groupBy("neighbor").agg(F.count("*").cast("long").alias("cnt"))
+    top10 = (
+        freq.orderBy(F.desc("cnt"), "neighbor")
+        .limit(10)
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("top10_slots"))
+    )
+    agg = (
+        slots.agg(
+            F.countDistinct("item").cast("long").alias("n_items_with_recs"),
+            F.count("*").cast("long").alias("n_slots"),
+            F.sum("novelty_e12").cast("decimal(38,0)").alias("nov_sum"),
+        )
+        .crossJoin(F.broadcast(freq.agg(
+            F.count("*").cast("long").alias("covered_neighbors")
+        )))
+        .crossJoin(F.broadcast(catalog))
+        .crossJoin(F.broadcast(top10))
+    )
+    return agg.select(
+        "n_items_with_recs",
+        "n_slots",
+        F.col("n_parts").alias("catalog_size"),
+        "covered_neighbors",
+        F.expr(
+            "CAST((2 * covered_neighbors * 10000 + n_parts)"
+            " DIV (2 * n_parts) AS BIGINT)"
+        ).alias("coverage_bp"),
+        F.expr(
+            "CAST((2 * nov_sum + n_slots * 1000000)"
+            " DIV (2 * CAST(n_slots AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+        ).alias("mean_novelty_e6"),
+        F.expr(
+            "CAST((2 * top10_slots * 10000 + n_slots)"
+            " DIV (2 * n_slots) AS BIGINT)"
+        ).alias("top10_share_bp"),
+    )

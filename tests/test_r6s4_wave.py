@@ -1406,3 +1406,42 @@ class TestLttbDownsample:
         ms = [t for _, t, _, _ in got]
         assert ms == sorted(ms) and ms[0] == 1 and ms[-1] == LTTB_N
         assert len(got) == LTTB_T
+
+
+class TestRecsysCoverageNovelty:
+    def test_matches_python_reference(self, spark, sf_dir):
+        import math
+
+        recs = registry.QUERIES["recsys_item_item_cosine"](spark, sf_dir).collect()
+        lines = {
+            (r.l_orderkey, r.l_partkey)
+            for r in load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .collect()
+        }
+        item_n = Counter(p for _, p in lines)
+        nb = len({ok for ok, _ in lines})
+        catalog = load(spark, sf_dir, "part").count()
+        ln_e12 = lambda x: int(math.floor(math.log(x) * 1e12 + 0.5))  # noqa: E731
+        slots = [
+            (r.item, r.neighbor, ln_e12(nb) - ln_e12(item_n[r.neighbor]))
+            for r in recs
+        ]
+        freq = Counter(nbr for _, nbr, _ in slots)
+        top10 = sum(
+            c for _, c in sorted(freq.items(), key=lambda t: (-t[1], t[0]))[:10]
+        )
+        r = registry.QUERIES["recsys_coverage_novelty_audit"](
+            spark, sf_dir
+        ).collect()[0]
+        assert r.n_items_with_recs == len({i for i, _, _ in slots})
+        assert r.n_slots == len(slots)
+        assert r.catalog_size == catalog
+        assert r.covered_neighbors == len(freq)
+        assert r.coverage_bp == _half_up(len(freq) * 10000, catalog)
+        assert r.mean_novelty_e6 == _half_up(
+            sum(v for _, _, v in slots), len(slots) * 10**6
+        )
+        assert r.top10_share_bp == _half_up(top10 * 10000, len(slots))
+        # novelty is positive (recommended items are never universal)
+        assert r.mean_novelty_e6 > 0

@@ -85,6 +85,7 @@ ALLOW_NON_EQUI = {
     "forecast_causal_impact_counterfactual",  # 1-row pre-period sums onto 12 post months
     "eval_brier_murphy_decomposition",  # 1-row global sums onto the bin grain
     "window_downsample_lttb",  # 1-row prev-pick/next-centroid anchors per bucket round
+    "recsys_coverage_novelty_audit",  # 1-row baskets/catalog/top10 anchors on the slot frame
     "ab_cuped_variance_reduction",  # (defensive) single-row moment frame ops
     "text_rouge_l_source_similarity",  # 1-row reference-name/sequence anchors (the BLEU shape)
     "sketch_kmv_rolling_distinct_7d",  # day-grid range join (31 rows x <=k hashes)
