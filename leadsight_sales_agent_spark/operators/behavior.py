@@ -10074,3 +10074,155 @@ def eval_brier_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFra
             " DIV (2 * max(nn) * 10000) AS BIGINT)"
         ).alias("wbc2_bp"),
     )
+
+
+PERM_REPS = 200  # derandomized permutation replicates
+
+
+@query(
+    "ab_permutation_test_hashed",
+    oracle=f"""
+    WITH units AS (
+        SELECT c_custkey AS ck,
+               CASE WHEN {_SQL_HASH.format(salt='ab:', key='c_custkey')}
+                         < '80000000' THEN 1 ELSE 0 END AS arm_a,
+               CAST(coalesce(r.y, 0) AS BIGINT) AS y
+        FROM customer LEFT JOIN (
+            SELECT o_custkey,
+                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS y
+            FROM orders WHERE year(o_orderdate) = 1997
+            GROUP BY o_custkey
+        ) r ON r.o_custkey = c_custkey
+    ), g AS (
+        SELECT CAST(sum(arm_a) AS HUGEINT) AS na,
+               CAST(count(*) - sum(arm_a) AS HUGEINT) AS nb,
+               CAST(sum(arm_a * y) AS HUGEINT) AS sya,
+               CAST(sum((1 - arm_a) * y) AS HUGEINT) AS syb
+        FROM units
+    ), reps AS (
+        SELECT u.ck, u.y, r.rep,
+               row_number() OVER (PARTITION BY r.rep ORDER BY
+                   md5('perm:' || r.rep || ':' || CAST(u.ck AS STRING)),
+                   u.ck) AS rk
+        FROM units u CROSS JOIN (
+            SELECT unnest(generate_series(1, {PERM_REPS})) AS rep) r
+    ), rstat AS (
+        SELECT rep,
+               CAST(sum(CASE WHEN rk <= (SELECT na FROM g)
+                             THEN y ELSE 0 END) AS HUGEINT) AS pya,
+               CAST(sum(CASE WHEN rk > (SELECT na FROM g)
+                             THEN y ELSE 0 END) AS HUGEINT) AS pyb
+        FROM reps GROUP BY rep
+    ), verdicts AS (
+        SELECT rep,
+               CASE WHEN abs(pya * g.nb - pyb * g.na)
+                         >= abs(g.sya * g.nb - g.syb * g.na)
+                    THEN 1 ELSE 0 END AS extreme
+        FROM rstat CROSS JOIN g
+    )
+    SELECT CAST((SELECT na FROM g) AS BIGINT) AS n_a,
+           CAST((SELECT nb FROM g) AS BIGINT) AS n_b,
+           CAST({PERM_REPS} AS BIGINT) AS n_reps,
+           CAST(sum(extreme) AS BIGINT) AS n_extreme,
+           CAST((2 * 10000 * (sum(extreme) + 1) + ({PERM_REPS} + 1))
+                // (2 * ({PERM_REPS} + 1)) AS BIGINT) AS p_value_bp
+    FROM verdicts
+    """,
+)
+def ab_permutation_test_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the A/B revenue difference, DERANDOMIZED:
+    {PERM_REPS} label permutations come from md5-ranked shuffles
+    (replicate r relabels the first n_A customers in
+    md5('perm:r:ck') order as arm A), so the classic
+    distribution-free significance test — the gold standard when
+    normality is in doubt — is hash-exact and engine-identical, the
+    same derandomization contract as the Poisson bootstrap CI. The
+    statistic compares cross-multiplied mean differences
+    (|Sy_A·n_B − Sy_B·n_A|, pure integers — no division), and the
+    p-value uses the add-one permutation convention
+    (extreme+1)/(reps+1).
+
+    100 TB: the replicate fan-out is an explicit x{PERM_REPS} explode
+    — the honest cost of permutation testing — kept tractable because
+    each replicate needs only a rank and two integer sums (one shuffle
+    on the replicate key, map-side partial sums). For budget-bound
+    runs the same contract drops to fewer replicates; CUPED/Welch
+    (parametric, single-pass) are the cheap siblings.
+    """
+    cents = (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long")
+    rev = (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1997)
+        .groupBy(F.col("o_custkey").alias("rck"))
+        .agg(F.sum(cents).cast("long").alias("ry"))
+    )
+    units = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .join(rev, F.col("c_custkey") == F.col("rck"), "left")
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.when(hash_key("ab:", F.col("c_custkey")) < "80000000", 1)
+            .otherwise(0)
+            .alias("arm_a"),
+            F.coalesce("ry", F.lit(0)).alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    g = units.agg(
+        F.sum("arm_a").cast("decimal(38,0)").alias("na"),
+        (F.count("*") - F.sum("arm_a")).cast("decimal(38,0)").alias("nb"),
+        F.sum(F.col("arm_a") * F.col("y")).cast("decimal(38,0)").alias("sya"),
+        F.sum((1 - F.col("arm_a")) * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syb"),
+    )
+    reps_grid = spark.range(1, PERM_REPS + 1).select(
+        F.col("id").cast("int").alias("rep")
+    )
+    wrep = Window.partitionBy("rep").orderBy(
+        F.md5(
+            F.concat(
+                F.lit("perm:"),
+                F.col("rep").cast("string"),
+                F.lit(":"),
+                F.col("ck").cast("string"),
+            )
+        ),
+        "ck",
+    )
+    reps = (
+        units.crossJoin(F.broadcast(reps_grid))
+        .select("ck", "y", "rep", F.row_number().over(wrep).alias("rk"))
+        .crossJoin(F.broadcast(g))
+    )
+    rstat = reps.groupBy("rep").agg(
+        F.sum(F.when(F.col("rk") <= F.col("na"), F.col("y")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("pya"),
+        F.sum(F.when(F.col("rk") > F.col("na"), F.col("y")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("pyb"),
+    )
+    verdicts = rstat.crossJoin(F.broadcast(g)).select(
+        F.when(
+            F.abs(F.col("pya") * F.col("nb") - F.col("pyb") * F.col("na"))
+            >= F.abs(F.col("sya") * F.col("nb") - F.col("syb") * F.col("na")),
+            1,
+        )
+        .otherwise(0)
+        .alias("extreme"),
+        "na",
+        "nb",
+    )
+    return verdicts.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.lit(PERM_REPS).cast("bigint").alias("n_reps"),
+        F.sum("extreme").cast("bigint").alias("n_extreme"),
+        F.expr(
+            f"CAST((2 * 10000 * (sum(extreme) + 1) + ({PERM_REPS} + 1))"
+            f" DIV (2 * ({PERM_REPS} + 1)) AS BIGINT)"
+        ).alias("p_value_bp"),
+    )

@@ -1445,3 +1445,59 @@ class TestRecsysCoverageNovelty:
         assert r.top10_share_bp == _half_up(top10 * 10000, len(slots))
         # novelty is positive (recommended items are never universal)
         assert r.mean_novelty_e6 > 0
+
+
+class TestPermutationTestHashed:
+    def test_matches_python_replay_exactly(self, spark, sf_dir):
+        import hashlib
+
+        from leadsight_sales_agent_spark.operators.behavior import PERM_REPS
+
+        rev = defaultdict(int)
+        for r in (
+            load(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate") == 1997)
+            .select(
+                "o_custkey",
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .collect()
+        ):
+            rev[r.o_custkey] += r.cents
+        units = []
+        for r in load(spark, sf_dir, "customer").select("c_custkey").collect():
+            ck = r.c_custkey
+            arm_a = (
+                1
+                if hashlib.md5(f"ab:{ck}".encode()).hexdigest()[:8] < "80000000"
+                else 0
+            )
+            units.append((ck, arm_a, rev.get(ck, 0)))
+        na = sum(a for _, a, _ in units)
+        nb = len(units) - na
+        sya = sum(y for _, a, y in units if a)
+        syb = sum(y for _, a, y in units if not a)
+        obs = abs(sya * nb - syb * na)
+        extreme = 0
+        for rep in range(1, PERM_REPS + 1):
+            order = sorted(
+                units,
+                key=lambda u: (
+                    hashlib.md5(f"perm:{rep}:{u[0]}".encode()).hexdigest(),
+                    u[0],
+                ),
+            )
+            pya = sum(y for _, _, y in order[:na])
+            pyb = sum(y for _, _, y in order[na:])
+            extreme += int(abs(pya * nb - pyb * na) >= obs)
+        r = registry.QUERIES["ab_permutation_test_hashed"](
+            spark, sf_dir
+        ).collect()[0]
+        assert (r.n_a, r.n_b, r.n_reps) == (na, nb, PERM_REPS)
+        assert r.n_extreme == extreme
+        assert r.p_value_bp == _half_up(
+            (extreme + 1) * 10000, PERM_REPS + 1
+        )
+        assert 0 < r.p_value_bp <= 10000

@@ -86,6 +86,7 @@ ALLOW_NON_EQUI = {
     "eval_brier_murphy_decomposition",  # 1-row global sums onto the bin grain
     "window_downsample_lttb",  # 1-row prev-pick/next-centroid anchors per bucket round
     "recsys_coverage_novelty_audit",  # 1-row baskets/catalog/top10 anchors on the slot frame
+    "ab_permutation_test_hashed",  # 200-row replicate grid + 1-row group-sums anchors
     "ab_cuped_variance_reduction",  # (defensive) single-row moment frame ops
     "text_rouge_l_source_similarity",  # 1-row reference-name/sequence anchors (the BLEU shape)
     "sketch_kmv_rolling_distinct_7d",  # day-grid range join (31 rows x <=k hashes)
