@@ -10226,3 +10226,159 @@ def ab_permutation_test_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV (2 * ({PERM_REPS} + 1)) AS BIGINT)"
         ).alias("p_value_bp"),
     )
+
+
+@query(
+    "forecast_seasonal_trend_strength",
+    oracle="""
+    WITH months AS (
+        SELECT unnest(generate_series(1, 36)) AS t
+    ), rev AS (
+        SELECT (year(o_orderdate) - 1996) * 12 + month(o_orderdate) AS t,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+        GROUP BY 1
+    ), series AS (
+        SELECT m.t, coalesce(r.y, 0) AS y FROM months m
+        LEFT JOIN rev r ON r.t = m.t
+    ), ma AS (
+        SELECT t, y,
+               CASE WHEN t BETWEEN 7 AND 30 THEN
+                    sum(2 * y) OVER (ORDER BY t
+                        ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+                    + lag(y, 6) OVER (ORDER BY t)
+                    + lead(y, 6) OVER (ORDER BY t)
+               END AS t24
+        FROM series
+    ), interior AS (
+        SELECT t, (t - 1) % 12 AS moy, 24 * y - t24 AS d24, 24 * y AS y24
+        FROM ma WHERE t24 IS NOT NULL
+    ), sidx AS (
+        SELECT moy,
+               CASE WHEN sum(d24) >= 0
+                    THEN (2 * sum(d24) + count(*)) // (2 * count(*))
+                    ELSE -((2 * -sum(d24) + count(*)) // (2 * count(*)))
+               END AS s24
+        FROM interior GROUP BY moy
+    ), comp AS (
+        SELECT i.d24, i.d24 - s.s24 AS r24, i.y24 - s.s24 AS ds24
+        FROM interior i JOIN sidx s ON s.moy = i.moy
+    ), v AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(count(*) AS HUGEINT)
+                 * sum(CAST(r24 AS HUGEINT) * r24)
+                 - CAST(sum(r24) AS HUGEINT) * sum(r24) AS var_r,
+               CAST(count(*) AS HUGEINT)
+                 * sum(CAST(d24 AS HUGEINT) * d24)
+                 - CAST(sum(d24) AS HUGEINT) * sum(d24) AS var_sr,
+               CAST(count(*) AS HUGEINT)
+                 * sum(CAST(ds24 AS HUGEINT) * ds24)
+                 - CAST(sum(ds24) AS HUGEINT) * sum(ds24) AS var_tr
+        FROM comp
+    )
+    SELECT CAST(n AS BIGINT) AS n_interior,
+           CAST(greatest(CAST(0 AS HUGEINT),
+                (2 * 10000 * (var_tr - var_r) + var_tr) // (2 * var_tr))
+               AS BIGINT) AS trend_strength_bp,
+           CAST(greatest(CAST(0 AS HUGEINT),
+                (2 * 10000 * (var_sr - var_r) + var_sr) // (2 * var_sr))
+               AS BIGINT) AS seasonal_strength_bp
+    FROM v
+    """,
+)
+def forecast_seasonal_trend_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman's trend and seasonal STRENGTH features (tsfeatures /
+    M4 meta-features): F_T = max(0, 1 − Var(R)/Var(T+R)) and
+    F_S = max(0, 1 − Var(R)/Var(S+R)) over an additive classical
+    decomposition — the two numbers a forecasting pipeline uses to
+    ROUTE series to models (strongly seasonal → seasonal-naive /
+    Holt-Winters; strongly trended → drift models) and the standard
+    time-series embedding features.
+
+    Exact decomposition contract: trend is the classic centered 2x12
+    moving average carried as x24 integers (half-weights become whole
+    numbers), seasonal indices are half-up integer means of the
+    detrended x24 values per calendar month (negative-safe mirrored
+    half-up), so remainder, detrended, and deseasonalized series are
+    all exact BIGINTs on the 24 interior months — both strengths are
+    pure cross-multiplied integer ratios (n·Σx² − (Σx)² variances) in
+    half-up bp, floored at 0 like the published definition.
+
+    100 TB: one month rollup; one 13-wide window pass on the
+    calendar-bounded series; two tiny aggregates. The graded fact on
+    this data — strong seasonality, weak trend — is exactly why
+    holt_winters beats holt_linear on the same series.
+    """
+    cents = (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long")
+    rev = (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").between(1996, 1998))
+        .groupBy(
+            ((F.year("o_orderdate") - 1996) * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum(cents).cast("long").alias("y"))
+    )
+    months = spark.range(1, 37).select(F.col("id").cast("long").alias("t"))
+    series = months.join(rev, "t", "left").select(
+        "t", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    w = Window.orderBy("t")
+    wma = Window.orderBy("t").rowsBetween(-5, 5)
+    ma = series.select(
+        "t",
+        "y",
+        F.when(
+            F.col("t").between(7, 30),
+            F.sum(2 * F.col("y")).over(wma)
+            + F.lag("y", 6).over(w)
+            + F.lead("y", 6).over(w),
+        ).alias("t24"),
+    )
+    interior = ma.filter(F.col("t24").isNotNull()).select(
+        "t",
+        ((F.col("t") - 1) % 12).alias("moy"),
+        (24 * F.col("y") - F.col("t24")).alias("d24"),
+        (24 * F.col("y")).alias("y24"),
+    )
+    sidx = interior.groupBy("moy").agg(
+        F.expr(
+            "CASE WHEN sum(d24) >= 0"
+            " THEN (2 * sum(d24) + count(*)) DIV (2 * count(*))"
+            " ELSE -((2 * -sum(d24) + count(*)) DIV (2 * count(*))) END"
+        ).alias("s24")
+    )
+    comp = interior.join(F.broadcast(sidx), "moy").select(
+        "d24",
+        (F.col("d24") - F.col("s24")).alias("r24"),
+        (F.col("y24") - F.col("s24")).alias("ds24"),
+    )
+
+    def var(col: str) -> str:
+        return (
+            f"CAST(count(*) AS DECIMAL(38,0))"
+            f" * sum(CAST({col} AS DECIMAL(38,0)) * {col})"
+            f" - CAST(sum({col}) AS DECIMAL(38,0)) * sum({col})"
+        )
+
+    v = comp.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(var("r24")).alias("var_r"),
+        F.expr(var("d24")).alias("var_sr"),
+        F.expr(var("ds24")).alias("var_tr"),
+    )
+    return v.select(
+        F.col("n").alias("n_interior"),
+        F.expr(
+            "CAST(greatest(CAST(0 AS DECIMAL(38,0)),"
+            " (2 * 10000 * (var_tr - var_r) + var_tr) DIV (2 * var_tr))"
+            " AS BIGINT)"
+        ).alias("trend_strength_bp"),
+        F.expr(
+            "CAST(greatest(CAST(0 AS DECIMAL(38,0)),"
+            " (2 * 10000 * (var_sr - var_r) + var_sr) DIV (2 * var_sr))"
+            " AS BIGINT)"
+        ).alias("seasonal_strength_bp"),
+    )

