@@ -10382,3 +10382,155 @@ def forecast_seasonal_trend_strength(spark: SparkSession, sf_dir: str) -> DataFr
             " AS BIGINT)"
         ).alias("seasonal_strength_bp"),
     )
+
+
+# Theta-method constants: 2x2 calendar Gram over t = 1..36 (literal
+# adjugate, the piecewise-trend device) and the dyadic SES horizon.
+_TH2_N = 36
+_TH2_ST = sum(range(1, _TH2_N + 1))
+_TH2_STT = sum(t * t for t in range(1, _TH2_N + 1))
+TH2_DET = _TH2_N * _TH2_STT - _TH2_ST * _TH2_ST
+# intercept numerator = stt*b0 - st*b1 ; slope numerator = n*b1 - st*b0
+
+
+@query(
+    "forecast_theta_method",
+    oracle=f"""
+    WITH months AS (
+        SELECT unnest(generate_series(1, {_TH2_N})) AS t
+    ), rev AS (
+        SELECT (year(o_orderdate) - 1996) * 12 + month(o_orderdate) AS t,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+        GROUP BY 1
+    ), series AS (
+        SELECT m.t, coalesce(r.y, 0) AS y FROM months m
+        LEFT JOIN rev r ON r.t = m.t
+    ), sums AS (
+        SELECT CAST(sum(y) AS HUGEINT) AS b0,
+               CAST(sum(t * y) AS HUGEINT) AS b1
+        FROM series
+    ), coef AS (
+        SELECT {_TH2_STT} * b0 - {_TH2_ST} * b1 AS na,
+               {_TH2_N} * b1 - {_TH2_ST} * b0 AS nb
+        FROM sums
+    ), theta AS (
+        SELECT s.t,
+               2 * CAST(s.y AS HUGEINT) * {TH2_DET} - (c.na + c.nb * s.t)
+                   AS x_num
+        FROM series s CROSS JOIN coef c
+    ), ses AS (
+        SELECT CAST(sum(CASE WHEN t = 1 THEN x_num
+                             ELSE x_num * (CAST(1 AS HUGEINT) << CAST(t - 2 AS INTEGER))
+                        END) AS HUGEINT) AS s_num
+        FROM theta
+    )
+    SELECT
+        CAST((2 * 100 * c.na + {TH2_DET})
+             // (2 * CAST({TH2_DET} AS HUGEINT)) AS BIGINT)
+            AS intercept_centi,
+        CAST((2 * 100 * c.nb + {TH2_DET})
+             // (2 * CAST({TH2_DET} AS HUGEINT)) AS BIGINT) AS slope_centi,
+        CAST((2 * 100 * s.s_num + CAST({TH2_DET} AS HUGEINT) * 34359738368)
+             // (2 * CAST({TH2_DET} AS HUGEINT) * 34359738368) AS BIGINT)
+            AS theta2_ses_centi,
+        CAST((2 * 100 * (c.na + {_TH2_N + 1} * c.nb) + {TH2_DET})
+             // (2 * CAST({TH2_DET} AS HUGEINT)) AS BIGINT)
+            AS trend_next_centi,
+        CAST((2 * 100 * ((c.na + {_TH2_N + 1} * c.nb)
+                         * CAST(34359738368 AS HUGEINT) + s.s_num)
+              + 2 * CAST({TH2_DET} AS HUGEINT) * 34359738368)
+             // (2 * 2 * CAST({TH2_DET} AS HUGEINT) * 34359738368) AS BIGINT)
+            AS forecast_next_centi
+    FROM coef c CROSS JOIN ses s
+    """,
+)
+def forecast_theta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Theta method (Assimakopoulos & Nikolopoulos 2000) — the
+    M3/M4-competition-winning forecaster — in its classic two-line
+    form: decompose the 36-month series into the theta=0 line (the
+    OLS trend) and the theta=2 line (2y - trend, double curvature),
+    run simple exponential smoothing over the theta=2 line, and
+    forecast as the average of the extrapolated trend and the SES
+    level. Reports the trend coefficients, the SES level, and the
+    one-step-ahead combination forecast in centi-cents.
+
+    Every number is an exact integer rational by composing three
+    proven devices: the OLS trend via the CALENDAR-GRAM literal
+    adjugate (coefficients = integer numerators over the literal
+    det = {TH2_DET}); the theta=2 line carried as numerators over
+    that same denominator; and SES with alpha = 1/2 as the dyadic
+    fold (L·2^35 = x_1 + Σ x_t·2^(t-2) — a plain weighted SUM, no
+    recursion), all HUGEINT/DECIMAL(38) with half-up centi reports.
+
+    100 TB: one month rollup, two scalar sums, one weighted sum — the
+    M4 winner costs three aggregates. The graded companion to
+    holt_winters (trend+seasonality) and the pinball scoreboard that
+    prices such forecasts.
+    """
+    cents = (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long")
+    rev = (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").between(1996, 1998))
+        .groupBy(
+            ((F.year("o_orderdate") - 1996) * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum(cents).cast("long").alias("y"))
+    )
+    months = spark.range(1, _TH2_N + 1).select(F.col("id").cast("long").alias("t"))
+    series = months.join(rev, "t", "left").select(
+        "t", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    sums = series.agg(
+        F.sum("y").cast("decimal(38,0)").alias("b0"),
+        F.sum(F.col("t") * F.col("y")).cast("decimal(38,0)").alias("b1"),
+    )
+    coef = sums.select(
+        F.expr(f"{_TH2_STT} * b0 - {_TH2_ST} * b1").alias("na"),
+        F.expr(f"{_TH2_N} * b1 - {_TH2_ST} * b0").alias("nb"),
+    ).localCheckpoint(eager=False)
+    theta = series.crossJoin(F.broadcast(coef)).select(
+        "t",
+        F.expr(
+            f"2 * CAST(y AS DECIMAL(38,0)) * {TH2_DET} - (na + nb * t)"
+        ).alias("x_num"),
+    )
+    ses = theta.agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN t = 1 THEN x_num"
+                " ELSE x_num * CAST(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(t - 2 AS INT)) AS DECIMAL(38,0)) END"
+            )
+        ).alias("s_num")
+    )
+    d = TH2_DET
+    return coef.crossJoin(F.broadcast(ses)).select(
+        F.expr(
+            f"CAST((2 * 100 * na + {d})"
+            f" DIV (2 * CAST({d} AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("intercept_centi"),
+        F.expr(
+            f"CAST((2 * 100 * nb + {d})"
+            f" DIV (2 * CAST({d} AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("slope_centi"),
+        F.expr(
+            f"CAST((2 * 100 * s_num + CAST({d} AS DECIMAL(38,0))"
+            f" * {1 << 35}) DIV (2 * CAST({d} AS DECIMAL(38,0))"
+            f" * {1 << 35}) AS BIGINT)"
+        ).alias("theta2_ses_centi"),
+        F.expr(
+            f"CAST((2 * 100 * (na + {_TH2_N + 1} * nb) + {d})"
+            f" DIV (2 * CAST({d} AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("trend_next_centi"),
+        F.expr(
+            f"CAST((2 * 100 * ((na + {_TH2_N + 1} * nb)"
+            f" * CAST({1 << 35} AS DECIMAL(38,0)) + s_num)"
+            f" + 2 * CAST({d} AS DECIMAL(38,0)) * {1 << 35})"
+            f" DIV (2 * 2 * CAST({d} AS DECIMAL(38,0)) * {1 << 35})"
+            f" AS BIGINT)"
+        ).alias("forecast_next_centi"),
+    )

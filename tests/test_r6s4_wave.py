@@ -1557,3 +1557,48 @@ class TestSeasonalTrendStrength:
         assert 0 <= r.seasonal_strength_bp <= 10000
         # this corpus is strongly seasonal relative to trend
         assert Fr(r.seasonal_strength_bp) >= 0
+
+
+class TestThetaMethod:
+    def test_matches_fraction_reference(self, spark, sf_dir):
+        from fractions import Fraction as Fr
+
+        rev = defaultdict(int)
+        for r in (
+            load(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate").between(1996, 1998))
+            .select(
+                ((F.year("o_orderdate") - 1996) * 12 + F.month("o_orderdate"))
+                .alias("t"),
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .collect()
+        ):
+            rev[r.t] += r.cents
+        N = 36
+        ys = {t: rev.get(t, 0) for t in range(1, N + 1)}
+        n = N
+        st, stt = sum(range(1, N + 1)), sum(t * t for t in range(1, N + 1))
+        b0, b1 = sum(ys.values()), sum(t * y for t, y in ys.items())
+        det = n * stt - st * st
+        a = Fr(stt * b0 - st * b1, det)
+        b = Fr(n * b1 - st * b0, det)
+        theta2 = {t: 2 * ys[t] - (a + b * t) for t in range(1, N + 1)}
+        lvl = theta2[1]
+        for t in range(2, N + 1):
+            lvl = (theta2[t] + lvl) / 2
+        trend_next = a + b * (N + 1)
+        forecast = (trend_next + lvl) / 2
+        r = registry.QUERIES["forecast_theta_method"](spark, sf_dir).collect()[0]
+
+        def pin(got, frac):
+            v = frac * 100
+            assert got == _half_up(v.numerator, v.denominator), (got, float(v))
+
+        pin(r.intercept_centi, a)
+        pin(r.slope_centi, b)
+        pin(r.theta2_ses_centi, lvl)
+        pin(r.trend_next_centi, trend_next)
+        pin(r.forecast_next_centi, forecast)
