@@ -5123,3 +5123,80 @@ def eval_mcc_langid_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1e4 + 0.5) AS BIGINT)"
         ).alias("mcc_e4"),
     )
+
+
+MATTR_W = 25  # moving-average TTR window (Covington & McFall 2010)
+
+
+@query(
+    "text_mattr_lexical_diversity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           w -> len(w) > 0) AS ws
+        FROM documents
+    ), scored AS (
+        SELECT lang,
+               CAST(len(ws) - {MATTR_W} + 1 AS BIGINT) AS n_windows,
+               CAST(coalesce(list_sum(list_transform(
+                   generate_series(1, len(ws) - {MATTR_W} + 1),
+                   i -> len(list_distinct(ws[i:i + {MATTR_W - 1}])))), 0)
+                    AS BIGINT) AS types_sum
+        FROM toks WHERE len(ws) >= {MATTR_W}
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_windows) AS BIGINT) AS n_windows,
+           CAST((2 * sum(types_sum) * 10000
+                 + sum(n_windows) * {MATTR_W})
+                // (2 * sum(n_windows) * {MATTR_W}) AS BIGINT)
+               AS mattr_bp
+    FROM scored GROUP BY lang
+    """,
+)
+def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR — moving-average type-token ratio (Covington & McFall
+    2010): plain TTR (text_lexical_diversity) falls mechanically with
+    document length, so it can't compare diversity across differently
+    sized documents; MATTR slides a fixed {MATTR_W}-token window and
+    averages the per-window type counts, making the measure
+    length-invariant — the corpus-quality diversity signal that is
+    actually comparable across sources and the repetition-detection
+    complement to text_repetition_signals (which counts repeats; this
+    normalizes them).
+
+    Exact: per-window distinct counts are integers from one
+    higher-order fold per document (array_distinct over slices — no
+    explode, no shuffle); the per-language MATTR pools all windows
+    (Σtypes / (Σwindows·{MATTR_W})) as one half-up cross-multiplied
+    bp. Documents shorter than the window are excluded per the
+    published definition.
+
+    100 TB: map-side only until the 5-key rollup; per-row cost is
+    O(tokens x window) inside codegen — the documented trade vs a
+    rolling-set implementation, fine at window {MATTR_W}.
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(
+            "filter(split(trim(text), '\\\\s+'), w -> length(w) > 0)"
+        ).alias("ws"),
+    ).filter(F.expr(f"size(ws) >= {MATTR_W}"))
+    scored = toks.select(
+        "lang",
+        F.expr(f"CAST(size(ws) - {MATTR_W} + 1 AS BIGINT)").alias("n_windows"),
+        F.expr(
+            f"aggregate(sequence(1, size(ws) - {MATTR_W} + 1), 0L,"
+            f" (acc, i) -> acc + size(array_distinct("
+            f"slice(ws, CAST(i AS INT), {MATTR_W}))))"
+        ).alias("types_sum"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_windows").cast("bigint").alias("n_windows"),
+        F.expr(
+            f"CAST((2 * sum(types_sum) * 10000 + sum(n_windows) * {MATTR_W})"
+            f" DIV (2 * sum(n_windows) * {MATTR_W}) AS BIGINT)"
+        ).alias("mattr_bp"),
+    )

@@ -1602,3 +1602,35 @@ class TestThetaMethod:
         pin(r.theta2_ses_centi, lvl)
         pin(r.trend_next_centi, trend_next)
         pin(r.forecast_next_centi, forecast)
+
+
+class TestMattr:
+    def test_matches_python_reference(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.operators.text import MATTR_W
+
+        agg = defaultdict(lambda: [0, 0, 0])  # docs, windows, types_sum
+        for lang, text in _docs(spark, sf_dir):
+            ws = [w for w in re.split(r"\s+", text.strip()) if w]
+            if len(ws) < MATTR_W:
+                continue
+            nw = len(ws) - MATTR_W + 1
+            ts = sum(
+                len(set(ws[i : i + MATTR_W])) for i in range(nw)
+            )
+            a = agg[lang]
+            a[0] += 1
+            a[1] += nw
+            a[2] += ts
+        rows = {
+            r.lang: r
+            for r in registry.QUERIES["text_mattr_lexical_diversity"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(rows) == set(agg)
+        for lang, (d, nw, ts) in agg.items():
+            r = rows[lang]
+            assert r.n_docs == d
+            assert r.n_windows == nw
+            assert r.mattr_bp == _half_up(ts * 10000, nw * MATTR_W)
+            assert 0 < r.mattr_bp <= 10000
