@@ -1240,3 +1240,134 @@ def storage_zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFram
     return leg("natural", ["l_orderkey", "l_linenumber"]).unionAll(
         leg("shipdate_sorted", ["l_shipdate", "l_orderkey", "l_linenumber"])
     )
+
+
+_SK_CANDIDATES = [
+    ("natural", "o_orderkey"),
+    ("by_date", "o_orderdate, o_orderkey"),
+    ("by_priority", "o_orderpriority, o_orderdate, o_orderkey"),
+]
+_SK_COLS = [
+    ("runs_status", "o_orderstatus"),
+    ("runs_priority", "o_orderpriority"),
+    ("runs_month", "strftime(o_orderdate, '%Y-%m')"),
+    ("runs_custkey", "CAST(o_custkey AS STRING)"),
+]
+
+
+def _sk_leg_sql(layout: str, order_by: str) -> str:
+    runs = ",\n               ".join(
+        f"CAST(count(*) FILTER (pv_{a} IS NULL OR pv_{a} <> v_{a})"
+        f" AS BIGINT) AS {a}"
+        for a, _ in _SK_COLS
+    )
+    vals = ",\n               ".join(
+        f"{e} AS v_{a}, lag({e}) OVER (ORDER BY {order_by}) AS pv_{a}"
+        for a, e in _SK_COLS
+    )
+    return f"""
+    SELECT '{layout}' AS layout, {runs}
+    FROM (SELECT {vals} FROM orders)
+    """
+
+
+@query(
+    "storage_sort_key_advisor",
+    oracle=f"""
+    WITH legs AS (
+        {" UNION ALL ".join(_sk_leg_sql(n, o) for n, o in _SK_CANDIDATES)}
+    ), totaled AS (
+        SELECT layout, runs_status, runs_priority, runs_month, runs_custkey,
+               runs_status + runs_priority + runs_month + runs_custkey
+                   AS total_runs
+        FROM legs
+    )
+    SELECT layout, runs_status, runs_priority, runs_month, runs_custkey,
+           CAST(total_runs AS BIGINT) AS total_runs,
+           CAST(CASE WHEN row_number() OVER (ORDER BY total_runs, layout) = 1
+                THEN 1 ELSE 0 END AS INTEGER) AS best
+    FROM totaled
+    """,
+)
+def storage_sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-key advisor: rank three candidate physical layouts of
+    orders (insert order, date-clustered, priority-then-date) by the
+    TOTAL RLE run count across four frequently-filtered columns — the
+    decision OPTIMIZE/CLUSTER BY actually makes, computed from the
+    same run-counting primitive as storage_rle_sortedness_audit but
+    ACROSS candidate keys, so the output is a ranked recommendation
+    (best flag, deterministic tie-break) rather than a single audit.
+    Fewer total runs = better dictionary+RLE compression AND better
+    zone-map pruning for every audited column at once; the winner
+    feeds the zorder/Hilbert/zonemap family as the chosen key.
+
+    Exact: runs are integer lag-inequality counts under fully
+    tie-broken total orders; the winner is an integer argmin. One
+    sort + one window pass per candidate (the advisor's honest cost —
+    run it on a sample at 100 TB, exactly like OPTIMIZE's planner).
+    """
+    frames = []
+    spark_cols = [
+        ("runs_status", F.col("o_orderstatus")),
+        ("runs_priority", F.col("o_orderpriority")),
+        ("runs_month", F.date_format("o_orderdate", "yyyy-MM")),
+        ("runs_custkey", F.col("o_custkey").cast("string")),
+    ]
+    orders = load(spark, sf_dir, "orders")
+    order_specs = {
+        "natural": [F.col("o_orderkey")],
+        "by_date": [F.col("o_orderdate"), F.col("o_orderkey")],
+        "by_priority": [
+            F.col("o_orderpriority"),
+            F.col("o_orderdate"),
+            F.col("o_orderkey"),
+        ],
+    }
+    for layout, keys in order_specs.items():
+        w = Window.orderBy(*keys)
+        proj = orders.select(
+            *[c.alias(f"v_{a}") for a, c in spark_cols],
+            *[F.lag(c).over(w).alias(f"pv_{a}") for a, c in spark_cols],
+        )
+        frames.append(
+            proj.agg(
+                *[
+                    F.count_if(
+                        F.col(f"pv_{a}").isNull()
+                        | (F.col(f"pv_{a}") != F.col(f"v_{a}"))
+                    )
+                    .cast("bigint")
+                    .alias(a)
+                    for a, _ in spark_cols
+                ]
+            ).select(F.lit(layout).alias("layout"), "*")
+        )
+    legs = frames[0]
+    for fr in frames[1:]:
+        legs = legs.unionByName(fr)
+    totaled = legs.withColumn(
+        "total_runs",
+        (
+            F.col("runs_status")
+            + F.col("runs_priority")
+            + F.col("runs_month")
+            + F.col("runs_custkey")
+        ).cast("bigint"),
+    ).localCheckpoint(eager=False)
+    best = (
+        totaled.orderBy("total_runs", "layout")
+        .limit(1)
+        .select(F.col("layout").alias("best_layout"))
+    )
+    return totaled.crossJoin(F.broadcast(best)).select(
+        "layout",
+        "runs_status",
+        "runs_priority",
+        "runs_month",
+        "runs_custkey",
+        "total_runs",
+        F.when(F.col("layout") == F.col("best_layout"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("best"),
+    )

@@ -1634,3 +1634,50 @@ class TestMattr:
             assert r.n_windows == nw
             assert r.mattr_bp == _half_up(ts * 10000, nw * MATTR_W)
             assert 0 < r.mattr_bp <= 10000
+
+
+class TestSortKeyAdvisor:
+    def test_matches_python_reference(self, spark, sf_dir):
+        rows_ = [
+            (r.o_orderkey, r.o_orderdate, r.o_orderstatus, r.o_orderpriority,
+             r.o_custkey, r.o_orderdate.strftime("%Y-%m"))
+            for r in load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderdate", "o_orderstatus",
+                    "o_orderpriority", "o_custkey")
+            .collect()
+        ]
+
+        def runs(ordered, pick):
+            total, prev = 0, object()
+            for row in ordered:
+                v = pick(row)
+                if v != prev:
+                    total += 1
+                prev = v
+            return total
+
+        layouts = {
+            "natural": sorted(rows_, key=lambda r: r[0]),
+            "by_date": sorted(rows_, key=lambda r: (r[1], r[0])),
+            "by_priority": sorted(rows_, key=lambda r: (r[3], r[1], r[0])),
+        }
+        expect = {}
+        for name, ordered in layouts.items():
+            rs = runs(ordered, lambda r: r[2])
+            rp = runs(ordered, lambda r: r[3])
+            rm = runs(ordered, lambda r: r[5])
+            rc = runs(ordered, lambda r: str(r[4]))
+            expect[name] = (rs, rp, rm, rc, rs + rp + rm + rc)
+        best = min(expect, key=lambda n: (expect[n][4], n))
+        got = {
+            r.layout: (r.runs_status, r.runs_priority, r.runs_month,
+                       r.runs_custkey, r.total_runs, r.best)
+            for r in registry.QUERIES["storage_sort_key_advisor"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(got) == set(expect)
+        for name, vals in expect.items():
+            assert got[name][:5] == vals, name
+            assert got[name][5] == (1 if name == best else 0)
+        assert sum(v[5] for v in got.values()) == 1

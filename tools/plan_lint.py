@@ -87,6 +87,7 @@ ALLOW_NON_EQUI = {
     "window_downsample_lttb",  # 1-row prev-pick/next-centroid anchors per bucket round
     "recsys_coverage_novelty_audit",  # 1-row baskets/catalog/top10 anchors on the slot frame
     "ab_permutation_test_hashed",  # 200-row replicate grid + 1-row group-sums anchors
+    "storage_sort_key_advisor",  # 1-row best-layout anchor onto the 3-row candidate frame
     "ab_cuped_variance_reduction",  # (defensive) single-row moment frame ops
     "text_rouge_l_source_similarity",  # 1-row reference-name/sequence anchors (the BLEU shape)
     "sketch_kmv_rolling_distinct_7d",  # day-grid range join (31 rows x <=k hashes)
@@ -257,6 +258,7 @@ ALLOW_GLOBAL_SORT = {
     "sample_pps_systematic",  # the systematic pass IS the hash-ordered cumulative
     "dedup_sorted_neighborhood",  # the sort IS the blocking key
     "storage_zonemap_skipping_audit",  # the sort IS the layout under audit
+    "storage_sort_key_advisor",  # the sorts ARE the candidate layouts under ranking
     "topk_distinct_prices_dense_rank",
     "pareto_abc_parts",
     "inventory_abc_xyz_matrix",
