@@ -3816,3 +3816,137 @@ def window_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in out[1:]:
         res = res.unionAll(fr)
     return res
+
+
+# Damped-trend Holt (alpha = beta = 1/2, phi = 1/2), 16-observation
+# window, init l = v_{t-15}, b = 0 — the damped recurrence
+# l_t = y/2 + l/2 + b/4, b_t = y/4 - l/4 + 3b/8 unrolls to exact
+# dyadic coefficient tables over 2^44 (the holt_linear device with the
+# damping folded into the matrix powers); derived with Fractions and
+# replayed against the sequential recursion in the test.
+DHOLT_DEN = 1 << 44
+DHOLT_L = (
+    8796093022208, 5497558138880, 2611340115968, 910533066752,
+    143881404416, -101737037824, -124990259200, -83932217344,
+    -42193125376, -15935930368, -3395657728, 1012782080, 1735098752,
+    1265015888, 673114214, 278513098,
+)
+DHOLT_B = (
+    4398046511104, -549755813888, -1580547964928, -1245540515840,
+    -694710960128, -296486961152, -85748350976, -908066816,
+    20642529280, 18289229824, 10842443776, 4914830848, 1589866048,
+    162425080, -255344567, -533857665,
+)
+
+
+def _dholt_half_up(expr: str, den: int) -> str:
+    return (
+        f"CASE WHEN {expr} >= 0"
+        f" THEN (2 * CAST({expr} AS HUGEINT) + {den}) // {2 * den}"
+        f" ELSE -((2 * CAST(-({expr}) AS HUGEINT) + {den}) // {2 * den})"
+        f" END"
+    )
+
+
+@query(
+    "holt_damped_trend_smoothing",
+    oracle=f"""
+    WITH series AS (
+        SELECT o_orderpriority AS priority,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT priority, month, cents,
+               row_number() OVER (PARTITION BY priority ORDER BY month) AS rn,
+               {_holt_sql_dot(DHOLT_L, "priority", "month")} AS lsc,
+               {_holt_sql_dot(DHOLT_B, "priority", "month")} AS bsc
+        FROM series
+    )
+    SELECT priority, month,
+           CAST({_dholt_half_up("lsc", DHOLT_DEN)} AS BIGINT) AS level_cents,
+           CAST({_dholt_half_up("bsc", DHOLT_DEN)} AS BIGINT) AS trend_cents,
+           CAST({_dholt_half_up("(8 * lsc + 7 * bsc)", 8 * DHOLT_DEN)}
+                AS BIGINT) AS forecast3_cents
+    FROM idx WHERE rn >= 16
+    """,
+)
+def holt_damped_trend_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped-trend Holt smoothing (Gardner & McKenzie 1985) — the
+    M-competition workhorse that beats plain Holt by letting the trend
+    DECAY (phi = 1/2) instead of extrapolating forever — over each
+    priority's monthly revenue, with the 3-step-ahead forecast
+    l + (phi + phi² + phi³)·b = l + (7/8)·b. Completes the exponential-
+    smoothing family: SES-by-theta (forecast_theta_method), linear
+    Holt, damped Holt, and Holt-Winters seasonal.
+
+    Same exactness device as holt_linear_smoothing: with all constants
+    dyadic, the 16-observation windowed recurrence unrolls to literal
+    coefficient tables over 2^44 (damping folded into the matrix
+    powers — table derived with Fractions, replayed against the
+    sequential recursion in the test); level, trend, and forecast are
+    mirrored half-up integer cents. One month rollup, one 16-lag
+    window pass per priority — no recursion at runtime.
+    """
+    m = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("priority").orderBy("month")
+    lsc = sum(
+        (
+            F.lit(c).cast("decimal(38,0)")
+            * (F.lag("cents", k).over(w) if k else F.col("cents"))
+            for k, c in enumerate(DHOLT_L)
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    bsc = sum(
+        (
+            F.lit(c).cast("decimal(38,0)")
+            * (F.lag("cents", k).over(w) if k else F.col("cents"))
+            for k, c in enumerate(DHOLT_B)
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    idx = m.select(
+        "priority",
+        "month",
+        F.row_number().over(w).alias("rn"),
+        lsc.alias("lsc"),
+        bsc.alias("bsc"),
+    ).filter(F.col("rn") >= 16)
+
+    def half_up(expr: str, den: int) -> str:
+        return (
+            f"CASE WHEN {expr} >= 0"
+            f" THEN (2 * CAST({expr} AS DECIMAL(38,0)) + {den}) DIV {2 * den}"
+            f" ELSE -((2 * CAST(-({expr}) AS DECIMAL(38,0)) + {den})"
+            f" DIV {2 * den}) END"
+        )
+
+    return idx.select(
+        "priority",
+        "month",
+        F.expr(f"CAST({half_up('lsc', DHOLT_DEN)} AS BIGINT)").alias(
+            "level_cents"
+        ),
+        F.expr(f"CAST({half_up('bsc', DHOLT_DEN)} AS BIGINT)").alias(
+            "trend_cents"
+        ),
+        F.expr(
+            f"CAST({half_up('(8 * lsc + 7 * bsc)', 8 * DHOLT_DEN)} AS BIGINT)"
+        ).alias("forecast3_cents"),
+    )

@@ -1681,3 +1681,60 @@ class TestSortKeyAdvisor:
             assert got[name][:5] == vals, name
             assert got[name][5] == (1 if name == best else 0)
         assert sum(v[5] for v in got.values()) == 1
+
+
+class TestHoltDampedTrend:
+    def test_table_matches_sequential_recursion(self, spark, sf_dir):
+        """The coefficient tables must equal the exact sequential
+        damped-Holt recursion replayed with Fractions per window."""
+        from fractions import Fraction as Fr
+
+        monthly = defaultdict(dict)
+        for r in (
+            load(spark, sf_dir, "orders")
+            .groupBy(
+                F.col("o_orderpriority").alias("p"),
+                F.date_format(
+                    F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+                ).alias("m"),
+            )
+            .agg(
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100, 0
+                )
+                .cast("long")
+                .alias("cents")
+            )
+            .collect()
+        ):
+            monthly[r.p][r.m] = r.cents
+        rows = {
+            (r.priority, r.month): r
+            for r in registry.QUERIES["holt_damped_trend_smoothing"](
+                spark, sf_dir
+            ).collect()
+        }
+
+        def hup(frac):
+            # the engines' MIRRORED half-up (rounds away from zero)
+            n, d = frac.numerator, frac.denominator
+            if n >= 0:
+                return (2 * n + d) // (2 * d)
+            return -((2 * -n + d) // (2 * d))
+
+        checked = 0
+        for p, by_m in monthly.items():
+            ms = sorted(by_m)
+            for i in range(15, len(ms)):
+                window = [by_m[m] for m in ms[i - 15 : i + 1]]
+                l, b = Fr(window[0]), Fr(0)
+                for v in window[1:]:
+                    nl = Fr(v, 2) + l / 2 + b / 4
+                    b = Fr(v, 4) - l / 4 + 3 * b / 8
+                    l = nl
+                r = rows[(p, ms[i])]
+                assert r.level_cents == hup(l), (p, ms[i])
+                assert r.trend_cents == hup(b)
+                assert r.forecast3_cents == hup(l + Fr(7, 8) * b)
+                checked += 1
+        assert checked == len(rows) and checked > 0
