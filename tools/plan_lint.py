@@ -84,6 +84,7 @@ ALLOW_NON_EQUI = {
     "anomaly_seasonal_hybrid_esd",  # 1-row median/MAD/argmax anchors per ESD round (36-row series)
     "forecast_causal_impact_counterfactual",  # 1-row pre-period sums onto 12 post months
     "eval_brier_murphy_decomposition",  # 1-row global sums onto the bin grain
+    "forecast_theta_method",  # 1-row trend-coefficient / SES-sum anchors on the 36-month series
     "window_downsample_lttb",  # 1-row prev-pick/next-centroid anchors per bucket round
     "recsys_coverage_novelty_audit",  # 1-row baskets/catalog/top10 anchors on the slot frame
     "ab_permutation_test_hashed",  # 200-row replicate grid + 1-row group-sums anchors
