@@ -1738,3 +1738,86 @@ class TestHoltDampedTrend:
                 assert r.forecast3_cents == hup(l + Fr(7, 8) * b)
                 checked += 1
         assert checked == len(rows) and checked > 0
+
+
+class TestMarkovRemovalAttribution:
+    def test_matches_fraction_gaussian_solve(self, spark, sf_dir):
+        """Independent path: build the chains in Python and solve the
+        absorption systems with Fraction Gaussian elimination — not
+        the generated Cramer expansions the engines use."""
+        from fractions import Fraction as Fr
+
+        from leadsight_sales_agent_spark.operators.behavior import (
+            MARKOV_CHANNELS,
+        )
+
+        evs = defaultdict(list)
+        for r in (
+            load(spark, sf_dir, "events")
+            .select("user_id", "event_type", "ts", "event_id")
+            .collect()
+        ):
+            evs[r.user_id].append((r.ts, r.event_id, r.event_type))
+        chains = []
+        for u, rows_ in evs.items():
+            seq = [t for _, _, t in sorted(rows_)]
+            if "purchase" in seq:
+                seq = seq[: seq.index("purchase") + 1]
+            chains.append(seq)
+        states = ["start"] + MARKOV_CHANNELS
+        trans = Counter()
+        conv = Counter()
+        visits = Counter()
+        visits["start"] = len(chains)
+        for seq in chains:
+            prev = "start"
+            for t in seq:
+                if t == "purchase":
+                    conv[prev] += 1
+                else:
+                    trans[(prev, t)] += 1
+                    visits[t] += 1
+                    prev = t
+
+        def solve(active):
+            n = len(active)
+            A = [
+                [
+                    Fr(
+                        (visits[a] if a == bcol else 0)
+                        - (trans.get((a, bcol), 0) if bcol != "start" else 0)
+                    )
+                    for bcol in active
+                ]
+                for a in active
+            ]
+            bb = [Fr(conv[a]) for a in active]
+            M = [A[i] + [bb[i]] for i in range(n)]
+            for c in range(n):
+                p = next(r for r in range(c, n) if M[r][c] != 0)
+                M[c], M[p] = M[p], M[c]
+                M[c] = [v / M[c][c] for v in M[c]]
+                for r in range(n):
+                    if r != c and M[r][c] != 0:
+                        M[r] = [
+                            vr - M[r][c] * vc for vr, vc in zip(M[r], M[c])
+                        ]
+            return M[0][n]  # x_start
+
+        def e6(frac):
+            v = frac * 10**6
+            return _half_up(v.numerator, v.denominator)
+
+        row = registry.QUERIES["attribution_markov_removal"](
+            spark, sf_dir
+        ).collect()[0]
+        full = solve(states)
+        assert row.p_conv_e6 == e6(full)
+        for ch in MARKOV_CHANNELS:
+            sub = [s for s in states if s != ch]
+            p = solve(sub)
+            got = getattr(row, f"p_wo_{ch}_e6")
+            assert got == e6(p), ch
+            # removing a channel can only remove conversion paths
+            assert p <= full
+        assert 0 <= row.p_conv_e6 <= 10**6

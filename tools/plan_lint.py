@@ -85,6 +85,7 @@ ALLOW_NON_EQUI = {
     "forecast_causal_impact_counterfactual",  # 1-row pre-period sums onto 12 post months
     "eval_brier_murphy_decomposition",  # 1-row global sums onto the bin grain
     "forecast_theta_method",  # 1-row trend-coefficient / SES-sum anchors on the 36-month series
+    "attribution_markov_removal",  # 1-row count-matrix x 1-row visits anchors
     "window_downsample_lttb",  # 1-row prev-pick/next-centroid anchors per bucket round
     "recsys_coverage_novelty_audit",  # 1-row baskets/catalog/top10 anchors on the slot frame
     "ab_permutation_test_hashed",  # 200-row replicate grid + 1-row group-sums anchors
