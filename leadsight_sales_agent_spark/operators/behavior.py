@@ -4461,9 +4461,10 @@ def eval_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(n AS BIGINT) AS n_examples, b, c, both_right,
            (b - c) * (b - c) AS chi2_num,
-           round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 4) AS chi2,
-           round(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
-                 / (b + c), 4) AS chi2_cc
+           floor(CAST((b - c) * (b - c) AS DOUBLE) / (b + c) * 1e4 + 0.5)
+               / 1e4 AS chi2,
+           floor(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+                 / (b + c) * 1e4 + 0.5) / 1e4 AS chi2_cc
     FROM cells
     """,
 )
@@ -4478,8 +4479,9 @@ def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs a time-of-day rule), so the 2x2 discordance table is exact.
 
     Exactness: everything through chi2_num is BIGINT arithmetic; the
-    single division is one IEEE op on integer-derived doubles both
-    engines round identically at 4dp. Scale: one map-side projection,
+    single division is one IEEE op on integer-derived doubles, then
+    quantized at 4dp with the floor(x*1e4+0.5)/1e4 device both engines
+    evaluate bit-identically. Scale: one map-side projection,
     one count-reduce — no shuffle beyond the final 1-row aggregate;
     the discordance counts are map-side partials at any scale.
     """
@@ -4516,9 +4518,12 @@ def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         "both_right",
         ((F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))).alias("chi2_num"),
-        F.expr("round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 4)").alias("chi2"),
         F.expr(
-            "round(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE) / (b + c), 4)"
+            "floor(CAST((b - c) * (b - c) AS DOUBLE) / (b + c) * 1e4 + 0.5) / 1e4"
+        ).alias("chi2"),
+        F.expr(
+            "floor(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)"
+            " / (b + c) * 1e4 + 0.5) / 1e4"
         ).alias("chi2_cc"),
     )
 

@@ -69,87 +69,84 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # window_sliding_panes, plus the remaining never-graded long tail
 # (see CORRECTNESS_r0* row history).
 _PANEL_50 = [
-    # r6 panel. Composition:
-    # (a) the 5 array-output queries fixed this round (serialize to CSV
-    #     strings — the r5 driver-red failure mode) plus the 2 queries
-    #     whose half-up device moved from floor(/) to DIV per ADVICE —
-    #     all 7 need a driver row to confirm the fix under the driver's
-    #     own canonicalizer;
-    # (b) 3 second confirmations (url_resolution_suite keeps the urls
-    #     family covered; KMV/Bloom per the r5 verdict);
-    # (c) 40 slots of never-driver-graded queries (208 remain after r5
-    #     — full residue enumerated in COVERAGE.md), spread across
-    #     every SURVEY §2 family (contract:
-    #     tests/test_registry_contract.py checks family MEMBERSHIP).
-    # Rotated-out r5 first-timers (48 green) stay oracle-checked
-    # locally every round via tools/check_oracle.py.
-    # -- (a) this round's fixes, driver reconfirmation --
-    "agg_collect_ordered_topk",
-    "embedding_feature_scale",
-    "array_functions_suite",
-    "text_inverted_index",
-    "map_functions_suite",
-    "eval_spearman_rank_corr",
-    "agg_grouped_ols_trend",
-    # -- (b) second confirmations --
-    "url_resolution_suite",
-    "sketch_kmv_distinct_userdays",
-    "sketch_bloom_membership",
-    "union_schema_evolution",
-    # -- (c) never-graded rotation --
-    # joins / spatial
-    "join_asof_forward_tolerance",
-    "spatial_grid_neighbor_join",
+    # r7 panel. The r6 panel came back 50/50 green (CORRECTNESS_r06) —
+    # every slot confirmed, so ALL 50 retire per the r6 verdict. This
+    # round's composition: 49 never-driver-graded oracle-backed
+    # queries drawn oldest-wave-first from the COVERAGE.md residue
+    # (the r4/r5 alphabetical block before the r6 stats waves; the
+    # only newer-wave picks are the 2 sketches, the url-canonical
+    # query, and the release capstone, because those families have no
+    # old-wave residue left) + 1 graded setops anchor
+    # (setop_intersect_nations — every setops query is already
+    # driver-green, so the family keeps a confirmed member; the test
+    # checks family MEMBERSHIP). Rotated-out queries stay
+    # oracle-checked locally every round via tools/check_oracle.py.
+    # joins / linkage
+    "fifo_cogs_matching",
+    "incremental_join_maintenance",
+    "entity_link_customers_billing",  # also covers fuzzy_dedup (blocked linkage scoring)
     # relational / SQL surface
-    "explode_outer_null_preservation",
-    "topk_orders_with_ties",
-    "sql_star_except_suite",
+    "sql_pipe_syntax_suite",
+    "sql_scalar_udf_suite",
+    "tpcds_q1_excess_returns",
+    "tpch_q17_small_quantity_revenue",
+    "skyline_parts_pareto",
+    "merge_full_with_deletes",
     # aggregates
-    "agg_listagg_native",
-    "agg_percentile_disc_prices",
-    "agg_weighted_median_price",
-    "agg_skew_kurtosis_moments",
-    # sketches
-    "sketch_kmv_intersection",
-    "sketch_hll_deterministic",
+    "agg_mode_priority",
+    "agg_weighted_average_price",
+    "agg_boxplot_five_number",
+    "tpcds_q67_rollup_topk",
+    "rollup_rewrite_equivalence",
+    # sketches (no old-wave residue — r6-wave picks)
+    "sketch_ams_f2_moment",
+    "sketch_ddsketch_quantiles",
     # windows / time series
-    "window_ewma_dyadic_smoothing",
-    "window_rolling_correlation",
-    "window_first_last_nth",
-    "window_running_distinct_users",
+    "window_zscore_rolling",
+    "window_cume_dist_purchases",
+    "window_ratio_to_report",
+    "revenue_max_drawdown",
+    "holt_linear_smoothing",
     # datetime
-    "datetime_timezone_suite",
-    "date_business_day_fiscal_suite",
+    "gaps_islands_event_days",
+    "ohlc_monthly_orders",
+    # setops (anchor — all setops queries already driver-green)
+    "setop_intersect_nations",
     # dedup / near-dup
-    "dedup_sorted_neighborhood",
-    "dedup_phonetic_soundex_blocking",
-    "neardup_prefix_filter_join",
-    "dedup_repeated_spans",
-    "neardup_simhash_exact",
+    "dedup_containment_pairs",
+    "dedup_exact_token_multiset",
+    "dedup_strategy_overlap_matrix",
     # sampling / splits
-    "sample_kfold_assignment",
-    "sample_cap_per_source",
-    "sample_neyman_allocation",
-    # behavior / sequences
-    "markov_event_transitions",
-    "market_basket_apriori_triples",
-    "path_top_sequences",
-    # text / corpus cleaning
-    "text_bm25_scores",
-    "text_trigram_lm_score",
-    "text_zipf_rank_frequency",
-    "text_repetition_signals",
-    # fidelity / json
-    "string_functions_suite",
-    "json_variant_extraction",
+    "sample_walk_forward_folds",
+    "sample_fair_interleave",
+    "batch_by_length_buckets",
+    # behavior / sequences / eval
+    "eval_roc_auc_scores",
+    "eval_pr_curve",
+    "cohort_retention_weekly",
+    "funnel_windowed_deadline",
+    "forecast_acf_monthly",
+    "rfm_customer_segments",
+    # similarity / retrieval
+    "retrieval_rrf_fusion",
+    "eval_ndcg_retrieval",
+    "recsys_item_item_cosine",
+    "embedding_centroids_by_label",
+    # text
+    "text_top_bigrams",
+    "text_vocab_coverage",
+    "text_token_stats_by_lang",
+    "text_pmi_cooccurrence",
+    # fidelity / json / urls
+    "collation_utf8_lcase_suite",
+    "nested_build_flatten_roundtrip",
+    "dedup_url_canonicalization",
     # multimodal
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
+    "provenance_file_row_index",
+    # corpus cleaning
+    "text_stopword_punct_ratio",
     # curation capstone
-    "pipeline_curate_and_pack",
-    # graph
-    "graph_pagerank_trade",
-    "graph_triangle_coparts",
+    "pipeline_full_release",
 ]
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo

@@ -92,58 +92,88 @@ class TestRegistry:
         families = {
             "joins": {"join_asof_purchase_last_click", "tpch_q7_volume_shipping",
                       "tpch_q12_late_shipments", "lateral_top_orders_per_customer",
-                      "join_asof_forward_tolerance", "spatial_grid_neighbor_join"},
+                      "join_asof_forward_tolerance", "spatial_grid_neighbor_join",
+                      "fifo_cogs_matching", "incremental_join_maintenance",
+                      "entity_link_customers_billing"},
             "relational": {"filter_compound_predicates", "nulls_ordering_suite",
                            "tpch_q19_disjunctive_revenue",
                            "explode_outer_null_preservation",
-                           "topk_orders_with_ties", "sql_star_except_suite"},
+                           "topk_orders_with_ties", "sql_star_except_suite",
+                           "sql_pipe_syntax_suite", "sql_scalar_udf_suite",
+                           "tpcds_q1_excess_returns",
+                           "tpch_q17_small_quantity_revenue",
+                           "skyline_parts_pareto", "merge_full_with_deletes"},
             "aggregates": {"agg_pricing_summary", "agg_corr_price_quantity",
                            "agg_rollup_time_hierarchy", "agg_histogram_equidepth",
                            "agg_listagg_native", "agg_percentile_disc_prices",
                            "agg_weighted_median_price", "agg_skew_kurtosis_moments",
-                           "agg_collect_ordered_topk", "agg_grouped_ols_trend"},
+                           "agg_collect_ordered_topk", "agg_grouped_ols_trend",
+                           "agg_mode_priority", "agg_weighted_average_price",
+                           "agg_boxplot_five_number", "tpcds_q67_rollup_topk",
+                           "rollup_rewrite_equivalence"},
             "sketches": {"sketch_countmin_heavy_hitters",
                          "sketch_kmv_distinct_userdays", "sketch_bloom_membership",
-                         "sketch_kmv_intersection", "sketch_hll_deterministic"},
+                         "sketch_kmv_intersection", "sketch_hll_deterministic",
+                         "sketch_ams_f2_moment", "sketch_ddsketch_quantiles"},
             "windows": {"window_topk_orders_per_customer", "window_sliding_panes",
                         "window_rolling_median_events", "window_session_builtin",
                         "window_ewma_dyadic_smoothing", "window_rolling_correlation",
-                        "window_first_last_nth", "window_running_distinct_users"},
+                        "window_first_last_nth", "window_running_distinct_users",
+                        "window_zscore_rolling", "window_cume_dist_purchases",
+                        "window_ratio_to_report", "revenue_max_drawdown",
+                        "holt_linear_smoothing"},
             "datetime": {"date_functions_orders", "resample_gap_filled_30min",
                          "agg_rollup_time_hierarchy", "datetime_timezone_suite",
-                         "date_business_day_fiscal_suite"},
+                         "date_business_day_fiscal_suite",
+                         "gaps_islands_event_days", "ohlc_monthly_orders"},
             "setops": {"setop_intersect_nations", "union_schema_evolution"},
             "dedup": {"dedup_exact_documents", "neardup_ngram_jaccard",
                       "dedup_cluster_representatives", "dedup_sorted_neighborhood",
                       "neardup_prefix_filter_join", "dedup_repeated_spans",
-                      "neardup_simhash_exact"},
+                      "neardup_simhash_exact", "dedup_containment_pairs",
+                      "dedup_exact_token_multiset",
+                      "dedup_strategy_overlap_matrix",
+                      "dedup_url_canonicalization"},
             "fuzzy_dedup": {"dedup_fuzzy_levenshtein_full", "dedup_fuzzy_levenshtein",
                             "dedup_phonetic_soundex_blocking",
-                            "dedup_sorted_neighborhood"},
+                            "dedup_sorted_neighborhood",
+                            "entity_link_customers_billing"},
             "sampling": {"sample_bernoulli_hash", "sample_stratified_lang",
                          "mixture_token_budget_allocation",
                          "sample_kfold_assignment", "sample_cap_per_source",
-                         "sample_neyman_allocation"},
+                         "sample_neyman_allocation", "sample_walk_forward_folds",
+                         "sample_fair_interleave", "batch_by_length_buckets"},
             "behavior": {"funnel_ordered_stages", "pattern_error_after_purchase",
                          "pareto_abc_parts", "markov_event_transitions",
-                         "market_basket_apriori_triples", "path_top_sequences"},
-            "similarity": {"knn_cosine_bruteforce", "embedding_feature_scale"},
+                         "market_basket_apriori_triples", "path_top_sequences",
+                         "eval_roc_auc_scores", "eval_pr_curve",
+                         "cohort_retention_weekly", "funnel_windowed_deadline",
+                         "forecast_acf_monthly", "rfm_customer_segments"},
+            "similarity": {"knn_cosine_bruteforce", "embedding_feature_scale",
+                           "retrieval_rrf_fusion", "eval_ndcg_retrieval",
+                           "recsys_item_item_cosine",
+                           "embedding_centroids_by_label"},
             "text": {"text_tfidf_top_terms", "text_token_entropy",
                      "text_quality_score", "text_langid_heuristic",
                      "text_bm25_scores", "text_trigram_lm_score",
-                     "text_zipf_rank_frequency", "text_inverted_index"},
+                     "text_zipf_rank_frequency", "text_inverted_index",
+                     "text_top_bigrams", "text_vocab_coverage",
+                     "text_token_stats_by_lang", "text_pmi_cooccurrence"},
             "fidelity": {"reference_regex_extracts", "reference_render_functions",
-                         "string_functions_suite"},
+                         "string_functions_suite", "collation_utf8_lcase_suite"},
             "json": {"json_props_extraction", "json_flatten_struct",
-                     "json_variant_extraction"},
-            "urls": {"url_resolution_suite"},
+                     "json_variant_extraction",
+                     "nested_build_flatten_roundtrip"},
+            "urls": {"url_resolution_suite", "dedup_url_canonicalization"},
             "multimodal": {"multimodal_metadata_stats", "multimodal_dedup_binary",
-                           "multimodal_frame_sample", "multimodal_resize_plan"},
+                           "multimodal_frame_sample", "multimodal_resize_plan",
+                           "provenance_file_row_index"},
             "corpus_cleaning": {"text_boilerplate_ngrams",
                                 "text_decontamination_gate",
-                                "text_repetition_signals"},
+                                "text_repetition_signals",
+                                "text_stopword_punct_ratio"},
             "curation": {"corpus_curation_verdict", "corpus_curation_full",
-                         "pipeline_curate_and_pack"},
+                         "pipeline_curate_and_pack", "pipeline_full_release"},
         }
         missing = {
             fam: sorted(members)

@@ -142,15 +142,22 @@ def main() -> int:
                 print(f"FAIL  {name}: complex-typed output columns {complex_cols}")
                 continue
             srows = [tuple(r) for r in sdf.collect()]
-            # Emulate the driver's pandas canonicalization (sort_values
-            # over every column) so ANY cell class that crashes it —
-            # not just the banned complex types — fails HERE first.
+        except Exception as ex:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {ex}"))
+            print(f"FAIL  {name}: spark error: {ex}")
+            continue
+        # Emulate the driver's pandas canonicalization (sort_values
+        # over every column) so ANY cell class that crashes it — not
+        # just the banned complex types — fails HERE first. Kept in
+        # its OWN try block so a canonicalizer crash is reported as a
+        # canonicalizer-compat failure, never mislabeled SPARK ERROR.
+        try:
             import pandas as _pd
 
             _pd.DataFrame(srows, columns=scols).sort_values(list(scols))
         except Exception as ex:  # noqa: BLE001
-            failures.append((name, f"SPARK ERROR: {ex}"))
-            print(f"FAIL  {name}: spark error: {ex}")
+            failures.append((name, f"CANONICALIZER ERROR (driver-unsafe cells): {ex}"))
+            print(f"FAIL  {name}: canonicalizer error (driver-unsafe cells): {ex}")
             continue
         if name not in oracles:
             rows_only += 1

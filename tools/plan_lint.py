@@ -170,11 +170,6 @@ ALLOW_NON_EQUI = {
     "graph_triangle_coparts",
     "graph_degree_distribution",
     "zorder_locality_buckets",
-    "storage_rle_sortedness_audit",  # the sort IS the audited layout
-    "text_vocab_accumulation_curve",  # hash-order ntile + 10-row decile cumulative
-    "ops_multiwindow_burn_alerts",  # 8 trailing RANGE frames share one minute-grain sort
-    "text_heaps_law_fit",  # same curve + 10-point log-log fit
-    "shard_consistent_hash_ring",  # ring-position order IS the placement table
     "compaction_bin_packing",
     "ab_wilson_significance",  # 1-row z anchor
     "ab_deterministic_assignment",
@@ -212,7 +207,6 @@ ALLOW_NON_EQUI = {
     "dedup_repeated_spans",
     "text_bpe_merge_candidates",
     "mixture_token_budget_allocation",
-    "mixture_repeat_epochs_plan",  # greedy order over the bounded source x epoch grid
     "pack_sequences_token_budget",
     "leakage_check_splits",
     "leakage_embedding_cosine_cross_split",
@@ -413,9 +407,10 @@ def main() -> None:
         print("FINDING", x)
     spark.stop()
     # errors (queries that crashed at plan construction) must fail the
-    # gate too — a broken query is NOT a clean lint; exit 2 keeps the
-    # two failure kinds distinguishable in CI logs.
-    sys.exit(1 if findings else (2 if errors else 0))
+    # gate too — a broken query is NOT a clean lint. Errors take
+    # precedence over findings so a crash is never masked by a
+    # co-occurring finding; findings are still printed above either way.
+    sys.exit(2 if errors else (1 if findings else 0))
 
 
 if __name__ == "__main__":
