@@ -39,6 +39,12 @@ registry.load_all()
 
 # Headline set: one per operator family, weighted toward shuffle-heavy
 # plans (joins/aggs/windows) where Spark's plan quality actually shows.
+# FROZEN at 44 queries as of r7: the compact driver line is ~1.6 KB
+# against the 1800-char tail-window guard (bench line contract,
+# VERDICT r6 task 3). Do not add entries; new queries get their timing
+# coverage via BENCH_DETAILS.json / ad-hoc runs. If the set must ever
+# grow, drop per-query timings from the compact line instead (the
+# >1800-char fallback below already does this automatically).
 HEADLINE = [
     "flagship_revenue_by_segment_month",
     "agg_pricing_summary",
