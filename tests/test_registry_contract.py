@@ -259,6 +259,43 @@ class TestPlanLintAllowlists:
             stale = set(allow) - live
             assert not stale, f"allowlisted but not registered: {sorted(stale)}"
 
+    def test_unused_allowlist_audit_logic(self):
+        """compute_unused_allowlists flags exactly the allowlisted names
+        whose checked plan lacks the exempted pattern, and skips names
+        with no checked plan (crashed / not oracle-backed)."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "plan_lint_audit",
+            os.path.join(os.path.dirname(__file__), "..", "tools", "plan_lint.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        ne = sorted(mod.ALLOW_NON_EQUI)[:2]
+        gs = sorted(mod.ALLOW_GLOBAL_SORT)[:1]
+        pattern_seen = {
+            # allowlisted, pattern present -> NOT unused
+            ne[0]: {"cartesian": True, "range_exchange": False,
+                    "over_default_exchanges": False},
+            # allowlisted, pattern absent -> unused
+            ne[1]: {"cartesian": False, "range_exchange": False,
+                    "over_default_exchanges": False},
+            gs[0]: {"cartesian": False, "range_exchange": False,
+                    "over_default_exchanges": False},
+        }
+        unused = mod.compute_unused_allowlists(pattern_seen)
+        assert ne[0] not in unused["non_equi"]
+        assert ne[1] in unused["non_equi"]
+        assert gs[0] in unused["global_sort"]
+        # names with no checked plan never appear
+        all_reported = (
+            set(unused["non_equi"])
+            | set(unused["global_sort"])
+            | set(unused["many_exchanges"])
+        )
+        assert all_reported <= set(pattern_seen)
+
     def test_rows_only_cost_order_names_are_registered(self):
         stale = set(registry._ROWS_ONLY_COST_ORDER) - set(registry.QUERIES)
         assert not stale, sorted(stale)
