@@ -296,6 +296,23 @@ class TestPlanLintAllowlists:
         )
         assert all_reported <= set(pattern_seen)
 
+    def test_committed_plan_lint_snapshot_is_clean_and_exact(self):
+        """The committed PLAN_LINT.json must show a clean lint (no
+        findings/errors) AND exact allowlists (no unused entries —
+        r7 finding: a rule that never fires against an allowlist entry
+        is untested, and a dead entry is a regression blind spot).
+        Re-run tools/plan_lint.py after changing queries or allowlists."""
+        import json
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "..", "PLAN_LINT.json")
+        with open(path) as f:
+            snap = json.load(f)
+        assert snap["findings"] == []
+        assert snap["errors"] == []
+        unused = snap.get("unused_allowlist", {})
+        assert all(v == [] for v in unused.values()), unused
+
     def test_rows_only_cost_order_names_are_registered(self):
         stale = set(registry._ROWS_ONLY_COST_ORDER) - set(registry.QUERIES)
         assert not stale, sorted(stale)
