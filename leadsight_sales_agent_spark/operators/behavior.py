@@ -4461,10 +4461,10 @@ def eval_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(n AS BIGINT) AS n_examples, b, c, both_right,
            (b - c) * (b - c) AS chi2_num,
-           floor(CAST((b - c) * (b - c) AS DOUBLE) / (b + c) * 1e4 + 0.5)
-               / 1e4 AS chi2,
+           floor(CAST((b - c) * (b - c) AS DOUBLE) / NULLIF(b + c, 0)
+                 * 1e4 + 0.5) / 1e4 AS chi2,
            floor(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
-                 / (b + c) * 1e4 + 0.5) / 1e4 AS chi2_cc
+                 / NULLIF(b + c, 0) * 1e4 + 0.5) / 1e4 AS chi2_cc
     FROM cells
     """,
 )
@@ -4518,12 +4518,17 @@ def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         "both_right",
         ((F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))).alias("chi2_num"),
+        # NULLIF guard (r8 ADVICE): with zero discordant pairs Spark's
+        # non-ANSI division yields NULL but DuckDB's IEEE division
+        # yields +inf — NULLIF makes BOTH engines return NULL on the
+        # degenerate b + c = 0 table.
         F.expr(
-            "floor(CAST((b - c) * (b - c) AS DOUBLE) / (b + c) * 1e4 + 0.5) / 1e4"
+            "floor(CAST((b - c) * (b - c) AS DOUBLE) / NULLIF(b + c, 0)"
+            " * 1e4 + 0.5) / 1e4"
         ).alias("chi2"),
         F.expr(
             "floor(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)"
-            " / (b + c) * 1e4 + 0.5) / 1e4"
+            " / NULLIF(b + c, 0) * 1e4 + 0.5) / 1e4"
         ).alias("chi2_cc"),
     )
 

@@ -69,84 +69,73 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # window_sliding_panes, plus the remaining never-graded long tail
 # (see CORRECTNESS_r0* row history).
 _PANEL_50 = [
-    # r7 panel. The r6 panel came back 50/50 green (CORRECTNESS_r06) —
-    # every slot confirmed, so ALL 50 retire per the r6 verdict. This
-    # round's composition: 49 never-driver-graded oracle-backed
+    # r8 panel. The r7 panel came back 50/50 green (CORRECTNESS_r07) —
+    # every slot confirmed, so ALL 50 retire per the r7 verdict. This
+    # round's composition: 45 never-driver-graded oracle-backed
     # queries drawn oldest-wave-first from the COVERAGE.md residue
-    # (the r4/r5 alphabetical block before the r6 stats waves; the
-    # only newer-wave picks are the 2 sketches, the url-canonical
-    # query, and the release capstone, because those families have no
-    # old-wave residue left) + 1 graded setops anchor
-    # (setop_intersect_nations — every setops query is already
-    # driver-green, so the family keeps a confirmed member; the test
-    # checks family MEMBERSHIP). Rotated-out queries stay
-    # oracle-checked locally every round via tools/check_oracle.py.
-    # joins / linkage
-    "fifo_cogs_matching",
-    "incremental_join_maintenance",
-    "entity_link_customers_billing",  # also covers fuzzy_dedup (blocked linkage scoring)
-    # relational / SQL surface
-    "sql_pipe_syntax_suite",
-    "sql_scalar_udf_suite",
-    "tpcds_q1_excess_returns",
-    "tpch_q17_small_quantity_revenue",
-    "skyline_parts_pareto",
-    "merge_full_with_deletes",
-    # aggregates
-    "agg_mode_priority",
-    "agg_weighted_average_price",
-    "agg_boxplot_five_number",
-    "tpcds_q67_rollup_topk",
-    "rollup_rewrite_equivalence",
-    # sketches (no old-wave residue — r6-wave picks)
-    "sketch_ams_f2_moment",
-    "sketch_ddsketch_quantiles",
-    # windows / time series
-    "window_zscore_rolling",
-    "window_cume_dist_purchases",
-    "window_ratio_to_report",
-    "revenue_max_drawdown",
-    "holt_linear_smoothing",
-    # datetime
-    "gaps_islands_event_days",
-    "ohlc_monthly_orders",
-    # setops (anchor — all setops queries already driver-green)
-    "setop_intersect_nations",
-    # dedup / near-dup
-    "dedup_containment_pairs",
-    "dedup_exact_token_multiset",
-    "dedup_strategy_overlap_matrix",
-    # sampling / splits
-    "sample_walk_forward_folds",
-    "sample_fair_interleave",
-    "batch_by_length_buckets",
-    # behavior / sequences / eval
-    "eval_roc_auc_scores",
-    "eval_pr_curve",
-    "cohort_retention_weekly",
-    "funnel_windowed_deadline",
-    "forecast_acf_monthly",
-    "rfm_customer_segments",
-    # similarity / retrieval
-    "retrieval_rrf_fusion",
-    "eval_ndcg_retrieval",
-    "recsys_item_item_cosine",
-    "embedding_centroids_by_label",
-    # text
-    "text_top_bigrams",
-    "text_vocab_coverage",
-    "text_token_stats_by_lang",
-    "text_pmi_cooccurrence",
-    # fidelity / json / urls
-    "collation_utf8_lcase_suite",
-    "nested_build_flatten_roundtrip",
-    "dedup_url_canonicalization",
-    # multimodal
-    "provenance_file_row_index",
-    # corpus cleaning
-    "text_stopword_punct_ratio",
-    # curation capstone
-    "pipeline_full_release",
+    # (41 from the r4/r5 old wave; 4 r6-wave picks only where the
+    # family has no old-wave residue left: the AMS join-size sketch,
+    # the audio chunk plan, the C4 quality gate, and the greedy
+    # source-cover) + 5 anchors for families whose every member is
+    # already driver-green (setops, fuzzy_dedup, fidelity, json,
+    # urls — the family test checks MEMBERSHIP, so one confirmed
+    # anchor each keeps the family in-window; the setops anchor
+    # rotates to union_schema_evolution to spread confirmations).
+    # Rotated-out queries stay oracle-checked locally every round
+    # via tools/check_oracle.py.
+    # family picks (one fresh member per family with residue left)
+    "cogroup_reconcile_orders_events",  # joins
+    "cdc_log_compaction",  # relational
+    "agg_bitmap_distinct_users",  # aggregates
+    "sketch_ams_join_size_estimate",  # sketches
+    "rolling_active_users_7d",  # windows
+    "interval_union_coverage",  # datetime
+    "dedup_cross_source_matrix",  # dedup
+    "sample_ht_estimator_check",  # sampling
+    "ab_deterministic_assignment",  # behavior
+    "embedding_robust_scale",  # similarity
+    "text_chunk_documents",  # text
+    "multimodal_audio_chunk_plan",  # multimodal
+    "text_c4_quality_gate",  # corpus_cleaning
+    "corpus_greedy_source_cover",  # curation
+    # oldest-wave fill (r4/r5 alphabetical residue)
+    "ab_diff_in_diff",
+    "ab_wilson_significance",
+    "agg_grouped_pandas_udf_mad",
+    "agg_weighted_percentile_p90",
+    "allocation_invoice_rounding",
+    "anomaly_seasonal_adjusted",
+    "attribution_first_touch_session",
+    "attribution_position_based",
+    "basket_bought_a_never_b",
+    "benford_first_digit_audit",
+    "chi_trend_cochran_armitage",
+    "cohort_ltv_curve",
+    "compaction_bin_packing",
+    "concentration_gini_hhi_by_segment",
+    "conversion_latency_percentiles",
+    "cusum_change_detection",
+    "diag_join_skew_advisor",
+    "dq_k_anonymity_audit",
+    "dq_l_diversity_audit",
+    "dq_out_of_order_audit",
+    "dq_primary_key_uniqueness",
+    "dq_quarantine_split",
+    "dq_referential_integrity",
+    "drift_psi_event_mix",
+    "eval_auc_by_fold",
+    "eval_calibration_bins",
+    "eval_cohens_kappa",
+    "eval_cost_optimal_threshold",
+    "eval_decile_lift_table",
+    "eval_expected_calibration_error",
+    "eval_ks_two_sample",
+    # green anchors (families with no never-graded residue)
+    "union_schema_evolution",  # setops
+    "dedup_sorted_neighborhood",  # fuzzy_dedup
+    "string_functions_suite",  # fidelity
+    "json_props_extraction",  # json
+    "url_resolution_suite",  # urls
 ]
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo

@@ -90,12 +90,12 @@ class TestRegistry:
         # consecutive driver-green confirmations (r3+r4).
         panel = set(registry._PANEL_50)
         families = {
-            "joins": {"join_asof_purchase_last_click", "tpch_q7_volume_shipping",
+            "joins": {"cogroup_reconcile_orders_events", "join_asof_purchase_last_click", "tpch_q7_volume_shipping",
                       "tpch_q12_late_shipments", "lateral_top_orders_per_customer",
                       "join_asof_forward_tolerance", "spatial_grid_neighbor_join",
                       "fifo_cogs_matching", "incremental_join_maintenance",
                       "entity_link_customers_billing"},
-            "relational": {"filter_compound_predicates", "nulls_ordering_suite",
+            "relational": {"cdc_log_compaction", "filter_compound_predicates", "nulls_ordering_suite",
                            "tpch_q19_disjunctive_revenue",
                            "explode_outer_null_preservation",
                            "topk_orders_with_ties", "sql_star_except_suite",
@@ -103,7 +103,7 @@ class TestRegistry:
                            "tpcds_q1_excess_returns",
                            "tpch_q17_small_quantity_revenue",
                            "skyline_parts_pareto", "merge_full_with_deletes"},
-            "aggregates": {"agg_pricing_summary", "agg_corr_price_quantity",
+            "aggregates": {"agg_bitmap_distinct_users", "agg_pricing_summary", "agg_corr_price_quantity",
                            "agg_rollup_time_hierarchy", "agg_histogram_equidepth",
                            "agg_listagg_native", "agg_percentile_disc_prices",
                            "agg_weighted_median_price", "agg_skew_kurtosis_moments",
@@ -111,23 +111,23 @@ class TestRegistry:
                            "agg_mode_priority", "agg_weighted_average_price",
                            "agg_boxplot_five_number", "tpcds_q67_rollup_topk",
                            "rollup_rewrite_equivalence"},
-            "sketches": {"sketch_countmin_heavy_hitters",
+            "sketches": {"sketch_ams_join_size_estimate", "sketch_countmin_heavy_hitters",
                          "sketch_kmv_distinct_userdays", "sketch_bloom_membership",
                          "sketch_kmv_intersection", "sketch_hll_deterministic",
                          "sketch_ams_f2_moment", "sketch_ddsketch_quantiles"},
-            "windows": {"window_topk_orders_per_customer", "window_sliding_panes",
+            "windows": {"rolling_active_users_7d", "window_topk_orders_per_customer", "window_sliding_panes",
                         "window_rolling_median_events", "window_session_builtin",
                         "window_ewma_dyadic_smoothing", "window_rolling_correlation",
                         "window_first_last_nth", "window_running_distinct_users",
                         "window_zscore_rolling", "window_cume_dist_purchases",
                         "window_ratio_to_report", "revenue_max_drawdown",
                         "holt_linear_smoothing"},
-            "datetime": {"date_functions_orders", "resample_gap_filled_30min",
+            "datetime": {"interval_union_coverage", "date_functions_orders", "resample_gap_filled_30min",
                          "agg_rollup_time_hierarchy", "datetime_timezone_suite",
                          "date_business_day_fiscal_suite",
                          "gaps_islands_event_days", "ohlc_monthly_orders"},
             "setops": {"setop_intersect_nations", "union_schema_evolution"},
-            "dedup": {"dedup_exact_documents", "neardup_ngram_jaccard",
+            "dedup": {"dedup_cross_source_matrix", "dedup_exact_documents", "neardup_ngram_jaccard",
                       "dedup_cluster_representatives", "dedup_sorted_neighborhood",
                       "neardup_prefix_filter_join", "dedup_repeated_spans",
                       "neardup_simhash_exact", "dedup_containment_pairs",
@@ -138,22 +138,22 @@ class TestRegistry:
                             "dedup_phonetic_soundex_blocking",
                             "dedup_sorted_neighborhood",
                             "entity_link_customers_billing"},
-            "sampling": {"sample_bernoulli_hash", "sample_stratified_lang",
+            "sampling": {"sample_ht_estimator_check", "sample_bernoulli_hash", "sample_stratified_lang",
                          "mixture_token_budget_allocation",
                          "sample_kfold_assignment", "sample_cap_per_source",
                          "sample_neyman_allocation", "sample_walk_forward_folds",
                          "sample_fair_interleave", "batch_by_length_buckets"},
-            "behavior": {"funnel_ordered_stages", "pattern_error_after_purchase",
+            "behavior": {"ab_deterministic_assignment", "funnel_ordered_stages", "pattern_error_after_purchase",
                          "pareto_abc_parts", "markov_event_transitions",
                          "market_basket_apriori_triples", "path_top_sequences",
                          "eval_roc_auc_scores", "eval_pr_curve",
                          "cohort_retention_weekly", "funnel_windowed_deadline",
                          "forecast_acf_monthly", "rfm_customer_segments"},
-            "similarity": {"knn_cosine_bruteforce", "embedding_feature_scale",
+            "similarity": {"embedding_robust_scale", "knn_cosine_bruteforce", "embedding_feature_scale",
                            "retrieval_rrf_fusion", "eval_ndcg_retrieval",
                            "recsys_item_item_cosine",
                            "embedding_centroids_by_label"},
-            "text": {"text_tfidf_top_terms", "text_token_entropy",
+            "text": {"text_chunk_documents", "text_tfidf_top_terms", "text_token_entropy",
                      "text_quality_score", "text_langid_heuristic",
                      "text_bm25_scores", "text_trigram_lm_score",
                      "text_zipf_rank_frequency", "text_inverted_index",
@@ -165,14 +165,15 @@ class TestRegistry:
                      "json_variant_extraction",
                      "nested_build_flatten_roundtrip"},
             "urls": {"url_resolution_suite", "dedup_url_canonicalization"},
-            "multimodal": {"multimodal_metadata_stats", "multimodal_dedup_binary",
+            "multimodal": {"multimodal_audio_chunk_plan", "multimodal_metadata_stats", "multimodal_dedup_binary",
                            "multimodal_frame_sample", "multimodal_resize_plan",
                            "provenance_file_row_index"},
-            "corpus_cleaning": {"text_boilerplate_ngrams",
+            "corpus_cleaning": {"text_c4_quality_gate",
+                                "text_boilerplate_ngrams",
                                 "text_decontamination_gate",
                                 "text_repetition_signals",
                                 "text_stopword_punct_ratio"},
-            "curation": {"corpus_curation_verdict", "corpus_curation_full",
+            "curation": {"corpus_greedy_source_cover", "corpus_curation_verdict", "corpus_curation_full",
                          "pipeline_curate_and_pack", "pipeline_full_release"},
         }
         missing = {
@@ -251,6 +252,12 @@ class TestPlanLintAllowlists:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         live = set(registry.QUERIES)
+        # r8 ADVICE fix: the lint only builds plans for ORACLE-BACKED
+        # queries, so an allowlist entry for a rows-only query is
+        # permanently dead — compute_unused_allowlists skips it by
+        # design (no checked plan) and would never report it. Pin every
+        # allowlisted name to the oracle-backed set, not just QUERIES.
+        oracle_backed = set(registry.ORACLES)
         for allow in (
             mod.ALLOW_NON_EQUI,
             mod.ALLOW_GLOBAL_SORT,
@@ -258,6 +265,8 @@ class TestPlanLintAllowlists:
         ):
             stale = set(allow) - live
             assert not stale, f"allowlisted but not registered: {sorted(stale)}"
+            dead = set(allow) - oracle_backed
+            assert not dead, f"allowlisted but not oracle-backed (never linted): {sorted(dead)}"
 
     def test_unused_allowlist_audit_logic(self):
         """compute_unused_allowlists flags exactly the allowlisted names
@@ -274,25 +283,49 @@ class TestPlanLintAllowlists:
         spec.loader.exec_module(mod)
         ne = sorted(mod.ALLOW_NON_EQUI)[:2]
         gs = sorted(mod.ALLOW_GLOBAL_SORT)[:1]
+        # two R4 entries with caps large enough to exercise the
+        # oversized-cap audit (cap > observed + 8) — r8 ADVICE fix
+        big = sorted(n for n, c in mod.ALLOW_MANY_EXCHANGES.items() if c >= 30)
+        assert len(big) >= 2, "audit test needs two large-cap R4 entries"
+        me_stale, me_right = big[0], big[1]
+        cap_stale = mod.ALLOW_MANY_EXCHANGES[me_stale]
+        cap_right = mod.ALLOW_MANY_EXCHANGES[me_right]
         pattern_seen = {
             # allowlisted, pattern present -> NOT unused
             ne[0]: {"cartesian": True, "range_exchange": False,
-                    "over_default_exchanges": False},
+                    "over_default_exchanges": False, "n_exchanges": 3},
             # allowlisted, pattern absent -> unused
             ne[1]: {"cartesian": False, "range_exchange": False,
-                    "over_default_exchanges": False},
+                    "over_default_exchanges": False, "n_exchanges": 3},
             gs[0]: {"cartesian": False, "range_exchange": False,
-                    "over_default_exchanges": False},
+                    "over_default_exchanges": False, "n_exchanges": 3},
+            # over default cap but far under its named cap -> oversized
+            me_stale: {"cartesian": False, "range_exchange": False,
+                       "over_default_exchanges": True,
+                       "n_exchanges": cap_stale - 9},
+            # cap matches the observed count -> right-sized
+            me_right: {"cartesian": False, "range_exchange": False,
+                       "over_default_exchanges": True,
+                       "n_exchanges": cap_right},
         }
         unused = mod.compute_unused_allowlists(pattern_seen)
         assert ne[0] not in unused["non_equi"]
         assert ne[1] in unused["non_equi"]
         assert gs[0] in unused["global_sort"]
+        assert me_stale in unused["oversized_exchange_caps"]
+        assert me_right not in unused["oversized_exchange_caps"]
+        # an entry already reported as entirely unused (plan within the
+        # default cap) is not double-reported as oversized
+        pattern_seen[me_stale]["over_default_exchanges"] = False
+        unused2 = mod.compute_unused_allowlists(pattern_seen)
+        assert me_stale in unused2["many_exchanges"]
+        assert me_stale not in unused2["oversized_exchange_caps"]
         # names with no checked plan never appear
         all_reported = (
             set(unused["non_equi"])
             | set(unused["global_sort"])
             | set(unused["many_exchanges"])
+            | set(unused["oversized_exchange_caps"])
         )
         assert all_reported <= set(pattern_seen)
 

@@ -17,6 +17,7 @@ import time
 from datetime import date, datetime
 
 import duckdb
+import pandas as _pd
 
 sys.path.insert(0, ".")
 
@@ -152,8 +153,6 @@ def main() -> int:
         # its OWN try block so a canonicalizer crash is reported as a
         # canonicalizer-compat failure, never mislabeled SPARK ERROR.
         try:
-            import pandas as _pd
-
             _pd.DataFrame(srows, columns=scols).sort_values(list(scols))
         except Exception as ex:  # noqa: BLE001
             failures.append((name, f"CANONICALIZER ERROR (driver-unsafe cells): {ex}"))

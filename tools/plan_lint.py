@@ -108,8 +108,10 @@ ALLOW_NON_EQUI = {
     "shard_consistent_hash_ring",  # 8x8 literal vnode grid cross join
     "mixture_repeat_epochs_plan",  # 1-row budget scalar onto the source-grain grid
     "sketch_kmv_intersection",  # sketch-union scalar probes
-    "agg_approx_percentiles",  # envelope compare vs exact scalars
-    "ann_recall_report",  # recall join between shortlist panels
+    # (r8: agg_approx_percentiles and ann_recall_report removed — both
+    # are rows-only queries, and the lint only builds ORACLE-BACKED
+    # plans, so their entries were permanently dead; the contract test
+    # now pins every allowlisted name to registry.ORACLES)
     "eval_qq_quantile_pairs",  # decile-index pair alignment
     "text_pmi_cooccurrence",  # vocab-capped pair space
     "retrieval_mmr_diversified",  # bounded 20x20 pair matrix
@@ -256,6 +258,25 @@ def compute_unused_allowlists(pattern_seen: dict[str, dict[str, bool]]) -> dict:
     exempted pattern — each is a lint blind spot (the rule could not
     catch a regression there). Names absent from pattern_seen (plan
     build failed / not oracle-backed) are skipped, never reported."""
+    unused_many = sorted(
+        n
+        for n in ALLOW_MANY_EXCHANGES
+        if n in pattern_seen and not pattern_seen[n]["over_default_exchanges"]
+    )
+
+    def oversized(n: str, cap: int) -> bool:
+        # r8 ADVICE fix: a cap far above the observed Exchange count is
+        # the same blind spot in degree — R4 cannot fire until the plan
+        # grows past cap + 8, so a stale oversized cap (e.g. a plan that
+        # shrank from 65 to 20 exchanges) leaves a silent window. A
+        # right-sized cap IS the audited count, so flag cap > count + 8.
+        # Entries already reported unused above (plan within the DEFAULT
+        # cap) are not re-reported.
+        if n not in pattern_seen or n in unused_many:
+            return False
+        obs = pattern_seen[n].get("n_exchanges")
+        return obs is not None and cap > obs + 8
+
     return {
         "non_equi": sorted(
             n
@@ -267,10 +288,9 @@ def compute_unused_allowlists(pattern_seen: dict[str, dict[str, bool]]) -> dict:
             for n in ALLOW_GLOBAL_SORT
             if n in pattern_seen and not pattern_seen[n]["range_exchange"]
         ),
-        "many_exchanges": sorted(
-            n
-            for n in ALLOW_MANY_EXCHANGES
-            if n in pattern_seen and not pattern_seen[n]["over_default_exchanges"]
+        "many_exchanges": unused_many,
+        "oversized_exchange_caps": sorted(
+            n for n, cap in ALLOW_MANY_EXCHANGES.items() if oversized(n, cap)
         ),
     }
 
@@ -301,6 +321,9 @@ def main() -> None:
             or "BroadcastNestedLoopJoin" in plan,
             "range_exchange": "rangepartitioning(" in plan,
             "over_default_exchanges": plan.count("Exchange ") > 4 + 8,
+            # actual count, so the audit can flag stale OVERSIZED caps
+            # (not just entirely-dead entries) — r8 ADVICE fix
+            "n_exchanges": plan.count("Exchange "),
         }
         spark.catalog.clearCache()
     unused_allowlist = compute_unused_allowlists(pattern_seen)
