@@ -56,12 +56,23 @@ class JobManager:
         self.total = 0
         self.current = 0
         self.events: list[dict[str, Any]] = []
+        # accumulating per-row output the reference exposes as
+        # GET /results (job["results"], server.py:62 and 372-374) —
+        # appended by the running job as each unit completes, so a
+        # client can read partial output before the job finishes
+        self.results: list[dict[str, Any]] = []
 
     # -- event log (ST1/K3) --------------------------------------------------
 
     def push_event(self, etype: str, data: Any = None) -> None:
         """Append {type, data, ts} — reference push_event (server.py:69-75)."""
         self.events.append({"type": etype, "data": data, "ts": time.time()})
+
+    def push_result(self, row: dict[str, Any]) -> None:
+        """Append one finished output row — the reference appends each
+        enriched company to job["results"] as it completes
+        (app.py result accumulation served by server.py:372-374)."""
+        self.results.append(row)
 
     def events_since(self, offset: int) -> tuple[list[dict[str, Any]], int]:
         """Drain events from a consumer-held offset (ST2, server.py:340-355).
@@ -84,6 +95,7 @@ class JobManager:
             self.total = 0
             self.current = 0
             self.events = []
+            self.results = []
             self.push_event("start")
 
             def run() -> None:
@@ -116,6 +128,7 @@ class JobManager:
             self.error = None
             self.result = None
             self.events = []
+            self.results = []
 
     def status(self) -> dict[str, Any]:
         """Snapshot — the reference's GET /status (server.py:361-369)."""
