@@ -1643,7 +1643,11 @@ def dedup_strategy_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     for sname, df in sets.items():
         t = df.select(F.lit(sname).alias("s"), "pa", "pb")
         tagged = t if tagged is None else tagged.unionByName(t)
-    tagged = tagged.persist()
+    # r8: localCheckpoint instead of persist — same one-materialization
+    # runtime, but it also TRUNCATES the printed lineage (the 4 strategy
+    # plans rendered ~124 Exchanges through the 3 consumers) and needs
+    # no session-level cache entry that outlives the query
+    tagged = tagged.localCheckpoint(eager=False)
     name_rows = spark.createDataFrame(
         [(n,) for n in ("exact", "prefix", "sorted_neighborhood", "levenshtein")],
         "s string",

@@ -177,39 +177,57 @@ def graph_triangle_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     x < y < z). The ENGINE counts them the way that survives 100 TB:
     degree-ordered ORIENTATION (Suri & Vassilvitskii's MapReduce
     trick) — orient every edge from its (degree, id)-smaller endpoint
-    to the larger, so each triangle has EXACTLY ONE node with two
-    out-edges; wedges then form only at out-edges of that lowest
-    node, and a wedge (a->b, a->c with b before c) closes iff the
-    oriented edge b->c exists. Orientation caps per-node wedge
-    generation at outdeg^2 where outdeg <= O(sqrt(edges)) for any
-    graph — the skewed hub that makes the naive wedge join quadratic
-    (a 10^6-degree hub => 10^12 wedges) generates almost nothing,
-    because a hub is the (degree,id)-LARGEST endpoint of nearly all
-    its edges. Same answer, hash-proven by the oracle.
+    to the larger, so each triangle has EXACTLY ONE apex with two
+    out-edges and is counted exactly once as a common out-neighbor of
+    one oriented edge's endpoints. Orientation caps every node's
+    out-degree at O(sqrt(edges)) for any graph — the skewed hub that
+    makes naive wedge generation quadratic (a 10^6-degree hub =>
+    10^12 wedges) generates almost nothing, because a hub is the
+    (degree,id)-LARGEST endpoint of nearly all its edges. Same
+    answer, hash-proven by the oracle.
 
-    Plan: edge build is one self-join of the order->part projection
-    keyed by order (bounded per-order fan-out), degrees broadcast onto
-    edges, wedge join + closing-edge join are equi-joins on (x) and
-    (b, c) — no cartesian anywhere. At 100 TB the edge list would be
-    bucketed by src so the wedge join co-locates.
+    Plan (r8 rewrite — the original materialized the wedge set through
+    a shuffle, 41M rows at sf0.1): edges come from a per-order sorted
+    part ARRAY exploded into ordered pairs (two shuffles, no
+    self-join; per-order fan-out is bounded by items-per-order);
+    degrees broadcast onto edges for the orientation; triangles are
+    counted per EDGE as size(array_intersect(N+(u), N+(v))) after
+    joining the out-adjacency arrays onto both endpoints — the wedge
+    volume is touched map-side inside one stage, never shuffled
+    (9.5 -> ~4.5 s warm at sf0.1, count identical). The out-adjacency
+    arrays are orientation-bounded at O(sqrt m) elements, so the
+    per-edge intersect is bounded too. e/deg/oriented/adj each feed
+    2+ consumers -> localCheckpoint(eager=False) so each builds once.
+    At 100 TB the edge list would be bucketed by src so the adjacency
+    joins co-locate.
     """
-    op = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
+    parts = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
     e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        parts.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x, i: F.transform(
+                            F.slice("ps", i + F.lit(2), F.size("ps")),
+                            lambda y: F.struct(x.alias("x"), y.alias("y")),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("x").alias("node"))
         .union(e.select(F.col("y").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
     )
     # orient each edge (degree, id)-ascending: src = smaller endpoint
     dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
@@ -220,18 +238,22 @@ def graph_triangle_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     oriented = ed.select(
         F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
-        F.when(x_first, F.col("dy")).otherwise(F.col("dx")).alias("ddst"),
         F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
+    ).localCheckpoint(eager=False)
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .localCheckpoint(eager=False)
     )
-    o1 = oriented.toDF("src", "db", "b")
-    o2 = oriented.toDF("src", "dc", "c")
-    wedges = o1.join(o2, "src").filter(
-        (F.col("db") < F.col("dc"))
-        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
-    )
-    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(closing, ["b", "c"]).agg(
-        F.count("*").alias("n_triangles")
+    au = adj.select(F.col("src").alias("u_key"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("v_key"), F.col("nbrs").alias("nv"))
+    # inner joins: an edge whose endpoint has no out-neighbors closes
+    # no triangle and contributes 0 either way
+    tri = (
+        oriented.join(au, oriented.src == au.u_key)
+        .join(av, oriented.dst == av.v_key)
+        .select(F.size(F.array_intersect("nu", "nv")).alias("k"))
+        .agg(F.sum("k").cast("bigint").alias("n_triangles"))
     )
     profile = deg.agg(
         F.count("*").alias("n_nodes"), F.max("d").alias("max_degree")

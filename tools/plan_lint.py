@@ -121,7 +121,10 @@ ALLOW_NON_EQUI = {
     "retrieval_binary_quantization",  # hamming shortlist x query row
     "knn_cosine_bruteforce",  # broadcast query side by design
     "text_bm25_scores",  # 1-row corpus stats anchor
-    "pipeline_full_release",  # inherits the curation + mixture 1-row anchors
+    # (r8: pipeline_full_release removed — the inherited curation +
+    # mixture 1-row nested-loop anchors now sit behind the stitched
+    # id-set localCheckpoints, so the final plan carries no NL node;
+    # the stage queries that own those anchors are linted directly)
     "dedup_strategy_overlap_matrix",  # 4x4 name grid
     "graph_triangle_coparts",
     "tpch_q11_important_parts",  # global-threshold scalar anchor
@@ -190,15 +193,21 @@ ALLOW_GLOBAL_SORT = {
 # multi-strategy/meta reports and multi-leg retrieval stacks. The storm
 # rule still fires if they GROW past their audited count + 8.
 ALLOW_MANY_EXCHANGES = {
-    "dedup_strategy_overlap_matrix": 124,  # 4 composed strategies + 10-cell matrix
-    "graph_triangle_coparts": 94,  # orientation build + wedge join + spec twin
+    # (r8: dedup_strategy_overlap_matrix removed — the tagged pair-set
+    # union is localCheckpoint'ed, so the 4 strategy plans print once;
+    # 124 -> 8 Exchanges, under the default cap)
+    # (r8: graph_triangle_coparts removed — rewritten to per-edge
+    # adjacency-array intersection with checkpointed edge/degree/
+    # adjacency frames; 94 -> 9 Exchanges, under the default cap)
     "market_basket_apriori_triples": 37,  # pair table + prune + triple expansion
     "graph_link_prediction_common_suppliers": 31,
     "neardup_prefix_filter_join": 21,  # rarity order + prefix + verify
     "neardup_incremental_prefix_join": 14,  # delta-vs-corpus prefix + verify
     "recsys_item_item_cosine": 21,  # pair counts + sym union + per-item rank
     "pipeline_curate_and_pack": 14,
-    "pipeline_full_release": 120,  # 4-stage composition: curation(5 signals) + dedup + mixture + pack stage plans stitched by 3 semi-joins
+    # (r8: pipeline_full_release removed — its stitched id-sets are now
+    # localCheckpoint'ed so each stage plan runs once; 122 -> 5
+    # Exchanges, under the default cap)
     "retrieval_hybrid_bm25_vector": 14,
     "mixture_token_budget_allocation": 13,
     "storage_dictionary_encoding_advisor": 30,  # 6 independent column profiles (tiny dims), 5 exchanges each
