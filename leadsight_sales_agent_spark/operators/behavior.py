@@ -1805,10 +1805,14 @@ def market_basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame
     guard: same basket-size cap as the pair miner.
     """
     lines = (
-        load(spark, sf_dir, "lineitem").select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
-        )
-    ).distinct()
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+        # r8: lines feeds 3 consumers (both pair legs + the prune) and
+        # pruned feeds the 3 triple legs — checkpoint both so the scan
+        # and the pair-mining lineage run once, not per leg
+        .localCheckpoint(eager=False)
+    )
     a = lines.select("ok", F.col("p").alias("pa"))
     b = lines.select("ok", F.col("p").alias("pb"))
     fpairs = (
@@ -1824,7 +1828,11 @@ def market_basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame
         .union(fpairs.select(F.col("pb").alias("p")))
         .distinct()
     )
-    pruned = lines.join(F.broadcast(fitems), "p").select("ok", "p")
+    pruned = (
+        lines.join(F.broadcast(fitems), "p")
+        .select("ok", "p")
+        .localCheckpoint(eager=False)
+    )
     pa = pruned.select(F.col("ok").alias("ok_a"), F.col("p").alias("part_a"))
     pb = pruned.select(F.col("ok").alias("ok_b"), F.col("p").alias("part_b"))
     pc = pruned.select(F.col("ok").alias("ok_c"), F.col("p").alias("part_c"))

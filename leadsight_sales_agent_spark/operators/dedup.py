@@ -1865,10 +1865,12 @@ def neardup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     same guarantee MinHash-LSH can only claim probabilistically).
 
     Plan: one explode for votes (32x token grain, map-side),
-    signature per doc, then 8 band-keyed equi-joins (union,
-    deduped) with the exact Hamming verify inside the candidate
-    set. Band buckets bound the join the way LSH buckets do —
-    deterministically.
+    signature per doc (checkpointed — it feeds both join sides), then
+    ONE band explode (8 structs per doc, map-side — r8: replaces the
+    8-leg union that re-printed the signature lineage per band) and a
+    single (band, bkey)-keyed equi-join with the exact Hamming verify
+    inside the candidate set. Band buckets bound the join the way LSH
+    buckets do — deterministically.
     """
     tok = (
         load(spark, sf_dir, "documents")
@@ -1903,17 +1905,24 @@ def neardup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("sig")
-    )
-    # eight 4-bit bands: band k = bits 4k..4k+3
-    banded = None
-    for k in range(8):
-        bnd = sigs.select(
-            "doc_id",
-            "sig",
-            F.lit(k).alias("band"),
-            F.expr(f"(sig >> {4 * k}) & 15").alias("bkey"),
-        )
-        banded = bnd if banded is None else banded.unionByName(bnd)
+    ).localCheckpoint(eager=False)
+    # eight 4-bit bands (band k = bits 4k..4k+3) as ONE map-side
+    # explode of 8 structs per doc — no union legs, no re-derivation
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.expr(f"(sig >> {4 * k}) & 15").alias("bkey"),
+                    )
+                    for k in range(8)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     a = banded.select(
         F.col("band").alias("band_a"),
         F.col("bkey").alias("bkey_a"),

@@ -372,11 +372,17 @@ def graph_link_prediction_common_suppliers(
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        # r8: pairs feeds the hub-degree agg AND the kept projection,
+        # kept feeds deg_c + both wedge legs — checkpoint both so the
+        # join+distinct lineage runs once
+        .localCheckpoint(eager=False)
     )
     deg_s = pairs.groupBy("s").agg(F.count("*").alias("ds"))
-    kept = pairs.join(
-        F.broadcast(deg_s.filter(F.col("ds") <= CN_HUB_CAP)), "s"
-    ).select("c", "s")
+    kept = (
+        pairs.join(F.broadcast(deg_s.filter(F.col("ds") <= CN_HUB_CAP)), "s")
+        .select("c", "s")
+        .localCheckpoint(eager=False)
+    )
     deg_c = kept.groupBy("c").agg(F.count("*").alias("dc"))
     a = kept.toDF("c1", "s")
     b = kept.toDF("c2", "s")
@@ -626,6 +632,10 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("pa") == F.col("pb")) & (F.col("u") < F.col("v")))
         .select("u", "v")
         .distinct()
+        # r8: edges feeds 3 consumers (both degree legs + the club-edge
+        # join) and club feeds 3 (count + both membership legs) —
+        # checkpoint both so the co-supply projection runs once
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -634,7 +644,12 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
     )
     ks = spark.createDataFrame([(5,), (10,), (20,), (40,)], "k bigint")
-    club = F.broadcast(ks).join(deg, F.col("d") > F.col("k")).select("k", "node")
+    club = (
+        F.broadcast(ks)
+        .join(deg, F.col("d") > F.col("k"))
+        .select("k", "node")
+        .localCheckpoint(eager=False)
+    )
     club_n = club.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
     c1 = club.select(F.col("k").alias("k1"), F.col("node").alias("nu"))
     c2 = club.select(F.col("k").alias("k2"), F.col("node").alias("nv"))

@@ -153,10 +153,12 @@ ALLOW_NON_EQUI = {
     "forecast_conformal_interval",  # 1-row q-hat anchor
     "eval_expected_calibration_error",  # 1-row max-score normalizer
     "eval_label_silhouette",  # documented corpus-bounded all-pairs matrix
-    "neardup_simhash_exact",  # 32-row bit grid broadcast for the votes
+    # (r8: neardup_simhash_exact removed from non-equi too — the bit
+    # grid broadcast sits behind the signature checkpoint now)
     "eval_linkage_quality",  # 1-row truth anchor
     "text_term_burstiness",  # 1-row corpus-size anchor
-    "graph_rich_club_coefficient",  # 4-row degree-cutoff grid join
+    # (r8: graph_rich_club_coefficient removed — the degree-cutoff
+    # grid join sits behind the club checkpoint now)
     "graph_hits_hubs_authorities",  # 1-row max-normalizer anchor per half-round
     "sketch_ddsketch_quantiles",  # 1-row exact-quantile audit anchor
     "text_burrows_delta",  # 20-row top-word grid cross join onto source totals
@@ -199,8 +201,11 @@ ALLOW_MANY_EXCHANGES = {
     # (r8: graph_triangle_coparts removed — rewritten to per-edge
     # adjacency-array intersection with checkpointed edge/degree/
     # adjacency frames; 94 -> 9 Exchanges, under the default cap)
-    "market_basket_apriori_triples": 37,  # pair table + prune + triple expansion
-    "graph_link_prediction_common_suppliers": 31,
+    # (r8: market_basket_apriori_triples removed — lines and the
+    # pruned basket are checkpointed; 37 -> 4 Exchanges, under the
+    # default cap; 4.2 -> 2.6 s warm at sf0.1)
+    # (r8: graph_link_prediction_common_suppliers removed — pairs and
+    # kept are checkpointed; 31 -> 7 Exchanges, under the default cap)
     "neardup_prefix_filter_join": 21,  # rarity order + prefix + verify
     "neardup_incremental_prefix_join": 14,  # delta-vs-corpus prefix + verify
     "recsys_item_item_cosine": 21,  # pair counts + sym union + per-item rank
@@ -226,8 +231,11 @@ ALLOW_MANY_EXCHANGES = {
     "dq_referential_integrity": 14,  # 7-edge audit union
     "dq_primary_key_uniqueness": 14,  # 7-table audit union
     "sketch_hll_deterministic": 13,  # per-type + merged register paths
-    "neardup_simhash_exact": 65,  # 8 band-keyed joins + dedup + verify
-    "graph_rich_club_coefficient": 39,  # projection + degree + per-k club joins
+    # (r8: neardup_simhash_exact removed — banding is one map-side
+    # explode over the checkpointed signature frame now; 65 -> 2
+    # Exchanges, under the default cap)
+    # (r8: graph_rich_club_coefficient removed — edges and club are
+    # checkpointed; 39 -> 6 Exchanges, under the default cap)
     "timeseries_hurst_rs": 13,  # three R/S window legs on the checkpointed 84-row series
     "text_burrows_delta": 19,  # token explode + vocab rank + totals/count grid joins + pair leg
     "text_bleu_source_similarity": 16,  # 4-order gram union + reference clip join + length legs
