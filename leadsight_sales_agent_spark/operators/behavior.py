@@ -7209,7 +7209,9 @@ def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pg = spells.groupBy("arm", "dur").agg(
         F.sum("died").cast("bigint").alias("d_g"),
         F.count(F.lit(1)).cast("bigint").alias("x_g"),
-    )
+    # r8: pg (bounded duration grain) feeds the event-time set and all
+    # three grid legs — checkpoint so the spell build runs once
+    ).localCheckpoint(eager=False)
     times = pg.filter(F.col("d_g") > 0).select("dur").distinct()
     grid = (
         pg.select("arm")

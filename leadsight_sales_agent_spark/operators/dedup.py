@@ -959,9 +959,16 @@ def neardup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded, the ORACLE's quadratic form caps the graded corpus.
     """
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < PPJOIN_BOUND)
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
-    ).distinct()
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+        )
+        .distinct()
+        # r8: tok feeds 5 consumers (sizes, df, ranking, both verify
+        # legs), prefix feeds both candidate legs — checkpoint so the
+        # tokenize+distinct lineage runs once
+        .localCheckpoint(eager=False)
+    )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     df_counts = tok.groupBy("token").agg(F.count("*").alias("df"))
     ranked = (
@@ -974,9 +981,11 @@ def neardup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(sizes), "doc_id")
     )
-    prefix = ranked.filter(
-        F.col("rn") <= F.floor(F.col("n_tok") / 2) + 1
-    ).select("doc_id", "token", "n_tok")
+    prefix = (
+        ranked.filter(F.col("rn") <= F.floor(F.col("n_tok") / 2) + 1)
+        .select("doc_id", "token", "n_tok")
+        .localCheckpoint(eager=False)
+    )
     pa = prefix.select(
         F.col("doc_id").alias("doc_a"), "token", F.col("n_tok").alias("size_a")
     )

@@ -1869,6 +1869,9 @@ def recsys_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
         .distinct()
     )
+    # r8: lines feeds item counts + both pair legs, scored feeds both
+    # symmetrization legs — checkpoint so each lineage runs once
+    lines = lines.localCheckpoint(eager=False)
     item_n = lines.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
     a = lines.select(F.col("ok").alias("ok_a"), F.col("p").alias("pa"))
     b = lines.select(F.col("ok").alias("ok_b"), F.col("p").alias("pb"))
@@ -1897,6 +1900,7 @@ def recsys_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+    scored = scored.localCheckpoint(eager=False)
     sym = scored.select(
         F.col("pa").alias("item"), F.col("pb").alias("neighbor"), "nab", "cosine"
     ).unionByName(

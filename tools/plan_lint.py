@@ -206,9 +206,11 @@ ALLOW_MANY_EXCHANGES = {
     # default cap; 4.2 -> 2.6 s warm at sf0.1)
     # (r8: graph_link_prediction_common_suppliers removed — pairs and
     # kept are checkpointed; 31 -> 7 Exchanges, under the default cap)
-    "neardup_prefix_filter_join": 21,  # rarity order + prefix + verify
+    # (r8: neardup_prefix_filter_join removed — tok and prefix are
+    # checkpointed; 21 -> 4 Exchanges, under the default cap)
     "neardup_incremental_prefix_join": 14,  # delta-vs-corpus prefix + verify
-    "recsys_item_item_cosine": 21,  # pair counts + sym union + per-item rank
+    # (r8: recsys_item_item_cosine removed — lines and scored are
+    # checkpointed; 21 -> 1 Exchange, under the default cap)
     "pipeline_curate_and_pack": 14,
     # (r8: pipeline_full_release removed — its stitched id-sets are now
     # localCheckpoint'ed so each stage plan runs once; 122 -> 5
@@ -221,7 +223,8 @@ ALLOW_MANY_EXCHANGES = {
     "forecast_ljung_box_q": 18,  # inherits the ACF stage's 12-way lag alignment exchanges
     "dq_t_closeness_audit": 20,  # dense grid build + per-group and global CDF windows
     "privacy_release_gate": 24,  # inherits the t-closeness stage + the k/l rollup
-    "survival_logrank_test": 22,  # spell build + dense grid + at-risk cumulative windows
+    # (r8: survival_logrank_test removed — the (arm, dur) panel is
+    # checkpointed; 22 -> 9 Exchanges, under the default cap)
     "sketch_kmv_intersection": 13,
     "sketch_kmv_rolling_distinct_7d": 7,  # daily rank + window rank + exact-truth twin
     "attribution_shapley_channels": 9,  # pre-purchase mask join + coalition grid + span anchor
