@@ -5472,9 +5472,12 @@ def dq_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("o_orderpriority", 1, 1).cast("int").alias("sens"),
         )
     )
+    # r8: cells feeds the grid keyset AND the grid join, grid feeds the
+    # per-group and global CDF legs — checkpoint both so the fact join
+    # runs once (also inherited by privacy_release_gate)
     cells = joined.groupBy("segment", "nation", "sens").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     sens5 = spark.range(1, 6).select(F.col("id").cast("int").alias("sens"))
     grid = (
         cells.select("segment", "nation")
@@ -5484,6 +5487,7 @@ def dq_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "segment", "nation", "sens", F.coalesce("c", F.lit(0)).alias("c")
         )
+        .localCheckpoint(eager=False)
     )
     wg = Window.partitionBy("segment", "nation")
     gcum = grid.select(

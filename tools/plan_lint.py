@@ -65,9 +65,11 @@ ALLOW_NON_EQUI = {
     "bandit_ucb1_allocation",  # 1-row total-plays anchor on the 4-arm frame
     "inventory_ss_policy_replay",  # 36-month literal grid onto the brand frame
     "replication_merkle_diff",  # 1-row repair x divergence-stats anchors
-    "dq_t_closeness_audit",  # 5-slot sens grid + 5-row global CDF broadcast
+    # (r8: dq_t_closeness_audit removed from non-equi — the sens-grid
+    # cross join sits behind the grid checkpoint now)
     "survival_logrank_test",  # dense arm x duration grid (observation-window bounded)
-    "privacy_release_gate",  # embeds the t-closeness stage
+    # (r8: privacy_release_gate removed from non-equi — inherits the
+    # checkpointed t-closeness stage)
     "chi_square_priority_status",  # 5x3 grid x totals
     "drift_psi_event_mix",  # 1-row totals cross join
     "forecast_pacf_durbin_levinson",  # 3-row lag panel + 1-row stats cross joins
@@ -221,8 +223,10 @@ ALLOW_MANY_EXCHANGES = {
     "eval_harrell_c_index": 14,  # user-grain fold + duration x decile grid windows (4 specs on a bounded grid)
     "timeseries_dtw_monthly_segments": 13,  # dense month grid build + ordered-vector rollup + ref broadcast
     "forecast_ljung_box_q": 18,  # inherits the ACF stage's 12-way lag alignment exchanges
-    "dq_t_closeness_audit": 20,  # dense grid build + per-group and global CDF windows
-    "privacy_release_gate": 24,  # inherits the t-closeness stage + the k/l rollup
+    # (r8: dq_t_closeness_audit removed — cells and grid are
+    # checkpointed; 20 -> 4 Exchanges, under the default cap)
+    # (r8: privacy_release_gate removed — inherits the checkpointed
+    # t-closeness stage; 24 -> 7 Exchanges, under the default cap)
     # (r8: survival_logrank_test removed — the (arm, dur) panel is
     # checkpointed; 22 -> 9 Exchanges, under the default cap)
     "sketch_kmv_intersection": 13,
