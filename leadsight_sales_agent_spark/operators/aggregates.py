@@ -4704,6 +4704,10 @@ def sketch_kmv_rolling_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
         .distinct()
+        # r8: du feeds 4 consumers (daily ranks, the day anchor, the
+        # day grid, the exact-truth twin) — checkpoint so the
+        # scan+distinct runs once
+        .localCheckpoint(eager=False)
     )
     daily = du.withColumn(
         "rn", F.row_number().over(Window.partitionBy("day").orderBy("h"))
@@ -4715,6 +4719,7 @@ def sketch_kmv_rolling_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFram
         .crossJoin(F.broadcast(anchor))
         .filter(F.col("day") >= F.date_add(F.col("d0"), 6))
         .select(F.col("day").alias("t"))
+        .localCheckpoint(eager=False)
     )
     win_hashes = (
         F.broadcast(days)

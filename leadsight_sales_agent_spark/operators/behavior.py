@@ -4263,11 +4263,14 @@ def attribution_shapley_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalitions = spark.range(0, 2 ** SHAPLEY_N).select(
         F.col("id").cast("int").alias("mask")
     )
+    # r8: v (16 coalition rows) feeds with/without legs + the span
+    # anchor — checkpoint so the user-mask build runs once
     v = (
         F.broadcast(coalitions)
         .join(pre, F.expr("(umask & mask) = umask"), "left")
         .groupBy("mask")
         .agg(F.count("user_id").cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)
     )
     channels = spark.createDataFrame(
         list(SHAPLEY_CHANNELS), "channel STRING, bit INT"

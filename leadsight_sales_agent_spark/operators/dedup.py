@@ -1080,9 +1080,16 @@ def neardup_incremental_prefix_join(spark: SparkSession, sf_dir: str) -> DataFra
     prefixes against the corpus prefix index plus candidate verify.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "source", F.explode(F.array_distinct(_tokens())).alias("token")
-    ).distinct()
+    tok = (
+        docs.select(
+            "doc_id", "source",
+            F.explode(F.array_distinct(_tokens())).alias("token"),
+        )
+        .distinct()
+        # r8: tok feeds 5 consumers, prefix feeds both batch/corpus
+        # legs — checkpoint so the tokenize+distinct runs once
+        .localCheckpoint(eager=False)
+    )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     df_counts = tok.groupBy("token").agg(F.count("*").alias("df"))
     ranked = (
@@ -1095,9 +1102,11 @@ def neardup_incremental_prefix_join(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .join(F.broadcast(sizes), "doc_id")
     )
-    prefix = ranked.filter(
-        F.col("rn") <= F.floor(F.col("n_tok") / 5) + 1
-    ).select("doc_id", "source", "token", "n_tok")
+    prefix = (
+        ranked.filter(F.col("rn") <= F.floor(F.col("n_tok") / 5) + 1)
+        .select("doc_id", "source", "token", "n_tok")
+        .localCheckpoint(eager=False)
+    )
     pd_ = prefix.filter(F.col("source") == NEW_BATCH_SOURCE).select(
         F.col("doc_id").alias("delta_doc"), "token",
         F.col("n_tok").alias("size_delta"),

@@ -210,7 +210,8 @@ ALLOW_MANY_EXCHANGES = {
     # kept are checkpointed; 31 -> 7 Exchanges, under the default cap)
     # (r8: neardup_prefix_filter_join removed — tok and prefix are
     # checkpointed; 21 -> 4 Exchanges, under the default cap)
-    "neardup_incremental_prefix_join": 14,  # delta-vs-corpus prefix + verify
+    # (r8: neardup_incremental_prefix_join removed — tok and prefix
+    # are checkpointed; 21 -> 4 Exchanges, under the default cap)
     # (r8: recsys_item_item_cosine removed — lines and scored are
     # checkpointed; 21 -> 1 Exchange, under the default cap)
     "pipeline_curate_and_pack": 14,
@@ -230,8 +231,11 @@ ALLOW_MANY_EXCHANGES = {
     # (r8: survival_logrank_test removed — the (arm, dur) panel is
     # checkpointed; 22 -> 9 Exchanges, under the default cap)
     "sketch_kmv_intersection": 13,
-    "sketch_kmv_rolling_distinct_7d": 7,  # daily rank + window rank + exact-truth twin
-    "attribution_shapley_channels": 9,  # pre-purchase mask join + coalition grid + span anchor
+    # (r8: sketch_kmv_rolling_distinct_7d removed — du and the day
+    # grid are checkpointed; 15 -> 7 Exchanges, under the default cap)
+    # (r8: attribution_shapley_channels removed — the 16-row coalition
+    # value table is checkpointed; 17 -> 5 Exchanges, under the
+    # default cap)
     "market_basket_rules": 13,
     "text_pmi_cooccurrence": 13,
     "text_bm25_scores": 13,
