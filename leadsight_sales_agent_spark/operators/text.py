@@ -4005,9 +4005,11 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered pass (vocab-bounded); everything after lives on the
     sources x {BD_TOP_WORDS} cell grid.
     """
+    # r8: tok feeds totals, the vocabulary rank, and the cell counts —
+    # checkpoint so the token explode runs once
     tok = load(spark, sf_dir, "documents").select(
         "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
-    )
+    ).localCheckpoint(eager=False)
     totals = tok.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
     topw = (
         tok.groupBy("w")
@@ -4193,9 +4195,10 @@ def text_bleu_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     ref_source = None  # resolved in-plan below, no driver collect
+    # r8: toks feeds one gram explode per order — checkpoint the split
     toks = docs.select(
         "source", F.split(F.trim("text"), r"\s+").alias("ws")
-    )
+    ).localCheckpoint(eager=False)
     gram_frames = []
     for n in range(1, BLEU_MAX_N + 1):
         gram_frames.append(
@@ -4213,9 +4216,10 @@ def text_bleu_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = gram_frames[0]
     for gf in gram_frames[1:]:
         grams = grams.unionByName(gf)
+    # grams feeds both the reference index and the candidate side
     grams = grams.groupBy("source", "n", "gram").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint(eager=False)
     ref = docs.agg(F.min("source").alias("ref_source"))
     refg = (
         grams.join(
