@@ -876,8 +876,13 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is a 1-row broadcast. The support floor (>= 3) prunes the
     singleton tail before the rule join.
     """
+    # r8: lines feeds the order count, item supports, and both pair
+    # legs — checkpoint so the scan+distinct runs once
     lines = (
-        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     n = lines.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_orders")
@@ -6377,7 +6382,9 @@ def forecast_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer compare. Scale: everything after the month-grain rollup
     runs on 12 rows.
     """
-    acf = forecast_acf_monthly(spark, sf_dir)
+    # r8: the 12-row ACF stage feeds the n anchor AND the term grid —
+    # checkpoint so the lag-alignment stage runs once
+    acf = forecast_acf_monthly(spark, sf_dir).localCheckpoint(eager=False)
     nn = acf.agg(
         (
             F.max(F.when(F.col("lag_months") == 1, F.col("n_pairs"))) + 1
@@ -8969,9 +8976,11 @@ def eval_harrell_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dur",
         F.ntile(10).over(Window.orderBy("score_u", "user_id")).alias("bucket"),
     )
+    # r8: cells (bounded dur x bucket grain) feeds the event-time set
+    # AND the grid join — checkpoint so the per-user fold runs once
     cells = bucketed.groupBy("dur", "bucket").agg(
         F.count("*").alias("n_all"), F.sum("died").cast("long").alias("n_ev")
-    )
+    ).localCheckpoint(eager=False)
     times = cells.select("dur").distinct()
     bgrid = spark.range(1, 11).select(F.col("id").cast("int").alias("bucket"))
     grid = (

@@ -221,9 +221,11 @@ ALLOW_MANY_EXCHANGES = {
     "retrieval_hybrid_bm25_vector": 14,
     "mixture_token_budget_allocation": 13,
     "storage_dictionary_encoding_advisor": 30,  # 6 independent column profiles (tiny dims), 5 exchanges each
-    "eval_harrell_c_index": 14,  # user-grain fold + duration x decile grid windows (4 specs on a bounded grid)
+    # (r8: eval_harrell_c_index removed — the dur x bucket cells are
+    # checkpointed; 14 -> 7 Exchanges, under the default cap)
     "timeseries_dtw_monthly_segments": 13,  # dense month grid build + ordered-vector rollup + ref broadcast
-    "forecast_ljung_box_q": 18,  # inherits the ACF stage's 12-way lag alignment exchanges
+    # (r8: forecast_ljung_box_q removed — the 12-row ACF stage is
+    # checkpointed; 18 -> 3 Exchanges, under the default cap)
     # (r8: dq_t_closeness_audit removed — cells and grid are
     # checkpointed; 20 -> 4 Exchanges, under the default cap)
     # (r8: privacy_release_gate removed — inherits the checkpointed
@@ -236,7 +238,8 @@ ALLOW_MANY_EXCHANGES = {
     # (r8: attribution_shapley_channels removed — the 16-row coalition
     # value table is checkpointed; 17 -> 5 Exchanges, under the
     # default cap)
-    "market_basket_rules": 13,
+    # (r8: market_basket_rules removed — lines is checkpointed;
+    # 13 -> 9 Exchanges, under the default cap)
     "text_pmi_cooccurrence": 13,
     "text_bm25_scores": 13,
     "dq_referential_integrity": 14,  # 7-edge audit union
