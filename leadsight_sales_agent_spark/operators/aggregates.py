@@ -3368,6 +3368,9 @@ def sketch_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = ev.select(
         "event_type", F.md5(F.concat(F.lit("hll|"), F.col("k"))).alias("h")
     )
+    # r8: hashed feeds the register stream and both truth twins, regs
+    # feeds the per-type and merged paths — checkpoint both
+    hashed = hashed.localCheckpoint(eager=False)
     slotted = hashed.select(
         "event_type",
         F.expr(sql_hex_to_long("substr(h, 1, 2)", 2)).alias("reg"),
@@ -3380,7 +3383,9 @@ def sketch_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(49) - F.length(F.expr("bin(w)")))
         .alias("m"),
     )
-    regs = ranked.groupBy("event_type", "reg").agg(F.max("m").alias("mr"))
+    regs = ranked.groupBy("event_type", "reg").agg(
+        F.max("m").alias("mr")
+    ).localCheckpoint(eager=False)
     truth = hashed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
     g_regs = regs.groupBy("reg").agg(F.max("mr").alias("mr"))
     g_truth = hashed.agg(F.countDistinct("h").alias("n_true"))

@@ -1243,6 +1243,9 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(_tokens()).alias("tok"))
         .select("doc_id", F.lower("tok").alias("tok"))
         .distinct()
+        # r8: dt feeds the vocabulary rank and the pruned stream, dv
+        # feeds both pair legs — checkpoint both
+        .localCheckpoint(eager=False)
     )
     vocab = (
         dt.groupBy("tok")
@@ -1250,7 +1253,7 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("tok"))
         .limit(PMI_VOCAB)
     )
-    dv = dt.join(F.broadcast(vocab), "tok")
+    dv = dt.join(F.broadcast(vocab), "tok").localCheckpoint(eager=False)
     a = dv.select(
         F.col("doc_id").alias("da"), F.col("tok").alias("tok_a"), F.col("df").alias("df_a")
     )
@@ -2487,6 +2490,9 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
     )
+    # r8: tok feeds doc lengths and term frequencies, tf feeds the idf
+    # and the score join — checkpoint both
+    tok = tok.localCheckpoint(eager=False)
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n"), F.sum("dl").cast("long").alias("total_dl")
@@ -2495,6 +2501,7 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.filter(F.col("t").isin(*BM25_TERMS))
         .groupBy("doc_id", "t")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     idf = (
         tf.groupBy("t")

@@ -240,11 +240,14 @@ ALLOW_MANY_EXCHANGES = {
     # default cap)
     # (r8: market_basket_rules removed — lines is checkpointed;
     # 13 -> 9 Exchanges, under the default cap)
-    "text_pmi_cooccurrence": 13,
-    "text_bm25_scores": 13,
+    # (r8: text_pmi_cooccurrence removed — dt and dv are checkpointed;
+    # 13 -> 5 Exchanges, under the default cap)
+    # (r8: text_bm25_scores removed — tok and tf are checkpointed;
+    # 13 -> 11 Exchanges, under the default cap)
     "dq_referential_integrity": 14,  # 7-edge audit union
     "dq_primary_key_uniqueness": 14,  # 7-table audit union
-    "sketch_hll_deterministic": 13,  # per-type + merged register paths
+    # (r8: sketch_hll_deterministic removed — hashed and regs are
+    # checkpointed; 13 -> 8 Exchanges, under the default cap)
     # (r8: neardup_simhash_exact removed — banding is one map-side
     # explode over the checkpointed signature frame now; 65 -> 2
     # Exchanges, under the default cap)
