@@ -2013,11 +2013,18 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     f(x) = (2kx + t) DIV (2t) — no division result is ever
     materialized as a float, and midpoint-start means no RNG seed.
 
-    100 TB plan: the systematic pass is inherently ORDERED (one
-    range-partitioned cumulative over the hash order — documented,
-    allowlisted like sample_fair_interleave); everything else is
-    map-side. The k selected keys then broadcast back for any
-    follow-up join.
+    100 TB plan: the cumulative line is SHARDED, not global — the
+    pack_sequences_token_budget prefix-sum device (r8 verdict task):
+    the global order is (hk, o_orderkey) and hk's FIRST HEX CHAR is
+    its most significant position, so partitioning by that prefix
+    gives 16 shards whose concatenation IS the global order. Each
+    shard runs its own cumulative window in parallel; a 16-row
+    shard-totals frame (one tiny window) yields each shard's start
+    offset and the grand total t, broadcast back. cum_incl =
+    shard_offset + within-shard cum — bit-identical to the single
+    global window, with no single-partition WindowExec stage.
+    Everything else is map-side; the k selected keys then broadcast
+    back for any follow-up join.
     """
     from leadsight_sales_agent_spark.operators.sampling import hash_key
 
@@ -2028,11 +2035,31 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         hash_key("pps:", F.col("o_orderkey").cast("string")).alias("hk"),
     )
-    cum = base.select(
+    base = base.withColumn("shard", F.substring("hk", 1, 1))
+    wsh = Window.partitionBy("shard").orderBy("hk", "o_orderkey")
+    # 16-row shard totals: offset = sum of totals of lexically smaller
+    # shards; t = grand total. The window here is over 16 rows, not the
+    # fact — bounded at any data scale.
+    woff = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        base.groupBy("shard")
+        .agg(F.sum("cents").alias("sh_tot"))
+        .select(
+            "shard",
+            F.coalesce(F.sum("sh_tot").over(woff), F.lit(0)).alias("sh_off"),
+            F.sum("sh_tot").over(wall).alias("t"),
+        )
+    )
+    cum = base.join(F.broadcast(offsets), "shard").select(
         "o_orderkey",
         "cents",
-        F.sum("cents").over(Window.orderBy("hk", "o_orderkey")).alias("cum_incl"),
-        F.sum("cents").over(Window.partitionBy()).alias("t"),
+        (F.col("sh_off") + F.sum("cents").over(wsh)).alias("cum_incl"),
+        "t",
     )
     hits = cum.select(
         "o_orderkey",

@@ -69,73 +69,76 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # window_sliding_panes, plus the remaining never-graded long tail
 # (see CORRECTNESS_r0* row history).
 _PANEL_50 = [
-    # r8 panel. The r7 panel came back 50/50 green (CORRECTNESS_r07) —
-    # every slot confirmed, so ALL 50 retire per the r7 verdict. This
-    # round's composition: 45 never-driver-graded oracle-backed
+    # r9 panel. The r8 panel came back 50/50 green (CORRECTNESS_r08) —
+    # every slot confirmed, so ALL 50 retire per the r8 verdict. This
+    # round's composition: 46 never-driver-graded oracle-backed
     # queries drawn oldest-wave-first from the COVERAGE.md residue
-    # (41 from the r4/r5 old wave; 4 r6-wave picks only where the
-    # family has no old-wave residue left: the AMS join-size sketch,
-    # the audio chunk plan, the C4 quality gate, and the greedy
-    # source-cover) + 5 anchors for families whose every member is
-    # already driver-green (setops, fuzzy_dedup, fidelity, json,
-    # urls — the family test checks MEMBERSHIP, so one confirmed
-    # anchor each keeps the family in-window; the setops anchor
-    # rotates to union_schema_evolution to spread confirmations).
-    # Rotated-out queries stay oracle-checked locally every round
-    # via tools/check_oracle.py.
+    # (40 from the r4/r5 old wave; 6 r6-wave picks only where the
+    # family has no old-wave residue left: the nearest as-of join,
+    # the rolling KMV sketch, SemDeDup, the ViT patch plan, the
+    # encoding-damage audit, and the repeat-epochs mixture plan) +
+    # 4 anchors for families whose every member is already
+    # driver-green (setops, fidelity, json, urls — the family test
+    # checks MEMBERSHIP, so one confirmed anchor each keeps the
+    # family in-window; each anchor rotates to a different confirmed
+    # member than r8 used, to spread confirmations). fuzzy_dedup
+    # needs no anchor this round: eval_linkage_quality (old-wave,
+    # never graded) composes the registered entity linker and is the
+    # family's natural scorecard. Rotated-out queries stay
+    # oracle-checked locally every round via tools/check_oracle.py.
     # family picks (one fresh member per family with residue left)
-    "cogroup_reconcile_orders_events",  # joins
-    "cdc_log_compaction",  # relational
-    "agg_bitmap_distinct_users",  # aggregates
-    "sketch_ams_join_size_estimate",  # sketches
-    "rolling_active_users_7d",  # windows
-    "interval_union_coverage",  # datetime
-    "dedup_cross_source_matrix",  # dedup
-    "sample_ht_estimator_check",  # sampling
-    "ab_deterministic_assignment",  # behavior
-    "embedding_robust_scale",  # similarity
-    "text_chunk_documents",  # text
-    "multimodal_audio_chunk_plan",  # multimodal
-    "text_c4_quality_gate",  # corpus_cleaning
-    "corpus_greedy_source_cover",  # curation
+    "join_asof_nearest_tolerance",  # joins (r6 wave)
+    "late_arriving_dim_handling",  # relational
+    "eval_qq_quantile_pairs",  # aggregates
+    "sketch_kmv_rolling_distinct_7d",  # sketches (r6 wave)
+    "ops_error_budget_burn",  # windows
+    "temporal_coalesce_pack",  # datetime
+    "dedup_semantic_semdedup",  # dedup (r6 wave)
+    "eval_linkage_quality",  # fuzzy_dedup
+    "leakage_embedding_cosine_cross_split",  # sampling
+    "survival_kaplan_meier",  # behavior
+    "retrieval_mmr_diversified",  # similarity
+    "text_token_count_bpe",  # text
+    "multimodal_vit_patch_plan",  # multimodal (r6 wave)
+    "text_encoding_damage_audit",  # corpus_cleaning (r6 wave)
+    "mixture_repeat_epochs_plan",  # curation (r6 wave)
     # oldest-wave fill (r4/r5 alphabetical residue)
-    "ab_diff_in_diff",
-    "ab_wilson_significance",
-    "agg_grouped_pandas_udf_mad",
-    "agg_weighted_percentile_p90",
-    "allocation_invoice_rounding",
-    "anomaly_seasonal_adjusted",
-    "attribution_first_touch_session",
-    "attribution_position_based",
-    "basket_bought_a_never_b",
-    "benford_first_digit_audit",
-    "chi_trend_cochran_armitage",
-    "cohort_ltv_curve",
-    "compaction_bin_packing",
-    "concentration_gini_hhi_by_segment",
-    "conversion_latency_percentiles",
-    "cusum_change_detection",
-    "diag_join_skew_advisor",
-    "dq_k_anonymity_audit",
-    "dq_l_diversity_audit",
-    "dq_out_of_order_audit",
-    "dq_primary_key_uniqueness",
-    "dq_quarantine_split",
-    "dq_referential_integrity",
-    "drift_psi_event_mix",
-    "eval_auc_by_fold",
-    "eval_calibration_bins",
-    "eval_cohens_kappa",
-    "eval_cost_optimal_threshold",
-    "eval_decile_lift_table",
-    "eval_expected_calibration_error",
-    "eval_ks_two_sample",
+    "eval_label_silhouette",
+    "eval_langid_confusion",
+    "eval_langid_precision_recall_f1",
+    "eval_map_retrieval",
+    "eval_mutual_information",
+    "eval_qini_uplift_curve",
+    "feature_hashing_trick",
+    "feature_target_encoding_loo",
+    "feature_woe_iv",
+    "finance_ar_aging_buckets",
+    "forecast_conformal_interval",
+    "forecast_croston_intermittent",
+    "forecast_mann_kendall_trend",
+    "forecast_seasonal_decomposition",
+    "forecast_seasonal_mann_kendall",
+    "forecast_seasonal_naive_backtest",
+    "forecast_theil_sen_trend",
+    "graph_degree_assortativity",
+    "graph_degree_distribution",
+    "graph_link_prediction_common_suppliers",
+    "graph_reachability_recursive_sql",
+    "graph_rich_club_coefficient",
+    "impute_group_median_balance",
+    "impute_linear_interpolation",
+    "incremental_agg_maintenance",
+    "inventory_abc_xyz_matrix",
+    "inventory_clamped_running_balance",
+    "label_centroid_similarity",
+    "market_basket_part_pairs",
+    "market_basket_rules",
+    "mining_contrastive_triplets",
     # green anchors (families with no never-graded residue)
-    "union_schema_evolution",  # setops
-    "dedup_sorted_neighborhood",  # fuzzy_dedup
-    "string_functions_suite",  # fidelity
-    "json_props_extraction",  # json
-    "url_resolution_suite",  # urls
+    "setop_intersect_nations",  # setops
+    "reference_render_functions",  # fidelity
+    "json_flatten_struct",  # json
+    "dedup_url_canonicalization",  # urls
 ]
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
