@@ -251,9 +251,18 @@ def main() -> None:
     if len(line) > 1800:  # hard guard: never outgrow the driver's tail window
         compact["queries"] = {"n_queries": len(timings)}
         line = json.dumps(compact, separators=(",", ":"))
+    # Stop the JVM BEFORE printing the compact line: Spark shutdown can
+    # emit a multi-KB DAGScheduler trace onto stdout (observed r8 —
+    # BENCH_r08's tail opened mid-trace), and the driver JSON-parses
+    # only the LAST ~2 KB of stdout. Printing after stop() keeps the
+    # line the final bytes; the guard keeps stop() failures from
+    # eating it.
+    try:
+        spark.stop()
+    except Exception:
+        pass
     sys.stdout.flush()
     print(line, flush=True)
-    spark.stop()
 
 
 if __name__ == "__main__":

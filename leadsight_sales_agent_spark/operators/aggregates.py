@@ -968,17 +968,145 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ntile needs a total order (o_orderkey tiebreak) to be gradable.
     The lo/hi columns are raw doubles — pure min/max, no arithmetic,
-    so bit-safe. Scale note: global ntile = a RangePartitioner sort
-    (parallel) + per-partition numbering with broadcast offsets; at
-    100 TB you'd read the 7 cutpoints off approx_percentile instead
-    and bucket by comparison — one pass, no sort — trading exact equal
-    depth for ±ε. Both forms ship; this one is the exact anchor.
+    so bit-safe. Scale note: global ntile = one single-partition
+    numbering task (allowlisted under plan-lint R6); the registered
+    scale path is agg_histogram_equidepth_localized below — exact
+    cutpoints via rank localization, then comparison bucketing, no
+    global sort. Both forms ship; this one is the exact anchor.
     """
     o = load(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     b = o.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
     return b.groupBy("bucket").agg(
         F.count("*").alias("n_rows"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+EQUIDEPTH_K = 8  # buckets in the equi-depth pair (anchor + scale twin)
+
+
+@query(
+    "agg_histogram_equidepth_localized",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_totalprice,
+               CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    ranked AS (
+        SELECT cents, row_number() OVER (ORDER BY cents) AS rk FROM base
+    ),
+    cuts AS (
+        SELECT r.cents AS cut
+        FROM ranked r, stats s,
+             unnest(generate_series(1, {EQUIDEPTH_K - 1})) AS g(i)
+        WHERE r.rk = (g.i * s.n) // {EQUIDEPTH_K}
+    ),
+    b AS (
+        SELECT b2.o_totalprice,
+               1 + (SELECT count(*) FROM cuts c WHERE c.cut < b2.cents)
+                   AS bucket
+        FROM base b2
+    )
+    SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_rows,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM b GROUP BY 1
+    """,
+)
+def agg_histogram_equidepth_localized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram AT SCALE — the one-pass-per-stage twin of
+    agg_histogram_equidepth that replaces the global ntile (one
+    single-partition numbering task over the whole fact) with the
+    quantile_bucket_localized_exact device generalized to 7 cutpoints:
+
+    1. histogram pass: row counts per $1000 domain bucket — one
+       map-side-combinable hash-agg whose output is bounded by the
+       price DOMAIN (~500 rows), not the data;
+    2. locate: a cumulative over the tiny grid finds, for each target
+       rank r_i = (i*n) DIV 8, the bucket containing it and the local
+       rank within that bucket (7-row rank grid broadcast onto the
+       grid — bounded non-equi);
+    3. rescan: only the <=7 located buckets' rows are re-read (the
+       locator broadcasts as a pushable bucket filter); the
+       r_local-th smallest cents in each sliver IS the exact i/8
+       order statistic;
+    4. bucket by comparison: every row counts the cutpoints strictly
+       below it via one array fold over the broadcast 7-cut array —
+       map-side only, no sort, no shuffle beyond the final 8-group
+       agg.
+
+    vs the anchor: comparison bucketing cannot split rows with EQUAL
+    values across a boundary the way ntile's tiebreak does, so depths
+    are equal only up to value ties — the documented trade every
+    statistics-collection pipeline makes. Cutpoints are EXACT order
+    statistics (not approx_percentile), so the DuckDB oracle (full
+    sort row_number — the opposite, quadratic-at-scale construction)
+    hash-matches bit-for-bit: cents via the DECIMAL(25,2)x100 device,
+    ranks via DIV, lo/hi raw min/max doubles.
+
+    100 TB: three pruned 2-column scans (histogram, sliver, bucket)
+    and bounded intermediates everywhere — the single-partition stages
+    touch only the ~500-row aggregated grid. This is what ANALYZE
+    TABLE-style stats collection runs at warehouse scale.
+    """
+    base = load(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    hist = base.groupBy(
+        F.expr(f"cents DIV {QUANTILE_BUCKET_CENTS}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    gw = Window.orderBy("bucket")
+    grid = hist.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(gw).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    ranks = spark.range(1, EQUIDEPTH_K).select(F.col("id").alias("i"))
+    located = (
+        grid.crossJoin(F.broadcast(ranks))
+        .withColumn("r", F.expr(f"(i * n) DIV {EQUIDEPTH_K}"))
+        .filter(
+            (F.col("cum") >= F.col("r"))
+            & (F.col("cum") - F.col("cnt") < F.col("r"))
+        )
+        .select(
+            "i",
+            "bucket",
+            (F.col("r") - (F.col("cum") - F.col("cnt"))).alias("r_local"),
+        )
+    )
+    sliver = base.withColumn(
+        "bucket", F.expr(f"cents DIV {QUANTILE_BUCKET_CENTS}")
+    ).join(F.broadcast(located), "bucket")
+    lw = Window.partitionBy("i").orderBy("cents")
+    cuts = (
+        sliver.withColumn("rk", F.row_number().over(lw))
+        .filter(F.col("rk") == F.col("r_local"))
+        .select(F.col("cents").alias("cut"))
+    )
+    cuts_arr = cuts.agg(F.sort_array(F.collect_list("cut")).alias("cuts"))
+    b = base.crossJoin(F.broadcast(cuts_arr)).select(
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.expr(
+                "aggregate(cuts, 0,"
+                " (acc, c) -> acc + CASE WHEN c < cents THEN 1 ELSE 0 END)"
+            )
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )

@@ -1899,11 +1899,21 @@ def eval_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lift's cross-multiplication n_pos*tot_n / (n*tot_pos) stays in
     integers — HUGEINT in the oracle, BIGINT is ample in Spark).
 
-    Scale: ntile needs a global sort — at 100 TB the same report runs
-    on the collapsed distinct-score grain (the ROC device) with
-    range-partitioned cumulative counts; the row-grain form here is
-    the exact spec that variant must match.
+    Scale: r9 — the global ntile (single-partition WindowExec over
+    every scored row, plan-lint R6) is gone: the total order
+    (score DESC, event_id) is prefix-partitionable by the score
+    itself (negated so ascending shard order = descending score), so
+    the prefix-sharded rank device computes each row's global rank
+    from per-score row_numbers + broadcast cumulative counts over the
+    distinct-score grid (an aggregated, domain-bounded frame), and
+    ntile_from_rank maps (rank, n) to the identical decile. The
+    oracle keeps plain ntile — hash equality proves the device.
     """
+    from leadsight_sales_agent_spark.functions.ranks import (
+        ntile_from_rank,
+        sharded_prefix,
+    )
+
     s = (
         load(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -1913,12 +1923,13 @@ def eval_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
         )
     )
-    ranked = s.select(
-        "y",
-        F.ntile(10).over(Window.orderBy(F.desc("score"), F.asc("event_id"))).alias(
-            "decile"
-        ),
-    )
+    ranked = sharded_prefix(
+        s.withColumn("_negscore", -F.col("score")),
+        "_negscore",
+        ["event_id"],
+        rank_out="_rnk",
+        total_out="_n",
+    ).select("y", ntile_from_rank("_rnk", "_n", 10).alias("decile"))
     per = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("n_pos")
     )
@@ -6911,11 +6922,17 @@ def ab_sprt_sequential_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the only logarithms are MODULE-LEVEL spec constants
     quantized to e12 integers before either engine sees them, so the
     cumulative LLR walk is an exact BIGINT running sum and both the
-    crossing test and the decision are integer compares. The walk's
-    global (ts, event_id) order is one range-partitioned sort — the
-    same total order every sequential monitor needs; the crossing
-    extraction is a filter + first-row rank, never a driver loop.
+    crossing test and the decision are integer compares. Scale (r9):
+    the walk's total (ts, event_id) order is CALENDAR-prefixed — all
+    of month m sorts before month m+1 — so the prefix-sharded device
+    (functions/ranks.py) runs one window per month with broadcast
+    month offsets (count for n, LLR sum for cum), bit-identical to
+    the single global window with no single-partition stage; the
+    first crossing is a min/min_by aggregate, never a rank over the
+    filtered walk.
     """
+    from leadsight_sales_agent_spark.functions.ranks import sharded_prefix
+
     obs = (
         load(spark, sf_dir, "events")
         .filter(hash_key("sprt:", F.col("user_id")) < "80000000")
@@ -6928,18 +6945,24 @@ def ab_sprt_sequential_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("llr"),
         )
     )
-    w = Window.orderBy("ts", "event_id")
-    walk = obs.select(
-        F.row_number().over(w).alias("n"),
-        F.sum("llr").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-    )
-    crossing = (
-        walk.filter(
-            (F.col("cum") >= SPRT_UPPER) | (F.col("cum") <= SPRT_LOWER)
+    # three consumers (crossing, terminal, final row) — checkpoint so
+    # the sharded walk's plan runs once (the r8 shared-frame rule)
+    walk = (
+        sharded_prefix(
+            obs.withColumn("_month", F.date_trunc("month", F.col("ts"))),
+            "_month",
+            ["ts", "event_id"],
+            rank_out="n",
+            sums={"cum": "llr"},
         )
-        .withColumn("rn", F.row_number().over(Window.orderBy("n")))
-        .filter(F.col("rn") == 1)
-        .select(F.col("n").alias("cn"), F.col("cum").alias("ccum"))
+        .select("n", "cum")
+        .localCheckpoint()
+    )
+    crossing = walk.filter(
+        (F.col("cum") >= SPRT_UPPER) | (F.col("cum") <= SPRT_LOWER)
+    ).agg(
+        F.min("n").alias("cn"),
+        F.min_by("cum", "n").alias("ccum"),
     )
     terminal = walk.agg(F.max("n").alias("n_total"))
     final_cum = (

@@ -1443,30 +1443,44 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     long common PREFIXES (boilerplate headers, templated titles).
 
     Engine plan: the window-of-successors never materializes a
-    rank-distance join — each pair is a lag(k) column over ONE sorted
+    rank-distance join — each pair is a lead(k) column over a sorted
     window pass (k = 1..3), unioned and filtered by the native JVM
     levenshtein. The oracle is the spec self-join on rank distance;
-    hash equality proves the lag unrolling covers exactly the w-window.
+    hash equality proves the unrolling covers exactly the w-window.
 
-    Scale: a global sort is a range-partitioned exchange (Spark's
-    TakeOrderedAndProject/rangepartitioning machinery), and the lag
-    window then runs per range partition with w-row boundary carry —
-    the documented production form; at this corpus grain the single
-    sort is the whole cost. Sum-of-window-size work: O(n·w) verify
-    comparisons vs O(n²) all-pairs.
+    Scale (r9, plan-lint R6): the sort-order pass is SHARDED with the
+    documented w-row boundary carry, not one single-partition window.
+    The sort key's FIRST CHARACTER is its most significant position,
+    so it partitions the total order; the lead(k) windows run per
+    shard in parallel, and the only pairs they miss — the ones that
+    straddle a shard boundary — are recovered exactly from the tiny
+    boundary frame: any straddling pair at rank distance <= w has its
+    left member among its shard's LAST w rows and its right member
+    among its shard's FIRST w rows, so per-shard head/tail rows
+    (global ranks attached by the prefix-sharded rank device) joined
+    on rnk+k, k=1..w, cross-shard only, are the complete carry. Work
+    stays O(n*w) verify comparisons vs O(n^2) all-pairs.
     """
+    from leadsight_sales_agent_spark.functions.ranks import sharded_prefix
+
     keyed = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.substring(
             F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), 1, 40
         ).alias("skey"),
     )
-    w = Window.orderBy("skey", "doc_id")
-    with_lags = keyed.select(
+    ranked = sharded_prefix(
+        keyed.withColumn("_sh", F.substring("skey", 1, 1)),
+        "_sh",
+        ["skey", "doc_id"],
+        rank_out="rnk",
+    ).localCheckpoint()
+    wsh = Window.partitionBy("_sh").orderBy("skey", "doc_id")
+    with_lags = ranked.select(
         "doc_id",
         "skey",
-        *[F.lead("doc_id", k).over(w).alias(f"nid_{k}") for k in (1, 2, 3)],
-        *[F.lead("skey", k).over(w).alias(f"nkey_{k}") for k in (1, 2, 3)],
+        *[F.lead("doc_id", k).over(wsh).alias(f"nid_{k}") for k in (1, 2, 3)],
+        *[F.lead("skey", k).over(wsh).alias(f"nkey_{k}") for k in (1, 2, 3)],
     )
     pairs = None
     for k in (1, 2, 3):
@@ -1476,6 +1490,32 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("skey", f"nkey_{k}").cast("bigint").alias("key_dist"),
         )
         pairs = p if pairs is None else pairs.unionByName(p)
+    # boundary carry: per-shard head/tail w-rows with their global ranks
+    wdesc = Window.partitionBy("_sh").orderBy(F.desc("skey"), F.desc("doc_id"))
+    edge = (
+        ranked.withColumn("_ra", F.row_number().over(wsh))
+        .withColumn("_rd", F.row_number().over(wdesc))
+        .filter((F.col("_ra") <= 3) | (F.col("_rd") <= 3))
+        .select("doc_id", "skey", "_sh", "rnk")
+        .localCheckpoint()
+    )
+    for k in (1, 2, 3):
+        e = (
+            edge.alias("a")
+            .join(
+                edge.alias("b"),
+                F.col("b.rnk") == F.col("a.rnk") + k,
+            )
+            .filter(F.col("a._sh") != F.col("b._sh"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.levenshtein(F.col("a.skey"), F.col("b.skey"))
+                .cast("bigint")
+                .alias("key_dist"),
+            )
+        )
+        pairs = pairs.unionByName(e)
     return pairs.filter(F.col("key_dist") <= 5)
 
 

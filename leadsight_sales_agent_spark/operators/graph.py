@@ -248,12 +248,18 @@ def graph_triangle_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     au = adj.select(F.col("src").alias("u_key"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("src").alias("v_key"), F.col("nbrs").alias("nv"))
     # inner joins: an edge whose endpoint has no out-neighbors closes
-    # no triangle and contributes 0 either way
+    # no triangle and contributes 0 either way; coalesce covers the
+    # degenerate graph where the joins produce ZERO rows (sum(k) over
+    # an empty frame is NULL, the oracle's count(*) is 0 — r8 ADVICE)
     tri = (
         oriented.join(au, oriented.src == au.u_key)
         .join(av, oriented.dst == av.v_key)
         .select(F.size(F.array_intersect("nu", "nv")).alias("k"))
-        .agg(F.sum("k").cast("bigint").alias("n_triangles"))
+        .agg(
+            F.coalesce(F.sum("k"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles")
+        )
     )
     profile = deg.agg(
         F.count("*").alias("n_nodes"), F.max("d").alias("max_degree")

@@ -488,8 +488,15 @@ def storage_dictionary_encoding_advisor(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+RLE_SHARD_KEYS = 1 << 16  # natural-leg o_orderkey block size
+
+
 @query(
     "storage_rle_sortedness_audit",
+    # o_orderkey block size for the natural-leg sharded run count: the
+    # block id (key DIV 2^16) is a prefix of the key order, so blocks
+    # partition the lag window; boundary merges are corrected on the
+    # block grid. 2^16 keys/block keeps blocks executor-sized at any SF.
     oracle="""
     WITH nat AS (
         SELECT o_orderpriority AS v,
@@ -534,37 +541,81 @@ def storage_rle_sortedness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: a run starts where lag(value) differs — pure string
     compare over total-ordered windows (tie-broken by o_orderkey);
-    counts and the bp device are integers. Scale: two window passes,
-    each one global sort of a column-pruned scan — the 'sorted' pass
-    at real scale IS the write job's sort, so the audit is free there;
-    the run counting itself is map-side after the sort.
+    counts and the bp device are integers. Scale (r9, plan-lint R6):
+    neither leg runs a single-partition window any more —
+    - natural leg: runs are counted inside 65536-key o_orderkey
+      blocks (the block id is a PREFIX of the key order), then the
+      per-block first/last values meet on the tiny aggregated block
+      grid and every boundary where prev block's last == next
+      block's first merges two counted runs into one (subtract);
+    - sorted leg: the (value, key) order groups by value, so a lag
+      PARTITIONED by the value is exact as-is — partition boundaries
+      are always genuine run starts (the neighboring value differs
+      by construction).
+    At real scale the sorted pass still prices the write job's sort;
+    run counting itself stays a per-block map-side fold.
     """
     o = load(spark, sf_dir, "orders")
-    nat = o.select(
-        F.col("o_orderpriority").alias("v"),
-        F.lag("o_orderpriority").over(Window.orderBy("o_orderkey")).alias("pv"),
-    )
-    srt = o.select(
-        F.col("o_orderpriority").alias("v"),
-        F.lag("o_orderpriority")
-        .over(Window.orderBy("o_orderpriority", "o_orderkey"))
-        .alias("pv"),
-    )
 
-    def runs(df: DataFrame, label: str) -> DataFrame:
-        return df.agg(
+    def run_starts() -> F.Column:
+        return (
             F.sum(
                 F.when(F.col("pv").isNull() | (F.col("v") != F.col("pv")), 1)
                 .otherwise(0)
             )
             .cast("bigint")
-            .alias("n_runs"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        ).select(F.lit(label).alias("layout"), "n_runs", "n_rows")
+        )
+
+    # natural leg: per-block lag + boundary merge correction
+    nat = o.select(
+        F.col("o_orderpriority").alias("v"),
+        "o_orderkey",
+        F.expr(f"o_orderkey DIV {RLE_SHARD_KEYS}").alias("blk"),
+    )
+    wb = Window.partitionBy("blk").orderBy("o_orderkey")
+    within = nat.withColumn("pv", F.lag("v").over(wb)).agg(
+        run_starts().alias("n_runs_w"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    grid = nat.groupBy("blk").agg(
+        F.min_by("v", "o_orderkey").alias("first_v"),
+        F.max_by("v", "o_orderkey").alias("last_v"),
+    )
+    wg = Window.orderBy("blk")
+    merges = (
+        grid.select(
+            "first_v", F.lag("last_v").over(wg).alias("prev_last")
+        )
+        .agg(
+            F.count_if(
+                F.col("prev_last").isNotNull()
+                & (F.col("prev_last") == F.col("first_v"))
+            )
+            .cast("bigint")
+            .alias("n_merges")
+        )
+    )
+    nat_runs = within.crossJoin(F.broadcast(merges)).select(
+        F.lit("natural").alias("layout"),
+        (F.col("n_runs_w") - F.col("n_merges")).alias("n_runs"),
+        "n_rows",
+    )
+
+    # sorted leg: partitioning BY the value is exact for the
+    # (value, key) order — no correction needed
+    srt = o.select(
+        F.col("o_orderpriority").alias("v"),
+        F.lag("o_orderpriority")
+        .over(Window.partitionBy("o_orderpriority").orderBy("o_orderkey"))
+        .alias("pv"),
+    )
+    srt_runs = srt.agg(
+        run_starts().alias("n_runs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    ).select(F.lit("sorted").alias("layout"), "n_runs", "n_rows")
 
     return (
-        runs(nat, "natural")
-        .unionByName(runs(srt, "sorted"))
+        nat_runs.unionByName(srt_runs)
         .select(
             "layout",
             "n_runs",
@@ -667,13 +718,16 @@ def shard_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     the consistent-hashing contract as a graded integer column — and
     `moved_total_bp` lands near 10000/(n+1) bp.
 
-    Implementation trick (both engines): assignment is NOT a key x
-    vnode expansion — keys and vnodes union into one frame ordered by
-    ring position, and a forward-looking IGNORE NULLS first_value
-    carries each key to its next vnode (wrap via the global first
-    vnode) — one sort per ring instead of an |keys| x 64 join. At
-    scale that sort is a range partition by ring position, which is
-    exactly how the placement table is materialized anyway.
+    Implementation (r9, plan-lint R6): the engine broadcasts the ring
+    itself — {RING_SHARDS}x{RING_VNODES} (pos, shard) structs, sorted,
+    as ONE array — and every key finds its successor vnode with a
+    map-side array `filter` + `get` (wrap via element 0). No shuffle
+    touches the keys at all: placement is embarrassingly parallel, the
+    way a real router evaluates a ring (the ring IS the broadcast
+    model state). The oracle keeps the union-sweep construction —
+    keys and vnodes ordered by ring position with a forward-looking
+    IGNORE NULLS first_value — so hash equality proves the lookup
+    against an independent formulation.
 
     Exactness: positions are 48-bit md5 integers (the shared
     hex-ladder device), ties between a key and a coincident vnode
@@ -710,38 +764,20 @@ def shard_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(r: DataFrame) -> DataFrame:
-        uni = r.select(
-            F.lit(None).cast("bigint").alias("kid"),
-            "shard",
-            "pos",
-            F.lit(1).alias("is_v"),
-        ).unionByName(
-            keys.select(
-                "kid",
-                F.lit(None).cast("int").alias("shard"),
-                F.col("kpos").alias("pos"),
-                F.lit(0).alias("is_v"),
+        # the ring as one broadcast sorted (pos, shard) array; a key's
+        # owner is the first vnode at pos >= kpos (coincident vnode
+        # owns — the "kpos <= vpos" tie rule), wrapping to element 0.
+        ring_arr = r.agg(
+            F.sort_array(F.collect_list(F.struct("pos", "shard"))).alias(
+                "ring"
             )
         )
-        # next-vnode-upward == running last-seen-vnode in a DESCENDING
-        # scan: an O(n) running frame, where the naive forward
-        # UNBOUNDED FOLLOWING first_value frame is O(n^2) per
-        # partition in Spark (re-scans the tail for every row —
-        # measured 8.7s vs <2s at sf0.1).
-        wd = Window.orderBy(F.desc("pos"), F.desc("is_v"))
-        nxt = F.last(
-            F.when(F.col("is_v") == 1, F.col("shard")), ignorenulls=True
-        ).over(wd.rowsBetween(Window.unboundedPreceding, 0))
-        # wrap target = the globally smallest vnode position — the LAST
-        # vnode in the descending order; full-frame windows evaluate
-        # once per partition (O(n)).
-        frst = F.last(
-            F.when(F.col("is_v") == 1, F.col("shard")), ignorenulls=True
-        ).over(wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        return (
-            uni.select("kid", "is_v", nxt.alias("nxt"), frst.alias("frst"))
-            .filter(F.col("is_v") == 0)
-            .select("kid", F.coalesce(F.col("nxt"), F.col("frst")).alias("shard"))
+        return keys.crossJoin(F.broadcast(ring_arr)).select(
+            "kid",
+            F.expr(
+                "coalesce(get(filter(ring, x -> x.pos >= kpos), 0).shard,"
+                " get(ring, 0).shard)"
+            ).alias("shard"),
         )
 
     before = assign(ring(RING_SHARDS)).withColumnRenamed("shard", "s_before")
@@ -1185,22 +1221,32 @@ def storage_zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFram
     identically. The two legs are independent lineages (one scan
     each, column-pruned to one date + the order keys).
 
-    100 TB: the audited quantity is the SCAN-side term a layout
-    optimizer minimizes; the audit itself is one sort + one page-grain
-    aggregate per candidate layout — exactly the cost OPTIMIZE ZORDER
-    pays, run here at sample scale to pick the winner before
-    committing the full rewrite.
+    100 TB (r9, plan-lint R6): neither leg's row numbering is a
+    single-partition window any more — each layout's leading sort
+    column yields a prefix shard (the 65536-key l_orderkey block for
+    the natural layout; the ship DATE itself for the sorted layout),
+    so the prefix-sharded rank device (functions/ranks.py) numbers
+    rows with per-shard windows + broadcast offsets, bit-identical to
+    the global row_number. The audited quantity is the SCAN-side term
+    a layout optimizer minimizes; the audit itself is exactly the
+    cost OPTIMIZE ZORDER pays, run at sample scale to pick the winner
+    before committing the full rewrite.
     """
+    from leadsight_sales_agent_spark.functions.ranks import sharded_prefix
+
     lo, hi = F.lit("1997-03-01").cast("date"), F.lit("1997-04-01").cast("date")
 
-    def leg(layout: str, order_cols: list) -> DataFrame:
-        w = Window.orderBy(*order_cols)
-        pages = (
+    def leg(layout: str, shard_expr: F.Column, order_cols: list) -> DataFrame:
+        base = (
             load(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_linenumber", "l_shipdate")
+            .withColumn("_shard", shard_expr)
+        )
+        pages = (
+            sharded_prefix(base, "_shard", order_cols, rank_out="_rnk")
             .withColumn(
                 "pg",
-                ((F.row_number().over(w) - 1) / ZM_PAGE_ROWS).cast("long"),
+                ((F.col("_rnk") - 1) / ZM_PAGE_ROWS).cast("long"),
             )
             .groupBy("pg")
             .agg(
@@ -1237,8 +1283,16 @@ def storage_zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("scan_waste_bp"),
         )
 
-    return leg("natural", ["l_orderkey", "l_linenumber"]).unionAll(
-        leg("shipdate_sorted", ["l_shipdate", "l_orderkey", "l_linenumber"])
+    return leg(
+        "natural",
+        F.expr(f"l_orderkey DIV {RLE_SHARD_KEYS}"),
+        ["l_orderkey", "l_linenumber"],
+    ).unionAll(
+        leg(
+            "shipdate_sorted",
+            F.col("l_shipdate"),
+            ["l_shipdate", "l_orderkey", "l_linenumber"],
+        )
     )
 
 

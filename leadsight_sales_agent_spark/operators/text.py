@@ -3559,6 +3559,42 @@ def text_good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 ACCUM_BUCKETS = 10  # corpus prefix checkpoints (deciles)
 
 
+def _accum_ordered(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, decile): the hash-order decile assignment shared
+    by text_vocab_accumulation_curve and text_heaps_law_fit. r9: the
+    global ntile (one single-partition WindowExec over the corpus —
+    plan-lint R6) is replaced by the prefix-sharded rank device: the
+    md5 key's first hex char partitions the total order (it is the
+    most significant sort position), per-shard row_numbers plus
+    broadcast shard offsets reproduce the global rank exactly, and
+    ntile_from_rank maps (rank, n) to the identical SQL ntile bucket.
+    The oracles keep plain ntile — hash equality proves the device.
+    """
+    from leadsight_sales_agent_spark.functions.ranks import (
+        ntile_from_rank,
+        sharded_prefix,
+    )
+
+    h = hash_key("acc:", F.col("doc_id"))
+    t = docs.filter(F.trim("text") != "").select(
+        "doc_id",
+        "text",
+        h.alias("_h"),
+        F.substring(h, 1, 1).alias("_sh"),
+    )
+    ranked = sharded_prefix(
+        t, "_sh", ["_h", "doc_id"], rank_out="_rnk", total_out="_n"
+    )
+    # both consumers explode this frame into token grain twice
+    # (first-seen + per-decile counts) — checkpoint so the sharded
+    # ranking's plan runs once (the r8 shared-frame rule)
+    return ranked.select(
+        "doc_id",
+        "text",
+        ntile_from_rank("_rnk", "_n", ACCUM_BUCKETS).alias("decile"),
+    ).localCheckpoint()
+
+
 @query(
     "text_vocab_accumulation_curve",
     oracle=f"""
@@ -3610,21 +3646,11 @@ def text_vocab_accumulation_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     and the curve is integer counts + the half-up bp device; the
     cumulative window runs over the 10-row decile frame. Scale: one
     token explode, one (word) hash-agg for first-seen — the same
-    shuffle exact dedup pays; the global sort exists only to rank DOCS
-    (at 100 TB you'd rank by the hash value directly — range partition
-    — which is exactly what ntile over a hash does).
+    shuffle exact dedup pays; doc ranking is the prefix-sharded rank
+    device (_accum_ordered): 16 parallel per-hex-shard windows +
+    broadcast offsets, no single-partition stage.
     """
-    ordered = (
-        load(spark, sf_dir, "documents")
-        .filter(F.trim("text") != "")
-        .select(
-            "doc_id",
-            "text",
-            F.ntile(ACCUM_BUCKETS)
-            .over(Window.orderBy(hash_key("acc:", F.col("doc_id")), "doc_id"))
-            .alias("decile"),
-        )
-    )
+    ordered = _accum_ordered(load(spark, sf_dir, "documents"))
     tok = ordered.select(
         "decile", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )
@@ -3726,19 +3752,10 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles) — except the final report uses the floor(x·1e4 + 0.5)
     quantizer rather than round() (the r6 sf0.1 finding: round(double)
     is not cross-engine-safe). Scale: identical to the accumulation
-    curve, plus a 10-row fit.
+    curve (prefix-sharded rank device, no single-partition stage),
+    plus a 10-row fit.
     """
-    ordered = (
-        load(spark, sf_dir, "documents")
-        .filter(F.trim("text") != "")
-        .select(
-            "doc_id",
-            "text",
-            F.ntile(ACCUM_BUCKETS)
-            .over(Window.orderBy(hash_key("acc:", F.col("doc_id")), "doc_id"))
-            .alias("decile"),
-        )
-    )
+    ordered = _accum_ordered(load(spark, sf_dir, "documents"))
     tok = ordered.select(
         "decile", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )

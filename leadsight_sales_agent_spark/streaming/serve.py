@@ -58,6 +58,11 @@ from leadsight_sales_agent_spark.streaming.jobs import (
 # driver-side excel egress guard (sources/excel.py): a serving layer
 # ships reports, not datasets.
 MAX_DOWNLOAD_BYTES = 64 * 1024 * 1024
+# upload twin of the download bound: requests declaring a larger body
+# are rejected with 413 before the body is read (r8 ADVICE — mirrors
+# sources/excel.py MAX_DRIVER_XLSX_BYTES discipline for the BytesIO
+# parse path, which the path-based guard cannot see)
+MAX_UPLOAD_BYTES = 64 * 1024 * 1024
 
 # SSE poll cadence while the job is live; the reference's generator
 # sleeps 0.25 s between drains (server.py:358).
@@ -208,6 +213,21 @@ class ProgressServer:
             return
         try:
             length = int(h.headers.get("Content-Length", "0"))
+            # mirror the /download MAX_DOWNLOAD_BYTES bound on the way
+            # IN: reject oversized uploads before reading the body so a
+            # single request cannot balloon driver memory, and so the
+            # BytesIO parse path cannot bypass the size discipline the
+            # path-based reader enforces (r8 ADVICE)
+            if length > MAX_UPLOAD_BYTES:
+                self._send_json(
+                    h,
+                    {
+                        "error": f"Upload exceeds the {MAX_UPLOAD_BYTES} B"
+                        " bound."
+                    },
+                    413,
+                )
+                return
             ctype = h.headers.get("Content-Type", "")
             body = h.rfile.read(length)
             msg = BytesParser(policy=_EMAIL_DEFAULT).parsebytes(

@@ -1,0 +1,164 @@
+"""Property pins for the prefix-sharded ordering devices
+(functions/ranks.py) and their r9 consumers. The oracle gate proves
+each consumer end-to-end at the test SFs, but sf0.001 often has too
+few rows to exercise SHARD BOUNDARIES (one 65536-key block, one
+month); these tests force multi-shard inputs and pin the devices
+against the single global window they replace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from leadsight_sales_agent_spark.functions.ranks import (
+    ntile_from_rank,
+    sharded_prefix,
+)
+
+
+def _synth(spark, n=997):
+    # deliberately skewed shards, colliding order keys, a 1-row shard
+    return (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.expr("CAST(id % 37 AS STRING)").alias("k2"),
+            F.expr(
+                "CASE WHEN id = 0 THEN 'zz' ELSE substring(md5(CAST(id AS STRING)), 1, 1) END"
+            ).alias("sh"),
+            (F.col("id") % 11).cast("bigint").alias("val"),
+        )
+    )
+
+
+class TestShardedPrefix:
+    def test_rank_and_sums_match_global_window(self, spark):
+        df = _synth(spark)
+        got = sharded_prefix(
+            df, "sh", ["k2", "id"], rank_out="rnk", sums={"cum": "val"},
+            total_out="n",
+        )
+        w = Window.orderBy("sh", "k2", "id")
+        want = df.select(
+            "id",
+            F.row_number().over(w).alias("rnk"),
+            F.sum("val")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+        )
+        joined = got.select("id", "rnk", "cum", "n").join(
+            want.withColumnRenamed("rnk", "wrnk").withColumnRenamed(
+                "cum", "wcum"
+            ),
+            "id",
+        )
+        bad = joined.filter(
+            (F.col("rnk") != F.col("wrnk")) | (F.col("cum") != F.col("wcum"))
+        ).count()
+        assert bad == 0
+        assert joined.filter(F.col("n") != df.count()).count() == 0
+
+    def test_ntile_from_rank_matches_sql_ntile(self, spark):
+        # n % b != 0 (ragged buckets) and n < b (empty-bucket edge)
+        for n, b in [(997, 10), (25, 10), (7, 10), (40, 8)]:
+            df = spark.range(1, n + 1).select(
+                F.col("id").alias("rnk"), F.lit(n).alias("n")
+            )
+            got = df.select(
+                "rnk", ntile_from_rank("rnk", "n", b).alias("bucket")
+            )
+            want = df.select(
+                "rnk", F.ntile(b).over(Window.orderBy("rnk")).alias("bucket")
+            )
+            diff = (
+                got.withColumnRenamed("bucket", "g")
+                .join(want, "rnk")
+                .filter(F.col("g") != F.col("bucket"))
+                .count()
+            )
+            assert diff == 0, (n, b)
+
+
+class TestR9BoundaryCarry:
+    def test_rle_block_boundary_merge(self, spark):
+        """Run counting with 65536-key blocks must merge runs that
+        straddle a block boundary — synthetic constant column spanning
+        many blocks collapses to ONE run."""
+        from leadsight_sales_agent_spark.operators.layout import RLE_SHARD_KEYS
+
+        n = 10 * RLE_SHARD_KEYS // 16  # keep it small but multi-block
+        step = 16
+        df = spark.range(n).select(
+            (F.col("id") * step).alias("o_orderkey"),
+            F.lit("C").alias("v"),
+            F.expr(f"(id * {step}) DIV {RLE_SHARD_KEYS}").alias("blk"),
+        )
+        assert df.select("blk").distinct().count() >= 3
+        wb = Window.partitionBy("blk").orderBy("o_orderkey")
+        within = df.withColumn("pv", F.lag("v").over(wb)).agg(
+            F.sum(
+                F.when(
+                    F.col("pv").isNull() | (F.col("v") != F.col("pv")), 1
+                ).otherwise(0)
+            ).alias("w")
+        )
+        grid = df.groupBy("blk").agg(
+            F.min_by("v", "o_orderkey").alias("first_v"),
+            F.max_by("v", "o_orderkey").alias("last_v"),
+        )
+        wg = Window.orderBy("blk")
+        merges = grid.select(
+            "first_v", F.lag("last_v").over(wg).alias("prev_last")
+        ).agg(
+            F.count_if(
+                F.col("prev_last").isNotNull()
+                & (F.col("prev_last") == F.col("first_v"))
+            ).alias("m")
+        )
+        w_runs = within.collect()[0]["w"]
+        m = merges.collect()[0]["m"]
+        assert w_runs - m == 1  # one global run
+
+    def test_snm_cross_shard_pairs_survive(self, spark, sf_dir):
+        """dedup_sorted_neighborhood must still emit every rank-window
+        pair after sharding — re-derive the pair set from one global
+        window and compare exactly."""
+        from leadsight_sales_agent_spark.registry import QUERIES, load_all
+
+        load_all()
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        got = {
+            (r["doc_a"], r["doc_b"], r["key_dist"])
+            for r in QUERIES["dedup_sorted_neighborhood"](spark, sf_dir).collect()
+        }
+        keyed = load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.substring(
+                F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+                1,
+                40,
+            ).alias("skey"),
+        )
+        w = Window.orderBy("skey", "doc_id")
+        want = set()
+        for k in (1, 2, 3):
+            rows = (
+                keyed.select(
+                    "doc_id",
+                    "skey",
+                    F.lead("doc_id", k).over(w).alias("nid"),
+                    F.lead("skey", k).over(w).alias("nkey"),
+                )
+                .filter(F.col("nid").isNotNull())
+                .select(
+                    "doc_id",
+                    "nid",
+                    F.levenshtein("skey", "nkey").cast("bigint").alias("d"),
+                )
+                .filter(F.col("d") <= 5)
+                .collect()
+            )
+            want |= {(r["doc_id"], r["nid"], r["d"]) for r in rows}
+        assert got == want

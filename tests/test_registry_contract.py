@@ -262,6 +262,7 @@ class TestPlanLintAllowlists:
             mod.ALLOW_NON_EQUI,
             mod.ALLOW_GLOBAL_SORT,
             set(mod.ALLOW_MANY_EXCHANGES),
+            set(mod.ALLOW_SINGLE_PARTITION),
         ):
             stale = set(allow) - live
             assert not stale, f"allowlisted but not registered: {sorted(stale)}"
@@ -283,6 +284,7 @@ class TestPlanLintAllowlists:
         spec.loader.exec_module(mod)
         ne = sorted(mod.ALLOW_NON_EQUI)[:2]
         gs = sorted(mod.ALLOW_GLOBAL_SORT)[:1]
+        sp = sorted(mod.ALLOW_SINGLE_PARTITION)[:2]
         # two synthetic R4 entries exercise the oversized-cap audit
         # (cap > observed + 8 with observed still over the default 12)
         # — injected into THIS test's module copy so the logic test
@@ -309,11 +311,20 @@ class TestPlanLintAllowlists:
             me_right: {"cartesian": False, "range_exchange": False,
                        "over_default_exchanges": True,
                        "n_exchanges": cap_right},
+            # R6 allowlist: pattern present -> kept; absent -> unused
+            sp[0]: {"cartesian": True, "range_exchange": False,
+                    "over_default_exchanges": False, "n_exchanges": 3,
+                    "unbounded_single_partition": True},
+            sp[1]: {"cartesian": True, "range_exchange": False,
+                    "over_default_exchanges": False, "n_exchanges": 3,
+                    "unbounded_single_partition": False},
         }
         unused = mod.compute_unused_allowlists(pattern_seen)
         assert ne[0] not in unused["non_equi"]
         assert ne[1] in unused["non_equi"]
         assert gs[0] in unused["global_sort"]
+        assert sp[0] not in unused["single_partition"]
+        assert sp[1] in unused["single_partition"]
         assert me_stale in unused["oversized_exchange_caps"]
         assert me_right not in unused["oversized_exchange_caps"]
         # an entry already reported as entirely unused (plan within the

@@ -17,6 +17,12 @@ import time
 from datetime import date, datetime
 
 import duckdb
+
+# pandas is a HARD STARTUP dependency of this tool (baked into the
+# container): an import failure crashes the gate at launch rather than
+# surfacing per-query — the per-query CANONICALIZER ERROR handling
+# below covers canonicalization CRASHES, not a missing pandas (r8
+# ADVICE: comment aligned with the top-level import).
 import pandas as _pd
 
 sys.path.insert(0, ".")

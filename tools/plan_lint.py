@@ -24,6 +24,17 @@ Rules (per query, formatted physical plan at sf0.001):
                       must stay JVM-side or Arrow-batched
                       (ArrowEvalPython / FlatMapGroupsInPandas /
                       MapInPandas are all fine and not flagged).
+  R6 single-part    — an "Exchange SinglePartition" whose subtree
+                      contains no aggregate/limit node: the whole
+                      non-aggregated input funnels through ONE task
+                      (the unpartitioned-Window / global-ntile shape —
+                      the classic 100 TB killer). Single-partition
+                      stages over AGGREGATED grains (month/bucket/
+                      distinct-value frames, KB-sized at any scale)
+                      are fine and auto-classified by the
+                      aggregate-in-subtree check; the remainder needs
+                      an ALLOW_SINGLE_PARTITION entry naming the
+                      bounded grain.
 
 This is the continuous form of the per-query plan audits in
 tests/test_plans.py: those pin the headline shapes deeply; this lint
@@ -110,11 +121,13 @@ ALLOW_NON_EQUI = {
     "shard_consistent_hash_ring",  # 8x8 literal vnode grid cross join
     "mixture_repeat_epochs_plan",  # 1-row budget scalar onto the source-grain grid
     "sketch_kmv_intersection",  # sketch-union scalar probes
+    "storage_rle_sortedness_audit",  # 1-row boundary-merge count x 1-row within-block runs combine (r9 sharded natural leg)
     # (r8: agg_approx_percentiles and ann_recall_report removed — both
     # are rows-only queries, and the lint only builds ORACLE-BACKED
     # plans, so their entries were permanently dead; the contract test
     # now pins every allowlisted name to registry.ORACLES)
     "eval_qq_quantile_pairs",  # decile-index pair alignment
+    "agg_histogram_equidepth_localized",  # 7-row rank grid onto the domain-bounded bucket grid + 1-row cuts-array broadcast
     "text_pmi_cooccurrence",  # vocab-capped pair space
     "retrieval_mmr_diversified",  # bounded 20x20 pair matrix
     "retrieval_rrf_fusion",  # shortlist fusion (50-row sides)
@@ -189,6 +202,7 @@ ALLOW_GLOBAL_SORT = {
     "sql_group_order_by_all_suite",  # ORDER BY ALL is the demonstrated SQL surface
     "tpch_q15_top_supplier",  # spec ORDER BY s_suppkey on the winner rows
     "cdc_log_compaction",  # compacted per-user latest-state, user-ordered output
+    "sample_pps_systematic",  # final sort on the <=k(=100) sampled rows (r9: appeared when the sharded prefix-sum replaced the single-partition window — the pre-fix plan was already 1 partition so its output sort needed no range exchange)
     "graph_hits_hubs_authorities",  # 25-nation hub/authority table, name-ordered
     "text_bleu_source_similarity",  # per-source BLEU panel, source-ordered
 }
@@ -260,6 +274,118 @@ ALLOW_MANY_EXCHANGES = {
 
 FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
 
+# Pre-checkpoint pass (r8 ADVICE): localCheckpoint boundaries hide the
+# upstream stages from the final physical plan, so a regression to a
+# cartesian / row-UDF / unbounded-single-partition INSIDE a
+# checkpointed stage would be invisible to the main lint. Pass 2
+# rebuilds every plan with DataFrame.localCheckpoint patched to
+# identity and lints R1/R5/R6 on the full pre-checkpoint tree (R2/R4
+# don't apply: a staged plan executes each stage once, so exchange
+# counts / presentation sorts of the flattened tree measure a plan
+# that never runs). These entries are the stage-level cartesians that
+# r8 removed from ALLOW_NON_EQUI when checkpoints hid them — restored
+# here so they stay auditable; the main ALLOW_NON_EQUI also applies.
+ALLOW_NON_EQUI_PRECHECKPOINT = {
+    "dq_t_closeness_audit",  # sens-grid cross join inside the checkpointed grid stage
+    "privacy_release_gate",  # inherits the t-closeness grid stage
+    "pipeline_full_release",  # curation + mixture 1-row scalar anchors inside stitched stages
+    "neardup_simhash_exact",  # bit-grid broadcast inside the signature stage
+    "graph_rich_club_coefficient",  # degree-cutoff grid join inside the club stage
+    "corpus_curation_full",  # 1-row corpus-stats anchors inside the curation stages
+    "pipeline_curate_and_pack",  # inherits the curation-stage anchors
+    "market_basket_apriori_triples",  # 1-row support anchor inside the pruned-basket stage
+    "market_basket_rules",  # antecedent->consequent direction pairs inside the checkpointed pair panel
+    "dedup_strategy_overlap_matrix",  # 4x4 strategy-name grid inside the tagged pair-set stage
+    "text_perplexity_ccnet_buckets",  # trigram-LM stage's 1-row smoothing anchors
+    "forecast_ljung_box_q",  # ACF stage's 12-row lag grid + 1-row stats anchors
+    "survival_logrank_test",  # arm x duration grid inside the checkpointed panel stage
+    "attribution_shapley_channels",  # 16-coalition grid inside the checkpointed value table
+    "sketch_hll_deterministic",  # 1-row register-grid anchors inside the checkpointed stages
+    "sketch_kmv_rolling_distinct_7d",  # day-grid range join inside the checkpointed day stage
+    "eval_harrell_c_index",  # 10-row decile grid inside the checkpointed cell stage
+}
+
+# R6 equivalents hidden behind checkpoints (same doctrine: name the
+# bounded grain or fix the stage).
+ALLOW_SINGLE_PARTITION_PRECHECKPOINT: dict[str, str] = {}
+
+# R6: queries whose single-partition stage over a non-aggregated input
+# is the documented algorithm on a bounded grain the subtree check
+# cannot see (filled from the r9 scan; each entry names the grain).
+# The other 8 r9-scan findings were FIXED (prefix-sharded rank /
+# boundary-carry / broadcast-ring devices), not allowlisted.
+ALLOW_SINGLE_PARTITION: dict[str, str] = {
+    "skyline_parts_pareto": "phase-2 re-prune runs over the phase-1 per-bucket survivors (~O(32 log n) rows — window-filtered, not aggregated, so the subtree check cannot see the bound)",
+    "agg_histogram_equidepth": "the exact global-ntile anchor; the registered scale path is agg_histogram_equidepth_localized (rank localization + comparison bucketing)",
+    "corpus_greedy_source_cover": "the 5-round greedy trace union (one 1-row local frame per round) feeding the final ordered report",
+}
+
+# Nodes that bound the rows reaching a downstream single-partition
+# stage: any aggregation collapses to a group grain; any limit-family
+# node caps the row count outright.
+_BOUNDING_NODES = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+)
+
+import re  # noqa: E402
+
+
+def parse_tree(plan: str) -> list[tuple[int, str, int]]:
+    """(depth, node name, node id) triples from the formatted-explain
+    tree header. Indentation is 3 chars per level; codegen stars and
+    branch connectors (+- :-) are stripped; the node id is the
+    trailing ``(N)``."""
+    header = plan.split("\n\n", 1)[0]
+    nodes = []
+    for ln in header.splitlines():
+        m = re.match(r"^([:+\-\s]*)\*?\s*(.+?)\s*\((\d+)\)\s*$", ln)
+        if m:
+            nodes.append(
+                (len(m.group(1)) // 3, m.group(2).strip(), int(m.group(3)))
+            )
+    return nodes
+
+
+def single_partition_exchange_ids(plan: str) -> set[int]:
+    """Node ids of shuffle Exchanges that move everything to one
+    partition. In FORMATTED explain the detail block reads
+    ``(N) Exchange`` / ``Input [...]`` / ``Arguments: SinglePartition,
+    ...`` — probed before writing the pattern (the r7 R2 lesson)."""
+    return {
+        int(m.group(1))
+        for m in re.finditer(
+            r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: SinglePartition",
+            plan,
+        )
+    }
+
+
+def unbounded_single_partition(plan: str) -> bool:
+    """True when some Exchange SinglePartition has NO aggregate/limit
+    anywhere below it — i.e. a single task will process a row count
+    that grows with the data."""
+    tree = parse_tree(plan)
+    sp_ids = single_partition_exchange_ids(plan)
+    for i, (depth, _name, nid) in enumerate(tree):
+        if nid not in sp_ids:
+            continue
+        bounded = False
+        for d2, n2, _id2 in tree[i + 1 :]:
+            if d2 <= depth:
+                break
+            if n2.startswith(_BOUNDING_NODES):
+                bounded = True
+                break
+        if not bounded:
+            return True
+    return False
+
 
 def lint_one(name: str, plan: str) -> list[dict]:
     findings = []
@@ -284,6 +410,27 @@ def lint_one(name: str, plan: str) -> list[dict]:
         )
     if "BatchEvalPython" in plan:
         findings.append({"rule": "R5-row-python-udf", "query": name})
+    if unbounded_single_partition(plan) and name not in ALLOW_SINGLE_PARTITION:
+        findings.append({"rule": "R6-single-partition", "query": name})
+    return findings
+
+
+def lint_one_precheckpoint(name: str, plan: str) -> list[dict]:
+    """Pass-2 rules over the checkpoint-flattened plan: R1/R5/R6 only
+    (see ALLOW_NON_EQUI_PRECHECKPOINT for why R2/R4 don't apply)."""
+    findings = []
+    if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and (
+        name not in ALLOW_NON_EQUI
+        and name not in ALLOW_NON_EQUI_PRECHECKPOINT
+    ):
+        findings.append({"rule": "R1-cartesian-prechk", "query": name})
+    if "BatchEvalPython" in plan:
+        findings.append({"rule": "R5-row-python-udf-prechk", "query": name})
+    if unbounded_single_partition(plan) and (
+        name not in ALLOW_SINGLE_PARTITION
+        and name not in ALLOW_SINGLE_PARTITION_PRECHECKPOINT
+    ):
+        findings.append({"rule": "R6-single-partition-prechk", "query": name})
     return findings
 
 
@@ -326,6 +473,12 @@ def compute_unused_allowlists(pattern_seen: dict[str, dict[str, bool]]) -> dict:
         "oversized_exchange_caps": sorted(
             n for n, cap in ALLOW_MANY_EXCHANGES.items() if oversized(n, cap)
         ),
+        "single_partition": sorted(
+            n
+            for n in ALLOW_SINGLE_PARTITION
+            if n in pattern_seen
+            and not pattern_seen[n]["unbounded_single_partition"]
+        ),
     }
 
 
@@ -358,14 +511,70 @@ def main() -> None:
             # actual count, so the audit can flag stale OVERSIZED caps
             # (not just entirely-dead entries) — r8 ADVICE fix
             "n_exchanges": plan.count("Exchange "),
+            "unbounded_single_partition": unbounded_single_partition(plan),
         }
         spark.catalog.clearCache()
+    # ---- pass 2: pre-checkpoint logical plans (r8 ADVICE) ----
+    # localCheckpoint patched to identity so every checkpointed stage's
+    # subtree prints in the final plan; only queries that USE the
+    # checkpoint seam can differ, but rebuilding all keeps the pass
+    # assumption-free. Errors here are real errors (same gate).
+    from pyspark.sql import DataFrame as _DF
+
+    _orig_ckpt = _DF.localCheckpoint
+    _DF.localCheckpoint = lambda self, eager=True: self  # type: ignore[method-assign]
+    pre_seen: dict[str, dict[str, bool]] = {}
+    try:
+        for name in oracle_backed:
+            try:
+                df = registry.QUERIES[name](spark, SF_DIR)
+                plan = formatted_plan(df)
+            except Exception as e:  # noqa: BLE001
+                errors.append(
+                    {"query": name, "error": "precheckpoint: " + str(e)[:180]}
+                )
+                continue
+            findings.extend(lint_one_precheckpoint(name, plan))
+            pre_seen[name] = {
+                "cartesian": "CartesianProduct" in plan
+                or "BroadcastNestedLoopJoin" in plan,
+                "unbounded_single_partition": unbounded_single_partition(plan),
+            }
+            spark.catalog.clearCache()
+    finally:
+        _DF.localCheckpoint = _orig_ckpt  # type: ignore[method-assign]
+
     unused_allowlist = compute_unused_allowlists(pattern_seen)
+    # exact-allowlist audit for the pre-checkpoint lists: an entry is
+    # unused when the flattened plan lacks the pattern OR the name is
+    # already exempted by the main list (dead shadowing)
+    unused_allowlist["non_equi_precheckpoint"] = sorted(
+        n
+        for n in ALLOW_NON_EQUI_PRECHECKPOINT
+        if n in pre_seen
+        and (not pre_seen[n]["cartesian"] or n in ALLOW_NON_EQUI)
+    )
+    unused_allowlist["single_partition_precheckpoint"] = sorted(
+        n
+        for n in ALLOW_SINGLE_PARTITION_PRECHECKPOINT
+        if n in pre_seen
+        and (
+            not pre_seen[n]["unbounded_single_partition"]
+            or n in ALLOW_SINGLE_PARTITION
+        )
+    )
     out = {
         "checked": len(oracle_backed),
         "unused_allowlist": unused_allowlist,
         "findings": findings,
         "errors": errors,
+        # Per-query Exchange counts, committed every round so plan
+        # growth is caught the round it happens (diff this dict against
+        # the previous PLAN_LINT.json — the scripted form of the r8
+        # ad-hoc all-registry exchange scan, r8 verdict task 7).
+        "exchange_counts": {
+            n: pattern_seen[n]["n_exchanges"] for n in sorted(pattern_seen)
+        },
     }
     with open("PLAN_LINT.json", "w") as f:
         json.dump(out, f, indent=1)

@@ -115,10 +115,14 @@ def agg_plain(spark: SparkSession) -> DataFrame:
 
 def agg_salted(spark: SparkSession) -> DataFrame:
     # the exact device from operators/aggregates.py::agg_salted_two_phase
+    # — salt modulus IMPORTED from there so the A/B cannot drift from
+    # the production device it claims to measure (r8 ADVICE)
+    from leadsight_sales_agent_spark.operators.aggregates import N_AGG_SALT
+
     partial = (
         skewed_fact(spark)
         .withColumn(
-            "salt", F.pmod(F.xxhash64("o_orderkey", "rep"), F.lit(16))
+            "salt", F.pmod(F.xxhash64("o_orderkey", "rep"), F.lit(N_AGG_SALT))
         )
         .groupBy("o_custkey", "salt")
         .agg(
