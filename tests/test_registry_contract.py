@@ -263,6 +263,8 @@ class TestPlanLintAllowlists:
             mod.ALLOW_GLOBAL_SORT,
             set(mod.ALLOW_MANY_EXCHANGES),
             set(mod.ALLOW_SINGLE_PARTITION),
+            set(mod.ALLOW_NON_EQUI_PRECHECKPOINT),
+            set(mod.ALLOW_SINGLE_PARTITION_PRECHECKPOINT),
         ):
             stale = set(allow) - live
             assert not stale, f"allowlisted but not registered: {sorted(stale)}"

@@ -282,28 +282,15 @@ FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
 # identity and lints R1/R5/R6 on the full pre-checkpoint tree (R2/R4
 # don't apply: a staged plan executes each stage once, so exchange
 # counts / presentation sorts of the flattened tree measure a plan
-# that never runs). These entries are the stage-level cartesians that
-# r8 removed from ALLOW_NON_EQUI when checkpoints hid them — restored
-# here so they stay auditable; the main ALLOW_NON_EQUI also applies.
-ALLOW_NON_EQUI_PRECHECKPOINT = {
-    "dq_t_closeness_audit",  # sens-grid cross join inside the checkpointed grid stage
-    "privacy_release_gate",  # inherits the t-closeness grid stage
-    "pipeline_full_release",  # curation + mixture 1-row scalar anchors inside stitched stages
-    "neardup_simhash_exact",  # bit-grid broadcast inside the signature stage
-    "graph_rich_club_coefficient",  # degree-cutoff grid join inside the club stage
-    "corpus_curation_full",  # 1-row corpus-stats anchors inside the curation stages
-    "pipeline_curate_and_pack",  # inherits the curation-stage anchors
-    "market_basket_apriori_triples",  # 1-row support anchor inside the pruned-basket stage
-    "market_basket_rules",  # antecedent->consequent direction pairs inside the checkpointed pair panel
-    "dedup_strategy_overlap_matrix",  # 4x4 strategy-name grid inside the tagged pair-set stage
-    "text_perplexity_ccnet_buckets",  # trigram-LM stage's 1-row smoothing anchors
-    "forecast_ljung_box_q",  # ACF stage's 12-row lag grid + 1-row stats anchors
-    "survival_logrank_test",  # arm x duration grid inside the checkpointed panel stage
-    "attribution_shapley_channels",  # 16-coalition grid inside the checkpointed value table
-    "sketch_hll_deterministic",  # 1-row register-grid anchors inside the checkpointed stages
-    "sketch_kmv_rolling_distinct_7d",  # day-grid range join inside the checkpointed day stage
-    "eval_harrell_c_index",  # 10-row decile grid inside the checkpointed cell stage
-}
+# that never runs). EMPTY by measurement (r9 full pre-checkpoint scan):
+# every non-equi / single-partition pattern in the flattened plans is
+# already covered by the MAIN allowlists — the r8 checkpoint pass
+# turned out to have REWRITTEN the storm-era stage cartesians away
+# (t-closeness, release gate, simhash, rich-club, full-release), not
+# merely hidden them. Any future entry here means a checkpointed stage
+# grew a new pattern the main lint can't see — name the bounded grain
+# or fix the stage.
+ALLOW_NON_EQUI_PRECHECKPOINT: set[str] = set()
 
 # R6 equivalents hidden behind checkpoints (same doctrine: name the
 # bounded grain or fix the stage).

@@ -14,8 +14,10 @@ Embedding vectors are reused as-is — for SemDeDup that makes replicas
 dense near-duplicates, i.e. a HEAVIER-than-linear duplicate workload,
 so its ratio is an upper bound.
 
-Run:  python tools/scale_probe.py [rep] [sf_dir]
-      (defaults: rep=10, sf_dir=/root/testdata/sf0.1)
+Run:  python tools/scale_probe.py [rep] [sf_dir] [only,csv]
+      (defaults: rep=10, sf_dir=/root/testdata/sf0.1, all 5 queries;
+       the sf0.1 documents table is only ~5k rows, so the DOC-bound
+       queries need rep~50 before data outweighs fixed task overhead)
 Prints one JSON line; numbers recorded in SURVEY.md §8.13.
 """
 
@@ -114,7 +116,8 @@ def main() -> None:
     build_s = time.monotonic() - t0
     out = {"rep": REP, "sf_dir": SF_DIR, "build_sec": round(build_s, 1)}
     ratios = {}
-    for name in HEADLINE5:
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else HEADLINE5
+    for name in only:
         base = time_query(spark, name, SF_DIR)
         big = time_query(spark, name, OUT_DIR)
         ratios[name] = {
