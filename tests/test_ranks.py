@@ -162,3 +162,44 @@ class TestR9BoundaryCarry:
             )
             want |= {(r["doc_id"], r["nid"], r["d"]) for r in rows}
         assert got == want
+
+
+class TestNtileClosedForm:
+    """Hypothesis pin of the ntile_from_rank FORMULA against a direct
+    implementation of the SQL ntile contract (first n % b buckets get
+    n DIV b + 1 rows), independent of any engine."""
+
+    @staticmethod
+    def _formula(rk: int, n: int, b: int) -> int:
+        q, r = divmod(n, b)
+        if rk <= (q + 1) * r:
+            return (rk - 1) // (q + 1) + 1
+        return r + 1 + (rk - (q + 1) * r - 1) // q
+
+    @staticmethod
+    def _spec(rk: int, n: int, b: int) -> int:
+        q, r = divmod(n, b)
+        acc = 0
+        for i in range(1, b + 1):
+            acc += q + 1 if i <= r else q
+            if rk <= acc:
+                return i
+        return b
+
+    def test_formula_matches_spec(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            st.integers(1, 200_000).flatmap(
+                lambda n: st.tuples(
+                    st.just(n), st.integers(1, n), st.integers(1, 64)
+                )
+            )
+        )
+        def check(t):
+            n, rk, b = t
+            assert self._formula(rk, n, b) == self._spec(rk, n, b)
+
+        check()
