@@ -97,6 +97,10 @@ def build(spark) -> None:
 
 
 def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
+    # one untimed warm-up (scan caches, JIT, shuffle services) — the
+    # r9 10x run showed cold first legs deflating ratios to <1
+    registry.QUERIES[name](spark, sf_dir).count()
+    spark.catalog.clearCache()
     xs = []
     for _ in range(runs):
         t0 = time.monotonic()
