@@ -126,6 +126,12 @@ HEADLINE = [
     # (LRU + Belady in one sorted-array shuffle).
     "dedup_semantic_semdedup",
     "ops_cache_belady_vs_lru",
+    # r9 additions: the rank-localized equi-depth histogram (three
+    # pruned scans, no global sort — the ANALYZE-stats form) and the
+    # real BMP encode+decode roundtrip through the Arrow batch path
+    # (the one Python-stage shape added this round).
+    "agg_histogram_equidepth_localized",
+    "multimodal_decode_bmp_stats",
 ]
 
 

@@ -55,6 +55,13 @@ def sharded_prefix(
     that ntile_from_rank needs). The shard-totals frame is one
     map-side-combinable aggregate; its cumulative runs over the
     bounded shard grid and broadcasts back.
+
+    Grid-size contract: hex-char / calendar / value-domain shards are
+    constant-bounded. KEY-BLOCK shards (key DIV 2^16) shrink the
+    problem by 65536x per level, so if the totals grid itself ever
+    outgrows broadcast size (~10^12 input rows), apply the device
+    RECURSIVELY — shard the grid by a coarser prefix; two levels cover
+    2^32 blocks. The consumers in this repo are all one level deep.
     """
     sums = sums or {}
     aggs = [F.count(F.lit(1)).alias("_sh_cnt")]
