@@ -2624,3 +2624,152 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate coverage (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"; the SlimPajama/FineWeb
+# "duplicated text fraction" diagnostic)
+# ---------------------------------------------------------------------------
+
+EXSUB_K = 8  # minimum shared run, in whitespace tokens
+
+
+@query(
+    "dedup_exact_substring_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(text), '\\s+') AS toks,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tok
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id,
+               unnest(generate_series(1, n_tok - {EXSUB_K} + 1)) AS i
+        FROM tok WHERE n_tok >= {EXSUB_K}
+    ),
+    grams AS (
+        SELECT p.doc_id, p.i,
+               md5(array_to_string(t.toks[p.i : p.i + {EXSUB_K} - 1], ' '))
+                   AS g
+        FROM pos p JOIN tok t ON t.doc_id = p.doc_id
+    ),
+    dupg AS (
+        SELECT g FROM (
+            SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY 1
+        ) WHERE nd >= 2
+    ),
+    duppos AS (
+        SELECT gr.doc_id, gr.i FROM grams gr JOIN dupg USING (g)
+    ),
+    cov AS (
+        SELECT doc_id,
+               sum(CASE WHEN nxt IS NULL THEN {EXSUB_K}
+                        ELSE least(nxt - i, {EXSUB_K}) END) AS dup_tokens
+        FROM (
+            SELECT doc_id, i,
+                   lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+            FROM duppos
+        ) GROUP BY 1
+    )
+    SELECT t.source,
+           count(*) AS n_docs,
+           CAST(sum(t.n_tok) AS BIGINT) AS total_tokens,
+           CAST(coalesce(sum(c.dup_tokens), 0) AS BIGINT) AS dup_tokens,
+           CAST((2 * 10000 * coalesce(sum(c.dup_tokens), 0) + sum(t.n_tok))
+                // (2 * sum(t.n_tok)) AS BIGINT) AS dup_token_bp
+    FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id
+    GROUP BY 1
+    """,
+)
+def dedup_exact_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate COVERAGE (Lee et al. 2022 ExactSubstr,
+    measured the way SlimPajama/FineWeb report it): the fraction of
+    each source's tokens lying inside a >= {EXSUB_K}-token run that
+    also appears verbatim in ANOTHER document. Span-grain exact dedup
+    (dedup_repeated_spans) finds duplication WITHIN a doc; this is the
+    cross-document twin — the number that tells a pretraining curator
+    how much of a source is boilerplate shared across pages, and the
+    detection half of the ExactSubstr CUT operation (the cut itself is
+    this query's duppos frame minus the per-doc survivor choice).
+
+    Device: every token position emits the md5 of its {EXSUB_K}-token
+    window (fixed-width shuffle key, same function both engines —
+    collision-consistent by construction); a gram is DUPLICATED when
+    it occurs in >= 2 distinct docs; a doc's covered-token count is
+    the exact interval union of [i, i+K-1] over its duplicated
+    positions — and because both starts and ends are sorted, the
+    union collapses to ONE lead() window per doc:
+    sum(min(next_i - i, K)) + K for the last. All integers; half-up
+    bp via the cross-multiplied device.
+
+    Scale: one position explode (the cost exact dedup already pays,
+    times positions-per-doc), one fixed-width hash-agg on the gram
+    grain with a map-side partial, one semi-join back, per-DOC
+    windows (never global). The positions frame is checkpointed —
+    it feeds both the gram census and the join back. At 100 TB the
+    gram census is the dominant shuffle and is exactly the suffix-
+    array pass of the paper traded for a groupBy — the classic
+    Spark-first rendition.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+    ).withColumn("n_tok", F.size("toks"))
+    pos = (
+        tok.filter(F.col("n_tok") >= EXSUB_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tok") - EXSUB_K + 1)
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), EXSUB_K))
+            ).alias("g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dupg = (
+        pos.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    duppos = pos.join(dupg, "g").select("doc_id", "i")
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    cov = (
+        duppos.withColumn("nxt", F.lead("i").over(wdoc))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("nxt").isNull(), F.lit(EXSUB_K)).otherwise(
+                    F.least(F.col("nxt") - F.col("i"), F.lit(EXSUB_K))
+                )
+            ).alias("dup_tokens")
+        )
+    )
+    return (
+        tok.join(cov, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.coalesce(F.sum("dup_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+            F.expr(
+                "CAST((2 * 10000 * coalesce(sum(dup_tokens), 0) + sum(n_tok))"
+                " DIV (2 * sum(n_tok)) AS BIGINT)"
+            ).alias("dup_token_bp"),
+        )
+    )

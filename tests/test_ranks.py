@@ -203,3 +203,35 @@ class TestNtileClosedForm:
             assert self._formula(rk, n, b) == self._spec(rk, n, b)
 
         check()
+
+
+class TestExactSubstringCoverage:
+    def test_planted_shared_run_coverage(self, spark, tmp_path):
+        """Two docs share exactly a 10-token run (K=8 -> 3 duplicated
+        gram positions whose interval union is 10 tokens); a third doc
+        is unique. End-to-end through the registered query on a
+        synthetic documents.parquet."""
+        from leadsight_sales_agent_spark.registry import QUERIES, load_all
+
+        load_all()
+        shared = " ".join(f"s{i}" for i in range(10))
+        rows = [
+            (1, shared + " u1 u2 u3 u4 u5", "en", "srcA", 0),
+            (2, shared + " v1 v2 v3 v4 v5", "en", "srcB", 0),
+            (3, " ".join(f"w{i}" for i in range(15)), "en", "srcC", 0),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = {
+            r["source"]: r
+            for r in QUERIES["dedup_exact_substring_coverage"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert out["srcA"]["total_tokens"] == 15
+        assert out["srcA"]["dup_tokens"] == 10  # overlapping grams merged
+        assert out["srcB"]["dup_tokens"] == 10
+        assert out["srcC"]["dup_tokens"] == 0
+        assert out["srcA"]["dup_token_bp"] == 6667  # half-up 10/15
