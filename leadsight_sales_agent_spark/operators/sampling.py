@@ -2082,3 +2082,219 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256  # hashed n-gram feature space (2 hex chars)
+DSIR_SEL_DIV = 5  # select top n/5 docs (20%)
+
+
+def _dsir_oracle() -> str:
+    from leadsight_sales_agent_spark.functions.numeric import sql_hex_to_long
+
+    u32 = sql_hex_to_long("substring(md5('dsirg:' || CAST(t.doc_id AS STRING)), 1, 8)", 8)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, lang, source,
+               string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, unnest(toks) AS gram FROM tok
+    ),
+    bi AS (
+        SELECT t.doc_id, t.toks[g.i] || ' ' || t.toks[g.i + 1] AS gram
+        FROM tok t, unnest(generate_series(1, len(t.toks) - 1)) AS g(i)
+    ),
+    feat AS (
+        SELECT doc_id, substring(md5('dsir:' || gram), 1, 2) AS b,
+               count(*) AS n
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        GROUP BY 1, 2
+    ),
+    tgt AS (
+        SELECT f.b, CAST(sum(f.n) AS BIGINT) AS ct
+        FROM feat f JOIN tok t ON t.doc_id = f.doc_id
+        WHERE t.lang = 'en' GROUP BY 1
+    ),
+    raw AS (
+        SELECT b, CAST(sum(n) AS BIGINT) AS cr FROM feat GROUP BY 1
+    ),
+    tots AS (
+        SELECT (SELECT sum(ct) FROM tgt) AS tt, (SELECT sum(cr) FROM raw) AS tr
+    ),
+    lr AS (
+        SELECT r.b,
+               CAST(floor(ln(CAST(coalesce(t.ct, 0) + 1 AS DOUBLE)) * 1e12)
+                    AS BIGINT)
+             - CAST(floor(ln(CAST(s.tt + {DSIR_BUCKETS} AS DOUBLE)) * 1e12)
+                    AS BIGINT)
+             - CAST(floor(ln(CAST(r.cr + 1 AS DOUBLE)) * 1e12) AS BIGINT)
+             + CAST(floor(ln(CAST(s.tr + {DSIR_BUCKETS} AS DOUBLE)) * 1e12)
+                    AS BIGINT) AS lw
+        FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tots s
+    ),
+    w AS (
+        SELECT f.doc_id, CAST(sum(f.n * l.lw) AS BIGINT) AS w_e12
+        FROM feat f JOIN lr l ON l.b = f.b GROUP BY 1
+    ),
+    scored AS (
+        SELECT t.doc_id, t.source, coalesce(w.w_e12, 0) AS w_e12,
+               coalesce(w.w_e12, 0)
+               + CAST(floor(-ln(-ln(({u32} + 0.5) / 4294967296.0)) * 1e12)
+                      AS BIGINT) AS score_e12
+        FROM tok t LEFT JOIN w ON w.doc_id = t.doc_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY score_e12 DESC, doc_id ASC)
+                      AS rk,
+               count(*) OVER () AS n
+        FROM scored
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN rk <= n // {DSIR_SEL_DIV} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           CAST((2 * 10000 * sum(CASE WHEN rk <= n // {DSIR_SEL_DIV}
+                                      THEN 1 ELSE 0 END) + count(*))
+                // (2 * count(*)) AS BIGINT) AS sel_bp,
+           CAST(sum(w_e12) AS BIGINT) AS sum_w_e12
+    FROM ranked GROUP BY 1
+    """
+
+
+@query("sample_dsir_importance", oracle=_dsir_oracle())
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): resample raw documents
+    toward a TARGET distribution (here: the lang='en' slice, standing
+    in for "looks like Wikipedia") by importance weights over hashed
+    n-gram features — the selection method behind several public
+    pretraining datasets, and the principled upgrade of
+    sample_importance_by_length's heuristic weights.
+
+    Device chain (all proven elsewhere in the repo):
+    - features: unigrams + bigrams hashed to {DSIR_BUCKETS} buckets by
+      md5 first-2-hex (fixed-width shuffle keys);
+    - log importance ratio per bucket with add-1 smoothing, each ln of
+      an INTEGER e12-floor-quantized (the storage_entropy/novelty ln
+      device) so doc weights are exact BIGINT sums of per-bucket
+      integers;
+    - sampling WITHOUT an RNG: Gumbel-max via the md5-uniform device
+      (u = (h32 + 0.5) / 2^32, g = -ln(-ln(u)) e12-quantized) — the
+      bootstrap/permutation derandomization contract applied to
+      importance SAMPLING (score = log w + Gumbel, top n/{DSIR_SEL_DIV});
+    - exact top-k without a global row_number: the k-th (score, doc_id)
+      struct comes off a TakeOrderedAndProject limit and broadcasts
+      back as a threshold (plan-lint R6-safe — limits bound the
+      single-partition stage).
+
+    Output is the per-source selection report a mixture curator reads:
+    how many docs each source keeps under the target-matching policy
+    and each source's total log-weight mass.
+    """
+    from leadsight_sales_agent_spark.functions.numeric import sql_hex_to_long
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    uni = docs.select("doc_id", F.explode("toks").alias("gram"))
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(toks[i - 1], ' ', toks[i]))"
+            )
+        ).alias("gram"),
+    )
+    feat = (
+        uni.unionByName(bi)
+        .groupBy(
+            "doc_id",
+            F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("gram"))), 1, 2).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tgt = (
+        feat.join(docs.filter(F.col("lang") == "en").select("doc_id"), "doc_id")
+        .groupBy("b")
+        .agg(F.sum("n").cast("bigint").alias("ct"))
+    )
+    raw = feat.groupBy("b").agg(F.sum("n").cast("bigint").alias("cr"))
+    tots = tgt.agg(F.sum("ct").alias("tt")).crossJoin(
+        raw.agg(F.sum("cr").alias("tr"))
+    )
+    lnq = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1e12) AS BIGINT)"
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.expr(
+                lnq.format(x="coalesce(ct, 0) + 1")
+                + " - "
+                + lnq.format(x=f"tt + {DSIR_BUCKETS}")
+                + " - "
+                + lnq.format(x="cr + 1")
+                + " + "
+                + lnq.format(x=f"tr + {DSIR_BUCKETS}")
+            ).alias("lw"),
+        )
+    )
+    w = (
+        feat.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("lw")).cast("bigint").alias("w_e12"))
+    )
+    u32 = sql_hex_to_long(
+        "substring(md5('dsirg:' || CAST(doc_id AS STRING)), 1, 8)", 8
+    )
+    scored = (
+        docs.select("doc_id", "source")
+        .join(w, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("w_e12", F.lit(0)).alias("w_e12"),
+            (
+                F.coalesce("w_e12", F.lit(0))
+                + F.expr(
+                    f"CAST(floor(-ln(-ln(({u32} + 0.5) / 4294967296.0))"
+                    " * 1e12) AS BIGINT)"
+                )
+            ).alias("score_e12"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_docs = scored.count()  # bounded driver scalar: the LIMIT literal
+    k = n_docs // DSIR_SEL_DIV
+    kth = (
+        scored.orderBy(F.desc("score_e12"), F.asc("doc_id"))
+        .limit(k)
+        .agg(
+            F.min(F.struct(F.col("score_e12"), (-F.col("doc_id")).alias("nid")))
+            .alias("kth")
+        )
+    )
+    sel = scored.crossJoin(F.broadcast(kth)).withColumn(
+        "selected",
+        (F.col("score_e12") > F.col("kth.score_e12"))
+        | (
+            (F.col("score_e12") == F.col("kth.score_e12"))
+            & (F.col("doc_id") <= -F.col("kth.nid"))
+        ),
+    )
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if("selected").cast("bigint").alias("n_selected"),
+        F.expr(
+            "CAST((2 * 10000 * count_if(selected) + count(1))"
+            " DIV (2 * count(1)) AS BIGINT)"
+        ).alias("sel_bp"),
+        F.sum("w_e12").cast("bigint").alias("sum_w_e12"),
+    )

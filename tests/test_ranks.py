@@ -235,3 +235,18 @@ class TestExactSubstringCoverage:
         assert out["srcB"]["dup_tokens"] == 10
         assert out["srcC"]["dup_tokens"] == 0
         assert out["srcA"]["dup_token_bp"] == 6667  # half-up 10/15
+
+
+class TestDsirSelection:
+    def test_exactly_top_fifth_selected(self, spark, sf_dir):
+        """The Gumbel-top-k threshold device must select EXACTLY
+        n DIV 5 documents across sources (full tie-break by doc_id)."""
+        from leadsight_sales_agent_spark.operators.sampling import DSIR_SEL_DIV
+        from leadsight_sales_agent_spark.registry import QUERIES, load_all
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        load_all()
+        n = load(spark, sf_dir, "documents").count()
+        rows = QUERIES["sample_dsir_importance"](spark, sf_dir).collect()
+        assert sum(r["n_selected"] for r in rows) == n // DSIR_SEL_DIV
+        assert sum(r["n_docs"] for r in rows) == n
