@@ -5255,3 +5255,132 @@ def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV (2 * sum(n_windows) * {MATTR_W}) AS BIGINT)"
         ).alias("mattr_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
+# Data Mixtures Speeds Up Language Model Pretraining" — the
+# excess-loss exponential-tilt step, derandomized/closed-form)
+# ---------------------------------------------------------------------------
+
+DOREMI_ETA = 1  # tilt temperature (R rounds of multiplicative updates
+#                 with a FIXED loss vector collapse to one tilt at R*eta)
+DOREMI_SMOOTH_BP = 2000  # uniform-smoothing mass c = 0.2
+DOREMI_CLAMP_MICRO = 2_000_000  # |excess| clamp: 2 nats
+
+
+def _doremi_oracle() -> str:
+    lm = _ORACLES["text_trigram_lm_score"].strip()
+    return f"""
+    WITH lm AS ({lm}),
+    per_doc AS (
+        SELECT d.source, lm.avg_logp_micro
+        FROM lm JOIN documents d ON d.doc_id = lm.doc_id
+    ),
+    per_src AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(-(sum(avg_logp_micro) // count(*)) AS BIGINT)
+                   AS loss_micro
+        FROM per_doc GROUP BY 1
+    ),
+    base AS (
+        SELECT CAST(-(sum(avg_logp_micro) // count(*)) AS BIGINT)
+                   AS corpus_loss_micro,
+               (SELECT count(*) FROM per_src) AS k
+        FROM per_doc
+    ),
+    tilt AS (
+        SELECT s.source, s.n_docs, s.loss_micro,
+               s.loss_micro - b.corpus_loss_micro AS excess_micro,
+               CAST(floor(exp({DOREMI_ETA} * greatest(
+                        -{DOREMI_CLAMP_MICRO},
+                        least({DOREMI_CLAMP_MICRO},
+                              s.loss_micro - b.corpus_loss_micro))
+                        / 1000000.0) * 1e12) AS BIGINT) AS e12,
+               b.k
+        FROM per_src s CROSS JOIN base b
+    ),
+    tot AS (SELECT CAST(sum(e12) AS HUGEINT) AS se FROM tilt)
+    SELECT t.source,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           t.loss_micro,
+           CAST(t.excess_micro AS BIGINT) AS excess_micro,
+           CAST((2 * 10000 * CAST(t.e12 AS HUGEINT) + s.se)
+                // (2 * s.se) AS BIGINT) AS tilt_w_bp,
+           CAST((2 * ((10000 - {DOREMI_SMOOTH_BP}) * CAST(t.e12 AS HUGEINT)
+                      * t.k + {DOREMI_SMOOTH_BP} * s.se)
+                 + s.se * t.k)
+                // (2 * s.se * t.k) AS BIGINT) AS alpha_bp
+    FROM tilt t CROSS JOIN tot s
+    """
+
+
+@query("mixture_doremi_tilt", oracle=_doremi_oracle())
+def mixture_doremi_tilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting: upweight the sources where the
+    proxy model's loss exceeds the corpus baseline (the excess-loss
+    signal), via the exponential tilt w_s ∝ exp(eta * excess_s) with
+    20% uniform smoothing — the mixture-optimization step behind the
+    DoReMi pretraining recipe, composed over this repo's registered
+    perplexity proxy (text_trigram_lm_score supplies per-doc average
+    log-probability; the oracle embeds that stage's SQL as a CTE, the
+    CCNet composition device). With a FIXED loss vector the paper's R
+    multiplicative rounds collapse to one tilt at R*eta, so the
+    closed form here is the honest derandomized equivalent.
+
+    Exactness: losses are integer micro-nats (the LM stage's
+    contract); excess is clamped to ±2 nats so every downstream
+    product fits; exp runs once per SOURCE on an identical double
+    (integer micro / 1e6), e12-floor-quantized; tilt and smoothed
+    mixture weights are half-up cross-multiplied integer quotients
+    (DECIMAL-widened in Spark, HUGEINT in DuckDB).
+
+    Scale: inherits the LM stage's shape (map-side trigram explode +
+    vocabulary-bounded model broadcast); everything after the doc
+    score is source-grain (20 rows) with two 1-row scalar anchors.
+    """
+    lm = text_trigram_lm_score(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    per_doc = lm.join(docs, "doc_id").select("source", "avg_logp_micro")
+    per_doc = per_doc.localCheckpoint(eager=False)  # feeds per-src + baseline
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(-(sum(avg_logp_micro) DIV count(*)) AS BIGINT)").alias(
+            "loss_micro"
+        ),
+    )
+    base = per_doc.agg(
+        F.expr("CAST(-(sum(avg_logp_micro) DIV count(*)) AS BIGINT)").alias(
+            "corpus_loss_micro"
+        )
+    ).crossJoin(per_src.agg(F.count(F.lit(1)).alias("k")))
+    tilt = (
+        per_src.crossJoin(F.broadcast(base))
+        .withColumn("excess_micro", F.col("loss_micro") - F.col("corpus_loss_micro"))
+        .withColumn(
+            "e12",
+            F.expr(
+                f"CAST(floor(exp({DOREMI_ETA} * greatest("
+                f"-{DOREMI_CLAMP_MICRO}, least({DOREMI_CLAMP_MICRO},"
+                " excess_micro)) / 1000000.0) * 1e12) AS BIGINT)"
+            ),
+        )
+        .localCheckpoint(eager=False)  # feeds tot + the report
+    )
+    tot = tilt.agg(F.sum("e12").cast("decimal(38,0)").alias("se"))
+    return tilt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "loss_micro",
+        F.col("excess_micro").cast("bigint").alias("excess_micro"),
+        F.expr(
+            "CAST((2 * 10000 * CAST(e12 AS DECIMAL(38,0)) + se)"
+            " DIV (2 * se) AS BIGINT)"
+        ).alias("tilt_w_bp"),
+        F.expr(
+            f"CAST((2 * ((10000 - {DOREMI_SMOOTH_BP})"
+            " * CAST(e12 AS DECIMAL(38,0)) * k"
+            f" + {DOREMI_SMOOTH_BP} * se) + se * k)"
+            " DIV (2 * se * k) AS BIGINT)"
+        ).alias("alpha_bp"),
+    )

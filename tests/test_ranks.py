@@ -250,3 +250,18 @@ class TestDsirSelection:
         rows = QUERIES["sample_dsir_importance"](spark, sf_dir).collect()
         assert sum(r["n_selected"] for r in rows) == n // DSIR_SEL_DIV
         assert sum(r["n_docs"] for r in rows) == n
+
+
+class TestDoremiTilt:
+    def test_mixture_sums_to_one_and_tilts_toward_excess(self, spark, sf_dir):
+        from leadsight_sales_agent_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = QUERIES["mixture_doremi_tilt"](spark, sf_dir).collect()
+        k = len(rows)
+        assert abs(sum(r["alpha_bp"] for r in rows) - 10000) <= k  # half-up rounding
+        assert abs(sum(r["tilt_w_bp"] for r in rows) - 10000) <= k
+        # monotone: higher excess loss never gets a smaller tilt weight
+        srt = sorted(rows, key=lambda r: r["excess_micro"])
+        for a, b in zip(srt, srt[1:]):
+            assert a["tilt_w_bp"] <= b["tilt_w_bp"] + 1  # rounding slack

@@ -160,6 +160,7 @@ ALLOW_NON_EQUI = {
     "trending_parts_decayed",  # 1-row max-month anchor
     "sample_neyman_allocation",  # 1-row weight-total anchor
     "sample_dsir_importance",  # 1-row corpus-totals + 1-row k-th-threshold broadcasts (r9)
+    "mixture_doremi_tilt",  # 1-row corpus-baseline + 1-row tilt-total anchors on the 20-source grain (r9)
     "forecast_acf_monthly",  # 12-row lag grid + 1-row stats anchor
     "territory_snake_balanced_assignment",  # 1-row total anchor
     "eval_ndcg_retrieval",  # composes the broadcast-NL knn baseline
