@@ -127,11 +127,18 @@ HEADLINE = [
     "dedup_semantic_semdedup",
     "ops_cache_belady_vs_lru",
     # r9 additions: the rank-localized equi-depth histogram (three
-    # pruned scans, no global sort — the ANALYZE-stats form) and the
+    # pruned scans, no global sort — the ANALYZE-stats form), the
     # real BMP encode+decode roundtrip through the Arrow batch path
-    # (the one Python-stage shape added this round).
+    # (the one Python-stage shape added this round), the per-position
+    # gram census behind exact-substring duplicate coverage (the
+    # heaviest new explode), and the two derandomized data-selection
+    # passes (DSIR hashed-feature weights + Gumbel top-k; DoReMi tilt
+    # over the trigram-LM stage).
     "agg_histogram_equidepth_localized",
     "multimodal_decode_bmp_stats",
+    "dedup_exact_substring_coverage",
+    "sample_dsir_importance",
+    "mixture_doremi_tilt",
 ]
 
 
@@ -249,7 +256,12 @@ def main() -> None:
         "value_r1_suite": total_r1,
         "n_queries": len(timings),
         "unit": "sec",
-        "queries": timings,
+        # centisecond precision in the COMPACT line only (full 3-dp
+        # samples live in BENCH_DETAILS.json): at 49 suite queries the
+        # 3-dp dict crossed the 1800-char tail guard and the r9 first
+        # run shipped with NO per-query numbers — 2 dp keeps every
+        # query in the driver record with headroom
+        "queries": {n: round(v, 2) for n, v in timings.items()},
         "sf": sf,
         "reps": reps,
     }
