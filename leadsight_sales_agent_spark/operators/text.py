@@ -1952,7 +1952,8 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr("transform(sequence(1, length(tx) - 2), i -> substring(tx, i, 3))")
         ).alias("t"),
-    )
+    ).localCheckpoint(eager=False)  # feeds the model AND the scoring
+    # join — the shared-frame rule; A/B at sf0.1: 5.2 -> 3.0 s (r9)
     c3 = tri.groupBy("lang", "t").agg(F.count("*").alias("n3"))
     c2 = (
         c3.select("lang", F.substring("t", 1, 2).alias("p"), "n3")
