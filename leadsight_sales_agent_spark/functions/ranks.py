@@ -62,6 +62,12 @@ def sharded_prefix(
     outgrows broadcast size (~10^12 input rows), apply the device
     RECURSIVELY — shard the grid by a coarser prefix; two levels cover
     2^32 blocks. The consumers in this repo are all one level deep.
+
+    NULL shards: rows whose shard key is NULL are kept (the join back
+    to the offsets frame is null-safe) and sort FIRST — matching the
+    Spark global window's ASC NULLS FIRST default, so the device stays
+    bit-identical to the single window even when a consumer derives
+    shards from a nullable data column.
     """
     sums = sums or {}
     aggs = [F.count(F.lit(1)).alias("_sh_cnt")]
@@ -85,7 +91,15 @@ def sharded_prefix(
         )
         sel.append(F.sum("_sh_cnt").over(wall).alias(total_out))
     offs = offs.select(*sel)
-    res = df.join(F.broadcast(offs), shard_col)
+    # Null-safe equi-join: a NULL shard key must match its own offsets
+    # row, not silently drop (plain `join(..., shard_col)` is an inner
+    # equi-join that discards NULL keys). The offsets window above
+    # already orders NULL first (Spark ASC NULLS FIRST), so NULL-shard
+    # rows get offset 0 — exactly the global window's placement.
+    offs = offs.withColumnRenamed(shard_col, "_sh_key")
+    res = df.join(
+        F.broadcast(offs), F.col(shard_col).eqNullSafe(F.col("_sh_key"))
+    ).drop("_sh_key")
     wsh = Window.partitionBy(shard_col).orderBy(*order_cols)
     if rank_out:
         res = res.withColumn(

@@ -1901,13 +1901,16 @@ def eval_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: r9 — the global ntile (single-partition WindowExec over
     every scored row, plan-lint R6) is gone: the total order
-    (score DESC, event_id) is prefix-partitionable by the score
-    itself (negated so ascending shard order = descending score), so
-    the prefix-sharded rank device computes each row's global rank
-    from per-score row_numbers + broadcast cumulative counts over the
-    distinct-score grid (an aggregated, domain-bounded frame), and
-    ntile_from_rank maps (rank, n) to the identical decile. The
-    oracle keeps plain ntile — hash equality proves the device.
+    (score DESC, event_id) is prefix-partitionable by a QUANTIZED
+    score bucket (negated score DIV 256 — ~220 buckets over the
+    cents domain, bounded by the PRICE domain, not the row count;
+    r10 fix: sharding by the raw negated score made the offsets grid
+    one row per distinct score, i.e. near-data-sized), so the
+    prefix-sharded rank device computes each row's global rank from
+    per-bucket row_numbers ordered (negscore, event_id) + broadcast
+    cumulative counts over the bucket grid, and ntile_from_rank maps
+    (rank, n) to the identical decile. The oracle keeps plain ntile —
+    hash equality proves the device.
     """
     from leadsight_sales_agent_spark.functions.ranks import (
         ntile_from_rank,
@@ -1924,9 +1927,11 @@ def eval_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranked = sharded_prefix(
-        s.withColumn("_negscore", -F.col("score")),
-        "_negscore",
-        ["event_id"],
+        s.withColumn("_negscore", -F.col("score")).withColumn(
+            "_sbucket", F.expr("_negscore DIV 256")
+        ),
+        "_sbucket",
+        ["_negscore", "event_id"],
         rank_out="_rnk",
         total_out="_n",
     ).select("y", ntile_from_rank("_rnk", "_n", 10).alias("decile"))

@@ -2187,10 +2187,13 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
       (u = (h32 + 0.5) / 2^32, g = -ln(-ln(u)) e12-quantized) — the
       bootstrap/permutation derandomization contract applied to
       importance SAMPLING (score = log w + Gumbel, top n/{DSIR_SEL_DIV});
-    - exact top-k without a global row_number: the k-th (score, doc_id)
-      struct comes off a TakeOrderedAndProject limit and broadcasts
-      back as a threshold (plan-lint R6-safe — limits bound the
-      single-partition stage).
+    - exact top-k without a global row_number OR a data-proportional
+      limit: the k-th (score, doc_id) boundary is RANK-LOCALIZED (r10)
+      via the equidepth device — 1-nat score-bucket histogram →
+      cumulative locate over the bounded grid → single-bucket sliver
+      rescan — then broadcast back as a threshold. The old
+      orderBy().limit(n/5) pushed 20% of the corpus through one task;
+      this touches one score bucket.
 
     Output is the per-source selection report a mixture curator reads:
     how many docs each source keeps under the target-matching policy
@@ -2202,7 +2205,11 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
     uni = docs.select("doc_id", F.explode("toks").alias("gram"))
-    bi = docs.select(
+    # size(toks) == 1 guard: Spark sequence(1, 0) yields the DESCENDING
+    # array [1, 0] (not empty like DuckDB's generate_series(1, 0)), so an
+    # unguarded bigram transform would read toks[1] — INVALID_ARRAY_INDEX
+    # under ANSI, silent null grams otherwise — on any 1-token document.
+    bi = docs.filter(F.size("toks") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -2271,11 +2278,37 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    n_docs = scored.count()  # bounded driver scalar: the LIMIT literal
+    n_docs = scored.count()  # bounded driver scalar: the locate-rank literal
     k = n_docs // DSIR_SEL_DIV
+    # Rank-localized k-th score (r10): the old orderBy().limit(k) with
+    # k = n/5 funneled 20% of the corpus through one
+    # TakeOrderedAndProject task — a scale-killer at 100x. Same device
+    # as agg_histogram_equidepth_localized: (1) histogram over 1-nat
+    # score buckets (grid bounded by the SCORE domain — log-weight
+    # magnitude, not doc count); (2) descending cumulative over the
+    # tiny grid locates the bucket holding global rank k and the local
+    # rank within it; (3) only that bucket's rows are rescanned, and
+    # the r_local-th (score DESC, doc_id ASC) row IS the exact k-th
+    # (score, doc_id) boundary, broadcast back as before.
+    hist = scored.groupBy(
+        F.expr("score_e12 DIV 1000000000000").alias("sb")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wd = Window.orderBy(F.desc("sb")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grid = hist.select("sb", "cnt", F.sum("cnt").over(wd).alias("cum"))
+    located = grid.filter(
+        (F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k)
+    ).select("sb", (F.lit(k) - (F.col("cum") - F.col("cnt"))).alias("r_local"))
+    sliver = scored.withColumn(
+        "sb", F.expr("score_e12 DIV 1000000000000")
+    ).join(F.broadcast(located), "sb")
+    wsl = Window.partitionBy("sb").orderBy(
+        F.desc("score_e12"), F.asc("doc_id")
+    )
     kth = (
-        scored.orderBy(F.desc("score_e12"), F.asc("doc_id"))
-        .limit(k)
+        sliver.withColumn("rk", F.row_number().over(wsl))
+        .filter(F.col("rk") == F.col("r_local"))
         .agg(
             F.min(F.struct(F.col("score_e12"), (-F.col("doc_id")).alias("nid")))
             .alias("kth")

@@ -59,6 +59,32 @@ class TestShardedPrefix:
         assert bad == 0
         assert joined.filter(F.col("n") != df.count()).count() == 0
 
+    def test_null_shard_rows_survive_and_sort_first(self, spark):
+        # A NULL shard key must neither drop (the old inner equi-join
+        # silently discarded it) nor land anywhere but FIRST — the
+        # global window's ASC NULLS FIRST placement.
+        df = _synth(spark, n=200).withColumn(
+            "sh", F.when(F.col("id") % 19 == 0, None).otherwise(F.col("sh"))
+        )
+        got = sharded_prefix(
+            df, "sh", ["k2", "id"], rank_out="rnk", sums={"cum": "val"},
+            total_out="n",
+        )
+        assert got.count() == 200  # nothing dropped
+        w = Window.orderBy("sh", "k2", "id")
+        want = df.select(
+            "id",
+            F.row_number().over(w).alias("wrnk"),
+            F.sum("val")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("wcum"),
+        )
+        joined = got.select("id", "rnk", "cum").join(want, "id")
+        bad = joined.filter(
+            (F.col("rnk") != F.col("wrnk")) | (F.col("cum") != F.col("wcum"))
+        ).count()
+        assert bad == 0
+
     def test_ntile_from_rank_matches_sql_ntile(self, spark):
         # n % b != 0 (ragged buckets) and n < b (empty-bucket edge)
         for n, b in [(997, 10), (25, 10), (7, 10), (40, 8)]:
@@ -250,6 +276,31 @@ class TestDsirSelection:
         rows = QUERIES["sample_dsir_importance"](spark, sf_dir).collect()
         assert sum(r["n_selected"] for r in rows) == n // DSIR_SEL_DIV
         assert sum(r["n_docs"] for r in rows) == n
+
+    def test_one_token_and_empty_docs_survive(self, spark, tmp_path):
+        """1-token / empty docs: Spark sequence(1, 0) is the DESCENDING
+        [1, 0] (not empty), so the unguarded bigram transform crashed
+        under ANSI (INVALID_ARRAY_INDEX on toks[1]) and silently
+        inflated totals otherwise. The r10 guard keeps these docs in
+        the corpus (unigram leg only) and still selects exactly
+        n DIV 5."""
+        from leadsight_sales_agent_spark.operators.sampling import DSIR_SEL_DIV
+        from leadsight_sales_agent_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = [(1, "solo", "en", "srcA", 0), (2, "", "en", "srcA", 0)] + [
+            (i, f"tok{i} tok{i + 1} common words here", "en" if i % 2 else "de",
+             "srcB", 0)
+            for i in range(3, 13)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = QUERIES["sample_dsir_importance"](spark, str(tmp_path)).collect()
+        assert sum(r["n_docs"] for r in out) == 12  # nothing dropped/crashed
+        assert sum(r["n_selected"] for r in out) == 12 // DSIR_SEL_DIV
 
 
 class TestDoremiTilt:
