@@ -718,72 +718,122 @@ def shard_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     the consistent-hashing contract as a graded integer column — and
     `moved_total_bp` lands near 10000/(n+1) bp.
 
-    Implementation (r9, plan-lint R6): the engine broadcasts the ring
-    itself — {RING_SHARDS}x{RING_VNODES} (pos, shard) structs, sorted,
-    as ONE array — and every key finds its successor vnode with a
-    map-side array `filter` + `get` (wrap via element 0). No shuffle
-    touches the keys at all: placement is embarrassingly parallel, the
-    way a real router evaluates a ring (the ring IS the broadcast
-    model state). The oracle keeps the union-sweep construction —
-    keys and vnodes ordered by ring position with a forward-looking
-    IGNORE NULLS first_value — so hash equality proves the lookup
-    against an independent formulation.
+    Implementation (r10): the ring is DATA-INDEPENDENT — vnode
+    positions are md5 of constant strings — so the engine folds the
+    entire ring into PLAN-TIME LITERALS (the same contract as the
+    similarity family's k-centroid anchors): a 256-bucket lookup
+    table (pos DIV 2^40 over the 48-bit positions), each bucket a
+    literal array of its sorted vnode structs plus a precomputed
+    CARRY (the successor vnode's shard for keys past the slice). A
+    key's owner is one O(1) element_at + a filter over the ~0.25-
+    element slice, and BOTH rings evaluate as two map-side
+    expressions on the same row — no ring-side stages, no broadcast,
+    no before/after self-join. This is how a real router evaluates a
+    ring (the ring IS compiled model state); r9's collect_list
+    broadcast + 64-struct per-key filter + join paid ~3 stages and
+    1.3 s at sf0.1 for what is a constant-folding problem. The
+    oracle keeps the union-sweep construction — keys and vnodes
+    ordered by ring position with a forward-looking IGNORE NULLS
+    first_value, ring built by generate_series + md5 in SQL — so
+    hash equality proves the literal LUT against a fully independent
+    formulation.
 
     Exactness: positions are 48-bit md5 integers (the shared
-    hex-ladder device), ties between a key and a coincident vnode
-    order the vnode after the key (kpos <= vpos owns), and the load /
-    movement shares use the half-up bp device.
+    hex-ladder device; r10 also fixed the Spark side to true 12-hex
+    positions — the r9 form's hash_key().substr(1,12) yielded only 8
+    hex chars, leaving assignment ties between equal 32-bit prefixes
+    engine-divergent in principle), ties between a key and a
+    coincident vnode order the vnode after the key (kpos <= vpos
+    owns), and the load / movement shares use the half-up bp device.
     """
-    from leadsight_sales_agent_spark.functions.numeric import sql_hex_to_long
-    from leadsight_sales_agent_spark.operators.sampling import hash_key
+    import hashlib
 
-    def ring(n_shards: int) -> DataFrame:
-        s = spark.range(n_shards).select(F.col("id").cast("int").alias("s"))
-        v = spark.range(RING_VNODES).select(F.col("id").cast("int").alias("v"))
-        return (
-            s.crossJoin(v)
-            .select(
-                "s",
-                hash_key(
-                    "ring:",
-                    F.concat(
-                        F.col("s").cast("string"), F.lit(":"), F.col("v").cast("string")
-                    ),
-                ).substr(1, 12).alias("hx"),
+    from leadsight_sales_agent_spark.functions.numeric import sql_hex_to_long
+
+    RING_BUCKETS = 256  # pos-prefix buckets; 48-bit pos -> DIV 2^40
+    RING_BDIV = 1 << 40
+
+    def ring_lut(n_shards: int) -> tuple[str, int]:
+        # Plan-time ring: positions replicate the oracle's
+        # md5('ring:' || s || ':' || v) 12-hex device bit-for-bit
+        # (hashlib and both engines emit identical lowercase hex over
+        # UTF-8). Returns (SQL literal for the 256-entry LUT, first
+        # vnode's shard for the wrap).
+        vn = sorted(
+            (
+                int(hashlib.md5(f"ring:{s}:{v}".encode()).hexdigest()[:12], 16),
+                s,
             )
-            .select(F.col("s").alias("shard"), F.expr(sql_hex_to_long("hx", 12)).alias("pos"))
+            for s in range(n_shards)
+            for v in range(RING_VNODES)
         )
+        frst = vn[0][1]
+        buckets: list[list[tuple[int, int]]] = [[] for _ in range(RING_BUCKETS)]
+        for p, s in vn:
+            buckets[p // RING_BDIV].append((p, s))
+        carries: list[int | None] = [None] * RING_BUCKETS
+        nxt: int | None = None
+        for b in range(RING_BUCKETS - 1, -1, -1):
+            carries[b] = nxt
+            if buckets[b]:
+                nxt = buckets[b][0][1]
+        entries = []
+        for b in range(RING_BUCKETS):
+            if buckets[b]:
+                vs = (
+                    "array("
+                    + ",".join(
+                        f"named_struct('pos',{p}L,'shard',{s})"
+                        for p, s in buckets[b]
+                    )
+                    + ")"
+                )
+            else:
+                vs = "CAST(array() AS array<struct<pos:bigint,shard:int>>)"
+            carry = str(carries[b]) if carries[b] is not None else "CAST(NULL AS INT)"
+            entries.append(f"named_struct('vs',{vs},'carry',{carry})")
+        return "array(" + ",".join(entries) + ")", frst
 
     keys = (
         load(spark, sf_dir, "customer")
-        .select("c_custkey", hash_key("key:", F.col("c_custkey")).substr(1, 12).alias("hx"))
+        .select(
+            "c_custkey",
+            F.substring(
+                F.md5(F.concat(F.lit("key:"), F.col("c_custkey").cast("string"))),
+                1,
+                12,
+            ).alias("hx"),
+        )
         .select(
             F.col("c_custkey").alias("kid"),
             F.expr(sql_hex_to_long("hx", 12)).alias("kpos"),
         )
     )
 
-    def assign(r: DataFrame) -> DataFrame:
-        # the ring as one broadcast sorted (pos, shard) array; a key's
-        # owner is the first vnode at pos >= kpos (coincident vnode
-        # owns — the "kpos <= vpos" tie rule), wrapping to element 0.
-        ring_arr = r.agg(
-            F.sort_array(F.collect_list(F.struct("pos", "shard"))).alias(
-                "ring"
-            )
-        )
-        return keys.crossJoin(F.broadcast(ring_arr)).select(
-            "kid",
-            F.expr(
-                "coalesce(get(filter(ring, x -> x.pos >= kpos), 0).shard,"
-                " get(ring, 0).shard)"
-            ).alias("shard"),
-        )
-
-    before = assign(ring(RING_SHARDS)).withColumnRenamed("shard", "s_before")
-    after = assign(ring(RING_SHARDS + 1)).withColumnRenamed("shard", "s_after")
-    joined = before.join(after, "kid")
-    pershard = joined.groupBy(F.col("s_after").alias("shard")).agg(
+    lut_b, frst_b = ring_lut(RING_SHARDS)
+    lut_a, frst_a = ring_lut(RING_SHARDS + 1)
+    idx = f"CAST(kpos DIV {RING_BDIV} AS INT) + 1"
+    # Both assignments in ONE map-side projection: element_at into the
+    # folded LUT literal, first slice vnode at pos >= kpos owns
+    # (coincident vnode owns — the "kpos <= vpos" tie rule), else the
+    # bucket's carry, else wrap to the ring's first vnode.
+    assigned = keys.select(
+        "kid",
+        "kpos",
+        F.expr(f"element_at({lut_b}, {idx})").alias("bb"),
+        F.expr(f"element_at({lut_a}, {idx})").alias("ba"),
+    ).select(
+        "kid",
+        F.expr(
+            "coalesce(get(filter(bb.vs, x -> x.pos >= kpos), 0).shard,"
+            f" bb.carry, {frst_b})"
+        ).alias("s_before"),
+        F.expr(
+            "coalesce(get(filter(ba.vs, x -> x.pos >= kpos), 0).shard,"
+            f" ba.carry, {frst_a})"
+        ).alias("s_after"),
+    )
+    pershard = assigned.groupBy(F.col("s_after").alias("shard")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.sum(F.when(F.col("s_before") != F.col("s_after"), 1).otherwise(0))
         .cast("bigint")

@@ -118,7 +118,6 @@ ALLOW_NON_EQUI = {
     "timeseries_hurst_rs",  # three 1-row R/S-leg anchors
     "text_good_turing_unseen_mass",  # 1-row summary cross join onto the bounded histogram
     "storage_dictionary_encoding_advisor",  # 1-row stats x 1-row dict-size per column
-    "shard_consistent_hash_ring",  # 8x8 literal vnode grid cross join
     "mixture_repeat_epochs_plan",  # 1-row budget scalar onto the source-grain grid
     "sketch_kmv_intersection",  # sketch-union scalar probes
     "storage_rle_sortedness_audit",  # 1-row boundary-merge count x 1-row within-block runs combine (r9 sharded natural leg)
