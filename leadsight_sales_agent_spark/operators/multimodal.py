@@ -146,6 +146,8 @@ def decode_image_stub(payload: bytes) -> object:
     """
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     raise NotImplementedError("no codec for this format here; plug in PIL/ffmpeg")
 
 
@@ -209,6 +211,59 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]
         rows.append(row)
     if flip:
         rows.reverse()  # stored bottom-up -> return top-down
+    return width, height, rows
+
+
+def encode_ppm(width: int, height: int, pixel) -> bytes:
+    """Minimal binary PPM (P6, maxval 255) writer: ASCII header
+    "P6\\n{w} {h}\\n255\\n" then raw RGB triplets row-major, TOP row
+    first — no padding, no row flip, no channel swap (every axis the
+    BMP container gets wrong differently)."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    body = bytearray()
+    for y in range(height):
+        for x in range(width):
+            r, g, b = pixel(x, y)
+            body += bytes((r, g, b))
+    return header + bytes(body)
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Parse a binary PPM (P6): returns (width, height, rows) with
+    rows[0] the TOP row and each pixel (r, g, b). Handles the
+    whitespace-separated header tokens (incl. '#' comment lines per
+    the netpbm spec) and validates magic, maxval, and payload length."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, toks = 2, []
+    while len(toks) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            toks.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval, then raw bytes
+    width, height, maxval = (int(t) for t in toks)
+    if maxval != 255:
+        raise ValueError("unsupported PPM maxval")
+    if len(payload) < pos + 3 * width * height:
+        raise ValueError("truncated PPM")
+    rows = []
+    for y in range(height):
+        off = pos + 3 * width * y
+        row = []
+        for x in range(width):
+            r, g, b = payload[off + 3 * x : off + 3 * x + 3]
+            row.append((r, g, b))
+        rows.append(row)
     return width, height, rows
 
 
@@ -338,6 +393,112 @@ def multimodal_decode_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sg = sum(p[1] for row in rows for p in row)
                 sb = sum(p[2] for row in rows for p in row)
                 recs.append((d, dw, dh, len(bmp), sr, sg, sb))
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "file_bytes",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                ],
+            )
+
+    return img.mapInPandas(run, out_schema)
+
+
+@query(
+    "multimodal_decode_ppm_stats",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id,
+               CAST(doc_id % 21 + 3 AS BIGINT) AS w,
+               CAST(doc_id % 15 + 3 AS BIGINT) AS h
+        FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 1
+    ),
+    rows1 AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, h - 1)) AS y
+        FROM img
+    ),
+    px AS (
+        SELECT doc_id, w, h, y,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM rows1
+    ),
+    s AS (
+        SELECT doc_id, w, h,
+               sum((5 * doc_id + 11 * x + 19 * y) % 256) AS sr,
+               sum((7 * doc_id + 3 * x + 23 * y) % 256) AS sg,
+               sum((11 * doc_id + 13 * x + 2 * y) % 256) AS sb
+        FROM px GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 + length(CAST(w AS VARCHAR)) + 1 + length(CAST(h AS VARCHAR))
+                + 1 + 4 + 3 * w * h AS BIGINT) AS file_bytes,
+           CAST(sr AS BIGINT) AS sum_r,
+           CAST(sg AS BIGINT) AS sum_g,
+           CAST(sb AS BIGINT) AS sum_b
+    FROM s
+    """,
+)
+def multimodal_decode_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL image codec through the decode seam (r9 verdict's
+    optional item 8): binary PPM / P6 — trivially encodable with the
+    stdlib but failure-orthogonal to BMP (variable-length ASCII
+    header with comment handling vs fixed struct header; RGB vs BGR;
+    top-down vs bottom-up; unpadded vs 4-byte row padding). Each
+    image-typed doc (doc_id % 3 == 1 — the slice BMP/frame-sample
+    don't claim) gets planted per-channel integer formulas of
+    (doc_id, x, y); the mapInPandas stage ENCODES the P6 file and
+    immediately DECODES it via decode_ppm (the same seam
+    decode_image_stub routes P6 payloads to) and reports stats from
+    the DECODED pixels. The DuckDB oracle recomputes the channel sums
+    AND the exact file size — including the digit-count-dependent
+    header length — analytically, so hash equality proves the
+    encoder/decoder inverse through the Arrow path (an RGB swap, a
+    row-order flip, or an off-by-one in header parsing each breaks a
+    distinct column).
+
+    Scale shape: identical to the BMP probe — one Arrow-batched
+    Python stage over the image subset, then pure JVM; payload bytes
+    never leave the executors.
+    """
+    img = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 3) == 1)
+        .select("doc_id")
+    )
+
+    out_schema = (
+        "doc_id BIGINT, width INT, height INT, file_bytes BIGINT, "
+        "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 21 + 3, d % 15 + 3
+                ppm = encode_ppm(
+                    w,
+                    h,
+                    lambda x, y: (
+                        (5 * d + 11 * x + 19 * y) % 256,
+                        (7 * d + 3 * x + 23 * y) % 256,
+                        (11 * d + 13 * x + 2 * y) % 256,
+                    ),
+                )
+                dw, dh, rows = decode_image_stub(ppm)
+                sr = sum(p[0] for row in rows for p in row)
+                sg = sum(p[1] for row in rows for p in row)
+                sb = sum(p[2] for row in rows for p in row)
+                recs.append((d, dw, dh, len(ppm), sr, sg, sb))
             yield pd.DataFrame(
                 recs,
                 columns=[

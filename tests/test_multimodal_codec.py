@@ -1,6 +1,8 @@
-"""Edge pins for the stdlib BMP codec (operators/multimodal.py r9):
-row padding at every width mod 4, bottom-up flip, BGR order, and the
-decode_image_stub routing contract."""
+"""Edge pins for the stdlib image codecs (operators/multimodal.py):
+BMP (r9) — row padding at every width mod 4, bottom-up flip, BGR
+order; PPM/P6 (r10) — variable-length ASCII header with comments,
+maxval gate, top-down RGB — and the decode_image_stub routing
+contract for both."""
 
 from __future__ import annotations
 
@@ -9,7 +11,9 @@ import pytest
 from leadsight_sales_agent_spark.operators.multimodal import (
     decode_bmp,
     decode_image_stub,
+    decode_ppm,
     encode_bmp,
+    encode_ppm,
 )
 
 
@@ -47,3 +51,49 @@ class TestBmpCodec:
         good = encode_bmp(4, 4, lambda x, y: (0, 0, 0))
         with pytest.raises(ValueError):
             decode_bmp(good[:-5])  # truncated pixel data
+
+
+class TestPpmCodec:
+    def test_roundtrip_including_multidigit_headers(self):
+        # widths/heights spanning 1- and 2-digit header tokens prove
+        # the variable-length ASCII header writer/parser agree
+        for w in (1, 3, 9, 10, 23):
+            for h in (1, 2, 12):
+                pix = lambda x, y: ((x * 5 + y) % 256, (x + 11 * y) % 256, (3 * x * y + 1) % 256)
+                payload = encode_ppm(w, h, pix)
+                dw, dh, rows = decode_ppm(payload)
+                assert (dw, dh) == (w, h)
+                assert rows == [[pix(x, y) for x in range(w)] for y in range(h)]
+                hdr = f"P6\n{w} {h}\n255\n".encode()
+                assert payload.startswith(hdr)
+                assert len(payload) == len(hdr) + 3 * w * h
+
+    def test_rows_are_top_down_rgb(self):
+        # distinct corner proves no flip and no BGR swap
+        payload = encode_ppm(2, 2, lambda x, y: (y * 100 + x, 7, 9))
+        _, _, rows = decode_ppm(payload)
+        assert rows[0][0] == (0, 7, 9)
+        assert rows[1][1] == (101, 7, 9)
+
+    def test_header_comments_and_flexible_whitespace(self):
+        raw = b"P6\n# made by a netpbm tool\n4  2\n# why not here too\n255\n" + bytes(
+            range(24)
+        )
+        dw, dh, rows = decode_ppm(raw)
+        assert (dw, dh) == (4, 2)
+        assert rows[0][0] == (0, 1, 2) and rows[1][3] == (21, 22, 23)
+
+    def test_stub_routes_ppm(self):
+        payload = encode_ppm(3, 2, lambda x, y: (1, 2, 3))
+        assert decode_image_stub(payload)[:2] == (3, 2)
+
+    def test_decode_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            decode_ppm(b"P5\n1 1\n255\n\x00")  # PGM magic is not P6
+        with pytest.raises(ValueError):
+            decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")  # 16-bit
+        good = encode_ppm(4, 4, lambda x, y: (0, 0, 0))
+        with pytest.raises(ValueError):
+            decode_ppm(good[:-2])  # truncated pixel data
+        with pytest.raises(ValueError):
+            decode_ppm(b"P6\n4")  # truncated header
