@@ -4227,12 +4227,18 @@ def text_bleu_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_frames = []
     for n in range(1, BLEU_MAX_N + 1):
         gram_frames.append(
-            toks.select(
+            # size(ws) < n guard (r10): greatest(..., 0) was NOT a
+            # guard — Spark sequence(1, 0) yields the DESCENDING
+            # [1, 0] and slice(ws, 0, n) then throws under ANSI, so a
+            # doc shorter than n tokens crashed the order-n leg. The
+            # filter matches the oracle's generate_series(1, len-n+1)
+            # being empty for short docs.
+            toks.filter(F.size("ws") >= n).select(
                 "source",
                 F.lit(n).alias("n"),
                 F.explode(
                     F.expr(
-                        f"transform(sequence(1, greatest(size(ws) - {n - 1}, 0)),"
+                        f"transform(sequence(1, size(ws) - {n - 1}),"
                         f" i -> array_join(slice(ws, i, {n}), ' '))"
                     )
                 ).alias("gram"),

@@ -1284,6 +1284,26 @@ class TestBleuSimilarity:
                 assert r.bleu_e6 == math.floor(bleu * 1e6 + 0.5)
                 assert 0 <= r.bleu_e6 <= 1_000_000
 
+    def test_one_token_docs_survive(self, spark, tmp_path):
+        """r10 regression pin: docs shorter than an n-gram order used
+        to CRASH the order-n leg (Spark sequence(1, 0) is [1, 0], and
+        slice(ws, 0, n) throws under ANSI — greatest(...,0) was never
+        a guard). Short docs now simply emit no grams at that order,
+        like the oracle's empty generate_series."""
+        rows = [(1, "solo", "en", "srcA", 0), (2, "", "en", "srcA", 0)] + [
+            (i, "common words shared here every time", "en", "srcB", 0)
+            for i in range(3, 9)
+        ]
+        spark.createDataFrame(
+            rows,
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = registry.QUERIES["text_bleu_source_similarity"](
+            spark, str(tmp_path)
+        ).collect()
+        # ref = srcA (min source); srcB reports, no crash
+        assert len(out) == 1 and out[0].source == "srcB"
+
 
 def _xy2d(n, x, y):
     d = 0
