@@ -108,6 +108,15 @@ def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
         df.count()
         xs.append(time.monotonic() - t0)
         spark.catalog.clearCache()
+    # localCheckpoint blocks are freed only when their DataFrames are
+    # garbage-collected Python-side; without this, multi-query rep50
+    # sessions accumulate checkpoint RDDs until the 8g executor pool
+    # throws AGGREGATE_OUT_OF_MEMORY (observed r10: dsir+doremi
+    # back-to-back at rep50).
+    import gc
+
+    del df
+    gc.collect()
     return statistics.median(xs)
 
 
