@@ -194,3 +194,21 @@ class TestFloatDevicesCrossEngine:
         )
         for i, b in got_duck:
             assert got_spark[i] == b == vals[i].bit_length(), (vals[i], got_spark[i], b)
+
+    @_SETTLE
+    @given(st.integers(min_value=0, max_value=6))
+    def test_sequence_to_zero_is_descending_not_empty(self, spark, n):
+        """The r9-ADVICE / r10 trap class: Spark sequence(1, n) with
+        n <= 0 auto-infers step -1 and yields a DESCENDING array
+        ([1, 0] for n=0), while DuckDB's generate_series(1, n) is
+        EMPTY — so any position-transform over sequence(1, size-k)
+        must filter size >= k+1 first (greatest(..., 0) is NOT a
+        guard; slice/element_at on position 0 then throw under ANSI).
+        Pinned so the device rule survives engine upgrades."""
+        row = spark.sql(f"SELECT sequence(1, {n}) AS s").collect()[0]
+        expected = list(range(1, n + 1)) if n >= 1 else list(range(1, n - 1, -1))
+        assert row.s == expected
+        duck = _duck_rows(
+            f"SELECT 0, coalesce(len(generate_series(1, {n})), 0)", [(0, 0)], "i BIGINT, v BIGINT"
+        )
+        assert duck[0][1] == max(n, 0)  # DuckDB: empty for n <= 0
