@@ -1500,10 +1500,15 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     for k in (1, 2, 3):
+        # explicit broadcast: the carry side is the <=6w-row edge frame
+        # (r10 — the null-safe offsets join upstream stops the planner
+        # propagating a small size estimate here, and the static plan
+        # fell back to SortMergeJoin; AQE fixed it at runtime but the
+        # hint keeps the static plan honest too)
         e = (
             edge.alias("a")
             .join(
-                edge.alias("b"),
+                F.broadcast(edge.alias("b")),
                 F.col("b.rnk") == F.col("a.rnk") + k,
             )
             .filter(F.col("a._sh") != F.col("b._sh"))
