@@ -174,6 +174,7 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY ROLLUP (r.r_name, n.n_name)
+    HAVING count(*) > 0
     """,
 )
 def agg_rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,6 +200,7 @@ def agg_rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFr
            count(*) AS n_items, {sql_dsum("l_quantity", 2)} AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING count(*) > 0
     """,
 )
 def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,6 +219,7 @@ def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_orders, {sql_dsum("o_totalprice", 2)} AS total_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    HAVING count(*) > 0
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -921,6 +924,7 @@ def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS total_price
     FROM orders
     GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate), month(o_orderdate))
+    HAVING count(*) > 0
     """,
 )
 def agg_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1288,6 +1292,7 @@ def chi_square_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_dsum("o_totalprice", 2)} AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING count(*) > 0
     """,
 )
 def agg_grouping_id_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1627,7 +1632,10 @@ def sketch_kmv_distinct_userdays(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_true",
         F.col("est_distinct").cast("bigint").alias("est_distinct"),
-        F.expr("CAST(abs(est_distinct - n_true) * 10000 DIV n_true AS BIGINT)").alias(
+        F.expr(
+            "CAST(abs(est_distinct - n_true) * 10000"
+            " DIV nullif(n_true, 0) AS BIGINT)"
+        ).alias(
             "err_bp"
         ),
     )
@@ -2195,6 +2203,7 @@ def sketch_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFr
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY ROLLUP (c.c_mktsegment,
                          strftime(date_trunc('month', o.o_orderdate), '%Y-%m'))
+        HAVING count(*) > 0
     )
     SELECT segment, month, gid, revenue_cents, rk
     FROM (
@@ -3625,7 +3634,9 @@ def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.groupBy("word_idx")
         .agg(F.expr("bit_or(mask)").alias("mask"))
         .agg(
-            F.sum(F.expr("bit_count(mask)")).cast("bigint").alias("n_distinct_users")
+            F.coalesce(F.sum(F.expr("bit_count(mask)")), F.lit(0))
+            .cast("bigint")
+            .alias("n_distinct_users")
         )
         .select(F.lit("__all__").alias("event_type"), "n_distinct_users")
     )

@@ -4320,9 +4320,16 @@ def attribution_shapley_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("span")
         )
     )
-    pos = F.expr("(2 * 10000 * shapley_x24 + 24 * span) DIV (2 * 24 * span)")
+    # nullif divisor (r10): span = 0 on a degenerate/empty event log
+    # (the 16-coalition grid still exists, all worths 0) — Spark ANSI
+    # DIV raises where DuckDB // yields NULL; nullif is a no-op
+    # whenever any coalition has value.
+    pos = F.expr(
+        "(2 * 10000 * shapley_x24 + 24 * span) DIV nullif(2 * 24 * span, 0)"
+    )
     neg = -F.expr(
-        "(2 * 10000 * (-shapley_x24) + 24 * span) DIV (2 * 24 * span)"
+        "(2 * 10000 * (-shapley_x24) + 24 * span)"
+        " DIV nullif(2 * 24 * span, 0)"
     )
     return contrib.crossJoin(F.broadcast(span)).select(
         "channel",
@@ -6318,7 +6325,7 @@ def forecast_durbin_watson_residuals(spark: SparkSession, sf_dir: str) -> DataFr
         F.lag("ed").over(Window.orderBy("t")).alias("ped"),
     )
     dw = lagged.agg(
-        F.max("n").alias("n_months"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("n_months"),
         F.sum(F.expr("CAST(ed AS DECIMAL(19,0)) * CAST(ed AS DECIMAL(19,0))"))
         .cast("decimal(38,0)")
         .alias("den"),
@@ -6335,7 +6342,7 @@ def forecast_durbin_watson_residuals(spark: SparkSession, sf_dir: str) -> DataFr
     return dw.select(
         F.col("n_months").cast("bigint").alias("n_months"),
         F.expr(
-            "CAST((2 * 10000 * num + den) DIV (2 * den) AS BIGINT)"
+            "CAST((2 * 10000 * num + den) DIV nullif(2 * den, 0) AS BIGINT)"
         ).alias("dw_e4"),
     )
 
@@ -6969,13 +6976,15 @@ def ab_sprt_sequential_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").alias("cn"),
         F.min_by("cum", "n").alias("ccum"),
     )
-    terminal = walk.agg(F.max("n").alias("n_total"))
-    final_cum = (
-        walk.crossJoin(F.broadcast(terminal))
-        .filter(F.col("n") == F.col("n_total"))
-        .select(F.col("cum").alias("fcum"), "n_total")
-        .withColumn("k", F.lit(1))
-    )
+    # terminal state as ONE aggregate (r10): max_by(cum, n) fetches the
+    # final walk value in the same 1-row agg as n_total — replaces the
+    # crossJoin+filter pass AND keeps the report total (1 row,
+    # 'continue', NULLs) on an empty observation stream, matching the
+    # oracle's global-aggregate construction.
+    final_cum = walk.agg(
+        F.max("n").alias("n_total"),
+        F.expr("max_by(cum, n)").alias("fcum"),
+    ).withColumn("k", F.lit(1))
     cr = crossing.withColumn("k", F.lit(1))
     return (
         final_cum.join(F.broadcast(cr), "k", "left")
@@ -9717,7 +9726,8 @@ def forecast_piecewise_trend_changepoints(spark: SparkSession, sf_dir: str) -> D
         F.expr(centi("(n1 + n2)")).alias("slope_y2_centi"),
         F.expr(centi("(n1 + n2 + n3)")).alias("slope_y3_centi"),
         F.expr(
-            f"CAST((2 * 10000 * {bn} + {tss}) DIV (2 * {tss}) AS BIGINT)"
+            f"CAST((2 * 10000 * {bn} + {tss}) DIV nullif(2 * {tss}, 0)"
+            " AS BIGINT)"
         ).alias("r2_bp"),
     )
 
@@ -9861,7 +9871,7 @@ def forecast_causal_impact_counterfactual(spark: SparkSession, sf_dir: str) -> D
         ).alias("cum_gap_centi"),
         F.expr(
             "CAST((2 * 10000 * gap_num + cf_num)"
-            " DIV (2 * cf_num) AS BIGINT)"
+            " DIV nullif(2 * cf_num, 0) AS BIGINT)"
         ).alias("rel_gap_bp"),
     )
 
@@ -10433,12 +10443,12 @@ def forecast_seasonal_trend_strength(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("n").alias("n_interior"),
         F.expr(
             "CAST(greatest(CAST(0 AS DECIMAL(38,0)),"
-            " (2 * 10000 * (var_tr - var_r) + var_tr) DIV (2 * var_tr))"
+            " (2 * 10000 * (var_tr - var_r) + var_tr) DIV nullif(2 * var_tr, 0))"
             " AS BIGINT)"
         ).alias("trend_strength_bp"),
         F.expr(
             "CAST(greatest(CAST(0 AS DECIMAL(38,0)),"
-            " (2 * 10000 * (var_sr - var_r) + var_sr) DIV (2 * var_sr))"
+            " (2 * 10000 * (var_sr - var_r) + var_sr) DIV nullif(2 * var_sr, 0))"
             " AS BIGINT)"
         ).alias("seasonal_strength_bp"),
     )
@@ -10654,16 +10664,20 @@ def _mk_solve(states, big: str) -> tuple:
 def _mk_selects(big: str) -> str:
     states = _mk_states()
     det_a, det_x = _mk_solve(states, big)
+    # nullif divisor (r10): on a zero determinant (possible only on a
+    # degenerate/empty transition matrix) Spark ANSI DIV raises while
+    # DuckDB // returns NULL — nullif(x, 0) is identical syntax and
+    # semantics in BOTH engines, a no-op whenever det != 0.
     sel = [
         f"CAST((2 * 1000000 * ({det_x}) + ({det_a}))"
-        f" {{DIV}} (2 * ({det_a})) AS BIGINT) AS p_conv_e6"
+        f" {{DIV}} nullif(2 * ({det_a}), 0) AS BIGINT) AS p_conv_e6"
     ]
     for ch in MARKOV_CHANNELS:
         sub = [s for s in states if s != ch[:2]]
         da, dx = _mk_solve(sub, big)
         sel.append(
             f"CAST((2 * 1000000 * ({dx}) + ({da}))"
-            f" {{DIV}} (2 * ({da})) AS BIGINT) AS p_wo_{ch}_e6"
+            f" {{DIV}} nullif(2 * ({da}), 0) AS BIGINT) AS p_wo_{ch}_e6"
         )
     return ",\n           ".join(sel)
 

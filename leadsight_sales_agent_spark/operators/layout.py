@@ -867,7 +867,7 @@ _BLOOM_K = "CAST(floor(ln(100.0) / ln(2.0) + 0.5) AS BIGINT)"
 _BLOOM_ACTUAL_FPP_E6 = (
     "CAST(floor(exp(CAST(k_hashes AS DOUBLE)"
     " * ln(1.0 - exp(-(CAST(k_hashes AS DOUBLE) * CAST(ndv AS DOUBLE))"
-    " / CAST(m_bits AS DOUBLE)))) * 1e6 + 0.5) AS BIGINT)"
+    " / nullif(CAST(m_bits AS DOUBLE), 0)))) * 1e6 + 0.5) AS BIGINT)"
 )
 
 
@@ -971,7 +971,7 @@ def storage_bloom_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((m_bits + 7) DIV 8 AS BIGINT)").alias("filter_bytes"),
         F.expr(
             "CAST((2 * 100 * ((m_bits + 7) DIV 8) + n_rows)"
-            " DIV (2 * n_rows) AS BIGINT)"
+            " DIV nullif(2 * n_rows, 0) AS BIGINT)"
         ).alias("bytes_per_100rows"),
         F.expr(_BLOOM_ACTUAL_FPP_E6).alias("actual_fpp_e6"),
     ).orderBy("column_name")
@@ -1322,13 +1322,14 @@ def storage_zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFram
             "pages_kept",
             F.expr(
                 "CAST((2 * 10000 * (n_pages - pages_kept) + n_pages)"
-                " DIV (2 * n_pages) AS BIGINT)"
+                " DIV nullif(2 * n_pages, 0) AS BIGINT)"
             ).alias("skip_bp"),
             "rows_in_kept_pages",
             "rows_matched",
             F.expr(
                 "CAST((2 * 10000 * (rows_in_kept_pages - rows_matched)"
-                " + rows_in_kept_pages) DIV (2 * rows_in_kept_pages)"
+                " + rows_in_kept_pages)"
+                " DIV nullif(2 * rows_in_kept_pages, 0)"
                 " AS BIGINT)"
             ).alias("scan_waste_bp"),
         )

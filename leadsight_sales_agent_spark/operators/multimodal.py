@@ -622,6 +622,7 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) - 1 AS BIGINT) AS max_idx,
            count(*) AS n_distinct_idx
     FROM documents
+    HAVING count(*) > 0
     """,
 )
 def provenance_file_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4410,7 +4410,7 @@ def replication_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows_divergent",
             F.expr(
                 f"CAST((2 * 10000 * n_rows_compared + {n_total})"
-                f" DIV (2 * {n_total}) AS BIGINT)"
+                f" DIV nullif(2 * {n_total}, 0) AS BIGINT)"
             ).alias("rows_compared_bp"),
         )
     )

@@ -249,10 +249,12 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of N_CELLS×dim separate literal nodes: the per-cell expansion cost
     # ~2000 plan nodes and compiled for seconds per run (measured 4.9 s
     # → 2.3 s for the whole query). Norms are plan-time constants.
-    matrix = F.lit([[float(x) for x in r["embedding"]] for r in cents])
+    matrix = F.lit(
+        [[float(x) for x in r["embedding"]] for r in cents]
+    ).cast("array<array<double>>")
     norms = F.lit(
         [sum(float(x) * float(x) for x in r["embedding"]) ** 0.5 for r in cents]
-    )
+    ).cast("array<double>")
     cell_idx = F.sequence(F.lit(0), F.lit(N_CELLS - 1))
 
     def cell_scores(vec: Column) -> Column:
@@ -342,10 +344,12 @@ def knn_cosine_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
-    matrix = F.lit([[float(x) for x in r["embedding"]] for r in cents])
+    matrix = F.lit(
+        [[float(x) for x in r["embedding"]] for r in cents]
+    ).cast("array<array<double>>")
     norms = F.lit(
         [sum(float(x) * float(x) for x in r["embedding"]) ** 0.5 for r in cents]
-    )
+    ).cast("array<double>")
     cell_idx = F.sequence(F.lit(0), F.lit(N_CELLS - 1))
 
     def cell_scores(vec: Column) -> Column:
@@ -365,7 +369,9 @@ def knn_cosine_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cell", F.get(cell_scores(F.col("ce")), 0)["cell"])
         .withColumn("cn", l2_norm(F.col("ce")))
     )
-    staged = spark.read.parquet(_staged_cell_corpus(spark, sf_dir, corpus))
+    staged = spark.read.schema(corpus.schema).parquet(
+        _staged_cell_corpus(spark, sf_dir, corpus)
+    )
 
     queries = (
         emb.filter(F.col("vec_id") < N_QUERIES)
@@ -525,7 +531,7 @@ def kmeans_fit(spark: SparkSession, emb: DataFrame, k: int = KM_K, iters: int = 
     inertias = []
     assigned = None
     for _ in range(iters):
-        cmat = F.lit(centroids)
+        cmat = F.lit(centroids).cast("array<array<double>>")
 
         def sq_dist(vec, ci):
             return F.aggregate(
@@ -653,7 +659,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method",
         "n_expected",
         "n_hits",
-        F.expr("CAST((n_hits * 10000) DIV n_expected AS BIGINT)").alias(
+        F.expr(
+            "CAST((n_hits * 10000) DIV nullif(n_expected, 0) AS BIGINT)"
+        ).alias(
             "recall_bp"
         ),
     )
@@ -723,7 +731,9 @@ def pq_train(spark: SparkSession, emb: DataFrame, dim: int):
         )
 
     def _assign(cents: list[list[list[float]]]) -> DataFrame:
-        cmat = F.lit(cents)  # [M][K][sd] — one literal, M·K·sd floats
+        cmat = F.lit(cents).cast(  # [M][K][sd] — one literal, M·K·sd floats
+            "array<array<array<double>>>"
+        )
         my_cents = F.get(cmat, F.col("subspace"))
         dists = F.transform(
             my_cents,
@@ -788,7 +798,14 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     error-vs-variance invariants are unit-pinned instead
     (tests/test_dedup_similarity.py)."""
     emb = load(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
+    head = emb.select("embedding").first()
+    if head is None:  # empty corpus: nothing to train, empty report
+        return spark.createDataFrame(
+            [],
+            "subspace INT, sub_dim INT, k INT, n_vectors BIGINT,"
+            " codes_used BIGINT, wcss DOUBLE",
+        )
+    dim = len(head["embedding"])
     _, assigned = pq_train(spark, emb, dim)
     prof = assigned.groupBy("subspace").agg(
         F.count("*").alias("n_vectors"),
@@ -2902,14 +2919,15 @@ def recsys_coverage_novelty_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         "covered_neighbors",
         F.expr(
             "CAST((2 * covered_neighbors * 10000 + n_parts)"
-            " DIV (2 * n_parts) AS BIGINT)"
+            " DIV nullif(2 * n_parts, 0) AS BIGINT)"
         ).alias("coverage_bp"),
         F.expr(
             "CAST((2 * nov_sum + n_slots * 1000000)"
-            " DIV (2 * CAST(n_slots AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+            " DIV nullif(2 * CAST(n_slots AS DECIMAL(38,0)) * 1000000, 0)"
+            " AS BIGINT)"
         ).alias("mean_novelty_e6"),
         F.expr(
             "CAST((2 * top10_slots * 10000 + n_slots)"
-            " DIV (2 * n_slots) AS BIGINT)"
+            " DIV nullif(2 * n_slots, 0) AS BIGINT)"
         ).alias("top10_share_bp"),
     )

@@ -4959,19 +4959,19 @@ def eval_krippendorff_alpha_langid(spark: SparkSession, sf_dir: str) -> DataFram
         (3 * F.col("u")).cast("bigint").alias("n_values"),
         F.expr(
             "CAST((2 * a2 * 1000000 + 2 * 3 * u)"
-            " DIV (2 * 2 * 3 * u) AS BIGINT)"
+            " DIV nullif(2 * 2 * 3 * u, 0) AS BIGINT)"
         ).alias("obs_disagreement_e6"),
         F.expr(
             "CAST((2 * (9 * u * u - sq) * 1000000 + 3 * u * (3 * u - 1))"
-            " DIV (2 * 3 * u * (3 * u - 1)) AS BIGINT)"
+            " DIV nullif(2 * 3 * u * (3 * u - 1), 0) AS BIGINT)"
         ).alias("exp_disagreement_e6"),
         F.expr(
             "CAST((2 * (2 * (9 * u * u - sq) - (3 * u - 1) * a2) * 10000"
             " + 2 * (9 * u * u - sq))"
-            " DIV (2 * 2 * (9 * u * u - sq)) AS BIGINT)"
+            " DIV nullif(2 * 2 * (9 * u * u - sq), 0) AS BIGINT)"
         ).alias("alpha_bp"),
         F.expr(
-            "CAST((2 * full_agree * 10000 + u) DIV (2 * u) AS BIGINT)"
+            "CAST((2 * full_agree * 10000 + u) DIV nullif(2 * u, 0) AS BIGINT)"
         ).alias("pct_full_agreement_bp"),
     )
 
@@ -5168,20 +5168,20 @@ def eval_mcc_langid_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tn",
         F.expr(
             "CAST((2 * 10000 * (tp + tn) + (tp + fp + fn + tn))"
-            " DIV (2 * (tp + fp + fn + tn)) AS BIGINT)"
+            " DIV nullif(2 * (tp + fp + fn + tn), 0) AS BIGINT)"
         ).alias("accuracy_bp"),
         F.expr(
             "CAST((2 * 10000 * (CAST(tp AS DECIMAL(38,0)) * (tn + fp)"
             " + CAST(tn AS DECIMAL(38,0)) * (tp + fn))"
             " + 2 * CAST(tp + fn AS DECIMAL(38,0)) * (tn + fp))"
-            " DIV (2 * 2 * CAST(tp + fn AS DECIMAL(38,0)) * (tn + fp))"
+            " DIV nullif(2 * 2 * CAST(tp + fn AS DECIMAL(38,0)) * (tn + fp), 0)"
             " AS BIGINT)"
         ).alias("balanced_accuracy_bp"),
         F.expr(
             "CAST(floor((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)"
             " - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))"
-            " / (sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE))"
-            " * sqrt(CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)))"
+            " / nullif(sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE))"
+            " * sqrt(CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 0)"
             " * 1e4 + 0.5) AS BIGINT)"
         ).alias("mcc_e4"),
     )
