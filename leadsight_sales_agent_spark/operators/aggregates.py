@@ -150,7 +150,7 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx = F.sum(xd).cast("double")
     sxx = F.sum(xd * xd).cast("double")
     n = F.count(F.lit(1))
-    var = (sxx - sx * sx / n) / (n - 1)
+    var = (sxx - sx * sx / n) / F.nullif((n - 1).cast("double"), F.lit(0.0))
     return (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderpriority").alias("priority"))
@@ -2688,8 +2688,15 @@ def agg_skew_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         F.round(F.col("m2") / 10000, 6).alias("variance_pop"),
-        F.round(F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2"))), 6).alias("skewness"),
-        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 6).alias(
+        F.round(
+            F.col("m3")
+            / F.nullif(F.col("m2") * F.sqrt(F.col("m2")), F.lit(0.0)),
+            6,
+        ).alias("skewness"),
+        F.round(
+            F.col("m4") / F.nullif(F.col("m2") * F.col("m2"), F.lit(0.0)) - 3,
+            6,
+        ).alias(
             "kurtosis_excess"
         ),
     )
@@ -3742,9 +3749,9 @@ def eval_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_d2",
         F.when(
             F.col("num") >= 0,
-            F.expr("(2 * num + den) DIV (2 * den)"),
+            F.expr("(2 * num + den) DIV nullif(2 * den, 0)"),
         )
-        .otherwise(-F.expr("(2 * (-num) + den) DIV (2 * den)"))
+        .otherwise(-F.expr("(2 * (-num) + den) DIV nullif(2 * den, 0)"))
         .cast("bigint")
         .alias("rho_bp"),
     )
@@ -3839,9 +3846,9 @@ def agg_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.when(
             F.col("num") >= 0,
-            F.expr("(2 * num + den) DIV (2 * den)"),
+            F.expr("(2 * num + den) DIV nullif(2 * den, 0)"),
         )
-        .otherwise(-F.expr("(2 * (-num) + den) DIV (2 * den)"))
+        .otherwise(-F.expr("(2 * (-num) + den) DIV nullif(2 * den, 0)"))
         .cast("bigint")
         .alias("slope_cents_per_month"),
     )
@@ -6153,9 +6160,13 @@ def privacy_budget_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Jarque-Bera trees over the staged double moments (shared verbatim).
+# nullif m2 powers (r10): m2 = 0 for a constant/single-row slice —
+# Spark ANSI raises, DuckDB yields NULL; shared verbatim, so both
+# engines stay identical (no-op whenever the slice has variance).
 _JB_STAT = (
-    "CAST(n AS DOUBLE) / 6.0 * (m3 * m3 / (m2 * m2 * m2)"
-    " + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0)"
+    "CAST(n AS DOUBLE) / 6.0 * (m3 * m3 / nullif(m2 * m2 * m2, 0)"
+    " + (m4 / nullif(m2 * m2, 0) - 3.0)"
+    " * (m4 / nullif(m2 * m2, 0) - 3.0) / 4.0)"
 )
 _JB_CRIT_5PCT = "5.991464547107979"  # chi2(2) 95th percentile
 
@@ -6687,13 +6698,13 @@ def agg_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_g").cast("bigint").alias("n_orders"),
         F.expr(
             "CAST((4 * sum(t2) + max(n_g) * (max(n_g) - 1))"
-            " DIV (2 * max(n_g) * (max(n_g) - 1)) AS BIGINT)"
+            " DIV nullif(2 * max(n_g) * (max(n_g) - 1), 0) AS BIGINT)"
         ).alias("gmd_cents"),
         F.expr(
             "CAST((2 * 10000 * sum(t2)"
             " + (max(n_g) - 1) * sum(CAST(cents AS DECIMAL(38,0)) * cnt))"
-            " DIV (2 * (max(n_g) - 1)"
-            " * sum(CAST(cents AS DECIMAL(38,0)) * cnt)) AS BIGINT)"
+            " DIV nullif(2 * (max(n_g) - 1)"
+            " * sum(CAST(cents AS DECIMAL(38,0)) * cnt), 0) AS BIGINT)"
         ).alias("rel_gini_bp"),
     )
 

@@ -626,13 +626,18 @@ def drift_psi_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("ts") >= cut).alias("c2"),
     )
     tot = halves.agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
-    p1 = F.col("c1").cast("double") / F.col("t1")
-    p2 = F.col("c2").cast("double") / F.col("t2")
+    # nullif guards (r10): an empty half (t=0) or an event type absent
+    # from one half (p=0) raises under Spark ANSI where DuckDB's
+    # division yields NULL — NULL psi_term on both engines instead.
+    p1 = F.col("c1").cast("double") / F.nullif(F.col("t1"), F.lit(0))
+    p2 = F.col("c2").cast("double") / F.nullif(F.col("t2"), F.lit(0))
     return halves.crossJoin(F.broadcast(tot)).select(
         "event_type",
         "c1",
         "c2",
-        F.round((p1 - p2) * F.log(p1 / p2), 4).alias("psi_term"),
+        F.round(
+            (p1 - p2) * F.log(p1 / F.nullif(p2, F.lit(0.0))), 4
+        ).alias("psi_term"),
     )
 
 
@@ -1302,7 +1307,7 @@ def eval_roc_auc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u2",
         F.expr(
             "CAST((2 * 10000 * u2 + 2 * n_pos * n_neg)"
-            " DIV (2 * 2 * n_pos * n_neg) AS BIGINT)"
+            " DIV nullif(2 * 2 * n_pos * n_neg, 0) AS BIGINT)"
         ).alias("auc_bp"),
     )
 
@@ -1519,7 +1524,8 @@ def eval_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "d_num",
         F.expr(
-            "CAST((2 * 10000 * d_num + n_a * n_b) DIV (2 * n_a * n_b) AS BIGINT)"
+            "CAST((2 * 10000 * d_num + n_a * n_b)"
+            " DIV nullif(2 * n_a * n_b, 0) AS BIGINT)"
         ).alias("ks_bp"),
         F.col("score").alias("ks_at_cents"),
     )
@@ -1954,11 +1960,12 @@ def eval_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "n_pos",
         F.expr(
-            "CAST((2 * 10000 * cum_pos + tot_pos) DIV (2 * tot_pos) AS BIGINT)"
+            "CAST((2 * 10000 * cum_pos + tot_pos)"
+            " DIV nullif(2 * tot_pos, 0) AS BIGINT)"
         ).alias("cum_capture_bp"),
         F.expr(
             "CAST((2 * 10000 * n_pos * tot_n + n * tot_pos)"
-            " DIV (2 * n * tot_pos) AS BIGINT)"
+            " DIV nullif(2 * n * tot_pos, 0) AS BIGINT)"
         ).alias("lift_bp"),
     )
 
@@ -2544,9 +2551,11 @@ def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tp",
         "fp",
         F.expr(
-            "CAST((2 * 10000 * tp + (tp + fp)) DIV (2 * (tp + fp)) AS BIGINT)"
+            "CAST((2 * 10000 * tp + (tp + fp)) DIV nullif(2 * (tp + fp), 0) AS BIGINT)"
         ).alias("precision_bp"),
-        F.expr("CAST((2 * 10000 * tp + pos) DIV (2 * pos) AS BIGINT)").alias(
+        F.expr(
+            "CAST((2 * 10000 * tp + pos) DIV nullif(2 * pos, 0) AS BIGINT)"
+        ).alias(
             "recall_bp"
         ),
     )
@@ -3399,7 +3408,7 @@ def eval_auc_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST((2 * 10000 * sum(2 * np_s * nn_lt + np_s * nn_s)"
             " + 2 * sum(np_s) * sum(nn_s))"
-            " DIV (2 * 2 * sum(np_s) * sum(nn_s)) AS BIGINT)"
+            " DIV nullif(2 * 2 * sum(np_s) * sum(nn_s), 0) AS BIGINT)"
         ).alias("auc_bp"),
     )
 
@@ -4169,9 +4178,10 @@ def eval_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pc").cast("bigint").alias("cum_control_pos"),
         F.expr(
             "CAST(CASE WHEN pt * nc - pc * nt >= 0"
-            " THEN (2 * 10000 * (pt * nc - pc * nt) + nt * nc) DIV (2 * nt * nc)"
+            " THEN (2 * 10000 * (pt * nc - pc * nt) + nt * nc)"
+            " DIV nullif(2 * nt * nc, 0)"
             " ELSE -((2 * 10000 * (pc * nt - pt * nc) + nt * nc)"
-            " DIV (2 * nt * nc)) END AS BIGINT)"
+            " DIV nullif(2 * nt * nc, 0)) END AS BIGINT)"
         ).alias("cum_uplift_bp"),
     )
 
@@ -8231,14 +8241,23 @@ def forecast_theil_u2_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # placement sums (scale-0 decimal -> double): auc, then
 # var = S10/(2n)²/m + S01/(2m)²/n with S = sample variance of the
 # doubled placements.
-_DL_AUC = "(CAST(sq10 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE)))"
+# nullif denominators (r10): a single-class or single-member slice
+# makes m, n, m-1 or n-1 zero — Spark ANSI raises, DuckDB yields NULL;
+# these strings are SHARED verbatim into both engines, so the nullif
+# keeps them identical (and is a no-op on any non-degenerate slice).
+_DL_AUC = (
+    "(CAST(sq10 AS DOUBLE)"
+    " / nullif(2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE), 0))"
+)
 _DL_VAR = (
     "((CAST(sq10sq AS DOUBLE) - CAST(sq10 AS DOUBLE) * CAST(sq10 AS DOUBLE)"
-    " / CAST(m AS DOUBLE)) / (CAST(m AS DOUBLE) - 1.0)"
-    " / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(m AS DOUBLE)"
+    " / nullif(CAST(m AS DOUBLE), 0)) / nullif(CAST(m AS DOUBLE) - 1.0, 0)"
+    " / nullif(4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE), 0)"
+    " / nullif(CAST(m AS DOUBLE), 0)"
     " + (CAST(sq01sq AS DOUBLE) - CAST(sq01 AS DOUBLE) * CAST(sq01 AS DOUBLE)"
-    " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"
-    " / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) / CAST(n AS DOUBLE))"
+    " / nullif(CAST(n AS DOUBLE), 0)) / nullif(CAST(n AS DOUBLE) - 1.0, 0)"
+    " / nullif(4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE), 0)"
+    " / nullif(CAST(n AS DOUBLE), 0))"
 )
 _DL_Z = "1.959963984540054"
 
@@ -9076,19 +9095,24 @@ _CUPED_VARY = (
     "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
     " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
 )
+# nullif variances (r10): a single-user or constant-covariate slice
+# zeroes VARX/VARY — Spark ANSI raises, DuckDB yields NULL; shared
+# verbatim, both engines stay identical (no-op with any variance).
 _CUPED_THETA_E6 = (
-    f"CAST(floor({_CUPED_THETA_NUM} / {_CUPED_VARX} * 1e6 + 0.5) AS BIGINT)"
+    f"CAST(floor({_CUPED_THETA_NUM} / nullif({_CUPED_VARX}, 0)"
+    " * 1e6 + 0.5) AS BIGINT)"
 )
 _CUPED_RHO2_BP = (
     f"CAST(floor({_CUPED_THETA_NUM} * {_CUPED_THETA_NUM}"
-    f" / ({_CUPED_VARX} * {_CUPED_VARY}) * 1e4 + 0.5) AS BIGINT)"
+    f" / nullif({_CUPED_VARX} * {_CUPED_VARY}, 0) * 1e4 + 0.5) AS BIGINT)"
 )
 _CUPED_ADJ_MICRO = (
-    "CAST(floor(((CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)"
-    " - CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE))"
-    f" - {_CUPED_THETA_NUM} / {_CUPED_VARX}"
-    " * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)"
-    " - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)"
+    "CAST(floor(((CAST(sya AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)"
+    " - CAST(syb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0))"
+    f" - {_CUPED_THETA_NUM} / nullif({_CUPED_VARX}, 0)"
+    " * (CAST(sxa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)"
+    " - CAST(sxb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)))"
+    " * 1e6 + 0.5) AS BIGINT)"
 )
 
 
@@ -9206,7 +9230,7 @@ def ab_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").cast("bigint").alias("n_b"),
         F.expr(
             "CAST((2 * (sya * nb - syb * na) * 1000000 + na * nb)"
-            " DIV (2 * na * nb) AS BIGINT)"
+            " DIV nullif(2 * na * nb, 0) AS BIGINT)"
         ).alias("raw_diff_micro"),
         F.expr(_CUPED_THETA_E6).alias("theta_e6"),
         F.expr(_CUPED_RHO2_BP).alias("var_reduction_bp"),

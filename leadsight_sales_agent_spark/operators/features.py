@@ -187,12 +187,17 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_orderstatus") != "F").alias("neg"),
     )
     tot = cat.agg(F.sum("pos").alias("pt"), F.sum("neg").alias("nt"))
-    ps = F.col("pos").cast("double") / F.col("pt")
-    ns = F.col("neg").cast("double") / F.col("nt")
+    # nullif guards (r10): a slice with no positives (pt = 0) or no
+    # negatives (nt = 0, or a zero neg share feeding the ratio) raises
+    # under Spark ANSI where DuckDB yields NULL.
+    ps = F.col("pos").cast("double") / F.nullif(F.col("pt"), F.lit(0))
+    ns = F.col("neg").cast("double") / F.nullif(F.col("nt"), F.lit(0))
     return cat.crossJoin(F.broadcast(tot)).select(
         "category",
         "pos",
         "neg",
-        F.round(F.log(ps / ns), 4).alias("woe"),
-        F.round((ps - ns) * F.log(ps / ns), 4).alias("iv_term"),
+        F.round(F.log(ps / F.nullif(ns, F.lit(0.0))), 4).alias("woe"),
+        F.round(
+            (ps - ns) * F.log(ps / F.nullif(ns, F.lit(0.0))), 4
+        ).alias("iv_term"),
     )

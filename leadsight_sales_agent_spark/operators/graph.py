@@ -561,11 +561,12 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_edges"),
         F.round(
             (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
-            / (
+            / F.nullif(
                 F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
                 * F.sqrt(
                     nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
-                )
+                ),
+                F.lit(0.0),
             ),
             6,
         ).alias("assortativity"),
@@ -928,8 +929,8 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         return raw.crossJoin(F.broadcast(mx)).select(
             "node",
             F.expr(
-                f"CAST((CAST(x AS DECIMAL(38,0)) * {HITS_PPM}) DIV mx"
-                " AS BIGINT)"
+                f"CAST((CAST(x AS DECIMAL(38,0)) * {HITS_PPM})"
+                " DIV nullif(mx, 0) AS BIGINT)"
             ).alias("x"),
         )
 

@@ -1170,19 +1170,25 @@ def quantified_all_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     `x > (SELECT max(S))` explicitly — which is precisely the plan a
     quantifier-supporting engine (the DuckDB oracle keeps the > ALL
     spelling) produces after rewriting: one 1-row aggregate feeding a
-    scalar-subquery filter, never a per-row nested loop. Caveat
-    encoded by the data, not the code: the equivalence needs S
-    non-empty (ALL over ∅ is vacuously true, > max(∅)=NULL is not);
-    Brand#1 always exists in this catalog. Raw-double comparison is
-    safe — both engines compare identical parquet values; only the
-    REPORTED price is rounded.
+    scalar-subquery filter, never a per-row nested loop. r10: the
+    rewrite is TOTAL — `x > ALL (∅)` is vacuously TRUE while
+    `x > max(∅) = NULL` is not, so the filter carries the explicit
+    empty-set branch (count = 0), exact for any non-null S (the
+    r10 degenerate-slice audit caught the divergence on a catalog
+    with no Brand#1 part). Raw-double comparison is safe — both
+    engines compare identical parquet values; only the REPORTED
+    price is rounded.
     """
     load(spark, sf_dir, "part").createOrReplaceTempView("v_part_all")
     return spark.sql(
         """
         SELECT p_partkey, p_brand, round(p_retailprice, 2) AS retailprice
         FROM v_part_all
-        WHERE p_retailprice > (
+        WHERE (
+            SELECT count(p_retailprice) FROM v_part_all
+            WHERE p_brand = 'Brand#1'
+        ) = 0
+           OR p_retailprice > (
             SELECT max(p_retailprice) FROM v_part_all WHERE p_brand = 'Brand#1'
         )
         """

@@ -1378,8 +1378,10 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stratum",
         "n_h",
         "w",
-        F.expr("(1000 * w) DIV sw").alias("base"),
-        F.expr("(1000 * w) % sw").alias("rem"),
+        # nullif (r10): all-constant strata zero every Neyman weight
+        # (sw = 0) — Spark ANSI raises on DIV/% where DuckDB yields NULL
+        F.expr("(1000 * w) DIV nullif(sw, 0)").alias("base"),
+        F.expr("(1000 * w) % nullif(sw, 0)").alias("rem"),
     )
     fl = fl.withColumn(
         "shortfall",

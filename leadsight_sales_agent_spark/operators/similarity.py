@@ -900,30 +900,51 @@ def embedding_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("x").alias("mx"),
     )
     mean = F.col("sx") / F.col("n")
-    sd = F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1))
+    # nullif guards (r10): a single-vector corpus (n-1 = 0) or a
+    # constant dimension (sd = 0, mx = mn) raises under Spark ANSI
+    # where DuckDB's division yields NULL — NULL z/mm on both engines.
+    sd = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0))
+    )
     scaled = flat.join(F.broadcast(stats), "dim").select(
         "vec_id",
         "dim",
-        F.round((F.col("x") - mean) / sd, 6).alias("z"),
-        F.round((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6).alias(
+        F.round((F.col("x") - mean) / F.nullif(sd, F.lit(0.0)), 6).alias("z"),
+        F.round(
+            (F.col("x") - F.col("mn"))
+            / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0)),
+            6,
+        ).alias(
             "mm"
         ),
     )
+    # nullif('') on the assembled strings (r10): with every element
+    # NULL (degenerate single-vector/constant-dim corpus) Spark's
+    # concat_ws skips nulls and yields '' while DuckDB's string_agg
+    # yields NULL — align on NULL; '' cannot occur otherwise (any
+    # surviving element renders non-empty).
     assembled = scaled.groupBy("vec_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dims"),
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "z"))),
-                lambda s: s.z.cast("decimal(15,6)").cast("string"),
+        F.nullif(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "z"))),
+                    lambda s: s.z.cast("decimal(15,6)").cast("string"),
+                ),
             ),
+            F.lit(""),
         ).alias("z_vec"),
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "mm"))),
-                lambda s: s.mm.cast("decimal(15,6)").cast("string"),
+        F.nullif(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mm"))),
+                    lambda s: s.mm.cast("decimal(15,6)").cast("string"),
+                ),
             ),
+            F.lit(""),
         ).alias("mm_vec"),
     )
     return assembled
@@ -2460,7 +2481,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             "i",
             "j",
             F.expr(
-                "floor((sxy - sxa * sxb / n) / (n - 1)"
+                "floor((sxy - sxa * sxb / n) / nullif(n - 1, 0)"
                 " * 1e12 + 0.5) / 1e12"
             ).alias("cij"),
         )

@@ -107,3 +107,66 @@ class TestEmptyInputTotality:
             spark, empty_dir
         ).collect()
         assert len(rows) == 1 and rows[0]["decision"] == "continue"
+
+
+# single-row classes: n-1 variances, zero ranges, absent classes,
+# single-node graphs, empty quantifier sets — the second audit wave
+ONE_ROW_FIXED = [
+    "ab_cuped_variance_reduction",
+    "agg_gini_mean_difference",
+    "agg_grouped_ols_trend",
+    "agg_skew_kurtosis_moments",
+    "agg_stats_moments",
+    "drift_psi_event_mix",
+    "embedding_feature_scale",
+    "embedding_pca_power_iteration",
+    "eval_auc_by_fold",
+    "eval_auc_delong_ci",
+    "eval_decile_lift_table",
+    "eval_jarque_bera_normality",
+    "eval_ks_two_sample",
+    "eval_pr_curve",
+    "eval_qini_uplift_curve",
+    "eval_roc_auc_scores",
+    "eval_spearman_rank_corr",
+    "feature_woe_iv",
+    "graph_degree_assortativity",
+    "graph_hits_hubs_authorities",
+    "sample_neyman_allocation",
+]
+
+
+@pytest.fixture(scope="module")
+def one_row_dir(tmp_path_factory, sf_dir):
+    d = tmp_path_factory.mktemp("sf_one")
+    for t in TABLES:
+        tb = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        pq.write_table(tb.slice(0, 1), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+class TestSingleRowTotality:
+    @pytest.mark.parametrize("name", ONE_ROW_FIXED)
+    def test_runs_on_one_row(self, spark, one_row_dir, name):
+        rows = registry.QUERIES[name](spark, one_row_dir).collect()
+        assert isinstance(rows, list)
+
+    def test_all_quantifier_is_vacuously_true_on_empty_set(
+        self, spark, one_row_dir
+    ):
+        # the 1-row part catalog has no Brand#1 part, so S is empty and
+        # `> ALL (S)` must keep every row (the max(S)=NULL rewrite
+        # dropped them before the r10 total rewrite)
+        parts = registry.QUERIES["quantified_all_subquery"](
+            spark, one_row_dir
+        ).count()
+        assert parts == 1
+
+    def test_pq_refuses_codebook_larger_than_corpus(self, spark, one_row_dir):
+        # documented LOUD seam: misconfiguration fails, never trains a
+        # degenerate codebook (tools/empty_audit.py allowlists exactly
+        # this error on 1 <= rows < PQ_K fixtures)
+        with pytest.raises(Exception, match="PQ needs at least"):
+            registry.QUERIES["embedding_pq_quantize"](
+                spark, one_row_dir
+            ).collect()

@@ -1,34 +1,48 @@
-"""Empty-input totality audit (r10): run EVERY registered query — Spark
-side AND DuckDB oracle — against zero-row tables with the production
-schemas, and require the two engines to agree exactly.
+"""Degenerate-input totality audit (r10): run EVERY registered query —
+Spark side AND DuckDB oracle — against ZERO-ROW and SINGLE-ROW tables
+with the production schemas, and require the two engines to agree
+exactly.
 
-Why this gate exists: "a filter that matched nothing" is a routine
-production state (a date slice with no orders, a language with no
-documents, an A/B arm with no traffic), and it is exactly where three
-latent bug classes live that the value gates on populated data can
-never see:
+Why this gate exists: "a filter that matched nothing" and "a slice
+with one member" are routine production states (a date slice with no
+orders, a language with one document, an A/B arm with no traffic, a
+single-sample fold), and they are exactly where four latent bug
+classes live that the value gates on populated data can never see:
 
 1. degenerate-denominator crashes — Spark ANSI raises DIVIDE_BY_ZERO
-   where DuckDB yields NULL (fixed repo-wide with the nullif(den, 0)
-   device, identical syntax and semantics in both engines, a no-op on
-   every non-degenerate input);
+   where DuckDB yields NULL, on n-1 variances, zero ranges, absent
+   classes, zero determinants (fixed repo-wide with the
+   nullif(den, 0) device: identical syntax and semantics in both
+   engines, a no-op on every non-degenerate input);
 2. empty-collect anchors — k-centroid / codebook literals built from
-   .collect() produce VOID-typed arrays that fail analysis (fixed with
-   explicit array casts on the literals, constant-folded when
+   .collect() produce VOID-typed arrays that fail analysis (fixed
+   with explicit array casts on the literals, constant-folded when
    non-empty);
-3. NULL-vs-0 aggregate seams (max/sum over nothing vs count-like 0).
+3. NULL-vs-0 / NULL-vs-'' seams (max/sum over nothing vs count-like
+   0; Spark concat_ws skips nulls where string_agg yields NULL);
+4. quantifier rewrites that are only valid on non-empty sets
+   (x > ALL (∅) is vacuously true; > max(∅) = NULL is not — the
+   rewrite now carries the explicit empty-set branch).
 
-Known, documented engine divergence (NOT failures, asserted below):
-Spark emits NO rows for GROUP BY ROLLUP/CUBE/GROUPING SETS over empty
-input — including the () grouping set — while DuckDB (and the SQL
-standard) emit the grand-total row. The six rollup-family oracles
-carry `HAVING count(*) > 0`, a no-op on any non-empty input, so the
-graded contract adopts Spark's semantics.
+Known, documented engine divergence (asserted, not a failure): Spark
+emits NO rows for GROUP BY ROLLUP/CUBE/GROUPING SETS over empty input
+— including the () grouping set — while DuckDB (and the SQL standard)
+emit the grand-total row. The six rollup-family oracles carry
+`HAVING count(*) > 0`, a no-op on any non-empty input, so the graded
+contract adopts Spark's semantics.
 
-Run:  python tools/empty_audit.py
-Builds .tmp/sf_empty (single-file parquets, schemas copied from
-sf0.001) and execs tools/check_oracle.py against it. Exit 0 = every
-query total and engine-agreed on zero rows.
+Known, documented LOUD seam (single-row fixture only):
+embedding_pq_quantize refuses a corpus smaller than its codebook
+(PQ_K vectors per subspace) with a ValueError — a misconfiguration
+should fail loudly, not train a degenerate codebook. The audit
+accepts exactly that error on fixtures with 1 <= rows < PQ_K.
+
+Run:  python tools/empty_audit.py            # both fixtures
+      python tools/empty_audit.py --rows 0   # zero-row only
+      python tools/empty_audit.py --rows 1   # single-row only
+Builds .tmp/sf_empty / .tmp/sf_one (single-file parquets, schemas and
+rows copied from sf0.001) and execs tools/check_oracle.py against
+them. Exit 0 = every query total and engine-agreed on the fixture(s).
 """
 
 from __future__ import annotations
@@ -52,24 +66,61 @@ TABLES = (
     "embeddings",
 )
 
+# (query, fixture-rows, error-substring): loud-by-design refusals
+EXPECTED_SEAMS = {
+    ("embedding_pq_quantize", 1): "PQ needs at least",
+}
 
-def build_fixture(src_dir: str, out_dir: str) -> None:
+
+def build_fixture(src_dir: str, out_dir: str, rows: int) -> None:
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
-        schema = pq.read_schema(f"{src_dir}/{t}.parquet")
-        pq.write_table(schema.empty_table(), f"{out_dir}/{t}.parquet")
+        tb = pq.read_table(f"{src_dir}/{t}.parquet")
+        pq.write_table(tb.slice(0, rows), f"{out_dir}/{t}.parquet")
+
+
+def run_one(here: str, src: str, rows: int) -> int:
+    out = os.path.join(here, ".tmp", "sf_empty" if rows == 0 else "sf_one")
+    build_fixture(src, out, rows)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(here, "tools", "check_oracle.py"), out],
+        capture_output=True,
+        text=True,
+    )
+    sys.stdout.write(proc.stdout)
+    sys.stderr.write(proc.stderr)
+    if proc.returncode == 0:
+        return 0
+    # tolerate ONLY the documented loud seams for this fixture size
+    unexplained = []
+    for line in proc.stdout.splitlines():
+        if not line.startswith("FAIL"):
+            continue
+        name = line.split()[1].rstrip(":")
+        seam = EXPECTED_SEAMS.get((name, rows))
+        if not (seam and seam in line):
+            unexplained.append(line)
+    if unexplained:
+        print(f"[empty_audit] rows={rows}: {len(unexplained)} unexplained failures")
+        return 1
+    print(f"[empty_audit] rows={rows}: only documented seams failed — OK")
+    return 0
 
 
 def main() -> int:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    out = os.path.join(here, ".tmp", "sf_empty")
-    build_fixture(src, out)
-    return subprocess.call(
-        [sys.executable, os.path.join(here, "tools", "check_oracle.py"), out]
-    )
+    args = sys.argv[1:]
+    src = "/root/testdata/sf0.001"
+    if "--rows" in args:
+        rows_list = [int(args[args.index("--rows") + 1])]
+    else:
+        rows_list = [0, 1]
+    rc = 0
+    for rows in rows_list:
+        rc |= run_one(here, src, rows)
+    return rc
 
 
 if __name__ == "__main__":
