@@ -628,6 +628,60 @@ def storage_rle_sortedness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RING_SHARDS = 8  # shards before the resize
+RING_BUCKETS = 256  # pos-prefix buckets; 48-bit pos -> DIV 2^40
+RING_BDIV = 1 << 40
+
+
+def ring_model(n_shards: int, n_vnodes: int):
+    """Driver-side consistent-hash ring model (data-independent —
+    positions are md5 of constant strings, replicating the oracle's
+    md5('ring:' || s || ':' || v) 12-hex device bit-for-bit; hashlib
+    and both engines emit identical lowercase hex over UTF-8).
+    Returns (sorted vnodes [(pos, shard)], per-bucket slices, carries
+    [successor shard for keys past the bucket's slice], first vnode's
+    shard for the wrap). Property-tested against the brute-force
+    successor definition in tests/test_r6_ops.py."""
+    import hashlib
+
+    vn = sorted(
+        (int(hashlib.md5(f"ring:{s}:{v}".encode()).hexdigest()[:12], 16), s)
+        for s in range(n_shards)
+        for v in range(n_vnodes)
+    )
+    buckets: list[list[tuple[int, int]]] = [[] for _ in range(RING_BUCKETS)]
+    for p, s in vn:
+        buckets[p // RING_BDIV].append((p, s))
+    carries: list[int | None] = [None] * RING_BUCKETS
+    nxt: int | None = None
+    for b in range(RING_BUCKETS - 1, -1, -1):
+        carries[b] = nxt
+        if buckets[b]:
+            nxt = buckets[b][0][1]
+    return vn, buckets, carries, vn[0][1]
+
+
+def ring_lut_sql(n_shards: int) -> tuple[str, int]:
+    """The ring model as a Spark SQL array literal (256 entries of
+    struct<vs: array<struct<pos, shard>>, carry: int>) plus the wrap
+    shard — folded into the plan by ConstantFolding, element_at'ed
+    per key (the plan-time-literal model-state device)."""
+    _, buckets, carries, frst = ring_model(n_shards, RING_VNODES)
+    entries = []
+    for b in range(RING_BUCKETS):
+        if buckets[b]:
+            vs = (
+                "array("
+                + ",".join(
+                    f"named_struct('pos',{p}L,'shard',{s})"
+                    for p, s in buckets[b]
+                )
+                + ")"
+            )
+        else:
+            vs = "CAST(array() AS array<struct<pos:bigint,shard:int>>)"
+        carry = str(carries[b]) if carries[b] is not None else "CAST(NULL AS INT)"
+        entries.append(f"named_struct('vs',{vs},'carry',{carry})")
+    return "array(" + ",".join(entries) + ")", frst
 RING_VNODES = 8  # virtual nodes per shard
 # sql_hex_to_long lives in functions.numeric; imported lazily below to
 # keep this module's header unchanged.
@@ -746,53 +800,7 @@ def shard_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     coincident vnode order the vnode after the key (kpos <= vpos
     owns), and the load / movement shares use the half-up bp device.
     """
-    import hashlib
-
     from leadsight_sales_agent_spark.functions.numeric import sql_hex_to_long
-
-    RING_BUCKETS = 256  # pos-prefix buckets; 48-bit pos -> DIV 2^40
-    RING_BDIV = 1 << 40
-
-    def ring_lut(n_shards: int) -> tuple[str, int]:
-        # Plan-time ring: positions replicate the oracle's
-        # md5('ring:' || s || ':' || v) 12-hex device bit-for-bit
-        # (hashlib and both engines emit identical lowercase hex over
-        # UTF-8). Returns (SQL literal for the 256-entry LUT, first
-        # vnode's shard for the wrap).
-        vn = sorted(
-            (
-                int(hashlib.md5(f"ring:{s}:{v}".encode()).hexdigest()[:12], 16),
-                s,
-            )
-            for s in range(n_shards)
-            for v in range(RING_VNODES)
-        )
-        frst = vn[0][1]
-        buckets: list[list[tuple[int, int]]] = [[] for _ in range(RING_BUCKETS)]
-        for p, s in vn:
-            buckets[p // RING_BDIV].append((p, s))
-        carries: list[int | None] = [None] * RING_BUCKETS
-        nxt: int | None = None
-        for b in range(RING_BUCKETS - 1, -1, -1):
-            carries[b] = nxt
-            if buckets[b]:
-                nxt = buckets[b][0][1]
-        entries = []
-        for b in range(RING_BUCKETS):
-            if buckets[b]:
-                vs = (
-                    "array("
-                    + ",".join(
-                        f"named_struct('pos',{p}L,'shard',{s})"
-                        for p, s in buckets[b]
-                    )
-                    + ")"
-                )
-            else:
-                vs = "CAST(array() AS array<struct<pos:bigint,shard:int>>)"
-            carry = str(carries[b]) if carries[b] is not None else "CAST(NULL AS INT)"
-            entries.append(f"named_struct('vs',{vs},'carry',{carry})")
-        return "array(" + ",".join(entries) + ")", frst
 
     keys = (
         load(spark, sf_dir, "customer")
@@ -810,8 +818,8 @@ def shard_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    lut_b, frst_b = ring_lut(RING_SHARDS)
-    lut_a, frst_a = ring_lut(RING_SHARDS + 1)
+    lut_b, frst_b = ring_lut_sql(RING_SHARDS)
+    lut_a, frst_a = ring_lut_sql(RING_SHARDS + 1)
     idx = f"CAST(kpos DIV {RING_BDIV} AS INT) + 1"
     # Both assignments in ONE map-side projection: element_at into the
     # folded LUT literal, first slice vnode at pos >= kpos owns

@@ -1126,6 +1126,49 @@ class TestConsistentHashRing:
         assert 0.3 * expect < moved < 3 * expect
         assert rows[new]["moved_total_bp"] == rows[0]["moved_total_bp"]
 
+    def test_bucket_lut_matches_brute_force_successor(self):
+        """r10 plan-time-literal device: for ANY 48-bit key position,
+        the bucket-LUT lookup (slice filter -> carry -> wrap) must
+        equal the brute-force 'first vnode at pos >= kpos, else wrap'
+        over the flat sorted ring — pure-Python pin of the structure
+        the SQL literal encodes (hash equality with the union-sweep
+        oracle pins the SQL side)."""
+        from leadsight_sales_agent_spark.operators.layout import (
+            RING_BDIV,
+            RING_SHARDS,
+            RING_VNODES,
+            ring_model,
+        )
+
+        for n_shards in (RING_SHARDS, RING_SHARDS + 1, 1):
+            vn, buckets, carries, frst = ring_model(n_shards, RING_VNODES)
+
+            def brute(kpos: int) -> int:
+                for p, s in vn:
+                    if p >= kpos:
+                        return s
+                return frst
+
+            def lut(kpos: int) -> int:
+                b = kpos // RING_BDIV
+                for p, s in buckets[b]:
+                    if p >= kpos:
+                        return s
+                c = carries[b]
+                return c if c is not None else frst
+
+            # deterministic probe grid: every vnode position +-1 and 0
+            # (tie + boundary cases), bucket edges, and a stride sweep
+            probes = {0, (1 << 48) - 1}
+            for p, _ in vn:
+                probes.update((p - 1, p, p + 1))
+            for b in range(0, 256, 17):
+                probes.add(b * RING_BDIV)
+            probes.update(range(104729, 1 << 48, (1 << 48) // 997))
+            for kpos in probes:
+                kpos = max(0, min(kpos, (1 << 48) - 1))
+                assert lut(kpos) == brute(kpos), (n_shards, kpos)
+
 
 class TestDtwMonthlySegments:
     def test_brute_force_dp(self, spark, sf_dir):
