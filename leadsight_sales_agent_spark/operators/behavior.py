@@ -3889,6 +3889,10 @@ def forecast_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFram
                max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
                    AS y
         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        -- exclude unknown balances: the ntile ORDER over a NULL key is
+        -- engine-divergent (Spark NULLS FIRST, DuckDB NULLS LAST) and
+        -- an exposure trend over unknown exposure is meaningless
+        WHERE c.c_acctbal IS NOT NULL
         GROUP BY 1, 2
     ),
     scored AS (
@@ -3934,6 +3938,11 @@ def chi_trend_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = (
         load(spark, sf_dir, "customer")
+        # exclude unknown balances (r10 nulls audit): ntile's ORDER BY
+        # over a NULL key is engine-divergent (Spark NULLS FIRST,
+        # DuckDB NULLS LAST), and a trend over unknown exposure is
+        # meaningless — the oracle carries the same filter
+        .filter(F.col("c_acctbal").isNotNull())
         .select(
             "c_custkey",
             (F.col("c_acctbal").cast("decimal(25,2)") * 100)
@@ -8899,7 +8908,11 @@ def eval_bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id AS uid, ts AS t0,
                CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
                    AS score_u
-        FROM sig WHERE rn = 1
+        -- score IS NOT NULL (r10 nulls audit): a NULL risk score
+        -- cannot rank (the decile ntile's NULL placement is
+        -- engine-divergent); users without a scored signup are
+        -- excluded from concordance on both engines
+        FROM sig WHERE rn = 1 AND value IS NOT NULL
     ), outcome AS (
         SELECT e.user_id,
                min(CASE WHEN e.event_type = 'purchase' AND e.ts > a.t0
@@ -8994,7 +9007,9 @@ def eval_harrell_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = (
         ev.filter(F.col("event_type") == "signup")
         .withColumn("rn", F.row_number().over(wsig))
-        .filter(F.col("rn") == 1)
+        # NULL risk scores cannot rank (deciles' NULL placement is
+        # engine-divergent) — excluded on both engines (r10)
+        .filter((F.col("rn") == 1) & F.col("value").isNotNull())
         .select(
             F.col("user_id").alias("uid"),
             F.col("ts").alias("t0"),

@@ -204,9 +204,16 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set —
     order-insensitive content identity (dedup-key variant of D1)."""
+    # NULL text -> NULL fingerprint (r10 nulls audit): concat_ws over
+    # a null array yields '' and md5('') would collide every null doc
+    # into ONE dedup bucket; the oracle's md5(NULL) is NULL already.
     return load(spark, sf_dir, "documents").select(
         "doc_id",
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens())))).alias("fingerprint"),
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens()))))
+        )
+        .alias("fingerprint"),
     )
 
 
@@ -373,7 +380,9 @@ def reference_regex_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
            substring(trim(text), 1, 40) AS text_head,
            CAST(length(text) AS INTEGER) AS text_len,
            regexp_replace(text, '\\s+', ' ', 'g') = text AS is_normalized,
-           concat(lang, ':', source) AS lang_source
+           -- concat_ws in BOTH engines (r10 nulls audit): both skip
+           -- NULL args; DuckDB concat() would render a bare ':src'
+           concat_ws(':', lang, source) AS lang_source
     FROM documents WHERE doc_id < 50
     """,
 )
@@ -1291,7 +1300,8 @@ LONG_TOKEN_MIN = 9
         FROM documents
     ), exploded AS (
         SELECT doc_id,
-               unnest(CASE WHEN len(lt) = 0 THEN [NULL] ELSE lt END) AS token
+               unnest(CASE WHEN lt IS NULL OR len(lt) = 0
+                           THEN [NULL] ELSE lt END) AS token
         FROM longs
     )
     SELECT count(*) AS n_rows,
@@ -2252,7 +2262,7 @@ STOPWORDS = (
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ), tstats AS (
         SELECT doc_id, count(*) AS n_tokens,
                sum(CASE WHEN t IN {STOPWORDS} THEN 1 ELSE 0 END) AS n_stop
@@ -2264,7 +2274,7 @@ STOPWORDS = (
                    AS n_punct,
                length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
                    AS n_digit
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     )
     SELECT t.doc_id,
            CAST(t.n_tokens AS BIGINT) AS n_tokens,
@@ -2296,7 +2306,12 @@ def text_stopword_punct_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token-grain agg + doc-grain join for a per-row quantity)
     toks = _tokens()
     n_raw = F.length("text")
-    base = load(spark, sf_dir, "documents").select(
+    # PRESENT text only (r10 nulls audit): ratios of a null doc are
+    # undefined, not zero — the completeness gate upstream owns nulls;
+    # the oracle carries the same filter
+    base = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
@@ -2322,7 +2337,10 @@ def text_stopword_punct_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN upper(lang)
                     WHEN doc_id % 3 = 1 THEN
-                         concat(upper(substr(lang, 1, 1)), substr(lang, 2))
+                         -- || not concat(): DuckDB concat() IGNORES
+                         -- null args (NULL lang would become ''),
+                         -- || propagates NULL like Spark's initcap
+                         upper(substr(lang, 1, 1)) || substr(lang, 2)
                     ELSE lang END AS mc
         FROM documents
     )

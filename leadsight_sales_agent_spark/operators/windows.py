@@ -248,6 +248,11 @@ def window_sliding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pane_start")
         .agg(
             F.count("*").alias("n"),
+            # nv: NON-NULL value count — the avg denominator (r10 nulls
+            # audit: dividing the null-skipping sum by count(*) skewed
+            # the mean on panes containing null-value events; davg's
+            # contract is sum(value)/count(value) on both engines)
+            F.count("value").alias("nv"),
             F.sum(_micro(F.col("value"))).alias("m"),
         )
     )
@@ -256,17 +261,20 @@ def window_sliding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.col("pane_start"), F.col("pane_start") - 1800)
         ).alias("window_start_s"),
         "n",
+        "nv",
         "m",
     )
     merged = windows.groupBy("window_start_s").agg(
-        F.sum("n").alias("n_events"), F.sum("m").alias("m_total")
+        F.sum("n").alias("n_events"),
+        F.sum("nv").alias("n_vals"),
+        F.sum("m").alias("m_total"),
     )
     return merged.select(
         F.date_format(
             F.timestamp_seconds(F.col("window_start_s")), "yyyy-MM-dd HH:mm:ss"
         ).alias("window_start"),
         "n_events",
-        _tie_safe_avg(F.col("m_total"), F.col("n_events"), 4).alias("avg_value"),
+        _tie_safe_avg(F.col("m_total"), F.col("n_vals"), 4).alias("avg_value"),
     )
 
 

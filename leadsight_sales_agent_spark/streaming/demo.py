@@ -666,7 +666,11 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
                     n, v = self._totals.get()
                 for pdf in rows:
                     n += len(pdf)
-                    v += int(pdf["micro"].astype("int64").sum())
+                    # dropna (r10 nulls audit): a null-value event
+                    # reaches pandas as NaN and astype(int64) raises;
+                    # the batch twin's F.sum skips nulls, count(*)
+                    # does not — mirror exactly
+                    v += int(pdf["micro"].dropna().astype("int64").sum())
                 self._totals.update((n, v))
                 yield pd.DataFrame(
                     {
@@ -698,7 +702,8 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
             n, v = state.get if state.exists else (0, 0)
             for pdf in pdfs:
                 n += len(pdf)
-                v += int(pdf["micro"].astype("int64").sum())
+                # dropna: see the transformWithState twin above (r10)
+                v += int(pdf["micro"].dropna().astype("int64").sum())
             state.update((n, v))
             yield pd.DataFrame(
                 {

@@ -170,3 +170,43 @@ class TestSingleRowTotality:
             registry.QUERIES["embedding_pq_quantize"](
                 spark, one_row_dir
             ).collect()
+
+
+class TestPlantedNullSemantics:
+    """Pins for the r10 nulls-wave stances (the full 3-fixture audit
+    lives in tools/empty_audit.py; these pin the two API-visible
+    semantic decisions)."""
+
+    @pytest.fixture(scope="class")
+    def nulls_docs_dir(self, tmp_path_factory, spark):
+        d = tmp_path_factory.mktemp("sf_nulldocs")
+        rows = [
+            (1, None, "en", "srcA", 0),
+            (2, "shared words here", "en", "srcA", 0),
+            (3, None, None, "srcB", 0),
+            (4, "more shared words here", "de", "srcB", 0),
+        ]
+        spark.createDataFrame(
+            rows,
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+        ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+        return str(d)
+
+    def test_null_text_fingerprint_is_null_not_md5_empty(
+        self, spark, nulls_docs_dir
+    ):
+        # md5('') would collide every null doc into ONE dedup bucket
+        fps = {
+            r["doc_id"]: r["fingerprint"]
+            for r in registry.QUERIES["text_fingerprint"](
+                spark, nulls_docs_dir
+            ).collect()
+        }
+        assert fps[1] is None and fps[3] is None
+        assert fps[2] is not None and fps[2] != fps[4]
+
+    def test_quality_ratios_skip_null_text(self, spark, nulls_docs_dir):
+        rows = registry.QUERIES["text_stopword_punct_ratio"](
+            spark, nulls_docs_dir
+        ).collect()
+        assert sorted(r["doc_id"] for r in rows) == [2, 4]

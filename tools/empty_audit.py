@@ -37,12 +37,25 @@ embedding_pq_quantize refuses a corpus smaller than its codebook
 should fail loudly, not train a degenerate codebook. The audit
 accepts exactly that error on fixtures with 1 <= rows < PQ_K.
 
-Run:  python tools/empty_audit.py            # both fixtures
+Third fixture (r10, --nulls / default): PLANTED NULLS in the nullable
+value columns (documents.text 1-in-7, documents.lang 1-in-11,
+events.value 1-in-5, customer.c_acctbal 1-in-7) over the full sf0.001
+rows. This surfaced the null-SEMANTICS seam classes: engine-divergent
+NULL placement under ntile's ORDER BY (Spark NULLS FIRST, DuckDB
+NULLS LAST — resolved by filtering null ranking keys on both sides,
+documented per query), DuckDB concat() silently swallowing NULL args
+(use || or concat_ws), count(*)-vs-count(col) as an avg denominator,
+md5-of-coalesced-empty collapsing every null doc into one dedup
+bucket, and NaN.astype(int64) crashes in pandas stateful folds.
+
+Run:  python tools/empty_audit.py            # all three fixtures
       python tools/empty_audit.py --rows 0   # zero-row only
       python tools/empty_audit.py --rows 1   # single-row only
-Builds .tmp/sf_empty / .tmp/sf_one (single-file parquets, schemas and
-rows copied from sf0.001) and execs tools/check_oracle.py against
-them. Exit 0 = every query total and engine-agreed on the fixture(s).
+      python tools/empty_audit.py --nulls    # planted-nulls only
+Builds .tmp/sf_empty / .tmp/sf_one / .tmp/sf_nulls (single-file
+parquets, schemas and rows copied from sf0.001) and execs
+tools/check_oracle.py against them. Exit 0 = every query total and
+engine-agreed on the fixture(s).
 """
 
 from __future__ import annotations
@@ -72,17 +85,38 @@ EXPECTED_SEAMS = {
 }
 
 
+# planted nulls: column -> every-k-th row NULLed (nullable value
+# columns only; keys/dates stay non-null)
+NULL_PLAN = {
+    "documents": {"text": 7, "lang": 11},
+    "events": {"value": 5},
+    "customer": {"c_acctbal": 7},
+}
+
+
 def build_fixture(src_dir: str, out_dir: str, rows: int) -> None:
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
         tb = pq.read_table(f"{src_dir}/{t}.parquet")
-        pq.write_table(tb.slice(0, rows), f"{out_dir}/{t}.parquet")
+        if rows >= 0:
+            tb = tb.slice(0, rows)
+        else:  # nulls mode: full rows, planted nulls
+            for col, k in NULL_PLAN.get(t, {}).items():
+                n = tb.num_rows
+                mask = pa.array([i % k == 0 for i in range(n)])
+                c = tb.column(col).combine_chunks()
+                nulled = pc.if_else(mask, pa.nulls(n, c.type), c)
+                tb = tb.set_column(tb.schema.get_field_index(col), col, nulled)
+        pq.write_table(tb, f"{out_dir}/{t}.parquet")
 
 
 def run_one(here: str, src: str, rows: int) -> int:
-    out = os.path.join(here, ".tmp", "sf_empty" if rows == 0 else "sf_one")
+    name = {0: "sf_empty", 1: "sf_one", -1: "sf_nulls"}[rows]
+    out = os.path.join(here, ".tmp", name)
     build_fixture(src, out, rows)
     proc = subprocess.run(
         [sys.executable, os.path.join(here, "tools", "check_oracle.py"), out],
@@ -115,8 +149,10 @@ def main() -> int:
     src = "/root/testdata/sf0.001"
     if "--rows" in args:
         rows_list = [int(args[args.index("--rows") + 1])]
+    elif "--nulls" in args:
+        rows_list = [-1]
     else:
-        rows_list = [0, 1]
+        rows_list = [0, 1, -1]  # -1 = planted-nulls fixture
     rc = 0
     for rows in rows_list:
         rc |= run_one(here, src, rows)
