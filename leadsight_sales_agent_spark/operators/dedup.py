@@ -427,7 +427,9 @@ COSINE_DUP_BOUND = 300  # pairwise-exact bounded like neardup_jaccard_pairs
     oracle=f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-        FROM embeddings WHERE vec_id < {COSINE_DUP_BOUND}
+        FROM embeddings
+        WHERE vec_id < {COSINE_DUP_BOUND}
+          AND len(list_filter(embedding, x -> x <> 0)) > 0
     ), n AS (
         SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
     )
@@ -449,11 +451,12 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank/verify stage. Both engines filter on round(cos, 4) so a
     borderline pair can't flip on last-bit double noise.
     """
-    from leadsight_sales_agent_spark.operators.similarity import dot, l2_norm
+    from leadsight_sales_agent_spark.operators.similarity import NONZERO, dot, l2_norm
 
     emb = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < COSINE_DUP_BOUND)
+        .filter(NONZERO())
         .select("vec_id", "embedding")
         .withColumn("nrm", l2_norm(F.col("embedding")))
     )
@@ -2432,13 +2435,17 @@ def semd_bits(n_corpus: int) -> int:
 @query(
     "dedup_semantic_semdedup",
     oracle=f"""
-    WITH params AS (
-        SELECT {_SEMD_BITS_DUCK} AS bits FROM embeddings
+    WITH nz AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+    ),
+    params AS (
+        SELECT {_SEMD_BITS_DUCK} AS bits FROM nz
     ),
     flat AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                CAST(unnest(embedding) AS DOUBLE) AS x
-        FROM embeddings
+        FROM nz
     ),
     signs AS (
         SELECT k.k, f.i,
@@ -2466,7 +2473,7 @@ def semd_bits(n_corpus: int) -> int:
         SELECT c.vec_id, c.cell, CAST(e.embedding AS DOUBLE[]) AS emb,
                sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                      CAST(e.embedding AS DOUBLE[]))) AS nrm
-        FROM cells c JOIN embeddings e ON e.vec_id = c.vec_id
+        FROM cells c JOIN nz e ON e.vec_id = c.vec_id
     ),
     pairs AS (
         SELECT a.cell, a.vec_id AS keep_id, b.vec_id AS drop_id
@@ -2525,9 +2532,11 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, no all-pairs join across cells.
     """
     from leadsight_sales_agent_spark.operators.sampling import hash_key
-    from leadsight_sales_agent_spark.operators.similarity import dot, l2_norm
+    from leadsight_sales_agent_spark.operators.similarity import NONZERO, dot, l2_norm
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        load(spark, sf_dir, "embeddings").filter(NONZERO()).select("vec_id", "embedding")
+    )
     flat = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "vf")
     ).select(

@@ -42,13 +42,33 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
+# Zero-norm exclusion (adversarial-values gate, r10): a zero vector has
+# no direction, so every cosine against it is 0/0 — Spark ANSI raises
+# DIVIDE_BY_ZERO where DuckDB silently yields NULL, a crash on one
+# engine and a silent divergence on the other. Every similarity-math
+# query therefore EXCLUDES zero-norm embeddings on BOTH engines: a
+# map-side predicate evaluated once per row before any pairing, and a
+# no-op on any corpus without degenerate vectors (all graded hashes
+# unchanged). Queries that only measure vectors (norm stats, scaling,
+# quantization histograms) keep zero rows — they are total without it.
+# (A function, not a module-level Column: building a Column needs an
+# active SparkContext, which doesn't exist at import time.)
+def NONZERO() -> Column:
+    return F.exists(F.col("embedding"), lambda x: x != F.lit(0.0))
+
+
+NONZERO_SQL = "len(list_filter(embedding, x -> x <> 0)) > 0"
+
+
 @query(
     "knn_cosine_bruteforce",
     oracle=f"""
     WITH q AS (
-        SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        WHERE vec_id < {N_QUERIES} AND len(list_filter(embedding, x -> x <> 0)) > 0
     ), c AS (
         SELECT vec_id AS neighbor_id, embedding AS ce, label FROM embeddings
+        WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     ), scored AS (
         SELECT q.query_id, c.neighbor_id, c.label,
                list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(c.ce AS DOUBLE[]))
@@ -73,7 +93,7 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k× per corpus row, N× per query). Same trick as the cosine
     near-dup anchor; the oracle may recompute per pair since the double
     math is bitwise identical either way."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(NONZERO())
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -183,7 +203,7 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force twin as the graded exact anchor.
     """
     planes = _hyperplanes()
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(NONZERO())
     corpus = (
         emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
         .withColumn("bucket", rp_signature(F.col("ce"), planes))
@@ -235,7 +255,7 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     baked into the plan as literals — never a join. Assignment is one
     narrow map over the corpus; only the probed cells shuffle.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(NONZERO())
 
     # deterministic "training": the first N_CELLS corpus vectors ≥ id 100
     # act as centroids (disjoint from the query ids < N_QUERIES).
@@ -337,7 +357,7 @@ def knn_cosine_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is exactly the layout an IVF index service maintains: assign
     once at ingest, prune at query time.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(NONZERO())
     cents = (
         emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CELLS))
         .orderBy("vec_id")
@@ -961,9 +981,11 @@ N_RRF_QUERIES = 5
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qe
-        FROM embeddings WHERE vec_id < {N_RRF_QUERIES}
+        FROM embeddings
+        WHERE vec_id < {N_RRF_QUERIES} AND len(list_filter(embedding, x -> x <> 0)) > 0
     ), c AS (
         SELECT vec_id AS doc_id, embedding AS ce FROM embeddings
+        WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     ), scored AS (
         SELECT q.query_id, c.doc_id,
                list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(c.ce AS DOUBLE[]))
@@ -1021,7 +1043,7 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{RRF_SHORTLIST}, exactly as fused here. Queries broadcast; the
     corpus never moves; top-k per query is a WindowGroupLimit.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(NONZERO())
     queries = emb.filter(F.col("vec_id") < N_RRF_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -1080,6 +1102,7 @@ _EMB_SPLIT_THRESH = "e6666666"  # hash < this (90 %) -> train, else eval
                          < '{_EMB_SPLIT_THRESH}'
                     THEN 'train' ELSE 'eval' END AS split
         FROM embeddings
+        WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     ), n AS (
         SELECT vec_id, emb, split,
                sqrt(list_dot_product(emb, emb)) AS nrm FROM e
@@ -1115,7 +1138,7 @@ def leakage_embedding_cosine_cross_split(spark: SparkSession, sf_dir: str) -> Da
     """
     from leadsight_sales_agent_spark.operators.sampling import hash_key
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load(spark, sf_dir, "embeddings").filter(NONZERO()).select(
         "vec_id",
         "embedding",
         l2_norm(F.col("embedding")).alias("nrm"),
@@ -1261,6 +1284,7 @@ BQ_TOP = 10
                                      ELSE 0 END) AS BIGINT)
                 FROM unnest(generate_series(1, 63)) AS g(i)) AS sig
         FROM embeddings
+        WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     ), q AS (
         SELECT vec_id AS query_id, emb AS qe, sig AS qsig FROM sig
         WHERE vec_id < {N_RRF_QUERIES}
@@ -1310,7 +1334,7 @@ def retrieval_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame
     doc_id). Queries broadcast; signatures cost 8 bytes/row of
     shuffle; the corpus never moves.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(NONZERO())
     sig_col = F.expr(
         "aggregate(zip_with(slice(embedding, 1, 63), sequence(0, 62),"
         " (v, i) -> IF(v > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i),"
@@ -1408,6 +1432,7 @@ def _hybrid_oracle() -> str:
     ), qv AS (
         SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
         WHERE vec_id = {HYBRID_QUERY_VEC}
+          AND len(list_filter(embedding, x -> x <> 0)) > 0
     ), vec AS (
         SELECT c.vec_id AS doc_id,
                row_number() OVER (
@@ -1418,6 +1443,7 @@ def _hybrid_oracle() -> str:
                             DESC, c.vec_id ASC) AS vec_rank
         FROM embeddings c CROSS JOIN qv q
         WHERE c.vec_id <> {HYBRID_QUERY_VEC}
+          AND len(list_filter(c.embedding, x -> x <> 0)) > 0
     ), fused AS (
         SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
                l.lex_rank, v.vec_rank,
@@ -1515,7 +1541,7 @@ def retrieval_hybrid_bm25_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lex_rank") <= HYBRID_SHORTLIST)
         .select("doc_id", "lex_rank")
     )
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(NONZERO())
     qv = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
         F.col("embedding").alias("qe")
     )
@@ -1571,6 +1597,7 @@ def _mmr_oracle() -> str:
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
+        WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     ), q AS (
         SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM e
         WHERE vec_id < {MMR_QUERIES}
@@ -1656,7 +1683,7 @@ def retrieval_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(NONZERO())
     base = emb.select(
         "vec_id",
         F.col("embedding").alias("emb"),
@@ -1752,6 +1779,7 @@ MINE_HARD_NEGS = 3
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
+        WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     ), a AS (
         SELECT vec_id AS anchor_id, label AS alabel, emb AS ae, nrm AS an
         FROM e WHERE vec_id < {MINE_ANCHORS}
@@ -1793,7 +1821,7 @@ def mining_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf) feeding the same role-split + rank; rounded-4dp cosine keeps
     the rank boundary engine-stable.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load(spark, sf_dir, "embeddings").filter(NONZERO()).select(
         "vec_id",
         "label",
         F.col("embedding").alias("emb"),
@@ -2167,6 +2195,7 @@ def eval_map_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
+        WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     ),
     pairs AS (
         SELECT a.vec_id AS ia, a.label AS la, b.label AS lb,
@@ -2215,7 +2244,7 @@ def eval_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-label stratified sample or the IVF cell structure — the
     candidate-generation paths this repo already grades).
     """
-    e = load(spark, sf_dir, "embeddings").select(
+    e = load(spark, sf_dir, "embeddings").filter(NONZERO()).select(
         "vec_id",
         "label",
         F.col("embedding").alias("v"),
@@ -2539,6 +2568,7 @@ JL_OUT_DIM = 16  # target dimensionality (64 -> 16)
         SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                CAST(unnest(embedding) AS DOUBLE) AS x
         FROM embeddings
+        WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     ),
     signs AS (
         SELECT k.k, f.i,
@@ -2604,7 +2634,7 @@ def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFram
     """
     from leadsight_sales_agent_spark.operators.sampling import hash_key
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(NONZERO())
     flat = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "vf")
     ).select(

@@ -2262,7 +2262,7 @@ STOPWORDS = (
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
-        FROM documents WHERE text IS NOT NULL
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
     ), tstats AS (
         SELECT doc_id, count(*) AS n_tokens,
                sum(CASE WHEN t IN {STOPWORDS} THEN 1 ELSE 0 END) AS n_stop
@@ -2274,7 +2274,7 @@ STOPWORDS = (
                    AS n_punct,
                length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
                    AS n_digit
-        FROM documents WHERE text IS NOT NULL
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
     )
     SELECT t.doc_id,
            CAST(t.n_tokens AS BIGINT) AS n_tokens,
@@ -2306,11 +2306,14 @@ def text_stopword_punct_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token-grain agg + doc-grain join for a per-row quantity)
     toks = _tokens()
     n_raw = F.length("text")
-    # PRESENT text only (r10 nulls audit): ratios of a null doc are
-    # undefined, not zero — the completeness gate upstream owns nulls;
-    # the oracle carries the same filter
+    # PRESENT, NON-BLANK text only (r10 nulls + adversarial-values
+    # audits): ratios of a null, empty, or whitespace-only doc are
+    # undefined, not zero — a blank doc has no tokens (stopword ratio
+    # is 0/0) and the length-gate upstream owns it; the oracle carries
+    # the same filter. With ≥1 token both integer denominators are ≥1,
+    # so the DIVs below are total.
     base = load(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     ).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),

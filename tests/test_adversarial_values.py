@@ -1,0 +1,109 @@
+"""Adversarial-VALUES pins (r10 session 2): the bug class the zero-row,
+single-row, and planted-NULL fixtures cannot reach — legal, non-null
+values the synthetic generator never emits but any real corpus
+contains. The full two-engine audit lives in
+``tools/empty_audit.py --adv``; this fast subset pins the FIXED
+classes so they cannot regress silently:
+
+- ZERO-NORM embeddings: every cosine against a zero vector is 0/0 —
+  Spark ANSI raised DIVIDE_BY_ZERO across the entire similarity
+  family (18 queries) where DuckDB silently emitted NULL. Fixed with
+  the shared NONZERO()/NONZERO_SQL exclusion (similarity.py): both
+  engines drop zero-norm vectors before any pairing; a no-op on any
+  corpus without degenerate vectors.
+- EMPTY / WHITESPACE-ONLY / 1-2-TOKEN documents: blank docs made the
+  stopword/punct ratio denominators 0 (Spark crash), and short docs
+  are the descending-``sequence(1, 0)`` / phantom-n-gram class the r9
+  advisory found in DSIR — planted here permanently so the guard
+  inventory is exercised on every audit run.
+- exact value TIES (events five-way, customer balances, duplicate and
+  antipodal embedding copies): rank orderings must stay total via
+  explicit id tiebreaks on both engines.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from leadsight_sales_agent_spark import registry
+from tools.empty_audit import ADV_TEXTS, build_fixture
+
+registry.load_all()
+
+# the 18 queries the first --adv audit run crashed (DIVIDE_BY_ZERO):
+ZERO_NORM_FIXED = [
+    "ann_recall_report",
+    "dedup_semantic_semdedup",
+    "embedding_random_projection_jl",
+    "eval_label_silhouette",
+    "eval_map_retrieval",
+    "eval_ndcg_retrieval",
+    "knn_cosine_bruteforce",
+    "knn_cosine_ivf",
+    "knn_cosine_ivf_pruned",
+    "knn_cosine_lsh",
+    "leakage_embedding_cosine_cross_split",
+    "mining_contrastive_triplets",
+    "neardup_embedding_cosine",
+    "retrieval_binary_quantization",
+    "retrieval_hybrid_bm25_vector",
+    "retrieval_mmr_diversified",
+    "retrieval_rrf_fusion",
+]
+BLANK_DOC_FIXED = ["text_stopword_punct_ratio"]
+
+# short-doc guard inventory: queries whose n-gram/window legs carry an
+# explicit size guard that the planted 1-2-token docs exercise
+SHORT_DOC_GUARDED = [
+    "sample_dsir_importance",
+    "text_bleu_source_similarity",
+    "text_ngram_novelty",
+    "dedup_repeated_spans",
+    "dedup_exact_substring_coverage",
+    "text_mattr_lexical_diversity",
+    "text_watermark_greenlist_detect",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory, sf_dir):
+    d = tmp_path_factory.mktemp("sf_adv")
+    build_fixture(sf_dir, str(d), -2)
+    return str(d)
+
+
+class TestAdversarialValues:
+    @pytest.mark.parametrize(
+        "name", ZERO_NORM_FIXED + BLANK_DOC_FIXED + SHORT_DOC_GUARDED
+    )
+    def test_total_on_adversarial_values(self, spark, adv_dir, name):
+        # must collect without error; engine agreement is re-proven by
+        # tools/empty_audit.py --adv on both engines
+        rows = registry.QUERIES[name](spark, adv_dir).collect()
+        assert isinstance(rows, list)
+
+    def test_zero_vector_excluded_from_knn(self, spark, adv_dir):
+        # the planted all-zero vector (vec_id 5 < N_QUERIES) must
+        # appear as neither query nor neighbor
+        rows = registry.QUERIES["knn_cosine_bruteforce"](spark, adv_dir).collect()
+        assert rows, "knn returned nothing on the adversarial fixture"
+        assert all(r["query_id"] != 5 and r["neighbor_id"] != 5 for r in rows)
+
+    def test_duplicate_vector_is_top_neighbor(self, spark, adv_dir):
+        # vec 11 is an exact copy of vec 0 → cosine 1.0 must rank it
+        # first for query 0 (ties beyond that break on neighbor_id)
+        rows = registry.QUERIES["knn_cosine_bruteforce"](spark, adv_dir).collect()
+        top = [r for r in rows if r["query_id"] == 0 and r["rank"] == 1]
+        assert len(top) == 1 and top[0]["neighbor_id"] == 11
+        assert top[0]["cosine"] == pytest.approx(1.0)
+
+    def test_blank_docs_dropped_from_ratio_report(self, spark, adv_dir):
+        rows = registry.QUERIES["text_stopword_punct_ratio"](
+            spark, adv_dir
+        ).collect()
+        blank_ids = {i for i, t in ADV_TEXTS.items() if not t.strip()}
+        got = {r["doc_id"] for r in rows}
+        assert blank_ids.isdisjoint(got)
+        # non-blank planted docs still report, with sane totals
+        one_tok = next(r for r in rows if r["doc_id"] == 9)
+        assert one_tok["n_tokens"] == 1 and one_tok["punct_bp"] == 0

@@ -48,14 +48,30 @@ documented per query), DuckDB concat() silently swallowing NULL args
 md5-of-coalesced-empty collapsing every null doc into one dedup
 bucket, and NaN.astype(int64) crashes in pandas stateful folds.
 
-Run:  python tools/empty_audit.py            # all three fixtures
+Fourth fixture (r10 session 2, --adv): PLANTED ADVERSARIAL VALUES —
+non-null values the generator never emits but any real corpus
+contains. Null and single-row fixtures cannot reach this class: a
+NULL text short-circuits every expression to NULL, while an EMPTY or
+ONE-TOKEN text must flow through the whole tokenize/shingle/window
+pipeline without tripping Spark's descending `sequence(1, 0)` or
+ANSI INVALID_ARRAY_INDEX (the bug class the r9 advisory found in
+DSIR's bigram leg — planted here so the gate owns it forever).
+Plants: documents.text in {"", "a", "a b", "ab", whitespace-only,
+all-same-token, leading/trailing-space} (n_chars kept consistent);
+embeddings.embedding in {all-zero (zero norm -> cosine 0/0),
+exact-duplicate and negated copies of another row (similarity ties
+at +1/-1)}; events.value exact five-way tie block; customer
+c_acctbal zero and exact cross-row ties.
+
+Run:  python tools/empty_audit.py            # all four fixtures
       python tools/empty_audit.py --rows 0   # zero-row only
       python tools/empty_audit.py --rows 1   # single-row only
       python tools/empty_audit.py --nulls    # planted-nulls only
-Builds .tmp/sf_empty / .tmp/sf_one / .tmp/sf_nulls (single-file
-parquets, schemas and rows copied from sf0.001) and execs
-tools/check_oracle.py against them. Exit 0 = every query total and
-engine-agreed on the fixture(s).
+      python tools/empty_audit.py --adv      # adversarial values only
+Builds .tmp/sf_empty / .tmp/sf_one / .tmp/sf_nulls / .tmp/sf_adv
+(single-file parquets, schemas and rows copied from sf0.001) and
+execs tools/check_oracle.py against them. Exit 0 = every query total
+and engine-agreed on the fixture(s).
 """
 
 from __future__ import annotations
@@ -93,6 +109,43 @@ NULL_PLAN = {
     "customer": {"c_acctbal": 7},
 }
 
+# adversarial non-null values (--adv): row index -> replacement text.
+# Short/empty/degenerate documents — the descending-sequence /
+# INVALID_ARRAY_INDEX class; n_chars is recomputed to stay consistent.
+ADV_TEXTS = {
+    3: "",
+    9: "a",
+    15: "a b",
+    21: "   ",
+    27: "x x x x x",
+    33: "ab",
+    39: " lead trail ",
+}
+
+
+def _plant_adversarial(t: str, tb):
+    import pyarrow as pa
+
+    rows = tb.to_pylist()
+    if t == "documents":
+        for i, txt in ADV_TEXTS.items():
+            rows[i]["text"] = txt
+            rows[i]["n_chars"] = len(txt)
+    elif t == "embeddings":
+        dim = len(rows[0]["embedding"])
+        rows[5]["embedding"] = [0.0] * dim  # zero norm
+        rows[11]["embedding"] = list(rows[0]["embedding"])  # exact dup
+        rows[17]["embedding"] = [-x for x in rows[0]["embedding"]]  # antipode
+    elif t == "events":
+        for i in range(10, 15):  # exact five-way value tie
+            rows[i]["value"] = 100.0
+    elif t == "customer":
+        rows[2]["c_acctbal"] = 0.0
+        rows[8]["c_acctbal"] = rows[4]["c_acctbal"]  # exact tie
+    else:
+        return tb
+    return pa.Table.from_pylist(rows, schema=tb.schema)
+
 
 def build_fixture(src_dir: str, out_dir: str, rows: int) -> None:
     import pyarrow as pa
@@ -104,6 +157,8 @@ def build_fixture(src_dir: str, out_dir: str, rows: int) -> None:
         tb = pq.read_table(f"{src_dir}/{t}.parquet")
         if rows >= 0:
             tb = tb.slice(0, rows)
+        elif rows == -2:  # adversarial-values mode: full rows, planted values
+            tb = _plant_adversarial(t, tb)
         else:  # nulls mode: full rows, planted nulls
             for col, k in NULL_PLAN.get(t, {}).items():
                 n = tb.num_rows
@@ -115,7 +170,7 @@ def build_fixture(src_dir: str, out_dir: str, rows: int) -> None:
 
 
 def run_one(here: str, src: str, rows: int) -> int:
-    name = {0: "sf_empty", 1: "sf_one", -1: "sf_nulls"}[rows]
+    name = {0: "sf_empty", 1: "sf_one", -1: "sf_nulls", -2: "sf_adv"}[rows]
     out = os.path.join(here, ".tmp", name)
     build_fixture(src, out, rows)
     proc = subprocess.run(
@@ -136,6 +191,11 @@ def run_one(here: str, src: str, rows: int) -> int:
         seam = EXPECTED_SEAMS.get((name, rows))
         if not (seam and seam in line):
             unexplained.append(line)
+    if not unexplained and "failures" not in proc.stdout:
+        # nonzero exit with NO per-query verdicts = the harness itself
+        # crashed (import error, OOM) — never report that as OK
+        print(f"[empty_audit] rows={rows}: check_oracle crashed before verdicts")
+        return 1
     if unexplained:
         print(f"[empty_audit] rows={rows}: {len(unexplained)} unexplained failures")
         return 1
@@ -151,8 +211,10 @@ def main() -> int:
         rows_list = [int(args[args.index("--rows") + 1])]
     elif "--nulls" in args:
         rows_list = [-1]
+    elif "--adv" in args:
+        rows_list = [-2]
     else:
-        rows_list = [0, 1, -1]  # -1 = planted-nulls fixture
+        rows_list = [0, 1, -1, -2]  # -1 = planted nulls, -2 = adversarial values
     rc = 0
     for rows in rows_list:
         rc |= run_one(here, src, rows)
