@@ -132,6 +132,7 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS norm
         FROM embeddings
+        WHERE embedding IS NOT NULL
     )
     SELECT label,
            count(*) AS n_vecs,
@@ -146,8 +147,17 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The mean goes through an exact decimal sum: per-row norms are
     bit-identical across engines, but a double-summed mean is
-    order-dependent and would not be (functions/numeric.py)."""
-    emb = load(spark, sf_dir, "embeddings").withColumn("norm", l2_norm(F.col("embedding")))
+    order-dependent and would not be (functions/numeric.py).
+
+    ABSENT vectors are excluded on both engines (null-embedding
+    probe): DuckDB's list_dot_product refuses a NULL list outright
+    where Spark's fold yields NULL — a vector that was never computed
+    has no norm; zero vectors DO report here (norm 0 is a fact)."""
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .withColumn("norm", l2_norm(F.col("embedding")))
+    )
     return emb.groupBy("label").agg(
         F.count("*").alias("n_vecs"),
         davg(F.col("norm"), 4).alias("avg_norm"),
@@ -816,8 +826,13 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid means are order-dependent double sums (same class as
     kmeans_train_embeddings); the monotone-inertia and
     error-vs-variance invariants are unit-pinned instead
-    (tests/test_dedup_similarity.py)."""
-    emb = load(spark, sf_dir, "embeddings")
+    (tests/test_dedup_similarity.py).
+
+    NULL embeddings are dropped before training (null-embedding
+    probe): an absent vector can neither train nor receive a code —
+    the driver-side dim sniff and the explode both require rows;
+    zero vectors are legal PQ inputs and stay."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     head = emb.select("embedding").first()
     if head is None:  # empty corpus: nothing to train, empty report
         return spark.createDataFrame(

@@ -19,6 +19,16 @@ classes so they cannot regress silently:
 - exact value TIES (events five-way, customer balances, duplicate and
   antipodal embedding copies): rank orderings must stay total via
   explicit id tiebreaks on both engines.
+- NULL embeddings (never-computed vectors): DuckDB's
+  list_dot_product refuses a NULL list outright where Spark's fold
+  yields NULL — embedding_norm_stats and embedding_pq_quantize now
+  exclude absent vectors on both engines; every cosine consumer
+  already drops them through the NONZERO() predicate (exists over a
+  NULL array is NULL → filtered).
+- NEGATIVE / ZERO event values and multibyte-unicode documents
+  (accents, CJK, emoji, case-folding exotica): planted and verified
+  engine-agreed with no code change needed — pinned so that stays
+  true.
 """
 
 from __future__ import annotations
@@ -64,6 +74,9 @@ SHORT_DOC_GUARDED = [
     "text_watermark_greenlist_detect",
 ]
 
+# null-embedding exclusions (second probe wave)
+NULL_EMB_FIXED = ["embedding_norm_stats", "embedding_pq_quantize"]
+
 
 @pytest.fixture(scope="module")
 def adv_dir(tmp_path_factory, sf_dir):
@@ -74,7 +87,8 @@ def adv_dir(tmp_path_factory, sf_dir):
 
 class TestAdversarialValues:
     @pytest.mark.parametrize(
-        "name", ZERO_NORM_FIXED + BLANK_DOC_FIXED + SHORT_DOC_GUARDED
+        "name",
+        ZERO_NORM_FIXED + BLANK_DOC_FIXED + SHORT_DOC_GUARDED + NULL_EMB_FIXED,
     )
     def test_total_on_adversarial_values(self, spark, adv_dir, name):
         # must collect without error; engine agreement is re-proven by
@@ -107,3 +121,13 @@ class TestAdversarialValues:
         # non-blank planted docs still report, with sane totals
         one_tok = next(r for r in rows if r["doc_id"] == 9)
         assert one_tok["n_tokens"] == 1 and one_tok["punct_bp"] == 0
+
+    def test_null_embedding_excluded_from_norm_stats(self, spark, adv_dir):
+        # null vectors (7/20/33) report no norm; the zero vector (5)
+        # DOES report — norm 0 is a fact about a present vector
+        import pyarrow.parquet as pq
+
+        rows = registry.QUERIES["embedding_norm_stats"](spark, adv_dir).collect()
+        n_reported = sum(r["n_vecs"] for r in rows)
+        n_total = pq.read_table(f"{adv_dir}/embeddings.parquet").num_rows
+        assert n_reported == n_total - 3

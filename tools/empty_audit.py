@@ -57,11 +57,14 @@ pipeline without tripping Spark's descending `sequence(1, 0)` or
 ANSI INVALID_ARRAY_INDEX (the bug class the r9 advisory found in
 DSIR's bigram leg — planted here so the gate owns it forever).
 Plants: documents.text in {"", "a", "a b", "ab", whitespace-only,
-all-same-token, leading/trailing-space} (n_chars kept consistent);
-embeddings.embedding in {all-zero (zero norm -> cosine 0/0),
-exact-duplicate and negated copies of another row (similarity ties
-at +1/-1)}; events.value exact five-way tie block; customer
-c_acctbal zero and exact cross-row ties.
+all-same-token, leading/trailing-space, four multibyte/unicode
+texts (accents, CJK, emoji/astral-plane, case-folding exotica)}
+(n_chars kept consistent); embeddings.embedding in {all-zero (zero
+norm -> cosine 0/0), exact-duplicate and negated copies of another
+row (similarity ties at +1/-1), NULL (never-computed vectors —
+DuckDB list_dot_product refuses a NULL list where Spark folds to
+NULL)}; events.value exact five-way tie block plus a negative and
+a zero; customer c_acctbal zero and exact cross-row ties.
 
 Run:  python tools/empty_audit.py            # all four fixtures
       python tools/empty_audit.py --rows 0   # zero-row only
@@ -120,6 +123,12 @@ ADV_TEXTS = {
     27: "x x x x x",
     33: "ab",
     39: " lead trail ",
+    # multibyte/unicode (length(), regex classes, case folding must
+    # agree cross-engine on non-ASCII):
+    45: "héllo wörld straße café naïve",
+    51: "中文 文本 多字节 编码 测试 中文 文本",
+    57: "emoji 🙂 test 🚀 rows 🙂 again",
+    63: "ACCENTS ÉÀÇ über ÖSTERREICH σίγμα ΣΊΓΜΑ",
 }
 
 
@@ -136,9 +145,13 @@ def _plant_adversarial(t: str, tb):
         rows[5]["embedding"] = [0.0] * dim  # zero norm
         rows[11]["embedding"] = list(rows[0]["embedding"])  # exact dup
         rows[17]["embedding"] = [-x for x in rows[0]["embedding"]]  # antipode
+        for i in (7, 20, 33):  # never-computed vectors
+            rows[i]["embedding"] = None
     elif t == "events":
         for i in range(10, 15):  # exact five-way value tie
             rows[i]["value"] = 100.0
+        rows[3]["value"] = -50.0  # refund-style negative
+        rows[7]["value"] = 0.0
     elif t == "customer":
         rows[2]["c_acctbal"] = 0.0
         rows[8]["c_acctbal"] = rows[4]["c_acctbal"]  # exact tie
