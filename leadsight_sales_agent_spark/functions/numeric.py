@@ -36,6 +36,32 @@ def dsum(x: Column, scale: int = 2) -> Column:
     return F.round(F.sum(x.cast(DEC)), scale).cast("double")
 
 
+def finite(x: Column) -> Column:
+    """NULL-out non-finite doubles (NaN/±Inf) — the adversarial-values
+    audit's scalar device: a NaN/Inf measurement poisons every
+    integer-exactness cast (Spark ANSI CAST_OVERFLOW, DuckDB INT128
+    refusal), and nullifying it adopts the exact null semantics the
+    planted-NULL audit already proved engine-agreed for every
+    consumer. (NaN needs the isnan conjunct: in Spark NaN != inf is
+    TRUE, so the abs() test alone would pass it through.)"""
+    return F.when(is_finite(x), x)
+
+
+def is_finite(x: Column) -> Column:
+    """Boolean twin of finite() for filters — DuckDB's isfinite().
+    NULL input yields NULL (filter-false), so `.filter(is_finite(c))`
+    subsumes an isNotNull gate."""
+    return ~F.isnan(x) & (F.abs(x) != F.lit(float("inf")))
+
+
+# DuckDB twin: swap `FROM events` for this (aliased as events/e) so the
+# oracle sees the identical nullified value column.
+SQL_FINITE_EVENTS = (
+    "(SELECT * REPLACE (CASE WHEN isfinite(value) THEN value ELSE NULL END"
+    " AS value) FROM events)"
+)
+
+
 BASE = 6  # micro-units: 10^-6 — captures all test-data money math exactly
 
 

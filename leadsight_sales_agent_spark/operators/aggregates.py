@@ -21,8 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.functions.numeric import (
+    SQL_FINITE_EVENTS,
     davg,
     dsum,
+    finite,
     sql_davg,
     sql_dsum,
     sql_hex_to_long,
@@ -393,11 +395,11 @@ N_AGG_SALT = 16
 
 @query(
     "agg_salted_two_phase",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            count(*) AS n_events,
            CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
-    FROM events
+    FROM {SQL_FINITE_EVENTS} events
     GROUP BY event_type
     """,
 )
@@ -423,7 +425,7 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra (key, salt) exchange is pure overhead. Keep the device for
     map-side-combine-defeating state only; thresholds in SURVEY §8.12.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").withColumn("value", finite(F.col("value")))
     salted = ev.withColumn(
         "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_AGG_SALT))
     )
@@ -719,12 +721,12 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_argmax_events",
-    oracle="""
+    oracle=f"""
     WITH keyed AS (
         SELECT user_id, event_type, value,
                CAST(round(value * 100) AS BIGINT) * 10000000000 + event_id
                    AS ord_key
-        FROM events
+        FROM {SQL_FINITE_EVENTS} events
     )
     SELECT user_id,
            max_by(event_type, ord_key) AS top_value_type,
@@ -748,7 +750,7 @@ def agg_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     value·100 is integer-exact for 2-decimal money, and event_id
     uniquifies ties — so both engines' arg-extremes agree bit-for-bit.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").withColumn("value", finite(F.col("value")))
     ord_key = (
         F.round(F.col("value") * 100, 0).cast("long") * F.lit(10_000_000_000)
         + F.col("event_id")
@@ -2573,7 +2575,7 @@ def agg_grouped_pandas_udf_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
         SELECT event_type,
                CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS cents
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND isfinite(value)
     ),
     shifted AS (
         SELECT event_type, cents,
@@ -2635,9 +2637,11 @@ def agg_skew_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: window + groupBy share the (event_type) partitioning — one
     exchange; everything else is map-side arithmetic.
     """
+    from leadsight_sales_agent_spark.functions.numeric import is_finite
+
     c = (
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(is_finite(F.col("value")))
         .select(
             "event_type",
             (F.col("value").cast("decimal(25,2)") * 100).cast("long").alias("cents"),
@@ -6177,7 +6181,7 @@ _JB_CRIT_5PCT = "5.991464547107979"  # chi2(2) 95th percentile
     WITH c AS (
         SELECT event_type,
                CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS cents
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND isfinite(value)
     ),
     shifted AS (
         SELECT event_type, cents,
@@ -6234,9 +6238,11 @@ def eval_jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy sharing the event_type partitioning, map-side arithmetic
     everywhere else.
     """
+    from leadsight_sales_agent_spark.functions.numeric import is_finite
+
     c = (
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(is_finite(F.col("value")))
         .select(
             "event_type",
             (F.col("value").cast("decimal(25,2)") * 100).cast("long").alias("cents"),

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from leadsight_sales_agent_spark.functions.numeric import finite, is_finite
 from leadsight_sales_agent_spark.operators.sampling import _SQL_HASH, hash_key
 from leadsight_sales_agent_spark.registry import query
 from leadsight_sales_agent_spark.sources.catalog import load
@@ -647,7 +648,8 @@ def drift_psi_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT isodow(ts) - 1 AS dow,
            hour(ts) AS hod,
            count(*) AS n_events,
-           CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE)
+           CAST(round(sum(CAST(CASE WHEN isfinite(value) THEN value END
+                               AS DECIMAL(25,6))), 2) AS DOUBLE)
                AS total_value
     FROM events GROUP BY 1, 2
     """,
@@ -668,7 +670,7 @@ def seasonality_heatmap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekday("ts").alias("dow"), F.hour("ts").alias("hod")
     ).agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2)
+        F.round(F.sum(finite(F.col("value")).cast("decimal(25,6)")), 2)
         .cast("double")
         .alias("total_value"),
     )
@@ -1235,7 +1237,7 @@ def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFr
     WITH s AS (
         SELECT CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS score,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND isfinite(value)
     ), g AS (
         SELECT score,
                CAST(sum(y) AS BIGINT) AS np_s,
@@ -1280,7 +1282,7 @@ def eval_roc_auc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     s = (
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(is_finite(F.col("value")))
         .select(
             (F.col("value").cast("decimal(25,2)") * 100).cast("long").alias("score"),
             F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
@@ -1321,7 +1323,7 @@ CALIB_BIN_CENTS = 5000  # 50-currency-unit score bins
     WITH s AS (
         SELECT CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS score,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND isfinite(value)
     )
     SELECT score // {CALIB_BIN_CENTS} AS bin,
            count(*) AS n_events,
@@ -1344,7 +1346,7 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     s = (
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(is_finite(F.col("value")))
         .select(
             (F.col("value").cast("decimal(25,2)") * 100).cast("long").alias("score"),
             F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
@@ -1435,7 +1437,7 @@ def path_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS score,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND isfinite(value)
     ),
     g AS (
         SELECT score,
@@ -1489,7 +1491,7 @@ def eval_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     s = (
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(is_finite(F.col("value")))
         .select(
             (F.col("value").cast("decimal(25,2)") * 100).cast("long").alias("score"),
             F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("a"),
@@ -1863,7 +1865,7 @@ def market_basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT event_id,
                CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS score,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND isfinite(value)
     ),
     ranked AS (
         SELECT y, ntile(10) OVER (ORDER BY score DESC, event_id ASC) AS decile
@@ -1925,7 +1927,7 @@ def eval_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = (
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(is_finite(F.col("value")))
         .select(
             "event_id",
             (F.col("value").cast("decimal(25,2)") * 100).cast("long").alias("score"),
@@ -2491,7 +2493,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS score,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND isfinite(value)
     ),
     g AS (
         SELECT score,
@@ -2526,7 +2528,7 @@ def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     s = (
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(is_finite(F.col("value")))
         .select(
             (F.col("value").cast("decimal(25,2)") * 100).cast("long").alias("score"),
             F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
@@ -3324,7 +3326,7 @@ def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS VARCHAR)) AS hk,
                CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS score,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND isfinite(value)
     ),
     folded AS (
         SELECT CAST((CAST(instr('0123456789abcdef', substr(hk, 1, 1)) - 1
@@ -3369,7 +3371,7 @@ def eval_auc_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     s = (
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(is_finite(F.col("value")))
         .select(
             F.substring(
                 F.md5(F.concat(F.lit("fold:"), F.col("event_id").cast("string"))),
@@ -3418,7 +3420,8 @@ def eval_auc_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ordered AS (
         SELECT user_id, event_id, event_type, ts,
-               CAST(CAST(coalesce(value, 0) AS DECIMAL(25,2)) * 100 AS BIGINT)
+               CAST(CAST(coalesce(CASE WHEN isfinite(value) THEN value END, 0)
+                         AS DECIMAL(25,2)) * 100 AS BIGINT)
                    AS cents,
                lag(ts) OVER w AS prev_ts
         FROM events
@@ -3485,12 +3488,14 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     id. Nothing global anywhere.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    from leadsight_sales_agent_spark.functions.numeric import finite
+
     ordered = load(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         "event_type",
         "ts",
-        (F.coalesce(F.col("value"), F.lit(0)).cast("decimal(25,2)") * 100)
+        (F.coalesce(finite(F.col("value")), F.lit(0)).cast("decimal(25,2)") * 100)
         .cast("bigint")
         .alias("cents"),
         F.lag("ts").over(w).alias("prev_ts"),
@@ -3747,7 +3752,7 @@ def _ece_oracle() -> str:
     WITH b AS ({bins}),
     mx AS (
         SELECT max(CAST(value AS DECIMAL(25,2)) * 100) AS mx
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND isfinite(value)
     ),
     terms AS (
         SELECT b.n_events,
@@ -3781,7 +3786,7 @@ def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFra
     b = QUERIES["eval_calibration_bins"](spark, sf_dir)
     mx = (
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(is_finite(F.col("value")))
         .agg(
             (F.max(F.col("value").cast("decimal(25,2)") * 100))
             .cast("bigint")
@@ -4067,7 +4072,8 @@ def _qini_oracle() -> str:
     WITH users AS (
         SELECT user_id,
                {arm} AS arm,
-               CAST(sum(CAST(coalesce(value, 0) AS DECIMAL(25,2)) * 100)
+               CAST(sum(CAST(coalesce(CASE WHEN isfinite(value) THEN value END, 0)
+                             AS DECIMAL(25,2)) * 100)
                     AS BIGINT) AS score_cents,
                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
         FROM events GROUP BY 1
@@ -4135,7 +4141,10 @@ def eval_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.sum(
-                (F.coalesce(F.col("value"), F.lit(0)).cast("decimal(25,2)") * 100)
+                (
+                    F.coalesce(finite(F.col("value")), F.lit(0)).cast("decimal(25,2)")
+                    * 100
+                )
             )
             .cast("bigint")
             .alias("score_cents"),
@@ -4504,7 +4513,7 @@ def eval_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS p1,
                CASE WHEN CAST(minute(ts) AS INTEGER) < 30 THEN 1 ELSE 0 END
                    AS p2
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND isfinite(value)
     ),
     cells AS (
         SELECT
@@ -4545,7 +4554,7 @@ def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     scored = (
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(is_finite(F.col("value")))
         .select(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
             F.when(F.col("value") >= 50.0, 1).otherwise(0).alias("p1"),
@@ -8277,7 +8286,7 @@ _DL_Z = "1.959963984540054"
     WITH s AS (
         SELECT CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS score,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND isfinite(value)
     ), g AS (
         SELECT score,
                CAST(sum(y) AS BIGINT) AS np_s,
@@ -8344,7 +8353,7 @@ def eval_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     s = (
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(is_finite(F.col("value")))
         .select(
             (F.col("value").cast("decimal(25,2)") * 100).cast("bigint").alias("score"),
             F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
@@ -10043,7 +10052,7 @@ def _brier_oracle() -> str:
     WITH s AS (
         SELECT CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS sc,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND isfinite(value)
     ), g AS (
         SELECT CAST(count(*) AS HUGEINT) AS nn,
                CAST(sum(y) AS HUGEINT) AS sy,
@@ -10115,7 +10124,7 @@ def eval_brier_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFra
     """
     s = (
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(is_finite(F.col("value")))
         .select(
             (F.col("value").cast("decimal(25,2)") * 100)
             .cast("long")

@@ -50,14 +50,31 @@ def l2_norm(a: Column) -> Column:
 # map-side predicate evaluated once per row before any pairing, and a
 # no-op on any corpus without degenerate vectors (all graded hashes
 # unchanged). Queries that only measure vectors (norm stats, scaling,
-# quantization histograms) keep zero rows — they are total without it.
-# (A function, not a module-level Column: building a Column needs an
+# quantization histograms) keep zero rows but still require FINITE
+# components (FINITE_VEC below) — a NaN/Inf component is a corrupted
+# measurement: it poisons every integer-exactness cast (Spark ANSI
+# CAST_OVERFLOW, DuckDB INT128 refusal) and both engines treat it as
+# an absent vector, the same nullified semantics the planted-NULL
+# audit proved for scalar columns.
+# (Functions, not module-level Columns: building a Column needs an
 # active SparkContext, which doesn't exist at import time.)
+def FINITE_VEC() -> Column:
+    return F.forall(
+        F.col("embedding"),
+        lambda x: ~F.isnan(x) & (F.abs(x) != F.lit(float("inf"))),
+    )
+
+
 def NONZERO() -> Column:
-    return F.exists(F.col("embedding"), lambda x: x != F.lit(0.0))
+    """Usable for cosine: every component finite AND norm > 0."""
+    return FINITE_VEC() & F.exists(F.col("embedding"), lambda x: x != F.lit(0.0))
 
 
-NONZERO_SQL = "len(list_filter(embedding, x -> x <> 0)) > 0"
+FINITE_VEC_SQL = "len(list_filter(embedding, x -> NOT isfinite(x))) = 0"
+NONZERO_SQL = (
+    "len(list_filter(embedding, x -> x <> 0)) > 0"
+    " AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0"
+)
 
 
 @query(
@@ -66,9 +83,11 @@ NONZERO_SQL = "len(list_filter(embedding, x -> x <> 0)) > 0"
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qe FROM embeddings
         WHERE vec_id < {N_QUERIES} AND len(list_filter(embedding, x -> x <> 0)) > 0
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), c AS (
         SELECT vec_id AS neighbor_id, embedding AS ce, label FROM embeddings
         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), scored AS (
         SELECT q.query_id, c.neighbor_id, c.label,
                list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(c.ce AS DOUBLE[]))
@@ -133,6 +152,7 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      CAST(embedding AS DOUBLE[]))) AS norm
         FROM embeddings
         WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     )
     SELECT label,
            count(*) AS n_vecs,
@@ -155,7 +175,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no norm; zero vectors DO report here (norm 0 is a fact)."""
     emb = (
         load(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
+        .filter(F.col("embedding").isNotNull() & FINITE_VEC())
         .withColumn("norm", l2_norm(F.col("embedding")))
     )
     return emb.groupBy("label").agg(
@@ -628,8 +648,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan, so the query IS the calibration report a quantizer job
     emits. Rows-only: round() on doubles differs at half-ulp
     boundaries across engines.
+
+    FINITE vectors only (NaN/Inf probe): a NaN component crashed the
+    0..255 ANSI cast; corrupted measurements don't calibrate.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(FINITE_VEC())
     dims = emb.select("vec_id", F.posexplode("embedding").alias("dim", "x")).withColumn(
         "x", F.col("x").cast("double")
     )
@@ -864,6 +887,7 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
                CAST(unnest(embedding) AS DOUBLE) AS x
         FROM embeddings
+        WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), stats AS (
         SELECT dim,
                CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
@@ -918,7 +942,7 @@ def embedding_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame first-class (it IS the calibration artifact worth persisting
     next to the corpus).
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(FINITE_VEC())
     flat = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "vf")
     ).select(
@@ -998,9 +1022,11 @@ N_RRF_QUERIES = 5
         SELECT vec_id AS query_id, embedding AS qe
         FROM embeddings
         WHERE vec_id < {N_RRF_QUERIES} AND len(list_filter(embedding, x -> x <> 0)) > 0
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), c AS (
         SELECT vec_id AS doc_id, embedding AS ce FROM embeddings
         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), scored AS (
         SELECT q.query_id, c.doc_id,
                list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(c.ce AS DOUBLE[]))
@@ -1118,6 +1144,7 @@ _EMB_SPLIT_THRESH = "e6666666"  # hash < this (90 %) -> train, else eval
                     THEN 'train' ELSE 'eval' END AS split
         FROM embeddings
         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), n AS (
         SELECT vec_id, emb, split,
                sqrt(list_dot_product(emb, emb)) AS nrm FROM e
@@ -1300,6 +1327,7 @@ BQ_TOP = 10
                 FROM unnest(generate_series(1, 63)) AS g(i)) AS sig
         FROM embeddings
         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), q AS (
         SELECT vec_id AS query_id, emb AS qe, sig AS qsig FROM sig
         WHERE vec_id < {N_RRF_QUERIES}
@@ -1448,6 +1476,7 @@ def _hybrid_oracle() -> str:
         SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
         WHERE vec_id = {HYBRID_QUERY_VEC}
           AND len(list_filter(embedding, x -> x <> 0)) > 0
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), vec AS (
         SELECT c.vec_id AS doc_id,
                row_number() OVER (
@@ -1459,6 +1488,7 @@ def _hybrid_oracle() -> str:
         FROM embeddings c CROSS JOIN qv q
         WHERE c.vec_id <> {HYBRID_QUERY_VEC}
           AND len(list_filter(c.embedding, x -> x <> 0)) > 0
+          AND len(list_filter(c.embedding, x -> NOT isfinite(x))) = 0
     ), fused AS (
         SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
                l.lex_rank, v.vec_rank,
@@ -1613,6 +1643,7 @@ def _mmr_oracle() -> str:
                                      CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), q AS (
         SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM e
         WHERE vec_id < {MMR_QUERIES}
@@ -1795,6 +1826,7 @@ MINE_HARD_NEGS = 3
                                      CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), a AS (
         SELECT vec_id AS anchor_id, label AS alabel, emb AS ae, nrm AS an
         FROM e WHERE vec_id < {MINE_ANCHORS}
@@ -2211,6 +2243,7 @@ def eval_map_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ),
     pairs AS (
         SELECT a.vec_id AS ia, a.label AS la, b.label AS lb,
@@ -2323,6 +2356,7 @@ def eval_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS micro
         FROM embeddings,
              unnest(generate_series(1, len(embedding))) AS u(i)
+        WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ),
     ranked AS (
         SELECT dim, micro,
@@ -2356,7 +2390,7 @@ def embedding_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural partition key, each holding n values; rank via per-dim
     sort, embarrassingly parallel across dims).
     """
-    dims = load(spark, sf_dir, "embeddings").select(
+    dims = load(spark, sf_dir, "embeddings").filter(FINITE_VEC()).select(
         F.posexplode(F.col("embedding")).alias("dim", "x")
     ).select(
         F.col("dim").cast("bigint").alias("dim"),
@@ -2409,12 +2443,16 @@ def _pca_oracle() -> str:
     IEEE product is), l-infinity normalization, floor re-quantization
     at every iteration boundary."""
     cov = """
+    fin AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    ),
     flat AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                CAST(unnest(embedding) AS DOUBLE) AS x
-        FROM embeddings
+        FROM fin
     ),
-    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fin),
     sums AS (
         SELECT i, CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx
         FROM flat GROUP BY 1
@@ -2489,7 +2527,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     executor's worth; beyond that you shard j and tree-aggregate).
     The corpus is scanned ONCE regardless of iteration count.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(FINITE_VEC())
     flat = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "vf")
     ).select(
@@ -2584,6 +2622,7 @@ JL_OUT_DIM = 16  # target dimensionality (64 -> 16)
                CAST(unnest(embedding) AS DOUBLE) AS x
         FROM embeddings
         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ),
     signs AS (
         SELECT k.k, f.i,
@@ -2740,6 +2779,7 @@ def _kc_oracle() -> str:
         f"""
     WITH base AS MATERIALIZED (
         SELECT vec_id, {_KC_Q_DUCK} AS q FROM embeddings
+        WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ),
     c1 AS (SELECT vec_id, q FROM base ORDER BY vec_id LIMIT 1),
     d1 AS MATERIALIZED (
@@ -2800,6 +2840,7 @@ def sample_coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     base = (
         load(spark, sf_dir, "embeddings")
+        .filter(FINITE_VEC())
         .select("vec_id", F.expr(_KC_Q).alias("q"))
     )
     dist = (

@@ -20,12 +20,23 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.functions.numeric import (
+    SQL_FINITE_EVENTS,
     davg,
     davg_over,
     dsum,
     dsum_over,
+    finite,
     sql_davg,
 )
+
+
+def _events_finite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with non-finite values nullified (the adversarial-values
+    scalar device): NaN/Inf measurements adopt NULL semantics before
+    any decimal-exactness cast; oracles swap FROM events for
+    SQL_FINITE_EVENTS. Row COUNTS are unchanged — only the value is
+    nulled — so count(*) windows stay identical."""
+    return load(spark, sf_dir, "events").withColumn("value", finite(F.col("value")))
 from leadsight_sales_agent_spark.registry import query
 from leadsight_sales_agent_spark.sources.catalog import load
 
@@ -119,9 +130,10 @@ def window_running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> Dat
 
 @query(
     "window_moving_avg_events",
-    oracle="""
+    oracle=f"""
     WITH e AS (
-        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM {SQL_FINITE_EVENTS} events
     )
     SELECT event_id, user_id,
            CAST((sum(CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT)) OVER w * 2
@@ -138,7 +150,7 @@ def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("ts"), F.asc("event_id"))
         .rowsBetween(-3, Window.currentRow)
     )
-    return load(spark, sf_dir, "events").select(
+    return _events_finite(spark, sf_dir).select(
         "event_id", "user_id", davg_over(F.col("value"), w, 4).alias("mavg_value")
     )
 
@@ -149,13 +161,13 @@ def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_tumbling_10min",
-    oracle="""
+    oracle=f"""
     SELECT strftime(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600 AS BIGINT)),
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n_events,
            CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
-    FROM events
+    FROM {SQL_FINITE_EVENTS} events
     GROUP BY 1, 2
     """,
 )
@@ -163,7 +175,7 @@ def window_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 10-minute window counts — Spark ``window()`` is
     epoch-aligned, matching the oracle's floor(epoch/600) buckets."""
     return (
-        load(spark, sf_dir, "events")
+        _events_finite(spark, sf_dir)
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), dsum(F.col("value"), 2).alias("total_value"))
         .select(
@@ -183,7 +195,7 @@ def window_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            count(*) AS n_events,
            {sql_davg("value", 4)} AS avg_value
-    FROM events CROSS JOIN offsets
+    FROM {SQL_FINITE_EVENTS} events CROSS JOIN offsets
     GROUP BY 1
     """,
 )
@@ -191,7 +203,7 @@ def window_sliding_1h_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (1 h, slide 30 min): each event lands in 2 windows.
     Oracle expresses the same as a union of two offset tumbling grids."""
     return (
-        load(spark, sf_dir, "events")
+        _events_finite(spark, sf_dir)
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
@@ -213,7 +225,7 @@ def window_sliding_1h_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            count(*) AS n_events,
            {sql_davg("value", 4)} AS avg_value
-    FROM events CROSS JOIN offsets
+    FROM {SQL_FINITE_EVENTS} events CROSS JOIN offsets
     GROUP BY 1
     """,
 )
@@ -239,7 +251,7 @@ def window_sliding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from leadsight_sales_agent_spark.functions.numeric import _micro, _tie_safe_avg
 
-    ev = load(spark, sf_dir, "events")
+    ev = _events_finite(spark, sf_dir)
     pane = (
         ev.withColumn(
             "pane_start",
@@ -280,9 +292,10 @@ def window_sliding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_session_30min_gap",
-    oracle="""
+    oracle=f"""
     WITH e AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+        FROM {SQL_FINITE_EVENTS} events
     ), flagged AS (
         SELECT user_id, ts, value, event_id,
                CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
@@ -314,7 +327,7 @@ def window_session_30min_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-interval compare for gaps inside (1800 s, 1801 s): the
     truncated difference can land on either side of 1800, flipping a
     session boundary (r1's one driver hash mismatch)."""
-    ev = load(spark, sf_dir, "events")
+    ev = _events_finite(spark, sf_dir)
     w_order = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     w_cum = (
         Window.partitionBy("user_id")
@@ -341,9 +354,10 @@ def window_session_30min_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_session_builtin",
-    oracle="""
+    oracle=f"""
     WITH e AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+        FROM {SQL_FINITE_EVENTS} events
     ), flagged AS (
         SELECT user_id, ts, value, event_id,
                CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
@@ -375,7 +389,7 @@ def window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps it — the two queries are deliberately distinct on that
     boundary and each oracle encodes its own rule."""
     return (
-        load(spark, sf_dir, "events")
+        _events_finite(spark, sf_dir)
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(F.count("*").alias("n_events"), dsum(F.col("value"), 2).alias("total_value"))
         .select(
@@ -542,14 +556,14 @@ def resample_gap_filled_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_rolling_median_events",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id,
            quantile_cont(value, 0.5) OVER (
                PARTITION BY user_id
                ORDER BY ts, event_id
                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
            ) AS rolling_median
-    FROM events
+    FROM {SQL_FINITE_EVENTS} events
     """,
 )
 def window_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,7 +583,7 @@ def window_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load(spark, sf_dir, "events")
+    ev = _events_finite(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.asc("ts"), F.asc("event_id"))
@@ -825,12 +839,12 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_range_interval_counts",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
            count(*) OVER w AS n_prev_hour,
            CAST(round(sum(CAST(value AS DECIMAL(25,6))) OVER w, 2) AS DOUBLE)
                AS value_prev_hour
-    FROM events
+    FROM {SQL_FINITE_EVENTS} events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
@@ -852,7 +866,7 @@ def window_range_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id; Spark evaluates the running frame with a
     sliding two-pointer pass per partition, O(n) not O(n·frame).
     """
-    ev = load(spark, sf_dir, "events")
+    ev = _events_finite(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
@@ -1842,7 +1856,7 @@ def window_ewma_dyadic_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN event_id % 7 = 3 THEN NULL
                     ELSE CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT)
                END AS v
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND isfinite(value)
     ),
     bounds AS (
         SELECT user_id, event_id, t, v,
@@ -1890,9 +1904,11 @@ def impute_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the backward frame on the same partitioning), so the
     repair costs a single exchange.
     """
+    from leadsight_sales_agent_spark.functions.numeric import is_finite
+
     masked = (
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(is_finite(F.col("value")))
         .select(
             "user_id",
             "event_id",

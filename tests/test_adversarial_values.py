@@ -77,6 +77,44 @@ SHORT_DOC_GUARDED = [
 # null-embedding exclusions (second probe wave)
 NULL_EMB_FIXED = ["embedding_norm_stats", "embedding_pq_quantize"]
 
+# NaN/Inf nullification (third probe wave): every query that crashed
+# when a non-finite measurement reached its integer-exactness cast —
+# now routed through finite()/is_finite() (scalar) or FINITE_VEC()
+# (vector) on BOTH engines
+NONFINITE_FIXED = [
+    "agg_argmax_events",
+    "agg_salted_two_phase",
+    "agg_skew_kurtosis_moments",
+    "attribution_position_based",
+    "embedding_feature_scale",
+    "embedding_pca_power_iteration",
+    "embedding_quantize_int8",
+    "embedding_robust_scale",
+    "eval_auc_by_fold",
+    "eval_auc_delong_ci",
+    "eval_brier_murphy_decomposition",
+    "eval_calibration_bins",
+    "eval_cost_optimal_threshold",
+    "eval_decile_lift_table",
+    "eval_expected_calibration_error",
+    "eval_jarque_bera_normality",
+    "eval_ks_two_sample",
+    "eval_pr_curve",
+    "eval_qini_uplift_curve",
+    "eval_roc_auc_scores",
+    "impute_linear_interpolation",
+    "sample_coreset_kcenter_greedy",
+    "seasonality_heatmap_events",
+    "window_moving_avg_events",
+    "window_range_interval_counts",
+    "window_rolling_median_events",
+    "window_session_30min_gap",
+    "window_session_builtin",
+    "window_sliding_1h_30min",
+    "window_sliding_panes",
+    "window_tumbling_10min",
+]
+
 
 @pytest.fixture(scope="module")
 def adv_dir(tmp_path_factory, sf_dir):
@@ -88,7 +126,11 @@ def adv_dir(tmp_path_factory, sf_dir):
 class TestAdversarialValues:
     @pytest.mark.parametrize(
         "name",
-        ZERO_NORM_FIXED + BLANK_DOC_FIXED + SHORT_DOC_GUARDED + NULL_EMB_FIXED,
+        ZERO_NORM_FIXED
+        + BLANK_DOC_FIXED
+        + SHORT_DOC_GUARDED
+        + NULL_EMB_FIXED
+        + NONFINITE_FIXED,
     )
     def test_total_on_adversarial_values(self, spark, adv_dir, name):
         # must collect without error; engine agreement is re-proven by
@@ -122,12 +164,29 @@ class TestAdversarialValues:
         one_tok = next(r for r in rows if r["doc_id"] == 9)
         assert one_tok["n_tokens"] == 1 and one_tok["punct_bp"] == 0
 
+    def test_nan_value_adopts_null_semantics(self, spark, adv_dir):
+        # event 23 carries NaN, event 29 carries Inf: the tumbling
+        # window still COUNTS both rows (nullify, don't filter) while
+        # their values stay out of every sum
+        import pyarrow.parquet as pq
+
+        rows = registry.QUERIES["window_tumbling_10min"](spark, adv_dir).collect()
+        n_counted = sum(r["n_events"] for r in rows)
+        n_total = pq.read_table(f"{adv_dir}/events.parquet").num_rows
+        assert n_counted == n_total
+        assert all(
+            r["total_value"] is None
+            or (r["total_value"] == r["total_value"] and abs(r["total_value"]) < 1e30)
+            for r in rows
+        )
+
     def test_null_embedding_excluded_from_norm_stats(self, spark, adv_dir):
-        # null vectors (7/20/33) report no norm; the zero vector (5)
-        # DOES report — norm 0 is a fact about a present vector
+        # null vectors (7/20/33) and corrupted-component vectors
+        # (9 NaN / 13 Inf) report no norm; the zero vector (5) DOES
+        # report — norm 0 is a fact about a present, finite vector
         import pyarrow.parquet as pq
 
         rows = registry.QUERIES["embedding_norm_stats"](spark, adv_dir).collect()
         n_reported = sum(r["n_vecs"] for r in rows)
         n_total = pq.read_table(f"{adv_dir}/embeddings.parquet").num_rows
-        assert n_reported == n_total - 3
+        assert n_reported == n_total - 5

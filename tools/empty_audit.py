@@ -147,11 +147,15 @@ def _plant_adversarial(t: str, tb):
         rows[17]["embedding"] = [-x for x in rows[0]["embedding"]]  # antipode
         for i in (7, 20, 33):  # never-computed vectors
             rows[i]["embedding"] = None
+        rows[9]["embedding"][0] = float("nan")  # corrupted component
+        rows[13]["embedding"][0] = float("inf")
     elif t == "events":
         for i in range(10, 15):  # exact five-way value tie
             rows[i]["value"] = 100.0
         rows[3]["value"] = -50.0  # refund-style negative
         rows[7]["value"] = 0.0
+        rows[23]["value"] = float("nan")  # garbage measurements
+        rows[29]["value"] = float("inf")
     elif t == "customer":
         rows[2]["c_acctbal"] = 0.0
         rows[8]["c_acctbal"] = rows[4]["c_acctbal"]  # exact tie
