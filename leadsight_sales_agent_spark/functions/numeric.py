@@ -61,6 +61,15 @@ SQL_FINITE_EVENTS = (
     " AS value) FROM events)"
 )
 
+# Same idea for the props JSON column: Spark's get_json_object /
+# from_json return NULL on malformed JSON, DuckDB's json_extract RAISES
+# — nullifying invalid JSON at the source gives both engines Spark's
+# null-on-malformed semantics (the only total contract they can share).
+SQL_VALID_JSON_EVENTS = (
+    "(SELECT * REPLACE (CASE WHEN json_valid(props) THEN props ELSE NULL END"
+    " AS props) FROM events)"
+)
+
 
 BASE = 6  # micro-units: 10^-6 — captures all test-data money math exactly
 
@@ -123,6 +132,22 @@ def sql_davg(expr: str, scale: int = 4) -> str:
     d = f"(CAST(count({expr}) AS HUGEINT) * {10 ** (BASE - scale)})"
     return (
         f"(CASE WHEN count({expr}) = 0 THEN NULL "
+        f"WHEN {m} < 0 THEN -CAST((-({m}) * 2 + {d}) // ({d} * 2) AS DOUBLE) / {float(10**scale)} "
+        f"ELSE CAST(({m} * 2 + {d}) // ({d} * 2) AS DOUBLE) / {float(10**scale)} END)"
+    )
+
+
+def sql_davg_over(expr: str, over: str, scale: int = 4) -> str:
+    """Windowed DuckDB twin of davg_over() — the SAME mirrored
+    half-away-from-zero integer formula as sql_davg, with ``over``
+    (e.g. "OVER w") appended to each aggregate. The adversarial-values
+    audit caught the hand-inlined unmirrored form: on a NEGATIVE
+    window mean, DuckDB's floor-// rounds toward -inf where the Spark
+    device mirrors through negation — one ulp apart at the boundary."""
+    m = f"sum(CAST(CAST(({expr}) AS DECIMAL(25,{BASE})) * {10**BASE} AS HUGEINT)) {over}"
+    d = f"(CAST(count({expr}) {over} AS HUGEINT) * {10 ** (BASE - scale)})"
+    return (
+        f"(CASE WHEN count({expr}) {over} = 0 THEN NULL "
         f"WHEN {m} < 0 THEN -CAST((-({m}) * 2 + {d}) // ({d} * 2) AS DOUBLE) / {float(10**scale)} "
         f"ELSE CAST(({m} * 2 + {d}) // ({d} * 2) AS DOUBLE) / {float(10**scale)} END)"
     )

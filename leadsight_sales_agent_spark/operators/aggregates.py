@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.functions.numeric import (
     SQL_FINITE_EVENTS,
+    SQL_VALID_JSON_EVENTS,
     davg,
     dsum,
     finite,
@@ -287,13 +288,13 @@ def agg_conditional_counts_documents(spark: SparkSession, sf_dir: str) -> DataFr
 
 @query(
     "agg_completeness_ladder",
-    oracle="""
+    oracle=f"""
     WITH scored AS (
         SELECT (CASE WHEN value > 100 THEN 1 ELSE 0 END)
              + (CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END)
              + (CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
                      THEN 1 ELSE 0 END) AS fields
-        FROM events
+        FROM {SQL_VALID_JSON_EVENTS} events
     )
     SELECT CASE WHEN fields = 3 THEN 'Full'
                 WHEN fields >= 1 THEN 'Partial'

@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from leadsight_sales_agent_spark.functions.numeric import davg, sql_davg
+from leadsight_sales_agent_spark.functions.numeric import (
+    SQL_VALID_JSON_EVENTS,
+    davg,
+    sql_davg,
+)
 from leadsight_sales_agent_spark.functions.extracts import (
     extract_email,
     extract_founded,
@@ -277,7 +281,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            {sql_davg("CAST(json_extract_string(props, '$.k') AS DOUBLE)", 4)} AS avg_k,
            CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-    FROM events
+    FROM {SQL_VALID_JSON_EVENTS} events
     GROUP BY event_type
     """,
 )
@@ -296,10 +300,10 @@ def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_flatten_struct",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
-    FROM events
+    FROM {SQL_VALID_JSON_EVENTS} events
     WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
     """,
 )
@@ -1854,7 +1858,7 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_variant_extraction",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            count(*) AS n_events,
            CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
@@ -1863,7 +1867,7 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS max_k,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
                 AS BIGINT) AS sum_k
-    FROM events
+    FROM {SQL_VALID_JSON_EVENTS} events
     GROUP BY event_type
     """,
 )
@@ -1882,9 +1886,14 @@ def json_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant columns store shredded, so unaccessed branches never
     decode. json_props_extraction (get_json_object form) stays as the
     pre-variant anchor.
+
+    try_parse_json, not parse_json (adversarial-values probe):
+    parse_json RAISES on malformed JSON where get_json_object and
+    DuckDB-with-json_valid yield NULL — try_ gives variant the same
+    null-on-malformed contract as the rest of the JSON family.
     """
     ev = load(spark, sf_dir, "events").withColumn(
-        "pv", F.parse_json(F.col("props"))
+        "pv", F.try_parse_json(F.col("props"))
     )
     k = F.expr("variant_get(pv, '$.k', 'bigint')")
     return ev.groupBy("event_type").agg(

@@ -27,6 +27,7 @@ from leadsight_sales_agent_spark.functions.numeric import (
     dsum_over,
     finite,
     sql_davg,
+    sql_davg_over,
 )
 
 
@@ -136,9 +137,7 @@ def window_running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> Dat
         FROM {SQL_FINITE_EVENTS} events
     )
     SELECT event_id, user_id,
-           CAST((sum(CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT)) OVER w * 2
-                 + count(value) OVER w * 100)
-                // (count(value) OVER w * 200) AS DOUBLE) / 10000.0 AS mavg_value
+           {sql_davg_over("value", "OVER w", 4)} AS mavg_value
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)

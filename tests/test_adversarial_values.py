@@ -29,6 +29,18 @@ classes so they cannot regress silently:
   (accents, CJK, emoji, case-folding exotica): planted and verified
   engine-agreed with no code change needed — pinned so that stays
   true.
+- MALFORMED JSON in events.props ("not json", truncated, empty):
+  Spark's get_json_object/from_json yield NULL where DuckDB's
+  json_extract RAISES and Spark's variant parse_json raises — the
+  JSON family now nullifies invalid payloads at the source on both
+  engines (SQL_VALID_JSON_EVENTS / try_parse_json).
+- TIMESTAMP extremes (epoch edge 1970, far-future 2199): verified
+  engine-agreed with no code change — planted permanently.
+- NEGATIVE WINDOW MEANS: the ts/value plants shifted a moving-avg
+  window onto a negative half-boundary, exposing the one
+  hand-inlined windowed mean oracle missing sql_davg's negative
+  mirror (DuckDB floor-// rounds toward -inf) — replaced by the
+  shared sql_davg_over() twin.
 """
 
 from __future__ import annotations
@@ -115,6 +127,15 @@ NONFINITE_FIXED = [
     "window_tumbling_10min",
 ]
 
+# malformed-JSON nullification + negative-window-mean mirror
+# (fourth probe wave)
+JSON_TS_FIXED = [
+    "agg_completeness_ladder",
+    "json_flatten_struct",
+    "json_props_extraction",
+    "json_variant_extraction",
+]
+
 
 @pytest.fixture(scope="module")
 def adv_dir(tmp_path_factory, sf_dir):
@@ -130,7 +151,8 @@ class TestAdversarialValues:
         + BLANK_DOC_FIXED
         + SHORT_DOC_GUARDED
         + NULL_EMB_FIXED
-        + NONFINITE_FIXED,
+        + NONFINITE_FIXED
+        + JSON_TS_FIXED,
     )
     def test_total_on_adversarial_values(self, spark, adv_dir, name):
         # must collect without error; engine agreement is re-proven by

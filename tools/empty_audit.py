@@ -156,6 +156,14 @@ def _plant_adversarial(t: str, tb):
         rows[7]["value"] = 0.0
         rows[23]["value"] = float("nan")  # garbage measurements
         rows[29]["value"] = float("inf")
+        import datetime as _dt
+
+        rows[41]["ts"] = _dt.datetime(1970, 1, 1, 0, 0, 1)  # epoch edge
+        rows[43]["ts"] = _dt.datetime(2199, 12, 31, 23, 59, 59)  # far future
+        rows[47]["props"] = "not json at all"  # malformed JSON payloads
+        rows[53]["props"] = '{"k": '
+        rows[59]["props"] = ""
+        rows[61]["props"] = '{"k": null, "extra": [1,2,{"deep": true}]}'
     elif t == "customer":
         rows[2]["c_acctbal"] = 0.0
         rows[8]["c_acctbal"] = rows[4]["c_acctbal"]  # exact tie
