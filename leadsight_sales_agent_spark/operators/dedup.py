@@ -430,7 +430,7 @@ COSINE_DUP_BOUND = 300  # pairwise-exact bounded like neardup_jaccard_pairs
         FROM embeddings
         WHERE vec_id < {COSINE_DUP_BOUND}
           AND len(list_filter(embedding, x -> x <> 0)) > 0
-          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ), n AS (
         SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
     )
@@ -2439,7 +2439,7 @@ def semd_bits(n_corpus: int) -> int:
     WITH nz AS (
         SELECT vec_id, embedding FROM embeddings
         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
-          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ),
     params AS (
         SELECT {_SEMD_BITS_DUCK} AS bits FROM nz

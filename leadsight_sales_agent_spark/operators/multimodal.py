@@ -148,6 +148,8 @@ def decode_image_stub(payload: bytes) -> object:
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:2] == b"P5":
+        return decode_pgm(payload)
     raise NotImplementedError("no codec for this format here; plug in PIL/ffmpeg")
 
 
@@ -265,6 +267,55 @@ def decode_ppm(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]
             row.append((r, g, b))
         rows.append(row)
     return width, height, rows
+
+
+def encode_pgm(width: int, height: int, pixel) -> bytes:
+    """Minimal binary PGM (P5, maxval 255) writer: ASCII header
+    "P5\\n{w} {h}\\n255\\n" then one raw byte per pixel row-major, TOP
+    row first. ``pixel(x, y)`` returns the gray level 0-255."""
+    header = f"P5\n{width} {height}\n255\n".encode()
+    body = bytes(
+        pixel(x, y) for y in range(height) for x in range(width)
+    )
+    return header + body
+
+
+def decode_pgm(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """Parse a binary PGM (P5): returns (width, height, rows) with
+    rows[0] the TOP row and each pixel a single 0-255 gray int —
+    the grayscale sibling of decode_ppm with the same netpbm header
+    grammar ('#' comments, arbitrary whitespace) but a 1-byte body."""
+    if payload[:2] != b"P5":
+        raise ValueError("not a P5 PGM")
+    pos, toks = 2, []
+    while len(toks) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PGM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            toks.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval, then raw bytes
+    width, height, maxval = (int(t) for t in toks)
+    if maxval != 255:
+        raise ValueError("unsupported PGM maxval")
+    if len(payload) < pos + width * height:
+        raise ValueError("truncated PGM")
+    return (
+        width,
+        height,
+        [
+            list(payload[pos + width * y : pos + width * (y + 1)])
+            for y in range(height)
+        ],
+    )
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -510,6 +561,89 @@ def multimodal_decode_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "sum_g",
                     "sum_b",
                 ],
+            )
+
+    return img.mapInPandas(run, out_schema)
+
+
+@query(
+    "multimodal_decode_pgm_stats",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id,
+               CAST(doc_id % 19 + 3 AS BIGINT) AS w,
+               CAST(doc_id % 11 + 3 AS BIGINT) AS h
+        FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2
+    ),
+    rows1 AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, h - 1)) AS y
+        FROM img
+    ),
+    px AS (
+        SELECT doc_id, w, h, y,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM rows1
+    ),
+    s AS (
+        SELECT doc_id, w, h,
+               sum((3 * doc_id + 7 * x + 5 * y) % 256) AS sg
+        FROM px GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 + length(CAST(w AS VARCHAR)) + 1 + length(CAST(h AS VARCHAR))
+                + 1 + 4 + w * h AS BIGINT) AS file_bytes,
+           CAST(sg AS BIGINT) AS sum_gray
+    FROM s
+    """,
+)
+def multimodal_decode_pgm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL image codec through the decode seam (r10 verdict's
+    optional item 8): binary PGM / P5 — the GRAYSCALE netpbm sibling,
+    exercising the one axis BMP and PPM cannot: a single-byte-per-
+    pixel body (any stride bug that silently worked on 3-byte RGB
+    triplets breaks here). Each video-typed doc (doc_id % 3 == 2 —
+    keyframe-thumbnail narrative; BMP claims slice 0, PPM slice 1)
+    gets a planted gray formula of (doc_id, x, y); the mapInPandas
+    stage ENCODES the P5 file and immediately DECODES it via
+    decode_pgm (the same seam decode_image_stub routes P5 payloads
+    to) and reports stats from the DECODED pixels. The DuckDB oracle
+    recomputes the gray sum AND the exact file size — including the
+    digit-count-dependent header length — analytically, so hash
+    equality proves the encoder/decoder inverse through the Arrow
+    path.
+
+    Scale shape: identical to the BMP/PPM probes — one Arrow-batched
+    Python stage over the image subset, then pure JVM; payload bytes
+    never leave the executors.
+    """
+    img = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 3) == 2)
+        .select("doc_id")
+    )
+
+    out_schema = (
+        "doc_id BIGINT, width INT, height INT, file_bytes BIGINT, sum_gray BIGINT"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 19 + 3, d % 11 + 3
+                pgm = encode_pgm(
+                    w, h, lambda x, y: (3 * d + 7 * x + 5 * y) % 256
+                )
+                dw, dh, rows = decode_image_stub(pgm)
+                sg = sum(g for row in rows for g in row)
+                recs.append((d, dw, dh, len(pgm), sg))
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "width", "height", "file_bytes", "sum_gray"],
             )
 
     return img.mapInPandas(run, out_schema)

@@ -56,6 +56,16 @@ def l2_norm(a: Column) -> Column:
 # CAST_OVERFLOW, DuckDB INT128 refusal) and both engines treat it as
 # an absent vector, the same nullified semantics the planted-NULL
 # audit proved for scalar columns.
+# NULL-element vectors (r11, advisor finding): a vector like
+# [0.1, NULL, 0.2] must be dropped by BOTH engines. Spark's forall
+# yields NULL for it (lambda(NULL) is NULL, no element is false), and
+# a NULL predicate drops the row under filter — but DuckDB's
+# list_filter treats a NULL lambda result as FALSE, so the unpatched
+# `x -> NOT isfinite(x)` twin kept the vector (len = 0): a silent
+# cross-engine row-set divergence. The SQL twins therefore test
+# `x IS NULL OR NOT isfinite(x)` so a NULL component counts as
+# non-finite, matching Spark's drop. Pinned by the --adv fixture's
+# planted NULL-element vector.
 # (Functions, not module-level Columns: building a Column needs an
 # active SparkContext, which doesn't exist at import time.)
 def FINITE_VEC() -> Column:
@@ -66,14 +76,27 @@ def FINITE_VEC() -> Column:
 
 
 def NONZERO() -> Column:
-    """Usable for cosine: every component finite AND norm > 0."""
+    """Usable for cosine: every component finite AND norm > 0.
+
+    ``exists(x != 0)`` genuinely implies ``l2_norm > 0`` HERE because
+    the embedding column stores float32 and the norm accumulates in
+    double: the smallest positive float32 magnitude is 2^-149, whose
+    double-precision square is 2^-298 — far above the smallest
+    positive subnormal double (2^-1074) — and squares cannot cancel,
+    so the sum of squares of any vector with a nonzero float32
+    component is >= 2^-298 > 0. Underflow-to-zero-norm would need
+    double-typed components below ~2^-537, which this schema cannot
+    store; if the embedding column is ever widened to double, switch
+    this guard to the computed norm itself. Pinned by the subnormal
+    probe in tests/test_adversarial_values.py.
+    """
     return FINITE_VEC() & F.exists(F.col("embedding"), lambda x: x != F.lit(0.0))
 
 
-FINITE_VEC_SQL = "len(list_filter(embedding, x -> NOT isfinite(x))) = 0"
+FINITE_VEC_SQL = "len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0"
 NONZERO_SQL = (
     "len(list_filter(embedding, x -> x <> 0)) > 0"
-    " AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0"
+    " AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0"
 )
 
 
@@ -83,11 +106,11 @@ NONZERO_SQL = (
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qe FROM embeddings
         WHERE vec_id < {N_QUERIES} AND len(list_filter(embedding, x -> x <> 0)) > 0
-          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ), c AS (
         SELECT vec_id AS neighbor_id, embedding AS ce, label FROM embeddings
         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
-          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ), scored AS (
         SELECT q.query_id, c.neighbor_id, c.label,
                list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(c.ce AS DOUBLE[]))
@@ -152,7 +175,7 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      CAST(embedding AS DOUBLE[]))) AS norm
         FROM embeddings
         WHERE embedding IS NOT NULL
-          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     )
     SELECT label,
            count(*) AS n_vecs,
@@ -887,7 +910,7 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
                CAST(unnest(embedding) AS DOUBLE) AS x
         FROM embeddings
-        WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ), stats AS (
         SELECT dim,
                CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
@@ -1022,11 +1045,11 @@ N_RRF_QUERIES = 5
         SELECT vec_id AS query_id, embedding AS qe
         FROM embeddings
         WHERE vec_id < {N_RRF_QUERIES} AND len(list_filter(embedding, x -> x <> 0)) > 0
-          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ), c AS (
         SELECT vec_id AS doc_id, embedding AS ce FROM embeddings
         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
-          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ), scored AS (
         SELECT q.query_id, c.doc_id,
                list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(c.ce AS DOUBLE[]))
@@ -1144,7 +1167,7 @@ _EMB_SPLIT_THRESH = "e6666666"  # hash < this (90 %) -> train, else eval
                     THEN 'train' ELSE 'eval' END AS split
         FROM embeddings
         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
-          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ), n AS (
         SELECT vec_id, emb, split,
                sqrt(list_dot_product(emb, emb)) AS nrm FROM e
@@ -1327,7 +1350,7 @@ BQ_TOP = 10
                 FROM unnest(generate_series(1, 63)) AS g(i)) AS sig
         FROM embeddings
         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
-          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ), q AS (
         SELECT vec_id AS query_id, emb AS qe, sig AS qsig FROM sig
         WHERE vec_id < {N_RRF_QUERIES}
@@ -1476,7 +1499,7 @@ def _hybrid_oracle() -> str:
         SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
         WHERE vec_id = {HYBRID_QUERY_VEC}
           AND len(list_filter(embedding, x -> x <> 0)) > 0
-          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ), vec AS (
         SELECT c.vec_id AS doc_id,
                row_number() OVER (
@@ -1488,7 +1511,7 @@ def _hybrid_oracle() -> str:
         FROM embeddings c CROSS JOIN qv q
         WHERE c.vec_id <> {HYBRID_QUERY_VEC}
           AND len(list_filter(c.embedding, x -> x <> 0)) > 0
-          AND len(list_filter(c.embedding, x -> NOT isfinite(x))) = 0
+          AND len(list_filter(c.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ), fused AS (
         SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
                l.lex_rank, v.vec_rank,
@@ -1643,7 +1666,7 @@ def _mmr_oracle() -> str:
                                      CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
-          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ), q AS (
         SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM e
         WHERE vec_id < {MMR_QUERIES}
@@ -1826,7 +1849,7 @@ MINE_HARD_NEGS = 3
                                      CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
-          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ), a AS (
         SELECT vec_id AS anchor_id, label AS alabel, emb AS ae, nrm AS an
         FROM e WHERE vec_id < {MINE_ANCHORS}
@@ -2243,7 +2266,7 @@ def eval_map_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
-          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ),
     pairs AS (
         SELECT a.vec_id AS ia, a.label AS la, b.label AS lb,
@@ -2356,7 +2379,7 @@ def eval_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS micro
         FROM embeddings,
              unnest(generate_series(1, len(embedding))) AS u(i)
-        WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ),
     ranked AS (
         SELECT dim, micro,
@@ -2445,7 +2468,7 @@ def _pca_oracle() -> str:
     cov = """
     fin AS (
         SELECT vec_id, embedding FROM embeddings
-        WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ),
     flat AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -2622,7 +2645,7 @@ JL_OUT_DIM = 16  # target dimensionality (64 -> 16)
                CAST(unnest(embedding) AS DOUBLE) AS x
         FROM embeddings
         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
-          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ),
     signs AS (
         SELECT k.k, f.i,
@@ -2779,7 +2802,7 @@ def _kc_oracle() -> str:
         f"""
     WITH base AS MATERIALIZED (
         SELECT vec_id, {_KC_Q_DUCK} AS q FROM embeddings
-        WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ),
     c1 AS (SELECT vec_id, q FROM base ORDER BY vec_id LIMIT 1),
     d1 AS MATERIALIZED (

@@ -1949,12 +1949,19 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     training corpus means every trigram has count >= 1: no smoothing
     branch to diverge.
 
-    At 100 TB: trigram explode is map-side; the model is two hash
-    aggregations at (lang, trigram) grain (vocabulary-bounded: <= 26^3
-    per language in the limit) and broadcasts back onto the exploded
-    stream; one doc-grain agg finishes. The model table is exactly the
-    artifact a production pass persists and reuses for scoring new
-    batches without retraining.
+    At 100 TB: trigram explode is map-side and collapses IMMEDIATELY
+    to the (doc, trigram, count) grain — map-side partial aggregation
+    condenses each document's repeated trigrams before anything
+    shuffles or materializes (r11 flattening: the occurrence-grain
+    stream existed only inside one stage before; now the checkpoint,
+    the model build, and the scoring join all run at the condensed
+    grain, numerator sum(logp*cnt) == the occurrence sum exactly).
+    The model is two hash aggregations at (lang, trigram) grain
+    (vocabulary-bounded: <= 26^3 per language in the limit) and
+    broadcasts back onto the condensed stream; one doc-grain agg
+    finishes. The model table is exactly the artifact a production
+    pass persists and reuses for scoring new batches without
+    retraining.
     """
     # length >= 3 guard on BOTH engines: Spark's sequence(1, len-2) runs
     # DESCENDING for len < 3 ([1, 0] -> phantom short "trigrams") while
@@ -1965,15 +1972,22 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.trim(F.col("text")).alias("tx"))
         .filter(F.length("tx") >= 3)
     )
-    tri = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr("transform(sequence(1, length(tx) - 2), i -> substring(tx, i, 3))")
-        ).alias("t"),
-    ).localCheckpoint(eager=False)  # feeds the model AND the scoring
-    # join — the shared-frame rule; A/B at sf0.1: 5.2 -> 3.0 s (r9)
-    c3 = tri.groupBy("lang", "t").agg(F.count("*").alias("n3"))
+    tric = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tx) - 2), i -> substring(tx, i, 3))"
+                )
+            ).alias("t"),
+        )
+        .groupBy("doc_id", "lang", "t")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds the model AND the scoring
+        # join — the shared-frame rule; A/B at sf0.1: 5.2 -> 3.0 s (r9)
+    )
+    c3 = tric.groupBy("lang", "t").agg(F.sum("cnt").alias("n3"))
     c2 = (
         c3.select("lang", F.substring("t", 1, 2).alias("p"), "n3")
         .groupBy("lang", "p")
@@ -1991,11 +2005,11 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        tri.join(F.broadcast(model), ["lang", "t"])
+        tric.join(F.broadcast(model), ["lang", "t"])
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_trigrams"),
-            F.expr("CAST(sum(logp_micro) DIV count(*) AS BIGINT)").alias(
+            F.sum("cnt").cast("bigint").alias("n_trigrams"),
+            F.expr("CAST(sum(logp_micro * cnt) DIV sum(cnt) AS BIGINT)").alias(
                 "avg_logp_micro"
             ),
         )

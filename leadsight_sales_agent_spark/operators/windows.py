@@ -30,6 +30,9 @@ from leadsight_sales_agent_spark.functions.numeric import (
     sql_davg_over,
 )
 
+from leadsight_sales_agent_spark.registry import query
+from leadsight_sales_agent_spark.sources.catalog import load
+
 
 def _events_finite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with non-finite values nullified (the adversarial-values
@@ -38,8 +41,6 @@ def _events_finite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL_FINITE_EVENTS. Row COUNTS are unchanged — only the value is
     nulled — so count(*) windows stay identical."""
     return load(spark, sf_dir, "events").withColumn("value", finite(F.col("value")))
-from leadsight_sales_agent_spark.registry import query
-from leadsight_sales_agent_spark.sources.catalog import load
 
 
 @query(

@@ -69,82 +69,72 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # window_sliding_panes, plus the remaining never-graded long tail
 # (see CORRECTNESS_r0* row history).
 _PANEL_50 = [
-    # r10 panel. The r9 panel came back 50/50 green (CORRECTNESS_r09)
-    # — the fifth consecutive fully-green round — so ALL 50 retire
-    # per the r9 verdict. This round's composition: 50
-    # never-driver-graded oracle-backed queries from the COVERAGE.md
-    # residue, oldest-wave-first — the ENTIRE remaining r4/r5 old
-    # wave (38 queries) plus 12 r6-wave picks: 6 chosen so every
-    # family that still HAS never-graded members keeps a member
-    # in-window (joins/aggregates/sketches/dedup/multimodal/
-    # corpus_cleaning), and 6 for device leverage — the r10-rewritten
-    # shard_consistent_hash_ring (bucketed ring LUT — external
-    # confirmation of the new lookup), the three rank-localization /
-    # sharded-device carriers (quantile_bucket_localized_exact,
-    # sample_pps_systematic, storage_zonemap_skipping_audit), the 2-D
-    # DP device (timeseries_dtw_monthly_segments), and the iterative
-    # recursive-peel oracle (graph_kcore_peel). No green anchors this
-    # round: the five families with zero residue (setops, fidelity,
-    # json, urls, fuzzy_dedup) are FULLY driver-confirmed — every
-    # member has a green row — so re-burning slots on them delays the
-    # real gap (the never-confirmed residue); the family-coverage
-    # test exempts exactly those five on that ground. Rotated-out
-    # queries stay oracle-checked locally every round via
-    # tools/check_oracle.py. Residue after r10: 104 (all r6-wave).
-    # old wave (r4/r5 registrations — the final 38)
-    "mixture_temperature_weights",
-    "mrr_movement_waterfall",
-    "outlier_mad_orders",
-    "outlier_zscore_orders",
-    "panel_fixed_effects_slope",
-    "pattern_sequence_regex_match",
-    "price_elasticity_grouped",
-    "privacy_deterministic_tokenization",
-    "process_edge_latency",
-    "profile_column_entropy",
-    "repurchase_interval_histogram",
-    "retrieval_binary_quantization",
-    "retrieval_coarse_to_fine_rerank",
-    "retrieval_hybrid_bm25_vector",
-    "revenue_mom_growth",
-    "sample_importance_by_length",
-    "sample_mixture_weighted_sources",
-    "seasonality_heatmap_events",
-    "sql_group_order_by_all_suite",
-    "sql_session_variables_suite",
-    "streak_revenue_growth",
-    "territory_snake_balanced_assignment",
-    "text_fingerprint",
-    "text_kwic_concordance",
-    "text_lexical_diversity",
-    "text_ngram_novelty",
-    "text_term_burstiness",
-    "topk_distinct_prices_dense_rank",
-    "tpcds_q47_sales_deviation",
-    "tpcds_q51_cumulative_compare",
-    "tpcds_q88_time_band_counts",
-    "trending_parts_decayed",
-    "twap_purchase_value_per_user",
-    "variance_price_volume_mix",
-    "window_distribution_ranks",
-    "window_range_interval_counts",
-    "winsorize_orders_by_segment",
-    "zorder_locality_buckets",
-    # r6-wave family fillers (families with residue left keep a
-    # member in-window)
-    "join_bloom_runtime_filter_audit",  # joins
-    "agg_percentile_cont_exact",  # aggregates
-    "sketch_count_sketch_estimates",  # sketches
-    "dedup_cdc_chunking",  # dedup
-    "multimodal_pack_vision_batches",  # multimodal
-    "text_perplexity_ccnet_buckets",  # corpus_cleaning
-    # r6-wave device picks
-    "shard_consistent_hash_ring",  # r10 bucketed-LUT rewrite
-    "sample_pps_systematic",  # r9 prefix-sharded cumsum device
-    "quantile_bucket_localized_exact",  # the rank-localize device
-    "storage_zonemap_skipping_audit",  # r9 sharded-rank rewrite
-    "timeseries_dtw_monthly_segments",  # 2-D DP single-fold device
-    "graph_kcore_peel",  # iterative peel, MATERIALIZED-CTE oracle
+    # r11 panel. The r10 panel came back 50/50 green (CORRECTNESS_r10)
+    # — the sixth consecutive fully-green round — so ALL 50 retire per
+    # the r10 verdict. This round's composition: 50 never-driver-graded
+    # oracle-backed queries drawn from the 104-query COVERAGE.md
+    # residue (all r6-wave), leaving 54 for r12. Every SURVEY §2
+    # family that still has never-graded members keeps at least one in
+    # the window (relational, aggregates, windows, datetime, dedup,
+    # sampling, behavior, similarity, text, corpus_cleaning,
+    # multimodal); three more families joined the zero-residue
+    # exemption this round (joins, sketches, curation — every member
+    # driver-confirmed after r10), alongside setops/fidelity/json/
+    # urls/fuzzy_dedup. Composition favors family spread across the
+    # residue's statistical/forecast/storage/ops subfamilies so the
+    # r12 leftover is as diverse as possible. Rotated-out queries
+    # stay oracle-checked locally every round via
+    # tools/check_oracle.py. Residue after r11: 54 (see COVERAGE.md).
+    "ab_cuped_variance_reduction",
+    "ab_permutation_test_hashed",
+    "agg_gini_mean_difference",
+    "agg_theil_inequality_decomposition",
+    "agg_trimmed_mean_exact",  # aggregates family rep
+    "anomaly_seasonal_hybrid_esd",
+    "attribution_markov_removal",
+    "attribution_shapley_channels",
+    "bandit_ucb1_allocation",
+    "bootstrap_poisson_ci_mean",  # sampling family rep (resampling CI)
+    "dq_simpsons_paradox_audit",
+    "embedding_pca_power_iteration",  # similarity family rep
+    "embedding_random_projection_jl",
+    "eval_auc_delong_ci",  # behavior family rep
+    "eval_bradley_terry_strengths",
+    "eval_fairness_group_metrics",
+    "eval_harrell_c_index",
+    "eval_mann_whitney_u",
+    "eval_markov_next_event_backtest",
+    "eval_mcnemar_paired",
+    "eval_welch_t_test",
+    "finance_npv_monthly_cashflows",
+    "forecast_causal_impact_counterfactual",
+    "forecast_granger_urgent_revenue",
+    "forecast_pacf_durbin_levinson",
+    "forecast_piecewise_trend_changepoints",
+    "graph_hits_hubs_authorities",
+    "holt_winters_seasonal_smoothing",
+    "incremental_topk_maintenance",
+    "inventory_newsvendor_fractile",
+    "layout_hilbert_locality_buckets",
+    "multimodal_video_gop_plan",  # multimodal family rep
+    "neardup_incremental_prefix_join",  # dedup family rep
+    "ops_cache_belady_vs_lru",
+    "ops_queueing_mm1_metrics",
+    "privacy_release_gate",
+    "recsys_coverage_novelty_audit",
+    "replication_merkle_diff",
+    "sample_coreset_kcenter_greedy",  # sampling family rep
+    "storage_gorilla_ts_encoding_audit",
+    "storage_sort_key_advisor",
+    "streaming_watermark_eviction_audit",
+    "survival_logrank_test",
+    "text_bpe_encode_fixed_merges",
+    "text_rake_keyphrases",  # text family rep
+    "text_readability_flesch",  # corpus_cleaning family rep (quality signal)
+    "timeseries_hurst_rs",  # windows family rep (rolling R/S)
+    "tpcds_q34_frequent_ticket_bands",  # relational family rep
+    "tpcds_q59_week_over_week_sales",  # datetime family rep
+    "window_bollinger_bands",  # windows family rep
 ]
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo

@@ -46,13 +46,16 @@ classes so they cannot regress silently:
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark import registry
 from tools.empty_audit import ADV_TEXTS, build_fixture
 
 registry.load_all()
 
-# the 18 queries the first --adv audit run crashed (DIVIDE_BY_ZERO):
+# the 17 cosine-family queries the first --adv audit run crashed
+# (DIVIDE_BY_ZERO); the 18th crash in COVERAGE.md's count was the
+# blank-doc ratio, pinned in BLANK_DOC_FIXED below:
 ZERO_NORM_FIXED = [
     "ann_recall_report",
     "dedup_semantic_semdedup",
@@ -203,12 +206,136 @@ class TestAdversarialValues:
         )
 
     def test_null_embedding_excluded_from_norm_stats(self, spark, adv_dir):
-        # null vectors (7/20/33) and corrupted-component vectors
-        # (9 NaN / 13 Inf) report no norm; the zero vector (5) DOES
-        # report — norm 0 is a fact about a present, finite vector
+        # null vectors (7/20/33), corrupted-component vectors (9 NaN /
+        # 13 Inf), and the NULL-ELEMENT vector (25 — r11 plant) report
+        # no norm; the zero vector (5) DOES report — norm 0 is a fact
+        # about a present, finite vector
         import pyarrow.parquet as pq
 
         rows = registry.QUERIES["embedding_norm_stats"](spark, adv_dir).collect()
         n_reported = sum(r["n_vecs"] for r in rows)
         n_total = pq.read_table(f"{adv_dir}/embeddings.parquet").num_rows
-        assert n_reported == n_total - 5
+        assert n_reported == n_total - 6
+
+    def test_null_element_vector_dropped_by_both_engines(
+        self, spark, adv_dir
+    ):
+        """r11 advisor finding: [x, NULL, y] must be DROPPED by both
+        engines. Spark's forall yields NULL (row filtered); DuckDB's
+        list_filter treats a NULL lambda result as false, so the old
+        `x -> NOT isfinite(x)` twin KEPT the vector — the SQL twins
+        now test `x IS NULL OR NOT isfinite(x)`. Checked on both
+        engines against the planted vector 25."""
+        import duckdb
+
+        from leadsight_sales_agent_spark.operators.similarity import (
+            FINITE_VEC_SQL,
+        )
+
+        rows = registry.QUERIES["knn_cosine_bruteforce"](spark, adv_dir).collect()
+        assert rows
+        assert all(r["query_id"] != 25 and r["neighbor_id"] != 25 for r in rows)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{adv_dir}/embeddings.parquet'"
+        )
+        kept = {
+            r[0]
+            for r in con.execute(
+                f"SELECT vec_id FROM embeddings WHERE {FINITE_VEC_SQL}"
+            ).fetchall()
+        }
+        con.close()
+        assert 25 not in kept and 9 not in kept and 13 not in kept
+        assert 5 in kept  # all-zero is finite: dropped by NONZERO, not here
+
+    def test_subnormal_min_float32_vector_has_positive_norm(self, spark):
+        """Pin for the documented NONZERO() soundness argument: the
+        smallest positive float32 magnitude (2^-149) squared in double
+        is 2^-298 — no underflow-to-zero-norm is possible for float32
+        components, so exists(x != 0) implies l2_norm > 0 and the
+        cosine path cannot divide by zero (similarity.py NONZERO
+        docstring). Both engines must agree the norm is positive."""
+        import duckdb
+        import pyspark.sql.types as T
+
+        from leadsight_sales_agent_spark.operators.similarity import (
+            NONZERO,
+            l2_norm,
+        )
+
+        tiny = 2.0**-149  # min positive float32 subnormal
+        df = spark.createDataFrame(
+            [([tiny] * 8,)],
+            T.StructType(
+                [T.StructField("embedding", T.ArrayType(T.FloatType()))]
+            ),
+        )
+        out = df.filter(NONZERO()).select(
+            l2_norm(F.col("embedding")).alias("norm")
+        ).collect()
+        assert len(out) == 1 and out[0]["norm"] > 0.0
+        duck_norm = duckdb.sql(
+            f"SELECT sqrt(list_dot_product(l, l)) FROM (SELECT "
+            f"list_transform(range(8), i -> CAST(CAST({tiny!r} AS FLOAT)"
+            f" AS DOUBLE)) AS l)"
+        ).fetchone()[0]
+        assert duck_norm > 0.0
+        assert duck_norm == pytest.approx(out[0]["norm"])
+
+
+class TestLoudSeams:
+    """The documented bounded-exact-domain refusals must FAIL LOUDLY —
+    nothing currently proved they do, so a silent erosion into
+    wrong-answer precision loss could go unnoticed (r10 verdict task).
+    Extreme magnitudes (|value| ~ 1e12) overflow the DECIMAL(38)
+    central-moment device by design: both engines must raise, never
+    emit a lossy number. Same for the PQ codebook>corpus refusal."""
+
+    @pytest.fixture(scope="class")
+    def extreme_dir(self, tmp_path_factory, sf_dir):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tools.empty_audit import TABLES
+
+        d = tmp_path_factory.mktemp("sf_extreme")
+        for t in TABLES:
+            tb = pq.read_table(f"{sf_dir}/{t}.parquet")
+            if t == "events":
+                rows = tb.to_pylist()
+                rows[3]["value"] = 1.0e12  # breaks cents-shifted d^4
+                tb = pa.Table.from_pylist(rows, schema=tb.schema)
+            pq.write_table(tb, f"{d}/{t}.parquet")
+        return str(d)
+
+    def test_moment_family_raises_on_spark(self, spark, extreme_dir):
+        with pytest.raises(Exception) as ei:
+            registry.QUERIES["agg_skew_kurtosis_moments"](
+                spark, extreme_dir
+            ).collect()
+        msg = str(ei.value).upper()
+        assert "OVERFLOW" in msg or "CAST" in msg or "RANGE" in msg
+
+    def test_moment_family_raises_on_duckdb(self, extreme_dir):
+        import duckdb
+
+        from tools.empty_audit import TABLES
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{extreme_dir}/{t}.parquet'"
+            )
+        with pytest.raises(duckdb.Error):
+            con.execute(registry.ORACLES["agg_skew_kurtosis_moments"]).fetchall()
+        con.close()
+
+    def test_pq_refuses_codebook_larger_than_corpus(
+        self, spark, tmp_path_factory, sf_dir
+    ):
+        d = tmp_path_factory.mktemp("sf_one_pin")
+        build_fixture(sf_dir, str(d), 1)
+        with pytest.raises(ValueError, match="PQ needs at least"):
+            registry.QUERIES["embedding_pq_quantize"](spark, str(d)).collect()

@@ -94,8 +94,13 @@ class TestRegistry:
         # satisfied for them, and re-burning panel slots on confirmed
         # anchors delays confirmation of the real residue. Remove a
         # family from the exemption the moment a NEW member registers.
+        # r11: joins, sketches, and curation joined the exemption —
+        # their last never-graded members were confirmed in r10
+        # (join_bloom_runtime_filter_audit, sketch_count_sketch_estimates
+        # / the device picks, mixture_temperature_weights).
         fully_confirmed = {"setops", "fidelity", "json", "urls",
-                           "fuzzy_dedup"}
+                           "fuzzy_dedup", "joins", "sketches",
+                           "curation"}
         panel = set(registry._PANEL_50)
         families = {
             "joins": {"join_asof_nearest_tolerance", "join_bloom_runtime_filter_audit", "cogroup_reconcile_orders_events", "join_asof_purchase_last_click", "tpch_q7_volume_shipping",
@@ -103,7 +108,7 @@ class TestRegistry:
                       "join_asof_forward_tolerance", "spatial_grid_neighbor_join",
                       "fifo_cogs_matching", "incremental_join_maintenance",
                       "entity_link_customers_billing"},
-            "relational": {"late_arriving_dim_handling", "sql_group_order_by_all_suite", "sql_session_variables_suite", "cdc_log_compaction", "filter_compound_predicates", "nulls_ordering_suite",
+            "relational": {"tpcds_q34_frequent_ticket_bands", "late_arriving_dim_handling", "sql_group_order_by_all_suite", "sql_session_variables_suite", "cdc_log_compaction", "filter_compound_predicates", "nulls_ordering_suite",
                            "tpch_q19_disjunctive_revenue",
                            "explode_outer_null_preservation",
                            "topk_orders_with_ties", "sql_star_except_suite",
@@ -111,7 +116,7 @@ class TestRegistry:
                            "tpcds_q1_excess_returns",
                            "tpch_q17_small_quantity_revenue",
                            "skyline_parts_pareto", "merge_full_with_deletes"},
-            "aggregates": {"eval_qq_quantile_pairs", "agg_percentile_cont_exact", "quantile_bucket_localized_exact", "agg_bitmap_distinct_users", "agg_pricing_summary", "agg_corr_price_quantity",
+            "aggregates": {"agg_trimmed_mean_exact", "agg_gini_mean_difference", "agg_theil_inequality_decomposition", "eval_qq_quantile_pairs", "agg_percentile_cont_exact", "quantile_bucket_localized_exact", "agg_bitmap_distinct_users", "agg_pricing_summary", "agg_corr_price_quantity",
                            "agg_rollup_time_hierarchy", "agg_histogram_equidepth",
                            "agg_listagg_native", "agg_percentile_disc_prices",
                            "agg_weighted_median_price", "agg_skew_kurtosis_moments",
@@ -123,19 +128,19 @@ class TestRegistry:
                          "sketch_kmv_distinct_userdays", "sketch_bloom_membership",
                          "sketch_kmv_intersection", "sketch_hll_deterministic",
                          "sketch_ams_f2_moment", "sketch_ddsketch_quantiles"},
-            "windows": {"ops_error_budget_burn", "window_distribution_ranks", "window_range_interval_counts", "rolling_active_users_7d", "window_topk_orders_per_customer", "window_sliding_panes",
+            "windows": {"window_bollinger_bands", "timeseries_hurst_rs", "holt_winters_seasonal_smoothing", "incremental_topk_maintenance", "ops_error_budget_burn", "window_distribution_ranks", "window_range_interval_counts", "rolling_active_users_7d", "window_topk_orders_per_customer", "window_sliding_panes",
                         "window_rolling_median_events", "window_session_builtin",
                         "window_ewma_dyadic_smoothing", "window_rolling_correlation",
                         "window_first_last_nth", "window_running_distinct_users",
                         "window_zscore_rolling", "window_cume_dist_purchases",
                         "window_ratio_to_report", "revenue_max_drawdown",
                         "holt_linear_smoothing"},
-            "datetime": {"temporal_coalesce_pack", "tpcds_q88_time_band_counts", "seasonality_heatmap_events", "interval_union_coverage", "date_functions_orders", "resample_gap_filled_30min",
+            "datetime": {"tpcds_q59_week_over_week_sales", "finance_npv_monthly_cashflows", "anomaly_seasonal_hybrid_esd", "temporal_coalesce_pack", "tpcds_q88_time_band_counts", "seasonality_heatmap_events", "interval_union_coverage", "date_functions_orders", "resample_gap_filled_30min",
                          "agg_rollup_time_hierarchy", "datetime_timezone_suite",
                          "date_business_day_fiscal_suite",
                          "gaps_islands_event_days", "ohlc_monthly_orders"},
             "setops": {"setop_intersect_nations", "union_schema_evolution"},
-            "dedup": {"dedup_semantic_semdedup", "dedup_cdc_chunking", "dedup_cross_source_matrix", "dedup_exact_documents", "neardup_ngram_jaccard",
+            "dedup": {"neardup_incremental_prefix_join", "dedup_semantic_semdedup", "dedup_cdc_chunking", "dedup_cross_source_matrix", "dedup_exact_documents", "neardup_ngram_jaccard",
                       "dedup_cluster_representatives", "dedup_sorted_neighborhood",
                       "neardup_prefix_filter_join", "dedup_repeated_spans",
                       "neardup_simhash_exact", "dedup_containment_pairs",
@@ -146,22 +151,22 @@ class TestRegistry:
                             "dedup_phonetic_soundex_blocking",
                             "dedup_sorted_neighborhood",
                             "entity_link_customers_billing"},
-            "sampling": {"leakage_embedding_cosine_cross_split", "sample_importance_by_length", "sample_mixture_weighted_sources", "sample_ht_estimator_check", "sample_bernoulli_hash", "sample_stratified_lang",
+            "sampling": {"sample_coreset_kcenter_greedy", "bootstrap_poisson_ci_mean", "leakage_embedding_cosine_cross_split", "sample_importance_by_length", "sample_mixture_weighted_sources", "sample_ht_estimator_check", "sample_bernoulli_hash", "sample_stratified_lang",
                          "mixture_token_budget_allocation",
                          "sample_kfold_assignment", "sample_cap_per_source",
                          "sample_neyman_allocation", "sample_walk_forward_folds",
                          "sample_fair_interleave", "batch_by_length_buckets"},
-            "behavior": {"survival_kaplan_meier", "repurchase_interval_histogram", "pattern_sequence_regex_match", "ab_deterministic_assignment", "funnel_ordered_stages", "pattern_error_after_purchase",
+            "behavior": {"eval_auc_delong_ci", "eval_welch_t_test", "ab_cuped_variance_reduction", "survival_logrank_test", "attribution_markov_removal", "bandit_ucb1_allocation", "forecast_pacf_durbin_levinson", "survival_kaplan_meier", "repurchase_interval_histogram", "pattern_sequence_regex_match", "ab_deterministic_assignment", "funnel_ordered_stages", "pattern_error_after_purchase",
                          "pareto_abc_parts", "markov_event_transitions",
                          "market_basket_apriori_triples", "path_top_sequences",
                          "eval_roc_auc_scores", "eval_pr_curve",
                          "cohort_retention_weekly", "funnel_windowed_deadline",
                          "forecast_acf_monthly", "rfm_customer_segments"},
-            "similarity": {"retrieval_mmr_diversified", "retrieval_binary_quantization", "retrieval_coarse_to_fine_rerank", "retrieval_hybrid_bm25_vector", "embedding_robust_scale", "knn_cosine_bruteforce", "embedding_feature_scale",
+            "similarity": {"embedding_pca_power_iteration", "embedding_random_projection_jl", "recsys_coverage_novelty_audit", "retrieval_mmr_diversified", "retrieval_binary_quantization", "retrieval_coarse_to_fine_rerank", "retrieval_hybrid_bm25_vector", "embedding_robust_scale", "knn_cosine_bruteforce", "embedding_feature_scale",
                            "retrieval_rrf_fusion", "eval_ndcg_retrieval",
                            "recsys_item_item_cosine",
                            "embedding_centroids_by_label"},
-            "text": {"text_token_count_bpe", "text_lexical_diversity", "text_term_burstiness", "text_kwic_concordance", "text_ngram_novelty", "text_fingerprint", "text_chunk_documents", "text_tfidf_top_terms", "text_token_entropy",
+            "text": {"text_rake_keyphrases", "text_bpe_encode_fixed_merges", "text_token_count_bpe", "text_lexical_diversity", "text_term_burstiness", "text_kwic_concordance", "text_ngram_novelty", "text_fingerprint", "text_chunk_documents", "text_tfidf_top_terms", "text_token_entropy",
                      "text_quality_score", "text_langid_heuristic",
                      "text_bm25_scores", "text_trigram_lm_score",
                      "text_zipf_rank_frequency", "text_inverted_index",
@@ -173,10 +178,10 @@ class TestRegistry:
                      "json_variant_extraction",
                      "nested_build_flatten_roundtrip"},
             "urls": {"url_resolution_suite", "dedup_url_canonicalization"},
-            "multimodal": {"multimodal_vit_patch_plan", "multimodal_pack_vision_batches", "multimodal_audio_chunk_plan", "multimodal_metadata_stats", "multimodal_dedup_binary",
+            "multimodal": {"multimodal_video_gop_plan", "multimodal_vit_patch_plan", "multimodal_pack_vision_batches", "multimodal_audio_chunk_plan", "multimodal_metadata_stats", "multimodal_dedup_binary",
                            "multimodal_frame_sample", "multimodal_resize_plan",
                            "provenance_file_row_index"},
-            "corpus_cleaning": {"text_encoding_damage_audit", "text_perplexity_ccnet_buckets", "text_c4_quality_gate",
+            "corpus_cleaning": {"text_readability_flesch", "text_encoding_damage_audit", "text_perplexity_ccnet_buckets", "text_c4_quality_gate",
                                 "text_boilerplate_ngrams",
                                 "text_decontamination_gate",
                                 "text_repetition_signals",
@@ -273,6 +278,7 @@ class TestPlanLintAllowlists:
             set(mod.ALLOW_SINGLE_PARTITION),
             set(mod.ALLOW_NON_EQUI_PRECHECKPOINT),
             set(mod.ALLOW_SINGLE_PARTITION_PRECHECKPOINT),
+            set(mod.WINDOW_SP_EXPECTED),
         ):
             stale = set(allow) - live
             assert not stale, f"allowlisted but not registered: {sorted(stale)}"
@@ -324,10 +330,12 @@ class TestPlanLintAllowlists:
             # R6 allowlist: pattern present -> kept; absent -> unused
             sp[0]: {"cartesian": True, "range_exchange": False,
                     "over_default_exchanges": False, "n_exchanges": 3,
-                    "unbounded_single_partition": True},
+                    "unbounded_single_partition": True,
+                    "window_single_partition": True},
             sp[1]: {"cartesian": True, "range_exchange": False,
                     "over_default_exchanges": False, "n_exchanges": 3,
-                    "unbounded_single_partition": False},
+                    "unbounded_single_partition": False,
+                    "window_single_partition": True},
         }
         unused = mod.compute_unused_allowlists(pattern_seen)
         assert ne[0] not in unused["non_equi"]

@@ -205,6 +205,17 @@ def main() -> int:
     print(
         f"\n{checked} oracle-checked, {rows_only} rows-only, {len(failures)} failures"
     )
+    # Machine-readable sentinel: the summary ALWAYS ends with this line
+    # when the run reached the verdict stage. tools/empty_audit.py keys
+    # its crashed-vs-seams-only decision off it (a nonzero exit WITHOUT
+    # the sentinel = harness crash), so it must never be reworded —
+    # that contract is what lets a wording change in the prose summary
+    # stay harmless.
+    import json as _json
+
+    print("CHECK_ORACLE_SUMMARY " + _json.dumps(
+        {"checked": checked, "rows_only": rows_only,
+         "failures": len(failures)}))
     for name, why in failures:
         print(f"  FAIL {name}: {why}")
     return 1 if failures else 0

@@ -108,7 +108,11 @@ EXPECTED_SEAMS = {
 # columns only; keys/dates stay non-null)
 NULL_PLAN = {
     "documents": {"text": 7, "lang": 11},
-    "events": {"value": 5},
+    # ts (r11, verdict task): NULL event time reaches seams the value
+    # plants cannot — sessionization islands, window ORDER BY (Spark
+    # NULLS FIRST vs DuckDB NULLS LAST), as-of joins, interval
+    # arithmetic, watermark batch twins.
+    "events": {"value": 5, "ts": 13},
     "customer": {"c_acctbal": 7},
 }
 
@@ -149,6 +153,11 @@ def _plant_adversarial(t: str, tb):
             rows[i]["embedding"] = None
         rows[9]["embedding"][0] = float("nan")  # corrupted component
         rows[13]["embedding"][0] = float("inf")
+        # NULL element inside an otherwise-valid vector (r11, advisor
+        # finding): Spark's forall yields NULL -> row dropped, DuckDB's
+        # list_filter treated the NULL lambda result as false -> row
+        # kept; pins the `x IS NULL OR NOT isfinite(x)` SQL twins.
+        rows[25]["embedding"][2] = None
     elif t == "events":
         for i in range(10, 15):  # exact five-way value tie
             rows[i]["value"] = 100.0
@@ -216,9 +225,11 @@ def run_one(here: str, src: str, rows: int) -> int:
         seam = EXPECTED_SEAMS.get((name, rows))
         if not (seam and seam in line):
             unexplained.append(line)
-    if not unexplained and "failures" not in proc.stdout:
-        # nonzero exit with NO per-query verdicts = the harness itself
-        # crashed (import error, OOM) — never report that as OK
+    if not unexplained and "CHECK_ORACLE_SUMMARY" not in proc.stdout:
+        # nonzero exit without the machine-readable summary sentinel =
+        # the harness itself crashed (import error, OOM) before the
+        # verdict stage — never report that as OK. (r11: keyed off the
+        # stable sentinel, not the prose summary wording.)
         print(f"[empty_audit] rows={rows}: check_oracle crashed before verdicts")
         return 1
     if unexplained:

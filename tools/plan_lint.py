@@ -308,6 +308,104 @@ ALLOW_SINGLE_PARTITION: dict[str, str] = {
     "corpus_greedy_source_cover": "the 5-round greedy trace union (one 1-row local frame per round) feeding the final ordered report",
 }
 
+# R7 (r11, verdict task): the pinned inventory of BOUNDED
+# single-partition WINDOW sites — every query whose plan feeds a
+# Window operator from an Exchange SinglePartition. Each of these is
+# a bounded-grain frame (the window runs over an already-aggregated /
+# limited row set, so the runtime WindowExec "Moving all data to a
+# single partition" warning is benign), and R6 separately proves no
+# UNBOUNDED single-partition stage exists. This list exists so the
+# warning NOISE stays accounted for: a new single-partition window —
+# even a bounded one — must be consciously added here, and a site
+# that disappears is reported unused, keeping the count exact. A
+# future *real* unpartitioned window over raw data would trip BOTH
+# R6 and this rule.
+WINDOW_SP_EXPECTED = {
+    "ab_tost_equivalence",
+    "agg_grouped_ols_trend",
+    "agg_histogram_equidepth",
+    "agg_histogram_equidepth_localized",
+    "anomaly_seasonal_adjusted",
+    "bandit_ucb1_allocation",
+    "benford_first_digit_audit",
+    "chi_trend_cochran_armitage",
+    "corpus_greedy_source_cover",
+    "cusum_change_detection",
+    "diag_join_skew_advisor",
+    "dq_t_closeness_audit",
+    "eval_anova_f_oneway",
+    "eval_auc_delong_ci",
+    "eval_bradley_terry_strengths",
+    "eval_brown_forsythe_levene",
+    "eval_cost_optimal_threshold",
+    "eval_decile_lift_table",
+    "eval_effect_size_contingency",
+    "eval_fairness_group_metrics",
+    "eval_kruskal_wallis",
+    "eval_ks_two_sample",
+    "eval_mann_whitney_u",
+    "eval_mutual_information",
+    "eval_page_trend_test",
+    "eval_pr_curve",
+    "eval_qini_uplift_curve",
+    "eval_rank_biased_overlap",
+    "eval_roc_auc_scores",
+    "eval_spearman_rank_corr",
+    "eval_welch_t_test",
+    "finance_npv_monthly_cashflows",
+    "forecast_acf_monthly",
+    "forecast_causal_impact_counterfactual",
+    "forecast_conformal_interval",
+    "forecast_dickey_fuller_unit_root",
+    "forecast_durbin_watson_residuals",
+    "forecast_engle_granger_cointegration",
+    "forecast_granger_urgent_revenue",
+    "forecast_pacf_durbin_levinson",
+    "forecast_seasonal_decomposition",
+    "forecast_seasonal_naive_backtest",
+    "forecast_seasonal_trend_strength",
+    "forecast_theil_sen_trend",
+    "forecast_theil_u2_accuracy",
+    "graph_kcore_peel",
+    "inventory_abc_xyz_matrix",
+    "mixture_repeat_epochs_plan",
+    "mixture_token_budget_allocation",
+    "ops_cache_belady_vs_lru",
+    "ops_error_budget_burn",
+    "ops_multiwindow_burn_alerts",
+    "pareto_abc_parts",
+    "privacy_release_gate",
+    "retrieval_hybrid_bm25_vector",
+    "revenue_max_drawdown",
+    "revenue_mom_growth",
+    "rfm_customer_segments",
+    "sample_dsir_importance",
+    "sample_neyman_allocation",
+    "sample_pps_systematic",
+    "sample_walk_forward_folds",
+    "shard_consistent_hash_ring",
+    "sketch_ams_f2_moment",
+    "sketch_ams_join_size_estimate",
+    "sketch_ddsketch_quantiles",
+    "skyline_parts_pareto",
+    "sql_scalar_udf_suite",
+    "storage_gorilla_ts_encoding_audit",
+    "storage_rle_sortedness_audit",
+    "storage_zonemap_skipping_audit",
+    "streaming_watermark_eviction_audit",
+    "survival_kaplan_meier",
+    "survival_nelson_aalen",
+    "territory_snake_balanced_assignment",
+    "text_bm25_scores",
+    "text_heaps_law_fit",
+    "text_vocab_accumulation_curve",
+    "tpcds_q51_cumulative_compare",
+    "trending_parts_decayed",
+    "window_bollinger_bands",
+    "window_rolling_correlation",
+    "window_zscore_rolling",
+}
+
 # Nodes that bound the rows reaching a downstream single-partition
 # stage: any aggregation collapses to a group grain; any limit-family
 # node caps the row count outright.
@@ -375,6 +473,25 @@ def unbounded_single_partition(plan: str) -> bool:
     return False
 
 
+def window_single_partition(plan: str) -> bool:
+    """True when any Window-family node's subtree contains an
+    Exchange SinglePartition — the static twin of the runtime
+    WindowExec single-partition warning."""
+    tree = parse_tree(plan)
+    sp_ids = single_partition_exchange_ids(plan)
+    if not sp_ids:
+        return False
+    for i, (depth, node, _nid) in enumerate(tree):
+        if not node.startswith("Window"):
+            continue
+        for d2, _n2, id2 in tree[i + 1 :]:
+            if d2 <= depth:
+                break
+            if id2 in sp_ids:
+                return True
+    return False
+
+
 def lint_one(name: str, plan: str) -> list[dict]:
     findings = []
     if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and (
@@ -400,6 +517,8 @@ def lint_one(name: str, plan: str) -> list[dict]:
         findings.append({"rule": "R5-row-python-udf", "query": name})
     if unbounded_single_partition(plan) and name not in ALLOW_SINGLE_PARTITION:
         findings.append({"rule": "R6-single-partition", "query": name})
+    if window_single_partition(plan) and name not in WINDOW_SP_EXPECTED:
+        findings.append({"rule": "R7-window-single-partition", "query": name})
     return findings
 
 
@@ -467,6 +586,12 @@ def compute_unused_allowlists(pattern_seen: dict[str, dict[str, bool]]) -> dict:
             if n in pattern_seen
             and not pattern_seen[n]["unbounded_single_partition"]
         ),
+        "window_sp": sorted(
+            n
+            for n in WINDOW_SP_EXPECTED
+            if n in pattern_seen
+            and not pattern_seen[n]["window_single_partition"]
+        ),
     }
 
 
@@ -500,6 +625,7 @@ def main() -> None:
             # (not just entirely-dead entries) — r8 ADVICE fix
             "n_exchanges": plan.count("Exchange "),
             "unbounded_single_partition": unbounded_single_partition(plan),
+            "window_single_partition": window_single_partition(plan),
         }
         spark.catalog.clearCache()
     # ---- pass 2: pre-checkpoint logical plans (r8 ADVICE) ----
