@@ -70,6 +70,23 @@ SQL_VALID_JSON_EVENTS = (
     " AS props) FROM events)"
 )
 
+# NULL event-time device (r11, planted-NULLs ts wave): a row with no
+# event time cannot be placed on a timeline — it has no window bucket,
+# no session, no position in any ORDER BY ts frame, no interval — and
+# the engines DISAGREE about where the NULL sorts (Spark NULLS FIRST,
+# DuckDB NULLS LAST) and about NULL interval arithmetic, so every
+# event-TIME query drops such rows at entry on BOTH engines (exactly
+# what a streaming watermark does to a null event time). Queries that
+# only count/group events keep the rows — time-agnostic aggregates
+# stay total. Spark twin: `.filter(F.col("ts").isNotNull())`.
+SQL_TIMED_EVENTS = "(SELECT * FROM events WHERE ts IS NOT NULL)"
+
+# timed + finite-value in one entry (the common windowed-measure shape)
+SQL_TIMED_FINITE_EVENTS = (
+    "(SELECT * REPLACE (CASE WHEN isfinite(value) THEN value ELSE NULL END"
+    " AS value) FROM events WHERE ts IS NOT NULL)"
+)
+
 
 BASE = 6  # micro-units: 10^-6 — captures all test-data money math exactly
 

@@ -1521,7 +1521,7 @@ _HEX12 = 16**12
     WITH keyed AS (
         SELECT DISTINCT event_type,
                CAST(user_id AS VARCHAR) || '|' || strftime(ts, '%Y-%m-%d') AS k
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ), hashed AS (
         SELECT event_type, md5('kmv|' || k) AS h FROM keyed
     ), ranked AS (
@@ -1583,6 +1583,9 @@ def sketch_kmv_distinct_userdays(spark: SparkSession, sf_dir: str) -> DataFrame:
     K = KMV_K
     keyed = (
         load(spark, sf_dir, "events")
+        # null-ts device (r11): a user-DAY needs a day; a NULL key's
+        # sort placement is engine-divergent (NULLS FIRST vs LAST)
+        .filter(F.col("ts").isNotNull())
         .select(
             "event_type",
             F.concat(
@@ -1776,6 +1779,7 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT event_type,
                CAST(user_id AS VARCHAR) || '|' || strftime(ts, '%Y-%m-%d') AS k
         FROM events WHERE event_type IN ('click', 'purchase')
+          AND ts IS NOT NULL
     ), hashed AS (
         SELECT event_type, k, md5('kmv|' || k) AS h FROM keyed
     ), ranked AS (
@@ -1829,7 +1833,9 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     K = KMV_K
     keyed = (
         load(spark, sf_dir, "events")
+        # null-ts device (r11): a user-day needs a day
         .filter(F.col("event_type").isin("click", "purchase"))
+        .filter(F.col("ts").isNotNull())
         .select(
             "event_type",
             F.concat(
@@ -3431,7 +3437,7 @@ def _hll_sql(reg_src: str, truth_src: str, label: str) -> str:
     WITH keyed AS (
         SELECT DISTINCT event_type,
                CAST(user_id AS VARCHAR) || '|' || strftime(ts, '%Y-%m-%d') AS k
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     hashed AS (
         SELECT event_type, md5('hll|' || k) AS h FROM keyed
@@ -3506,14 +3512,21 @@ def sketch_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Standard accuracy (~1.04/√256 ≈ 6.5%) is visible in err_bp next
     to the exact n_true.
     """
-    ev = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.concat_ws(
-            "|",
-            F.col("user_id").cast("string"),
-            F.date_format("ts", "yyyy-MM-dd"),
-        ).alias("k"),
-    ).distinct()
+    # null-ts device (r11): a user-day needs a day (and concat_ws
+    # SKIPS a null day where DuckDB's || nulls the key — divergent)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.date_format("ts", "yyyy-MM-dd"),
+            ).alias("k"),
+        )
+        .distinct()
+    )
     hashed = ev.select(
         "event_type", F.md5(F.concat(F.lit("hll|"), F.col("k"))).alias("h")
     )

@@ -1111,7 +1111,7 @@ def cogroup_reconcile_orders_events(spark: SparkSession, sf_dir: str) -> DataFra
         SELECT event_type AS from_event,
                lead(event_type) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS to_event
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ), t AS (
         SELECT from_event, to_event, count(*) AS n_transitions
         FROM seq WHERE to_event IS NOT NULL
@@ -1143,6 +1143,8 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     seq = (
         load(spark, sf_dir, "events")
+        # null-ts device (r11): no position in the journey order
+        .filter(F.col("ts").isNotNull())
         .withColumn(
             "to_event",
             F.lead("event_type").over(
@@ -1381,7 +1383,7 @@ PATH_TOP = 15
                array_to_string((array_agg(event_type
                                           ORDER BY ts, event_id))[1:{PATH_LEN}],
                                '>') AS path
-        FROM events GROUP BY user_id
+        FROM events WHERE ts IS NOT NULL GROUP BY user_id
     )
     SELECT path, n_users, rn AS rank
     FROM (
@@ -1407,7 +1409,12 @@ def path_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal-bound rank (WindowGroupLimit). The path alphabet bounds
     the result at |alphabet|^{PATH_LEN} regardless of user count.
     """
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    # null-ts device (r11): no position in the journey order
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+    )
     paths = (
         ev.groupBy("user_id")
         .agg(
@@ -1700,7 +1707,7 @@ def funnel_windowed_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                epoch_us(ts) AS s_us,
                epoch_us(ts) + 1800000000 AS e_us
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     flagged AS (
         SELECT user_id, s_us, e_us,
@@ -1748,7 +1755,8 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans a single exchange, and per-user interval counts are bounded,
     so it scales linearly in events.
     """
-    iv = load(spark, sf_dir, "events").select(
+    # null-ts device (r11): an interval needs a timestamp to open
+    iv = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "user_id",
         F.unix_micros("ts").alias("s_us"),
         (F.unix_micros("ts") + F.lit(1800000000)).alias("e_us"),
@@ -2573,7 +2581,7 @@ def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                               WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
                               ELSE 'e' END, ''
                           ORDER BY ts, event_id) AS seq
-        FROM events GROUP BY 1
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
     )
     SELECT user_id,
            CAST(length(seq) AS BIGINT) AS n_events,
@@ -2609,7 +2617,12 @@ def pattern_sequence_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "purchase", "p")
         .otherwise("e")
     )
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", code.alias("ch"))
+    # null-ts device (r11): no position in the sequence order
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", code.alias("ch"))
+    )
     coded = ev.groupBy("user_id").agg(
         F.concat_ws(
             "",
@@ -3574,7 +3587,7 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type, ts, event_id,
                lead(event_type) OVER w AS next_type,
                lead(ts) OVER w AS next_ts
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     edges AS (
@@ -3609,7 +3622,8 @@ def process_edge_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     small exchange on the bounded edge key.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = load(spark, sf_dir, "events").select(
+    # null-ts device (r11): a hop needs timestamps on both ends
+    seq = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "user_id",
         "event_type",
         "ts",
@@ -8912,7 +8926,7 @@ def eval_bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, value,
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS rn
-        FROM events WHERE event_type = 'signup'
+        FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
     ), anchor AS (
         SELECT user_id AS uid, ts AS t0,
                CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
@@ -8930,6 +8944,7 @@ def eval_bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
                any_value(a.t0) AS t0,
                any_value(a.score_u) AS score_u
         FROM anchor a JOIN events e ON e.user_id = a.uid
+        WHERE e.ts IS NOT NULL
         GROUP BY 1
     ), units AS (
         SELECT user_id,
@@ -9009,8 +9024,11 @@ def eval_harrell_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries instead (documented trade; exactness here pins the
     semantics).
     """
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_type", "value", "event_id"
+    # null-ts device (r11): no position on the survival timeline
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_type", "value", "event_id")
     )
     wsig = Window.partitionBy("user_id").orderBy("ts", "event_id")
     anchor = (
@@ -10753,7 +10771,7 @@ def _markov_attr_oracle() -> str:
         SELECT user_id, event_type, 
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS rn
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ), firstp AS (
         SELECT user_id, min(rn) AS prn FROM ordered
         WHERE event_type = 'purchase' GROUP BY 1
@@ -10811,8 +10829,11 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits bigger expansions (or hand off to the PageRank-style
     iterative contract past ~8 states).
     """
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
+    # null-ts device (r11): no position in the journey order
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
     )
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = ev.select("user_id", "event_type", F.row_number().over(wo).alias("rn"))

@@ -2696,7 +2696,8 @@ def impute_group_median_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
                CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE)
                    AS v
-        FROM events WHERE event_type = 'purchase' GROUP BY 1
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        GROUP BY 1
     ), od AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2)
@@ -2744,7 +2745,10 @@ def tpcds_q51_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = (
         load(spark, sf_dir, "events")
+        # null-ts device (r11): a NULL month's place in the cumulative
+        # ORDER BY is engine-divergent (NULLS FIRST vs LAST)
         .filter(F.col("event_type") == "purchase")
+        .filter(F.col("ts").isNotNull())
         .groupBy(F.date_trunc("month", "ts").alias("m"))
         .agg(dsum(F.col("value"), 2).alias("ev_v"))
     )

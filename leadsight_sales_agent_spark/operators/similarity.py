@@ -651,8 +651,12 @@ def kmeans_train_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the one aggregate family the decimal trick can't rescue, since
     means feed back into the next iteration); the unit layer pins the
     monotone-inertia invariant instead.
+
+    FINITE vectors only (r11 NULL-element wave): an absent, NULL-
+    element, or NaN/Inf vector can neither seed nor move a centroid
+    (float(None) crashed the seed collect).
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(FINITE_VEC())
     _, _, assigned = kmeans_fit(spark, emb)
     return assigned.groupBy("cluster").agg(
         F.count("*").alias("n_vectors"),
@@ -875,10 +879,12 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_dedup_similarity.py).
 
     NULL embeddings are dropped before training (null-embedding
-    probe): an absent vector can neither train nor receive a code —
-    the driver-side dim sniff and the explode both require rows;
-    zero vectors are legal PQ inputs and stay."""
-    emb = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    probe), and so are NULL-ELEMENT / NaN/Inf vectors (r11 wave:
+    float(None) crashed the codebook collect): an absent or corrupted
+    vector can neither train nor receive a code — the driver-side dim
+    sniff and the explode both require rows; zero vectors are legal
+    PQ inputs and stay."""
+    emb = load(spark, sf_dir, "embeddings").filter(FINITE_VEC())
     head = emb.select("embedding").first()
     if head is None:  # empty corpus: nothing to train, empty report
         return spark.createDataFrame(
@@ -1247,8 +1253,10 @@ RERANK_TOP = 10
     WITH q AS (
         SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         FROM embeddings WHERE vec_id < {N_RRF_QUERIES}
+          AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ), c AS (
         SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ), coarse AS (
         SELECT q.query_id, c.doc_id, q.qe, c.ce,
                list_dot_product(q.qe[1:{COARSE_DIMS}], c.ce[1:{COARSE_DIMS}])
@@ -1294,7 +1302,11 @@ def retrieval_coarse_to_fine_rerank(spark: SparkSession, sf_dir: str) -> DataFra
     gap of the truncation (fine winners outside the shortlist) is the
     accepted trade — measured for the ANN paths by ann_recall_report.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    # FINITE_VEC on both sides (r11 NULL-element wave): DuckDB's
+    # list_dot_product refuses a list CONTAINING NULL outright, and
+    # absent/corrupted vectors can't rank; zero vectors keep their
+    # r10-pinned NaN-cosine contract (double division never raises).
+    emb = load(spark, sf_dir, "embeddings").filter(FINITE_VEC())
     queries = emb.filter(F.col("vec_id") < N_RRF_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),

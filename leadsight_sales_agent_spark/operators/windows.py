@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.functions.numeric import (
-    SQL_FINITE_EVENTS,
+    SQL_TIMED_FINITE_EVENTS,
     davg,
     davg_over,
     dsum,
@@ -36,11 +36,20 @@ from leadsight_sales_agent_spark.sources.catalog import load
 
 def _events_finite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with non-finite values nullified (the adversarial-values
-    scalar device): NaN/Inf measurements adopt NULL semantics before
-    any decimal-exactness cast; oracles swap FROM events for
-    SQL_FINITE_EVENTS. Row COUNTS are unchanged — only the value is
-    nulled — so count(*) windows stay identical."""
-    return load(spark, sf_dir, "events").withColumn("value", finite(F.col("value")))
+    scalar device) AND null-ts rows dropped (the r11 planted-NULLs ts
+    wave): NaN/Inf measurements adopt NULL semantics before any
+    decimal-exactness cast, and a row with no event time has no place
+    in any ORDER BY ts frame, bucket, or session — the engines even
+    disagree where the NULL sorts (Spark NULLS FIRST, DuckDB NULLS
+    LAST), so the only total contract is the watermark one: drop it
+    at entry. Oracles swap FROM events for SQL_TIMED_FINITE_EVENTS.
+    Both filters are no-ops on the clean generator data, so graded
+    hashes are unchanged."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn("value", finite(F.col("value")))
+    )
 
 
 @query(
@@ -77,7 +86,7 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     WITH e AS (
         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     )
     SELECT event_id, user_id,
            rank()  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rnk,
@@ -90,7 +99,9 @@ def window_rank_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     return (
         load(spark, sf_dir, "events")
+        # null-ts device (r11): no position in the ORDER BY ts frame
         .filter(F.col("event_type") == "purchase")
+        .filter(F.col("ts").isNotNull())
         .select(
             "event_id",
             "user_id",
@@ -135,7 +146,7 @@ def window_running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> Dat
     oracle=f"""
     WITH e AS (
         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
-        FROM {SQL_FINITE_EVENTS} events
+        FROM {SQL_TIMED_FINITE_EVENTS} events
     )
     SELECT event_id, user_id,
            {sql_davg_over("value", "OVER w", 4)} AS mavg_value
@@ -167,7 +178,7 @@ def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n_events,
            CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
-    FROM {SQL_FINITE_EVENTS} events
+    FROM {SQL_TIMED_FINITE_EVENTS} events
     GROUP BY 1, 2
     """,
 )
@@ -195,7 +206,7 @@ def window_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            count(*) AS n_events,
            {sql_davg("value", 4)} AS avg_value
-    FROM {SQL_FINITE_EVENTS} events CROSS JOIN offsets
+    FROM {SQL_TIMED_FINITE_EVENTS} events CROSS JOIN offsets
     GROUP BY 1
     """,
 )
@@ -225,7 +236,7 @@ def window_sliding_1h_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            count(*) AS n_events,
            {sql_davg("value", 4)} AS avg_value
-    FROM {SQL_FINITE_EVENTS} events CROSS JOIN offsets
+    FROM {SQL_TIMED_FINITE_EVENTS} events CROSS JOIN offsets
     GROUP BY 1
     """,
 )
@@ -295,7 +306,7 @@ def window_sliding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
-        FROM {SQL_FINITE_EVENTS} events
+        FROM {SQL_TIMED_FINITE_EVENTS} events
     ), flagged AS (
         SELECT user_id, ts, value, event_id,
                CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
@@ -357,7 +368,7 @@ def window_session_30min_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
-        FROM {SQL_FINITE_EVENTS} events
+        FROM {SQL_TIMED_FINITE_EVENTS} events
     ), flagged AS (
         SELECT user_id, ts, value, event_id,
                CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
@@ -563,7 +574,7 @@ def resample_gap_filled_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY ts, event_id
                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
            ) AS rolling_median
-    FROM {SQL_FINITE_EVENTS} events
+    FROM {SQL_TIMED_FINITE_EVENTS} events
     """,
 )
 def window_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -791,7 +802,7 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                nth_value(event_type, 3) OVER w AS third_event,
                first_value(CASE WHEN event_type = 'purchase' THEN value END
                            IGNORE NULLS) OVER w AS first_purchase_value
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING
                               AND UNBOUNDED FOLLOWING)
@@ -818,7 +829,8 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     to one row per user without a second aggregation (Spark plans
     first/last/nth in the same WindowExec pass as row_number).
     """
-    ev = load(spark, sf_dir, "events")
+    # null-ts device (r11): no position in the ORDER BY ts frame
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -844,7 +856,7 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) OVER w AS n_prev_hour,
            CAST(round(sum(CAST(value AS DECIMAL(25,6))) OVER w, 2) AS DOUBLE)
                AS value_prev_hour
-    FROM {SQL_FINITE_EVENTS} events
+    FROM {SQL_TIMED_FINITE_EVENTS} events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
@@ -1315,7 +1327,7 @@ def ohlc_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
         SELECT user_id, event_id, epoch_us(ts) AS us,
                CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS cents
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     ), seg AS (
         SELECT user_id, cents,
                (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
@@ -1354,7 +1366,9 @@ def twap_purchase_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     p = (
         load(spark, sf_dir, "events")
+        # null-ts device (r11): a purchase with no time holds no interval
         .filter(F.col("event_type") == "purchase")
+        .filter(F.col("ts").isNotNull())
         .select(
             "user_id",
             "event_id",
@@ -1857,6 +1871,7 @@ def window_ewma_dyadic_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT)
                END AS v
         FROM events WHERE value IS NOT NULL AND isfinite(value)
+          AND ts IS NOT NULL
     ),
     bounds AS (
         SELECT user_id, event_id, t, v,
@@ -1908,7 +1923,8 @@ def impute_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     masked = (
         load(spark, sf_dir, "events")
-        .filter(is_finite(F.col("value")))
+        # null-ts device (r11): no timeline position, nothing to bracket
+        .filter(is_finite(F.col("value")) & F.col("ts").isNotNull())
         .select(
             "user_id",
             "event_id",
@@ -2367,7 +2383,7 @@ def trending_parts_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN lag(event_type) OVER
                         (PARTITION BY user_id ORDER BY ts, event_id)
                     IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     runs AS (
         SELECT user_id, event_type, ts, event_id,
@@ -2401,7 +2417,8 @@ def temporal_coalesce_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     saves at 100 TB.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = load(spark, sf_dir, "events").select(
+    # null-ts device (r11): an interval needs a timestamp on both ends
+    seq = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "user_id",
         "event_type",
         "ts",
@@ -2861,7 +2878,7 @@ def holt_winters_seasonal_smoothing(spark: SparkSession, sf_dir: str) -> DataFra
                count(*) AS n_events,
                CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
                    AS n_errors
-        FROM events GROUP BY 1
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     rolling AS (
         SELECT day, n_events, n_errors,
@@ -2892,6 +2909,9 @@ def ops_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     daily = (
         load(spark, sf_dir, "events")
+        # null-ts device (r11): a NULL day's place in the rolling
+        # ORDER BY day frame is engine-divergent
+        .filter(F.col("ts").isNotNull())
         .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -3274,6 +3294,7 @@ def _cache_replay_oracle() -> str:
                row_number() OVER (PARTITION BY e.user_id
                                   ORDER BY e.ts, e.event_id) AS rn
         FROM events e JOIN codes c ON c.event_type = e.event_type
+        WHERE e.ts IS NOT NULL
     ),
     evs2 AS (
         SELECT user_id, rn, code,
@@ -3373,7 +3394,11 @@ def ops_cache_belady_vs_lru(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("code"),
         )
     )
-    evs1 = evs.join(F.broadcast(codes), "event_type").select(
+    # null-ts device (r11): an access with no time has no position in
+    # the replay order (codes still come from ALL events, as the oracle)
+    evs1 = evs.filter(F.col("ts").isNotNull()).join(
+        F.broadcast(codes), "event_type"
+    ).select(
         "user_id",
         "ts",
         "event_id",

@@ -39,8 +39,8 @@ accepts exactly that error on fixtures with 1 <= rows < PQ_K.
 
 Third fixture (r10, --nulls / default): PLANTED NULLS in the nullable
 value columns (documents.text 1-in-7, documents.lang 1-in-11,
-events.value 1-in-5, customer.c_acctbal 1-in-7) over the full sf0.001
-rows. This surfaced the null-SEMANTICS seam classes: engine-divergent
+events.value 1-in-5, events.ts 1-in-13 since r11, customer.c_acctbal
+1-in-7) over the full sf0.001 rows. This surfaced the null-SEMANTICS seam classes: engine-divergent
 NULL placement under ntile's ORDER BY (Spark NULLS FIRST, DuckDB
 NULLS LAST — resolved by filtering null ranking keys on both sides,
 documented per query), DuckDB concat() silently swallowing NULL args
