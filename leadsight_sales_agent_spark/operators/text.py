@@ -1984,8 +1984,13 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "lang", "t")
         .agg(F.count("*").cast("bigint").alias("cnt"))
-        .localCheckpoint(eager=False)  # feeds the model AND the scoring
-        # join — the shared-frame rule; A/B at sf0.1: 5.2 -> 3.0 s (r9)
+        # feeds the model AND the scoring join — the shared-frame rule
+        # (A/B at sf0.1: 5.2 -> 3.0 s, r9). persist, NOT localCheckpoint
+        # (r11): this frame is DATA-PROPORTIONAL, and a localCheckpoint
+        # block evicted under storage pressure is fatal ("Block rdd_N
+        # does not exist" at the 50x probe) where a persisted block just
+        # recomputes — the only safe contract for a corpus-sized frame.
+        .persist()
     )
     c3 = tric.groupBy("lang", "t").agg(F.sum("cnt").alias("n3"))
     c2 = (
