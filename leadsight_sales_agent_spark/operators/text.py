@@ -1949,19 +1949,15 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     training corpus means every trigram has count >= 1: no smoothing
     branch to diverge.
 
-    At 100 TB: trigram explode is map-side and collapses IMMEDIATELY
-    to the (doc, trigram, count) grain — map-side partial aggregation
-    condenses each document's repeated trigrams before anything
-    shuffles or materializes (r11 flattening: the occurrence-grain
-    stream existed only inside one stage before; now the checkpoint,
-    the model build, and the scoring join all run at the condensed
-    grain, numerator sum(logp*cnt) == the occurrence sum exactly).
-    The model is two hash aggregations at (lang, trigram) grain
-    (vocabulary-bounded: <= 26^3 per language in the limit) and
-    broadcasts back onto the condensed stream; one doc-grain agg
-    finishes. The model table is exactly the artifact a production
-    pass persists and reuses for scoring new batches without
-    retraining.
+    At 100 TB: trigram explode is map-side; the model is two hash
+    aggregations at (lang, trigram) grain (vocabulary-bounded: <= 26^3
+    per language in the limit) and broadcasts back onto the exploded
+    stream; one doc-grain agg finishes. The model table is exactly the
+    artifact a production pass persists and reuses for scoring new
+    batches without retraining. The shared exploded frame is
+    persist()ed, never localCheckpoint'ed — see the plan note below
+    (r11: eviction-fatality vs recompute; measured 13-15x -> ~6.3x at
+    the 50x probe).
     """
     # length >= 3 guard on BOTH engines: Spark's sequence(1, len-2) runs
     # DESCENDING for len < 3 ([1, 0] -> phantom short "trigrams") while
@@ -1972,7 +1968,7 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.trim(F.col("text")).alias("tx"))
         .filter(F.length("tx") >= 3)
     )
-    tric = (
+    tri = (
         d.select(
             "doc_id",
             "lang",
@@ -1982,17 +1978,21 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("t"),
         )
-        .groupBy("doc_id", "lang", "t")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
         # feeds the model AND the scoring join — the shared-frame rule
         # (A/B at sf0.1: 5.2 -> 3.0 s, r9). persist, NOT localCheckpoint
         # (r11): this frame is DATA-PROPORTIONAL, and a localCheckpoint
-        # block evicted under storage pressure is fatal ("Block rdd_N
+        # block evicted under storage pressure is FATAL ("Block rdd_N
         # does not exist" at the 50x probe) where a persisted block just
-        # recomputes — the only safe contract for a corpus-sized frame.
+        # recomputes. The 50x ratio fell 13-15x -> ~6.3x on the swap
+        # alone (SCALE_PROBE rep50_lm_r11). A (doc, trigram, count)
+        # pre-aggregation was ALSO measured and REJECTED: the extra
+        # occurrence-grain shuffle costs ~2 s at sf0.1 and buys nothing
+        # at 50x (word-soup docs repeat trigrams too little to collapse)
+        # — the explode stays map-side and only the two consumers read
+        # the persisted blocks.
         .persist()
     )
-    c3 = tric.groupBy("lang", "t").agg(F.sum("cnt").alias("n3"))
+    c3 = tri.groupBy("lang", "t").agg(F.count("*").alias("n3"))
     c2 = (
         c3.select("lang", F.substring("t", 1, 2).alias("p"), "n3")
         .groupBy("lang", "p")
@@ -2010,11 +2010,11 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        tric.join(F.broadcast(model), ["lang", "t"])
+        tri.join(F.broadcast(model), ["lang", "t"])
         .groupBy("doc_id")
         .agg(
-            F.sum("cnt").cast("bigint").alias("n_trigrams"),
-            F.expr("CAST(sum(logp_micro * cnt) DIV sum(cnt) AS BIGINT)").alias(
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            F.expr("CAST(sum(logp_micro) DIV count(*) AS BIGINT)").alias(
                 "avg_logp_micro"
             ),
         )
