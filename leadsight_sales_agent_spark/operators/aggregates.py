@@ -3532,7 +3532,7 @@ def sketch_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r8: hashed feeds the register stream and both truth twins, regs
     # feeds the per-type and merged paths — checkpoint both
-    hashed = hashed.localCheckpoint(eager=False)
+    hashed = hashed.persist()  # distinct user-day grain: data-proportional (r11 rule)
     slotted = hashed.select(
         "event_type",
         F.expr(sql_hex_to_long("substr(h, 1, 2)", 2)).alias("reg"),

@@ -7010,7 +7010,7 @@ def ab_sprt_sequential_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
             sums={"cum": "llr"},
         )
         .select("n", "cum")
-        .localCheckpoint()
+        .localCheckpoint()  # slim 2-column walk; checkpoint kept (r11 rule exception)
     )
     crossing = walk.filter(
         (F.col("cum") >= SPRT_UPPER) | (F.col("cum") <= SPRT_LOWER)
@@ -10304,7 +10304,7 @@ def ab_permutation_test_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("arm_a"),
             F.coalesce("ry", F.lit(0)).alias("y"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)  # slim 3-int rows; checkpoint kept (r11 rule exception)
     )
     g = units.agg(
         F.sum("arm_a").cast("decimal(38,0)").alias("na"),

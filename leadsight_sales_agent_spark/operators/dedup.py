@@ -988,7 +988,7 @@ def neardup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = (
         ranked.filter(F.col("rn") <= F.floor(F.col("n_tok") / 2) + 1)
         .select("doc_id", "token", "n_tok")
-        .localCheckpoint(eager=False)
+        .persist()  # token-prefix grain: data-proportional (r11 rule)
     )
     pa = prefix.select(
         F.col("doc_id").alias("doc_a"), "token", F.col("n_tok").alias("size_a")
@@ -1109,7 +1109,7 @@ def neardup_incremental_prefix_join(spark: SparkSession, sf_dir: str) -> DataFra
     prefix = (
         ranked.filter(F.col("rn") <= F.floor(F.col("n_tok") / 5) + 1)
         .select("doc_id", "source", "token", "n_tok")
-        .localCheckpoint(eager=False)
+        .persist()  # token-prefix grain: data-proportional (r11 rule)
     )
     pd_ = prefix.filter(F.col("source") == NEW_BATCH_SOURCE).select(
         F.col("doc_id").alias("delta_doc"), "token",
@@ -1478,7 +1478,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_sh",
         ["skey", "doc_id"],
         rank_out="rnk",
-    ).localCheckpoint()
+    ).persist()  # doc-grain sort keys: data-proportional (r11 rule)
     wsh = Window.partitionBy("_sh").orderBy("skey", "doc_id")
     with_lags = ranked.select(
         "doc_id",
@@ -1713,7 +1713,12 @@ def dedup_strategy_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     # r8: localCheckpoint instead of persist — same one-materialization
     # runtime, but it also TRUNCATES the printed lineage (the 4 strategy
     # plans rendered ~124 Exchanges through the 3 consumers) and needs
-    # no session-level cache entry that outlives the query
+    # no session-level cache entry that outlives the query.
+    # r11: the ONE documented exception to the persist-for-data-
+    # proportional rule (SURVEY 8.15): this pair-grain frame keeps the
+    # checkpoint because persist would re-expose the 124-exchange
+    # lineage through 3 consumers (an R4 plan storm); the eviction
+    # trade is accepted and recorded here.
     tagged = tagged.localCheckpoint(eager=False)
     name_rows = spark.createDataFrame(
         [(n,) for n in ("exact", "prefix", "sorted_neighborhood", "levenshtein")],
@@ -2586,12 +2591,15 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cell")
     )
-    # v feeds BOTH pair sides and the per-cell summary: checkpoint so
-    # the sign-projection pipeline runs once, not three times
+    # v feeds BOTH pair sides and the per-cell summary — materialize
+    # once, not three times. r11: persist, not localCheckpoint — the
+    # frame carries FULL embeddings (the repo's largest shared frame)
+    # and an evicted checkpoint block is fatal where a persisted one
+    # recomputes (SURVEY 8.15).
     v = (
         cells.join(emb, "vec_id")
         .withColumn("nrm", l2_norm(F.col("embedding")))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     a = v.select(
         F.col("cell"),
@@ -2751,7 +2759,7 @@ def dedup_exact_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFram
                 F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), EXSUB_K))
             ).alias("g"),
         )
-        .localCheckpoint(eager=False)
+        .persist()  # token-position grain: data-proportional (r11 rule)
     )
     dupg = (
         pos.select("g", "doc_id")

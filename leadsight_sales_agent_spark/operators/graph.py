@@ -239,11 +239,11 @@ def graph_triangle_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = ed.select(
         F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
         F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
-    ).localCheckpoint(eager=False)
+    ).persist()  # edge grain: data-proportional (r11 rule)
     adj = (
         oriented.groupBy("src")
         .agg(F.collect_list("dst").alias("nbrs"))
-        .localCheckpoint(eager=False)
+        .persist()  # adjacency arrays carry the edge mass (r11 rule)
     )
     au = adj.select(F.col("src").alias("u_key"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("src").alias("v_key"), F.col("nbrs").alias("nv"))
@@ -1057,7 +1057,7 @@ def graph_modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("snk"),
         )
         .select("rc", "rs")
-        .localCheckpoint(eager=False)
+        .persist()  # edge grain: data-proportional (r11 rule)
     )
     m = edges.agg(F.count("*").cast("long").alias("m"))
     intra = (

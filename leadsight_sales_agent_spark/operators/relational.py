@@ -4645,7 +4645,7 @@ def join_bloom_runtime_filter_audit(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)  # slim 1-column key set; checkpoint kept (r11 rule exception)
     )
     bits = (
         build.selectExpr(f"{_bj_pos('b1|', 'k')} AS pos")

@@ -2278,6 +2278,10 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("score_e12"),
         )
+        # localCheckpoint kept (r11 rule exception): slim 2-column
+        # doc-grain frame, probed healthy at rep50 (3.73x, SCALE_PROBE
+        # rep50_r10); persist would re-print its subtree through every
+        # consumer (92 exchanges) for no eviction exposure at this size
         .localCheckpoint(eager=False)
     )
     n_docs = scored.count()  # bounded driver scalar: the locate-rank literal

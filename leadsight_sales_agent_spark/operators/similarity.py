@@ -2048,7 +2048,7 @@ def recsys_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    scored = scored.localCheckpoint(eager=False)
+    scored = scored.persist()  # item-pair grain: data-proportional (r11 rule)
     sym = scored.select(
         F.col("pa").alias("item"), F.col("pb").alias("neighbor"), "nab", "cosine"
     ).unionByName(
@@ -3034,7 +3034,7 @@ def recsys_coverage_novelty_audit(spark: SparkSession, sf_dir: str) -> DataFrame
                 - F.expr(_RS_LN_E12.format(x="n"))
             ).alias("novelty_e12"),
         )
-        .localCheckpoint(eager=False)
+        .persist()  # (item, neighbor) grain: data-proportional (r11 rule)
     )
     freq = slots.groupBy("neighbor").agg(F.count("*").cast("long").alias("cnt"))
     top10 = (

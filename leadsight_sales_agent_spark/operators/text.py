@@ -1257,8 +1257,10 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lower("tok").alias("tok"))
         .distinct()
         # r8: dt feeds the vocabulary rank and the pruned stream, dv
-        # feeds both pair legs — checkpoint both
-        .localCheckpoint(eager=False)
+        # feeds both pair legs. r11: persist, not localCheckpoint —
+        # token-grain frames are data-proportional and an evicted
+        # checkpoint block is fatal where a persisted one recomputes
+        .persist()
     )
     vocab = (
         dt.groupBy("tok")
@@ -1266,7 +1268,7 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("tok"))
         .limit(PMI_VOCAB)
     )
-    dv = dt.join(F.broadcast(vocab), "tok").localCheckpoint(eager=False)
+    dv = dt.join(F.broadcast(vocab), "tok").persist()
     a = dv.select(
         F.col("doc_id").alias("da"), F.col("tok").alias("tok_a"), F.col("df").alias("df_a")
     )
@@ -1663,7 +1665,7 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_uniq"),
         F.min("doc_id").over(w).alias("keeper"),
     )
-    sh = _shingles(docs).localCheckpoint(eager=False)
+    sh = _shingles(docs).persist()  # shingle grain: data-proportional (r11 rule)
     bench = (
         sh.filter(F.col("source") == BENCHMARK_SOURCE).select("shingle").distinct()
     )
@@ -2541,8 +2543,9 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
     )
     # r8: tok feeds doc lengths and term frequencies, tf feeds the idf
-    # and the score join — checkpoint both
-    tok = tok.localCheckpoint(eager=False)
+    # and the score join. r11: persist, not localCheckpoint — token
+    # grain is data-proportional (eviction-fatality rule, SURVEY 8.15)
+    tok = tok.persist()
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n"), F.sum("dl").cast("long").alias("total_dl")
@@ -2551,7 +2554,7 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.filter(F.col("t").isin(*BM25_TERMS))
         .groupBy("doc_id", "t")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     idf = (
         tf.groupBy("t")
@@ -3642,7 +3645,7 @@ def _accum_ordered(docs: DataFrame) -> DataFrame:
         "doc_id",
         "text",
         ntile_from_rank("_rnk", "_n", ACCUM_BUCKETS).alias("decile"),
-    ).localCheckpoint()
+    ).persist()  # (doc, TEXT) grain: data-proportional (r11 rule)
 
 
 @query(
@@ -4083,7 +4086,7 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint so the token explode runs once
     tok = load(spark, sf_dir, "documents").select(
         "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
-    ).localCheckpoint(eager=False)
+    ).persist()  # token grain: data-proportional (r11 rule)
     totals = tok.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
     topw = (
         tok.groupBy("w")
@@ -4272,7 +4275,7 @@ def text_bleu_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r8: toks feeds one gram explode per order — checkpoint the split
     toks = docs.select(
         "source", F.split(F.trim("text"), r"\s+").alias("ws")
-    ).localCheckpoint(eager=False)
+    ).persist()  # full token arrays: data-proportional (r11 rule)
     gram_frames = []
     for n in range(1, BLEU_MAX_N + 1):
         gram_frames.append(

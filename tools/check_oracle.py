@@ -201,6 +201,9 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             print(f"ok    {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+        # r11: queries that persist() shared frames must not tax the
+        # rest of the 484-query session (same hygiene as bench.py)
+        spark.catalog.clearCache()
 
     print(
         f"\n{checked} oracle-checked, {rows_only} rows-only, {len(failures)} failures"

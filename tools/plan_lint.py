@@ -64,6 +64,11 @@ SF_DIR = "/root/testdata/sf0.001"
 # regression in them again. Presence of these nodes is a logical-plan
 # property (non-equi joins only), so the sf0.001 plan is authoritative.
 ALLOW_NON_EQUI = {
+    # r11: the corpus-scaled bit device cross-joins a 1-ROW count(*)
+    # aggregate onto the [dim] grid (bounded broadcast scalar join) —
+    # visible in the final plan since the embedding frame switched to
+    # persist (dedup.py semd bits).
+    "dedup_semantic_semdedup",
     "join_range_price_brackets",  # range join: bracket dim is 4 rows, broadcast NL is the plan
     "forecast_mann_kendall_trend",  # month-grain pair expansion (~80 rows/side)
     "forecast_theil_sen_trend",  # month-grain pair expansion
@@ -271,6 +276,25 @@ ALLOW_MANY_EXCHANGES = {
     "timeseries_hurst_rs": 13,  # three R/S window legs on the checkpointed 84-row series
     "text_burrows_delta": 19,  # token explode + vocab rank + totals/count grid joins + pair leg
     "text_bleu_source_similarity": 16,  # 4-order gram union + reference clip join + length legs
+    # r11 persist wave: the data-proportional shared frames below were
+    # switched from localCheckpoint to persist (eviction-fatality rule,
+    # SURVEY 8.15), which keeps their lineage VISIBLE through every
+    # consumer in the printed plan — the exchange counts below are
+    # plan-printing artifacts of that visibility (execution still
+    # materializes each frame once and scans cached blocks; the r8
+    # storm-era counts these echo were EXECUTED cartesians/rescans,
+    # these are not).
+    "neardup_prefix_filter_join": 14,  # tok+prefix persisted; printed through both pair legs
+    "neardup_incremental_prefix_join": 14,  # same, delta + base legs
+    "recsys_item_item_cosine": 13,  # lines ckpt + scored persisted through sym legs
+    "recsys_coverage_novelty_audit": 63,  # inherits item-item's persisted frames through 4 report legs
+    "dedup_sorted_neighborhood": 27,  # persisted sharded sort keys printed through 3 lead-offsets + carry legs
+    "dedup_semantic_semdedup": 25,  # persisted embedding+norm frame printed through both pair sides + summary
+    "graph_triangle_coparts": 17,  # persisted oriented/adjacency frames through both wedge sides
+    "text_pmi_cooccurrence": 13,  # persisted dt/dv through vocab + both pair legs
+    "text_bm25_scores": 13,  # persisted tok/tf through dl/idf/score legs
+    "text_vocab_accumulation_curve": 13,  # persisted (doc, text, decile) frame through first-seen + counts
+    "text_heaps_law_fit": 13,  # same shared _accum_ordered frame
 }
 
 FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
@@ -321,6 +345,10 @@ ALLOW_SINGLE_PARTITION: dict[str, str] = {
 # future *real* unpartitioned window over raw data would trip BOTH
 # R6 and this rule.
 WINDOW_SP_EXPECTED = {
+    # r11 persist wave: dedup_sorted_neighborhood's sharded-prefix
+    # offsets window (a <=16-row shard grid) became visible in the
+    # final plan when its sort-key frame switched to persist.
+    "dedup_sorted_neighborhood",
     "ab_tost_equivalence",
     "agg_grouped_ols_trend",
     "agg_histogram_equidepth",
