@@ -69,72 +69,69 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # window_sliding_panes, plus the remaining never-graded long tail
 # (see CORRECTNESS_r0* row history).
 _PANEL_50 = [
-    # r11 panel. The r10 panel came back 50/50 green (CORRECTNESS_r10)
-    # — the sixth consecutive fully-green round — so ALL 50 retire per
-    # the r10 verdict. This round's composition: 50 never-driver-graded
-    # oracle-backed queries drawn from the 104-query COVERAGE.md
-    # residue (all r6-wave), leaving 54 for r12. Every SURVEY §2
-    # family that still has never-graded members keeps at least one in
-    # the window (relational, aggregates, windows, datetime, dedup,
-    # sampling, behavior, similarity, text, corpus_cleaning,
-    # multimodal); three more families joined the zero-residue
-    # exemption this round (joins, sketches, curation — every member
-    # driver-confirmed after r10), alongside setops/fidelity/json/
-    # urls/fuzzy_dedup. Composition favors family spread across the
-    # residue's statistical/forecast/storage/ops subfamilies so the
-    # r12 leftover is as diverse as possible. Rotated-out queries
-    # stay oracle-checked locally every round via
-    # tools/check_oracle.py. Residue after r11: 54 (see COVERAGE.md).
-    "ab_cuped_variance_reduction",
-    "ab_permutation_test_hashed",
-    "agg_gini_mean_difference",
-    "agg_theil_inequality_decomposition",
-    "agg_trimmed_mean_exact",  # aggregates family rep
-    "anomaly_seasonal_hybrid_esd",
-    "attribution_markov_removal",
-    "attribution_shapley_channels",
-    "bandit_ucb1_allocation",
-    "bootstrap_poisson_ci_mean",  # sampling family rep (resampling CI)
-    "dq_simpsons_paradox_audit",
-    "embedding_pca_power_iteration",  # similarity family rep
-    "embedding_random_projection_jl",
-    "eval_auc_delong_ci",  # behavior family rep
-    "eval_bradley_terry_strengths",
-    "eval_fairness_group_metrics",
-    "eval_harrell_c_index",
-    "eval_mann_whitney_u",
-    "eval_markov_next_event_backtest",
-    "eval_mcnemar_paired",
-    "eval_welch_t_test",
-    "finance_npv_monthly_cashflows",
-    "forecast_causal_impact_counterfactual",
-    "forecast_granger_urgent_revenue",
-    "forecast_pacf_durbin_levinson",
-    "forecast_piecewise_trend_changepoints",
-    "graph_hits_hubs_authorities",
-    "holt_winters_seasonal_smoothing",
-    "incremental_topk_maintenance",
-    "inventory_newsvendor_fractile",
-    "layout_hilbert_locality_buckets",
-    "multimodal_video_gop_plan",  # multimodal family rep
-    "neardup_incremental_prefix_join",  # dedup family rep
-    "ops_cache_belady_vs_lru",
-    "ops_queueing_mm1_metrics",
-    "privacy_release_gate",
-    "recsys_coverage_novelty_audit",
-    "replication_merkle_diff",
-    "sample_coreset_kcenter_greedy",  # sampling family rep
-    "storage_gorilla_ts_encoding_audit",
-    "storage_sort_key_advisor",
-    "streaming_watermark_eviction_audit",
-    "survival_logrank_test",
-    "text_bpe_encode_fixed_merges",
-    "text_rake_keyphrases",  # text family rep
-    "text_readability_flesch",  # corpus_cleaning family rep (quality signal)
-    "timeseries_hurst_rs",  # windows family rep (rolling R/S)
-    "tpcds_q34_frequent_ticket_bands",  # relational family rep
-    "tpcds_q59_week_over_week_sales",  # datetime family rep
-    "window_bollinger_bands",  # windows family rep
+    # r12 panel. The r11 panel came back 50/50 green (CORRECTNESS_r11)
+    # — the seventh consecutive fully-green round — so ALL 50 retire
+    # per the r11 verdict. This round's composition (r11 verdict task
+    # 1): the ENTIRE remaining never-driver-graded residue minus four
+    # — the 54-query COVERAGE.md list is taken wholesale, and the four
+    # left out (text_heaps_law_fit, window_downsample_lttb,
+    # forecast_theta_method, storage_rle_sortedness_audit) are exactly
+    # the four the r11 judge independently spot-ran green for the
+    # verdict, so every query left without a driver row after r12 has
+    # an external confirmation of some form. A green r12 closes the
+    # rotation program: every oracle-backed query will have at least
+    # one driver row or a judge spot-run row. Rotated-out queries stay
+    # oracle-checked locally every round via tools/check_oracle.py.
+    "ab_power_mde_planner",
+    "ab_sprt_sequential_boundary",
+    "ab_tost_equivalence",
+    "agg_median_ci_order_statistic",
+    "attribution_time_decay_apportioned",
+    "dq_t_closeness_audit",
+    "eval_anova_f_oneway",
+    "eval_brier_murphy_decomposition",
+    "eval_brown_forsythe_levene",
+    "eval_cmh_stratified",
+    "eval_cochran_q",
+    "eval_effect_size_contingency",
+    "eval_friedman_blocked_ranks",
+    "eval_jarque_bera_normality",
+    "eval_kendall_tau_brands",
+    "eval_krippendorff_alpha_langid",
+    "eval_kruskal_wallis",
+    "eval_mcc_langid_binary",
+    "eval_page_trend_test",
+    "eval_rank_biased_overlap",
+    "forecast_dickey_fuller_unit_root",
+    "forecast_durbin_watson_residuals",
+    "forecast_engle_granger_cointegration",
+    "forecast_ljung_box_q",
+    "forecast_pinball_loss_quantile",
+    "forecast_seasonal_trend_strength",
+    "forecast_theil_u2_accuracy",
+    "graph_modularity_regions",
+    "holt_damped_trend_smoothing",
+    "inventory_eoq_per_brand",
+    "inventory_ss_policy_replay",
+    "layout_pack_shard_balance",
+    "ops_multiwindow_burn_alerts",
+    "ops_token_bucket_replay",
+    "privacy_budget_composition",
+    "privacy_geometric_mechanism_counts",
+    "sample_priority_weighted_topk",
+    "storage_bloom_sizing_advisor",
+    "storage_dictionary_encoding_advisor",
+    "storage_entropy_compression_bound",
+    "survival_nelson_aalen",
+    "text_bleu_source_similarity",
+    "text_bpe_compression_by_lang",
+    "text_burrows_delta",
+    "text_good_turing_unseen_mass",
+    "text_mattr_lexical_diversity",
+    "text_rouge_l_source_similarity",
+    "text_vocab_accumulation_curve",
+    "text_watermark_greenlist_detect",
+    "window_parkinson_volatility",
 ]
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
