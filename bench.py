@@ -155,6 +155,18 @@ def _run_once(spark, name: str, sf_dir: str) -> float:
     return elapsed
 
 
+def _canary_once(spark) -> float:
+    """Per-job overhead control (r11 verdict, task 3): time a no-op
+    job — `spark.range(1).count()` touches no data, so its latency IS
+    the scheduler/JVM/session fixed cost per job in THIS run. Recorded
+    per rep so an environment drift (the r10→r11 uniform ~8-10%
+    inflation with zero plan movers) is measured inside the run
+    instead of inferred from cross-round suite totals."""
+    t0 = time.perf_counter()
+    spark.range(1).count()
+    return time.perf_counter() - t0
+
+
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
     n = len(s)
@@ -192,9 +204,14 @@ def main() -> None:
     # slowdown degrades one SAMPLE of many queries instead of all
     # samples of one query — the median then rejects it.
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    canary_samples: list[float] = []
+    _canary_once(spark)  # warm the canary path itself (codegen/JIT)
     for _ in range(reps):
+        canary_samples.append(_canary_once(spark))
         for name in HEADLINE:
             samples[name].append(_run_once(spark, name, sf_dir))
+        canary_samples.append(_canary_once(spark))
+    canary = round(_median(canary_samples), 4)
 
     timings = {name: round(_median(xs), 3) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
@@ -249,6 +266,16 @@ def main() -> None:
         "reps": reps,
         "samples": {n: [round(x, 3) for x in xs] for n, xs in samples.items()},
         "scaling": scaling,
+        # Canary: median no-op-job latency this run (2 samples per rep,
+        # bracketing each suite pass). Read it as the per-job fixed
+        # overhead: cross-round suite-total movement that tracks the
+        # canary is environment, movement that doesn't is plan. The
+        # adjusted subtotal subtracts one canary per r1 query (the
+        # one-job-per-query floor — most queries run several jobs, so
+        # this under-corrects; it is a CONTROL, not a normalizer).
+        "canary_sec_per_job": canary,
+        "canary_samples": [round(x, 4) for x in canary_samples],
+        "value_r1_suite_canary_adj": round(total_r1 - len(R1_SUITE) * canary, 3),
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAILS.json"), "w") as f:
@@ -280,6 +307,7 @@ def main() -> None:
         "queries": {alias[n]: round(v, 2) for n, v in timings.items()},
         "sf": sf,
         "reps": reps,
+        "canary": canary,
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:  # hard guard: never outgrow the driver's tail window

@@ -12,6 +12,15 @@ LSH, streaming demos, mocked enrichment UDFs).
 Column-name parity rule: every computed column is aliased identically in
 the Spark code and the oracle SQL — the driver sorts columns by name
 before hashing values.
+
+Cache contract for multi-query sessions (r12, advisor note): queries
+that persist() shared intermediates (the r11 eviction-safety wave —
+see tools/plan_lint.py rule R8) do NOT unpersist before returning,
+because the returned DataFrame is lazy and still needs the cached
+frame when the CALLER executes it. A session that drives many queries
+must therefore call `spark.catalog.clearCache()` between queries —
+exactly what bench.py, tools/check_oracle.py, and tools/plan_lint.py
+do — or data-proportional cache entries accumulate across queries.
 """
 
 from __future__ import annotations
