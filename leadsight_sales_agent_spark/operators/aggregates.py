@@ -3547,6 +3547,7 @@ def sketch_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     regs = ranked.groupBy("event_type", "reg").agg(
         F.max("m").alias("mr")
+    # ckpt-grain: bounded — event_type x 49-register grain
     ).localCheckpoint(eager=False)
     truth = hashed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
     g_regs = regs.groupBy("reg").agg(F.max("mr").alias("mr"))
@@ -4876,6 +4877,7 @@ def sketch_kmv_rolling_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFram
         # r8: du feeds 4 consumers (daily ranks, the day anchor, the
         # day grid, the exact-truth twin) — checkpoint so the
         # scan+distinct runs once
+        # ckpt-grain: slim-exception — 2-col distinct user-day keys, far below event grain
         .localCheckpoint(eager=False)
     )
     daily = du.withColumn(
@@ -4888,6 +4890,7 @@ def sketch_kmv_rolling_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFram
         .crossJoin(F.broadcast(anchor))
         .filter(F.col("day") >= F.date_add(F.col("d0"), 6))
         .select(F.col("day").alias("t"))
+        # ckpt-grain: bounded — distinct-day calendar grain
         .localCheckpoint(eager=False)
     )
     win_hashes = (
@@ -5651,6 +5654,7 @@ def dq_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs once (also inherited by privacy_release_gate)
     cells = joined.groupBy("segment", "nation", "sens").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
+    # ckpt-grain: bounded — segment x nation x sensitivity grain
     ).localCheckpoint(eager=False)
     sens5 = spark.range(1, 6).select(F.col("id").cast("int").alias("sens"))
     grid = (
@@ -5661,6 +5665,7 @@ def dq_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "segment", "nation", "sens", F.coalesce("c", F.lit(0)).alias("c")
         )
+        # ckpt-grain: bounded — same segment x nation x sens grid, zero-filled
         .localCheckpoint(eager=False)
     )
     wg = Window.partitionBy("segment", "nation")
@@ -6878,6 +6883,7 @@ def agg_theil_inequality_decomposition(spark: SparkSession, sf_dir: str) -> Data
     stats = (
         sums.join(F.broadcast(g), "seg")
         .crossJoin(F.broadcast(tot))
+        # ckpt-grain: bounded — segment-grain stats row set (lineage-dedup device)
         .localCheckpoint(eager=False)
     )
     within = stats.select(

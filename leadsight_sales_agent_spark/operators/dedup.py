@@ -547,6 +547,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("src", "dst")
+        # ckpt-grain: bounded — anchor edge list capped at doc_id < 100
         .localCheckpoint()  # materialize: the loop re-reads edges every round
     )
     labels = (
@@ -565,6 +566,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
                 F.col("comp").alias("old_comp"),
             )
+            # ckpt-grain: iterative-loop — label-propagation state; checkpoint truncates per-round lineage
             .localCheckpoint()
         )
         changed = proposed.filter(F.col("comp") != F.col("old_comp")).count()
@@ -971,6 +973,7 @@ def neardup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r8: tok feeds 5 consumers (sizes, df, ranking, both verify
         # legs), prefix feeds both candidate legs — checkpoint so the
         # tokenize+distinct lineage runs once
+        # ckpt-grain: slim-exception — 2-col doc x distinct-token keys shared by 5 consumers; kept after the r11 audit
         .localCheckpoint(eager=False)
     )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
@@ -1092,6 +1095,7 @@ def neardup_incremental_prefix_join(spark: SparkSession, sf_dir: str) -> DataFra
         .distinct()
         # r8: tok feeds 5 consumers, prefix feeds both batch/corpus
         # legs — checkpoint so the tokenize+distinct runs once
+        # ckpt-grain: slim-exception — 2-col doc x distinct-token keys shared across batch/corpus legs; kept after the r11 audit
         .localCheckpoint(eager=False)
     )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
@@ -1501,6 +1505,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_rd", F.row_number().over(wdesc))
         .filter((F.col("_ra") <= 3) | (F.col("_rd") <= 3))
         .select("doc_id", "skey", "_sh", "rnk")
+        # ckpt-grain: bounded — <=6 boundary rows per shard (head/tail carry)
         .localCheckpoint()
     )
     for k in (1, 2, 3):
@@ -1719,6 +1724,7 @@ def dedup_strategy_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     # checkpoint because persist would re-expose the 124-exchange
     # lineage through 3 consumers (an R4 plan storm); the eviction
     # trade is accepted and recorded here.
+    # ckpt-grain: slim-exception — the ONE documented pair-grain exception, trade recorded in the comment above
     tagged = tagged.localCheckpoint(eager=False)
     name_rows = spark.createDataFrame(
         [(n,) for n in ("exact", "prefix", "sorted_neighborhood", "levenshtein")],
@@ -1977,6 +1983,7 @@ def neardup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("sig")
+    # ckpt-grain: slim-exception — 2-col doc-grain simhash signatures
     ).localCheckpoint(eager=False)
     # eight 4-bit bands (band k = bits 4k..4k+3) as ONE map-side
     # explode of 8 structs per doc — no union legs, no re-derivation
@@ -2595,7 +2602,10 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once, not three times. r11: persist, not localCheckpoint — the
     # frame carries FULL embeddings (the repo's largest shared frame)
     # and an evicted checkpoint block is fatal where a persisted one
-    # recomputes (SURVEY 8.15).
+    # recomputes (SURVEY 8.15). No unpersist before return: the
+    # returned frame is lazy and still needs the cache when the caller
+    # executes it — multi-query sessions clearCache() between queries
+    # (the registry.py cache contract; every harness does).
     v = (
         cells.join(emb, "vec_id")
         .withColumn("nrm", l2_norm(F.col("embedding")))

@@ -106,7 +106,9 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("outdeg")
     )
     # edge list + degrees are reused every round: cache once, release at end
+    # ckpt-grain: slim-exception — 2-col distinct bipartite edge keys, reused every PageRank round
     edges = edges.localCheckpoint(eager=False)
+    # ckpt-grain: slim-exception — 2-col node out-degree frame, reused every round
     deg = deg.localCheckpoint(eager=False)
     nn = deg.agg(F.count("*").alias("n_nodes"))
 
@@ -135,6 +137,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                     12,
                 ).alias("r"),
             )
+            # ckpt-grain: iterative-loop — PageRank rank vector; checkpoint truncates per-round lineage
             .localCheckpoint(eager=False)
         )
     return (
@@ -220,6 +223,7 @@ def graph_triangle_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .distinct()
+        # ckpt-grain: slim-exception — 2-col distinct edge keys
         .localCheckpoint(eager=False)
     )
     deg = (
@@ -227,6 +231,7 @@ def graph_triangle_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(e.select(F.col("y").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
+        # ckpt-grain: slim-exception — 2-col node-degree frame
         .localCheckpoint(eager=False)
     )
     # orient each edge (degree, id)-ascending: src = smaller endpoint
@@ -381,12 +386,14 @@ def graph_link_prediction_common_suppliers(
         # r8: pairs feeds the hub-degree agg AND the kept projection,
         # kept feeds deg_c + both wedge legs — checkpoint both so the
         # join+distinct lineage runs once
+        # ckpt-grain: slim-exception — 2-col distinct cust x supplier pairs shared by both wedge legs
         .localCheckpoint(eager=False)
     )
     deg_s = pairs.groupBy("s").agg(F.count("*").alias("ds"))
     kept = (
         pairs.join(F.broadcast(deg_s.filter(F.col("ds") <= CN_HUB_CAP)), "s")
         .select("c", "s")
+        # ckpt-grain: slim-exception — hub-capped pair subset
         .localCheckpoint(eager=False)
     )
     deg_c = kept.groupBy("c").agg(F.count("*").alias("dc"))
@@ -642,6 +649,7 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r8: edges feeds 3 consumers (both degree legs + the club-edge
         # join) and club feeds 3 (count + both membership legs) —
         # checkpoint both so the co-supply projection runs once
+        # ckpt-grain: slim-exception — 2-col distinct co-supply edge keys shared by 3 consumers
         .localCheckpoint(eager=False)
     )
     deg = (
@@ -655,6 +663,7 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(ks)
         .join(deg, F.col("d") > F.col("k"))
         .select("k", "node")
+        # ckpt-grain: slim-exception — k x qualifying-node membership (4 k values)
         .localCheckpoint(eager=False)
     )
     club_n = club.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
@@ -772,6 +781,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = p.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
         p.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
+    # ckpt-grain: slim-exception — 2-col symmetric edge keys, reused every peel round
     edges = edges.localCheckpoint(eager=False)
 
     alive = edges.select(F.col("src").alias("node")).distinct()
@@ -784,6 +794,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
             .filter(F.col("d") >= K_CORE_K)
             .select("node")
+            # ckpt-grain: iterative-loop — k-core alive-set state; checkpoint truncates per-round lineage
             .localCheckpoint(eager=False)
         )
         gens.append(alive)
@@ -916,6 +927,7 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("c_nat"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        # ckpt-grain: bounded — nation x nation grain (25 x 25)
         .localCheckpoint(eager=False)
     )
     nodes = nat.select(F.col("n_nationkey").alias("node"))
@@ -924,6 +936,7 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         # raw is referenced twice (max anchor + rescale): checkpoint it
         # or the lineage DOUBLES per half-round (2^6 plan blow-up —
         # 1500+ Exchange nodes in the unchecked plan, vs ~30 after).
+        # ckpt-grain: bounded — nation-grain HITS vector, re-checkpointed per half-round
         raw = raw.localCheckpoint(eager=False)
         mx = raw.agg(F.max("x").alias("mx"))
         return raw.crossJoin(F.broadcast(mx)).select(
@@ -1075,6 +1088,7 @@ def graph_modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ends.join(intra, "rk", "left")
         .select("rk", F.coalesce("e_c", F.lit(0)).alias("e_c"), "d_c")
         .crossJoin(F.broadcast(m))
+        # ckpt-grain: bounded — region grain
         .localCheckpoint(eager=False)
     )
     reg = load(spark, sf_dir, "region").select("r_regionkey", "r_name")

@@ -1466,6 +1466,7 @@ def storage_sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("runs_month")
             + F.col("runs_custkey")
         ).cast("bigint"),
+    # ckpt-grain: bounded — one row per candidate layout (4)
     ).localCheckpoint(eager=False)
     best = (
         totaled.orderBy("total_runs", "layout")

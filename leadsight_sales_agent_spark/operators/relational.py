@@ -4645,12 +4645,14 @@ def join_bloom_runtime_filter_audit(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
+        # ckpt-grain: slim-exception — 1-col filtered key set (the runtime-filter build side)
         .localCheckpoint(eager=False)  # slim 1-column key set; checkpoint kept (r11 rule exception)
     )
     bits = (
         build.selectExpr(f"{_bj_pos('b1|', 'k')} AS pos")
         .unionAll(build.selectExpr(f"{_bj_pos('b2|', 'k')} AS pos"))
         .distinct()
+        # ckpt-grain: bounded — bloom bit positions, capped by the filter's bit count
         .localCheckpoint(eager=False)
     )
     probe = (

@@ -2227,6 +2227,7 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("gram"))), 1, 2).alias("b"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+        # ckpt-grain: slim-exception — 3 narrow cols at doc x 256-bucket grain; rep50-probed healthy (SCALE_PROBE)
         .localCheckpoint(eager=False)
     )
     tgt = (
@@ -2282,6 +2283,7 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # doc-grain frame, probed healthy at rep50 (3.73x, SCALE_PROBE
         # rep50_r10); persist would re-print its subtree through every
         # consumer (92 exchanges) for no eviction exposure at this size
+        # ckpt-grain: slim-exception — see comment above: slim 2-col doc-grain frame, kept after the r11 audit
         .localCheckpoint(eager=False)
     )
     n_docs = scored.count()  # bounded driver scalar: the locate-rank literal

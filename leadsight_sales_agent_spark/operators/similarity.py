@@ -2019,6 +2019,7 @@ def recsys_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r8: lines feeds item counts + both pair legs, scored feeds both
     # symmetrization legs — checkpoint so each lineage runs once
+    # ckpt-grain: slim-exception — 2-col distinct order x part keys shared by 4 consumers
     lines = lines.localCheckpoint(eager=False)
     item_n = lines.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
     a = lines.select(F.col("ok").alias("ok_a"), F.col("p").alias("pa"))
@@ -2602,6 +2603,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
                 " * 1e12 + 0.5) / 1e12"
             ).alias("cij"),
         )
+        # ckpt-grain: bounded — dim x dim covariance cells
         .localCheckpoint(eager=False)
     )
     v = flat.select("i").distinct().select("i", F.lit(1.0).alias("v"))
@@ -2633,6 +2635,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
                     "floor(u / m * 1e12 + 0.5) / 1e12"
                 ).alias("v"),
             )
+            # ckpt-grain: bounded — dim-grain vector (power-iteration state)
             .localCheckpoint(eager=False)
         )
     return v.crossJoin(F.broadcast(m)).select(
@@ -2890,6 +2893,7 @@ def sample_coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame
     state = (
         base.crossJoin(F.broadcast(c1))
         .select("vec_id", "q", F.expr(dist).alias("d"), "cid")
+        # ckpt-grain: iterative-loop — k-center state (vec-grain d/cid), re-checkpointed per pick
         .localCheckpoint(eager=False)
     )
     rounds = [
@@ -2916,6 +2920,7 @@ def sample_coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.least(F.col("d"), F.expr(dist)).alias("d"),
                 "cid",
             )
+            # ckpt-grain: iterative-loop — k-center state update per round
             .localCheckpoint(eager=False)
         )
         rounds.append(
@@ -3014,6 +3019,7 @@ def recsys_coverage_novelty_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
         .distinct()
+        # ckpt-grain: slim-exception — 2-col distinct order x part keys
         .localCheckpoint(eager=False)
     )
     item_n = lines.groupBy("p").agg(F.count("*").cast("long").alias("n"))

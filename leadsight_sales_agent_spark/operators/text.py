@@ -2259,6 +2259,7 @@ def pipeline_full_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_curation_full(spark, sf_dir)
         .filter(F.col("verdict") == "keep")
         .select("doc_id")
+        # ckpt-grain: slim-exception — 1-col doc-id keep set (release-pipeline stitch)
         .localCheckpoint(eager=False)
     )
     docs = load(spark, sf_dir, "documents").join(keep, "doc_id", "left_semi")
@@ -2269,6 +2270,7 @@ def pipeline_full_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        # ckpt-grain: slim-exception — 1-col doc-id survivor set
         .localCheckpoint(eager=False)
     )
     deduped = docs.join(winners, "doc_id", "left_semi")
@@ -2276,6 +2278,7 @@ def pipeline_full_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected = (
         sel.filter(F.col("cum") <= F.col("token_budget"))
         .select("doc_id")
+        # ckpt-grain: slim-exception — 1-col doc-id budget-selected set
         .localCheckpoint(eager=False)
     )
     final = deduped.join(selected, "doc_id", "left_semi")
@@ -3420,6 +3423,7 @@ def corpus_greedy_source_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     sv = docs.select(
         "source", F.explode(bigrams).alias("token")
     ).distinct()
+    # ckpt-grain: slim-exception — 2-col source x distinct-bigram keys (vocab grain, loop input)
     sv = sv.localCheckpoint(eager=False)
     universe = sv.select("token").distinct().agg(F.count("*").alias("u"))
 
@@ -3443,6 +3447,7 @@ def corpus_greedy_source_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
             gain.orderBy(F.desc("gain"), F.asc("source"))
             .limit(1)
             .select(F.lit(k).alias("round"), "source", "gain")
+            # ckpt-grain: iterative-loop — greedy set-cover pick, 1 row per round
             .localCheckpoint(eager=False)
         )
         covered = (
@@ -3450,6 +3455,7 @@ def corpus_greedy_source_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sv.join(win.select("source"), "source").select("token")
             )
             .distinct()
+            # ckpt-grain: iterative-loop — covered-token state; checkpoint truncates per-round lineage
             .localCheckpoint(eager=False)
         )
         wins = win if wins is None else wins.unionByName(win)
@@ -4302,6 +4308,7 @@ def text_bleu_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grams feeds both the reference index and the candidate side
     grams = grams.groupBy("source", "n", "gram").agg(
         F.count(F.lit(1)).alias("c")
+    # ckpt-grain: slim-exception — source x gram count frame (20 sources x vocab grain)
     ).localCheckpoint(eager=False)
     ref = docs.agg(F.min("source").alias("ref_source"))
     refg = (
@@ -4984,6 +4991,7 @@ def eval_krippendorff_alpha_langid(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("predicted_lang").alias("b"),
             F.col("maj_lang").alias("c"),
         )
+        # ckpt-grain: slim-exception — 3-col doc-grain label triple
         .localCheckpoint(eager=False)
     )
     per_unit = units.select(
@@ -5401,6 +5409,7 @@ def mixture_doremi_tilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = text_trigram_lm_score(spark, sf_dir)
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     per_doc = lm.join(docs, "doc_id").select("source", "avg_logp_micro")
+    # ckpt-grain: slim-exception — 2-col doc-grain score frame
     per_doc = per_doc.localCheckpoint(eager=False)  # feeds per-src + baseline
     per_src = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -5424,6 +5433,7 @@ def mixture_doremi_tilt(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " excess_micro)) / 1000000.0) * 1e12) AS BIGINT)"
             ),
         )
+        # ckpt-grain: bounded — source-grain (20 rows)
         .localCheckpoint(eager=False)  # feeds tot + the report
     )
     tot = tilt.agg(F.sum("e12").cast("decimal(38,0)").alias("se"))

@@ -36,6 +36,35 @@ Rules (per query, formatted physical plan at sf0.001):
                       an ALLOW_SINGLE_PARTITION entry naming the
                       bounded grain.
 
+  R8 ckpt-grain     — SOURCE rule (r12, r11 verdict task 5): every
+                      `.localCheckpoint(` call site in the package must
+                      carry a `ckpt-grain:` annotation (same line or
+                      within 4 lines above) naming why eviction of its
+                      blocks cannot be data-scale-fatal:
+                        bounded        — frame size is bounded regardless
+                                         of input scale (aggregated grain,
+                                         top-k, scalar anchors)
+                        iterative-loop — loop-carried state where
+                                         checkpoint is REQUIRED (persist
+                                         keeps lineage; an iterated plan
+                                         grows without bound); the
+                                         eviction risk is the accepted
+                                         price of bounded plans
+                        slim-exception — data-proportional but a few
+                                         narrow columns (id/key sets),
+                                         documented at the site
+                      An unannotated site is a finding: the r11 A/B
+                      showed a localCheckpoint block evicted under
+                      storage pressure KILLS the query ("Block rdd_N
+                      does not exist") where persist() recomputes — on
+                      a data-proportional frame at 100 TB that is a
+                      production outage. Data-proportional shared
+                      frames must use persist() (the r11 wave moved 18
+                      of them). The unused-annotation audit flags
+                      `ckpt-grain:` tags with no call in window (a
+                      stale tag is the same blind spot as a dead
+                      allowlist entry).
+
 This is the continuous form of the per-query plan audits in
 tests/test_plans.py: those pin the headline shapes deeply; this lint
 keeps the OTHER ~300 queries from silently regressing into a
@@ -44,7 +73,10 @@ scale-killer as they evolve.
 
 from __future__ import annotations
 
+import glob
 import json
+import os
+import re
 import sys
 
 sys.path.insert(0, ".")
@@ -569,6 +601,55 @@ def lint_one_precheckpoint(name: str, plan: str) -> list[dict]:
     return findings
 
 
+# ---- R8: localCheckpoint grain annotations (source scan) ----
+CKPT_GRAIN_TAGS = {"bounded", "iterative-loop", "slim-exception"}
+_CKPT_ANNOT_RE = re.compile(r"ckpt-grain:\s*([a-z][a-z-]*)")
+_CKPT_WINDOW = 4  # annotation must sit on the call line or ≤4 lines above
+
+
+def lint_checkpoint_grains(pkg_dir: str) -> tuple[list[dict], list[dict]]:
+    """R8: scan package source for `.localCheckpoint(` call sites and
+    require a grain annotation at each (see module docstring). Returns
+    (findings, unused_annotations). Source-level by design: the
+    physical plan cannot distinguish a checkpoint that is fatal under
+    eviction from one that is not — only the author's grain claim can,
+    so the lint pins the claim to the site and audits staleness."""
+    findings: list[dict] = []
+    unused: list[dict] = []
+    root = os.path.dirname(pkg_dir.rstrip("/"))
+    for path in sorted(glob.glob(os.path.join(pkg_dir, "**", "*.py"), recursive=True)):
+        lines = open(path).read().splitlines()
+        rel = os.path.relpath(path, root)
+        call_idx = [
+            i
+            for i, line in enumerate(lines)
+            if ".localCheckpoint(" in line.split("#", 1)[0]
+        ]
+        annots = {
+            i: m.group(1)
+            for i, line in enumerate(lines)
+            if (m := _CKPT_ANNOT_RE.search(line))
+        }
+        for c in call_idx:
+            tags = [annots[a] for a in range(max(0, c - _CKPT_WINDOW), c + 1) if a in annots]
+            if not tags:
+                findings.append(
+                    {"rule": "R8-unannotated-localCheckpoint", "site": f"{rel}:{c + 1}"}
+                )
+            elif tags[-1] not in CKPT_GRAIN_TAGS:
+                findings.append(
+                    {
+                        "rule": "R8-unknown-grain-tag",
+                        "site": f"{rel}:{c + 1}",
+                        "tag": tags[-1],
+                    }
+                )
+        for a, tag in annots.items():
+            if not any(a <= c <= a + _CKPT_WINDOW for c in call_idx):
+                unused.append({"site": f"{rel}:{a + 1}", "tag": tag})
+    return findings, unused
+
+
 def compute_unused_allowlists(pattern_seen: dict[str, dict[str, bool]]) -> dict:
     """Allowlist entries whose checked plan no longer contains the
     exempted pattern — each is a lint blind spot (the rule could not
@@ -686,7 +767,16 @@ def main() -> None:
     finally:
         _DF.localCheckpoint = _orig_ckpt  # type: ignore[method-assign]
 
+    # ---- R8: localCheckpoint grain annotations (source scan) ----
+    pkg_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "leadsight_sales_agent_spark",
+    )
+    r8_findings, r8_unused = lint_checkpoint_grains(pkg_dir)
+    findings.extend(r8_findings)
+
     unused_allowlist = compute_unused_allowlists(pattern_seen)
+    unused_allowlist["ckpt_grain_annotations"] = r8_unused
     # exact-allowlist audit for the pre-checkpoint lists: an entry is
     # unused when the flattened plan lacks the pattern OR the name is
     # already exempted by the main list (dead shadowing)
