@@ -70,7 +70,7 @@ SQL_VALID_JSON_EVENTS = (
     " AS props) FROM events)"
 )
 
-# NULL event-time device (r11, planted-NULLs ts wave): a row with no
+# NULL event-time contract (r11, planted-NULLs ts wave): a row with no
 # event time cannot be placed on a timeline — it has no window bucket,
 # no session, no position in any ORDER BY ts frame, no interval — and
 # the engines DISAGREE about where the NULL sorts (Spark NULLS FIRST,
@@ -78,10 +78,10 @@ SQL_VALID_JSON_EVENTS = (
 # event-TIME query drops such rows at entry on BOTH engines (exactly
 # what a streaming watermark does to a null event time). Queries that
 # only count/group events keep the rows — time-agnostic aggregates
-# stay total. Spark twin: `.filter(F.col("ts").isNotNull())`.
-SQL_TIMED_EVENTS = "(SELECT * FROM events WHERE ts IS NOT NULL)"
-
-# timed + finite-value in one entry (the common windowed-measure shape)
+# stay total. Spark twin: `.filter(F.col("ts").isNotNull())`; oracles
+# either take this view (timed + finite value in one entry — the
+# common windowed-measure shape) or, where only one CTE anchors on
+# event time (min-ts funnels/survival), an inline `ts IS NOT NULL`.
 SQL_TIMED_FINITE_EVENTS = (
     "(SELECT * REPLACE (CASE WHEN isfinite(value) THEN value ELSE NULL END"
     " AS value) FROM events WHERE ts IS NOT NULL)"

@@ -66,7 +66,7 @@ def funnel_fold(evs_col: str = "evs"):
     oracle="""
     WITH s AS (
         SELECT user_id, min(ts) AS t1 FROM events
-        WHERE event_type = 'signup' GROUP BY 1
+        WHERE event_type = 'signup' AND ts IS NOT NULL GROUP BY 1
     ), v AS (
         SELECT e.user_id, min(e.ts) AS t2 FROM events e
         JOIN s ON e.user_id = s.user_id
@@ -101,7 +101,15 @@ def funnel_ordered_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     is 4 timestamps. (Same fold-over-sorted-events shape as the
     stateful sessionizer in streaming/demo.py, minus the Python.)
     """
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # ts IS NOT NULL at entry (r12, advisor finding): without it a user
+    # whose EVERY signup is timestampless diverges — the oracle's
+    # count(*) over the min-anchor CTE counts the min=NULL group while
+    # count(f.t1) skips it (the watermark contract, SURVEY 8.15/8.16).
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_type")
+    )
     grouped = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
     )
@@ -889,6 +897,7 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        # ckpt-grain: slim-exception — 2-col distinct order x part keys shared by 4 consumers
         .localCheckpoint(eager=False)
     )
     n = lines.select("l_orderkey").distinct().agg(
@@ -936,6 +945,7 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
                lag(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), marked AS (
         SELECT user_id, event_id, event_type, ts,
@@ -981,7 +991,10 @@ def attribution_first_touch_session(spark: SparkSession, sf_dir: str) -> DataFra
     the attribution join all reuse ONE partitioning, so the whole
     pipeline is a single shuffle lineage at 100 TB.
     """
-    ev = load(spark, sf_dir, "events")
+    # ts IS NOT NULL at entry (r12): a timestampless event has no
+    # session position (the watermark contract); engines disagree on
+    # NULL placement under ORDER BY ts
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w_order = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag("ts").over(w_order)
@@ -1649,7 +1662,7 @@ def funnel_fold_deadline(evs_col: str = "evs", hours: int = 48):
     oracle="""
     WITH s AS (
         SELECT user_id, min(ts) AS t1 FROM events
-        WHERE event_type = 'signup' GROUP BY 1
+        WHERE event_type = 'signup' AND ts IS NOT NULL GROUP BY 1
     ), v AS (
         SELECT e.user_id, min(e.ts) AS t2 FROM events e
         JOIN s ON e.user_id = s.user_id
@@ -1687,7 +1700,13 @@ def funnel_windowed_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
     one groupBy(user_id), sorted-array fold, all four stages in one
     pass — the chained-join oracle re-shuffles the log per stage.
     """
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # ts IS NOT NULL at entry: same all-null-anchor seam as
+    # funnel_ordered_stages (r12, advisor finding)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_type")
+    )
     grouped = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
     )
@@ -1832,6 +1851,7 @@ def market_basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame
         # r8: lines feeds 3 consumers (both pair legs + the prune) and
         # pruned feeds the 3 triple legs — checkpoint both so the scan
         # and the pair-mining lineage run once, not per leg
+        # ckpt-grain: slim-exception — 2-col distinct order x part keys shared by 3 consumers
         .localCheckpoint(eager=False)
     )
     a = lines.select("ok", F.col("p").alias("pa"))
@@ -1852,6 +1872,7 @@ def market_basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame
     pruned = (
         lines.join(F.broadcast(fitems), "p")
         .select("ok", "p")
+        # ckpt-grain: slim-exception — order x frequent-item keys (pruned subset of lines)
         .localCheckpoint(eager=False)
     )
     pa = pruned.select(F.col("ok").alias("ok_a"), F.col("p").alias("part_a"))
@@ -2244,7 +2265,7 @@ def forecast_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH anchor AS (
         SELECT user_id, min(ts) AS t0 FROM events
-        WHERE event_type = 'signup' GROUP BY 1
+        WHERE event_type = 'signup' AND ts IS NOT NULL GROUP BY 1
     ),
     outcome AS (
         SELECT a.user_id,
@@ -2253,6 +2274,7 @@ def forecast_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(e.ts) AS tlast,
                any_value(a.t0) AS t0
         FROM anchor a JOIN events e ON e.user_id = a.user_id
+        WHERE e.ts IS NOT NULL
         GROUP BY 1
     ),
     spells AS (
@@ -2322,7 +2344,14 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain (calendar-bounded), after one user-grain fold over the
     fact table: two shuffles total, both on small grains.
     """
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # ts IS NOT NULL at entry (r12): a user whose whole anchor stage is
+    # timestampless yields a NULL-duration spell whose ORDER BY dur
+    # placement the engines disagree on (the watermark contract)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_type")
+    )
     anchor = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -3438,6 +3467,7 @@ def eval_auc_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS cents,
                lag(ts) OVER w AS prev_ts
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -3503,7 +3533,9 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     from leadsight_sales_agent_spark.functions.numeric import finite
 
-    ordered = load(spark, sf_dir, "events").select(
+    # ts IS NOT NULL at entry (r12): a timestampless touch has no
+    # session position (the watermark contract)
+    ordered = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "user_id",
         "event_id",
         "event_type",
@@ -4333,6 +4365,7 @@ def attribution_shapley_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pre, F.expr("(umask & mask) = umask"), "left")
         .groupBy("mask")
         .agg(F.count("user_id").cast("bigint").alias("v"))
+        # ckpt-grain: bounded — 16 coalition rows
         .localCheckpoint(eager=False)
     )
     channels = spark.createDataFrame(
@@ -6449,6 +6482,7 @@ def forecast_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # r8: the 12-row ACF stage feeds the n anchor AND the term grid —
     # checkpoint so the lag-alignment stage runs once
+    # ckpt-grain: bounded — 12-row monthly ACF grain
     acf = forecast_acf_monthly(spark, sf_dir).localCheckpoint(eager=False)
     nn = acf.agg(
         (
@@ -6933,6 +6967,7 @@ SPRT_LOWER = int(round(_math.log(1.0 / 19.0) * 1e12))
                     ELSE {SPRT_L_MISS} END AS llr
         FROM events
         WHERE {_SQL_HASH.format(salt="sprt:", key="user_id")} < '80000000'
+          AND ts IS NOT NULL
     ),
     walk AS (
         SELECT row_number() OVER (ORDER BY ts, event_id) AS n,
@@ -6987,9 +7022,12 @@ def ab_sprt_sequential_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from leadsight_sales_agent_spark.functions.ranks import sharded_prefix
 
+    # ts IS NOT NULL at entry (r12): a timestampless observation has no
+    # position in the ORDER BY ts walk (the watermark contract)
     obs = (
         load(spark, sf_dir, "events")
         .filter(hash_key("sprt:", F.col("user_id")) < "80000000")
+        .filter(F.col("ts").isNotNull())
         .select(
             "event_id",
             "ts",
@@ -7010,6 +7048,7 @@ def ab_sprt_sequential_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
             sums={"cum": "llr"},
         )
         .select("n", "cum")
+        # ckpt-grain: slim-exception — see comment: slim 2-col cumulative walk, kept after the r11 audit
         .localCheckpoint()  # slim 2-column walk; checkpoint kept (r11 rule exception)
     )
     crossing = walk.filter(
@@ -7159,7 +7198,7 @@ LOGRANK_CHI2_1DF_5PCT_E4 = 38415  # chi-square(1) 5% critical value x1e4
     oracle=f"""
     WITH anchor AS (
         SELECT user_id, min(ts) AS t0 FROM events
-        WHERE event_type = 'signup' GROUP BY 1
+        WHERE event_type = 'signup' AND ts IS NOT NULL GROUP BY 1
     ),
     outcome AS (
         SELECT a.user_id,
@@ -7168,6 +7207,7 @@ LOGRANK_CHI2_1DF_5PCT_E4 = 38415  # chi-square(1) 5% critical value x1e4
                max(e.ts) AS tlast,
                any_value(a.t0) AS t0
         FROM anchor a JOIN events e ON e.user_id = a.user_id
+        WHERE e.ts IS NOT NULL
         GROUP BY 1
     ),
     spells AS (
@@ -7263,7 +7303,9 @@ def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict. Scale: spells build on the KM plan; everything after runs
     on the duration grain (bounded by the observation window in days).
     """
-    ev = load(spark, sf_dir, "events")
+    # ts IS NOT NULL at entry (r12): the KM all-null-anchor seam —
+    # NULL-duration spells order differently per engine
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     anchor = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -7300,6 +7342,7 @@ def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("x_g"),
     # r8: pg (bounded duration grain) feeds the event-time set and all
     # three grid legs — checkpoint so the spell build runs once
+    # ckpt-grain: bounded — arm x duration grain
     ).localCheckpoint(eager=False)
     times = pg.filter(F.col("d_g") > 0).select("dur").distinct()
     grid = (
@@ -7841,6 +7884,7 @@ def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = monthly.select(
         F.row_number().over(Window.orderBy("mon")).cast("bigint").alias("idx"),
         "v",
+    # ckpt-grain: bounded — month-grain series
     ).localCheckpoint(eager=False)
     legs = {}
     for m in HURST_WINDOWS:
@@ -7989,7 +8033,7 @@ def ops_queueing_mm1_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH anchor AS (
         SELECT user_id, min(ts) AS t0 FROM events
-        WHERE event_type = 'signup' GROUP BY 1
+        WHERE event_type = 'signup' AND ts IS NOT NULL GROUP BY 1
     ),
     outcome AS (
         SELECT a.user_id,
@@ -7998,6 +8042,7 @@ def ops_queueing_mm1_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(e.ts) AS tlast,
                any_value(a.t0) AS t0
         FROM anchor a JOIN events e ON e.user_id = a.user_id
+        WHERE e.ts IS NOT NULL
         GROUP BY 1
     ),
     spells AS (
@@ -8067,7 +8112,8 @@ def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs), duration-grain collapse, windows on the bounded duration
     domain.
     """
-    ev = load(spark, sf_dir, "events")
+    # ts IS NOT NULL at entry (r12): the KM all-null-anchor seam
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     anchor = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -8844,6 +8890,7 @@ def eval_bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS DECIMAL(25,6))) * 1000000 AS BIGINT)"
             ).alias("v")
         )
+        # ckpt-grain: bounded — brand x month grain
         .localCheckpoint(eager=False)
     )
     a = monthly.select(
@@ -8865,10 +8912,12 @@ def eval_bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_ij")
         )
+        # ckpt-grain: bounded — brand-pair duel grain
         .localCheckpoint(eager=False)
     )
     wins = duels.groupBy(F.col("i").alias("brand")).agg(
         F.sum("n_ij").cast("bigint").alias("w_total")
+    # ckpt-grain: bounded — brand-grain win totals
     ).localCheckpoint(eager=False)
     w = wins.select("brand", F.lit(BT_PPM).cast("bigint").alias("w"))
     rev = duels.select(
@@ -8876,6 +8925,7 @@ def eval_bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pair_n = duels.join(rev, ["i", "j"]).select(
         "i", "j", (F.col("n_ij") + F.col("n_ji")).alias("n_pair")
+    # ckpt-grain: bounded — brand-pair grain
     ).localCheckpoint(eager=False)
     for _ in range(BT_ITERS):
         wi = w.select(F.col("brand").alias("i"), F.col("w").alias("wi"))
@@ -8897,6 +8947,7 @@ def eval_bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = wins.join(den, "brand").select(
             "brand",
             F.expr("CAST(w_total AS DOUBLE) / CAST(den AS DOUBLE)").alias("r"),
+        # ckpt-grain: iterative-loop — Bradley-Terry fixed-point state, brand grain per round
         ).localCheckpoint(eager=False)
         mx = raw.agg(F.max("r").alias("mx"))
         w = raw.crossJoin(F.broadcast(mx)).select(
@@ -9078,6 +9129,7 @@ def eval_harrell_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND the grid join — checkpoint so the per-user fold runs once
     cells = bucketed.groupBy("dur", "bucket").agg(
         F.count("*").alias("n_all"), F.sum("died").cast("long").alias("n_ev")
+    # ckpt-grain: bounded — duration x decile grain
     ).localCheckpoint(eager=False)
     times = cells.select("dur").distinct()
     bgrid = spark.range(1, 11).select(F.col("id").cast("int").alias("bucket"))
@@ -9548,6 +9600,7 @@ def anomaly_seasonal_hybrid_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     rem = (
         series.join(F.broadcast(seasonal), series.moy == F.col("smoy"))
         .select("mi", (F.col("cents") - F.col("smed")).alias("resid"))
+        # ckpt-grain: bounded — month-grain residual series
         .localCheckpoint(eager=False)
     )
     out_rounds = []
@@ -9571,6 +9624,7 @@ def anomaly_seasonal_hybrid_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
             with_med.crossJoin(F.broadcast(mad))
             .orderBy(F.abs(F.col("resid") - F.col("med")).desc(), "mi")
             .limit(1)
+            # ckpt-grain: iterative-loop — ESD candidate pick, 1 row per round
             .localCheckpoint(eager=False)
         )
         out_rounds.append(
@@ -9591,6 +9645,7 @@ def anomaly_seasonal_hybrid_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
         removed = pick.select(F.col("mi").alias("rmi"))
         rem = (
             rem.join(F.broadcast(removed), rem.mi == F.col("rmi"), "left_anti")
+            # ckpt-grain: iterative-loop — residual-set state; checkpoint truncates per-round lineage
             .localCheckpoint(eager=False)
         )
     out = out_rounds[0]
@@ -10036,6 +10091,7 @@ def forecast_pinball_loss_quantile(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(
             F.greatest(3 * (3 * F.col("v") - F.col("s3")), -(3 * F.col("v") - F.col("s3")))
         ).cast("decimal(38,0)").alias("ma75"),
+    # ckpt-grain: bounded — aggregated seasonal-strength sums (one row per series)
     ).localCheckpoint(eager=False)
 
     def leg(name: str, c50: str, c75: str, d50: int, d75: int) -> DataFrame:
@@ -10304,6 +10360,7 @@ def ab_permutation_test_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("arm_a"),
             F.coalesce("ry", F.lit(0)).alias("y"),
         )
+        # ckpt-grain: slim-exception — see comment: slim 3-int customer-grain rows, kept after the r11 audit
         .localCheckpoint(eager=False)  # slim 3-int rows; checkpoint kept (r11 rule exception)
     )
     g = units.agg(
@@ -10627,6 +10684,7 @@ def forecast_theta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     coef = sums.select(
         F.expr(f"{_TH2_STT} * b0 - {_TH2_ST} * b1").alias("na"),
         F.expr(f"{_TH2_N} * b1 - {_TH2_ST} * b0").alias("nb"),
+    # ckpt-grain: bounded — 1-row regression coefficients
     ).localCheckpoint(eager=False)
     theta = series.crossJoin(F.broadcast(coef)).select(
         "t",
@@ -10846,6 +10904,7 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered.join(firstp, ordered.user_id == F.col("pu"), "left")
         .filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
         .select("user_id", "event_type", "rn")
+        # ckpt-grain: slim-exception — 3-col per-user event ranks truncated at first purchase
         .localCheckpoint(eager=False)
     )
     wc = Window.partitionBy("user_id").orderBy("rn")

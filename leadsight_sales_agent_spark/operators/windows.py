@@ -898,7 +898,7 @@ def window_range_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH fu AS (
         SELECT event_type, user_id, min(CAST(ts AS DATE)) AS first_day
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ), daily AS (
         SELECT event_type, first_day AS day, count(*) AS new_users
         FROM fu GROUP BY 1, 2
@@ -925,7 +925,10 @@ def window_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     days rows, negligible at any scale. All integer counts; date
     ordering is total per partition (one row per day).
     """
-    ev = load(spark, sf_dir, "events")
+    # ts IS NOT NULL at entry (r12): a (type, user) pair whose every
+    # event is timestampless yields a NULL first_day whose ORDER BY
+    # placement the engines disagree on (the watermark contract)
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     fu = ev.groupBy("event_type", "user_id").agg(
         F.min(F.col("ts").cast("date")).alias("first_day")
     )
@@ -3799,6 +3802,7 @@ def window_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = (
         months.join(rev, "t", "left")
         .select("t", F.coalesce("y", F.lit(0)).alias("y"))
+        # ckpt-grain: bounded — LTTB_N-row month grid
         .localCheckpoint(eager=False)
     )
     prev = series.filter(F.col("t") == 1).select(
@@ -3842,6 +3846,7 @@ def window_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy(F.desc("a2"), "t")
             .limit(1)
+            # ckpt-grain: iterative-loop — per-bucket limit(1) pick; 1 row per iteration
             .localCheckpoint(eager=False)
         )
         out.append(

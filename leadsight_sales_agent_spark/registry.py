@@ -91,6 +91,14 @@ _PANEL_50 = [
     # rotation program: every oracle-backed query will have at least
     # one driver row or a judge spot-run row. Rotated-out queries stay
     # oracle-checked locally every round via tools/check_oracle.py.
+    # r13 plan (drafted r12): if this panel comes back green, rotate to
+    # (a) the four judge-spot-ran stragglers (text_heaps_law_fit,
+    # window_downsample_lttb, forecast_theta_method,
+    # storage_rle_sortedness_audit) for a driver row of their own, plus
+    # (b) a regression-sentinel sample of ~46 previously-confirmed
+    # queries, at least one per SURVEY §2 family, weighted toward the
+    # queries whose code changed since their last driver row (the r12
+    # null-ts wave members and the persist-wave frames first).
     "ab_power_mde_planner",
     "ab_sprt_sequential_boundary",
     "ab_tost_equivalence",

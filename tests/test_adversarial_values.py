@@ -207,15 +207,16 @@ class TestAdversarialValues:
 
     def test_null_embedding_excluded_from_norm_stats(self, spark, adv_dir):
         # null vectors (7/20/33), corrupted-component vectors (9 NaN /
-        # 13 Inf), and the NULL-ELEMENT vector (25 — r11 plant) report
-        # no norm; the zero vector (5) DOES report — norm 0 is a fact
-        # about a present, finite vector
+        # 13 Inf), and the NULL-ELEMENT vectors (25 — r11 plant; 4 —
+        # r12 plant below N_QUERIES) report no norm; the zero vector
+        # (5) DOES report — norm 0 is a fact about a present, finite
+        # vector
         import pyarrow.parquet as pq
 
         rows = registry.QUERIES["embedding_norm_stats"](spark, adv_dir).collect()
         n_reported = sum(r["n_vecs"] for r in rows)
         n_total = pq.read_table(f"{adv_dir}/embeddings.parquet").num_rows
-        assert n_reported == n_total - 6
+        assert n_reported == n_total - 7
 
     def test_null_element_vector_dropped_by_both_engines(
         self, spark, adv_dir
@@ -225,7 +226,11 @@ class TestAdversarialValues:
         list_filter treats a NULL lambda result as false, so the old
         `x -> NOT isfinite(x)` twin KEPT the vector — the SQL twins
         now test `x IS NULL OR NOT isfinite(x)`. Checked on both
-        engines against the planted vector 25."""
+        engines against the planted vectors 25 (neighbor side) and 4
+        (query side — knn query vectors are capped at vec_id <
+        N_QUERIES = 10, so only a plant below 10 can exercise the
+        query_id leg of the drop; the r11 assertion on query_id != 25
+        was vacuous, advisor r12)."""
         import duckdb
 
         from leadsight_sales_agent_spark.operators.similarity import (
@@ -234,7 +239,10 @@ class TestAdversarialValues:
 
         rows = registry.QUERIES["knn_cosine_bruteforce"](spark, adv_dir).collect()
         assert rows
-        assert all(r["query_id"] != 25 and r["neighbor_id"] != 25 for r in rows)
+        assert all(
+            r["query_id"] not in (4, 25) and r["neighbor_id"] not in (4, 25)
+            for r in rows
+        )
         con = duckdb.connect()
         con.execute(
             "CREATE VIEW embeddings AS SELECT * FROM "
@@ -247,7 +255,8 @@ class TestAdversarialValues:
             ).fetchall()
         }
         con.close()
-        assert 25 not in kept and 9 not in kept and 13 not in kept
+        assert 25 not in kept and 4 not in kept
+        assert 9 not in kept and 13 not in kept
         assert 5 in kept  # all-zero is finite: dropped by NONZERO, not here
 
     def test_subnormal_min_float32_vector_has_positive_norm(self, spark):

@@ -116,6 +116,18 @@ NULL_PLAN = {
     "customer": {"c_acctbal": 7},
 }
 
+# ALL-null event-time plants layered on top of the modular ts plant
+# (r12): (user_id, event_type) -> every ts of that user+type becomes
+# NULL; event_type None nulls the user's whole timeline. Exercises the
+# min(ts)-anchor seam the modular plant cannot reach (a user whose
+# ENTIRE anchor stage has no timestamps).
+NULL_TS_USER_PLANTS = (
+    (13, "signup"),  # all-null anchor stage (the funnel n_signup seam)
+    (11, "view"),  # all-null middle stage
+    (12, "purchase"),  # all-null terminal stage
+    (0, None),  # user with no usable timeline at all
+)
+
 # adversarial non-null values (--adv): row index -> replacement text.
 # Short/empty/degenerate documents — the descending-sequence /
 # INVALID_ARRAY_INDEX class; n_chars is recomputed to stay consistent.
@@ -158,6 +170,11 @@ def _plant_adversarial(t: str, tb):
         # list_filter treated the NULL lambda result as false -> row
         # kept; pins the `x IS NULL OR NOT isfinite(x)` SQL twins.
         rows[25]["embedding"][2] = None
+        # second NULL-element plant BELOW N_QUERIES=10 (r12, advisor
+        # finding): knn query vectors are capped at vec_id < 10, so a
+        # plant at 25 can only ever pin the NEIGHBOR side — vector 4
+        # pins the query_id side of the drop contract too.
+        rows[4]["embedding"][1] = None
     elif t == "events":
         for i in range(10, 15):  # exact five-way value tie
             rows[i]["value"] = 100.0
@@ -200,6 +217,22 @@ def build_fixture(src_dir: str, out_dir: str, rows: int) -> None:
                 c = tb.column(col).combine_chunks()
                 nulled = pc.if_else(mask, pa.nulls(n, c.type), c)
                 tb = tb.set_column(tb.schema.get_field_index(col), col, nulled)
+            if t == "events":
+                # ALL-null-per-user plants (r12, advisor finding): the
+                # 1-in-13 modular plant never nulls EVERY signup of one
+                # user, so min(ts)-anchored funnels could diverge
+                # (oracle count(*) counts a min=NULL group, Spark's
+                # count(f.t1) skips it) while the gate stayed green by
+                # data luck. Users 0-14 each have all four funnel
+                # stages in the sf0.001 slice; null one full stage for
+                # three of them and the entire timeline for a fourth.
+                for uid, etype in NULL_TS_USER_PLANTS:
+                    m = pc.equal(tb.column("user_id"), uid)
+                    if etype is not None:
+                        m = pc.and_(m, pc.equal(tb.column("event_type"), etype))
+                    c = tb.column("ts").combine_chunks()
+                    nulled = pc.if_else(m, pa.nulls(tb.num_rows, c.type), c)
+                    tb = tb.set_column(tb.schema.get_field_index("ts"), "ts", nulled)
         pq.write_table(tb, f"{out_dir}/{t}.parquet")
 
 
