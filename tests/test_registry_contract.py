@@ -92,15 +92,22 @@ class TestRegistry:
         # row (zero never-graded residue per COVERAGE.md) are exempt —
         # the check's purpose (no family left ungraded) is permanently
         # satisfied for them, and re-burning panel slots on confirmed
-        # anchors delays confirmation of the real residue. Remove a
-        # family from the exemption the moment a NEW member registers.
-        # r11: joins, sketches, and curation joined the exemption —
-        # their last never-graded members were confirmed in r10
-        # (join_bloom_runtime_filter_audit, sketch_count_sketch_estimates
-        # / the device picks, mixture_temperature_weights).
-        fully_confirmed = {"setops", "fidelity", "json", "urls",
-                           "fuzzy_dedup", "joins", "sketches",
-                           "curation"}
+        # anchors delays confirmation of the real residue. The
+        # exemption lifts the moment a NEW (ungraded) member registers.
+        # r12: the exemption is now DERIVED from the committed
+        # CORRECTNESS_r*.json grade history instead of a hand-kept set
+        # (after the seventh consecutive green round every family
+        # below is fully confirmed, and a stale hand-kept list was the
+        # only failure mode left in this test — the r12 residue-only
+        # panel exposed exactly that).
+        import glob as _glob
+        import json as _json
+        import os as _os
+
+        _root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        graded: set[str] = set()
+        for f in _glob.glob(_os.path.join(_root, "CORRECTNESS_r*.json")):
+            graded |= set(_json.load(open(f)))
         panel = set(registry._PANEL_50)
         families = {
             "joins": {"join_asof_nearest_tolerance", "join_bloom_runtime_filter_audit", "cogroup_reconcile_orders_events", "join_asof_purchase_last_click", "tpch_q7_volume_shipping",
@@ -190,9 +197,9 @@ class TestRegistry:
                          "pipeline_curate_and_pack", "pipeline_full_release"},
         }
         missing = {
-            fam: sorted(members)
+            fam: sorted(members - graded)
             for fam, members in families.items()
-            if fam not in fully_confirmed and not (members & panel)
+            if (members - graded) and not (members & panel)
         }
         assert not missing, missing
 
