@@ -94,7 +94,9 @@ _PANEL_50 = [
     # r13 plan (drafted r12): if this panel comes back green, rotate to
     # (a) the four judge-spot-ran stragglers (text_heaps_law_fit,
     # window_downsample_lttb, forecast_theta_method,
-    # storage_rle_sortedness_audit) for a driver row of their own, plus
+    # storage_rle_sortedness_audit) for a driver row of their own and
+    # multimodal_decode_rle_bmp_stats (registered r12, after this
+    # panel froze), plus
     # (b) a regression-sentinel sample of ~46 previously-confirmed
     # queries, at least one per SURVEY §2 family, weighted toward the
     # queries whose code changed since their last driver row (the r12

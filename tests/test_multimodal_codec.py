@@ -97,3 +97,95 @@ class TestPpmCodec:
             decode_ppm(good[:-2])  # truncated pixel data
         with pytest.raises(ValueError):
             decode_ppm(b"P6\n4")  # truncated header
+
+
+class TestRle8Codec:
+    """BI_RLE8 pins (r12): the decompression state machine — run
+    splits, absolute mode + word padding, EOL/EOB, palette lookup,
+    bottom-up flip — plus every refusal path."""
+
+    PAL = [(i, (3 * i) % 256, (7 * i) % 256) for i in range(256)]
+
+    def _enc(self, w, h, idx, abs_row=lambda y: y % 3 == 0):
+        from leadsight_sales_agent_spark.operators.multimodal import (
+            encode_bmp_rle8,
+        )
+
+        return encode_bmp_rle8(w, h, idx, self.PAL, abs_row)
+
+    def test_roundtrip_runs_and_absolute_rows(self):
+        from leadsight_sales_agent_spark.operators.multimodal import (
+            decode_bmp_rle8,
+        )
+
+        for w in range(4, 12):
+            for h in (3, 4, 7):
+                n1 = (w + 1) // 2
+                idx = lambda x, y: (9 + 11 * y + (0 if x < n1 else 5)) % 256
+                payload = self._enc(w, h, idx)
+                dw, dh, rows = decode_bmp_rle8(payload)
+                assert (dw, dh) == (w, h)
+                assert rows == [
+                    [self.PAL[idx(x, y)] for x in range(w)] for y in range(h)
+                ]
+                # declared file size and biSizeImage match reality
+                import struct
+
+                assert struct.unpack_from("<I", payload, 2)[0] == len(payload)
+                data_off = struct.unpack_from("<I", payload, 10)[0]
+                assert struct.unpack_from("<I", payload, 34)[0] == len(
+                    payload
+                ) - data_off
+
+    def test_absolute_mode_pads_odd_counts_to_word(self):
+        # w=9 -> first run n1=5 (odd) through absolute mode on y%3==0
+        # rows: escape(2) + 5 literals + 1 pad; same image with
+        # abs_row=False is all encoded runs — the byte delta per
+        # absolute row is exactly 2 + n1 + 1 - 2 = n1 + 1
+        idx = lambda x, y: 1 if x < 5 else 2
+        with_abs = self._enc(9, 3, idx)
+        without = self._enc(9, 3, idx, abs_row=lambda y: False)
+        assert len(with_abs) - len(without) == 6  # one abs row (y=0): 5+1
+
+    def test_top_row_is_row_zero(self):
+        from leadsight_sales_agent_spark.operators.multimodal import (
+            decode_bmp_rle8,
+        )
+
+        idx = lambda x, y: y * 10 + (0 if x < 2 else 1)
+        _, _, rows = decode_bmp_rle8(self._enc(4, 2, idx))
+        assert rows[0][0] == self.PAL[0] and rows[1][2] == self.PAL[11]
+
+    def test_stub_dispatches_on_compression_field(self):
+        from leadsight_sales_agent_spark.operators.multimodal import (
+            decode_image_stub,
+            encode_bmp,
+        )
+
+        rle = self._enc(5, 3, lambda x, y: 7)
+        assert decode_image_stub(rle)[:2] == (5, 3)  # comp=1 -> RLE8
+        flat = encode_bmp(5, 3, lambda x, y: (1, 2, 3))
+        assert decode_image_stub(flat)[:2] == (5, 3)  # comp=0 -> 24-bit
+
+    def test_decode_refusals(self):
+        import pytest
+
+        from leadsight_sales_agent_spark.operators.multimodal import (
+            RLE8_DATA_OFF,
+            decode_bmp_rle8,
+            encode_bmp,
+        )
+
+        with pytest.raises(ValueError):
+            decode_bmp_rle8(encode_bmp(4, 4, lambda x, y: (0, 0, 0)))  # comp=0
+        good = bytearray(self._enc(6, 4, lambda x, y: 1))
+        over = good.copy()
+        over[RLE8_DATA_OFF] = 200  # encoded run overflows the 6-wide row
+        with pytest.raises(ValueError):
+            decode_bmp_rle8(bytes(over))
+        with pytest.raises(ValueError):
+            decode_bmp_rle8(bytes(good[:-4]))  # no end-of-bitmap
+        delta = good.copy()
+        delta[RLE8_DATA_OFF : RLE8_DATA_OFF + 2] = b"\x00\x02"  # delta escape
+        with pytest.raises(ValueError):
+            decode_bmp_rle8(bytes(delta))
