@@ -126,6 +126,11 @@ NULL_TS_USER_PLANTS = (
     (11, "view"),  # all-null middle stage
     (12, "purchase"),  # all-null terminal stage
     (0, None),  # user with no usable timeline at all
+    # TYPE-wide plant (r12 second wave): EVERY 'error' event loses its
+    # timestamp, across all users — reaches whole-type anchors
+    # (min(ts) per event_type / per (type, day) grids) that the
+    # per-user plants cannot make all-NULL.
+    (None, "error"),
 )
 
 # adversarial non-null values (--adv): row index -> replacement text.
@@ -227,9 +232,12 @@ def build_fixture(src_dir: str, out_dir: str, rows: int) -> None:
                 # stages in the sf0.001 slice; null one full stage for
                 # three of them and the entire timeline for a fourth.
                 for uid, etype in NULL_TS_USER_PLANTS:
-                    m = pc.equal(tb.column("user_id"), uid)
-                    if etype is not None:
-                        m = pc.and_(m, pc.equal(tb.column("event_type"), etype))
+                    if uid is None:  # type-wide plant, all users
+                        m = pc.equal(tb.column("event_type"), etype)
+                    else:
+                        m = pc.equal(tb.column("user_id"), uid)
+                        if etype is not None:
+                            m = pc.and_(m, pc.equal(tb.column("event_type"), etype))
                     c = tb.column("ts").combine_chunks()
                     nulled = pc.if_else(m, pa.nulls(tb.num_rows, c.type), c)
                     tb = tb.set_column(tb.schema.get_field_index("ts"), "ts", nulled)
