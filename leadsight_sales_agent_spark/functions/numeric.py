@@ -87,6 +87,16 @@ SQL_TIMED_FINITE_EVENTS = (
     " AS value) FROM events WHERE ts IS NOT NULL)"
 )
 
+# NULL order-DATE contract (r12, second null-time wave): the warehouse
+# sibling of the NULL event time — a row with no o_orderdate has no
+# month bucket, no ORDER BY o_orderdate frame position, no fold/
+# backtest slot — so date-anchored order queries drop it at entry on
+# BOTH engines: `WHERE o_orderdate IS NOT NULL` inline in the oracle's
+# orders scan, `.filter(F.col("o_orderdate").isNotNull())` on the
+# Spark load. Date-agnostic order aggregates keep the rows. (Inline
+# on purpose — a shared view constant would be a dead name until the
+# next wave; the r11 SQL_TIMED_EVENTS advisory.)
+
 
 BASE = 6  # micro-units: 10^-6 — captures all test-data money math exactly
 

@@ -6457,6 +6457,7 @@ _NPV_TERM_SQL = (
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
         JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate IS NOT NULL
         GROUP BY 1, 2
     ),
     idx AS (
@@ -6507,7 +6508,7 @@ def finance_npv_monthly_cashflows(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
-            load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull()).select("o_orderkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy(

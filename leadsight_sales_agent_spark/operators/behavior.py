@@ -375,7 +375,7 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS recency_days,
                count(*) AS frequency,
                sum(CAST(o_totalprice AS DECIMAL(25,6))) AS monetary
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ), scored AS (
         SELECT o_custkey, monetary,
                ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r,
@@ -409,7 +409,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbering. The one-shuffle groupBy(o_custkey) does the heavy
     lifting; everything after operates on the small per-customer frame.
     """
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     cust = o.groupBy("o_custkey").agg(
         F.datediff(
             F.lit("2001-09-01").cast("date"), F.max("o_orderdate").cast("date")
@@ -751,7 +751,7 @@ def basket_bought_a_never_b(spark: SparkSession, sf_dir: str) -> DataFrame:
                          CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
                                 ORDER BY o_orderdate, o_orderkey) AS DATE),
                          CAST(o_orderdate AS DATE)) AS gap_days
-        FROM orders
+        FROM orders WHERE o_orderdate IS NOT NULL
     )
     SELECT gap_days // 30 AS gap_bucket_months,
            count(*) AS n_gaps
@@ -769,7 +769,7 @@ def repurchase_interval_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
     everywhere. One shuffle on o_custkey; the histogram aggregate is
     map-side collapsed to ~dozens of buckets.
     """
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     gaps = o.select(
         F.datediff(
@@ -1189,7 +1189,7 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
                              AS BIGINT)) AS BIGINT) AS actual_cents
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ), f AS (
         SELECT month, actual_cents,
                lag(actual_cents, 12) OVER (ORDER BY month) AS forecast_cents
@@ -1218,7 +1218,7 @@ def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFr
     task over double-digit rows, not a scale hazard.
     """
     m = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
                 "month"
@@ -2009,7 +2009,7 @@ def eval_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(month(o_orderdate) AS BIGINT) AS moy,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
                     AS BIGINT) AS cents
-        FROM orders GROUP BY 1, 2
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     ),
     ma AS (
         SELECT month, moy, cents,
@@ -2053,7 +2053,7 @@ def forecast_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFra
     months) are excluded by construction, as the method requires.
     """
     series = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
                 "month"
@@ -2180,7 +2180,7 @@ def forecast_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
                     AS BIGINT) AS cents
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     idx AS (
         SELECT cents,
@@ -2218,7 +2218,7 @@ def forecast_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound as Mann-Kendall — calendar-bounded, never fact-bounded.
     """
     series = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
                 "month"
@@ -2426,7 +2426,7 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey,
                min(strftime(date_trunc('month', o_orderdate), '%Y-%m'))
                    AS cohort
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     spend AS (
         SELECT f.cohort,
@@ -2437,6 +2437,7 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(25,2)) * 100
                              AS BIGINT)) AS BIGINT) AS cents
         FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+        WHERE o.o_orderdate IS NOT NULL
         GROUP BY 1, 2
     ),
     sized AS (
@@ -2473,7 +2474,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the cumulative window runs per cohort over the
     (cohort, age) GRAIN — months-grid-not-facts — after one rollup.
     """
-    o = load(spark, sf_dir, "orders").select(
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull()).select(
         "o_custkey",
         "o_orderdate",
         (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint").alias(
@@ -2690,7 +2691,7 @@ def _seasonal_anomaly_oracle() -> str:
                CAST(month(o_orderdate) AS BIGINT) AS moy,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
                     AS BIGINT) AS cents
-        FROM orders GROUP BY 1, 2
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     ),
     ma AS (
         SELECT month, moy, cents,
@@ -2730,7 +2731,7 @@ def anomaly_seasonal_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "moy", "seasonal_index_bp"
     )
     series = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
                 "month"
@@ -2776,7 +2777,7 @@ def anomaly_seasonal_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
                     AS BIGINT) AS v
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     lagk AS (
         SELECT k.k, s.v,
@@ -2828,7 +2829,7 @@ def forecast_acf_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     12-way replicated month grain — 12 x ~80 rows, calendar-bounded.
     """
     series = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
                 "month"
@@ -2899,7 +2900,7 @@ def forecast_acf_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
                     AS BIGINT) AS v
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     lagk AS (
         SELECT k.k, s.v,
@@ -2991,7 +2992,7 @@ def forecast_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame
     classic tiny-aggregate broadcast shape.
     """
     series = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
                 "month"
@@ -5317,7 +5318,7 @@ def eval_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_orderpriority AS prio,
                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
                              AS BIGINT)) AS BIGINT) AS v
-        FROM orders GROUP BY 1, 2
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     ),
     complete AS (
         SELECT * FROM cell
@@ -5384,7 +5385,7 @@ def eval_friedman_blocked_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact scan is the only data-sized stage.
     """
     cell = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(
             F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
             F.col("o_orderpriority").alias("prio"),
@@ -6360,7 +6361,7 @@ def forecast_durbin_watson_residuals(spark: SparkSession, sf_dir: str) -> DataFr
     rows.
     """
     months = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .filter(
             (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -6568,7 +6569,7 @@ _G_CAST_BLOCK = (
                              AS BIGINT)) // 100000 AS BIGINT) AS y,
                CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
                              THEN 1 ELSE 0 END) AS BIGINT) AS x
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     lagged AS (
         SELECT t, y,
@@ -6620,7 +6621,7 @@ def forecast_granger_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     rows and ten scalar sums.
     """
     months = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(
             (
                 (F.year("o_orderdate") - 1992) * 12
@@ -6689,7 +6690,7 @@ _DF_T_EXPR = (
                    + CAST(month(o_orderdate) AS BIGINT) AS t,
                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
                              AS BIGINT)) // 100000 AS BIGINT) AS y
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     lagged AS (
         SELECT t, y, lag(y) OVER (ORDER BY t) AS yl FROM months
@@ -6736,7 +6737,7 @@ def forecast_dickey_fuller_unit_root(spark: SparkSession, sf_dir: str) -> DataFr
     verdict. Scale: month rollup + 83 lagged rows + six scalar sums.
     """
     months = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(
             (
                 (F.year("o_orderdate") - 1992) * 12
@@ -6797,7 +6798,7 @@ EG_CRIT_5PCT_E4 = -33700  # Engle-Granger 2-variable 5% critical value, x1e4
                              AS BIGINT)) // 100000 AS BIGINT) AS y,
                CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
                              THEN 1 ELSE 0 END) AS BIGINT) AS x
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     s1 AS (
         SELECT count(*) AS m,
@@ -6870,7 +6871,7 @@ def forecast_engle_granger_cointegration(
     ~84-row arithmetic.
     """
     months = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(
             (
                 (F.year("o_orderdate") - 1992) * 12
@@ -7663,7 +7664,7 @@ _PAGE_Z_EXPR = (
                o_orderpriority AS prio,
                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
                              AS BIGINT)) AS BIGINT) AS v
-        FROM orders GROUP BY 1, 2
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     ),
     complete AS (
         SELECT * FROM cell
@@ -7727,7 +7728,7 @@ def eval_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse, windows on the ~420-row grid, a 5-row reduce.
     """
     cell = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(
             F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
             F.col("o_orderpriority").alias("prio"),
@@ -7832,7 +7833,7 @@ def _hurst_oracle() -> str:
         SELECT date_trunc('month', o_orderdate) AS mon,
                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
                              AS BIGINT)) AS BIGINT) AS v
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     series AS (
         SELECT row_number() OVER (ORDER BY mon) AS idx, v FROM monthly
@@ -7873,7 +7874,7 @@ def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only data-sized stage (the forecast_* family's shape).
     """
     monthly = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mon"))
         .agg(
             F.sum((F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint"))
@@ -8209,7 +8210,7 @@ _U2_MA3 = (
         SELECT date_trunc('month', o_orderdate) AS mon,
                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
                              AS BIGINT)) AS BIGINT) AS v
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     series AS (
         SELECT row_number() OVER (ORDER BY mon) AS idx, v FROM monthly
@@ -8267,7 +8268,7 @@ def forecast_theil_u2_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows on the ~84-row calendar series, 1-row reduce.
     """
     monthly = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mon"))
         .agg(
             F.sum((F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint"))
@@ -9573,7 +9574,7 @@ def anomaly_seasonal_hybrid_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cents = (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long")
     rev = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .filter(F.year("o_orderdate").between(1996, 1998))
         .groupBy(
             ((F.year("o_orderdate") - 1996) * 12 + F.month("o_orderdate") - 1)
@@ -10004,7 +10005,7 @@ def forecast_causal_impact_counterfactual(spark: SparkSession, sf_dir: str) -> D
         SELECT date_trunc('month', o_orderdate) AS mon,
                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
                              AS BIGINT)) AS BIGINT) AS v
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ), series AS (
         SELECT row_number() OVER (ORDER BY mon) AS idx, v FROM monthly
     ), lagged AS (
@@ -10064,7 +10065,7 @@ def forecast_pinball_loss_quantile(spark: SparkSession, sf_dir: str) -> DataFram
     """
     cents = (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long")
     monthly = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
         .agg(F.sum(cents).cast("long").alias("v"))
     )
@@ -10505,7 +10506,7 @@ def forecast_seasonal_trend_strength(spark: SparkSession, sf_dir: str) -> DataFr
     """
     cents = (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long")
     rev = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .filter(F.year("o_orderdate").between(1996, 1998))
         .groupBy(
             ((F.year("o_orderdate") - 1996) * 12 + F.month("o_orderdate"))

@@ -501,13 +501,13 @@ RLE_SHARD_KEYS = 1 << 16  # natural-leg o_orderkey block size
     WITH nat AS (
         SELECT o_orderpriority AS v,
                lag(o_orderpriority) OVER (ORDER BY o_orderkey) AS pv
-        FROM orders
+        FROM orders WHERE o_orderdate IS NOT NULL
     ),
     srt AS (
         SELECT o_orderpriority AS v,
                lag(o_orderpriority) OVER (ORDER BY o_orderpriority, o_orderkey)
                    AS pv
-        FROM orders
+        FROM orders WHERE o_orderdate IS NOT NULL
     ),
     runs AS (
         SELECT 'natural' AS layout,
@@ -555,7 +555,7 @@ def storage_rle_sortedness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     At real scale the sorted pass still prices the write job's sort;
     run counting itself stays a per-block map-side fold.
     """
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
 
     def run_starts() -> F.Column:
         return (
@@ -1380,7 +1380,7 @@ def _sk_leg_sql(layout: str, order_by: str) -> str:
     )
     return f"""
     SELECT '{layout}' AS layout, {runs}
-    FROM (SELECT {vals} FROM orders)
+    FROM (SELECT {vals} FROM orders WHERE o_orderdate IS NOT NULL)
     """
 
 
@@ -1426,7 +1426,7 @@ def storage_sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("runs_month", F.date_format("o_orderdate", "yyyy-MM")),
         ("runs_custkey", F.col("o_custkey").cast("string")),
     ]
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     order_specs = {
         "natural": [F.col("o_orderkey")],
         "by_date": [F.col("o_orderdate"), F.col("o_orderkey")],

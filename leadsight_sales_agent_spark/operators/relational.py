@@ -2566,6 +2566,7 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / 1000000.0, 2) AS DOUBLE) AS revenue,
            count(*) AS n_orders
     FROM orders
+    WHERE o_orderdate IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -2605,7 +2606,7 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
 
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     history = partials(orders.filter(F.col("o_orderdate") < cutover))
     delta = partials(orders.filter(F.col("o_orderdate") >= cutover))
     merged = (
@@ -2702,7 +2703,7 @@ def impute_group_median_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2)
                     AS DOUBLE) AS v
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ), months AS (
         SELECT m FROM ev UNION SELECT m FROM od
     ), grid AS (
@@ -2753,7 +2754,7 @@ def tpcds_q51_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("value"), 2).alias("ev_v"))
     )
     od = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
         .agg(dsum(F.col("o_totalprice"), 2).alias("od_v"))
     )
@@ -3775,7 +3776,7 @@ def late_arriving_dim_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
                strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
                     AS BIGINT) AS cents
-        FROM orders GROUP BY 1, 2, 3
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2, 3
     ),
     with_year AS (
         SELECT priority, yr, month, cents,
@@ -3818,7 +3819,7 @@ def tpcds_q47_sales_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (category, brand, store); the grain arithmetic is identical.
     """
     monthly = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(
             F.col("o_orderpriority").alias("priority"),
             F.year("o_orderdate").cast("bigint").alias("yr"),

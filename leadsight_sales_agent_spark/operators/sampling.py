@@ -1412,7 +1412,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH months AS (
         SELECT DISTINCT strftime(date_trunc('month', o_orderdate), '%Y-%m')
                    AS month
-        FROM orders
+        FROM orders WHERE o_orderdate IS NOT NULL
     ),
     idx AS (
         SELECT month,
@@ -1446,7 +1446,7 @@ def sample_walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     any data layout.
     """
     months = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .select(
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
                 "month"

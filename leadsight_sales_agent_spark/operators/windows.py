@@ -121,7 +121,7 @@ def window_rank_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY o_orderdate ASC, o_orderkey ASC
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
                AS running_spend
-    FROM orders
+    FROM orders WHERE o_orderdate IS NOT NULL
     """,
 )
 def window_running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,7 +134,7 @@ def window_running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> Dat
         .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return load(spark, sf_dir, "orders").select(
+    return load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull()).select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
         dsum_over(F.col("o_totalprice"), w, 2).alias("running_spend"),
@@ -945,7 +945,7 @@ def window_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH m AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     )
     SELECT month,
            CAST(round(rev, 2) AS DOUBLE) AS revenue,
@@ -970,7 +970,7 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny frame (single partition over dozens of rows — fine; the
     fact-table stage is the only one that scales).
     """
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     m = o.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("month")
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("rev"))
@@ -1032,7 +1032,7 @@ def topk_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ), tracked AS (
         SELECT month, rev,
                max(rev) OVER (ORDER BY month) AS peak
@@ -1061,7 +1061,7 @@ def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark computes the same with a window max over the whole frame —
     both trivial at the month grain.
     """
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     daily = o.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("month")
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("rev"))
@@ -1086,7 +1086,7 @@ def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ), t AS (
         SELECT CAST(quantile_cont(CAST(CAST(rev AS VARCHAR) AS DOUBLE), 0.5)
                     AS DECIMAL(25,6)) AS target
@@ -1122,7 +1122,7 @@ def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage) → 1-row target broadcast → running sum over the ~80-row
     grid → final aggregate.
     """
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     m = o.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("month")
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("rev"))
@@ -1281,7 +1281,7 @@ def datetime_timezone_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY o_orderdate, o_orderkey) AS rn_a,
                row_number() OVER (PARTITION BY date_trunc('month', o_orderdate)
                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
-        FROM orders
+        FROM orders WHERE o_orderdate IS NOT NULL
     )
     SELECT strftime(month, '%Y-%m') AS month,
            max(CASE WHEN rn_a = 1 THEN price END) AS open,
@@ -1309,7 +1309,7 @@ def ohlc_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical parquet bits in both engines; only turnover aggregates,
     through the decimal-exact dsum device.
     """
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     key = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
     return (
         o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
@@ -1780,7 +1780,7 @@ def _sql_ewma_terms(v: str, part: str, order: str) -> str:
                strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
                     AS BIGINT) AS cents
-        FROM orders GROUP BY 1, 2
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     ),
     idx AS (
         SELECT priority, month, cents,
@@ -1826,7 +1826,7 @@ def window_ewma_dyadic_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     with millions of series parallelizes freely after its month-grain
     rollup.
     """
-    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_orderdate", "o_totalprice")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull()).select("o_orderpriority", "o_orderdate", "o_totalprice")
     series = (
         o.groupBy(
             F.col("o_orderpriority").alias("priority"),
@@ -1983,7 +1983,7 @@ def impute_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
                     AS BIGINT) AS rev,
                count(*) AS n_orders
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     roll AS (
         SELECT month,
@@ -2025,7 +2025,7 @@ def window_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact table contributes one rollup.
     """
     m = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
                 "month"
@@ -2455,7 +2455,7 @@ def temporal_coalesce_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
                     AS BIGINT) AS cents
-        FROM orders GROUP BY 1, 2
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     ),
     flagged AS (
         SELECT priority, month, cents,
@@ -2498,7 +2498,7 @@ def streak_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds it.
     """
     m = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(
             F.col("o_orderpriority").alias("priority"),
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
@@ -2577,7 +2577,7 @@ def _holt_sql_dot(coefs, part: str, order: str) -> str:
                strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
                     AS BIGINT) AS cents
-        FROM orders GROUP BY 1, 2
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     ),
     idx AS (
         SELECT priority, month, cents,
@@ -2636,7 +2636,7 @@ def holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurrence instead of 1.
     """
     series = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(
             F.col("o_orderpriority").alias("priority"),
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
@@ -2765,7 +2765,7 @@ def _hw_sql_half_up(expr: str) -> str:
                    || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
                     AS BIGINT) AS cents
-        FROM orders GROUP BY 1, 2
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     ),
     idx AS (
         SELECT priority, quarter, cents,
@@ -2813,7 +2813,7 @@ def holt_winters_seasonal_smoothing(spark: SparkSession, sf_dir: str) -> DataFra
     in the precomputed coefficients, not the plan.
     """
     series = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(
             F.col("o_orderpriority").alias("priority"),
             F.concat(
@@ -2955,7 +2955,7 @@ def ops_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
                     AS BIGINT) AS v
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     roll AS (
         SELECT month, v,
@@ -2991,7 +2991,7 @@ def window_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the cheap first-line z alarm.
     """
     m = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
                 "month"
@@ -3520,7 +3520,7 @@ _BB_SD = (
         SELECT date_trunc('month', o_orderdate) AS mon,
                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100
                              AS BIGINT)) AS BIGINT) AS v
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     framed AS (
         SELECT mon, v,
@@ -3565,7 +3565,7 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F.trunc returns DATE (date_trunc returns TIMESTAMP — a type-class
     # mismatch against DuckDB's DATE when the month is an OUTPUT column)
     monthly = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(F.trunc(F.col("o_orderdate"), "month").alias("mon"))
         .agg(
             F.sum((F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("bigint"))
@@ -3910,7 +3910,7 @@ def _dholt_half_up(expr: str, den: int) -> str:
                strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
                     AS BIGINT) AS cents
-        FROM orders GROUP BY 1, 2
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     ),
     idx AS (
         SELECT priority, month, cents,
@@ -3945,7 +3945,7 @@ def holt_damped_trend_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     window pass per priority — no recursion at runtime.
     """
     m = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
         .groupBy(
             F.col("o_orderpriority").alias("priority"),
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(

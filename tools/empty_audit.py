@@ -114,6 +114,11 @@ NULL_PLAN = {
     # arithmetic, watermark batch twins.
     "events": {"value": 5, "ts": 13},
     "customer": {"c_acctbal": 7},
+    # o_orderdate (r12, second null-time wave): a NULL ORDER date is
+    # the warehouse sibling of a NULL event time (bad ETL, unparsed
+    # source dates) and reaches every month-grid / ORDER BY
+    # o_orderdate window the events plants cannot.
+    "orders": {"o_orderdate": 17},
 }
 
 # ALL-null event-time plants layered on top of the modular ts plant
