@@ -200,3 +200,56 @@ def sql_hex_to_long(h: str, n: int) -> str:
         for i in range(n)
     ]
     return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+# --- Exact scaled-quotient reports over wide integers (r13) ----------
+#
+# The r12 driver run falsified the "scale-0 decimal -> double is one
+# correctly-rounded conversion, so a shared-text IEEE tree is
+# cross-engine-stable" assumption: three basis-point reports of the
+# form floor(CAST(dec38 AS DOUBLE) / CAST(dec38 AS DOUBLE) * 1e4 + 0.5)
+# hashed differently in the driver's environment while passing the
+# local gate byte-for-byte (VERDICT r12 §What's wrong #1). When the
+# unscaled operands exceed 2^53 (sums of squared cents run 1e18-1e25),
+# the int128->double conversion and the division each cost an ulp that
+# DIFFERENT DuckDB builds (and DuckDB's own in-memory vs external
+# paths) resolve differently — and one ulp in the ratio flips the
+# floored integer. The only robust report is one that never leaves
+# integer arithmetic:
+#
+#     floor(scale * num / den + 1/2)  ==  (2*scale*num + den) DIV (2*den)
+#
+# exact for any integers with den > 0 (both sides are floor division;
+# the identity holds for negative num too). Spark can't use DIV — its
+# IntegralDivide returns BIGINT and silently wraps past 2^63 (verified
+# in the ANOVA docstring) — so the quotient rides the pmod identity
+# (p - pmod(p, q)) / q, which Spark's decimal division renders exactly
+# for divisible pairs. DuckDB gets HUGEINT `//` (true int128 floor
+# division). nullif keeps a zero denominator NULL on both engines
+# (Spark ANSI raises DIVIDE_BY_ZERO even for doubles; DuckDB raises on
+# `//` by zero).
+#
+# Headroom: 2*scale*num must fit DECIMAL(38,0)/HUGEINT — with
+# scale=1e4 that bounds |num| < ~5e33, with scale=1e8 |num| < ~5e29;
+# callers pass sums of squared cents (<= ~1e26 at sf1), fine.
+
+
+def q_scaled_halfup(num: str, den: str, scale: int) -> str:
+    """Spark SQL fragment: round-half-up(scale * num / den) as BIGINT,
+    computed entirely in DECIMAL(38,0) arithmetic (no double anywhere).
+    ``num``/``den`` are SQL subexpressions of integer/decimal type;
+    requires den >= 0 (NULL result when den is 0 or NULL)."""
+    p = (
+        f"({2 * scale} * CAST({num} AS DECIMAL(38,0))"
+        f" + CAST({den} AS DECIMAL(38,0)))"
+    )
+    q = f"nullif(2 * CAST({den} AS DECIMAL(38,0)), 0)"
+    return f"CAST(CAST(({p} - pmod({p}, {q})) / {q} AS DECIMAL(38,0)) AS BIGINT)"
+
+
+def sql_q_scaled_halfup(num: str, den: str, scale: int) -> str:
+    """DuckDB twin of q_scaled_halfup(): HUGEINT floor division."""
+    return (
+        f"CAST(({2 * scale} * CAST({num} AS HUGEINT) + CAST({den} AS HUGEINT))"
+        f" // nullif(2 * CAST({den} AS HUGEINT), 0) AS BIGINT)"
+    )

@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from leadsight_sales_agent_spark.functions.numeric import finite, is_finite
+from leadsight_sales_agent_spark.functions.numeric import (
+    finite,
+    is_finite,
+    q_scaled_halfup,
+    sql_q_scaled_halfup,
+)
 from leadsight_sales_agent_spark.operators.sampling import _SQL_HASH, hash_key
 from leadsight_sales_agent_spark.registry import query
 from leadsight_sales_agent_spark.sources.catalog import load
@@ -4795,17 +4800,19 @@ def eval_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ANOVA report trees (shared VERBATIM with the oracle — identical IEEE
-# ops on integer-derived doubles; floor(x*1e4+0.5), never round(double)).
-_ANOVA_ETA_EXPR = (
-    "CAST(floor(CAST(ssb_c2 AS DOUBLE) / CAST(sst_c2 AS DOUBLE)"
-    " * 1e4 + 0.5) AS BIGINT)"
-)
-_ANOVA_F_EXPR = (
-    "CAST(floor(CAST(ssb_c2 AS DOUBLE) * CAST(n - k AS DOUBLE)"
-    " / (CAST(ssw_c2 AS DOUBLE) * CAST(k - 1 AS DOUBLE))"
-    " * 1e4 + 0.5) AS BIGINT)"
-)
+# ANOVA basis-point reports, rewritten r13 as EXACT integer half-up
+# quotients (q_scaled_halfup / sql_q_scaled_halfup in functions/
+# numeric.py): the r12 driver falsified the shared-IEEE-tree device —
+# eta2/F divide two DECIMAL(38,0) sums whose unscaled values exceed
+# 2^53 (Σcnt·d² ~ 1e18-1e25), and the decimal->double conversion +
+# division differ by an ulp across DuckDB builds, flipping the floored
+# bp. The integer quotient is engine- and build-independent. A zero
+# denominator (sst=0 or ssw=0: constant data / k=1 degenerate
+# fixtures) yields NULL on BOTH engines via nullif.
+_ANOVA_ETA_EXPR = q_scaled_halfup("ssb_c2", "sst_c2", 10_000)
+_ANOVA_ETA_SQL = sql_q_scaled_halfup("ssb_c2", "sst_c2", 10_000)
+_ANOVA_F_EXPR = q_scaled_halfup("ssb_c2 * (n - k)", "ssw_c2 * (k - 1)", 10_000)
+_ANOVA_F_SQL = sql_q_scaled_halfup("ssb_c2 * (n - k)", "ssw_c2 * (k - 1)", 10_000)
 
 
 @query(
@@ -4854,8 +4861,8 @@ _ANOVA_F_EXPR = (
            CAST(n - k AS BIGINT) AS df_within,
            CAST(ssb_c2 AS DECIMAL(38,0)) AS ssb_cents2,
            CAST(ssw_c2 AS DECIMAL(38,0)) AS ssw_cents2,
-           {_ANOVA_ETA_EXPR} AS eta2_bp,
-           {_ANOVA_F_EXPR} AS f_bp
+           {_ANOVA_ETA_SQL} AS eta2_bp,
+           {_ANOVA_F_SQL} AS f_bp
     FROM fin
     """,
 )
@@ -4878,11 +4885,13 @@ def eval_anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal division renders exactly for divisible pairs; DuckDB uses
     HUGEINT `//`. Big floor(double)->DECIMAL casts are also banned
     here: Spark casts double->decimal through the SHORTEST STRING,
-    which is lossy past ~1e17 (playbook). F and eta² are shared-text
-    IEEE trees over DECIMAL(38,0)->DOUBLE casts (scale-0 decimal ->
-    double is ONE correctly-rounded conversion in both engines — safe,
-    unlike fractional-scale decimals). BIGINT headroom: s1² < N², safe
-    to ~1.5e9 rows per cell; d2 sums carry DECIMAL(38,0)/HUGEINT.
+    which is lossy past ~1e17 (playbook). F and eta² are EXACT integer
+    half-up quotients (q_scaled_halfup, r13): the r12 driver proved
+    that scale-0-decimal->double past 2^53 is NOT build-independent
+    (1 ulp in the ratio flips the floored bp — this query was one of
+    the three r12 hash mismatches), so no double appears anywhere in
+    the report. BIGINT headroom: s1² < N², safe to ~1.5e9 rows per
+    cell; d2 sums carry DECIMAL(38,0)/HUGEINT.
 
     100 TB plan: one keyed join, one (seg,cents) hash collapse, one
     unpartitioned window on the DOMAIN-bounded collapsed grain, then a
@@ -4953,11 +4962,10 @@ def eval_anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BF_F_EXPR = (
-    "CAST(floor(CAST(ssb_c2 AS DOUBLE) * CAST(n - k AS DOUBLE)"
-    " / (CAST(ssw_c2 AS DOUBLE) * CAST(k - 1 AS DOUBLE))"
-    " * 1e4 + 0.5) AS BIGINT)"
-)
+# Same r13 integer-exact rewrite as the ANOVA trees above (this was
+# the second of the three r12 driver hash mismatches).
+_BF_F_EXPR = q_scaled_halfup("ssb_c2 * (n - k)", "ssw_c2 * (k - 1)", 10_000)
+_BF_F_SQL = sql_q_scaled_halfup("ssb_c2 * (n - k)", "ssw_c2 * (k - 1)", 10_000)
 
 
 @query(
@@ -5018,7 +5026,7 @@ _BF_F_EXPR = (
            CAST(n - k AS BIGINT) AS df_within,
            CAST(ssb_c2 AS DECIMAL(38,0)) AS ssb_z2,
            CAST(ssw_c2 AS DECIMAL(38,0)) AS ssw_z2,
-           {_BF_F_EXPR} AS f_bp
+           {_BF_F_SQL} AS f_bp
     FROM fin
     """,
 )
@@ -5036,7 +5044,8 @@ def eval_brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_g+1) DIV 2 — rank-picked, never interpolated), so z is an exact
     BIGINT; everything downstream is the ANOVA chain verbatim
     (floor-mean centering, pmod quotient for floor(d1²/n), HUGEINT //
-    on the DuckDB side, shared-text IEEE F tree at 4dp).
+    on the DuckDB side, and — r13 — the EXACT integer half-up F
+    report via q_scaled_halfup; no double anywhere).
 
     100 TB plan: the (seg,cents) collapse bounds every window by the
     price DOMAIN; the per-seg median windows and the group stats share
@@ -8192,15 +8201,20 @@ def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Theil U2 trees over exact integer SSEs (scale-0 decimal -> double).
-_U2_SEAS = (
-    "CAST(floor(sqrt(CAST(sse_seas AS DOUBLE) / CAST(sse_naive AS DOUBLE))"
-    " * 1e4 + 0.5) AS BIGINT)"
-)
-_U2_MA3 = (
-    "CAST(floor(sqrt(CAST(sse_ma3 AS DOUBLE)"
-    " / (9.0 * CAST(sse_naive AS DOUBLE))) * 1e4 + 0.5) AS BIGINT)"
-)
+# Theil U2 reports, rewritten r13 (third r12 driver hash mismatch):
+# the sqrt-of-wide-decimal-ratio double tree is build-dependent past
+# 2^53, so the report is now the SQUARED ratio U2² at e8 — an exact
+# integer half-up quotient (same information content: U2² < 1 iff
+# U2 < 1, and sqrt is monotone so any downstream threshold on U2
+# transposes to U2²). The beats-flags are pure integer comparisons
+# (sse_seas < sse_naive; sse_ma3 < 9·sse_naive — the MA3 error is
+# carried as (3y - s3) with the 9 folded into the comparison).
+_U2SQ_SEAS = q_scaled_halfup("sse_seas", "sse_naive", 10**8)
+_U2SQ_SEAS_SQL = sql_q_scaled_halfup("sse_seas", "sse_naive", 10**8)
+_U2SQ_MA3 = q_scaled_halfup("sse_ma3", "9 * sse_naive", 10**8)
+_U2SQ_MA3_SQL = sql_q_scaled_halfup("sse_ma3", "9 * sse_naive", 10**8)
+_U2_BEATS_SEAS = "CAST((sse_seas < sse_naive) AS INTEGER)"
+_U2_BEATS_MA3 = "CAST((sse_ma3 < 9 * sse_naive) AS INTEGER)"
 
 
 @query(
@@ -8239,14 +8253,10 @@ _U2_MA3 = (
     )
     SELECT n AS n_months_scored,
            sse_naive AS sse_naive_c2, sse_seas AS sse_seasonal_c2,
-           {_U2_SEAS} AS u2_seasonal_e4,
-           {_U2_MA3} AS u2_ma3_e4,
-           CAST(CASE WHEN sqrt(CAST(sse_seas AS DOUBLE)
-                               / CAST(sse_naive AS DOUBLE)) < 1.0
-                     THEN 1 ELSE 0 END AS INTEGER) AS seasonal_beats_naive,
-           CAST(CASE WHEN sqrt(CAST(sse_ma3 AS DOUBLE)
-                               / (9.0 * CAST(sse_naive AS DOUBLE))) < 1.0
-                     THEN 1 ELSE 0 END AS INTEGER) AS ma3_beats_naive
+           {_U2SQ_SEAS_SQL} AS u2sq_seasonal_e8,
+           {_U2SQ_MA3_SQL} AS u2sq_ma3_e8,
+           {_U2_BEATS_SEAS} AS seasonal_beats_naive,
+           {_U2_BEATS_MA3} AS ma3_beats_naive
     FROM sse
     """,
 )
@@ -8262,10 +8272,14 @@ def forecast_theil_u2_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: all three SSEs are exact integer sums of squared cent
     errors (HUGEINT/DECIMAL(38,0)); the MA3 forecast error is kept
-    integral as (3y - s3) with the 9 folded into the final tree; U2
-    and the beats-flags are shared-verbatim IEEE trees over scale-0
-    decimal -> double casts. 100 TB plan: month-grain collapse, lag
-    windows on the ~84-row calendar series, 1-row reduce.
+    integral as (3y - s3) with the 9 folded into the comparison.
+    The report is U2² at e8 as an EXACT integer half-up quotient
+    (q_scaled_halfup, r13 — this query was one of the three r12
+    driver hash mismatches under the old sqrt-of-double tree; U2² is
+    the same decision statistic since sqrt is monotone), and the
+    beats-flags are pure integer comparisons. 100 TB plan: month-grain
+    collapse, lag windows on the ~84-row calendar series, 1-row
+    reduce.
     """
     monthly = (
         load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
@@ -8301,18 +8315,10 @@ def forecast_theil_u2_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_months_scored"),
         F.col("sse_naive").alias("sse_naive_c2"),
         F.col("sse_seas").alias("sse_seasonal_c2"),
-        F.expr(_U2_SEAS).alias("u2_seasonal_e4"),
-        F.expr(_U2_MA3).alias("u2_ma3_e4"),
-        F.expr(
-            "CAST(CASE WHEN sqrt(CAST(sse_seas AS DOUBLE)"
-            " / CAST(sse_naive AS DOUBLE)) < 1.0 THEN 1 ELSE 0 END"
-            " AS INTEGER)"
-        ).alias("seasonal_beats_naive"),
-        F.expr(
-            "CAST(CASE WHEN sqrt(CAST(sse_ma3 AS DOUBLE)"
-            " / (9.0 * CAST(sse_naive AS DOUBLE))) < 1.0 THEN 1 ELSE 0 END"
-            " AS INTEGER)"
-        ).alias("ma3_beats_naive"),
+        F.expr(_U2SQ_SEAS).alias("u2sq_seasonal_e8"),
+        F.expr(_U2SQ_MA3).alias("u2sq_ma3_e8"),
+        F.expr(_U2_BEATS_SEAS).alias("seasonal_beats_naive"),
+        F.expr(_U2_BEATS_MA3).alias("ma3_beats_naive"),
     )
 
 

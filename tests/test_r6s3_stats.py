@@ -872,12 +872,16 @@ class TestTheilU2:
         assert got.n_months_scored == n
         assert int(got.sse_naive_c2) == sse_n
         assert int(got.sse_seasonal_c2) == sse_s
-        u2s = math.sqrt(sse_s / sse_n)
-        u2m = math.sqrt(sse_m / (9 * sse_n))
-        assert got.u2_seasonal_e4 == math.floor(u2s * 1e4 + 0.5)
-        assert got.u2_ma3_e4 == math.floor(u2m * 1e4 + 0.5)
-        assert got.seasonal_beats_naive == (1 if u2s < 1 else 0)
-        assert got.ma3_beats_naive == (1 if u2m < 1 else 0)
+        # r13: the report is the SQUARED ratio at e8 as an exact
+        # integer half-up quotient (no doubles — the r12 driver
+        # falsified the sqrt-of-wide-decimal tree), so the brute force
+        # here is pure int arithmetic too.
+        assert got.u2sq_seasonal_e8 == (2 * 10**8 * sse_s + sse_n) // (2 * sse_n)
+        assert got.u2sq_ma3_e8 == (
+            (2 * 10**8 * sse_m + 9 * sse_n) // (2 * 9 * sse_n)
+        )
+        assert got.seasonal_beats_naive == (1 if sse_s < sse_n else 0)
+        assert got.ma3_beats_naive == (1 if sse_m < 9 * sse_n else 0)
 
 
 class TestDelongCI:

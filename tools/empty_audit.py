@@ -249,12 +249,17 @@ def build_fixture(src_dir: str, out_dir: str, rows: int) -> None:
         pq.write_table(tb, f"{out_dir}/{t}.parquet")
 
 
-def run_one(here: str, src: str, rows: int) -> int:
+def run_one(here: str, src: str, rows: int, only: list[str] | None = None) -> int:
     name = {0: "sf_empty", 1: "sf_one", -1: "sf_nulls", -2: "sf_adv"}[rows]
     out = os.path.join(here, ".tmp", name)
     build_fixture(src, out, rows)
     proc = subprocess.run(
-        [sys.executable, os.path.join(here, "tools", "check_oracle.py"), out],
+        [
+            sys.executable,
+            os.path.join(here, "tools", "check_oracle.py"),
+            out,
+            *(only or []),
+        ],
         capture_output=True,
         text=True,
     )
@@ -297,9 +302,23 @@ def main() -> int:
         rows_list = [-2]
     else:
         rows_list = [0, 1, -1, -2]  # -1 = planted nulls, -2 = adversarial values
+    # Positional args (r13): query names forwarded to check_oracle so a
+    # targeted fixture re-check of a few touched queries doesn't cost a
+    # full ~10-min sweep per fixture. (The --rows VALUE is consumed
+    # above, so skip the token right after that flag.)
+    only: list[str] = []
+    skip_next = False
+    for i, a in enumerate(args):
+        if skip_next:
+            skip_next = False
+            continue
+        if a == "--rows":
+            skip_next = True
+        elif not a.startswith("--"):
+            only.append(a)
     rc = 0
     for rows in rows_list:
-        rc |= run_one(here, src, rows)
+        rc |= run_one(here, src, rows, only)
     return rc
 
 
