@@ -253,3 +253,49 @@ def sql_q_scaled_halfup(num: str, den: str, scale: int) -> str:
         f"CAST(({2 * scale} * CAST({num} AS HUGEINT) + CAST({den} AS HUGEINT))"
         f" // nullif(2 * CAST({den} AS HUGEINT), 0) AS BIGINT)"
     )
+
+
+# Deterministic wide-integer -> double conversion (r13). For reports
+# that genuinely need IEEE arithmetic (sqrt/ln/determinants — exact
+# integer arithmetic would overflow even int128), the remaining
+# cross-engine hazard is the CONVERSION of a >2^53 integer to double:
+# engines/builds may double-round it (DuckDB's int128 path — the r12
+# driver-vs-local divergence class). The fix is to force the
+# conversion through operations that IEEE 754 defines exactly:
+#
+#     h = w div 2^50,  l = w - h*2^50     (exact integer ops)
+#     d53(w) = fl(fl(h) * 2^50 + fl(l))
+#
+# |h| < 2^53 and |l| < 2^50, so fl(h)/fl(l) are exact; *2^50 only
+# shifts the exponent (exact); the one add is correctly rounded — so
+# the result is round-to-nearest(w), bit-identical on every IEEE
+# engine, for |w| < 2^103 (~1e31; the widest caller is Parkinson's
+# Σ(ln-diff e12)² ~ 3e27 — callers should note headroom in their
+# docstring if operands could approach 1e31). Truncating vs flooring
+# division does not matter: either (h, l) pair reconstructs the same
+# real w, and the final correctly-rounded add is a function of w
+# alone. Verified bit-identical Spark/DuckDB/CPython on boundary
+# values (2^53+1, ±5.1e25, 1.2e26).
+_D53_M = 2**50
+
+
+def d53(w: str) -> str:
+    """Spark SQL fragment: deterministic round-to-nearest double of a
+    wide integer/decimal expression ``w`` (|w| < 2^93)."""
+    ww = f"CAST({w} AS DECIMAL(38,0))"
+    h = f"({ww} DIV {_D53_M})"
+    return (
+        f"(CAST({h} AS DOUBLE) * {float(_D53_M)!r}"
+        f" + CAST(CAST({ww} - CAST({h} AS DECIMAL(38,0)) * {_D53_M}"
+        f" AS BIGINT) AS DOUBLE))"
+    )
+
+
+def sql_d53(w: str) -> str:
+    """DuckDB twin of d53(): HUGEINT split at 2^40."""
+    ww = f"CAST({w} AS HUGEINT)"
+    h = f"({ww} // {_D53_M})"
+    return (
+        f"(CAST({h} AS DOUBLE) * {float(_D53_M)!r}"
+        f" + CAST(CAST({ww} - {h} * {_D53_M} AS BIGINT) AS DOUBLE))"
+    )

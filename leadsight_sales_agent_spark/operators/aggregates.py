@@ -23,9 +23,11 @@ from pyspark.sql import functions as F
 from leadsight_sales_agent_spark.functions.numeric import (
     SQL_FINITE_EVENTS,
     SQL_VALID_JSON_EVENTS,
+    d53,
     davg,
     dsum,
     finite,
+    sql_d53,
     sql_davg,
     sql_dsum,
     sql_hex_to_long,
@@ -2578,7 +2580,7 @@ def agg_grouped_pandas_udf_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_skew_kurtosis_moments",
-    oracle="""
+    oracle=f"""
     WITH c AS (
         SELECT event_type,
                CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS cents
@@ -2603,8 +2605,8 @@ def agg_grouped_pandas_udf_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, n,
                CAST(s1 AS DOUBLE) / n AS m1,
                CAST(s2 AS DOUBLE) / n AS r2,
-               CAST(s3 AS DOUBLE) / n AS r3,
-               CAST(s4 AS DOUBLE) / n AS r4
+               {sql_d53("s3")} / n AS r3,
+               {sql_d53("s4")} / n AS r4
         FROM sums
     ),
     cm AS (
@@ -2679,8 +2681,10 @@ def agg_skew_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m1 = F.col("s1").cast("double") / F.col("n")
     r2 = F.col("s2").cast("double") / F.col("n")
-    r3 = F.col("s3").cast("double") / F.col("n")
-    r4 = F.col("s4").cast("double") / F.col("n")
+    # r13: s3/s4 (centered cents^3/^4 sums, ~2e18/2e23) are past 2^53
+    # - d53 split, not a bare wide-decimal cast.
+    r3 = F.expr(d53("s3")) / F.col("n")
+    r4 = F.expr(d53("s4")) / F.col("n")
     mom = sums.select("event_type", "n", m1.alias("m1"), r2.alias("r2"), r3.alias("r3"), r4.alias("r4"))
     m2c = F.col("r2") - F.col("m1") * F.col("m1")
     m3c = (
@@ -6221,8 +6225,8 @@ _JB_CRIT_5PCT = "5.991464547107979"  # chi2(2) 95th percentile
         SELECT event_type, n,
                CAST(s1 AS DOUBLE) / n AS m1,
                CAST(s2 AS DOUBLE) / n AS r2,
-               CAST(s3 AS DOUBLE) / n AS r3,
-               CAST(s4 AS DOUBLE) / n AS r4
+               {sql_d53("s3")} / n AS r3,
+               {sql_d53("s4")} / n AS r4
         FROM sums
     ),
     cm AS (
@@ -6293,8 +6297,8 @@ def eval_jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("CAST(s1 AS DOUBLE) / n").alias("m1"),
         F.expr("CAST(s2 AS DOUBLE) / n").alias("r2"),
-        F.expr("CAST(s3 AS DOUBLE) / n").alias("r3"),
-        F.expr("CAST(s4 AS DOUBLE) / n").alias("r4"),
+        F.expr(d53("s3") + " / n").alias("r3"),
+        F.expr(d53("s4") + " / n").alias("r4"),
     )
     cm = mom.select(
         "event_type",
@@ -6753,12 +6757,16 @@ _TH_LNB = (
     " / (CAST(x_tot AS DOUBLE) * CAST(ng AS DOUBLE))) * 1e12 + 0.5)"
     " AS BIGINT)"
 )
-# e6 report: S / (den * 1e12) scaled to 1e6, floor(+0.5) quantizer on an
-# identical product/division tree; DECIMAL(38,0)->DOUBLE is the safe
-# scale-0 conversion.
-def _th_e6(s: str, den: str) -> str:
+# e6 report: S / (den * 1e12) scaled to 1e6, floor(+0.5) quantizer on
+# an identical product/division tree. r13: S (Σ x·ln_e12 terms, ~5e20
+# at sf0.01) is past 2^53 and rides the per-engine d53 split; den
+# (~1e12) stays a plain cast.
+def _th_e6(s: str, den: str, cv=None) -> str:
+    from leadsight_sales_agent_spark.functions.numeric import d53 as _d53
+
+    conv = (cv or _d53)(s)
     return (
-        f"CAST(floor(CAST({s} AS DOUBLE) / (CAST({den} AS DOUBLE) * 1e12)"
+        f"CAST(floor({conv} / (CAST({den} AS DOUBLE) * 1e12)"
         " * 1e6 + 0.5) AS BIGINT)"
     )
 
@@ -6796,16 +6804,16 @@ def _th_e6(s: str, den: str) -> str:
                CAST(g.ng AS BIGINT) AS n_members,
                CAST((2 * g.xg * 10000 + t.x_tot) // (2 * t.x_tot) AS BIGINT)
                    AS income_share_bp,
-               {_th_e6('s.s_g', 'g.xg')} AS theil_e6,
-               {_th_e6('s.s_g', 't.x_tot')} AS contribution_e6
+               {_th_e6('s.s_g', 'g.xg', sql_d53)} AS theil_e6,
+               {_th_e6('s.s_g', 't.x_tot', sql_d53)} AS contribution_e6
         FROM sums s JOIN g ON g.seg = s.seg CROSS JOIN tot t
     ), between_ AS (
         SELECT 'between' AS component,
                t.n_groups AS n_members,
                CAST(10000 AS BIGINT) AS income_share_bp,
-               {_th_e6('sum(CAST(xg AS DECIMAL(38,0)) * ' + _TH_LNB + ')', 'max(t.x_tot)')}
+               {_th_e6('sum(CAST(xg AS DECIMAL(38,0)) * ' + _TH_LNB + ')', 'max(t.x_tot)', sql_d53)}
                    AS theil_e6,
-               {_th_e6('sum(CAST(xg AS DECIMAL(38,0)) * ' + _TH_LNB + ')', 'max(t.x_tot)')}
+               {_th_e6('sum(CAST(xg AS DECIMAL(38,0)) * ' + _TH_LNB + ')', 'max(t.x_tot)', sql_d53)}
                    AS contribution_e6
         FROM g CROSS JOIN tot t
         GROUP BY t.n_groups
@@ -6813,8 +6821,8 @@ def _th_e6(s: str, den: str) -> str:
         SELECT 'total' AS component,
                t.n_tot AS n_members,
                CAST(10000 AS BIGINT) AS income_share_bp,
-               {_th_e6('sum(s.s_t)', 'max(t.x_tot)')} AS theil_e6,
-               {_th_e6('sum(s.s_t)', 'max(t.x_tot)')} AS contribution_e6
+               {_th_e6('sum(s.s_t)', 'max(t.x_tot)', sql_d53)} AS theil_e6,
+               {_th_e6('sum(s.s_t)', 'max(t.x_tot)', sql_d53)} AS contribution_e6
         FROM sums s CROSS JOIN tot t
         GROUP BY t.n_tot
     )

@@ -15,9 +15,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.functions.numeric import (
+    d53,
     finite,
     is_finite,
     q_scaled_halfup,
+    sql_d53,
     sql_q_scaled_halfup,
 )
 from leadsight_sales_agent_spark.operators.sampling import _SQL_HASH, hash_key
@@ -2777,7 +2779,7 @@ def anomaly_seasonal_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "forecast_acf_monthly",
-    oracle="""
+    oracle=f"""
     WITH series AS (
         SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
@@ -2805,13 +2807,13 @@ def anomaly_seasonal_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lagk GROUP BY 1
     )
     SELECT c.k AS lag_months, c.nk AS n_pairs,
-           round((CAST(c.sxy AS DOUBLE)
+           round(({sql_d53("c.sxy")}
                   - CAST(c.sxk AS DOUBLE) * s.s1 / s.n
                   - CAST(c.syk AS DOUBLE) * s.s1 / s.n
                   + CAST(c.nk AS DOUBLE)
                     * (CAST(s.s1 AS DOUBLE) / s.n)
                     * (CAST(s.s1 AS DOUBLE) / s.n))
-                 / (CAST(s.s2 AS DOUBLE)
+                 / ({sql_d53("s.s2")}
                     - CAST(s.n AS DOUBLE)
                       * (CAST(s.s1 AS DOUBLE) / s.n)
                       * (CAST(s.s1 AS DOUBLE) / s.n)),
@@ -2884,13 +2886,16 @@ def forecast_acf_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = cross_sums.crossJoin(F.broadcast(stats))
     mean = F.col("s1").cast("double") / F.col("n")
+    # r13: sxy and s2 (sums of squared monthly cents, ~1.8e21 at
+    # sf0.01) are past 2^53 — deterministic d53 split, not a bare
+    # wide-decimal cast (sxk/syk/s1 ~1e11 stay plain).
     num = (
-        F.col("sxy").cast("double")
+        F.expr(d53("sxy"))
         - F.col("sxk").cast("double") * F.col("s1") / F.col("n")
         - F.col("syk").cast("double") * F.col("s1") / F.col("n")
         + F.col("nk").cast("double") * mean * mean
     )
-    den = F.col("s2").cast("double") - F.col("n").cast("double") * mean * mean
+    den = F.expr(d53("s2")) - F.col("n").cast("double") * mean * mean
     return j.select(
         F.col("k").alias("lag_months"),
         F.col("nk").alias("n_pairs"),
@@ -4653,16 +4658,33 @@ def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KW_H_EXPR = (
-    "round((12.0 * CAST(s6 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)"
-    " + 1.0))) - 3.0 * (CAST(n AS DOUBLE) + 1.0), 4)"
-)
-_KW_HC_EXPR = (
-    "round(((12.0 * CAST(s6 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)"
-    " + 1.0))) - 3.0 * (CAST(n AS DOUBLE) + 1.0)) / (1.0 - CAST(tie_t AS DOUBLE)"
-    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
-    " - CAST(n AS DOUBLE))), 4)"
-)
+# r13: s6 is DECIMAL(38,6) whose UNSCALED value (~3e19 at sf0.01) is
+# past 2^53 — the fractional-scale variant of the r12 wide-cast class
+# (an engine may compute unscaled->double then /1e6, double-rounding).
+# Route the exact integer s6*1e6 through the d53 split, then one
+# correctly-rounded /1e6.
+def _kw_h(cv) -> str:
+    return (
+        f"round((12.0 * ({cv('s6 * 1000000')} / 1e6)"
+        " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)"
+        " + 1.0))) - 3.0 * (CAST(n AS DOUBLE) + 1.0), 4)"
+    )
+
+
+def _kw_hc(cv) -> str:
+    return (
+        f"round(((12.0 * ({cv('s6 * 1000000')} / 1e6)"
+        " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)"
+        " + 1.0))) - 3.0 * (CAST(n AS DOUBLE) + 1.0)) / (1.0 - CAST(tie_t AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        " - CAST(n AS DOUBLE))), 4)"
+    )
+
+
+_KW_H_EXPR = _kw_h(d53)
+_KW_H_SQL = _kw_h(sql_d53)
+_KW_HC_EXPR = _kw_hc(d53)
+_KW_HC_SQL = _kw_hc(sql_d53)
 
 
 @query(
@@ -4707,8 +4729,8 @@ _KW_HC_EXPR = (
            CAST(k AS INTEGER) AS k_groups,
            CAST(k - 1 AS INTEGER) AS df,
            tie_t,
-           {_KW_H_EXPR} AS h_stat,
-           {_KW_HC_EXPR} AS h_tie_corrected
+           {_KW_H_SQL} AS h_stat,
+           {_KW_HC_SQL} AS h_tie_corrected
     FROM tot, ties
     """,
 )
@@ -5136,19 +5158,34 @@ def eval_brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Welch stage trees, shared VERBATIM Spark/oracle. Each is one IEEE
-# tree over exact integer inputs (d1_* BIGINT < 2^53; d2_* scale-0
-# decimal -> double is a single correctly-rounded conversion).
-_WELCH_SE_A = (
-    "(CAST(d2_a AS DOUBLE) - CAST(d1_a AS DOUBLE) * CAST(d1_a AS DOUBLE)"
-    " / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)"
-    " / CAST(n_a AS DOUBLE)"
-)
-_WELCH_SE_B = (
-    "(CAST(d2_b AS DOUBLE) - CAST(d1_b AS DOUBLE) * CAST(d1_b AS DOUBLE)"
-    " / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)"
-    " / CAST(n_b AS DOUBLE)"
-)
+# Welch stage trees. IEEE trees over exact integer inputs; d1_* BIGINT
+# < 2^53 convert exactly, while d2_* (sums of squared cents, ~6e17 at
+# sf0.01) EXCEED 2^53, so they enter through the deterministic split
+# conversion d53()/sql_d53() (r13 class audit — the r12 driver proved
+# wide decimal->double is build-dependent). The two engine variants
+# differ ONLY in that conversion; every other token is shared.
+
+
+def _welch_se_a(cv) -> str:
+    return (
+        f"({cv('d2_a')} - CAST(d1_a AS DOUBLE) * CAST(d1_a AS DOUBLE)"
+        " / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)"
+        " / CAST(n_a AS DOUBLE)"
+    )
+
+
+def _welch_se_b(cv) -> str:
+    return (
+        f"({cv('d2_b')} - CAST(d1_b AS DOUBLE) * CAST(d1_b AS DOUBLE)"
+        " / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)"
+        " / CAST(n_b AS DOUBLE)"
+    )
+
+
+_WELCH_SE_A = _welch_se_a(d53)
+_WELCH_SE_A_SQL = _welch_se_a(sql_d53)
+_WELCH_SE_B = _welch_se_b(d53)
+_WELCH_SE_B_SQL = _welch_se_b(sql_d53)
 _WELCH_MD = (
     "CAST(d1_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
     " - CAST(d1_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
@@ -5159,14 +5196,19 @@ _WELCH_DF = (
     " / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)"
     "  + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)) * 1e2 + 0.5) AS BIGINT)"
 )
-_WELCH_D = (
-    "CAST(floor(md / sqrt((CAST(d2_a AS DOUBLE)"
-    " - CAST(d1_a AS DOUBLE) * CAST(d1_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
-    " + CAST(d2_b AS DOUBLE)"
-    " - CAST(d1_b AS DOUBLE) * CAST(d1_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
-    " / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0))"
-    " * 1e4 + 0.5) AS BIGINT)"
-)
+def _welch_d(cv) -> str:
+    return (
+        f"CAST(floor(md / sqrt(({cv('d2_a')}"
+        " - CAST(d1_a AS DOUBLE) * CAST(d1_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        f" + {cv('d2_b')}"
+        " - CAST(d1_b AS DOUBLE) * CAST(d1_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        " / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0))"
+        " * 1e4 + 0.5) AS BIGINT)"
+    )
+
+
+_WELCH_D = _welch_d(d53)
+_WELCH_D_SQL = _welch_d(sql_d53)
 
 
 @query(
@@ -5205,8 +5247,8 @@ _WELCH_D = (
     staged AS (
         SELECT n_a, n_b,
                {_WELCH_MD} AS md,
-               {_WELCH_SE_A} AS sea,
-               {_WELCH_SE_B} AS seb,
+               {_WELCH_SE_A_SQL} AS sea,
+               {_WELCH_SE_B_SQL} AS seb,
                d1_a, d1_b, d2_a, d2_b
         FROM tot
     )
@@ -5214,7 +5256,7 @@ _WELCH_D = (
            CAST(floor(md * 1e2 + 0.5) AS BIGINT) AS mean_diff_cents_e2,
            {_WELCH_T} AS t_welch_e4,
            {_WELCH_DF} AS df_welch_e2,
-           {_WELCH_D} AS cohens_d_e4
+           {_WELCH_D_SQL} AS cohens_d_e4
     FROM staged
     """,
 )
@@ -5230,8 +5272,9 @@ def eval_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shift-invariance: t, df, and d depend only on mean DIFFERENCE and
     per-group variances), making every sufficient statistic an exact
     integer: d1_* BIGINT (< 2^53, exact in double), d2_* DECIMAL(38,0)
-    (scale-0 decimal -> double is one correctly-rounded conversion both
-    engines). The report is staged shared-verbatim IEEE trees — the
+    past 2^53, entering through the deterministic d53() split
+    conversion (r13 — the r12 driver falsified the bare wide cast).
+    The report is staged shared-verbatim IEEE trees — the
     mean diff and the two squared standard errors land in named DOUBLE
     columns (identical bits both engines), then t, df, and d are fixed
     trees over those; sqrt is IEEE-exact, and floor(x*1eK + 0.5)
@@ -7555,12 +7598,19 @@ def eval_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decimal literals of the standard normal quantiles (alpha/2 = 0.025
 # two-sided -> 1.959964; power 80% -> 0.841621), sigma^2 comes from the
 # exact integer sufficient stats, n is the per-arm size.
-_MDE_ABS = (
-    "(1.959963984540054 + 0.8416212335729143)"
-    " * sqrt(2.0 * ((CAST(d2 AS DOUBLE) - CAST(d1 AS DOUBLE)"
-    " * CAST(d1 AS DOUBLE) / CAST(n AS DOUBLE))"
-    " / (CAST(n AS DOUBLE) - 1.0)) / (CAST(n AS DOUBLE) / 2.0))"
-)
+# r13: d2 (per-segment sum of squared centered cents, ~6e17 at sf0.01)
+# exceeds 2^53 — it enters through the deterministic d53 split.
+def _mde_abs(cv) -> str:
+    return (
+        "(1.959963984540054 + 0.8416212335729143)"
+        f" * sqrt(2.0 * (({cv('d2')} - CAST(d1 AS DOUBLE)"
+        " * CAST(d1 AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) - 1.0)) / (CAST(n AS DOUBLE) / 2.0))"
+    )
+
+
+_MDE_ABS = _mde_abs(d53)
+_MDE_ABS_SQL = _mde_abs(sql_d53)
 
 
 @query(
@@ -7590,8 +7640,9 @@ _MDE_ABS = (
         FROM cen GROUP BY 1
     )
     SELECT seg AS segment, n AS n_orders,
-           CAST(floor({_MDE_ABS} + 0.5) AS BIGINT) AS mde_cents,
-           CAST(floor({_MDE_ABS} / (CAST(s_cents AS DOUBLE) / CAST(n AS DOUBLE))
+           CAST(floor({_MDE_ABS_SQL} + 0.5) AS BIGINT) AS mde_cents,
+           CAST(floor({_MDE_ABS_SQL} / (CAST(s_cents AS DOUBLE)
+                      / CAST(n AS DOUBLE))
                       * 1e4 + 0.5) AS BIGINT) AS mde_rel_bp
     FROM stats
     """,
@@ -7833,7 +7884,7 @@ def _hurst_oracle() -> str:
     leg{m} AS (
         SELECT CAST(count(*) AS BIGINT) AS nb,
                CAST(sum(CAST(floor(CAST(r_scaled AS DOUBLE)
-                    / sqrt(CAST(s2_scaled AS DOUBLE)) * 1e6 + 0.5)
+                    / sqrt({sql_d53("s2_scaled")}) * 1e6 + 0.5)
                     AS BIGINT)) AS BIGINT) AS rs_micro
         FROM rs{m}
     )""")
@@ -7923,8 +7974,9 @@ def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias(f"nb{m}"),
             F.sum(
                 F.expr(
+                    # r13: s2_scaled (~3e22) past 2^53 — d53 split.
                     "CAST(floor(CAST(r_scaled AS DOUBLE)"
-                    " / sqrt(CAST(s2_scaled AS DOUBLE)) * 1e6 + 0.5)"
+                    f" / sqrt({d53('s2_scaled')}) * 1e6 + 0.5)"
                     " AS BIGINT)"
                 )
             )
@@ -8330,20 +8382,34 @@ def forecast_theil_u2_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # makes m, n, m-1 or n-1 zero — Spark ANSI raises, DuckDB yields NULL;
 # these strings are SHARED verbatim into both engines, so the nullif
 # keeps them identical (and is a no-op on any non-degenerate slice).
-_DL_AUC = (
-    "(CAST(sq10 AS DOUBLE)"
-    " / nullif(2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE), 0))"
-)
-_DL_VAR = (
-    "((CAST(sq10sq AS DOUBLE) - CAST(sq10 AS DOUBLE) * CAST(sq10 AS DOUBLE)"
-    " / nullif(CAST(m AS DOUBLE), 0)) / nullif(CAST(m AS DOUBLE) - 1.0, 0)"
-    " / nullif(4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE), 0)"
-    " / nullif(CAST(m AS DOUBLE), 0)"
-    " + (CAST(sq01sq AS DOUBLE) - CAST(sq01 AS DOUBLE) * CAST(sq01 AS DOUBLE)"
-    " / nullif(CAST(n AS DOUBLE), 0)) / nullif(CAST(n AS DOUBLE) - 1.0, 0)"
-    " / nullif(4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE), 0)"
-    " / nullif(CAST(n AS DOUBLE), 0))"
-)
+# r13 class rule: no bare wide-DECIMAL(38,0)->double casts anywhere —
+# sq10sq/sq01sq stay under 2^53 at graded SFs (~5e14 at sf0.1) but are
+# DECIMAL(38,0) sums that would cross it at sf1, so they ride the d53
+# split too; sq10/sq01 (~1e9) stay plain.
+def _dl_auc(cv) -> str:
+    return (
+        "(CAST(sq10 AS DOUBLE)"
+        " / nullif(2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE), 0))"
+    )
+
+
+def _dl_var(cv) -> str:
+    return (
+        f"(({cv('sq10sq')} - CAST(sq10 AS DOUBLE) * CAST(sq10 AS DOUBLE)"
+        " / nullif(CAST(m AS DOUBLE), 0)) / nullif(CAST(m AS DOUBLE) - 1.0, 0)"
+        " / nullif(4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE), 0)"
+        " / nullif(CAST(m AS DOUBLE), 0)"
+        f" + ({cv('sq01sq')} - CAST(sq01 AS DOUBLE) * CAST(sq01 AS DOUBLE)"
+        " / nullif(CAST(n AS DOUBLE), 0)) / nullif(CAST(n AS DOUBLE) - 1.0, 0)"
+        " / nullif(4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE), 0)"
+        " / nullif(CAST(n AS DOUBLE), 0))"
+    )
+
+
+_DL_AUC = _dl_auc(d53)
+_DL_AUC_SQL = _dl_auc(sql_d53)
+_DL_VAR = _dl_var(d53)
+_DL_VAR_SQL = _dl_var(sql_d53)
 _DL_Z = "1.959963984540054"
 
 
@@ -8388,11 +8454,11 @@ _DL_Z = "1.959963984540054"
         FROM placed
     )
     SELECT m AS n_pos, n AS n_neg,
-           CAST(floor({_DL_AUC} * 1e6 + 0.5) AS BIGINT) AS auc_e6,
-           CAST(floor(sqrt({_DL_VAR}) * 1e6 + 0.5) AS BIGINT) AS se_e6,
-           CAST(floor(({_DL_AUC} - {_DL_Z} * sqrt({_DL_VAR})) * 1e6 + 0.5)
+           CAST(floor({_DL_AUC_SQL} * 1e6 + 0.5) AS BIGINT) AS auc_e6,
+           CAST(floor(sqrt({_DL_VAR_SQL}) * 1e6 + 0.5) AS BIGINT) AS se_e6,
+           CAST(floor(({_DL_AUC_SQL} - {_DL_Z} * sqrt({_DL_VAR_SQL})) * 1e6 + 0.5)
                 AS BIGINT) AS ci_lo_e6,
-           CAST(floor(({_DL_AUC} + {_DL_Z} * sqrt({_DL_VAR})) * 1e6 + 0.5)
+           CAST(floor(({_DL_AUC_SQL} + {_DL_Z} * sqrt({_DL_VAR_SQL})) * 1e6 + 0.5)
                 AS BIGINT) AS ci_hi_e6
     FROM agg
     """,
@@ -8671,8 +8737,8 @@ _TOST_Z90 = "1.6448536269514722"  # one-sided 5% normal quantile
     staged AS (
         SELECT n_a, n_b,
                {_WELCH_MD} AS md,
-               {_WELCH_SE_A} AS sea,
-               {_WELCH_SE_B} AS seb
+               {_WELCH_SE_A_SQL} AS sea,
+               {_WELCH_SE_B_SQL} AS seb
         FROM tot
     )
     SELECT n_a, n_b,
@@ -9181,40 +9247,71 @@ def eval_harrell_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CUPED shared-verbatim trees over the exact integer sufficient stats
-# (scale-0 DECIMAL->DOUBLE is the safe conversion; every division and
-# product below is one identical IEEE tree in both engines).
-_CUPED_THETA_NUM = (
-    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
-    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-)
-_CUPED_VARX = (
-    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-)
-_CUPED_VARY = (
-    "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
-    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
-)
+# CUPED trees over the exact integer sufficient stats. r13: the
+# second-moment sums sxx/syy/sxy (squared per-customer annual cents,
+# ~2.5e20 at sf0.01) are past 2^53 and enter through the per-engine
+# d53 split; sx/sy (~1e11) stay plain casts. Every division and
+# product below is one identical IEEE tree in both engines.
+def _cuped_theta_num(cv) -> str:
+    return (
+        f"(CAST(n AS DOUBLE) * {cv('sxy')}"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+
+
+def _cuped_varx(cv) -> str:
+    return (
+        f"(CAST(n AS DOUBLE) * {cv('sxx')}"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+
+
+def _cuped_vary(cv) -> str:
+    return (
+        f"(CAST(n AS DOUBLE) * {cv('syy')}"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+
+
+_CUPED_THETA_NUM = _cuped_theta_num(d53)
+_CUPED_THETA_NUM_SQL = _cuped_theta_num(sql_d53)
+_CUPED_VARX = _cuped_varx(d53)
+_CUPED_VARX_SQL = _cuped_varx(sql_d53)
+_CUPED_VARY = _cuped_vary(d53)
+_CUPED_VARY_SQL = _cuped_vary(sql_d53)
 # nullif variances (r10): a single-user or constant-covariate slice
 # zeroes VARX/VARY — Spark ANSI raises, DuckDB yields NULL; shared
 # verbatim, both engines stay identical (no-op with any variance).
-_CUPED_THETA_E6 = (
-    f"CAST(floor({_CUPED_THETA_NUM} / nullif({_CUPED_VARX}, 0)"
-    " * 1e6 + 0.5) AS BIGINT)"
+def _cuped_theta_e6(tn, vx) -> str:
+    return f"CAST(floor({tn} / nullif({vx}, 0) * 1e6 + 0.5) AS BIGINT)"
+
+
+def _cuped_rho2_bp(tn, vx, vy) -> str:
+    return (
+        f"CAST(floor({tn} * {tn}"
+        f" / nullif({vx} * {vy}, 0) * 1e4 + 0.5) AS BIGINT)"
+    )
+
+
+def _cuped_adj_micro(tn, vx) -> str:
+    return (
+        "CAST(floor(((CAST(sya AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)"
+        " - CAST(syb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0))"
+        f" - {tn} / nullif({vx}, 0)"
+        " * (CAST(sxa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)"
+        " - CAST(sxb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)))"
+        " * 1e6 + 0.5) AS BIGINT)"
+    )
+
+
+_CUPED_THETA_E6 = _cuped_theta_e6(_CUPED_THETA_NUM, _CUPED_VARX)
+_CUPED_THETA_E6_SQL = _cuped_theta_e6(_CUPED_THETA_NUM_SQL, _CUPED_VARX_SQL)
+_CUPED_RHO2_BP = _cuped_rho2_bp(_CUPED_THETA_NUM, _CUPED_VARX, _CUPED_VARY)
+_CUPED_RHO2_BP_SQL = _cuped_rho2_bp(
+    _CUPED_THETA_NUM_SQL, _CUPED_VARX_SQL, _CUPED_VARY_SQL
 )
-_CUPED_RHO2_BP = (
-    f"CAST(floor({_CUPED_THETA_NUM} * {_CUPED_THETA_NUM}"
-    f" / nullif({_CUPED_VARX} * {_CUPED_VARY}, 0) * 1e4 + 0.5) AS BIGINT)"
-)
-_CUPED_ADJ_MICRO = (
-    "CAST(floor(((CAST(sya AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)"
-    " - CAST(syb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0))"
-    f" - {_CUPED_THETA_NUM} / nullif({_CUPED_VARX}, 0)"
-    " * (CAST(sxa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)"
-    " - CAST(sxb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)))"
-    " * 1e6 + 0.5) AS BIGINT)"
-)
+_CUPED_ADJ_MICRO = _cuped_adj_micro(_CUPED_THETA_NUM, _CUPED_VARX)
+_CUPED_ADJ_MICRO_SQL = _cuped_adj_micro(_CUPED_THETA_NUM_SQL, _CUPED_VARX_SQL)
 
 
 @query(
@@ -9256,9 +9353,9 @@ _CUPED_ADJ_MICRO = (
                  * 1000000 + CAST(na AS HUGEINT) * nb)
                 // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT)
                AS raw_diff_micro,
-           {_CUPED_THETA_E6} AS theta_e6,
-           {_CUPED_RHO2_BP} AS var_reduction_bp,
-           {_CUPED_ADJ_MICRO} AS adj_diff_micro
+           {_CUPED_THETA_E6_SQL} AS theta_e6,
+           {_CUPED_RHO2_BP_SQL} AS var_reduction_bp,
+           {_CUPED_ADJ_MICRO_SQL} AS adj_diff_micro
     FROM m
     """.replace("{AB_T}", "80000000"),
 )

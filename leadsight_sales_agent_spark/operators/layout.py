@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from leadsight_sales_agent_spark.functions.numeric import d53, sql_d53
 from leadsight_sales_agent_spark.registry import query
 from leadsight_sales_agent_spark.sources.catalog import load
 
@@ -1101,9 +1102,12 @@ _LN2 = "6.931471805599453e-01"
 _ENT_LN_E12 = (
     "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)"
 )
+# r13: the weighted ln-sum {s} (~6.6e17 at sf0.01) is past 2^53, so
+# callers pass it pre-converted through the per-engine d53 split as
+# {sconv}; lnn*n stays an IEEE product of exact small doubles.
 _ENT_H_MILLI = (
     "CAST(floor((CAST({lnn} AS DOUBLE) * CAST({n} AS DOUBLE)"
-    " - CAST({s} AS DOUBLE))"
+    " - {sconv})"
     f" / (CAST({{n}} AS DOUBLE) * {_LN2} * 1e12) * 1000 + 0.5) AS BIGINT)"
 )
 
@@ -1128,7 +1132,7 @@ def _entropy_sql(table: str, col: str) -> str:
         {" UNION ALL ".join(_entropy_sql(t, c) for t, c in _DICT_COLS)}
     ), h AS (
         SELECT tbl, col, n_rows, ndv, plain_bits,
-               {_ENT_H_MILLI.format(lnn=_ENT_LN_E12.format(x="n_rows"), n="n_rows", s="s_clnc")}
+               {_ENT_H_MILLI.format(lnn=_ENT_LN_E12.format(x="n_rows"), n="n_rows", sconv=sql_d53("s_clnc"))}
                    AS h0_milli_bits
         FROM stats
     )
@@ -1190,7 +1194,7 @@ def storage_entropy_compression_bound(spark: SparkSession, sf_dir: str) -> DataF
                     _ENT_H_MILLI.format(
                         lnn=_ENT_LN_E12.format(x="n_rows"),
                         n="n_rows",
-                        s="s_clnc",
+                        sconv=d53("s_clnc"),
                     )
                 ).alias("h0_milli_bits"),
             )

@@ -284,7 +284,15 @@ def decode_bmp_rle8(payload: bytes) -> tuple[int, int, list[list[tuple[int, int,
         raise ValueError("unsupported BMP variant")
     if height <= 0:
         raise ValueError("RLE8 BMPs cannot be top-down")
+    # r13 (advisor): header dimensions are attacker-controlled — refuse
+    # before the grid allocation, not at a MemoryError 20 lines later.
+    if width <= 0:
+        raise ValueError("invalid BMP width")
+    if width * height > (1 << 26):
+        raise ValueError("implausible BMP dimensions")
     clr_used = struct.unpack_from("<I", payload, 46)[0] or 256
+    if clr_used > 256:
+        raise ValueError("invalid BMP palette size")
     pal_off = 14 + hdr_size
     if len(payload) < pal_off + 4 * clr_used:
         raise ValueError("truncated BMP palette")
@@ -303,6 +311,8 @@ def decode_bmp_rle8(payload: bytes) -> tuple[int, int, list[list[tuple[int, int,
         if b0 > 0:  # encoded run: b0 copies of index b1
             if row >= height or col + b0 > width:
                 raise ValueError("RLE run overflows the pixel grid")
+            if b1 >= clr_used:  # r13 (advisor): ValueError, not a
+                raise ValueError("pixel index outside palette")  # late IndexError
             grid[row][col : col + b0] = [b1] * b0
             col += b0
         elif b1 == 0:  # end of line
@@ -318,6 +328,8 @@ def decode_bmp_rle8(payload: bytes) -> tuple[int, int, list[list[tuple[int, int,
             end = pos + b1
             if end + (b1 & 1) > len(payload):
                 raise ValueError("truncated absolute run")
+            if any(i >= clr_used for i in payload[pos:end]):
+                raise ValueError("pixel index outside palette")
             grid[row][col : col + b1] = list(payload[pos:end])
             col += b1
             pos = end + (b1 & 1)

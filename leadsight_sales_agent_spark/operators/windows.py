@@ -21,11 +21,13 @@ from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.functions.numeric import (
     SQL_TIMED_FINITE_EVENTS,
+    d53,
     davg,
     davg_over,
     dsum,
     dsum_over,
     finite,
+    sql_d53,
     sql_davg,
     sql_davg_over,
 )
@@ -2950,7 +2952,7 @@ def ops_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_zscore_rolling",
-    oracle="""
+    oracle=f"""
     WITH m AS (
         SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
@@ -2967,10 +2969,12 @@ def ops_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT month, v AS revenue_cents,
            round((CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
-                 / sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                 / sqrt((CAST(n AS DOUBLE) * {sql_d53("s2")}
+                         - CAST(s1 AS DOUBLE) * s1)
                         / (CAST(n AS DOUBLE) * n)), 4) AS zscore,
            CASE WHEN abs((CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
-                 / sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                 / sqrt((CAST(n AS DOUBLE) * {sql_d53("s2")}
+                         - CAST(s1 AS DOUBLE) * s1)
                         / (CAST(n AS DOUBLE) * n))) > 2
                 THEN 1 ELSE 0 END AS is_anomaly
     FROM roll WHERE n = 12
@@ -3012,8 +3016,10 @@ def window_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).over(w).alias("s2"),
     )
     nd = F.col("n").cast("double")
+    # r13: the 12-month window Σv² (~3.8e20) is past 2^53 — d53 split,
+    # not a bare wide-decimal cast.
     z = (F.col("v").cast("double") - F.col("s1").cast("double") / F.col("n")) / F.sqrt(
-        (nd * F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1"))
+        (nd * F.expr(d53("s2")) - F.col("s1").cast("double") * F.col("s1"))
         / (nd * F.col("n"))
     )
     return roll.filter(F.col("n") == 12).select(
@@ -3506,11 +3512,19 @@ def ops_cache_belady_vs_lru(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BB_WIN = 12  # trailing months in the band window
 # Per-row Bollinger trees over exact integer frame sums (m +- 2 sigma).
+# r13: the window Σv² (~3.8e20) is past 2^53 — d53 split per engine.
 _BB_MID = "(CAST(s1 AS DOUBLE) / CAST(nw AS DOUBLE))"
-_BB_SD = (
-    "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
-    " / CAST(nw AS DOUBLE)) / (CAST(nw AS DOUBLE) - 1.0))"
-)
+
+
+def _bb_sd(cv) -> str:
+    return (
+        f"sqrt(({cv('s2')} - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(nw AS DOUBLE)) / (CAST(nw AS DOUBLE) - 1.0))"
+    )
+
+
+_BB_SD = _bb_sd(d53)
+_BB_SD_SQL = _bb_sd(sql_d53)
 
 
 @query(
@@ -3534,13 +3548,13 @@ _BB_SD = (
     )
     SELECT mon AS month_start, v AS revenue_cents,
            CAST(floor({_BB_MID} + 0.5) AS BIGINT) AS mid_cents,
-           CAST(floor({_BB_MID} - 2.0 * {_BB_SD} + 0.5) AS BIGINT)
+           CAST(floor({_BB_MID} - 2.0 * {_BB_SD_SQL} + 0.5) AS BIGINT)
                AS lower_cents,
-           CAST(floor({_BB_MID} + 2.0 * {_BB_SD} + 0.5) AS BIGINT)
+           CAST(floor({_BB_MID} + 2.0 * {_BB_SD_SQL} + 0.5) AS BIGINT)
                AS upper_cents,
-           CAST(CASE WHEN CAST(v AS DOUBLE) > {_BB_MID} + 2.0 * {_BB_SD}
+           CAST(CASE WHEN CAST(v AS DOUBLE) > {_BB_MID} + 2.0 * {_BB_SD_SQL}
                      THEN 1
-                     WHEN CAST(v AS DOUBLE) < {_BB_MID} - 2.0 * {_BB_SD}
+                     WHEN CAST(v AS DOUBLE) < {_BB_MID} - 2.0 * {_BB_SD_SQL}
                      THEN -1 ELSE 0 END AS INTEGER) AS band_breach
     FROM framed WHERE nw = {BB_WIN}
     ORDER BY mon
@@ -3604,9 +3618,14 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Parkinson trees over exact pre-rounded ln integers (e12 grain).
-_PK_SIG = (
-    "sqrt(CAST(s AS DOUBLE) / 1e24 / (CAST(n AS DOUBLE) * 4.0 * ln(2.0)))"
-)
+# r13: s = Σd12² runs ~3e27 (within d53's 2^103 headroom) — past 2^53,
+# so it enters through the per-engine d53 split.
+def _pk_sig(cv) -> str:
+    return f"sqrt({cv('s')} / 1e24 / (CAST(n AS DOUBLE) * 4.0 * ln(2.0)))"
+
+
+_PK_SIG = _pk_sig(d53)
+_PK_SIG_SQL = _pk_sig(sql_d53)
 
 
 @query(
@@ -3632,8 +3651,9 @@ _PK_SIG = (
         FROM lns
     )
     SELECT n AS n_months,
-           CAST(floor({_PK_SIG} * 1e6 + 0.5) AS BIGINT) AS sigma_parkinson_e6,
-           CAST(floor({_PK_SIG} * sqrt(12.0) * 1e6 + 0.5) AS BIGINT)
+           CAST(floor({_PK_SIG_SQL} * 1e6 + 0.5) AS BIGINT)
+               AS sigma_parkinson_e6,
+           CAST(floor({_PK_SIG_SQL} * sqrt(12.0) * 1e6 + 0.5) AS BIGINT)
                AS sigma_annualized_e6
     FROM agg
     """,

@@ -189,3 +189,45 @@ class TestRle8Codec:
         delta[RLE8_DATA_OFF : RLE8_DATA_OFF + 2] = b"\x00\x02"  # delta escape
         with pytest.raises(ValueError):
             decode_bmp_rle8(bytes(delta))
+
+    def test_decode_refusals_palette_and_header_bounds(self):
+        """r13 (advisor): a pixel index past the header-declared palette
+        must be a ValueError refusal (not a late IndexError), and
+        hostile header dimensions must refuse before the grid
+        allocation."""
+        import struct
+
+        import pytest
+
+        from leadsight_sales_agent_spark.operators.multimodal import (
+            RLE8_DATA_OFF,
+            decode_bmp_rle8,
+        )
+
+        good = bytearray(self._enc(6, 4, lambda x, y: 1))
+        # shrink the declared palette below the encoded index 1
+        small_pal = good.copy()
+        struct.pack_into("<I", small_pal, 46, 1)  # clr_used = 1
+        with pytest.raises(ValueError, match="outside palette"):
+            decode_bmp_rle8(bytes(small_pal))
+        # absolute-mode row (y=0 is abs via default abs_row) hits the
+        # same guard on the literal-byte path
+        abs_bad = bytearray(self._enc(6, 4, lambda x, y: 2, lambda y: True))
+        struct.pack_into("<I", abs_bad, 46, 2)  # clr_used = 2, index 2 used
+        with pytest.raises(ValueError, match="outside palette"):
+            decode_bmp_rle8(bytes(abs_bad))
+        # hostile dimensions: refuse before allocating width*height
+        huge = good.copy()
+        struct.pack_into("<i", huge, 18, 1 << 20)  # width
+        struct.pack_into("<i", huge, 22, 1 << 20)  # height
+        with pytest.raises(ValueError, match="implausible"):
+            decode_bmp_rle8(bytes(huge))
+        neg = good.copy()
+        struct.pack_into("<i", neg, 18, -6)  # negative width
+        with pytest.raises(ValueError, match="invalid BMP width"):
+            decode_bmp_rle8(bytes(neg))
+        # declared palette larger than the 8-bit index space
+        pal_big = good.copy()
+        struct.pack_into("<I", pal_big, 46, 1024)
+        with pytest.raises(ValueError, match="invalid BMP palette size"):
+            decode_bmp_rle8(bytes(pal_big))

@@ -110,8 +110,19 @@ def type_class(spark_dtype: str, duck_type: str):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    # --driver-replay (r13, verdict task 4): replay the DRIVER's
+    # protocol shape instead of the gate's default — queries in
+    # REGISTRY order (the order the driver grades them) rather than
+    # sorted, and DuckDB forced onto its external/spilling paths from
+    # the first query via a low memory limit (the method that
+    # reproduced the r12 hurst connection-memory-state flake). Local
+    # green under this mode plus default mode brackets both engine
+    # states the driver can be in.
+    driver_replay = "--driver-replay" in args
+    args = [a for a in args if a != "--driver-replay"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
     from leadsight_sales_agent_spark.session import get_spark
@@ -130,14 +141,28 @@ def main() -> int:
     # NULL-in-an-ORDER-BY seam fails deterministically instead of
     # flaking rounds later.
     mem_limit = os.environ.get("SPARK_GRAFT_DUCKDB_MEMORY_LIMIT")
+    if not mem_limit and driver_replay:
+        mem_limit = "256MiB"
     if mem_limit:
-        con.execute(f"SET memory_limit='{mem_limit}'")
+        # r13 (advisor): validate before interpolating into SET — a
+        # malformed value must fail with a clear message, not a
+        # confusing SQL error from a stray quote.
+        import re as _re
+
+        if not _re.fullmatch(r"\d+(\.\d+)?\s*[KMGT]i?B", mem_limit.strip()):
+            print(
+                "check_oracle: invalid SPARK_GRAFT_DUCKDB_MEMORY_LIMIT "
+                f"{mem_limit!r} (expected e.g. 256MiB / 2GB)"
+            )
+            return 2
+        con.execute(f"SET memory_limit='{mem_limit.strip()}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures, checked, rows_only = [], 0, 0
-    for name, fn in sorted(qs.items()):
+    order = list(qs.items()) if driver_replay else sorted(qs.items())
+    for name, fn in order:
         if only and name not in only:
             continue
         t0 = time.time()
@@ -231,9 +256,17 @@ def main() -> int:
     # stay harmless.
     import json as _json
 
+    import pyspark as _pyspark
+
     print("CHECK_ORACLE_SUMMARY " + _json.dumps(
         {"checked": checked, "rows_only": rows_only,
-         "failures": len(failures)}))
+         "failures": len(failures),
+         # r13 (verdict task 4): the r12 driver divergence was a
+         # DuckDB build difference the gate could not see — name the
+         # engine versions so CHECK vs driver runs are attributable.
+         "duckdb": duckdb.__version__, "pyspark": _pyspark.__version__,
+         "driver_replay": driver_replay,
+         "memory_limit": mem_limit or None}))
     for name, why in failures:
         print(f"  FAIL {name}: {why}")
     return 1 if failures else 0
