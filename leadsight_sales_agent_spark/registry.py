@@ -78,79 +78,85 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # window_sliding_panes, plus the remaining never-graded long tail
 # (see CORRECTNESS_r0* row history).
 _PANEL_50 = [
-    # r12 panel. The r11 panel came back 50/50 green (CORRECTNESS_r11)
-    # — the seventh consecutive fully-green round — so ALL 50 retire
-    # per the r11 verdict. This round's composition (r11 verdict task
-    # 1): the ENTIRE remaining never-driver-graded residue minus four
-    # — the 54-query COVERAGE.md list is taken wholesale, and the four
-    # left out (text_heaps_law_fit, window_downsample_lttb,
-    # forecast_theta_method, storage_rle_sortedness_audit) are exactly
-    # the four the r11 judge independently spot-ran green for the
-    # verdict, so every query left without a driver row after r12 has
-    # an external confirmation of some form. A green r12 closes the
-    # rotation program: every oracle-backed query will have at least
-    # one driver row or a judge spot-run row. Rotated-out queries stay
-    # oracle-checked locally every round via tools/check_oracle.py.
-    # r13 plan (drafted r12): if this panel comes back green, rotate to
-    # (a) the four judge-spot-ran stragglers (text_heaps_law_fit,
-    # window_downsample_lttb, forecast_theta_method,
-    # storage_rle_sortedness_audit) for a driver row of their own and
-    # multimodal_decode_rle_bmp_stats (registered r12, after this
-    # panel froze), plus
-    # (b) a regression-sentinel sample of ~46 previously-confirmed
-    # queries, at least one per SURVEY §2 family, weighted toward the
-    # queries whose code changed since their last driver row (the r12
-    # null-ts wave members and the persist-wave frames first).
-    "ab_power_mde_planner",
-    "ab_sprt_sequential_boundary",
-    "ab_tost_equivalence",
-    "agg_median_ci_order_statistic",
-    "attribution_time_decay_apportioned",
-    "dq_t_closeness_audit",
+    # r13 panel. r12 came back 47/50: the only reds in 12 rounds of
+    # driver grading were eval_anova_f_oneway, eval_brown_forsythe_levene,
+    # and forecast_theil_u2_accuracy — hash-only mismatches from the
+    # wide-DECIMAL(38,0)->DOUBLE conversion being build-dependent in the
+    # driver's DuckDB (SURVEY §8.2). Composition (r12 verdict task 3):
+    # (a) the 12 oracle-backed queries that have NEVER received a
+    #     driver row (the 4 judge-spot-ran stragglers + the 4 codec
+    #     decode queries incl. r12's RLE8 + 4 rotation-priority misses),
+    # (b) the 3 r12 reds, now rebuilt integer-exact / d53-converted —
+    #     driver green here is the ONLY done-signal for that fix (they
+    #     already passed locally while the driver failed them),
+    # (c) the 15 queries whose report expressions changed in the r13
+    #     d53 class-audit wave (every at-risk bare wide-decimal->double
+    #     cast now routes through the deterministic split conversion in
+    #     functions/numeric.py d53()/sql_d53()) — each needs a fresh
+    #     driver row because its bytes changed since its last green,
+    # (d) 4 r12 null-wave-touched re-confirmations (NULL o_orderdate /
+    #     NULL ts contract queries the r12 panel did not cover), and
+    # (e) 16 cross-family regression sentinels — one per SURVEY §2
+    #     family not already covered above, previously driver-green,
+    #     keeping every family in the driver window per
+    #     test_panel_covers_every_family's intent.
+    # Rotated-out queries stay oracle-checked locally every round via
+    # tools/check_oracle.py.
+    # --- (a) never-driver-graded residue (12)
+    "agg_histogram_equidepth_localized",
+    "dedup_exact_substring_coverage",
+    "forecast_theta_method",
+    "mixture_doremi_tilt",
+    "multimodal_decode_bmp_stats",
+    "multimodal_decode_pgm_stats",
+    "multimodal_decode_ppm_stats",
+    "multimodal_decode_rle_bmp_stats",
+    "sample_dsir_importance",
+    "storage_rle_sortedness_audit",
+    "text_heaps_law_fit",
+    "window_downsample_lttb",
+    # --- (b) the 3 r12 reds, rebuilt (3)
     "eval_anova_f_oneway",
-    "eval_brier_murphy_decomposition",
     "eval_brown_forsythe_levene",
-    "eval_cmh_stratified",
-    "eval_cochran_q",
-    "eval_effect_size_contingency",
-    "eval_friedman_blocked_ranks",
-    "eval_jarque_bera_normality",
-    "eval_kendall_tau_brands",
-    "eval_krippendorff_alpha_langid",
-    "eval_kruskal_wallis",
-    "eval_mcc_langid_binary",
-    "eval_page_trend_test",
-    "eval_rank_biased_overlap",
-    "forecast_dickey_fuller_unit_root",
-    "forecast_durbin_watson_residuals",
-    "forecast_engle_granger_cointegration",
-    "forecast_ljung_box_q",
-    "forecast_pinball_loss_quantile",
-    "forecast_seasonal_trend_strength",
     "forecast_theil_u2_accuracy",
-    "graph_modularity_regions",
-    "holt_damped_trend_smoothing",
-    "inventory_eoq_per_brand",
-    "inventory_ss_policy_replay",
-    "layout_pack_shard_balance",
-    "ops_multiwindow_burn_alerts",
-    "ops_token_bucket_replay",
-    "privacy_budget_composition",
-    "privacy_geometric_mechanism_counts",
-    "sample_priority_weighted_topk",
-    "storage_bloom_sizing_advisor",
-    "storage_dictionary_encoding_advisor",
+    # --- (c) r13 d53-wave-touched (15)
+    "ab_cuped_variance_reduction",
+    "ab_power_mde_planner",
+    "ab_tost_equivalence",
+    "agg_skew_kurtosis_moments",
+    "agg_theil_inequality_decomposition",
+    "eval_auc_delong_ci",
+    "eval_jarque_bera_normality",
+    "eval_kruskal_wallis",
+    "eval_welch_t_test",
+    "forecast_acf_monthly",
     "storage_entropy_compression_bound",
-    "survival_nelson_aalen",
-    "text_bleu_source_similarity",
-    "text_bpe_compression_by_lang",
-    "text_burrows_delta",
-    "text_good_turing_unseen_mass",
-    "text_mattr_lexical_diversity",
-    "text_rouge_l_source_similarity",
-    "text_vocab_accumulation_curve",
-    "text_watermark_greenlist_detect",
+    "timeseries_hurst_rs",
+    "window_bollinger_bands",
     "window_parkinson_volatility",
+    "window_zscore_rolling",
+    # --- (d) r12 null-wave re-confirmations (4)
+    "cohort_ltv_curve",
+    "window_ewma_dyadic_smoothing",
+    "funnel_windowed_deadline",
+    "survival_logrank_test",
+    # --- (e) cross-family sentinels (16)
+    "join_asof_nearest_tolerance",
+    "tpch_q19_disjunctive_revenue",
+    "sketch_ddsketch_quantiles",
+    "gaps_islands_event_days",
+    "setop_intersect_nations",
+    "dedup_exact_documents",
+    "dedup_fuzzy_levenshtein",
+    "sample_stratified_lang",
+    "knn_cosine_bruteforce",
+    "text_tfidf_top_terms",
+    "string_functions_suite",
+    "json_props_extraction",
+    "url_resolution_suite",
+    "multimodal_metadata_stats",
+    "text_c4_quality_gate",
+    "corpus_curation_verdict",
 ]
 
 # Rows-only (no-oracle) queries, cheapest first — the expensive demo
