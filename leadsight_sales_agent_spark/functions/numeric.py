@@ -281,21 +281,65 @@ _D53_M = 2**50
 
 def d53(w: str) -> str:
     """Spark SQL fragment: deterministic round-to-nearest double of a
-    wide integer/decimal expression ``w`` (|w| < 2^93)."""
+    wide integer/decimal expression ``w``.
+
+    Correctly rounded for |w| < 2^103 (h stays exact in double). Past
+    that — up to 2^113 ≈ 1e34, where Spark's BIGINT-valued ``DIV``
+    would raise on overflow (a loud ANSI canary, never drift) — the
+    result degrades to ~2 ulp
+    of the true value but REMAINS bit-identical across engines: h's
+    int64→double convert is one correctly-rounded op, ×2^50 only
+    shifts the exponent (always exact), and the final add is one
+    correctly-rounded op — every step is a pure function of (h, l), so
+    cross-engine determinism (the property the oracle gate needs)
+    never breaks even where perfect rounding does.
+
+    Spark's ``DIV`` yields BIGINT, so ``h`` converts via the exact
+    bigint->double path; the 2^50 multiplier is an integer literal cast
+    (constant-folded, exact) — plan-lint rule R9 sees no wide
+    decimal->double cast inside this fragment."""
     ww = f"CAST({w} AS DECIMAL(38,0))"
     h = f"({ww} DIV {_D53_M})"
     return (
-        f"(CAST({h} AS DOUBLE) * {float(_D53_M)!r}"
+        f"(CAST({h} AS DOUBLE) * CAST({_D53_M} AS DOUBLE)"
         f" + CAST(CAST({ww} - CAST({h} AS DECIMAL(38,0)) * {_D53_M}"
         f" AS BIGINT) AS DOUBLE))"
     )
 
 
 def sql_d53(w: str) -> str:
-    """DuckDB twin of d53(): HUGEINT split at 2^40."""
+    """DuckDB twin of d53(): HUGEINT split at 2^50. ``h`` is HUGEINT
+    (int128) but < 2^53, so it converts via BIGINT first — one exact
+    integer conversion, never the int128->double path under audit."""
     ww = f"CAST({w} AS HUGEINT)"
     h = f"({ww} // {_D53_M})"
     return (
-        f"(CAST({h} AS DOUBLE) * {float(_D53_M)!r}"
+        f"(CAST(CAST({h} AS BIGINT) AS DOUBLE) * CAST({_D53_M} AS DOUBLE)"
         f" + CAST(CAST({ww} - {h} * {_D53_M} AS BIGINT) AS DOUBLE))"
+    )
+
+
+def d53s(w: str, scale: int) -> str:
+    """Deterministic double of a DECIMAL(p, scale) expression whose
+    UNSCALED value may exceed 2^53 (the p>15 hazard class — the
+    engine's decimal->double path operates on the unscaled int128).
+
+    Unscale exactly in decimal arithmetic (``w * 10^scale`` is
+    integral; ANSI overflow raises rather than wraps), convert through
+    the d53 split, then apply ONE correctly-rounded division by the
+    exact power-of-ten double. The result can differ from a perfectly
+    rounded conversion of w by <=1 ulp, but it is the SAME bits on
+    every IEEE-754 engine — which is the property the oracle gate
+    needs (plan-lint rule R9)."""
+    return (
+        f"({d53(f'CAST({w} * {10 ** scale} AS DECIMAL(38,0))')}"
+        f" / CAST({10 ** scale} AS DOUBLE))"
+    )
+
+
+def sql_d53s(w: str, scale: int) -> str:
+    """DuckDB twin of d53s()."""
+    return (
+        f"({sql_d53(f'CAST({w} * {10 ** scale} AS HUGEINT)')}"
+        f" / CAST({10 ** scale} AS DOUBLE))"
     )

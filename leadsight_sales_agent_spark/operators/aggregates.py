@@ -24,10 +24,12 @@ from leadsight_sales_agent_spark.functions.numeric import (
     SQL_FINITE_EVENTS,
     SQL_VALID_JSON_EVENTS,
     d53,
+    d53s,
     davg,
     dsum,
     finite,
     sql_d53,
+    sql_d53s,
     sql_davg,
     sql_dsum,
     sql_hex_to_long,
@@ -4242,7 +4244,7 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "price_elasticity_grouped",
-    oracle="""
+    oracle=f"""
     WITH parts AS (
         SELECT p.p_brand AS brand, l.l_partkey,
                CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(25,2)) * 100
@@ -4254,23 +4256,23 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts AS (
         SELECT brand,
                CAST(round(ln(CAST(rev_cents AS DOUBLE) / qty), 12)
-                    AS DECIMAL(20,12)) AS x,
+                    AS DECIMAL(14,12)) AS x,
                CAST(round(ln(CAST(qty AS DOUBLE)), 12)
-                    AS DECIMAL(20,12)) AS y
+                    AS DECIMAL(14,12)) AS y
         FROM parts WHERE qty > 0
     ),
     terms AS (
         SELECT brand, x, y,
                CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 10)
-                    AS DECIMAL(20,10)) AS xy,
+                    AS DECIMAL(14,10)) AS xy,
                CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 10)
-                    AS DECIMAL(20,10)) AS xx
+                    AS DECIMAL(14,10)) AS xx
         FROM pts
     ),
     s AS (
         SELECT brand, count(*) AS k,
-               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-               CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx
+               {sql_d53s("sum(x)", 12)} AS sx, {sql_d53s("sum(y)", 12)} AS sy,
+               {sql_d53s("sum(xy)", 10)} AS sxy, {sql_d53s("sum(xx)", 10)} AS sxx
         FROM terms GROUP BY 1
     )
     SELECT brand, CAST(k AS BIGINT) AS n_parts,
@@ -4310,11 +4312,15 @@ def price_elasticity_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = parts.filter(F.col("qty") > 0).select(
         "brand",
+        # r13 (plan-lint R9): |ln| < 88 always, so the per-row points
+        # ride the narrow-decimal device (p<=15 keeps the unscaled
+        # value under 2^53 by TYPE); the brand sums below grow with
+        # scale and ride the d53s split instead.
         F.round(F.log(F.col("rev_cents").cast("double") / F.col("qty")), 12)
-        .cast("decimal(20,12)")
+        .cast("decimal(14,12)")
         .alias("x"),
         F.round(F.log(F.col("qty").cast("double")), 12)
-        .cast("decimal(20,12)")
+        .cast("decimal(14,12)")
         .alias("y"),
     )
     terms = pts.select(
@@ -4322,18 +4328,18 @@ def price_elasticity_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         "y",
         F.round(F.col("x").cast("double") * F.col("y").cast("double"), 10)
-        .cast("decimal(20,10)")
+        .cast("decimal(14,10)")
         .alias("xy"),
         F.round(F.col("x").cast("double") * F.col("x").cast("double"), 10)
-        .cast("decimal(20,10)")
+        .cast("decimal(14,10)")
         .alias("xx"),
     )
     s = terms.groupBy("brand").agg(
         F.count(F.lit(1)).alias("k"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum("xy").cast("double").alias("sxy"),
-        F.sum("xx").cast("double").alias("sxx"),
+        F.expr(d53s("sum(x)", 12)).alias("sx"),
+        F.expr(d53s("sum(y)", 12)).alias("sy"),
+        F.expr(d53s("sum(xy)", 10)).alias("sxy"),
+        F.expr(d53s("sum(xx)", 10)).alias("sxx"),
     )
     return s.filter(F.col("k") >= 10).select(
         "brand",
@@ -6934,3 +6940,85 @@ def agg_theil_inequality_decomposition(spark: SparkSession, sf_dir: str) -> Data
         )
     )
     return within.unionAll(between).unionAll(total)
+
+
+@query(
+    "dq_wide_decimal_conversion_canary",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderpriority AS priority,
+               CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    sums AS (
+        SELECT priority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s1,
+               CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2,
+               CAST(sum(CAST(cents AS HUGEINT) * cents * cents) AS HUGEINT)
+                   AS s3
+        FROM c GROUP BY 1
+    )
+    SELECT priority, n AS n_orders, s1 AS sum_cents,
+           {{S2D}} AS sumsq_double,
+           {{S3D}} AS sumcube_double,
+           CAST(floor(sqrt({{S2D}} / nullif(CAST(n AS DOUBLE), 0))
+                      * 1e6 + 0.5) AS BIGINT) AS rms_micro
+    FROM sums
+    """.replace("{S2D}", sql_d53("s2")).replace("{S3D}", sql_d53("s3")),
+)
+def dq_wide_decimal_conversion_canary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Permanent regression canary for the SURVEY §8.2 wide-decimal→
+    double seam (r12 verdict task 7): per-priority sums of cents,
+    cents², and cents³ deliberately straddle 2^53 (s2 ≈ 1e18, s3 ≈
+    1e25 at sf0.01 — exactly the unscaled regime where the r12 driver
+    diverged from local DuckDB on eval_anova_f_oneway et al.), and the
+    report hashes the CONVERTED DOUBLES THEMSELVES, not merely
+    integers derived from them — so any future engine/build whose
+    int128→double path double-rounds fails THIS query's hash gate
+    immediately and points at the conversion, not at whichever
+    statistic consumed it. Both engines convert through the d53()
+    split (functions/numeric.py), which is the class fix plan-lint
+    rule R9 enforces repo-wide.
+
+    Plan: one fact scan, one partial+final hash aggregate on a
+    5-value key, 5-row report — nothing here scales superlinearly.
+    """
+    c = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    sums = c.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents")
+            * F.col("cents")
+        )
+        .cast("decimal(38,0)")
+        .alias("s3"),
+    )
+    return sums.select(
+        "priority",
+        F.col("n").alias("n_orders"),
+        F.col("s1").alias("sum_cents"),
+        F.expr(d53("s2")).alias("sumsq_double"),
+        F.expr(d53("s3")).alias("sumcube_double"),
+        F.expr(
+            f"CAST(floor(sqrt({d53('s2')} / nullif(CAST(n AS DOUBLE), 0))"
+            " * 1e6 + 0.5) AS BIGINT)"
+        ).alias("rms_micro"),
+    )

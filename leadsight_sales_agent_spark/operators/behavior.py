@@ -16,10 +16,12 @@ from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.functions.numeric import (
     d53,
+    d53s,
     finite,
     is_finite,
     q_scaled_halfup,
     sql_d53,
+    sql_d53s,
     sql_q_scaled_halfup,
 )
 from leadsight_sales_agent_spark.operators.sampling import _SQL_HASH, hash_key
@@ -251,8 +253,8 @@ WINSOR_LO, WINSOR_HI = 0.05, 0.95
         FROM seg GROUP BY 1
     )
     SELECT s.mktsegment,
-           CAST(CAST(min(p.lo) AS DECIMAL(25,4)) AS DOUBLE) AS p05,
-           CAST(CAST(min(p.hi) AS DECIMAL(25,4)) AS DOUBLE) AS p95,
+           CAST(CAST(min(p.lo) AS DECIMAL(15,4)) AS DOUBLE) AS p05,
+           CAST(CAST(min(p.hi) AS DECIMAL(15,4)) AS DOUBLE) AS p95,
            CAST(sum(CASE WHEN s.o_totalprice < p.lo THEN 1 ELSE 0 END)
                AS BIGINT) AS n_clipped_low,
            CAST(sum(CASE WHEN s.o_totalprice > p.hi THEN 1 ELSE 0 END)
@@ -296,8 +298,13 @@ def winsorize_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg.join(F.broadcast(pct), "mktsegment")
         .groupBy("mktsegment")
         .agg(
-            F.min("lo").cast("decimal(25,4)").cast("double").alias("p05"),
-            F.min("hi").cast("decimal(25,4)").cast("double").alias("p95"),
+            # r13 (plan-lint R9): a per-order total is scale-bounded, so
+            # the quantizer narrows to DECIMAL(15,4) — unscaled < 2^53
+            # by construction (ANSI overflow would raise loudly), and
+            # the decimal->double conversion stays on the exact int64
+            # path in both engines.
+            F.min("lo").cast("decimal(15,4)").cast("double").alias("p05"),
+            F.min("hi").cast("decimal(15,4)").cast("double").alias("p95"),
             F.sum(F.when(F.col("o_totalprice") < F.col("lo"), 1).otherwise(0)).alias(
                 "n_clipped_low"
             ),
@@ -7325,15 +7332,15 @@ LOGRANK_CHI2_1DF_5PCT_E4 = 38415  # chi-square(1) 5% critical value x1e4
         FROM att
     )
     SELECT o1 AS observed_arm1,
-           CAST(floor(CAST(e1 AS DOUBLE) * 1e4 + 0.5) AS BIGINT)
+           CAST(floor({sql_d53s("e1", 6)} * 1e4 + 0.5) AS BIGINT)
                AS expected_arm1_e4,
-           CAST(floor((CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
-                      * (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
-                      / CAST(v AS DOUBLE) * 1e4 + 0.5) AS BIGINT)
+           CAST(floor((CAST(o1 AS DOUBLE) - {sql_d53s("e1", 6)})
+                      * (CAST(o1 AS DOUBLE) - {sql_d53s("e1", 6)})
+                      / {sql_d53s("v", 6)} * 1e4 + 0.5) AS BIGINT)
                AS chi2_e4,
-           CAST(CASE WHEN floor((CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
-                      * (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
-                      / CAST(v AS DOUBLE) * 1e4 + 0.5)
+           CAST(CASE WHEN floor((CAST(o1 AS DOUBLE) - {sql_d53s("e1", 6)})
+                      * (CAST(o1 AS DOUBLE) - {sql_d53s("e1", 6)})
+                      / {sql_d53s("v", 6)} * 1e4 + 0.5)
                           > {LOGRANK_CHI2_1DF_5PCT_E4}
                      THEN 1 ELSE 0 END AS INTEGER) AS curves_differ_5pct
     FROM terms
@@ -7464,16 +7471,19 @@ def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(20,6)")
         .alias("v"),
     )
+    # r13 (plan-lint R9): e1/v are DECIMAL(20,6) sums whose unscaled
+    # value scales with total event count — past 2^53 within the
+    # 100 TB envelope — so they convert through the d53s split.
     chi2 = (
-        "floor((CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))"
-        " * (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))"
-        " / CAST(v AS DOUBLE) * 1e4 + 0.5)"
+        f"floor((CAST(o1 AS DOUBLE) - {d53s('e1', 6)})"
+        f" * (CAST(o1 AS DOUBLE) - {d53s('e1', 6)})"
+        f" / {d53s('v', 6)} * 1e4 + 0.5)"
     )
     return terms.select(
         F.col("o1").alias("observed_arm1"),
-        F.expr("CAST(floor(CAST(e1 AS DOUBLE) * 1e4 + 0.5) AS BIGINT)").alias(
-            "expected_arm1_e4"
-        ),
+        F.expr(
+            f"CAST(floor({d53s('e1', 6)} * 1e4 + 0.5) AS BIGINT)"
+        ).alias("expected_arm1_e4"),
         F.expr(f"CAST({chi2} AS BIGINT)").alias("chi2_e4"),
         F.expr(
             f"CAST(CASE WHEN {chi2} > {LOGRANK_CHI2_1DF_5PCT_E4}"
@@ -8385,21 +8395,22 @@ def forecast_theil_u2_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r13 class rule: no bare wide-DECIMAL(38,0)->double casts anywhere —
 # sq10sq/sq01sq stay under 2^53 at graded SFs (~5e14 at sf0.1) but are
 # DECIMAL(38,0) sums that would cross it at sf1, so they ride the d53
-# split too; sq10/sq01 (~1e9) stay plain.
+# split; sq10/sq01 (~1e9 at sf0.01) grow as n·m — quadratic — and
+# cross 2^53 around sf1 too, so they ride it as well (plan-lint R9).
 def _dl_auc(cv) -> str:
     return (
-        "(CAST(sq10 AS DOUBLE)"
+        f"({cv('sq10')}"
         " / nullif(2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE), 0))"
     )
 
 
 def _dl_var(cv) -> str:
     return (
-        f"(({cv('sq10sq')} - CAST(sq10 AS DOUBLE) * CAST(sq10 AS DOUBLE)"
+        f"(({cv('sq10sq')} - {cv('sq10')} * {cv('sq10')}"
         " / nullif(CAST(m AS DOUBLE), 0)) / nullif(CAST(m AS DOUBLE) - 1.0, 0)"
         " / nullif(4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE), 0)"
         " / nullif(CAST(m AS DOUBLE), 0)"
-        f" + ({cv('sq01sq')} - CAST(sq01 AS DOUBLE) * CAST(sq01 AS DOUBLE)"
+        f" + ({cv('sq01sq')} - {cv('sq01')} * {cv('sq01')}"
         " / nullif(CAST(n AS DOUBLE), 0)) / nullif(CAST(n AS DOUBLE) - 1.0, 0)"
         " / nullif(4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE), 0)"
         " / nullif(CAST(n AS DOUBLE), 0))"
@@ -9250,26 +9261,29 @@ def eval_harrell_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CUPED trees over the exact integer sufficient stats. r13: the
 # second-moment sums sxx/syy/sxy (squared per-customer annual cents,
 # ~2.5e20 at sf0.01) are past 2^53 and enter through the per-engine
-# d53 split; sx/sy (~1e11) stay plain casts. Every division and
-# product below is one identical IEEE tree in both engines.
+# d53 split; sx/sy (~1e11 at sf0.01) ALSO ride it — a global cents sum
+# crosses 2^53 around sf400, inside the 100 TB design envelope, and
+# their DECIMAL(38,0) type puts the bare cast in plan-lint R9's class.
+# Every division and product below is one identical IEEE tree in both
+# engines.
 def _cuped_theta_num(cv) -> str:
     return (
         f"(CAST(n AS DOUBLE) * {cv('sxy')}"
-        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        f" - {cv('sx')} * {cv('sy')})"
     )
 
 
 def _cuped_varx(cv) -> str:
     return (
         f"(CAST(n AS DOUBLE) * {cv('sxx')}"
-        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        f" - {cv('sx')} * {cv('sx')})"
     )
 
 
 def _cuped_vary(cv) -> str:
     return (
         f"(CAST(n AS DOUBLE) * {cv('syy')}"
-        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+        f" - {cv('sy')} * {cv('sy')})"
     )
 
 
@@ -9293,13 +9307,15 @@ def _cuped_rho2_bp(tn, vx, vy) -> str:
     )
 
 
-def _cuped_adj_micro(tn, vx) -> str:
+def _cuped_adj_micro(tn, vx, cv) -> str:
+    # r13: sya/syb/sxa/sxb are per-arm DECIMAL(38,0) cents sums — the
+    # same >2^53-at-scale class as sx/sy, so they ride the d53 split.
     return (
-        "CAST(floor(((CAST(sya AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)"
-        " - CAST(syb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0))"
+        f"CAST(floor((({cv('sya')} / nullif(CAST(na AS DOUBLE), 0)"
+        f" - {cv('syb')} / nullif(CAST(nb AS DOUBLE), 0))"
         f" - {tn} / nullif({vx}, 0)"
-        " * (CAST(sxa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)"
-        " - CAST(sxb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0)))"
+        f" * ({cv('sxa')} / nullif(CAST(na AS DOUBLE), 0)"
+        f" - {cv('sxb')} / nullif(CAST(nb AS DOUBLE), 0)))"
         " * 1e6 + 0.5) AS BIGINT)"
     )
 
@@ -9310,8 +9326,10 @@ _CUPED_RHO2_BP = _cuped_rho2_bp(_CUPED_THETA_NUM, _CUPED_VARX, _CUPED_VARY)
 _CUPED_RHO2_BP_SQL = _cuped_rho2_bp(
     _CUPED_THETA_NUM_SQL, _CUPED_VARX_SQL, _CUPED_VARY_SQL
 )
-_CUPED_ADJ_MICRO = _cuped_adj_micro(_CUPED_THETA_NUM, _CUPED_VARX)
-_CUPED_ADJ_MICRO_SQL = _cuped_adj_micro(_CUPED_THETA_NUM_SQL, _CUPED_VARX_SQL)
+_CUPED_ADJ_MICRO = _cuped_adj_micro(_CUPED_THETA_NUM, _CUPED_VARX, d53)
+_CUPED_ADJ_MICRO_SQL = _cuped_adj_micro(
+    _CUPED_THETA_NUM_SQL, _CUPED_VARX_SQL, sql_d53
+)
 
 
 @query(

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from leadsight_sales_agent_spark.functions.numeric import d53, sql_d53
 from leadsight_sales_agent_spark.registry import query
 from leadsight_sales_agent_spark.sources.catalog import load
 
@@ -490,7 +491,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_degree_assortativity",
-    oracle="""
+    oracle=f"""
     WITH edges AS (
         SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
     ),
@@ -511,9 +512,9 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs
     )
     SELECT CAST(n AS BIGINT) AS n_edges,
-           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+           round((CAST(n AS DOUBLE) * {sql_d53("sxy")} - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * {sql_d53("sxx")} - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * {sql_d53("syy")} - CAST(sy AS DOUBLE) * sy)),
                  6) AS assortativity
     FROM s
     """,
@@ -564,14 +565,17 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("syy"),
     )
     nd = F.col("n").cast("double")
+    # r13 (plan-lint R9): sxy/sxx/syy are DECIMAL(38,0) sums of degree
+    # products — past 2^53 on a hub-heavy graph at scale — so they
+    # convert through the d53 split; sx/sy are BIGINT (exact).
     return s.select(
         F.col("n").cast("bigint").alias("n_edges"),
         F.round(
-            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            (nd * F.expr(d53("sxy")) - F.col("sx").cast("double") * F.col("sy"))
             / F.nullif(
-                F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                F.sqrt(nd * F.expr(d53("sxx")) - F.col("sx").cast("double") * F.col("sx"))
                 * F.sqrt(
-                    nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+                    nd * F.expr(d53("syy")) - F.col("sy").cast("double") * F.col("sy")
                 ),
                 F.lit(0.0),
             ),

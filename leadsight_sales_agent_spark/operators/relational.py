@@ -22,7 +22,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from leadsight_sales_agent_spark.functions.numeric import dsum, sql_dsum, sql_hex_to_long
+from leadsight_sales_agent_spark.functions.numeric import (
+    d53,
+    d53s,
+    dsum,
+    sql_d53,
+    sql_d53s,
+    sql_dsum,
+    sql_hex_to_long,
+)
 from leadsight_sales_agent_spark.operators.sampling import hash_key
 from leadsight_sales_agent_spark.registry import query
 from leadsight_sales_agent_spark.sources.catalog import load
@@ -1262,7 +1270,7 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "share_of_parent_revenue",
-    oracle="""
+    oracle=f"""
     WITH nr AS (
         SELECT r.r_name AS region, n.n_name AS nation,
                sum(CAST(c.c_acctbal AS DECIMAL(25,6))) AS bal
@@ -1272,10 +1280,10 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT region, nation,
-           CAST(round(bal, 2) AS DOUBLE) AS nation_balance,
-           round(CAST(CAST(bal AS VARCHAR) AS DOUBLE)
-                 / CAST(CAST(sum(bal) OVER (PARTITION BY region) AS VARCHAR)
-                        AS DOUBLE), 4) AS share_of_region
+           {sql_d53s("round(bal, 2)", 2)} AS nation_balance,
+           round({sql_d53s("bal", 6)}
+                 / {sql_d53s("sum(bal) OVER (PARTITION BY region)", 6)},
+                 4) AS share_of_region
     FROM nr
     """,
 )
@@ -1301,12 +1309,19 @@ def share_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("c_acctbal").cast("decimal(25,6)")).alias("bal"))
     )
     w = Window.partitionBy("region")
+    # r13 (plan-lint R9): bal and its region window-sum are wide
+    # decimals whose unscaled value crosses 2^53 at scale, so both
+    # convert through the d53s split (the oracle previously hopped
+    # decimal->VARCHAR->double to match Spark; d53s makes the
+    # conversion engine-independent by construction instead).
     return nr.select(
         "region",
         "nation",
-        F.round("bal", 2).cast("double").alias("nation_balance"),
+        F.expr(d53s("round(bal, 2)", 2)).alias("nation_balance"),
         F.round(
-            F.col("bal").cast("double") / F.sum("bal").over(w).cast("double"), 4
+            F.expr(d53s("bal", 6))
+            / F.expr(d53s("sum(bal) OVER (PARTITION BY region)", 6)),
+            4,
         ).alias("share_of_region"),
     )
 
@@ -1711,7 +1726,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q14_promotion_effect",
-    oracle="""
+    oracle=f"""
     WITH t AS (
         SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
                         THEN CAST(l.l_extendedprice AS DECIMAL(25,6))
@@ -1725,8 +1740,10 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
           AND l.l_shipdate <  TIMESTAMP '1997-10-01'
     )
-    SELECT CAST(round(promo_micro / 1000000.0, 2) AS DOUBLE) AS promo_revenue,
-           CAST(round(total_micro / 1000000.0, 2) AS DOUBLE) AS total_revenue,
+    SELECT CAST(round({sql_d53("promo_micro")} / 1000000.0, 2) AS DOUBLE)
+               AS promo_revenue,
+           CAST(round({sql_d53("total_micro")} / 1000000.0, 2) AS DOUBLE)
+               AS total_revenue,
            CAST(CAST(promo_micro AS HUGEINT) * 10000
                 // CAST(total_micro AS HUGEINT) AS BIGINT) AS promo_bp
     FROM t
@@ -1769,11 +1786,14 @@ def tpch_q14_promotion_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(term) * 1000000).cast("decimal(38,0)").alias("total_micro"),
         )
     )
+    # r13 (plan-lint R9): the micro-unit sums are DECIMAL(38,0) past
+    # 2^53 at scale — convert through the d53 split, then one shared
+    # divide+round tree (identical in the oracle).
     return t.select(
-        F.round(F.col("promo_micro") / 1000000.0, 2)
+        F.expr(f"round({d53('promo_micro')} / 1000000.0, 2)")
         .cast("double")
         .alias("promo_revenue"),
-        F.round(F.col("total_micro") / 1000000.0, 2)
+        F.expr(f"round({d53('total_micro')} / 1000000.0, 2)")
         .cast("double")
         .alias("total_revenue"),
         F.expr("CAST((promo_micro * 10000) DIV total_micro AS BIGINT)").alias(
@@ -1795,7 +1815,7 @@ def tpch_q14_promotion_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_custkey, o.o_orderkey, o.o_orderdate,
            CAST(round(CAST(o.o_totalprice AS DECIMAL(25,6)), 2) AS DOUBLE)
                AS o_totalprice,
-           CAST(b.sum_qty AS DOUBLE) AS sum_qty
+           CAST(CAST(b.sum_qty AS DECIMAL(15,6)) AS DOUBLE) AS sum_qty
     FROM big b
     JOIN orders o ON o.o_orderkey = b.l_orderkey
     ORDER BY o_totalprice DESC, o.o_orderkey
@@ -1833,7 +1853,12 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.col("o_totalprice").cast("decimal(25,6)"), 2)
             .cast("double")
             .alias("o_totalprice"),
-            F.col("sum_qty").cast("double").alias("sum_qty"),
+            # r13 (plan-lint R9): a per-order quantity sum is grain-
+            # bounded (a few hundred), so the narrow-decimal device
+            # applies: DECIMAL(15,6) keeps the unscaled value under
+            # 2^53 by type (ANSI overflow would raise loudly) and the
+            # double conversion exact in both engines.
+            F.col("sum_qty").cast("decimal(15,6)").cast("double").alias("sum_qty"),
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
@@ -1968,7 +1993,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q8_market_share",
-    oracle="""
+    oracle=f"""
     WITH volume AS (
         SELECT date_part('year', o.o_orderdate) AS order_year,
                CAST(sum(CASE WHEN n.n_name = 'NATION_0'
@@ -1987,9 +2012,10 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     )
     SELECT order_year,
-           CAST(round(COALESCE(nation_micro, 0) / 1000000.0, 2) AS DOUBLE)
-               AS nation_revenue,
-           CAST(round(total_micro / 1000000.0, 2) AS DOUBLE) AS total_revenue,
+           CAST(round({sql_d53("COALESCE(nation_micro, 0)")} / 1000000.0, 2)
+                AS DOUBLE) AS nation_revenue,
+           CAST(round({sql_d53("total_micro")} / 1000000.0, 2) AS DOUBLE)
+               AS total_revenue,
            CAST(CAST(COALESCE(nation_micro, 0) AS HUGEINT) * 10000
                 // CAST(total_micro AS HUGEINT) AS BIGINT) AS share_bp
     FROM volume
@@ -2038,12 +2064,14 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(term) * 1000000).cast("decimal(38,0)").alias("total_micro"),
         )
     )
+    # r13 (plan-lint R9): micro sums are DECIMAL(38,0) past 2^53 at
+    # scale — d53 split before the shared divide+round tree.
     return vol.select(
         "order_year",
-        F.round(F.coalesce(F.col("nation_micro"), F.lit(0)) / 1000000.0, 2)
+        F.expr(f"round({d53('COALESCE(nation_micro, 0)')} / 1000000.0, 2)")
         .cast("double")
         .alias("nation_revenue"),
-        F.round(F.col("total_micro") / 1000000.0, 2)
+        F.expr(f"round({d53('total_micro')} / 1000000.0, 2)")
         .cast("double")
         .alias("total_revenue"),
         F.expr(
@@ -2558,11 +2586,10 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "incremental_agg_maintenance",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority AS priority,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
-           CAST(round(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6))
-                                    * 1000000 AS DECIMAL(38,0))) AS DOUBLE)
+           CAST(round({sql_d53("sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 1000000 AS DECIMAL(38,0)))")}
                       / 1000000.0, 2) AS DOUBLE) AS revenue,
            count(*) AS n_orders
     FROM orders
@@ -2620,7 +2647,9 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "priority",
         "order_month",
-        F.round(F.col("rev_micro").cast("double") / 1000000.0, 2)
+        # r13 (plan-lint R9): the monthly micro sum crosses 2^53 at
+        # scale — d53 split before the shared divide+round tree.
+        F.expr(f"round({d53('rev_micro')} / 1000000.0, 2)")
         .cast("double")
         .alias("revenue"),
         F.col("n_orders").cast("bigint").alias("n_orders"),
@@ -4187,7 +4216,7 @@ _TOPK_MICRO = (
     )
     SELECT CAST(t.rank AS INTEGER) AS rank,
            t.l_partkey AS p_partkey,
-           CAST(round(CAST(t.rev_micro AS DOUBLE) / 1000000.0, 2) AS DOUBLE)
+           CAST(round({sql_d53("t.rev_micro")} / 1000000.0, 2) AS DOUBLE)
                AS revenue,
            CAST(t.n_items AS BIGINT) AS n_items,
            CAST(CASE WHEN o.l_partkey IS NULL THEN 0 ELSE 1 END AS INTEGER)
@@ -4278,7 +4307,9 @@ def incremental_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("rank").cast("int").alias("rank"),
             F.col("l_partkey").alias("p_partkey"),
-            F.round(F.col("rev_micro").cast("double") / 1000000.0, 2)
+            # r13 (plan-lint R9): per-part micro revenue crosses 2^53
+            # at scale — d53 split before the shared divide+round.
+            F.expr(f"round({d53('rev_micro')} / 1000000.0, 2)")
             .cast("double")
             .alias("revenue"),
             F.col("n_items").cast("bigint").alias("n_items"),

@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.functions.numeric import (
     SQL_VALID_JSON_EVENTS,
+    d53,
     davg,
+    sql_d53,
     sql_davg,
 )
 from leadsight_sales_agent_spark.functions.extracts import (
@@ -3768,23 +3770,25 @@ def text_vocab_accumulation_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     ),
     pts AS (
         SELECT CAST(round(ln(CAST(cum_tokens AS DOUBLE)), 12)
-                    AS DECIMAL(20,12)) AS x,
+                    AS DECIMAL(14,12)) AS x,
                CAST(round(ln(CAST(cum_types AS DOUBLE)), 12)
-                    AS DECIMAL(20,12)) AS y
+                    AS DECIMAL(14,12)) AS y
         FROM curve
     ),
     terms AS (
         SELECT x, y,
                CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 10)
-                    AS DECIMAL(20,10)) AS xy,
+                    AS DECIMAL(14,10)) AS xy,
                CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 10)
-                    AS DECIMAL(20,10)) AS xx
+                    AS DECIMAL(14,10)) AS xx
         FROM pts
     ),
     s AS (
         SELECT count(*) AS k,
-               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-               CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx
+               CAST(CAST(sum(x) AS DECIMAL(15,12)) AS DOUBLE) AS sx,
+               CAST(CAST(sum(y) AS DECIMAL(15,12)) AS DOUBLE) AS sy,
+               CAST(CAST(sum(xy) AS DECIMAL(15,10)) AS DOUBLE) AS sxy,
+               CAST(CAST(sum(xx) AS DECIMAL(15,10)) AS DOUBLE) AS sxx
         FROM terms
     )
     SELECT CAST(k AS BIGINT) AS n_points,
@@ -3832,30 +3836,35 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("new_types", F.lit(0))).over(wc).alias("cum_types"),
         )
     )
+    # r13 (plan-lint R9): every value here is bounded by MATH, not by
+    # data scale — |ln| < 88, cross terms < 7744, and the fit has a
+    # FIXED number of checkpoints — so the whole regime rides the
+    # narrow-decimal device (p<=15 keeps unscaled under 2^53 by type;
+    # ANSI overflow would raise loudly rather than drift).
     pts = curve.select(
         F.round(F.log(F.col("cum_tokens").cast("double")), 12)
-        .cast("decimal(20,12)")
+        .cast("decimal(14,12)")
         .alias("x"),
         F.round(F.log(F.col("cum_types").cast("double")), 12)
-        .cast("decimal(20,12)")
+        .cast("decimal(14,12)")
         .alias("y"),
     )
     terms = pts.select(
         "x",
         "y",
         F.round(F.col("x").cast("double") * F.col("y").cast("double"), 10)
-        .cast("decimal(20,10)")
+        .cast("decimal(14,10)")
         .alias("xy"),
         F.round(F.col("x").cast("double") * F.col("x").cast("double"), 10)
-        .cast("decimal(20,10)")
+        .cast("decimal(14,10)")
         .alias("xx"),
     )
     s = terms.agg(
         F.count(F.lit(1)).alias("k"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum("xy").cast("double").alias("sxy"),
-        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("x").cast("decimal(15,12)").cast("double").alias("sx"),
+        F.sum("y").cast("decimal(15,12)").cast("double").alias("sy"),
+        F.sum("xy").cast("decimal(15,10)").cast("double").alias("sxy"),
+        F.sum("xx").cast("decimal(15,10)").cast("double").alias("sxx"),
     )
     return s.select(
         F.col("k").cast("bigint").alias("n_points"),
@@ -4053,7 +4062,7 @@ BD_TOP_WORDS = 20  # most frequent corpus words form the style fingerprint
         SELECT a.source AS source_a, b.source AS source_b,
                CAST(floor(abs(CAST(a.k * a.f12 - a.sw AS DOUBLE)
                               - CAST(a.k * b.f12 - b.sw AS DOUBLE))
-                          / sqrt(CAST(a.bw AS DOUBLE)) * 1e6 + 0.5)
+                          / sqrt({sql_d53("a.bw")}) * 1e6 + 0.5)
                     AS BIGINT) AS t_micro
         FROM stats a JOIN stats b
           ON a.w = b.w AND a.source < b.source
@@ -4159,10 +4168,13 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source_a",
         "source_b",
+        # r13 (plan-lint R9): ba = k*sum(f12^2) - (sum f12)^2 carries
+        # e24-grain terms far past 2^53 — d53 split; the ka*f-sw legs
+        # are BIGINT (bounded source-count x e12 ratio), exact.
         F.expr(
             "CAST(floor(abs(CAST(ka * fa - sa AS DOUBLE)"
             " - CAST(ka * fb - sb AS DOUBLE))"
-            " / sqrt(CAST(ba AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+            f" / sqrt({d53('ba')}) * 1e6 + 0.5) AS BIGINT)"
         ).alias("t_micro"),
     )
     return (

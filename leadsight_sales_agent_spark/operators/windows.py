@@ -22,12 +22,14 @@ from pyspark.sql import functions as F
 from leadsight_sales_agent_spark.functions.numeric import (
     SQL_TIMED_FINITE_EVENTS,
     d53,
+    d53s,
     davg,
     davg_over,
     dsum,
     dsum_over,
     finite,
     sql_d53,
+    sql_d53s,
     sql_davg,
     sql_davg_over,
 )
@@ -943,16 +945,16 @@ def window_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "revenue_mom_growth",
-    oracle="""
+    oracle=f"""
     WITH m AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
         FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     )
     SELECT month,
-           CAST(round(rev, 2) AS DOUBLE) AS revenue,
-           round(CAST(CAST(rev AS VARCHAR) AS DOUBLE)
-                 / CAST(CAST(lag(rev) OVER (ORDER BY month) AS VARCHAR) AS DOUBLE)
+           {sql_d53s("round(rev, 2)", 2)} AS revenue,
+           round({sql_d53s("rev", 6)}
+                 / {sql_d53s("lag(rev) OVER (ORDER BY month)", 6)}
                  - 1, 4) AS mom_growth
     FROM m
     """,
@@ -976,12 +978,15 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = o.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("month")
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("rev"))
-    w = Window.orderBy("month")
-    rev_d = F.col("rev").cast("double")
-    prev_d = F.lag("rev").over(w).cast("double")
+    # r13 (plan-lint R9): monthly revenue's unscaled decimal crosses
+    # 2^53 at scale — both legs of the ratio convert through the d53s
+    # split (replacing the oracle's decimal->VARCHAR->double hop; d53s
+    # makes the conversion engine-independent by construction).
+    rev_d = F.expr(d53s("rev", 6))
+    prev_d = F.expr(d53s("lag(rev) OVER (ORDER BY month)", 6))
     return m.select(
         "month",
-        F.round("rev", 2).cast("double").alias("revenue"),
+        F.expr(d53s("round(rev, 2)", 2)).alias("revenue"),
         F.round(rev_d / prev_d - 1, 4).alias("mom_growth"),
     )
 
@@ -1084,13 +1089,13 @@ def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cusum_change_detection",
-    oracle="""
+    oracle=f"""
     WITH m AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
         FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ), t AS (
-        SELECT CAST(quantile_cont(CAST(CAST(rev AS VARCHAR) AS DOUBLE), 0.5)
+        SELECT CAST(quantile_cont({sql_d53s("rev", 6)}, 0.5)
                     AS DECIMAL(25,6)) AS target
         FROM m
     ), s AS (
@@ -1102,7 +1107,7 @@ def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s
     )
     SELECT min(month) FILTER (WHERE abs(cusum) = max_abs) AS change_month,
-           CAST(round(any_value(max_abs), 2) AS DOUBLE) AS max_abs_cusum,
+           {sql_d53s("round(any_value(max_abs), 2)", 2)} AS max_abs_cusum,
            count(*) AS n_months
     FROM peak
     """,
@@ -1128,8 +1133,12 @@ def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = o.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("month")
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("rev"))
+    # r13 (plan-lint R9): monthly revenue's unscaled decimal crosses
+    # 2^53 at scale — the median's double input and the final report
+    # convert through the d53s split (replacing the oracle's VARCHAR
+    # hop, which d53s makes engine-independent by construction).
     t = m.agg(
-        F.percentile(F.col("rev").cast("double"), F.lit(0.5))
+        F.percentile(F.expr(d53s("rev", 6)), F.lit(0.5))
         .cast("decimal(25,6)")
         .alias("target")
     )
@@ -1143,7 +1152,7 @@ def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(
             F.when(F.abs(F.col("cusum")) == F.col("max_abs"), F.col("month"))
         ).alias("change_month"),
-        F.round(F.any_value("max_abs"), 2).cast("double").alias("max_abs_cusum"),
+        F.expr(d53s("round(any_value(max_abs), 2)", 2)).alias("max_abs_cusum"),
         F.count("*").alias("n_months"),
     )
 
@@ -1979,7 +1988,7 @@ def impute_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_rolling_correlation",
-    oracle="""
+    oracle=f"""
     WITH m AS (
         SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100, 0)
@@ -1999,9 +2008,11 @@ def impute_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (ORDER BY month ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
     )
     SELECT month, CAST(n AS BIGINT) AS n_months,
-           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+           round((CAST(n AS DOUBLE) * {sql_d53("sxy")} - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * {sql_d53("sxx")}
+                         - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * {sql_d53("syy")}
+                           - CAST(sy AS DOUBLE) * sy)),
                  6) AS corr_12m
     FROM roll WHERE n = 12
     """,
@@ -2057,14 +2068,16 @@ def window_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sxy"),
     )
     nd = F.col("n").cast("double")
+    # r13 (plan-lint R9): the squared window sums (cents^2 grain) are
+    # DECIMAL(38,0) far past 2^53 — d53 split; sx/sy are BIGINT.
     return roll.filter(F.col("n") == 12).select(
         "month",
         F.col("n").cast("bigint").alias("n_months"),
         F.round(
-            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            (nd * F.expr(d53("sxy")) - F.col("sx").cast("double") * F.col("sy"))
             / (
-                F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
-                * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+                F.sqrt(nd * F.expr(d53("sxx")) - F.col("sx").cast("double") * F.col("sx"))
+                * F.sqrt(nd * F.expr(d53("syy")) - F.col("sy").cast("double") * F.col("sy"))
             ),
             6,
         ).alias("corr_12m"),

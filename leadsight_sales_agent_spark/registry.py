@@ -204,6 +204,25 @@ def ordered_queries() -> dict[str, QueryFn]:
     return {n: QUERIES[n] for n in [*panel, *oracle_backed, *rows_only]}
 
 
+def run_query(name: str, spark: SparkSession, sf_dir: str):
+    """Execute a registered query to completion and return its rows,
+    then drop any cache entries it persisted.
+
+    This is the structural close of the cache contract in the module
+    docstring (r13, r12 verdict task 5): queries that persist() shared
+    data-proportional frames cannot unpersist before returning (the
+    returned DataFrame is lazy and still needs the cache when the
+    caller executes it), so SOMEONE must clear between queries. The
+    four in-repo harnesses call clearCache() themselves; a third-party
+    caller can use this wrapper instead and never think about it.
+    Callers that want the lazy DataFrame keep using QUERIES[name]
+    directly — and then own the clearCache-between-queries duty."""
+    df = QUERIES[name](spark, sf_dir)
+    rows = df.collect()
+    spark.catalog.clearCache()
+    return rows
+
+
 def load_all() -> None:
     """Import every operator module so decorators run (idempotent)."""
     import leadsight_sales_agent_spark.operators.relational  # noqa: F401

@@ -402,3 +402,30 @@ class TestPlanLintAllowlists:
     def test_panel_names_are_registered(self):
         stale = set(registry._PANEL_50) - set(registry.QUERIES)
         assert not stale, sorted(stale)
+
+
+class TestRunQueryCacheHygiene:
+    def test_run_query_clears_data_proportional_persists(self, spark, sf_dir):
+        """r13 (r12 verdict task 5): a third-party caller driving many
+        registered queries through ``registry.run_query`` must not
+        accumulate data-proportional cache — after each call the Spark
+        cache manager is EMPTY again. Five heavy persist()-wave
+        queries in one session (semantic dedup, trigram LM, TF-IDF,
+        boilerplate n-grams, doremi tilt) are the r12-documented worst
+        case for the naive-caller leak."""
+        heavy = [
+            "dedup_semantic_semdedup",
+            "text_trigram_lm_score",
+            "text_tfidf_top_terms",
+            "text_boilerplate_ngrams",
+            "mixture_doremi_tilt",
+        ]
+        cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+        spark.catalog.clearCache()
+        assert cache_mgr.isEmpty()
+        for name in heavy:
+            rows = registry.run_query(name, spark, sf_dir)
+            assert rows is not None
+            assert cache_mgr.isEmpty(), (
+                f"{name} left cache entries behind via run_query"
+            )

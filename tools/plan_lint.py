@@ -36,6 +36,22 @@ Rules (per query, formatted physical plan at sf0.001):
                       an ALLOW_SINGLE_PARTITION entry naming the
                       bounded grain.
 
+  R9 wide-dec-cast  — ANALYZED-plan rule (r13, after the r12 driver
+                      divergence): a Cast to DOUBLE whose child is a
+                      DECIMAL with precision > 15 (unscaled value can
+                      exceed 2^53). The int128->double conversion is
+                      BUILD-DEPENDENT (DuckDB's path double-rounds on
+                      some builds — the r12 eval_anova/brown_forsythe/
+                      theil_u2 driver-red class), so every such
+                      conversion must route through the deterministic
+                      split in functions/numeric.py (d53/d53s) or
+                      narrow the decimal to p<=15 first (exact, with
+                      ANSI overflow as the canary) when the value is
+                      grain- or math-bounded. Literal children are
+                      exempt (compile-time constants fold exactly).
+                      No per-query allowlist: graded report paths
+                      must be conversion-deterministic.
+
   R8 ckpt-grain     — SOURCE rule (r12, r11 verdict task 5): every
                       `.localCheckpoint(` call site in the package must
                       carry a `ckpt-grain:` annotation (same line or
@@ -552,6 +568,95 @@ def window_single_partition(plan: str) -> bool:
     return False
 
 
+# ---- R9: wide-decimal -> double casts in the ANALYZED plan ----
+_R9_DEC_RE = re.compile(r"decimal\((\d+),(\d+)\)")
+_R9_MAX_SAFE_PRECISION = 15  # 10^15 < 2^53: unscaled value exact in double
+
+
+def _r9_forests(node, out):
+    """Collect every maximal JSON list that encodes a flat pre-order
+    forest of Catalyst tree nodes (dicts with class/num-children)."""
+    if isinstance(node, list):
+        if node and all(
+            isinstance(el, dict) and "class" in el for el in node
+        ):
+            out.append(node)
+        for el in node:
+            _r9_forests(el, out)
+    elif isinstance(node, dict):
+        for v in node.values():
+            _r9_forests(v, out)
+
+
+def _r9_scan_forest(flat: list, hits: list) -> None:
+    """Cursor-reconstruct the pre-order forest and record every
+    Cast(decimal(p>15) -> double) whose child is not a Literal."""
+    idx = 0
+
+    def rec():
+        nonlocal idx
+        if idx >= len(flat):
+            return None
+        node = flat[idx]
+        idx += 1
+        kids = []
+        for _ in range(int(node.get("num-children", 0) or 0)):
+            k = rec()
+            if k is not None:
+                kids.append(k)
+        cls = node.get("class", "")
+        if (
+            cls.endswith(".Cast")
+            and node.get("dataType") == "double"
+            and kids
+        ):
+            ch = kids[0][0]
+            m = _R9_DEC_RE.fullmatch(str(ch.get("dataType", "")))
+            ch_cls = ch.get("class", "").rsplit(".", 1)[-1]
+
+            def _has_attr(t):
+                n2, k2 = t
+                if n2.get("class", "").endswith(".AttributeReference"):
+                    return True
+                return any(_has_attr(k) for k in k2)
+
+            if (
+                m
+                and int(m.group(1)) > _R9_MAX_SAFE_PRECISION
+                and ch_cls != "Literal"
+                # constant-foldable subtrees (no attribute anywhere)
+                # convert at plan time to one fixed value — exempt
+                and _has_attr(kids[0])
+            ):
+                hits.append(
+                    {
+                        "child": ch_cls,
+                        "type": m.group(0),
+                        "name": str(ch.get("name", ""))[:40],
+                    }
+                )
+        return (node, kids)
+
+    while idx < len(flat):
+        rec()
+
+
+def wide_decimal_casts(df) -> list[dict]:
+    """R9 scan over the query's ANALYZED logical plan (pre-optimizer,
+    so named attributes survive for the report)."""
+    payload = json.loads(df._jdf.queryExecution().analyzed().toJSON())
+    forests: list = []
+    _r9_forests(payload, forests)
+    hits: list[dict] = []
+    seen = set()
+    for f in forests:
+        if id(f) in seen:
+            continue
+        seen.add(id(f))
+        _r9_scan_forest(f, hits)
+    return hits
+
+
 def lint_one(name: str, plan: str) -> list[dict]:
     findings = []
     if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and (
@@ -725,6 +830,20 @@ def main() -> None:
             errors.append({"query": name, "error": str(e)[:200]})
             continue
         findings.extend(lint_one(name, plan))
+        # R9: wide-decimal -> double conversions (analyzed plan; see
+        # module docstring — no allowlist, Literal children exempt)
+        r9 = wide_decimal_casts(df)
+        if r9:
+            uniq = sorted({(h["child"], h["type"], h["name"]) for h in r9})
+            findings.append(
+                {
+                    "rule": "R9-wide-decimal-cast",
+                    "query": name,
+                    "sites": [
+                        {"child": c, "type": t, "name": n} for c, t, n in uniq
+                    ],
+                }
+            )
         pattern_seen[name] = {
             "cartesian": "CartesianProduct" in plan
             or "BroadcastNestedLoopJoin" in plan,
