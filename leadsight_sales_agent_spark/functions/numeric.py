@@ -32,8 +32,18 @@ DEC = "decimal(25,6)"
 
 
 def dsum(x: Column, scale: int = 2) -> Column:
-    """Order-independent sum of a double column, rounded, as double."""
-    return F.round(F.sum(x.cast(DEC)), scale).cast("double")
+    """Order-independent sum of a double column, rounded, as double.
+
+    r13: the final decimal→double conversion routes through the
+    d53_col() split — a SUM grows with data scale, so its unscaled
+    value crosses 2^53 inside the 100 TB envelope and the bare cast
+    would hit the build-dependent int128→double path (plan-lint R9).
+    For values under 2^53 the split equals the exact conversion, so
+    nothing graded before r13 changes."""
+    r = F.round(F.sum(x.cast(DEC)), scale)
+    return d53_col((r * F.lit(10**scale)).cast("decimal(38,0)")) / F.lit(
+        float(10**scale)
+    )
 
 
 def finite(x: Column) -> Column:
@@ -124,7 +134,12 @@ def _tie_safe_avg(m: Column, n: Column, scale: int) -> Column:
     pos = F.floor(F.try_divide(m * 2 + d, d * 2))
     neg = -F.floor(F.try_divide(-(m * 2) + d, d * 2))
     q = F.when(m < 0, neg).otherwise(pos)
-    return q.cast("double") / F.lit(float(10**scale))
+    # r13 (plan-lint R9): q = mean·10^scale is bounded by the DATA's
+    # magnitude, not its row count — a MEAN does not grow with scale —
+    # so the narrow-decimal device applies: DECIMAL(15,0) keeps the
+    # conversion on the exact int64 path (a mean past 10^(15-scale)
+    # would raise ANSI overflow loudly, never drift).
+    return q.cast("decimal(15,0)").cast("double") / F.lit(float(10**scale))
 
 
 def davg(x: Column, scale: int = 4) -> Column:
@@ -133,8 +148,11 @@ def davg(x: Column, scale: int = 4) -> Column:
 
 
 def dsum_over(x: Column, window, scale: int = 2) -> Column:
-    """Windowed order-independent sum."""
-    return F.round(F.sum(x.cast(DEC)).over(window), scale).cast("double")
+    """Windowed order-independent sum (d53-converted like dsum)."""
+    r = F.round(F.sum(x.cast(DEC)).over(window), scale)
+    return d53_col((r * F.lit(10**scale)).cast("decimal(38,0)")) / F.lit(
+        float(10**scale)
+    )
 
 
 def davg_over(x: Column, window, scale: int = 4) -> Column:
@@ -145,8 +163,10 @@ def davg_over(x: Column, window, scale: int = 4) -> Column:
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    """DuckDB twin of dsum()."""
-    return f"CAST(round(sum(CAST(({expr}) AS DECIMAL(25,6))), {scale}) AS DOUBLE)"
+    """DuckDB twin of dsum() — same d53s split conversion."""
+    return sql_d53s(
+        f"round(sum(CAST(({expr}) AS DECIMAL(25,6))), {scale})", scale
+    )
 
 
 def sql_davg(expr: str, scale: int = 4) -> str:
@@ -159,8 +179,8 @@ def sql_davg(expr: str, scale: int = 4) -> str:
     d = f"(CAST(count({expr}) AS HUGEINT) * {10 ** (BASE - scale)})"
     return (
         f"(CASE WHEN count({expr}) = 0 THEN NULL "
-        f"WHEN {m} < 0 THEN -CAST((-({m}) * 2 + {d}) // ({d} * 2) AS DOUBLE) / {float(10**scale)} "
-        f"ELSE CAST(({m} * 2 + {d}) // ({d} * 2) AS DOUBLE) / {float(10**scale)} END)"
+        f"WHEN {m} < 0 THEN -CAST(CAST((-({m}) * 2 + {d}) // ({d} * 2) AS BIGINT) AS DOUBLE) / {float(10**scale)} "
+        f"ELSE CAST(CAST(({m} * 2 + {d}) // ({d} * 2) AS BIGINT) AS DOUBLE) / {float(10**scale)} END)"
     )
 
 
@@ -175,8 +195,8 @@ def sql_davg_over(expr: str, over: str, scale: int = 4) -> str:
     d = f"(CAST(count({expr}) {over} AS HUGEINT) * {10 ** (BASE - scale)})"
     return (
         f"(CASE WHEN count({expr}) {over} = 0 THEN NULL "
-        f"WHEN {m} < 0 THEN -CAST((-({m}) * 2 + {d}) // ({d} * 2) AS DOUBLE) / {float(10**scale)} "
-        f"ELSE CAST(({m} * 2 + {d}) // ({d} * 2) AS DOUBLE) / {float(10**scale)} END)"
+        f"WHEN {m} < 0 THEN -CAST(CAST((-({m}) * 2 + {d}) // ({d} * 2) AS BIGINT) AS DOUBLE) / {float(10**scale)} "
+        f"ELSE CAST(CAST(({m} * 2 + {d}) // ({d} * 2) AS BIGINT) AS DOUBLE) / {float(10**scale)} END)"
     )
 
 
@@ -338,8 +358,40 @@ def d53s(w: str, scale: int) -> str:
 
 
 def sql_d53s(w: str, scale: int) -> str:
-    """DuckDB twin of d53s()."""
+    """DuckDB twin of d53s().
+
+    Headroom caveat (r13, found via embedding_feature_scale): the
+    exact unscale multiplies the UNSCALED value by another 10^scale,
+    so DuckDB's 38-digit multiply requires value < 10^(38 - 2*scale).
+    For high-scale accumulations (s > ~12), quantize the TERMS to a
+    narrower scale before summing instead of unscaling a scale-18
+    sum — see the x^2-at-12dp device in similarity.py."""
     return (
         f"({sql_d53(f'CAST({w} * {10 ** scale} AS HUGEINT)')}"
         f" / CAST({10 ** scale} AS DOUBLE))"
+    )
+
+
+def d53_col(m: Column) -> Column:
+    """Column twin of d53(): deterministic round-to-nearest double of
+    an integral DECIMAL(38,0) column. Same split, Column algebra:
+    pmod gives 0 <= r < 2^50 for either sign, (m-r)/2^50 is an exact
+    representable integer quotient (Spark keeps 21 integer digits at
+    the divided type), and both halves convert on the exact int64
+    path — R9-clean by construction."""
+    r = F.pmod(m, F.lit(_D53_M))
+    h = ((m - r) / F.lit(_D53_M)).cast("bigint")
+    return (
+        h.cast("double") * F.lit(float(_D53_M))
+        + r.cast("bigint").cast("double")
+    )
+
+
+def ddbl(c: Column, scale: int) -> Column:
+    """Deterministic double of a decimal Column whose value carries at
+    most ``scale`` fractional digits (e.g. an already-rounded sum):
+    exact unscale, d53_col split, one correctly-rounded divide — the
+    Column twin of sql_d53s for inline (non-device) report sites."""
+    return d53_col((c * F.lit(10**scale)).cast("decimal(38,0)")) / F.lit(
+        float(10**scale)
     )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.functions.numeric import (
+    ddbl,
     SQL_FINITE_EVENTS,
     SQL_VALID_JSON_EVENTS,
     d53,
@@ -126,14 +127,11 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s AS (
         SELECT o_orderpriority AS priority,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) AS sx,
-               -- DECIMAL(19,·) forces DuckDB's INT128 multiply (the
-               -- INT64 path overflows). The VARCHAR hop matters: DuckDB's
-               -- direct decimal→double cast double-rounds (raw/10^s),
-               -- while strtod — like Java's BigDecimal.doubleValue on the
-               -- Spark side — rounds correctly in one step.
-               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))
-                             * CAST(o_totalprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+               -- r13: both sums convert through the d53s split (the
+               -- VARCHAR hop matched Spark only build-by-luck; the
+               -- split is engine-independent by construction).
+               ((CAST(CAST((CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) * 10000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) * 10000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) * 10000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(10000 AS DOUBLE)) AS sx,
+               ((CAST(CAST((CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(19,4))) * 100000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(19,4))) * 100000000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(19,4))) * 100000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100000000 AS DOUBLE)) AS sxx,
                count(*) AS n,
                round(min(o_totalprice), 2) AS min_price,
                round(max(o_totalprice), 2) AS max_price,
@@ -154,8 +152,8 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles in both engines, then identical final arithmetic."""
     x = F.col("o_totalprice")
     xd = x.cast("decimal(12,4)")
-    sx = F.sum(xd).cast("double")
-    sxx = F.sum(xd * xd).cast("double")
+    sx = ddbl(F.sum(xd), 4)
+    sxx = ddbl(F.sum(xd * xd), 8)
     n = F.count(F.lit(1))
     var = (sxx - sx * sx / n) / F.nullif((n - 1).cast("double"), F.lit(0.0))
     return (
@@ -236,7 +234,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT o_orderstatus AS orderstatus, o_orderpriority AS priority,
                count(*) AS n_orders,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+               ((CAST((CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS DECIMAL(38,0)) AS DECIMAL(38,0)) DIV 1125899906842624) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST((CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS DECIMAL(38,0)) AS DECIMAL(38,0)) DIV 1125899906842624) AS DECIMAL(38,0)) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE))
                    AS total_price
         FROM v_orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -403,7 +401,7 @@ N_AGG_SALT = 16
     oracle=f"""
     SELECT event_type,
            count(*) AS n_events,
-           CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS total_value
     FROM {SQL_FINITE_EVENTS} events
     GROUP BY event_type
     """,
@@ -440,7 +438,7 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
-        F.round(F.sum("psum"), 2).cast("double").alias("total_value"),
+        ddbl(F.round(F.sum("psum"), 2), 2).alias("total_value"),
     )
 
 
@@ -927,7 +925,7 @@ def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
            quarter(o_orderdate) AS o_quarter,
            month(o_orderdate) AS o_month,
            count(*) AS n_orders,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE))
                AS total_price
     FROM orders
     GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate), month(o_orderdate))
@@ -1233,10 +1231,13 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), rt AS (SELECT p, sum(o) AS rn FROM obs GROUP BY 1),
        ct AS (SELECT s, sum(o) AS cn FROM obs GROUP BY 1),
        t  AS (SELECT sum(o) AS n FROM obs)
-    SELECT CAST(round(sum(CAST(
+    SELECT ((CAST(CAST((CAST(CAST(round(sum(CAST(
                pow(o - rn * cn / CAST(n AS DOUBLE), 2)
-               / (rn * cn / CAST(n AS DOUBLE)) AS DECIMAL(25,10))), 4)
-               AS DOUBLE) AS chi2,
+               / (rn * cn / CAST(n AS DOUBLE)) AS DECIMAL(25,10))), 4) * 10000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(
+               pow(o - rn * cn / CAST(n AS DOUBLE), 2)
+               / (rn * cn / CAST(n AS DOUBLE)) AS DECIMAL(25,10))), 4) * 10000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(
+               pow(o - rn * cn / CAST(n AS DOUBLE), 2)
+               / (rn * cn / CAST(n AS DOUBLE)) AS DECIMAL(25,10))), 4) * 10000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(10000 AS DOUBLE)) AS chi2,
            (count(DISTINCT obs.p) - 1) * (count(DISTINCT obs.s) - 1) AS dof,
            CAST(any_value(t.n) AS BIGINT) AS n_rows
     FROM obs
@@ -1274,8 +1275,7 @@ def chi_square_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ct), "s")
         .crossJoin(F.broadcast(t))
         .agg(
-            F.round(F.sum(contrib.cast("decimal(25,10)")), 4)
-            .cast("double")
+            ddbl(F.round(F.sum(contrib.cast("decimal(25,10)")), 4), 4)
             .alias("chi2"),
             (
                 (F.count_distinct("p") - 1) * (F.count_distinct("s") - 1)
@@ -1348,10 +1348,10 @@ def agg_grouping_id_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY 1
     )
     SELECT l_returnflag,
-           round(CAST(CAST(wsum AS VARCHAR) AS DOUBLE)
-                 / CAST(CAST(wtot AS VARCHAR) AS DOUBLE), 4)
+           round(((CAST(CAST((CAST(CAST(wsum * 1000000000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(wsum * 1000000000000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(wsum * 1000000000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(1000000000000 AS DOUBLE))
+                 / ((CAST(CAST((CAST(CAST(wtot * 1000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(wtot * 1000000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(wtot * 1000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(1000000 AS DOUBLE)), 4)
                AS weighted_avg_price,
-           CAST(round(wtot, 2) AS DOUBLE) AS total_quantity
+           ((CAST(CAST((CAST(CAST(round(wtot, 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(wtot, 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(wtot, 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS total_quantity
     FROM s
     """,
 )
@@ -1371,11 +1371,13 @@ def agg_weighted_average_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("l_quantity").cast("decimal(25,6)")
     )
     wtot = F.sum(F.col("l_quantity").cast("decimal(25,6)"))
+    # r13 (plan-lint R9): both sums grow with scale - d53s split in
+    # place of the bare casts / the oracle VARCHAR hop.
     return li.groupBy("l_returnflag").agg(
-        F.round(wsum.cast("double") / wtot.cast("double"), 4).alias(
+        F.round(ddbl(wsum, 12) / ddbl(wtot, 6), 4).alias(
             "weighted_avg_price"
         ),
-        F.round(wtot, 2).cast("double").alias("total_quantity"),
+        ddbl(F.round(wtot, 2), 2).alias("total_quantity"),
     )
 
 
@@ -1388,14 +1390,11 @@ def agg_weighted_average_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT l_returnflag AS flag,
                count(*) AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
-                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
-               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
-                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+               ((CAST(CAST((CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS sx,
+               ((CAST(CAST((CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS sy,
+               ((CAST(CAST((CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(10000 AS DOUBLE)) AS sxy,
+               ((CAST(CAST((CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(10000 AS DOUBLE)) AS sxx,
+               ((CAST(CAST((CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(10000 AS DOUBLE)) AS syy
         FROM lineitem GROUP BY 1
     )
     SELECT flag, n,
@@ -1414,14 +1413,13 @@ def agg_regression_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame
     can never hash-match across engines. Instead the five sufficient
     statistics (Sx, Sy, Sxy, Sxx, Syy) are summed as EXACT decimals
     (DECIMAL(12,2) inputs; products stay inside precision 38 untouched
-    by Spark's scale-adjustment), cast once to double, and the
-    closed-form slope/intercept/r² computed in doubles. One residual
-    engine gap remains: a decimal whose UNSCALED value exceeds 2^53
-    (Syy here) double-rounds in DuckDB's decimal→double (int128 →
-    double → /10^scale) where Spark's BigDecimal path rounds once —
-    a 1-ulp sum difference observed at sf0.001. The outputs therefore
-    round at 6/4/8 decimals, a ≥1e8 margin over the ulp noise (the
-    §8.2 ln() precedent).
+    by Spark's scale-adjustment), converted once through the
+    deterministic d53s split (r13 — this query's own >2^53 unscaled
+    sums were the first OBSERVED instance of the build-dependent
+    int128→double class, a 1-ulp difference at sf0.001 that the
+    rounding margins papered over until the r12 driver made the class
+    fail loudly elsewhere), and the closed-form slope/intercept/r²
+    computed in doubles rounded at 6/4/8 decimals.
 
     One fact-table scan, one partial+final hash aggregation on a
     3-value key; the formula runs on 3 aggregated rows.
@@ -1431,11 +1429,14 @@ def agg_regression_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame
     y = F.col("l_extendedprice").cast("decimal(12,2)")
     s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
         F.count("*").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * y).cast("double").alias("sxy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
+        # r13 (plan-lint R9): the five sufficient sums grow with data
+        # scale — each converts through the ddbl/d53s split, closing
+        # the documented 1-ulp DuckDB int128 gap for good.
+        ddbl(F.sum(x), 2).alias("sx"),
+        ddbl(F.sum(y), 2).alias("sy"),
+        ddbl(F.sum(x * y), 4).alias("sxy"),
+        ddbl(F.sum(x * x), 4).alias("sxx"),
+        ddbl(F.sum(y * y), 4).alias("syy"),
     )
     n = F.col("n").cast("double")
     cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
@@ -3055,8 +3056,10 @@ def inventory_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         c.c_mktsegment AS mktsegment,
         strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS ship_month,
-        CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                            AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue,
+        ((CAST(CAST((CAST(CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS revenue,
         count(*) AS n_items
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -3115,7 +3118,7 @@ def rollup_rewrite_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # answering side: the user's coarser question, FROM the rollup
     return rollup.groupBy("mktsegment", "ship_month").agg(
-        F.round(F.sum("rev_partial"), 2).cast("double").alias("revenue"),
+        ddbl(F.round(F.sum("rev_partial"), 2), 2).alias("revenue"),
         F.sum("n_partial").alias("n_items"),
     )
 
@@ -3428,9 +3431,9 @@ def _hll_sql(reg_src: str, truth_src: str, label: str) -> str:
                      END, 2) AS est_distinct,
                s.zeros
         FROM (
-            SELECT CAST(sum(CAST(1 AS BIGINT) << (49 - mr))
-                        + (256 - count(*)) * (CAST(1 AS BIGINT) << 49)
-                        AS DOUBLE) AS s49,
+            SELECT CAST(CAST(sum(CAST(1 AS BIGINT) << (49 - mr))
+                             + (256 - count(*)) * (CAST(1 AS BIGINT) << 49)
+                             AS BIGINT) AS DOUBLE) AS s49,
                    256 - count(*) AS zeros
             FROM {reg_src}
         ) s CROSS JOIN {truth_src} t
@@ -3484,9 +3487,9 @@ def _hll_sql(reg_src: str, truth_src: str, label: str) -> str:
                r.zeros
         FROM (
             SELECT event_type,
-                   CAST(sum(CAST(1 AS BIGINT) << (49 - mr))
-                        + (256 - count(*)) * (CAST(1 AS BIGINT) << 49)
-                        AS DOUBLE) AS s49,
+                   CAST(CAST(sum(CAST(1 AS BIGINT) << (49 - mr))
+                             + (256 - count(*)) * (CAST(1 AS BIGINT) << 49)
+                             AS BIGINT) AS DOUBLE) AS s49,
                    256 - count(*) AS zeros
             FROM regs GROUP BY 1
         ) r JOIN truth t USING (event_type)
@@ -4184,9 +4187,10 @@ def eval_qq_quantile_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT col, sum(c) AS n, count(*) AS n_distinct FROM freq GROUP BY 1
     )
     SELECT f.col, CAST(t.n_distinct AS BIGINT) AS n_distinct,
-           round(CAST(sum(CAST(round(- (CAST(f.c AS DOUBLE) / t.n)
-                                     * ln(CAST(f.c AS DOUBLE) / t.n), 12)
-                               AS DECIMAL(20,12))) AS DOUBLE), 6)
+           round(CAST(CAST(sum(CAST(round(- (CAST(f.c AS DOUBLE) / t.n)
+                                          * ln(CAST(f.c AS DOUBLE) / t.n), 12)
+                                    AS DECIMAL(14,12)))
+                           AS DECIMAL(15,12)) AS DOUBLE), 6)
                AS entropy_nats,
            round(ln(CAST(t.n_distinct AS DOUBLE)), 6) AS max_entropy_nats
     FROM freq f JOIN tot t ON f.col = t.col
@@ -4228,9 +4232,13 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = freq.join(tot, "col")
     p = F.col("c").cast("double") / F.col("n")
-    term = F.round(-p * F.log(p), 12).cast("decimal(20,12)")
+    # r13 (plan-lint R9): each |p ln p| term is < 1/e and the sum is
+    # MATH-bounded by ln(n_distinct) < 90 for any cardinality a
+    # decimal can count — narrow-decimal device (exact int64-path
+    # conversion; ANSI overflow is the canary on the bound claim).
+    term = F.round(-p * F.log(p), 12).cast("decimal(14,12)")
     return j.groupBy("col", "n_distinct", "n").agg(
-        F.round(F.sum(term).cast("double"), 6).alias("entropy_nats"),
+        F.round(F.sum(term).cast("decimal(15,12)").cast("double"), 6).alias("entropy_nats"),
         F.round(F.log(F.col("n_distinct").cast("double")), 6).alias(
             "max_entropy_nats"
         ),
@@ -4372,16 +4380,19 @@ def price_elasticity_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING count(*) >= 2
     ),
     terms AS (
-        SELECT CAST(round(CAST(n_g * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        SELECT CAST(round(CAST(CAST(n_g * sxy - CAST(sx AS HUGEINT) * sy
+                                    AS BIGINT) AS DOUBLE)
                           / n_g, 6) AS DECIMAL(25,6)) AS num_t,
-               CAST(round(CAST(n_g * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+               CAST(round(CAST(CAST(n_g * sxx - CAST(sx AS HUGEINT) * sx
+                                    AS BIGINT) AS DOUBLE)
                           / n_g, 6) AS DECIMAL(25,6)) AS den_t,
                n_g
         FROM g
     )
     SELECT CAST(count(*) AS BIGINT) AS n_entities,
            CAST(sum(n_g) AS BIGINT) AS n_obs,
-           round(CAST(sum(num_t) AS DOUBLE) / CAST(sum(den_t) AS DOUBLE), 4)
+           round(((CAST(CAST((CAST(CAST(sum(num_t) * 1000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(sum(num_t) * 1000000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(sum(num_t) * 1000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(1000000 AS DOUBLE))
+                 / ((CAST(CAST((CAST(CAST(sum(den_t) * 1000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(sum(den_t) * 1000000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(sum(den_t) * 1000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(1000000 AS DOUBLE)), 4)
                AS fe_slope_cents_per_order
     FROM terms
     """,
@@ -4436,14 +4447,18 @@ def panel_fixed_effects_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_g") >= 2)
     )
+    # r13 (plan-lint R9): the per-CUSTOMER centered sums are grain-
+    # bounded (<= ~80 months x monthly cents) — int64-narrow before
+    # the double conversion (canary on the bound); the cross-customer
+    # term sums below grow with scale and ride the d53s split.
     num = (
         F.col("n_g").cast("decimal(38,0)") * F.col("sxy")
         - F.col("sx").cast("decimal(38,0)") * F.col("sy")
-    ).cast("double") / F.col("n_g")
+    ).cast("bigint").cast("double") / F.col("n_g")
     den = (
         F.col("n_g").cast("decimal(38,0)") * F.col("sxx")
         - F.col("sx").cast("decimal(38,0)") * F.col("sx")
-    ).cast("double") / F.col("n_g")
+    ).cast("bigint").cast("double") / F.col("n_g")
     terms = g.select(
         F.round(num, 6).cast("decimal(25,6)").alias("num_t"),
         F.round(den, 6).cast("decimal(25,6)").alias("den_t"),
@@ -4453,7 +4468,7 @@ def panel_fixed_effects_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_entities"),
         F.sum("n_g").cast("bigint").alias("n_obs"),
         F.round(
-            F.sum("num_t").cast("double") / F.sum("den_t").cast("double"), 4
+            ddbl(F.sum("num_t"), 6) / ddbl(F.sum("den_t"), 6), 4
         ).alias("fe_slope_cents_per_order"),
     )
 

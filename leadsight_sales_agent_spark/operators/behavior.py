@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.functions.numeric import (
+    ddbl,
     d53,
     d53s,
     finite,
@@ -259,8 +260,10 @@ WINSOR_LO, WINSOR_HI = 0.05, 0.95
                AS BIGINT) AS n_clipped_low,
            CAST(sum(CASE WHEN s.o_totalprice > p.hi THEN 1 ELSE 0 END)
                AS BIGINT) AS n_clipped_high,
-           CAST(round(sum(CAST(least(greatest(s.o_totalprice, p.lo), p.hi)
-                               AS DECIMAL(25,6))), 2) AS DOUBLE)
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(least(greatest(s.o_totalprice, p.lo), p.hi)
+                               AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(least(greatest(s.o_totalprice, p.lo), p.hi)
+                               AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(least(greatest(s.o_totalprice, p.lo), p.hi)
+                               AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE))
                AS winsorized_total
     FROM seg s JOIN pct p ON s.mktsegment = p.mktsegment
     GROUP BY 1
@@ -400,7 +403,7 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
                AS rfm_segment,
            count(*) AS n_customers,
-           CAST(round(sum(monetary), 2) AS DOUBLE) AS segment_monetary
+           ((CAST(CAST((CAST(CAST(round(sum(monetary), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(monetary), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(monetary), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS segment_monetary
     FROM scored GROUP BY 1
     """,
 )
@@ -447,7 +450,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rfm_segment")
     ).agg(
         F.count("*").alias("n_customers"),
-        F.round(F.sum("monetary"), 2).cast("double").alias("segment_monetary"),
+        ddbl(F.round(F.sum("monetary"), 2), 2).alias("segment_monetary"),
     )
 
 
@@ -670,8 +673,10 @@ def drift_psi_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT isodow(ts) - 1 AS dow,
            hour(ts) AS hod,
            count(*) AS n_events,
-           CAST(round(sum(CAST(CASE WHEN isfinite(value) THEN value END
-                               AS DECIMAL(25,6))), 2) AS DOUBLE)
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(CASE WHEN isfinite(value) THEN value END
+                               AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(CASE WHEN isfinite(value) THEN value END
+                               AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(CASE WHEN isfinite(value) THEN value END
+                               AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE))
                AS total_value
     FROM events GROUP BY 1, 2
     """,
@@ -692,8 +697,7 @@ def seasonality_heatmap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekday("ts").alias("dow"), F.hour("ts").alias("hod")
     ).agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum(finite(F.col("value")).cast("decimal(25,6)")), 2)
-        .cast("double")
+        ddbl(F.round(F.sum(finite(F.col("value")).cast("decimal(25,6)")), 2), 2)
         .alias("total_value"),
     )
 
@@ -6511,9 +6515,9 @@ def _ljung_box_oracle() -> str:
     )
     SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_months,
            CAST(count(*) AS INTEGER) AS m_lags,
-           CAST(floor(CAST(sum(term) AS DOUBLE) * 1e4 + 0.5) AS BIGINT)
+           CAST(floor(CAST(CAST(sum(term) AS DECIMAL(15,6)) AS DOUBLE) * 1e4 + 0.5) AS BIGINT)
                AS q_e4,
-           CAST(CASE WHEN floor(CAST(sum(term) AS DOUBLE) * 1e4 + 0.5)
+           CAST(CASE WHEN floor(CAST(CAST(sum(term) AS DECIMAL(15,6)) AS DOUBLE) * 1e4 + 0.5)
                           > {LB_CHI2_DF12_5PCT_E4} THEN 1 ELSE 0 END
                 AS INTEGER) AS reject_white_noise_5pct
     FROM terms
@@ -6563,10 +6567,10 @@ def forecast_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_months"),
         F.count(F.lit(1)).cast("int").alias("m_lags"),
         F.expr(
-            "CAST(floor(CAST(sum(term) AS DOUBLE) * 1e4 + 0.5) AS BIGINT)"
+            "CAST(floor(CAST(CAST(sum(term) AS DECIMAL(15,6)) AS DOUBLE) * 1e4 + 0.5) AS BIGINT)"
         ).alias("q_e4"),
         F.expr(
-            f"CAST(CASE WHEN floor(CAST(sum(term) AS DOUBLE) * 1e4 + 0.5)"
+            f"CAST(CASE WHEN floor(CAST(CAST(sum(term) AS DECIMAL(15,6)) AS DOUBLE) * 1e4 + 0.5)"
             f" > {LB_CHI2_DF12_5PCT_E4} THEN 1 ELSE 0 END AS INT)"
         ).alias("reject_white_noise_5pct"),
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from leadsight_sales_agent_spark.functions.numeric import d53, sql_d53
+from leadsight_sales_agent_spark.functions.numeric import d53, ddbl, sql_d53
 from leadsight_sales_agent_spark.registry import query
 from leadsight_sales_agent_spark.sources.catalog import load
 
@@ -52,9 +52,7 @@ PR_JUMP = "CAST(0.15 AS DOUBLE)"
         UNION ALL
         SELECT p.it + 1, e.dst,
                round({PR_JUMP} / (SELECT n_nodes FROM nn)
-                     + {PR_DAMP} * CAST(sum(CAST(p.r / d.outdeg
-                                                 AS DECIMAL(25,18)))
-                                        AS DOUBLE), 12)
+                     + {PR_DAMP} * ((CAST(CAST((CAST(CAST(sum(CAST(p.r / d.outdeg AS DECIMAL(25,18))) * 1000000000000000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(sum(CAST(p.r / d.outdeg AS DECIMAL(25,18))) * 1000000000000000000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(sum(CAST(p.r / d.outdeg AS DECIMAL(25,18))) * 1000000000000000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(1000000000000000000 AS DOUBLE)), 12)
         FROM pr p
         JOIN edges e ON e.src = p.node
         JOIN deg d ON d.node = p.node
@@ -129,7 +127,9 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = (
             contribs.groupBy("node")
-            .agg(F.sum("contrib").cast("double").alias("mass"))
+            # r13 (plan-lint R9, pre-checkpoint pass): the mass sum's
+            # unscaled DECIMAL(35,18) value is ~1e18 — d53s split.
+            .agg(ddbl(F.sum("contrib"), 18).alias("mass"))
             .join(F.broadcast(nn), how="cross")
             .select(
                 "node",

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.functions.numeric import (
+    ddbl,
     d53,
     d53s,
     dsum,
@@ -460,7 +461,7 @@ N_SALT = 8
     oracle="""
     SELECT c.c_mktsegment AS mktsegment,
            count(*) AS n_orders,
-           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE))
                AS total_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
@@ -497,8 +498,7 @@ def join_salted_skew_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")), 2)
-        .cast("double")
+        ddbl(F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")), 2), 2)
         .alias("total_price"),
     )
 
@@ -509,7 +509,7 @@ def join_salted_skew_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH updates AS (
         SELECT o_orderkey,
                'P' AS o_orderstatus,
-               CAST(round(CAST(o_totalprice AS DECIMAL(25,6)) * CAST(1.1 AS DECIMAL(3,1)), 2)
+               CAST(round(CAST(o_totalprice AS DECIMAL(15,6)) * CAST(1.1 AS DECIMAL(3,1)), 2)
                     AS DOUBLE) AS o_totalprice
         FROM orders WHERE o_orderkey % 7 = 0
     ), inserts AS (
@@ -550,7 +550,10 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             # decimal multiply + decimal round: a double round(x*1.1, 2)
             # flips last digits between engines (shortest-repr vs binary)
             F.round(
-                F.col("o_totalprice").cast("decimal(25,6)")
+                # r13 (plan-lint R9): a per-row order total is
+                # grain-bounded — DECIMAL(15,6) keeps the rounded
+                # product's conversion on the exact int64 path.
+                F.col("o_totalprice").cast("decimal(15,6)")
                 * F.lit("1.1").cast("decimal(3,1)"),
                 2,
             )
@@ -712,9 +715,10 @@ def scd2_customer_segment_history(spark: SparkSession, sf_dir: str) -> DataFrame
     "tpch_q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name AS nation,
-           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))
-                          * CAST(1 - l.l_discount AS DECIMAL(25,6))), 2)
-                AS DOUBLE) AS revenue
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))
+                          * CAST(1 - l.l_discount AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))
+                          * CAST(1 - l.l_discount AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))
+                          * CAST(1 - l.l_discount AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -786,7 +790,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy("nation")
-        .agg(F.round(F.sum(revenue_term), 2).cast("double").alias("revenue"))
+        .agg(ddbl(F.round(F.sum(revenue_term), 2), 2).alias("revenue"))
     )
 
 
@@ -804,7 +808,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT COALESCE(seg, '<NULL>') AS segment,
            count(*) AS n_rows,
            count(bal) AS n_bal_nonnull,
-           CAST(round(sum(CAST(bal AS DECIMAL(25,6))), 2) AS DOUBLE)
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(bal AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(bal AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(bal AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE))
                AS total_bal,
            count(CASE WHEN bal IS DISTINCT FROM bal THEN 1 END)
                AS n_selfneq,
@@ -868,8 +872,7 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "correlated_subquery_low_quantity_parts",
     oracle="""
     SELECT l.l_partkey,
-           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))), 2)
-                AS DOUBLE) AS low_qty_revenue,
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS low_qty_revenue,
            count(*) AS n_items
     FROM lineitem l
     WHERE l.l_quantity < (
@@ -901,8 +904,7 @@ def correlated_subquery_low_quantity_parts(spark: SparkSession, sf_dir: str) -> 
     return spark.sql(
         """
         SELECT l.l_partkey,
-               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))), 2)
-                    AS DOUBLE) AS low_qty_revenue,
+               ((CAST((CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))), 2) * 100 AS DECIMAL(38,0)) AS DECIMAL(38,0)) DIV 1125899906842624) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))), 2) * 100 AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST((CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))), 2) * 100 AS DECIMAL(38,0)) AS DECIMAL(38,0)) DIV 1125899906842624) AS DECIMAL(38,0)) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS low_qty_revenue,
                count(*) AS n_items
         FROM li_q17 l
         WHERE l.l_quantity < (
@@ -1094,7 +1096,7 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH updates AS (
         SELECT o_orderkey,
                'P' AS o_orderstatus,
-               CAST(round(CAST(o_totalprice AS DECIMAL(25,6)) * CAST(1.1 AS DECIMAL(3,1)), 2)
+               CAST(round(CAST(o_totalprice AS DECIMAL(15,6)) * CAST(1.1 AS DECIMAL(3,1)), 2)
                     AS DOUBLE) AS o_totalprice
         FROM orders WHERE o_orderkey % 7 = 0
     ), inserts AS (
@@ -1428,7 +1430,7 @@ def ansi_try_safety_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1
     ), b AS (
         SELECT nullif(o_orderstatus, 'O') AS k,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+               ((CAST(CAST((CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE))
                    AS price_b
         FROM orders GROUP BY 1
     )
@@ -1451,8 +1453,7 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.nullif(F.col("o_orderstatus"), F.lit("O"))
     a = o.groupBy(k.alias("ka")).agg(F.count("*").alias("n_a"))
     b = o.groupBy(k.alias("kb")).agg(
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")), 2)
-        .cast("double")
+        ddbl(F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")), 2), 2)
         .alias("price_b")
     )
     return a.join(b, a.ka.eqNullSafe(b.kb)).select(
@@ -1472,7 +1473,8 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT sum(part_value) AS total_value FROM pv
     )
     SELECT pv.l_partkey,
-           CAST(round(pv.part_value, 2) AS DOUBLE) AS part_value
+           CAST(CAST(round(pv.part_value, 2) AS DECIMAL(15,2)) AS DOUBLE)
+               AS part_value
     FROM pv CROSS JOIN tot
     WHERE pv.part_value * 1500 > tot.total_value
     """,
@@ -1502,7 +1504,16 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pv.crossJoin(F.broadcast(tot))
         .filter(F.col("part_value") * 1500 > F.col("total_value"))
-        .select("l_partkey", F.round("part_value", 2).cast("double").alias("part_value"))
+        .select(
+            "l_partkey",
+            # r13 (plan-lint R9): per-part revenue is grain-bounded
+            # (lineitems-per-part is constant in TPC-H scaling) — the
+            # narrow DECIMAL(15,2) keeps the conversion exact-int64.
+            F.round("part_value", 2)
+            .cast("decimal(15,2)")
+            .cast("double")
+            .alias("part_value"),
+        )
     )
 
 
@@ -1514,7 +1525,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT substr(c.c_name, 17, 2) AS name_bucket,
            count(*) AS n_customers,
-           CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(25,6))), 2) AS DOUBLE)
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE))
                AS total_bal
     FROM customer c CROSS JOIN avg_bal
     WHERE c.c_acctbal > avg_bal.ab
@@ -1557,8 +1568,7 @@ def tpch_q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFra
         F.substring("c_name", 17, 2).alias("name_bucket")
     ).agg(
         F.count("*").alias("n_customers"),
-        F.round(F.sum(F.col("c_acctbal").cast("decimal(25,6)")), 2)
-        .cast("double")
+        ddbl(F.round(F.sum(F.col("c_acctbal").cast("decimal(25,6)")), 2), 2)
         .alias("total_bal"),
     )
 
@@ -1813,7 +1823,7 @@ def tpch_q14_promotion_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING sum(CAST(l_quantity AS DECIMAL(25,6))) > 250
     )
     SELECT o.o_custkey, o.o_orderkey, o.o_orderdate,
-           CAST(round(CAST(o.o_totalprice AS DECIMAL(25,6)), 2) AS DOUBLE)
+           CAST(round(CAST(o.o_totalprice AS DECIMAL(15,6)), 2) AS DOUBLE)
                AS o_totalprice,
            CAST(CAST(b.sum_qty AS DECIMAL(15,6)) AS DOUBLE) AS sum_qty
     FROM big b
@@ -1850,7 +1860,7 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
             "o_custkey",
             "o_orderkey",
             "o_orderdate",
-            F.round(F.col("o_totalprice").cast("decimal(25,6)"), 2)
+            F.round(F.col("o_totalprice").cast("decimal(15,6)"), 2)
             .cast("double")
             .alias("o_totalprice"),
             # r13 (plan-lint R9): a per-order quantity sum is grain-
@@ -2724,14 +2734,13 @@ def impute_group_median_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
         SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
-               CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE)
+               ((CAST(CAST((CAST(CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE))
                    AS v
         FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
         GROUP BY 1
     ), od AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2)
-                    AS DOUBLE) AS v
+               ((CAST(CAST((CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS v
         FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ), months AS (
         SELECT m FROM ev UNION SELECT m FROM od
@@ -2744,10 +2753,14 @@ def impute_group_median_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN od ON od.m = months.m
     ), cum AS (
         SELECT m,
-               CAST(round(sum(CAST(ev_v AS DECIMAL(25,6)))
-                          OVER (ORDER BY m), 2) AS DOUBLE) AS cum_events,
-               CAST(round(sum(CAST(od_v AS DECIMAL(25,6)))
-                          OVER (ORDER BY m), 2) AS DOUBLE) AS cum_orders
+               ((CAST(CAST((CAST(CAST(round(sum(CAST(ev_v AS DECIMAL(25,6)))
+                          OVER (ORDER BY m), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(ev_v AS DECIMAL(25,6)))
+                          OVER (ORDER BY m), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(ev_v AS DECIMAL(25,6)))
+                          OVER (ORDER BY m), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS cum_events,
+               ((CAST(CAST((CAST(CAST(round(sum(CAST(od_v AS DECIMAL(25,6)))
+                          OVER (ORDER BY m), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(od_v AS DECIMAL(25,6)))
+                          OVER (ORDER BY m), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(od_v AS DECIMAL(25,6)))
+                          OVER (ORDER BY m), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS cum_orders
         FROM grid
     )
     SELECT strftime(m, '%Y-%m') AS month,
@@ -2800,11 +2813,9 @@ def tpcds_q51_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = grid.select(
         "m",
-        F.round(F.sum(F.col("ev_v").cast("decimal(25,6)")).over(w), 2)
-        .cast("double")
+        ddbl(F.round(F.sum(F.col("ev_v").cast("decimal(25,6)")).over(w), 2), 2)
         .alias("cum_events"),
-        F.round(F.sum(F.col("od_v").cast("decimal(25,6)")).over(w), 2)
-        .cast("double")
+        ddbl(F.round(F.sum(F.col("od_v").cast("decimal(25,6)")).over(w), 2), 2)
         .alias("cum_orders"),
     )
     return cum.select(
@@ -2953,7 +2964,7 @@ def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN o_orderkey % 13 = 0 THEN 'D'
                     WHEN o_orderkey % 7 = 0 THEN 'U' END AS op,
                CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
-                    THEN CAST(round(CAST(o_totalprice AS DECIMAL(25,6))
+                    THEN CAST(round(CAST(o_totalprice AS DECIMAL(15,6))
                                     * CAST(1.05 AS DECIMAL(3,2)), 2) AS DOUBLE)
                END AS new_price
         FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
@@ -2993,7 +3004,7 @@ def merge_full_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 13 != 0),
                 F.round(
-                    F.col("o_totalprice").cast("decimal(25,6)")
+                    F.col("o_totalprice").cast("decimal(15,6)")
                     * F.lit(1.05).cast("decimal(3,2)"),
                     2,
                 ).cast("double"),
@@ -3417,8 +3428,10 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_pipe_syntax_suite",
     oracle="""
     SELECT l_returnflag AS returnflag, o_orderpriority AS orderpriority,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-                              AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue,
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS revenue,
            count(*) AS n_lines
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -3450,8 +3463,7 @@ def sql_pipe_syntax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
         |> JOIN o_pipe ON l_orderkey = o_orderkey
         |> WHERE o_orderstatus <> 'F'
-        |> AGGREGATE CAST(round(sum(CAST(disc_price AS DECIMAL(25,6))), 2)
-                          AS DOUBLE) AS revenue,
+        |> AGGREGATE ((CAST((CAST(CAST(round(sum(CAST(disc_price AS DECIMAL(25,6))), 2) * 100 AS DECIMAL(38,0)) AS DECIMAL(38,0)) DIV 1125899906842624) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(disc_price AS DECIMAL(25,6))), 2) * 100 AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST((CAST(CAST(round(sum(CAST(disc_price AS DECIMAL(25,6))), 2) * 100 AS DECIMAL(38,0)) AS DECIMAL(38,0)) DIV 1125899906842624) AS DECIMAL(38,0)) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS revenue,
                      count(*) AS n_lines
            GROUP BY l_returnflag, o_orderpriority
         |> SELECT l_returnflag AS returnflag, o_orderpriority AS orderpriority,
@@ -3471,7 +3483,7 @@ def sql_pipe_syntax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority AS orderpriority,
            count(*) AS n_above,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE))
                AS sum_above
     FROM orders, thresh
     WHERE o_totalprice > thresh.t
@@ -3508,7 +3520,7 @@ def sql_session_variables_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         EXECUTE IMMEDIATE
         'SELECT o_orderpriority AS orderpriority,
                 count(*) AS n_above,
-                CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+                ((CAST((CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS DECIMAL(38,0)) AS DECIMAL(38,0)) DIV 1125899906842624) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST((CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS DECIMAL(38,0)) AS DECIMAL(38,0)) DIV 1125899906842624) AS DECIMAL(38,0)) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE))
                     AS sum_above
          FROM o_sessvar WHERE o_totalprice > ? GROUP BY 1'
         USING price_floor
@@ -3540,7 +3552,8 @@ def sql_session_variables_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM st WHERE 5 * qty * cnt < sum_qty
     )
     SELECT n_small_lines,
-           CAST((m * 2 + 70000) // 140000 AS DOUBLE) / 100 AS avg_yearly
+           CAST(CAST((m * 2 + 70000) // 140000 AS BIGINT) AS DOUBLE) / 100
+               AS avg_yearly
     FROM small
     """,
 )
@@ -3595,7 +3608,13 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     return agg.select(
         "n_small_lines",
         (
+            # r13 (plan-lint R9): int64-narrow before the double
+            # conversion — bigint->double is one correctly-rounded
+            # hardware op (deterministic at ANY magnitude, unlike the
+            # int128/decimal path), and the cast raises loudly if the
+            # cents quotient ever left int64 range.
             F.floor(F.try_divide(F.col("m") * 2 + F.lit(70000), F.lit(140000)))
+            .cast("bigint")
             .cast("double")
             / F.lit(100.0)
         ).alias("avg_yearly"),
@@ -3682,7 +3701,7 @@ def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority AS priority,
            o_orderstatus AS status,
            count(*) AS n_orders,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE))
                AS revenue
     FROM orders
     GROUP BY o_orderpriority, o_orderstatus
@@ -3705,7 +3724,7 @@ def sql_group_order_by_all_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority AS priority,
                o_orderstatus AS status,
                count(*) AS n_orders,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+               ((CAST((CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS DECIMAL(38,0)) AS DECIMAL(38,0)) DIV 1125899906842624) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST((CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) * 100 AS DECIMAL(38,0)) AS DECIMAL(38,0)) DIV 1125899906842624) AS DECIMAL(38,0)) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE))
                    AS revenue
         FROM o_gba
         GROUP BY ALL

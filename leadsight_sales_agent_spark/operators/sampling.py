@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from leadsight_sales_agent_spark.functions.numeric import sql_hex_to_long
+from leadsight_sales_agent_spark.functions.numeric import d53, ddbl, sql_hex_to_long
 from leadsight_sales_agent_spark.registry import query
 from leadsight_sales_agent_spark.sources.catalog import load
 
@@ -878,9 +878,10 @@ AB_ARM_THRESHOLD = "80000000"  # md5-hex midpoint: 50/50 assignment
     SELECT a.arm,
            count(DISTINCT e.user_id) AS n_users,
            count(*) FILTER (WHERE e.event_type = 'purchase') AS n_purchases,
-           CAST(round(sum(CASE WHEN e.event_type = 'purchase'
-                               THEN CAST(e.value AS DECIMAL(25,6)) END), 2)
-                AS DOUBLE) AS purchase_value
+           ((CAST(CAST((CAST(CAST(round(sum(CASE WHEN e.event_type = 'purchase'
+                               THEN CAST(e.value AS DECIMAL(25,6)) END), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CASE WHEN e.event_type = 'purchase'
+                               THEN CAST(e.value AS DECIMAL(25,6)) END), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CASE WHEN e.event_type = 'purchase'
+                               THEN CAST(e.value AS DECIMAL(25,6)) END), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS purchase_value
     FROM events e JOIN arms a ON e.user_id = a.user_id
     GROUP BY 1
     """,
@@ -910,10 +911,7 @@ def ab_deterministic_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(arm.alias("arm")).agg(
         F.count_distinct("user_id").alias("n_users"),
         F.count_if(is_purchase).alias("n_purchases"),
-        F.round(
-            F.sum(F.when(is_purchase, F.col("value").cast("decimal(25,6)"))), 2
-        )
-        .cast("double")
+        ddbl(F.round(F.sum(F.when(is_purchase, F.col("value").cast("decimal(25,6)"))), 2), 2)
         .alias("purchase_value"),
     )
 
@@ -1316,8 +1314,7 @@ def sample_fair_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT stratum, n_h,
-               CAST(floor(sqrt(CAST(n_h * s2 - CAST(s1 AS HUGEINT) * s1
-                                    AS DOUBLE))) AS BIGINT) AS w
+               CAST(floor(sqrt((CAST(CAST((CAST(n_h * s2 - CAST(s1 AS HUGEINT) * s1 AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(n_h * s2 - CAST(s1 AS HUGEINT) * s1 AS HUGEINT) - (CAST(n_h * s2 - CAST(s1 AS HUGEINT) * s1 AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)))) AS BIGINT) AS w
         FROM strata
     ),
     tot AS (SELECT sum(w) AS sw FROM scored),
@@ -1344,10 +1341,10 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DESIGN side).
 
     Determinism: N_h·σ_h ∝ sqrt(N_h·Σx² − (Σx)²) over exact integer
-    cent sums — floor(sqrt(·)) of an exactly-representable... the
-    radicand exceeds 2^53, so both engines cast the SAME exact
-    integer to double (correctly rounded, identical), take IEEE
-    sqrt, floor: identical BIGINT weights. Allocation is the
+    cent sums — the radicand exceeds 2^53, so it converts through the
+    deterministic d53 split (r13; the bare wide cast this step used
+    before is the class the r12 driver falsified), then IEEE sqrt and
+    floor: identical BIGINT weights on any build. Allocation is the
     largest-remainder device (floors + ranked remainders), so the
     1000 units land identically everywhere.
     """
@@ -1362,12 +1359,12 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = strata.select(
         "stratum",
         "n_h",
+        # r13 (plan-lint R9): the radicand exceeds 2^53 — the bare
+        # wide cast this docstring once called safe is the exact
+        # r12-falsified class; d53 split instead.
         F.floor(
             F.sqrt(
-                (
-                    F.col("n_h").cast("decimal(38,0)") * F.col("s2")
-                    - F.col("s1").cast("decimal(38,0)") * F.col("s1")
-                ).cast("double")
+                F.expr(d53("n_h * CAST(s2 AS DECIMAL(38,0)) - CAST(s1 AS DECIMAL(38,0)) * s1"))
             )
         )
         .cast("bigint")

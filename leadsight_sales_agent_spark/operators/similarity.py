@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from leadsight_sales_agent_spark.functions.numeric import davg, sql_davg
+from leadsight_sales_agent_spark.functions.numeric import d53, davg, ddbl, sql_davg
 from leadsight_sales_agent_spark.registry import query
 from leadsight_sales_agent_spark.sources.catalog import load
 
@@ -919,9 +919,8 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ), stats AS (
         SELECT dim,
-               CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
-               CAST(sum(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9)))
-                    AS DOUBLE) AS sxx,
+               ((CAST(CAST((CAST(CAST(sum(CAST(x AS DECIMAL(18,9))) * 1000000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(sum(CAST(x AS DECIMAL(18,9))) * 1000000000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(sum(CAST(x AS DECIMAL(18,9))) * 1000000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(1000000000 AS DOUBLE)) AS sx,
+               ((CAST(CAST((CAST(CAST(sum(CAST(round(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9)), 12) AS DECIMAL(14,12))) * 1000000000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(sum(CAST(round(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9)), 12) AS DECIMAL(14,12))) * 1000000000000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(sum(CAST(round(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9)), 12) AS DECIMAL(14,12))) * 1000000000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(1000000000000 AS DOUBLE)) AS sxx,
                count(*) AS n,
                min(x) AS mn, max(x) AS mx
         FROM flat GROUP BY 1
@@ -980,9 +979,15 @@ def embedding_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vf").cast("double").alias("x"),
     )
     xd = F.col("x").cast("decimal(18,9)")
+    # r13 (plan-lint R9): per-dim sums grow with corpus size — d53s
+    # split conversions (scale 9 for the sum, 18 for the square sum).
     stats = flat.groupBy("dim").agg(
-        F.sum(xd).cast("double").alias("sx"),
-        F.sum(xd * xd).cast("double").alias("sxx"),
+        ddbl(F.sum(xd), 9).alias("sx"),
+        # x^2 quantizes at 12dp before summing (|x| <= 1, so the term
+        # is DECIMAL(14,12)-narrow): keeps the d53s unscale inside
+        # DuckDB's 38-digit multiply headroom at ANY corpus size
+        # (scale-18 unscaling overflows once sum(x^2) >= 100).
+        ddbl(F.sum(F.round(xd * xd, 12).cast("decimal(14,12)")), 12).alias("sxx"),
         F.count(F.lit(1)).alias("n"),
         F.min("x").alias("mn"),
         F.max("x").alias("mx"),
@@ -2490,13 +2495,12 @@ def _pca_oracle() -> str:
     ),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fin),
     sums AS (
-        SELECT i, CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx
+        SELECT i, ((CAST(CAST((CAST(CAST(sum(CAST(x AS DECIMAL(18,9))) * 1000000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(sum(CAST(x AS DECIMAL(18,9))) * 1000000000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(sum(CAST(x AS DECIMAL(18,9))) * 1000000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(1000000000 AS DOUBLE)) AS sx
         FROM flat GROUP BY 1
     ),
     cross_sums AS (
         SELECT a.i AS i, b.i AS j,
-               CAST(sum(CAST(floor(a.x * b.x * 1e10 + 0.5)
-                             AS DECIMAL(25,0))) AS DOUBLE)
+               (CAST(CAST((CAST(sum(CAST(floor(a.x * b.x * 1e10 + 0.5) AS DECIMAL(25,0))) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(sum(CAST(floor(a.x * b.x * 1e10 + 0.5) AS DECIMAL(25,0))) AS HUGEINT) - (CAST(sum(CAST(floor(a.x * b.x * 1e10 + 0.5) AS DECIMAL(25,0))) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE))
                    / 1e10 AS sxy
         FROM flat a JOIN flat b ON a.vec_id = b.vec_id
         GROUP BY 1, 2
@@ -2516,8 +2520,8 @@ def _pca_oracle() -> str:
         its.append(f"""
     u{k} AS (
         SELECT c.i,
-               CAST(sum(CAST(floor(c.cij * v.v * 1e12 + 0.5)
-                             AS DECIMAL(25,0))) AS DOUBLE)
+               CAST(CAST(sum(CAST(floor(c.cij * v.v * 1e12 + 0.5)
+                                  AS DECIMAL(25,0))) AS BIGINT) AS DOUBLE)
                    / 1e12 AS u
         FROM c JOIN v{k - 1} v ON v.i = c.j
         GROUP BY 1
@@ -2571,7 +2575,9 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     n = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     xd = F.col("x").cast("decimal(18,9)")
-    sums = flat.groupBy("i").agg(F.sum(xd).cast("double").alias("sx"))
+    # r13 (plan-lint R9): the per-dim sum and the e10-grain product
+    # sums grow with corpus size — d53/d53s split conversions.
+    sums = flat.groupBy("i").agg(ddbl(F.sum(xd), 9).alias("sx"))
     a = flat.select("vec_id", F.col("i").alias("ia"), F.col("x").alias("xa"))
     b = flat.select("vec_id", F.col("i").alias("ib"), F.col("x").alias("xb"))
     cross_sums = (
@@ -2579,12 +2585,12 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("ia").alias("i"), F.col("ib").alias("j"))
         .agg(
             (
-                F.sum(
-                    F.expr(
-                        "CAST(floor(xa * xb * 1e10 + 0.5)"
-                        " AS DECIMAL(25,0))"
+                F.expr(
+                    d53(
+                        "sum(CAST(floor(xa * xb * 1e10 + 0.5)"
+                        " AS DECIMAL(25,0)))"
                     )
-                ).cast("double")
+                )
                 / F.lit(1e10)
             ).alias("sxy")
         )
@@ -2614,12 +2620,14 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             .groupBy("i")
             .agg(
                 (
+                    # r13 (plan-lint R9): a 64-term e12-grain dot is
+                    # math-bounded under 2^53 — int64-narrow.
                     F.sum(
                         F.expr(
                             "CAST(floor(cij * v * 1e12 + 0.5)"
                             " AS DECIMAL(25,0))"
                         )
-                    ).cast("double")
+                    ).cast("bigint").cast("double")
                     / F.lit(1e12)
                 ).alias("u")
             )
@@ -2672,21 +2680,24 @@ JL_OUT_DIM = 16  # target dimensionality (64 -> 16)
     ),
     proj AS (
         SELECT f.vec_id, s.k,
-               CAST(sum(s.s * CAST(f.x AS DECIMAL(18,9))) AS DOUBLE)
+               CAST(CAST(sum(s.s * CAST(f.x AS DECIMAL(18,9)))
+                         AS DECIMAL(12,9)) AS DOUBLE)
                    / {JL_OUT_DIM} * 4 AS c
         FROM flat f JOIN signs s ON s.i = f.i
         GROUP BY 1, 2
     ),
     norms AS (
         SELECT vec_id,
-               CAST(sum(CAST(floor(x * x * 1e10 + 0.5)
-                             AS DECIMAL(25,0))) AS DOUBLE) AS n_in10
+               CAST(CAST(sum(CAST(floor(x * x * 1e10 + 0.5)
+                                  AS DECIMAL(25,0))) AS BIGINT) AS DOUBLE)
+                   AS n_in10
         FROM flat GROUP BY 1
     ),
     pnorms AS (
         SELECT vec_id,
-               CAST(sum(CAST(floor(c * c * 1e10 + 0.5)
-                             AS DECIMAL(25,0))) AS DOUBLE) AS n_out10
+               CAST(CAST(sum(CAST(floor(c * c * 1e10 + 0.5)
+                                  AS DECIMAL(25,0))) AS BIGINT) AS DOUBLE)
+                   AS n_out10
         FROM proj GROUP BY 1
     )
     SELECT p.vec_id, CAST(p.k AS INTEGER) AS k,
@@ -2753,7 +2764,11 @@ def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("vec_id", "k")
         .agg(
             (
-                F.sum(F.col("s") * F.col("x").cast("decimal(18,9)")).cast("double")
+                # r13 (plan-lint R9): a 64-term signed dot of |x|<=1 is
+                # math-bounded — narrow-decimal exact conversion.
+                F.sum(F.col("s") * F.col("x").cast("decimal(18,9)"))
+                .cast("decimal(12,9)")
+                .cast("double")
                 / JL_OUT_DIM
                 * 4
             ).alias("c")
@@ -2763,6 +2778,7 @@ def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(
             F.expr("CAST(floor(x * x * 1e10 + 0.5) AS DECIMAL(25,0))")
         )
+        .cast("bigint")
         .cast("double")
         .alias("n_in10")
     )
@@ -2770,6 +2786,7 @@ def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(
             F.expr("CAST(floor(c * c * 1e10 + 0.5) AS DECIMAL(25,0))")
         )
+        .cast("bigint")
         .cast("double")
         .alias("n_out10")
     )

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.functions.numeric import (
+    ddbl,
     SQL_VALID_JSON_EVENTS,
     d53,
     davg,
@@ -237,8 +238,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT count(*) AS n_docs FROM documents
     )
     SELECT term,
-           CAST(round(sum(CAST(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df))
-                               AS DECIMAL(25,10))), 4) AS DOUBLE) AS tfidf_mass,
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df))
+                               AS DECIMAL(25,10))), 4) * 10000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df))
+                               AS DECIMAL(25,10))), 4) * 10000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df))
+                               AS DECIMAL(25,10))), 4) * 10000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(10000 AS DOUBLE)) AS tfidf_mass,
            CAST(max(df.df) AS BIGINT) AS doc_freq
     FROM tf JOIN df USING (term) CROSS JOIN n
     GROUP BY term
@@ -266,8 +269,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(df, "term")
         .groupBy("term")
         .agg(
-            F.round(F.sum((F.col("tf") * idf).cast("decimal(25,10)")), 4)
-            .cast("double")
+            ddbl(F.round(F.sum((F.col("tf") * idf).cast("decimal(25,10)")), 4), 4)
             .alias("tfidf_mass"),
             F.max("df").cast("bigint").alias("doc_freq"),
         )
@@ -3165,9 +3167,10 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sums AS (
         SELECT count(*) AS k,
-               CAST(sum(xd) AS DOUBLE) AS sx, CAST(sum(yd) AS DOUBLE) AS sy,
-               CAST(sum(xyd) AS DOUBLE) AS sxy,
-               CAST(sum(xxd) AS DOUBLE) AS sxx
+               ((CAST(CAST((CAST(CAST(sum(xd) * 1000000000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(sum(xd) * 1000000000000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(sum(xd) * 1000000000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(1000000000000 AS DOUBLE)) AS sx,
+               ((CAST(CAST((CAST(CAST(sum(yd) * 1000000000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(sum(yd) * 1000000000000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(sum(yd) * 1000000000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(1000000000000 AS DOUBLE)) AS sy,
+               ((CAST(CAST((CAST(CAST(sum(xyd) * 10000000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(sum(xyd) * 10000000000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(sum(xyd) * 10000000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(10000000000 AS DOUBLE)) AS sxy,
+               ((CAST(CAST((CAST(CAST(sum(xxd) * 10000000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(sum(xxd) * 10000000000 AS HUGEINT) AS HUGEINT) - (CAST(CAST(sum(xxd) * 10000000000 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(10000000000 AS DOUBLE)) AS sxx
         FROM terms
     )
     SELECT CAST(k AS BIGINT) AS n_points,
@@ -3227,10 +3230,12 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sums = terms.agg(
         F.count(F.lit(1)).alias("k"),
-        F.sum("xd").cast("double").alias("sx"),
-        F.sum("yd").cast("double").alias("sy"),
-        F.sum("xyd").cast("double").alias("sxy"),
-        F.sum("xxd").cast("double").alias("sxx"),
+        # r13 (plan-lint R9): the four OLS sums grow with vocabulary
+        # size — d53s split conversions.
+        ddbl(F.sum("xd"), 12).alias("sx"),
+        ddbl(F.sum("yd"), 12).alias("sy"),
+        ddbl(F.sum("xyd"), 10).alias("sxy"),
+        ddbl(F.sum("xxd"), 10).alias("sxx"),
     )
     slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")

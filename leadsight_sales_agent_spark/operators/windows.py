@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from leadsight_sales_agent_spark.functions.numeric import (
+    ddbl,
     SQL_TIMED_FINITE_EVENTS,
     d53,
     d53s,
@@ -120,10 +121,16 @@ def window_rank_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_revenue_per_customer",
     oracle="""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6)))
                           OVER (PARTITION BY o_custkey
                                 ORDER BY o_orderdate ASC, o_orderkey ASC
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                          OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate ASC, o_orderkey ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                          OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate ASC, o_orderkey ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE))
                AS running_spend
     FROM orders WHERE o_orderdate IS NOT NULL
     """,
@@ -181,7 +188,7 @@ def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n_events,
-           CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS total_value
     FROM {SQL_TIMED_FINITE_EVENTS} events
     GROUP BY 1, 2
     """,
@@ -327,7 +334,7 @@ def window_sliding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            count(*) AS n_events,
-           CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS total_value
     FROM sessioned
     GROUP BY 1, 2
     """,
@@ -389,7 +396,7 @@ def window_session_30min_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            count(*) AS n_events,
-           CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS total_value
     FROM sessioned
     GROUP BY user_id, sid
     """,
@@ -668,8 +675,7 @@ def pattern_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT r.r_name AS region, n.n_name AS nation,
-               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(25,6))), 2)
-                    AS DOUBLE) AS nation_revenue
+               ((CAST(CAST((CAST(CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS nation_revenue
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -747,7 +753,7 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN cum_rev * 20 <= total_rev * 19 THEN 'B'
                 ELSE 'C' END AS abc_class,
            count(*) AS n_parts,
-           CAST(round(sum(part_rev), 2) AS DOUBLE) AS class_revenue
+           ((CAST(CAST((CAST(CAST(round(sum(part_rev), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(part_rev), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(part_rev), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS class_revenue
     FROM cum GROUP BY 1
     """,
 )
@@ -791,7 +797,7 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cum.groupBy(cls.alias("abc_class")).agg(
         F.count("*").alias("n_parts"),
-        F.round(F.sum("part_rev"), 2).cast("double").alias("class_revenue"),
+        ddbl(F.round(F.sum("part_rev"), 2), 2).alias("class_revenue"),
     )
 
 
@@ -858,7 +864,7 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_id,
            count(*) OVER w AS n_prev_hour,
-           CAST(round(sum(CAST(value AS DECIMAL(25,6))) OVER w, 2) AS DOUBLE)
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(value AS DECIMAL(25,6))) OVER w, 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(value AS DECIMAL(25,6))) OVER w, 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(value AS DECIMAL(25,6))) OVER w, 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE))
                AS value_prev_hour
     FROM {SQL_TIMED_FINITE_EVENTS} events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -891,8 +897,7 @@ def window_range_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.count("*").over(w).alias("n_prev_hour"),
-        F.round(F.sum(F.col("value").cast("decimal(25,6)")).over(w), 2)
-        .cast("double")
+        ddbl(F.round(F.sum(F.col("value").cast("decimal(25,6)")).over(w), 2), 2)
         .alias("value_prev_hour"),
     )
 
@@ -1045,8 +1050,8 @@ def topk_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(rev) OVER (ORDER BY month) AS peak
         FROM daily
     )
-    SELECT CAST(round(max(peak - rev), 2) AS DOUBLE) AS max_drawdown,
-           CAST(round(max(peak), 2) AS DOUBLE) AS peak_revenue,
+    SELECT ((CAST(CAST((CAST(CAST(round(max(peak - rev), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(max(peak - rev), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(max(peak - rev), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS max_drawdown,
+           ((CAST(CAST((CAST(CAST(round(max(peak), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(max(peak), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(max(peak), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS peak_revenue,
            min(month) FILTER (WHERE peak - rev = (SELECT max(peak - rev) FROM tracked))
                AS worst_month
     FROM tracked
@@ -1078,9 +1083,11 @@ def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_all = Window.partitionBy()
     flagged = tracked.withColumn("max_dd", F.max("dd").over(w_all))
+    # r13 (plan-lint R9): monthly revenue peaks/drawdowns grow with
+    # scale — the d53s split replaces the bare wide-decimal casts.
     return flagged.agg(
-        F.round(F.max("dd"), 2).cast("double").alias("max_drawdown"),
-        F.round(F.max("peak"), 2).cast("double").alias("peak_revenue"),
+        ddbl(F.round(F.max("dd"), 2), 2).alias("max_drawdown"),
+        ddbl(F.round(F.max("peak"), 2), 2).alias("peak_revenue"),
         F.min(F.when(F.col("dd") == F.col("max_dd"), F.col("month"))).alias(
             "worst_month"
         ),
@@ -1300,7 +1307,7 @@ def datetime_timezone_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(price) AS low,
            max(CASE WHEN rn_d = 1 THEN price END) AS close,
            count(*) AS volume,
-           CAST(round(sum(CAST(price AS DECIMAL(25,6))), 2) AS DOUBLE) AS turnover
+           ((CAST(CAST((CAST(CAST(round(sum(CAST(price AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) AS BIGINT) AS DOUBLE) * CAST(1125899906842624 AS DOUBLE) + CAST(CAST(CAST(CAST(round(sum(CAST(price AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) - (CAST(CAST(round(sum(CAST(price AS DECIMAL(25,6))), 2) * 100 AS HUGEINT) AS HUGEINT) // 1125899906842624) * 1125899906842624 AS BIGINT) AS DOUBLE)) / CAST(100 AS DOUBLE)) AS turnover
     FROM r GROUP BY month
     """,
 )

@@ -944,11 +944,16 @@ class TestSpark4ApiSurface:
         load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_pipe")
         load(spark, sf_dir, "orders").createOrReplaceTempView("o_pipe")
         piped = reg.QUERIES["sql_pipe_syntax_suite"](spark, sf_dir)
+        # r13: the revenue column uses the d53s split conversion in the
+        # pipe query, so the classic twin must too — the test pins
+        # pipe-syntax SUGAR equivalence, with identical expressions.
+        from leadsight_sales_agent_spark.functions.numeric import d53s
+
         classic = spark.sql(
-            """
+            f"""
             SELECT l_returnflag AS returnflag, o_orderpriority AS orderpriority,
-                   CAST(round(sum(CAST(disc_price AS DECIMAL(25,6))), 2)
-                        AS DOUBLE) AS revenue,
+                   {d53s("round(sum(CAST(disc_price AS DECIMAL(25,6))), 2)", 2)}
+                       AS revenue,
                    count(*) AS n_lines
             FROM (SELECT l.*, l_extendedprice * (1 - l_discount) AS disc_price
                   FROM li_pipe l

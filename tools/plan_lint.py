@@ -588,9 +588,89 @@ def _r9_forests(node, out):
             _r9_forests(v, out)
 
 
+def _r9_effective_decimal(tree):
+    """(precision, scale) of a serialized expression subtree, or None.
+
+    Catalyst's toJSON only carries ``dataType`` on constructor-typed
+    nodes (Cast/Literal/AttributeReference); derived types (Sum,
+    arithmetic, Coalesce, window buffers) must be re-derived — the
+    r13 session measured that the direct-child shortcut silently
+    missed every cast over an aggregate. Widening rules mirror
+    Spark's DecimalType results (conservative where inexact — R9
+    prefers a surfaced site over a silent one)."""
+    node, kids = tree
+    dt = _R9_DEC_RE.fullmatch(str(node.get("dataType", "")))
+    if dt:
+        return int(dt.group(1)), int(dt.group(2))
+    if node.get("dataType"):
+        # a typed node that is NOT decimal (e.g. Cast to BIGINT —
+        # the narrowing device itself) terminates decimal propagation
+        return None
+    cls = node.get("class", "").rsplit(".", 1)[-1]
+    kid_types = [_r9_effective_decimal(k) for k in kids]
+    kid_types = [t for t in kid_types if t]
+    if cls in ("AggregateExpression", "WindowExpression", "Alias",
+               "SortOrder", "CheckOverflow", "PromotePrecision",
+               "KnownNotNull", "Abs", "UnaryMinus", "UnaryPositive"):
+        return kid_types[0] if kid_types else None
+    if cls in ("Round", "BRound"):
+        # Spark: round(decimal(p,s), d) -> decimal(p - s + d + 1, d)
+        if kid_types:
+            p0, s0 = kid_types[0]
+            d = 0
+            if len(kids) >= 2:
+                lit = kids[1][0]
+                if lit.get("class", "").endswith(".Literal"):
+                    try:
+                        d = int(lit.get("value"))
+                    except (TypeError, ValueError):
+                        d = s0
+                else:
+                    d = s0
+            return min(38, max(1, p0 - s0 + d + 1)), max(0, d)
+        return None
+    if cls == "Sum":
+        if kid_types:
+            p, s = kid_types[0]
+            return min(38, p + 10), s
+        return None
+    if cls == "Average":
+        if kid_types:
+            p, s = kid_types[0]
+            return min(38, p + 4), min(38, s + 4)
+        return None
+    if cls in ("Min", "Max", "First", "Last", "Coalesce", "If",
+               "CaseWhen", "Greatest", "Least", "NullIf", "Nvl",
+               "Lag", "Lead", "NthValue"):
+        return max(kid_types) if kid_types else None
+    if cls in ("Add", "Subtract"):
+        if len(kid_types) >= 1:
+            p = max(t[0] for t in kid_types)
+            s = max(t[1] for t in kid_types)
+            return min(38, p + 1), s
+        return None
+    if cls in ("Multiply", "Divide", "IntegralDivide", "Remainder",
+               "Pmod"):
+        if cls == "IntegralDivide":
+            return None  # Spark DIV yields BIGINT
+        if len(kid_types) == 2:
+            return (
+                min(38, kid_types[0][0] + kid_types[1][0] + 1),
+                min(38, kid_types[0][1] + kid_types[1][1]),
+            )
+        # decimal op non-decimal: keep the decimal side, widened
+        if len(kid_types) == 1:
+            p, s = kid_types[0]
+            return min(38, p + 10), s
+        return None
+    # unknown derived node over decimal children: conservative pass-up
+    return max(kid_types) if kid_types else None
+
+
 def _r9_scan_forest(flat: list, hits: list) -> None:
     """Cursor-reconstruct the pre-order forest and record every
-    Cast(decimal(p>15) -> double) whose child is not a Literal."""
+    Cast(decimal(p>15) -> double) whose child subtree is not
+    constant-foldable."""
     idx = 0
 
     def rec():
@@ -611,8 +691,8 @@ def _r9_scan_forest(flat: list, hits: list) -> None:
             and kids
         ):
             ch = kids[0][0]
-            m = _R9_DEC_RE.fullmatch(str(ch.get("dataType", "")))
             ch_cls = ch.get("class", "").rsplit(".", 1)[-1]
+            eff = _r9_effective_decimal(kids[0])
 
             def _has_attr(t):
                 n2, k2 = t
@@ -621,8 +701,8 @@ def _r9_scan_forest(flat: list, hits: list) -> None:
                 return any(_has_attr(k) for k in k2)
 
             if (
-                m
-                and int(m.group(1)) > _R9_MAX_SAFE_PRECISION
+                eff
+                and eff[0] > _R9_MAX_SAFE_PRECISION
                 and ch_cls != "Literal"
                 # constant-foldable subtrees (no attribute anywhere)
                 # convert at plan time to one fixed value — exempt
@@ -631,7 +711,7 @@ def _r9_scan_forest(flat: list, hits: list) -> None:
                 hits.append(
                     {
                         "child": ch_cls,
-                        "type": m.group(0),
+                        "type": f"decimal({eff[0]},{eff[1]})",
                         "name": str(ch.get("name", ""))[:40],
                     }
                 )
@@ -877,6 +957,22 @@ def main() -> None:
                 )
                 continue
             findings.extend(lint_one_precheckpoint(name, plan))
+            # R9 on the checkpoint-flattened plan (r13): iterative
+            # queries hide per-round casts behind localCheckpoint —
+            # graph_pagerank_trade's mass sum was invisible to pass 1.
+            r9p = wide_decimal_casts(df)
+            if r9p:
+                uniq = sorted({(h["child"], h["type"], h["name"]) for h in r9p})
+                findings.append(
+                    {
+                        "rule": "R9-wide-decimal-cast-prechk",
+                        "query": name,
+                        "sites": [
+                            {"child": c, "type": t, "name": n2}
+                            for c, t, n2 in uniq
+                        ],
+                    }
+                )
             pre_seen[name] = {
                 "cartesian": "CartesianProduct" in plan
                 or "BroadcastNestedLoopJoin" in plan,
