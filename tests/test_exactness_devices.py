@@ -212,3 +212,53 @@ class TestFloatDevicesCrossEngine:
             f"SELECT 0, coalesce(len(generate_series(1, {n})), 0)", [(0, 0)], "i BIGINT, v BIGINT"
         )
         assert duck[0][1] == max(n, 0)  # DuckDB: empty for n <= 0
+
+
+class TestDeviceWideSumStress:
+    """r13: the graded SFs keep dsum/davg sums under 2^53, so the
+    oracle gate never exercises the devices' WIDE path — the exact
+    regime where the r12 driver diverged. These pins feed the devices
+    sums past 2^53 on BOTH engines and require bit equality."""
+
+    def test_dsum_past_2_53_bit_identical(self, spark):
+        from leadsight_sales_agent_spark.functions.numeric import (
+            dsum,
+            sql_dsum,
+        )
+
+        # 3000 rows x ~9.1e12 -> sum ~2.7e16 > 2^53; cents grain
+        vals = [(9.1e12 + i * 1.37,) for i in range(3000)]
+        sdf = spark.createDataFrame(vals, "x double")
+        got_spark = sdf.agg(dsum(F.col("x"), 2).alias("s")).collect()[0].s
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (x DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", vals)
+        got_duck = con.execute(
+            f"SELECT {sql_dsum('x', 2)} AS s FROM t"
+        ).fetchone()[0]
+        assert got_spark == got_duck, (got_spark.hex(), got_duck.hex())
+        assert got_spark > 2**53  # the stress actually reached the regime
+
+    def test_davg_quotient_narrowing_and_overflow_canary(self, spark):
+        from leadsight_sales_agent_spark.functions.numeric import (
+            davg,
+            sql_davg,
+        )
+
+        vals = [(7.3e9 + i,) for i in range(50)]  # mean ~7.3e9 < 1e11
+        sdf = spark.createDataFrame(vals, "x double")
+        got_spark = sdf.agg(davg(F.col("x"), 4).alias("a")).collect()[0].a
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (x DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", vals)
+        got_duck = con.execute(
+            f"SELECT {sql_davg('x', 4)} AS a FROM t"
+        ).fetchone()[0]
+        assert got_spark == got_duck, (got_spark.hex(), got_duck.hex())
+        # the DECIMAL(15,0) narrow means a mean >= 10^11 at scale 4
+        # must raise loudly (ANSI overflow), not drift
+        import pytest
+
+        huge = spark.createDataFrame([(2.0e11,)] * 3, "x double")
+        with pytest.raises(Exception):
+            huge.agg(davg(F.col("x"), 4).alias("a")).collect()
