@@ -520,23 +520,37 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mining (the reference scores leads one at a time; a warehouse asks
     what they buy together).
 
-    Scale design: the pair expansion is a self-join on l_orderkey, so
-    its output is bounded by Σ basket_size² per order — NOT all-pairs
-    over parts. Shuffle keys on orderkey; the distinct first collapses
-    duplicate (order, part) lines so a part counted twice in one order
-    can't inflate support. The pair-key groupBy partial-aggregates
-    map-side; the HAVING floor prunes the long singleton tail before
-    any downstream join. A pathological mega-basket (one order with
-    10⁵ parts) would square — production guard is a basket-size cap
-    (count per order ≤ K) exactly like the LSH bucket cap in dedup.py.
+    Scale design: the pair expansion is basket-local, so its output is
+    bounded by Σ basket_size² per order — NOT all-pairs over parts.
+    r13 optimization rewrite (guide §1.2/§2.4, same device as the
+    triple miner): baskets assemble once as sorted distinct-part
+    arrays (collect_set dedups, replacing the separate distinct()
+    exchange) and the i<j combinations are enumerated map-side with
+    transform/slice — the orderkey self-join (two shuffles + two
+    sorts + SortMergeJoin) disappears; what remains is the basket
+    assembly exchange and the partial-aggregated pair rollup. The
+    pair-key groupBy partial-aggregates map-side; the HAVING floor
+    prunes the long singleton tail before any downstream join. A
+    pathological mega-basket (one order with 10⁵ parts) would square
+    — production guard is a basket-size cap (count per order ≤ K)
+    exactly like the LSH bucket cap in dedup.py.
     """
-    lines = (
-        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("its"))
     )
-    a = lines.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = lines.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(its, (x, i) ->"
+                " transform(slice(its, i + 2, size(its)),"
+                " y -> named_struct('pa', x, 'pb', y))))"
+            )
+        ).alias("pr")
+    )
     return (
-        a.join(b, (a.ok == b.ok) & (F.col("part_a") < F.col("part_b")))
+        pairs.select(F.col("pr.pa").alias("part_a"), F.col("pr.pb").alias("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
@@ -1858,25 +1872,47 @@ def market_basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame
     prune cuts it to Σ (frequent items per basket)³, typically orders
     of magnitude smaller (here: ~4 items of 12k survive per basket on
     average). The frequent-item set derives from the pair table
-    (itself basket-bounded) and BROADCASTS — the only big exchanges
-    are the basket self-joins on the already-pruned lines. Mega-basket
-    guard: same basket-size cap as the pair miner.
+    (itself basket-bounded) and BROADCASTS.
+
+    r13 optimization rewrite (guide §1.2 "fix the distributed
+    algorithm", §2.4): pairs and triples are now enumerated INSIDE
+    each basket as sorted-array combinations (nested transform/slice
+    higher-order functions — i<j<k over the sorted distinct items
+    gives exactly the pa<pb<pc combinations), not by self-joining the
+    (order, part) table. The previous plan shuffled+sorted the pruned
+    lines THREE times through two SortMergeJoins (and the pair miner
+    shuffled the distinct lines twice more); now the only exchanges
+    are the basket assembly (collect_set with map-side partials — the
+    distinct() the old form paid anyway), the two support aggregates,
+    and the re-assembly of the pruned baskets. 9 exchanges + 4 SMJ
+    sorts -> 5 exchanges, 0 joins beyond the broadcast prune. Per-row
+    work is O(m²)/O(m³) structs in ONE array at m = items-per-basket
+    (TPC-H: <= 7; after the prune, the frequent survivors) — the
+    combination arrays never hit the shuffle, only the exploded
+    (pair/triple, 1) rows feed partial aggregation. A mega-basket
+    corpus (m unbounded) re-introduces the join form per basket-size
+    band — the documented guard, same as the pair miner.
     """
-    lines = (
+    # one basket row per order: sorted distinct parts (collect_set
+    # dedups, so no separate distinct() pass over the scan)
+    baskets = (
         load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
-        .distinct()
-        # r8: lines feeds 3 consumers (both pair legs + the prune) and
-        # pruned feeds the 3 triple legs — checkpoint both so the scan
-        # and the pair-mining lineage run once, not per leg
-        # ckpt-grain: slim-exception — 2-col distinct order x part keys shared by 3 consumers
-        .localCheckpoint(eager=False)
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("its"))
+        .persist()  # feeds pair mining AND the prune leg (R8: persist,
+        #             not localCheckpoint — data-proportional)
     )
-    a = lines.select("ok", F.col("p").alias("pa"))
-    b = lines.select("ok", F.col("p").alias("pb"))
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(its, (x, i) ->"
+                " transform(slice(its, i + 2, size(its)),"
+                " y -> named_struct('pa', x, 'pb', y))))"
+            )
+        ).alias("pr")
+    ).select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
     fpairs = (
-        a.join(b, (a.ok == b.ok) & (F.col("pa") < F.col("pb")))
-        .groupBy("pa", "pb")
+        pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= 2)
     )
@@ -1888,18 +1924,27 @@ def market_basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame
         .distinct()
     )
     pruned = (
-        lines.join(F.broadcast(fitems), "p")
-        .select("ok", "p")
-        # ckpt-grain: slim-exception — order x frequent-item keys (pruned subset of lines)
-        .localCheckpoint(eager=False)
+        baskets.select("ok", F.explode("its").alias("p"))
+        .join(F.broadcast(fitems), "p")
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("p")).alias("its"))
     )
-    pa = pruned.select(F.col("ok").alias("ok_a"), F.col("p").alias("part_a"))
-    pb = pruned.select(F.col("ok").alias("ok_b"), F.col("p").alias("part_b"))
-    pc = pruned.select(F.col("ok").alias("ok_c"), F.col("p").alias("part_c"))
+    tri = pruned.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(its, (x, i) ->"
+                " flatten(transform(slice(its, i + 2, size(its)), (y, j) ->"
+                " transform(slice(its, i + j + 3, size(its)),"
+                " z -> named_struct('part_a', x, 'part_b', y, 'part_c', z))))))"
+            )
+        ).alias("t")
+    ).select(
+        F.col("t.part_a").alias("part_a"),
+        F.col("t.part_b").alias("part_b"),
+        F.col("t.part_c").alias("part_c"),
+    )
     return (
-        pa.join(pb, (F.col("ok_a") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")))
-        .join(pc, (F.col("ok_a") == F.col("ok_c")) & (F.col("part_b") < F.col("part_c")))
-        .groupBy("part_a", "part_b", "part_c")
+        tri.groupBy("part_a", "part_b", "part_c")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )

@@ -273,7 +273,8 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id",
         F.array_distinct(F.transform(_tokens(), lambda t: F.xxhash64(t))).alias("toks"),
-    )
+    ).persist()  # r13 (guide §5): feeds the signature pipeline AND both
+    #              verify legs — tokenize+hash ran 3x per action before
     sig = base.select("doc_id", minhash_signature_hashed(F.col("toks")).alias("sig"))
     # bands carry ONLY (doc_id, band_id, band_hash) — at 100 TB the 8×
     # band explode and its shuffle must not drag token arrays along.
@@ -1274,9 +1275,23 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, size(toks) - {SPAN_K} + 1),"
         f" p -> concat_ws(' ', slice(toks, p, {SPAN_K})))"
     )
-    pos = eligible.select(
-        "doc_id", F.explode(span_expr).alias("span")
-    ).select("doc_id", F.md5("span").alias("h1"), F.xxhash64("span").alias("h2"))
+    # r13 (guide §2.3 "narrower types" + §5): the span key is a pair of
+    # independent 64-bit hashes (xxhash64 with and without a salt
+    # column) instead of (md5-hex-string, xxhash64) — the 128-bit
+    # collision bound is unchanged in kind (~1e-13 at 10^13 spans) but
+    # each shuffled position row shrinks from ~88 to 24 bytes and the
+    # per-span hex materialization disappears. The frame feeds BOTH
+    # the dictionary build and the join back, so it persists (the r11
+    # shared-frame rule; explode+hash ran twice per action before).
+    pos = (
+        eligible.select("doc_id", F.explode(span_expr).alias("span"))
+        .select(
+            "doc_id",
+            F.xxhash64("span").alias("h1"),
+            F.xxhash64(F.lit("salt2"), F.col("span")).alias("h2"),
+        )
+        .persist()
+    )
     dup_dict = (
         pos.groupBy("h1", "h2")
         .agg(F.count("*").alias("n_occ"))
@@ -2326,66 +2341,60 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the chunk-store economics: distinct vs total chunks, bytes
     stored vs bytes addressed, saved bytes in half-up basis points.
 
-    Plan: one position explode per doc (the dedup_repeated_spans
-    grain) filtered immediately to the ~1/16 boundary positions, a
-    per-doc lag window over the cut list (partitions bounded by
-    chunks-per-doc), substring+md5 per chunk, and ONE hash aggregate
-    on the 32-char chunk hash — the same fixed-width-key shuffle as
-    exact dedup. No cross-doc comparison ever happens; the chunk hash
-    IS the join key, which is what lets CDC dedup run at archive
+    Plan (r13 optimization rewrite, guide §2.3/§2.4): the whole
+    cut-finding recurrence is DOC-LOCAL, so it runs as Catalyst array
+    higher-order functions — `filter(sequence(W, n), ...)` finds the
+    boundary positions and `transform(cuts, (c, k) -> ...)` pairs each
+    cut with its predecessor (the lag) — with ZERO shuffles until the
+    chunk-hash aggregate. The previous form exploded one row per BYTE
+    POSITION and carried the full document text through a distinct()
+    exchange AND a per-doc window exchange (~n/16 copies of every
+    document shuffled twice — the suite's worst 10x scaling ratio,
+    3.56). Now the only shuffles are the partial-aggregated
+    (chash, clen) rollup — the same fixed-width-key shuffle as exact
+    dedup — and the 1-row final: 4 Exchanges -> 2, no payload bytes
+    in any of them. No cross-doc comparison ever happens; the chunk
+    hash IS the join key, which is what lets CDC dedup run at archive
     scale.
 
     Exactness: pure string/integer arithmetic end to end (substr is
-    1-based in both engines; md5 lowercase hex in both); the tail cut
-    at n guarantees full coverage, and Σ chunk lengths = Σ doc
-    lengths is pinned in tests.
+    1-based in both engines; md5 lowercase hex in both); positions
+    from sequence() are unique and ascending, so the array form needs
+    no distinct() and get(cuts, k-1) IS the lag; the tail cut at n
+    guarantees full coverage, and Σ chunk lengths = Σ doc lengths is
+    pinned in tests. The oracle keeps the explode+window spec form —
+    hash equality proves the rewrite.
     """
     base = (
         load(spark, sf_dir, "documents")
         .filter(F.length("text") >= CDC_WINDOW)
         .select("doc_id", "text", F.length("text").cast("bigint").alias("n"))
     )
-    pos = base.select(
-        "doc_id",
+    cuts = base.select(
         "text",
-        "n",
-        F.explode(F.sequence(F.lit(CDC_WINDOW).cast("bigint"), F.col("n"))).alias(
-            "i"
-        ),
+        F.expr(
+            f"filter(sequence(CAST({CDC_WINDOW} AS BIGINT), n),"
+            f" i -> substring(md5(substring(text, CAST(i - {CDC_WINDOW} + 1 AS INT),"
+            f" {CDC_WINDOW})), 1, 1) = '0' OR i = n)"
+        ).alias("cuts"),
     )
-    cuts = (
-        pos.filter(
-            (
-                F.substring(
-                    F.md5(
-                        F.expr(
-                            f"substring(text, CAST(i - {CDC_WINDOW} + 1 AS INT),"
-                            f" {CDC_WINDOW})"
-                        )
-                    ),
-                    1,
-                    1,
+    # per-cut predecessor via get(cuts, k-1) (0-based, NULL at k=0 —
+    # exactly the window lag); strictly ascending cuts make the
+    # cut > cstart guard vacuous but it mirrors the oracle's WHERE
+    hashed = (
+        cuts.select(
+            F.explode(
+                F.expr(
+                    "transform(cuts, (c, k) -> named_struct("
+                    "'clen', c - coalesce(get(cuts, k - 1), 0L),"
+                    " 'chash', md5(substring(text,"
+                    " CAST(coalesce(get(cuts, k - 1), 0L) + 1 AS INT),"
+                    " CAST(c - coalesce(get(cuts, k - 1), 0L) AS INT)))))"
                 )
-                == "0"
-            )
-            | (F.col("i") == F.col("n"))
+            ).alias("ch")
         )
-        .select("doc_id", "text", "n", F.col("i").alias("cut"))
-        .distinct()
-    )
-    w = Window.partitionBy("doc_id").orderBy("cut")
-    chunks = cuts.select(
-        "doc_id",
-        F.coalesce(F.lag("cut").over(w), F.lit(0)).alias("cstart"),
-        "cut",
-        "text",
-    ).filter(F.col("cut") > F.col("cstart"))
-    hashed = chunks.select(
-        "doc_id",
-        (F.col("cut") - F.col("cstart")).alias("clen"),
-        F.md5(
-            F.expr("substring(text, CAST(cstart + 1 AS INT), CAST(cut - cstart AS INT))")
-        ).alias("chash"),
+        .select(F.col("ch.clen").alias("clen"), F.col("ch.chash").alias("chash"))
+        .filter(F.col("clen") > 0)
     )
     store = hashed.groupBy("chash").agg(
         F.min("clen").cast("bigint").alias("clen"),
@@ -2765,21 +2774,32 @@ def dedup_exact_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFram
         .select(
             "doc_id",
             "i",
-            F.md5(
+            # r13 (guide §2.3 "narrower types"): the gram identity is a
+            # pair of independent 64-bit hashes instead of an md5 hex
+            # string — same 128-bit collision bound, but the position
+            # rows crossing the census distinct + groupBy shrink from
+            # ~88 to 32 bytes and the hex materialization disappears.
+            # The gram key is engine-internal (only counts are output);
+            # the oracle keeps md5 — hash equality proves the swap.
+            F.xxhash64(
                 F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), EXSUB_K))
-            ).alias("g"),
+            ).alias("g1"),
+            F.xxhash64(
+                F.lit("salt2"),
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), EXSUB_K)),
+            ).alias("g2"),
         )
         .persist()  # token-position grain: data-proportional (r11 rule)
     )
     dupg = (
-        pos.select("g", "doc_id")
+        pos.select("g1", "g2", "doc_id")
         .distinct()
-        .groupBy("g")
+        .groupBy("g1", "g2")
         .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("g")
+        .select("g1", "g2")
     )
-    duppos = pos.join(dupg, "g").select("doc_id", "i")
+    duppos = pos.join(dupg, ["g1", "g2"]).select("doc_id", "i")
     wdoc = Window.partitionBy("doc_id").orderBy("i")
     cov = (
         duppos.withColumn("nxt", F.lead("i").over(wdoc))

@@ -323,7 +323,14 @@ def enrich_pipeline(spark: SparkSession, companies: DataFrame) -> DataFrame:
     # at this link count. resolve_links remains the documented crossover
     # path for link-heavy corpora where per-row Python, not stage
     # count, is the bottleneck.
-    full_url = urljoin_udf(F.col("website"), F.col("href"))
+    # asNondeterministic (r13, optimization-guide §4.4): the same-domain
+    # and score>0 filters reference the UDF-computed column, and the
+    # optimizer pushed a COPY of the whole ArrowEvalPython stage below
+    # the filter — every link row paid the Python round trip twice
+    # (two ArrowEvalPython nodes for one call in the r12 plan). The
+    # marker forbids the duplication; the resolver itself is pure, so
+    # results are unchanged.
+    full_url = urljoin_udf.asNondeterministic()(F.col("website"), F.col("href"))
     # same-domain SUBSTRING containment (P5 — deliberately not host equality)
     domain = url_host(F.col("website"))
     scored = (

@@ -4274,28 +4274,50 @@ def incremental_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     cut = F.lit(TOPK_IVM_CUTOVER).cast("timestamp")
 
-    def partials(df: DataFrame) -> DataFrame:
-        return df.groupBy("l_partkey").agg(
-            F.sum(micro).alias("rev_micro"), F.count(F.lit(1)).alias("n_items")
+    # r13 optimization (guide §5 / R8): hist fed FOUR consumers
+    # (old_topk, the boundary probe, the candidate filter, the merge
+    # semi-join) and delta a fifth — five lineitem scans + partial
+    # aggregations for one query. Both partials now come from ONE
+    # conditional-aggregation pass over the scan, persisted at the
+    # part grain; a key lands in hist/delta exactly when it has >= 1
+    # row on that side of the cutover (the conditional count), so the
+    # split frames are row-identical to the old filtered partials.
+    is_hist = F.col("l_shipdate") < cut
+    pb = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(is_hist, micro)).alias("hist_rev"),
+            F.count(F.when(is_hist, F.lit(1))).alias("hist_n"),
+            F.sum(F.when(~is_hist, micro)).alias("delta_rev"),
+            F.count(F.when(~is_hist, F.lit(1))).alias("delta_n"),
         )
-
-    hist = partials(li.filter(F.col("l_shipdate") < cut))
-    delta = partials(li.filter(F.col("l_shipdate") >= cut))
-    old_topk = (
+        .persist()
+    )
+    hist = pb.filter(F.col("hist_n") > 0).select(
+        "l_partkey",
+        F.col("hist_rev").alias("rev_micro"),
+        F.col("hist_n").alias("n_items"),
+    )
+    delta = pb.filter(F.col("delta_n") > 0).select(
+        "l_partkey",
+        F.col("delta_rev").alias("rev_micro"),
+        F.col("delta_n").alias("n_items"),
+    )
+    # one TakeOrdered over the cached partials serves both the old
+    # top-k membership AND the k-th boundary (was two)
+    # ckpt-grain: bounded — TOPK_IVM_K rows
+    topk_hist = (
         hist.orderBy(F.col("rev_micro").desc(), "l_partkey")
         .limit(TOPK_IVM_K)
-        .select("l_partkey")
+        .localCheckpoint(eager=False)
     )
+    old_topk = topk_hist.select("l_partkey")
     # Candidate rule, tie-safe: every state key whose total REACHES the
     # old k-th boundary is a candidate (an untouched key exactly tied
     # with the boundary can still enter the new top-k on the partkey
     # tie-break), plus every delta-touched key. The boundary probe is a
     # one-row broadcast onto the O(|keys|) state — never a history scan.
-    boundary = (
-        hist.orderBy(F.col("rev_micro").desc(), "l_partkey")
-        .limit(TOPK_IVM_K)
-        .agg(F.min("rev_micro").alias("kth_rev"))
-    )
+    boundary = topk_hist.agg(F.min("rev_micro").alias("kth_rev"))
     cand = (
         hist.crossJoin(F.broadcast(boundary))
         .filter(F.col("rev_micro") >= F.col("kth_rev"))

@@ -780,7 +780,8 @@ def leakage_minhash_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split(F.trim(F.col("text")), r"\s+"), lambda t: F.xxhash64(t)
             )
         ).alias("toks"),
-    )
+    ).persist()  # r13 (guide §5): feeds the band pipeline AND both
+    #              verify legs — tokenize+hash ran 3x per action before
     bands = base.select(
         "doc_id",
         "split",

@@ -1792,73 +1792,69 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     each document. A curation pass thresholds dup5_bp/top_bigram_bp
     exactly like Gopher's duplicate-n-gram-fraction cuts.
 
-    At 100 TB: one posexplode + ONE doc-partitioned window computes all
-    three gram widths in a single pass (4 leads, no self-joins), then
-    three doc-grain hash aggregations — every shuffle is keyed by
-    doc_id, partials collapse map-side, and nothing global ever forms.
+    At 100 TB: every signal is DOC-LOCAL, so since r13 the whole query
+    is ONE map-side pass of array higher-order functions — gram arrays
+    via transform/slice, duplicate fractions via array_distinct, the
+    top-bigram count as a run-length fold over the sorted gram array —
+    with ZERO shuffles, windows, or joins. The previous form exploded
+    the token stream and re-ran the explode + doc-window subtree once
+    per gram width (4 Generates, 3 Windows, 4 Exchanges, 3 joins in
+    the r12 plan); the oracle keeps that explode+window spec shape and
+    the hash match proves the rewrite (guide §2.4: remove shuffles
+    outright).
     """
-    tok = load(spark, sf_dir, "documents").select(
-        "doc_id", F.posexplode(_tokens()).alias("pos", "t")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    led = tok.select(
-        "doc_id",
-        "t",
-        F.lead("t", 1).over(w).alias("t1"),
-        F.lead("t", 2).over(w).alias("t2"),
-        F.lead("t", 3).over(w).alias("t3"),
-        F.lead("t", 4).over(w).alias("t4"),
-    )
-    grams = led.select(
-        "doc_id",
-        F.when(
-            F.col("t1").isNotNull(), F.concat_ws(" ", "t", "t1")
-        ).alias("g2"),
-        F.when(
-            F.col("t2").isNotNull(), F.concat_ws(" ", "t", "t1", "t2")
-        ).alias("g3"),
-        F.when(
-            F.col("t4").isNotNull(),
-            F.concat_ws(" ", "t", "t1", "t2", "t3", "t4"),
-        ).alias("g5"),
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _tokens().alias("toks"))
     )
 
-    def gram_stats(col: str, with_top: bool):
-        counts = (
-            grams.filter(F.col(col).isNotNull())
-            .groupBy("doc_id", col)
-            .agg(F.count("*").alias("c"))
+    def gram_arr(k: int) -> str:
+        # sequence(1, 0) runs DESCENDING in Spark — guard short docs
+        return (
+            f"CASE WHEN size(toks) >= {k} THEN"
+            f" transform(sequence(1, size(toks) - {k - 1}),"
+            f" i -> concat_ws(' ', slice(toks, CAST(i AS INT), {k})))"
+            " ELSE array() END"
         )
-        aggs = [
-            F.sum("c").alias(f"total{col[1:]}"),
-            F.count("*").alias(f"uniq{col[1:]}"),
-        ]
-        if with_top:
-            aggs.append(F.max("c").alias("top2"))
-        return counts.groupBy("doc_id").agg(*aggs)
 
-    s2 = gram_stats("g2", with_top=True)
-    s3 = gram_stats("g3", with_top=False)
-    s5 = gram_stats("g5", with_top=False)
-    n = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    g = d.select(
+        "doc_id",
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
+        F.expr(gram_arr(2)).alias("g2"),
+        F.expr(gram_arr(3)).alias("g3"),
+        F.expr(gram_arr(5)).alias("g5"),
+    )
 
-    def bp(num, den):
-        return F.coalesce(
-            F.expr(f"CAST(({num}) * 10000 DIV {den} AS BIGINT)"), F.lit(0)
+    def bp(num: str, den: str):
+        # den = 0 (doc shorter than the gram) reports 0, matching the
+        # oracle's COALESCE over the missing per-gram row
+        return F.expr(
+            f"IF({den} = 0, 0L, CAST(({num}) * 10000 DIV {den} AS BIGINT))"
         ).cast("bigint")
 
-    return (
-        n.join(s2, "doc_id", "left")
-        .join(s3, "doc_id", "left")
-        .join(s5, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            bp("total2 - uniq2", "total2").alias("dup2_bp"),
-            bp("total3 - uniq3", "total3").alias("dup3_bp"),
-            bp("total5 - uniq5", "total5").alias("dup5_bp"),
-            bp("top2", "total2").alias("top_bigram_bp"),
-        )
+    # max bigram multiplicity = longest run in the sorted gram array
+    top2 = (
+        "aggregate(array_sort(g2),"
+        " named_struct('p', CAST(NULL AS STRING), 'r', 0L, 'b', 0L),"
+        " (a, x) -> named_struct('p', x,"
+        " 'r', IF(x <=> a.p, a.r + 1L, 1L),"
+        " 'b', greatest(a.b, IF(x <=> a.p, a.r + 1L, 1L))),"
+        " a -> a.b)"
+    )
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        bp("CAST(size(g2) AS BIGINT) - size(array_distinct(g2))", "size(g2)").alias(
+            "dup2_bp"
+        ),
+        bp("CAST(size(g3) AS BIGINT) - size(array_distinct(g3))", "size(g3)").alias(
+            "dup3_bp"
+        ),
+        bp("CAST(size(g5) AS BIGINT) - size(array_distinct(g5))", "size(g5)").alias(
+            "dup5_bp"
+        ),
+        bp(top2, "size(g2)").alias("top_bigram_bp"),
     )
 
 

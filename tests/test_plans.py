@@ -526,16 +526,17 @@ class TestR5Sketches:
 
 
 class TestR5Wave2:
-    def test_repetition_window_partitions_by_doc(self, spark, sf_dir):
+    def test_repetition_signals_fully_map_side(self, spark, sf_dir):
+        # r13 rewrite: every Gopher repetition signal is doc-local, so
+        # the plan must be one map-side pass of array expressions —
+        # no window, no shuffle, no explode (the r12 form re-ran the
+        # explode + doc-window subtree once per gram width)
         plan = simple_plan(
             registry.QUERIES["text_repetition_signals"](spark, sf_dir)
         )
-        leads = [
-            line
-            for line in plan.splitlines()
-            if "lead(" in line and "windowspecdefinition" in line
-        ]
-        assert leads and all("doc_id" in line for line in leads)
+        assert "Window" not in plan
+        assert "Exchange" not in plan
+        assert "Generate" not in plan
 
     def test_cap_per_source_window_partitions_by_source(self, spark, sf_dir):
         plan = simple_plan(registry.QUERIES["sample_cap_per_source"](spark, sf_dir))
