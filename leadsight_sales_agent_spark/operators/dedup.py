@@ -1412,8 +1412,12 @@ def entity_link_customers_billing(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("c_nationkey") == F.col("b_nationkey"))
             & (F.col("c_mktsegment") == F.col("b_mktsegment")),
         )
-        .withColumn("name_dist", F.levenshtein("name_n", "name_nb"))
-        .filter(F.col("name_dist") <= 1)
+        # r13 (guide §1.2 per-task work): banded 3-arg levenshtein —
+        # the DP early-exits past the bound (O(n·t) cells vs O(n²)),
+        # ~6x less work per candidate pair on these ~18-char names;
+        # -1 (= bound exceeded) rows are exactly the old dist > 1 rows
+        .withColumn("name_dist", F.levenshtein("name_n", "name_nb", 1))
+        .filter(F.col("name_dist").between(0, 1))
         .withColumn(
             "bal_agree",
             F.when(F.col("bal_cents") == F.col("bal_cents_b"), 1).otherwise(0),
@@ -1510,7 +1514,9 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = with_lags.filter(F.col(f"nid_{k}").isNotNull()).select(
             F.col("doc_id").alias("doc_a"),
             F.col(f"nid_{k}").alias("doc_b"),
-            F.levenshtein("skey", f"nkey_{k}").cast("bigint").alias("key_dist"),
+            # r13: banded form — the accept bar is 5, so the DP can
+            # stop at bound+1 (-1 maps to the old > 5 reject)
+            F.levenshtein("skey", f"nkey_{k}", 5).cast("bigint").alias("key_dist"),
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     # boundary carry: per-shard head/tail w-rows with their global ranks
@@ -1539,13 +1545,14 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
-                F.levenshtein(F.col("a.skey"), F.col("b.skey"))
+                F.levenshtein(F.col("a.skey"), F.col("b.skey"), 5)
                 .cast("bigint")
                 .alias("key_dist"),
             )
         )
         pairs = pairs.unionByName(e)
-    return pairs.filter(F.col("key_dist") <= 5)
+    # between, not <= : the banded levenshtein returns -1 past the bound
+    return pairs.filter(F.col("key_dist").between(0, 5))
 
 
 @query(

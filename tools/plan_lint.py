@@ -397,6 +397,11 @@ WINDOW_SP_EXPECTED = {
     # offsets window (a <=16-row shard grid) became visible in the
     # final plan when its sort-key frame switched to persist.
     "dedup_sorted_neighborhood",
+    # r13 single-pass rework: the final rank's row_number window (over
+    # the already-limited <= TOPK_IVM_K merged rows) became a visible
+    # SinglePartition window when the hist/delta partials collapsed to
+    # one conditional-aggregation pass.
+    "incremental_topk_maintenance",
     "ab_tost_equivalence",
     "agg_grouped_ols_trend",
     "agg_histogram_equidepth",
