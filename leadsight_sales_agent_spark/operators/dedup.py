@@ -2461,6 +2461,18 @@ def semd_bits(n_corpus: int) -> int:
     return max(SEMD_MIN_BITS, min(SEMD_MAX_BITS, b))
 
 
+def _semd_sign(k: int, i: int) -> int:
+    """Python twin of the Rademacher sign device hash_key('sd:', k ||
+    ':' || i).substr(1, 1) < '8' — md5 over UTF-8 bytes, lowercase
+    hex, first nibble < 8 => +1 (pinned against the Spark expression
+    in tests/test_semdedup_signs.py). Used to bake the (bits x dim)
+    sign matrix into the plan as literals (r13, guide §2.4)."""
+    import hashlib
+
+    h = hashlib.md5(f"sd:{k}:{i}".encode("utf-8")).hexdigest()
+    return 1 if h[0] < "8" else -1
+
+
 @query(
     "dedup_semantic_semdedup",
     oracle=f"""
@@ -2552,8 +2564,10 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one semi-join, no iteration); (3) the cosine bar compares
     floor(cos*1e4+0.5) — identical IEEE products both engines.
 
-    100 TB plan: the projection is one explode + a bits-x-64 broadcast
-    sign join + one hash-agg; the pair stage joins WITHIN cells only —
+    100 TB plan: the projection is ONE map-side expression (the
+    bits x dim sign matrix is a plan literal — r13, guide §2.4; it was
+    an explode + broadcast sign join + two hash-agg exchanges before);
+    the pair stage joins WITHIN cells only —
     the bit count now RISES WITH THE CORPUS in code (r8, the r7
     verdict's one weak item): 2^bits cells ~ n/1024, so the expected
     cell population, and therefore per-cell pair cost, stays constant
@@ -2561,59 +2575,58 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines run the historical 16-cell layout there. No global
     sort, no all-pairs join across cells.
     """
-    from leadsight_sales_agent_spark.operators.sampling import hash_key
     from leadsight_sales_agent_spark.operators.similarity import NONZERO, dot, l2_norm
 
     emb = (
         load(spark, sf_dir, "embeddings").filter(NONZERO()).select("vec_id", "embedding")
     )
-    flat = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "vf")
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).alias("i"),
-        F.col("vf").cast("double").alias("x"),
-    )
-    # bit count derived from the corpus cardinality (one count(*) —
-    # a metadata-scale scalar, not a data collect); sequence+explode
-    # keeps the derivation declarative, and the resulting ks frame is
-    # a ≤30-row broadcast either way
-    ks = (
-        emb.agg(F.count(F.lit(1)).alias("n_corpus"))
-        .select(F.expr(_SEMD_BITS_SPARK).alias("bits"))
-        .select(F.explode(F.sequence(F.lit(1), F.col("bits"))).alias("kk"))
-        .select(F.col("kk").cast("bigint").alias("k"))
-    )
-    signs = flat.select("i").distinct().crossJoin(F.broadcast(ks)).select(
-        "k",
-        "i",
-        F.when(
-            hash_key(
-                "sd:",
-                F.concat(F.col("k").cast("string"), F.lit(":"),
-                         F.col("i").cast("string")),
-            ).substr(1, 1)
-            < "8",
-            1,
+    # r13 (guide §2.4): the JL projection used to run as posexplode
+    # (n x dim rows) -> broadcast sign join -> groupBy(vec_id, k) ->
+    # groupBy(vec_id) — two hash-agg exchanges plus the exploded frame,
+    # all to attach a cell id that is a pure per-row function of the
+    # embedding once the (bits x dim) sign matrix is known. bits and
+    # dim are metadata scalars (one count/max agg — the same bounded
+    # driver pull the old ks frame made), and the sign matrix is a
+    # <= 30 x dim constant, so both become PLAN LITERALS (the
+    # similarity.py IVF-centroid device) and the whole projection
+    # collapses to one map-side expression: per k, the signed sum is
+    # an in-row aggregate() fold over the embedding. Each element is
+    # the same CAST(x AS DECIMAL(18,9)) as before, then scaled to an
+    # exact INTEGER count of nano-units (x * 1e9, integral by
+    # construction) carried as DECIMAL(38,0) — Spark's decimal
+    # addition at scale 0 caps precision at 38 without a scale
+    # reduction, so the fold is exact at any order (a DECIMAL(38,9)
+    # accumulator is NOT: (38,9)+(29,9) forces scale 8 and rounds).
+    # sign(sum of nano-units) == sign(the old DECIMAL(18,9) sum)
+    # because the scaling is a positive constant, so the c > 0 sign
+    # test — and therefore every cell id — is bit-identical.
+    # Signs come from the Python md5 twin of hash_key('sd:', k || ':'
+    # || i) (md5 over UTF-8, lowercase hex — identical by definition;
+    # pinned against the Spark expression in
+    # tests/test_semdedup_signs.py), and bits from semd_bits(), the
+    # already-pinned Python twin of _SEMD_BITS_SPARK.
+    meta = emb.agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.max(F.size("embedding")).alias("dim"),
+    ).first()
+    bits = semd_bits(meta["n_corpus"])
+    dim = meta["dim"] or 1
+    cell_terms = []
+    for k in range(1, bits + 1):
+        arr = "array(" + ",".join(
+            str(_semd_sign(k, i)) for i in range(1, dim + 1)
+        ) + ")"
+        c = (
+            "aggregate(sequence(1, size(embedding)),"
+            " CAST(0 AS DECIMAL(38,0)),"
+            f" (acc, i) -> acc + CAST(element_at({arr}, i)"
+            " AS DECIMAL(10,0)) * CAST(CAST(element_at(embedding, i)"
+            " AS DECIMAL(18,9)) * 1000000000 AS DECIMAL(27,0)))"
         )
-        .otherwise(-1)
-        .alias("s"),
-    )
-    proj = (
-        flat.join(F.broadcast(signs), "i")
-        .groupBy("vec_id", "k")
-        .agg(F.sum(F.col("s") * F.col("x").cast("decimal(18,9)")).alias("c"))
-    )
-    cells = proj.groupBy("vec_id").agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT),"
-                " CAST(k - 1 AS INT)) ELSE 0 END"
-            )
+        cell_terms.append(
+            f"CASE WHEN {c} > 0 THEN CAST({1 << (k - 1)} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
         )
-        .cast("bigint")
-        .alias("cell")
-    )
     # v feeds BOTH pair sides and the per-cell summary — materialize
     # once, not three times. r11: persist, not localCheckpoint — the
     # frame carries FULL embeddings (the repo's largest shared frame)
@@ -2623,7 +2636,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # executes it — multi-query sessions clearCache() between queries
     # (the registry.py cache contract; every harness does).
     v = (
-        cells.join(emb, "vec_id")
+        emb.withColumn("cell", F.expr(" + ".join(cell_terms)))
         .withColumn("nrm", l2_norm(F.col("embedding")))
         .persist()
     )
