@@ -8958,7 +8958,7 @@ def _bt_oracle() -> str:
     ),
     raw{r} AS MATERIALIZED (
         SELECT w.brand,
-               CAST(w.w_total AS DOUBLE) / CAST(d.den AS DOUBLE) AS r
+               CAST(w.w_total AS DOUBLE) / {sql_d53s('d.den', 12)} AS r
         FROM wins w JOIN den{r} d ON d.brand = w.brand
     ),
     w{r} AS MATERIALIZED (
@@ -9079,7 +9079,13 @@ def eval_bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         raw = wins.join(den, "brand").select(
             "brand",
-            F.expr("CAST(w_total AS DOUBLE) / CAST(den AS DOUBLE)").alias("r"),
+            # r13 (R9-prechk): den is DECIMAL(35,12) whose unscaled
+            # value scales with duel counts — the bare ->DOUBLE cast
+            # is the engine int128 path that broke ANOVA in r12, with
+            # only ~4x headroom under 2^53 at sf0.1. d53s is the
+            # deterministic split conversion (bit-identical to the
+            # bare cast while under 2^53, engine-stable past it).
+            F.expr(f"CAST(w_total AS DOUBLE) / {d53s('den', 12)}").alias("r"),
         # ckpt-grain: iterative-loop — Bradley-Terry fixed-point state, brand grain per round
         ).localCheckpoint(eager=False)
         mx = raw.agg(F.max("r").alias("mx"))

@@ -1419,9 +1419,24 @@ def storage_sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds the zorder/Hilbert/zonemap family as the chosen key.
 
     Exact: runs are integer lag-inequality counts under fully
-    tie-broken total orders; the winner is an integer argmin. One
-    sort + one window pass per candidate (the advisor's honest cost —
-    run it on a sample at 100 TB, exactly like OPTIMIZE's planner).
+    tie-broken total orders; the winner is an integer argmin.
+
+    r13 scale shape (guide §2.2/§2.5; found by the repaired R6
+    pre-checkpoint lint pass): each candidate used to be ONE
+    unpartitioned Window.orderBy over the whole table — three global
+    sorts funnelled through a single task. Each leg now uses the
+    sibling audit's shard device (storage_rle_sortedness_audit): the
+    layout's LEADING sort keys (or the o_orderkey block grid for the
+    natural layout) partition the window, within-partition run starts
+    count in parallel, and the per-partition (first, last) value grid
+    — aggregated, boundary-ordered, tiny — subtracts one merge per
+    boundary whose adjacent values are equal. Total runs per column is
+    identically Σ within-starts − Σ merges because consecutive
+    partitions tile the global order: a partition-first row is a
+    genuine run start iff it differs from the previous partition's
+    last value. All four audited columns are non-null (TPC-H
+    contract + the o_orderdate filter), so the lag-inequality and the
+    boundary equality are two-valued — no null seam.
     """
     frames = []
     spark_cols = [
@@ -1431,33 +1446,69 @@ def storage_sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("runs_custkey", F.col("o_custkey").cast("string")),
     ]
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
-    order_specs = {
-        "natural": [F.col("o_orderkey")],
-        "by_date": [F.col("o_orderdate"), F.col("o_orderkey")],
+    shard_specs = {
+        # partition columns = the layout's leading sort keys (block
+        # grid for the natural key), named here in grid order
+        "natural": [("pk_blk", F.expr(f"o_orderkey DIV {RLE_SHARD_KEYS}"))],
+        "by_date": [("pk_date", F.col("o_orderdate"))],
         "by_priority": [
-            F.col("o_orderpriority"),
-            F.col("o_orderdate"),
-            F.col("o_orderkey"),
+            ("pk_prio", F.col("o_orderpriority")),
+            ("pk_date", F.col("o_orderdate")),
         ],
     }
-    for layout, keys in order_specs.items():
-        w = Window.orderBy(*keys)
-        proj = orders.select(
+    for layout, parts in shard_specs.items():
+        pnames = [n for n, _ in parts]
+        base = orders.select(
+            *[c.alias(n) for n, c in parts],
+            "o_orderkey",
             *[c.alias(f"v_{a}") for a, c in spark_cols],
-            *[F.lag(c).over(w).alias(f"pv_{a}") for a, c in spark_cols],
+        )
+        wb = Window.partitionBy(*pnames).orderBy("o_orderkey")
+        proj = base.select(
+            "*",
+            *[F.lag(f"v_{a}").over(wb).alias(f"pv_{a}") for a, _ in spark_cols],
+        )
+        within = proj.agg(
+            *[
+                F.count_if(
+                    F.col(f"pv_{a}").isNull()
+                    | (F.col(f"pv_{a}") != F.col(f"v_{a}"))
+                )
+                .cast("bigint")
+                .alias(f"w_{a}")
+                for a, _ in spark_cols
+            ]
+        )
+        grid = base.groupBy(*pnames).agg(
+            *[F.min_by(f"v_{a}", "o_orderkey").alias(f"first_{a}") for a, _ in spark_cols],
+            *[F.max_by(f"v_{a}", "o_orderkey").alias(f"last_{a}") for a, _ in spark_cols],
+        )
+        wg = Window.orderBy(*pnames)
+        merges = grid.select(
+            *[
+                F.lag(f"last_{a}").over(wg).alias(f"plast_{a}")
+                for a, _ in spark_cols
+            ],
+            *[F.col(f"first_{a}") for a, _ in spark_cols],
+        ).agg(
+            *[
+                F.count_if(
+                    F.col(f"plast_{a}").isNotNull()
+                    & (F.col(f"plast_{a}") == F.col(f"first_{a}"))
+                )
+                .cast("bigint")
+                .alias(f"m_{a}")
+                for a, _ in spark_cols
+            ]
         )
         frames.append(
-            proj.agg(
+            within.crossJoin(F.broadcast(merges)).select(
+                F.lit(layout).alias("layout"),
                 *[
-                    F.count_if(
-                        F.col(f"pv_{a}").isNull()
-                        | (F.col(f"pv_{a}") != F.col(f"v_{a}"))
-                    )
-                    .cast("bigint")
-                    .alias(a)
+                    (F.col(f"w_{a}") - F.col(f"m_{a}")).cast("bigint").alias(a)
                     for a, _ in spark_cols
-                ]
-            ).select(F.lit(layout).alias("layout"), "*")
+                ],
+            )
         )
     legs = frames[0]
     for fr in frames[1:]:

@@ -2145,7 +2145,8 @@ def _dsir_oracle() -> str:
     scored AS (
         SELECT t.doc_id, t.source, coalesce(w.w_e12, 0) AS w_e12,
                coalesce(w.w_e12, 0)
-               + CAST(floor(-ln(-ln(({u32} + 0.5) / 4294967296.0)) * 1e12)
+               + CAST(floor(-ln(-ln((CAST({u32} AS DOUBLE) + 0.5)
+                                    / CAST(4294967296 AS DOUBLE))) * 1e12)
                       AS BIGINT) AS score_e12
         FROM tok t LEFT JOIN w ON w.doc_id = t.doc_id
     ),
@@ -2204,13 +2205,27 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
-    uni = docs.select("doc_id", F.explode("toks").alias("gram"))
+    # r13 (guide §2.3): the target-slice membership used to be a JOIN
+    # of feat against the en doc-id set, and the four bucket-grain
+    # reductions (tgt, raw, and one scalar agg over each for tots) were
+    # four separate passes over the feat checkpoint. The en flag is a
+    # per-doc fact, so it RIDES THE GRAM STREAM instead (one boolean
+    # column through the explode/groupBy, functional on doc_id), and
+    # all four reductions collapse into ONE conditional-aggregation
+    # pass producing the 256-row bucket-stats frame (cr, ct) — tgt's
+    # per-bucket sum is sum(n) FILTERed to en == sum(when(en, n)), a
+    # bucket with no en rows sums to NULL exactly like the old left
+    # join's absent row, and the old coalesce(ct, 0) absorbs both.
+    # feat passes: 5 -> 2 (bstats + the doc-grain weight join).
+    en = (F.col("lang") == "en").alias("en")
+    uni = docs.select("doc_id", en, F.explode("toks").alias("gram"))
     # size(toks) == 1 guard: Spark sequence(1, 0) yields the DESCENDING
     # array [1, 0] (not empty like DuckDB's generate_series(1, 0)), so an
     # unguarded bigram transform would read toks[1] — INVALID_ARRAY_INDEX
     # under ANSI, silent null grams otherwise — on any 1-token document.
     bi = docs.filter(F.size("toks") >= 2).select(
         "doc_id",
+        en,
         F.explode(
             F.expr(
                 "transform(sequence(1, size(toks) - 1),"
@@ -2222,25 +2237,26 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         uni.unionByName(bi)
         .groupBy(
             "doc_id",
+            "en",
             F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("gram"))), 1, 2).alias("b"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        # ckpt-grain: slim-exception — 3 narrow cols at doc x 256-bucket grain; rep50-probed healthy (SCALE_PROBE)
+        # ckpt-grain: slim-exception — 4 narrow cols at doc x 256-bucket grain; rep50-probed healthy (SCALE_PROBE)
         .localCheckpoint(eager=False)
     )
-    tgt = (
-        feat.join(docs.filter(F.col("lang") == "en").select("doc_id"), "doc_id")
-        .groupBy("b")
-        .agg(F.sum("n").cast("bigint").alias("ct"))
+    bstats = (
+        feat.groupBy("b")
+        .agg(
+            F.sum("n").cast("bigint").alias("cr"),
+            F.sum(F.when(F.col("en"), F.col("n"))).cast("bigint").alias("ct"),
+        )
+        # ckpt-grain: bounded — 256 hash buckets
+        .localCheckpoint(eager=False)
     )
-    raw = feat.groupBy("b").agg(F.sum("n").cast("bigint").alias("cr"))
-    tots = tgt.agg(F.sum("ct").alias("tt")).crossJoin(
-        raw.agg(F.sum("cr").alias("tr"))
-    )
+    tots = bstats.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
     lnq = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1e12) AS BIGINT)"
     lr = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tots))
+        bstats.crossJoin(F.broadcast(tots))
         .select(
             "b",
             F.expr(
@@ -2272,7 +2288,18 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.coalesce("w_e12", F.lit(0))
                 + F.expr(
-                    f"CAST(floor(-ln(-ln(({u32} + 0.5) / 4294967296.0))"
+                    # r13 (R9-prechk): the bare `(u32 + 0.5) / 2^32`
+                    # divided in DECIMAL on Spark (scale-13 HALF_UP —
+                    # only ~8 significant digits at small u) but in
+                    # DOUBLE on DuckDB; a 4000-id probe showed 16% of
+                    # Gumbel integers differing by ±1 — a latent
+                    # boundary flake of the r12 hash class, masked so
+                    # far by top-k robustness. The explicit DOUBLE
+                    # casts make it ONE correctly-rounded IEEE division
+                    # of exact operands on both engines (u32 + 0.5 is
+                    # exactly representable: u32 < 2^32).
+                    f"CAST(floor(-ln(-ln((CAST({u32} AS DOUBLE) + 0.5)"
+                    " / CAST(4294967296 AS DOUBLE)))"
                     " * 1e12) AS BIGINT)"
                 )
             ).alias("score_e12"),

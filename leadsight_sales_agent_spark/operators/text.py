@@ -5372,10 +5372,10 @@ def _doremi_oracle() -> str:
     tilt AS (
         SELECT s.source, s.n_docs, s.loss_micro,
                s.loss_micro - b.corpus_loss_micro AS excess_micro,
-               CAST(floor(exp({DOREMI_ETA} * greatest(
+               CAST(floor(exp({DOREMI_ETA} * CAST(greatest(
                         -{DOREMI_CLAMP_MICRO},
                         least({DOREMI_CLAMP_MICRO},
-                              s.loss_micro - b.corpus_loss_micro))
+                              s.loss_micro - b.corpus_loss_micro)) AS DOUBLE)
                         / 1000000.0) * 1e12) AS BIGINT) AS e12,
                b.k
         FROM per_src s CROSS JOIN base b
@@ -5440,10 +5440,17 @@ def mixture_doremi_tilt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("excess_micro", F.col("loss_micro") - F.col("corpus_loss_micro"))
         .withColumn(
             "e12",
+            # r13 (R9-prechk): the clamped excess is BIGINT, so Spark
+            # typed `x / 1000000.0` as a DECIMAL divide (exact here —
+            # the quotient has 6dp — but a wide-decimal->double cast
+            # all the same). The explicit DOUBLE cast makes it the
+            # same correctly-rounded double division DuckDB runs;
+            # |x| <= 2e6 << 2^53 so the operand converts exactly and
+            # the value is bit-identical to before.
             F.expr(
-                f"CAST(floor(exp({DOREMI_ETA} * greatest("
+                f"CAST(floor(exp({DOREMI_ETA} * CAST(greatest("
                 f"-{DOREMI_CLAMP_MICRO}, least({DOREMI_CLAMP_MICRO},"
-                " excess_micro)) / 1000000.0) * 1e12) AS BIGINT)"
+                " excess_micro)) AS DOUBLE) / 1000000.0) * 1e12) AS BIGINT)"
             ),
         )
         # ckpt-grain: bounded — source-grain (20 rows)
