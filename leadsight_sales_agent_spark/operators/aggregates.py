@@ -3554,11 +3554,20 @@ def sketch_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(49) - F.length(F.expr("bin(w)")))
         .alias("m"),
     )
+    # r13 (guide §2.3): truth used to be its own full pass over the
+    # persisted hash frame (groupBy(event_type).count). The register
+    # reduction already visits every row, so it carries the count —
+    # n_true per event_type is exactly Σ over its registers of the
+    # per-register row count (hashed is distinct at (event_type, k)
+    # grain, so rows ARE the truth). One pass serves both.
     regs = ranked.groupBy("event_type", "reg").agg(
-        F.max("m").alias("mr")
+        F.max("m").alias("mr"),
+        F.count(F.lit(1)).alias("n_rows"),
     # ckpt-grain: bounded — event_type x 49-register grain
     ).localCheckpoint(eager=False)
-    truth = hashed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
+    truth = regs.groupBy("event_type").agg(
+        F.sum("n_rows").cast("bigint").alias("n_true")
+    )
     g_regs = regs.groupBy("reg").agg(F.max("mr").alias("mr"))
     g_truth = hashed.agg(F.countDistinct("h").alias("n_true"))
 
