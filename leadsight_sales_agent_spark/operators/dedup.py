@@ -252,6 +252,18 @@ def minhash_band_structs(sig_col, n_bands: int = N_BANDS, rows_per_band: int = R
     )
 
 
+def verify_parallelism(df: DataFrame) -> int:
+    """Partition count for the candidate-verify device — the explicit
+    repartition that stops AQE's size-based coalescing from
+    single-threading a small-bytes/heavy-compute stage (measured 242 s
+    single-task at sf0.1 for the fuzzy verify without it). r13: derive
+    from the cluster's core count instead of a pinned 32 — identical
+    on local[32] (defaultParallelism == 32), adaptive at the driver's
+    lower-core bench runs and on a real cluster, where a literal 32
+    would cap the verify stage's parallelism."""
+    return max(df.sparkSession.sparkContext.defaultParallelism, 8)
+
+
 @query("neardup_minhash_lsh")  # probabilistic candidate gen → rows-only check
 def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified by exact Jaccard.
@@ -306,7 +318,7 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalesces them to 1-2 tasks, single-threading the per-pair
     # array_intersect/union compute (the fuzzy-dedup finding, same
     # fix; 2.2 s → 1.8 s at sf0.1 on 219k candidates).
-    pairs = pairs.repartition(32, "doc_a", "doc_b")
+    pairs = pairs.repartition(verify_parallelism(pairs), "doc_a", "doc_b")
     ta = base.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = base.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     n_common = F.size(F.array_intersect("toks_a", "toks_b"))
@@ -770,7 +782,7 @@ def _fuzzy_verify(pairs: DataFrame, d: DataFrame) -> DataFrame:
     coalescing would funnel every levenshtein call into one task
     (measured 242 s single-task at sf0.1). Result is row-local, so the
     repartition affects parallelism only."""
-    pairs = pairs.repartition(32, "doc_a", "doc_b")
+    pairs = pairs.repartition(verify_parallelism(pairs), "doc_a", "doc_b")
     gated = pairs.filter(
         F.levenshtein(F.col("prefix_a"), F.col("prefix_b"), 8) >= 0
     ).select("doc_a", "doc_b", "len_a", "len_b")

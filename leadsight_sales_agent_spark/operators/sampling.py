@@ -763,6 +763,7 @@ def leakage_minhash_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from leadsight_sales_agent_spark.operators.dedup import (
         minhash_band_structs,
         minhash_signature_hashed,
+        verify_parallelism,
     )
 
     docs = load(spark, sf_dir, "documents")
@@ -847,7 +848,7 @@ def leakage_minhash_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.doc_id").alias("doc_train"),
         )
         .distinct()
-        .repartition(32, "doc_eval", "doc_train")
+        .repartition(verify_parallelism(base), "doc_eval", "doc_train")
     )
     ta = base.select(F.col("doc_id").alias("doc_train"), F.col("toks").alias("toks_t"))
     tb = base.select(F.col("doc_id").alias("doc_eval"), F.col("toks").alias("toks_e"))
