@@ -112,11 +112,9 @@ SF_DIR = "/root/testdata/sf0.001"
 # regression in them again. Presence of these nodes is a logical-plan
 # property (non-equi joins only), so the sf0.001 plan is authoritative.
 ALLOW_NON_EQUI = {
-    # r11: the corpus-scaled bit device cross-joins a 1-ROW count(*)
-    # aggregate onto the [dim] grid (bounded broadcast scalar join) —
-    # visible in the final plan since the embedding frame switched to
-    # persist (dedup.py semd bits).
-    "dedup_semantic_semdedup",
+    # (r13: the semdedup entry retired here — the JL projection became
+    # one map-side expression, so the 1-row bit-count cross-join no
+    # longer exists in any plan.)
     "join_range_price_brackets",  # range join: bracket dim is 4 rows, broadcast NL is the plan
     "forecast_mann_kendall_trend",  # month-grain pair expansion (~80 rows/side)
     "forecast_theil_sen_trend",  # month-grain pair expansion
@@ -337,7 +335,6 @@ ALLOW_MANY_EXCHANGES = {
     "recsys_item_item_cosine": 13,  # lines ckpt + scored persisted through sym legs
     "recsys_coverage_novelty_audit": 63,  # inherits item-item's persisted frames through 4 report legs
     "dedup_sorted_neighborhood": 27,  # persisted sharded sort keys printed through 3 lead-offsets + carry legs
-    "dedup_semantic_semdedup": 25,  # persisted embedding+norm frame printed through both pair sides + summary
     "graph_triangle_coparts": 17,  # persisted oriented/adjacency frames through both wedge sides
     "text_pmi_cooccurrence": 13,  # persisted dt/dv through vocab + both pair legs
     "text_bm25_scores": 13,  # persisted tok/tf through dl/idf/score legs
