@@ -179,6 +179,15 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spark = get_spark("leadsight-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # r14 (VERDICT r13 task 2): the r13 scaling leg came back
+    # suspect_cpus_ignored because nothing in the output PROVED the
+    # session honored $SPARK_GRAFT_CPUS (it does — session.py reads it
+    # into local[N] and shuffle.partitions — but at sf0.1 the suite is
+    # overhead-dominated, so the 8-vs-32-core ratio carries no signal).
+    # Echo the effective parallelism and master string so the driver
+    # can verify the knob directly instead of inferring it from ratios.
+    cpus_effective = spark.sparkContext.defaultParallelism
+    master_str = spark.sparkContext.master
 
     # Warm-up: run the whole headline set once at sf0.001 (tiny tables)
     # so JIT/codegen compilation and Python-worker spawn (pandas import
@@ -276,6 +285,8 @@ def main() -> None:
         "canary_sec_per_job": canary,
         "canary_samples": [round(x, 4) for x in canary_samples],
         "value_r1_suite_canary_adj": round(total_r1 - len(R1_SUITE) * canary, 3),
+        "cpus_effective": cpus_effective,
+        "master": master_str,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAILS.json"), "w") as f:
@@ -308,6 +319,10 @@ def main() -> None:
         "sf": sf,
         "reps": reps,
         "canary": canary,
+        # r14 contract addition (VERDICT r13 task 2): prove the core
+        # knob took effect — defaultParallelism under local[N] IS N.
+        "cpus_effective": cpus_effective,
+        "master": master_str,
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:  # hard guard: never outgrow the driver's tail window

@@ -24,6 +24,10 @@ from leadsight_sales_agent_spark.functions.numeric import (
     sql_d53,
     sql_d53s,
     sql_q_scaled_halfup,
+    sql_wsplit15_hi,
+    sql_wsplit15_lo,
+    wsplit15_hi,
+    wsplit15_lo,
 )
 from leadsight_sales_agent_spark.operators.sampling import _SQL_HASH, hash_key
 from leadsight_sales_agent_spark.registry import query
@@ -4891,6 +4895,19 @@ _ANOVA_ETA_EXPR = q_scaled_halfup("ssb_c2", "sst_c2", 10_000)
 _ANOVA_ETA_SQL = sql_q_scaled_halfup("ssb_c2", "sst_c2", 10_000)
 _ANOVA_F_EXPR = q_scaled_halfup("ssb_c2 * (n - k)", "ssw_c2 * (k - 1)", 10_000)
 _ANOVA_F_SQL = sql_q_scaled_halfup("ssb_c2 * (n - k)", "ssw_c2 * (k - 1)", 10_000)
+# r14 instrumentation (VERDICT r13 task 1): the eta² device's raw
+# half-up numerator/denominator, reported as wide-split limbs so a
+# driver-side divergence localizes to the division device vs its
+# operands. These mirror q_scaled_halfup's p/q verbatim (minus the
+# nullif, which only matters in the division itself).
+_ANOVA_ETA_NUM = (
+    "(20000 * CAST(ssb_c2 AS DECIMAL(38,0)) + CAST(sst_c2 AS DECIMAL(38,0)))"
+)
+_ANOVA_ETA_DEN = "(2 * CAST(sst_c2 AS DECIMAL(38,0)))"
+_ANOVA_ETA_NUM_SQL = (
+    "(20000 * CAST(ssb_c2 AS HUGEINT) + CAST(sst_c2 AS HUGEINT))"
+)
+_ANOVA_ETA_DEN_SQL = "(2 * CAST(sst_c2 AS HUGEINT))"
 
 
 @query(
@@ -4927,7 +4944,7 @@ _ANOVA_F_SQL = sql_q_scaled_halfup("ssb_c2 * (n - k)", "ssw_c2 * (k - 1)", 10_00
         FROM segstats
     ),
     fin AS (
-        SELECT n, k,
+        SELECT n, k, s1, s2, ssb_terms,
                ssb_terms - (CAST(s1 AS HUGEINT) * s1 // n) AS ssb_c2,
                s2 - (CAST(s1 AS HUGEINT) * s1 // n) AS sst_c2,
                (s2 - (CAST(s1 AS HUGEINT) * s1 // n))
@@ -4937,8 +4954,19 @@ _ANOVA_F_SQL = sql_q_scaled_halfup("ssb_c2 * (n - k)", "ssw_c2 * (k - 1)", 10_00
     SELECT CAST(n AS BIGINT) AS n_orders,
            CAST(k AS INTEGER) AS k_groups,
            CAST(n - k AS BIGINT) AS df_within,
-           CAST(ssb_c2 AS DECIMAL(38,0)) AS ssb_cents2,
-           CAST(ssw_c2 AS DECIMAL(38,0)) AS ssw_cents2,
+           CAST(s1 AS BIGINT) AS s1_centered,
+           {sql_wsplit15_hi("s2")} AS s2_hi15,
+           {sql_wsplit15_lo("s2")} AS s2_lo15,
+           {sql_wsplit15_hi("ssb_terms")} AS ssb_terms_hi15,
+           {sql_wsplit15_lo("ssb_terms")} AS ssb_terms_lo15,
+           {sql_wsplit15_hi("ssb_c2")} AS ssb_c2_hi15,
+           {sql_wsplit15_lo("ssb_c2")} AS ssb_c2_lo15,
+           {sql_wsplit15_hi("ssw_c2")} AS ssw_c2_hi15,
+           {sql_wsplit15_lo("ssw_c2")} AS ssw_c2_lo15,
+           {sql_wsplit15_hi(_ANOVA_ETA_NUM_SQL)} AS eta2_num_hi15,
+           {sql_wsplit15_lo(_ANOVA_ETA_NUM_SQL)} AS eta2_num_lo15,
+           {sql_wsplit15_hi(_ANOVA_ETA_DEN_SQL)} AS eta2_den_hi15,
+           {sql_wsplit15_lo(_ANOVA_ETA_DEN_SQL)} AS eta2_den_lo15,
            {_ANOVA_ETA_SQL} AS eta2_bp,
            {_ANOVA_F_SQL} AS f_bp
     FROM fin
@@ -4975,6 +5003,17 @@ def eval_anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned window on the DOMAIN-bounded collapsed grain, then a
     5-row reduce — the same shape as eval_kruskal_wallis, minus the
     rank sort.
+
+    r14 report contract (VERDICT r13 task 1): the r12/r13 driver runs
+    localized the hash divergence to REPORTING raw wide DECIMAL(38,0)
+    columns — the only three red queries in the r13 panel were exactly
+    the only three whose report schema carried a DECIMAL column or any
+    value past 2^53. Every report column is now BIGINT/INT with
+    |value| < 2^53: wide sums are emitted as exact (hi15, lo15) limb
+    pairs (w = hi*10^15 + lo; functions/numeric.py wsplit15_*), and
+    every integer term feeding the statistic (s1, s2, ssb_terms, the
+    eta² device's raw half-up numerator/denominator) is its own column
+    so any residual driver divergence localizes to one term.
     """
     j = (
         load(spark, sf_dir, "orders")
@@ -5023,6 +5062,9 @@ def eval_anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     fin = tot.select(
         "n",
         "k",
+        "s1",
+        "s2",
+        "ssb_terms",
         F.expr("ssb_terms - (s1 * s1 DIV n)").alias("ssb_c2"),
         F.expr("s2 - (s1 * s1 DIV n)").alias("sst_c2"),
         F.expr(
@@ -5033,8 +5075,19 @@ def eval_anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_orders"),
         F.col("k").cast("int").alias("k_groups"),
         F.expr("CAST(n - k AS BIGINT)").alias("df_within"),
-        F.col("ssb_c2").cast("decimal(38,0)").alias("ssb_cents2"),
-        F.col("ssw_c2").cast("decimal(38,0)").alias("ssw_cents2"),
+        F.col("s1").cast("bigint").alias("s1_centered"),
+        F.expr(wsplit15_hi("s2")).alias("s2_hi15"),
+        F.expr(wsplit15_lo("s2")).alias("s2_lo15"),
+        F.expr(wsplit15_hi("ssb_terms")).alias("ssb_terms_hi15"),
+        F.expr(wsplit15_lo("ssb_terms")).alias("ssb_terms_lo15"),
+        F.expr(wsplit15_hi("ssb_c2")).alias("ssb_c2_hi15"),
+        F.expr(wsplit15_lo("ssb_c2")).alias("ssb_c2_lo15"),
+        F.expr(wsplit15_hi("ssw_c2")).alias("ssw_c2_hi15"),
+        F.expr(wsplit15_lo("ssw_c2")).alias("ssw_c2_lo15"),
+        F.expr(wsplit15_hi(_ANOVA_ETA_NUM)).alias("eta2_num_hi15"),
+        F.expr(wsplit15_lo(_ANOVA_ETA_NUM)).alias("eta2_num_lo15"),
+        F.expr(wsplit15_hi(_ANOVA_ETA_DEN)).alias("eta2_den_hi15"),
+        F.expr(wsplit15_lo(_ANOVA_ETA_DEN)).alias("eta2_den_lo15"),
         F.expr(_ANOVA_ETA_EXPR).alias("eta2_bp"),
         F.expr(_ANOVA_F_EXPR).alias("f_bp"),
     )
@@ -5093,7 +5146,7 @@ _BF_F_SQL = sql_q_scaled_halfup("ssb_c2 * (n - k)", "ssw_c2 * (k - 1)", 10_000)
         FROM segstats
     ),
     fin AS (
-        SELECT n, k,
+        SELECT n, k, s1, s2, ssb_terms,
                ssb_terms - (CAST(s1 AS HUGEINT) * s1 // n) AS ssb_c2,
                (s2 - (CAST(s1 AS HUGEINT) * s1 // n))
                    - (ssb_terms - (CAST(s1 AS HUGEINT) * s1 // n)) AS ssw_c2
@@ -5102,8 +5155,15 @@ _BF_F_SQL = sql_q_scaled_halfup("ssb_c2 * (n - k)", "ssw_c2 * (k - 1)", 10_000)
     SELECT CAST(n AS BIGINT) AS n_orders,
            CAST(k AS INTEGER) AS k_groups,
            CAST(n - k AS BIGINT) AS df_within,
-           CAST(ssb_c2 AS DECIMAL(38,0)) AS ssb_z2,
-           CAST(ssw_c2 AS DECIMAL(38,0)) AS ssw_z2,
+           CAST(s1 AS BIGINT) AS s1_centered,
+           {sql_wsplit15_hi("s2")} AS s2_hi15,
+           {sql_wsplit15_lo("s2")} AS s2_lo15,
+           {sql_wsplit15_hi("ssb_terms")} AS ssb_terms_hi15,
+           {sql_wsplit15_lo("ssb_terms")} AS ssb_terms_lo15,
+           {sql_wsplit15_hi("ssb_c2")} AS ssb_z2_hi15,
+           {sql_wsplit15_lo("ssb_c2")} AS ssb_z2_lo15,
+           {sql_wsplit15_hi("ssw_c2")} AS ssw_z2_hi15,
+           {sql_wsplit15_lo("ssw_c2")} AS ssw_z2_lo15,
            {_BF_F_SQL} AS f_bp
     FROM fin
     """,
@@ -5129,6 +5189,11 @@ def eval_brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     price DOMAIN; the per-seg median windows and the group stats share
     one hash partitioning on seg; one unpartitioned window on the
     collapsed grain; 5-row reduce.
+
+    r14 report contract: all report columns BIGINT/INT under 2^53 —
+    wide sums as exact (hi15, lo15) limb pairs plus the per-term
+    instrumentation columns (see eval_anova_f_oneway's docstring for
+    the driver-divergence localization rationale; VERDICT r13 task 1).
     """
     j = (
         load(spark, sf_dir, "orders")
@@ -5199,6 +5264,9 @@ def eval_brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     fin = tot.select(
         "n",
         "k",
+        "s1",
+        "s2",
+        "ssb_terms",
         F.expr("ssb_terms - (s1 * s1 DIV n)").alias("ssb_c2"),
         F.expr(
             "(s2 - (s1 * s1 DIV n)) - (ssb_terms - (s1 * s1 DIV n))"
@@ -5208,8 +5276,15 @@ def eval_brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_orders"),
         F.col("k").cast("int").alias("k_groups"),
         F.expr("CAST(n - k AS BIGINT)").alias("df_within"),
-        F.col("ssb_c2").cast("decimal(38,0)").alias("ssb_z2"),
-        F.col("ssw_c2").cast("decimal(38,0)").alias("ssw_z2"),
+        F.col("s1").cast("bigint").alias("s1_centered"),
+        F.expr(wsplit15_hi("s2")).alias("s2_hi15"),
+        F.expr(wsplit15_lo("s2")).alias("s2_lo15"),
+        F.expr(wsplit15_hi("ssb_terms")).alias("ssb_terms_hi15"),
+        F.expr(wsplit15_lo("ssb_terms")).alias("ssb_terms_lo15"),
+        F.expr(wsplit15_hi("ssb_c2")).alias("ssb_z2_hi15"),
+        F.expr(wsplit15_lo("ssb_c2")).alias("ssb_z2_lo15"),
+        F.expr(wsplit15_hi("ssw_c2")).alias("ssw_z2_hi15"),
+        F.expr(wsplit15_lo("ssw_c2")).alias("ssw_z2_lo15"),
         F.expr(_BF_F_EXPR).alias("f_bp"),
     )
 
@@ -8363,7 +8438,12 @@ _U2_BEATS_MA3 = "CAST((sse_ma3 < 9 * sse_naive) AS INTEGER)"
         FROM scored
     )
     SELECT n AS n_months_scored,
-           sse_naive AS sse_naive_c2, sse_seas AS sse_seasonal_c2,
+           {sql_wsplit15_hi("sse_naive")} AS sse_naive_c2_hi15,
+           {sql_wsplit15_lo("sse_naive")} AS sse_naive_c2_lo15,
+           {sql_wsplit15_hi("sse_seas")} AS sse_seasonal_c2_hi15,
+           {sql_wsplit15_lo("sse_seas")} AS sse_seasonal_c2_lo15,
+           {sql_wsplit15_hi("sse_ma3")} AS sse_ma3_9c2_hi15,
+           {sql_wsplit15_lo("sse_ma3")} AS sse_ma3_9c2_lo15,
            {_U2SQ_SEAS_SQL} AS u2sq_seasonal_e8,
            {_U2SQ_MA3_SQL} AS u2sq_ma3_e8,
            {_U2_BEATS_SEAS} AS seasonal_beats_naive,
@@ -8391,6 +8471,12 @@ def forecast_theil_u2_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     beats-flags are pure integer comparisons. 100 TB plan: month-grain
     collapse, lag windows on the ~84-row calendar series, 1-row
     reduce.
+
+    r14 report contract: all report columns BIGINT/INT under 2^53 —
+    the three SSEs as exact (hi15, lo15) limb pairs (the ma3 term is
+    the 9-scaled (3y-s3)² sum, hence the _9c2 suffix); see
+    eval_anova_f_oneway's docstring for the driver-divergence
+    localization rationale (VERDICT r13 task 1).
     """
     monthly = (
         load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
@@ -8424,8 +8510,12 @@ def forecast_theil_u2_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sse.select(
         F.col("n").alias("n_months_scored"),
-        F.col("sse_naive").alias("sse_naive_c2"),
-        F.col("sse_seas").alias("sse_seasonal_c2"),
+        F.expr(wsplit15_hi("sse_naive")).alias("sse_naive_c2_hi15"),
+        F.expr(wsplit15_lo("sse_naive")).alias("sse_naive_c2_lo15"),
+        F.expr(wsplit15_hi("sse_seas")).alias("sse_seasonal_c2_hi15"),
+        F.expr(wsplit15_lo("sse_seas")).alias("sse_seasonal_c2_lo15"),
+        F.expr(wsplit15_hi("sse_ma3")).alias("sse_ma3_9c2_hi15"),
+        F.expr(wsplit15_lo("sse_ma3")).alias("sse_ma3_9c2_lo15"),
         F.expr(_U2SQ_SEAS).alias("u2sq_seasonal_e8"),
         F.expr(_U2SQ_MA3).alias("u2sq_ma3_e8"),
         F.expr(_U2_BEATS_SEAS).alias("seasonal_beats_naive"),

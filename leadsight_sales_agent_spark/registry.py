@@ -140,12 +140,18 @@ _PANEL_50 = [
     "window_ewma_dyadic_smoothing",
     "funnel_windowed_deadline",
     "survival_logrank_test",
-    # --- (e) cross-family sentinels (16)
+    # --- (e) cross-family sentinels (15 — r14 rotated
+    #     setop_intersect_nations, twice driver-green, out for the
+    #     wide-decimal canary below; it stays oracle-checked locally)
     "join_asof_nearest_tolerance",
     "tpch_q19_disjunctive_revenue",
     "sketch_ddsketch_quantiles",
     "gaps_islands_event_days",
-    "setop_intersect_nations",
+    # r14 (VERDICT r13 tasks 1/7): the permanent wide-decimal→double
+    # conversion canary built in r13 finally gets its driver row —
+    # alongside the three instrumented (b) reports it disambiguates
+    # "conversion path diverges" from "report normalization diverges".
+    "dq_wide_decimal_conversion_canary",
     "dedup_exact_documents",
     "dedup_fuzzy_levenshtein",
     "sample_stratified_lang",

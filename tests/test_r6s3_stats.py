@@ -54,8 +54,31 @@ class TestAnovaF:
         # device rounding on SS terms is <= 1 cents^2 per group — far
         # below the 1e-4 relative grain of f_bp
         assert abs(row.f_bp / 1e4 - f_exact) <= max(2e-4 * f_exact, 3e-4)
-        assert abs(int(row.ssb_cents2) - float(ssb)) <= k + 1
-        assert abs(int(row.ssw_cents2) - float(ssw)) <= k + 2
+        # r14: wide SS terms are reported as exact (hi15, lo15) limb
+        # pairs (w = hi*10^15 + lo) so no report column exceeds 2^53
+        M = 10**15
+        ssb_rep = row.ssb_c2_hi15 * M + row.ssb_c2_lo15
+        ssw_rep = row.ssw_c2_hi15 * M + row.ssw_c2_lo15
+        assert abs(ssb_rep - float(ssb)) <= k + 1
+        assert abs(ssw_rep - float(ssw)) <= k + 2
+        for v in (
+            row.s1_centered, row.s2_hi15, row.s2_lo15,
+            row.ssb_terms_hi15, row.ssb_terms_lo15,
+            row.ssb_c2_hi15, row.ssb_c2_lo15,
+            row.ssw_c2_hi15, row.ssw_c2_lo15,
+            row.eta2_num_hi15, row.eta2_num_lo15,
+            row.eta2_den_hi15, row.eta2_den_lo15,
+        ):
+            assert isinstance(v, int) and abs(v) < 2**53
+        # term-consistency: the device operands recombine from the
+        # reported SS limbs (eta2 num = 2e4*ssb + sst; den = 2*sst)
+        s2_rep = row.s2_hi15 * M + row.s2_lo15
+        sst_rep = s2_rep - row.s1_centered**2 // row.n_orders
+        assert row.eta2_num_hi15 * M + row.eta2_num_lo15 == (
+            20000 * ssb_rep + sst_rep
+        )
+        assert row.eta2_den_hi15 * M + row.eta2_den_lo15 == 2 * sst_rep
+        assert ssb_rep + ssw_rep == sst_rep
 
 
 class TestBrownForsythe:
@@ -75,6 +98,16 @@ class TestBrownForsythe:
         row = registry.QUERIES["eval_brown_forsythe_levene"](spark, sf_dir).collect()[0]
         assert row.n_orders == n
         assert abs(row.f_bp / 1e4 - f_exact) <= max(2e-4 * f_exact, 3e-4)
+        # r14: SS terms as (hi15, lo15) limb pairs — every report
+        # column BIGINT under 2^53, recombining to the brute values
+        M = 10**15
+        ssb_rep = row.ssb_z2_hi15 * M + row.ssb_z2_lo15
+        ssw_rep = row.ssw_z2_hi15 * M + row.ssw_z2_lo15
+        assert abs(ssb_rep - float(ssb)) <= k + 1
+        assert abs(ssw_rep - float(sst - ssb)) <= k + 2
+        for v in (row.s1_centered, row.s2_hi15, row.s2_lo15,
+                  row.ssb_terms_hi15, row.ssb_terms_lo15):
+            assert isinstance(v, int) and abs(v) < 2**53
 
 
 class TestWelchT:
@@ -870,8 +903,16 @@ class TestTheilU2:
             sse_m += (3 * v[i] - (v[i - 1] + v[i - 2] + v[i - 3])) ** 2
         got = registry.QUERIES["forecast_theil_u2_accuracy"](spark, sf_dir).collect()[0]
         assert got.n_months_scored == n
-        assert int(got.sse_naive_c2) == sse_n
-        assert int(got.sse_seasonal_c2) == sse_s
+        # r14: SSEs reported as exact (hi15, lo15) limb pairs — every
+        # report column BIGINT under 2^53
+        M = 10**15
+        assert got.sse_naive_c2_hi15 * M + got.sse_naive_c2_lo15 == sse_n
+        assert got.sse_seasonal_c2_hi15 * M + got.sse_seasonal_c2_lo15 == sse_s
+        assert got.sse_ma3_9c2_hi15 * M + got.sse_ma3_9c2_lo15 == sse_m
+        for v in (got.sse_naive_c2_hi15, got.sse_naive_c2_lo15,
+                  got.sse_seasonal_c2_hi15, got.sse_seasonal_c2_lo15,
+                  got.sse_ma3_9c2_hi15, got.sse_ma3_9c2_lo15):
+            assert isinstance(v, int) and abs(v) < 2**53
         # r13: the report is the SQUARED ratio at e8 as an exact
         # integer half-up quotient (no doubles — the r12 driver
         # falsified the sqrt-of-wide-decimal tree), so the brute force

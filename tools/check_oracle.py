@@ -214,9 +214,41 @@ def main() -> int:
             otypes = [str(t) for t in rel.types]
             orows = rel.fetchall()
         except Exception as ex:  # noqa: BLE001
-            failures.append((name, f"DUCKDB ERROR: {ex}"))
-            print(f"FAIL  {name}: duckdb error: {ex}")
-            continue
+            # r14 (VERDICT r13 task 7): per-query memory FLOOR for the
+            # replay mode. The global 256 MiB cap exists to force
+            # DuckDB's external/spilling paths (the r12 flake class),
+            # but pipeline_full_release's 4-stage MATERIALIZED-CTE
+            # oracle legitimately needs more than the cap to run AT
+            # ALL — a resource artifact, not a divergence. On an
+            # OutOfMemory in replay mode, retry that ONE query at a
+            # 2 GiB floor and restore the cap, so the replay gate
+            # covers all 486 oracles while every query that CAN run
+            # under the cap still exercises the spilling paths.
+            retried = False
+            if (
+                driver_replay
+                and mem_limit
+                and "memory" in str(ex).lower()
+            ):
+                try:
+                    con.execute("SET memory_limit='2GiB'")
+                    rel = con.sql(oracles[name])
+                    ocols = list(rel.columns)
+                    otypes = [str(t) for t in rel.types]
+                    orows = rel.fetchall()
+                    retried = True
+                    print(
+                        f"note  {name}: oracle OOM under {mem_limit}; "
+                        "re-ran at the 2GiB per-query floor"
+                    )
+                except Exception as ex2:  # noqa: BLE001
+                    ex = ex2
+                finally:
+                    con.execute(f"SET memory_limit='{mem_limit.strip()}'")
+            if not retried:
+                failures.append((name, f"DUCKDB ERROR: {ex}"))
+                print(f"FAIL  {name}: duckdb error: {ex}")
+                continue
         checked += 1
         problems = []
         if len(srows) != len(orows):
