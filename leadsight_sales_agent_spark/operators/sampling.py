@@ -783,16 +783,25 @@ def leakage_minhash_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("toks"),
     ).persist()  # r13 (guide §5): feeds the band pipeline AND both
     #              verify legs — tokenize+hash ran 3x per action before
-    bands = base.select(
+    # r14: the signature MUST be materialized under its own alias
+    # before the band structs index it 32 times — the fold-based
+    # minhash_signature_hashed (dedup.py) is opaque to Catalyst's
+    # extract-value simplification, so passing the expression inline
+    # here duplicated the whole 32-slot fold once per index (measured
+    # 2.5 → 9.3 s at sf0.1). An aliased column is computed once per
+    # row; CollapseProject keeps multi-referenced non-cheap aliases.
+    sig = base.select(
         "doc_id",
         "split",
         F.size("toks").alias("n_tok"),
+        minhash_signature_hashed(F.col("toks")).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        "split",
+        "n_tok",
         F.explode(
-            minhash_band_structs(
-                minhash_signature_hashed(F.col("toks")),
-                n_bands=16,
-                rows_per_band=2,
-            )
+            minhash_band_structs(F.col("sig"), n_bands=16, rows_per_band=2)
         ).alias("band"),
     ).select("doc_id", "split", "n_tok", "band.band_id", "band.band_hash")
     # Bucket the band table ONCE (one shuffle) and emit capped

@@ -51,6 +51,50 @@ class TestMinHash:
     def test_deterministic_across_runs(self, spark):
         assert self.sigs(spark, "a b c") == self.sigs(spark, "a b c")
 
+    def test_minhash_fold_signature_identical(self, spark, sf_dir):
+        """r14: minhash_signature_hashed was rewritten from 32 separate
+        array_min(transform(...)) expressions to one aggregate() fold
+        with a 32-slot running-minimum state (guide §1.2 — removes the
+        32 per-row n-token array materializations). This pins the fold
+        bit-identical to the ORIGINAL construction on the real corpus
+        plus the empty/NULL token edge (where the fold must reproduce
+        array_min-over-empty's 32-NULL signature)."""
+        from leadsight_sales_agent_spark.operators.dedup import (
+            N_MINHASH as N,
+            minhash_signature_hashed,
+        )
+        from leadsight_sales_agent_spark.sources.catalog import load
+
+        def original(token_hashes):
+            def perm_min(seed):
+                return F.array_min(
+                    F.transform(token_hashes, lambda h: F.xxhash64(h, F.lit(seed)))
+                )
+
+            return F.array(*[perm_min(i) for i in range(N)])
+
+        base = load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.split(F.trim(F.col("text")), r"\s+"), lambda t: F.xxhash64(t)
+                )
+            ).alias("toks"),
+        )
+        edge = spark.createDataFrame(
+            [(1, []), (2, None), (3, [7])], "doc_id: int, toks: array<bigint>"
+        )
+        for df in (base, edge):
+            mism = (
+                df.select(
+                    original(F.col("toks")).alias("old"),
+                    minhash_signature_hashed(F.col("toks")).alias("new"),
+                )
+                .filter(F.expr("old IS DISTINCT FROM new"))
+                .count()
+            )
+            assert mism == 0
+
 
 class TestSimHash:
     def sig(self, spark, doc):
