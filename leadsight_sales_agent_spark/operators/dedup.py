@@ -1311,11 +1311,17 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" p -> concat_ws(' ', slice(toks, p, {SPAN_K})))"
     )
     # r13 (guide §2.3 "narrower types" + §5): the span key is a pair of
-    # independent 64-bit hashes (xxhash64 with and without a salt
-    # column) instead of (md5-hex-string, xxhash64) — the 128-bit
-    # collision bound is unchanged in kind (~1e-13 at 10^13 spans) but
-    # each shuffled position row shrinks from ~88 to 24 bytes and the
-    # per-span hex materialization disappears. The frame feeds BOTH
+    # 64-bit hashes (xxhash64 with and without a salt column) instead
+    # of (md5-hex-string, xxhash64) — each shuffled position row
+    # shrinks from ~88 to 24 bytes and the per-span hex
+    # materialization disappears. r14 (ADVICE r13): the two legs are
+    # NOT an independent 128-bit family — both are xxhash64 of the
+    # same input under derived seeds, so a seed-independent xxhash64
+    # collision (if one exists) would collide both halves at once; the
+    # ~1e-13 bound holds for random/benchmark corpora but is
+    # OVERSTATED for adversarial or structured inputs. For a corpus
+    # where adversarial collisions matter, put a structurally
+    # different hash (e.g. md5 hex-to-long) back on one leg. The frame feeds BOTH
     # the dictionary build and the join back, so it persists (the r11
     # shared-frame rule; explode+hash ran twice per action before).
     pos = (
@@ -2406,6 +2412,17 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees full coverage, and Σ chunk lengths = Σ doc lengths is
     pinned in tests. The oracle keeps the explode+window spec form —
     hash equality proves the rewrite.
+
+    Per-document memory bound (r13 ADVICE): filter(sequence(W, n))
+    materializes one BIGINT per byte position IN-ROW, so task memory
+    scales ~8x the longest document where the old explode streamed
+    positions — fine for this corpus class (documents are ≤ MB-scale,
+    so the position array is ≤ ~8 MB and freed per row), but a
+    GB-scale blob would need the documented fallback: segment the
+    position range into bounded windows (one filter(sequence(lo,
+    least(lo + 2^22, n))) per segment, concat the cuts) or revert to
+    the explode form above a length threshold. Oversized raw blobs
+    should be split upstream before reaching a per-document operator.
     """
     base = (
         load(spark, sf_dir, "documents")
@@ -2586,6 +2603,17 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     paraphrases and re-encodings that share no n-grams. The per-cell
     keep-rate report is the curation dashboard a 100 TB dedup run is
     driven by.
+
+    Eager-build contract (r13 ADVICE): constructing this DataFrame
+    runs one bounded Spark action — emb.agg(count, max(dim)).first()
+    — to bake the (bits × dim) sign matrix in as plan literals (the
+    sanctioned IVF-centroid device, r13 rewrite). Consequences a
+    caller must know: building the plan requires live embedding data
+    (a bare explain/registry walk scans the table's metadata
+    aggregate), and the baked literals snapshot the corpus size at
+    BUILD time — rebuild the DataFrame if data changes between build
+    and execution. The registry protocol (build → immediately execute)
+    satisfies this by construction.
 
     Determinism devices: (1) cells come from the SIGNS of projections
     onto `bits` hash-derived Rademacher vectors (the JL sign-matrix

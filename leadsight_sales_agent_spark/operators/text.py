@@ -1802,6 +1802,14 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the r12 plan); the oracle keeps that explode+window spec shape and
     the hash match proves the rewrite (guide §2.4: remove shuffles
     outright).
+
+    Per-document memory bound (r13 ADVICE): the in-row g2/g3/g5 gram
+    arrays hold ~10x the document's text (plus one array_sort copy for
+    the top-bigram fold), so task memory scales with the LONGEST
+    document where the explode form streamed grams. Fine for MB-scale
+    documents (tens of MB per row, freed per row); a corpus with
+    GB-scale rows needs a length cutoff that falls back to the
+    explode+window form — split oversized raw blobs upstream.
     """
     d = (
         load(spark, sf_dir, "documents")

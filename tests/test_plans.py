@@ -916,3 +916,58 @@ class TestRound6Plans:
         plan = plan_of(spark, sf_dir, "bootstrap_poisson_ci_mean")
         assert plan.count("HashAggregate") >= 2
         assert "CartesianProduct" not in plan
+
+
+class TestPlanLintNonEquiProperty:
+    """r14 (ADVICE r13): ALLOW_NON_EQUI_PRECHECKPOINT's claimed
+    bounded-anchor property is verified mechanically per plan, not
+    trusted per name — pin the detector's both directions."""
+
+    def _lint(self):
+        import importlib.util
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "plan_lint.py",
+        )
+        spec = importlib.util.spec_from_file_location("plan_lint_mod", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_unbounded_cross_join_is_flagged(self):
+        pl = self._lint()
+        bad = (
+            "== Physical Plan ==\n"
+            "CartesianProduct (3)\n"
+            ":- Scan parquet  (1)\n"
+            "+- Scan parquet  (2)\n\n"
+        )
+        assert pl.nonequi_join_unbounded(bad)
+
+    def test_bounded_broadcast_anchor_passes(self):
+        pl = self._lint()
+        good = (
+            "== Physical Plan ==\n"
+            "BroadcastNestedLoopJoin (4)\n"
+            ":- Scan parquet  (1)\n"
+            "+- BroadcastExchange (3)\n"
+            "   +- HashAggregate (2)\n\n"
+        )
+        assert not pl.nonequi_join_unbounded(good)
+
+    def test_allowlisted_violation_still_fails_lint(self):
+        pl = self._lint()
+        name = sorted(pl.ALLOW_NON_EQUI_PRECHECKPOINT)[0]
+        bad = (
+            "== Physical Plan ==\n"
+            "CartesianProduct (3)\n"
+            ":- Scan parquet  (1)\n"
+            "+- Scan parquet  (2)\n\n"
+        )
+        findings = pl.lint_one_precheckpoint(name, bad)
+        assert any(
+            f["rule"] == "R1-cartesian-prechk-unbounded" for f in findings
+        )

@@ -573,6 +573,33 @@ def unbounded_single_partition(plan: str) -> bool:
     return False
 
 
+def nonequi_join_unbounded(plan: str) -> bool:
+    """True when some CartesianProduct / BroadcastNestedLoopJoin node
+    has NO bounded side — no aggregate/limit node and no literal
+    LocalTableScan leaf in EITHER child subtree. r14 (ADVICE r13): the
+    ALLOW_NON_EQUI_PRECHECKPOINT allowlist's claimed property — every
+    flattened cross join is anchored on a 1-row/bounded aggregate
+    side — is now verified mechanically per plan instead of trusted
+    per name, so a NEW unbounded non-equi join growing inside an
+    allowlisted query still fails the lint."""
+    tree = parse_tree(plan)
+    for i, (depth, node, _nid) in enumerate(tree):
+        if not node.startswith(("CartesianProduct", "BroadcastNestedLoopJoin")):
+            continue
+        bounded = False
+        for d2, n2, _id2 in tree[i + 1 :]:
+            if d2 <= depth:
+                break
+            if n2.startswith(_BOUNDING_NODES) or n2.startswith(
+                ("LocalTableScan", "Scan OneRowRelation", "Range")
+            ):
+                bounded = True
+                break
+        if not bounded:
+            return True
+    return False
+
+
 def window_single_partition(plan: str) -> bool:
     """True when any Window-family node's subtree contains an
     Exchange SinglePartition — the static twin of the runtime
@@ -795,11 +822,22 @@ def lint_one_precheckpoint(name: str, plan: str) -> list[dict]:
     """Pass-2 rules over the checkpoint-flattened plan: R1/R5/R6 only
     (see ALLOW_NON_EQUI_PRECHECKPOINT for why R2/R4 don't apply)."""
     findings = []
-    if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and (
-        name not in ALLOW_NON_EQUI
-        and name not in ALLOW_NON_EQUI_PRECHECKPOINT
-    ):
-        findings.append({"rule": "R1-cartesian-prechk", "query": name})
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        if (
+            name not in ALLOW_NON_EQUI
+            and name not in ALLOW_NON_EQUI_PRECHECKPOINT
+        ):
+            findings.append({"rule": "R1-cartesian-prechk", "query": name})
+        elif name in ALLOW_NON_EQUI_PRECHECKPOINT and nonequi_join_unbounded(
+            plan
+        ):
+            # r14 (ADVICE r13): the allowlist no longer exempts a query
+            # wholesale — its claimed bounded-anchor property is checked
+            # mechanically on every run, so a new UNBOUNDED non-equi
+            # join inside an allowlisted query still fails.
+            findings.append(
+                {"rule": "R1-cartesian-prechk-unbounded", "query": name}
+            )
     if "BatchEvalPython" in plan:
         findings.append({"rule": "R5-row-python-udf-prechk", "query": name})
     if unbounded_single_partition(plan) and (
